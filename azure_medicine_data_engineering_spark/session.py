@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates all session management to Databricks (cluster id in
+``linkedService/AzureDatabricks1.json:14``); here the session is explicit and
+tuned for both local testing and large-cluster deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session. At cluster scale AQE re-plans shuffle
+#: partition counts at runtime, so ``spark.sql.shuffle.partitions`` is only the
+#: initial value; locally it keeps task counts sane.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MiB input splits — keeps scan partitions memory-safe at 100 TB.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast joins for dimension tables (region/nation/supplier-sized).
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "azure_medicine_data_engineering_spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` is only set when given — on a real cluster the deploy
+    environment provides it; tests pass ``local[N]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    merged = {**DEFAULT_CONF, **(conf or {})}
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC so timestamp arithmetic (windows,
+    ``date_trunc``, ``hour``) is deterministic and oracle-comparable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

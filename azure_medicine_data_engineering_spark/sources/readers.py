@@ -1,0 +1,81 @@
+"""Scan operators (SURVEY §2.1 S1-S4, S7, S8).
+
+Parity notes (reference sites in /root/reference):
+- S1/S2 ``myImportFile`` — ``notebooks/PhdProject/utils.scala:30-50``: tab-CSV,
+  header, inferSchema. The reference re-infers on every read (a double scan per
+  read); here inference is opt-in so production reads use a pinned schema.
+- S4 catalog scan — ``stydyGrB.scala:15``.
+- S7 local collection → DataFrame — ``utils.scala:164-165``.
+- S8 temp-view registration — ``studyGrScalaA.scala:84``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = "\t",
+    header: bool = True,
+    schema: StructType | str | None = None,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """CSV/TSV scan. With ``schema`` given, the inference double-scan is
+    skipped — the production path once a CleaningSpec has pinned types."""
+    reader = (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return reader.load(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — the engine's primary ingress (filter pushdown + column
+    pruning reach the footer for free)."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Managed/catalog table scan (S4)."""
+    return spark.read.table(name)
+
+
+def from_rows(
+    spark: SparkSession,
+    rows: Iterable,
+    schema: StructType | list[str] | str,
+) -> DataFrame:
+    """Local collection → DataFrame (S7). Only for small metadata/config
+    frames (division tables, report rows) — never for data-plane input."""
+    return spark.createDataFrame(list(rows), schema=schema)
+
+
+def register_view(df: DataFrame, name: str) -> DataFrame:
+    """Make a frame SQL-addressable (S8); returns the frame for chaining."""
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str, tables: Iterable[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's test tables from a scale-factor directory and register
+    each as a temp view. Returns {name: DataFrame}."""
+    names = list(tables) if tables is not None else [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        register_view(df, name)
+        out[name] = df
+    return out
