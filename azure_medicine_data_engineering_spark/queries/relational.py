@@ -1,43 +1,29 @@
-"""Relational query registry: each entry pairs a Spark DataFrame program with a
-DuckDB-oracle SQL twin (SURVEY §2 coverage → driver correctness gate).
+"""Relational query registry (SURVEY §2.2-§2.8 coverage).
 
-Conventions (driver hash-compare is order-insensitive but name/value exact):
-- every computed column aliased identically on both sides;
-- float aggregates rounded to 4 decimals on both sides (summation-order
-  insensitivity); counts cast to BIGINT on both sides;
-- session timezone pinned to UTC before timestamp arithmetic.
+The reference's own Spark surface has no keyed joins (cohorts combine by
+union — SURVEY §2.3); the engine ships the full relational vocabulary anyway
+(Catalyst built-ins) because the correctness harness exercises it on the
+TPC-H-ish tables. Scale notes live on each query.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from azure_medicine_data_engineering_spark.operators.summarize import (
     categorized_summary,
     categorized_summary_oracle_sql,
 )
-from azure_medicine_data_engineering_spark.session import ensure_utc
+from azure_medicine_data_engineering_spark.queries.registry import (
+    QUERIES,
+    ORACLES,
+    register,
+    table as _t,
+)
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    ensure_utc(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+__all__ = ["QUERIES", "ORACLES"]
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +47,8 @@ def q_categorized_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TPC-H Q1-style pricing summary: groupBy + multi-agg (A3-A5, A12)
+# TPC-H Q1-style pricing summary: scan → filter (pushed down) → groupBy agg.
+# Plan: parquet scan with PushedFilters on l_shipdate, partial+final hash agg.
 # ---------------------------------------------------------------------------
 
 
@@ -96,5 +83,468 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice").cast("double"), 4).alias("avg_price"),
             F.round(F.avg("l_discount").cast("double"), 4).alias("avg_disc"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join with broadcast dims: revenue per region/nation.
+# Scale: orders⋈customer shuffles on custkey; nation/region are broadcast
+# (no shuffle) — the canonical star-schema plan at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_star_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(r.r_name.alias("region"), n.n_name.alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orderBy/limit top-k with deterministic tie-break (O-ops; reference exposes
+# sorting only R-side — SURVEY §2.6).  Scale: Spark turns this into
+# TakeOrderedAndProject (per-partition top-k + driver merge, no full sort).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers_by_spend",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS total_spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c.c_custkey
+    LIMIT 25
+    """,
+)
+def q_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice").cast("double"), 4).alias("total_spend"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (customers with / without orders).
+# Scale: left_semi/left_anti never materialize the right side's payload.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 cartesian join — the reference's ONLY join (dataSummaries1.scala:480,549)
+# places two cohorts' aggregate columns side-by-side. The scale-safe form:
+# cross-join the two ALREADY-AGGREGATED single-row frames (1×1 rows), never
+# the raw tables (SURVEY §4 anti-pattern list).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_join_cohort_aggregates",
+    """
+    SELECT ROUND(CAST(a.avg_balance_customer AS DOUBLE), 4) AS avg_balance_customer,
+           ROUND(CAST(b.avg_balance_supplier AS DOUBLE), 4) AS avg_balance_supplier,
+           a.n_customer, b.n_supplier
+    FROM (SELECT AVG(c_acctbal) AS avg_balance_customer,
+                 CAST(COUNT(*) AS BIGINT) AS n_customer FROM customer) a
+    CROSS JOIN (SELECT AVG(s_acctbal) AS avg_balance_supplier,
+                       CAST(COUNT(*) AS BIGINT) AS n_supplier FROM supplier) b
+    """,
+)
+def q_cross_join_cohort_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").agg(
+        F.avg("c_acctbal").alias("avg_balance_customer"),
+        F.count(F.lit(1)).cast("long").alias("n_customer"),
+    )
+    s = _t(spark, sf_dir, "supplier").agg(
+        F.avg("s_acctbal").alias("avg_balance_supplier"),
+        F.count(F.lit(1)).cast("long").alias("n_supplier"),
+    )
+    return c.crossJoin(s).select(
+        F.round(F.col("avg_balance_customer").cast("double"), 4).alias("avg_balance_customer"),
+        F.round(F.col("avg_balance_supplier").cast("double"), 4).alias("avg_balance_supplier"),
+        "n_customer",
+        "n_supplier",
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 cohort union after harmonization — the reference's cohort-combination
+# idiom (HypothesisTestingPrediction.scala:120; utils.scala:189).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_harmonized_cohorts",
+    """
+    SELECT cohort, n_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(AVG(acctbal) AS DOUBLE), 4) AS avg_acctbal
+    FROM (
+      SELECT 'customer' AS cohort, c_nationkey AS n_nationkey, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS cohort, s_nationkey AS n_nationkey, s_acctbal AS acctbal FROM supplier
+    ) u
+    GROUP BY cohort, n_nationkey
+    """,
+)
+def q_union_harmonized_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("cohort"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("cohort"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("cohort", "nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("acctbal").cast("double"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops: intersect / except on key sets (SURVEY §2.6 — available built-in).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_nation_keys",
+    """
+    SELECT 'both' AS which, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT DISTINCT c_nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS which, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT DISTINCT c_nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def q_set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    both = c.intersect(s).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("both").alias("which"), "n"
+    )
+    only = c.exceptAll(s).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("customer_only").alias("which"), "n"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Native rollup (A-ops "free" natives — SURVEY §2.4 last row).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice").cast("double"), 4).alias("sum_price"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "cube_orderstatus_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orderstatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice").cast("double"), 4).alias("sum_price"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates (A-ops natives).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_aggregates",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 window aggregate over partition (utils.scala:208-209) + ranking natives.
+# Deterministic: rank ordering tie-broken by unique o_orderkey.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_customer_order_rank",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(o_totalprice AS DOUBLE), 4) AS price,
+           CAST(rnk AS BIGINT) AS rnk,
+           ROUND(CAST(custkey_total AS DOUBLE), 4) AS custkey_total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             SUM(o_totalprice) OVER (PARTITION BY o_custkey) AS custkey_total
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def q_window_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wp = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("price"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.round(F.sum("o_totalprice").over(wp).cast("double"), 4).alias("custkey_total"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_lag_order_gap_days",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(AVG(gap_days) AS DOUBLE), 4) AS avg_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders) t
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def q_window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_days").cast("double"), 4).alias("avg_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (SURVEY §2.7): date parts, arithmetic, when-chains,
+# string functions. DuckDB regexp_replace needs the 'g' flag to match Spark.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_date_functions",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "scalar_when_chain_priority_score",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 3
+                         WHEN o_orderpriority = '2-HIGH' THEN 2
+                         WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                         ELSE 0 END) AS BIGINT) AS total_score,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_scalar_when_chain_priority_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    score = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 3)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(score).cast("long").alias("total_score"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "scalar_string_functions",
+    """
+    SELECT p_brand,
+           lower(regexp_replace(p_brand, '#', '_', 'g')) AS brand_norm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(length(p_name)) AS INT) AS min_name_len,
+           CAST(MAX(length(p_name)) AS INT) AS max_name_len,
+           CAST(COUNT(CASE WHEN contains(p_type, 'BRUSHED') THEN 1 END) AS BIGINT) AS n_brushed
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.length("p_name")).cast("int").alias("min_name_len"),
+            F.max(F.length("p_name")).cast("int").alias("max_name_len"),
+            F.count(F.when(F.col("p_type").contains("BRUSHED"), 1))
+            .cast("long")
+            .alias("n_brushed"),
+        )
+        .select(
+            "p_brand",
+            F.lower(F.regexp_replace(F.col("p_brand"), "#", "_")).alias("brand_norm"),
+            "n",
+            "min_name_len",
+            "max_name_len",
+            "n_brushed",
         )
     )
