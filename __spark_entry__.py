@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from azure_medicine_data_engineering_spark.queries import relational  # noqa: E402
+from azure_medicine_data_engineering_spark.queries import registry  # noqa: E402
+from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
+    events,
+    quality,
+    relational,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,10 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return relational.QUERIES
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted only for
     non-SQL-expressible ops; the driver then records a rows-only check)."""
-    return relational.ORACLES
+    return dict(registry.ORACLES)

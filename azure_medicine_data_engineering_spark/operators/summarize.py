@@ -42,6 +42,10 @@ AGG_FUNCTIONS: dict[str, Callable[[str], Column]] = {
     "count": lambda c: F.count(c),
     "avg": lambda c: F.avg(c),
     "mean": lambda c: F.avg(c),
+    # summation-order-stable mean for decimal(≤2) data: the inner round
+    # recovers the exact decimal sum, so the result is bit-identical across
+    # engines and partitionings (used by oracle-compared queries).
+    "avg_stable": lambda c: F.round(F.sum(c), 2) / F.count(c),
     # exact interpolated median (matches ANSI percentile_cont semantics);
     # replaces the reference's internal ApproximatePercentile construction
     # (``utils.scala:226-240``) — see also approx_median below for scale.
@@ -140,6 +144,7 @@ def categorized_summary_oracle_sql(
         "count": "COUNT({c})",
         "avg": "AVG({c})",
         "mean": "AVG({c})",
+        "avg_stable": "ROUND(SUM({c}), 2) / COUNT({c})",
         "median": "quantile_cont({c}, 0.5)",
         "stddev": "stddev_samp({c})",
         "stddev_pop": "stddev_pop({c})",

@@ -1,0 +1,158 @@
+"""Event-stream queries: tumbling/sliding/session windows, JSON extraction.
+
+The reference has no streaming surface (SURVEY §2.9); these are the engine's
+scale extensions over the driver's ``events`` table. Every query here is the
+BATCH expression of a streaming computation — ``streaming/windows.py`` runs
+the same logic incrementally via Structured Streaming (rows-only checked).
+
+Scale notes: windowed groupBy shuffles on (window, key) — at 100 TB the
+watermark + state-store path in the streaming twin bounds memory; the batch
+path relies on partial aggregation and AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from azure_medicine_data_engineering_spark.queries.registry import (
+    events_table,
+    register,
+)
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    """
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value
+    FROM starts
+    GROUP BY 1
+    """,
+)
+def q_events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h width, 30m slide): each event lands in 2 windows.
+    The oracle expands membership explicitly; Spark's ``window`` does the
+    same expansion inside the Expand operator."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — Spark's ``session_window``
+    native; oracle is the classic gaps-and-islands rewrite."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("events_in_session"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("events_in_session").cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           ROUND(CAST(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE), 4)
+             AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction (JVM-side
+    ``get_json_object`` — no UDF)."""
+    ev = events_table(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k).cast("double"), 4).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(k).cast("long").alias("n_with_k"),
+    )
+
+
+@register(
+    "events_user_activity_profile",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE), 4)
+             AS purchase_value,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_span_sec
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_events_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).cast("double"), 4
+        ).alias("purchase_value"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("active_span_sec"),
+    )

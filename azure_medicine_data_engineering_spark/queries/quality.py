@@ -1,0 +1,174 @@
+"""Quality / cleaning / metadata queries (SURVEY §2.2, §2.4 A7-A10, §5).
+
+These exercise the engine's clinical-pipeline operators on the driver's
+tables: the fused quality report, distributed null counts, boolean-casting
+null semantics, and the division-metadata lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.quality import (
+    RangeSpec,
+    null_counts,
+    quality_report,
+)
+from azure_medicine_data_engineering_spark.queries.registry import register, table as _t
+
+# ---------------------------------------------------------------------------
+# A8+A9+A10 fused quality report on lineitem (reference: one job per column,
+# utils.scala:121-152; here 2 scans total for any number of columns).
+# ---------------------------------------------------------------------------
+
+_RANGES = [
+    RangeSpec("l_quantity", 1, 50),
+    RangeSpec("l_discount", 0.0, 0.08),
+    RangeSpec("l_extendedprice", 0.0, 80000.0),
+    RangeSpec("l_tax", 0.0, 0.05),
+]
+_ZCOLS = ["l_extendedprice", "l_quantity"]
+_NULLCOLS = ["l_quantity", "l_discount", "l_shipdate"]
+
+
+@register(
+    "quality_report_lineitem",
+    """
+    WITH stats AS (
+      SELECT avg(l_extendedprice) AS m_p, stddev_pop(l_extendedprice) AS s_p,
+             avg(l_quantity) AS m_q, stddev_pop(l_quantity) AS s_q
+      FROM lineitem
+    ),
+    rep AS (
+      SELECT 'number of null values' AS description, 'l_quantity' AS columnName,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS number FROM lineitem
+      UNION ALL
+      SELECT 'number of null values', 'l_discount',
+             CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'number of null values', 'l_shipdate',
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'outside of the range', 'l_quantity',
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'outside of the range', 'l_discount',
+             CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'outside of the range', 'l_extendedprice',
+             CAST(SUM(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 80000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'outside of the range', 'l_tax',
+             CAST(SUM(CASE WHEN l_tax < 0.0 OR l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'oultlier number', 'l_extendedprice',
+             CAST((SELECT SUM(CASE WHEN abs((l_extendedprice - m_p) / s_p) > 3 THEN 1 ELSE 0 END)
+                   FROM lineitem, stats) AS BIGINT)
+      UNION ALL
+      SELECT 'oultlier number', 'l_quantity',
+             CAST((SELECT SUM(CASE WHEN abs((l_quantity - m_q) / s_q) > 3 THEN 1 ELSE 0 END)
+                   FROM lineitem, stats) AS BIGINT)
+    )
+    SELECT * FROM rep WHERE number > 0
+    """,
+)
+def q_quality_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_report(
+        _t(spark, sf_dir, "lineitem"),
+        null_cols=_NULLCOLS,
+        ranges=_RANGES,
+        zscore_cols=_ZCOLS,
+    )
+
+
+@register(
+    "null_counts_orders",
+    """
+    SELECT description, columnName, number FROM (
+      SELECT 'number of null values' AS description, 'o_custkey' AS columnName,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS number FROM orders
+      UNION ALL
+      SELECT 'number of null values', 'o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'number of null values', 'o_orderdate',
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    ) t
+    """,
+)
+def q_null_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed single-pass null counts (no collect) via stack."""
+    return null_counts(
+        _t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 + A7: boolean-from-string with NULL propagation, then countTrue.
+# The load-bearing semantics (SURVEY §7 hard-part 2): NULL→NULL (not false),
+# non-matching string→false; countTrue ignores NULLs. NULLs are synthesized
+# with nullif since the driver tables are complete.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boolean_cast_null_semantics",
+    """
+    SELECT
+      CAST(SUM(CAST(flag AS INTEGER)) AS BIGINT) AS count_true,
+      CAST(SUM(CASE WHEN flag = false THEN 1 ELSE 0 END) AS BIGINT) AS count_false,
+      CAST(SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS count_null,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT lower(nullif(o_orderstatus, 'P')) = 'f' AS flag FROM orders
+    ) t
+    """,
+)
+def q_boolean_cast_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.functions.casting import boolean_from_string
+
+    o = _t(spark, sf_dir, "orders")
+    flag = boolean_from_string(F.nullif(F.col("o_orderstatus"), F.lit("P")), "f")
+    return o.select(flag.alias("flag")).agg(
+        F.sum(F.col("flag").cast("int")).cast("long").alias("count_true"),
+        F.sum(F.when(F.col("flag") == False, 1).otherwise(0)).cast("long").alias("count_false"),  # noqa: E712
+        F.sum(F.when(F.col("flag").isNull(), 1).otherwise(0)).cast("long").alias("count_null"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P17 division-metadata lookup: division table → distinct column names via
+# explode (replaces the reference's collect-and-flatten, utils.scala:75-79).
+# ---------------------------------------------------------------------------
+
+_DIVISIONS = [
+    ("pricing", ["l_extendedprice", "l_discount", "l_tax"]),
+    ("logistics", ["l_quantity", "l_shipdate"]),
+    ("identity", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("flags", ["l_returnflag", "l_linestatus"]),
+]
+
+
+@register(
+    "division_column_lookup",
+    """
+    SELECT DISTINCT unnest(listOfColumnNames) AS columnName
+    FROM (VALUES
+      ('pricing', ['l_extendedprice', 'l_discount', 'l_tax']),
+      ('logistics', ['l_quantity', 'l_shipdate']),
+      ('identity', ['l_orderkey', 'l_partkey', 'l_suppkey']),
+      ('flags', ['l_returnflag', 'l_linestatus'])
+    ) AS t(divisionName, listOfColumnNames)
+    WHERE divisionName IN ('pricing', 'logistics')
+    """,
+)
+def q_division_column_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.operators.divisions import (
+        division_table,
+        get_columns_of_divisions_df,
+    )
+
+    div = division_table(spark, _DIVISIONS)
+    return get_columns_of_divisions_df(div, ["pricing", "logistics"])

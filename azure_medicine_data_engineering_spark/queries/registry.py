@@ -38,3 +38,20 @@ def register(name: str, oracle: str | None = None):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with its nanosecond-precision ``ts``.
+
+    Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL); read it as raw nanos via the legacy conf and
+    truncate to microseconds — exactly what DuckDB's µs-native timestamp does,
+    so both engines see identical values."""
+    ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )

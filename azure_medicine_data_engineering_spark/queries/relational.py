@@ -32,7 +32,7 @@ __all__ = ["QUERIES", "ORACLES"]
 # ---------------------------------------------------------------------------
 
 _CS_METRICS = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_discount", "disc")]
-_CS_AGGS = ["sum", "min", "max", "count", "avg", "median"]
+_CS_AGGS = ["sum", "min", "max", "count", "avg_stable", "median"]
 _CS_CATS = ["l_returnflag", "l_linestatus"]
 
 
@@ -59,9 +59,9 @@ def q_categorized_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
            ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
            ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
-           ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
-           ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_price,
-           ROUND(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_disc,
+           ROUND(CAST(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity) AS DOUBLE), 4) AS avg_qty,
+           ROUND(CAST(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+           ROUND(CAST(ROUND(SUM(l_discount), 2) / COUNT(l_discount) AS DOUBLE), 4) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -79,9 +79,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity").cast("double"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice").cast("double"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount").cast("double"), 4).alias("avg_disc"),
+            F.round((F.round(F.sum("l_quantity"), 2) / F.count("l_quantity")).cast("double"), 4).alias("avg_qty"),
+            F.round((F.round(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice")).cast("double"), 4).alias("avg_price"),
+            F.round((F.round(F.sum("l_discount"), 2) / F.count("l_discount")).cast("double"), 4).alias("avg_disc"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
     )
@@ -216,19 +216,19 @@ def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(CAST(a.avg_balance_customer AS DOUBLE), 4) AS avg_balance_customer,
            ROUND(CAST(b.avg_balance_supplier AS DOUBLE), 4) AS avg_balance_supplier,
            a.n_customer, b.n_supplier
-    FROM (SELECT AVG(c_acctbal) AS avg_balance_customer,
+    FROM (SELECT ROUND(SUM(c_acctbal), 2) / COUNT(c_acctbal) AS avg_balance_customer,
                  CAST(COUNT(*) AS BIGINT) AS n_customer FROM customer) a
-    CROSS JOIN (SELECT AVG(s_acctbal) AS avg_balance_supplier,
+    CROSS JOIN (SELECT ROUND(SUM(s_acctbal), 2) / COUNT(s_acctbal) AS avg_balance_supplier,
                        CAST(COUNT(*) AS BIGINT) AS n_supplier FROM supplier) b
     """,
 )
 def q_cross_join_cohort_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").agg(
-        F.avg("c_acctbal").alias("avg_balance_customer"),
+        (F.round(F.sum("c_acctbal"), 2) / F.count("c_acctbal")).alias("avg_balance_customer"),
         F.count(F.lit(1)).cast("long").alias("n_customer"),
     )
     s = _t(spark, sf_dir, "supplier").agg(
-        F.avg("s_acctbal").alias("avg_balance_supplier"),
+        (F.round(F.sum("s_acctbal"), 2) / F.count("s_acctbal")).alias("avg_balance_supplier"),
         F.count(F.lit(1)).cast("long").alias("n_supplier"),
     )
     return c.crossJoin(s).select(
@@ -250,7 +250,7 @@ def q_cross_join_cohort_aggregates(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT cohort, n_nationkey AS nationkey,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(AVG(acctbal) AS DOUBLE), 4) AS avg_acctbal
+           ROUND(CAST(ROUND(SUM(acctbal), 2) / COUNT(acctbal) AS DOUBLE), 4) AS avg_acctbal
     FROM (
       SELECT 'customer' AS cohort, c_nationkey AS n_nationkey, c_acctbal AS acctbal FROM customer
       UNION ALL
@@ -275,7 +275,7 @@ def q_union_harmonized_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "nationkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("acctbal").cast("double"), 4).alias("avg_acctbal"),
+            F.round((F.round(F.sum("acctbal"), 2) / F.count("acctbal")).cast("double"), 4).alias("avg_acctbal"),
         )
     )
 

@@ -1,0 +1,55 @@
+"""Quality-report tests with planted defects and exact expected counts
+(FIXTURES.md 'planted defects'; reference utils.scala:121-152)."""
+
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.quality import (
+    DESC_NULLS,
+    DESC_OUTLIER,
+    DESC_RANGE,
+    RangeSpec,
+    null_counts,
+    quality_report,
+)
+
+
+def _fixture(spark):
+    # 60 inliers ~ N(10, ~1), 2 planted far outliers, 3 NULLs, 2 out-of-range.
+    rows = [(float(10 + (i % 7) * 0.5), "k") for i in range(60)]
+    rows += [(500.0, "outlier"), (-400.0, "outlier")]   # |z| >> 3, also out of range
+    rows += [(None, "null")] * 3
+    rows += [(80.0, "range"), (-5.0, "range")]          # outside [0, 70], z modest
+    return spark.createDataFrame(rows, "suv double, tag string")
+
+
+def test_planted_defect_counts(spark):
+    df = _fixture(spark)
+    rep = quality_report(
+        df,
+        null_cols=["suv"],
+        ranges=[RangeSpec("suv", 0, 70)],
+        zscore_cols=["suv"],
+        keep_zero_rows=True,
+    )
+    got = {(r.description, r.columnName): r.number for r in rep.collect()}
+    assert got[(DESC_NULLS, "suv")] == 3
+    assert got[(DESC_RANGE, "suv")] == 4  # 500, -400, 80, -5
+    assert got[(DESC_OUTLIER, "suv")] == 2  # only the two planted extremes
+
+
+def test_zero_rows_filtered_by_default(spark):
+    df = _fixture(spark).where(F.col("suv").isNotNull())
+    rep = quality_report(df, null_cols=["suv"])
+    assert rep.count() == 0  # number=0 rows dropped (stydyGrB.scala:65)
+
+
+def test_null_counts_distributed(spark):
+    df = _fixture(spark)
+    out = {r.columnName: r.number for r in null_counts(df, ["suv", "tag"]).collect()}
+    assert out == {"suv": 3, "tag": 0}
+
+
+def test_degenerate_stddev_no_crash(spark):
+    df = spark.createDataFrame([(1.0,), (1.0,), (1.0,)], "x double")
+    rep = quality_report(df, zscore_cols=["x"], keep_zero_rows=True)
+    assert [(r.description, r.number) for r in rep.collect()] == [(DESC_OUTLIER, 0)]

@@ -1,0 +1,76 @@
+"""Categorized-summary semantics tests (reference utils.scala:183-220).
+Equality is set-of-rows keyed by (Division, DivisionCategory, aggregation)
+per SURVEY §7 hard-part 1."""
+
+import pytest
+
+from azure_medicine_data_engineering_spark.operators.summarize import (
+    categorized_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        ("a", "x", 1.0, 10.0),
+        ("a", "y", 2.0, 20.0),
+        ("b", "x", 3.0, 30.0),
+        ("b", "y", 4.0, None),
+    ]
+    return spark.createDataFrame(rows, "cat1 string, cat2 string, m1 double, m2 double")
+
+
+def _as_map(df):
+    return {
+        (r.Division, r.DivisionCategory, r.aggregation): tuple(r)[3:]
+        for r in df.collect()
+    }
+
+
+def test_all_and_per_category_rows(frame):
+    out = categorized_summary(
+        frame, [("m1", "m1"), ("m2", "m2")], ["sum", "count"], ["cat1", "cat2"]
+    )
+    got = _as_map(out)
+    # 2 cat1 values + 2 cat2 values + All = 5 groups × 2 aggs = 10 rows
+    assert len(got) == 10
+    assert got[("All", "All", "sum")] == (10.0, 60.0)
+    assert got[("cat1", "a", "sum")] == (3.0, 30.0)
+    assert got[("cat1", "b", "sum")] == (7.0, 30.0)   # NULL m2 ignored by sum
+    assert got[("cat2", "x", "count")] == (2.0, 2.0)
+    assert got[("cat1", "b", "count")] == (2.0, 1.0)  # count skips NULL
+
+
+def test_median_and_minmax(frame):
+    out = categorized_summary(frame, [("m1", "m1")], ["median", "min", "max"], ["cat1"])
+    got = _as_map(out)
+    assert got[("cat1", "a", "median")] == (1.5,)
+    assert got[("All", "All", "min")] == (1.0,)
+    assert got[("All", "All", "max")] == (4.0,)
+
+
+def test_count_true_boolean(spark):
+    df = spark.createDataFrame(
+        [(True, "a"), (False, "a"), (None, "a"), (True, "b")], "flag boolean, g string"
+    )
+    out = categorized_summary(df, [("flag", "flag")], ["countTrue"], ["g"])
+    got = _as_map(out)
+    # NULLs ignored (myCountTrues semantics, utils.scala:243)
+    assert got[("g", "a", "countTrue")] == (1.0,)
+    assert got[("g", "b", "countTrue")] == (1.0,)
+    assert got[("All", "All", "countTrue")] == (2.0,)
+
+
+def test_no_categories_grand_total_only(frame):
+    out = categorized_summary(frame, [("m1", "m1")], ["sum"], [])
+    got = _as_map(out)
+    assert got == {("All", "All", "sum"): (10.0,)}
+
+
+def test_single_shuffle_plan(frame):
+    """One Expand + one aggregate pipeline — not k×m unioned scans like the
+    reference; guard the plan shape."""
+    out = categorized_summary(frame, [("m1", "m1")], ["sum", "min"], ["cat1", "cat2"])
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("Expand") == 1
+    assert "Union" not in physical
