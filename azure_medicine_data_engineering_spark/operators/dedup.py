@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard (BASELINE.json scale extensions).
+
+Design: everything is hash-based column expressions (md5 → integer), JVM-side,
+so signatures are bit-identical across engines and partitionings — no UDFs,
+no RNG. At 100 TB:
+
+- exact dedup = one shuffle on the 128-bit fingerprint;
+- MinHash signatures are computed per-row (no shuffle), LSH banding turns the
+  O(n²) pair search into a groupBy on (band, band_signature) — candidates are
+  only verified inside buckets;
+- SimHash gives a per-row 60-bit sketch; near-dup = small Hamming distance,
+  searchable by banding the bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.text import normalized_text, tokens
+
+#: 60-bit hash from md5 hex (15 nibbles) — fits a signed 64-bit long and can
+#: be reproduced in any engine with md5 + hex parsing.
+def _hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-token shingles of the normalized text; empty array when the document
+    has fewer than ``n`` tokens."""
+    t = tokens(normalized_text(text))
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def _seeded_hash(seed: int):
+    """Factory for a 1-arg transform lambda (a 2-arg lambda would receive the
+    element *index* as its second argument — not a closure default)."""
+    prefix = f"{seed}|"
+    return lambda s: _hash60(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(text: Column, k: int = 8, shingle_n: int = 3) -> Column:
+    """k-element MinHash signature: sig_j = min over shingles of
+    hash60(j || '|' || shingle). NULL signature slot when no shingles."""
+    sh = word_shingles(text, shingle_n)
+    sig = [F.array_min(F.transform(sh, _seeded_hash(j))) for j in range(k)]
+    return F.array(*sig)
+
+
+def simhash60(text: Column) -> Column:
+    """60-bit SimHash over tokens: bit b is set iff the sum of ±1 votes
+    (token-hash bit b) is positive. Pure array aggregation — no shuffle."""
+    hs = F.transform(tokens(normalized_text(text)), _hash60)
+    # getbit/pow(2,b) instead of shift functions: Spark's shiftleft/shiftright
+    # only accept literal ints for the shift amount, not Columns. 2^b is exact
+    # in double for b <= 59, so the cast back to long is lossless.
+    votes = F.aggregate(
+        hs,
+        F.array(*[F.lit(0)] * 60).cast("array<int>"),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup groups by content fingerprint: (fingerprint, n_docs,
+    representative) with representative = min id. One shuffle."""
+    from azure_medicine_data_engineering_spark.operators.text import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (min id wins) — the scale-safe
+    exact dedup: shuffle on fingerprint, no sort."""
+    from pyspark.sql.window import Window
+    from azure_medicine_data_engineering_spark.operators.text import fingerprint
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k-signature into ``bands`` rows
+    of k/bands values; docs sharing any band bucket are candidates.
+    Plan: per-row signature (no shuffle) → explode bands (×bands) → shuffle
+    on (band, signature-slice) → per-bucket self-pairing. Never O(n²)."""
+    rows = k // bands
+    sig = minhash_signature(F.col(text_col), k, shingle_n)
+    banded = df.select(F.col(id_col), sig.alias("sig")).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                (
+                    F.size(F.array_intersect("a.sh", "b.sh"))
+                    / F.nullif(F.size(F.array_union("a.sh", "b.sh")), F.lit(0))
+                ).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )

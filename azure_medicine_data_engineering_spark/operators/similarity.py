@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, O(n) per query, fine for
+broadcast-sized query sets. Scale path: sign-grid LSH bucketing — a
+deterministic locality hash on the first ``b`` component signs turns the
+all-pairs search into a per-bucket search (recall is approximate by design).
+
+All arithmetic is JVM-side higher-order functions (zip_with/aggregate);
+no UDFs, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def as_double_array(c: Column) -> Column:
+    """float32 → float64 promotion so both engines compute in double."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def knn_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` (query_id, embedding) is broadcast; the corpus is scanned
+    once; per-query top-k via window rank with id tie-break. At 1000
+    executors this is the textbook brute-force ANN baseline: one pass,
+    no corpus shuffle — only the rank step shuffles (query_id, k) rows."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")))
+    sim = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine(as_double_array(F.col(vec_col)), as_double_array(F.col("_qvec"))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 12) -> Column:
+    """Deterministic LSH bucket: integer from the signs of the first ``bits``
+    components (component i contributes 2^i when positive)."""
+    # pow(2,i) instead of shiftleft: Spark's shift functions only accept
+    # literal ints for the amount; 2^i is exact in double for i <= 59.
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, 1, bits),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def bucketed_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-grid LSH: pairs are only
+    compared inside a bucket (shuffle on bucket key, never O(n²) global)."""
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine(
+                    as_double_array(F.col(f"a.{vec_col}")),
+                    as_double_array(F.col(f"b.{vec_col}")),
+                ).cast("double"),
+                4,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > threshold)
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json scale
+extensions; no counterpart in the reference — its text handling stops at
+label normalization, ``HypothesisTestingPrediction.scala:107-115``).
+
+All operators are pure Column expressions (JVM-side, whole-stage codegen;
+no UDFs): tokenization, token/char statistics, quality scoring, n-gram
+heuristic language ID, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker stopwords per language for the n-gram/stopword language heuristic.
+#: Deliberately tiny: the mechanism (per-language marker hit counts + fixed
+#: priority argmax) is the operator; swap in real lists for production.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "los", "que", "y"],
+    "fr": ["le", "les", "des", "et", "du", "une"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+#: English stopwords for the quality score's stopword-ratio component.
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: splits on whitespace AND on
+    letter/digit/punctuation boundaries (a cheap proxy for subword counts)."""
+    pieces = F.split(text, r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])")
+    return F.size(F.filter(pieces, lambda x: x != F.lit("")))
+
+
+def avg_token_length(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.nullif(F.size(t), F.lit(0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    t = tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in (stopwords or QUALITY_STOPWORDS)])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits / F.nullif(F.size(t), F.lit(0))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.nullif(F.length(text), F.lit(0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation + stopword
+    presence − punctuation excess. The formula is engine-defined; both the
+    Spark and oracle sides compute it identically."""
+    n = token_count(text)
+    len_component = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw_component = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 10.0, F.lit(1.0))
+    return 0.5 * len_component + 0.4 * sw_component - 0.1 * punct_penalty
+
+
+def marker_hits(text: Column, lang: str) -> Column:
+    t = tokens(F.lower(text))
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
+
+
+def predict_language(text: Column) -> Column:
+    """Stopword-count argmax with fixed priority order (en→es→fr→de→zh);
+    'und' when no marker hits at all."""
+    counts = {lang: marker_hits(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alphanumerics → space,
+    whitespace collapsed, trimmed."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9]+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics table (one pass, all codegen)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("int").alias("n_chars"),
+        token_count(t).cast("int").alias("n_tokens"),
+        F.round(avg_token_length(t).cast("double"), 4).alias("avg_token_len"),
+        F.round(stopword_ratio(t).cast("double"), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(t).cast("double"), 4).alias("punct_ratio"),
+        F.round(quality_score(t).cast("double"), 4).alias("quality"),
+    )

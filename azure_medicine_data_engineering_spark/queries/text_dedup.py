@@ -1,0 +1,293 @@
+"""Text-analysis / dedup / similarity queries over documents + embeddings —
+the LLM-training-data operator surface, oracle-checked bit-exactly (both
+engines compute identical md5-derived hashes and double arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators import dedup, similarity, text
+from azure_medicine_data_engineering_spark.queries.registry import register, table as _t
+
+# Shared oracle fragments ----------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array({t}, '\\s+'), x -> x <> '')"
+_NORM = "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'))"
+_HASH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _shingles_sql(t: str, n: int = 3) -> str:
+    toks = _TOKS.format(t=t)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(len({toks}) - {n - 1}), "
+        f"i -> array_to_string(({toks})[i + 1 : i + {n}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document text statistics (length, tokens, ratios, quality score).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len({_TOKS.format(t='text')}) AS n_tokens,
+             list_sum(list_transform({_TOKS.format(t='text')}, x -> length(x))) AS tok_chars,
+             len(list_filter({_TOKS.format(t='lower(text)')},
+                 x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+               AS sw_hits,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INT) AS n_chars,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(CAST(tok_chars / nullif(n_tokens, 0) AS DOUBLE), 4) AS avg_token_len,
+           ROUND(CAST(sw_hits / nullif(n_tokens, 0) AS DOUBLE), 4) AS stopword_ratio,
+           ROUND(CAST(punct_chars / nullif(n_chars, 0) AS DOUBLE), 4) AS punct_ratio,
+           ROUND(CAST(0.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * least(sw_hits / nullif(n_tokens, 0) * 5.0, 1.0)
+                 - 0.1 * least(punct_chars / nullif(n_chars, 0) * 10.0, 1.0) AS DOUBLE), 4)
+             AS quality
+    FROM base
+    """,
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic vs the stored label (confusion counts).
+# ---------------------------------------------------------------------------
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    toks = _TOKS.format(t="lower(text)")
+    return f"len(list_filter({toks}, x -> list_contains([{markers}], x)))"
+
+
+_LANGID_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in text.LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH hits AS (
+      SELECT lang,
+             {_lang_hits_sql('en')} AS c_en,
+             {_lang_hits_sql('es')} AS c_es,
+             {_lang_hits_sql('fr')} AS c_fr,
+             {_lang_hits_sql('de')} AS c_de,
+             {_lang_hits_sql('zh')} AS c_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang, {_LANGID_PRED} AS predicted
+      FROM (SELECT lang, c_en, c_es, c_fr, c_de, c_zh,
+                   greatest(c_en, c_es, c_fr, c_de, c_zh) AS best FROM hits) t
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.predict_language(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by content fingerprint (md5 of normalized text).
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = _NORM.format(t="text")
+
+
+@register(
+    "exact_dedup_groups",
+    f"""
+    SELECT md5({_NORM_TEXT}) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS representative
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (first two slots + shingle count — verifies the whole
+# shingle→hash→min pipeline bit-exactly).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(_NORM_TEXT)} AS shingles FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(shingles) AS INT) AS n_shingles,
+           list_min(list_transform(shingles, s -> {_HASH60.format(x="'0|' || s")})) AS sig0,
+           list_min(list_transform(shingles, s -> {_HASH60.format(x="'1|' || s")})) AS sig1
+    FROM sh
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(F.col("text"), k=2)
+    return docs.select(
+        "doc_id",
+        F.size(dedup.word_shingles(F.col("text"))).cast("int").alias("n_shingles"),
+        F.element_at(sig, 1).alias("sig0"),
+        F.element_at(sig, 2).alias("sig1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs + exact Jaccard verification.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_lsh_dedup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(_NORM_TEXT)} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, s -> {_HASH60.format(x="'0|' || s")})),
+              list_min(list_transform(shingles, s -> {_HASH60.format(x="'1|' || s")})),
+              list_min(list_transform(shingles, s -> {_HASH60.format(x="'2|' || s")})),
+              list_min(list_transform(shingles, s -> {_HASH60.format(x="'3|' || s")})),
+              list_min(list_transform(shingles, s -> {_HASH60.format(x="'4|' || s")})),
+              list_min(list_transform(shingles, s -> {_HASH60.format(x="'5|' || s")})),
+              list_min(list_transform(shingles, s -> {_HASH60.format(x="'6|' || s")})),
+              list_min(list_transform(shingles, s -> {_HASH60.format(x="'7|' || s")}))]
+               AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.band, sig[b.band * 2 + 1 : b.band * 2 + 2] AS bucket
+      FROM sig, (SELECT unnest(range(4)) AS band) b
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) /
+                 nullif(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)), 0)
+                 AS DOUBLE), 4) AS jaccard
+    FROM pairs p
+    JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) a ON p.id_a = a.doc_id
+    JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) b ON p.id_b = b.doc_id
+    """,
+)
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4)
+    return dedup.jaccard_pairs(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# SimHash sketches.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_sketches",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform({_TOKS.format(t=_NORM_TEXT)}, t -> {_HASH60.format(x='t')}) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(60),
+                b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def q_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash60(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (ANN baseline) + sign-grid LSH near-pairs.
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "embedding_knn_topk",
+    f"""
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(CAST({_COS} AS DOUBLE), 4) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                   ORDER BY ROUND(CAST({_COS} AS DOUBLE), 4) DESC,
+                                            b.vec_id) AS INT) AS rnk
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+    QUALIFY rnk <= 10
+    """,
+)
+def q_embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_lsh_near_pairs",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(12),
+                  i -> CASE WHEN embedding[i + 1] > 0
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(CAST({_COS} AS DOUBLE), 4) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(CAST({_COS} AS DOUBLE), 4) > 0.2
+    """,
+)
+def q_embedding_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bucketed_near_pairs(emb, threshold=0.2, bits=12)
