@@ -1,0 +1,192 @@
+"""Statistics layer (SURVEY §2.11) — the reference's R hypothesis-testing
+notebook re-expressed for Spark: permutation tests fan out per-hypothesis via
+``applyInPandas`` (the reference collects everything into a single R process,
+``Hypothesis testing R.r:354-359``); the tiny p-value-vector corrections (BH,
+SABHA) stay driver-side in numpy.
+
+No scipy in the runtime — hypergeometric/Fisher are computed from log-factorials.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+DEGENERATE_P = 2.0  # sentinel for untestable splits (myPermTest, R.r:400-401)
+
+
+def permutation_test_grouped(
+    df: DataFrame,
+    hypothesis_col: str,
+    metric_col: str,
+    group_col: str,
+    n_permutations: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-sample permutation test per hypothesis key, distributed.
+
+    Parity: ``myPermTest`` (``Hypothesis testing R.r:393-403``) — two-sided
+    p-value for the difference of means of ``metric_col`` split by boolean
+    ``group_col``, NA-filtered, sentinel 2.0 when a side is empty. The
+    reference runs each test single-node in R; here every hypothesis is an
+    ``applyInPandas`` group, so the fan-out parallelizes across executors.
+    The RNG is seeded per hypothesis key → deterministic at any parallelism.
+    """
+    out_schema = StructType(
+        [
+            StructField("hypothesis", StringType()),
+            StructField("n_a", LongType()),
+            StructField("n_b", LongType()),
+            StructField("observed_diff", DoubleType()),
+            StructField("p_value", DoubleType()),
+        ]
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        key = str(pdf[hypothesis_col].iloc[0])
+        # sort: group row order depends on partitioning; the resampling
+        # sequence must not
+        sub = pdf[[metric_col, group_col]].dropna().sort_values(
+            [group_col, metric_col], kind="stable"
+        )
+        a = sub.loc[sub[group_col] == True, metric_col].to_numpy(float)  # noqa: E712
+        b = sub.loc[sub[group_col] == False, metric_col].to_numpy(float)  # noqa: E712
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                [[key, len(a), len(b), float("nan"), DEGENERATE_P]],
+                columns=[f.name for f in out_schema.fields],
+            )
+        observed = a.mean() - b.mean()
+        pooled = np.concatenate([a, b])
+        # stable per-key seed (builtin hash() is salted per process)
+        import hashlib
+
+        key_hash = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed + key_hash)
+        count = 0
+        for _ in range(n_permutations):
+            rng.shuffle(pooled)
+            diff = pooled[: len(a)].mean() - pooled[len(a):].mean()
+            if abs(diff) >= abs(observed):
+                count += 1
+        p = (count + 1) / (n_permutations + 1)
+        return pd.DataFrame(
+            [[key, len(a), len(b), float(observed), float(p)]],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return (
+        df.select(
+            F.col(hypothesis_col), F.col(metric_col), F.col(group_col)
+        )
+        .groupBy(hypothesis_col)
+        .applyInPandas(run, out_schema)
+    )
+
+
+def bh_adjust(pvals: np.ndarray, alpha: float = 0.05) -> np.ndarray:
+    """Benjamini–Hochberg rejection mask (``BH_method``, R.r:288-291)."""
+    p = np.asarray(pvals, dtype=float)
+    n = len(p)
+    order = np.argsort(p, kind="stable")
+    ranked = p[order]
+    thresh = alpha * (np.arange(1, n + 1) / n)
+    below = ranked <= thresh
+    k = np.max(np.nonzero(below)[0]) + 1 if below.any() else 0
+    mask = np.zeros(n, dtype=bool)
+    mask[order[:k]] = True
+    return mask
+
+
+def sabha_qhat_block(
+    pvals: np.ndarray, blocks: np.ndarray, tau: float = 0.5, eps: float = 0.1
+) -> np.ndarray:
+    """Blockwise structure-adaptive null-proportion estimate q̂.
+
+    Simplified port of ``Solve_q_block`` (``Hypothesis testing R.r:166-213``,
+    Li & Barber 2019): per block, q̂ = censored fraction of p-values above τ,
+    clipped to [ε, 1]. The reference's ADMM refinement (its fallback solves
+    exactly this blockwise estimate) is intentionally omitted — p-value
+    vectors here are tiny and driver-side."""
+    p = np.asarray(pvals, float)
+    q = np.ones(len(p))
+    for b in np.unique(blocks):
+        m = blocks == b
+        frac = (p[m] > tau).mean() / (1 - tau)
+        q[m] = min(1.0, max(eps, frac))
+    return q
+
+
+def sabha_select(
+    pvals: np.ndarray,
+    qhat: np.ndarray,
+    alpha: float = 0.05,
+    tau: float = 0.5,
+) -> np.ndarray:
+    """SABHA selection (``SABHA_method``, R.r:300-305): BH on q̂-weighted
+    p-values, censored at τ."""
+    p = np.asarray(pvals, float)
+    n = len(p)
+    weighted = np.where(p > tau, np.inf, qhat * p)
+    order = np.argsort(weighted, kind="stable")
+    ranked = weighted[order]
+    thresh = alpha * (np.arange(1, n + 1) / n)
+    below = ranked <= thresh
+    k = np.max(np.nonzero(below)[0]) + 1 if below.any() else 0
+    mask = np.zeros(n, dtype=bool)
+    mask[order[:k]] = True
+    return mask
+
+
+def _log_comb(n: int, k: int) -> float:
+    return math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+
+
+def fisher_exact_2x2(a: int, b: int, c: int, d: int) -> float:
+    """Two-sided Fisher exact p-value (sum of hypergeometric tables with
+    probability ≤ observed). Parity: ``fisher.test`` usage at R.r:551-554.
+    Pure math.lgamma — no scipy."""
+    n = a + b + c + d
+    row1, col1 = a + b, a + c
+    lo, hi = max(0, row1 + col1 - n), min(row1, col1)
+
+    def log_pmf(k: int) -> float:
+        return (
+            _log_comb(col1, k)
+            + _log_comb(n - col1, row1 - k)
+            - _log_comb(n, row1)
+        )
+
+    obs = log_pmf(a)
+    total = 0.0
+    for k in range(lo, hi + 1):
+        lp = log_pmf(k)
+        if lp <= obs + 1e-7:
+            total += math.exp(lp)
+    return min(1.0, total)
+
+
+def roc_optimal_threshold(
+    scores: np.ndarray, labels: np.ndarray, fp_cost: float = 1.0, fn_cost: float = 1.0
+) -> tuple[float, float]:
+    """Equal-cost-optimal cutoff (``thres2``, R.r:566-574; README.md:464):
+    returns (threshold, total_cost_at_threshold) minimizing
+    fp_cost·FP + fn_cost·FN over candidate thresholds."""
+    s = np.asarray(scores, float)
+    y = np.asarray(labels).astype(bool)
+    candidates = np.unique(s)
+    best_t, best_cost = float(candidates[0]), float("inf")
+    for t in candidates:
+        pred = s >= t
+        fp = float(np.sum(pred & ~y))
+        fn = float(np.sum(~pred & y))
+        cost = fp_cost * fp + fn_cost * fn
+        if cost < best_cost:
+            best_cost, best_t = cost, float(t)
+    return best_t, best_cost

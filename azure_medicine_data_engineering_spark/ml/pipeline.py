@@ -1,0 +1,128 @@
+"""Classification pipeline (SURVEY §2.12 M1-M8).
+
+Parity with the reference's Azure ML + sklearn notebook (``AzureMl/mlB``;
+``README.md:494-724``): mean imputation (M1) → min-max scaling (M2) →
+decision tree (M5) → accuracy + ROC-AUC (M6), with grid search standing in
+for Bayesian hyperdrive (M7 — documented difference) and
+``featureImportances`` for the TabularExplainer (M8).
+
+The 70/30 split (M4) is HASH-based, not ``randomSplit``: randomSplit depends
+on partitioning, a deterministic hash of the row id does not — required for
+reproducible results on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TrainedModel:
+    model: object  # PipelineModel
+    metrics: dict[str, float]
+    feature_importances: dict[str, float]
+
+
+def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.7) -> tuple[DataFrame, DataFrame]:
+    """Deterministic split on a stable hash of the id column (M4)."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(100))
+    train = df.where(bucket < int(train_frac * 100))
+    test = df.where(bucket >= int(train_frac * 100))
+    return train, test
+
+
+def train_decision_tree(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_depth: int = 5,
+    min_instances_per_node: int = 7,
+    min_info_gain: float = 5e-5,
+    seed: int = 42,
+):
+    """Imputer(mean) → MinMaxScaler → DecisionTreeClassifier pipeline.
+    Hyperparameter defaults mirror the reference's best hyperdrive run
+    (max_depth 5, min_samples_split 7, min_impurity_decrease 5e-5,
+    README.md:718-724)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import Imputer, MinMaxScaler, VectorAssembler
+
+    imputed = [f"{c}__imp" for c in feature_cols]
+    stages = [
+        Imputer(strategy="mean", inputCols=feature_cols, outputCols=imputed),
+        VectorAssembler(inputCols=imputed, outputCol="features_raw"),
+        MinMaxScaler(inputCol="features_raw", outputCol="features"),
+        DecisionTreeClassifier(
+            labelCol=label_col,
+            featuresCol="features",
+            maxDepth=max_depth,
+            minInstancesPerNode=min_instances_per_node,
+            minInfoGain=min_info_gain,
+            seed=seed,
+        ),
+    ]
+    return Pipeline(stages=stages).fit(train)
+
+
+def evaluate(model, test: DataFrame, feature_cols: list[str], label_col: str) -> TrainedModel:
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    pred = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    ).evaluate(pred)
+    acc = MulticlassClassificationEvaluator(
+        labelCol=label_col, metricName="accuracy"
+    ).evaluate(pred)
+    tree = model.stages[-1]
+    importances = {
+        c: float(tree.featureImportances[i]) for i, c in enumerate(feature_cols)
+    }
+    return TrainedModel(
+        model=model,
+        metrics={"auc": float(auc), "accuracy": float(acc)},
+        feature_importances=importances,
+    )
+
+
+def grid_search_tree(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_depths: list[int] = (3, 5, 7),
+    seed: int = 42,
+):
+    """TrainValidationSplit over a small grid (M7 — grid, not Bayesian; the
+    reference used 50 Bayesian hyperdrive runs)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import Imputer, MinMaxScaler, VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    imputed = [f"{c}__imp" for c in feature_cols]
+    dt = DecisionTreeClassifier(labelCol=label_col, featuresCol="features", seed=seed)
+    pipe = Pipeline(
+        stages=[
+            Imputer(strategy="mean", inputCols=feature_cols, outputCols=imputed),
+            VectorAssembler(inputCols=imputed, outputCol="features_raw"),
+            MinMaxScaler(inputCol="features_raw", outputCol="features"),
+            dt,
+        ]
+    )
+    grid = ParamGridBuilder().addGrid(dt.maxDepth, list(max_depths)).build()
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol=label_col),
+        trainRatio=0.75,
+        seed=seed,
+    )
+    return tvs.fit(train)

@@ -1,0 +1,240 @@
+"""Statistics / mining / ML / streaming / multimodal queries (SURVEY §2.11,
+§2.12, §2.9 extension). FPGrowth gets a brute-force SQL oracle (the item
+vocabulary is 5 event types → 31 subsets enumerable); streaming twins share
+their batch queries' oracles; permutation tests and the ML pipeline are
+rows-only (non-SQL-expressible: seeded resampling, tree training).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.queries.registry import (
+    events_table,
+    register,
+    table as _t,
+)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _fpgrowth_oracle(min_support: float = 0.1, min_confidence: float = 0.6) -> str:
+    """Brute-force association rules in SQL: enumerate all 31 item subsets,
+    compute supports with list_has_all, derive single-consequent rules the
+    way FPGrowth does (minCount = ceil(minSupport·n), conf ≥ minConfidence)."""
+    subsets = []
+    for r in range(1, len(_EVENT_TYPES) + 1):
+        for combo in itertools.combinations(sorted(_EVENT_TYPES), r):
+            arr = ", ".join(f"'{c}'" for c in combo)
+            subsets.append(f"([{arr}])")
+    values = ",\n      ".join(subsets)
+    return f"""
+    WITH txn AS (
+      SELECT user_id, list_distinct(list(event_type)) AS items
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM txn),
+    subsets AS (SELECT * FROM (VALUES
+      {values}
+    ) s(items)),
+    supp AS (
+      SELECT s.items,
+             (SELECT COUNT(*) FROM txn t WHERE list_has_all(t.items, s.items)) AS freq
+      FROM subsets s
+    ),
+    rules AS (
+      SELECT i.items AS itemset, c.c AS consequent,
+             list_sort(list_filter(i.items, x -> x <> c.c)) AS antecedent,
+             i.freq AS freq_i
+      FROM supp i, (SELECT unnest(items) AS c FROM supp WHERE len(items) = 1) c(c)
+      WHERE len(i.items) >= 2 AND list_contains(i.items, c.c)
+    )
+    SELECT array_to_string(r.antecedent, ',') AS antecedent,
+           r.consequent,
+           ROUND(CAST(r.freq_i / tot.n AS DOUBLE), 4) AS support,
+           ROUND(CAST(r.freq_i / a.freq AS DOUBLE), 4) AS confidence,
+           ROUND(CAST((r.freq_i / a.freq) / (co.freq / tot.n) AS DOUBLE), 4) AS lift
+    FROM rules r
+    JOIN supp a ON list_sort(a.items) = r.antecedent
+    JOIN supp co ON co.items = [r.consequent]
+    CROSS JOIN tot
+    WHERE r.freq_i >= ceil({min_support} * tot.n)
+      AND a.freq >= ceil({min_support} * tot.n)
+      AND r.freq_i / a.freq >= {min_confidence}
+    """
+
+
+@register("fpgrowth_event_rules", _fpgrowth_oracle())
+def q_fpgrowth_event_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: association rules over per-user event-type baskets via distributed
+    FPGrowth (replaces the reference's single-node R apriori, R.r:502-528)."""
+    from azure_medicine_data_engineering_spark.functions.mining import association_rules
+
+    ev = events_table(spark, sf_dir)
+    txn = ev.groupBy("user_id").agg(F.collect_set("event_type").alias("items"))
+    return association_rules(txn, min_support=0.1, min_confidence=0.6, min_lift=None)
+
+
+@register("permutation_tests_by_event_type")  # rows-only: seeded resampling
+def q_permutation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: per-hypothesis two-sample permutation tests fanned out via
+    applyInPandas (hypothesis = event_type; groups = even/odd user)."""
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        permutation_test_grouped,
+    )
+
+    ev = events_table(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 2 == 0)
+    )
+    res = permutation_test_grouped(
+        ev, "event_type", "value", "grp", n_permutations=200, seed=42
+    )
+    return res.select(
+        "hypothesis",
+        "n_a",
+        "n_b",
+        F.round("observed_diff", 4).alias("observed_diff"),
+        F.round("p_value", 4).alias("p_value"),
+    )
+
+
+@register(
+    "fisher_exact_orders",
+    """
+    SELECT CAST(SUM(CASE WHEN flag_status AND flag_price THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN flag_status AND NOT flag_price THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN NOT flag_status AND flag_price THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN NOT flag_status AND NOT flag_price THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM (
+      SELECT o_orderstatus = 'F' AS flag_status,
+             o_totalprice > 150000 AS flag_price
+      FROM orders
+    ) t
+    """,
+)
+def q_fisher_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 cell counts: 2×2 contingency (status×price). The Fisher p-value
+    itself is computed driver-side (see tests/test_stats.py for the exact
+    p-value check); the oracle validates the distributed contingency build."""
+    o = _t(spark, sf_dir, "orders")
+    flag_status = (F.col("o_orderstatus") == "F")
+    flag_price = F.col("o_totalprice") > 150000
+    return o.select(flag_status.alias("s"), flag_price.alias("p")).agg(
+        F.sum(F.when(F.col("s") & F.col("p"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("s") & ~F.col("p"), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~F.col("s") & F.col("p"), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~F.col("s") & ~F.col("p"), 1).otherwise(0)).cast("long").alias("d"),
+    )
+
+
+@register("ml_decision_tree_orders")  # rows-only: tree training not SQL-expressible
+def q_ml_decision_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M8: impute→scale→decision-tree pipeline predicting order status 'F'
+    from price/date features; deterministic hash split."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        evaluate,
+        hash_split,
+        train_decision_tree,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.month("o_orderdate").cast("double").alias("order_month"),
+        F.length("o_orderpriority").cast("double").alias("priority_len"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("label"),
+    )
+    train, test = hash_split(o, "o_orderkey", 0.7)
+    features = ["price", "order_month", "priority_len"]
+    model = train_decision_tree(train, features, "label")
+    result = evaluate(model, test, features, "label")
+    return spark.createDataFrame(
+        [
+            (
+                train.count(),
+                test.count(),
+                round(result.metrics["accuracy"], 2),
+                round(result.metrics["auc"], 2),
+            )
+        ],
+        "n_train long, n_test long, accuracy double, auc double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins — share the batch queries' oracles (identical output).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.queries import events as _events_queries
+from azure_medicine_data_engineering_spark.queries.registry import ORACLES as _O
+
+
+@register("streaming_tumbling_hourly", _O["events_tumbling_hourly"])
+def q_streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_tumbling_hourly,
+    )
+
+    return streaming_tumbling_hourly(spark, sf_dir)
+
+
+@register("streaming_sessionization", _O["events_sessionization"])
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_session_windows,
+    )
+
+    return streaming_session_windows(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_dedup_within_watermark,
+    )
+
+    return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched decode (deterministic fake).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_metadata",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents)
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(16 AS INT) AS byte_len,
+           CAST(16 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 64 AS INT) AS width,
+           CAST(16 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 64 AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(16),
+                 i -> CAST(('0x' || substr(hex, i * 2 + 1, 2)) AS INT))) / (16 * 255.0)
+                 AS DOUBLE), 4) AS mean_intensity
+    FROM m
+    """,
+)
+def q_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column manufactured from document text (md5 bytes), then
+    decoded via mapInPandas with the deterministic fake codec — exercises the
+    real Arrow plumbing end-to-end with oracle-checkable output."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_fake_payload,
+        decode_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_payload(docs, "doc_id", "text")
+    return decode_media(media)

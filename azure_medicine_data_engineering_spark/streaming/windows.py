@@ -1,0 +1,103 @@
+"""Structured Streaming windows over the events table.
+
+The reference has no streaming surface (SURVEY §2.9); this module is the
+incremental twin of ``queries/events.py``: the same tumbling/sliding/session
+aggregations expressed as streams with watermarks, runnable to completion
+with the ``availableNow`` trigger so batch parity is testable.
+
+At scale: ``withWatermark`` bounds state; tumbling/sliding aggs keep one
+state row per (window, key); sessions merge state per key. The memory sink
+here is test plumbing — production sinks are kafka/delta via ``writeStream``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.session import ensure_utc
+
+_EVENT_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a bounded stream (nanos ts → microsecond timestamp,
+    same truncation as the batch reader)."""
+    ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream source requires a directory; select the single table file
+    # via glob filter
+    raw = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream into an in-memory table via availableNow and
+    return the materialized result."""
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of ``events_tumbling_hourly`` — identical output, so
+    it shares that query's DuckDB oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_to_memory(agg, "stream_tumbling_hourly")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental session windows (30-minute gap) per user; same output as
+    the batch ``events_sessionization`` (shares its oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("events_in_session"))
+    )
+    per_session = run_to_memory(sessions, "stream_sessions")
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("events_in_session").cast("long").alias("n_events"),
+    )
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream dedup on (user_id, event_type) —
+    ``dropDuplicatesWithinWatermark`` keeps first occurrence per key within
+    the watermark horizon. Bounded input + long watermark ⇒ equals global
+    first-per-key, giving it a SQL oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_to_memory(deduped, "stream_dedup", output_mode="append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_types")
+    )

@@ -1,0 +1,101 @@
+"""Statistics layer tests (SURVEY §2.11 R1-R6 parity behaviors)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.functions import stats
+
+
+def test_permutation_test_detects_difference(spark):
+    rows = [("h1", float(v), True) for v in range(20)]          # mean 9.5
+    rows += [("h1", float(v + 100), False) for v in range(20)]  # mean 109.5
+    rows += [("h2", float(v % 5), v % 2 == 0) for v in range(40)]  # no signal
+    df = spark.createDataFrame(rows, "hyp string, metric double, grp boolean")
+    res = {
+        r.hypothesis: r
+        for r in stats.permutation_test_grouped(
+            df, "hyp", "metric", "grp", n_permutations=500, seed=1
+        ).collect()
+    }
+    assert res["h1"].p_value < 0.01            # huge separation
+    assert res["h2"].p_value > 0.05            # null is true
+    assert res["h1"].observed_diff == -100.0
+
+
+def test_permutation_test_degenerate_sentinel(spark):
+    df = spark.createDataFrame(
+        [("h", 1.0, True), ("h", 2.0, True)], "hyp string, metric double, grp boolean"
+    )
+    row = stats.permutation_test_grouped(df, "hyp", "metric", "grp").collect()[0]
+    assert row.p_value == stats.DEGENERATE_P  # sentinel 2.0 (R.r:400-401)
+
+
+def test_permutation_test_deterministic(spark):
+    df = spark.createDataFrame(
+        [("h", float(i), i % 2 == 0) for i in range(30)],
+        "hyp string, metric double, grp boolean",
+    )
+    p1 = stats.permutation_test_grouped(df, "hyp", "metric", "grp", 300, 7).collect()[0].p_value
+    p2 = stats.permutation_test_grouped(df.repartition(7), "hyp", "metric", "grp", 300, 7).collect()[0].p_value
+    assert p1 == p2  # stable across partitionings (seeded per key)
+
+
+def test_bh_adjust_textbook():
+    # classic example: sorted p-values vs alpha*i/n
+    p = np.array([0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205])
+    # thresholds alpha*i/n = .00625,.0125,.01875,... → largest k with
+    # p_(k) <= thresh_k is k=2
+    mask = stats.bh_adjust(p, alpha=0.05)
+    assert mask.tolist() == [True, True, False, False, False, False, False, False]
+    # step-up property: a late small threshold pass rescues earlier ones
+    p2 = np.array([0.01, 0.02, 0.03, 0.04])
+    assert stats.bh_adjust(p2, alpha=0.05).all()
+
+
+def test_sabha_blockwise():
+    # block 0 is signal-rich (small p), block 1 is null-like (uniform)
+    p = np.array([0.001, 0.002, 0.003, 0.004, 0.6, 0.7, 0.8, 0.9])
+    blocks = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    q = stats.sabha_qhat_block(p, blocks, tau=0.5, eps=0.1)
+    assert np.all(q[:4] == 0.1)   # no censored p-values in block 0 → eps floor
+    assert np.all(q[4:] == 1.0)   # all censored in block 1 → capped at 1
+    sel = stats.sabha_select(p, q, alpha=0.05)
+    assert sel[:4].all() and not sel[4:].any()
+
+
+def test_fisher_exact_textbook():
+    # Agresti tea-tasting: [[3,1],[1,3]] → two-sided p ≈ 0.4857
+    p = stats.fisher_exact_2x2(3, 1, 1, 3)
+    assert math.isclose(p, 0.485714, abs_tol=1e-4)
+    # independence-ish table → p near 1
+    assert stats.fisher_exact_2x2(10, 10, 10, 10) == 1.0
+
+
+def test_roc_threshold_separable():
+    scores = np.array([0.1, 0.2, 0.3, 0.8, 0.9, 0.95])
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    t, cost = stats.roc_optimal_threshold(scores, labels)
+    assert 0.3 < t <= 0.8 and cost == 0.0
+
+
+def test_fpgrowth_rules(spark):
+    from azure_medicine_data_engineering_spark.functions.mining import (
+        association_rules,
+        frequent_itemsets,
+    )
+
+    txns = spark.createDataFrame(
+        [(i, ["a", "b", "c"] if i % 2 == 0 else ["a", "b"]) for i in range(10)],
+        "id int, items array<string>",
+    )
+    items = {r["items"]: r.freq for r in frequent_itemsets(txns, min_support=0.4).collect()}
+    assert items["a,b"] == 10 and items["a,b,c"] == 5
+    rules = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(txns, min_support=0.4, min_confidence=0.9, min_lift=None).collect()
+    }
+    assert rules[("a", "b")].confidence == 1.0
+    assert rules[("c", "a")].lift == 1.0  # a is universal
