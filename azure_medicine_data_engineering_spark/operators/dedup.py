@@ -26,6 +26,23 @@ def _hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+#: 32-bit base hash for MinHash permutations (one md5 per shingle; the k
+#: signature slots come from cheap universal-hash permutations of it).
+def _hash32(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+_MERSENNE31 = 2147483647  # 2^31 - 1
+#: fixed multiplier/offset pairs for (a·h + b) mod p permutations —
+#: deterministic across engines, a < 2^31 so a·h < 2^63 never overflows.
+_MINHASH_AB = [
+    (1000000007, 12345), (998244353, 67891), (774712353, 24680), (452930477, 13579),
+    (370248451, 97531), (611603069, 86420), (150094635, 11111), (506952355, 99991),
+    (1860700189, 40423), (1203793451, 55511), (695432161, 80808), (1522605229, 31317),
+    (913488131, 27271), (1751730773, 64646), (429496729, 50505), (1073741827, 73737),
+]
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-token shingles of the normalized text; empty array when the document
     has fewer than ``n`` tokens."""
@@ -37,19 +54,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
-def _seeded_hash(seed: int):
-    """Factory for a 1-arg transform lambda (a 2-arg lambda would receive the
+def _permuted_min(hashes: Column, j: int):
+    """min over shingle hashes of the j-th universal-hash permutation.
+    NOTE: transform lambdas must be 1-arg (a 2-arg lambda would receive the
     element *index* as its second argument — not a closure default)."""
-    prefix = f"{seed}|"
-    return lambda s: _hash60(F.concat(F.lit(prefix), s))
+    a, b = _MINHASH_AB[j]
+    return F.array_min(
+        F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE31))
+    )
 
 
 def minhash_signature(text: Column, k: int = 8, shingle_n: int = 3) -> Column:
-    """k-element MinHash signature: sig_j = min over shingles of
-    hash60(j || '|' || shingle). NULL signature slot when no shingles."""
-    sh = word_shingles(text, shingle_n)
-    sig = [F.array_min(F.transform(sh, _seeded_hash(j))) for j in range(k)]
-    return F.array(*sig)
+    """k-element MinHash signature: one md5 per shingle (hash32), then k
+    cheap (a·h + b) mod 2^31-1 permutations — the standard construction;
+    8-16× fewer md5 evaluations than per-seed hashing. NULL signature slot
+    when no shingles."""
+    if k > len(_MINHASH_AB):
+        raise ValueError(f"k up to {len(_MINHASH_AB)} supported")
+    hashes = F.transform(word_shingles(text, shingle_n), _hash32)
+    return F.array(*[_permuted_min(hashes, j) for j in range(k)])
 
 
 def simhash60(text: Column) -> Column:
@@ -125,8 +148,12 @@ def lsh_candidate_pairs(
     of k/bands values; docs sharing any band bucket are candidates.
     Plan: per-row signature (no shuffle) → explode bands (×bands) → shuffle
     on (band, signature-slice) → per-bucket self-pairing. Never O(n²)."""
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
     rows = k // bands
     sig = minhash_signature(F.col(text_col), k, shingle_n)
+    # hashing is CPU-bound per row: make sure a small scan doesn't serialize it
+    df = ensure_parallelism(df)
     banded = df.select(F.col(id_col), sig.alias("sig")).select(
         F.col(id_col),
         F.explode(
@@ -156,6 +183,75 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    cache: bool = True,
+) -> DataFrame:
+    """End-to-end near-dup report: MinHash → LSH candidates → exact Jaccard.
+
+    The shingle frame is computed ONCE and cached — banding and Jaccard
+    verification both reuse it (recomputing shingles per join side triples
+    the tokenization+md5 cost; at 100 TB the equivalent is materializing the
+    signature table before the self-join)."""
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    rows = k // bands
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    if cache:
+        sh = sh.persist()
+    hashes = F.transform(F.col("shingles"), _hash32)
+    sig = sh.select(
+        F.col(id_col),
+        F.array(*[_permuted_min(hashes, j) for j in range(k)]).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    dsh = sh.select(F.col(id_col), F.array_distinct("shingles").alias("dsh"))
+    return (
+        pairs.join(dsh.alias("a"), pairs.id_a == F.col(f"a.{id_col}"))
+        .join(dsh.alias("b"), pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                (
+                    F.size(F.array_intersect("a.dsh", "b.dsh"))
+                    / F.nullif(F.size(F.array_union("a.dsh", "b.dsh")), F.lit(0))
+                ).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -164,6 +260,9 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity."""
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )

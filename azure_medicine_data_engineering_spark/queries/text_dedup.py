@@ -16,6 +16,14 @@ from azure_medicine_data_engineering_spark.queries.registry import register, tab
 _TOKS = "list_filter(regexp_split_to_array({t}, '\\s+'), x -> x <> '')"
 _NORM = "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'))"
 _HASH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_HASH32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _minhash_slot_sql(hashes: str, j: int) -> str:
+    """j-th MinHash slot from the shared permutation constants (kept in
+    operators.dedup so the Spark and oracle sides cannot drift)."""
+    a, b = dedup._MINHASH_AB[j]
+    return f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {dedup._MERSENNE31}))"
 
 
 def _shingles_sql(t: str, n: int = 3) -> str:
@@ -147,12 +155,17 @@ def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS (
       SELECT doc_id, {_shingles_sql(_NORM_TEXT)} AS shingles FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(shingles) AS n_shingles,
+             list_transform(shingles, s -> {_HASH32.format(x='s')}) AS hashes
+      FROM sh
     )
     SELECT doc_id,
-           CAST(len(shingles) AS INT) AS n_shingles,
-           list_min(list_transform(shingles, s -> {_HASH60.format(x="'0|' || s")})) AS sig0,
-           list_min(list_transform(shingles, s -> {_HASH60.format(x="'1|' || s")})) AS sig1
-    FROM sh
+           CAST(n_shingles AS INT) AS n_shingles,
+           {_minhash_slot_sql('hashes', 0)} AS sig0,
+           {_minhash_slot_sql('hashes', 1)} AS sig1
+    FROM h
     """,
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,18 +190,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id, {_shingles_sql(_NORM_TEXT)} AS shingles FROM documents
     ),
+    hh AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_HASH32.format(x='s')}) AS hashes
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id, shingles,
-             [list_min(list_transform(shingles, s -> {_HASH60.format(x="'0|' || s")})),
-              list_min(list_transform(shingles, s -> {_HASH60.format(x="'1|' || s")})),
-              list_min(list_transform(shingles, s -> {_HASH60.format(x="'2|' || s")})),
-              list_min(list_transform(shingles, s -> {_HASH60.format(x="'3|' || s")})),
-              list_min(list_transform(shingles, s -> {_HASH60.format(x="'4|' || s")})),
-              list_min(list_transform(shingles, s -> {_HASH60.format(x="'5|' || s")})),
-              list_min(list_transform(shingles, s -> {_HASH60.format(x="'6|' || s")})),
-              list_min(list_transform(shingles, s -> {_HASH60.format(x="'7|' || s")}))]
-               AS sig
-      FROM sh
+             [{', '.join(_minhash_slot_sql('hashes', j) for j in range(8))}] AS sig
+      FROM hh
     ),
     banded AS (
       SELECT doc_id, b.band, sig[b.band * 2 + 1 : b.band * 2 + 2] AS bucket
@@ -210,8 +220,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4)
-    return dedup.jaccard_pairs(docs, pairs)
+    return dedup.minhash_dedup_pairs(docs, k=8, bands=4)
 
 
 # ---------------------------------------------------------------------------

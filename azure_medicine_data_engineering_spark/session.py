@@ -47,6 +47,17 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df, min_fraction: float = 0.5):
+    """Repartition a DataFrame whose partition count is far below the
+    cluster's core count — e.g. a small/single-file scan feeding a
+    CPU-heavy per-row expression (hashing, decoding). At scale the scan
+    already has enough splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
 def ensure_utc(spark: SparkSession) -> SparkSession:
     """Pin the session timezone to UTC so timestamp arithmetic (windows,
     ``date_trunc``, ``hour``) is deterministic and oracle-comparable."""

@@ -44,8 +44,19 @@ def main() -> None:
     spark = get_spark(
         "amde-bench",
         master=f"local[{CPUS}]",
-        conf={"spark.sql.shuffle.partitions": CPUS, "spark.ui.enabled": "false"},
+        conf={
+            "spark.sql.shuffle.partitions": CPUS,
+            "spark.ui.enabled": "false",
+            # local-bench split sizing: test files are tens of MB, so the
+            # 128 MiB cluster default would scan on 1-3 cores; smaller splits
+            # restore parallelism without changing cluster defaults.
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
     )
+    # JVM/codegen warm-up so the first timed query isn't charged for JIT
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
 
