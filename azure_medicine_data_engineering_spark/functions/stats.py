@@ -172,6 +172,63 @@ def fisher_exact_2x2(a: int, b: int, c: int, d: int) -> float:
     return min(1.0, total)
 
 
+def permanova(
+    dist: np.ndarray, groups: np.ndarray, n_permutations: int = 999, seed: int = 42
+) -> tuple[float, float]:
+    """PERMANOVA pseudo-F + permutation p-value on a distance matrix
+    (parity: ``myPermanova`` / vegan ``adonis`` with perm=999,
+    ``Hypothesis testing R.r:375-388``; the reference notes the analysis was
+    attempted but excluded from results, ``README.md:438``).
+
+    Anderson (2001): F = (SS_between/(g-1)) / (SS_within/(n-g)), with sums of
+    squares derived from pairwise distances; group labels are permuted."""
+    d2 = np.asarray(dist, float) ** 2
+    g_labels = np.asarray(groups)
+    n = len(g_labels)
+    uniq = np.unique(g_labels)
+    g = len(uniq)
+    if g < 2 or n <= g:
+        return float("nan"), DEGENERATE_P
+
+    ss_total = d2[np.triu_indices(n, 1)].sum() / n
+
+    def ss_within(labels) -> float:
+        total = 0.0
+        for u in uniq:
+            idx = np.nonzero(labels == u)[0]
+            if len(idx) > 1:
+                sub = d2[np.ix_(idx, idx)]
+                total += sub[np.triu_indices(len(idx), 1)].sum() / len(idx)
+        return total
+
+    def pseudo_f(labels) -> float:
+        w = ss_within(labels)
+        a = ss_total - w
+        return (a / (g - 1)) / (w / (n - g))
+
+    observed = pseudo_f(g_labels)
+    rng = np.random.default_rng(seed)
+    perm = g_labels.copy()
+    count = 0
+    for _ in range(n_permutations):
+        rng.shuffle(perm)
+        if pseudo_f(perm) >= observed:
+            count += 1
+    return float(observed), (count + 1) / (n_permutations + 1)
+
+
+def jaccard_distance_matrix(X: np.ndarray) -> np.ndarray:
+    """Pairwise Jaccard distances over a boolean matrix (rows = samples) —
+    the reference's ``vegdist(method="jaccard")`` input to PERMANOVA."""
+    B = np.asarray(X, bool)
+    inter = B @ B.T
+    row = B.sum(axis=1)
+    union = row[:, None] + row[None, :] - inter
+    with np.errstate(invalid="ignore"):
+        sim = np.where(union > 0, inter / union, 1.0)
+    return 1.0 - sim
+
+
 def roc_optimal_threshold(
     scores: np.ndarray, labels: np.ndarray, fp_cost: float = 1.0, fn_cost: float = 1.0
 ) -> tuple[float, float]:

@@ -115,6 +115,35 @@ def quality_report(
     return spark.createDataFrame(records, REPORT_SCHEMA)
 
 
+@dataclass
+class TemporalRule:
+    """Derived month-interval constraint: ``months_between(later, earlier)``
+    must lie in [lo, hi] (parity: surgery-after-birth / study-after-surgery
+    checks, ``stydyGrB.scala:44-47``, ``contrGrB.scala:26-29``; intervals
+    constrained to [0, 2000] months)."""
+
+    name: str
+    later: str
+    earlier: str
+    lo: float = 0.0
+    hi: float = 2000.0
+
+
+def temporal_sanity_report(df: DataFrame, rules: list[TemporalRule]) -> DataFrame:
+    """One-pass temporal-sanity violations as report triples: for each rule,
+    count rows whose derived month interval falls outside [lo, hi]."""
+    spark = df.sparkSession
+    aggs = []
+    for r in rules:
+        months = F.months_between(F.col(f"`{r.later}`"), F.col(f"`{r.earlier}`"))
+        aggs.append(
+            F.count(F.when((months < r.lo) | (months > r.hi), 1)).alias(r.name)
+        )
+    row = df.agg(*aggs).collect()[0].asDict()
+    records = [(DESC_RANGE, r.name, int(row[r.name])) for r in rules]
+    return spark.createDataFrame(records, REPORT_SCHEMA)
+
+
 def null_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Single-pass per-column null counts as a LONG report (A8), fully
     distributed (no collect): one agg row unpivoted via stack."""

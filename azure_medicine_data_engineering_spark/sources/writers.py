@@ -16,8 +16,12 @@ from pyspark.sql import DataFrame
 
 
 def _delta_available(df: DataFrame) -> bool:
+    # Class.forName, not attribute probing: py4j returns a lazy JavaPackage
+    # for any dotted path, so `_jvm.io.delta...` never raises on its own.
     try:
-        df.sparkSession._jvm.io.delta.tables.DeltaTable  # type: ignore[union-attr]
+        df.sparkSession._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "io.delta.tables.DeltaTable"
+        )
         return True
     except Exception:
         return False

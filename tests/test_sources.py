@@ -1,0 +1,82 @@
+"""Source/sink tests (SURVEY §2.1): CSV roundtrip with inference, pinned
+schemas, single-file export, managed tables + metadata catalog."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.sources import (
+    create_table_with_meta,
+    read_csv,
+    read_meta,
+    save_table,
+    write_single_csv,
+)
+from azure_medicine_data_engineering_spark.operators.quality import (
+    TemporalRule,
+    temporal_sanity_report,
+)
+
+
+def test_csv_roundtrip_with_inference(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, x double"
+    )
+    path = str(tmp_path / "csvout")
+    write_single_csv(df, path)
+    # exactly one part file (S6 coalesce(1) semantics)
+    parts = glob.glob(os.path.join(path, "part-*"))
+    assert len(parts) == 1
+    back = read_csv(spark, path)
+    assert back.count() == 2
+    assert dict(back.dtypes) == {"id": "int", "name": "string", "x": "double"}
+    # pinned-schema read skips inference
+    pinned = read_csv(spark, path, schema="id long, name string, x double", infer_schema=False)
+    assert dict(pinned.dtypes)["id"] == "bigint"
+
+
+def test_catalog_registration(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id int, v string")
+    create_table_with_meta(df, "t_cat_test", "demo table", catalog_table="meta_test")
+    create_table_with_meta(df, "t_cat_test2", "second table", catalog_table="meta_test")
+    meta = read_meta(spark, "meta_test")
+    rows = {r.tableName: r.tableDescription for r in meta.collect()}
+    assert rows == {"t_cat_test": "demo table", "t_cat_test2": "second table"}
+    assert spark.read.table("t_cat_test").count() == 1
+    # re-publish updates the description; read_meta dedups to latest
+    create_table_with_meta(df, "t_cat_test", "demo table v2", catalog_table="meta_test")
+    rows = {r.tableName: r.tableDescription for r in read_meta(spark, "meta_test").collect()}
+    assert rows["t_cat_test"] == "demo table v2"
+    for t in ("t_cat_test", "t_cat_test2", "meta_test"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_save_table_partitioned(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "id int, part string, v double"
+    )
+    save_table(df, "t_part_test", partition_by=["part"])
+    back = spark.read.table("t_part_test")
+    assert back.count() == 3
+    # partition pruning: filter on the partition column prunes to one dir
+    plan = back.where(F.col("part") == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    spark.sql("DROP TABLE IF EXISTS t_part_test")
+
+
+def test_temporal_sanity_months_between(spark):
+    rows = [
+        ("2014-01-10", "2015-01-15"),   # ok: ~12 months
+        ("2015-06-01", "2015-01-01"),   # violation: exam before surgery
+        ("1800-01-01", "2015-01-01"),   # violation: > 2000 months
+        (None, "2015-01-01"),           # NULL → not counted
+    ]
+    df = spark.createDataFrame(rows, "surgery string, exam string").select(
+        F.to_date("surgery").alias("surgery"), F.to_date("exam").alias("exam")
+    )
+    rep = temporal_sanity_report(
+        df, [TemporalRule("exam_after_surgery", later="exam", earlier="surgery")]
+    )
+    assert rep.collect()[0].number == 2

@@ -99,3 +99,25 @@ def test_fpgrowth_rules(spark):
     }
     assert rules[("a", "b")].confidence == 1.0
     assert rules[("c", "a")].lift == 1.0  # a is universal
+
+
+def test_permanova_separated_groups():
+    # two tight, well-separated boolean clusters → significant
+    X = np.array([[1, 1, 1, 0, 0, 0]] * 6 + [[0, 0, 0, 1, 1, 1]] * 6)
+    # tiny perturbations so distances aren't all identical
+    X[1, 0] = 0
+    X[7, 3] = 0
+    groups = np.array([0] * 6 + [1] * 6)
+    d = stats.jaccard_distance_matrix(X)
+    f, p = stats.permanova(d, groups, n_permutations=499, seed=9)
+    assert f > 3 and p < 0.01
+    # random labels → not significant
+    rng = np.random.default_rng(0)
+    f2, p2 = stats.permanova(d, rng.permutation(groups), n_permutations=499, seed=9)
+    assert p2 > 0.05
+
+
+def test_permanova_degenerate():
+    d = np.zeros((3, 3))
+    f, p = stats.permanova(d, np.array([0, 0, 0]))
+    assert p == stats.DEGENERATE_P
