@@ -26,6 +26,7 @@ from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     events,
     quality,
     relational,
+    relational2,
     sql_surface,
     stats_ml,
     text_dedup,

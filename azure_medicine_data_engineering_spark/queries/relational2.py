@@ -1,0 +1,215 @@
+"""Second relational batch: TPC-H-shaped queries exercising pushdown-heavy
+scans and fact-to-fact joins, plus winnowing document fingerprints and the
+stateful-streaming operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.queries.registry import register, table as _t
+
+
+@register(
+    "forecast_revenue_filter",
+    """
+    SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 4) AS revenue_effect,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate — every predicate reaches the
+    parquet scan (PushedFilters), no shuffle beyond the 2-stage agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")).cast("double"), 4)
+            .alias("revenue_effect"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey,
+           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-to-fact join (orders⋈lineitem shuffles on
+    orderkey) with a selective dimension filter + top-k."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact scan + broadcast dimension chain with a region
+    filter that prunes the broadcast side before it ships."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (document fingerprinting via rolling windows of
+# char-n-gram hashes — Schleimer et al.'s winnowing scheme).
+# ---------------------------------------------------------------------------
+
+_GRAM = 8   # char n-gram width
+_WIN = 4    # winnowing window (min hash per window survives)
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN length(nt) >= {_GRAM} THEN
+               list_transform(range(length(nt) - {_GRAM - 1}),
+                              i -> CAST(('0x' || substr(md5(substr(nt, i + 1, {_GRAM})), 1, 8)) AS BIGINT))
+             ELSE [] END AS hs
+      FROM norm
+    ),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {_WIN} THEN
+               list_distinct(list_transform(range(len(hs) - {_WIN - 1}),
+                             i -> list_min(hs[i + 1 : i + {_WIN}])))
+             ELSE list_distinct(hs) END AS fp
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(fp) AS INT) AS n_fingerprints,
+           list_min(fp) AS min_fp,
+           list_max(fp) AS max_fp
+    FROM fps
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.operators.text import normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = normalized_text(F.col("text"))
+    hs = F.when(
+        F.length(nt) >= _GRAM,
+        F.transform(
+            F.sequence(F.lit(0), F.length(nt) - _GRAM),
+            lambda i: F.conv(
+                F.substring(F.md5(nt.substr(i + 1, F.lit(_GRAM))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fp = F.when(
+        F.size(hs) >= _WIN,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(hs) - _WIN),
+                lambda i: F.array_min(F.slice(hs, i + 1, _WIN)),
+            )
+        ),
+    ).otherwise(F.array_distinct(hs))
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("int").alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fp"),
+        F.array_max(fp).alias("max_fp"),
+    )
+
+
+@register(
+    "stateful_user_profiles",
+    """
+    WITH gaps AS (
+      SELECT user_id, value,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                       ts) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_sec
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profile. On bounded input it equals the batch gaps-and-aggregates answer
+    (the oracle); on an unbounded stream the same state machine keeps
+    incrementally updating."""
+    from azure_medicine_data_engineering_spark.streaming.stateful import (
+        streaming_user_profiles,
+    )
+
+    return streaming_user_profiles(spark, sf_dir)

@@ -33,6 +33,10 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "embedding_knn_topk",
     "text_quality_scores",
+    "forecast_revenue_filter",
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "winnowing_fingerprints",
 ]
 
 

@@ -1,0 +1,63 @@
+"""Physical-plan guards: the properties that make these operators scale must
+survive refactors — broadcast joins for dims, pushdown, no single-partition
+exchanges, pruned scans. (Audit tool: tools/explain_audit.py.)"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_star_join_broadcasts_dims(spark, queries):
+    plan = plan_of(queries["join_star_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact side
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    plan = plan_of(queries["pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, queries):
+    plan = plan_of(queries["scalar_when_chain_priority_score"](spark, SF))
+    # reads exactly the one column it needs
+    assert "ReadSchema: struct<o_orderpriority:string>" in plan
+
+
+def test_no_single_partition_exchange(spark, queries):
+    for name in (
+        "categorized_summary",
+        "quality_report_lineitem",
+        "window_customer_order_rank",
+        "events_tumbling_hourly",
+    ):
+        plan = plan_of(queries[name](spark, SF))
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark, queries):
+    plan = plan_of(queries["top_customers_by_spend"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no full sort
+
+
+def test_lsh_join_is_hash_not_nested_loop(spark, queries):
+    plan = plan_of(queries["minhash_lsh_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

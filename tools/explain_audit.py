@@ -1,0 +1,70 @@
+"""Plan-quality audit: runs .explain("formatted") over the registered queries
+and reports physical-plan health — filter pushdown, column pruning (ReadSchema
+width), broadcast vs sort-merge joins, exchange (shuffle) counts, and any
+single-partition exchanges or cartesian products on non-aggregated inputs.
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> dict:
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "single_partition": len(re.findall(r"Exchange SinglePartition", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "nested_loop": len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "read_cols": [
+            len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        ],
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from azure_medicine_data_engineering_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("explain-audit", master="local[8]", conf={"spark.ui.enabled": "false"})
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception as e:
+            print(f"{name}: BUILD ERROR {e}")
+            continue
+        info = audit(name, plan_of(df))
+        flags = []
+        if info["single_partition"]:
+            flags.append(f"!! {info['single_partition']} single-partition exchange")
+        if info["nested_loop"]:
+            flags.append(f"?? {info['nested_loop']} nested-loop/cartesian")
+        print(f"{name}: {info} {' '.join(flags)}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
