@@ -156,32 +156,42 @@ _WIN = 4    # winnowing window (min hash per window survives)
 )
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_medicine_data_engineering_spark.operators.text import normalized_text
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
-    nt = normalized_text(F.col("text"))
+    # char-gram hashing is CPU-bound per row; a single-file scan must not
+    # serialize it
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # materialize each stage: referencing the nested expressions directly
+    # re-evaluates the whole subtree per array element / per reference
+    # (normalized_text would be regex-evaluated once per gram) — cache the
+    # hash array so windowing runs over a computed column
+    nt_col = F.col("nt")
+    base = docs.select("doc_id", normalized_text(F.col("text")).alias("nt"))
     hs = F.when(
-        F.length(nt) >= _GRAM,
+        F.length(nt_col) >= _GRAM,
         F.transform(
-            F.sequence(F.lit(0), F.length(nt) - _GRAM),
+            F.sequence(F.lit(0), F.length(nt_col) - _GRAM),
             lambda i: F.conv(
-                F.substring(F.md5(nt.substr(i + 1, F.lit(_GRAM))), 1, 8), 16, 10
+                F.substring(F.md5(nt_col.substr(i + 1, F.lit(_GRAM))), 1, 8), 16, 10
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
+    grams = base.select("doc_id", hs.alias("hs")).persist()
+    hs_col = F.col("hs")
     fp = F.when(
-        F.size(hs) >= _WIN,
+        F.size(hs_col) >= _WIN,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(hs) - _WIN),
-                lambda i: F.array_min(F.slice(hs, i + 1, _WIN)),
+                F.sequence(F.lit(0), F.size(hs_col) - _WIN),
+                lambda i: F.array_min(F.slice(hs_col, i + 1, _WIN)),
             )
         ),
-    ).otherwise(F.array_distinct(hs))
-    return docs.select(
+    ).otherwise(F.array_distinct(hs_col))
+    return grams.select("doc_id", fp.alias("fp")).select(
         "doc_id",
-        F.size(fp).cast("int").alias("n_fingerprints"),
-        F.array_min(fp).alias("min_fp"),
-        F.array_max(fp).alias("max_fp"),
+        F.size("fp").cast("int").alias("n_fingerprints"),
+        F.array_min("fp").alias("min_fp"),
+        F.array_max("fp").alias("max_fp"),
     )
 
 

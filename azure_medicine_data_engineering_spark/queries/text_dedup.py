@@ -169,7 +169,9 @@ def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     sig = dedup.minhash_signature(F.col("text"), k=2)
     return docs.select(
         "doc_id",
@@ -244,7 +246,9 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", dedup.simhash60(F.col("text")).alias("simhash"))
 
 

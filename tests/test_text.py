@@ -1,0 +1,34 @@
+"""Text-operator unit tests (token counting, quality components, langid)."""
+
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators import text
+
+
+def _one(spark, s, col):
+    return spark.createDataFrame([(s,)], "t string").select(col(F.col("t")).alias("v")).collect()[0].v
+
+
+def test_token_counts(spark):
+    assert _one(spark, "one two  three", text.token_count) == 3
+    assert _one(spark, "   ", text.token_count) == 0
+    # BPE-ish: splits word/digit boundaries and punctuation
+    assert _one(spark, "abc123 def!", text.bpe_ish_token_count) == 4  # abc,123,def,!
+
+
+def test_quality_components(spark):
+    assert _one(spark, "a b", text.avg_token_length) == 1.0
+    assert _one(spark, "the cat", text.stopword_ratio) == 0.5
+    assert abs(_one(spark, "ab!?", text.punct_ratio) - 0.5) < 1e-9
+
+
+def test_langid_markers(spark):
+    assert _one(spark, "the cat is in the house", text.predict_language) == "en"
+    assert _one(spark, "el que la de los y", text.predict_language) == "es"
+    assert _one(spark, "xyzzy qwerty", text.predict_language) == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello,  WORLD!", text.fingerprint)
+    b = _one(spark, "hello world", text.fingerprint)
+    assert a == b  # normalization collapses case/punct/whitespace
