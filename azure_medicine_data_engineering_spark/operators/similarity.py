@@ -76,6 +76,107 @@ def knn_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: centroid j = element-wise mean of
+    vectors with ``id % n_clusters == j`` (id-seeded partition — one k-means
+    "assignment-free" step; swap in trained centroids for production).
+    Components are rounded so both engines assign from identical doubles.
+
+    Plan: posexplode → groupBy (cluster, dim) partial+final avg → rebuild
+    ordered arrays. Centroid table is tiny (k rows) — broadcast downstream."""
+    exploded = df.select(
+        (F.col(id_col) % n_clusters).alias("cluster"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "v"),
+    )
+    return (
+        exploded.groupBy("cluster", "dim")
+        .agg(F.round(F.avg("v"), round_digits).alias("c"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (tie-break on the
+    lower cluster id). Centroids are broadcast; one pass over the corpus."""
+    from pyspark.sql.window import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cluster"),
+        F.round(
+            cosine(as_double_array(F.col(vec_col)), F.col("centroid")).cast("double"), 6
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cluster"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+
+
+def ivf_knn_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN: queries only search their own coarse cluster
+    (nprobe=1). Recall is approximate by design; at scale the corpus is
+    pre-partitioned by cluster so each query touches 1/k of the data."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(df, n_clusters, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    queries = assigned.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("cluster").alias("_qcluster"),
+    )
+    sim = (
+        assigned.join(
+            F.broadcast(queries),
+            (F.col("cluster") == F.col("_qcluster"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine(as_double_array(F.col(vec_col)), as_double_array(F.col("_qvec"))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 12) -> Column:
     """Deterministic LSH bucket: integer from the signs of the first ``bits``
     components (component i contributes 2^i when positive)."""

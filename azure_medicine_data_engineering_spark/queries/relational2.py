@@ -223,3 +223,33 @@ def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_user_profiles(spark, sf_dir)
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) — wide-by-category counts, the MaterialEtcPerGender
+    shape (dataSummaries1.scala:144-171) as a native pivot. Explicit value
+    list: at scale an unbounded pivot needs a distinct-values pass first."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("long").alias("F"),
+            F.col("O").cast("long").alias("O"),
+            F.col("P").cast("long").alias("P"),
+        )
+    )

@@ -304,3 +304,51 @@ def q_embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.bucketed_near_pairs(emb, threshold=0.2, bits=12)
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (the coarse-quantizer scale path; nprobe=1).
+# ---------------------------------------------------------------------------
+
+_COS_AB = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "embedding_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cluster),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cluster,
+             ROUND(CAST({_COS_AB.format(a='e.v', b='c.centroid')} AS DOUBLE), 6) AS c_sim
+      FROM e, carr c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cluster) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qc FROM assigned WHERE vec_id < 5)
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                         b.vec_id) AS INT) AS rnk
+    FROM assigned b JOIN q ON b.cluster = q.qc AND b.vec_id <> q.query_id
+    QUALIFY rnk <= 10
+    """,
+)
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: queries search only their own cluster —
+    at 100 TB the corpus is pre-partitioned by cluster so a query touches
+    1/k of the data (vs the exact brute-force baseline embedding_knn_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8)

@@ -32,3 +32,19 @@ def test_fingerprint_normalization(spark):
     a = _one(spark, "Hello,  WORLD!", text.fingerprint)
     b = _one(spark, "hello world", text.fingerprint)
     assert a == b  # normalization collapses case/punct/whitespace
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """Sketch aggregates (HLL distinct, approx percentile) land within
+    their documented error bounds of the exact answers."""
+    df = spark.range(10000).select(
+        (F.col("id") % 3777).alias("k"), F.col("id").cast("double").alias("x")
+    )
+    row = df.agg(
+        F.approx_count_distinct("k").alias("acd"),
+        F.countDistinct("k").alias("cd"),
+        F.percentile_approx("x", 0.5).alias("ap"),
+        F.expr("percentile(x, 0.5)").alias("p"),
+    ).collect()[0]
+    assert abs(row.acd - row.cd) / row.cd < 0.15   # ~3x HLL default rsd
+    assert abs(row.ap - row.p) / row.p < 0.01
