@@ -156,3 +156,76 @@ def q_events_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("active_span_sec"),
     )
+
+
+@register(
+    "asof_join_purchase_to_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS ts_r, event_id AS event_id_r FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.value, c.ts_r, c.event_id_r,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_r DESC, c.event_id_r DESC) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts_r <= p.ts
+       AND c.ts_r >= p.ts - INTERVAL '30 minutes'
+    )
+    SELECT event_id AS purchase_id, user_id,
+           ROUND(CAST(value AS DOUBLE), 4) AS purchase_value,
+           event_id_r AS click_id,
+           CAST(date_diff('second', ts_r, (SELECT ts FROM events e WHERE e.event_id = j.event_id)) AS BIGINT)
+             AS seconds_since_click
+    FROM j WHERE rn = 1
+    """,
+)
+def q_asof_join_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator family — composition of existing ops):
+    each purchase attributed to the user's latest click within 30 minutes."""
+    from azure_medicine_data_engineering_spark.operators.asof import asof_join
+
+    ev = events_table(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", window_seconds=1800,
+        left_id="event_id", tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.round(F.col("value").cast("double"), 4).alias("purchase_value"),
+        F.col("event_id_r").alias("click_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).cast("long").alias("seconds_since_click"),
+    )
+
+
+@register(
+    "interval_join_click_purchase_counts",
+    """
+    SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.cts <= p.ts
+     AND c.cts >= p.ts - INTERVAL '30 minutes'
+    GROUP BY p.user_id
+    """,
+)
+def q_interval_join_click_purchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: all click→purchase pairs within a 30-minute
+    band, counted per user."""
+    from azure_medicine_data_engineering_spark.operators.asof import interval_join
+
+    ev = events_table(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(purchases, clicks, on="user_id", window_seconds=1800)
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed_pairs")
+    )

@@ -238,3 +238,12 @@ def q_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_fake_payload(docs, "doc_id", "text")
     return decode_media(media)
+
+
+@register("streaming_interval_join", _O["interval_join_click_purchase_counts"])
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_interval_join_counts,
+    )
+
+    return streaming_interval_join_counts(spark, sf_dir)

@@ -101,3 +101,33 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_types")
     )
+
+
+def streaming_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks ⋈ purchases within 30 minutes per
+    user) with watermarks on both sides — the state-bounded streaming twin of
+    the batch interval join; per-user counts aggregated from the drained
+    pair stream (same oracle)."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id")
+    drained = run_to_memory(pairs, "stream_interval_pairs", output_mode="append")
+    return drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed_pairs")
+    )
