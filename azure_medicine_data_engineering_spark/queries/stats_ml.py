@@ -247,3 +247,12 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_interval_join_counts(spark, sf_dir)
+
+
+@register("streaming_sliding_1h_30m", _O["events_sliding_1h_30m"])
+def q_streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_sliding_1h_30m,
+    )
+
+    return streaming_sliding_1h_30m(spark, sf_dir)

@@ -131,3 +131,18 @@ def streaming_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return drained.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_attributed_pairs")
     )
+
+
+def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of ``events_sliding_1h_30m`` (1h window, 30m slide)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    return run_to_memory(agg, "stream_sliding_1h_30m")

@@ -53,3 +53,17 @@ def test_degenerate_stddev_no_crash(spark):
     df = spark.createDataFrame([(1.0,), (1.0,), (1.0,)], "x double")
     rep = quality_report(df, zscore_cols=["x"], keep_zero_rows=True)
     assert [(r.description, r.number) for r in rep.collect()] == [(DESC_OUTLIER, 0)]
+
+
+def test_quality_report_empty_frame(spark):
+    df = spark.createDataFrame([], "x double")
+    rep = quality_report(
+        df, null_cols=["x"], ranges=[RangeSpec("x", 0, 1)], zscore_cols=["x"],
+        keep_zero_rows=True,
+    )
+    got = {(r.description, r.columnName): r.number for r in rep.collect()}
+    assert got == {
+        (DESC_NULLS, "x"): 0,
+        (DESC_RANGE, "x"): 0,
+        (DESC_OUTLIER, "x"): 0,
+    }

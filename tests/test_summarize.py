@@ -74,3 +74,25 @@ def test_single_shuffle_plan(frame):
     physical = out._jdf.queryExecution().executedPlan().toString()
     assert physical.count("Expand") == 1
     assert "Union" not in physical
+
+
+def test_null_category_values(spark):
+    """NULL category values form their own DivisionCategory=NULL group (SQL
+    GROUP BY semantics), distinct from the 'All' pseudo-category."""
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), (None, 3.0)], "cat string, m double"
+    )
+    out = categorized_summary(df, [("m", "m")], ["sum", "count"], ["cat"])
+    got = {(r.Division, r.DivisionCategory, r.aggregation): r.m for r in out.collect()}
+    assert got[("cat", None, "sum")] == 5.0
+    assert got[("cat", "a", "sum")] == 1.0
+    assert got[("All", "All", "sum")] == 6.0
+
+
+def test_empty_input(spark):
+    """GROUPING SETS over empty input yields ZERO rows — including the ()
+    grand-total set (Spark and DuckDB agree). This differs from a bare
+    ``df.agg(...)`` which yields one row; documented operator contract."""
+    df = spark.createDataFrame([], "cat string, m double")
+    out = categorized_summary(df, [("m", "m")], ["sum", "count"], ["cat"])
+    assert out.count() == 0
