@@ -34,15 +34,11 @@ from azure_medicine_data_engineering_spark.queries.registry import (
     """,
 )
 def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_table(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        tumbling_hourly_agg,
     )
+
+    return tumbling_hourly_agg(events_table(spark, sf_dir))
 
 
 @register(
@@ -64,15 +60,11 @@ def q_events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1h width, 30m slide): each event lands in 2 windows.
     The oracle expands membership explicitly; Spark's ``window`` does the
     same expansion inside the Expand operator."""
-    ev = events_table(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        sliding_1h_30m_agg,
     )
+
+    return sliding_1h_30m_agg(events_table(spark, sf_dir))
 
 
 @register(
@@ -95,16 +87,12 @@ def q_events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) per user — Spark's ``session_window``
     native; oracle is the classic gaps-and-islands rewrite."""
-    ev = events_table(spark, sf_dir)
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
-        .agg(F.count(F.lit(1)).cast("long").alias("events_in_session"))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.sum("events_in_session").cast("long").alias("n_events"),
-        )
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        session_30m_agg,
+        sessions_per_user,
     )
+
+    return sessions_per_user(session_30m_agg(events_table(spark, sf_dir)))
 
 
 @register(

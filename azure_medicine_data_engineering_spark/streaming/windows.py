@@ -39,7 +39,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into an in-memory table via availableNow and
-    return the materialized result."""
+    return the materialized result.
+
+    NOTE on output modes: this PARITY HARNESS defaults to ``complete`` for
+    windowed aggregations because ``append`` would withhold the windows still
+    inside the watermark horizon at end-of-stream (breaking equality with the
+    batch twin). Complete mode retains all window state, so it is a
+    bounded-input testing device only — a production unbounded deployment
+    uses ``update``/``append`` with a real sink, where the watermark actually
+    evicts state."""
     spark = stream_df.sparkSession
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -55,35 +63,28 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "com
 
 
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental twin of ``events_tumbling_hourly`` — identical output, so
-    it shares that query's DuckDB oracle."""
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    """Incremental twin of ``events_tumbling_hourly`` — the SAME aggregation
+    builder as the batch query (identical by construction), so it shares that
+    query's DuckDB oracle."""
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        tumbling_hourly_agg,
     )
-    return run_to_memory(agg, "stream_tumbling_hourly")
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return run_to_memory(tumbling_hourly_agg(ev), "stream_tumbling_hourly")
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental session windows (30-minute gap) per user; same output as
     the batch ``events_sessionization`` (shares its oracle)."""
-    ev = read_events_stream(spark, sf_dir)
-    sessions = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
-        .agg(F.count(F.lit(1)).cast("long").alias("events_in_session"))
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        session_30m_agg,
+        sessions_per_user,
     )
-    per_session = run_to_memory(sessions, "stream_sessions")
-    return per_session.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sessions"),
-        F.sum("events_in_session").cast("long").alias("n_events"),
-    )
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    per_session = run_to_memory(session_30m_agg(ev), "stream_sessions")
+    return sessions_per_user(per_session)
 
 
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,15 +135,11 @@ def streaming_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental twin of ``events_sliding_1h_30m`` (1h window, 30m slide)."""
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    """Incremental twin of ``events_sliding_1h_30m`` — same builder as the
+    batch query."""
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        sliding_1h_30m_agg,
     )
-    return run_to_memory(agg, "stream_sliding_1h_30m")
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return run_to_memory(sliding_1h_30m_agg(ev), "stream_sliding_1h_30m")

@@ -90,9 +90,12 @@ def test_null_category_values(spark):
 
 
 def test_empty_input(spark):
-    """GROUPING SETS over empty input yields ZERO rows — including the ()
-    grand-total set (Spark and DuckDB agree). This differs from a bare
-    ``df.agg(...)`` which yields one row; documented operator contract."""
+    """Spark's GROUPING SETS over empty input yields ZERO rows — including
+    the () grand-total set. DuckDB's GROUPING SETS (and the UNION-of-
+    aggregates oracle formulation) instead produce one grand-total row, as
+    does a bare ``df.agg(...)``. Documented operator contract + known oracle
+    divergence: oracle-compared summary queries must not run on inputs that
+    can be empty (the driver tables never are)."""
     df = spark.createDataFrame([], "cat string, m double")
     out = categorized_summary(df, [("m", "m")], ["sum", "count"], ["cat"])
     assert out.count() == 0
