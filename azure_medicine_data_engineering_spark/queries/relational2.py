@@ -253,3 +253,127 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("P").cast("long").alias("P"),
         )
     )
+
+
+@register(
+    "orders_per_customer_distribution",
+    """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY n_orders
+    """,
+)
+def q_orders_per_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    two-level aggregation (count per customer -> histogram)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    SELECT p.p_partkey, p.p_brand,
+           ROUND(CAST(t.min_bal AS DOUBLE), 4) AS cheapest_balance,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers
+    FROM part p
+    JOIN (
+      SELECT l.l_partkey, MIN(s.s_acctbal) AS min_bal, COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY l.l_partkey
+    ) t ON t.l_partkey = p.p_partkey
+    WHERE p.p_size > 45
+    """,
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum (the correlated-subquery pattern
+    decorrelated into an aggregate + join — what Catalyst does to Q2)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") > 45)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.min("s_acctbal").alias("min_bal"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+    return p.join(per_part, per_part.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("min_bal").cast("double"), 4).alias("cheapest_balance"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+    )
+
+
+@register(
+    "large_orders_in_subquery",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 4) AS total_price
+    FROM orders o
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    """,
+)
+def q_large_orders_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING — expressed as an aggregate
+    + left-semi join (the decorrelated plan Catalyst produces for IN)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("double"), 4).alias("total_price"),
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+)
+def q_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated sides (nations present in either
+    cohort), with COALESCE key/metric reconciliation."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.nk == s.nk, "full_outer").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).cast("long").alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).cast("long").alias("n_suppliers"),
+    )

@@ -1,0 +1,122 @@
+"""10× scale-up stress run: replicates the sf0.1 tables in-memory (key-offset
+copies — no writes to the read-only testdata) and runs the heavy operator
+families, verifying they complete and reporting wall-clock scaling vs sf0.1.
+
+This is the local stand-in for the 100 TB question: operators whose cost
+grows linearly with rows (and whose shuffles stay key-partitioned) should
+scale ~10× in work on 32 fixed cores; anything super-linear or state-unsafe
+shows up immediately.
+
+Usage: python tools/stress.py [replication_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+
+def replicate(df, key_cols: dict[str, int], n: int):
+    """n key-offset copies: each copy shifts the listed key columns by
+    copy_index * offset so keys stay unique/consistent across copies."""
+    rep = df.crossJoin(F.broadcast(
+        df.sparkSession.range(n).select(F.col("id").alias("__copy"))
+    ))
+    for col, offset in key_cols.items():
+        rep = rep.withColumn(col, F.col(col) + F.col("__copy") * F.lit(offset))
+    return rep.drop("__copy")
+
+
+def main() -> None:
+    from azure_medicine_data_engineering_spark.session import get_spark
+    from azure_medicine_data_engineering_spark.operators.summarize import categorized_summary
+    from azure_medicine_data_engineering_spark.operators.quality import RangeSpec, quality_report
+    from azure_medicine_data_engineering_spark.operators import dedup
+
+    spark = get_spark(
+        "amde-stress",
+        master="local[32]",
+        conf={
+            "spark.sql.shuffle.partitions": "64",
+            "spark.ui.enabled": "false",
+            "spark.sql.files.maxPartitionBytes": "8m",
+        },
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        {"l_orderkey": 10_000_000}, REPL,
+    )
+    orders = replicate(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        {"o_orderkey": 10_000_000, "o_custkey": 1_000_000}, REPL,
+    )
+    customer = replicate(
+        spark.read.parquet(f"{SF_DIR}/customer.parquet"),
+        {"c_custkey": 1_000_000}, REPL,
+    )
+    docs = replicate(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), {"doc_id": 1_000_000}, REPL
+    )
+
+    timings: dict[str, float] = {}
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 2)
+
+    n_li = li.count()
+    run(
+        "categorized_summary",
+        categorized_summary(
+            li,
+            [("l_quantity", "qty"), ("l_extendedprice", "price")],
+            ["sum", "min", "max", "count", "avg_stable", "median"],
+            ["l_returnflag", "l_linestatus"],
+        ),
+    )
+    run(
+        "join_agg",
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")),
+    )
+    t0 = time.time()
+    rep = quality_report(
+        li,
+        null_cols=["l_quantity", "l_discount"],
+        ranges=[RangeSpec("l_quantity", 1, 50), RangeSpec("l_discount", 0, 0.08)],
+        zscore_cols=["l_extendedprice"],
+    )
+    rep.collect()
+    timings["quality_report"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_pairs = dedup.minhash_dedup_pairs(docs, k=8, bands=4).count()
+    timings["minhash_lsh_dedup"] = round(time.time() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "replication": REPL,
+                "lineitem_rows": n_li,
+                "minhash_candidate_pairs": n_pairs,
+                "timings_sec": timings,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
