@@ -5,6 +5,8 @@ stateful-streaming operator.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -376,4 +378,135 @@ def q_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(c.nk, s.nk).alias("nationkey"),
         F.coalesce(F.col("n_customers"), F.lit(0)).cast("long").alias("n_customers"),
         F.coalesce(F.col("n_suppliers"), F.lit(0)).cast("long").alias("n_suppliers"),
+    )
+
+
+@register(
+    "pandas_udf_embedding_norms",
+    """
+    SELECT vec_id,
+           ROUND(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS DOUBLE), 4) AS l2_norm,
+           ROUND(CAST(embedding[1] / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                           CAST(embedding AS DOUBLE[]))) AS DOUBLE), 4)
+             AS first_component_normalized
+    FROM embeddings
+    """,
+)
+def q_pandas_udf_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas_udf (Arrow-batched numpy) — the sanctioned UDF path
+    when built-ins can't express the kernel (SURVEY §2.10). Here the kernel
+    is numpy L2 norms over the embedding batch; results match the pure-SQL
+    oracle because both compute the same double arithmetic."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # ragged-safe: per-row dot product (embeddings are fixed 64-dim, but
+        # don't assume); float32 promoted to float64 before squaring
+        return vecs.map(lambda v: float(np.sqrt(np.dot(np.asarray(v, "float64"),
+                                                       np.asarray(v, "float64")))))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding").cast("double"), 4).alias("l2_norm"),
+        F.round(
+            (F.element_at("embedding", 1).cast("double") / l2_norm("embedding")).cast("double"), 4
+        ).alias("first_component_normalized"),
+    )
+
+
+@register(
+    "returned_item_revenue_topk",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", n.n_name.alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "shipmode_priority_matrix",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts by priority class after a
+    pushed-down date filter."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT ROUND(CAST(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                  / SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share with LIKE-prefix predicate
+    (part side broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round((100.0 * F.sum(promo) / F.sum(disc)).cast("double"), 4).alias("promo_pct"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
     )
