@@ -510,3 +510,64 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixed-table predicate — Catalyst pushes
+    the single-table conjuncts below the join and keeps the residual OR."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4)
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "idle_rich_customers_by_prefix",
+    """
+    WITH threshold AS (
+      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substr(c.c_name, 10, 1) AS name_digit,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(c.c_acctbal) AS DOUBLE), 4) AS total_balance
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q_idle_rich_customers_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row frame) +
+    anti join + substring grouping."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thr = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = c.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    idle_rich = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle_rich.groupBy(F.substring("c_name", 10, 1).alias("name_digit"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal").cast("double"), 4).alias("total_balance"),
+        )
+    )

@@ -256,3 +256,58 @@ def q_streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_sliding_1h_30m(spark, sf_dir)
+
+
+@register(
+    "grouped_zscore_normalize",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(CAST((e.value - s.m) / s.sd AS DOUBLE), 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+)
+def q_grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas as a TRANSFORM (U4 family): per-event-type
+    z-score normalization computed inside each pandas group. The oracle is
+    the window/join formulation — numpy and SQL agree on the double math.
+
+    Scale note: the built-in window/join form is preferred in production
+    (codegen, no Python); this query exists to verify the Arrow grouped-map
+    path end-to-end."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def normalize(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf["value"].to_numpy("float64")
+        m = v.mean()
+        sd = float(np.sqrt(((v - m) ** 2).mean()))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": ((pdf["value"] - m) / sd).round(4),
+            }
+        )
+
+    ev = events_table(spark, sf_dir).select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(normalize, schema)
