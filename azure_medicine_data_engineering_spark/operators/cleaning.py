@@ -91,3 +91,22 @@ class CleaningSpec:
 
 def clean(df: DataFrame, spec: CleaningSpec) -> DataFrame:
     return spec.apply(df)
+
+
+def dedupe_columns(df: DataFrame) -> DataFrame:
+    """Auto-suffix duplicate column names with their ordinal position.
+
+    Parity: the reference's ingest produces duplicate headers that Databricks
+    auto-suffixes by position (e.g. two ``tętniak rzekomy`` columns become
+    ``…57`` and ``…102`` — ``studyGrScalaA.scala:37-38``). Spark refuses to
+    select ambiguous names, so repair happens positionally: every duplicate
+    occurrence (beyond the first) gets its 0-based ordinal appended."""
+    seen: dict[str, int] = {}
+    names: list[str] = []
+    for i, c in enumerate(df.columns):
+        if c in seen:
+            names.append(f"{c}{i}")
+        else:
+            seen[c] = i
+            names.append(c)
+    return df.toDF(*names)

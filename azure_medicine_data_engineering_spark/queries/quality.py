@@ -172,3 +172,42 @@ def q_division_column_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     div = division_table(spark, _DIVISIONS)
     return get_columns_of_divisions_df(div, ["pricing", "logistics"])
+
+
+@register(
+    "profile_orders_table",
+    """
+    SELECT 'o_orderstatus' AS columnName, 'string' AS dataType,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'double',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiling (describe-as-an-operator): nulls,
+    exact distinct counts, min/max — a single fused aggregation for any
+    number of columns."""
+    from azure_medicine_data_engineering_spark.operators.profile import profile
+
+    return profile(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_totalprice", "o_custkey"]
+    )

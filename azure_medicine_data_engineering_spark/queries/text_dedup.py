@@ -352,3 +352,53 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/k of the data (vs the exact brute-force baseline embedding_knn_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_knn_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): table function expanding each document into
+# its leading tokens via LATERAL join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_leading_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    expanded AS (
+      SELECT doc_id,
+             unnest(list_transform(range(least(5, len(tk))),
+                    i -> {'token': tk[i + 1], 'pos': i})) AS s
+      FROM toks
+    )
+    SELECT doc_id, s.token AS token, CAST(s.pos AS INT) AS pos FROM expanded
+    """,
+)
+def q_udtf_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) exploding each document into its first 5
+    tokens via LATERAL — the row-generating UDF surface. Production note:
+    posexplode(slice(split(...))) expresses the same thing JVM-side; the UDTF
+    exists to verify the arbitrary-row-generator path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class LeadingTokens:
+        def eval(self, text_value: str, k: int):
+            if text_value:
+                emitted = 0
+                for t in text_value.split():
+                    if not t:
+                        continue
+                    if emitted >= k:
+                        break
+                    yield t, emitted
+                    emitted += 1
+
+    spark.udtf.register("amde_leading_tokens", LeadingTokens)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM docs_udtf_v d, LATERAL amde_leading_tokens(d.text, 5) t"
+    )

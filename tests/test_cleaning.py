@@ -81,3 +81,14 @@ def test_single_projection_plan(spark):
     withColumn chain — plan-shape guard for 100-column tables."""
     plan = _clean(spark)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Project") <= 1
+
+
+def test_dedupe_duplicate_headers(spark):
+    """Duplicate headers auto-suffixed by ordinal (studyGrScalaA.scala:37-38
+    pattern: 'tętniak rzekomy' at positions 57 and 102)."""
+    from azure_medicine_data_engineering_spark.operators.cleaning import dedupe_columns
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "b", "a", "b"])
+    out = dedupe_columns(df)
+    assert out.columns == ["a", "b", "a2", "b3"]
+    assert out.collect()[0].a2 == 3
