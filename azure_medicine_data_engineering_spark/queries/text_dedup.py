@@ -402,3 +402,40 @@ def q_udtf_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.token, t.pos "
         "FROM docs_udtf_v d, LATERAL amde_leading_tokens(d.text, 5) t"
     )
+
+
+@register(
+    "ngram_frequency_topk",
+    f"""
+    WITH sh AS (
+      SELECT {_shingles_sql(_NORM.format(t='text'), 2)} AS bigrams FROM documents
+    ),
+    flat AS (SELECT unnest(bigrams) AS bigram FROM sh),
+    counts AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM flat GROUP BY bigram
+    )
+    SELECT bigram, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS INT) AS rnk
+    FROM counts
+    QUALIFY rnk <= 25
+    """,
+)
+def q_ngram_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table (top-25 bigrams): shingle → explode →
+    count → deterministic top-k. The building block for n-gram LM stats
+    over a training corpus."""
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(dedup.word_shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
+    # sort); the rank window then runs over only the 25 survivors, so its
+    # single-partition exchange is 25 rows, not the whole vocabulary
+    top = counts.orderBy(F.col("n").desc(), F.col("bigram")).limit(25)
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
