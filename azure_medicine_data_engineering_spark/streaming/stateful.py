@@ -85,3 +85,8 @@ def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(profiles, "stream_user_profiles", output_mode="update")
+
+# NOTE: Spark 4's transformWithStateInPandas (StatefulProcessor) was
+# prototyped here but its streaming Python driver-worker crashes in this
+# runtime (mismatched /opt/spark runner) — applyInPandasWithState above is
+# the supported custom-stateful path in this environment.
