@@ -158,3 +158,30 @@ def null_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return agged.select(
         F.expr(f"stack({len(cols)}, {stack_args}) as (columnName, number)")
     ).select(F.lit(DESC_NULLS).alias("description"), "columnName", "number")
+
+
+@dataclass
+class ForeignKey:
+    """Referential-integrity rule: every ``child.fk`` must exist in
+    ``parent.pk`` (orphan rows violate)."""
+
+    name: str
+    child_fk: str
+    parent_pk: str
+
+
+def referential_integrity_report(
+    child: DataFrame, parent: DataFrame, rules: list[ForeignKey]
+) -> DataFrame:
+    """Orphan counts per FK rule as report triples. Plan: left-anti join per
+    rule (parent side reduced to distinct keys — broadcastable for dimension
+    parents); no payload materialization."""
+    spark = child.sparkSession
+    records = []
+    for r in rules:
+        keys = parent.select(F.col(f"`{r.parent_pk}`").alias("__pk")).distinct()
+        orphans = child.join(
+            keys, child[r.child_fk] == keys["__pk"], "left_anti"
+        ).count()
+        records.append(("orphaned foreign keys", r.name, int(orphans)))
+    return spark.createDataFrame(records, REPORT_SCHEMA)

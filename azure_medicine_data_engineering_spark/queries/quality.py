@@ -211,3 +211,37 @@ def q_profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(
         _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_totalprice", "o_custkey"]
     )
+
+
+@register(
+    "referential_integrity_lineitem",
+    """
+    SELECT 'orphaned foreign keys' AS description, 'lineitem.l_orderkey -> orders' AS columnName,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS number
+    UNION ALL
+    SELECT 'orphaned foreign keys', 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    """,
+)
+def q_referential_integrity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity checks (FK orphan counts) — the data-quality
+    dimension the reference's report lacks; left-anti joins per rule."""
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        ForeignKey,
+        referential_integrity_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rep1 = referential_integrity_report(
+        li, o, [ForeignKey("lineitem.l_orderkey -> orders", "l_orderkey", "o_orderkey")]
+    )
+    rep2 = referential_integrity_report(
+        o, c, [ForeignKey("orders.o_custkey -> customer", "o_custkey", "c_custkey")]
+    )
+    return rep1.unionByName(rep2)

@@ -572,3 +572,86 @@ def q_idle_rich_customers_by_prefix(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum("c_acctbal").cast("double"), 4).alias("total_balance"),
         )
     )
+
+
+@register(
+    "array_agg_supplier_names",
+    """
+    SELECT s_nationkey,
+           array_to_string(list_sort(list(s_name)), '|') AS suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_array_agg_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: collect_list → sort_array (determinism) →
+    array_join. At scale collect_list is bounded by group cardinality —
+    suitable for dimension-sized groups only."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias("suppliers"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "higher_order_array_predicates",
+    """
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT CAST(SUM(CASE WHEN len(list_filter(v, x -> x > 0)) * 2 > len(v) THEN 1 ELSE 0 END) AS BIGINT)
+             AS mostly_positive,
+           CAST(SUM(CASE WHEN len(list_filter(v, x -> abs(x) > 3.0)) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS has_extreme,
+           CAST(SUM(CASE WHEN len(list_filter(v, x -> abs(x) <= 4.0)) = len(v) THEN 1 ELSE 0 END) AS BIGINT)
+             AS all_bounded,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t
+    """,
+)
+def q_higher_order_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates (exists/forall/filter) over embeddings —
+    all JVM-side, no UDFs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mostly_pos = F.size(F.filter(v, lambda x: x > 0)) * 2 > F.size(v)
+    has_extreme = F.exists(v, lambda x: F.abs(x) > 3.0)
+    all_bounded = F.forall(v, lambda x: F.abs(x) <= 4.0)
+    return emb.select(
+        mostly_pos.alias("mp"), has_extreme.alias("he"), all_bounded.alias("ab")
+    ).agg(
+        F.sum(F.when(F.col("mp"), 1).otherwise(0)).cast("long").alias("mostly_positive"),
+        F.sum(F.when(F.col("he"), 1).otherwise(0)).cast("long").alias("has_extreme"),
+        F.sum(F.when(F.col("ab"), 1).otherwise(0)).cast("long").alias("all_bounded"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "map_type_surface",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 3.0
+                               WHEN event_type = 'click' THEN 1.0
+                               ELSE 0.5 END * value) AS DOUBLE), 4) AS weighted_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_map_type_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface: a literal weight map consulted per row via
+    element_at + coalesce default (the lookup-table idiom without a join)."""
+    from azure_medicine_data_engineering_spark.queries.registry import events_table
+
+    ev = events_table(spark, sf_dir)
+    weights = F.create_map(
+        F.lit("purchase"), F.lit(3.0), F.lit("click"), F.lit(1.0)
+    )
+    w = F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0.5))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(w * F.col("value")).cast("double"), 4).alias("weighted_value"),
+    )
