@@ -1,0 +1,39 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample``/``sampleBy`` draw from a partition-seeded RNG, so results
+change with cluster layout — unacceptable for reproducible corpus builds.
+These operators sample by a stable hash of a key column instead: the same
+row is always in or out, on any partitioning, any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, buckets: int = 10_000) -> Column:
+    """Stable bucket in [0, buckets): md5-derived, engine-reproducible
+    (same construction as the dedup hashes)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, buckets: int = 10_000) -> DataFrame:
+    """Keep rows whose key-bucket falls below ``fraction`` of the bucket
+    space. Deterministic; sampling error O(1/buckets)."""
+    return df.where(_bucket(F.col(key), buckets) < int(fraction * buckets))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, strata_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0, buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without the RNG):
+    each stratum value gets its own keep-fraction."""
+    threshold = F.lit(int(default_fraction * buckets))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * buckets))
+        ).otherwise(threshold)
+    return df.where(_bucket(F.col(key), buckets) < threshold)

@@ -439,3 +439,77 @@ def q_ngram_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), F.col("bigram")).limit(25)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "hash_sampled_documents",
+    """
+    WITH b AS (
+      SELECT lang, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM b
+    WHERE (lang = 'en' AND bucket < 2000)
+       OR (lang <> 'en' AND bucket < 5000)
+    GROUP BY lang
+    """,
+)
+def q_hash_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (reproducible corpus builds):
+    down-sample English to 20%, other languages to 50% — same rows on any
+    partitioning/engine (hash-bucketed, not RNG)."""
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs, key="doc_id", strata_col="lang",
+        fractions={"en": 0.2}, default_fraction=0.5,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("min_id"),
+    )
+
+
+@register(
+    "corpus_summary_report",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             len({_TOKS.format(t='text')}) AS n_tokens,
+             md5({_NORM_TEXT}) AS fp
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_contents,
+           CAST(MIN(n_tokens) AS INT) AS min_tokens,
+           CAST(MAX(n_tokens) AS INT) AS max_tokens
+    FROM per_doc
+    """,
+)
+def q_corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report: doc/lang counts, total token volume,
+    content-distinct count (dedup rate numerator), token-length extremes —
+    the summary a training-data pipeline publishes per snapshot."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_unique_contents"),
+        F.min("n_tokens").cast("int").alias("min_tokens"),
+        F.max("n_tokens").cast("int").alias("max_tokens"),
+    )

@@ -1,0 +1,82 @@
+"""Unit tests: deterministic sampling, as-of joins, referential integrity,
+IVF assignment sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s1 = hash_sample(df, "k", 0.3)
+    s2 = hash_sample(df.repartition(13), "k", 0.3)
+    n1, n2 = s1.count(), s2.count()
+    assert n1 == n2                      # partitioning-independent
+    assert abs(n1 / 10_000 - 0.3) < 0.02  # proportional
+    # subset property: a 10% sample is contained in the 30% sample
+    s_small = hash_sample(df, "k", 0.1)
+    assert s_small.exceptAll(s1).count() == 0
+
+
+def test_stratified_hash_sample(spark):
+    df = spark.range(8_000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(df, "k", "s", {"true": 0.5, "false": 0.1})
+    by = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(by["true"] / 4000 - 0.5) < 0.05
+    assert abs(by["false"] / 4000 - 0.1) < 0.05
+
+
+def test_asof_join_picks_latest_within_horizon(spark):
+    from azure_medicine_data_engineering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00")], "event_id int, user string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 09:59:00", 100),  # latest within horizon → picked
+            ("u", "2024-01-01 09:30:01", 101),  # older, in horizon
+            ("u", "2024-01-01 09:20:00", 102),  # outside 30-minute horizon
+            ("u", "2024-01-01 10:00:01", 103),  # in the future → excluded
+        ],
+        "user string, ts string, rid int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(
+        left, right, on="user", window_seconds=1800, left_id="event_id", tiebreak="rid"
+    ).collect()
+    assert len(out) == 1 and out[0].rid_r == 100
+
+
+def test_referential_integrity_planted_orphans(spark):
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        ForeignKey,
+        referential_integrity_report,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    child = spark.createDataFrame([(1,), (2,), (7,), (8,), (None,)], "fk int")
+    rep = referential_integrity_report(
+        child, parent, [ForeignKey("child->parent", "fk", "pk")]
+    ).collect()
+    # 7, 8 and NULL don't match any parent key → 3 orphans
+    assert rep[0].number == 3
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_clusters=4)
+    assert cents.count() == 4
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()          # every vector assigned
+    assert assigned.select("cluster").distinct().count() <= 4
