@@ -247,3 +247,64 @@ def roc_optimal_threshold(
         if cost < best_cost:
             best_cost, best_t = cost, float(t)
     return best_t, best_cost
+
+
+def paired_permutation_test_grouped(
+    df: DataFrame,
+    hypothesis_col: str,
+    value_a_col: str,
+    value_b_col: str,
+    n_permutations: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Paired two-sample permutation test (sign-flip test) per hypothesis.
+
+    The reference's two-time-point study measures the SAME patients at two
+    exam dates (paired columns ``…44`` vs ``…71``,
+    ``twoPointsStudyScalaA.scala:29``); the correct resampling scheme is
+    sign-flipping the per-subject differences, not pooling. Two-sided
+    p-value on the mean difference; sentinel 2.0 when no complete pairs.
+    Distributed via applyInPandas, deterministic at any parallelism."""
+    out_schema = StructType(
+        [
+            StructField("hypothesis", StringType()),
+            StructField("n_pairs", LongType()),
+            StructField("mean_diff", DoubleType()),
+            StructField("p_value", DoubleType()),
+        ]
+    )
+
+    def run(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        key = str(pdf[hypothesis_col].iloc[0])
+        sub = pdf[[value_a_col, value_b_col]].dropna().sort_values(
+            [value_a_col, value_b_col], kind="stable"
+        )
+        d = (sub[value_a_col] - sub[value_b_col]).to_numpy(float)
+        if len(d) == 0:
+            return pd.DataFrame(
+                [[key, 0, float("nan"), DEGENERATE_P]],
+                columns=[f.name for f in out_schema.fields],
+            )
+        observed = d.mean()
+        key_hash = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed + key_hash)
+        count = 0
+        for _ in range(n_permutations):
+            signs = rng.integers(0, 2, size=len(d)) * 2 - 1
+            if abs((d * signs).mean()) >= abs(observed):
+                count += 1
+        p = (count + 1) / (n_permutations + 1)
+        return pd.DataFrame(
+            [[key, len(d), float(observed), float(p)]],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return (
+        df.select(F.col(hypothesis_col), F.col(value_a_col), F.col(value_b_col))
+        .groupBy(hypothesis_col)
+        .applyInPandas(run, out_schema)
+    )

@@ -311,3 +311,28 @@ def q_grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_table(spark, sf_dir).select("event_id", "event_type", "value")
     return ev.groupBy("event_type").applyInPandas(normalize, schema)
+
+
+@register("paired_permutation_click_vs_purchase")  # rows-only: seeded resampling
+def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 paired variant (two-time-point parity: same subject measured
+    twice): per-user mean click value vs mean purchase value, sign-flip
+    permutation test on the per-user differences."""
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        paired_permutation_test_grouped,
+    )
+
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("click_v"),
+        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("purchase_v"),
+    )
+    res = paired_permutation_test_grouped(
+        per_user.withColumn("hyp", F.lit("click_vs_purchase")),
+        "hyp", "click_v", "purchase_v", n_permutations=300, seed=5,
+    )
+    return res.select(
+        "hypothesis", "n_pairs",
+        F.round("mean_diff", 4).alias("mean_diff"),
+        F.round("p_value", 4).alias("p_value"),
+    )

@@ -37,6 +37,8 @@ HEADLINE = [
     "shipping_priority_topk",
     "local_supplier_volume",
     "winnowing_fingerprints",
+    "asof_join_purchase_to_click",
+    "embedding_ivf_topk",
 ]
 
 

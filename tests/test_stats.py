@@ -121,3 +121,23 @@ def test_permanova_degenerate():
     d = np.zeros((3, 3))
     f, p = stats.permanova(d, np.array([0, 0, 0]))
     assert p == stats.DEGENERATE_P
+
+
+def test_paired_permutation_signflip(spark):
+    # strong paired effect: exam2 consistently ~2 lower than exam1
+    rows = [("suv", 10.0 + i * 0.1, 8.0 + i * 0.1) for i in range(25)]
+    # null pairing: differences symmetric around 0
+    rows += [("noise", float(i % 5), float((i + 2) % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "hyp string, e1 double, e2 double")
+    res = {
+        r.hypothesis: r
+        for r in stats.paired_permutation_test_grouped(
+            df, "hyp", "e1", "e2", n_permutations=500, seed=11
+        ).collect()
+    }
+    assert res["suv"].p_value < 0.01 and abs(res["suv"].mean_diff - 2.0) < 1e-9
+    assert res["noise"].p_value > 0.05
+    # degenerate: no complete pairs
+    df2 = spark.createDataFrame([("h", None, 1.0)], "hyp string, e1 double, e2 double")
+    row = stats.paired_permutation_test_grouped(df2, "hyp", "e1", "e2").collect()[0]
+    assert row.p_value == stats.DEGENERATE_P
