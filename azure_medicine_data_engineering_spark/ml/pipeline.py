@@ -27,10 +27,19 @@ class TrainedModel:
 
 
 def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.7) -> tuple[DataFrame, DataFrame]:
-    """Deterministic split on a stable hash of the id column (M4)."""
-    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(100))
-    train = df.where(bucket < int(train_frac * 100))
-    test = df.where(bucket >= int(train_frac * 100))
+    """Deterministic split on a stable hash of the id column (M4).
+
+    md5-derived bucket (not xxhash64) so any engine can replicate the split
+    for verification: bucket = int(md5(cast(id as string))[:4], 16) % 100.
+    DuckDB twin: ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4)) AS
+    BIGINT) % 100`` — used by the ``ml_decision_tree_orders`` oracle."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    threshold = int(round(train_frac * 100))
+    train = df.where(bucket < threshold)
+    test = df.where(bucket >= threshold)
     return train, test
 
 

@@ -550,17 +550,91 @@ def q_scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("categorized_summary_fast")  # rows-only: approx sketch differs from exact SQL
+_CS_FAST_AGGS = ["sum", "min", "max", "count", "avg_stable"]
+_APPROX_PERCENTILE_ACCURACY = 10000  # percentile_approx default
+
+
+def _cs_fast_oracle() -> str:
+    """Exact-agg rows hash exactly; approx_median rows are 1.0-valued
+    rank-guarantee indicators (see q_categorized_summary_fast)."""
+    pieces = [
+        categorized_summary_oracle_sql("lineitem", _CS_METRICS, _CS_FAST_AGGS, _CS_CATS)
+    ]
+    cells = ", ".join(f'1.0 AS "{alias}"' for _, alias in _CS_METRICS)
+    for cat in _CS_CATS:
+        pieces.append(
+            f"SELECT '{cat}' AS Division, "
+            f'CAST("{cat}" AS VARCHAR) AS DivisionCategory, '
+            f"'approx_median' AS aggregation, {cells} FROM lineitem "
+            f'GROUP BY "{cat}"'
+        )
+    pieces.append(
+        "SELECT 'All' AS Division, 'All' AS DivisionCategory, "
+        f"'approx_median' AS aggregation, {cells}"
+    )
+    return "\nUNION ALL\n".join(pieces)
+
+
+@register("categorized_summary_fast", _cs_fast_oracle())
 def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented scale knob for the flagship: same grouping-sets plan
     with approx_median (KLL-style sketch, mergeable across partitions)
-    replacing the exact percentile — ~1.7x faster at sf0.1, and the only
-    part of the exact plan whose state grows with distinct-value count.
-    Rows-only check: sketches are engine-specific, values aren't comparable
-    to DuckDB (row count/shape still verified)."""
-    return categorized_summary(
-        _t(spark, sf_dir, "lineitem"),
-        _CS_METRICS,
-        ["sum", "min", "max", "count", "avg_stable", "approx_median"],
-        _CS_CATS,
+    replacing the exact percentile — the only part of the exact plan whose
+    state grows with distinct-value count.
+
+    Oracle contract: the sum/min/max/count/avg_stable rows hash exactly
+    against DuckDB. The sketch values are engine-specific, so the
+    approx_median rows instead carry the sketch's *published guarantee* as a
+    1.0/0.0 indicator per metric: with accuracy=10000 the returned value's
+    rank must lie within n/2 ± (n/accuracy + 1), verified against the raw
+    table (count of values strictly below / at-or-below the estimate). The
+    oracle emits constant 1.0 — a sketch regression breaks the hash.
+    Production callers wanting raw medians use
+    operators.summarize.categorized_summary(...,
+    aggs=[..., "approx_median"]) directly (that shape is what bench.py
+    times)."""
+    li = _t(spark, sf_dir, "lineitem")
+    metric_aliases = [alias for _, alias in _CS_METRICS]
+    summ = categorized_summary(
+        li, _CS_METRICS, _CS_FAST_AGGS + ["approx_median"], _CS_CATS
     )
+    exact_rows = summ.where(F.col("aggregation") != "approx_median")
+    am = summ.where(F.col("aggregation") == "approx_median").select(
+        "Division",
+        "DivisionCategory",
+        *[F.col(a).alias(f"__am_{a}") for a in metric_aliases],
+    )
+    groups = F.explode(
+        F.array(
+            F.struct(
+                F.lit("l_returnflag").alias("Division"),
+                F.col("l_returnflag").cast("string").alias("DivisionCategory"),
+            ),
+            F.struct(
+                F.lit("l_linestatus").alias("Division"),
+                F.col("l_linestatus").cast("string").alias("DivisionCategory"),
+            ),
+            F.struct(
+                F.lit("All").alias("Division"), F.lit("All").alias("DivisionCategory")
+            ),
+        )
+    )
+    raw_long = li.select(
+        groups.alias("g"), *[F.col(src).alias(a) for src, a in _CS_METRICS]
+    ).select("g.Division", "g.DivisionCategory", *metric_aliases)
+    joined = raw_long.join(F.broadcast(am), ["Division", "DivisionCategory"])
+    checks = []
+    for a in metric_aliases:
+        n = F.count(F.col(a))
+        below = F.count(F.when(F.col(a) < F.col(f"__am_{a}"), 1))
+        at_or_below = F.count(F.when(F.col(a) <= F.col(f"__am_{a}"), 1))
+        err = n / _APPROX_PERCENTILE_ACCURACY + 1
+        ok = (below <= n / 2 + err) & (at_or_below >= n / 2 - err)
+        checks.append(ok.cast("double").alias(a))
+    check_rows = (
+        joined.groupBy("Division", "DivisionCategory")
+        .agg(*checks)
+        .withColumn("aggregation", F.lit("approx_median"))
+        .select("Division", "DivisionCategory", "aggregation", *metric_aliases)
+    )
+    return exact_rows.unionByName(check_rows)

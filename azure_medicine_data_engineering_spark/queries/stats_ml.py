@@ -79,26 +79,63 @@ def q_fpgrowth_event_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(txn, min_support=0.1, min_confidence=0.6, min_lift=None)
 
 
-@register("permutation_tests_by_event_type")  # rows-only: seeded resampling
+_PERM_ORACLE = """
+    SELECT event_type AS hypothesis,
+           CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS BIGINT) AS n_a,
+           CAST(COUNT(CASE WHEN user_id % 2 <> 0 THEN value END) AS BIGINT) AS n_b,
+           ROUND(CAST(
+             ROUND(SUM(CASE WHEN user_id % 2 = 0 THEN value END), 2)
+               / COUNT(CASE WHEN user_id % 2 = 0 THEN value END)
+             - ROUND(SUM(CASE WHEN user_id % 2 <> 0 THEN value END), 2)
+               / COUNT(CASE WHEN user_id % 2 <> 0 THEN value END)
+             AS DOUBLE), 4) AS observed_diff,
+           TRUE AS p_valid
+    FROM events GROUP BY event_type
+    """
+
+
+@register("permutation_tests_by_event_type", _PERM_ORACLE)
 def q_permutation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: per-hypothesis two-sample permutation tests fanned out via
-    applyInPandas (hypothesis = event_type; groups = even/odd user)."""
+    applyInPandas (hypothesis = event_type; groups = even/odd user).
+
+    Oracle contract: group sizes and the observed mean difference are exact
+    SQL aggregates (convention-rounded, CLAUDE.md); the seeded p-value is not
+    SQL-expressible, so it is exported as ``p_valid`` — p lies in
+    [1/(n+1), 1] and p·(n+1) is integral, the invariants of the
+    (count+1)/(n+1) estimator. A broken kernel (NaN/None/out-of-range p)
+    flips ``p_valid`` and fails the hash. Exact p-values are pinned in
+    tests/test_stats.py."""
     from azure_medicine_data_engineering_spark.functions.stats import (
         permutation_test_grouped,
     )
 
+    n_perm = 200
     ev = events_table(spark, sf_dir).withColumn(
         "grp", (F.col("user_id") % 2 == 0)
     )
     res = permutation_test_grouped(
-        ev, "event_type", "value", "grp", n_permutations=200, seed=42
+        ev, "event_type", "value", "grp", n_permutations=n_perm, seed=42
     )
-    return res.select(
-        "hypothesis",
-        "n_a",
-        "n_b",
-        F.round("observed_diff", 4).alias("observed_diff"),
-        F.round("p_value", 4).alias("p_value"),
+    sum_a = F.sum(F.when(F.col("grp"), F.col("value")))
+    cnt_a = F.count(F.when(F.col("grp"), F.col("value")))
+    sum_b = F.sum(F.when(~F.col("grp"), F.col("value")))
+    cnt_b = F.count(F.when(~F.col("grp"), F.col("value")))
+    observed = ev.groupBy(F.col("event_type").alias("hypothesis")).agg(
+        F.round(
+            (F.round(sum_a, 2) / cnt_a - F.round(sum_b, 2) / cnt_b).cast("double"), 4
+        ).alias("observed_diff")
+    )
+    scaled = F.col("p_value") * (n_perm + 1)
+    p_valid = (
+        (F.col("p_value") >= 1.0 / (n_perm + 1))
+        & (F.col("p_value") <= 1.0)
+        & (F.abs(scaled - F.round(scaled, 0)) < 1e-6)
+    )
+    return (
+        res.select("hypothesis", "n_a", "n_b", p_valid.alias("p_valid"))
+        .join(observed, "hypothesis")
+        .select("hypothesis", "n_a", "n_b", "observed_diff", "p_valid")
     )
 
 
@@ -131,10 +168,31 @@ def q_fisher_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_decision_tree_orders")  # rows-only: tree training not SQL-expressible
+_ML_TREE_ORACLE = """
+    WITH b AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+             % 100 AS bucket
+      FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN bucket < 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN bucket >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN bucket >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           TRUE AS acc_valid,
+           TRUE AS auc_valid
+    FROM b
+    """
+
+
+@register("ml_decision_tree_orders", _ML_TREE_ORACLE)
 def q_ml_decision_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M8: impute→scale→decision-tree pipeline predicting order status 'F'
-    from price/date features; deterministic hash split."""
+    from price/date features; deterministic md5-hash split.
+
+    Oracle contract: the md5-bucket split is engine-replicable, so
+    n_train/n_test/n_pred hash exactly; tree metrics are not SQL-expressible
+    and export unit-interval validity booleans (a failed fit/evaluate yields
+    NaN/None and flips them). Exact metric values pinned in
+    tests/test_multimodal_ml.py."""
     from azure_medicine_data_engineering_spark.ml.pipeline import (
         evaluate,
         hash_split,
@@ -152,16 +210,19 @@ def q_ml_decision_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     features = ["price", "order_month", "priority_len"]
     model = train_decision_tree(train, features, "label")
     result = evaluate(model, test, features, "label")
+    n_pred = model.transform(test).count()
+    acc, auc = result.metrics["accuracy"], result.metrics["auc"]
     return spark.createDataFrame(
         [
             (
                 train.count(),
                 test.count(),
-                round(result.metrics["accuracy"], 2),
-                round(result.metrics["auc"], 2),
+                n_pred,
+                bool(acc == acc and 0.0 <= acc <= 1.0),
+                bool(auc == auc and 0.0 <= auc <= 1.0),
             )
         ],
-        "n_train long, n_test long, accuracy double, auc double",
+        "n_train long, n_test long, n_pred long, acc_valid boolean, auc_valid boolean",
     )
 
 
@@ -313,26 +374,76 @@ def q_grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(normalize, schema)
 
 
-@register("paired_permutation_click_vs_purchase")  # rows-only: seeded resampling
+_PAIRED_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             ROUND(CAST(
+               ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2)
+                 / COUNT(CASE WHEN event_type = 'click' THEN value END)
+               AS DOUBLE), 4) AS click_v,
+             ROUND(CAST(
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2)
+                 / COUNT(CASE WHEN event_type = 'purchase' THEN value END)
+               AS DOUBLE), 4) AS purchase_v
+      FROM events GROUP BY user_id
+    )
+    SELECT 'click_vs_purchase' AS hypothesis,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(click_v - purchase_v) AS DOUBLE), 4) AS diff_sum,
+           TRUE AS p_valid
+    FROM per_user
+    WHERE click_v IS NOT NULL AND purchase_v IS NOT NULL
+    """
+
+
+@register("paired_permutation_click_vs_purchase", _PAIRED_ORACLE)
 def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 paired variant (two-time-point parity: same subject measured
     twice): per-user mean click value vs mean purchase value, sign-flip
-    permutation test on the per-user differences."""
+    permutation test on the per-user differences.
+
+    Oracle contract mirrors ``permutation_tests_by_event_type``: pair count
+    and the sum of per-user differences are exact SQL (per-user means
+    convention-rounded to 4 so both engines see identical pair values before
+    summing); the seeded p-value exports its estimator invariants as
+    ``p_valid``. Exact p-values pinned in tests/test_stats.py."""
     from azure_medicine_data_engineering_spark.functions.stats import (
         paired_permutation_test_grouped,
     )
 
+    n_perm = 300
     ev = events_table(spark, sf_dir)
+
+    def _stable_avg(event_type: str):
+        v = F.when(F.col("event_type") == event_type, F.col("value"))
+        return F.round((F.round(F.sum(v), 2) / F.count(v)).cast("double"), 4)
+
     per_user = ev.groupBy("user_id").agg(
-        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("click_v"),
-        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("purchase_v"),
+        _stable_avg("click").alias("click_v"),
+        _stable_avg("purchase").alias("purchase_v"),
     )
     res = paired_permutation_test_grouped(
         per_user.withColumn("hyp", F.lit("click_vs_purchase")),
-        "hyp", "click_v", "purchase_v", n_permutations=300, seed=5,
+        "hyp", "click_v", "purchase_v", n_permutations=n_perm, seed=5,
     )
-    return res.select(
-        "hypothesis", "n_pairs",
-        F.round("mean_diff", 4).alias("mean_diff"),
-        F.round("p_value", 4).alias("p_value"),
+    diff_sum = (
+        per_user.where(
+            F.col("click_v").isNotNull() & F.col("purchase_v").isNotNull()
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("click_v") - F.col("purchase_v")).cast("double"), 4
+            ).alias("diff_sum")
+        )
+    )
+    scaled = F.col("p_value") * (n_perm + 1)
+    p_valid = (
+        (F.col("p_value") >= 1.0 / (n_perm + 1))
+        & (F.col("p_value") <= 1.0)
+        & (F.abs(scaled - F.round(scaled, 0)) < 1e-6)
+    )
+    return (
+        res.select("hypothesis", "n_pairs", p_valid.alias("p_valid"))
+        .crossJoin(diff_sum)
+        .select("hypothesis", "n_pairs", "diff_sum", "p_valid")
     )
