@@ -41,21 +41,27 @@ def knn_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
     ``queries`` (query_id, embedding) is broadcast; the corpus is scanned
     once; per-query top-k via window rank with id tie-break. At 1000
     executors this is the textbook brute-force ANN baseline: one pass,
-    no corpus shuffle — only the rank step shuffles (query_id, k) rows."""
+    no corpus shuffle — only the rank step shuffles (query_id, k) rows.
+
+    ``exclude_self`` assumes query ids live in the corpus id space (queries
+    drawn from the corpus, as ivf_knn_topk guarantees). Pass False for
+    external query sets whose ids could collide with corpus ids — otherwise
+    a coincidental id match would silently drop a valid neighbor."""
     from pyspark.sql.window import Window
 
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")))
+    joined = df.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col(query_id_col))
     sim = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(q)
-        .where(F.col(id_col) != F.col(query_id_col))
-        .select(
+        joined.select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.round(
@@ -142,11 +148,19 @@ def ivf_knn_topk(
 ) -> DataFrame:
     """IVF-bucketed ANN: queries only search their own coarse cluster
     (nprobe=1). Recall is approximate by design; at scale the corpus is
-    pre-partitioned by cluster so each query touches 1/k of the data."""
+    pre-partitioned by cluster so each query touches 1/k of the data.
+
+    The assigned frame (corpus × nearest cluster) is persisted: both the
+    query-side filter and the corpus-side join read it, and without the
+    persist Catalyst re-derives the whole centroid + assignment lineage
+    (posexplode → 2×groupBy → window) once per consumer — the same
+    materialize-before-self-join rule as the MinHash shingle cache
+    (dedup.minhash_lsh_near_dupes). At 100 TB the equivalent is writing the
+    assignment table before fan-out."""
     from pyspark.sql.window import Window
 
     cents = ivf_centroids(df, n_clusters, id_col, vec_col)
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col).persist()
     queries = assigned.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),

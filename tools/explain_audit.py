@@ -26,15 +26,26 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def _count_unique(plan: str, node_pattern: str) -> int:
+    """Count distinct plan nodes, not textual occurrences: a persisted
+    (InMemoryRelation) subtree is printed once per consumer but executed
+    once — formatted explain reuses the node id, so dedupe on it. The
+    match is line-anchored so detail-section headers ("(3) Exchange") don't
+    bleed into the next node's id."""
+    return len(set(re.findall(rf"(?:{node_pattern})[^\n(]*\((\d+)\)", plan)))
+
+
 def audit(name: str, plan: str) -> dict:
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "single_partition": len(re.findall(r"Exchange SinglePartition", plan)),
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
-        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
-        "nested_loop": len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)),
+        "exchanges": _count_unique(plan, r"\bExchange\b"),
+        # formatted explain puts partitioning in the details section;
+        # grand-total (1-row) aggregates legitimately show one of these.
+        "single_partition": len(re.findall(r"Arguments: SinglePartition", plan)),
+        "broadcast_joins": _count_unique(plan, r"BroadcastHashJoin"),
+        "sortmerge_joins": _count_unique(plan, r"SortMergeJoin"),
+        "nested_loop": _count_unique(plan, r"BroadcastNestedLoopJoin|CartesianProduct"),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        "scans": len(re.findall(r"Scan parquet", plan)),
+        "scans": _count_unique(plan, r"Scan parquet"),
         "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
         "read_cols": [
             len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
