@@ -186,10 +186,11 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "minhash_lsh_dedup",
-    f"""
-    WITH sh AS (
+# Shared CTE block replicating the MinHash-LSH pipeline in DuckDB (shingles →
+# 32-bit hashes → 8-slot signature → 4 bands → bucket self-join → exact
+# Jaccard). Used by both the pair oracle and the cluster oracle.
+_LSH_CTES = f"""
+    sh AS (
       SELECT doc_id, {_shingles_sql(_NORM_TEXT)} AS shingles FROM documents
     ),
     hh AS (
@@ -206,23 +207,63 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, b.band, sig[b.band * 2 + 1 : b.band * 2 + 2] AS bucket
       FROM sig, (SELECT unnest(range(4)) AS band) b
     ),
-    pairs AS (
+    cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-    )
-    SELECT p.id_a, p.id_b,
-           ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) /
-                 nullif(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)), 0)
-                 AS DOUBLE), 4) AS jaccard
-    FROM pairs p
-    JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) a ON p.id_a = a.doc_id
-    JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) b ON p.id_b = b.doc_id
-    """,
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) /
+                   nullif(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)), 0)
+                   AS DOUBLE), 4) AS jaccard
+      FROM cand p
+      JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) a ON p.id_a = a.doc_id
+      JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) b ON p.id_b = b.doc_id
+    )"""
+
+
+@register(
+    "minhash_lsh_dedup",
+    f"WITH {_LSH_CTES}\n    SELECT id_a, id_b, jaccard FROM scored",
 )
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(docs, k=8, bands=4)
+
+
+@register(
+    "dedup_cluster_assignment",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    verified AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    mins AS (SELECT src AS id, MIN(dst) AS mr FROM reach GROUP BY src)
+    SELECT LEAST(d.doc_id, COALESCE(m.mr, d.doc_id)) AS cluster_id,
+           d.doc_id,
+           d.doc_id = LEAST(d.doc_id, COALESCE(m.mr, d.doc_id)) AS is_representative
+    FROM documents d LEFT JOIN mins m ON d.doc_id = m.id
+    """,
+)
+def q_dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs (Jaccard-verified ≥ 0.5) resolved into dedup
+    clusters via distributed min-label propagation; every doc appears once,
+    representative = min id. Oracle: recursive-CTE transitive closure over
+    the identical SQL-replicated pair set."""
+    from azure_medicine_data_engineering_spark.operators import clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, k=8, bands=4)
+    return clusters.dedup_clusters(docs.select("doc_id"), pairs, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
