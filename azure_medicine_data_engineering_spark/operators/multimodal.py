@@ -3,11 +3,14 @@
 
 Pattern: image/audio/video payloads live in a ``binary`` column next to typed
 metadata; decode / feature-extraction / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
-partitioning) is real and tested, while the actual codec is STUBBED: the
-container has no image/audio libraries, so ``decode_fn`` defaults to a
-deterministic fake derived from the payload bytes, and a real implementation
-(PIL/ffmpeg) raises ``NotImplementedError`` until wired by the deployment.
+Arrow-batched ``mapInPandas``. The Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested; for codecs, PNG decodes NATIVELY
+(:func:`png_decode` — pure stdlib chunk walk, CRC verify, inflate, full
+defilter; exercised end-to-end by the ``multimodal_decode_png`` oracle query),
+while JPEG/audio/video formats need libraries this container lacks and raise
+``NotImplementedError`` until a deployment wires PIL/ffmpeg into
+``real_decode``. ``fake_decode`` remains as the library-free deterministic
+stand-in for pipeline tests.
 """
 
 from __future__ import annotations
@@ -49,12 +52,130 @@ DECODED_SCHEMA = StructType(
 
 
 def real_decode(payload: bytes) -> tuple[int, int, float]:
-    """The production decode hook — requires an image library.
-
-    STUB: the runtime has no PIL/opencv; deployments replace this."""
+    """Production decode hook: dispatches on container format. PNG is decoded
+    natively (:func:`png_decode` — pure stdlib, no image library); other
+    formats (JPEG etc.) need a codec library this runtime lacks."""
+    if payload[:8] == _PNG_SIG:
+        return png_decode(payload)
     raise NotImplementedError(
-        "image decoding requires PIL/opencv; not available in this runtime — "
-        "use fake_decode (deterministic) or wire a real codec here"
+        "only PNG payloads decode natively; JPEG/other codecs require "
+        "PIL/opencv — wire them here in deployments"
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real PNG decoder, pure stdlib: chunk walk with CRC verification,
+    IHDR parse, zlib inflate, full scanline defilter (None/Sub/Up/Average/
+    Paeth), then (width, height, mean_intensity over all samples).
+
+    Supports 8-bit depth, non-interlaced, any color type (grayscale/RGB/
+    palette-index/alpha variants; palette indices are averaged as stored).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    total = 0
+    prev = bytearray(stride)
+    i = 0
+    for _ in range(height):
+        ftype = raw[i]
+        i += 1
+        line = bytearray(raw[i:i + stride])
+        i += stride
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        total += sum(line)
+        prev = line
+    n_samples = height * stride
+    # half-away-from-zero to match SQL ROUND (Python round is half-even)
+    mean = int(total / (n_samples * 255.0) * 10**4 + 0.5) / 10**4
+    return width, height, mean
+
+
+def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 8-bit grayscale PNG writer (filter 0 rows, one IDAT) — the
+    fixture side of :func:`png_decode` for datasets without raw media."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width:(r + 1) * width] for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -68,6 +189,47 @@ def fake_decode(payload: bytes) -> tuple[int, int, float]:
     height = 16 + payload[1 % len(payload)] % 64
     mean_intensity = round(sum(payload) / (len(payload) * 255.0), 4)
     return width, height, mean_intensity
+
+
+def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-PNG fixture: per row, dimensions and grayscale
+    pixels derive from md5(text) (w = 4 + b0 % 13, h = 4 + b1 % 11, pixels =
+    digest bytes tiled to w·h), wrapped into a genuine PNG file via
+    :func:`png_encode_gray` — any standard viewer decodes it. Arrow-batched
+    mapInPandas, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                w = 4 + h[0] % 13
+                ht = 4 + h[1] % 11
+                n = w * ht
+                pixels = (h * (n // 16 + 1))[:n]
+                ids.append(i)
+                payloads.append(png_encode_gray(w, ht, pixels))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
 
 
 def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

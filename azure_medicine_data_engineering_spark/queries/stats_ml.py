@@ -301,6 +301,46 @@ def q_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+@register(
+    "multimodal_decode_png",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             4 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 13 AS width,
+             4 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 11 AS height
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(width * height),
+                 i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT)))
+                 / (width * height * 255.0) AS DOUBLE), 4) AS mean_intensity
+    FROM d
+    """,
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec multimodal path: genuine PNG files (manufactured
+    deterministically from document text) decoded by the pure-stdlib PNG
+    decoder (chunk CRC walk, inflate, defilter) inside Arrow-batched
+    mapInPandas. The oracle recomputes the expected dimensions and tiled
+    pixel mean from md5(text) — the full container round-trip
+    (encode → IDAT → defilter → stats) must be lossless to hash-match."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media,
+        real_decode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_png_payload(docs, "doc_id", "text")
+    return decode_media(media, decode_fn=real_decode).select(
+        "media_id", "media_type", "width", "height", "mean_intensity"
+    )
+
+
 @register("streaming_interval_join", _O["interval_join_click_purchase_counts"])
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_medicine_data_engineering_spark.streaming.windows import (

@@ -1,0 +1,127 @@
+"""Pure-stdlib PNG codec (operators.multimodal.png_decode / png_encode_gray)."""
+
+import struct
+import zlib
+
+import pytest
+
+from azure_medicine_data_engineering_spark.operators.multimodal import (
+    _PNG_SIG,
+    png_decode,
+    png_encode_gray,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _expected_mean(pixels: bytes) -> float:
+    x = sum(pixels) / (len(pixels) * 255.0)
+    return int(x * 10**4 + 0.5) / 10**4
+
+
+def test_roundtrip_gray():
+    pixels = bytes(range(200)) + bytes(56)  # 16x16
+    payload = png_encode_gray(16, 16, pixels)
+    w, h, mean = png_decode(payload)
+    assert (w, h) == (16, 16)
+    assert mean == _expected_mean(pixels)
+
+
+def test_decode_all_filter_types():
+    # 5x4 grayscale, one row per filter type (None, Sub, Up, Average, Paeth)
+    rows = [
+        bytes([10, 20, 30, 40, 50]),
+        bytes([5, 15, 25, 35, 45]),
+        bytes([100, 110, 120, 130, 140]),
+        bytes([7, 14, 21, 28, 35]),
+    ]
+    width, height = 5, 4
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = bytes(width)
+    for r, (ftype, line) in enumerate(zip([0, 1, 2, 3], rows)):
+        enc = bytearray(line)
+        if ftype == 1:
+            for x in range(width - 1, 0, -1):
+                enc[x] = (enc[x] - line[x - 1]) & 0xFF
+        elif ftype == 2:
+            for x in range(width):
+                enc[x] = (enc[x] - prev[x]) & 0xFF
+        elif ftype == 3:
+            for x in range(width):
+                a = line[x - 1] if x else 0
+                enc[x] = (enc[x] - (a + prev[x]) // 2) & 0xFF
+        raw += bytes([ftype]) + enc
+        prev = line
+    # last row: Paeth
+    line = bytes([90, 80, 70, 60, 50])
+    enc = bytearray(line)
+    for x in range(width):
+        a = line[x - 1] if x else 0
+        c = prev[x - 1] if x else 0
+        enc[x] = (enc[x] - paeth(a, prev[x], c)) & 0xFF
+    raw += bytes([4]) + enc
+    height += 1
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, mean = png_decode(payload)
+    all_pixels = b"".join(rows) + line
+    assert (w, h) == (width, height)
+    assert mean == _expected_mean(all_pixels)
+
+
+def test_decode_rgb():
+    # 2x2 RGB, filter 0
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 128, 128, 128])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = b"\x00" + pix[:6] + b"\x00" + pix[6:]
+    payload = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, mean = png_decode(payload)
+    assert (w, h) == (2, 2)
+    assert mean == _expected_mean(pix)
+
+
+def test_crc_corruption_detected():
+    payload = bytearray(png_encode_gray(4, 4, bytes(16)))
+    payload[20] ^= 0xFF  # flip a byte inside IHDR data
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(payload))
+
+
+def test_bad_signature_rejected():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"GIF89a" + bytes(32))
+
+
+def test_real_decode_dispatches_png():
+    from azure_medicine_data_engineering_spark.operators.multimodal import real_decode
+
+    payload = png_encode_gray(3, 3, bytes([9] * 9))
+    assert real_decode(payload) == (3, 3, _expected_mean(bytes([9] * 9)))
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
