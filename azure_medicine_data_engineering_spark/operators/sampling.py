@@ -19,10 +19,16 @@ def _bucket(key: Column, buckets: int = 10_000) -> Column:
     return h % buckets
 
 
+def _threshold(fraction: float, buckets: int) -> int:
+    # round, not truncate: 0.29 * 10000 is 2899.9999... on IEEE doubles and
+    # int() would bias the keep-fraction low by a whole bucket
+    return int(round(fraction * buckets))
+
+
 def hash_sample(df: DataFrame, key: str, fraction: float, buckets: int = 10_000) -> DataFrame:
     """Keep rows whose key-bucket falls below ``fraction`` of the bucket
     space. Deterministic; sampling error O(1/buckets)."""
-    return df.where(_bucket(F.col(key), buckets) < int(fraction * buckets))
+    return df.where(_bucket(F.col(key), buckets) < _threshold(fraction, buckets))
 
 
 def stratified_hash_sample(
@@ -31,9 +37,9 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (``sampleBy`` without the RNG):
     each stratum value gets its own keep-fraction."""
-    threshold = F.lit(int(default_fraction * buckets))
+    threshold = F.lit(_threshold(default_fraction, buckets))
     for value, frac in fractions.items():
         threshold = F.when(
-            F.col(strata_col) == value, F.lit(int(frac * buckets))
+            F.col(strata_col) == value, F.lit(_threshold(frac, buckets))
         ).otherwise(threshold)
     return df.where(_bucket(F.col(key), buckets) < threshold)

@@ -46,7 +46,12 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) outright
     (PARQUET_TYPE_ILLEGAL); read it as raw nanos via the legacy conf and
     truncate to microseconds — exactly what DuckDB's µs-native timestamp does,
-    so both engines see identical values."""
+    so both engines see identical values.
+
+    ``nanosAsLong`` is a session-wide policy declared in
+    ``session.DEFAULT_CONF``; it is re-asserted here only for sessions built
+    outside :func:`session.get_spark` (it changes how any nanos-typed parquet
+    column is read for the whole session — see the comment there)."""
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F

@@ -367,7 +367,8 @@ def q_streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           ROUND(CAST((e.value - s.m) / s.sd AS DOUBLE), 4) AS z
+           CASE WHEN s.sd = 0 THEN NULL
+                ELSE ROUND(CAST((e.value - s.m) / s.sd AS DOUBLE), 4) END AS z
     FROM events e JOIN stats s ON e.event_type = s.event_type
     """,
 )
@@ -402,11 +403,17 @@ def q_grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = pdf["value"].to_numpy("float64")
         m = v.mean()
         sd = float(np.sqrt(((v - m) ** 2).mean()))
+        if sd == 0.0:  # constant group: z undefined, NULL on both sides
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            raw = (pdf["value"] - m) / sd
+            # half-away-from-zero to match SQL ROUND (np .round is half-even)
+            z = np.sign(raw) * np.floor(np.abs(raw) * 10**4 + 0.5) / 10**4
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "z": ((pdf["value"] - m) / sd).round(4),
+                "z": z,
             }
         )
 

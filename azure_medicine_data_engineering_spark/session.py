@@ -25,6 +25,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.shuffle.partitions": "32",
+    # Session-wide policy, declared here rather than flipped as a side effect
+    # inside table accessors: parquet INT64 TIMESTAMP(NANOS) columns (the
+    # events table) are read as raw nanos longs and truncated to micros by
+    # the reader (queries/registry.py:events_table). Spark 4 otherwise
+    # rejects the type outright (PARQUET_TYPE_ILLEGAL).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

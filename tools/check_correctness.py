@@ -45,7 +45,28 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             return v
         return v
     out = df.apply(lambda col: col.map(canon))
-    rows = sorted(out.itertuples(index=False, name=None), key=lambda r: tuple(str(x) for x in r))
+
+    # Sort on a representation-normalized key: floats that compare equal but
+    # print differently across engines (-0.0 vs 0.0, 1 vs 1.0) must land in
+    # the same position or the zipped row compare pairs wrong rows.
+    def sort_key(v):
+        if v is None:
+            return (0, "")
+        if isinstance(v, bool):
+            return (1, str(v))
+        if isinstance(v, (int, float)):
+            f = float(v) + 0.0  # -0.0 -> 0.0
+            if math.isnan(f):
+                return (2, "nan")
+            return (2, f"{f:.9e}")
+        if isinstance(v, tuple):
+            return (3, tuple(sort_key(x) for x in v))
+        return (4, str(v))
+
+    rows = sorted(
+        out.itertuples(index=False, name=None),
+        key=lambda r: tuple(sort_key(x) for x in r),
+    )
     return pd.DataFrame(rows, columns=out.columns)
 
 
