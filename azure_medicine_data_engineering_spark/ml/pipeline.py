@@ -101,6 +101,82 @@ def evaluate(model, test: DataFrame, feature_cols: list[str], label_col: str) ->
     )
 
 
+def sample_tree_configs(
+    n_configs: int = 50, seed: int = 42
+) -> list[dict[str, float]]:
+    """Seeded random draw of decision-tree hyperparameter configs (M7).
+
+    Matches the reference's hyperdrive search space and 50-run budget
+    (``README.md:697-703``: max_depth, min_samples_split,
+    min_impurity_decrease over a log range). Deterministic: same seed →
+    same config list on any machine (stdlib ``random.Random``, no numpy
+    platform drift)."""
+    import random
+
+    rng = random.Random(seed)
+    configs = []
+    for _ in range(n_configs):
+        configs.append(
+            {
+                "maxDepth": rng.randint(2, 12),
+                "minInstancesPerNode": rng.choice([1, 2, 3, 5, 7, 10, 15, 20]),
+                # log-uniform over [1e-6, 1e-2], like hyperdrive's loguniform
+                "minInfoGain": 10.0 ** rng.uniform(-6.0, -2.0),
+            }
+        )
+    return configs
+
+
+def random_search_tree(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_configs: int = 50,
+    seed: int = 42,
+):
+    """Random-search tuning (M7) over :func:`sample_tree_configs` draws via
+    ``TrainValidationSplit``. The reference used *Bayesian* hyperdrive
+    sampling; sequential Bayesian proposals serialize fitting, which defeats
+    Spark's parallel param-map evaluation — seeded random search keeps the
+    50-run budget and the search space while all candidates fit in parallel
+    (documented divergence; Bergstra & Bengio 2012 justify random search at
+    this budget). Returns ``(tvs_model, configs)``."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import Imputer, MinMaxScaler, VectorAssembler
+    from pyspark.ml.tuning import TrainValidationSplit
+
+    imputed = [f"{c}__imp" for c in feature_cols]
+    dt = DecisionTreeClassifier(labelCol=label_col, featuresCol="features", seed=seed)
+    pipe = Pipeline(
+        stages=[
+            Imputer(strategy="mean", inputCols=feature_cols, outputCols=imputed),
+            VectorAssembler(inputCols=imputed, outputCol="features_raw"),
+            MinMaxScaler(inputCol="features_raw", outputCol="features"),
+            dt,
+        ]
+    )
+    configs = sample_tree_configs(n_configs, seed)
+    param_maps = [
+        {
+            dt.maxDepth: c["maxDepth"],
+            dt.minInstancesPerNode: c["minInstancesPerNode"],
+            dt.minInfoGain: c["minInfoGain"],
+        }
+        for c in configs
+    ]
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=param_maps,
+        evaluator=BinaryClassificationEvaluator(labelCol=label_col),
+        trainRatio=0.75,
+        seed=seed,
+        parallelism=4,
+    )
+    return tvs.fit(train), configs
+
+
 def grid_search_tree(
     train: DataFrame,
     feature_cols: list[str],

@@ -1,0 +1,87 @@
+"""Fuzzy-dedup recall validation: planted near-duplicates at graded
+similarity levels must be recalled by MinHash-LSH (k=8, bands=4 → rows=2) at
+the rate the banding S-curve predicts: P(candidate | jaccard=s) = 1-(1-s²)⁴.
+
+The probability is over document content (the hash family is fixed and
+deterministic), so we plant many independent pairs per mutation level and
+compare the empirical candidate rate against the mean theoretical hit
+probability computed from each pair's *measured* shingle Jaccard.
+"""
+
+import random
+
+import pytest
+
+from azure_medicine_data_engineering_spark.operators import dedup
+
+K, BANDS = 8, 4
+ROWS = K // BANDS
+N_PAIRS = 120
+MUTATION_LEVELS = [0.02, 0.1, 0.2, 0.35, 0.6]
+TOLERANCE = 0.18  # ~4σ at 120 pairs/level
+
+
+def _theory(s: float) -> float:
+    return 1.0 - (1.0 - s**ROWS) ** BANDS
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(20260813)
+    vocab = [f"tok{i}" for i in range(4000)]
+    rows, pairs = [], []
+    pid = 0
+    for mut_frac in MUTATION_LEVELS:
+        for _ in range(N_PAIRS):
+            base = [rng.choice(vocab) for _ in range(60)]
+            dup = list(base)
+            for p in rng.sample(range(60), int(60 * mut_frac)):
+                dup[p] = rng.choice(vocab)
+            rows.append((pid, " ".join(base)))
+            rows.append((pid + 1, " ".join(dup)))
+            pairs.append((pid, pid + 1, mut_frac))
+            pid += 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pair_df = spark.createDataFrame(
+        [(a, b) for a, b, _ in pairs], "id_a long, id_b long"
+    )
+    candidates = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs, k=K, bands=BANDS).collect()
+    }
+    jaccard = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, pair_df).collect()
+    }
+    return pairs, candidates, jaccard
+
+
+def test_recall_matches_banding_s_curve(planted):
+    pairs, candidates, jaccard = planted
+    for mut_frac in MUTATION_LEVELS:
+        level = [(a, b) for a, b, m in pairs if m == mut_frac]
+        empirical = sum((a, b) in candidates for a, b in level) / len(level)
+        expected = sum(_theory(jaccard[(a, b)]) for a, b in level) / len(level)
+        assert abs(empirical - expected) <= TOLERANCE, (
+            f"mut={mut_frac}: empirical recall {empirical:.3f} vs "
+            f"S-curve {expected:.3f}"
+        )
+
+
+def test_recall_is_monotone_in_similarity(planted):
+    pairs, candidates, _ = planted
+    rates = []
+    for mut_frac in MUTATION_LEVELS:  # increasing mutation → decreasing sim
+        level = [(a, b) for a, b, m in pairs if m == mut_frac]
+        rates.append(sum((a, b) in candidates for a, b in level) / len(level))
+    assert rates[0] > 0.95  # near-identical docs must be caught
+    assert all(a >= b - 0.05 for a, b in zip(rates, rates[1:]))  # monotone-ish
+
+
+def test_high_similarity_pairs_survive_verification(planted):
+    pairs, candidates, jaccard = planted
+    # every candidate pair with verified jaccard >= 0.8 would be kept by the
+    # end-to-end dedup at threshold 0.8 — and none are false positives
+    strong = [(a, b) for a, b, m in pairs if m == MUTATION_LEVELS[0]]
+    caught = [p for p in strong if p in candidates]
+    assert all(jaccard[p] >= 0.8 for p in caught)

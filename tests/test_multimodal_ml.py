@@ -37,6 +37,34 @@ def test_hash_split_deterministic_and_disjoint(spark):
     assert tr1.join(te1, "k").count() == 0
 
 
+def test_random_search_configs_budget_and_determinism():
+    from azure_medicine_data_engineering_spark.ml.pipeline import sample_tree_configs
+
+    a = sample_tree_configs(50, seed=42)
+    b = sample_tree_configs(50, seed=42)
+    assert len(a) >= 50  # reference hyperdrive budget (README.md:697-703)
+    assert a == b  # deterministic under seed
+    assert sample_tree_configs(50, seed=7) != a  # seed actually drives draws
+    for c in a:
+        assert 2 <= c["maxDepth"] <= 12
+        assert c["minInstancesPerNode"] in {1, 2, 3, 5, 7, 10, 15, 20}
+        assert 1e-6 <= c["minInfoGain"] <= 1e-2
+
+
+def test_random_search_fits_and_selects(spark):
+    from azure_medicine_data_engineering_spark.ml.pipeline import random_search_tree
+
+    df = spark.range(300).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 5).cast("double").alias("noise"),
+        (F.col("id") > 150).cast("double").alias("label"),
+    )
+    model, configs = random_search_tree(df, ["x", "noise"], "label", n_configs=3)
+    assert len(configs) == 3
+    assert len(model.validationMetrics) == 3
+    assert max(model.validationMetrics) > 0.9  # separable data
+
+
 def test_decision_tree_pipeline(spark):
     from azure_medicine_data_engineering_spark.ml.pipeline import (
         evaluate,
