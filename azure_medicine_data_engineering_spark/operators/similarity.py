@@ -143,17 +143,20 @@ def ivf_knn_topk(
     query_ids: list[int],
     k: int = 10,
     n_clusters: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-bucketed ANN: queries only search their own coarse cluster
-    (nprobe=1). Recall is approximate by design; at scale the corpus is
-    pre-partitioned by cluster so each query touches 1/k of the data.
+    """IVF-bucketed ANN: each query searches its ``nprobe`` nearest coarse
+    clusters (the standard IVF recall knob — nprobe=1 is fastest, nprobe=k
+    degenerates to exact search). Recall is approximate by design; at scale
+    the corpus is pre-partitioned by cluster so each query touches
+    nprobe/n_clusters of the data.
 
     The assigned frame (corpus × nearest cluster) is persisted: both the
-    query-side filter and the corpus-side join read it, and without the
-    persist Catalyst re-derives the whole centroid + assignment lineage
-    (posexplode → 2×groupBy → window) once per consumer — the same
+    query-side filter (nprobe=1) and the corpus-side join read it, and
+    without the persist Catalyst re-derives the whole centroid + assignment
+    lineage (posexplode → 2×groupBy → window) once per consumer — the same
     materialize-before-self-join rule as the MinHash shingle cache
     (dedup.minhash_lsh_near_dupes). At 100 TB the equivalent is writing the
     assignment table before fan-out."""
@@ -161,11 +164,40 @@ def ivf_knn_topk(
 
     cents = ivf_centroids(df, n_clusters, id_col, vec_col)
     assigned = ivf_assign(df, cents, id_col, vec_col).persist()
-    queries = assigned.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.col("cluster").alias("_qcluster"),
-    )
+    if nprobe <= 1:
+        queries = assigned.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.col("cluster").alias("_qcluster"),
+        )
+    else:
+        # score each query vector against every centroid, keep top-nprobe;
+        # one probe row per (query, cluster) — the corpus join below then
+        # pulls candidates from all probed clusters
+        scored_q = (
+            df.where(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "query_id",
+                "_qvec",
+                "cluster",
+                F.round(
+                    cosine(as_double_array(F.col("_qvec")), F.col("centroid")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("_psim"),
+            )
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_psim").desc(), F.col("cluster")
+        )
+        queries = (
+            scored_q.withColumn("_prn", F.row_number().over(wq))
+            .where(F.col("_prn") <= nprobe)
+            .select("query_id", "_qvec", F.col("cluster").alias("_qcluster"))
+        )
     sim = (
         assigned.join(
             F.broadcast(queries),

@@ -36,11 +36,15 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: One token per letter run, digit run, or single punctuation mark — a cheap
+#: subword proxy. Counting matches (not splitting with lookarounds) keeps the
+#: pattern expressible in RE2 engines (DuckDB oracle) as well as Java regex.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-flavored token estimate: splits on whitespace AND on
-    letter/digit/punctuation boundaries (a cheap proxy for subword counts)."""
-    pieces = F.split(text, r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])")
-    return F.size(F.filter(pieces, lambda x: x != F.lit("")))
+    """BPE-flavored token estimate (see :data:`BPE_ISH_PATTERN`)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
 
 
 def avg_token_length(text: Column) -> Column:

@@ -424,14 +424,12 @@ def q_grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRED_ORACLE = """
     WITH per_user AS (
       SELECT user_id,
-             ROUND(CAST(
-               ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2)
+             CAST(ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2)
                  / COUNT(CASE WHEN event_type = 'click' THEN value END)
-               AS DOUBLE), 4) AS click_v,
-             ROUND(CAST(
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2)
+               AS DOUBLE) AS click_v,
+             CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2)
                  / COUNT(CASE WHEN event_type = 'purchase' THEN value END)
-               AS DOUBLE), 4) AS purchase_v
+               AS DOUBLE) AS purchase_v
       FROM events GROUP BY user_id
     )
     SELECT 'click_vs_purchase' AS hypothesis,
@@ -450,10 +448,13 @@ def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation test on the per-user differences.
 
     Oracle contract mirrors ``permutation_tests_by_event_type``: pair count
-    and the sum of per-user differences are exact SQL (per-user means
-    convention-rounded to 4 so both engines see identical pair values before
-    summing); the seeded p-value exports its estimator invariants as
-    ``p_valid``. Exact p-values pinned in tests/test_stats.py."""
+    and the sum of per-user differences are exact SQL. The per-user means are
+    ``round(sum,2)/count`` with NO further rounding: the decimal-recovered
+    sums are bit-identical doubles on both engines, so the division is too —
+    whereas rounding each small-count mean to 4 decimals hits exact .00005
+    ties that Spark and DuckDB break differently (observed at sf0.1). Only
+    the final pair-sum is rounded. The seeded p-value exports its estimator
+    invariants as ``p_valid``; exact p-values pinned in tests/test_stats.py."""
     from azure_medicine_data_engineering_spark.functions.stats import (
         paired_permutation_test_grouped,
     )
@@ -463,7 +464,7 @@ def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _stable_avg(event_type: str):
         v = F.when(F.col("event_type") == event_type, F.col("value"))
-        return F.round((F.round(F.sum(v), 2) / F.count(v)).cast("double"), 4)
+        return (F.round(F.sum(v), 2) / F.count(v)).cast("double")
 
     per_user = ev.groupBy("user_id").agg(
         _stable_avg("click").alias("click_v"),

@@ -395,6 +395,97 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8)
 
 
+@register(
+    "embedding_ivf_nprobe2",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cluster),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cluster,
+             ROUND(CAST({_COS_AB.format(a='e.v', b='c.centroid')} AS DOUBLE), 6) AS c_sim
+      FROM e, carr c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cluster) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cluster AS qc FROM scored
+      WHERE vec_id < 5
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cluster) <= 2
+    )
+    SELECT p.query_id, b.vec_id AS neighbor_id,
+           ROUND(CAST({_COS_AB.format(a='b.v', b='p.qv')} AS DOUBLE), 4) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY p.query_id
+                ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='p.qv')} AS DOUBLE), 4) DESC,
+                         b.vec_id) AS INT) AS rnk
+    FROM assigned b JOIN probes p ON b.cluster = p.qc AND b.vec_id <> p.query_id
+    QUALIFY rnk <= 10
+    """,
+)
+def q_embedding_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 — the recall knob: each query searches its two
+    nearest coarse clusters (2/8 of the corpus), trading 2x candidate work
+    for recall on queries near cluster boundaries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8, nprobe=2
+    )
+
+
+@register(
+    "embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE bucketed AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(12),
+                  i -> CASE WHEN embedding[i + 1] > 0
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    near AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(CAST({_COS} AS DOUBLE), 4) > 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM near
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    mins AS (SELECT src AS id, MIN(dst) AS mr FROM reach GROUP BY src)
+    SELECT LEAST(v.vec_id, COALESCE(m.mr, v.vec_id)) AS cluster_id,
+           v.vec_id,
+           v.vec_id = LEAST(v.vec_id, COALESCE(m.mr, v.vec_id)) AS is_representative
+    FROM embeddings v LEFT JOIN mins m ON v.vec_id = m.id
+    """,
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup end-to-end: sign-grid LSH pairs at
+    cosine > 0.9 resolved into keep/drop clusters by the same connected-
+    components operator as the text path — the full modality-agnostic dedup
+    story (pairs → components → representative)."""
+    from azure_medicine_data_engineering_spark.operators import clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.bucketed_near_pairs(emb, threshold=0.9, bits=12)
+    return clusters.dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id", threshold=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF surface (Spark 4): table function expanding each document into
 # its leading tokens via LATERAL join.
@@ -515,6 +606,37 @@ def q_hash_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_sampled"),
         F.min("doc_id").cast("long").alias("min_id"),
+    )
+
+
+@register(
+    "token_count_report",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS.format(t='text')}) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+             AS n_tokens_bpe,
+           ROUND(CAST(length(text) / nullif(
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0)
+                 AS DOUBLE), 4) AS chars_per_bpe_token
+    FROM documents
+    """,
+)
+def q_token_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens plus the
+    BPE-ish subword estimate (letter runs / digit runs / punctuation marks)
+    and chars-per-token — all JVM-side column expressions."""
+    from azure_medicine_data_engineering_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    bpe = T.bpe_ish_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("int").alias("n_tokens_ws"),
+        bpe.cast("int").alias("n_tokens_bpe"),
+        F.round(
+            (F.length("text") / F.nullif(bpe, F.lit(0))).cast("double"), 4
+        ).alias("chars_per_bpe_token"),
     )
 
 
