@@ -61,3 +61,43 @@ def test_lsh_join_is_hash_not_nested_loop(spark, queries):
     plan = plan_of(queries["minhash_lsh_dedup"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_lineage_is_shared(spark, queries):
+    """The IVF centroid+assignment lineage must stay persisted: both
+    consumers read one InMemoryRelation (same cache id), and the only
+    nested-loop join is the tiny broadcast-centroid cross join. A regression
+    re-derives the posexplode->2xgroupBy pipeline per consumer (14 exchanges
+    instead of ~4 — the round-1 plan bug)."""
+    import re
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.explain_audit import audit
+
+    plan = plan_of(queries["embedding_ivf_topk"](spark, SF))
+    assert "InMemoryTableScan" in plan
+    # each consumer prints its own InMemoryRelation wrapper, but the cached
+    # subtree underneath must be THE SAME plan (shared node ids)
+    inner_ids = set(
+        re.findall(r"InMemoryRelation \(\d+\)\s*\n\s*\+- \w+ \((\d+)\)", plan)
+    )
+    assert len(inner_ids) == 1  # one shared cached subtree, not copies
+    info = audit("embedding_ivf_topk", plan)
+    assert info["exchanges"] <= 5
+    assert info["nested_loop"] <= 1  # centroid cross join only
+    assert info["scans"] <= 2
+
+
+def test_volume_shipping_join_strategy(spark, queries):
+    """Q7 shape: dims broadcast; only the two fact-to-fact joins may shuffle."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.explain_audit import audit
+
+    plan = plan_of(queries["volume_shipping_nation_pairs"](spark, SF))
+    info = audit("volume_shipping_nation_pairs", plan)
+    assert info["broadcast_joins"] >= 3  # supplier + nation x2 at minimum
+    assert info["nested_loop"] == 0
+    assert info["single_partition"] == 0

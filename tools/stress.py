@@ -102,8 +102,16 @@ def main() -> None:
     rep.collect()
     timings["quality_report"] = round(time.time() - t0, 2)
     t0 = time.time()
-    n_pairs = dedup.minhash_dedup_pairs(docs, k=8, bands=4).count()
+    pairs = dedup.minhash_dedup_pairs(docs, k=8, bands=4).persist()
+    n_pairs = pairs.count()
     timings["minhash_lsh_dedup"] = round(time.time() - t0, 2)
+
+    from azure_medicine_data_engineering_spark.operators import clusters
+
+    t0 = time.time()
+    cc = clusters.dedup_clusters(docs.select("doc_id"), pairs, threshold=0.5)
+    n_dropped = cc.where(~F.col("is_representative")).count()
+    timings["dedup_clusters"] = round(time.time() - t0, 2)
 
     print(
         json.dumps(
@@ -111,6 +119,7 @@ def main() -> None:
                 "replication": REPL,
                 "lineitem_rows": n_li,
                 "minhash_candidate_pairs": n_pairs,
+                "dedup_dropped_docs": n_dropped,
                 "timings_sec": timings,
             }
         )
