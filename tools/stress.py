@@ -49,6 +49,10 @@ def main() -> None:
             "spark.sql.shuffle.partitions": "64",
             "spark.ui.enabled": "false",
             "spark.sql.files.maxPartitionBytes": "8m",
+            # local mode defaults to a 1g driver JVM — marginal for 10x
+            # in-memory replication + persisted pair frames (broadcast
+            # builds OOM intermittently); the box has plenty
+            "spark.driver.memory": "16g",
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
