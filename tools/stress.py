@@ -117,6 +117,28 @@ def main() -> None:
     n_dropped = cc.where(~F.col("is_representative")).count()
     timings["dedup_clusters"] = round(time.time() - t0, 2)
 
+    # pathological skew: 80% of the fact rows share ONE join key. Three
+    # strategies over the same data — AQE skew-join handles the plain path,
+    # salting spreads the hot key explicitly, and the comparison shows
+    # neither serializes on a single reducer.
+    from azure_medicine_data_engineering_spark.operators.joins import salted_join
+
+    hot = orders.withColumn(
+        "o_custkey",
+        F.when(F.rand(7) < 0.8, F.lit(1)).otherwise(F.col("o_custkey")),
+    ).persist()
+    hot.count()
+    agg = lambda j: j.groupBy("c_mktsegment").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev")
+    )
+    cust_k = customer.withColumnRenamed("c_custkey", "o_custkey")
+    run("skew_join_aqe", agg(hot.join(cust_k, "o_custkey")))
+    run(
+        "skew_join_salted",
+        agg(salted_join(hot, cust_k, "o_custkey", salt_factor=16, how="inner")),
+    )
+    hot.unpersist()
+
     print(
         json.dumps(
             {
