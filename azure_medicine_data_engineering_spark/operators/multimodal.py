@@ -83,6 +83,17 @@ def png_decode(payload: bytes) -> tuple[int, int, float]:
     Supports 8-bit depth, non-interlaced, any color type (grayscale/RGB/
     palette-index/alpha variants; palette indices are averaged as stored).
     """
+    width, height, channels, samples = png_decode_pixels(payload)
+    n_samples = len(samples)
+    # half-away-from-zero to match SQL ROUND (Python round is half-even)
+    mean = int(sum(samples) / (n_samples * 255.0) * 10**4 + 0.5) / 10**4
+    return width, height, mean
+
+
+def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full decode to raw samples: (width, height, channels, defiltered
+    sample bytes row-major). The stats decoder and the resize operator both
+    build on this."""
     import struct
     import zlib
 
@@ -117,7 +128,7 @@ def png_decode(payload: bytes) -> tuple[int, int, float]:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
-    total = 0
+    out = bytearray()
     prev = bytearray(stride)
     i = 0
     for _ in range(height):
@@ -142,12 +153,25 @@ def png_decode(payload: bytes) -> tuple[int, int, float]:
                 line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown filter type {ftype}")
-        total += sum(line)
+        out += line
         prev = line
-    n_samples = height * stride
-    # half-away-from-zero to match SQL ROUND (Python round is half-even)
-    mean = int(total / (n_samples * 255.0) * 10**4 + 0.5) / 10**4
-    return width, height, mean
+    return width, height, channels, bytes(out)
+
+
+def png_resize_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a grayscale PNG, returning a new PNG:
+    output pixel (i, j) samples source (i*h // out_h, j*w // out_w). Pure
+    integer index math so any engine can replicate the sampled positions."""
+    w, h, channels, px = png_decode_pixels(payload)
+    if channels != 1:
+        raise ValueError("resize implemented for grayscale PNGs")
+    resized = bytearray(out_w * out_h)
+    for i in range(out_h):
+        src_r = i * h // out_h
+        row_base = src_r * w
+        for j in range(out_w):
+            resized[i * out_w + j] = px[row_base + j * w // out_w]
+    return png_encode_gray(out_w, out_h, bytes(resized))
 
 
 def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
@@ -240,6 +264,28 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.unhex(F.md5(F.col(text_col))).alias("payload"),
     ).withColumn("byte_len", F.length("payload").cast("int"))
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize PNG payloads via Arrow-batched ``mapInPandas`` (decode →
+    nearest-neighbor resample → re-encode); same schema in and out, so
+    resize stages compose with decode/feature stages. No shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [png_resize_nearest(p, out_w, out_h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "byte_len": [len(p) for p in resized],
+                }
+            )
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def decode_media(

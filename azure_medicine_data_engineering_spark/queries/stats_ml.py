@@ -341,6 +341,49 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize_png",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             4 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 13 AS w,
+             4 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 11 AS h
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(8 AS INT) AS width,
+           CAST(6 AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(48),
+                 idx -> CAST(('0x' || substr(hex,
+                       (((((idx // 8) * h) // 6) * w + (((idx % 8) * w) // 8)) % 16) * 2 + 1,
+                       2)) AS INT)))
+                 / (48 * 255.0) AS DOUBLE), 4) AS mean_intensity
+    FROM d
+    """,
+)
+def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable media stages: PNG payloads → nearest-neighbor resize to
+    8x6 (decode, integer-index resample, re-encode — all inside one Arrow
+    batch pass) → decode stats. The oracle recomputes every sampled pixel
+    position from the md5-derived source image, so the resample geometry
+    and the re-encode round-trip must both be exact."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media,
+        real_decode,
+        resize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_png_payload(docs, "doc_id", "text")
+    small = resize_media(media, 8, 6)
+    return decode_media(small, decode_fn=real_decode).select(
+        "media_id", "media_type", "width", "height", "mean_intensity"
+    )
+
+
 @register("streaming_interval_join", _O["interval_join_click_purchase_counts"])
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_medicine_data_engineering_spark.streaming.windows import (

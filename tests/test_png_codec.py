@@ -125,3 +125,27 @@ def test_real_decode_dispatches_png():
     assert real_decode(payload) == (3, 3, _expected_mean(bytes([9] * 9)))
     with pytest.raises(NotImplementedError):
         real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_resize_nearest_identity_and_geometry():
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_resize_nearest,
+    )
+
+    pixels = bytes(range(48))  # 8x6
+    payload = png_encode_gray(8, 6, pixels)
+    # 1:1 resize is the identity
+    same = png_resize_nearest(payload, 8, 6)
+    assert png_decode_pixels(same)[3] == pixels
+    # 2x downscale samples even rows/cols (nearest with floor indexing)
+    half = png_resize_nearest(payload, 4, 3)
+    w, h, ch, px = png_decode_pixels(half)
+    assert (w, h, ch) == (4, 3, 1)
+    expected = bytes(
+        pixels[(i * 6 // 3) * 8 + (j * 8 // 4)] for i in range(3) for j in range(4)
+    )
+    assert px == expected
+    # upscale replicates pixels, never interpolates new values
+    big = png_decode_pixels(png_resize_nearest(payload, 16, 12))[3]
+    assert set(big) <= set(pixels)
