@@ -252,6 +252,85 @@ def minhash_dedup_pairs(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    cache: bool = True,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 60-bit sketches banded into ``bands``
+    equal bit-chunks; docs sharing any chunk are candidates, verified by
+    exact Hamming distance (``bit_count(xor)``).
+
+    Recall is EXACT (not approximate) when ``max_hamming < bands``: by
+    pigeonhole, <= max_hamming differing bits can touch at most max_hamming
+    chunks, so at least one chunk is identical and the banded join finds
+    every qualifying pair. The verification filter removes band collisions
+    above the threshold, so the output equals the brute-force O(n^2) answer
+    while the plan is one sketch pass + a shuffle on (band, chunk) with
+    bucket-local pairing — the same scale shape as MinHash-LSH
+    (lsh_candidate_pairs above); re-expresses the near-dup intent of the
+    reference's distinct-based dedup (fl_aud.R:21 unique()) at corpus scale.
+
+    The sketch frame is computed once and persisted — both self-join sides
+    reuse it (sketching is the expensive per-row md5 work; at 100 TB the
+    equivalent is materializing the sketch table before the self-join).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"exact recall needs max_hamming < bands (got {max_hamming} >= {bands})"
+        )
+    if 60 % bands:
+        raise ValueError(f"bands must divide 60 (got {bands})")
+    width = 60 // bands
+    mask = (1 << width) - 1
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    sk = ensure_parallelism(df).select(
+        F.col(id_col), simhash60(F.col(text_col)).alias("simhash")
+    )
+    if cache:
+        sk = sk.persist()
+    banded = sk.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -293,6 +293,34 @@ def q_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dedup.simhash60(F.col("text")).alias("simhash"))
 
 
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform({_TOKS.format(t=_NORM_TEXT)}, t -> {_HASH60.format(x='t')}) AS hs
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(60),
+                  b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, banded (never O(n^2) in Spark) but with
+    provably exact recall at hamming <= 3 / 4 bands — so the brute-force
+    all-pairs DuckDB oracle is an equality check, not an approximation."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (ANN baseline) + sign-grid LSH near-pairs.
 # ---------------------------------------------------------------------------

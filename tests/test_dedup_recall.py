@@ -11,6 +11,7 @@ probability computed from each pair's *measured* shingle Jaccard.
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from azure_medicine_data_engineering_spark.operators import dedup
 
@@ -85,3 +86,41 @@ def test_high_similarity_pairs_survive_verification(planted):
     strong = [(a, b) for a, b, m in pairs if m == MUTATION_LEVELS[0]]
     caught = [p for p in strong if p in candidates]
     assert all(jaccard[p] >= 0.8 for p in caught)
+
+
+def test_simhash_near_pairs_equals_brute_force(spark):
+    # banding (4 chunks of 15 bits) must have EXACT recall at hamming <= 3:
+    # the banded operator's output equals the brute-force all-pairs answer.
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(50)]
+        rows.append((2 * i, " ".join(base)))
+        dup = list(base)
+        for p in rng.sample(range(50), rng.choice([0, 0, 1, 2])):
+            dup[p] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(dup)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    sk = {r.doc_id: r.simhash for r in docs.select(
+        "doc_id", dedup.simhash60(F.col("text")).alias("simhash")).collect()}
+    ids = sorted(sk)
+    want = {
+        (a, b, bin(sk[a] ^ sk[b]).count("1"))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if bin(sk[a] ^ sk[b]).count("1") <= 3
+    }
+    assert got == want
+    assert want, "fixture must plant at least one near pair"
+
+
+def test_simhash_near_pairs_rejects_bad_params():
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(None, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(None, bands=7)
