@@ -722,3 +722,328 @@ def q_volume_shipping_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region for one part type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_share_by_year",
+    """
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+                 / ROUND(SUM(volume), 2) AS DOUBLE), 4) AS mkt_share,
+           ROUND(CAST(SUM(volume) AS DOUBLE), 4) AS total_volume
+    FROM base GROUP BY o_year
+    """,
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): region-pruned customer side,
+    part-type-pruned lineitem side, supplier nation re-looked-up, then a
+    conditional-aggregation ratio per year. At 100 TB the two fact joins
+    (lineitem⋈orders, orders⋈customer) shuffle on their keys once; all five
+    dimensions broadcast. The share divides ROUND(SUM,2)-stabilized sums so
+    both engines divide bit-identical numerators (CLAUDE.md convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    base = (
+        li.join(F.broadcast(p.where(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            (
+                F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)), 2)
+                / F.round(F.sum("volume"), 2)
+            ).cast("double"),
+            4,
+        ).alias("mkt_share"),
+        F.round(F.sum("volume").cast("double"), 4).alias("total_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit proxy by supplier nation and year for a part family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)
+                          - 0.1 * p.p_retailprice * l.l_quantity) AS DOUBLE), 4) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): substring-filtered part family,
+    profit = revenue minus a 10%-of-retail cost proxy (testdata has no
+    partsupp.ps_supplycost), rolled up by supplier nation × order year.
+    One fact-fact shuffle (lineitem⋈orders); part/supplier/nation broadcast;
+    the LIKE prunes the broadcast side before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(p.where(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit).cast("double"), 4).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: parts whose revenue exceeds a global-threshold scalar.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "important_parts_by_value",
+    """
+    WITH pv AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 4) AS part_value
+    FROM pv
+    WHERE val > (SELECT 0.002 * SUM(val) FROM pv)
+    """,
+)
+def q_important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-key aggregate filtered against
+    a scalar subquery over the same aggregate. Spark plan: one shuffle for
+    the groupBy, then a 1-row global agg cross-joined back (broadcast) as the
+    threshold — the aggregated frame is computed once and reused via cache
+    so the scan and shuffle don't run twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
+        .persist()
+    )
+    thr = pv.agg((F.lit(0.002) * F.sum("val")).alias("thr"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .where(F.col("val") > F.col("thr"))
+        .select("l_partkey", F.round(F.col("val").cast("double"), 4).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH agg AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(l.l_extendedprice) / 7.0 AS DOUBLE), 4) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN agg a  ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < a.half_avg
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): correlated scalar subquery
+    (per-part average quantity) rewritten as aggregate-then-rejoin — the
+    standard decorrelation Spark's optimizer would produce. l_quantity is
+    integer-valued, so AVG = exact-sum/count is bit-identical across engines
+    and the `< 0.5*avg` gate cannot tie-break differently."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(
+            F.broadcast(p.where(F.col("p_brand") == "Brand#11")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(agg, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round((F.sum("l_extendedprice") / 7.0).cast("double"), 4).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: customers with very large total-quantity orders.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "big_basket_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 4) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_big_basket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over a grouped-HAVING
+    subquery → left-semi join against the qualifying order keys. The big-
+    basket key set is tiny at any scale (top ~0.5% of orders), so it
+    broadcasts into both the orders and lineitem probes; quantity sums are
+    integer-valued doubles → CAST BIGINT is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 300)
+        .select(F.col("l_orderkey").alias("big_key"))
+        .persist()
+    )
+    return (
+        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who alone shipped late on multi-supplier orders.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "waiting_supplier_ranking",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def q_waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    testdata's columns: late = shipped >90 days after the order date of a
+    finalized order (no commit/receipt dates in this schema). EXISTS →
+    left-semi join (another supplier participated), NOT EXISTS → left-anti
+    join (no OTHER supplier was late on that order). Both probe sides are
+    keyed on l_orderkey, so at 100 TB each is one shuffle; the late set is
+    computed once and cached for its self-anti-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            o.where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .persist()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    with_other = late.alias("l1").join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("o2_key")) & (F.col("l1.l_suppkey") != F.col("s2_key")),
+        "left_semi",
+    )
+    sole_late = with_other.alias("a").join(
+        late.select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")),
+        (F.col("a.l_orderkey") == F.col("o3_key")) & (F.col("a.l_suppkey") != F.col("s3_key")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
