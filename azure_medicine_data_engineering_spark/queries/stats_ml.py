@@ -384,6 +384,24 @@ def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(e.value) AS DOUBLE), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_static_enrich,
+    )
+
+    return streaming_static_enrich(spark, sf_dir)
+
+
 @register("streaming_interval_join", _O["interval_join_click_purchase_counts"])
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_medicine_data_engineering_spark.streaming.windows import (

@@ -134,6 +134,25 @@ def streaming_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the static
+    customer dimension (broadcast — re-read per micro-batch, never shuffled),
+    then aggregated by (segment, event_type).
+
+    This is the canonical streaming-dimension pattern at scale: the static
+    side is planned as a broadcast hash join inside every micro-batch, so an
+    unbounded stream enriches against a slowly-changing table with zero
+    stream-side state beyond the aggregation itself."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+    )
+    return run_to_memory(agg, "stream_static_enrich")
+
+
 def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental twin of ``events_sliding_1h_30m`` — same builder as the
     batch query."""
