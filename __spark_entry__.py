@@ -27,6 +27,7 @@ from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     quality,
     relational,
     relational2,
+    sketches,
     sql_surface,
     stats_ml,
     text_dedup,

@@ -1,0 +1,157 @@
+"""Mergeable distinct-count sketches (deterministic HyperLogLog).
+
+Scale extension of the reference's distinct counting (countDistinct in
+``UTILS/utils.scala:78-96`` summaries; SURVEY §2 A11/A12): at 100 TB an
+exact COUNT(DISTINCT) over a high-cardinality key is a full shuffle of the
+key universe, while an HLL register table is a fixed ``m``-row state per
+group that merges with MAX — the partial-aggregate shape Spark pushes
+map-side automatically.
+
+Unlike ``approx_count_distinct`` (whose HLL++ register layout is a Spark
+implementation detail), this sketch is DETERMINISTIC AND ENGINE-PORTABLE:
+
+- register index  = low ``b`` bits of a 60-bit md5-derived hash;
+- rho             = leading-zero count of the remaining ``R = 60 - b`` bits
+                    plus one, computed as ``R + 1 - bit_length(w)`` where
+                    ``bit_length(w) = length(bin(w))`` — Spark's ``bin`` and
+                    DuckDB's ``bin`` both print without leading zeros, so the
+                    value is identical in both engines;
+- the harmonic sum ``Σ 2^-M[j]`` is accumulated as the INTEGER
+  ``S = Σ 2^(R + 1 - M[j])`` (exponent = bit_length, ≤ 2^(R+1) per term, ≤
+  m·2^(R+1) ≤ 2^61 total — exact in int64, so summation order cannot change
+  the result the way a floating-point fold could);
+- estimate        = alpha_m·m²·2^(R+1) / S, with the standard linear-counting
+  branch ``m·ln(m/zeros)`` when the raw estimate ≤ 2.5·m and empty registers
+  remain.
+
+Every step is exactly reproducible in ANSI SQL, so the sketch estimate
+passes the bit-exact oracle gate instead of a weaker rows-only contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_numerator(b: int) -> float:
+    """alpha_m · m² · 2^(R+1) as one double constant — embedding the same
+    literal in the Spark plan and the oracle SQL keeps the division
+    bit-identical (no associativity drift between engines)."""
+    m = 1 << b
+    return _alpha(m) * m * m * float(1 << (61 - b))
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, b: int = 8
+) -> DataFrame:
+    """Per-(group, register) MAX-rho state — the mergeable sketch.
+
+    One shuffle on (group, bucket); map-side partial MAX makes the reduce
+    input at most ``m`` rows per group per task regardless of data volume.
+    Two register frames over disjoint data merge by unioning and re-MAXing
+    (see ``hll_merge``) — the property that makes sketches cheap to
+    combine across partitions, days, or tables.
+    """
+    m = 1 << b
+    R = 60 - b
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.shiftrightunsigned(h, b)
+    bit_length = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    return (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            (F.lit(R + 1) - bit_length).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two register tables (union + MAX): sketch(A ∪ B)."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], b: int = 8) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    The harmonic sum is integer-exact (see module docstring); only the final
+    one-per-group division/log touches floating point, and both are written
+    identically in the oracle SQL."""
+    m = 1 << b
+    R = 60 - b
+    term = F.pow(F.lit(2.0), F.lit(R + 1) - F.col("reg")).cast("long")
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(term).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    s_total = F.col("s_present") + zeros * F.lit(1 << (R + 1))
+    raw = F.lit(hll_numerator(b)) / s_total
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols, F.round(est.cast("double"), 4).alias("hll_estimate")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, b: int = 8
+) -> DataFrame:
+    """End-to-end: group → HLL distinct estimate of ``value_col``."""
+    return hll_estimate(hll_registers(df, group_cols, value_col, b), group_cols, b)
+
+
+def hll_oracle_sql(
+    table: str, group_col: str, value_col: str, b: int = 8
+) -> str:
+    """DuckDB replica of the sketch pipeline (shared constants, so the Spark
+    and oracle sides cannot drift)."""
+    m = 1 << b
+    R = 60 - b
+    numerator = repr(hll_numerator(b))
+    return f"""
+    WITH h AS (
+      SELECT {group_col} AS grp,
+             CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM {table}
+    ),
+    reg AS (
+      SELECT grp, h & {m - 1} AS bucket,
+             MAX(CASE WHEN (h >> {b}) = 0 THEN {R + 1}
+                 ELSE {R + 1} - length(bin(h >> {b})) END) AS reg
+      FROM h GROUP BY grp, bucket
+    ),
+    agg AS (
+      SELECT grp, COUNT(*) AS n_present,
+             SUM(CAST(power(2.0, {R + 1} - reg) AS BIGINT)) AS s_present
+      FROM reg GROUP BY grp
+    ),
+    est AS (
+      SELECT grp,
+             {numerator} / (s_present + ({m} - n_present) * {1 << (R + 1)}) AS raw,
+             {m} - n_present AS zeros
+      FROM agg
+    )
+    SELECT grp AS {group_col},
+           ROUND(CAST(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                      THEN {float(m)} * ln({float(m)} / zeros)
+                      ELSE raw END AS DOUBLE), 4) AS hll_estimate
+    FROM est
+    """

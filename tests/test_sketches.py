@@ -1,0 +1,61 @@
+"""Deterministic-HLL properties: mergeability (the reason sketches exist at
+scale) and accuracy within the theoretical error bound."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.functions import sketches
+
+B = 8
+M = 1 << B
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # 3000 distinct ids across 2 groups, duplicated 3x — duplicates must not
+    # move the estimate
+    base = spark.range(3000).select(
+        (F.col("id") % 2).cast("string").alias("grp"), F.col("id").alias("v")
+    )
+    return base.unionAll(base).unionAll(base)
+
+
+def test_estimate_within_hll_error_bound(spark, people):
+    est = {
+        r.grp: r.hll_estimate
+        for r in sketches.hll_distinct(people, ["grp"], "v", b=B).collect()
+    }
+    for grp, n_true in [("0", 1500), ("1", 1500)]:
+        rel_err = abs(est[grp] - n_true) / n_true
+        assert rel_err < 3 * 1.04 / (M**0.5), (grp, est[grp], rel_err)
+
+
+def test_duplicates_do_not_change_sketch(spark, people):
+    once = people.distinct()
+    a = sketches.hll_distinct(once, ["grp"], "v", b=B).collect()
+    b = sketches.hll_distinct(people, ["grp"], "v", b=B).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_merge_equals_sketch_of_union(spark, people):
+    lo = people.where(F.col("v") < 1000)
+    hi = people.where(F.col("v") >= 1000)
+    merged = sketches.hll_merge(
+        sketches.hll_registers(lo, ["grp"], "v", b=B),
+        sketches.hll_registers(hi, ["grp"], "v", b=B),
+        ["grp"],
+    )
+    direct = sketches.hll_registers(people, ["grp"], "v", b=B)
+    est_merged = sorted(
+        map(tuple, sketches.hll_estimate(merged, ["grp"], b=B).collect())
+    )
+    est_direct = sorted(
+        map(tuple, sketches.hll_estimate(direct, ["grp"], b=B).collect())
+    )
+    assert est_merged == est_direct
+
+
+def test_register_state_is_bounded(spark, people):
+    regs = sketches.hll_registers(people, ["grp"], "v", b=B)
+    per_group = regs.groupBy("grp").count().collect()
+    assert all(r["count"] <= M for r in per_group)
