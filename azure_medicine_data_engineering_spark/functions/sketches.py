@@ -118,6 +118,77 @@ def hll_distinct(
     return hll_estimate(hll_registers(df, group_cols, value_col, b), group_cols, b)
 
 
+#: universal-hash rows for the count-min sketch — (a·h + b) mod p mod w with
+#: the same Mersenne prime as the MinHash permutations; a < 2^31 and h < 2^32
+#: keep a·h < 2^63 (no overflow, identical in any int64 engine).
+_CMS_AB = [(1000000007, 12345), (998244353, 67891), (774712353, 24680), (452930477, 13579)]
+_CMS_P = 2147483647
+
+
+def cms_table(df: DataFrame, value_col: str, w: int = 1024) -> DataFrame:
+    """Count-min sketch as a (row, bucket, cnt) table — d=4 rows × ``w``
+    buckets of INTEGER counts (order-independent sums: bit-exact anywhere).
+
+    The sketch is a fixed d·w-row frame no matter the input volume — the
+    100 TB shape: one shuffle on (row, bucket) with map-side partial sums,
+    then point estimates are broadcast-join lookups. Scale counterpart of
+    the reference's exact value_counts-style frequency tables
+    (fl_aud.R:29-33)."""
+    h32 = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                (((F.lit(a) * h32 + F.lit(b)) % F.lit(_CMS_P)) % F.lit(w)).alias(
+                    "cms_bucket"
+                ),
+            )
+            for j, (a, b) in enumerate(_CMS_AB)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.cms_row").alias("cms_row"), F.col("rb.cms_bucket").alias("cms_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, value_col: str, w: int = 1024) -> DataFrame:
+    """Point estimates for ``items[value_col]``: min over the d row counters.
+    Estimates are exact integers ≥ the true count (classic CMS guarantee)."""
+    h32 = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cms_row"),
+                        (((F.lit(a) * h32 + F.lit(b)) % F.lit(_CMS_P)) % F.lit(w)).alias(
+                            "cms_bucket"
+                        ),
+                    )
+                    for j, (a, b) in enumerate(_CMS_AB)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, "rb.cms_row", "rb.cms_bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["cms_row", "cms_bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_estimate"))
+    )
+
+
+def cms_hash_sql(h32: str, j: int, w: int) -> str:
+    a, b = _CMS_AB[j]
+    return f"(({a} * {h32} + {b}) % {_CMS_P}) % {w}"
+
+
 def hll_oracle_sql(
     table: str, group_col: str, value_col: str, b: int = 8
 ) -> str:

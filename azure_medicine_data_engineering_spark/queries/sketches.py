@@ -46,6 +46,68 @@ def q_hll_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_with_exact(spark, sf_dir, "lineitem", "l_returnflag", "l_partkey")
 
 
+def _cms_sql(w: int = 1024, k: int = 25) -> str:
+    from azure_medicine_data_engineering_spark.queries.text_dedup import (
+        _NORM_TEXT,
+        _TOKS,
+    )
+
+    sk_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {j} AS cms_row, {sketches.cms_hash_sql('h32', j, w)} AS cms_bucket, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY 2"
+        for j in range(len(sketches._CMS_AB))
+    )
+    probe_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT token, n_exact, {j} AS cms_row, "
+        f"{sketches.cms_hash_sql('h32', j, w)} AS cms_bucket FROM th"
+        for j in range(len(sketches._CMS_AB))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS.format(t=_NORM_TEXT)}) AS token FROM documents
+    ),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tok GROUP BY token),
+    top AS (SELECT token, n_exact FROM cnt
+            QUALIFY row_number() OVER (ORDER BY n_exact DESC, token) <= {k}),
+    h AS (SELECT token, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h32 FROM tok),
+    sk AS (
+      {sk_rows}
+    ),
+    th AS (SELECT token, n_exact,
+                  CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h32 FROM top),
+    probe AS (
+      {probe_rows}
+    )
+    SELECT p.token, p.n_exact, CAST(MIN(sk.cnt) AS BIGINT) AS cms_estimate
+    FROM probe p JOIN sk USING (cms_row, cms_bucket)
+    GROUP BY p.token, p.n_exact
+    """
+
+
+@register("cms_token_frequencies", _cms_sql())
+def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream vs the exact top-25
+    token counts (deterministic tie-break: count DESC, token ASC). All
+    counters are integers, so the sketch estimate is bit-exact across
+    engines; the CMS overestimate property (estimate >= exact) is visible in
+    the output columns."""
+    from azure_medicine_data_engineering_spark.operators.text import (
+        normalized_text,
+        tokens,
+    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens(normalized_text(F.col("text")))).alias("token"))
+    tok = tok.persist()  # counted twice: exact top-k + sketch build
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    # TakeOrderedAndProject (distributed top-k), not an unpartitioned window
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("token")).limit(25)
+    sketch = sketches.cms_table(tok, "token")
+    est = sketches.cms_estimate(sketch, top.select("token"), "token")
+    return top.join(est, "token").select("token", "n_exact", "cms_estimate")
+
+
 @register(
     "hll_distinct_users_by_type",
     _hll_with_exact_sql("events", "event_type", "user_id"),

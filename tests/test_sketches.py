@@ -55,6 +55,29 @@ def test_merge_equals_sketch_of_union(spark, people):
     assert est_merged == est_direct
 
 
+def test_cms_never_underestimates(spark):
+    # zipf-ish frequencies: token i appears (50 - i) times
+    rows = [(f"t{i}",) for i in range(50) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows, "v string")
+    sketch = sketches.cms_table(df, "v", w=64)  # small w forces collisions
+    items = df.distinct()
+    est = {
+        r.v: r.cms_estimate
+        for r in sketches.cms_estimate(sketch, items, "v", w=64).collect()
+    }
+    true = {f"t{i}": 50 - i for i in range(50)}
+    assert all(est[t] >= n for t, n in true.items())
+    # with d=4 rows, at least the heaviest item should be estimated exactly
+    assert est["t0"] == 50
+
+
+def test_cms_exact_when_no_collisions(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(10) for _ in range(3)], "v string")
+    sketch = sketches.cms_table(df, "v", w=4096)  # 10 items in 4096 buckets
+    est = sketches.cms_estimate(sketch, df.distinct(), "v", w=4096).collect()
+    assert all(r.cms_estimate == 3 for r in est)
+
+
 def test_register_state_is_bounded(spark, people):
     regs = sketches.hll_registers(people, ["grp"], "v", b=B)
     per_group = regs.groupBy("grp").count().collect()
