@@ -189,6 +189,88 @@ def cms_hash_sql(h32: str, j: int, w: int) -> str:
     return f"(({a} * {h32} + {b}) % {_CMS_P}) % {w}"
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter: sparse (word, bits) bitmap for semi-join pruning.
+# ---------------------------------------------------------------------------
+
+#: 3 universal-hash functions; bit position = (a·h + b) mod p mod m_bits.
+#: Words are 32-bit (bit index ≤ 31) so the per-bit term 2^bit stays well
+#: inside int64 via an exact pow(2.0, bit) — no shift-by-column needed in
+#: either engine.
+_BLOOM_K = 3
+
+
+def _h32(value_col: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _bloom_probe_cols(value_col: str, m_bits: int) -> Column:
+    h = _h32(value_col)
+    entries = []
+    for j in range(_BLOOM_K):
+        a, b = _CMS_AB[j]
+        pos = ((F.lit(a) * h + F.lit(b)) % F.lit(_CMS_P)) % F.lit(m_bits)
+        entries.append(
+            F.struct(
+                F.shiftrightunsigned(pos, 5).alias("word"),
+                F.pow(F.lit(2.0), pos.bitwiseAND(F.lit(31))).cast("long").alias("bit"),
+            )
+        )
+    return F.array(*entries)
+
+
+def bloom_build(df: DataFrame, value_col: str, m_bits: int = 65536) -> DataFrame:
+    """Build a Bloom filter over ``df[value_col]`` as a SPARSE (word, bits)
+    table — at most ``m_bits/32`` rows regardless of input size, aggregated
+    with ``bit_or`` (order-independent: bit-exact in any engine).
+
+    The 100 TB use: build on the small/filtered side of a join, broadcast
+    the word table, and pre-filter the probe side BEFORE its shuffle —
+    the manual twin of Spark's runtime row-level filtering, but portable
+    and explicitly testable."""
+    return (
+        df.select(F.explode(_bloom_probe_cols(value_col, m_bits)).alias("e"))
+        .select(F.col("e.word").alias("word"), F.col("e.bit").alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame, df: DataFrame, value_col: str, m_bits: int = 65536
+) -> DataFrame:
+    """Per-distinct-value membership verdict: true iff ALL k probe bits are
+    set. Returns (value_col, bloom_pass) — join it (broadcast) back to the
+    probe relation to prune rows. No false negatives, bounded false
+    positives (classic Bloom guarantee)."""
+    probes = (
+        df.select(value_col)
+        .distinct()
+        .select(value_col, F.explode(_bloom_probe_cols(value_col, m_bits)).alias("e"))
+        .select(value_col, F.col("e.word").alias("word"), F.col("e.bit").alias("bit"))
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0, 1
+            ).otherwise(0),
+        )
+        .groupBy(value_col)
+        .agg((F.sum("hit") == F.lit(_BLOOM_K)).alias("bloom_pass"))
+    )
+
+
+def bloom_hash_sql(h32: str, j: int, m_bits: int) -> tuple[str, str]:
+    """(word_expr, bit_term_expr) for the oracle replica."""
+    a, b = _CMS_AB[j]
+    pos = f"((({a} * {h32} + {b}) % {_CMS_P}) % {m_bits})"
+    return f"({pos} >> 5)", f"CAST(power(2.0, {pos} & 31) AS BIGINT)"
+
+
 def hll_oracle_sql(
     table: str, group_col: str, value_col: str, b: int = 8
 ) -> str:

@@ -108,6 +108,87 @@ def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "token").select("token", "n_exact", "cms_estimate")
 
 
+def _bloom_sql(m_bits: int = 65536) -> str:
+    h_expr = "CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    build_rows = "\n        UNION ALL\n        ".join(
+        "SELECT {w} AS word, {b} AS bit FROM pk".format(
+            w=sketches.bloom_hash_sql("h32", j, m_bits)[0],
+            b=sketches.bloom_hash_sql("h32", j, m_bits)[1],
+        )
+        for j in range(sketches._BLOOM_K)
+    )
+    probe_rows = "\n        UNION ALL\n        ".join(
+        "SELECT l_partkey, {w} AS word, {b} AS bit FROM ph".format(
+            w=sketches.bloom_hash_sql("h32", j, m_bits)[0],
+            b=sketches.bloom_hash_sql("h32", j, m_bits)[1],
+        )
+        for j in range(sketches._BLOOM_K)
+    )
+    return f"""
+    WITH pk AS (
+      SELECT p_partkey, {h_expr.format(v='p_partkey')} AS h32
+      FROM part WHERE p_type = 'PROMO'
+    ),
+    bloom AS (
+      SELECT word, bit_or(bit) AS bits FROM (
+        {build_rows}
+      ) GROUP BY word
+    ),
+    ph AS (
+      SELECT l_partkey, {h_expr.format(v='l_partkey')} AS h32
+      FROM (SELECT DISTINCT l_partkey FROM lineitem)
+    ),
+    pp AS (
+      {probe_rows}
+    ),
+    verdict AS (
+      SELECT l_partkey,
+             SUM(CASE WHEN (COALESCE(b.bits, 0) & pp.bit) <> 0 THEN 1 ELSE 0 END)
+               = {sketches._BLOOM_K} AS bloom_pass
+      FROM pp LEFT JOIN bloom b USING (word) GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_rows,
+           CAST(SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN l.l_partkey IN (SELECT p_partkey FROM pk)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+           CAST(SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN l.l_partkey IN (SELECT p_partkey FROM pk)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+    FROM lineitem l JOIN verdict v USING (l_partkey)
+    """
+
+
+@register("bloom_prune_promo_lineitems", _bloom_sql())
+def q_bloom_prune_promo_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: build on the filtered part side
+    (PROMO keys), broadcast the sparse word table, and count how many
+    lineitem rows the filter passes vs the exact semi-join truth. The
+    false-positive column makes the Bloom trade-off visible and oracle-
+    checkable (no false negatives is implied by n_bloom_pass >= n_true)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pk = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    bloom = sketches.bloom_build(pk, "p_partkey")
+    verdicts = sketches.bloom_might_contain(bloom, li, "l_partkey")
+    labeled = li.join(F.broadcast(verdicts), "l_partkey").join(
+        F.broadcast(pk.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left",
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("p_partkey").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_match"),
+        (
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            - F.sum(F.when(F.col("p_partkey").isNotNull(), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+    )
+
+
 @register(
     "hll_distinct_users_by_type",
     _hll_with_exact_sql("events", "event_type", "user_id"),

@@ -78,6 +78,26 @@ def test_cms_exact_when_no_collisions(spark):
     assert all(r.cms_estimate == 3 for r in est)
 
 
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    members = spark.range(0, 400).select(F.col("id").alias("v"))
+    bloom = sketches.bloom_build(members, "v", m_bits=8192)
+    probes = spark.range(0, 4000).select(F.col("id").alias("v"))
+    verdict = {
+        r.v: r.bloom_pass
+        for r in sketches.bloom_might_contain(bloom, probes, "v", m_bits=8192).collect()
+    }
+    assert all(verdict[i] for i in range(400))  # every member passes
+    fp = sum(verdict[i] for i in range(400, 4000))
+    # m=8192, k=3, n=400 → theoretical fp ≈ 1.5%; allow generous slack
+    assert fp / 3600 < 0.08
+
+
+def test_bloom_word_table_is_sparse_and_bounded(spark):
+    members = spark.range(0, 100).select(F.col("id").alias("v"))
+    bloom = sketches.bloom_build(members, "v", m_bits=65536).collect()
+    assert len(bloom) <= min(65536 // 32, 300)  # ≤ k·n words, ≤ m/32
+
+
 def test_register_state_is_bounded(spark, people):
     regs = sketches.hll_registers(people, ["grp"], "v", b=B)
     per_group = regs.groupBy("grp").count().collect()
