@@ -197,3 +197,17 @@ def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~150 distinct users per event type with m=256 registers → exercises
     the linear-counting branch (m·ln(m/zeros) over integer-exact zeros)."""
     return _hll_with_exact(spark, sf_dir, "events", "event_type", "user_id")
+
+
+@register(
+    "streaming_hll_distinct_users",
+    _hll_with_exact_sql("events", "event_type", "user_id"),
+)
+def q_streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers maintained as bounded streaming state (MAX per bucket);
+    estimate equals the batch twin bit-for-bit — same oracle."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_hll_distinct_users,
+    )
+
+    return streaming_hll_distinct_users(spark, sf_dir)

@@ -153,6 +153,33 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "stream_static_enrich")
 
 
+def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL as STREAMING state: the register table (MAX rho per
+    (group, bucket)) is a standard streaming aggregation — ≤ m rows of state
+    per group forever, no matter how many events flow past. The estimate is
+    computed on the drained registers; output matches the batch twin
+    bit-for-bit (shares `hll_distinct_users_by_type`'s oracle).
+
+    This is the streaming story for distinct counting at scale: exact
+    streaming COUNT(DISTINCT) state grows with the key universe; sketch
+    state does not."""
+    from azure_medicine_data_engineering_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    regs = hll_registers(ev, ["event_type"], "user_id", b=8)
+    drained = run_to_memory(regs, "stream_hll_users")
+    est = hll_estimate(drained, ["event_type"], b=8)
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return est.join(exact, "event_type").select("event_type", "n_exact", "hll_estimate")
+
+
 def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental twin of ``events_sliding_1h_30m`` — same builder as the
     batch query."""

@@ -99,3 +99,33 @@ def test_volume_shipping_join_strategy(spark, queries):
     assert info["broadcast_joins"] >= 3  # supplier + nation x2 at minimum
     assert info["nested_loop"] == 0
     assert info["single_partition"] == 0
+
+
+def test_tpch_shapes_broadcast_dims_and_avoid_cartesian(spark, queries):
+    for name in ("market_share_by_year", "product_profit_by_nation_year"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_waiting_supplier_uses_semi_and_anti_joins(spark, queries):
+    plan = plan_of(queries["waiting_supplier_ranking"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_lookups_are_broadcast_hash(spark, queries):
+    # sketch estimate = broadcast-join point lookup; the sketch build must
+    # never nested-loop against the probe side
+    for name in ("cms_token_frequencies", "bloom_prune_promo_lineitems"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cms_topk_uses_take_ordered(spark, queries):
+    # top-25 tokens must come from a distributed heap, not a global sort
+    plan = plan_of(queries["cms_token_frequencies"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
