@@ -331,6 +331,48 @@ def simhash_near_pairs(
     )
 
 
+def typo_pairs(df: DataFrame, token_col: str = "token") -> DataFrame:
+    """Edit-distance-1 token pairs via symmetric-delete (SymSpell/FastSS)
+    blocking: each token emits itself plus every one-character deletion as
+    candidate keys; any two tokens at Levenshtein distance ≤ 1 provably
+    share at least one key (delete the substituted/inserted character), so
+    recall is EXACT while the pair search stays bucket-local — one shuffle
+    on the deletion key, never O(n²) over the vocabulary. Candidates are
+    verified with the built-in JVM ``levenshtein``.
+
+    The vocabulary-cleaning counterpart of the reference's categorical
+    normalization (fixStringsNamesInsides, UTILS/utils.scala:104-118) at
+    corpus scale: typo variants of frequent tokens surface as distance-1
+    pairs."""
+    toks = df.select(F.col(token_col).alias("tok")).distinct()
+    keys = toks.select(
+        "tok",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("tok")),
+                    F.expr(
+                        "transform(sequence(1, length(tok)), "
+                        "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok))))"
+                    ),
+                )
+            )
+        ).alias("k"),
+    )
+    left = keys.alias("l")
+    right = keys.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.k") == F.col("r.k")) & (F.col("l.tok") < F.col("r.tok")),
+        )
+        .select(F.col("l.tok").alias("tok_a"), F.col("r.tok").alias("tok_b"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b").cast("int"))
+        .where(F.col("dist") <= 1)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

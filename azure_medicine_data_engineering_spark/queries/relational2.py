@@ -1047,3 +1047,54 @@ def q_waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function surface: ranking family + running frames in one pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_function_surface",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(CAST(percent_rank() OVER w AS DOUBLE), 4) AS pct_rank,
+           ROUND(CAST(cume_dist() OVER w AS DOUBLE), 4) AS cdist,
+           ROUND(CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+             AS run_total,
+           ROUND(CAST(lag(o_totalprice) OVER w AS DOUBLE), 4) AS prev_price,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking/distribution window family (row_number, ntile,
+    percent_rank, cume_dist, running SUM over a ROWS frame, lag,
+    first_value) in ONE window pass: every function shares the same
+    partition+ordering, so Spark plans a single Exchange + Sort. The
+    ordering key (o_orderdate, o_orderkey) is unique per partition —
+    deterministic tie-breaks per CLAUDE.md; the running sum accumulates
+    incrementally in frame order in both engines, so it is bit-identical
+    before the shared ROUND."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w).cast("double"), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w).cast("double"), 4).alias("cdist"),
+        F.round(F.sum("o_totalprice").over(wf).cast("double"), 4).alias("run_total"),
+        F.round(F.lag("o_totalprice").over(w).cast("double"), 4).alias("prev_price"),
+        F.first("o_orderkey").over(w).cast("long").alias("first_key"),
+    )

@@ -321,6 +321,25 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "typo_token_pairs",
+    """
+    SELECT a.s_name AS tok_a, b.s_name AS tok_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def q_typo_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical identifier pairs via symmetric-delete blocking (exact
+    recall at distance 1 — see operators.dedup.typo_pairs) over supplier
+    names, checked against the brute-force all-pairs oracle as an equality
+    (900 pairs at sf0.01 — non-vacuous). The entity-resolution shape: at
+    100 TB the blocked self-join shuffles on deletion keys while the oracle's
+    O(n²) comparison is only feasible because the test dimension is small."""
+    return dedup.typo_pairs(_t(spark, sf_dir, "supplier"), "s_name")
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (ANN baseline) + sign-grid LSH near-pairs.
 # ---------------------------------------------------------------------------

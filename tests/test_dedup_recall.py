@@ -119,6 +119,40 @@ def test_simhash_near_pairs_equals_brute_force(spark):
     assert want, "fixture must plant at least one near pair"
 
 
+def test_typo_pairs_exact_recall_at_distance_one(spark):
+    # substitutions, insertions, deletions at every position must be found;
+    # distance-2 variants must not
+    base = ["spark", "engine", "lineitem", "q"]
+    variants = []
+    for w in base:
+        for i in range(len(w)):
+            variants.append(w[:i] + "@" + w[i + 1:])  # substitution
+            variants.append(w[:i] + w[i + 1:])        # deletion
+        for i in range(len(w) + 1):
+            variants.append(w[:i] + "z" + w[i:])      # insertion
+    far = ["spXXk", "enginZZ", "totally_different"]
+    vocab = sorted(set(base + variants + far) - {""})
+    df = spark.createDataFrame([(t,) for t in vocab], "token string")
+    got = {(r.tok_a, r.tok_b) for r in dedup.typo_pairs(df, "token").collect()}
+
+    def lev(a, b):
+        import itertools
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (a, b)
+        for ai, a in enumerate(vocab)
+        for b in vocab[ai + 1:]
+        if lev(a, b) <= 1
+    }
+    assert got == want  # exact recall AND no false pairs
+
+
 def test_simhash_near_pairs_rejects_bad_params():
     with pytest.raises(ValueError):
         dedup.simhash_near_pairs(None, max_hamming=4, bands=4)
