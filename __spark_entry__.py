@@ -44,6 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # all green). The gate checks the FIRST 50 dict entries, so order everything
 # not yet driver-verified (round-1 stragglers + new queries) first; combined
 # with round 1 this gives every query a driver-recorded hash check.
+# Round-2 additions bring the never-driver-checked group to exactly 50 — a
+# full gate; anything added beyond this rotates into the next round's front
+# group once CORRECTNESS_r02 lands (the local tools/check_correctness.py gate
+# covers ALL queries at 3 scale factors every round regardless).
 _ROUND1_VERIFIED = {
     "events_tumbling_hourly", "events_sliding_1h_30m", "events_sessionization",
     "events_json_props", "events_user_activity_profile",

@@ -271,6 +271,118 @@ def bloom_hash_sql(h32: str, j: int, m_bits: int) -> tuple[str, str]:
     return f"({pos} >> 5)", f"CAST(power(2.0, {pos} & 31) AS BIGINT)"
 
 
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles: fixed-bin counts per group.
+# ---------------------------------------------------------------------------
+
+
+def hist_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 512,
+) -> DataFrame:
+    """Equi-width histogram as a (group, bin, cnt) table — at most ``bins``
+    rows per group forever (merge = add counts), the bounded-state quantile
+    path next to the exact-percentile flagship (operators/summarize.py).
+
+    Determinism across engines: the bin index is ONE multiply of the same
+    double literal (``bins/(hi-lo)``) on the same input, and IEEE ops are
+    deterministic — identical expression → identical floor on both sides."""
+    mult = bins / (hi - lo)
+    raw = F.floor((F.col(value_col) - F.lit(lo)) * F.lit(mult)).cast("int")
+    bin_idx = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 512,
+) -> DataFrame:
+    """Quantile estimates from the histogram: the LOWER EDGE of the bin
+    holding the ceil(q·n)-th value (integer cumulative counts → the chosen
+    bin is exact; the edge value is one multiply+add of literals)."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("total"),
+    )
+    picks = []
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("total"))
+        picks.append(
+            cum.where(F.col("cum") >= target)
+            .groupBy(*group_cols)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                *group_cols,
+                F.lit(q).alias("q"),
+                F.round(
+                    (F.lit(lo) + F.col("bin") * F.lit(width)).cast("double"), 4
+                ).alias("est_value"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def hist_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 512,
+    qs: tuple[float, ...] = (0.5, 0.95),
+) -> str:
+    """DuckDB replica (same literals, same expression shapes)."""
+    mult = repr(bins / (hi - lo))
+    width = repr((hi - lo) / bins)
+    q_rows = ", ".join(f"({repr(q)})" for q in qs)
+    return f"""
+    WITH hist AS (
+      SELECT {group_col},
+             least(greatest(CAST(floor(({value_col} - {repr(lo)}) * {mult}) AS INT), 0), {bins - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} WHERE {value_col} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT {group_col}, bin,
+             SUM(cnt) OVER (PARTITION BY {group_col} ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY {group_col}) AS total
+      FROM hist
+    )
+    SELECT {group_col}, q,
+           ROUND(CAST({repr(lo)} + MIN(bin) * {width} AS DOUBLE), 4) AS est_value
+    FROM cum CROSS JOIN (VALUES {q_rows}) qv(q)
+    WHERE cum >= ceil(q * total)
+    GROUP BY {group_col}, q
+    """
+
+
 def hll_oracle_sql(
     table: str, group_col: str, value_col: str, b: int = 8
 ) -> str:

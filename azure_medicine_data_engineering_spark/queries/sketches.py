@@ -108,6 +108,27 @@ def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "token").select("token", "n_exact", "cms_estimate")
 
 
+@register(
+    "histogram_quantiles_price",
+    sketches.hist_quantiles_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", lo=900.0, hi=105000.0
+    ),
+)
+def q_histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of l_extendedprice per returnflag from a 512-bin mergeable
+    histogram — the bounded-state quantile path next to the exact-percentile
+    flagship (`categorized_summary`) and `approx_median` knob. Bin choice is
+    one shared-literal multiply (IEEE-deterministic), cumulative counts are
+    integers, so the estimate is bit-exact across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = sketches.hist_counts(
+        li, ["l_returnflag"], "l_extendedprice", lo=900.0, hi=105000.0
+    )
+    return sketches.hist_quantiles(
+        hist, ["l_returnflag"], [0.5, 0.95], lo=900.0, hi=105000.0
+    )
+
+
 def _bloom_sql(m_bits: int = 65536) -> str:
     h_expr = "CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 8)) AS BIGINT)"
     build_rows = "\n        UNION ALL\n        ".join(

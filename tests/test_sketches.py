@@ -98,6 +98,40 @@ def test_bloom_word_table_is_sparse_and_bounded(spark):
     assert len(bloom) <= min(65536 // 32, 300)  # ≤ k·n words, ≤ m/32
 
 
+def test_histogram_quantile_within_one_bin_of_truth(spark):
+    import random
+
+    rng = random.Random(99)
+    vals = [rng.uniform(0.0, 1000.0) for _ in range(20000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    hist = sketches.hist_counts(df, ["grp"], "v", lo=0.0, hi=1000.0, bins=500)
+    est = {
+        r.q: r.est_value
+        for r in sketches.hist_quantiles(
+            hist, ["grp"], [0.5, 0.95], lo=0.0, hi=1000.0, bins=500
+        ).collect()
+    }
+    svals = sorted(vals)
+    width = 1000.0 / 500
+    for q in (0.5, 0.95):
+        truth = svals[int(q * len(svals)) - 1]
+        assert abs(est[q] - truth) <= 2 * width, (q, est[q], truth)
+
+
+def test_histogram_merge_is_count_addition(spark):
+    df = spark.createDataFrame(
+        [("g", float(i % 100)) for i in range(1000)], "grp string, v double"
+    )
+    lo_half = df.limit(500)
+    full_hist = sketches.hist_counts(df, ["grp"], "v", 0.0, 100.0, bins=100)
+    # histogram of a subset never exceeds the full histogram's bin counts
+    sub_hist = sketches.hist_counts(lo_half, ["grp"], "v", 0.0, 100.0, bins=100)
+    full = {r.bin: r.cnt for r in full_hist.collect()}
+    sub = {r.bin: r.cnt for r in sub_hist.collect()}
+    assert all(sub[b] <= full[b] for b in sub)
+    assert sum(full.values()) == 1000
+
+
 def test_register_state_is_bounded(spark, people):
     regs = sketches.hll_registers(people, ["grp"], "v", b=B)
     per_group = regs.groupBy("grp").count().collect()

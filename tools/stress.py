@@ -117,6 +117,25 @@ def main() -> None:
     n_dropped = cc.where(~F.col("is_representative")).count()
     timings["dedup_clusters"] = round(time.time() - t0, 2)
 
+    # sketches: state must stay fixed-size while input grows 10x — the HLL
+    # register table is <= m rows per group and the estimate should move
+    # with the true cardinality (10x keys -> ~10x estimate)
+    from azure_medicine_data_engineering_spark.functions import sketches
+
+    t0 = time.time()
+    hll = sketches.hll_distinct(
+        orders, ["o_orderstatus"], "o_custkey", b=12
+    ).collect()
+    timings["hll_distinct"] = round(time.time() - t0, 2)
+    n_regs = (
+        sketches.hll_registers(orders, ["o_orderstatus"], "o_custkey", b=12)
+        .groupBy("o_orderstatus")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert n_regs <= 4096, n_regs
+
     # pathological skew: 80% of the fact rows share ONE join key. Three
     # strategies over the same data — AQE skew-join handles the plain path,
     # salting spreads the hot key explicitly, and the comparison shows
@@ -146,6 +165,7 @@ def main() -> None:
                 "lineitem_rows": n_li,
                 "minhash_candidate_pairs": n_pairs,
                 "dedup_dropped_docs": n_dropped,
+                "hll_estimates": {r[0]: r[1] for r in hll},
                 "timings_sec": timings,
             }
         )
