@@ -1098,3 +1098,151 @@ def q_window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lag("o_totalprice").over(w).cast("double"), 4).alias("prev_price"),
         F.first("o_orderkey").over(w).cast("long").alias("first_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: the supplier(s) achieving the maximum revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_supplier_by_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total_rev AS DOUBLE), 4) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue view compared
+    against its own MAX scalar. The revenue view is computed once and
+    cached; the 1-row MAX broadcasts back as a cross join (the Q11 pattern).
+    Sums are ROUND(.,2)-stabilized BEFORE the max/equality so the selected
+    row set cannot differ across engines on ulp-level sum noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier diversity per part class, NOT-IN exclusion.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_diversity_by_part_class",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 25
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q_supplier_diversity_by_part_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    count per part class with a NOT IN exclusion → left-anti join against
+    the (tiny, broadcast) excluded-supplier keys. s_suppkey is never NULL in
+    this schema, so anti-join and NOT IN agree (the classic NULL caveat
+    doesn't bite)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p.where(F.col("p_size") >= 25)), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with excess volume on a part family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "excess_volume_suppliers",
+    """
+    WITH promo_qty AS (
+      SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name AS nation,
+           CAST(pq.qty AS BIGINT) AS promo_qty
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN promo_qty pq ON s.s_suppkey = pq.l_suppkey
+    WHERE pq.qty > (SELECT 1.5 * AVG(qty) FROM promo_qty)
+    """,
+)
+def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess stock suppliers), adapted to this schema:
+    suppliers whose PROMO-part quantity exceeds 1.5× the mean per-supplier
+    quantity — a grouped view filtered by a scalar aggregate of itself, then
+    joined to dimensions. Quantities are integer-valued doubles, so the AVG
+    threshold is exact-sum/count (bit-identical) and the comparison cannot
+    tie-break differently."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pq = (
+        li.join(
+            F.broadcast(p.where(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .persist()
+    )
+    thr = pq.agg((F.lit(1.5) * F.avg("qty")).alias("thr"))
+    return (
+        pq.crossJoin(F.broadcast(thr))
+        .where(F.col("qty") > F.col("thr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("qty").cast("long").alias("promo_qty"),
+        )
+    )
