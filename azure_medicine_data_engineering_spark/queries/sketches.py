@@ -220,6 +220,84 @@ def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_with_exact(spark, sf_dir, "events", "event_type", "user_id")
 
 
+def _hll_union_sql(b: int = 8) -> str:
+    m = 1 << b
+    R = 60 - b
+    numerator = repr(sketches.hll_numerator(b))
+    return f"""
+    WITH h AS (
+      SELECT o_orderstatus AS grp,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    r0 AS (
+      SELECT grp, h & {m - 1} AS bucket,
+             MAX(CASE WHEN (h >> {b}) = 0 THEN {R + 1}
+                 ELSE {R + 1} - length(bin(h >> {b})) END) AS reg
+      FROM h GROUP BY grp, bucket
+    ),
+    r AS (
+      SELECT grp, bucket, reg FROM r0
+      UNION ALL
+      SELECT 'F|O' AS grp, bucket, reg FROM r0
+    ),
+    reg2 AS (SELECT grp, bucket, MAX(reg) AS reg FROM r GROUP BY grp, bucket),
+    agg AS (
+      SELECT grp, COUNT(*) AS n_present,
+             SUM(CAST(power(2.0, {R + 1} - reg) AS BIGINT)) AS s_present
+      FROM reg2 GROUP BY grp
+    ),
+    est AS (
+      SELECT grp,
+             {numerator} / (s_present + ({m} - n_present) * {1 << (R + 1)}) AS raw,
+             {m} - n_present AS zeros
+      FROM agg
+    ),
+    hll AS (
+      SELECT grp,
+             ROUND(CAST(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                        THEN {float(m)} * ln({float(m)} / zeros)
+                        ELSE raw END AS DOUBLE), 4) AS hll_estimate
+      FROM est
+    ),
+    exact AS (
+      SELECT o_orderstatus AS grp, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
+      UNION ALL
+      SELECT 'F|O', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    )
+    SELECT hll.grp AS subset, exact.n_exact, hll.hll_estimate
+    FROM hll JOIN exact ON hll.grp = exact.grp
+    """
+
+
+@register("hll_union_customer_sets", _hll_union_sql())
+def q_hll_union_customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA under the oracle gate: per-status HLL registers are
+    built ONCE, then the 'F|O' union estimate comes from merging the two
+    register sets with MAX — no second pass over the data. Distinct-union
+    estimation without re-scanning is the whole point of mergeable sketches
+    at 100 TB (e.g. daily sketches → monthly distinct)."""
+    o2 = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus").isin("F", "O"))
+    r0 = sketches.hll_registers(o2, ["o_orderstatus"], "o_custkey", b=8).persist()
+    merged = r0.unionByName(r0.withColumn("o_orderstatus", F.lit("F|O")))
+    reg2 = merged.groupBy("o_orderstatus", "bucket").agg(F.max("reg").alias("reg"))
+    est = sketches.hll_estimate(reg2, ["o_orderstatus"], b=8)
+    exact = o2.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact")
+    )
+    exact_union = o2.agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact")
+    ).select(F.lit("F|O").alias("o_orderstatus"), "n_exact")
+    return (
+        est.join(exact.unionByName(exact_union), "o_orderstatus")
+        .select(
+            F.col("o_orderstatus").alias("subset"), "n_exact", "hll_estimate"
+        )
+    )
+
+
 @register(
     "streaming_hll_distinct_users",
     _hll_with_exact_sql("events", "event_type", "user_id"),
