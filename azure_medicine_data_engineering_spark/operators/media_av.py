@@ -1,0 +1,293 @@
+"""Audio and video media columns: real WAV (RIFF/PCM16) codec plus a
+documented raw-frame video container, both pure stdlib.
+
+Companion to :mod:`.multimodal` (PNG). Extends the multimodal scale
+extension (BASELINE.json; no counterpart in the reference — the reference's
+closest surface is its binary-blob passthrough, ``utils.scala:120-140``)
+with the two remaining modalities a training-data pipeline carries:
+
+* **Audio** — genuine WAV files: RIFF header, ``fmt `` chunk (PCM,
+  mono, 16-bit LE), ``data`` chunk. :func:`wav_decode` walks the chunk
+  list by size fields (it does not assume chunk order) and computes
+  sample stats, so any standard player opens the fixtures and any
+  spec-conforming WAV decodes here.
+* **Video** — no container format is parseable without ffmpeg-class
+  libraries, so the *container* is a documented toy (``VID0`` magic,
+  width/height/frame-count header, raw 8-bit grayscale frames) while the
+  *pipeline shape* is the real thing: frame-sampling explodes one binary
+  payload row into per-frame rows inside Arrow-batched ``mapInPandas``,
+  exactly how a production decode-and-sample stage fans out.
+
+Both payload fixtures derive deterministically from md5(text) so DuckDB
+oracles can recompute every decoded value from SQL alone.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+AUDIO_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("mean_abs_amplitude", DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_mean", DoubleType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# WAV codec (real format: RIFF / WAVE / fmt / data, PCM16 mono LE)
+# --------------------------------------------------------------------------
+
+def wav_encode_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal valid WAV writer: 16-bit signed PCM, mono, little-endian.
+
+    Produces a spec-conforming RIFF file any audio tool can play — the
+    fixture side of :func:`wav_decode` for datasets without raw audio."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, float]:
+    """Parse a PCM16 WAV: walk RIFF chunks by their size fields (chunk
+    order is NOT assumed — 'fmt ' and 'data' may appear anywhere, per
+    spec), return (sample_rate, n_samples, mean_abs_amplitude).
+
+    mean_abs accumulates SEQUENTIALLY over an exact integer sum, so the
+    value is bit-identical to a SQL re-computation (CLAUDE.md oracle
+    convention)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    sample_rate = None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        ctype = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + size]
+        if ctype == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("decoder supports PCM16 mono only")
+        elif ctype == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    total = 0
+    for s in samples:  # sequential integer sum: exact, engine-portable
+        total += s if s >= 0 else -s
+    return sample_rate, n, total / n if n else 0.0
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-WAV fixture: per row, md5(text) drives the sample
+    count (n = 32 + b0 % 97) and the PCM samples (sample[i] =
+    (b[i % 16] - 128) * 231, tiling the digest), at a fixed 8 kHz rate —
+    wrapped into a genuine WAV via :func:`wav_encode_pcm16`. Arrow-batched
+    mapInPandas, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                n = 32 + h[0] % 97
+                samples = [(h[k % 16] - 128) * 231 for k in range(n)]
+                ids.append(i)
+                payloads.append(wav_encode_pcm16(8000, samples))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "audio", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads via Arrow-batched ``mapInPandas`` → typed audio
+    metadata (rate, sample count, duration, mean |amplitude|). Partitioning
+    preserved; no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rates, counts, durs, means = [], [], [], []
+            for p in pdf["payload"]:
+                rate, n, mean_abs = wav_decode(p)
+                rates.append(rate)
+                counts.append(n)
+                # single IEEE division of exact integers: bit-identical to
+                # any engine's n/rate — no rounding needed (or wanted: a
+                # ROUND(...,4) here risks .00005 ties, CLAUDE.md)
+                durs.append(n / rate)
+                means.append(mean_abs)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "duration_sec": durs,
+                    "mean_abs_amplitude": means,
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: documented raw-frame container + frame sampling
+# --------------------------------------------------------------------------
+
+_VID_MAGIC = b"VID0"
+
+
+def vid_encode_gray(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Toy raw-video container: ``VID0`` magic + <HHH> (width, height,
+    n_frames) + concatenated 8-bit grayscale frames. A real deployment
+    swaps this for an ffmpeg demux; the pipeline shape is unchanged."""
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("every frame must be width*height bytes")
+    return (
+        _VID_MAGIC
+        + struct.pack("<HHH", width, height, len(frames))
+        + b"".join(frames)
+    )
+
+
+def vid_decode_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse the VID0 container back into (width, height, frames)."""
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 payload")
+    w, h, n = struct.unpack("<HHH", payload[4:10])
+    fsize = w * h
+    frames = [payload[10 + k * fsize:10 + (k + 1) * fsize] for k in range(n)]
+    if any(len(f) != fsize for f in frames):
+        raise ValueError("truncated frame data")
+    return w, h, frames
+
+
+def attach_video_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic video fixture: md5(text) drives geometry (w = 2 +
+    b0 % 7, h = 2 + b1 % 5) and frame count (4 + b2 % 9); frame f's pixel p
+    is digest byte (f + p) % 16 — a sliding tile so consecutive frames
+    differ like real footage. Arrow-batched mapInPandas, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                w, ht = 2 + h[0] % 7, 2 + h[1] % 5
+                n_frames = 4 + h[2] % 9
+                frames = [
+                    bytes(h[(f + p) % 16] for p in range(w * ht))
+                    for f in range(n_frames)
+                ]
+                ids.append(i)
+                payloads.append(vid_encode_gray(w, ht, frames))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "video", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Sample every k-th frame from video payloads, fanning one payload row
+    out to per-frame stat rows (media_id, frame_idx, width, height,
+    frame_mean) inside one Arrow batch pass — the decode-and-sample stage of
+    a video training pipeline. Output rows stay in the input's partitions
+    (no shuffle); downstream aggs shuffle on media_id only if they ask to."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = vid_decode_frames(p)
+                area = w * h
+                for f in range(0, len(frames), every_k):
+                    total = 0
+                    for b in frames[f]:  # sequential exact integer sum
+                        total += b
+                    ids.append(mid)
+                    idxs.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    # exact int sum / exact int denominator: one IEEE
+                    # division, bit-identical cross-engine, no rounding
+                    means.append(total / (area * 255.0))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "frame_mean": means,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -1246,3 +1246,40 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").cast("long").alias("promo_qty"),
         )
     )
+
+
+@register(
+    "order_priority_exists_check",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_order_priority_exists_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS correlated subquery
+    expressed as a LEFT SEMI join — the one canonical TPC-H plan shape the
+    suite was missing (this testdata has no l_commitdate/l_receiptdate, so
+    the EXISTS predicate is adapted to l_quantity > 45; the plan — date-range
+    scan pushdown + shuffle semi-join on orderkey + single agg — is Q4's).
+    At 100 TB both sides shuffle on l_orderkey once; no distinct needed
+    (semi-join already deduplicates the probe side)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -385,6 +385,89 @@ def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_wav",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             32 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 97 AS n
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'audio' AS media_type,
+           CAST(44 + 2 * n AS INT) AS byte_len,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST(n AS DOUBLE) / 8000 AS duration_sec,
+           CAST(list_sum(list_transform(range(n),
+                i -> abs((CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT) - 128) * 231)))
+                AS DOUBLE) / n AS mean_abs_amplitude
+    FROM d
+    """,
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec audio path: genuine RIFF/PCM16 WAV files (manufactured
+    deterministically from document text) parsed by the pure-stdlib chunk
+    walker inside Arrow-batched mapInPandas. The oracle recomputes sample
+    count, container byte size (44-byte header + 2n PCM bytes), duration
+    and mean |amplitude| from md5(text) — the full encode → chunk-walk →
+    PCM-unpack round-trip must be lossless to hash-match. Stats are single
+    IEEE divisions of exact integer sums, so no rounding is applied on
+    either side."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_wav_payload,
+        decode_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_wav_payload(docs, "doc_id", "text")
+    return decode_audio(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             2 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 7 AS w,
+             2 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 5 AS h,
+             4 + CAST(('0x' || substr(hex, 5, 2)) AS INT) % 9 AS nf
+      FROM m
+    ),
+    f AS (
+      SELECT doc_id, hex, w, h,
+             CAST(unnest(range(0, nf, 2)) AS INT) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(w * h),
+                p -> CAST(('0x' || substr(hex, ((frame_idx + p) % 16) * 2 + 1, 2)) AS INT)))
+                AS DOUBLE) / (w * h * 255.0) AS frame_mean
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode-and-sample stage: VID0 raw-frame containers
+    (deterministic fixtures from document text) demuxed inside one Arrow
+    batch pass, keeping every 2nd frame and fanning each payload row out to
+    per-frame stat rows — the shape of a production frame-extraction stage
+    (one input row → n output rows, no shuffle). The oracle regenerates
+    every sampled frame's pixel bytes from md5(text) and recomputes the
+    frame means, so the container geometry and demux offsets must be
+    exact."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_video_payload,
+        frame_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_video_payload(docs, "doc_id", "text")
+    return frame_sample(media, every_k=2)
+
+
+@register(
     "streaming_static_enrich",
     """
     SELECT c.c_mktsegment, e.event_type,
