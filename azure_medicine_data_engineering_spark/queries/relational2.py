@@ -1283,3 +1283,59 @@ def q_order_priority_exists_check(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "zorder_locality_report",
+    """
+    WITH z AS (
+      SELECT c_custkey, c_nationkey,
+             list_sum(list_transform(range(15),
+               i -> ((c_custkey >> i) & 1) * (1 << (2 * i))
+                    + ((c_nationkey >> i) & 1) * (1 << (2 * i + 1)))) AS zk
+      FROM customer
+    ),
+    m AS (SELECT (MAX(zk) // 64) + 1 AS width FROM z)
+    SELECT CAST(zk // width AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_custkey,
+           CAST(MIN(c_nationkey) AS BIGINT) AS min_nationkey,
+           CAST(MAX(c_nationkey) AS BIGINT) AS max_nationkey
+    FROM z, m
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_zorder_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering quality report: interleave
+    (c_custkey, c_nationkey) bits into one key (functions/zorder.py — pure
+    JVM shift/and expressions, no UDF), split the key space into ≤64
+    equal-width buckets (emulating the files a z-ordered write produces)
+    and report each bucket's min/max on BOTH dimensions. Narrow per-bucket
+    ranges on both columns at once are exactly the file-level min/max stats
+    that let a 100 TB scan skip files on any filtered dimension. Bucketing
+    is exact integer math off a broadcast 1-row max — no window, no
+    unpartitioned sort."""
+    from azure_medicine_data_engineering_spark.functions.zorder import zorder_key
+
+    c = _t(spark, sf_dir, "customer")
+    z = c.select(
+        "c_custkey", "c_nationkey",
+        zorder_key(["c_custkey", "c_nationkey"], bits=15).alias("zk"),
+    )
+    width = z.agg(
+        (F.floor(F.max("zk") / F.lit(64)) + F.lit(1)).alias("width")
+    )
+    return (
+        z.crossJoin(F.broadcast(width))
+        .groupBy(F.floor(F.col("zk") / F.col("width")).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
+            F.max("c_custkey").cast("long").alias("max_custkey"),
+            F.min("c_nationkey").cast("long").alias("min_nationkey"),
+            F.max("c_nationkey").cast("long").alias("max_nationkey"),
+        )
+        .orderBy("z_bucket")
+    )

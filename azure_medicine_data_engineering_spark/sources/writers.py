@@ -60,6 +60,55 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed table: rows hash into ``n_buckets`` fixed files per
+    partition, optionally sorted within each bucket.
+
+    The 100 TB payoff: two tables bucketed on the same key with the same
+    bucket count join with NO shuffle on either side (sort-merge-bucket
+    join) — the Exchange disappears from the plan entirely, turning the
+    single most expensive stage of a fact-to-fact join into a local merge.
+    Bucket counts should match the cluster's target parallelism (e.g. 4096
+    at 1000 executors) and be kept identical across co-joined tables.
+    ``tests/test_bucketed_join.py`` guards the exchange-free plan."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    n_files: int,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Size-targeted, clustered parquet sink: range-repartition on
+    ``order_cols`` to exactly ``n_files`` write tasks, sort within each, and
+    cap records per file. Sorted files carry tight per-row-group min/max
+    stats, so later scans prune aggressively on the order columns (and on
+    any column correlated with them — see :mod:`..functions.zorder` for the
+    multi-column variant). This is the compaction step every 100 TB ingest
+    needs: small-file avoidance + data-skipping layout in one pass."""
+    out = df.repartitionByRange(n_files, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
 def write_single_csv(
     df: DataFrame,
     path: str,
