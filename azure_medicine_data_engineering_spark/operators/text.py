@@ -106,6 +106,36 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+#: PII categories → (RE2-safe pattern, replacement token). Ordered: the
+#: email pattern must run before the bare-digit ones cannot touch it, and
+#: 16-digit card runs before the shorter phone shape. No lookarounds (RE2 /
+#: DuckDB compatible); plain Java regex on the Spark side matches the same
+#: spans.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("card", r"\b\d{16}\b", "[CARD]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (regexp_count — one codegen pass)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)).cast("int")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII span with its category token, in the fixed
+    PII_PATTERNS order. Pure regexp_replace chain — JVM-side, no UDF; at
+    100 TB this is a map-only pass over the text column."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document statistics table (one pass, all codegen)."""
     t = F.col(text_col)

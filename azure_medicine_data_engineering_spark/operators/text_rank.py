@@ -1,0 +1,146 @@
+"""TF-IDF and BM25 relevance scoring over a document corpus.
+
+Scale extension (no counterpart in the reference): the term-weighting
+operators a training-data pipeline uses for quality filtering, relevance
+ranking and near-dup candidate generation. Everything is built-in DataFrame
+ops — tokenize/explode/groupBy/join — so the whole computation is JVM-side
+and shuffles only on (term) and (doc_id), never materializing a dense
+term-document matrix.
+
+100 TB notes: the doc-frequency table is vocabulary-sized (millions of
+rows, not billions) and broadcasts; per-doc term counts shuffle once on
+doc_id. IDF uses the smoothed form ln((N+1)/(df+1)) + 1 so unseen terms
+stay finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.text import tokens
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(doc, term) counts plus per-doc length: one explode + one
+    groupBy(doc_id, term) shuffle. The long (doc, term) frame is the sparse
+    representation every downstream weighting joins against."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def doc_frequencies(tf: DataFrame) -> DataFrame:
+    """Vocabulary-sized doc-frequency table from the (doc, term, tf) frame:
+    one groupBy(term). Small enough to broadcast at any corpus size that
+    fits a real vocabulary."""
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+
+
+def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sparse TF-IDF weights: tf * (ln((N+1)/(df+1)) + 1). Returns
+    (doc_id, term, tf, tfidf); join keys stay long-form sparse."""
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = doc_frequencies(tf)
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k highest-TF-IDF terms per document (deterministic tie-break on
+    term). The rank window partitions by doc_id — parallel across docs, no
+    global sort."""
+    # rank on the ROUNDED score: a last-ulp cross-engine difference in ln()
+    # must not flip the ordering of two near-equal weights (CLAUDE.md
+    # deterministic-tie-breaker convention)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_r"), F.asc("term")
+    )
+    return (
+        tfidf(df, text_col, id_col)
+        .withColumn("tfidf_r", F.round(F.col("tfidf").cast("double"), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tfidf_r").alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document to a bag of query terms
+    (Robertson/Spärck Jones; the standard lexical retrieval baseline).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan: token explode → filter to query terms (pushed before the
+    shuffle, so only matching postings move) → per-doc agg; doc lengths
+    and the global avg join in by broadcast. Scales as one postings-list
+    shuffle regardless of corpus size."""
+    doclen = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("double").alias("dl"),
+    )
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = term_frequencies(df, text_col, id_col).where(
+        F.col("term").isin(query_terms)
+    )
+    dfreq = doc_frequencies(tf)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib").cast("double"), 4).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+    )

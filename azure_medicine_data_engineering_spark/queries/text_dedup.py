@@ -723,3 +723,165 @@ def q_corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").cast("int").alias("min_tokens"),
         F.max("n_tokens").cast("int").alias("max_tokens"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4)
+               AS tfidf_r
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, tfidf_r,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_r DESC, term ASC) AS rank
+      FROM w
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf_r AS tfidf
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text_rank.py): sparse
+    long-form weighting, smoothed idf, rank window partitioned by doc —
+    ranked on the ROUNDED weight so a last-ulp ln() difference cannot
+    reorder near-ties cross-engine."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "bm25_doc_ranking",
+    """
+    WITH toklist AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tl
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tl) AS DOUBLE) AS dl FROM toklist),
+    stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs
+              FROM dl),
+    toks AS (SELECT doc_id, unnest(tl) AS term FROM toklist),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE term IN ('spark', 'table', 'query') GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+      FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           ROUND(SUM(contrib), 4) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to the query bag
+    {spark, table, query} (operators/text_rank.py, k1=1.2, b=0.75). The
+    oracle mirrors the Spark expression tree operation-for-operation
+    (same literal forms, same left-associative order), and avgdl is an
+    exact-integer sum / count, so the only inexactness is the final
+    ROUND-masked sum. No top-k limit: the full scored set is compared."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        bm25_scores,
+    )
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "table", "query"]
+    )
+
+
+@register(
+    "pii_redaction_report",
+    """
+    WITH pii AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-123-4567' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' card 4111111111111111 on file' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b\\d{16}\\b')) AS INT) AS n_card,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phone,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             '\\b\\d{16}\\b', '[CARD]', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g')) AS INT)
+             AS redacted_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             '\\b\\d{16}\\b', '[CARD]', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'))
+             AS redacted_md5
+    FROM pii
+    """,
+)
+def q_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py:redact_pii): deterministic synthetic
+    email/phone/card spans are appended per doc_id (both engines manufacture
+    identical strings), then the regexp_replace chain redacts them. The
+    md5 of the redacted text forces span-exact agreement between Java regex
+    and RE2 on every document — a byte-level cross-engine check of the
+    scrubber. Map-only at any scale."""
+    from azure_medicine_data_engineering_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" card 4111111111111111 on file")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    red = redact_pii(F.col("t"))
+    return pii.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["card"].alias("n_card"),
+        counts["phone"].alias("n_phone"),
+        F.length(red).cast("int").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

@@ -1,0 +1,78 @@
+"""TF-IDF / BM25 (operators/text_rank.py) and PII redaction units."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.text import redact_pii
+from azure_medicine_data_engineering_spark.operators.text_rank import (
+    bm25_scores,
+    tfidf,
+    tfidf_top_terms,
+)
+
+DOCS = [
+    (1, "apple banana apple"),
+    (2, "banana cherry"),
+    (3, "apple cherry cherry date"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tfidf_matches_hand_computation(spark):
+    rows = {
+        (r.doc_id, r.term): (r.tf, r.tfidf)
+        for r in tfidf(_docs(spark)).collect()
+    }
+    # 'apple' appears in 2 of 3 docs; doc 1 has tf=2
+    idf_apple = math.log(4.0 / 3.0) + 1.0
+    tf_, w = rows[(1, "apple")]
+    assert tf_ == 2
+    assert abs(w - 2 * idf_apple) < 1e-12
+    # 'date' appears once in one doc: highest idf
+    idf_date = math.log(4.0 / 2.0) + 1.0
+    assert abs(rows[(3, "date")][1] - idf_date) < 1e-12
+
+
+def test_tfidf_top_terms_rank_and_tiebreak(spark):
+    out = tfidf_top_terms(_docs(spark), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # doc 2: banana and cherry tie on tf=1, df=2 → term asc breaks the tie
+    assert sorted(by_doc[2]) == [(1, "banana"), (2, "cherry")]
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_bm25_prefers_matching_docs(spark):
+    scored = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(_docs(spark), ["cherry"]).collect()
+    }
+    assert set(scored) == {2, 3}  # doc 1 has no 'cherry' → absent
+    # doc 3 has tf=2 but is twice as long; doc 2 (tf=1, short) still loses
+    # to the double occurrence under k1=1.2, b=0.75
+    assert scored[3] > scored[2] > 0
+
+
+def test_redact_pii_all_categories(spark):
+    df = spark.createDataFrame(
+        [("reach me at bob.smith+x@corp.io or 555-123-4567, "
+          "card 4111111111111111 thanks",)],
+        "t string",
+    )
+    red = df.select(redact_pii(F.col("t")).alias("r")).head().r
+    assert "[EMAIL]" in red and "[PHONE]" in red and "[CARD]" in red
+    assert "bob" not in red and "4111" not in red and "555-123" not in red
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame(
+        [("v2.0 shipped on 2024-01-01 with 16 fixes",)], "t string"
+    )
+    assert df.select(redact_pii(F.col("t")).alias("r")).head().r == (
+        "v2.0 shipped on 2024-01-01 with 16 fixes"
+    )
