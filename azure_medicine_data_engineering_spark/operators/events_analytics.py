@@ -1,0 +1,96 @@
+"""Ordered-event analytics: funnel conversion and retention cohorts.
+
+Scale extension (no counterpart in the reference, whose event data is
+static tables): the two product-analytics operators every event warehouse
+ships. Both are built from one hash-partition on user plus window/agg
+passes — no self-joins over the event fact, no driver-side iteration.
+
+100 TB notes: the funnel repartitions the event fact ONCE on user_id and
+cascades window minima inside that partitioning (Spark reuses the exchange
+for consecutive windows over the same keys); retention aggregates
+user-level firsts (output is users × weeks, orders of magnitude smaller
+than the fact) before the final cohort rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches stage k when an event of
+    ``stages[k]`` occurs AFTER their earliest qualifying stage k-1 event
+    (min-timestamp semantics at each step). Returns one row per stage:
+    (stage_idx, stage, n_users), monotonically non-increasing.
+
+    Plan: every per-stage threshold is a window min over the same
+    ``user_col`` partitioning, so the event fact shuffles once; the final
+    rollup is a tiny conditional aggregate."""
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, type_col, ts_col)
+    reach_cols = []
+    prev = None
+    for k, stage in enumerate(stages):
+        gate = F.col(type_col) == stage
+        if prev is not None:
+            gate = gate & (F.col(ts_col) > F.col(prev))
+        t_k = f"_t{k}"
+        cur = cur.withColumn(t_k, F.min(F.when(gate, F.col(ts_col))).over(w))
+        reach_cols.append(
+            F.countDistinct(
+                F.when(F.col(t_k).isNotNull(), F.col(user_col))
+            ).alias(f"_n{k}")
+        )
+        prev = t_k
+    totals = cur.agg(*reach_cols)
+    per_stage = [
+        totals.select(
+            F.lit(k).cast("int").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col(f"_n{k}").cast("long").alias("n_users"),
+        )
+        for k, stage in enumerate(stages)
+    ]
+    out = per_stage[0]
+    for frame in per_stage[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the Monday-start week
+    of their first event; a cohort member counts as retained in offset w
+    if they have any event in [cohort_start + 7w days, +7(w+1) days).
+    Returns (cohort_week DATE, week_offset, n_users).
+
+    Week offsets are exact integer day arithmetic (datediff // 7) — no
+    float time math to diverge across engines."""
+    w = Window.partitionBy(user_col)
+    marked = df.select(user_col, ts_col).withColumn(
+        "cohort_week",
+        F.to_date(F.date_trunc("week", F.min(ts_col).over(w))),
+    )
+    offsets = marked.select(
+        user_col,
+        "cohort_week",
+        F.floor(
+            F.datediff(F.to_date(ts_col), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    ).where(F.col("week_offset") < max_weeks)
+    return (
+        offsets.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -217,3 +217,66 @@ def q_interval_join_click_purchase_counts(spark: SparkSession, sf_dir: str) -> D
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_attributed_pairs")
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH t0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    t1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY 1)
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM t0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(1 AS INT), 'click', CAST((SELECT COUNT(*) FROM t1) AS BIGINT)
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase
+    (operators/events_analytics.py): cascaded window minima over ONE
+    user-partitioning of the event fact — no per-stage self-joins. The
+    oracle rebuilds each stage with correlated min-after-threshold CTEs."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        funnel_counts,
+    )
+
+    return funnel_counts(
+        events_table(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "retention_weekly_cohorts",
+    """
+    WITH fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+                FROM events GROUP BY 1),
+    off AS (SELECT e.user_id, fw.cw,
+                   CAST(date_diff('day', fw.cw, CAST(e.ts AS DATE)) // 7 AS INT)
+                     AS week_offset
+            FROM events e JOIN fw USING (user_id))
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM off WHERE week_offset < 8
+    GROUP BY cw, week_offset ORDER BY cw, week_offset
+    """,
+)
+def q_retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/events_analytics.py): cohort =
+    Monday-start week of each user's first event (window min, same single
+    user-partitioning), retained-at-offset-w = any event in that calendar
+    week window. Offsets are integer day arithmetic — no float time math."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        retention_cohorts,
+    )
+
+    out = retention_cohorts(events_table(spark, sf_dir), max_weeks=8)
+    # ISO string for the cross-engine compare (DATE canonicalization differs
+    # between pandas' datetime64 and python date objects in the gate)
+    return out.withColumn(
+        "cohort_week", F.date_format("cohort_week", "yyyy-MM-dd")
+    ).select("cohort_week", "week_offset", "n_users")

@@ -1339,3 +1339,61 @@ def q_zorder_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@register(
+    "scd2_customer_segments",
+    """
+    WITH cur AS (SELECT c_custkey AS custkey, c_mktsegment AS segment
+                 FROM customer),
+    changed AS (SELECT custkey, segment FROM cur WHERE custkey % 10 = 0)
+    -- survivors: open rows w/o a differing update
+    SELECT custkey, segment,
+           '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current
+    FROM cur WHERE custkey % 10 <> 0
+    UNION ALL
+    -- closed-out old versions of changed keys
+    SELECT custkey, segment, '2024-01-01', '2024-06-01', FALSE FROM changed
+    UNION ALL
+    -- re-opened new versions
+    SELECT custkey, 'MIGRATED', '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+    FROM changed
+    UNION ALL
+    -- brand-new keys insert as open rows
+    SELECT custkey + 10000000, 'NEWCO', '2024-06-01', CAST(NULL AS VARCHAR),
+           TRUE
+    FROM cur WHERE custkey % 97 = 0
+    """,
+)
+def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/scd2.py): the customer dimension
+    (open since 2024-01-01) absorbs an update snapshot effective 2024-06-01
+    in which every custkey % 10 == 0 moves to segment MIGRATED and new
+    NEWCO keys appear. One full-outer join on the business key classifies
+    all four row fates; the oracle reconstructs each fate set directly. No
+    segment is ever literally 'MIGRATED' in the source, so the changed set
+    is exactly the % 10 keys — deterministic on any SF."""
+    from azure_medicine_data_engineering_spark.operators.scd2 import scd2_merge
+
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        current.where(F.col("custkey") % 10 == 0)
+        .select("custkey", F.lit("MIGRATED").alias("segment"))
+        .unionByName(
+            current.where(F.col("custkey") % 97 == 0).select(
+                (F.col("custkey") + 10000000).alias("custkey"),
+                F.lit("NEWCO").alias("segment"),
+            )
+        )
+    )
+    return scd2_merge(
+        current, updates, "custkey", ["segment"], effective_date="2024-06-01"
+    )

@@ -1,0 +1,127 @@
+"""Funnel / retention-cohort / SCD2 operator units (hand-computable)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (
+    funnel_counts,
+    retention_cohorts,
+)
+from azure_medicine_data_engineering_spark.operators.scd2 import scd2_merge
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, datetime(2024, 1, d, h)) for u, t, d, h in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 converts fully in order
+        (1, "view", 1, 0), (1, "click", 1, 1), (1, "purchase", 1, 2),
+        # u2 clicked BEFORE viewing → reaches only stage 0
+        (2, "click", 2, 0), (2, "view", 2, 1),
+        # u3 views and clicks, never purchases
+        (3, "view", 3, 0), (3, "click", 3, 1),
+        # u4 purchase only → reaches nothing (no view)
+        (4, "purchase", 4, 0),
+    ]
+    out = {
+        r.stage: r.n_users
+        for r in funnel_counts(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_uses_earliest_threshold(spark):
+    # u1's SECOND view is followed by a click, but the funnel measures from
+    # the EARLIEST view — the click at hour 3 still counts (3 > 1)
+    rows = [(1, "view", 1, 1), (1, "view", 1, 5), (1, "click", 1, 3)]
+    out = {
+        r.stage: r.n_users
+        for r in funnel_counts(_ev(spark, rows), ["view", "click"]).collect()
+    }
+    assert out == {"view": 1, "click": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    rows = [
+        # u1 first event Tue Jan 2 → cohort week Mon Jan 1;
+        # returns Jan 10 (offset 1) and Jan 16 (offset 2)
+        (1, "view", 2, 0), (1, "view", 10, 0), (1, "view", 16, 0),
+        # u2 first event Jan 9 → cohort week Jan 8, never returns
+        (2, "view", 9, 0),
+    ]
+    out = {
+        (r.cohort_week.isoformat(), r.week_offset): r.n_users
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_scd2_merge_four_fates(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01", None, True),       # will change → close+reopen
+            (2, "B", "2024-01-01", None, True),       # unchanged → survives
+            (3, "X", "2023-01-01", "2024-01-01", False),  # history → untouched
+            (3, "Y", "2024-01-01", None, True),       # open version of 3, unchanged
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A2"), (2, "B"), (9, "NEW")], "k long, attr string"
+    )
+    out = scd2_merge(current, updates, "k", ["attr"], "2024-06-01")
+    rows = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "A", "2024-01-01", "2024-06-01", False),
+        (1, "A2", "2024-06-01", None, True),
+        (2, "B", "2024-01-01", None, True),
+        (3, "X", "2023-01-01", "2024-01-01", False),
+        (3, "Y", "2024-01-01", None, True),
+        (9, "NEW", "2024-06-01", None, True),
+    }
+
+
+def test_scd2_null_attr_values_compare_null_safe(spark):
+    current = spark.createDataFrame(
+        [(1, None, "2024-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    # update carries the same NULL attr → no new version
+    updates = spark.createDataFrame([(1, None)], "k long, attr string")
+    out = scd2_merge(current, updates, "k", ["attr"], "2024-06-01").collect()
+    assert len(out) == 1 and out[0].is_current
+
+
+def test_scd2_plan_is_single_join(spark):
+    from tests.test_plans import plan_of
+
+    current = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("A").alias("attr"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("Z").alias("attr")
+    )
+    plan = plan_of(scd2_merge(current, updates, "k", ["attr"], "2024-06-01"))
+    # the explode-of-fates design runs ONE join total — a union-per-fate
+    # implementation would replay it once per branch ("Join type:" appears
+    # once per join node in formatted explain detail sections)
+    assert plan.count("Join type:") == 1, plan
