@@ -639,3 +639,24 @@ def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(diff_sum)
         .select("hypothesis", "n_pairs", "diff_sum", "p_valid")
     )
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental keyed materialization (streaming/sinks.py): update-mode
+    aggregation + foreachBatch upsert into a versioned state table, read
+    back after the bounded stream drains. The oracle is the batch groupBy
+    the incremental path must reproduce exactly."""
+    from azure_medicine_data_engineering_spark.streaming.sinks import (
+        streaming_upsert_user_totals,
+    )
+
+    return streaming_upsert_user_totals(spark, sf_dir)

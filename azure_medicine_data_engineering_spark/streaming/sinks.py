@@ -1,0 +1,99 @@
+"""Incremental materialization sinks: foreachBatch keyed upsert.
+
+Scale extension (SURVEY §2.9): the production pattern for maintaining a
+queryable aggregate table from a stream — update-mode aggregation +
+``foreachBatch`` merging each micro-batch into a keyed state table. The
+reference's closest surface is its overwrite-table publish step
+(``utils.scala:164-170``); this is the streaming equivalent that never
+recomputes history.
+
+Merge semantics: in update mode each micro-batch emits the NEW cumulative
+aggregate row for every key touched in that batch, so the upsert is
+"replace touched keys, keep the rest". State versions are written to
+``state/v{batch_id}`` (write-new-then-point, never read-and-overwrite the
+same files — self-overwrite corrupts a lazily-read source). A production
+deployment swaps the versioned-directory device for a transactional table
+format (Delta/Iceberg MERGE); the micro-batch dataflow is identical.
+
+At 100 TB: the state table is keyed-aggregate-sized (users, not events);
+the anti-join + union per batch shuffles only state ∪ batch on the key,
+and the stream side is bounded by the state store, not history.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.streaming.windows import (
+    read_events_stream,
+)
+
+
+def merge_state(
+    spark: SparkSession,
+    prev_path: str | None,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    target: str,
+) -> None:
+    """One upsert step: replace keys touched by the batch, keep the rest,
+    write the new state version to ``target`` (never in-place)."""
+    if prev_path is None:
+        batch_df.write.mode("overwrite").parquet(target)
+        return
+    state = spark.read.parquet(prev_path)
+    keep = state.join(batch_df.select(*key_cols), key_cols, "left_anti")
+    keep.unionByName(batch_df).write.mode("overwrite").parquet(target)
+
+
+def foreach_batch_upsert(
+    agg_stream: DataFrame,
+    key_cols: list[str],
+    state_root: str,
+) -> str:
+    """Run an update-mode aggregated stream to completion (availableNow),
+    merging every micro-batch into a versioned keyed state table under
+    ``state_root``. Returns the path of the final state version."""
+    latest: dict[str, str] = {}
+    spark = agg_stream.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(state_root, f"v{batch_id}")
+        merge_state(spark, latest.get("path"), batch_df, key_cols, target)
+        latest["path"] = target
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg_stream.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    return latest["path"]
+
+
+def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event totals maintained incrementally via foreachBatch
+    upsert, then read back from the final state version. Equal to the batch
+    groupBy by construction — the oracle checks exactly that."""
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("_total"),
+    )
+    root = tempfile.mkdtemp(prefix="amde_upsert_")
+    final = foreach_batch_upsert(agg, ["user_id"], root)
+    return (
+        spark.read.parquet(final)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("_total").cast("double"), 4).alias("total_value"),
+        )
+    )

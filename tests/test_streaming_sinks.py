@@ -1,0 +1,55 @@
+"""foreachBatch keyed-upsert sink (streaming/sinks.py)."""
+
+from azure_medicine_data_engineering_spark.streaming.sinks import (
+    merge_state,
+    streaming_upsert_user_totals,
+)
+
+
+def test_merge_state_replaces_touched_keys_only(spark, tmp_path):
+    b1 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, total long"
+    )
+    b2 = spark.createDataFrame([(2, 25), (4, 40)], "k long, total long")
+    v0, v1 = str(tmp_path / "v0"), str(tmp_path / "v1")
+    merge_state(spark, None, b1, ["k"], v0)
+    merge_state(spark, v0, b2, ["k"], v1)
+    out = {r.k: r.total for r in spark.read.parquet(v1).collect()}
+    # 2 replaced by the newer batch, 4 inserted, 1 and 3 kept
+    assert out == {1: 10, 2: 25, 3: 30, 4: 40}
+
+
+def test_merge_state_never_writes_in_place(spark, tmp_path):
+    b1 = spark.createDataFrame([(1, 10)], "k long, total long")
+    b2 = spark.createDataFrame([(1, 11)], "k long, total long")
+    v0, v1 = str(tmp_path / "v0"), str(tmp_path / "v1")
+    merge_state(spark, None, b1, ["k"], v0)
+    merge_state(spark, v0, b2, ["k"], v1)
+    # prior version still readable (time travel / crash safety)
+    assert spark.read.parquet(v0).head().total == 10
+    assert spark.read.parquet(v1).head().total == 11
+
+
+def test_streaming_upsert_equals_batch(spark):
+    sf = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.queries.registry import (
+        events_table,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streaming_upsert_user_totals(spark, sf).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in events_table(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
