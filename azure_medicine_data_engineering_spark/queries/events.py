@@ -280,3 +280,42 @@ def q_retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "cohort_week", F.date_format("cohort_week", "yyyy-MM-dd")
     ).select("cohort_week", "week_offset", "n_users")
+
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS prev_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS prob
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per user,
+    consecutive event pairs (deterministic order: ts then event_id), rolled
+    up to P(next | prev). The lead window partitions by user — parallel,
+    never a global sort; the probability is one exact-integer division
+    (row count / partition-window total), no rounding needed."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("prev_type")
+    seq = events_table(spark, sf_dir).select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "prob", F.col("n").cast("double") / F.sum("n").over(wp)
+        )
+    )

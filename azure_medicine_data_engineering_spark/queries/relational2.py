@@ -1397,3 +1397,75 @@ def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         current, updates, "custkey", ["segment"], effective_date="2024-06-01"
     )
+
+
+@register(
+    "pagerank_nation_trade",
+    """
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+    t AS (SELECT e.src, e.dst, e.w / outw.ow AS p FROM e JOIN outw USING (src)),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+    r1 AS (SELECT x.node, (1.0 - 0.85) / nn.n
+                  + 0.85 * COALESCE(m.mass, 0.0) AS pr
+           FROM nodes x CROSS JOIN nn
+           LEFT JOIN (SELECT t.dst AS node, SUM(r0.pr * t.p) AS mass
+                      FROM t JOIN r0 ON t.src = r0.node GROUP BY 1) m
+             USING (node)),
+    r2 AS (SELECT x.node, (1.0 - 0.85) / nn.n
+                  + 0.85 * COALESCE(m.mass, 0.0) AS pr
+           FROM nodes x CROSS JOIN nn
+           LEFT JOIN (SELECT t.dst AS node, SUM(r1.pr * t.p) AS mass
+                      FROM t JOIN r1 ON t.src = r1.node GROUP BY 1) m
+             USING (node)),
+    r3 AS (SELECT x.node, (1.0 - 0.85) / nn.n
+                  + 0.85 * COALESCE(m.mass, 0.0) AS pr
+           FROM nodes x CROSS JOIN nn
+           LEFT JOIN (SELECT t.dst AS node, SUM(r2.pr * t.p) AS mass
+                      FROM t JOIN r2 ON t.src = r2.node GROUP BY 1) m
+             USING (node))
+    SELECT CAST(node AS BIGINT) AS node, ROUND(CAST(pr AS DOUBLE), 4) AS pr
+    FROM r3
+    """,
+)
+def q_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py, 3 iterations, d=0.85) over
+    the nation-level trade graph: an edge customer-nation → supplier-nation
+    per lineitem, weight = shipment count. The oracle unrolls the exact
+    same three propagation rounds as CTEs — same init, same damping
+    literals, same no-redistribution dangling policy — so only the
+    ROUND-masked sum order can differ. The edge build is the star-join
+    pattern (dims broadcast); each iteration joins the persisted normalized
+    edges against the small rank table."""
+    from azure_medicine_data_engineering_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, weight="w")
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("pr").cast("double"), 4).alias("pr"),
+    )
