@@ -310,3 +310,97 @@ def q_streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return streaming_hll_distinct_users(spark, sf_dir)
+
+
+def _hll_intersect_sql(b: int = 8) -> str:
+    m = 1 << b
+    R = 60 - b
+    numerator = repr(sketches.hll_numerator(b))
+    return f"""
+    WITH h AS (
+      SELECT o_orderstatus AS grp,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    r0 AS (
+      SELECT grp, h & {m - 1} AS bucket,
+             MAX(CASE WHEN (h >> {b}) = 0 THEN {R + 1}
+                 ELSE {R + 1} - length(bin(h >> {b})) END) AS reg
+      FROM h GROUP BY grp, bucket
+    ),
+    r AS (
+      SELECT grp, bucket, reg FROM r0
+      UNION ALL
+      SELECT 'F|O' AS grp, bucket, reg FROM r0
+    ),
+    reg2 AS (SELECT grp, bucket, MAX(reg) AS reg FROM r GROUP BY grp, bucket),
+    agg AS (
+      SELECT grp, COUNT(*) AS n_present,
+             SUM(CAST(power(2.0, {R + 1} - reg) AS BIGINT)) AS s_present
+      FROM reg2 GROUP BY grp
+    ),
+    est AS (
+      SELECT grp,
+             {numerator} / (s_present + ({m} - n_present) * {1 << (R + 1)}) AS raw,
+             {m} - n_present AS zeros
+      FROM agg
+    ),
+    hll AS (
+      SELECT grp,
+             ROUND(CAST(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                        THEN {float(m)} * ln({float(m)} / zeros)
+                        ELSE raw END AS DOUBLE), 4) AS e
+      FROM est
+    ),
+    piv AS (
+      SELECT SUM(CASE WHEN grp = 'F' THEN e END) AS est_f,
+             SUM(CASE WHEN grp = 'O' THEN e END) AS est_o,
+             SUM(CASE WHEN grp = 'F|O' THEN e END) AS est_union
+      FROM hll
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderstatus) = 2
+      ) t
+    )
+    SELECT est_f, est_o, est_union,
+           (est_f + est_o) - est_union AS est_intersection,
+           n_exact
+    FROM piv CROSS JOIN exact
+    """
+
+
+@register("hll_intersect_customer_sets", _hll_intersect_sql())
+def q_hll_intersect_customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra, part 2: intersection cardinality by
+    inclusion-exclusion over MERGEABLE register sets — est(F) + est(O) −
+    est(F∪O), where the union estimate merges the two register tables with
+    MAX instead of re-scanning. The per-subset estimates are rounded before
+    the pivot (same as the union query), so the final arithmetic is three
+    deterministic double ops mirrored in the oracle. Exact truth
+    (customers with BOTH order statuses) rides along for visible error."""
+    o2 = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus").isin("F", "O"))
+    r0 = sketches.hll_registers(o2, ["o_orderstatus"], "o_custkey", b=8).persist()
+    merged = r0.unionByName(r0.withColumn("o_orderstatus", F.lit("F|O")))
+    reg2 = merged.groupBy("o_orderstatus", "bucket").agg(F.max("reg").alias("reg"))
+    est = sketches.hll_estimate(reg2, ["o_orderstatus"], b=8)
+    piv = est.agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", F.col("hll_estimate"))).alias("est_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", F.col("hll_estimate"))).alias("est_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "F|O", F.col("hll_estimate"))).alias("est_union"),
+    )
+    exact = (
+        o2.groupBy("o_custkey")
+        .agg(F.count_distinct("o_orderstatus").alias("k"))
+        .where(F.col("k") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        piv.crossJoin(F.broadcast(exact))
+        .select(
+            "est_f", "est_o", "est_union",
+            ((F.col("est_f") + F.col("est_o")) - F.col("est_union")).alias("est_intersection"),
+            "n_exact",
+        )
+    )

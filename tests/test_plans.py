@@ -129,3 +129,30 @@ def test_cms_topk_uses_take_ordered(spark, queries):
     # top-25 tokens must come from a distributed heap, not a global sort
     plan = plan_of(queries["cms_token_frequencies"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # Catalyst's DPP: a fact table partitioned on the join key must be
+    # pruned at RUNTIME by the dim-side filter — at 100 TB this is the
+    # difference between scanning 3 partitions and scanning 300
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact_parted")
+    (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("part_id"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .write.partitionBy("part_id")
+        .parquet(fact_path)
+    )
+    dim = spark.createDataFrame(
+        [(1, "keep"), (2, "keep")], "part_id long, tag string"
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim, "part_id").where(F.col("tag") == "keep")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 2000
