@@ -1469,3 +1469,88 @@ def q_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.round(F.col("pr").cast("double"), 4).alias("pr"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment,
+             TIMESTAMP '2024-01-01 00:00:00' AS vf,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN TIMESTAMP '2024-06-01 00:00:00' END AS vt
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MIGRATED',
+             TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP)
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    probes AS (
+      SELECT o_orderkey,
+             o_custkey,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN TIMESTAMP '2024-03-15 00:00:00'
+                  ELSE TIMESTAMP '2024-08-15 00:00:00' END AS as_of
+      FROM orders
+    )
+    SELECT p.o_orderkey, p.o_custkey,
+           strftime(p.as_of, '%Y-%m-%d') AS as_of_day,
+           d.segment
+    FROM probes p
+    JOIN dim d
+      ON p.o_custkey = d.custkey
+     AND p.as_of >= d.vf
+     AND (d.vt IS NULL OR p.as_of < d.vt)
+    """,
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against a versioned (SCD2) dimension: each
+    order probes the customer-segment version valid at its as-of date —
+    the query every SCD2 table exists to answer. The dimension is the same
+    deterministic two-version history as scd2_customer_segments; probe
+    dates alternate around the 2024-06-01 cut so both versions are
+    exercised. The plan is an equi-join on the business key with the
+    validity interval as residual predicates — never a range-only join; at
+    100 TB the fact shuffles once on custkey (or broadcasts the dim)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    v1 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("vf"),
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.lit("2024-06-01 00:00:00").cast("timestamp"),
+        ).alias("vt"),
+    )
+    v2 = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("MIGRATED").alias("segment"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("vf"),
+        F.lit(None).cast("timestamp").alias("vt"),
+    )
+    dim = v1.unionByName(v2)
+    probes = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.lit("2024-03-15 00:00:00").cast("timestamp"),
+        )
+        .otherwise(F.lit("2024-08-15 00:00:00").cast("timestamp"))
+        .alias("as_of"),
+    )
+    return (
+        probes.join(
+            F.broadcast(dim),
+            (probes["o_custkey"] == dim["custkey"])
+            & (probes["as_of"] >= dim["vf"])
+            & (dim["vt"].isNull() | (probes["as_of"] < dim["vt"])),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("as_of", "yyyy-MM-dd").alias("as_of_day"),
+            "segment",
+        )
+    )
