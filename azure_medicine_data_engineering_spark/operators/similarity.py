@@ -112,6 +112,54 @@ def ivf_centroids(
     )
 
 
+def _mean_centroids(
+    assigned: DataFrame, vec_col: str, round_digits: int
+) -> DataFrame:
+    """Element-wise means per assigned cluster (same explode→avg→rebuild
+    shape as :func:`ivf_centroids`); clusters that lose every member
+    simply vanish from the codebook on both engines."""
+    exploded = assigned.select(
+        "cluster", F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("cluster", "dim")
+        .agg(F.round(F.avg("v"), round_digits).alias("c"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an embedding column: deterministic id-seeded
+    init (:func:`ivf_centroids`), then ``iterations`` rounds of
+    assign-to-nearest (cosine, rounded, tie-break on cluster id) +
+    recompute means. Returns (centroids, final_assignment).
+
+    This is the trained-quantizer step :func:`ivf_centroids` stubs out:
+    at 100 TB each round is one corpus pass (broadcast k×d centroids, no
+    shuffle for scoring) plus one (cluster, dim) aggregation; rounded
+    components keep every round bit-reproducible cross-engine, and a
+    FIXED iteration count keeps the lineage a finite DAG (persist the
+    assignment between rounds at depth)."""
+    cents = ivf_centroids(df, k, id_col, vec_col, round_digits)
+    assigned = None
+    for _ in range(iterations):
+        assigned = ivf_assign(df, cents, id_col, vec_col).persist()
+        cents = _mean_centroids(assigned, vec_col, round_digits)
+    return cents, assigned
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

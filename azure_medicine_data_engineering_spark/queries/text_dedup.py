@@ -885,3 +885,63 @@ def q_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("int").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def _kmeans_round_sql(src: str, carr: str, a_out: str, cent_out: str, carr_out: str) -> str:
+    """One unrolled Lloyd round: assign `src` rows to nearest `carr`
+    centroid (rounded cosine, tie-break lower cluster), recompute rounded
+    means. Mirrors operators/similarity.py kmeans_fit exactly."""
+    cos = _COS_AB.format(a=f"{src}.v", b="c.centroid")
+    return f"""
+    {a_out} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT {src}.vec_id, {src}.v, c.cluster,
+               ROUND(CAST({cos} AS DOUBLE), 6) AS c_sim
+        FROM {src}, {carr} c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, cluster) = 1
+    ),
+    {cent_out} AS (
+      SELECT cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM {a_out}, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    {carr_out} AS (SELECT cluster, list(c ORDER BY dim) AS centroid
+                   FROM {cent_out} GROUP BY cluster)"""
+
+
+@register(
+    "kmeans_embedding_codebook",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0 AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr0 AS (SELECT cluster, list(c ORDER BY dim) AS centroid
+              FROM cent0 GROUP BY cluster),
+    {_kmeans_round_sql('e', 'carr0', 'a1', 'cent1', 'carr1')},
+    {_kmeans_round_sql('e', 'carr1', 'a2', 'cent2', 'carr2')},
+    sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size
+              FROM a2 GROUP BY cluster)
+    SELECT s.cluster, s.size, c.centroid
+    FROM carr2 c JOIN sizes s USING (cluster)
+    """,
+)
+def q_kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained vector-quantizer codebook: 2 Lloyd rounds of k=8 k-means
+    over the embeddings (operators/similarity.py:kmeans_fit) — the
+    production replacement for the id-seeded IVF coarse quantizer. The
+    oracle unrolls both rounds CTE-for-CTE (same rounded cosine
+    assignment, same tie-break, same rounded means), so the entire
+    iterative fit must be bit-reproducible to hash-match."""
+    from azure_medicine_data_engineering_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigned = similarity.kmeans_fit(emb, k=8, iterations=2)
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return cents.join(sizes, "cluster").select("cluster", "size", "centroid")

@@ -48,3 +48,23 @@ def test_approx_aggregates_within_tolerance(spark):
     ).collect()[0]
     assert abs(row.acd - row.cd) / row.cd < 0.15   # ~3x HLL default rsd
     assert abs(row.ap - row.p) / row.p < 0.01
+
+
+def test_kmeans_fit_converges_on_separated_clusters(spark):
+    # two tight groups far apart: after 2 Lloyd rounds every vector must
+    # sit with its own group's centroid regardless of the id-seeded init
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
+    rows = []
+    for i in range(20):
+        base = [10.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 10.0]
+        rows.append((i, [b + (i % 5) * 0.01 for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned = kmeans_fit(df, k=2, iterations=2)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    evens = {got[i] for i in range(0, 20, 2)}
+    odds = {got[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    assert cents.count() == 2
