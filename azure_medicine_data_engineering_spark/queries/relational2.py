@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_medicine_data_engineering_spark.queries.registry import register, table as _t
@@ -1553,4 +1553,82 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("as_of", "yyyy-MM-dd").alias("as_of_day"),
             "segment",
         )
+    )
+
+
+@register(
+    "timeseries_gap_fill_daily",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS day_total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (
+      SELECT p.priority, CAST(unnest(generate_series(b.d0, b.d1,
+             INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT priority FROM daily) p CROSS JOIN bounds b
+    )
+    SELECT s.priority, strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           CAST(last_value(d.day_total IGNORE NULLS) OVER (
+             PARTITION BY s.priority ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS last_known_total
+    FROM spine s LEFT JOIN daily d USING (priority, day)
+    """,
+)
+def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a complete (priority × day) date spine
+    generated with sequence()/explode, left-joined to daily order rollups;
+    missing days get 0 counts and a forward-filled last-known total
+    (last(ignorenulls) over a date-ordered window). The carried value is
+    an exact 2-decimal sum (never a small-count average — CLAUDE.md tie
+    hazard). At 100 TB the spine is dimension-sized (keys × days) and the
+    window partitions by series key — parallel across series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_total"),
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        daily.select("priority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "priority",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["priority", "day"], "left")
+        .select(
+            "priority",
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.last("day_total", ignorenulls=True).over(w).cast("double")
+            .alias("last_known_total"),
+        )
+        .withColumnRenamed("day_str", "day")
     )
