@@ -43,3 +43,33 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(_threshold(frac, buckets))
         ).otherwise(threshold)
     return df.where(_bucket(F.col(key), buckets) < threshold)
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement: each row
+    draws a deterministic uniform u from md5(key) and scores
+    -ln(u) / weight; the k SMALLEST scores are the sample, and inclusion
+    probability is proportional to weight.
+
+    Deterministic and engine-reproducible: u = (h48 + 1) / (2^48 + 1) from
+    the first 12 md5 hex digits (never 0 or 1), the score is rounded
+    before ranking (a last-ulp ln() difference must not reorder
+    near-ties), and the key breaks exact ties. Top-k goes through
+    orderBy+limit → TakeOrderedAndProject: per-partition heaps, no global
+    sort — one corpus pass at any scale."""
+    h48 = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 12), 16, 10).cast(
+        "double"
+    )
+    u = (h48 + 1.0) / float((1 << 48) + 1)
+    score = F.round(-F.log(u) / weight, round_digits)
+    return (
+        df.withColumn("es_score", score)
+        .orderBy("es_score", key)
+        .limit(k)
+    )

@@ -945,3 +945,37 @@ def q_kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("size")
     )
     return cents.join(sizes, "cluster").select("cluster", "size", "centroid")
+
+
+@register(
+    "weighted_sample_documents",
+    f"""
+    WITH s AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+             ROUND(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) + 1.0) / {float((1 << 48) + 1)!r})
+                   / length(text), 8) AS es_score
+      FROM documents
+    )
+    SELECT doc_id, weight, es_score
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (ORDER BY es_score, doc_id) <= 50
+    """,
+)
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    operators/sampling.py): 50 documents drawn with probability ∝ text
+    length, from md5-derived deterministic uniforms — reproducible on any
+    partitioning, any engine. The oracle recomputes every score; the plan
+    guard for top-k (TakeOrderedAndProject) covers the orderBy+limit
+    path."""
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("weight"), "text"
+    )
+    return weighted_sample_keys(docs, "doc_id", F.col("weight"), k=50).select(
+        "doc_id", "weight", "es_score"
+    )

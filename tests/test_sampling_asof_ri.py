@@ -80,3 +80,26 @@ def test_ivf_assignment_covers_corpus(spark):
     assigned = ivf_assign(emb, cents)
     assert assigned.count() == emb.count()          # every vector assigned
     assert assigned.select("cluster").distinct().count() <= 4
+
+
+def test_weighted_sample_prefers_heavy_keys(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+
+    # 500 keys; keys 0-9 carry 1000x the weight of the rest — a weighted
+    # sample of 20 must include most of them, a uniform one would not
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 10, 100000.0).otherwise(100.0).alias("w"),
+    )
+    out = weighted_sample_keys(df, "k", F.col("w"), k=20)
+    picked = {r.k for r in out.collect()}
+    assert len(picked) == 20
+    assert len(picked & set(range(10))) >= 8
+
+    # determinism: same call, same sample
+    again = {r.k for r in weighted_sample_keys(df, "k", F.col("w"), k=20).collect()}
+    assert picked == again
