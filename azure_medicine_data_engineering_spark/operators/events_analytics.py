@@ -50,18 +50,19 @@ def funnel_counts(
         )
         prev = t_k
     totals = cur.agg(*reach_cols)
-    per_stage = [
-        totals.select(
+    # unpivot the single totals row via explode — a union of per-stage
+    # selects would replay the whole window lineage once per stage
+    stage_structs = [
+        F.struct(
             F.lit(k).cast("int").alias("stage_idx"),
             F.lit(stage).alias("stage"),
             F.col(f"_n{k}").cast("long").alias("n_users"),
         )
         for k, stage in enumerate(stages)
     ]
-    out = per_stage[0]
-    for frame in per_stage[1:]:
-        out = out.unionByName(frame)
-    return out
+    return totals.select(
+        F.explode(F.array(*stage_structs)).alias("_s")
+    ).select("_s.*")
 
 
 def retention_cohorts(

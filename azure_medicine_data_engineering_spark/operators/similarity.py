@@ -152,6 +152,7 @@ def kmeans_fit(
     components keep every round bit-reproducible cross-engine, and a
     FIXED iteration count keeps the lineage a finite DAG (persist the
     assignment between rounds at depth)."""
+    df = df.persist()  # scanned once per round (init + every assignment)
     cents = ivf_centroids(df, k, id_col, vec_col, round_digits)
     assigned = None
     for _ in range(iterations):

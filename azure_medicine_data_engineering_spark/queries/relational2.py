@@ -1605,6 +1605,7 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("day_total"),
         )
+        .persist()  # referenced 3x (bounds, spine keys, join probe)
     )
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = (
