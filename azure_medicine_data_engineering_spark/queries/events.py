@@ -319,3 +319,32 @@ def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob", F.col("n").cast("double") / F.sum("n").over(wp)
         )
     )
+
+
+@register(
+    "cdc_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: latest record per key (row_number over
+    ts DESC with event_id tie-break) — the upsert-view every change-log
+    consumer materializes. One shuffle on the key; at 100 TB this is the
+    standard pre-merge compaction before applying a changelog to a table."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events_table(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+    )

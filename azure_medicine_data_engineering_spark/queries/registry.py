@@ -58,5 +58,5 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )

@@ -80,3 +80,22 @@ def test_temporal_sanity_months_between(spark):
         df, [TemporalRule("exam_after_surgery", later="exam", earlier="surgery")]
     )
     assert rep.collect()[0].number == 2
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    # batch 1 lacks the column batch 2 adds — mergeSchema must unify and
+    # null-fill, the way an evolving 100 TB ingest actually lands
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        f"{p}/batch=1"
+    )
+    spark.range(3).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(f"{p}/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v1", "v2", "batch"}
+    rows = df.where(F.col("batch") == 1).select("v2").collect()
+    assert all(r.v2 is None for r in rows)
+    assert df.count() == 6
