@@ -99,3 +99,39 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = df.where(F.col("batch") == 1).select("v2").collect()
     assert all(r.v2 is None for r in rows)
     assert df.count() == 6
+
+
+def test_csv_permissive_mode_corrupt_records(spark, tmp_path):
+    # real ingests contain malformed rows; PERMISSIVE mode must null-fill
+    # them into _corrupt_record instead of failing the 100 TB job
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as f:
+        f.write("id,qty\n1,10\nnot-a-number-row-with,extra,columns\n3,30\n")
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("qty", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "true")
+        .csv(p)
+        .cache()  # SPARK-21610: corrupt-record column needs materialization
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    good = sorted((r.id, r.qty) for r in rows if r._corrupt_record is None)
+    assert len(bad) == 1
+    assert good == [(1, 10), (3, 30)]

@@ -136,6 +136,49 @@ def main() -> None:
     )
     assert n_regs <= 4096, n_regs
 
+    # round-2 families at 10x: ordered-event analytics (one user
+    # partitioning), text ranking (postings shuffle), Lloyd k-means
+    # (per-round corpus pass), z-order keys (map-only expressions)
+    from azure_medicine_data_engineering_spark.functions.zorder import zorder_key
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        funnel_counts,
+        retention_cohorts,
+    )
+    from azure_medicine_data_engineering_spark.operators.similarity import kmeans_fit
+    from azure_medicine_data_engineering_spark.operators.text_rank import bm25_scores
+    from azure_medicine_data_engineering_spark.queries.registry import events_table
+
+    ev = replicate(
+        events_table(spark, SF_DIR),
+        {"user_id": 1_000_000, "event_id": 100_000_000},
+        REPL,
+    ).persist()
+    ev.count()
+    run("funnel", funnel_counts(ev, ["view", "click", "purchase"]))
+    run("retention_cohorts", retention_cohorts(ev))
+    ev.unpersist()
+
+    run("bm25", bm25_scores(docs, ["spark", "table", "query"]))
+
+    emb = replicate(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        {"vec_id": 100_000_000},
+        REPL,
+    )
+    t0 = time.time()
+    cents, assigned = kmeans_fit(emb, k=8, iterations=2)
+    n_assigned = assigned.count()
+    assert cents.count() <= 8
+    timings["kmeans_2rounds"] = round(time.time() - t0, 2)
+    assert n_assigned == 5000 * REPL, n_assigned
+
+    run(
+        "zorder_keys",
+        customer.select(
+            zorder_key(["c_custkey", "c_nationkey"], bits=15).alias("z")
+        ).agg(F.max("z"), F.min("z")),
+    )
+
     # pathological skew: 80% of the fact rows share ONE join key. Three
     # strategies over the same data — AQE skew-join handles the plain path,
     # salting spreads the hot key explicitly, and the comparison shows
