@@ -156,3 +156,26 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == 2000
+
+
+def test_weighted_sample_uses_take_ordered(spark, queries):
+    # ES-sampling top-k must be per-partition heaps, never a global sort
+    plan = plan_of(queries["weighted_sample_documents"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_point_in_time_join_is_broadcast_equi(spark, queries):
+    # SCD2 lookup: equi-join on the business key with interval residuals —
+    # a range-only join would nested-loop
+    plan = plan_of(queries["scd2_point_in_time_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_scan(spark, queries):
+    # the funnel must read the event fact ONCE (explode-unpivot), not once
+    # per stage
+    plan = plan_of(queries["funnel_view_click_purchase"](spark, SF))
+    # formatted explain prints each node twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 2, plan

@@ -160,17 +160,15 @@ def main() -> None:
 
     run("bm25", bm25_scores(docs, ["spark", "table", "query"]))
 
-    emb = replicate(
-        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
-        {"vec_id": 100_000_000},
-        REPL,
-    )
+    emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb_base.count()
+    emb = replicate(emb_base, {"vec_id": 100_000_000}, REPL)
     t0 = time.time()
     cents, assigned = kmeans_fit(emb, k=8, iterations=2)
     n_assigned = assigned.count()
     assert cents.count() <= 8
     timings["kmeans_2rounds"] = round(time.time() - t0, 2)
-    assert n_assigned == 5000 * REPL, n_assigned
+    assert n_assigned == n_emb * REPL, n_assigned
 
     run(
         "zorder_keys",
