@@ -1,0 +1,68 @@
+"""Document chunking for training/embedding pipelines.
+
+Splits each document into fixed-size token windows with overlap — the
+standard pre-embedding / context-packing step of an LLM data pipeline. No
+counterpart in the reference (its text handling stops at label
+normalization); this is a scale extension alongside the dedup/similarity
+family.
+
+Design: tokenization and windowing are pure array expressions (JVM-side,
+whole-stage codegen). One ``explode`` fans a document row out into its
+chunk rows inside the same stage — no shuffle, no UDF; at 100 TB this is a
+map-only pass whose output is ~(n_tokens/stride)× the input row count.
+
+Chunk math (size s, overlap v, stride t = s - v):
+  chunk i covers tokens [i*t, i*t + s), 0-based;
+  n_chunks = 1 if n <= s else (n - s + t - 1) div t + 1
+(integer arithmetic only, so Spark and the DuckDB oracle agree exactly;
+the final chunk may be shorter than s but always starts inside the text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (document, chunk): ``(id, chunk_id, n_chunk_tokens,
+    chunk_text)``."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # `div` keeps the chunk count in integer arithmetic end-to-end (the
+    # oracle computes the identical expression; no float ceil anywhere)
+    n_chunks = (
+        F.when(n <= chunk_size, F.lit(1))
+        .otherwise(F.expr(f"(size({_toks_sql(text_col)}) - {chunk_size} + {stride - 1}) div {stride} + 1"))
+        .cast("int")
+    )
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, chunk_size).alias("_toks"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunk).alias("c"))
+    return exploded.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c._toks").cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("c._toks")).alias("chunk_text"),
+    )
+
+
+def _toks_sql(text_col: str) -> str:
+    """SQL form of operators.text.tokens for exact integer chunk counts."""
+    return f"filter(split({text_col}, '\\\\s+'), x -> x != '')"

@@ -245,3 +245,66 @@ def q_referential_integrity_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
         o, c, [ForeignKey("orders.o_custkey -> customer", "o_custkey", "c_custkey")]
     )
     return rep1.unionByName(rep2)
+
+
+@register(
+    "validate_orders_constraints",
+    """
+    WITH m AS (
+      SELECT
+        CAST(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS completeness_custkey,
+        CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) AS uniqueness_orderkey,
+        CAST(MIN(o_totalprice) AS DOUBLE) AS min_totalprice,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_totalprice,
+        AVG(CASE WHEN o_orderstatus IS NULL THEN NULL
+                 WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) AS status_in_set,
+        AVG(CASE WHEN o_orderpriority IS NULL THEN NULL
+                 WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END) AS priority_pattern,
+        CAST(COUNT(*) AS DOUBLE) AS row_count
+      FROM orders
+    )
+    SELECT rule, ROUND(metric, 4) AS metric, passed FROM (
+      SELECT 'completeness(o_custkey)' AS rule, completeness_custkey AS metric,
+             completeness_custkey >= 1.0 AS passed FROM m
+      UNION ALL
+      SELECT 'max(o_totalprice)', max_totalprice, max_totalprice <= 1000000.0 FROM m
+      UNION ALL
+      SELECT 'min(o_totalprice)', min_totalprice, min_totalprice >= 0.0 FROM m
+      UNION ALL
+      SELECT 'pattern(o_orderpriority)', priority_pattern, priority_pattern >= 1.0 FROM m
+      UNION ALL
+      SELECT 'row_count', row_count, row_count >= 1.0 FROM m
+      UNION ALL
+      SELECT 'set(o_orderstatus)', status_in_set, status_in_set >= 1.0 FROM m
+      UNION ALL
+      SELECT 'uniqueness(o_orderkey)', uniqueness_orderkey, uniqueness_orderkey >= 1.0 FROM m
+    ) ORDER BY rule
+    """,
+)
+def q_validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (deequ-style "data unit tests"): N named
+    rules, one aggregation pass, (rule, metric, passed) report — the
+    contract form of the reference's ad-hoc quality gates
+    (``DataQualityCheck.scala`` via ``operators/quality.py``)."""
+    from azure_medicine_data_engineering_spark.operators import validation as V
+
+    return V.validate(
+        _t(spark, sf_dir, "orders"),
+        [
+            V.Constraint("completeness(o_custkey)", V.completeness("o_custkey"), lo=1.0),
+            V.Constraint("uniqueness(o_orderkey)", V.uniqueness("o_orderkey"), lo=1.0),
+            V.Constraint("min(o_totalprice)", V.min_of("o_totalprice"), lo=0.0),
+            V.Constraint("max(o_totalprice)", V.max_of("o_totalprice"), hi=1_000_000.0),
+            V.Constraint(
+                "set(o_orderstatus)",
+                V.in_set_fraction("o_orderstatus", ["O", "F", "P"]),
+                lo=1.0,
+            ),
+            V.Constraint(
+                "pattern(o_orderpriority)",
+                V.pattern_fraction("o_orderpriority", "^[1-5]-"),
+                lo=1.0,
+            ),
+            V.Constraint("row_count", V.row_count(), lo=1.0),
+        ],
+    )

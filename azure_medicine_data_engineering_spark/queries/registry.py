@@ -41,22 +41,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table with its nanosecond-precision ``ts``.
+    """The events table with a canonical microsecond TIMESTAMP ``ts``.
 
-    Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) outright
-    (PARQUET_TYPE_ILLEGAL); read it as raw nanos via the legacy conf and
-    truncate to microseconds — exactly what DuckDB's µs-native timestamp does,
-    so both engines see identical values.
+    The driver has shipped this table with two physical types across rounds,
+    so the accessor adapts to what is actually stored:
 
-    ``nanosAsLong`` is a session-wide policy declared in
-    ``session.DEFAULT_CONF``; it is re-asserted here only for sessions built
-    outside :func:`session.get_spark` (it changes how any nanos-typed parquet
-    column is read for the whole session — see the comment there)."""
+    - INT64 TIMESTAMP(NANOS): Spark 4 rejects it outright
+      (PARQUET_TYPE_ILLEGAL); the session-wide ``nanosAsLong`` conf
+      (``session.DEFAULT_CONF``, re-asserted here for foreign sessions)
+      reads it as raw nanos longs, truncated to micros with integer
+      division — exactly what DuckDB's µs-native timestamp does.
+    - TIMESTAMP(MICROS) with isAdjustedToUTC=false: Spark 4 infers
+      TIMESTAMP_NTZ; cast to session-zone TIMESTAMP (UTC is pinned) so the
+      wall-clock values match DuckDB's naive-µs reading bit-for-bit.
+    """
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
-    return (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):  # raw nanos via nanosAsLong
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))

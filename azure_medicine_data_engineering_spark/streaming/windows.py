@@ -19,22 +19,29 @@ from pyspark.sql import functions as F
 
 from azure_medicine_data_engineering_spark.session import ensure_utc
 
-_EVENT_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events parquet as a bounded stream (nanos ts → microsecond timestamp,
-    same truncation as the batch reader)."""
+    """events parquet as a bounded stream with the same canonical
+    microsecond TIMESTAMP ``ts`` as the batch accessor
+    (queries/registry.py:events_table) — the stored type has varied across
+    driver rounds (INT64 nanos vs TIMESTAMP_NTZ micros), so the stream
+    schema is pinned to whatever the file actually holds."""
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import LongType
+
+    path = f"{sf_dir}/events.parquet"
+    stored = spark.read.parquet(path).schema
+    nanos = isinstance(stored["ts"].dataType, LongType)
     # file-stream source requires a directory; select the single table file
     # via glob filter
     raw = (
-        spark.readStream.schema(_EVENT_SCHEMA)
+        spark.readStream.schema(stored)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
