@@ -46,3 +46,99 @@ def q_chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_size=32, overlap=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (top-2-gram mass, duplicate-5-gram mass,
+# duplicate-token fraction).
+# ---------------------------------------------------------------------------
+
+
+def _ngrams_sql(n: int) -> str:
+    toks = _TOKS.format(t="text")
+    if n == 1:
+        return toks
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i : i + {n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+@register(
+    "repetition_quality_signals",
+    f"""
+    WITH fan AS (
+      SELECT doc_id, 'g2' AS kind, unnest({_ngrams_sql(2)}) AS gram FROM documents
+      UNION ALL
+      SELECT doc_id, 'g5', unnest({_ngrams_sql(5)}) FROM documents
+      UNION ALL
+      SELECT doc_id, 'tok', unnest({_ngrams_sql(1)}) FROM documents
+    ), counts AS (
+      SELECT doc_id, kind, gram, COUNT(*) AS cnt FROM fan GROUP BY ALL
+    ), per_kind AS (
+      SELECT doc_id, kind,
+             SUM(cnt * length(gram)) AS char_mass,
+             COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup_char_mass,
+             SUM(cnt) AS total_occ,
+             COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) AS dup_occ,
+             MAX(lpad(CAST(cnt AS VARCHAR), 10, '0') || ' ' || gram) AS top_key
+      FROM counts GROUP BY ALL
+    ), enriched AS (
+      SELECT *, CAST(substr(top_key, 1, 10) AS BIGINT) * length(substr(top_key, 12)) AS top_mass
+      FROM per_kind
+    )
+    SELECT doc_id,
+           ROUND(MAX(CASE WHEN kind = 'g2' THEN CAST(top_mass AS DOUBLE) / char_mass END), 4) AS top2_frac,
+           ROUND(MAX(CASE WHEN kind = 'g5' THEN CAST(dup_char_mass AS DOUBLE) / char_mass END), 4) AS dup5_frac,
+           ROUND(MAX(CASE WHEN kind = 'tok' THEN CAST(dup_occ AS DOUBLE) / total_occ END), 4) AS dup_tok_frac
+    FROM enriched GROUP BY doc_id
+    """,
+)
+def q_repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (see operators/repetition.py)."""
+    from azure_medicine_data_engineering_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: shared word-3-gram counts vs a held-out
+# "benchmark" slice (doc_id % 101 == 0 stands in for the eval set).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct({_ngrams_sql(3)})) AS gram FROM documents
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0
+    ), hits AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 101 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.shared_ngrams, 0) AS shared_ngrams,
+           COALESCE(h.shared_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 101 <> 0
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination (see operators/contamination.py;
+    n=3 here so the synthetic corpus exercises both verdicts)."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    train = docs.where(F.col("doc_id") % 101 != 0)
+    return ngram_contamination(train, bench, n=3)

@@ -1,0 +1,107 @@
+"""Corpus-pipeline operators: chunking, repetition signals, decontamination."""
+
+import pytest
+
+from azure_medicine_data_engineering_spark.operators.chunking import chunk_documents
+from azure_medicine_data_engineering_spark.operators.contamination import (
+    ngram_contamination,
+)
+from azure_medicine_data_engineering_spark.operators.repetition import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunking_exact_windows(spark):
+    # 10 tokens, size 4, overlap 1 -> stride 3 -> chunks at 0,3,6 cover
+    # through token 9 (last chunk exactly fills), n_chunks = (10-4+2)//3+1 = 3
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_size=4, overlap=1
+    ).orderBy("chunk_id").collect()
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[2]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(r["n_chunk_tokens"] == 4 for r in rows)
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    rows = chunk_documents(
+        _docs(spark, [(1, "a b"), (2, "x")]), chunk_size=4, overlap=1
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 2
+    assert by_id[1]["chunk_text"] == "a b" and by_id[1]["n_chunk_tokens"] == 2
+    assert by_id[2]["chunk_text"] == "x"
+
+
+def test_chunking_ragged_tail(spark):
+    # 11 tokens, size 4, stride 3 -> starts 0,3,6,9; last chunk has 2 tokens
+    text = " ".join(f"t{i}" for i in range(11))
+    rows = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_size=4, overlap=1
+    ).orderBy("chunk_id").collect()
+    assert len(rows) == 4
+    assert rows[-1]["chunk_text"] == "t9 t10" and rows[-1]["n_chunk_tokens"] == 2
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_size=4, overlap=4)
+
+
+def test_repetition_signals_extremes(spark):
+    rows = repetition_stats(
+        _docs(
+            spark,
+            [
+                (1, "spam spam spam spam spam spam"),  # total repetition
+                (2, "one two three four five six"),  # no repetition
+                (3, "ab ab cd"),  # top 2-gram 'ab ab' ties handled
+            ],
+        )
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["top2_frac"] == 1.0
+    assert by_id[1]["dup5_frac"] == 1.0
+    assert by_id[1]["dup_tok_frac"] == 1.0
+    assert by_id[2]["dup_tok_frac"] == 0.0
+    assert by_id[2]["dup5_frac"] == 0.0
+    # doc 2: each 2-gram unique -> top mass = its own chars / total
+    assert 0 < by_id[2]["top2_frac"] < 1
+    # doc 3: 2-grams are 'ab ab', 'ab cd' (each once): tie -> argmax picks
+    # the lexicographically greatest gram; doc too short for any 5-gram
+    assert by_id[3]["dup5_frac"] is None
+    assert by_id[3]["dup_tok_frac"] == 0.6667  # round(2/3, 4), half-away
+
+
+def test_contamination_counts_and_verdicts(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),  # shares 'alpha beta gamma' + 'beta gamma delta'
+            (2, "eps zeta eta theta"),  # clean
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    rows = ngram_contamination(train, bench, n=3).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["shared_ngrams"] == 2 and by_id[1]["contaminated"]
+    assert by_id[2]["shared_ngrams"] == 0 and not by_id[2]["contaminated"]
+
+
+def test_contamination_big_side_never_shuffles_for_join(spark):
+    train = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)])
+    bench = _docs(spark, [(999, "w1 w2 w3 w4")])
+    plan = (
+        ngram_contamination(train, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the benchmark gram set is broadcast: the join on `gram` (the one that
+    # touches the full training corpus) must never sort-merge. The final
+    # doc_id left join attaching zero-counts to clean docs may shuffle —
+    # it carries (id, count) pairs, not text.
+    assert "BroadcastHashJoin [gram" in plan
+    assert "SortMergeJoin [gram" not in plan
