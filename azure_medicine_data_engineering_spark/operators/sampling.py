@@ -73,3 +73,50 @@ def weighted_sample_keys(
         .orderBy("es_score", key)
         .limit(k)
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    targets: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Mixture balancing: deterministically downsample each stratum so the
+    surviving corpus matches the target proportions — the domain-mixing
+    step of a training-data pipeline (e.g. 40% web / 30% books / 30% code).
+
+    The largest feasible corpus preserving the mixture is
+    ``T = min_s(count_s / target_s)``; stratum s keeps
+    ``min(1, target_s * T / count_s)`` of its rows via the same stable
+    md5-bucket rule as :func:`hash_sample` (reproducible on any
+    partitioning or engine). Strata absent from ``targets`` are dropped.
+
+    Cost: one tiny per-stratum count aggregation plus one filtered scan;
+    the per-stratum thresholds are broadcast, so the big side never
+    shuffles. The threshold is ``floor(frac * buckets + 0.5)``
+    (half-away-from-zero, CLAUDE.md convention) computed from identical
+    IEEE expressions on both engines."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        f"{strata_col} string, _target double",
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    joined = counts.join(F.broadcast(tgt), strata_col).persist()  # 2 consumers
+    feasible = joined.agg(F.min(F.col("_cnt") / F.col("_target")).alias("_T"))
+    thresholds = joined.crossJoin(F.broadcast(feasible)).select(
+        strata_col,
+        F.floor(
+            F.least(F.lit(1.0), F.col("_target") * F.col("_T") / F.col("_cnt"))
+            * buckets
+            + F.lit(0.5)
+        ).alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .where(_bucket(F.col(key), buckets) < F.col("_thr"))
+        .drop("_thr")
+    )

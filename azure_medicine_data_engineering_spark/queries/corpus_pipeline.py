@@ -142,3 +142,64 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 101 == 0)
     train = docs.where(F.col("doc_id") % 101 != 0)
     return ngram_contamination(train, bench, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture quota sampling: rebalance the corpus to target language
+# proportions (40% en, 15% each of de/es/fr/zh).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quota_sampled_documents",
+    """
+    WITH tgt(lang, target) AS (
+      VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)
+    ), counts AS (
+      SELECT d.lang, COUNT(*) AS cnt, ANY_VALUE(target) AS target
+      FROM documents d JOIN tgt USING (lang) GROUP BY d.lang
+    ), feasible AS (
+      SELECT MIN(cnt / target) AS T FROM counts
+    ), thr AS (
+      SELECT lang,
+             FLOOR(LEAST(1.0, (target * T) / cnt) * 10000 + 0.5) AS thr
+      FROM counts, feasible
+    ), kept AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d JOIN thr USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < thr
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM kept), 4) AS achieved_frac
+    FROM kept GROUP BY lang
+    """,
+)
+def q_quota_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing via deterministic quota sampling (see
+    operators/sampling.py:quota_sample); the report shows the achieved
+    mixture alongside per-language kept counts."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quota_sample(
+        docs,
+        key="doc_id",
+        strata_col="lang",
+        targets={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    ).persist()  # counted twice: per-lang and total
+    total = kept.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.round(F.col("n_kept").cast("double") / F.col("_total"), 4).alias(
+                "achieved_frac"
+            ),
+        )
+    )

@@ -1,6 +1,7 @@
 """Corpus-pipeline operators: chunking, repetition signals, decontamination."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from azure_medicine_data_engineering_spark.operators.chunking import chunk_documents
 from azure_medicine_data_engineering_spark.operators.contamination import (
@@ -105,3 +106,24 @@ def test_contamination_big_side_never_shuffles_for_join(spark):
     # it carries (id, count) pairs, not text.
     assert "BroadcastHashJoin [gram" in plan
     assert "SortMergeJoin [gram" not in plan
+
+
+def test_quota_sample_mixture_and_determinism(spark):
+    from azure_medicine_data_engineering_spark.operators.sampling import quota_sample
+
+    rows = [(i, "a" if i < 800 else ("b" if i < 900 else "c")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    targets = {"a": 0.5, "b": 0.5}  # c is dropped entirely
+    kept = quota_sample(df, key="id", strata_col="dom", targets=targets)
+    counts = {
+        r["dom"]: r["n"]
+        for r in kept.groupBy("dom").agg(F.count("id").alias("n")).collect()
+    }
+    assert "c" not in counts
+    # feasible total = min(800/.5, 100/.5) = 200 -> ~100 of each stratum
+    # (hash-bucket sampling error is O(total/buckets))
+    assert abs(counts["a"] - 100) <= 15 and abs(counts["b"] - 100) <= 15
+    # deterministic: same rows on re-evaluation
+    ids1 = sorted(r["id"] for r in kept.collect())
+    ids2 = sorted(r["id"] for r in quota_sample(df, "id", "dom", targets).collect())
+    assert ids1 == ids2
