@@ -326,3 +326,131 @@ def bucketed_near_pairs(
         )
         .where(F.col("cos_sim") > threshold)
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as an in-order fold (both engines sum the
+    per-dimension squares left-to-right, so rounded values agree)."""
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return dot(d, d)
+
+
+def pq_train_codes(
+    df: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Product quantization: split each vector into ``m`` subspaces of
+    ``dsub`` dims, quantize each subspace against ``ksub`` sub-centroids
+    (deterministic id-seeded means, same convention as :func:`ivf_centroids`;
+    swap in per-subspace Lloyd rounds for production), and encode every
+    vector as its per-subspace nearest-centroid ids.
+
+    Returns ``(codebook (s, cid, centroid), codes (id, s, code), subvecs)``
+    — ``subvecs`` is persisted (centroid training and encoding both read
+    it; without the persist Catalyst re-derives the explode per consumer).
+
+    At 100 TB this is the memory-scaling ANN path: the corpus compresses
+    from m*dsub floats to m single-byte codes per row (64x here), the
+    codebook is m*ksub rows (broadcast), and encoding is one scan."""
+    v = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    sub = (
+        v.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("s"),
+                        F.slice(F.col("_v"), s * dsub + 1, dsub).alias("sv"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select(id_col, "t.s", "t.sv")
+        .persist()
+    )
+    cdim = (
+        sub.select((F.col(id_col) % ksub).alias("cid"), "s", F.posexplode("sv").alias("dim", "val"))
+        .groupBy("s", "cid", "dim")
+        .agg(F.round(F.avg("val"), round_digits).alias("c"))
+    )
+    codebook = cdim.groupBy("s", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
+        ).alias("centroid")
+    )
+    from pyspark.sql.window import Window
+
+    scored = sub.join(F.broadcast(codebook), "s").select(
+        id_col,
+        "s",
+        "cid",
+        F.round(l2sq(F.col("sv"), F.col("centroid")), round_digits).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "s").orderBy("d2", "cid")
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "s", F.col("cid").alias("code"))
+    )
+    return codebook, codes, sub
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, one
+    ``m x ksub`` distance table against the codebook (tiny, broadcast);
+    each corpus vector's approximate distance is the table sum over its
+    codes — the corpus is never decoded.
+
+    Distance bookkeeping is integer micro-units (each rounded subspace
+    distance scaled by 1e6 into a BIGINT) so the m-way sum is exact and
+    order-free on both engines; ranking ties break on neighbor id."""
+    from pyspark.sql.window import Window
+
+    codebook, codes, sub = pq_train_codes(df, m, dsub, ksub, id_col, vec_col)
+    qsub = sub.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "s", F.col("sv").alias("qsv")
+    )
+    table = qsub.join(codebook, "s").select(
+        "query_id",
+        "s",
+        "cid",
+        F.round(F.round(l2sq(F.col("qsv"), F.col("centroid")), 6) * 1e6)
+        .cast("long")
+        .alias("d2u"),
+    )
+    pairs = (
+        codes.join(
+            F.broadcast(table),
+            (codes["s"] == table["s"])
+            & (codes["code"] == table["cid"])
+            & (codes[id_col] != table["query_id"]),
+        )
+        .groupBy("query_id", codes[id_col].alias("neighbor_id"))
+        .agg(F.sum("d2u").alias("du"))
+    )
+    w = Window.partitionBy("query_id").orderBy("du", "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("du").cast("double") / 1e6, 4).alias("approx_dist"),
+            "rnk",
+        )
+    )

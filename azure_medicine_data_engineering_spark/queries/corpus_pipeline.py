@@ -203,3 +203,64 @@ def q_quota_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN: per-subspace codebooks + asymmetric-distance
+# top-k over codes (the corpus is never decoded).
+# ---------------------------------------------------------------------------
+
+
+def _l2sq_sql(a: str, b: str, n: int = 8) -> str:
+    d = f"list_transform(range({n}), i -> {a}[i+1] - {b}[i+1])"
+    return f"list_dot_product({d}, {d})"
+
+
+@register(
+    "embedding_pq_adc_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, t.s, v[t.s*8+1 : t.s*8+8] AS sv
+      FROM e, (SELECT unnest(range(8)) AS s) t(s)
+    ),
+    cdim AS (
+      SELECT s, vec_id % 16 AS cid, d.i AS dim, ROUND(AVG(sv[d.i + 1]), 6) AS c
+      FROM sub, (SELECT unnest(range(8)) AS i) d(i)
+      GROUP BY 1, 2, 3
+    ),
+    cb AS (SELECT s, cid, list(c ORDER BY dim) AS centroid FROM cdim GROUP BY s, cid),
+    scored AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             ROUND({_l2sq_sql('sub.sv', 'cb.centroid')}, 6) AS d2
+      FROM sub JOIN cb USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) = 1
+    ),
+    qtab AS (
+      SELECT q.vec_id AS query_id, q.s, cb.cid,
+             CAST(ROUND(ROUND({_l2sq_sql('q.sv', 'cb.centroid')}, 6) * 1e6) AS BIGINT) AS d2u
+      FROM sub q JOIN cb USING (s) WHERE q.vec_id < 5
+    ),
+    pairs AS (
+      SELECT t.query_id, c.vec_id AS neighbor_id, SUM(t.d2u) AS du
+      FROM codes c JOIN qtab t ON c.s = t.s AND c.code = t.cid AND c.vec_id <> t.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(CAST(du AS DOUBLE) / 1e6, 4) AS approx_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY du, neighbor_id) AS INT) AS rnk
+    FROM pairs QUALIFY rnk <= 10
+    """,
+)
+def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors (see
+    operators/similarity.py:pq_adc_topk): 64 floats -> 8 byte-codes per
+    vector, per-query distance tables broadcast, integer-exact table sums."""
+    from azure_medicine_data_engineering_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )

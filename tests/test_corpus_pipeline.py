@@ -127,3 +127,59 @@ def test_quota_sample_mixture_and_determinism(spark):
     ids1 = sorted(r["id"] for r in kept.collect())
     ids2 = sorted(r["id"] for r in quota_sample(df, "id", "dom", targets).collect())
     assert ids1 == ids2
+
+
+def _vec_rows(base, n, dim=16, off=0.0):
+    return [(base + i, [float(((base + i) * 7 + j) % 5) + off for j in range(dim)]) for i in range(n)]
+
+
+def test_pq_codebook_and_codes_shape(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import pq_train_codes
+
+    df = spark.createDataFrame(_vec_rows(0, 24), "vec_id long, embedding array<double>")
+    codebook, codes, sub = pq_train_codes(df, m=4, dsub=4, ksub=4)
+    cb = codebook.collect()
+    assert len(cb) == 4 * 4  # every (subspace, cid) has id-seeded members
+    assert all(len(r["centroid"]) == 4 for r in cb)
+    cd = codes.collect()
+    assert len(cd) == 24 * 4  # one code per (vector, subspace)
+    assert all(0 <= r["code"] < 4 for r in cd)
+    sub.unpersist()
+
+
+def test_pq_adc_exact_duplicate_ranks_first(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import pq_adc_topk
+
+    # ids 0..15: one tight cluster around the query; id 20 is an exact
+    # duplicate of query 0; ids 30..45 are a far-away cluster
+    near = [(i, [float((i * 3 + j) % 4) for j in range(16)]) for i in range(16)]
+    dup = [(20, near[0][1])]
+    far = [(30 + i, [50.0 + ((i + j) % 3) for j in range(16)]) for i in range(16)]
+    df = spark.createDataFrame(near + dup + far, "vec_id long, embedding array<double>")
+    rows = (
+        pq_adc_topk(df, query_ids=[0], k=40, m=4, dsub=4, ksub=4)
+        .orderBy("rnk")
+        .collect()
+    )
+    by_id = {r["neighbor_id"]: r for r in rows}
+    # the exact duplicate shares every code with the query, and the query's
+    # chosen code minimizes each subspace table entry — so the duplicate
+    # attains the global ADC minimum (same-code near vectors tie with it;
+    # quantized distances cannot separate same-code vectors)
+    assert by_id[20]["approx_dist"] == rows[0]["approx_dist"]
+    # the far cluster never outranks the near one
+    near_ranks = [r["rnk"] for r in rows if r["neighbor_id"] < 30]
+    far_ranks = [r["rnk"] for r in rows if r["neighbor_id"] >= 30]
+    assert max(near_ranks) < min(far_ranks)
+
+
+def test_pq_distance_table_is_broadcast(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import pq_adc_topk
+
+    df = spark.createDataFrame(_vec_rows(0, 32), "vec_id long, embedding array<double>")
+    plan = (
+        pq_adc_topk(df, query_ids=[0, 1], k=3, m=4, dsub=4, ksub=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the per-query distance table joins the code stream broadcast-side
+    assert "BroadcastHashJoin" in plan
