@@ -38,13 +38,19 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toks = tokens(F.col(text_col))
+    # materialize the token array once so the chunk count and the chunk
+    # slices read the SAME column — a hand-maintained SQL copy of the
+    # tokenizer could silently drift from tokens()
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_all_toks"))
+    toks = F.col("_all_toks")
     n = F.size(toks)
     # `div` keeps the chunk count in integer arithmetic end-to-end (the
     # oracle computes the identical expression; no float ceil anywhere)
     n_chunks = (
         F.when(n <= chunk_size, F.lit(1))
-        .otherwise(F.expr(f"(size({_toks_sql(text_col)}) - {chunk_size} + {stride - 1}) div {stride} + 1"))
+        .otherwise(
+            F.expr(f"(size(_all_toks) - {chunk_size} + {stride - 1}) div {stride} + 1")
+        )
         .cast("int")
     )
     chunk = F.transform(
@@ -54,15 +60,10 @@ def chunk_documents(
             F.slice(toks, i * stride + 1, chunk_size).alias("_toks"),
         ),
     )
-    exploded = df.select(F.col(id_col), F.explode(chunk).alias("c"))
+    exploded = staged.select(F.col(id_col), F.explode(chunk).alias("c"))
     return exploded.select(
         id_col,
         F.col("c.chunk_id").alias("chunk_id"),
         F.size("c._toks").cast("int").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("c._toks")).alias("chunk_text"),
     )
-
-
-def _toks_sql(text_col: str) -> str:
-    """SQL form of operators.text.tokens for exact integer chunk counts."""
-    return f"filter(split({text_col}, '\\\\s+'), x -> x != '')"

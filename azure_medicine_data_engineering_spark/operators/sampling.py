@@ -99,6 +99,12 @@ def quota_sample(
     IEEE expressions on both engines."""
     from pyspark.sql import functions as F
 
+    if not targets:
+        raise ValueError("quota_sample: targets must be non-empty")
+    bad = {s: v for s, v in targets.items() if not float(v) > 0.0}
+    if bad:
+        raise ValueError(f"quota_sample: targets must be > 0, got {bad}")
+
     spark = df.sparkSession
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in targets.items()],
@@ -106,6 +112,14 @@ def quota_sample(
     )
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
     joined = counts.join(F.broadcast(tgt), strata_col).persist()  # 2 consumers
+    # a target stratum with zero rows makes the requested mixture
+    # infeasible (T = 0); fail loudly instead of silently skewing the mix
+    present = {r[0] for r in joined.select(strata_col).collect()}
+    absent = sorted(set(targets) - present)
+    if absent:
+        raise ValueError(
+            f"quota_sample: target strata absent from input: {absent}"
+        )
     feasible = joined.agg(F.min(F.col("_cnt") / F.col("_target")).alias("_T"))
     thresholds = joined.crossJoin(F.broadcast(feasible)).select(
         strata_col,

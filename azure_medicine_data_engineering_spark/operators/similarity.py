@@ -195,6 +195,7 @@ def ivf_knn_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN: each query searches its ``nprobe`` nearest coarse
     clusters (the standard IVF recall knob — nprobe=1 is fastest, nprobe=k
@@ -208,13 +209,20 @@ def ivf_knn_topk(
     lineage (posexplode → 2×groupBy → window) once per consumer — the same
     materialize-before-self-join rule as the MinHash shingle cache
     (dedup.minhash_lsh_near_dupes). At 100 TB the equivalent is writing the
-    assignment table before fan-out."""
+    assignment table before fan-out.
+
+    ``centroids`` overrides the default id-mod coarse quantizer with a
+    trained codebook (``(cluster, centroid)``, e.g. :func:`kmeans_fit`
+    output) — trained cells follow the data distribution, so nprobe=1
+    recall is what the knob promises instead of a random slice."""
     from pyspark.sql.window import Window
 
     # persist the k-row centroid table: its lineage is a full-corpus
     # posexplode aggregation, and with nprobe > 1 both the corpus-assign and
     # the query-probe sides consume it
-    cents = ivf_centroids(df, n_clusters, id_col, vec_col).persist()
+    if centroids is None:
+        centroids = ivf_centroids(df, n_clusters, id_col, vec_col)
+    cents = centroids.persist()
     assigned = ivf_assign(df, cents, id_col, vec_col).persist()
     if nprobe <= 1:
         queries = assigned.where(F.col(id_col).isin(query_ids)).select(
@@ -433,18 +441,22 @@ def pq_adc_topk(
         .cast("long")
         .alias("d2u"),
     )
+    # alias both sides: codes and table share the `sub` lineage, so a
+    # bare codes["s"] == table["s"] is a same-lineage self-join that Spark
+    # only disambiguates via the failAmbiguousSelfJoin heuristic
+    c, t = codes.alias("_pqc"), table.alias("_pqt")
     pairs = (
-        codes.join(
-            F.broadcast(table),
-            (codes["s"] == table["s"])
-            & (codes["code"] == table["cid"])
-            & (codes[id_col] != table["query_id"]),
+        c.join(
+            F.broadcast(t),
+            (F.col("_pqc.s") == F.col("_pqt.s"))
+            & (F.col("_pqc.code") == F.col("_pqt.cid"))
+            & (F.col(f"_pqc.{id_col}") != F.col("_pqt.query_id")),
         )
-        .groupBy("query_id", codes[id_col].alias("neighbor_id"))
+        .groupBy(F.col("_pqt.query_id"), F.col(f"_pqc.{id_col}").alias("neighbor_id"))
         .agg(F.sum("d2u").alias("du"))
     )
     w = Window.partitionBy("query_id").orderBy("du", "neighbor_id")
-    return (
+    out = (
         pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
         .select(
@@ -454,3 +466,10 @@ def pq_adc_topk(
             "rnk",
         )
     )
+    # the k-rows-per-query result is cheap to pin; materializing it lets us
+    # release the corpus-scale `sub` cache instead of leaking it for the
+    # lifetime of the session
+    out = out.persist()
+    out.count()
+    sub.unpersist()
+    return out

@@ -84,6 +84,9 @@ def validate(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     decimals AFTER the pass check (bounds compare the unrounded aggregate;
     the rounded value is only the report's display form, and 4 decimals is
     the repo-wide oracle convention)."""
+    if not constraints:
+        # df.agg() with zero expressions throws a confusing analysis error
+        raise ValueError("validate: constraints must be non-empty")
     aggs = []
     for i, c in enumerate(constraints):
         aggs.append(c.metric.cast("double").alias(f"_m{i}"))

@@ -948,6 +948,54 @@ def q_kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivf_trained_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0 AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr0 AS (SELECT cluster, list(c ORDER BY dim) AS centroid
+              FROM cent0 GROUP BY cluster),
+    {_kmeans_round_sql('e', 'carr0', 'a1', 'cent1', 'carr1')},
+    {_kmeans_round_sql('e', 'carr1', 'a2', 'cent2', 'carr2')},
+    a3 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               ROUND(CAST({_COS_AB.format(a='e.v', b='c.centroid')} AS DOUBLE), 6) AS c_sim
+        FROM e, carr2 c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, cluster) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qc FROM a3 WHERE vec_id < 5)
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                         b.vec_id) AS INT) AS rnk
+    FROM a3 b JOIN q ON b.cluster = q.qc AND b.vec_id <> q.query_id
+    QUALIFY rnk <= 10
+    """,
+)
+def q_embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from the TRAINED coarse quantizer: the k=8 Lloyd
+    codebook (kmeans_fit, 2 rounds) replaces the id-mod centroid stub via
+    ivf_knn_topk's ``centroids=`` override. Trained cells partition the
+    actual vector space, so nprobe=1 searches a genuine Voronoi cell
+    instead of a random id-slice — the production IVF configuration. The
+    oracle unrolls init + both Lloyd rounds + the serving re-assignment
+    CTE-for-CTE (a3 mirrors ivf_assign against the trained codebook)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = similarity.kmeans_fit(emb, k=8, iterations=2)
+    return similarity.ivf_knn_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8, centroids=cents
+    )
+
+
+@register(
     "weighted_sample_documents",
     f"""
     WITH s AS (

@@ -103,3 +103,77 @@ def test_weighted_sample_prefers_heavy_keys(spark):
     # determinism: same call, same sample
     again = {r.k for r in weighted_sample_keys(df, "k", F.col("w"), k=20).collect()}
     assert picked == again
+
+
+def test_trained_ivf_quantizer_beats_idmod_and_nprobe_knob_works(spark):
+    """The kmeans_fit codebook must quantize better than the id-mod init it
+    starts from (higher mean assignment similarity — the objective Lloyd
+    improves), and the trained serving path's nprobe knob must be monotone
+    in recall. On these synthetic near-uniform embeddings raw recall of
+    trained vs id-mod is a coin flip (no cluster structure to learn), so
+    the quantization objective is the honest assertion."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+        ivf_knn_topk,
+        kmeans_fit,
+        knn_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def avg_assign_sim(cents):
+        return (
+            ivf_assign(emb, cents)
+            .join(cents, "cluster")
+            .select(
+                cosine(
+                    as_double_array(F.col("embedding")), F.col("centroid")
+                ).alias("cs")
+            )
+            .agg(F.avg("cs"))
+            .first()[0]
+        )
+
+    untrained = avg_assign_sim(ivf_centroids(emb, 8))
+    cents, _ = kmeans_fit(emb, k=8, iterations=2)
+    trained = avg_assign_sim(cents)
+    assert trained > untrained
+
+    q = emb.where("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    truth = {(r.query_id, r.neighbor_id) for r in knn_topk(emb, q, k=10).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_knn_topk(
+                emb, [0, 1, 2, 3, 4], k=10, n_clusters=8,
+                nprobe=nprobe, centroids=cents,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0.0 < r1 <= r2 <= 1.0
+
+
+def test_quota_sample_rejects_infeasible_targets(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.sampling import quota_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("domain"),
+    )
+    with pytest.raises(ValueError, match="absent"):
+        quota_sample(df, "k", "domain", {"web": 0.5, "code": 0.5})
+    with pytest.raises(ValueError, match="> 0"):
+        quota_sample(df, "k", "domain", {"web": 0.5, "books": 0.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        quota_sample(df, "k", "domain", {})

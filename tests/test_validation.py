@@ -56,3 +56,12 @@ def test_null_metric_fails_closed(spark):
         empty, [V.Constraint("min(x)", V.min_of("x"), lo=0.0)]
     ).collect()
     assert rows[0]["metric"] is None and rows[0]["passed"] is False
+
+
+def test_validate_rejects_empty_constraints(spark):
+    import pytest
+
+    from azure_medicine_data_engineering_spark.operators.validation import validate
+
+    with pytest.raises(ValueError, match="non-empty"):
+        validate(spark.range(3), [])
