@@ -20,8 +20,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 #: Headline set: one per operator family (agg, grouping sets, join, top-k,
 #: window, sessionization, events, text/dedup/similarity once implemented).
+#: The flagship (first entry) is the mergeable-sketch categorized summary —
+#: the 100x scale default, whose per-group state is fixed-size. The exact-
+#: median twin stays in the gate as the parity query (`categorized_summary`)
+#: but is no longer the benched default: its percentile state grows with
+#: distinct values per group, which is the wrong thing to advertise at scale.
 HEADLINE = [
-    "categorized_summary",
     "categorized_summary_fast",
     "pricing_summary",
     "join_star_revenue",
@@ -40,6 +44,7 @@ HEADLINE = [
     "winnowing_fingerprints",
     "asof_join_purchase_to_click",
     "embedding_ivf_topk",
+    "embedding_ivf_trained_topk",
 ]
 
 
