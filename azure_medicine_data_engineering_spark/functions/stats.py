@@ -1,8 +1,10 @@
 """Statistics layer (SURVEY §2.11) — the reference's R hypothesis-testing
 notebook re-expressed for Spark: permutation tests fan out per-hypothesis via
 ``applyInPandas`` (the reference collects everything into a single R process,
-``Hypothesis testing R.r:354-359``); the tiny p-value-vector corrections (BH,
-SABHA) stay driver-side in numpy.
+``Hypothesis testing R.r:354-359``); the p-value-vector corrections (BH,
+SABHA) and the ROC sweep exist twice: numpy ports for tiny driver-side
+vectors, and DataFrame twins (:func:`sabha_select_df`,
+:func:`roc_optimal_cutoff_df`) for hypothesis sets that never fit a driver.
 
 No scipy in the runtime — hypergeometric/Fisher are computed from log-factorials.
 """
@@ -308,3 +310,113 @@ def paired_permutation_test_grouped(
         .groupBy(hypothesis_col)
         .applyInPandas(run, out_schema)
     )
+
+
+def sabha_select_df(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    block_col: str,
+    alpha: float = 0.05,
+    tau: float = 0.5,
+    eps: float = 0.1,
+) -> DataFrame:
+    """Distributed SABHA (``SABHA_method`` + ``Solve_q_block``,
+    ``Hypothesis testing R.r:166-213,300-305``; Li & Barber 2019): the
+    DataFrame twin of :func:`sabha_qhat_block` + :func:`sabha_select`,
+    for hypothesis sets too large to collect.
+
+    Blockwise q̂ is one tiny groupBy (censored fraction above τ, clipped to
+    [ε, 1], broadcast back); the BH step on q̂-weighted censored p-values
+    is a single global ranking. The global window runs over the
+    HYPOTHESIS-level frame (one row per test, post-aggregation) — bounded
+    by the number of hypotheses, not data rows; BH's ``k_max`` is
+    inherently a global order statistic.
+
+    Returns ``(key, block, p, qhat, wp, rk, selected)`` — ``selected`` is
+    BH's reject mask: ranks ≤ the largest k with ``wp_(k) ≤ αk/n``.
+    """
+    from pyspark.sql.window import Window
+
+    qhat = (
+        df.groupBy(block_col)
+        .agg(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(float(eps)),
+                    F.avg((F.col(p_col) > tau).cast("double")) / (1.0 - tau),
+                ),
+            ).alias("qhat")
+        )
+    )
+    weighted = df.join(F.broadcast(qhat), block_col).withColumn(
+        "wp", F.when(F.col(p_col) <= tau, F.col("qhat") * F.col(p_col))
+    )
+    w = Window.orderBy(F.col("wp").asc_nulls_last(), F.col(key_col))
+    ranked = weighted.select(
+        key_col,
+        block_col,
+        p_col,
+        "qhat",
+        "wp",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    kmax = ranked.where(
+        F.col("wp") <= F.lit(float(alpha)) * F.col("rk") / F.col("_n")
+    ).agg(F.max("rk").alias("_kmax"))
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .withColumn(
+            "selected",
+            F.coalesce(F.col("rk") <= F.col("_kmax"), F.lit(False)),
+        )
+        .drop("_n", "_kmax")
+    )
+
+
+def roc_optimal_cutoff_df(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    fp_cost: float = 1.0,
+    fn_cost: float = 1.0,
+) -> DataFrame:
+    """Distributed equal-cost ROC cutoff (``thres2``, R.r:566-574) — the
+    DataFrame twin of :func:`roc_optimal_threshold` for score columns too
+    large to collect.
+
+    One groupBy collapses the data to per-candidate (score, pos, neg)
+    counts; cumulative sums over the candidate frame (bounded by distinct
+    scores, not rows) give FP/FN at every threshold in one pass — the
+    standard ROC-sweep rewrite of the O(n²) per-threshold rescan. Returns
+    ONE row ``(threshold, fp, fn, cost)``: the minimum-cost cutoff,
+    ties broken toward the lowest threshold (numpy-twin semantics).
+    """
+    from pyspark.sql.window import Window
+
+    y = F.col(label_col).cast("int")
+    per_score = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(y).cast("long").alias("pos"),
+        F.sum(1 - y).cast("long").alias("neg"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    swept = per_score.select(
+        "threshold",
+        F.sum("neg").over(w).alias("fp"),
+        (F.sum("pos").over(wall) - F.sum("pos").over(w)).alias("fn"),
+    ).select(
+        "threshold",
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(
+            F.lit(float(fp_cost)) * F.col("fp")
+            + F.lit(float(fn_cost)) * F.col("fn"),
+            4,
+        ).alias("cost"),
+    )
+    return swept.orderBy("cost", "threshold").limit(1)

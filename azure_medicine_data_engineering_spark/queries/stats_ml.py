@@ -168,6 +168,121 @@ def q_fisher_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_U48 = float((1 << 48) + 1)
+
+_SABHA_ORACLE = f"""
+    WITH h AS (
+      SELECT hypothesis, block,
+             ROUND(CASE WHEN psize <= 5 THEN u * 0.001 ELSE u END, 8) AS p
+      FROM (
+        SELECT p_partkey AS hypothesis, p_brand AS block, p_size AS psize,
+               (CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 12))
+                AS BIGINT) + 1.0) / {_U48!r} AS u
+        FROM part
+      )
+    ),
+    q AS (
+      SELECT block,
+             LEAST(1.0, GREATEST(0.1,
+               AVG(CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END) / 0.5)) AS qhat
+      FROM h GROUP BY block
+    ),
+    wgt AS (
+      SELECT h.hypothesis, h.block, h.p, q.qhat,
+             CASE WHEN h.p <= 0.5 THEN q.qhat * h.p END AS wp
+      FROM h JOIN q USING (block)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY wp ASC NULLS LAST, hypothesis) AS rk,
+             (SELECT COUNT(*) FROM h) AS n
+      FROM wgt
+    ),
+    k AS (SELECT MAX(rk) AS kmax FROM r WHERE wp <= 0.05 * rk / n)
+    SELECT r.hypothesis, r.block, ROUND(r.p, 4) AS p, ROUND(r.qhat, 4) AS qhat,
+           CAST(r.rk AS INT) AS rk,
+           COALESCE(r.rk <= k.kmax, FALSE) AS selected
+    FROM r, k
+    """
+
+
+@register("sabha_adjusted_selection", _SABHA_ORACLE)
+def q_sabha_adjusted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 driver-checkable: structure-adaptive BH (SABHA, ``Hypothesis
+    testing R.r:166-213,300-305``) run DISTRIBUTED over a seeded
+    hypothesis set — one p-value per part (md5-derived uniform, small-size
+    parts injected as signal at p×0.001), blocks = brand.
+    The oracle recomputes blockwise q̂, the censored weighted ranking, and
+    the BH k_max cutoff in SQL, so the whole selection set must match
+    row-for-row."""
+    from azure_medicine_data_engineering_spark.functions.stats import sabha_select_df
+
+    part = _t(spark, sf_dir, "part")
+    h48 = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h48 + F.lit(1.0)) / F.lit(_U48)
+    hyp = part.select(
+        F.col("p_partkey").alias("hypothesis"),
+        F.col("p_brand").alias("block"),
+        F.round(F.when(F.col("p_size") <= 5, u * 0.001).otherwise(u), 8).alias("p"),
+    )
+    out = sabha_select_df(hyp, "hypothesis", "p", "block", alpha=0.05, tau=0.5, eps=0.1)
+    return out.select(
+        "hypothesis",
+        "block",
+        F.round("p", 4).alias("p"),
+        F.round("qhat", 4).alias("qhat"),
+        F.col("rk").cast("int").alias("rk"),
+        "selected",
+    )
+
+
+_ROC_ORACLE = """
+    WITH s AS (
+      SELECT o_totalprice AS threshold,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT threshold, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM s GROUP BY threshold
+    ),
+    c AS (
+      SELECT threshold,
+             CAST(SUM(neg) OVER (ORDER BY threshold DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+             CAST((SELECT SUM(pos) FROM g) - SUM(pos) OVER (ORDER BY threshold DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fn
+      FROM g
+    )
+    SELECT threshold, fp, fn, ROUND(1.0 * fp + 1.0 * fn, 4) AS cost
+    FROM c ORDER BY cost, threshold LIMIT 1
+    """
+
+
+@register("roc_optimal_cutoff", _ROC_ORACLE)
+def q_roc_optimal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 driver-checkable: equal-cost ROC-optimal threshold (``thres2``,
+    R.r:566-574) computed DISTRIBUTED — per-candidate (pos, neg) counts via
+    one groupBy, FP/FN at every threshold via one cumulative sweep over the
+    candidate frame, min-cost row with a lowest-threshold tie-break. Scores
+    = order totalprice, labels = urgent/high priority; confusion counts are
+    integer-exact so the oracle match is bit-for-bit."""
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        roc_optimal_cutoff_df,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.col("o_totalprice").alias("score"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("label"),
+    )
+    return roc_optimal_cutoff_df(labeled, "score", "label").select(
+        "threshold", "fp", "fn", "cost"
+    )
+
+
 _ML_TREE_ORACLE = """
     WITH b AS (
       SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)

@@ -141,3 +141,57 @@ def test_paired_permutation_signflip(spark):
     df2 = spark.createDataFrame([("h", None, 1.0)], "hyp string, e1 double, e2 double")
     row = stats.paired_permutation_test_grouped(df2, "hyp", "e1", "e2").collect()[0]
     assert row.p_value == stats.DEGENERATE_P
+
+
+def test_sabha_select_df_matches_numpy_twin(spark):
+    """The distributed SABHA must agree with the numpy reference port on
+    the same (p, block) vector — same q̂, same selection set."""
+    import numpy as np
+
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        sabha_qhat_block,
+        sabha_select,
+        sabha_select_df,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    p = rng.uniform(size=n)
+    p[:40] *= 0.001  # planted signal
+    blocks = np.array([f"b{i % 4}" for i in range(n)])
+    qhat = sabha_qhat_block(p, blocks, tau=0.5, eps=0.1)
+    mask = sabha_select(p, qhat, alpha=0.05, tau=0.5)
+
+    df = spark.createDataFrame(
+        [(int(i), float(p[i]), str(blocks[i])) for i in range(n)],
+        "hyp int, p double, block string",
+    )
+    out = sabha_select_df(df, "hyp", "p", "block", alpha=0.05, tau=0.5, eps=0.1)
+    rows = {r.hyp: r for r in out.collect()}
+    assert len(rows) == n
+    for i in range(n):
+        assert abs(rows[i].qhat - qhat[i]) < 1e-12
+        assert rows[i].selected == bool(mask[i]), i
+
+
+def test_roc_optimal_cutoff_df_matches_numpy_twin(spark):
+    import numpy as np
+
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        roc_optimal_cutoff_df,
+        roc_optimal_threshold,
+    )
+
+    rng = np.random.default_rng(11)
+    scores = np.round(rng.normal(size=300), 3)
+    labels = (scores + rng.normal(scale=0.8, size=300)) > 0
+    t, cost = roc_optimal_threshold(scores, labels)
+
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    row = roc_optimal_cutoff_df(df, "score", "label").first()
+    assert row.threshold == t
+    assert row.cost == cost
+    assert row.fp + row.fn == cost  # unit costs
