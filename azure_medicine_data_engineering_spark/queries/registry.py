@@ -56,12 +56,22 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       wall-clock values match DuckDB's naive-µs reading bit-for-bit.
     """
     ensure_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key)  # sql confs always resolve (typed default)
+    spark.conf.set(key, "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):  # raw nanos via nanosAsLong
+        # the conf must stay on for this query's lifetime: the scan re-reads
+        # footers at EXECUTION time, so restoring it here would fail the job
+        # with PARQUET_TYPE_ILLEGAL. Sessions built via session.get_spark
+        # already declare it in DEFAULT_CONF; only foreign sessions observe
+        # this set, and only when the stored type actually requires it.
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # micros-typed file: the conf was irrelevant — restore the caller's
+    # setting so the accessor leaves no session-conf side effect
+    spark.conf.set(key, prev)
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
