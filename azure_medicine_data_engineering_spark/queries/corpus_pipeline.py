@@ -7,6 +7,7 @@ label normalization).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from azure_medicine_data_engineering_spark.queries.registry import register, table as _t
 
@@ -263,4 +264,190 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pq_adc_topk(
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation: quality filter → exact dedup → MinHash
+# near-dup clusters → n-gram decontamination → domain quota sample, as ONE
+# funnel with per-stage survivor counts + membership checksums.
+# ---------------------------------------------------------------------------
+
+
+def _e2e_oracle() -> str:
+    """The whole funnel recomputed in SQL: each stage's CTE feeds the next,
+    and the output pins (count, sum-of-ids) per stage, so any membership
+    difference at any stage breaks the hash."""
+    from azure_medicine_data_engineering_spark.queries.text_dedup import (
+        _LSH_CTES,
+        _NORM,
+    )
+
+    toks = _TOKS.format(t="text")
+    toks_lower = _TOKS.format(t="lower(text)")
+    g3 = _ngrams_sql(3)
+    lsh = _LSH_CTES.replace("FROM documents", "FROM s2")
+    stage_row = (
+        "SELECT {sid}, '{name}', CAST(COUNT(*) AS BIGINT), "
+        "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM {src}"
+    )
+    return f"""
+    WITH RECURSIVE q0 AS (SELECT doc_id, lang, text FROM documents),
+    qb AS (
+      SELECT doc_id, lang, text,
+             len({toks}) AS n_tokens,
+             len(list_filter({toks_lower},
+                 x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+               AS sw_hits,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars
+      FROM q0
+    ),
+    s1 AS (
+      SELECT doc_id, lang, text FROM qb
+      WHERE ROUND(CAST(0.5 * least(n_tokens / 100.0, 1.0)
+            + 0.4 * least(sw_hits / nullif(n_tokens, 0) * 5.0, 1.0)
+            - 0.1 * least(punct_chars / nullif(n_chars, 0) * 10.0, 1.0) AS DOUBLE), 4) >= 0.35
+    ),
+    s2 AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({_NORM.format(t='text')})
+                                     ORDER BY doc_id) AS rn FROM s1
+      ) WHERE rn = 1
+    ),
+    {lsh},
+    verified AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    mins AS (SELECT src AS id, MIN(dst) AS mr FROM reach GROUP BY src),
+    s3 AS (
+      SELECT s2.doc_id, s2.lang, s2.text FROM s2 LEFT JOIN mins m ON s2.doc_id = m.id
+      WHERE s2.doc_id = LEAST(s2.doc_id, COALESCE(m.mr, s2.doc_id))
+    ),
+    bgrams AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(list_distinct({g3})) AS gram FROM documents WHERE doc_id % 101 = 0
+      )
+    ),
+    tgrams AS (
+      SELECT doc_id, unnest(list_distinct({g3})) AS gram FROM s3 WHERE doc_id % 101 <> 0
+    ),
+    dirty AS (SELECT DISTINCT t.doc_id FROM tgrams t JOIN bgrams b USING (gram)),
+    s4 AS (
+      SELECT doc_id, lang FROM s3
+      WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    tgt(lang, target) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
+    counts AS (SELECT s4.lang, COUNT(*) AS cnt, ANY_VALUE(target) AS target
+               FROM s4 JOIN tgt USING (lang) GROUP BY s4.lang),
+    feasible AS (SELECT MIN(cnt / target) AS T FROM counts),
+    thr AS (SELECT lang, FLOOR(LEAST(1.0, (target * T) / cnt) * 10000 + 0.5) AS thr
+            FROM counts, feasible),
+    s5 AS (
+      SELECT s4.doc_id, s4.lang FROM s4 JOIN thr USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(s4.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < thr
+    ),
+    funnel(stage_id, stage, n_out, sum_ids) AS (
+      {stage_row.format(sid=0, name='input', src='q0')}
+      UNION ALL {stage_row.format(sid=1, name='quality_filter', src='s1')}
+      UNION ALL {stage_row.format(sid=2, name='exact_dedup', src='s2')}
+      UNION ALL {stage_row.format(sid=3, name='near_dedup', src='s3')}
+      UNION ALL {stage_row.format(sid=4, name='decontaminate', src='s4')}
+      UNION ALL {stage_row.format(sid=5, name='quota_sample', src='s5')}
+    )
+    SELECT CAST(stage_id AS INT) AS stage_id, stage, n_out,
+           CAST(COALESCE(LAG(n_out) OVER (ORDER BY stage_id) - n_out, 0) AS BIGINT)
+             AS n_dropped,
+           sum_ids
+    FROM funnel
+    """
+
+
+@register("corpus_e2e_filter", _e2e_oracle())
+def q_corpus_e2e_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus preparation pipeline as one composed query —
+    each stage is the already-verified operator, chained:
+
+    quality_filter (operators/text.py:quality_score ≥ 0.35) → exact_dedup
+    (operators/dedup.py:dedup_exact, min-id per content fingerprint) →
+    near_dedup (minhash_dedup_pairs ≥ 0.5 Jaccard → clusters.dedup_clusters
+    representatives) → decontaminate (operators/contamination.py, word-3-grams
+    vs the doc_id%101 benchmark slice, bench docs excluded) → quota_sample
+    (operators/sampling.py:quota_sample to a 40/15/15/15/15 language mix).
+
+    Output: the funnel report — per-stage survivor count, drop count, and
+    sum-of-ids membership checksum. Every intermediate frame is persisted:
+    each is consumed by BOTH the next stage and its own funnel row, and
+    without the persist Catalyst replays the whole upstream funnel per
+    consumer (CLAUDE.md union-per-fate rule). At 100 TB each stage is one
+    bounded-shuffle pass (the per-stage designs are unchanged from their
+    standalone queries), and the funnel rows are metadata-sized."""
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators import (
+        clusters,
+        contamination,
+        dedup,
+        sampling,
+        text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s1 = docs.where(
+        F.round(text.quality_score(F.col("text")).cast("double"), 4) >= 0.35
+    ).persist()
+    s2 = dedup.dedup_exact(s1).persist()
+    pairs = dedup.minhash_dedup_pairs(s2, k=8, bands=4)
+    cl = clusters.dedup_clusters(s2.select("doc_id"), pairs, threshold=0.5)
+    s3 = s2.join(
+        cl.where(F.col("is_representative")).select("doc_id"), "doc_id"
+    ).persist()
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    train3 = s3.where(F.col("doc_id") % 101 != 0)
+    cont = contamination.ngram_contamination(train3, bench, n=3)
+    s4 = train3.join(
+        cont.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    ).persist()
+    s5 = sampling.quota_sample(
+        s4,
+        key="doc_id",
+        strata_col="lang",
+        targets={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    )
+
+    def row(df: DataFrame, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sum_ids"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_out",
+            "sum_ids",
+        )
+
+    funnel = (
+        row(docs, 0, "input")
+        .unionByName(row(s1, 1, "quality_filter"))
+        .unionByName(row(s2, 2, "exact_dedup"))
+        .unionByName(row(s3, 3, "near_dedup"))
+        .unionByName(row(s4, 4, "decontaminate"))
+        .unionByName(row(s5, 5, "quota_sample"))
+    )
+    w = Window.orderBy("stage_id")
+    return funnel.select(
+        "stage_id",
+        "stage",
+        "n_out",
+        F.coalesce(F.lag("n_out").over(w) - F.col("n_out"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+        "sum_ids",
     )
