@@ -53,6 +53,24 @@ def audit(name: str, plan: str) -> dict:
     }
 
 
+#: Queries whose single-partition exchanges are DOCUMENTED as bounded —
+#: they move metadata-sized frames (grand-total aggregate rows, the
+#: hypothesis-level BH ranking, per-candidate ROC sweep, 6-row funnel
+#: reports), never data-sized rows. Kept explicit so a new unbounded
+#: single-partition shuffle in these queries still raises the count above
+#: the recorded bound and flags.
+BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
+    # global BH rank + count over one row per hypothesis (stats.py:
+    # sabha_select_df docstring)
+    "sabha_adjusted_selection": (2, "hypothesis-frame ranking"),
+    # cumulative FP/FN sweep over one row per distinct score
+    # (stats.py:roc_optimal_cutoff_df docstring)
+    "roc_optimal_cutoff": (1, "per-candidate ROC sweep"),
+    # six 1-row stage aggregates + the 6-row funnel lag window
+    "corpus_e2e_filter": (7, "1-row stage aggs + 6-row funnel window"),
+}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from azure_medicine_data_engineering_spark.session import get_spark
@@ -70,7 +88,15 @@ def main() -> None:
         info = audit(name, plan_of(df))
         flags = []
         if info["single_partition"]:
-            flags.append(f"!! {info['single_partition']} single-partition exchange")
+            bound, why = BOUNDED_SINGLE_PARTITION.get(name, (0, ""))
+            if info["single_partition"] <= bound:
+                flags.append(
+                    f"ok {info['single_partition']} bounded single-partition ({why})"
+                )
+            else:
+                flags.append(
+                    f"!! {info['single_partition']} single-partition exchange"
+                )
         if info["nested_loop"]:
             flags.append(f"?? {info['nested_loop']} nested-loop/cartesian")
         print(f"{name}: {info} {' '.join(flags)}")
