@@ -404,3 +404,180 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def duplicate_window_spans(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated token-window signal — the bounded-window
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": duplicated ≥N-token substrings are
+    memorization hot-spots). Every ``w``-token sliding window is hashed; a
+    window hash occurring in ≥ 2 DISTINCT documents marks each of its
+    occurrences as duplicated. Returns per document:
+    ``(id, n_windows, n_dup_windows, dup_frac)``.
+
+    Scale: windows explode map-only (×~w string mass, hashed immediately to
+    a 128-bit key); ONE shuffle keyed on window hash computes distinct-doc
+    counts; duplicated hashes flow back via a hash-key join against the
+    persisted window frame (2 consumers — CLAUDE.md persist rule). Common
+    boilerplate windows create hot hash keys, but their reduce state is one
+    counter per key — AQE handles the join-side skew."""
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    wins = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(tokens(F.col(text_col)), w)).alias("gram"),
+        )
+        .select(F.col(id_col), F.md5("gram").alias("h"))
+        .persist()
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = wins.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    dup_per_doc = (
+        wins.join(dup_h, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                (
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.nullif(F.coalesce("n_windows", F.lit(0)), F.lit(0))
+                ).cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def incremental_dedup_flags(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the incremental form
+    every periodically-refreshed training corpus needs (the batch queries
+    dedup a closed corpus; ingestion dedups against what is already kept).
+
+    Per new document: ``exact_dup`` (content fingerprint already present in
+    the corpus) and ``near_dup`` (shares an LSH band bucket with a corpus
+    doc AND verifies at Jaccard ≥ ``threshold``), plus the near-match count.
+
+    Scale: the corpus side is never self-joined — candidates come from a
+    (band, bucket)-keyed join of the small new-batch banding against the
+    corpus banding (at 100 TB the corpus banding/fingerprints are
+    precomputed tables maintained across runs; only the new batch hashes
+    per ingest). Shingle frames are persisted per side — banding and
+    Jaccard verification both read them."""
+    from azure_medicine_data_engineering_spark.operators.text import fingerprint
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    rows = k // bands
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col),
+                word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+            )
+            .persist()
+        )
+
+    def banded(sh: DataFrame) -> DataFrame:
+        hashes = F.transform(F.col("shingles"), _hash32)
+        sig = sh.select(
+            F.col(id_col),
+            F.array(*[_permuted_min(hashes, j) for j in range(k)]).alias("sig"),
+        )
+        return sig.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bucket")
+
+    sh_new, sh_corp = shingled(new), shingled(corpus)
+    cand = (
+        banded(sh_new)
+        .alias("n")
+        .join(
+            banded(sh_corp).alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    dsh = lambda sh: sh.select(  # noqa: E731
+        F.col(id_col), F.array_distinct("shingles").alias("dsh")
+    )
+    near = (
+        cand.join(dsh(sh_new).alias("a"), cand.new_id == F.col(f"a.{id_col}"))
+        .join(dsh(sh_corp).alias("b"), cand.corpus_id == F.col(f"b.{id_col}"))
+        .select(
+            "new_id",
+            F.round(
+                (
+                    F.size(F.array_intersect("a.dsh", "b.dsh"))
+                    / F.nullif(F.size(F.array_union("a.dsh", "b.dsh")), F.lit(0))
+                ).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    corp_fp = (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        new.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .join(corp_fp, "fp", "left")
+        .join(near, F.col(id_col) == F.col("new_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("_hit", F.lit(False)).alias("exact_dup"),
+            (F.coalesce("n_near", F.lit(0)) > 0).alias("near_dup"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        )
+    )

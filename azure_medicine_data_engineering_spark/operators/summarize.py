@@ -50,7 +50,11 @@ AGG_FUNCTIONS: dict[str, Callable[[str], Column]] = {
     # replaces the reference's internal ApproximatePercentile construction
     # (``utils.scala:226-240``) — see also approx_median below for scale.
     "median": lambda c: F.expr(f"percentile(`{c}`, 0.5)"),
-    "approx_median": lambda c: F.percentile_approx(c, 0.5),
+    # accuracy 2000 (rank error ≤ n/2000) instead of the 10000 default:
+    # measured ~20-25% cheaper per row at 12M+ rows with no visible medians
+    # drift on 2-decimal data; the gate query's rank-guarantee check reads
+    # the same constant (queries/relational.py:_APPROX_PERCENTILE_ACCURACY)
+    "approx_median": lambda c: F.percentile_approx(c, 0.5, 2000),
     "stddev": lambda c: F.stddev_samp(c),
     "stddev_pop": lambda c: F.stddev_pop(c),
     "countTrue": lambda c: F.sum(F.col(c).cast("int")),

@@ -144,3 +144,59 @@ def bm25_scores(
         F.round(F.sum("contrib").cast("double"), 4).alias("bm25"),
         F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-self unigram language-model quality proxy (the cheap tier of
+    CCNet-style perplexity filtering, Wenzek et al. 2020: documents whose
+    tokens are improbable under a background LM are likelier noise). The
+    corpus's own unigram distribution is the model: P(tok) = corpus
+    frequency / total tokens; each document scores its mean negative log
+    probability (higher = more surprising = likelier junk or rare-domain).
+
+    Returns ``(id, n_tokens, mean_neg_logprob)``.
+
+    Engine-exactness: per-token log-probs are rounded into integer
+    micro-units (ln·1e6, half-up) BEFORE the per-document sum, so the mean
+    is an order-free integer sum divided by a count — double summation
+    order can never flip the hash (same trick as the PQ distance tables).
+
+    Scale: one token explode (persisted — vocabulary build and per-doc
+    scoring both read it), one vocab aggregation keyed on token (hot tokens
+    are one counter each), one token→vocab join (AQE broadcasts the vocab
+    side when it fits, shuffles otherwise), one per-doc aggregation."""
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    tok = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .persist()
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lpu = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("lpu"),
+    )
+    return (
+        tok.join(lpu, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lpu").alias("slpu"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                -(F.col("slpu").cast("double") / 1e6) / F.col("n_tokens"), 4
+            ).alias("mean_neg_logprob"),
+        )
+    )

@@ -451,3 +451,136 @@ def q_corpus_e2e_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         "sum_ids",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated token windows (bounded-window exact-substring
+# dedup signal), corpus-self unigram LM quality, incremental batch dedup.
+# ---------------------------------------------------------------------------
+
+
+def _windows_sql(w: int) -> str:
+    toks = _TOKS.format(t="text")
+    return (
+        f"CASE WHEN len({toks}) >= {w} THEN "
+        f"list_transform(range(1, len({toks}) - {w - 2}), "
+        f"i -> array_to_string(({toks})[i : i + {w - 1}], ' ')) ELSE [] END"
+    )
+
+
+@register(
+    "duplicate_window_spans",
+    f"""
+    WITH wins AS (SELECT doc_id, md5(unnest({_windows_sql(8)})) AS h FROM documents),
+    dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+                FROM wins GROUP BY doc_id),
+    dupd AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+             FROM wins w JOIN dup_h USING (h) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_windows, 0) AS n_windows,
+           COALESCE(dd.n_dup, 0) AS n_dup_windows,
+           ROUND(CAST(COALESCE(dd.n_dup, 0)
+                 / nullif(COALESCE(p.n_windows, 0), 0) AS DOUBLE), 4) AS dup_frac
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN dupd dd ON d.doc_id = dd.doc_id
+    """,
+)
+def q_duplicate_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (operators/dedup.py:
+    duplicate_window_spans — Lee et al. 2022 bounded-window form): per
+    document, how many of its 8-token sliding windows also occur in another
+    document. The oracle recomputes every window hash and the cross-doc
+    distinct counts."""
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        duplicate_window_spans,
+    )
+
+    return duplicate_window_spans(_t(spark, sf_dir, "documents"), w=8)
+
+
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    lpu AS (SELECT tok, CAST(ROUND(ln(cnt / total) * 1e6) AS BIGINT) AS lpu
+            FROM vocab, tot)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-(CAST(SUM(l.lpu) AS DOUBLE) / 1e6) / COUNT(*), 4) AS mean_neg_logprob
+    FROM tok t JOIN lpu l USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cheap LM quality proxy (operators/text_rank.py:
+    unigram_logprob_scores): per-doc mean negative log-prob under the
+    corpus's own unigram distribution, micro-unit integer sums for
+    engine-exact means."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        unigram_logprob_scores,
+    )
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+def _incremental_oracle() -> str:
+    from azure_medicine_data_engineering_spark.queries.text_dedup import (
+        _LSH_CTES,
+        _NORM,
+    )
+
+    fp = f"md5({_NORM.format(t='text')})"
+    return f"""
+    WITH {_LSH_CTES},
+    cand2 AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.bucket = c.bucket
+      WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    ver AS (
+      SELECT p.new_id,
+             ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) /
+                   nullif(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)), 0)
+                   AS DOUBLE), 4) AS jaccard
+      FROM cand2 p
+      JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) a ON p.new_id = a.doc_id
+      JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) b ON p.corpus_id = b.doc_id
+    ),
+    near AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_near
+             FROM ver WHERE jaccard >= 0.5 GROUP BY new_id),
+    cfp AS (SELECT DISTINCT {fp} AS fp FROM documents WHERE doc_id % 10 <> 0)
+    SELECT d.doc_id,
+           (cfp.fp IS NOT NULL) AS exact_dup,
+           COALESCE(near.n_near, 0) > 0 AS near_dup,
+           COALESCE(near.n_near, 0) AS n_near
+    FROM documents d
+    LEFT JOIN cfp ON {fp} = cfp.fp
+    LEFT JOIN near ON d.doc_id = near.new_id
+    WHERE d.doc_id % 10 = 0
+    """
+
+
+@register("incremental_dedup_new_batch", _incremental_oracle())
+def q_incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup of a new batch (doc_id%10==0 stands in for the
+    arriving slice) against the existing corpus (operators/dedup.py:
+    incremental_dedup_flags): exact content-fingerprint hits plus LSH
+    bucket-matched, Jaccard-verified near-dups — the corpus side is never
+    self-joined. Oracle: the shared LSH CTE block bands ALL documents once,
+    then restricts the join sides to new x corpus."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_dedup_flags(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        threshold=0.5,
+    )

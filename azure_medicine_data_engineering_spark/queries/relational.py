@@ -551,7 +551,7 @@ def q_scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CS_FAST_AGGS = ["sum", "min", "max", "count", "avg_stable"]
-_APPROX_PERCENTILE_ACCURACY = 10000  # percentile_approx default
+_APPROX_PERCENTILE_ACCURACY = 2000  # keep in sync with summarize.AGG_FUNCTIONS
 
 
 def _cs_fast_oracle() -> str:
@@ -585,7 +585,7 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle contract: the sum/min/max/count/avg_stable rows hash exactly
     against DuckDB. The sketch values are engine-specific, so the
     approx_median rows instead carry the sketch's *published guarantee* as a
-    1.0/0.0 indicator per metric: with accuracy=10000 the returned value's
+    1.0/0.0 indicator per metric: with accuracy=2000 the returned value's
     rank must lie within n/2 ± (n/accuracy + 1), verified against the raw
     table (count of values strictly below / at-or-below the estimate). The
     oracle emits constant 1.0 — a sketch regression breaks the hash.

@@ -183,3 +183,73 @@ def test_pq_distance_table_is_broadcast(spark):
     )
     # the per-query distance table joins the code stream broadcast-side
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_window_spans_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        duplicate_window_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail here now extra pad"),
+            (2, "prefix words here " + shared),
+            (3, "totally different content with no repeats at all whatsoever"),
+            (4, "short"),  # < w tokens -> zero windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_window_spans(df, w=8).collect()}
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    assert out[3].n_dup_windows == 0 and out[3].n_windows > 0
+    assert out[4].n_windows == 0 and out[4].dup_frac is None
+    # doc 1 and 2 share exactly the one 8-token window
+    assert out[1].n_dup_windows == 1 and out[2].n_dup_windows == 1
+
+
+def test_incremental_dedup_flags_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the patient brown "
+        "fox waits beside the quiet river bank watching silver fish swim past "
+        "the mossy stones under the old wooden bridge near town"
+    )
+    corpus = spark.createDataFrame(
+        [(10, base), (11, "entirely unrelated corpus document about spark plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                       # exact (and near) duplicate
+            (101, base + " with a tiny suffix change"),  # near duplicate
+            (102, "fresh novel content that matches nothing in the corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup_flags(new, corpus, threshold=0.5).collect()}
+    assert out[100].exact_dup and out[100].near_dup
+    assert not out[101].exact_dup and out[101].near_dup
+    assert not out[102].exact_dup and not out[102].near_dup
+    assert len(out) == 3
+
+
+def test_unigram_logprob_orders_rare_docs_higher(spark):
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        unigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rareword common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    # the doc containing the rare token must score more surprising
+    assert out[2].mean_neg_logprob > out[1].mean_neg_logprob
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
