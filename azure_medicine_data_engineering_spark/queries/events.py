@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 from azure_medicine_data_engineering_spark.queries.registry import (
     events_table,
     register,
+    table as _t,
 )
 
 
@@ -347,4 +348,49 @@ def q_cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "event_type",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         )
+    )
+
+
+@register(
+    "rolling_7day_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             ROUND(SUM(o_totalprice), 2) AS daily_rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, daily_rev,
+           ROUND(SUM(daily_rev) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_7d_rev
+    FROM daily
+    """,
+)
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling revenue via a RANGE-framed window — the
+    calendar-aware frame (``rangeBetween`` on day numbers, so GAPS in the
+    date spine still mean 7 calendar days, unlike a rows-frame).
+
+    Scale shape: the raw fact table collapses to ONE row per day first
+    (partial+final agg), and the rolling window runs over that day-level
+    frame — bounded by the calendar (~2.4k rows for 7 years), the same
+    metadata-sized class as the funnel report, NOT a window over fact rows.
+    Dailies are 2-decimal-rounded before the frame sum, so the ≤7-element
+    window sum is exact in doubles and order-free. Dates emit as ISO
+    strings (DATE-typed outputs hash differently across engines)."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("daily_rev"))
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1990-01-01")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "daily_rev",
+        F.round(F.sum("daily_rev").over(w), 2).alias("rolling_7d_rev"),
     )

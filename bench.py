@@ -45,6 +45,8 @@ HEADLINE = [
     "asof_join_purchase_to_click",
     "embedding_ivf_topk",
     "embedding_ivf_trained_topk",
+    "duplicate_window_spans",
+    "unigram_logprob_quality",
 ]
 
 

@@ -68,6 +68,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "roc_optimal_cutoff": (1, "per-candidate ROC sweep"),
     # six 1-row stage aggregates + the 6-row funnel lag window
     "corpus_e2e_filter": (7, "1-row stage aggs + 6-row funnel window"),
+    # rolling frame over the day-level aggregate (~2.4k calendar rows)
+    "rolling_7day_revenue": (1, "day-level rolling window"),
+    # the grand-total token count feeding the vocabulary broadcast
+    "unigram_logprob_quality": (1, "1-row corpus-total aggregate"),
 }
 
 
