@@ -179,3 +179,30 @@ def test_funnel_single_scan(spark, queries):
     plan = plan_of(queries["funnel_view_click_purchase"](spark, SF))
     # formatted explain prints each node twice (tree + detail section)
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_incremental_dedup_no_cartesian(spark, queries):
+    """New-batch dedup must stay bucket/key-joined: candidates come from the
+    (band, bucket) hash join and verification from id equi-joins — a
+    cartesian would mean the corpus side is being cross-paired."""
+    plan = plan_of(queries["incremental_dedup_new_batch"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_duplicate_window_spans_shuffles_on_hash_only(spark, queries):
+    plan = plan_of(queries["duplicate_window_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_window_runs_on_day_level_frame(spark, queries):
+    """The RANGE window must sit ABOVE the day-level aggregate: a
+    single-partition exchange is expected (calendar-bounded frame), but the
+    fact scan must aggregate before any single-partition move."""
+    plan = plan_of(queries["rolling_7day_revenue"](spark, SF))
+    # exactly one single-partition exchange (the day-level window), and the
+    # plan contains a partial+final aggregate below it
+    assert plan.count("Exchange SinglePartition") <= 2  # tree + detail print
+    assert "HashAggregate" in plan
