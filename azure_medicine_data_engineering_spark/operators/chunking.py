@@ -67,3 +67,60 @@ def chunk_documents(
         F.size("c._toks").cast("int").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("c._toks")).alias("chunk_text"),
     )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    token_col: str = "n_chunk_tokens",
+    order_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Contiguous sequence packing — the pre-training step that concatenates
+    chunks in a canonical order and splits the token stream at ``budget``
+    boundaries (Megatron/GPT-style packing; a chunk may straddle two
+    sequences, exactly like document concatenation before fixed-length
+    slicing). Emits ``seq_id`` and ``seq_offset`` per chunk.
+
+    Scale design — a DISTRIBUTED PREFIX SUM, not a global window: a global
+    running total over fact rows would be one single-partition sort. Instead
+    (1) rows bucket by ``order_cols[0] div bucket_width`` (deterministic
+    contiguous ranges, no sampling-based range partitioner — reproducible on
+    any cluster), (2) per-bucket token totals aggregate (one keyed shuffle),
+    (3) bucket OFFSETS come from a running total over the bucket-summary
+    frame (bounded: n_keys / bucket_width rows), broadcast back, (4) the
+    in-bucket running total is a window partitioned by bucket. The only
+    unpartitioned window runs over bucket summaries, never rows."""
+    from pyspark.sql.window import Window
+
+    key, sub = order_cols
+    # integer div, not /-then-cast: float division loses exactness for keys
+    # beyond 2^53 (same rule as the nanos→micros truncation, CLAUDE.md)
+    b = df.withColumn("_bkt", F.expr(f"{key} div {bucket_width}"))
+    bucket_tot = b.groupBy("_bkt").agg(F.sum(token_col).alias("_btok"))
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bucket_tot.select(
+        "_bkt", (F.sum("_btok").over(w_off) - F.col("_btok")).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(key, sub)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl = (
+        F.col("_boff") + F.sum(token_col).over(w_in) - F.col(token_col)
+    ).alias("_excl")
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .select(F.col(key), F.col(sub), F.col(token_col), excl)
+        .select(
+            key,
+            sub,
+            F.col(token_col).cast("long").alias("n_tokens"),
+            F.expr(f"_excl div {budget}").cast("long").alias("seq_id"),
+            (F.col("_excl") % budget).cast("long").alias("seq_offset"),
+        )
+    )

@@ -584,3 +584,47 @@ def q_incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         docs.where(F.col("doc_id") % 10 != 0),
         threshold=0.5,
     )
+
+
+@register(
+    "packed_token_sequences",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents
+    ), counts AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+      FROM base
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM counts)
+    ), packed AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS excl
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           CAST(excl // 256 AS BIGINT) AS seq_id,
+           CAST(excl % 256 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def q_packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunked corpus (operators/chunking.py:
+    pack_token_sequences, budget 256): the Spark side computes the token
+    prefix sum with the DISTRIBUTED two-phase scheme (deterministic doc-id
+    buckets, bounded offset window); the oracle computes the same prefix
+    sum as one flat window — identical output proves the two-phase
+    decomposition is exact."""
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        chunk_documents,
+        pack_token_sequences,
+    )
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+    return pack_token_sequences(chunks, budget=256, bucket_width=100)

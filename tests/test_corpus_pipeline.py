@@ -253,3 +253,30 @@ def test_unigram_logprob_orders_rare_docs_higher(spark):
     # the doc containing the rare token must score more surprising
     assert out[2].mean_neg_logprob > out[1].mean_neg_logprob
     assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+
+
+def test_pack_token_sequences_invariant_to_bucketing(spark):
+    """The two-phase prefix sum must produce the SAME packing for any
+    bucket width (the decomposition is an implementation detail), and
+    offsets must tile the token stream contiguously."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        pack_token_sequences,
+    )
+
+    df = spark.range(537).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("chunk_id"),
+        (F.col("id") % 37 + 1).cast("int").alias("n_chunk_tokens"),
+    )
+    a = pack_token_sequences(df, budget=128, bucket_width=100)
+    b = pack_token_sequences(df, budget=128, bucket_width=7)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    # offsets in range; global stream tiles: excl positions are the running sum
+    total = df.agg(F.sum("n_chunk_tokens")).first()[0]
+    assert all(0 <= r[4] < 128 for r in rows_a)
+    last = rows_a[-1]
+    assert last[3] == (total - last[2]) // 128  # final chunk's seq matches total
