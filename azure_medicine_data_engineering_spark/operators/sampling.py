@@ -134,3 +134,63 @@ def quota_sample(
         .where(_bucket(F.col(key), buckets) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def temperature_upsample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing WITH replacement — the
+    upsampling counterpart of :func:`quota_sample` (multilingual pre-training
+    convention, XLM-R/mT5: sample stratum s with probability
+    ``p_s ∝ n_s^alpha``, ``alpha < 1`` flattens the distribution so
+    low-resource strata repeat and high-resource strata thin).
+
+    Deterministic materialization at unchanged corpus size N: stratum s gets
+    rate ``r_s = p_s · N / n_s`` (rounded to 6 decimals so both engines
+    branch identically), emitted as ``floor(r_s)`` full copies of every row
+    plus one extra copy for rows whose md5 bucket falls under the
+    fractional remainder — the same stable-bucket rule as
+    :func:`hash_sample`, so the output is reproducible on any partitioning
+    or engine. Output = input rows with a ``copy_id`` (0-based).
+
+    Scale: one tiny per-stratum count aggregation; rates broadcast; the
+    copy fan-out is a map-only ``explode(sequence(...))`` — no shuffle on
+    the corpus."""
+    # persisted: consumed by the normalizer aggregate AND the rate join —
+    # also cuts the counts↔aggregate-of-counts self-lineage that makes the
+    # crossJoin's `_n` reference ambiguous
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")).persist()
+    tot = counts.agg(
+        F.sum("_n").alias("_N"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))).alias("_Z"),
+    )
+    # alias both sides: tot is an aggregate OF counts, so an unqualified
+    # `_n` after the crossJoin is a same-lineage ambiguous reference
+    rates = counts.alias("_tc").crossJoin(F.broadcast(tot.alias("_tt"))).select(
+        F.col(f"_tc.{strata_col}").alias(strata_col),
+        F.round(
+            F.pow(F.col("_tc._n").cast("double"), F.lit(float(alpha)))
+            / F.col("_tt._Z")
+            * F.col("_tt._N")
+            / F.col("_tc._n"),
+            6,
+        ).alias("_r"),
+    )
+    whole = F.floor("_r").cast("int")
+    frac_thr = F.floor((F.col("_r") - F.floor("_r")) * buckets + F.lit(0.5))
+    n_copies = (
+        whole + (_bucket(F.col(key), buckets) < frac_thr).cast("int")
+    ).alias("_k")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .select(*df.columns, n_copies)
+        .where(F.col("_k") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("copy_id"),
+        )
+    )

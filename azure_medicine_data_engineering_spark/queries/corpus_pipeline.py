@@ -628,3 +628,75 @@ def q_packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), chunk_size=32, overlap=8
     )
     return pack_token_sequences(chunks, budget=256, bucket_width=100)
+
+
+@register(
+    "temperature_upsampled_mixture",
+    """
+    WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS n_total, SUM(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM counts),
+    rates AS (
+      SELECT lang, n,
+             ROUND(pow(CAST(n AS DOUBLE), 0.5) / z * n_total / n, 6) AS r
+      FROM counts, tot
+    ),
+    fanned AS (
+      SELECT d.lang,
+             CAST(FLOOR(r) AS INT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10000
+                    < FLOOR((r - FLOOR(r)) * 10000 + 0.5)
+                    THEN 1 ELSE 0 END AS k
+      FROM documents d JOIN rates USING (lang)
+    ),
+    out AS (SELECT lang, CAST(SUM(k) AS BIGINT) AS n_out FROM fanned GROUP BY lang)
+    SELECT o.lang, r.n AS n_in, o.n_out,
+           ROUND(CAST(o.n_out AS DOUBLE) / (SELECT SUM(n_out) FROM out), 4) AS achieved_frac,
+           r.r AS rate
+    FROM out o JOIN rates r USING (lang)
+    """,
+)
+def q_temperature_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture rebalancing (operators/sampling.py:
+    temperature_upsample, alpha=0.5 — the XLM-R/mT5 convention): per
+    language, input size, materialized output size (copies included),
+    achieved share and the applied rate. The oracle recomputes the
+    pow-ratio rates and the per-row copy counts; alpha<1 visibly flattens
+    the language distribution."""
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        temperature_upsample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    up = temperature_upsample(docs, key="doc_id", strata_col="lang", alpha=0.5)
+    counts_in = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    out = up.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_out")).persist()
+    total_out = out.agg(F.sum("n_out").alias("_T"))
+    tot_in = counts_in.agg(
+        F.sum("n_in").alias("_N"),
+        F.sum(F.pow(F.col("n_in").cast("double"), F.lit(0.5))).alias("_Z"),
+    )
+    rates = counts_in.crossJoin(F.broadcast(tot_in)).select(
+        "lang",
+        "n_in",
+        F.round(
+            F.pow(F.col("n_in").cast("double"), F.lit(0.5))
+            / F.col("_Z")
+            * F.col("_N")
+            / F.col("n_in"),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        out.join(rates, "lang")
+        .crossJoin(F.broadcast(total_out))
+        .select(
+            "lang",
+            "n_in",
+            "n_out",
+            F.round(F.col("n_out").cast("double") / F.col("_T"), 4).alias(
+                "achieved_frac"
+            ),
+            "rate",
+        )
+    )

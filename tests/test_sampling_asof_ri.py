@@ -177,3 +177,28 @@ def test_quota_sample_rejects_infeasible_targets(spark):
         quota_sample(df, "k", "domain", {"web": 0.5, "books": 0.0})
     with pytest.raises(ValueError, match="non-empty"):
         quota_sample(df, "k", "domain", {})
+
+
+def test_temperature_upsample_flattens_mixture(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        temperature_upsample,
+    )
+
+    # 900 'big' rows vs 100 'small' rows; alpha=0.5 must pull shares toward
+    # each other (natural 0.9/0.1 -> sqrt-flattened 0.75/0.25)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("s"),
+    )
+    up = temperature_upsample(df, key="k", strata_col="s", alpha=0.5)
+    out = {r.s: r.n for r in up.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(out.values())
+    big_share = out["big"] / total
+    assert 0.70 < big_share < 0.80          # flattened from 0.9
+    assert out["small"] > 100               # low-resource stratum upsampled
+    # determinism: copies are stable
+    again = {r.s: r.n for r in temperature_upsample(df, "k", "s", 0.5)
+             .groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out == again
