@@ -185,3 +185,76 @@ def referential_integrity_report(
         ).count()
         records.append(("orphaned foreign keys", r.name, int(orphans)))
     return spark.createDataFrame(records, REPORT_SCHEMA)
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    cols: list[str],
+    k: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Robust outlier report via Median Absolute Deviation — the
+    breakdown-resistant twin of the z-score counts (``stydyGrB.scala``'s
+    outlier pass; z-scores move with the outliers they hunt, MAD does not).
+    Per column: median, MAD (σ-consistent, ×1.4826) and the count of rows
+    with ``|x − median| > k · 1.4826 · MAD``.
+
+    Exactly THREE scans for any number of columns (medians → MADs →
+    counts), each a partial+final aggregate with the 1-row previous stage
+    broadcast — never a per-column job. Median/MAD are rounded to the
+    convention grid BEFORE the comparison so the verdict is
+    engine-reproducible; MAD 0 (constant column) yields 0 outliers rather
+    than dividing anywhere."""
+    if not cols:
+        raise ValueError("mad_outlier_report: cols must be non-empty")
+    meds = df.agg(
+        *[
+            F.round(F.expr(f"percentile(`{c}`, 0.5)"), round_digits).alias(f"_med_{c}")
+            for c in cols
+        ]
+    )
+    with_med = df.crossJoin(F.broadcast(meds))
+    mads = with_med.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(abs(`{c}` - `_med_{c}`), 0.5)"), round_digits
+            ).alias(f"_mad_{c}")
+            for c in cols
+        ]
+    )
+    both = df.crossJoin(F.broadcast(meds)).crossJoin(F.broadcast(mads))
+    counts = both.agg(
+        *[
+            F.sum(
+                (
+                    F.abs(F.col(c) - F.col(f"_med_{c}"))
+                    > F.lit(float(k)) * F.lit(1.4826) * F.col(f"_mad_{c}")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias(f"_n_{c}")
+            for c in cols
+        ]
+    )
+    row = counts.crossJoin(F.broadcast(meds)).crossJoin(F.broadcast(mads))
+    parts = []
+    for c in cols:
+        parts.extend(
+            [
+                F.lit(c),
+                F.struct(
+                    F.col(f"_med_{c}").alias("med"),
+                    F.col(f"_mad_{c}").alias("mad"),
+                    F.col(f"_n_{c}").alias("n"),
+                ),
+            ]
+        )
+    exploded = row.select(
+        F.explode(F.create_map(*parts)).alias("columnName", "_s")
+    )
+    return exploded.select(
+        "columnName",
+        F.col("_s.med").alias("median"),
+        F.col("_s.mad").alias("mad"),
+        F.col("_s.n").alias("n_outliers"),
+    )

@@ -308,3 +308,48 @@ def q_validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame
             V.Constraint("row_count", V.row_count(), lo=1.0),
         ],
     )
+
+
+@register(
+    "mad_outlier_lineitem",
+    """
+    WITH meds AS (
+      SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_q,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med_p,
+             ROUND(quantile_cont(l_discount, 0.5), 4) AS med_d
+      FROM lineitem
+    ),
+    mads AS (
+      SELECT ROUND(quantile_cont(abs(l_quantity - med_q), 0.5), 4) AS mad_q,
+             ROUND(quantile_cont(abs(l_extendedprice - med_p), 0.5), 4) AS mad_p,
+             ROUND(quantile_cont(abs(l_discount - med_d), 0.5), 4) AS mad_d
+      FROM lineitem, meds
+    ),
+    cnts AS (
+      SELECT
+        CAST(SUM(CASE WHEN abs(l_quantity - med_q) > 3.0 * 1.4826 * mad_q THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+        CAST(SUM(CASE WHEN abs(l_extendedprice - med_p) > 3.0 * 1.4826 * mad_p THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        CAST(SUM(CASE WHEN abs(l_discount - med_d) > 3.0 * 1.4826 * mad_d THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+      FROM lineitem, meds, mads
+    )
+    SELECT 'l_quantity' AS columnName, med_q AS median, mad_q AS mad, n_q AS n_outliers
+    FROM meds, mads, cnts
+    UNION ALL
+    SELECT 'l_extendedprice', med_p, mad_p, n_p FROM meds, mads, cnts
+    UNION ALL
+    SELECT 'l_discount', med_d, mad_d, n_d FROM meds, mads, cnts
+    """,
+)
+def q_mad_outlier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier counts over three lineitem measures
+    (operators/quality.py:mad_outlier_report — the breakdown-resistant twin
+    of the reference's z-score outlier pass, 3 scans for any column
+    count)."""
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        mad_outlier_report,
+    )
+
+    return mad_outlier_report(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )

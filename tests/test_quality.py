@@ -67,3 +67,26 @@ def test_quality_report_empty_frame(spark):
         (DESC_RANGE, "x"): 0,
         (DESC_OUTLIER, "x"): 0,
     }
+
+
+def test_mad_outliers_resist_contamination(spark):
+    """Planted gross outliers must be counted, and the MAD scale must NOT
+    move with them (the property z-scores lack)."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        mad_outlier_report,
+    )
+
+    clean = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    dirty = clean.union(
+        spark.range(5).select((F.lit(1_000_000.0) + F.col("id")).alias("x"))
+    )
+    rep = {r.columnName: r for r in mad_outlier_report(dirty, ["x"]).collect()}["x"]
+    assert rep.n_outliers == 5            # exactly the planted points
+    assert rep.mad < 100                  # scale unmoved by the contamination
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        mad_outlier_report(dirty, [])
