@@ -47,8 +47,14 @@ def connected_components(
         .unionAll(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .persist()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    # propagate ONLY over pair-touched vertices: everything else is a
+    # singleton by definition and gets unioned back after convergence. At
+    # 100 TB this is the difference between corpus-sized and pairs-sized
+    # shuffles per round — the vertex universe is orders of magnitude
+    # larger than the near-dup pair graph.
+    touched = sym.select(F.col("src").alias("id")).distinct()
+    labels = touched.select(
+        F.col("id"), F.col("id").alias("label")
     ).localCheckpoint()  # cluster deployments: spark.sparkContext.setCheckpointDir + .checkpoint()
     converged = False
     for _ in range(max_iters):
@@ -75,13 +81,24 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
     if not converged:
+        sym.unpersist()
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iters} rounds "
             "(pathological chain graph? raise max_iters)"
         )
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(sym.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+        .select("id", F.col("id").alias("label"))
+    )
+    out = labels.unionByName(singletons).select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    # sym feeds the singleton anti-join lazily — materialize before release
+    out = out.localCheckpoint()
+    sym.unpersist()
+    return out
 
 
 def dedup_clusters(
