@@ -101,3 +101,56 @@ def test_append_mode_emits_finalized_windows_and_drops_late_rows(spark, tmp_path
     }
     # [9,10) absent → late row dropped; [14,15) absent → open window withheld
     assert not any(h in (9, 14) for h, _ in out)
+
+
+def test_session_window_append_finalizes_on_gap(spark, tmp_path):
+    """Session windows in append mode: a session emits once its gap has
+    passed the watermark; an active session is withheld."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        session_30m_agg,
+    )
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    src = tmp_path / "sess_src"
+    os.makedirs(src)
+
+    def w(name, rows):
+        ts, uid = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(list(ts), pa.timestamp("us")),
+                    "user_id": pa.array(list(uid), pa.int64()),
+                }
+            ),
+            str(src / name),
+        )
+
+    # user 1: burst at 10:00-10:10 (session closes at 10:40)
+    w("b1.parquet", [(t(10, 0), 1), (t(10, 10), 1)])
+    time.sleep(1.1)
+    # advance watermark far past the session close; user 2 session stays open
+    w("b2.parquet", [(t(13, 0), 2)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        session_30m_agg(stream)
+        .writeStream.format("memory")
+        .queryName("append_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("append_sessions").collect()
+    # only user 1's closed session is emitted; user 2's is inside the horizon
+    assert [(r.user_id, r.events_in_session) for r in rows] == [(1, 2)]
