@@ -124,3 +124,47 @@ def write_single_csv(
         .option("header", str(header).lower())
         .csv(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "seq_id",
+    seqs_per_shard: int = 1000,
+) -> "DataFrame":
+    """Training-shard sink for a packed corpus (the step after
+    ``operators.chunking.pack_token_sequences``): rows land in
+    deterministic shards of ``seqs_per_shard`` sequences each
+    (``shard = seq_id div seqs_per_shard`` — integer math, reproducible on
+    any cluster, NO sampling-based range partitioner), one file per shard
+    via partitioned parquet, sorted within each shard so a training reader
+    streams sequences in order.
+
+    Returns the MANIFEST DataFrame (shard, n_rows, n_seqs, min_seq,
+    max_seq), also written to ``<path>_manifest`` — the artifact a trainer
+    uses for deterministic resume/assignment. At 100 TB the shard write is
+    one keyed repartition; the manifest is shard-count sized."""
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn(
+        "shard", F.expr(f"{shard_col} div {seqs_per_shard}").cast("long")
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", shard_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col(shard_col)).cast("long").alias("n_seqs"),
+            F.min(shard_col).cast("long").alias("min_seq"),
+            F.max(shard_col).cast("long").alias("max_seq"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}_manifest")
+    return manifest

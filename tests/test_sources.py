@@ -135,3 +135,29 @@ def test_csv_permissive_mode_corrupt_records(spark, tmp_path):
     good = sorted((r.id, r.qty) for r in rows if r._corrupt_record is None)
     assert len(bad) == 1
     assert good == [(1, 10), (3, 30)]
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    packed = spark.range(5000).select(
+        (F.col("id") % 250).alias("seq_id"),
+        F.col("id").alias("chunk_key"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, out, seqs_per_shard=100)
+    rows = {r.shard: r for r in manifest.collect()}
+    # 250 seq_ids / 100 per shard -> shards 0,1,2
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0].n_seqs == 100 and rows[2].n_seqs == 50
+    assert rows[0].min_seq == 0 and rows[2].max_seq == 249
+    # round-trip: partition pruning reads exactly one shard's rows
+    back = spark.read.parquet(out)
+    assert back.where(F.col("shard") == 1).count() == rows[1].n_rows
+    assert back.count() == 5000
+    # manifest persisted alongside
+    assert spark.read.parquet(out + "_manifest").count() == 3

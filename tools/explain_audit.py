@@ -72,6 +72,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "rolling_7day_revenue": (1, "day-level rolling window"),
     # the grand-total token count feeding the vocabulary broadcast
     "unigram_logprob_quality": (1, "1-row corpus-total aggregate"),
+    # prefix-sum offsets over the bucket-summary frame (n_keys/bucket_width
+    # rows — the two-phase decomposition's whole point)
+    "packed_token_sequences": (1, "bucket-summary offset window"),
 }
 
 
@@ -89,10 +92,21 @@ def main() -> None:
         except Exception as e:
             print(f"{name}: BUILD ERROR {e}")
             continue
-        info = audit(name, plan_of(df))
+        plan = plan_of(df)
+        info = audit(name, plan)
         flags = []
         if info["single_partition"]:
             bound, why = BOUNDED_SINGLE_PARTITION.get(name, (0, ""))
+            # a SinglePartition exchange feeding a GLOBAL aggregate
+            # (grouping Keys: []) moves partial-agg rows — one per upstream
+            # partition — not data; classify automatically. Only the
+            # detail section prints 'Keys:', and a global agg is a
+            # partial+final pair, so 2 'Keys: []' lines license one
+            # benign exchange.
+            n_global_aggs = len(re.findall(r"Keys: \[\]", plan)) // 2
+            bound = max(bound, n_global_aggs)
+            if why == "" and n_global_aggs:
+                why = "grand-total aggregate"
             if info["single_partition"] <= bound:
                 flags.append(
                     f"ok {info['single_partition']} bounded single-partition ({why})"
