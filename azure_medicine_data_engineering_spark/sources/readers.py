@@ -79,3 +79,34 @@ def load_star_schema(spark: SparkSession, sf_dir: str, tables: Iterable[str] | N
         register_view(df, name)
         out[name] = df
     return out
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines scan — the de-facto interchange format for LLM training
+    corpora (one document object per line). No reference twin (the
+    reference's ingress is Excel→CSV); this is a scale-extension source.
+
+    With ``schema`` given the inference double-scan is skipped (pin it in
+    production — inference reads the whole corpus once before the real
+    scan). ``mode``:
+
+    - ``PERMISSIVE`` (default): malformed lines land in ``corrupt_col``
+      (add it to the schema as string) instead of failing a 100 TB job —
+      count them, report them, drop them;
+    - ``DROPMALFORMED``: silently skip bad lines;
+    - ``FAILFAST``: die on first bad line (CI ingest gates).
+    """
+    reader = (
+        spark.read.format("json")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -161,3 +161,35 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     assert back.count() == 5000
     # manifest persisted alongside
     assert spark.read.parquet(out + "_manifest").count() == 3
+
+
+def test_read_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good line"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "another good line"}\n'
+        '{"doc_id": 3, "text": "unclosed\n'
+    )
+    df = read_jsonl(
+        spark,
+        str(p),
+        schema="doc_id long, text string, _corrupt_record string",
+    )
+    rows = df.collect()  # count via collect: Spark restricts queries that
+    # reference ONLY the internal corrupt column on an uncached json scan
+    assert {r.doc_id for r in rows if r._corrupt_record is None} == {1, 2}
+    assert sum(r._corrupt_record is not None for r in rows) == 2
+
+    # pinned schema, FAILFAST: the ingest gate refuses the corrupt file
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    with pytest.raises((Py4JJavaError, CapturedException, Exception)):
+        read_jsonl(spark, str(p), schema="doc_id long, text string",
+                   mode="FAILFAST").collect()
