@@ -200,3 +200,80 @@ def unigram_logprob_scores(
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Bigram conditional LM quality — one rung up the CCNet perplexity
+    ladder from :func:`unigram_logprob_scores`: score each document by the
+    mean negative log of ``P(w_i | w_{i-1})`` under the corpus's own
+    add-k-smoothed bigram model. Junk with plausible unigrams but shuffled
+    order (the failure mode unigram scoring cannot see) scores high.
+
+    ``P(w|v) = (c(v,w) + k) / (c_prefix(v) + k·V)`` with V = unigram
+    vocabulary size; the same micro-unit integer-sum trick keeps per-doc
+    means order-free and engine-exact. Docs with < 2 tokens have no
+    bigrams and are omitted (the caller's length filter owns them).
+
+    Scale: one bigram explode (persisted — model build and scoring share
+    it), two count aggregations (bigram, prefix), one broadcast-joined
+    scoring pass, one per-doc aggregation. The model is data-sized in the
+    bigram vocabulary but every join is keyed — nothing is ever collected.
+    """
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    toks = tokens(F.col(text_col))
+    big = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(word_ngrams(toks, 2)).alias("bg"))
+        .persist()
+    )
+    bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = F.substring_index(F.col("bg"), " ", 1)
+    pre_counts = (
+        big.select(prefix.alias("pre"))
+        .groupBy("pre")
+        .agg(F.count(F.lit(1)).alias("c_pre"))
+    )
+    vocab_size = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.count_distinct("t").alias("V"))
+    )
+    model = (
+        bg_counts.withColumn("pre", F.substring_index(F.col("bg"), " ", 1))
+        .join(pre_counts, "pre")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c_bg") + F.lit(float(k_smooth)))
+                    / (F.col("c_pre") + F.lit(float(k_smooth)) * F.col("V"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lpu"),
+        )
+    )
+    return (
+        big.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lpu").alias("slpu"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                -(F.col("slpu").cast("double") / 1e6) / F.col("n_bigrams"), 4
+            ).alias("mean_neg_logprob"),
+        )
+    )

@@ -700,3 +700,43 @@ def q_temperature_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFra
             "rate",
         )
     )
+
+
+@register(
+    "bigram_logprob_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END) AS bg
+      FROM t
+    ),
+    bgc AS (SELECT bg, COUNT(*) AS c_bg FROM big GROUP BY bg),
+    pre AS (SELECT split_part(bg, ' ', 1) AS p, COUNT(*) AS c_pre
+            FROM big GROUP BY 1),
+    vs AS (SELECT COUNT(DISTINCT tk) AS v
+           FROM (SELECT unnest(toks) AS tk FROM t)),
+    model AS (
+      SELECT bgc.bg,
+             CAST(ROUND(ln((c_bg + 0.5) / (c_pre + 0.5 * v)) * 1e6) AS BIGINT) AS lpu
+      FROM bgc JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.p, vs
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-(CAST(SUM(m.lpu) AS DOUBLE) / 1e6) / COUNT(*), 4) AS mean_neg_logprob
+    FROM big b JOIN model m USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM quality (operators/text_rank.py:
+    bigram_logprob_scores, add-0.5 smoothing) — catches shuffled-order junk
+    that unigram scoring cannot. Micro-unit integer log-prob sums keep the
+    per-doc mean order-free; the oracle rebuilds the same smoothed model."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        bigram_logprob_scores,
+    )
+
+    return bigram_logprob_scores(_t(spark, sf_dir, "documents"))

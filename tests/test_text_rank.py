@@ -76,3 +76,28 @@ def test_redact_pii_leaves_clean_text_alone(spark):
     assert df.select(redact_pii(F.col("t")).alias("r")).head().r == (
         "v2.0 shipped on 2024-01-01 with 16 fixes"
     )
+
+
+def test_bigram_logprob_flags_shuffled_order(spark):
+    """A document with plausible unigrams but shuffled word order must
+    score more surprising under the bigram model than fluent text —
+    the exact failure mode unigram scoring cannot see."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the the rug and cat on the sat"  # same bag
+    background = [
+        (i, fluent) for i in range(10, 30)
+    ]  # corpus dominated by the fluent pattern
+    df = spark.createDataFrame(
+        [(1, fluent), (2, shuffled)] + background, "doc_id long, text string"
+    )
+    bg = {r.doc_id: r.mean_neg_logprob for r in bigram_logprob_scores(df).collect()}
+    ug = {r.doc_id: r.mean_neg_logprob for r in unigram_logprob_scores(df).collect()}
+    assert bg[2] > bg[1]                      # bigram model catches it
+    assert abs(ug[2] - ug[1]) < 1e-6          # unigram model cannot
