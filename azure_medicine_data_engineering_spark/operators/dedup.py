@@ -411,6 +411,7 @@ def duplicate_window_spans(
     w: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Cross-document duplicated token-window signal — the bounded-window
     form of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
@@ -437,8 +438,12 @@ def duplicate_window_spans(
             F.explode(word_ngrams(tokens(F.col(text_col)), w)).alias("gram"),
         )
         .select(F.col(id_col), F.md5("gram").alias("h"))
-        .persist()
     )
+    if cache:
+        # 2 consumers (distinct-doc counts + per-doc join); the caller owns
+        # the lifecycle for long-lived sessions (same convention as
+        # minhash_dedup_pairs) — pass cache=False to manage it elsewhere
+        wins = wins.persist()
     dup_h = (
         wins.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

@@ -150,6 +150,7 @@ def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Corpus-self unigram language-model quality proxy (the cheap tier of
     CCNet-style perplexity filtering, Wenzek et al. 2020: documents whose
@@ -172,11 +173,13 @@ def unigram_logprob_scores(
     from azure_medicine_data_engineering_spark.operators.text import tokens
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
-    tok = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .persist()
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
+    if cache:
+        # vocab build + per-doc scoring share it; caller-owned lifecycle
+        # (cache=False) for long-lived sessions
+        tok = tok.persist()
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     lpu = vocab.crossJoin(F.broadcast(total)).select(
@@ -207,6 +210,7 @@ def bigram_logprob_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     k_smooth: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Bigram conditional LM quality — one rung up the CCNet perplexity
     ladder from :func:`unigram_logprob_scores`: score each document by the
@@ -229,11 +233,12 @@ def bigram_logprob_scores(
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
     toks = tokens(F.col(text_col))
-    big = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(word_ngrams(toks, 2)).alias("bg"))
-        .persist()
+    big = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(word_ngrams(toks, 2)).alias("bg")
     )
+    if cache:
+        # model build + scoring share it; caller-owned lifecycle
+        big = big.persist()
     bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     prefix = F.substring_index(F.col("bg"), " ", 1)
     pre_counts = (
