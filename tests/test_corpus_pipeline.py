@@ -280,3 +280,40 @@ def test_pack_token_sequences_invariant_to_bucketing(spark):
     assert all(0 <= r[4] < 128 for r in rows_a)
     last = rows_a[-1]
     assert last[3] == (total - last[2]) // 128  # final chunk's seq matches total
+
+
+def test_pack_token_sequences_property_fuzz(spark):
+    """Hypothesis fuzz over random token-length profiles: the two-phase
+    prefix sum must equal the flat cumulative sum for every profile and
+    bucket width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        pack_token_sequences,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+        width=st.integers(min_value=1, max_value=25),
+        budget=st.integers(min_value=16, max_value=1024),
+    )
+    def check(toks, width, budget):
+        df = spark.createDataFrame(
+            [(i, 0, t) for i, t in enumerate(toks)],
+            "doc_id long, chunk_id int, n_chunk_tokens int",
+        )
+        got = {
+            r.doc_id: (r.seq_id, r.seq_offset)
+            for r in pack_token_sequences(
+                df, budget=budget, bucket_width=width
+            ).collect()
+        }
+        run = 0
+        for i, t in enumerate(toks):
+            assert got[i] == (run // budget, run % budget), (i, toks, width, budget)
+            run += t
+
+    check()
