@@ -52,10 +52,13 @@ def connected_components(
     # 100 TB this is the difference between corpus-sized and pairs-sized
     # shuffles per round — the vertex universe is orders of magnitude
     # larger than the near-dup pair graph.
-    touched = sym.select(F.col("src").alias("id")).distinct()
+    # touched is checkpointed ONCE: it seeds the labels AND drives the
+    # final singleton anti-join, and cutting its lineage here lets the edge
+    # cache release without re-materializing anything downstream
+    touched = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
     labels = touched.select(
         F.col("id"), F.col("id").alias("label")
-    ).localCheckpoint()  # cluster deployments: spark.sparkContext.setCheckpointDir + .checkpoint()
+    )  # cluster deployments: spark.sparkContext.setCheckpointDir + .checkpoint()
     converged = False
     for _ in range(max_iters):
         nbr = (
@@ -87,18 +90,16 @@ def connected_components(
             f"connected_components: no fixpoint after {max_iters} rounds "
             "(pathological chain graph? raise max_iters)"
         )
+    sym.unpersist()  # labels are checkpointed; touched is checkpointed —
+    # nothing downstream re-reads the edge frame
     singletons = (
         vertices.select(F.col(id_col).alias("id"))
-        .join(sym.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+        .join(touched, "id", "left_anti")
         .select("id", F.col("id").alias("label"))
     )
-    out = labels.unionByName(singletons).select(
+    return labels.unionByName(singletons).select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
-    # sym feeds the singleton anti-join lazily — materialize before release
-    out = out.localCheckpoint()
-    sym.unpersist()
-    return out
 
 
 def dedup_clusters(
