@@ -188,6 +188,11 @@ def unigram_logprob_scores(
         .cast("long")
         .alias("lpu"),
     )
+    # mean via INTEGER division of the (positive) micro-unit sum: a double
+    # division before rounding lands on .00005 ties at corpus scale where
+    # Spark's and DuckDB's decimal rounding disagree; (-slpu) div n is exact
+    # and order-free, and dividing the micro-grid integer by 1e6 afterwards
+    # is an identity-round on both engines
     return (
         tok.join(lpu, "tok")
         .groupBy(id_col)
@@ -199,7 +204,7 @@ def unigram_logprob_scores(
             id_col,
             "n_tokens",
             F.round(
-                -(F.col("slpu").cast("double") / 1e6) / F.col("n_tokens"), 4
+                F.expr("(-slpu) div n_tokens").cast("double") / 1e6, 6
             ).alias("mean_neg_logprob"),
         )
     )
@@ -267,6 +272,8 @@ def bigram_logprob_scores(
             .alias("lpu"),
         )
     )
+    # integer-division mean — see unigram_logprob_scores for the tie
+    # rationale
     return (
         big.join(model, "bg")
         .groupBy(id_col)
@@ -278,7 +285,7 @@ def bigram_logprob_scores(
             id_col,
             "n_bigrams",
             F.round(
-                -(F.col("slpu").cast("double") / 1e6) / F.col("n_bigrams"), 4
+                F.expr("(-slpu) div n_bigrams").cast("double") / 1e6, 6
             ).alias("mean_neg_logprob"),
         )
     )

@@ -509,7 +509,7 @@ def q_duplicate_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lpu AS (SELECT tok, CAST(ROUND(ln(cnt / total) * 1e6) AS BIGINT) AS lpu
             FROM vocab, tot)
     SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(-(CAST(SUM(l.lpu) AS DOUBLE) / 1e6) / COUNT(*), 4) AS mean_neg_logprob
+           ROUND(CAST(((-SUM(l.lpu)) // COUNT(*)) AS DOUBLE) / 1e6, 6) AS mean_neg_logprob
     FROM tok t JOIN lpu l USING (tok)
     GROUP BY t.doc_id
     """,
@@ -725,7 +725,7 @@ def q_temperature_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFra
       FROM bgc JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.p, vs
     )
     SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(-(CAST(SUM(m.lpu) AS DOUBLE) / 1e6) / COUNT(*), 4) AS mean_neg_logprob
+           ROUND(CAST(((-SUM(m.lpu)) // COUNT(*)) AS DOUBLE) / 1e6, 6) AS mean_neg_logprob
     FROM big b JOIN model m USING (bg)
     GROUP BY b.doc_id
     """,

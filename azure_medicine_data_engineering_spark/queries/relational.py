@@ -58,7 +58,8 @@ def q_categorized_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
            ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
-           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000, 4) AS sum_disc_price,
            ROUND(CAST(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity) AS DOUBLE), 4) AS avg_qty,
            ROUND(CAST(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice) AS DOUBLE), 4) AS avg_price,
            ROUND(CAST(ROUND(SUM(l_discount), 2) / COUNT(l_discount) AS DOUBLE), 4) AS avg_disc,
@@ -76,8 +77,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity").cast("double"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice").cast("double"), 4).alias("sum_base_price"),
+            # the price×(1−disc) product of two 2-decimal values IS a
+            # 4-decimal value: recover it on the 1e-4 integer grid per row
+            # and sum BIGINTs — order-free and exact, where a raw double
+            # sum drifts ~1e-4 past a few million rows and breaks the
+            # 4-decimal display round (caught at the 10×-sf0.1 tie sweep)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000,
+                4,
             ).alias("sum_disc_price"),
             F.round((F.round(F.sum("l_quantity"), 2) / F.count("l_quantity")).cast("double"), 4).alias("avg_qty"),
             F.round((F.round(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice")).cast("double"), 4).alias("avg_price"),
@@ -99,7 +111,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name AS region, n.n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -119,7 +132,14 @@ def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(r.r_name.alias("region"), n.n_name.alias("nation"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice").cast("double"), 4).alias("revenue"),
+            # cents-integer sum: 2-decimal money is not exactly binary, so a
+            # raw double sum drifts past the 4-decimal display round at a
+            # few hundred thousand rows per group (10x-sf0.1 tie sweep)
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+                / 100,
+                4,
+            ).alias("revenue"),
         )
     )
 

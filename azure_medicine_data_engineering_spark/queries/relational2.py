@@ -85,7 +85,8 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n.n_name AS nation,
-           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -108,8 +109,16 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"))
         .agg(
+            # 1e-4-grid integer sum: the 2-dec x 2-dec product is exactly a
+            # 4-decimal value; summing it as BIGINT is order-free where the
+            # raw double sum drifts ~1e-3 at millions of rows per group
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000,
                 4,
             ).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -127,7 +127,14 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("correctness-check", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    spark = get_spark(
+        "correctness-check",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        # default 1g driver heap OOMs on runtime-oversized broadcasts when
+        # sweeping synthetic >sf0.1 data (SPARK_GRAFT_SF_DIR overrides);
+        # harmless at the standard SFs
+        conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
