@@ -338,7 +338,8 @@ def q_set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returnflag_status",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS sum_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS sum_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -349,7 +350,12 @@ def q_rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice").cast("double"), 4).alias("sum_price"),
+            # cents-grid sum — money doubles drift past ROUND(,4) at scale
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                / 100,
+                4,
+            ).alias("sum_price"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
@@ -359,7 +365,8 @@ def q_rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_orderstatus_priority",
     """
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS sum_price,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS sum_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -370,7 +377,12 @@ def q_cube_orderstatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice").cast("double"), 4).alias("sum_price"),
+            # cents-grid sum — money doubles drift past ROUND(,4) at scale
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+                / 100,
+                4,
+            ).alias("sum_price"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
