@@ -486,6 +486,7 @@ def incremental_dedup_flags(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the incremental form
     every periodically-refreshed training corpus needs (the batch queries
@@ -500,21 +501,22 @@ def incremental_dedup_flags(
     corpus banding (at 100 TB the corpus banding/fingerprints are
     precomputed tables maintained across runs; only the new batch hashes
     per ingest). Shingle frames are persisted per side — banding and
-    Jaccard verification both read them."""
+    Jaccard verification both read them. The CALLER owns the cache
+    lifecycle (repo cache-flag convention): the advertised use is repeated
+    per-ingest calls in a long-lived session, where the corpus-sized
+    shingle cache would otherwise leak per call — pass ``cache=False``
+    there, or unpersist via the returned frame's ``_dedup_caches``."""
     from azure_medicine_data_engineering_spark.operators.text import fingerprint
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
     rows = k // bands
 
     def shingled(df: DataFrame) -> DataFrame:
-        return (
-            ensure_parallelism(df)
-            .select(
-                F.col(id_col),
-                word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-            )
-            .persist()
+        sh = ensure_parallelism(df).select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
         )
+        return sh.persist() if cache else sh
 
     def banded(sh: DataFrame) -> DataFrame:
         hashes = F.transform(F.col("shingles"), _hash32)
@@ -575,7 +577,7 @@ def incremental_dedup_flags(
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
-    return (
+    out = (
         new.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .join(corp_fp, "fp", "left")
         .join(near, F.col(id_col) == F.col("new_id"), "left")
@@ -586,3 +588,5 @@ def incremental_dedup_flags(
             F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
         )
     )
+    out._dedup_caches = [sh_new, sh_corp] if cache else []
+    return out

@@ -204,7 +204,12 @@ def mad_outlier_report(
     broadcast — never a per-column job. Median/MAD are rounded to the
     convention grid BEFORE the comparison so the verdict is
     engine-reproducible; MAD 0 (constant column) yields 0 outliers rather
-    than dividing anywhere."""
+    than dividing anywhere.
+
+    Cache lifecycle is CALLER-owned (repo convention): the two persisted
+    1-row stage frames are stashed on the result as ``_stage_caches`` —
+    unpersist them after the report is materialized in long-lived
+    sessions (per call they pin only two 1-row frames)."""
     if not cols:
         raise ValueError("mad_outlier_report: cols must be non-empty")
     # both 1-row stages are persisted: each feeds TWO downstream consumers
@@ -255,9 +260,11 @@ def mad_outlier_report(
     exploded = row.select(
         F.explode(F.create_map(*parts)).alias("columnName", "_s")
     )
-    return exploded.select(
+    out = exploded.select(
         "columnName",
         F.col("_s.med").alias("median"),
         F.col("_s.mad").alias("mad"),
         F.col("_s.n").alias("n_outliers"),
     )
+    out._stage_caches = [meds, mads]
+    return out

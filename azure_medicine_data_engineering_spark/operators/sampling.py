@@ -129,11 +129,13 @@ def quota_sample(
             + F.lit(0.5)
         ).alias("_thr"),
     )
-    return (
+    out = (
         df.join(F.broadcast(thresholds), strata_col)
         .where(_bucket(F.col(key), buckets) < F.col("_thr"))
         .drop("_thr")
     )
+    out._stage_caches = [joined]  # caller-owned lifecycle, repo convention
+    return out
 
 
 def temperature_upsample(
@@ -185,7 +187,7 @@ def temperature_upsample(
     n_copies = (
         whole + (_bucket(F.col(key), buckets) < frac_thr).cast("int")
     ).alias("_k")
-    return (
+    out = (
         df.join(F.broadcast(rates), strata_col)
         .select(*df.columns, n_copies)
         .where(F.col("_k") > 0)
@@ -194,3 +196,8 @@ def temperature_upsample(
             F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("copy_id"),
         )
     )
+    # caller-owned cache lifecycle (repo convention): the persisted
+    # per-stratum counts frame is strata-sized; release it after the
+    # resample is materialized in long-lived sessions
+    out._stage_caches = [counts]
+    return out

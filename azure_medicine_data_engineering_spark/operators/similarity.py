@@ -351,6 +351,7 @@ def pq_train_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Product quantization: split each vector into ``m`` subspaces of
     ``dsub`` dims, quantize each subspace against ``ksub`` sub-centroids
@@ -359,8 +360,11 @@ def pq_train_codes(
     vector as its per-subspace nearest-centroid ids.
 
     Returns ``(codebook (s, cid, centroid), codes (id, s, code), subvecs)``
-    — ``subvecs`` is persisted (centroid training and encoding both read
-    it; without the persist Catalyst re-derives the explode per consumer).
+    — ``subvecs`` is persisted by default (centroid training and encoding
+    both read it; without the persist Catalyst re-derives the explode per
+    consumer). The CALLER owns the cache lifecycle: unpersist ``subvecs``
+    after materializing downstream results, or pass ``cache=False`` in a
+    long-lived session (same convention as the LM scorers).
 
     At 100 TB this is the memory-scaling ANN path: the corpus compresses
     from m*dsub floats to m single-byte codes per row (64x here), the
@@ -380,8 +384,9 @@ def pq_train_codes(
             ).alias("t"),
         )
         .select(id_col, "t.s", "t.sv")
-        .persist()
     )
+    if cache:
+        sub = sub.persist()
     cdim = (
         sub.select((F.col(id_col) % ksub).alias("cid"), "s", F.posexplode("sv").alias("dim", "val"))
         .groupBy("s", "cid", "dim")
@@ -418,6 +423,7 @@ def pq_adc_topk(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query, one
     ``m x ksub`` distance table against the codebook (tiny, broadcast);
@@ -426,10 +432,18 @@ def pq_adc_topk(
 
     Distance bookkeeping is integer micro-units (each rounded subspace
     distance scaled by 1e6 into a BIGINT) so the m-way sum is exact and
-    order-free on both engines; ranking ties break on neighbor id."""
+    order-free on both engines; ranking ties break on neighbor id.
+
+    Returns a LAZY frame; the caller owns materialization. With
+    ``cache=True`` the corpus-scale subvector frame stays persisted for
+    the lifetime of the returned frame's consumers — unpersist it via
+    ``pq_release(out)`` / ``out._pq_sub.unpersist()`` after the last
+    action, or pass ``cache=False`` (repo cache-flag convention)."""
     from pyspark.sql.window import Window
 
-    codebook, codes, sub = pq_train_codes(df, m, dsub, ksub, id_col, vec_col)
+    codebook, codes, sub = pq_train_codes(
+        df, m, dsub, ksub, id_col, vec_col, cache=cache
+    )
     qsub = sub.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "s", F.col("sv").alias("qsv")
     )
@@ -466,10 +480,15 @@ def pq_adc_topk(
             "rnk",
         )
     )
-    # the k-rows-per-query result is cheap to pin; materializing it lets us
-    # release the corpus-scale `sub` cache instead of leaking it for the
-    # lifetime of the session
-    out = out.persist()
-    out.count()
-    sub.unpersist()
+    # stash the cached subvector frame on the result so callers can release
+    # it after their last action without re-deriving the PQ internals
+    out._pq_sub = sub if cache else None
     return out
+
+
+def pq_release(out: DataFrame) -> None:
+    """Unpersist the corpus-scale subvector cache behind a
+    :func:`pq_adc_topk` result (no-op for ``cache=False`` results)."""
+    sub = getattr(out, "_pq_sub", None)
+    if sub is not None:
+        sub.unpersist()

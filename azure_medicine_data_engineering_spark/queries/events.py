@@ -356,7 +356,7 @@ def q_cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             ROUND(SUM(o_totalprice), 2) AS daily_rev
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS daily_rev
       FROM orders GROUP BY 1
     )
     SELECT strftime(d, '%Y-%m-%d') AS day, daily_rev,
@@ -375,15 +375,20 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial+final agg), and the rolling window runs over that day-level
     frame — bounded by the calendar (~2.4k rows for 7 years), the same
     metadata-sized class as the funnel report, NOT a window over fact rows.
-    Dailies are 2-decimal-rounded before the frame sum, so the ≤7-element
-    window sum is exact in doubles and order-free. Dates emit as ISO
-    strings (DATE-typed outputs hash differently across engines)."""
+    Dailies sum on the cents grid (SUM of ROUND(x*100) BIGINTs / 100 —
+    the repo's money-sum convention; per-day groups reach the double
+    running-sum drift regime at the target scale), so the ≤7-element frame
+    sum is exact in doubles and order-free. Dates emit as ISO strings
+    (DATE-typed outputs hash differently across engines)."""
     from pyspark.sql.window import Window
 
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("daily_rev"))
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+            .alias("daily_rev")
+        )
     )
     w = (
         Window.orderBy(F.datediff(F.col("d"), F.lit("1990-01-01")))

@@ -926,8 +926,8 @@ def _kmeans_round_sql(src: str, carr: str, a_out: str, cent_out: str, carr_out: 
     {_kmeans_round_sql('e', 'carr1', 'a2', 'cent2', 'carr2')},
     sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size
               FROM a2 GROUP BY cluster)
-    SELECT s.cluster, s.size, c.centroid
-    FROM carr2 c JOIN sizes s USING (cluster)
+    SELECT s.cluster, s.size, CAST(c2.dim AS INT) AS dim, c2.c
+    FROM cent2 c2 JOIN sizes s USING (cluster)
     """,
 )
 def q_kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,7 +936,13 @@ def q_kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     production replacement for the id-seeded IVF coarse quantizer. The
     oracle unrolls both rounds CTE-for-CTE (same rounded cosine
     assignment, same tie-break, same rounded means), so the entire
-    iterative fit must be bit-reproducible to hash-match."""
+    iterative fit must be bit-reproducible to hash-match.
+
+    Output is the codebook EXPLODED to scalar rows (cluster, size, dim,
+    c) — one row per centroid dimension — because array-typed columns are
+    unsortable by the gate's pandas canonicalization (r3's only red row).
+    The array-returning ``kmeans_fit`` API is unchanged;
+    ``tests/test_similarity.py`` pins exploded view == array view."""
     from azure_medicine_data_engineering_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -944,7 +950,11 @@ def q_kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("size")
     )
-    return cents.join(sizes, "cluster").select("cluster", "size", "centroid")
+    return (
+        cents.join(sizes, "cluster")
+        .select("cluster", "size", F.posexplode("centroid").alias("dim", "c"))
+        .select("cluster", "size", F.col("dim").cast("int").alias("dim"), "c")
+    )
 
 
 @register(

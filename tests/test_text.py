@@ -68,3 +68,27 @@ def test_kmeans_fit_converges_on_separated_clusters(spark):
     odds = {got[i] for i in range(1, 20, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
     assert cents.count() == 2
+
+
+def test_kmeans_codebook_query_explodes_array_view(spark):
+    # The registered gate query emits scalar (cluster, size, dim, c) rows
+    # (array columns crash the driver harness's pandas canonicalization);
+    # it must be exactly the posexplode of the array-returning kmeans_fit.
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        kmeans_fit,
+    )
+    from azure_medicine_data_engineering_spark.queries.text_dedup import (
+        q_kmeans_embedding_codebook,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    exploded = {
+        (r.cluster, r.dim): r.c
+        for r in q_kmeans_embedding_codebook(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, _ = kmeans_fit(emb, k=8, iterations=2)
+    arrays = {r.cluster: r.centroid for r in cents.collect()}
+    assert set(arrays) == {c for c, _ in exploded}
+    for cluster, arr in arrays.items():
+        assert [exploded[(cluster, d)] for d in range(len(arr))] == list(arr)

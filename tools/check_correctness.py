@@ -152,6 +152,22 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        # The DRIVER's canonicalization does pandas.sort_values over raw
+        # cells and dies on unhashable list/dict values (r3's only red row
+        # was an array<double> output column). Every registered query must
+        # emit scalar columns only.
+        import numpy as _np
+        hostile = [
+            c for c in sdf.columns
+            if any(isinstance(v, (list, dict, set, tuple, _np.ndarray))
+                   for v in sdf[c].dropna().head(3))
+        ]
+        if hostile:
+            results[name] = {"error": f"driver-hostile non-scalar columns: {hostile}"}
+            failed.append(name)
+            print(f"FAIL {name}: non-scalar output columns {hostile} "
+                  "(driver canon cannot sort them)")
+            continue
         if name not in oracles:
             results[name] = {"rows_only": len(sdf), "sec": round(time.time() - t0, 2)}
             print(f"OK?  {name}: rows-only check, {len(sdf)} rows")

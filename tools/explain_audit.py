@@ -53,25 +53,109 @@ def audit(name: str, plan: str) -> dict:
     }
 
 
-#: Queries whose single-partition exchanges are DOCUMENTED as bounded —
-#: they move metadata-sized frames (grand-total aggregate rows, the
-#: hypothesis-level BH ranking, per-candidate ROC sweep, 6-row funnel
-#: reports), never data-sized rows. Kept explicit so a new unbounded
-#: single-partition shuffle in these queries still raises the count above
-#: the recorded bound and flags.
+#: Wrapper nodes between an Exchange and its semantic consumer in the
+#: formatted tree (AQE stage boundaries, reuse markers).
+_TREE_WRAPPERS = {"ShuffleQueryStage", "AQEShuffleRead", "ReusedExchange", "InputAdapter"}
+
+_TREE_LINE = re.compile(
+    r"^(?P<pre>[\s:+\-]*)(?:\* )?(?P<name>[A-Za-z][\w .]*?) \((?P<id>\d+)\)(?:,.*)?$"
+)
+
+
+def sp_exchange_license(plan: str) -> tuple[int, int]:
+    """STRUCTURAL licensing of single-partition exchanges: an SP exchange
+    is benign iff its nearest non-wrapper PARENT in the physical tree is a
+    global aggregate (``Keys: []`` — it then moves one partial-agg row per
+    upstream partition, not data). Returns ``(n_sp, n_licensed)``.
+
+    Parses the tree section by indentation (each level is 3 chars; the
+    codegen ``* `` adds 2, never enough to jump a level) and the detail
+    section by node id — counting ``Keys: []`` lines globally would also
+    license a DATA-sized SP exchange (e.g. an unpartitioned window) any
+    time a global agg appears elsewhere in the same plan."""
+    # node id -> detail block (header line .. next header)
+    details: dict[int, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) ([A-Za-z][\w .]*?)(?: \[codegen[^\]]*\])?$"
+        r"(.*?)(?=^\(\d+\) |\Z)",
+        plan,
+        re.M | re.S,
+    ):
+        details[int(m.group(1))] = m.group(2) + "\n" + m.group(3)
+    sp_ids = {
+        i for i, blk in details.items()
+        if blk.split("\n", 1)[0].endswith("Exchange") and "SinglePartition" in blk
+    }
+    global_agg_ids = {
+        i for i, blk in details.items()
+        if "Aggregate" in blk.split("\n", 1)[0] and re.search(r"^Keys: \[\]", blk, re.M)
+    }
+    # tree walk: nearest preceding tree line with a smaller name-start
+    # position is the parent; a plan can print several trees (AQE
+    # initial/final, subqueries) — collect every parent resolution per id.
+    # Tree sections run from '== Physical Plan ==' / 'Subquery:' headers
+    # until the first '(N) Node' detail header.
+    parents: dict[int, set[int]] = {}
+    stack: list[tuple[int, int]] = []  # (name_pos, node_id)
+    in_tree = False
+    for line in plan.splitlines():
+        if line.startswith("== Physical Plan ==") or line.startswith("Subquery:"):
+            in_tree = True
+            stack = []
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            in_tree = False
+            continue
+        if not in_tree:
+            continue
+        m = _TREE_LINE.match(line)
+        if not m:
+            continue
+        pos = m.start("name")
+        nid = int(m.group("id"))
+        while stack and stack[-1][0] >= pos:
+            stack.pop()
+        if stack:
+            parents.setdefault(nid, set()).add(stack[-1][1])
+        stack.append((pos, nid))
+
+    def semantic_parent(nid: int, seen: frozenset = frozenset()) -> set[int]:
+        out: set[int] = set()
+        for p in parents.get(nid, set()):
+            if p in seen:
+                continue
+            name = details.get(p, "").split("\n", 1)[0]
+            if any(name.startswith(w) for w in _TREE_WRAPPERS):
+                out |= semantic_parent(p, seen | {nid})
+            else:
+                out.add(p)
+        return out
+
+    licensed = 0
+    for e in sp_ids:
+        sem = semantic_parent(e)
+        if sem and sem <= global_agg_ids:
+            licensed += 1
+    return len(sp_ids), licensed
+
+
+#: Queries whose NON-aggregate single-partition exchanges are DOCUMENTED
+#: as bounded — they move metadata-sized frames (the hypothesis-level BH
+#: ranking, per-candidate ROC sweep, 6-row funnel lag window, day-level
+#: rolling window, bucket-summary prefix sums), never data-sized rows.
+#: Exchanges feeding global aggregates are licensed STRUCTURALLY by
+#: sp_exchange_license; everything else must be listed here or it flags.
 BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
-    # global BH rank + count over one row per hypothesis (stats.py:
+    # global BH rank window over one row per hypothesis (stats.py:
     # sabha_select_df docstring)
     "sabha_adjusted_selection": (2, "hypothesis-frame ranking"),
-    # cumulative FP/FN sweep over one row per distinct score
+    # cumulative FP/FN sweep window over one row per distinct score
     # (stats.py:roc_optimal_cutoff_df docstring)
     "roc_optimal_cutoff": (1, "per-candidate ROC sweep"),
-    # six 1-row stage aggregates + the 6-row funnel lag window
-    "corpus_e2e_filter": (7, "1-row stage aggs + 6-row funnel window"),
+    # the 6-row funnel lag window (stage aggs are structurally licensed)
+    "corpus_e2e_filter": (1, "6-row funnel lag window"),
     # rolling frame over the day-level aggregate (~2.4k calendar rows)
     "rolling_7day_revenue": (1, "day-level rolling window"),
-    # the grand-total token count feeding the vocabulary broadcast
-    "unigram_logprob_quality": (1, "1-row corpus-total aggregate"),
     # prefix-sum offsets over the bucket-summary frame (n_keys/bucket_width
     # rows — the two-phase decomposition's whole point)
     "packed_token_sequences": (1, "bucket-summary offset window"),
@@ -96,24 +180,18 @@ def main() -> None:
         info = audit(name, plan)
         flags = []
         if info["single_partition"]:
+            n_sp, n_licensed = sp_exchange_license(plan)
             bound, why = BOUNDED_SINGLE_PARTITION.get(name, (0, ""))
-            # a SinglePartition exchange feeding a GLOBAL aggregate
-            # (grouping Keys: []) moves partial-agg rows — one per upstream
-            # partition — not data; classify automatically. Only the
-            # detail section prints 'Keys:', and a global agg is a
-            # partial+final pair, so 2 'Keys: []' lines license one
-            # benign exchange.
-            n_global_aggs = len(re.findall(r"Keys: \[\]", plan)) // 2
-            bound = max(bound, n_global_aggs)
-            if why == "" and n_global_aggs:
-                why = "grand-total aggregate"
-            if info["single_partition"] <= bound:
-                flags.append(
-                    f"ok {info['single_partition']} bounded single-partition ({why})"
-                )
+            unlicensed = n_sp - n_licensed
+            if n_licensed:
+                flags.append(f"ok {n_licensed} sp->global-agg")
+            if unlicensed == 0:
+                pass
+            elif unlicensed <= bound:
+                flags.append(f"ok {unlicensed} bounded single-partition ({why})")
             else:
                 flags.append(
-                    f"!! {info['single_partition']} single-partition exchange"
+                    f"!! {unlicensed} unlicensed single-partition exchange"
                 )
         if info["nested_loop"]:
             flags.append(f"?? {info['nested_loop']} nested-loop/cartesian")
