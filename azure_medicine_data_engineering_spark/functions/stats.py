@@ -231,6 +231,117 @@ def jaccard_distance_matrix(X: np.ndarray) -> np.ndarray:
     return 1.0 - sim
 
 
+def permanova_grouped(
+    df: DataFrame,
+    hypothesis_col: str,
+    sample_id_col: str,
+    items_col: str,
+    group_col: str,
+    n_permutations: int = 199,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed PERMANOVA (R3): one Anderson-2001 test per hypothesis
+    key, fanned out via ``applyInPandas`` — the driver-checkable twin of
+    :func:`permanova` (parity: ``myPermanova`` / vegan ``adonis``,
+    ``Hypothesis testing R.r:375-388``). Each group's samples carry an item
+    SET (``items_col``); the distance is Jaccard (the reference's
+    ``vegdist(method="jaccard")``), the factor is boolean ``group_col``.
+
+    Engine-exactness contract (same scheme as the permutation tests +
+    PQ/LM integer-grid sums): each pairwise SQUARED distance is rounded
+    half-away onto the 1e-8 integer grid, so the three sums the pseudo-F
+    needs — total and the two within-group sums — are exact, order-free
+    BIGINTs exposed as ``t_u``/``w_a_u``/``w_b_u``. The observed
+    ``pseudo_f`` is then a fixed sequence of IEEE double ops over those
+    integers (identical in Spark and DuckDB), rounded to 4. The seeded
+    permutation p-value is not SQL-expressible; it exports as ``p_valid``
+    (p ∈ [1/(n_perm+1), 1] and p·(n_perm+1) integral — the invariants of
+    the (count+1)/(n_perm+1) estimator); exact p-values are pinned in
+    tests/test_stats.py. RNG seeds are per-key md5-derived, samples sorted
+    by id, so the null is deterministic at any partitioning.
+
+    Scale: PERMANOVA is O(n² ) in samples — the caller bounds the panel
+    per hypothesis (a fixed sample panel is the statistical design, not a
+    shortcut); hypotheses parallelize across executors."""
+    out_schema = StructType(
+        [
+            StructField("hypothesis", StringType()),
+            StructField("n", LongType()),
+            StructField("n_a", LongType()),
+            StructField("n_b", LongType()),
+            StructField("t_u", LongType()),
+            StructField("w_a_u", LongType()),
+            StructField("w_b_u", LongType()),
+            StructField("pseudo_f", DoubleType()),
+            StructField("p_value", DoubleType()),
+        ]
+    )
+
+    def run(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        key = str(pdf[hypothesis_col].iloc[0])
+        sub = pdf.sort_values(sample_id_col, kind="stable")
+        sets = [set(x) for x in sub[items_col]]
+        labels = sub[group_col].to_numpy(bool)
+        n = len(sets)
+        n_a, n_b = int(labels.sum()), int(n - labels.sum())
+        if n_a == 0 or n_b == 0 or n <= 2:
+            return pd.DataFrame(
+                [[key, n, n_a, n_b, 0, 0, 0, float("nan"), DEGENERATE_P]],
+                columns=[f.name for f in out_schema.fields],
+            )
+        du = np.zeros((n, n), dtype=np.int64)
+        for i in range(n):
+            for j in range(i + 1, n):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                d = 1.0 - inter / union if union else 0.0
+                # half-away onto the 1e-8 grid (CLAUDE.md convention;
+                # d*d is the squared distance the SS decomposition sums)
+                u = int(d * d * 1e8 + 0.5)
+                du[i, j] = du[j, i] = u
+        t_u = int(np.triu(du).sum())
+
+        def f_of(lab) -> float:
+            # integer matmul is exact; diag is 0 so the quadratic form
+            # double-counts each within pair — halve it
+            wa = int(lab @ du @ lab) // 2
+            wb = int((~lab) @ du @ (~lab)) // 2
+            na, nb = int(lab.sum()), int(len(lab) - lab.sum())
+            # FIXED op sequence — mirrored literally in the oracle SQL
+            w = (wa / 1e8) / na + (wb / 1e8) / nb
+            if w == 0.0:
+                return float("inf")
+            ss_t = (t_u / 1e8) / n
+            return (ss_t - w) / (w / (n - 2))
+
+        observed = f_of(labels)
+        w_a_u = int(labels @ du @ labels) // 2
+        w_b_u = int((~labels) @ du @ (~labels)) // 2
+        key_hash = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed + key_hash)
+        perm = labels.copy()
+        count = 0
+        for _ in range(n_permutations):
+            rng.shuffle(perm)
+            if f_of(perm) >= observed:
+                count += 1
+        p = (count + 1) / (n_permutations + 1)
+        return pd.DataFrame(
+            [[key, n, n_a, n_b, t_u, w_a_u, w_b_u, float(observed), float(p)]],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return (
+        df.select(hypothesis_col, sample_id_col, items_col, group_col)
+        .groupBy(hypothesis_col)
+        .applyInPandas(run, out_schema)
+    )
+
+
 def roc_optimal_threshold(
     scores: np.ndarray, labels: np.ndarray, fp_cost: float = 1.0, fn_cost: float = 1.0
 ) -> tuple[float, float]:

@@ -775,3 +775,93 @@ def q_streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     return streaming_upsert_user_totals(spark, sf_dir)
+
+
+_PERMANOVA_ORACLE = """
+    WITH samp AS (
+      SELECT event_type, user_id, (user_id % 2 = 0) AS grp,
+             list_sort(list_distinct(list(EXTRACT(hour FROM ts)))) AS hrs
+      FROM events WHERE user_id < 40
+      GROUP BY event_type, user_id
+    ),
+    pairs AS (
+      SELECT a.event_type, a.grp AS ga, b.grp AS gb,
+             CAST(ROUND(
+               (1.0 - CAST(len(list_intersect(a.hrs, b.hrs)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.hrs, b.hrs))))
+             * (1.0 - CAST(len(list_intersect(a.hrs, b.hrs)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.hrs, b.hrs))))
+             * 100000000) AS BIGINT) AS du
+      FROM samp a JOIN samp b
+        ON a.event_type = b.event_type AND a.user_id < b.user_id
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(SUM(du) AS BIGINT) AS t_u,
+             CAST(SUM(CASE WHEN ga AND gb THEN du ELSE 0 END) AS BIGINT) AS w_a_u,
+             CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN du ELSE 0 END) AS BIGINT) AS w_b_u
+      FROM pairs GROUP BY event_type
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM samp GROUP BY event_type
+    )
+    SELECT s.event_type AS hypothesis, c.n, c.n_a, c.n_b,
+           s.t_u, s.w_a_u, s.w_b_u,
+           ROUND(CAST(
+             ((s.t_u / 100000000.0) / c.n
+               - ((s.w_a_u / 100000000.0) / c.n_a + (s.w_b_u / 100000000.0) / c.n_b))
+             / (((s.w_a_u / 100000000.0) / c.n_a + (s.w_b_u / 100000000.0) / c.n_b)
+                / (c.n - 2))
+           AS DOUBLE), 4) AS pseudo_f,
+           TRUE AS p_valid
+    FROM sums s JOIN counts c USING (event_type)
+    """
+
+
+@register("permanova_hourly_profile", _PERMANOVA_ORACLE)
+def q_permanova_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: PERMANOVA per event type via applyInPandas fan-out
+    (functions/stats.py:permanova_grouped; parity ``myPermanova``,
+    ``Hypothesis testing R.r:375-388``): samples are a bounded 40-user
+    panel, each carrying its set of distinct active hours for that event
+    type; Jaccard distance (the reference's ``vegdist``), factor =
+    even/odd user id. Tests whether the two user cohorts have different
+    hourly activity profiles.
+
+    Oracle contract: the integer-grid d^2 sums (t_u, w_a_u, w_b_u), panel
+    sizes, and the observed pseudo-F (a fixed IEEE op sequence over those
+    integers, rounded to 4) are exact SQL; the seeded permutation p
+    exports estimator invariants as ``p_valid`` (exact p pinned in
+    tests/test_stats.py). PERMANOVA is O(n^2) in panel size — the panel is
+    the statistical design, the hypothesis fan-out is the scale axis."""
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        permanova_grouped,
+    )
+
+    n_perm = 199
+    samp = (
+        events_table(spark, sf_dir)
+        .where(F.col("user_id") < 40)
+        .groupBy("event_type", "user_id")
+        .agg(F.collect_set(F.hour("ts")).alias("hrs"))
+        .withColumn("grp", F.col("user_id") % 2 == 0)
+    )
+    res = permanova_grouped(
+        samp, "event_type", "user_id", "hrs", "grp",
+        n_permutations=n_perm, seed=42,
+    )
+    scaled = F.col("p_value") * (n_perm + 1)
+    p_valid = (
+        (F.col("p_value") >= 1.0 / (n_perm + 1))
+        & (F.col("p_value") <= 1.0)
+        & (F.abs(scaled - F.round(scaled, 0)) < 1e-6)
+    )
+    return res.select(
+        "hypothesis", "n", "n_a", "n_b", "t_u", "w_a_u", "w_b_u",
+        F.round(F.col("pseudo_f"), 4).alias("pseudo_f"),
+        p_valid.alias("p_valid"),
+    )

@@ -195,3 +195,58 @@ def test_roc_optimal_cutoff_df_matches_numpy_twin(spark):
     assert row.threshold == t
     assert row.cost == cost
     assert row.fp + row.fn == cost  # unit costs
+
+
+def test_permanova_grouped_planted_separation(spark):
+    # Distributed PERMANOVA twin (functions/stats.py:permanova_grouped).
+    # h1: disjoint hour sets per cohort -> near-maximal F, minimal p.
+    # h2: same base set + parity-correlated jitter -> mild but real effect.
+    # Values pinned: integer-grid sums are exact, p is md5-seeded.
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        permanova_grouped,
+    )
+
+    rows = []
+    for u in range(12):
+        hrs = (
+            [0, 1, 2, 3, 4, 5, 6 + u % 3]
+            if u % 2 == 0
+            else [18, 19, 20, 21, 22, 23, 12 + u % 3]
+        )
+        rows.append(("h1", u, hrs, u % 2 == 0))
+    for u in range(12):
+        rows.append(("h2", u, [1, 2, 3, 4, 5 + u % 4], u % 2 == 0))
+    df = spark.createDataFrame(
+        rows, "hyp string, uid long, hrs array<int>, grp boolean"
+    )
+    out = {
+        r.hypothesis: r
+        for r in permanova_grouped(
+            df, "hyp", "uid", "hrs", "grp", n_permutations=199, seed=42
+        ).collect()
+    }
+    h1, h2 = out["h1"], out["h2"]
+    assert (h1.n, h1.n_a, h1.n_b) == (12, 6, 6)
+    assert (h1.t_u, h1.w_a_u, h1.w_b_u) == (3750000000, 75000000, 75000000)
+    assert h1.pseudo_f == 115.0
+    assert h1.p_value == 0.005  # 1/(199+1): observed F never beaten
+    assert h2.t_u == 599999994
+    assert round(h2.pseudo_f, 4) == 5.0
+    assert h2.p_value == 0.01
+
+
+def test_permanova_grouped_degenerate_single_group(spark):
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        DEGENERATE_P,
+        permanova_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("h", u, [1, 2, u], True) for u in range(6)],
+        "hyp string, uid long, hrs array<int>, grp boolean",
+    )
+    row = permanova_grouped(df, "hyp", "uid", "hrs", "grp").collect()[0]
+    assert row.p_value == DEGENERATE_P
+    import math
+    # NaN surfaces as None through the Arrow boundary
+    assert row.pseudo_f is None or math.isnan(row.pseudo_f)
