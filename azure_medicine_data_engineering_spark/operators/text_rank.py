@@ -223,15 +223,20 @@ def bigram_logprob_scores(
     add-k-smoothed bigram model. Junk with plausible unigrams but shuffled
     order (the failure mode unigram scoring cannot see) scores high.
 
-    ``P(w|v) = (c(v,w) + k) / (c_prefix(v) + k·V)`` with V = unigram
-    vocabulary size; the same micro-unit integer-sum trick keeps per-doc
-    means order-free and engine-exact. Docs with < 2 tokens have no
-    bigrams and are omitted (the caller's length filter owns them).
+    ``P(w|v) = (c(v,w) + k) / (c_prefix(v) + k·V)`` with V = the
+    vocabulary of the SCORED corpus — distinct tokens over both bigram
+    positions, derived from the persisted bigram frame rather than a
+    second raw-table scan (every token of a ≥2-token doc appears in some
+    bigram, so this is exact for the scoreable corpus; docs with < 2
+    tokens have no bigrams, are omitted from scoring, and contribute no
+    smoothing mass). The same micro-unit integer-sum trick keeps per-doc
+    means order-free and engine-exact.
 
-    Scale: one bigram explode (persisted — model build and scoring share
-    it), two count aggregations (bigram, prefix), one broadcast-joined
-    scoring pass, one per-doc aggregation. The model is data-sized in the
-    bigram vocabulary but every join is keyed — nothing is ever collected.
+    Scale: one bigram explode (persisted — model build, vocabulary AND
+    scoring all share it; the raw table is scanned exactly once), two
+    count aggregations (bigram, prefix), one broadcast-joined scoring
+    pass, one per-doc aggregation. The model is data-sized in the bigram
+    vocabulary but every join is keyed — nothing is ever collected.
     """
     from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
     from azure_medicine_data_engineering_spark.operators.text import tokens
@@ -251,8 +256,12 @@ def bigram_logprob_scores(
         .groupBy("pre")
         .agg(F.count(F.lit(1)).alias("c_pre"))
     )
+    # V from the persisted bigram frame — both positions, unioned BEFORE
+    # the distinct so a token appearing only as a prefix or only as a
+    # final word still counts once; no second raw-table scan
     vocab_size = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        big.select(prefix.alias("t"))
+        .unionByName(big.select(F.substring_index(F.col("bg"), " ", -1).alias("t")))
         .agg(F.count_distinct("t").alias("V"))
     )
     model = (

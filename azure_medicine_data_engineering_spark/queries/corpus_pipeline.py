@@ -718,7 +718,9 @@ def q_temperature_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFra
     pre AS (SELECT split_part(bg, ' ', 1) AS p, COUNT(*) AS c_pre
             FROM big GROUP BY 1),
     vs AS (SELECT COUNT(DISTINCT tk) AS v
-           FROM (SELECT unnest(toks) AS tk FROM t)),
+           FROM (SELECT split_part(bg, ' ', 1) AS tk FROM big
+                 UNION ALL
+                 SELECT split_part(bg, ' ', 2) FROM big)),
     model AS (
       SELECT bgc.bg,
              CAST(ROUND(ln((c_bg + 0.5) / (c_pre + 0.5 * v)) * 1e6) AS BIGINT) AS lpu
@@ -734,7 +736,10 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional LM quality (operators/text_rank.py:
     bigram_logprob_scores, add-0.5 smoothing) — catches shuffled-order junk
     that unigram scoring cannot. Micro-unit integer log-prob sums keep the
-    per-doc mean order-free; the oracle rebuilds the same smoothed model."""
+    per-doc mean order-free; the oracle rebuilds the same smoothed model.
+    V is the scored corpus's vocabulary (distinct tokens over both bigram
+    positions — derived from the bigram frame on both sides, so the
+    operator never pays a second raw-table scan)."""
     from azure_medicine_data_engineering_spark.operators.text_rank import (
         bigram_logprob_scores,
     )
