@@ -60,7 +60,16 @@ def quality_report(
 
     ``keep_zero_rows=False`` reproduces the reference's filter keeping only
     violations (``stydyGrB.scala:65`` keeps rows with number > 0).
-    """
+
+    FULLY LAZY: scan 1 is one conditional aggregation (nulls + ranges +
+    z-score moments); scan 2 counts z violations with the 1-row moments
+    frame broadcast back over the table — no driver collect anywhere, so
+    the caller owns execution time and plan audits see the real plan
+    (the previous eager build ran both scans at construction, which also
+    made its bench timing hostage to whatever cached frames the preceding
+    queries left behind). The persisted 1-row moments frame (2 consumers:
+    z-pass broadcast + report emit) is stashed as ``_stage_caches`` —
+    caller-owned lifecycle, repo convention."""
     null_cols = null_cols or []
     ranges = ranges or []
     zscore_cols = zscore_cols or []
@@ -83,36 +92,57 @@ def quality_report(
     if not aggs:
         return spark.createDataFrame([], REPORT_SCHEMA)
 
-    row = df.agg(*aggs).collect()[0].asDict()
+    moments = df.agg(*aggs).persist()
 
-    # Second scan: z-score violation counts using the scalar moments.
+    # Second scan: z violation counts with the moments broadcast back over
+    # the table. A null mean (all-null column), null std (empty table) or
+    # zero std (constant column) yields a null/false condition -> count 0,
+    # matching the collected-literal semantics exactly; the std > 0 guard
+    # keeps a 0-std division from producing |inf| > t.
     if zscore_cols:
         z_aggs = []
         for c in zscore_cols:
-            mean, std = row[f"__mean__{c}"], row[f"__std__{c}"]
-            if mean is None or std is None or std == 0:
-                z_aggs.append(F.lit(0).cast("long").alias(f"__z__{c}"))
-            else:
-                col = F.col(f"`{c}`")
-                z = (col - F.lit(mean)) / F.lit(std)
-                z_aggs.append(
-                    F.count(F.when(F.abs(z) > F.lit(z_threshold), 1)).alias(f"__z__{c}")
-                )
-        zrow = df.agg(*z_aggs).collect()[0].asDict()
+            col = F.col(f"`{c}`")
+            z = (col - F.col(f"__mean__{c}")) / F.col(f"__std__{c}")
+            z_aggs.append(
+                F.count(
+                    F.when(
+                        (F.col(f"__std__{c}") > 0)
+                        & (F.abs(z) > F.lit(z_threshold)),
+                        1,
+                    )
+                ).alias(f"__z__{c}")
+            )
+        zcounts = df.crossJoin(F.broadcast(moments)).agg(*z_aggs)
+        row = moments.crossJoin(zcounts)
     else:
-        zrow = {}
+        row = moments
 
-    records: list[tuple[str, str, int]] = []
+    triples = []
     for c in null_cols:
-        records.append((DESC_NULLS, c, int(row[f"__null__{c}"])))
+        triples.append((DESC_NULLS, c, f"__null__{c}"))
     for r in ranges:
-        records.append((DESC_RANGE, r.column, int(row[f"__range__{r.column}"])))
+        triples.append((DESC_RANGE, r.column, f"__range__{r.column}"))
     for c in zscore_cols:
-        records.append((DESC_OUTLIER, c, int(zrow[f"__z__{c}"])))
-
+        triples.append((DESC_OUTLIER, c, f"__z__{c}"))
+    rep = row.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("description"),
+                        F.lit(c).alias("columnName"),
+                        F.col(src).cast("long").alias("number"),
+                    )
+                    for d, c, src in triples
+                ]
+            )
+        )
+    )
     if not keep_zero_rows:
-        records = [r for r in records if r[2] > 0]
-    return spark.createDataFrame(records, REPORT_SCHEMA)
+        rep = rep.where(F.col("number") > 0)
+    rep._stage_caches = [moments]
+    return rep
 
 
 @dataclass
@@ -131,17 +161,28 @@ class TemporalRule:
 
 def temporal_sanity_report(df: DataFrame, rules: list[TemporalRule]) -> DataFrame:
     """One-pass temporal-sanity violations as report triples: for each rule,
-    count rows whose derived month interval falls outside [lo, hi]."""
-    spark = df.sparkSession
+    count rows whose derived month interval falls outside [lo, hi].
+    Lazy — one conditional aggregation, report rows inlined in-plan."""
     aggs = []
     for r in rules:
         months = F.months_between(F.col(f"`{r.later}`"), F.col(f"`{r.earlier}`"))
         aggs.append(
             F.count(F.when((months < r.lo) | (months > r.hi), 1)).alias(r.name)
         )
-    row = df.agg(*aggs).collect()[0].asDict()
-    records = [(DESC_RANGE, r.name, int(row[r.name])) for r in rules]
-    return spark.createDataFrame(records, REPORT_SCHEMA)
+    return df.agg(*aggs).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(DESC_RANGE).alias("description"),
+                        F.lit(r.name).alias("columnName"),
+                        F.col(r.name).cast("long").alias("number"),
+                    )
+                    for r in rules
+                ]
+            )
+        )
+    )
 
 
 def null_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -50,11 +50,14 @@ HEADLINE = [
 ]
 
 
-#: Per-query repeat count; the reported time is the best of N runs, which
+#: Per-query repeat count; the headline time is the best of N runs, which
 #: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
 #: discrepancy on categorized_summary was exactly this: single-shot timing
-#: charges whichever query runs first for JVM warm-up variance).
-REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+#: charges whichever query runs first for JVM warm-up variance). The
+#: per-query MEDIAN is reported alongside: the shared 32-core box has a
+#: 17–25s session-variance band (SCALE.md), and best-vs-median separates a
+#: real per-query regression from box noise in round-over-round diffs.
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
 
 
 def _categorized_summary_fast_operator(spark, sf_dir):
@@ -104,19 +107,22 @@ def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
 
+    import statistics
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        best = None
+        runs = []
         for _ in range(max(1, REPEAT)):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -126,6 +132,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "value_median": round(sum(medians.values()), 3),
                 "sf": sf,
             }
         )
