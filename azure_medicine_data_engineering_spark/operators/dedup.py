@@ -590,3 +590,71 @@ def incremental_dedup_flags(
     )
     out._dedup_caches = [sh_new, sh_corp] if cache else []
     return out
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup — semantic (embedding-space) near-duplicate pruning
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster the corpus embeddings with
+    k-means, then compare pairs ONLY within each cluster; items whose
+    cosine similarity to another cluster member exceeds ``threshold`` are
+    duplicates, one representative survives.
+
+    Determinism variant (documented deviation from the paper's
+    keep-farthest-from-centroid): an item is DROPPED iff some LOWER-id
+    member of its cluster is within the threshold — the same one-pass
+    lower-id rule the MinHash/SimHash pair semantics use, reproducible on
+    any partitioning/engine. Cosines are rounded before the comparison so
+    both engines branch identically.
+
+    Returns ``(id, cluster, n_near_lower, keep)`` for every input row.
+
+    Scale: the paper's design point — pairwise work is n²/k per cluster,
+    recovered by making k proportional to corpus size (50k clusters at
+    web scale); the join is cluster-keyed (one shuffle), centroids
+    broadcast, never an all-pairs product. The k-means fit is
+    :func:`azure_medicine_data_engineering_spark.operators.similarity.kmeans_fit`
+    (bit-reproducible Lloyd rounds)."""
+    from azure_medicine_data_engineering_spark.operators import similarity
+
+    _, assigned = similarity.kmeans_fit(
+        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    # assigned is persisted by kmeans_fit — both self-join sides and the
+    # final left join read it. Alias + qualify: same-lineage self-join.
+    x, y = assigned.alias("_sx"), assigned.alias("_sy")
+    cos = F.round(
+        similarity.cosine(
+            similarity.as_double_array(F.col(f"_sx.{vec_col}")),
+            similarity.as_double_array(F.col(f"_sy.{vec_col}")),
+        ).cast("double"),
+        round_digits,
+    )
+    near = (
+        x.join(
+            y,
+            (F.col("_sx.cluster") == F.col("_sy.cluster"))
+            & (F.col(f"_sx.{id_col}") < F.col(f"_sy.{id_col}")),
+        )
+        .select(F.col(f"_sy.{id_col}").alias("_hi"), cos.alias("_cos"))
+        .where(F.col("_cos") >= threshold)
+        .groupBy("_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near_lower"))
+    )
+    return (
+        assigned.join(near, F.col(id_col) == F.col("_hi"), "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("n_near_lower", F.lit(0)).cast("long").alias("n_near_lower"),
+            (F.coalesce("n_near_lower", F.lit(0)) == 0).alias("keep"),
+        )
+    )

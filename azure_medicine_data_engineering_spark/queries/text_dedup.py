@@ -1037,3 +1037,47 @@ def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_keys(docs, "doc_id", F.col("weight"), k=50).select(
         "doc_id", "weight", "es_score"
     )
+
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0 AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr0 AS (SELECT cluster, list(c ORDER BY dim) AS centroid
+              FROM cent0 GROUP BY cluster),
+    {{r1}},
+    {{r2}},
+    near AS (
+      SELECT y.vec_id AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_near_lower
+      FROM a2 x JOIN a2 y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE ROUND(CAST({_COS_AB.format(a='x.v', b='y.v')} AS DOUBLE), 4) >= 0.25
+      GROUP BY y.vec_id
+    )
+    SELECT a.vec_id, a.cluster,
+           COALESCE(n.n_near_lower, 0) AS n_near_lower,
+           (n.hi IS NULL) AS keep
+    FROM a2 a LEFT JOIN near n ON a.vec_id = n.hi
+    """.format(
+        r1=_kmeans_round_sql("e", "carr0", "a1", "cent1", "carr1"),
+        r2=_kmeans_round_sql("e", "carr1", "a2", "cent2", "carr2"),
+    ),
+)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (operators/dedup.py:
+    semantic_dedup_flags; Abbas et al. 2023): k=8 trained Lloyd clusters,
+    within-cluster cosine >= 0.25 marks a lower-id near-neighbor, one
+    representative survives per similarity chain. The oracle unrolls the
+    full k-means fit CTE-for-CTE (shared _kmeans_round_sql fragments) and
+    recomputes every within-cluster pair — clustering, pairing and the
+    keep rule must all be bit-reproducible to hash-match. The synthetic
+    embeddings have no planted near-dups, so the threshold sits in the
+    upper cosine tail to exercise a non-trivial drop set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_flags(emb, k=8, iterations=2, threshold=0.25)

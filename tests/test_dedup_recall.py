@@ -158,3 +158,32 @@ def test_simhash_near_pairs_rejects_bad_params():
         dedup.simhash_near_pairs(None, max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         dedup.simhash_near_pairs(None, bands=7)
+
+
+def test_semantic_dedup_drops_planted_near_duplicates(spark):
+    # two tight bundles of near-identical vectors + isolated randoms:
+    # every bundle keeps exactly its lowest id, isolated vectors all keep
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        semantic_dedup_flags,
+    )
+
+    rows = []
+    for i in range(4):  # bundle A: ids 0..3, nearly parallel
+        rows.append((i, [10.0 + 0.001 * i] + [1.0] * 7))
+    for i in range(4):  # bundle B: ids 10..13
+        rows.append((10 + i, [1.0] * 7 + [10.0 + 0.001 * i]))
+    # isolated: orthogonal-ish one-hot directions
+    for j in range(4):
+        v = [0.0] * 8
+        v[j + 2] = 5.0
+        v[(j + 5) % 8] = -3.0
+        rows.append((20 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup_flags(df, k=2, iterations=2, threshold=0.95).collect()
+    }
+    assert out[0].keep and not any(out[i].keep for i in (1, 2, 3))
+    assert out[10].keep and not any(out[i].keep for i in (11, 12, 13))
+    for j in range(4):
+        assert out[20 + j].n_near_lower == 0 and out[20 + j].keep
