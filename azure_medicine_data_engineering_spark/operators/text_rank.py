@@ -298,3 +298,76 @@ def bigram_logprob_scores(
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred: "Column",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    cache: bool = True,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed bag-of-words is. Per hashed-unigram
+    bucket b, fit add-1-smoothed bucket probabilities under the TARGET
+    slice (rows where ``target_pred``) and the RAW corpus; a document's
+    log importance weight is the sum over its token occurrences of
+    ``ln(p_target[b] / p_raw[b])``.
+
+    Engine-exactness: per-bucket log-ratios round half-away into integer
+    micro-units (ln·1e6, the LM-scorer convention), so per-document
+    weights are exact order-free BIGINT sums. The deterministic selection
+    rule is top-k by weight with id tie-break (the paper resamples with
+    Gumbel noise; a seeded variant can layer the md5-uniform trick on
+    top — the weight computation is the operator, selection is policy).
+
+    Returns ``(id, n_tokens, logw_u)`` — micro-unit integer log weight.
+
+    Scale: one token explode (persisted — raw counts, target counts and
+    per-doc scoring all read it), two n_buckets-sized aggregations, one
+    broadcast bucket-table join, one per-doc aggregation. The bucket
+    tables are fixed-size (D rows) regardless of corpus size — the whole
+    point of hashed features."""
+    from azure_medicine_data_engineering_spark.operators.dedup import _hash32
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    tok = ensure_parallelism(df).select(
+        F.col(id_col),
+        target_pred.alias("_is_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col, "_is_tgt", (_hash32(F.col("tok")) % n_buckets).alias("b")
+    )
+    if cache:
+        tok = tok.persist()
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.col("_is_tgt").cast("int")).alias("c_t"),
+    )
+    tot = counts.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+    )
+    # fixed op sequence, mirrored literally in oracle SQL
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1.0) / (F.col("t_t") + float(n_buckets)))
+                / ((F.col("c_r") + 1.0) / (F.col("t_r") + float(n_buckets)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lru"),
+    )
+    return (
+        tok.join(lr, "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lru").cast("long").alias("logw_u"),
+        )
+    )

@@ -745,3 +745,61 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_target_selection",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_tgt,
+             CAST(('0x' || substr(md5(t.tk), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM documents, unnest({_TOKS.format(t='text')}) AS t(tk)
+    ),
+    counts AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+             CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS t_r, CAST(SUM(c_t) AS BIGINT) AS t_t
+            FROM counts),
+    lr AS (
+      SELECT b,
+             CAST(ROUND(ln(((c_t + 1.0) / (t_t + 1024.0))
+                          / ((c_r + 1.0) / (t_r + 1024.0))) * 1000000) AS BIGINT) AS lru
+      FROM counts, tot
+    ),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lru) AS BIGINT) AS logw_u
+      FROM tok JOIN lr USING (b)
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tokens, logw_u,
+           CAST(ROW_NUMBER() OVER (ORDER BY logw_u DESC, doc_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 50
+    """,
+)
+def q_dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/text_rank.py:dsir_importance_weights;
+    Xie et al. 2023): hashed-unigram importance weights of every document
+    against the English slice as the target distribution, then the
+    deterministic top-50 most-target-like documents (weight desc, id
+    tie-break). Integer micro-unit log-ratio sums keep per-doc weights
+    exact and order-free on both engines; the 1024-bucket tables are
+    fixed-size regardless of corpus scale."""
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        dsir_importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_importance_weights(docs, F.col("lang") == "en", n_buckets=1024)
+    win = Window.orderBy(F.col("logw_u").desc(), F.col("doc_id"))
+    return (
+        w.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .where(F.col("rnk") <= 50)
+        .select("doc_id", "n_tokens", "logw_u", "rnk")
+    )

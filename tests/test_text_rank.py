@@ -101,3 +101,28 @@ def test_bigram_logprob_flags_shuffled_order(spark):
     ug = {r.doc_id: r.mean_neg_logprob for r in unigram_logprob_scores(df).collect()}
     assert bg[2] > bg[1]                      # bigram model catches it
     assert abs(ug[2] - ug[1]) < 1e-6          # unigram model cannot
+
+
+def test_dsir_weights_rank_target_like_docs_first(spark):
+    # target slice speaks "alpha"; raw background speaks "omega". A held-out
+    # alpha-speaking doc must outweigh an omega doc under the target model.
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        dsir_importance_weights,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta alpha gamma", True))
+    for i in range(20, 60):
+        rows.append((i, "omega psi omega chi", False))
+    rows.append((100, "alpha beta gamma alpha", False))  # target-like, not in slice
+    rows.append((101, "omega chi psi omega", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {
+        r.doc_id: r.logw_u
+        for r in dsir_importance_weights(df, F.col("tgt"), n_buckets=64).collect()
+    }
+    assert w[100] > w[101]
+    # weights are exact integers; same text => same weight
+    assert w[0] == w[1]
