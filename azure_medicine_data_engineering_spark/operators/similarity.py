@@ -492,3 +492,67 @@ def pq_release(out: DataFrame) -> None:
     sub = getattr(out, "_pq_sub", None)
     if sub is not None:
         sub.unpersist()
+
+
+def ann_recall(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force ground
+    truth — the evaluation loop every ANN deployment runs before trusting
+    an index configuration (recall is the IVF nprobe knob's contract).
+
+    Per query: ``n_overlap`` = |IVF top-k ∩ exact top-k|, ``recall`` =
+    n_overlap / k. Both paths use the repo's deterministic ranking
+    (rounded cosine, id tie-break), so the measurement itself is
+    bit-reproducible.
+
+    Scale: the exact path is one corpus pass (queries broadcast); the IVF
+    path touches nprobe/n_clusters of the corpus; the overlap join moves
+    only (query, k) rows. Evaluating on a sampled query panel (here: the
+    explicit ``query_ids``) is the standard practice — ground truth is
+    O(n) per query, so the panel bounds the evaluation cost."""
+    emb_q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    )
+    exact = knn_topk(df, emb_q, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_knn_topk(
+        df, query_ids, k=k, n_clusters=n_clusters, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    ).select("query_id", F.col("neighbor_id").alias("_ivf_n"))
+    ex = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    iv = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ivf")
+    )
+    ov = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (F.col("neighbor_id") == F.col("_ivf_n")),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        ex.join(iv, "query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_ivf",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4
+            ).alias("recall"),
+        )
+    )

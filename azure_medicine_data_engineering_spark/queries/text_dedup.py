@@ -1081,3 +1081,68 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper cosine tail to exercise a non-trivial drop set."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.semantic_dedup_flags(emb, k=8, iterations=2, threshold=0.25)
+
+
+@register(
+    "ann_recall_ivf_vs_exact",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cluster),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cluster,
+             ROUND(CAST({_COS_AB.format(a='e.v', b='c.centroid')} AS DOUBLE), 6) AS c_sim
+      FROM e, carr c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cluster) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qc FROM assigned WHERE vec_id < 5),
+    ivf AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id
+      FROM assigned b JOIN q ON b.cluster = q.qc AND b.vec_id <> q.query_id
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                   b.vec_id) <= 10
+    ),
+    exact AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id
+      FROM e b JOIN q ON b.vec_id <> q.query_id
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                   b.vec_id) <= 10
+    ),
+    ov AS (
+      SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM exact x JOIN ivf i ON x.query_id = i.query_id
+                              AND x.neighbor_id = i.neighbor_id
+      GROUP BY x.query_id
+    )
+    SELECT ex.query_id,
+           CAST(ex.n AS BIGINT) AS n_exact,
+           CAST(iv.n AS BIGINT) AS n_ivf,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(ov.n_overlap, 0) / 10.0, 4) AS recall
+    FROM (SELECT query_id, COUNT(*) AS n FROM exact GROUP BY 1) ex
+    JOIN (SELECT query_id, COUNT(*) AS n FROM ivf GROUP BY 1) iv USING (query_id)
+    LEFT JOIN ov USING (query_id)
+    """,
+)
+def q_ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation (operators/similarity.py:ann_recall): recall@10
+    of the nprobe=1 id-mod IVF against the exact brute-force ground truth
+    on the 5-query panel — the measurement that justifies (or rejects) an
+    index configuration before production. Both ranking paths are
+    deterministic (rounded cosine, id tie-break) so the recall itself is
+    bit-reproducible; the oracle recomputes both paths and the overlap."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8
+    )
