@@ -371,3 +371,62 @@ def dsir_importance_weights(
             F.sum("lru").cast("long").alias("logw_u"),
         )
     )
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    weight_salt: str = "w",
+) -> DataFrame:
+    """Serve a hashed linear text classifier (the fastText-style quality
+    filter shape: CCNet / GPT-3 used exactly this to score documents
+    against a high-quality reference class): logit(doc) = Σ over token
+    occurrences of ``w[h(tok) % D]``, probability = sigmoid(mean logit).
+
+    The weight table here is DERIVED (md5 of the salted bucket id mapped
+    to integer milli-units in [-1000, 1000]) — the deployment seam where a
+    trained model's weights load instead; the serving plumbing (broadcast
+    D-row weight table, one token explode, keyed join, per-doc integer
+    aggregation) is the production path and is what this operator tests.
+
+    Engine-exactness: weights and logits are integer milli-units, so the
+    per-doc sum is exact and order-free; the predicted label thresholds
+    the raw integer sum at 0 (sign(sum) == sign(mean)); only the sigmoid
+    probability touches doubles (identical op sequence both engines,
+    display-rounded).
+
+    Returns ``(id, n_tokens, logit_u, prob, label)``."""
+    from azure_medicine_data_engineering_spark.operators.dedup import _hash32
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    spark = df.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        (
+            _hash32(F.concat(F.lit(weight_salt + "|"), F.col("id").cast("string")))
+            % 2001
+            - 1000
+        )
+        .cast("long")
+        .alias("w_u"),
+    )
+    tok = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(id_col, (_hash32(F.col("tok")) % n_buckets).alias("b"))
+    )
+    scored = tok.join(F.broadcast(weights), "b").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("w_u").cast("long").alias("logit_u"),
+    )
+    mean_logit = F.col("logit_u") / (F.col("n_tokens") * 1000.0)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "logit_u",
+        F.round(1.0 / (1.0 + F.exp(-mean_logit)), 4).alias("prob"),
+        (F.col("logit_u") >= 0).alias("label"),
+    )

@@ -803,3 +803,46 @@ def q_dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 50)
         .select("doc_id", "n_tokens", "logw_u", "rnk")
     )
+
+
+@register(
+    "hashed_linear_quality_scores",
+    f"""
+    WITH w AS (
+      SELECT t.b,
+             CAST(('0x' || substr(md5('w|' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2001 - 1000 AS w_u
+      FROM (SELECT unnest(range(256)) AS b) t
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t.tk), 1, 8)) AS BIGINT) % 256 AS b
+      FROM documents, unnest({_TOKS.format(t='text')}) AS t(tk)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w_u) AS BIGINT) AS logit_u
+      FROM tok JOIN w USING (b)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, logit_u,
+           ROUND(1.0 / (1.0 + exp(-(logit_u / (n_tokens * 1000.0)))), 4) AS prob,
+           (logit_u >= 0) AS label
+    FROM scored
+    """,
+)
+def q_hashed_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering served at corpus scale
+    (operators/text_rank.py:hashed_linear_scores): the fastText-style
+    hashed linear classifier every CCNet/GPT-3-shaped pipeline runs over
+    its raw corpus — broadcast 256-bucket weight table, one token
+    explode, integer milli-unit logits (order-free exact sums), sigmoid
+    probability display-rounded. Weights are md5-derived here (the
+    documented trained-model seam); the oracle rebuilds the table and
+    every logit."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        hashed_linear_scores,
+    )
+
+    return hashed_linear_scores(_t(spark, sf_dir, "documents"))
