@@ -201,3 +201,53 @@ def temperature_upsample(
     # resample is materialized in long-lived sessions
     out._stage_caches = [counts]
     return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: int,
+    shard_size: int = 64,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global permutation for a training epoch: every row gets
+    a dense position ``pos`` in [0, N) ordered by ``md5(seed || ':' || key)``
+    (ties broken by the key itself), plus the training shard
+    ``pos div shard_size`` that position lands in. Re-seeding re-deals the
+    whole corpus — the standard per-epoch reshuffle of an LLM data loader,
+    reproducible on any cluster layout because nothing depends on partition
+    arrival order.
+
+    Scale design — the same DISTRIBUTED PREFIX SUM as
+    ``chunking.pack_token_sequences``, not a global sort: a single
+    ``row_number`` over all rows would funnel 100 TB through one reducer.
+    Instead (1) the md5 sort key is uniform, so its leading byte splits the
+    keyspace into ``n_buckets`` contiguous, deterministic, near-equal
+    ranges; (2) one keyed aggregation counts rows per bucket; (3) bucket
+    offsets come from a running total over the bucket-summary frame
+    (bounded: ``n_buckets`` rows — the only unpartitioned window); (4)
+    in-bucket ranks are a window partitioned by bucket. ``pos`` =
+    bucket offset + in-bucket rank.
+    """
+    from pyspark.sql.window import Window
+
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    hk = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string")))
+    b = df.withColumn("_hk", hk).withColumn(
+        "_bkt", F.conv(F.substring("_hk", 1, 2), 16, 10).cast("int")
+    )
+    bucket_n = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = bucket_n.select(
+        "_bkt", (F.sum("_bn").over(w_off) - F.col("_bn")).alias("_boff")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("_hk", key)
+    pos = (F.col("_boff") + F.row_number().over(w_in) - 1).cast("long")
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .select(*df.columns, pos.alias("pos"))
+        .withColumn("shard_id", F.expr(f"pos div {shard_size}").cast("long"))
+    )

@@ -846,3 +846,35 @@ def q_hashed_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return hashed_linear_scores(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: seeded global permutation + shard assignment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "epoch_shuffle_documents",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5('7' || ':' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1) // 64 AS BIGINT)
+             AS shard_id
+    FROM keyed
+    """,
+)
+def q_epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch corpus reshuffle (operators/sampling.py:epoch_shuffle, seed
+    7, shard 64): the Spark side assigns positions with the distributed
+    two-phase prefix sum over md5-range buckets; the oracle ranks the same
+    md5 sort key in one flat window — identical output proves the bucketed
+    decomposition computes the exact global permutation."""
+    from azure_medicine_data_engineering_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_shuffle(docs, key="doc_id", seed=7, shard_size=64)

@@ -202,3 +202,29 @@ def test_temperature_upsample_flattens_mixture(spark):
     again = {r.s: r.n for r in temperature_upsample(df, "k", "s", 0.5)
              .groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert out == again
+
+
+def test_epoch_shuffle_is_exact_permutation_and_seed_sensitive(spark):
+    from azure_medicine_data_engineering_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, key="doc_id", seed=1, shard_size=50).cache()
+    rows = {r.doc_id: (r.pos, r.shard_id) for r in out.collect()}
+    # dense bijection onto [0, N) and consistent shard math
+    assert sorted(p for p, _ in rows.values()) == list(range(500))
+    assert all(s == p // 50 for p, s in rows.values())
+    # repartition-invariant (nothing depends on partition arrival order)
+    again = {
+        r.doc_id: r.pos
+        for r in epoch_shuffle(
+            df.repartition(13), key="doc_id", seed=1, shard_size=50
+        ).collect()
+    }
+    assert again == {k: p for k, (p, _) in rows.items()}
+    # a different seed re-deals the permutation
+    other = {
+        r.doc_id: r.pos
+        for r in epoch_shuffle(df, key="doc_id", seed=2, shard_size=50).collect()
+    }
+    assert other != {k: p for k, (p, _) in rows.items()}
+    out.unpersist()
