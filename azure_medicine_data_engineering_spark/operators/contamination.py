@@ -58,3 +58,56 @@ def ngram_contamination(
             (F.coalesce(F.col("shared_ngrams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine to
+    ANY benchmark vector reaches ``threshold`` — the semantic complement of
+    ``ngram_contamination`` (paraphrased eval leakage that shares no
+    n-gram; the recipe used for GSM8K/MMLU-style contamination audits).
+
+    Returns one row per flagged corpus vector:
+    ``(id, bench_id, cos_sim)`` with the single best-matching benchmark
+    vector (rounded-cosine rank, bench-id tie-break — deterministic).
+
+    Scale design: mirrors ``ngram_contamination`` — the benchmark panel is
+    small by definition and broadcast, so the corpus is scanned ONCE with
+    per-row dot products against the panel (no corpus shuffle); only the
+    flagged survivors (≪ corpus) reach the per-id argmax window. Cosine is
+    rounded to 4 decimals BEFORE thresholding and ranking on both engines,
+    so the flag set and the argmax are ulp-stable."""
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+    )
+
+    b = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col), as_double_array(F.col(vec_col)).alias("_bvec")
+        )
+    )
+    sims = (
+        corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec"))
+        .crossJoin(b)
+        .select(
+            id_col,
+            bench_id_col,
+            F.round(cosine(F.col("_cvec"), F.col("_bvec")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), bench_id_col)
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -878,3 +878,53 @@ def q_epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return epoch_shuffle(docs, key="doc_id", seed=7, shard_size=64)
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+_COS_AB = (
+    "list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "semantic_contamination_flags",
+    f"""
+    WITH b AS (
+      SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 101 = 0
+    ), c AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 <> 0
+    ), sims AS (
+      SELECT c.vec_id, b.bench_id,
+             ROUND(CAST({_COS_AB} AS DOUBLE), 4) AS cos_sim
+      FROM c CROSS JOIN b
+    )
+    SELECT vec_id, bench_id, cos_sim
+    FROM (
+      SELECT vec_id, bench_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, bench_id) AS rn
+      FROM sims WHERE cos_sim >= 0.30
+    ) WHERE rn = 1
+    """,
+)
+def q_semantic_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/contamination.py:
+    semantic_contamination): the vec_id % 101 slice stands in for the eval
+    set (same convention as benchmark_contamination's n-gram variant);
+    corpus vectors within cosine 0.30 of any benchmark vector are flagged
+    with their single best match."""
+    from azure_medicine_data_engineering_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 101 != 0)
+    return semantic_contamination(corpus, bench, threshold=0.30)

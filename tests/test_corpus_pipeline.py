@@ -317,3 +317,27 @@ def test_pack_token_sequences_property_fuzz(spark):
             run += t
 
     check()
+
+
+def test_semantic_contamination_planted_leak(spark):
+    from azure_medicine_data_engineering_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "bench_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),    # parallel to bench 100: cos = 1.0
+            (2, [1.0, 1.0, 0.0]),    # cos ~0.707 to both: argmax tie -> bench 100
+            (3, [0.0, 0.0, 5.0]),    # orthogonal: clean
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: (r.bench_id, r.cos_sim)
+        for r in semantic_contamination(corpus, bench, threshold=0.5).collect()
+    }
+    assert rows == {1: (100, 1.0), 2: (100, 0.7071)}
