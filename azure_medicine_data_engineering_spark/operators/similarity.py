@@ -556,3 +556,101 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def dcg_weights_micro(k: int) -> list[int]:
+    """Micro-unit DCG position weights: ``W[i] = round(1e6 / log2(i + 1))``
+    for 1-based positions 1..k, as INTEGER LITERALS. Both the Spark plan
+    and the DuckDB oracle consume this same Python-computed list, so no
+    engine ever evaluates a transcendental — the ulp-divergence risk of
+    Java vs DuckDB ``log2`` is designed out (CLAUDE.md integer-grid rule)."""
+    import math
+
+    return [int(1_000_000 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+
+
+def retrieval_rank_eval(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Graded ranking quality of the IVF index against exact ground truth:
+    MRR and nDCG@k, the retrieval metrics that complement :func:`ann_recall`
+    (recall ignores ORDER; a serving index that finds all k neighbors in
+    reversed order still needs flagging).
+
+    Relevance grade of an IVF result = ``k + 1 - exact_rank`` when it
+    appears in the exact top-k, else 0. DCG sums ``grade × W[pos]`` over
+    IVF positions with the literal micro-unit weights of
+    :func:`dcg_weights_micro`; IDCG sums the same over the exact list
+    itself (the perfect ordering); nDCG = DCG/IDCG via INTEGER micro-unit
+    division, so both engines round identically. MRR uses
+    ``1_000_000 div first_hit_rank`` — integer again.
+
+    Per query: ``(query_id, n_hits, first_hit_rank, rr, dcg_micro,
+    idcg_micro, ndcg)``; ``first_hit_rank`` 0 and rr/ndcg 0.0 when the IVF
+    list misses the exact top-k entirely.
+
+    Scale: inherits the panel-evaluation shape of :func:`ann_recall` —
+    exact path one corpus pass, IVF path nprobe/n_clusters of it, then
+    (query × k)-row joins only."""
+    weights = dcg_weights_micro(k)
+    warr = F.array(*[F.lit(w) for w in weights])
+    exact = knn_topk(df, _panel(df, query_ids, id_col, vec_col), k=k,
+                     id_col=id_col, vec_col=vec_col)
+    approx = ivf_knn_topk(
+        df, query_ids, k=k, n_clusters=n_clusters, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    )
+    ex = exact.select("query_id", "neighbor_id", F.col("rnk").alias("_ex_rnk"))
+    iv = approx.select("query_id", "neighbor_id", "rnk")
+    graded = iv.join(ex, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "rnk",
+        "_ex_rnk",
+        (
+            F.coalesce(F.lit(k) + 1 - F.col("_ex_rnk"), F.lit(0)).cast("long")
+            * F.element_at(warr, F.col("rnk")).cast("long")
+        ).alias("_gain"),
+    )
+    per_q = graded.groupBy("query_id").agg(
+        F.count("_ex_rnk").cast("long").alias("n_hits"),
+        F.coalesce(
+            F.min(F.when(F.col("_ex_rnk").isNotNull(), F.col("rnk"))), F.lit(0)
+        ).cast("int").alias("first_hit_rank"),
+        F.sum("_gain").cast("long").alias("dcg_micro"),
+    )
+    ideal = ex.select(
+        "query_id",
+        (
+            (F.lit(k) + 1 - F.col("_ex_rnk")).cast("long")
+            * F.element_at(warr, F.col("_ex_rnk")).cast("long")
+        ).alias("_ig"),
+    ).groupBy("query_id").agg(F.sum("_ig").cast("long").alias("idcg_micro"))
+    return (
+        per_q.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            "first_hit_rank",
+            (
+                F.when(F.col("first_hit_rank") > 0,
+                       F.expr("1000000 div first_hit_rank")).otherwise(F.lit(0))
+                / 1e6
+            ).alias("rr"),
+            "dcg_micro",
+            "idcg_micro",
+            (F.expr("(dcg_micro * 1000000) div idcg_micro") / 1e6).alias("ndcg"),
+        )
+    )
+
+
+def _panel(df: DataFrame, query_ids: list[int], id_col: str, vec_col: str) -> DataFrame:
+    return df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    )

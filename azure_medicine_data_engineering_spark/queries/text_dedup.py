@@ -1146,3 +1146,96 @@ def q_ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Graded retrieval quality (MRR + nDCG@10) of the IVF index vs exact truth.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.similarity import (
+    dcg_weights_micro as _dcg_w,
+)
+
+_W_VALUES = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_dcg_w(10)))
+
+
+@register(
+    "retrieval_mrr_ndcg_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cluster),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cluster,
+             ROUND(CAST({_COS_AB.format(a='e.v', b='c.centroid')} AS DOUBLE), 6) AS c_sim
+      FROM e, carr c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cluster) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qc FROM assigned WHERE vec_id < 5),
+    ivf AS (
+      SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk FROM (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                          b.vec_id) AS rn
+        FROM assigned b JOIN q ON b.cluster = q.qc AND b.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk FROM (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                          b.vec_id) AS rn
+        FROM e b JOIN q ON b.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    ),
+    w(r, wm) AS (VALUES {_W_VALUES}),
+    graded AS (
+      SELECT i.query_id, i.rnk, x.rnk AS ex_rnk,
+             COALESCE(11 - x.rnk, 0) * w.wm AS gain
+      FROM ivf i
+      LEFT JOIN exact x ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+      JOIN w ON w.r = i.rnk
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(COUNT(ex_rnk) AS BIGINT) AS n_hits,
+             CAST(COALESCE(MIN(CASE WHEN ex_rnk IS NOT NULL THEN rnk END), 0) AS INT)
+               AS first_hit_rank,
+             CAST(SUM(gain) AS BIGINT) AS dcg_micro
+      FROM graded GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT x.query_id, CAST(SUM((11 - x.rnk) * w.wm) AS BIGINT) AS idcg_micro
+      FROM exact x JOIN w ON w.r = x.rnk GROUP BY x.query_id
+    )
+    SELECT per_q.query_id, n_hits, first_hit_rank,
+           CASE WHEN first_hit_rank > 0 THEN 1000000 // first_hit_rank ELSE 0 END
+             / 1e6 AS rr,
+           dcg_micro, idcg_micro,
+           ((dcg_micro * 1000000) // idcg_micro) / 1e6 AS ndcg
+    FROM per_q JOIN ideal ON ideal.query_id = per_q.query_id
+    """,
+)
+def q_retrieval_mrr_ndcg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval evaluation (operators/similarity.py:
+    retrieval_rank_eval): MRR and nDCG@10 of the nprobe=1 id-mod IVF
+    against the exact brute-force ranking on the 5-query panel — the
+    order-sensitive complement of ann_recall_ivf_vs_exact. All position
+    weights are shared integer literals (dcg_weights_micro) and every
+    ratio is integer micro-unit division, so the metric is bit-identical
+    across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.retrieval_rank_eval(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8
+    )

@@ -228,3 +228,26 @@ def test_epoch_shuffle_is_exact_permutation_and_seed_sensitive(spark):
     }
     assert other != {k: p for k, (p, _) in rows.items()}
     out.unpersist()
+
+
+def test_retrieval_rank_eval_perfect_when_index_is_exact(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        retrieval_rank_eval,
+    )
+
+    # deterministic toy corpus, 30 vectors in R^4
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one coarse cell -> IVF search IS the exact search -> perfect metrics
+    perfect = retrieval_rank_eval(df, query_ids=[0, 1], k=5, n_clusters=1).collect()
+    assert len(perfect) == 2
+    for r in perfect:
+        assert (r.n_hits, r.first_hit_rank, r.rr, r.ndcg) == (5, 1, 1.0, 1.0)
+        assert r.dcg_micro == r.idcg_micro
+    # partitioned index: metrics stay in [0, 1] and idcg is the fixed ideal
+    parts = retrieval_rank_eval(df, query_ids=[0, 1], k=5, n_clusters=5).collect()
+    for r in parts:
+        assert 0.0 <= r.ndcg <= 1.0 and 0.0 <= r.rr <= 1.0
+        assert r.idcg_micro == perfect[0].idcg_micro
