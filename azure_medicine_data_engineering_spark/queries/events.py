@@ -399,3 +399,92 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_rev",
         F.round(F.sum("daily_rev").over(w), 2).alias("rolling_7d_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate state maintenance: merge(state(hist), state(batch))
+# must equal state(full) — oracle recomputes from the full fact table.
+# ---------------------------------------------------------------------------
+
+
+def _incremental_state_oracle() -> str:
+    from azure_medicine_data_engineering_spark.functions.sketches import hll_numerator
+
+    b = 8
+    m = 1 << b        # 256
+    R1 = 60 - b + 1   # 53
+    return f"""
+    WITH ev AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c, user_id
+      FROM events
+    ),
+    scal AS (
+      SELECT d, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(c) AS BIGINT) / 100.0 AS sum_value,
+             MIN(c) / 100.0 AS min_value,
+             MAX(c) / 100.0 AS max_value
+      FROM ev GROUP BY d, event_type
+    ),
+    h AS (
+      SELECT d, event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM ev
+    ),
+    reg AS (
+      SELECT d, event_type, h & {m - 1} AS bucket,
+             MAX(CASE WHEN (h >> {b}) = 0 THEN {R1}
+                 ELSE {R1} - length(bin(h >> {b})) END) AS reg
+      FROM h GROUP BY d, event_type, bucket
+    ),
+    agg AS (
+      SELECT d, event_type, COUNT(*) AS n_present,
+             SUM(CAST(power(2.0, {R1} - reg) AS BIGINT)) AS s_present
+      FROM reg GROUP BY d, event_type
+    ),
+    est AS (
+      SELECT d, event_type,
+             {hll_numerator(b)!r} / (s_present + ({m} - n_present) * {1 << R1}) AS raw,
+             {m} - n_present AS zeros
+      FROM agg
+    ),
+    users AS (
+      SELECT d, event_type,
+             ROUND(CAST(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                        THEN {float(m)} * ln({float(m)} / zeros)
+                        ELSE raw END AS DOUBLE), 4) AS approx_users
+      FROM est
+    )
+    SELECT scal.d, scal.event_type, n_events, sum_value, min_value, max_value,
+           approx_users
+    FROM scal JOIN users ON scal.d = users.d AND scal.event_type = users.event_type
+    """
+
+
+@register("incremental_day_state_merge", _incremental_state_oracle())
+def q_incremental_day_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): history
+    (event_id % 7 != 0) and a new batch (% 7 == 0) build partial-agg states
+    SEPARATELY — counts, cents-grid sums, min/max, HLL user registers —
+    then merge state-to-state. The oracle recomputes every aggregate from
+    the FULL fact table, so a green row proves the merge is lossless: the
+    history side would never need rescanning at 100 TB."""
+    from azure_medicine_data_engineering_spark.operators.incremental import (
+        day_type_state,
+        day_type_user_registers,
+        merge_day_type_state,
+        state_report,
+    )
+    from azure_medicine_data_engineering_spark.functions.sketches import hll_merge
+
+    ev = events_table(spark, sf_dir)
+    hist = ev.where(F.col("event_id") % 7 != 0)
+    batch = ev.where(F.col("event_id") % 7 == 0)
+    state = merge_day_type_state(day_type_state(hist), day_type_state(batch))
+    regs = hll_merge(
+        day_type_user_registers(hist),
+        day_type_user_registers(batch),
+        ["d", "event_type"],
+    )
+    return state_report(state, regs)

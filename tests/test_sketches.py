@@ -136,3 +136,48 @@ def test_register_state_is_bounded(spark, people):
     regs = sketches.hll_registers(people, ["grp"], "v", b=B)
     per_group = regs.groupBy("grp").count().collect()
     assert all(r["count"] <= M for r in per_group)
+
+
+def test_incremental_state_merge_equals_full_recompute(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.functions.sketches import hll_merge
+    from azure_medicine_data_engineering_spark.operators.incremental import (
+        day_type_state,
+        day_type_user_registers,
+        merge_day_type_state,
+        state_report,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1 + i % 3, 10 + i % 5), i % 11,
+         "click" if i % 2 else "view", float(i) + 0.25)
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    # three-way split: merge must be associative over any batching
+    parts = [ev.where(F.col("event_id") % 3 == k) for k in range(3)]
+    state = merge_day_type_state(
+        merge_day_type_state(day_type_state(parts[0]), day_type_state(parts[1])),
+        day_type_state(parts[2]),
+    )
+    regs = hll_merge(
+        hll_merge(
+            day_type_user_registers(parts[0]),
+            day_type_user_registers(parts[1]),
+            ["d", "event_type"],
+        ),
+        day_type_user_registers(parts[2]),
+        ["d", "event_type"],
+    )
+    merged = state_report(state, regs)
+    full = state_report(
+        day_type_state(ev), day_type_user_registers(ev)
+    )
+    key = lambda r: (r.d, r.event_type)  # noqa: E731
+    assert sorted(map(tuple, merged.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, full.collect()), key=lambda t: t[:2]
+    )
+    assert merged.count() == 6  # 3 days x 2 types
