@@ -865,3 +865,33 @@ def q_permanova_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pseudo_f"), 4).alias("pseudo_f"),
         p_valid.alias("p_valid"),
     )
+
+
+@register(
+    "streaming_corpus_dedup",
+    """
+    WITH fp_new AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    fp_hist AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fp_new) AS BIGINT) AS n_stream_unique,
+           CAST((SELECT COUNT(*) FROM fp_new WHERE fp NOT IN (SELECT fp FROM fp_hist))
+                AS BIGINT) AS n_truly_new,
+           CAST((SELECT COUNT(*) FROM fp_new WHERE fp IN (SELECT fp FROM fp_hist))
+                AS BIGINT) AS n_known
+    """,
+)
+def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (streaming/windows.py:
+    streaming_corpus_dedup_counts): fingerprint self-dedup as bounded
+    streaming state + stream-vs-history anti/semi split. The oracle
+    recomputes the fingerprint sets as batch DISTINCT/IN queries."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_corpus_dedup_counts,
+    )
+
+    return streaming_corpus_dedup_counts(spark, sf_dir)

@@ -196,3 +196,64 @@ def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     return run_to_memory(sliding_1h_30m_agg(ev), "stream_sliding_1h_30m")
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents parquet as a bounded stream (same glob-filter device as
+    ``read_events_stream``) — stands in for the corpus-ingest feed."""
+    ensure_utc(spark)
+    stored = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(stored)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_corpus_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup — the incremental twin of
+    ``dedup.incremental_dedup_flags``'s exact-fingerprint stage: new
+    documents stream in, self-dedup on the content fingerprint
+    (``dropDuplicates`` keyed on the md5 of normalized text — one state row
+    per distinct fingerprint, forever-bounded by the UNIQUE corpus size,
+    not the stream length), then split against the static historical
+    corpus's fingerprint set with left-anti / left-semi stream-static
+    joins.
+
+    The "new batch" is doc_id % 5 != 0; history is % 5 == 0. Output is
+    fingerprint-set cardinalities only — (n_stream_unique, n_truly_new,
+    n_known) — because WHICH stream row survives self-dedup is an arrival
+    race; the surviving fingerprint SET is deterministic (same rule as the
+    repo's seeded-randomness convention).
+
+    At 100 TB the static side of the join is served by a Bloom/Delta
+    pruning index rather than a raw parquet scan (see
+    sketches.bloom_might_contain); the plan shape — per-batch hash join
+    against a static table, no stream-side shuffle of history — is
+    unchanged."""
+    from azure_medicine_data_engineering_spark.operators.text import fingerprint
+
+    docs = read_documents_stream(spark, sf_dir)
+    new_fps = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    drained = run_to_memory(new_fps, "stream_corpus_dedup", output_mode="append")
+    hist = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    # drained is a materialized memory-sink table, so the two consumers
+    # below re-read a table, not a streaming lineage
+    tot = drained.agg(F.count(F.lit(1)).cast("long").alias("n_stream_unique"))
+    new = drained.join(hist, "fp", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truly_new")
+    )
+    return tot.crossJoin(new).select(
+        "n_stream_unique",
+        "n_truly_new",
+        (F.col("n_stream_unique") - F.col("n_truly_new")).alias("n_known"),
+    )

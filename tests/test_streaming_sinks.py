@@ -53,3 +53,34 @@ def test_streaming_upsert_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_corpus_dedup_planted(spark, tmp_path):
+    import shutil
+
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_corpus_dedup_counts,
+    )
+
+    # history = ids % 5 == 0 -> {0: "alpha beta", 5: "gamma"}
+    # stream  = others       -> dup pair (1,2), one known (3), one new (4)
+    rows = [
+        (0, "alpha beta", "en", "s", 10),
+        (5, "gamma", "en", "s", 5),
+        (1, "Alpha  BETA", "en", "s", 11),   # normalizes to history fp (known)
+        (2, "alpha beta", "en", "s", 10),    # dup of 1 within stream
+        (3, "delta", "en", "s", 5),          # new
+        (4, "epsilon", "en", "s", 7),        # new
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "_tmp"))
+    part = next((d / "_tmp").glob("part-*.parquet"))
+    shutil.move(str(part), str(d / "documents.parquet"))
+    shutil.rmtree(d / "_tmp")
+    out = streaming_corpus_dedup_counts(spark, str(d)).collect()[0]
+    # stream fps: {alpha beta, delta, epsilon} -> 3 unique; alpha beta known
+    assert (out.n_stream_unique, out.n_truly_new, out.n_known) == (3, 2, 1)
