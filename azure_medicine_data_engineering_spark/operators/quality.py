@@ -309,3 +309,78 @@ def mad_outlier_report(
     )
     out._stage_caches = [meds, mads]
     return out
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Join/aggregation-key skew diagnosis: the measurement that decides
+    between a plain shuffle, AQE skew splitting, and an explicit salted
+    join (operators/joins.py:salted_join) BEFORE a 100 TB job discovers its
+    hot key at hour three.
+
+    Emits the ``top_k`` heaviest keys, each row carrying the global
+    distribution: total rows, key count, max/p50/p99 per-key counts,
+    the hot key's row share, the skew factor (max / integer-mean), and the
+    salt factor that would level the hottest key (= ceil of skew). All
+    ratios are integer micro-unit divisions (CLAUDE.md grid rule).
+
+    Scale: one keyed count of the fact table; every later step runs on the
+    COUNT-OF-COUNTS frame — bounded by the number of DISTINCT per-key
+    counts (thousands at any corpus size), so the ordered window over it is
+    a licensed bounded single-partition exchange, never keys- or rows-sized.
+    The per-key counts frame is persisted once for its three consumers
+    (caller releases via ``out._stage_caches``)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).persist()
+    summary = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    # count-of-counts: distinct per-key count values + how many keys hit each
+    cc = counts.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cc.select("cnt", F.sum("k").over(w).alias("cum"))
+    quantile = lambda q, name: (  # noqa: E731
+        cum.crossJoin(F.broadcast(summary.select("n_keys")))
+        .where(F.col("cum") * 1_000_000 >= F.lit(int(q * 1_000_000)) * F.col("n_keys"))
+        .agg(F.min("cnt").cast("long").alias(name))
+    )
+    p50 = quantile(0.5, "p50_cnt")
+    p99 = quantile(0.99, "p99_cnt")
+    # TakeOrderedAndProject (orderBy+limit), NOT a keys-sized unpartitioned
+    # window; the rank window then runs over the top_k-row result only
+    wtop = Window.orderBy(F.desc("cnt"), "key")
+    top = (
+        counts.orderBy(F.desc("cnt"), "key")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(wtop).cast("int"))
+    )
+    out = (
+        top.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "rank",
+            "cnt",
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            (F.expr("cnt * 1000000 div total_rows") / 1e6).alias("row_share"),
+            (
+                F.expr("max_cnt * 1000000 div greatest(total_rows div n_keys, 1)")
+                / 1e6
+            ).alias("skew_factor"),
+            F.expr(
+                "(max_cnt + greatest(total_rows div n_keys, 1) - 1) "
+                "div greatest(total_rows div n_keys, 1)"
+            ).cast("long").alias("suggested_salt"),
+        )
+    )
+    out._stage_caches = [counts]
+    return out

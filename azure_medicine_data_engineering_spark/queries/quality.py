@@ -353,3 +353,51 @@ def q_mad_outlier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis (salting decision input).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_orders_custkey",
+    """
+    WITH counts AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             MAX(cnt) AS max_cnt
+      FROM counts
+    ),
+    cc AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM counts GROUP BY cnt),
+    cum AS (SELECT cnt, SUM(k) OVER (ORDER BY cnt) AS cum FROM cc),
+    p50 AS (SELECT MIN(cnt) AS p50_cnt FROM cum, summary
+            WHERE cum * 1000000 >= 500000 * n_keys),
+    p99 AS (SELECT MIN(cnt) AS p99_cnt FROM cum, summary
+            WHERE cum * 1000000 >= 990000 * n_keys),
+    top AS (
+      SELECT key, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+      FROM counts ORDER BY cnt DESC, key LIMIT 5
+    )
+    SELECT CAST(key AS VARCHAR) AS key, rank, cnt,
+           n_keys, total_rows, max_cnt, p50_cnt, p99_cnt,
+           (cnt * 1000000 // total_rows) / 1e6 AS row_share,
+           (max_cnt * 1000000 // greatest(total_rows // n_keys, 1)) / 1e6
+             AS skew_factor,
+           CAST((max_cnt + greatest(total_rows // n_keys, 1) - 1)
+                // greatest(total_rows // n_keys, 1) AS BIGINT) AS suggested_salt
+    FROM top, summary, p50, p99
+    """,
+)
+def q_key_skew_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation/join-key skew diagnosis over orders.o_custkey
+    (operators/quality.py:key_skew_report): top-5 hot keys + the count
+    distribution (max/p50/p99, skew factor, salt suggestion) — the
+    measurement feeding the salted-join decision at scale."""
+    from azure_medicine_data_engineering_spark.operators.quality import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=5)

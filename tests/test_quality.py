@@ -90,3 +90,23 @@ def test_mad_outliers_resist_contamination(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         mad_outlier_report(dirty, [])
+
+
+def test_key_skew_report_planted_hot_key(spark):
+    from azure_medicine_data_engineering_spark.operators.quality import key_skew_report
+
+    # 900 rows on key 1 (hot), 10 keys x 10 rows (cold)
+    hot = [(1,) for _ in range(900)]
+    cold = [(k,) for k in range(2, 12) for _ in range(10)]
+    df = spark.createDataFrame(hot + cold, "k long")
+    rep = key_skew_report(df, "k", top_k=3)
+    rows = rep.collect()
+    by_rank = {r.rank: r for r in rows}
+    assert by_rank[1].key == "1" and by_rank[1].cnt == 900
+    assert by_rank[1].n_keys == 11 and by_rank[1].total_rows == 1000
+    assert by_rank[1].p50_cnt == 10 and by_rank[1].max_cnt == 900
+    # integer mean = 1000 div 11 = 90 -> skew 10x, salt ceil(900/90) = 10
+    assert by_rank[1].suggested_salt == 10
+    assert abs(by_rank[1].skew_factor - 10.0) < 1e-6
+    for c in rep._stage_caches:
+        c.unpersist()
