@@ -159,6 +159,13 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # prefix-sum offsets over the bucket-summary frame (n_keys/bucket_width
     # rows — the two-phase decomposition's whole point)
     "packed_token_sequences": (1, "bucket-summary offset window"),
+    # prefix-sum offsets over the 256-row md5-range bucket summary
+    # (sampling.py:epoch_shuffle docstring)
+    "epoch_shuffle_documents": (1, "256-row bucket offset window"),
+    # cumulative window over the count-of-counts frame (bounded by the
+    # number of DISTINCT per-key counts) + the top_k-row rank window after
+    # TakeOrderedAndProject (quality.py:key_skew_report docstring)
+    "key_skew_orders_custkey": (2, "count-of-counts cum + top-5 rank"),
 }
 
 
