@@ -168,22 +168,52 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (tie-break on the
-    lower cluster id). Centroids are broadcast; one pass over the corpus."""
-    from pyspark.sql.window import Window
-
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cluster"),
-        F.round(
-            cosine(as_double_array(F.col(vec_col)), F.col("centroid")).cast("double"), 6
-        ).alias("c_sim"),
+    lower cluster id). The k centroids collapse to ONE broadcast array row
+    and the argmax is a fold over that array — a pure map pass. (The naive
+    shape — crossJoin to corpus×k rows + a row_number window on ``id_col``
+    — re-shuffles the whole corpus once per Lloyd round; this one never
+    shuffles at all.) Scoring matches the window version bit-for-bit: the
+    same rounded-cosine IEEE expression, same lower-cluster tie-break,
+    null/zero-norm sims pinned to -9 so they lose to every real score and
+    fall to the lowest cluster id."""
+    carr = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cluster").cast("long").alias("cl"),
+                F.col("centroid"),
+                norm(F.col("centroid")).alias("cnorm"),
+            )
+        ).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cluster"))
+    vec_d = as_double_array(F.col(vec_col))
+    cand = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.coalesce(
+                F.round(
+                    (dot(F.col("_vd"), c["centroid"])
+                     / F.nullif(F.col("_vn") * c["cnorm"], F.lit(0.0))).cast("double"),
+                    6,
+                ),
+                F.lit(-9.0),
+            ).alias("s"),
+            c["cl"].alias("cl"),
+        ),
+    )
+    best = F.aggregate(
+        cand,
+        F.struct(
+            F.lit(-99.0).alias("s"), F.lit(2147483647).cast("long").alias("cl")
+        ),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cl"] < acc["cl"])), x
+        ).otherwise(acc),
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cluster")
+        df.select(F.col(id_col), F.col(vec_col), vec_d.alias("_vd"))
+        .withColumn("_vn", norm(F.col("_vd")))
+        .crossJoin(F.broadcast(carr))
+        .select(id_col, vec_col, best["cl"].alias("cluster"))
     )
 
 
