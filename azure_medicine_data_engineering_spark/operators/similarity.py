@@ -46,9 +46,15 @@ def knn_topk(
     """Exact top-k neighbors for each query vector.
 
     ``queries`` (query_id, embedding) is broadcast; the corpus is scanned
-    once; per-query top-k via window rank with id tie-break. At 1000
-    executors this is the textbook brute-force ANN baseline: one pass,
-    no corpus shuffle — only the rank step shuffles (query_id, k) rows.
+    once; the top-k selection is TWO-STAGE: a first rank window partitioned
+    by (query, salt) — ``salt = neighbor_id % 64`` — keeps k candidates per
+    salt, so the corpus-sized scored stream shuffles across
+    queries × 64 reducers instead of funneling every scored row into
+    n_queries hot partitions (with a 5-query panel that would be 5 reducers
+    for the whole corpus); the second window ranks the surviving
+    queries × 64 × k rows only. The global top-k is a subset of the
+    per-salt top-k's union, so the result is identical to the one-window
+    form, tie-breaks included.
 
     ``exclude_self`` assumes query ids live in the corpus id space (queries
     drawn from the corpus, as ivf_knn_topk guarantees). Pass False for
@@ -72,11 +78,19 @@ def knn_topk(
             ).alias("cos_sim"),
         )
     )
+    w1 = Window.partitionBy(query_id_col, "_salt").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        sim.withColumn("_salt", F.col("neighbor_id") % 64)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        sim.withColumn("rnk", F.row_number().over(w).cast("int"))
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
         .select(query_id_col, "neighbor_id", "cos_sim", "rnk")
     )
@@ -305,9 +319,20 @@ def ivf_knn_topk(
             ).alias("cos_sim"),
         )
     )
+    # two-stage top-k, same device as knn_topk: per-(query, salt) candidate
+    # rank first so probed-cluster-sized candidate streams never funnel into
+    # n_queries reducers; the final rank sees queries x 64 x k rows only
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        sim.withColumn("_salt", F.col("neighbor_id") % 64)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
-        sim.withColumn("rnk", F.row_number().over(w).cast("int"))
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

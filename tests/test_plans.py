@@ -75,6 +75,10 @@ def test_ivf_assignment_lineage_is_shared(spark, queries):
     sys.path.insert(0, ".")
     from tools.explain_audit import audit
 
+    # leftover caches from OTHER tests' IVF calls graft extra
+    # InMemoryRelations into this plan (CacheManager subplan matching),
+    # inflating node counts order-dependently — count from a clean slate
+    spark.catalog.clearCache()
     plan = plan_of(queries["embedding_ivf_topk"](spark, SF))
     assert "InMemoryTableScan" in plan  # the persists are in the plan
     # sharing is verified through the audit bounds below: an unshared
