@@ -124,3 +124,55 @@ def pack_token_sequences(
             (F.col("_excl") % budget).cast("long").alias("seq_offset"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    boundaries: tuple[int, ...] = (16, 32, 64),
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Group-by-length batch assembly — the padding-efficiency batching of
+    every sequence-training loader (fairseq/HF ``group_by_length``):
+    documents fall into token-length buckets at the given ``boundaries``
+    (bucket = #boundaries ≤ n_tokens), then each bucket is densely
+    enumerated and cut into fixed-size batches. Rows of one batch share a
+    bucket, so per-batch padding waste is bounded by the bucket's width.
+
+    Emits ``(id, n_tokens, bucket, pos, batch_id)`` — ``pos`` is the dense
+    0-based position within the bucket (ordered by id), ``batch_id`` =
+    ``pos div batch_size``.
+
+    Scale design: dense per-bucket enumeration is the epoch-shuffle problem
+    with 4 hot groups — a window partitioned by bucket alone would funnel
+    the corpus into n_buckets reducers. Same cure: two-phase prefix sum
+    over (bucket, id-range) sub-groups — per-subgroup counts (one keyed
+    shuffle), offsets from a window over the bounded summary frame,
+    in-subgroup ranks from a properly keyed window."""
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators.text import token_count
+
+    bucket = sum(
+        (F.col("n_tokens") >= b).cast("int") for b in boundaries
+    ).alias("bucket")
+    base = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    ).select(id_col, "n_tokens", bucket)
+    b = base.withColumn("_sub", F.expr(f"{id_col} div {bucket_width}"))
+    sub_n = b.groupBy("bucket", "_sub").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.partitionBy("bucket").orderBy("_sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = sub_n.select(
+        "bucket", "_sub", (F.sum("_n").over(w_off) - F.col("_n")).alias("_off")
+    )
+    w_in = Window.partitionBy("bucket", "_sub").orderBy(id_col)
+    pos = (F.col("_off") + F.row_number().over(w_in) - 1).cast("long")
+    return (
+        b.join(F.broadcast(offsets), ["bucket", "_sub"])
+        .select(id_col, "n_tokens", "bucket", pos.alias("pos"))
+        .withColumn("batch_id", F.expr(f"pos div {batch_size}").cast("long"))
+    )

@@ -148,3 +148,48 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.round(punct_ratio(t).cast("double"), 4).alias("punct_ratio"),
         F.round(quality_score(t).cast("double"), 4).alias("quality"),
     )
+
+
+def subword_vocab_candidates(
+    df: DataFrame,
+    top_k: int = 40,
+    max_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece-style subword vocabulary induction, round one: corpus-wide
+    frequencies of every candidate unit — word-initial prefixes bare,
+    word-internal substrings marked '##' (the continuing-piece convention)
+    — weighted by word OCCURRENCES, then the top-k candidates. This is the
+    counting pass a WordPiece/BPE trainer iterates; one round is the
+    vocabulary seed (Schuster & Nakajima 2012; Wu et al. 2016).
+
+    Scale: tokenize + piece fan-out are map-only array expressions; one
+    hash aggregation on the piece string (map-side combined), then
+    TakeOrderedAndProject for the top-k — never a full sort."""
+    from pyspark.sql.window import Window
+
+    pieces = F.expr(
+        f"""
+        concat(
+          transform(sequence(1, least({max_len}, length(_w))),
+                    L -> substr(_w, 1, L)),
+          CASE WHEN length(_w) >= 2 THEN
+            flatten(transform(sequence(2, length(_w)),
+              s -> transform(sequence(1, least({max_len}, length(_w) - s + 1)),
+                             L -> concat('##', substr(_w, s, L)))))
+          ELSE CAST(array() AS ARRAY<STRING>) END
+        )
+        """
+    )
+    counted = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .select(F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "piece")
+    return (
+        counted.orderBy(F.desc("cnt"), "piece")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

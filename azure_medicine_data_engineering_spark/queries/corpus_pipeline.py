@@ -928,3 +928,46 @@ def q_semantic_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFram
     )
     corpus = emb.where(F.col("vec_id") % 101 != 0)
     return semantic_contamination(corpus, bench, threshold=0.30)
+
+
+# ---------------------------------------------------------------------------
+# Group-by-length batch assembly (padding-efficiency batching).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_bucketed_batches",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_TOKS.format(t='text')}) AS INT) AS n_tokens
+      FROM documents
+    ),
+    bkt AS (
+      SELECT doc_id, n_tokens,
+             CAST(n_tokens >= 16 AS INT) + CAST(n_tokens >= 32 AS INT)
+               + CAST(n_tokens >= 64 AS INT) AS bucket
+      FROM base
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+                AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+                AS BIGINT) AS batch_id
+    FROM bkt
+    """,
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-length batching (operators/chunking.py:
+    length_bucketed_batches, boundaries 16/32/64, batch 8): the Spark side
+    enumerates each bucket with the two-phase prefix sum; the oracle ranks
+    each bucket in one flat window — equality proves the sub-grouped
+    decomposition exact."""
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    return length_bucketed_batches(
+        _t(spark, sf_dir, "documents"), boundaries=(16, 32, 64), batch_size=8,
+        bucket_width=100,
+    )

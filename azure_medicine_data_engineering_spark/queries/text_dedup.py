@@ -1239,3 +1239,45 @@ def q_retrieval_mrr_ndcg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.retrieval_rank_eval(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style subword vocabulary induction (counting round).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subword_vocab_candidates",
+    f"""
+    WITH words AS (
+      SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents
+    ),
+    pieces AS (
+      SELECT unnest(
+        flatten([
+          list_transform(range(1, least(4, length(w)) + 1),
+                         L -> substr(w, 1, CAST(L AS INT))),
+          flatten(list_transform(range(2, length(w) + 1),
+            s -> list_transform(range(1, least(4, length(w) - s + 1) + 1),
+                                L -> '##' || substr(w, CAST(s AS INT), CAST(L AS INT)))))
+        ])
+      ) AS piece
+      FROM words
+    ),
+    counted AS (
+      SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt FROM pieces GROUP BY piece
+    )
+    SELECT piece, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank
+    FROM counted
+    ORDER BY cnt DESC, piece LIMIT 40
+    """,
+)
+def q_subword_vocab_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary induction (operators/text.py:
+    subword_vocab_candidates): corpus-wide candidate-unit frequencies
+    (bare prefixes + '##'-marked continuations, ≤4 chars) and the top-40
+    seed vocabulary — the counting pass of a WordPiece/BPE trainer."""
+    return text.subword_vocab_candidates(
+        _t(spark, sf_dir, "documents"), top_k=40, max_len=4
+    )

@@ -341,3 +341,48 @@ def test_semantic_contamination_planted_leak(spark):
         for r in semantic_contamination(corpus, bench, threshold=0.5).collect()
     }
     assert rows == {1: (100, 1.0), 2: (100, 0.7071)}
+
+
+def test_length_bucketed_batches_properties(spark):
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 70 + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = length_bucketed_batches(
+        docs, boundaries=(16, 32, 64), batch_size=8, bucket_width=13
+    ).cache()
+    rows = out.collect()
+    # every doc present once; bucket boundaries honored
+    assert len(rows) == 200 and len({r.doc_id for r in rows}) == 200
+    for r in rows:
+        expected = (r.n_tokens >= 16) + (r.n_tokens >= 32) + (r.n_tokens >= 64)
+        assert r.bucket == expected
+        assert r.batch_id == r.pos // 8
+    # dense positions per bucket
+    from collections import defaultdict
+    per_bucket = defaultdict(list)
+    for r in rows:
+        per_bucket[r.bucket].append(r.pos)
+    for b, ps in per_bucket.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # bucket_width must not change the result
+    again = length_bucketed_batches(
+        docs, boundaries=(16, 32, 64), batch_size=8, bucket_width=200
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    out.unpersist()
+
+
+def test_subword_vocab_candidates_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.text import (
+        subword_vocab_candidates,
+    )
+
+    docs = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+    rows = {r.piece: r.cnt for r in subword_vocab_candidates(docs, top_k=10).collect()}
+    # "ab" x2 -> pieces a, ab, ##b each twice; "b" x1 -> piece b
+    assert rows == {"a": 2, "ab": 2, "##b": 2, "b": 1}
