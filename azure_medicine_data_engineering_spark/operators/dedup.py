@@ -658,3 +658,69 @@ def semantic_dedup_flags(
             (F.coalesce("n_near_lower", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    key: Column | None = None,
+    cache: bool = True,
+) -> DataFrame:
+    """Cross-source duplicate overlap — the dataset-health matrix a corpus
+    curator reads before mixing sources (a high-overlap pair means one
+    source republishes the other; dedup order and mixture weights both
+    depend on knowing that). One sparse row per unordered source pair that
+    shares at least one exact content fingerprint:
+    ``(source_a, source_b, n_shared, n_a, n_b, jaccard)`` with Jaccard on
+    the distinct-content sets via integer micro-unit division.
+
+    Scale: the (source, fp) DISTINCT frame is one shuffle of the corpus
+    and is persisted for its three consumers (pair join both sides +
+    per-source totals; caller releases via ``out._stage_caches`` when
+    ``cache``). The pair join is keyed on fp, so work is proportional to
+    duplicated content only — sources-squared never materializes beyond
+    the observed-overlap rows; per-source totals are a ~|sources|-row
+    broadcast.
+
+    ``key`` overrides the content key (default: the exact
+    ``text.fingerprint``) — e.g. an opening-prefix fingerprint measures
+    shared boilerplate rather than verbatim duplication."""
+    from azure_medicine_data_engineering_spark.operators.text import fingerprint
+
+    if key is None:
+        key = fingerprint(F.col(text_col))
+    fps = df.select(F.col(group_col).alias("src"), key.alias("fp")).distinct()
+    if cache:
+        fps = fps.persist()
+    totals = fps.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(totals.select(F.col("src").alias("source_a"), F.col("n_set").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("src").alias("source_b"), F.col("n_set").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.expr("n_shared * 1000000 div (n_a + n_b - n_shared)") / 1e6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    out._stage_caches = [fps] if cache else []
+    return out

@@ -1281,3 +1281,47 @@ def q_subword_vocab_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.subword_vocab_candidates(
         _t(spark, sf_dir, "documents"), top_k=40, max_len=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (shared-boilerplate dataset-health report).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH fps AS (
+      SELECT DISTINCT source AS src,
+             md5(array_to_string(({_TOKS.format(t='text')})[1:8], ' ')) AS fp
+      FROM documents
+    ),
+    totals AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_set FROM fps GROUP BY src),
+    pairs AS (
+      SELECT a.src AS source_a, b.src AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           ta.n_set AS n_a, tb.n_set AS n_b,
+           (n_shared * 1000000 // (ta.n_set + tb.n_set - n_shared)) / 1e6 AS jaccard
+    FROM pairs
+    JOIN totals ta ON ta.src = source_a
+    JOIN totals tb ON tb.src = source_b
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-boilerplate matrix (operators/dedup.py:
+    source_overlap_matrix): sources keyed by the md5 of each document's
+    first-8-token opening — one sparse row per source pair sharing an
+    opening, with distinct-set Jaccard. The exact-fingerprint variant is
+    the same operator with the default key (empty on this synthetic
+    corpus, so the registered query measures the prefix key)."""
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
+    return source_overlap_matrix(docs, key=key)

@@ -47,6 +47,12 @@ HEADLINE = [
     "embedding_ivf_trained_topk",
     "duplicate_window_spans",
     "unigram_logprob_quality",
+    # round-4 additions: permutation/prefix-sum, mergeable-state maintenance,
+    # panel decontamination, batch assembly
+    "epoch_shuffle_documents",
+    "incremental_day_state_merge",
+    "semantic_contamination_flags",
+    "length_bucketed_batches",
 ]
 
 

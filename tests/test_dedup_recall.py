@@ -187,3 +187,27 @@ def test_semantic_dedup_drops_planted_near_duplicates(spark):
     assert out[10].keep and not any(out[i].keep for i in (11, 12, 13))
     for j in range(4):
         assert out[20 + j].n_near_lower == 0 and out[20 + j].keep
+
+
+def test_source_overlap_matrix_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    rows = [
+        (1, "shared text one", "A"),
+        (2, "shared text one", "B"),     # A-B overlap
+        (3, "shared text two", "A"),
+        (4, "shared text two", "C"),     # A-C overlap
+        (5, "only in b", "B"),
+        (6, "only in c", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_overlap_matrix(df, cache=False)
+    got = {(r.source_a, r.source_b): (r.n_shared, r.n_a, r.n_b, r.jaccard)
+           for r in out.collect()}
+    # A holds 2 distinct contents, B 2, C 2; A∩B = A∩C = 1, B∩C = 0 (absent)
+    assert got == {
+        ("A", "B"): (1, 2, 2, 0.333333),
+        ("A", "C"): (1, 2, 2, 0.333333),
+    }
