@@ -176,3 +176,64 @@ def length_bucketed_batches(
         .select(id_col, "n_tokens", "bucket", pos.alias("pos"))
         .withColumn("batch_id", F.expr(f"pos div {batch_size}").cast("long"))
     )
+
+
+def span_corruption_masks(
+    df: DataFrame,
+    mask_pct: int = 15,
+    mean_span: int = 3,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic T5-style span-corruption masks (Raffel et al. 2020
+    §3.1.4): per document, ``mask_pct``% of tokens are covered by
+    ``n_spans ≈ n_mask / mean_span`` non-overlapping spans, one sentinel
+    per span. The stochastic sampler is replaced by integer math + an
+    md5-derived offset per (seed, doc, span) — same noise budget, exactly
+    reproducible on any engine or partitioning (the repo's seeded-randomness
+    convention).
+
+    Layout: n_mask = (n·pct) div 100 tokens split into n_spans =
+    max(1, n_mask div mean_span) spans (first n_mask mod n_spans spans one
+    longer); the token sequence divides into n_spans equal segments and
+    span i starts inside segment i at offset ``h_i mod (seg - len_i + 1)``
+    — segments make non-overlap structural, no rejection loop.
+
+    Emits ``(id, span_idx, span_start, span_len)``; docs below the mask
+    threshold emit nothing. Map-only: tokenize, integer expressions, one
+    explode — no shuffle at any scale."""
+    from azure_medicine_data_engineering_spark.operators.text import token_count
+
+    base = (
+        df.select(F.col(id_col), token_count(F.col(text_col)).cast("long").alias("_n"))
+        .withColumn("_m", F.expr(f"(_n * {mask_pct}) div 100"))
+        .where(F.col("_m") > 0)
+        .withColumn("_s", F.greatest(F.lit(1), F.expr(f"_m div {mean_span}")))
+        .withColumn("_seg", F.expr("_n div _s"))
+    )
+    fan = base.select(
+        id_col, "_n", "_m", "_s", "_seg",
+        F.explode(F.sequence(F.lit(0), F.col("_s") - 1)).alias("span_idx"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"),
+                              F.col("span_idx").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        fan.withColumn("span_len", F.expr("_m div _s") + (F.col("span_idx") < F.col("_m") % F.col("_s")).cast("long"))
+        .withColumn("_h", h)
+        .select(
+            id_col,
+            F.col("span_idx").cast("int").alias("span_idx"),
+            (
+                F.col("span_idx") * F.col("_seg")
+                + F.col("_h") % F.greatest(F.lit(1), F.col("_seg") - F.col("span_len") + 1)
+            ).cast("long").alias("span_start"),
+            F.col("span_len").cast("long").alias("span_len"),
+        )
+    )

@@ -971,3 +971,57 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), boundaries=(16, 32, 64), batch_size=8,
         bucket_width=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic T5 span-corruption masks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_corruption_masks",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_TOKS.format(t='text')}) AS BIGINT) AS n
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, n, (n * 15) // 100 AS m FROM base
+    ),
+    spans AS (
+      SELECT doc_id, n, m,
+             greatest(1, m // 3) AS s,
+             n // greatest(1, m // 3) AS seg
+      FROM sized WHERE m > 0
+    ),
+    fan AS (
+      SELECT doc_id, n, m, s, seg, unnest(range(s)) AS i FROM spans
+    ),
+    laid AS (
+      SELECT doc_id, CAST(i AS INT) AS span_idx,
+             m // s + CAST(i < m % s AS BIGINT) AS span_len,
+             seg,
+             CAST(('0x' || substr(md5('0' || ':' || CAST(doc_id AS VARCHAR)
+                                   || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+             i
+      FROM fan
+    )
+    SELECT doc_id, span_idx,
+           CAST(i * seg + h % greatest(1, seg - span_len + 1) AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM laid
+    """,
+)
+def q_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5 span-corruption layout (operators/chunking.py:
+    span_corruption_masks, 15% / mean span 3 / seed 0): integer noise
+    budget + md5-offset span placement, recomputed formula-for-formula by
+    the oracle."""
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        span_corruption_masks,
+    )
+
+    return span_corruption_masks(
+        _t(spark, sf_dir, "documents"), mask_pct=15, mean_span=3, seed=0
+    )

@@ -386,3 +386,36 @@ def test_subword_vocab_candidates_planted(spark):
     rows = {r.piece: r.cnt for r in subword_vocab_candidates(docs, top_k=10).collect()}
     # "ab" x2 -> pieces a, ab, ##b each twice; "b" x1 -> piece b
     assert rows == {"a": 2, "ab": 2, "##b": 2, "b": 1}
+
+
+def test_span_corruption_masks_invariants(spark):
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        span_corruption_masks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 7, 20, 100, 240])],
+        "doc_id long, text string",
+    )
+    rows = span_corruption_masks(docs, mask_pct=15, mean_span=3, seed=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc  # 3 tokens -> mask budget 0 -> no rows
+    lengths = {0: 3, 1: 7, 2: 20, 3: 100, 4: 240}
+    for d, spans in by_doc.items():
+        n = lengths[d]
+        m = n * 15 // 100
+        assert sum(s.span_len for s in spans) == m       # exact noise budget
+        spans = sorted(spans, key=lambda s: s.span_start)
+        for a, b in zip(spans, spans[1:]):               # non-overlapping
+            assert a.span_start + a.span_len <= b.span_start
+        assert all(0 <= s.span_start and s.span_start + s.span_len <= n for s in spans)
+    # seed changes placement, not the budget
+    other = span_corruption_masks(docs, mask_pct=15, mean_span=3, seed=2).collect()
+    assert {(r.doc_id, r.span_idx, r.span_len) for r in other} == {
+        (r.doc_id, r.span_idx, r.span_len) for r in rows
+    }
+    assert {(r.doc_id, r.span_idx, r.span_start) for r in other} != {
+        (r.doc_id, r.span_idx, r.span_start) for r in rows
+    }
