@@ -709,3 +709,80 @@ def _panel(df: DataFrame, query_ids: list[int], id_col: str, vec_col: str) -> Da
     return df.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col)
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining for embedding models: per anchor,
+    the nearest SAME-label corpus vector (the positive) and the nearest
+    OTHER-label vector (the hard negative — the informative kind; a random
+    negative is trivially separable). One row per anchor:
+    ``(query_id, pos_id, pos_sim, neg_id, neg_sim, margin)`` with
+    ``margin = pos_sim - neg_sim`` (rounded sims, so the margin is exact).
+
+    Scale: one broadcast-anchor corpus pass scores everything (the
+    knn_topk device); the per-anchor argmax per side reuses the salted
+    two-stage rank, then the two k=1 sides join on the anchor — anchor-
+    panel-sized frames only after the scan."""
+    anchors = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col),
+        F.col(label_col).alias("_qlabel"),
+    )
+    q = F.broadcast(
+        anchors.select(
+            "query_id", F.col(vec_col).alias("_qvec"), "_qlabel"
+        )
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .crossJoin(q)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (F.col(label_col) == F.col("_qlabel")).alias("_same"),
+            F.round(
+                cosine(
+                    as_double_array(F.col(vec_col)), as_double_array(F.col("_qvec"))
+                ).cast("double"),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    def _top1(side: DataFrame, prefix: str) -> DataFrame:
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            side.withColumn("_salt", F.col("neighbor_id") % 64)
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") == 1)
+            .withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") == 1)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias(f"{prefix}_id"),
+                F.col("cos_sim").alias(f"{prefix}_sim"),
+            )
+        )
+
+    pos = _top1(scored.where(F.col("_same")), "pos")
+    neg = _top1(scored.where(~F.col("_same")), "neg")
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id", "pos_id", "pos_sim", "neg_id", "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+        )
+    )

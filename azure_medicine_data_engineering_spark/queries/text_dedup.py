@@ -1325,3 +1325,46 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
     return source_overlap_matrix(docs, key=key)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining (positive + hard negative per anchor).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contrastive_pairs_panel",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id, b.label = q.ql AS same,
+             ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) AS cos_sim
+      FROM e b JOIN q ON b.vec_id <> q.query_id
+    ),
+    pos AS (
+      SELECT query_id, neighbor_id AS pos_id, cos_sim AS pos_sim FROM scored
+      WHERE same
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) = 1
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id AS neg_id, cos_sim AS neg_sim FROM scored
+      WHERE NOT same
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) = 1
+    )
+    SELECT pos.query_id, pos_id, pos_sim, neg_id, neg_sim,
+           ROUND(pos_sim - neg_sim, 4) AS margin
+    FROM pos JOIN neg ON pos.query_id = neg.query_id
+    """,
+)
+def q_contrastive_pairs_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (operators/similarity.py:contrastive_pairs):
+    nearest same-label positive + nearest other-label hard negative for the
+    8-anchor panel, with the pos-neg margin — the data-prep step of a
+    contrastive embedding trainer (SimCSE/DPR-style hard-negative mining)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.contrastive_pairs(emb, query_ids=list(range(8)))

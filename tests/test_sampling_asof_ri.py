@@ -251,3 +251,22 @@ def test_retrieval_rank_eval_perfect_when_index_is_exact(spark):
     for r in parts:
         assert 0.0 <= r.ndcg <= 1.0 and 0.0 <= r.rr <= 1.0
         assert r.idcg_micro == perfect[0].idcg_micro
+
+
+def test_contrastive_pairs_planted_geometry(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # anchor, label 1
+        (1, [0.9, 0.1], 1),     # closest same-label -> positive
+        (2, [0.0, 1.0], 1),     # far same-label
+        (3, [0.8, 0.2], 2),     # closest other-label -> hard negative
+        (4, [-1.0, 0.0], 2),    # far other-label
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.query_id: r for r in contrastive_pairs(df, query_ids=[0]).collect()}
+    r = out[0]
+    assert (r.pos_id, r.neg_id) == (1, 3)
+    assert r.pos_sim > r.neg_sim and abs(r.margin - round(r.pos_sim - r.neg_sim, 4)) < 1e-9
