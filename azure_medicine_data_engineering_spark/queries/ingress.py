@@ -195,3 +195,44 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_training_shards(
         packed, out_path, shard_col="seq_id", seqs_per_shard=16
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip ingress: the engine's second columnar format, verified
+# against the parquet truth.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orc_roundtrip_customers",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_acctbal,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_orc_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format ingress: customers are round-tripped through ORC
+    (written once per sf to a /tmp fixture, then read back with
+    spark.read.orc) and aggregated; the oracle reads the ORIGINAL parquet
+    — equality proves the second columnar format preserves every value,
+    including the cents-grid money sums. ORC is Spark-native (no extra
+    package), so the engine's ingress surface is parquet + CSV + JSONL +
+    Excel + ORC."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    orc_path = os.path.join(_FIXTURE_ROOT, f"orc_customer_{tag}")
+    if not os.path.exists(os.path.join(orc_path, "_SUCCESS")):
+        _t(spark, sf_dir, "customer").write.mode("overwrite").orc(orc_path)
+    cust = spark.read.orc(orc_path)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("long") / 100.0
+        ).alias("total_acctbal"),
+        F.min("c_custkey").cast("long").alias("min_key"),
+        F.max("c_custkey").cast("long").alias("max_key"),
+    )

@@ -193,3 +193,15 @@ def test_read_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
     with pytest.raises((Py4JJavaError, CapturedException, Exception)):
         read_jsonl(spark, str(p), schema="doc_id long, text string",
                    mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.25), (2, "b", -3.5), (3, None, 0.0)],
+        "k long, s string, v double",
+    )
+    path = str(tmp_path / "orc")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
