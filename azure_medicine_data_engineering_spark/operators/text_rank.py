@@ -430,3 +430,64 @@ def hashed_linear_scores(
         F.round(1.0 / (1.0 + F.exp(-mean_logit)), 4).alias("prob"),
         (F.col("logit_u") >= 0).alias("label"),
     )
+
+
+def quality_quantile_gate(
+    df: DataFrame,
+    q: float = 0.75,
+    group_col: str = "lang",
+    text_col: str = "text",
+    bins: int = 512,
+    cache: bool = True,
+) -> DataFrame:
+    """Sketch-driven quality gating: keep each group's top (1−q) quality
+    slice, with the per-group threshold read from the MERGEABLE fixed-bin
+    histogram (functions/sketches.py:hist_counts/hist_quantiles) instead
+    of an exact per-group percentile — the 100 TB way to run "keep the
+    best quartile per language" without a distinct-values-sized
+    percentile state (the CCNet head/middle/tail split is exactly this
+    gate at q = 1/3, 2/3).
+
+    Per group: ``(group, threshold, n_docs, n_kept, kept_frac)`` —
+    threshold is the q-quantile bin's lower edge (4-dec display round,
+    applied identically when gating), kept_frac in integer micro-units.
+
+    Scale: one scoring pass (persisted for its two consumers — histogram
+    build + gate; caller releases via ``out._stage_caches`` when
+    ``cache``), a ≤bins-row-per-group histogram state, and a broadcast
+    threshold join."""
+    from azure_medicine_data_engineering_spark.functions.sketches import (
+        hist_counts,
+        hist_quantiles,
+    )
+    from azure_medicine_data_engineering_spark.operators.text import quality_score
+
+    scored = df.select(
+        F.col(group_col), quality_score(F.col(text_col)).alias("score")
+    )
+    if cache:
+        scored = scored.persist()
+    hist = hist_counts(scored, [group_col], "score", 0.0, 1.0, bins)
+    thr = hist_quantiles(hist, [group_col], [q], 0.0, 1.0, bins).select(
+        group_col, F.col("est_value").alias("threshold")
+    )
+    out = (
+        scored.join(F.broadcast(thr), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.first("threshold").alias("threshold"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("score") >= F.col("threshold")).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            group_col,
+            "threshold",
+            "n_docs",
+            "n_kept",
+            (F.expr("n_kept * 1000000 div n_docs") / 1e6).alias("kept_frac"),
+        )
+    )
+    out._stage_caches = [scored] if cache else []
+    return out

@@ -1025,3 +1025,57 @@ def q_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corruption_masks(
         _t(spark, sf_dir, "documents"), mask_pct=15, mean_span=3, seed=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-driven per-language quality gate (keep the top quartile).
+# ---------------------------------------------------------------------------
+
+
+def _quality_gate_oracle() -> str:
+    from azure_medicine_data_engineering_spark.functions.sketches import (
+        hist_quantiles_sql,
+    )
+
+    toks = _TOKS.format(t="text")
+    toks_l = _TOKS.format(t="lower(text)")
+    score = (
+        f"CAST(0.5 * least(len({toks}) / 100.0, 1.0) "
+        f"+ 0.4 * least(len(list_filter({toks_l}, "
+        f"x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))"
+        f" / nullif(len({toks}), 0) * 5.0, 1.0) "
+        f"- 0.1 * least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+        f" / nullif(length(text), 0) * 10.0, 1.0) AS DOUBLE)"
+    )
+    inner = hist_quantiles_sql(
+        "scored", "lang", "score", 0.0, 1.0, 512, qs=(0.75,)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT lang, {score} AS score FROM documents
+    ),
+    thr AS (
+      SELECT lang, est_value AS threshold FROM ({inner}) t
+    )
+    SELECT s.lang, threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           (SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*)) / 1e6 AS kept_frac
+    FROM scored s JOIN thr ON s.lang = thr.lang
+    GROUP BY s.lang, threshold
+    """
+
+
+@register("quality_quantile_gate_by_lang", _quality_gate_oracle())
+def q_quality_quantile_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-quartile quality gate served from the mergeable
+    histogram sketch (operators/text_rank.py:quality_quantile_gate) — the
+    CCNet-style quality-band split with bounded per-group state. The
+    oracle rebuilds the histogram, threshold, and gate CTE-for-CTE."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        quality_quantile_gate,
+    )
+
+    return quality_quantile_gate(_t(spark, sf_dir, "documents"), q=0.75)

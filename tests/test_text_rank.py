@@ -126,3 +126,25 @@ def test_dsir_weights_rank_target_like_docs_first(spark):
     assert w[100] > w[101]
     # weights are exact integers; same text => same weight
     assert w[0] == w[1]
+
+
+def test_quality_quantile_gate_keeps_top_slice(spark):
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        quality_quantile_gate,
+    )
+
+    # 40 docs per lang with increasing length -> monotone quality
+    rows = [
+        (lang_i * 100 + i, " ".join(["the word"] * (i + 1)), lang)
+        for lang_i, lang in enumerate(["aa", "bb"])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_quantile_gate(df, q=0.75, cache=False)
+    got = {r.lang: r for r in out.collect()}
+    for lang in ("aa", "bb"):
+        r = got[lang]
+        assert r.n_docs == 40
+        # ~top quarter survives (bin-edge rounding gives a small band)
+        assert 8 <= r.n_kept <= 14
+        assert abs(r.kept_frac - r.n_kept * 1_000_000 // 40 / 1e6) < 1e-9
