@@ -193,3 +193,70 @@ def subword_vocab_candidates(
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def wordpiece_tokenize_stats(
+    df: DataFrame,
+    vocab: list[str],
+    max_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a WordPiece vocabulary (greedy longest-match, '##' continuation,
+    whole-word [UNK] on any match failure — Wu et al. 2016's inference rule)
+    and report per document ``(id, n_words, n_pieces, n_unk)``.
+
+    The serving half of :func:`subword_vocab_candidates`: induce the vocab
+    once, tokenize the corpus forever. The matcher is inherently a per-word
+    sequential loop, so it runs as an Arrow-batched ``mapInPandas`` kernel —
+    but ONLY over the DISTINCT word table (vocabulary-sized, not
+    corpus-sized); per-document stats come from joining word results back
+    to the exploded corpus and aggregating JVM-side. The vocab itself is a
+    model artifact (closure-captured set, like the hashed-linear weight
+    table). Deterministic: pure string matching, no floats."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    vocab_set = frozenset(vocab)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tok(word: str) -> tuple[int, int]:
+            pos, n = 0, 0
+            size = len(word)
+            while pos < size:
+                for length in range(min(max_len, size - pos), 0, -1):
+                    cand = ("##" if pos else "") + word[pos : pos + length]
+                    if cand in vocab_set:
+                        n += 1
+                        pos += length
+                        break
+                else:
+                    return 1, 1
+            return n, 0
+
+        for b in batches:
+            res = [tok(w) for w in b["w"]]
+            yield pd.DataFrame(
+                {
+                    "w": b["w"],
+                    "w_pieces": [r[0] for r in res],
+                    "w_unk": [r[1] for r in res],
+                }
+            )
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .distinct()
+        .mapInPandas(kernel, "w string, w_pieces long, w_unk long")
+    )
+    exploded = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    return (
+        exploded.join(words, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_pieces").cast("long").alias("n_pieces"),
+            F.sum("w_unk").cast("long").alias("n_unk"),
+        )
+    )

@@ -1368,3 +1368,85 @@ def q_contrastive_pairs_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrastive embedding trainer (SimCSE/DPR-style hard-negative mining)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.contrastive_pairs(emb, query_ids=list(range(8)))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer SERVING: apply the induced vocab (greedy longest-match)
+# — Arrow kernel on the Spark side, recursive CTE in the oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wordpiece_tokenize_stats",
+    f"""
+    WITH RECURSIVE
+    allpieces AS (
+      SELECT unnest(
+        flatten([
+          list_transform(range(1, least(4, length(w)) + 1),
+                         L -> substr(w, 1, CAST(L AS INT))),
+          flatten(list_transform(range(2, length(w) + 1),
+            s -> list_transform(range(1, least(4, length(w) - s + 1) + 1),
+                                L -> '##' || substr(w, CAST(s AS INT), CAST(L AS INT)))))
+        ])
+      ) AS piece
+      FROM (SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)
+    ),
+    vocab AS (
+      SELECT piece FROM (
+        SELECT piece, COUNT(*) AS cnt FROM allpieces GROUP BY piece
+      ) ORDER BY cnt DESC, piece LIMIT 200
+    ),
+    vl AS (SELECT list(piece) AS vp FROM vocab),
+    words AS (
+      SELECT DISTINCT unnest({_TOKS.format(t='text')}) AS w FROM documents
+    ),
+    steps(w, pos, n_pieces, failed) AS (
+      SELECT w, CAST(1 AS BIGINT), 0, FALSE FROM words
+      UNION ALL
+      SELECT w, pos + COALESCE(bestL, 0), n_pieces + 1, bestL IS NULL
+      FROM (
+        SELECT w, pos, n_pieces,
+               list_max(list_filter(list_transform(
+                 range(least(4, length(w) - pos + 1), 0, -1),
+                 L -> CASE WHEN list_contains(vp,
+                        (CASE WHEN pos > 1 THEN '##' ELSE '' END)
+                          || substr(w, CAST(pos AS INT), CAST(L AS INT)))
+                      THEN L END), x -> x IS NOT NULL)) AS bestL
+        FROM steps, vl WHERE pos <= length(w) AND NOT failed
+      ) t
+    ),
+    word_stats AS (
+      SELECT w,
+             CASE WHEN failed THEN 1 ELSE n_pieces END AS w_pieces,
+             CASE WHEN failed THEN 1 ELSE 0 END AS w_unk
+      FROM steps WHERE failed OR pos = length(w) + 1
+    ),
+    corpus AS (
+      SELECT doc_id, unnest({_TOKS.format(t='text')}) AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(w_unk) AS BIGINT) AS n_unk
+    FROM corpus JOIN word_stats USING (w)
+    GROUP BY doc_id
+    """,
+)
+def q_wordpiece_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer serving (operators/text.py:wordpiece_tokenize_stats): the
+    top-200 induced subword vocabulary applied back to the corpus by greedy
+    longest-match with whole-word [UNK] fallback. The Spark matcher is an
+    Arrow kernel over the DISTINCT word table; the oracle replays the same
+    greedy walk as a DuckDB recursive CTE — agreement pins every match
+    decision, not just the totals."""
+    from azure_medicine_data_engineering_spark.operators.text import (
+        subword_vocab_candidates,
+        wordpiece_tokenize_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = [
+        r.piece for r in subword_vocab_candidates(docs, top_k=200, max_len=4).collect()
+    ]
+    return wordpiece_tokenize_stats(docs, vocab, max_len=4)

@@ -92,3 +92,22 @@ def test_kmeans_codebook_query_explodes_array_view(spark):
     assert set(arrays) == {c for c, _ in exploded}
     for cluster, arr in arrays.items():
         assert [exploded[(cluster, d)] for d in range(len(arr))] == list(arr)
+
+
+def test_wordpiece_tokenize_greedy_longest_match(spark):
+    from azure_medicine_data_engineering_spark.operators.text import (
+        wordpiece_tokenize_stats,
+    )
+
+    vocab = ["a", "ab", "##b", "##ba", "b", "##cd", "c"]
+    docs = spark.createDataFrame(
+        [(1, "abba ab b"), (2, "zz abba"), (3, "accd")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_pieces, r.n_unk)
+           for r in wordpiece_tokenize_stats(docs, vocab).collect()}
+    # abba -> [ab, ##ba] (greedy longest, not [a,##b,##b,##a...]); zz -> UNK
+    # accd -> a + ##cd? pos1: 'a'; pos2: '##cc'? no -> '##c'? not in vocab -> UNK word
+    assert got[1] == (3, 4, 0)
+    assert got[2] == (2, 3, 1)
+    assert got[3] == (1, 1, 1)
