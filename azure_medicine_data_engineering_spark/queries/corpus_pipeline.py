@@ -1079,3 +1079,112 @@ def q_quality_quantile_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     return quality_quantile_gate(_t(spark, sf_dir, "documents"), q=0.75)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 end-to-end training-prep funnel:
+# quality gate (sketch threshold) -> exact dedup -> epoch shuffle -> shards.
+# ---------------------------------------------------------------------------
+
+
+def _training_prep_oracle() -> str:
+    toks = _TOKS.format(t="text")
+    toks_l = _TOKS.format(t="lower(text)")
+    score = (
+        f"CAST(0.5 * least(len({toks}) / 100.0, 1.0) "
+        f"+ 0.4 * least(len(list_filter({toks_l}, "
+        f"x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))"
+        f" / nullif(len({toks}), 0) * 5.0, 1.0) "
+        f"- 0.1 * least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+        f" / nullif(length(text), 0) * 10.0, 1.0) AS DOUBLE)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, len({toks}) AS n_tokens, {score} AS score
+      FROM documents
+    ),
+    hist AS (
+      SELECT least(greatest(CAST(floor(score * 512.0) AS INT), 0), 511) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM hist
+    ),
+    thr AS (
+      SELECT ROUND(CAST(MIN(bin) * {1.0 / 512!r} AS DOUBLE), 4) AS threshold
+      FROM cum WHERE cum >= ceil(0.5 * total)
+    ),
+    kept AS (
+      SELECT doc_id, text, n_tokens FROM scored, thr WHERE score >= threshold
+    ),
+    deduped AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    shuffled AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('11' || ':' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+      FROM deduped
+    )
+    SELECT CAST(pos // 32 AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM shuffled GROUP BY 1
+    """
+
+
+@register("corpus_e2e_training_prep", _training_prep_oracle())
+def q_corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 funnel composed end-to-end: sketch-thresholded quality gate
+    (corpus-median cut from the 512-bin histogram), exact dedup (min-id
+    keep), seeded epoch shuffle (distributed prefix sum), and 32-doc
+    training shards with membership checksums. Every stage reuses the
+    already-oracled operator; the oracle replays the whole chain
+    CTE-for-CTE, so a drift ANYWHERE in the pipeline breaks the hash."""
+    from azure_medicine_data_engineering_spark.functions.sketches import (
+        hist_counts,
+        hist_quantiles,
+    )
+    from azure_medicine_data_engineering_spark.operators.dedup import dedup_exact
+    from azure_medicine_data_engineering_spark.operators.sampling import epoch_shuffle
+    from azure_medicine_data_engineering_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("score"),
+        F.lit(1).alias("_g"),
+    ).persist()
+    hist = hist_counts(scored, ["_g"], "score", 0.0, 1.0, 512)
+    thr = hist_quantiles(hist, ["_g"], [0.5], 0.0, 1.0, 512).select(
+        "_g", F.col("est_value").alias("threshold")
+    )
+    kept = scored.join(F.broadcast(thr), "_g").where(
+        F.col("score") >= F.col("threshold")
+    ).select("doc_id", "text", "n_tokens")
+    deduped = dedup_exact(kept).select("doc_id", "n_tokens")
+    shuffled = epoch_shuffle(deduped, key="doc_id", seed=11, shard_size=32)
+    out = shuffled.groupBy(F.col("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    out._stage_caches = [scored]
+    return out
