@@ -166,6 +166,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # number of DISTINCT per-key counts) + the top_k-row rank window after
     # TakeOrderedAndProject (quality.py:key_skew_report docstring)
     "key_skew_orders_custkey": (2, "count-of-counts cum + top-5 rank"),
+    # corpus-level 512-bin histogram cum window + the 256-row epoch-shuffle
+    # bucket offset window (both fixed-size summary frames)
+    "corpus_e2e_training_prep": (2, "512-bin hist cum + bucket offsets"),
 }
 
 
