@@ -95,3 +95,43 @@ def retention_cohorts(
         .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 15,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Top-k behavioral paths: the most common length-``n`` event-type
+    sequences across users (the product-analytics "common journeys" view;
+    the n-gram generalization of the first-order Markov transitions).
+
+    Per user, events order by (ts, id) and every window of ``n``
+    consecutive types joins into a path string; corpus-wide counts then
+    TakeOrderedAndProject the top-k (count desc, path asc).
+
+    Scale: ONE shuffle keyed on user for the lead windows (the same
+    user-partitioning funnel/retention/Markov reuse), a map-side-combined
+    path count, and a k-row ordered take — no self-joins, no global
+    sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    leads = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    paths = (
+        events.select(F.concat_ws(">", *leads).alias("path"),
+                      leads[-1].isNotNull().alias("_full"))
+        .where(F.col("_full"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wr = Window.orderBy(F.desc("cnt"), "path")
+    return (
+        paths.orderBy(F.desc("cnt"), "path")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+    )

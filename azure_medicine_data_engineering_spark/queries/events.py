@@ -488,3 +488,33 @@ def q_incremental_day_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         ["d", "event_type"],
     )
     return state_report(state, regs)
+
+
+@register(
+    "event_path_ngrams_top15",
+    """
+    WITH seq AS (
+      SELECT event_type AS t0,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      FROM events
+    ),
+    counted AS (
+      SELECT t0 || '>' || t1 || '>' || t2 AS path, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE t2 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, path) AS INT) AS rank
+    FROM counted ORDER BY cnt DESC, path LIMIT 15
+    """,
+)
+def q_event_path_ngrams_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 behavioral 3-grams (operators/events_analytics.py:
+    event_path_ngrams): the most common 3-step event-type journeys, the
+    n-gram generalization of markov_event_transitions — one user-keyed
+    shuffle + TakeOrderedAndProject."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        event_path_ngrams,
+    )
+
+    return event_path_ngrams(events_table(spark, sf_dir), n=3, top_k=15)

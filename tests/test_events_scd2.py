@@ -125,3 +125,27 @@ def test_scd2_plan_is_single_join(spark):
     # implementation would replay it once per branch ("Join type:" appears
     # once per join node in formatted explain detail sections)
     assert plan.count("Join type:") == 1, plan
+
+
+def test_event_path_ngrams_planted(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        event_path_ngrams,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1 & 2: view > click > purchase; user 3: view > view > click
+    for u, path in [(1, ["view", "click", "purchase"]),
+                    (2, ["view", "click", "purchase"]),
+                    (3, ["view", "view", "click"])]:
+        for i, t in enumerate(path):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = [(r.path, r.cnt, r.rank) for r in event_path_ngrams(ev, n=3, top_k=5).collect()]
+    assert got == [("view>click>purchase", 2, 1), ("view>view>click", 1, 2)]
