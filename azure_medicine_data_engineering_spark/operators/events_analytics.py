@@ -135,3 +135,51 @@ def event_path_ngrams(
         .limit(top_k)
         .withColumn("rank", F.row_number().over(wr).cast("int"))
     )
+
+
+def daily_revenue_anomalies(
+    orders: DataFrame,
+    k: int = 2,
+    window_days: int = 7,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Rolling z-score anomaly flags on the daily revenue series, computed
+    ENTIRELY in integer arithmetic so the flag set is bit-identical across
+    engines: day ``x`` is anomalous vs its trailing window (the
+    ``window_days`` days strictly BEFORE it — no self-contamination) when
+    ``|x − mean| > k·σ``, evaluated as
+
+        (n·x − s)² > k² · (n·q − s²)
+
+    with s = Σxᵢ, q = Σxᵢ² over the window — the variance inequality
+    cleared of divisions. x is on a $100 integer grid (cents div 10000):
+    coarse enough that every term stays far inside int64 at 10⁶× this
+    revenue volume, fine enough that a 2σ day is unambiguous.
+
+    Scale shape: fact rows collapse to one row per day first; every window
+    runs over the calendar-bounded day frame (same licensed class as
+    rolling_7day_revenue). Days with fewer than 3 prior days in the window
+    report flag = false (variance undefined/trivial)."""
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("_cents")
+    ).select(
+        "d",
+        (F.col("_cents") / 100.0).alias("daily_rev"),
+        F.expr("_cents div 10000").alias("_x"),
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1990-01-01")))
+        .rangeBetween(-window_days, -1)
+    )
+    n = F.count("_x").over(w)
+    s = F.sum("_x").over(w)
+    q = F.sum(F.col("_x") * F.col("_x")).over(w)
+    lhs = (n * F.col("_x") - s) * (n * F.col("_x") - s)
+    rhs = F.lit(k * k) * (n * q - s * s)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "daily_rev",
+        n.cast("long").alias("n_window"),
+        F.when(n >= 3, lhs > rhs).otherwise(F.lit(False)).alias("is_anomaly"),
+    )

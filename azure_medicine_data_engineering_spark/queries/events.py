@@ -518,3 +518,41 @@ def q_event_path_ngrams_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return event_path_ngrams(events_table(spark, sf_dir), n=3, top_k=15)
+
+
+@register(
+    "daily_revenue_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    grid AS (
+      SELECT d, cents / 100.0 AS daily_rev, cents // 10000 AS x FROM daily
+    ),
+    win AS (
+      SELECT d, daily_rev, x,
+             COUNT(x) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS q
+      FROM grid
+      WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                   AND INTERVAL 1 DAY PRECEDING)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, daily_rev,
+           CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n >= 3
+                THEN (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+                ELSE FALSE END AS is_anomaly
+    FROM win
+    """,
+)
+def q_daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact rolling anomaly flags (operators/events_analytics.py:
+    daily_revenue_anomalies): trailing-7-day 2-sigma test on the $100-grid
+    daily revenue, the division-free variance inequality evaluated
+    identically by both engines."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        daily_revenue_anomalies,
+    )
+
+    return daily_revenue_anomalies(_t(spark, sf_dir, "orders"), k=2, window_days=7)

@@ -149,3 +149,26 @@ def test_event_path_ngrams_planted(spark):
     )
     got = [(r.path, r.cnt, r.rank) for r in event_path_ngrams(ev, n=3, top_k=5).collect()]
     assert got == [("view>click>purchase", 2, 1), ("view>view>click", 1, 2)]
+
+
+def test_daily_revenue_anomalies_planted_spike(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        daily_revenue_anomalies,
+    )
+
+    rows = []
+    base = dt.date(2024, 1, 1)
+    # 10 flat days at $50,000 then one 10x spike
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(days=i), 50_000.0))
+    rows.append((10, base + dt.timedelta(days=10), 500_000.0))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r.day: r for r in daily_revenue_anomalies(orders).collect()}
+    assert not any(out[d].is_anomaly for d in sorted(out) if d != "2024-01-11")
+    assert out["2024-01-11"].is_anomaly          # the spike flags
+    assert out["2024-01-01"].n_window == 0       # first day: empty window
+    assert not out["2024-01-02"].is_anomaly      # n < 3 -> never flags
