@@ -251,3 +251,75 @@ def epoch_shuffle(
         .select(*df.columns, pos.alias("pos"))
         .withColumn("shard_id", F.expr(f"pos div {shard_size}").cast("long"))
     )
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture planning by waterfilling: split a total token ``budget``
+    across sources so every source keeps min(its tokens, L) for the unique
+    level L that exhausts the budget exactly — small sources keep
+    everything, large sources are capped equally (the max-min fair
+    allocation used to flatten a training mixture under a token budget;
+    temperature sampling's hard-cap cousin).
+
+    Closed-form integer solve, no iteration: sources sort by token count
+    (asc, name tie-break); the level's segment is the first rank i where
+    ``prefix_{i-1} + n_i · (S − i + 1) ≥ budget``; then
+    ``L = (budget − prefix) div remaining`` and the integer remainder goes
+    one token each to the first ``rem`` capped sources. If the budget
+    covers everything, nothing is capped.
+
+    Per source: ``(group, n_tokens, alloc_tokens, capped)``; allocations
+    sum EXACTLY to min(budget, total). Scale: one corpus scan collapses to
+    the |sources|-row frame; every window after that is sources-sized."""
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators.text import token_count
+
+    per_src = df.groupBy(F.col(group_col).alias("src")).agg(
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "src")
+    wall = Window.partitionBy()
+    ranked = per_src.select(
+        "src",
+        "n_tokens",
+        F.row_number().over(w).alias("_i"),
+        (F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.col("n_tokens")).alias("_prefix"),
+        F.count(F.lit(1)).over(wall).alias("_S"),
+        F.sum("n_tokens").over(wall).alias("_total"),
+    )
+    b = F.lit(int(budget))
+    feasible = F.col("_prefix") + F.col("n_tokens") * (F.col("_S") - F.col("_i") + 1) >= b
+    istar = ranked.where(feasible).agg(
+        F.min("_i").alias("_istar"),
+        F.min_by("_prefix", "_i").alias("_pstar"),
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(istar))
+        .select(
+            F.col("src").alias(group_col),
+            "n_tokens",
+            F.when(
+                F.col("_istar").isNull() | (F.col("_i") < F.col("_istar")),
+                F.col("n_tokens"),
+            )
+            .otherwise(
+                F.expr(f"({budget} - _pstar) div (_S - _istar + 1)")
+                + (
+                    (F.col("_i") - F.col("_istar"))
+                    < F.expr(f"({budget} - _pstar) % (_S - _istar + 1)")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .withColumn("capped", F.col("alloc_tokens") < F.col("n_tokens"))
+    )
+    return out

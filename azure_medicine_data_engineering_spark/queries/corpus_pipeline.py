@@ -1188,3 +1188,58 @@ def q_corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._stage_caches = [scored]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfill across sources (max-min fair mixture cap).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_budget_waterfill",
+    f"""
+    WITH per_src AS (
+      SELECT source AS src,
+             CAST(SUM(len({_TOKS.format(t='text')})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) * 3 // 5 AS b, COUNT(*) AS S FROM per_src),
+    ranked AS (
+      SELECT src, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, src) AS i,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, src
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
+      FROM per_src
+    ),
+    star AS (
+      SELECT MIN(i) AS istar, MIN_BY(prefix, i) AS pstar
+      FROM ranked, tot WHERE prefix + n_tokens * (S - i + 1) >= b
+    )
+    SELECT src AS source, n_tokens,
+           CAST(CASE WHEN istar IS NULL OR i < istar THEN n_tokens
+                ELSE (b - pstar) // (S - istar + 1)
+                     + CAST((i - istar) < (b - pstar) % (S - istar + 1) AS BIGINT)
+                END AS BIGINT) AS alloc_tokens,
+           CASE WHEN istar IS NULL OR i < istar THEN FALSE
+                ELSE (b - pstar) // (S - istar + 1)
+                     + CAST((i - istar) < (b - pstar) % (S - istar + 1) AS BIGINT)
+                     < n_tokens END AS capped
+    FROM ranked, tot, star
+    """,
+)
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair token-budget split (operators/sampling.py:
+    token_budget_waterfill) at 60% of the corpus's total tokens: small
+    sources keep everything, the rest cap at the waterfill level; the
+    closed-form integer solve is replayed by the oracle, and allocations
+    sum exactly to the budget."""
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+    from azure_medicine_data_engineering_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("t")
+    ).collect()[0].t
+    return token_budget_waterfill(docs, budget=total * 3 // 5)

@@ -1642,3 +1642,62 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("day_str", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Pareto/Lorenz deciles over customers).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_pareto_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM spend
+    ),
+    tot AS (SELECT SUM(cents) AS t FROM ranked)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue,
+           (SUM(cents) * 1000000 // t) / 1e6 AS revenue_share
+    FROM ranked, tot
+    GROUP BY decile, t
+    """,
+)
+def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration deciles (the Pareto/80-20 report): customers
+    ranked by cents-grid lifetime spend, NTILE(10) with id tie-break,
+    per-decile revenue and integer-micro share. Scale: one keyed agg to
+    customer grain; the ntile runs over the customer frame (the one
+    unavoidable ordered pass at this grain — at 100 TB swap in the
+    histogram-quantile cut like quality_quantile_gate to avoid it)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("decile"),
+    )
+    tot = ranked.agg(F.sum("cents").alias("t"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            (F.col("_c") / 100.0).alias("revenue"),
+            (F.expr("_c * 1000000 div t") / 1e6).alias("revenue_share"),
+        )
+    )

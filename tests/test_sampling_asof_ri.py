@@ -270,3 +270,31 @@ def test_contrastive_pairs_planted_geometry(spark):
     r = out[0]
     assert (r.pos_id, r.neg_id) == (1, 3)
     assert r.pos_sim > r.neg_sim and abs(r.margin - round(r.pos_sim - r.neg_sim, 4)) < 1e-9
+
+
+def test_token_budget_waterfill_exact_and_fair(spark):
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+
+    # sources with 10 / 50 / 100 / 200 tokens (1 token per word)
+    rows = []
+    for src, n in [("a", 10), ("b", 50), ("c", 100), ("d", 200)]:
+        rows.append((src, " ".join(["w"] * n)))
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in token_budget_waterfill(df, budget=200).collect()}
+    # waterfill at T=200 over caps (10,50,100,200): level segment at i=3:
+    # prefix 60, remaining 2 -> L = 70, alloc = 10, 50, 70, 70
+    assert {s: r.alloc_tokens for s, r in out.items()} == {
+        "a": 10, "b": 50, "c": 70, "d": 70
+    }
+    assert {s: r.capped for s, r in out.items()} == {
+        "a": False, "b": False, "c": True, "d": True
+    }
+    assert sum(r.alloc_tokens for r in out.values()) == 200
+    # budget >= total: nothing capped
+    all_out = token_budget_waterfill(df, budget=1000).collect()
+    assert all(not r.capped and r.alloc_tokens == r.n_tokens for r in all_out)
+    # odd budget: remainder lands deterministically, sum still exact
+    odd = token_budget_waterfill(df, budget=201).collect()
+    assert sum(r.alloc_tokens for r in odd) == 201
