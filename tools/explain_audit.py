@@ -169,6 +169,16 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # corpus-level 512-bin histogram cum window + the 256-row epoch-shuffle
     # bucket offset window (both fixed-size summary frames)
     "corpus_e2e_training_prep": (2, "512-bin hist cum + bucket offsets"),
+    # ordered windows over the ~|sources|-row per-source frame (rank +
+    # prefix sum; sampling.py:token_budget_waterfill docstring)
+    "token_budget_waterfill": (2, "sources-frame waterfill windows"),
+    # calendar-bounded day-frame rolling window (same class as
+    # rolling_7day_revenue)
+    "daily_revenue_anomalies": (1, "day-frame rolling window"),
+    # customer-grain ntile — the documented exact-decile pass; the 100 TB
+    # variant cuts deciles from the mergeable histogram instead
+    # (quality_quantile_gate pattern)
+    "revenue_pareto_deciles": (1, "customer-grain decile ntile"),
 }
 
 
