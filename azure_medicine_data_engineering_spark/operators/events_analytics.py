@@ -183,3 +183,55 @@ def daily_revenue_anomalies(
         n.cast("long").alias("n_window"),
         F.when(n >= 3, lhs > rhs).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+def cohort_ltv_matrix(
+    events: DataFrame,
+    max_weeks: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    revenue_type: str = "purchase",
+) -> DataFrame:
+    """Cohort lifetime-value triangle: users cohort by the Monday-start week
+    of their FIRST event (the retention triangle's grouping), and each
+    (cohort, age-in-weeks) cell reports active users plus cents-grid
+    purchase revenue — the money companion of ``retention_cohorts``, the
+    matrix whose row-sums are cohort LTV curves.
+
+    Scale: the first-event week is a window MIN over the one user-keyed
+    partitioning every ordered-event operator here shares; cells aggregate
+    with partial+final combine. Integer day arithmetic; money on the cents
+    grid."""
+    w = Window.partitionBy(user_col)
+    cohorted = events.select(
+        user_col,
+        F.col(type_col),
+        F.col(value_col),
+        F.col(ts_col).cast("date").alias("_d"),
+        F.date_trunc("week", F.min(ts_col).over(w)).cast("date").alias("_cw"),
+    ).withColumn(
+        "age_weeks", F.expr("datediff(_d, _cw) div 7").cast("int")
+    )
+    return (
+        cohorted.where(F.col("age_weeks") < max_weeks)
+        .groupBy(
+            F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"), "age_weeks"
+        )
+        .agg(
+            F.count_distinct(user_col).cast("long").alias("n_active"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(type_col) == revenue_type,
+                            F.round(F.col(value_col) * 100).cast("long"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+    )

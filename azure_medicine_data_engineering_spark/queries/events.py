@@ -556,3 +556,33 @@ def q_daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return daily_revenue_anomalies(_t(spark, sf_dir, "orders"), k=2, window_days=7)
+
+
+@register(
+    "cohort_ltv_matrix",
+    """
+    WITH fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+                FROM events GROUP BY 1),
+    cells AS (
+      SELECT e.user_id, fw.cw, e.event_type, e.value,
+             CAST(date_diff('day', fw.cw, CAST(e.ts AS DATE)) // 7 AS INT) AS age_weeks
+      FROM events e JOIN fw USING (user_id)
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, age_weeks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+             / 100.0 AS revenue
+    FROM cells WHERE age_weeks < 8
+    GROUP BY cw, age_weeks
+    """,
+)
+def q_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (operators/events_analytics.py:cohort_ltv_matrix):
+    per (first-event cohort week, age) — active users + cents-grid purchase
+    revenue; row-sums are the cohort LTV curves."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        cohort_ltv_matrix,
+    )
+
+    return cohort_ltv_matrix(events_table(spark, sf_dir), max_weeks=8)

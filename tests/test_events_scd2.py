@@ -172,3 +172,31 @@ def test_daily_revenue_anomalies_planted_spike(spark):
     assert out["2024-01-11"].is_anomaly          # the spike flags
     assert out["2024-01-01"].n_window == 0       # first day: empty window
     assert not out["2024-01-02"].is_anomaly      # n < 3 -> never flags
+
+
+def test_cohort_ltv_matrix_planted(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        cohort_ltv_matrix,
+    )
+
+    mon = dt.datetime(2024, 1, 1, 9)  # a Monday
+    rows = [
+        # user 1: first event week 0, purchases in week 0 and week 1
+        (0, mon, 1, "view", 0.0),
+        (1, mon + dt.timedelta(days=1), 1, "purchase", 10.5),
+        (2, mon + dt.timedelta(days=8), 1, "purchase", 5.25),
+        # user 2: same cohort, view only in week 1
+        (3, mon + dt.timedelta(hours=1), 2, "view", 0.0),
+        (4, mon + dt.timedelta(days=9), 2, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {(r.cohort_week, r.age_weeks): (r.n_active, r.revenue)
+           for r in cohort_ltv_matrix(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): (2, 10.5),
+        ("2024-01-01", 1): (2, 5.25),
+    }
