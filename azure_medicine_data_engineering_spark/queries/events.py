@@ -586,3 +586,80 @@ def q_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cohort_ltv_matrix(events_table(spark, sf_dir), max_weeks=8)
+
+
+@register(
+    "conversion_latency_histogram",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS ts_r, event_id AS event_id_r FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.ts, c.ts_r,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_r DESC, c.event_id_r DESC) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts_r <= p.ts
+       AND c.ts_r >= p.ts - INTERVAL '30 minutes'
+    ),
+    lat AS (
+      SELECT CAST(date_diff('second', ts_r, ts) AS BIGINT) AS s
+      FROM j WHERE rn = 1
+    ),
+    b AS (
+      SELECT CASE WHEN s < 60 THEN 0 WHEN s < 300 THEN 1
+                  WHEN s < 900 THEN 2 ELSE 3 END AS bucket
+      FROM lat
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM b)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CASE bucket WHEN 0 THEN '<1m' WHEN 1 THEN '1-5m'
+                       WHEN 2 THEN '5-15m' ELSE '15-30m' END AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (COUNT(*) * 1000000 // t) / 1e6 AS share
+    FROM b, tot GROUP BY bucket, t
+    """,
+)
+def q_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency distribution: the as-of attribution
+    (operators/asof.py) bucketed into product-facing latency bands with
+    integer-micro shares — the funnel-latency report every growth team
+    reads next to the funnel counts."""
+    from azure_medicine_data_engineering_spark.operators.asof import asof_join
+
+    ev = events_table(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    attributed = asof_join(
+        purchases, clicks, on="user_id", window_seconds=1800,
+        left_id="event_id", tiebreak="event_id",
+    )
+    lat = attributed.select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).alias("s")
+    )
+    b = lat.select(
+        F.when(F.col("s") < 60, 0)
+        .when(F.col("s") < 300, 1)
+        .when(F.col("s") < 900, 2)
+        .otherwise(3)
+        .alias("bucket")
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.element_at(
+                F.array(F.lit("<1m"), F.lit("1-5m"), F.lit("5-15m"), F.lit("15-30m")),
+                F.col("bucket") + 1,
+            ).alias("label"),
+            "n",
+            (F.expr("n * 1000000 div t") / 1e6).alias("share"),
+        )
+    )
