@@ -68,3 +68,66 @@ def asof_join(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def linear_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    on: str = "user_id",
+    window_seconds: int = 1800,
+    purchase_id: str = "event_id",
+    amount_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits EQUALLY
+    across every click in its attribution window — the multi-touch
+    complement of the as-of (last-touch) join. Money is allocated in exact
+    integer cents by the largest-remainder rule: every touch gets
+    ``cents div n``, and the ``cents mod n`` leftover cents go one each to
+    the most recent touches (recency, id tie-break) — allocations sum to
+    the purchase amount TO THE CENT, the invariant finance reconciliation
+    demands (a naive value/n double split loses cents).
+
+    One row per (purchase, click): ``(purchase_id, click_id, n_touches,
+    alloc)``. Scale: the pair generation is the interval join's keyed
+    shuffle; the rank/count windows partition by purchase (pairs per
+    purchase are horizon-bounded)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    p = purchases.select(
+        F.col(purchase_id).alias("purchase_id"),
+        F.col(on).alias("_k"),
+        F.col("ts").alias("_pts"),
+        F.round(F.col(amount_col) * 100).cast("long").alias("_cents"),
+    )
+    c = clicks.select(
+        F.col(on).alias("_k"),
+        F.col("ts").alias("_cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    pairs = p.join(
+        c,
+        (p["_k"] == c["_k"])
+        & (c["_cts"] <= p["_pts"])
+        & (c["_cts"] >= p["_pts"] - F.expr(f"INTERVAL {window_seconds} SECONDS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("_cts").desc(), F.col("click_id").desc()
+    )
+    wn = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "click_id",
+        "_cents",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("n_touches"),
+    )
+    alloc_cents = F.expr("_cents div n_touches") + (
+        F.col("_r") <= F.col("_cents") % F.col("n_touches")
+    ).cast("long")
+    return ranked.select(
+        "purchase_id",
+        "click_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        (alloc_cents / 100.0).alias("alloc"),
+    )

@@ -663,3 +663,43 @@ def q_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             (F.expr("n * 1000000 div t") / 1e6).alias("share"),
         )
     )
+
+
+@register(
+    "linear_attribution_cents",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS cts, event_id AS click_id
+          FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.purchase_id, c.click_id, p.cents,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.cts DESC, c.click_id DESC) AS r,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.cts <= p.ts AND c.cts >= p.ts - INTERVAL '30 minutes'
+    )
+    SELECT purchase_id, click_id,
+           CAST(n AS BIGINT) AS n_touches,
+           (cents // n + CAST(r <= cents % n AS BIGINT)) / 100.0 AS alloc
+    FROM pairs
+    """,
+)
+def q_linear_attribution_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/asof.py:linear_attribution):
+    every purchase's cents split exactly across its 30-minute click window
+    by the largest-remainder rule — per-purchase allocations reconcile to
+    the cent."""
+    from azure_medicine_data_engineering_spark.operators.asof import linear_attribution
+
+    ev = events_table(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return linear_attribution(purchases, clicks)

@@ -200,3 +200,36 @@ def test_cohort_ltv_matrix_planted(spark):
         ("2024-01-01", 0): (2, 10.5),
         ("2024-01-01", 1): (2, 5.25),
     }
+
+
+def test_linear_attribution_reconciles_to_the_cent(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.operators.asof import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    purchases = spark.createDataFrame(
+        [(100, 1, t0, 1.00), (200, 2, t0, 0.05)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, 1, t0 - dt.timedelta(minutes=5)),
+            (2, 1, t0 - dt.timedelta(minutes=10)),
+            (3, 1, t0 - dt.timedelta(minutes=15)),
+            (4, 2, t0 - dt.timedelta(minutes=1)),
+            (5, 2, t0 - dt.timedelta(minutes=2)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = linear_attribution(purchases, clicks).collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.purchase_id, []).append(r)
+    # $1.00 over 3 touches: 34, 33, 33 cents; extra cent to the most recent
+    a = sorted(by_p[100], key=lambda r: -r.alloc)
+    assert [round(r.alloc, 2) for r in a] == [0.34, 0.33, 0.33]
+    assert a[0].click_id == 1  # most recent click gets the remainder cent
+    assert round(sum(r.alloc for r in by_p[100]), 2) == 1.00
+    # 5 cents over 2 touches: 3 + 2
+    assert sorted(round(r.alloc, 2) for r in by_p[200]) == [0.02, 0.03]
