@@ -235,3 +235,48 @@ def cohort_ltv_matrix(
             ).alias("revenue"),
         )
     )
+
+
+def theil_sen_trend(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the MEDIAN of all pairwise
+    slopes — up to 29% of outlier days cannot move it, where an OLS slope
+    follows a single bad day (the robust-stats companion to the MAD
+    outlier report).
+
+    Slopes are exact integers in micro-dollars/day via FLOOR division
+    implemented engine-portably — ``(a − posmod(a, b)) / b`` with
+    ``posmod = ((a % b) + b) % b`` — because Spark's ``div`` truncates
+    toward zero on negatives while DuckDB's ``//`` floors (dividend-signed
+    ``%`` is identical in both, so the posmod identity closes the gap).
+    The median of an even count of integers is x.0 or x.5 — exact in
+    doubles on both engines.
+
+    Scale: fact rows collapse to the calendar-bounded day frame first;
+    the pair fan-out is days², still calendar-bounded (2.4k days → 2.9M
+    pairs), never fact-sized."""
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents")
+    ).select(
+        F.datediff(F.col("d"), F.lit("1990-01-01")).cast("long").alias("i"),
+        F.expr("cents div 100").alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        (F.col("b.y") - F.col("a.y")).alias("_dy"),
+        (F.col("b.i") - F.col("a.i")).alias("_dx"),
+    )
+    # floor((dy * 1e6) / dx) portably (see docstring)
+    num = F.col("_dy") * F.lit(1_000_000)
+    posmod = ((num % F.col("_dx")) + F.col("_dx")) % F.col("_dx")
+    slope_micro = ((num - posmod) / F.col("_dx")).cast("long")
+    slopes = pairs.select(slope_micro.alias("s"))
+    return slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.expr("percentile(s, 0.5)") / 1e6).alias("slope_dollars_per_day"),
+        (F.min("s") / 1e6).alias("min_slope"),
+        (F.max("s") / 1e6).alias("max_slope"),
+    )

@@ -703,3 +703,40 @@ def q_linear_attribution_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id"
     )
     return linear_attribution(purchases, clicks)
+
+
+@register(
+    "theil_sen_daily_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    grid AS (
+      SELECT CAST(date_diff('day', DATE '1990-01-01', d) AS BIGINT) AS i,
+             cents // 100 AS y
+      FROM daily
+    ),
+    slopes AS (
+      SELECT ((b.y - a.y) * 1000000
+              - ((((b.y - a.y) * 1000000) % (b.i - a.i)) + (b.i - a.i)) % (b.i - a.i))
+             / (b.i - a.i) AS s
+      FROM grid a JOIN grid b ON a.i < b.i
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(median(CAST(s AS BIGINT)) AS DOUBLE) / 1e6 AS slope_dollars_per_day,
+           MIN(CAST(s AS BIGINT)) / 1e6 AS min_slope,
+           MAX(CAST(s AS BIGINT)) / 1e6 AS max_slope
+    FROM slopes
+    """,
+)
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily revenue trend (operators/events_analytics.py:
+    theil_sen_trend): median of all pairwise micro-dollar slopes, computed
+    with the portable floor-division identity."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        theil_sen_trend,
+    )
+
+    return theil_sen_trend(_t(spark, sf_dir, "orders"))

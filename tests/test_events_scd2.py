@@ -233,3 +233,25 @@ def test_linear_attribution_reconciles_to_the_cent(spark):
     assert round(sum(r.alloc for r in by_p[100]), 2) == 1.00
     # 5 cents over 2 touches: 3 + 2
     assert sorted(round(r.alloc, 2) for r in by_p[200]) == [0.02, 0.03]
+
+
+def test_theil_sen_resists_outlier_day(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        theil_sen_trend,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    # clean +$10/day trend over 21 days, one wrecked day
+    for i in range(21):
+        rev = 1000.0 + 10.0 * i if i != 10 else 50_000.0
+        rows.append((i, base + dt.timedelta(days=i), rev))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    r = theil_sen_trend(orders).collect()[0]
+    assert r.n_pairs == 21 * 20 // 2
+    # the median slope stays on the true +10/day trend despite the spike
+    assert abs(r.slope_dollars_per_day - 10.0) < 0.5
