@@ -317,3 +317,58 @@ def decode_media(
             yield out
 
     return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def image_quality_flags(df: DataFrame, low_contrast_sigma: int = 8) -> DataFrame:
+    """Image-quality gating for multimodal corpora: decode each PNG payload
+    and flag degenerate images — ``is_blank`` (zero pixel variance: solid
+    frames, dead captures) and ``is_low_contrast`` (population σ below
+    ``low_contrast_sigma`` intensity levels) — the filter a vision-language
+    data pipeline runs before spending embedding compute on empty frames.
+
+    Both flags are INTEGER inequalities on per-image pixel sums
+    (σ² < t ⟺ n·Σx² − (Σx)² < t²·n²), so the flag set is bit-identical
+    across engines. Emits ``(media_id, width, height, px_min, px_max,
+    dynamic_range, is_blank, is_low_contrast)``.
+
+    Scale: decode runs in the same Arrow ``mapInPandas`` shape as
+    :func:`decode_media` (map-only, no shuffle); the flags are plain
+    column expressions on the decoded stats."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, _c, px = png_decode_pixels(bytes(payload))
+                n = len(px)
+                s = sum(px)
+                q = sum(x * x for x in px)
+                rows.append((mid, w, h, n, s, q, min(px), max(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "_n", "_s", "_q",
+                         "px_min", "px_max"],
+            )
+
+    decoded = df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, width int, height int, _n long, _s long, _q long, "
+        "px_min int, px_max int",
+    )
+    var_scaled = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    t = low_contrast_sigma
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "px_min",
+        "px_max",
+        (F.col("px_max") - F.col("px_min")).cast("int").alias("dynamic_range"),
+        (var_scaled == 0).alias("is_blank"),
+        (var_scaled < F.lit(t * t) * F.col("_n") * F.col("_n")).alias(
+            "is_low_contrast"
+        ),
+    )

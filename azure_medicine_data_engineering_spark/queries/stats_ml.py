@@ -895,3 +895,53 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_corpus_dedup_counts(spark, sf_dir)
+
+
+@register(
+    "multimodal_image_quality_flags",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             4 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 13 AS width,
+             4 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 11 AS height
+      FROM m
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             list_transform(range(width * height),
+                 i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS BIGINT)) AS p
+      FROM d
+    ),
+    sums AS (
+      SELECT doc_id, width, height,
+             CAST(width * height AS BIGINT) AS n,
+             list_sum(p) AS s,
+             list_sum(list_transform(p, x -> x * x)) AS q,
+             list_min(p) AS mn, list_max(p) AS mx
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(mn AS INT) AS px_min, CAST(mx AS INT) AS px_max,
+           CAST(mx - mn AS INT) AS dynamic_range,
+           n * q - s * s = 0 AS is_blank,
+           n * q - s * s < 64 * n * n AS is_low_contrast
+    FROM sums
+    """,
+)
+def q_multimodal_image_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-corpus quality gate (operators/multimodal.py:
+    image_quality_flags): every PNG payload decoded and flagged for
+    blank / low-contrast frames via integer variance inequalities; the
+    oracle regenerates each image's tiled pixels from md5(text) and
+    recomputes the same integer sums — decode, geometry, and flags all
+    must agree."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_png_payload,
+        image_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_png_payload(docs, "doc_id", "text")
+    return image_quality_flags(media)

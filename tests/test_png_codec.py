@@ -149,3 +149,23 @@ def test_resize_nearest_identity_and_geometry():
     # upscale replicates pixels, never interpolates new values
     big = png_decode_pixels(png_resize_nearest(payload, 16, 12))[3]
     assert set(big) <= set(pixels)
+
+
+def test_image_quality_flags_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        image_quality_flags,
+        png_encode_gray,
+    )
+
+    blank = png_encode_gray(4, 4, bytes([128] * 16))
+    lowc = png_encode_gray(4, 4, bytes([100, 101] * 8))      # sigma ~0.5
+    sharp = png_encode_gray(4, 4, bytes([0, 255] * 8))       # sigma ~127
+    df = spark.createDataFrame(
+        [(1, bytearray(blank)), (2, bytearray(lowc)), (3, bytearray(sharp))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in image_quality_flags(df).collect()}
+    assert got[1].is_blank and got[1].is_low_contrast and got[1].dynamic_range == 0
+    assert not got[2].is_blank and got[2].is_low_contrast
+    assert not got[3].is_blank and not got[3].is_low_contrast
+    assert got[3].dynamic_range == 255
