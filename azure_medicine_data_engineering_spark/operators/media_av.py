@@ -291,3 +291,76 @@ def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def wav_decode_samples(payload: bytes) -> tuple[int, list[int]]:
+    """(sample_rate, raw PCM16 samples) — the samples-level decode the
+    quality gate builds on (same RIFF walk as :func:`wav_decode`)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    sample_rate = None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        ctype = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + size]
+        if ctype == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("decoder supports PCM16 mono only")
+        elif ctype == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    return sample_rate, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+def audio_quality_flags(
+    df: DataFrame,
+    silence_peak: int = 1000,
+    clip_level: int = 29000,
+) -> DataFrame:
+    """Audio-quality gating for multimodal corpora: flag silent clips
+    (peak |amplitude| below ``silence_peak``) and report hard-clipping
+    exposure (samples at or beyond ``clip_level``) — the dead-mic /
+    hot-mic filter a speech pipeline runs before transcription compute.
+
+    All metrics are integer (peak, counts, micro-unit clip fraction), so
+    the flag set is engine-exact. Emits ``(media_id, n_samples, peak,
+    is_silent, n_clipped, clip_frac)``. Same Arrow map-only shape as
+    :func:`decode_audio`."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                _rate, samples = wav_decode_samples(bytes(payload))
+                n = len(samples)
+                peak = max((s if s >= 0 else -s) for s in samples) if n else 0
+                clipped = sum(
+                    1 for s in samples if (s if s >= 0 else -s) >= clip_level
+                )
+                rows.append((mid, n, peak, clipped))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "peak", "n_clipped"]
+            )
+
+    decoded = df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, n_samples long, peak long, n_clipped long"
+    )
+    return decoded.select(
+        "media_id",
+        "n_samples",
+        "peak",
+        (F.col("peak") < silence_peak).alias("is_silent"),
+        "n_clipped",
+        (F.expr("n_clipped * 1000000 div n_samples") / 1e6).alias("clip_frac"),
+    )

@@ -945,3 +945,48 @@ def q_multimodal_image_quality_flags(spark: SparkSession, sf_dir: str) -> DataFr
     docs = _t(spark, sf_dir, "documents")
     media = attach_png_payload(docs, "doc_id", "text")
     return image_quality_flags(media)
+
+
+@register(
+    "multimodal_audio_quality_flags",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             32 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 97 AS n
+      FROM m
+    ),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(n),
+               i -> abs((CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT) - 128) * 231))
+               AS amps
+      FROM d
+    ),
+    agg AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             CAST(list_max(amps) AS BIGINT) AS peak,
+             CAST(len(list_filter(amps, a -> a >= 29000)) AS BIGINT) AS n_clipped
+      FROM s
+    )
+    SELECT doc_id AS media_id, n_samples, peak,
+           peak < 1000 AS is_silent,
+           n_clipped,
+           (n_clipped * 1000000 // n_samples) / 1e6 AS clip_frac
+    FROM agg
+    """,
+)
+def q_multimodal_audio_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-corpus quality gate (operators/media_av.py:
+    audio_quality_flags): every WAV payload decoded to samples, flagged
+    for silence (integer peak test) with hard-clip exposure in micro
+    units; the oracle regenerates the PCM16 samples from md5(text) and
+    recomputes identical integer metrics."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_wav_payload,
+        audio_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_wav_payload(docs, "doc_id", "text")
+    return audio_quality_flags(media)

@@ -107,3 +107,23 @@ def test_spark_audio_video_pipeline(spark):
         assert r.frame_idx % 2 == 0
         assert 2 <= r.width <= 8 and 2 <= r.height <= 6
         assert 0.0 <= r.frame_mean <= 1.0
+
+
+def test_audio_quality_flags_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        audio_quality_flags,
+        wav_encode_pcm16,
+    )
+
+    silent = wav_encode_pcm16(8000, [0, 5, -5, 2] * 10)
+    hot = wav_encode_pcm16(8000, [32767, -32768, 100, 29000] * 10)
+    normal = wav_encode_pcm16(8000, [4000, -6000, 2500, -1500] * 10)
+    df = spark.createDataFrame(
+        [(1, bytearray(silent)), (2, bytearray(hot)), (3, bytearray(normal))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in audio_quality_flags(df).collect()}
+    assert got[1].is_silent and got[1].n_clipped == 0
+    assert not got[2].is_silent and got[2].n_clipped == 30  # 3 of 4 per rep
+    assert abs(got[2].clip_frac - 0.75) < 1e-6
+    assert not got[3].is_silent and got[3].n_clipped == 0
