@@ -364,3 +364,54 @@ def audio_quality_flags(
         "n_clipped",
         (F.expr("n_clipped * 1000000 div n_samples") / 1e6).alias("clip_frac"),
     )
+
+
+def video_motion_report(df: DataFrame, static_threshold_milli: int = 0) -> DataFrame:
+    """Inter-frame motion report for video corpora: per clip, the exact
+    integer sum of |pixel delta| between consecutive frames and the
+    derived mean motion — the static-content / frozen-feed detector a
+    video pipeline runs before sampling frames for captioning (a slideshow
+    and a camera feed need different treatment).
+
+    ``is_static`` flags clips whose mean per-pixel inter-frame delta is at
+    or below ``static_threshold_milli`` (milli-levels; 0 = bit-identical
+    frames only). Integer sums end-to-end; the mean is one micro-grid
+    division. Emits ``(media_id, n_frames, width, height, motion_sum,
+    mean_motion, is_static)``. Arrow map-only, same shape as the demux."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, frames = vid_decode_frames(bytes(payload))
+                motion = 0
+                for a, bb in zip(frames, frames[1:]):
+                    motion += sum(
+                        (x - y) if x >= y else (y - x) for x, y in zip(a, bb)
+                    )
+                rows.append((mid, len(frames), w, h, motion))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "width", "height",
+                               "motion_sum"],
+            )
+
+    decoded = df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, n_frames int, width int, height int, motion_sum long",
+    )
+    denom = (F.col("n_frames") - 1) * F.col("width") * F.col("height")
+    mean_motion_milli = F.expr(
+        "motion_sum * 1000 div ((n_frames - 1) * width * height)"
+    )
+    return decoded.select(
+        "media_id",
+        "n_frames",
+        "width",
+        "height",
+        "motion_sum",
+        (mean_motion_milli / 1e3).alias("mean_motion"),
+        (mean_motion_milli <= static_threshold_milli).alias("is_static"),
+    )

@@ -990,3 +990,46 @@ def q_multimodal_audio_quality_flags(spark: SparkSession, sf_dir: str) -> DataFr
     docs = _t(spark, sf_dir, "documents")
     media = attach_wav_payload(docs, "doc_id", "text")
     return audio_quality_flags(media)
+
+
+@register(
+    "multimodal_video_motion",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             2 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 7 AS w,
+             2 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 5 AS h,
+             4 + CAST(('0x' || substr(hex, 5, 2)) AS INT) % 9 AS nf
+      FROM m
+    ),
+    motion AS (
+      SELECT doc_id, nf, w, h,
+             CAST(list_sum(list_transform(range((nf - 1) * w * h),
+               k -> abs(CAST(('0x' || substr(hex, (((k // (w * h)) + (k % (w * h))) % 16) * 2 + 1, 2)) AS BIGINT)
+                      - CAST(('0x' || substr(hex, (((k // (w * h)) + 1 + (k % (w * h))) % 16) * 2 + 1, 2)) AS BIGINT))))
+               AS BIGINT) AS motion_sum
+      FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height, motion_sum,
+           (motion_sum * 1000 // ((nf - 1) * w * h)) / 1e3 AS mean_motion,
+           motion_sum * 1000 // ((nf - 1) * w * h) <= 0 AS is_static
+    FROM motion
+    """,
+)
+def q_multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video static-content detector (operators/media_av.py:
+    video_motion_report): VID0 clips demuxed and scored by exact integer
+    inter-frame |pixel delta| sums; the oracle regenerates every frame
+    pair's sliding-tile pixels from md5(text) and recomputes the same
+    motion integers."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_video_payload,
+        video_motion_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_video_payload(docs, "doc_id", "text")
+    return video_motion_report(media)

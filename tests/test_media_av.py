@@ -127,3 +127,22 @@ def test_audio_quality_flags_planted(spark):
     assert not got[2].is_silent and got[2].n_clipped == 30  # 3 of 4 per rep
     assert abs(got[2].clip_frac - 0.75) < 1e-6
     assert not got[3].is_silent and got[3].n_clipped == 0
+
+
+def test_video_motion_static_vs_moving(spark):
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        video_motion_report,
+        vid_encode_gray,
+    )
+
+    static = vid_encode_gray(2, 2, [bytes([7, 7, 7, 7])] * 3)
+    moving = vid_encode_gray(2, 2, [bytes([0] * 4), bytes([10] * 4), bytes([0] * 4)])
+    df = spark.createDataFrame(
+        [(1, bytearray(static)), (2, bytearray(moving))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in video_motion_report(df).collect()}
+    assert got[1].is_static and got[1].motion_sum == 0
+    # 2 transitions x 4 px x delta 10 = 80; mean = 80 / (2*4) = 10.0
+    assert not got[2].is_static and got[2].motion_sum == 80
+    assert abs(got[2].mean_motion - 10.0) < 1e-9
