@@ -786,3 +786,109 @@ def contrastive_pairs(
             F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
         )
     )
+
+
+def ivf_pq_refine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 20,
+    n_clusters: int = 8,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache: bool = True,
+) -> DataFrame:
+    """The production ANN serving stack in one operator — FAISS's
+    IVF-PQ + refine pipeline: (1) the coarse quantizer prunes the corpus
+    to the query's cell (nprobe=1 here; the knob is :func:`ivf_knn_topk`'s),
+    (2) PQ/ADC scores the surviving candidates from 64×-compressed codes
+    — integer micro-unit table sums, the corpus never decodes, (3) the
+    top-``shortlist`` candidates re-rank EXACTLY from their full vectors
+    and the top-``k`` emerge. Each stage cuts the work the next stage
+    touches: cell ≈ corpus/n_clusters rows, ADC reads codes only, and
+    full-precision math happens on ``shortlist`` rows per query.
+
+    Returns ``(query_id, neighbor_id, approx_dist, cos_sim, rnk)`` —
+    approx_dist is the ADC score that shortlisted the row, cos_sim the
+    exact score that ranked it. Caller owns the caches via
+    ``out._stage_caches`` (repo convention)."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(df, n_clusters, id_col, vec_col).persist()
+    assigned = ivf_assign(df, cents, id_col, vec_col).persist()
+    q = assigned.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("cluster").alias("_qcluster"),
+    )
+    cand = assigned.join(
+        F.broadcast(q.select("query_id", "_qcluster")),
+        (F.col("cluster") == F.col("_qcluster"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", F.col(id_col).alias("neighbor_id"))
+    codebook, codes, sub = pq_train_codes(
+        df, m, dsub, ksub, id_col, vec_col, cache=cache
+    )
+    qsub = sub.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "s", F.col("sv").alias("qsv")
+    )
+    table = qsub.join(codebook, "s").select(
+        "query_id",
+        "s",
+        "cid",
+        F.round(F.round(l2sq(F.col("qsv"), F.col("centroid")), 6) * 1e6)
+        .cast("long")
+        .alias("d2u"),
+    )
+    c, t = codes.alias("_ipc"), table.alias("_ipt")
+    adc = (
+        c.join(
+            F.broadcast(t),
+            (F.col("_ipc.s") == F.col("_ipt.s"))
+            & (F.col("_ipc.code") == F.col("_ipt.cid"))
+            & (F.col(f"_ipc.{id_col}") != F.col("_ipt.query_id")),
+        )
+        .groupBy(
+            F.col("_ipt.query_id").alias("query_id"),
+            F.col(f"_ipc.{id_col}").alias("neighbor_id"),
+        )
+        .agg(F.sum("d2u").alias("du"))
+        .join(cand, ["query_id", "neighbor_id"])  # IVF cell prune
+    )
+    ws = Window.partitionBy("query_id").orderBy("du", "neighbor_id")
+    short = (
+        adc.withColumn("_sr", F.row_number().over(ws))
+        .where(F.col("_sr") <= shortlist)
+        .select("query_id", "neighbor_id", "du")
+    )
+    full = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("_nvec"),
+    )
+    qv = F.broadcast(
+        q.select("query_id", as_double_array(F.col("_qvec")).alias("_qd"))
+    )
+    rer = (
+        short.join(full, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("du").cast("double") / 1e6, 4).alias("approx_dist"),
+            F.round(cosine(F.col("_nvec"), F.col("_qd")).cast("double"), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    out = (
+        rer.withColumn("rnk", F.row_number().over(wf).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+    out._stage_caches = [cents, assigned] + ([sub] if cache else [])
+    return out

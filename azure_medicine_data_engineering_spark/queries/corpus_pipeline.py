@@ -1243,3 +1243,103 @@ def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("text")).cast("long")).alias("t")
     ).collect()[0].t
     return token_budget_waterfill(docs, budget=total * 3 // 5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ + exact refine: the full production ANN serving stack.
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "embedding_ivf_pq_refine",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cluster),
+    cscored AS (
+      SELECT e.vec_id, e.v, c.cluster,
+             ROUND(CAST({_COS_SQL.format(a='e.v', b='c.centroid')} AS DOUBLE), 6) AS c_sim
+      FROM e, carr c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM cscored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cluster) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qc FROM assigned WHERE vec_id < 5),
+    cand AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id
+      FROM assigned b JOIN q ON b.cluster = q.qc AND b.vec_id <> q.query_id
+    ),
+    sub AS (
+      SELECT vec_id, t.s, v[t.s*8+1 : t.s*8+8] AS sv
+      FROM e, (SELECT unnest(range(8)) AS s) t(s)
+    ),
+    cdim AS (
+      SELECT s, vec_id % 16 AS cid, d.i AS dim, ROUND(AVG(sv[d.i + 1]), 6) AS c
+      FROM sub, (SELECT unnest(range(8)) AS i) d(i)
+      GROUP BY 1, 2, 3
+    ),
+    cb AS (SELECT s, cid, list(c ORDER BY dim) AS centroid FROM cdim GROUP BY s, cid),
+    pscored AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             ROUND({_l2sq_sql('sub.sv', 'cb.centroid')}, 6) AS d2
+      FROM sub JOIN cb USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM pscored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) = 1
+    ),
+    qtab AS (
+      SELECT qq.vec_id AS query_id, qq.s, cb.cid,
+             CAST(ROUND(ROUND({_l2sq_sql('qq.sv', 'cb.centroid')}, 6) * 1e6) AS BIGINT) AS d2u
+      FROM sub qq JOIN cb USING (s) WHERE qq.vec_id < 5
+    ),
+    adc AS (
+      SELECT t.query_id, c.vec_id AS neighbor_id, SUM(t.d2u) AS du
+      FROM codes c JOIN qtab t ON c.s = t.s AND c.code = t.cid AND c.vec_id <> t.query_id
+      GROUP BY 1, 2
+    ),
+    pruned AS (
+      SELECT adc.query_id, adc.neighbor_id, adc.du
+      FROM adc JOIN cand ON adc.query_id = cand.query_id
+                        AND adc.neighbor_id = cand.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, du FROM pruned
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY du, neighbor_id) <= 20
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(CAST(s.du AS DOUBLE) / 1e6, 4) AS approx_dist,
+             ROUND(CAST({_COS_SQL.format(a='n.v', b='q.qv')} AS DOUBLE), 4) AS cos_sim
+      FROM short s
+      JOIN e n ON n.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+    FROM rer QUALIFY rnk <= 5
+    """,
+)
+def q_embedding_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ANN serving stack (operators/similarity.py:ivf_pq_refine_topk):
+    IVF cell prune → PQ/ADC shortlist of 20 → exact cosine re-rank to
+    top-5. The oracle replays all three stages — coarse assignment, code
+    assignment, integer ADC sums, prune, shortlist, and refine — so any
+    drift in any stage breaks the hash."""
+    from azure_medicine_data_engineering_spark.operators import similarity
+
+    return similarity.ivf_pq_refine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
+        k=5, shortlist=20,
+    )

@@ -298,3 +298,26 @@ def test_token_budget_waterfill_exact_and_fair(spark):
     # odd budget: remainder lands deterministically, sum still exact
     odd = token_budget_waterfill(df, budget=201).collect()
     assert sum(r.alloc_tokens for r in odd) == 201
+
+
+def test_ivf_pq_refine_ranks_by_exact_cosine(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        ivf_pq_refine_topk,
+    )
+
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17 - 8) for d in range(16)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_pq_refine_topk(
+        df, query_ids=[0], k=3, shortlist=8, n_clusters=1, m=4, dsub=4, ksub=8
+    )
+    got = out.collect()
+    assert len(got) == 3
+    # final ranking is by the EXACT cosine, descending, rank contiguous
+    sims = [r.cos_sim for r in sorted(got, key=lambda r: r.rnk)]
+    assert sims == sorted(sims, reverse=True)
+    assert [r.rnk for r in sorted(got, key=lambda r: r.rnk)] == [1, 2, 3]
+    for c in out._stage_caches:
+        c.unpersist()
