@@ -1450,3 +1450,48 @@ def q_wordpiece_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.piece for r in subword_vocab_candidates(docs, top_k=200, max_len=4).collect()
     ]
     return wordpiece_tokenize_stats(docs, vocab, max_len=4)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized search (the 4x-compression integer fast path).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_sq8_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, t.i AS dim, v[t.i + 1] AS x
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+    ),
+    ranges AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim),
+    codes AS (
+      SELECT d.vec_id, d.dim,
+             CAST(CASE WHEN r.hi > r.lo
+                  THEN greatest(0, least(255,
+                       floor((d.x - r.lo) * 255.0 / (r.hi - r.lo) + 0.5)))
+                  ELSE 0 END AS BIGINT) AS c
+      FROM dims d JOIN ranges r USING (dim)
+    ),
+    q AS (SELECT vec_id AS query_id, dim, c AS qc FROM codes WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, codes.vec_id AS neighbor_id,
+             CAST(SUM((codes.c - q.qc) * (codes.c - q.qc)) AS BIGINT) AS code_dist
+      FROM codes JOIN q ON codes.dim = q.dim AND codes.vec_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, code_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY code_dist, neighbor_id) AS INT) AS rnk
+    FROM pairs QUALIFY rnk <= 10
+    """,
+)
+def q_embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized search (operators/similarity.py:sq8_knn_topk):
+    per-dimension byte codes from corpus [min, max] ranges, exact integer
+    squared-code distances, top-10 per panel query — the 4x-compression
+    companion to the PQ path."""
+    return similarity.sq8_knn_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )

@@ -321,3 +321,23 @@ def test_ivf_pq_refine_ranks_by_exact_cosine(spark):
     assert [r.rnk for r in sorted(got, key=lambda r: r.rnk)] == [1, 2, 3]
     for c in out._stage_caches:
         c.unpersist()
+
+
+def test_sq8_codes_preserve_neighborhood(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        sq8_knn_topk,
+    )
+
+    # anchor at origin-ish, one very close vector, one far
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.1, 0.0, 0.0, 0.0]),      # nearest
+        (2, [10.0, 10.0, 10.0, 10.0]),  # farthest
+        (3, [5.0, 5.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        sq8_knn_topk(df, query_ids=[0], k=3).collect(), key=lambda r: r.rnk
+    )
+    assert [r.neighbor_id for r in got] == [1, 3, 2]
+    assert got[0].code_dist < got[1].code_dist < got[2].code_dist
