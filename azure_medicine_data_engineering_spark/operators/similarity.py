@@ -975,3 +975,101 @@ def sq8_knn_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "code_dist", "rnk")
     )
+
+
+def mmr_diversified_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    pool: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank the
+    exact top-``pool`` candidates so the final ``k`` balance query
+    relevance against redundancy —
+    ``score = λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s)`` — the
+    diversified-retrieval step between ANN search and a RAG context
+    window (ten near-duplicate passages waste nine context slots).
+
+    Greedy selection is inherently sequential in k, so the loop runs k
+    rounds DRIVER-SIDE — but each round's work is DataFrame-only over the
+    (queries × pool)-row candidate frame (persisted once): candidate-to-
+    selected sims, a max, an argmax window. Nothing corpus-sized moves
+    after the initial top-pool search. Scores round to 4 before every
+    argmax (id tie-break) so selection is engine-exact.
+
+    Emits ``(query_id, neighbor_id, cos_sim, mmr_score, pick)`` with
+    ``pick`` = 1-based selection order. Caller releases ``out._stage_caches``."""
+    from pyspark.sql.window import Window
+
+    cand = (
+        knn_topk(df, _panel(df, query_ids, id_col, vec_col), k=pool,
+                 id_col=id_col, vec_col=vec_col)
+        .join(
+            df.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_array(F.col(vec_col)).alias("_cv"),
+            ),
+            "neighbor_id",
+        )
+        .persist()
+    )
+    lam_l = F.lit(float(lam))
+    first = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    sel = (
+        cand.withColumn("_r", F.row_number().over(first))
+        .where(F.col("_r") == 1)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("cos_sim").alias("mmr_score"),
+            F.lit(1).alias("pick"), "_cv",
+        )
+    )
+    for step in range(2, k + 1):
+        chosen = sel.select(
+            "query_id",
+            F.col("neighbor_id").alias("_sid"),
+            F.col("_cv").alias("_sv"),
+        )
+        taken = sel.select(
+            F.col("query_id").alias("_tq"), F.col("neighbor_id").alias("_taken")
+        )
+        remaining = cand.join(
+            taken,
+            (cand["query_id"] == taken["_tq"])
+            & (cand["neighbor_id"] == taken["_taken"]),
+            "left_anti",
+        )
+        scored = (
+            remaining.join(F.broadcast(chosen), "query_id")
+            .select(
+                "query_id", "neighbor_id", "cos_sim", "_cv",
+                F.round(cosine(F.col("_cv"), F.col("_sv")).cast("double"), 4)
+                .alias("_ssim"),
+            )
+            .groupBy("query_id", "neighbor_id", "cos_sim")
+            .agg(F.max("_ssim").alias("_red"), F.first("_cv").alias("_cv"))
+            .select(
+                "query_id", "neighbor_id", "cos_sim", "_cv",
+                F.round(lam_l * F.col("cos_sim")
+                        - (F.lit(1.0) - lam_l) * F.col("_red"), 4)
+                .alias("mmr_score"),
+            )
+        )
+        wpick = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), "neighbor_id"
+        )
+        nxt = (
+            scored.withColumn("_r", F.row_number().over(wpick))
+            .where(F.col("_r") == 1)
+            .select(
+                "query_id", "neighbor_id", "cos_sim", "mmr_score",
+                F.lit(step).alias("pick"), "_cv",
+            )
+        )
+        sel = sel.unionByName(nxt)
+    out = sel.select("query_id", "neighbor_id", "cos_sim", "mmr_score", "pick")
+    out._stage_caches = [cand]
+    return out

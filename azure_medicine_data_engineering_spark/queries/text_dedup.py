@@ -1495,3 +1495,81 @@ def q_embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_knn_topk(
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (k=3 greedy rounds unrolled in the oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mmr_diversified_top3",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    cand AS (
+      SELECT query_id, neighbor_id, cos_sim, cv FROM (
+        SELECT q.query_id, b.vec_id AS neighbor_id, b.v AS cv,
+               ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) AS cos_sim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                          b.vec_id) AS rn
+        FROM e b JOIN q ON b.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    ),
+    csim AS (
+      SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+             ROUND(CAST({_COS_AB.format(a='a.cv', b='b.cv')} AS DOUBLE), 4) AS s
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ),
+    p1 AS (
+      SELECT query_id, neighbor_id, cos_sim, cos_sim AS mmr_score, 1 AS pick
+      FROM cand
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) = 1
+    ),
+    p2 AS (
+      SELECT query_id, neighbor_id, cos_sim, mmr_score, 2 AS pick FROM (
+        SELECT c.query_id, c.neighbor_id, c.cos_sim,
+               ROUND(0.7 * c.cos_sim - (1.0 - 0.7) * s.s, 4) AS mmr_score
+        FROM cand c
+        JOIN p1 ON p1.query_id = c.query_id AND c.neighbor_id <> p1.neighbor_id
+        JOIN csim s ON s.query_id = c.query_id AND s.ca = c.neighbor_id
+                   AND s.cb = p1.neighbor_id
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_score DESC, neighbor_id) = 1
+    ),
+    p3 AS (
+      SELECT query_id, neighbor_id, cos_sim, mmr_score, 3 AS pick FROM (
+        SELECT c.query_id, c.neighbor_id, c.cos_sim,
+               ROUND(0.7 * c.cos_sim - (1.0 - 0.7) * MAX(s.s), 4) AS mmr_score
+        FROM cand c
+        JOIN p1 ON p1.query_id = c.query_id AND c.neighbor_id <> p1.neighbor_id
+        JOIN p2 ON p2.query_id = c.query_id AND c.neighbor_id <> p2.neighbor_id
+        JOIN csim s ON s.query_id = c.query_id AND s.ca = c.neighbor_id
+                   AND s.cb IN (p1.neighbor_id, p2.neighbor_id)
+        GROUP BY c.query_id, c.neighbor_id, c.cos_sim
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_score DESC, neighbor_id) = 1
+    )
+    SELECT query_id, neighbor_id, cos_sim, mmr_score, CAST(pick AS INT) AS pick
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+    """,
+)
+def q_mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (operators/similarity.py:mmr_diversified_topk):
+    3 greedy MMR rounds (λ=0.7) over the exact top-10 pool — the
+    redundancy-penalized re-rank between ANN and a RAG context window;
+    the oracle unrolls every greedy round."""
+    out = similarity.mmr_diversified_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
+        k=3, pool=10, lam=0.7,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", "mmr_score",
+        F.col("pick").cast("int").alias("pick"),
+    )

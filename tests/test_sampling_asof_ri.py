@@ -341,3 +341,28 @@ def test_sq8_codes_preserve_neighborhood(spark):
     )
     assert [r.neighbor_id for r in got] == [1, 3, 2]
     assert got[0].code_dist < got[1].code_dist < got[2].code_dist
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    # query on the x-axis; 1 and 3 equally relevant on OPPOSITE sides of it
+    # (tie broken to 1), 2 a near-duplicate of 1. MMR must take 3 next:
+    # same relevance, far lower redundancy to the already-picked 1.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.43, 0.0]),
+        (2, [0.9, 0.44, 0.0]),
+        (3, [0.9, -0.43, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_diversified_topk(df, query_ids=[0], k=2, pool=3, lam=0.7)
+    got = sorted(out.collect(), key=lambda r: r.pick)
+    # pick 1 = the best match (tie-break); pick 2 = the diverse doc
+    assert got[0].neighbor_id == 1
+    assert got[1].neighbor_id == 3
+    assert got[1].mmr_score < got[1].cos_sim  # redundancy penalty applied
+    for c in out._stage_caches:
+        c.unpersist()
