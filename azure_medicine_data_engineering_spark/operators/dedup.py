@@ -724,3 +724,49 @@ def source_overlap_matrix(
     )
     out._stage_caches = [fps] if cache else []
     return out
+
+
+def edit_distance_near_pairs(
+    df: DataFrame,
+    max_ratio_micro: int = 300_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level near-duplicate verification: LSH candidate pairs
+    re-checked by EXACT Levenshtein distance — the strictest of the repo's
+    pair-verify ladders (Jaccard sees bag overlap, SimHash sees bit drift;
+    edit distance sees the actual keystrokes between two versions of a
+    document, the signal a dedup audit quotes).
+
+    Keeps pairs whose normalized distance ``lev / max(len_a, len_b)`` is at
+    most ``max_ratio_micro`` micro-units, compared in INTEGER cross-product
+    form (``lev · 1e6 ≤ ratio · maxlen``) — no division, engine-exact.
+    Levenshtein is built into both engines' SQL cores (JVM here, native in
+    the DuckDB oracle), so the verify stays out of Python.
+
+    Scale: candidate generation is the banded-LSH shuffle (never all
+    pairs); the O(len²) Levenshtein DP runs ONLY on surviving candidate
+    pairs — the same cost discipline as the Jaccard verify."""
+    cand = lsh_candidate_pairs(df, text_col, id_col)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb")).cast("long")
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("edit_distance"),
+            maxlen.alias("max_len"),
+            (F.expr("edit_distance * 1000000 div max_len") / 1e6).alias(
+                "edit_ratio"
+            ),
+        )
+        .where(
+            F.col("edit_distance") * 1_000_000
+            <= F.lit(int(max_ratio_micro)) * F.col("max_len")
+        )
+    )

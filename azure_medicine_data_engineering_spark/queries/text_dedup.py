@@ -1573,3 +1573,36 @@ def q_mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cos_sim", "mmr_score",
         F.col("pick").cast("int").alias("pick"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification over LSH candidates (keystroke-level near-dups).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "edit_distance_near_pairs",
+    f"""
+    WITH {_LSH_CTES},
+    lev AS (
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+             CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, edit_distance, max_len,
+           (edit_distance * 1000000 // max_len) / 1e6 AS edit_ratio
+    FROM lev WHERE edit_distance * 1000000 <= 300000 * max_len
+    """,
+)
+def q_edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keystroke-level near-dup verification (operators/dedup.py:
+    edit_distance_near_pairs): LSH candidates re-checked by exact
+    Levenshtein, kept at ≤30% normalized distance — the strictest rung of
+    the pair-verify ladder (Jaccard → SimHash → edit distance), with the
+    O(len²) DP confined to candidate pairs."""
+    return dedup.edit_distance_near_pairs(
+        _t(spark, sf_dir, "documents"), max_ratio_micro=300_000
+    )

@@ -211,3 +211,23 @@ def test_source_overlap_matrix_planted(spark):
         ("A", "B"): (1, 2, 2, 0.333333),
         ("A", "C"): (1, 2, 2, 0.333333),
     }
+
+
+def test_edit_distance_near_pairs_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        edit_distance_near_pairs,
+    )
+
+    words = [f"word{i}" for i in range(30)]
+    base = " ".join(words)
+    rows = [
+        (1, base, ),
+        (2, base.replace("word15", "word1x"), ),        # 1 keystroke in 30 words
+        (3, " ".join(f"other{i}" for i in range(30)), ),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in
+           edit_distance_near_pairs(df, max_ratio_micro=300_000).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)].edit_distance == 1
+    assert all(k == (1, 2) for k in got)   # doc 3 never survives the verify
