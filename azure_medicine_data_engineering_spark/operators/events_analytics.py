@@ -280,3 +280,85 @@ def theil_sen_trend(
         (F.min("s") / 1e6).alias("min_slope"),
         (F.max("s") / 1e6).alias("max_slope"),
     )
+
+
+def ols_daily_trend(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Classical OLS slope/intercept of daily revenue — the least-squares
+    companion to :func:`theil_sen_trend` (quote both; when they disagree
+    materially, the series has influential outliers). Closed form from
+    INTEGER sufficient statistics over the day frame:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with x = days since the series start (≤ calendar span) and y = whole
+    dollars — every term fits int64 with orders-of-magnitude headroom, the
+    final division is one IEEE op on identical integers, so both engines
+    produce the same double bit-for-bit.
+
+    Emits one row: ``(n_days, slope_dollars_per_day, intercept_dollars,
+    mean_dollars_per_day)``."""
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.expr(
+            f"sum(cast(round({amount_col} * 100) as bigint)) div 100"
+        ).alias("y")
+    )
+    start = daily.agg(F.min("d").alias("_d0"))
+    g = daily.crossJoin(F.broadcast(start)).select(
+        F.datediff(F.col("d"), F.col("_d0")).cast("long").alias("x"), "y"
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (s["n"] * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        s["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 4).alias("slope_dollars_per_day"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept_dollars"),
+        (F.expr("sy div n")).cast("long").alias("mean_dollars_per_day"),
+    )
+
+
+def day_of_week_seasonality(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Day-of-week seasonality index: each weekday's mean daily revenue as
+    an integer-micro ratio to the all-days mean — the profile a forecaster
+    divides out before trend fitting. Integer division end-to-end
+    (cents-grid dailies → whole-dollar day means → micro-unit index), so
+    both engines agree exactly.
+
+    Emits 7 rows: ``(dow, n_days, mean_dollars, seasonal_index)`` with dow
+    1=Sunday..7=Saturday (both engines' DAYOFWEEK convention)."""
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.expr(
+            f"sum(cast(round({amount_col} * 100) as bigint)) div 100"
+        ).alias("y")
+    )
+    per_dow = daily.groupBy(F.dayofweek("d").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("sum(y) div count(1)").cast("long").alias("mean_dollars"),
+    )
+    overall = daily.agg(F.expr("sum(y) div count(1)").cast("long").alias("_om"))
+    return (
+        per_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            "mean_dollars",
+            (F.expr("mean_dollars * 1000000 div _om") / 1e6).alias("seasonal_index"),
+        )
+    )

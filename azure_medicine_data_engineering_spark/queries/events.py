@@ -740,3 +740,74 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return theil_sen_trend(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "ols_daily_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(date_diff('day', (SELECT MIN(d) FROM daily), d) AS BIGINT) AS x,
+             CAST(y AS BIGINT) AS y
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM g
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 4)
+             AS slope_dollars_per_day,
+           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS intercept_dollars,
+           CAST(sy // n AS BIGINT) AS mean_dollars_per_day
+    FROM s
+    """,
+)
+def q_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical OLS daily-revenue trend (operators/events_analytics.py:
+    ols_daily_trend): closed-form slope/intercept from exact integer
+    sufficient statistics — the least-squares line to quote beside the
+    Theil-Sen robust slope."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        ols_daily_trend,
+    )
+
+    return ols_daily_trend(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "dow_seasonality_index",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      FROM orders GROUP BY 1
+    ),
+    per_dow AS (
+      SELECT CAST(dayofweek(d) + 1 AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_dollars
+      FROM daily GROUP BY 1
+    ),
+    overall AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS om FROM daily)
+    SELECT dow, n_days, mean_dollars,
+           (mean_dollars * 1000000 // om) / 1e6 AS seasonal_index
+    FROM per_dow, overall
+    """,
+)
+def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality (operators/events_analytics.py:
+    day_of_week_seasonality): per-weekday mean daily revenue indexed to
+    the all-days mean, integer division end-to-end."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        day_of_week_seasonality,
+    )
+
+    return day_of_week_seasonality(_t(spark, sf_dir, "orders"))

@@ -255,3 +255,38 @@ def test_theil_sen_resists_outlier_day(spark):
     assert r.n_pairs == 21 * 20 // 2
     # the median slope stays on the true +10/day trend despite the spike
     assert abs(r.slope_dollars_per_day - 10.0) < 0.5
+
+
+def test_ols_trend_recovers_planted_slope(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        ols_daily_trend,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(days=i), 1000.0 + 25.0 * i) for i in range(30)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    r = ols_daily_trend(orders).collect()[0]
+    assert r.n_days == 30
+    assert abs(r.slope_dollars_per_day - 25.0) < 0.1
+    assert abs(r.intercept_dollars - 1000.0) < 2.0
+
+
+def test_dow_seasonality_flat_series_indexes_to_one(spark):
+    import datetime as dt
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        day_of_week_seasonality,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(days=i), 500.0) for i in range(28)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = day_of_week_seasonality(orders).collect()
+    assert len(out) == 7
+    assert all(r.n_days == 4 and abs(r.seasonal_index - 1.0) < 1e-6 for r in out)
