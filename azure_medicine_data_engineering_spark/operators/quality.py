@@ -384,3 +384,94 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     )
     out._stage_caches = [counts]
     return out
+
+
+def exact_kth_cents(
+    df: DataFrame, cents_col: str, k_expr, bucket_width: int = 65536
+):
+    """Exact k-th smallest of an integer column, DISTRIBUTED: a global sort
+    or one ORDER BY window would single-reduce the table; instead (1)
+    values bucket by ``value div bucket_width`` and a keyed count collapses
+    the table to the bucket summary, (2) a bounded window over that summary
+    locates the bucket holding rank k, (3) only THAT bucket's values are
+    revisited (pushed filter), and its value-level count-of-counts — at
+    most ``bucket_width`` distinct values — yields the exact order
+    statistic. Returns a 1-row frame ``(kth_value)``.
+
+    ``k_expr`` is a Column evaluated against the 1-row total-count frame
+    (so callers can write ceil-of-fraction ranks)."""
+    from pyspark.sql.window import Window
+
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("_n")).select(
+        "_n", k_expr.cast("long").alias("_k")
+    )
+    bc = df.groupBy(F.expr(f"{cents_col} div {bucket_width}").alias("_bkt")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bc.select("_bkt", (F.sum("_c").over(w)).alias("_cum"), "_c")
+    tgt = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("_cum") >= F.col("_k"))
+        .agg(
+            F.min("_bkt").alias("_tbkt"),
+            F.min_by(F.col("_cum") - F.col("_c"), "_bkt").alias("_prev"),
+        )
+    )
+    inb = (
+        df.crossJoin(F.broadcast(tgt))
+        .where(F.expr(f"{cents_col} div {bucket_width}") == F.col("_tbkt"))
+        .groupBy(F.col(cents_col).alias("_v"), F.col("_prev"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_vc"))
+    )
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        inb.select("_v", (F.col("_prev") + F.sum("_vc").over(wv)).alias("_vcum"))
+        .crossJoin(F.broadcast(tot.select("_k")))
+        .where(F.col("_vcum") >= F.col("_k"))
+        .agg(F.min("_v").cast("long").alias("kth_value"))
+    )
+
+
+def winsorized_mean_report(
+    df: DataFrame,
+    amount_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """Winsorized mean on the cents grid — the robust-location companion to
+    the MAD report: tail values clamp to the exact p_lo/p_hi order
+    statistics (found by :func:`exact_kth_cents`'s distributed bucket
+    pruning, never a global sort) and the mean recomputes on integers.
+    One row: raw vs winsorized mean (micro-exact), the two cutoffs, and
+    the clamp counts — a big raw-vs-winsorized gap is the outlier alarm.
+    """
+    cents = df.select(
+        F.round(F.col(amount_col) * 100).cast("long").alias("_cents")
+    ).persist()
+    lo = exact_kth_cents(
+        cents, "_cents", F.ceil(F.lit(p_lo) * F.col("_n")), bucket_width
+    ).select(F.col("kth_value").alias("_lo"))
+    hi = exact_kth_cents(
+        cents, "_cents", F.ceil(F.lit(p_hi) * F.col("_n")), bucket_width
+    ).select(F.col("kth_value").alias("_hi"))
+    clamped = (
+        cents.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "_cents", "_lo", "_hi",
+            F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("_cents"))).alias("_w"),
+        )
+    )
+    out = clamped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.expr("sum(_cents) * 1000000 div count(1)") / 1e6).alias("raw_mean_cents"),
+        (F.expr("sum(_w) * 1000000 div count(1)") / 1e6).alias("winsorized_mean_cents"),
+        F.first("_lo").cast("long").alias("lo_cut_cents"),
+        F.first("_hi").cast("long").alias("hi_cut_cents"),
+        F.sum((F.col("_cents") < F.col("_lo")).cast("long")).cast("long").alias("n_clamped_lo"),
+        F.sum((F.col("_cents") > F.col("_hi")).cast("long")).cast("long").alias("n_clamped_hi"),
+    )
+    out._stage_caches = [cents]
+    return out

@@ -401,3 +401,46 @@ def q_key_skew_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_medicine_data_engineering_spark.operators.quality import key_skew_report
 
     return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean via distributed exact order statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_mean_extendedprice",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+    lo AS (SELECT v AS lo_cut FROM ranked, tot WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)),
+    hi AS (SELECT v AS hi_cut FROM ranked, tot WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+    SELECT n,
+           (SUM(v) * 1000000 // n) / 1e6 AS raw_mean_cents,
+           (SUM(greatest(lo_cut, least(hi_cut, v))) * 1000000 // n) / 1e6
+             AS winsorized_mean_cents,
+           CAST(lo_cut AS BIGINT) AS lo_cut_cents,
+           CAST(hi_cut AS BIGINT) AS hi_cut_cents,
+           CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi
+    FROM c, tot, lo, hi
+    GROUP BY n, lo_cut, hi_cut
+    """,
+)
+def q_winsorized_mean_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of l_extendedprice (operators/quality.py:
+    winsorized_mean_report): the 5%/95% cutoffs come from the DISTRIBUTED
+    exact k-th-element selection (bucket pruning — the oracle's flat
+    ROW_NUMBER over the full table is exactly the plan shape the operator
+    exists to avoid), tails clamp, and the integer mean recomputes — the
+    robust-location companion to the MAD report."""
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        winsorized_mean_report,
+    )
+
+    return winsorized_mean_report(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", p_lo=0.05, p_hi=0.95
+    )

@@ -110,3 +110,27 @@ def test_key_skew_report_planted_hot_key(spark):
     assert abs(by_rank[1].skew_factor - 10.0) < 1e-6
     for c in rep._stage_caches:
         c.unpersist()
+
+
+def test_winsorized_mean_clamps_planted_outliers(spark):
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        exact_kth_cents,
+        winsorized_mean_report,
+    )
+
+    # 100 well-behaved values around $10 plus two absurd outliers
+    rows = [(10.0 + (i % 10) * 0.01,) for i in range(100)] + [(99999.0,), (0.01,)]
+    df = spark.createDataFrame(rows, "l_extendedprice double")
+    rep = winsorized_mean_report(df, "l_extendedprice", p_lo=0.05, p_hi=0.95)
+    r = rep.collect()[0]
+    assert r.n == 102
+    assert r.n_clamped_hi >= 1 and r.n_clamped_lo >= 1
+    # the winsorized mean stays near $10 while the raw mean is dragged up
+    assert abs(r.winsorized_mean_cents - 1005) < 20
+    assert r.raw_mean_cents > 90000
+    for c in rep._stage_caches:
+        c.unpersist()
+    # exact_kth agrees with a sorted-list oracle on a small frame
+    cents = spark.createDataFrame([(v,) for v in [5, 1, 9, 3, 3, 7]], "c long")
+    got = exact_kth_cents(cents, "c", F.lit(4), bucket_width=4).collect()[0]
+    assert got.kth_value == sorted([5, 1, 9, 3, 3, 7])[3]
