@@ -179,6 +179,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # variant cuts deciles from the mergeable histogram instead
     # (quality_quantile_gate pattern)
     "revenue_pareto_deciles": (1, "customer-grain decile ntile"),
+    # two exact-kth selections, each with a bucket-summary cum window plus
+    # an in-bucket value-level cum window (both bounded: ~n_buckets rows /
+    # <= bucket_width distinct values; quality.py:exact_kth_cents docstring)
+    "winsorized_mean_extendedprice": (4, "bucket + in-bucket kth windows"),
 }
 
 
