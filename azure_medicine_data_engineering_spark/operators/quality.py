@@ -475,3 +475,50 @@ def winsorized_mean_report(
     )
     out._stage_caches = [cents]
     return out
+
+
+def grouped_exact_kth_cents(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Exact per-group order statistic (default: the lower median) of an
+    integer column, fully DISTRIBUTED: the classic exact-median problem
+    that defeats percentile-state scaling is solved with a per-group
+    count-of-counts — one keyed aggregation collapses the fact table to
+    DISTINCT (group, value) rows, a window PARTITIONED BY GROUP (keyed
+    shuffle, never single-partition) accumulates counts in value order,
+    and the answer is the least value whose cumulative count reaches
+    ``ceil(q · n_group)``.
+
+    State per group is its distinct-value count — for cents-grid money
+    and similar discrete domains that is orders of magnitude below the
+    row count, and the work parallelizes across groups (compare the
+    whole-table exact percentile, which is why the flagship ships the
+    sketch variant). Returns ``(group, n, kth_value)``."""
+    from pyspark.sql.window import Window
+
+    cc = df.groupBy(F.col(group_col), F.col(cents_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(group_col)
+    cum = cc.select(
+        group_col,
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    return (
+        cum.where(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+        .groupBy(group_col)
+        .agg(
+            F.first("_n").cast("long").alias("n"),
+            F.min("_v").cast("long").alias("kth_value"),
+        )
+    )

@@ -444,3 +444,43 @@ def q_winsorized_mean_extendedprice(spark: SparkSession, sf_dir: str) -> DataFra
     return winsorized_mean_report(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", p_lo=0.05, p_hi=0.95
     )
+
+
+@register(
+    "grouped_exact_median_price",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    cc AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY grp, v),
+    cum AS (
+      SELECT grp, v,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM cc
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(MIN(n) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS kth_value
+    FROM cum WHERE cm >= ceil(0.5 * n)
+    GROUP BY grp
+    """,
+)
+def q_grouped_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority exact (lower) median order price on the cents grid
+    (operators/quality.py:grouped_exact_kth_cents): the distributed
+    count-of-counts median — keyed windows over DISTINCT (group, value)
+    rows, no single-partition pass, exact at any scale where the value
+    domain is discrete."""
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        grouped_exact_kth_cents,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return grouped_exact_kth_cents(orders, "o_orderpriority", "cents", q=0.5)

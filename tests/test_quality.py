@@ -134,3 +134,22 @@ def test_winsorized_mean_clamps_planted_outliers(spark):
     cents = spark.createDataFrame([(v,) for v in [5, 1, 9, 3, 3, 7]], "c long")
     got = exact_kth_cents(cents, "c", F.lit(4), bucket_width=4).collect()[0]
     assert got.kth_value == sorted([5, 1, 9, 3, 3, 7])[3]
+
+
+def test_grouped_exact_median_matches_sorted_oracle(spark):
+    import random
+
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        grouped_exact_kth_cents,
+    )
+
+    rng = random.Random(7)
+    rows = [(g, rng.randint(0, 50)) for g in ("a", "b", "c") for _ in range(101)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.n, r.kth_value)
+           for r in grouped_exact_kth_cents(df, "g", "v", q=0.5).collect()}
+    import math
+    for g in ("a", "b", "c"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        k = math.ceil(0.5 * len(vals))
+        assert got[g] == (len(vals), vals[k - 1])
