@@ -1,0 +1,115 @@
+"""Line- and paragraph-level corpus cleaning: the C4 line-filter rules
+(Raffel et al. 2020, §2.2) and global first-occurrence paragraph
+deduplication (the "three-sentence span" dedup of C4, at paragraph
+granularity) — scale extensions with no counterpart in the reference,
+whose text handling stops at label normalization.
+
+Both operators are map-side explodes plus one keyed shuffle: line
+filtering never shuffles at all (per-document explode → filter →
+re-aggregate under the same key), paragraph dedup shuffles once on the
+paragraph fingerprint. Reassembly orders by the original line/paragraph
+ordinal inside a per-document ``collect_list`` (bounded by document
+length), so cleaned text is byte-deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["c4_line_filter", "paragraph_dedup"]
+
+
+def _word_count(line: Column) -> Column:
+    return F.size(F.filter(F.split(line, " "), lambda x: x != ""))
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    banned: tuple[str, ...] = ("javascript", "lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line-level cleaning: split ``text_col`` on newlines, keep
+    lines with at least ``min_words`` whitespace words and none of the
+    ``banned`` substrings (case-insensitive), and reassemble the survivors
+    in original order.
+
+    Returns ``(id, n_lines, n_kept, clean_text)``. Documents whose every
+    line is dropped survive with an empty ``clean_text`` (the caller's
+    quality gate decides their fate — this operator only cleans).
+
+    Plan: posexplode → column-expression predicate → groupBy(id) with an
+    ordinal-sorted ``collect_list`` (bounded by lines-per-document). No
+    shuffle beyond the one re-aggregation on the document key; the
+    predicate is pure JVM column algebra, no UDFs.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("i", "line"),
+    )
+    low = F.lower(F.col("line"))
+    keep = _word_count(F.col("line")) >= min_words
+    for b in banned:
+        keep = keep & ~low.contains(b.lower())
+    tagged = lines.select(id_col, "i", "line", keep.alias("_keep"))
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("i"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global first-occurrence paragraph deduplication: split documents on
+    ``sep``, keep each distinct paragraph only at its first corpus
+    position (lowest ``(id, ordinal)``), drop every later copy, and
+    reassemble the survivors per document in original order.
+
+    Returns ``(id, n_paras, n_kept, clean_text)``.
+
+    Plan: one shuffle on the md5 paragraph fingerprint (the window is
+    keyed by fingerprint — duplicate-group-sized partitions, never
+    corpus-sized), then one re-aggregation on the document key. The
+    first-occurrence rule is the deterministic tie-breaker, so results
+    are identical under any partitioning.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("i", "para"),
+    ).where(F.col("para") != "")
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "i")
+    flagged = paras.select(
+        id_col, "i", "para", (F.row_number().over(w) == 1).alias("_first")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("_first").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_first"), F.struct(F.col("i"), F.col("para")))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )

@@ -1,0 +1,176 @@
+"""Line/paragraph corpus-cleaning queries (C4 line rules, global
+paragraph dedup). The synthetic documents are single-line word soup, so
+each query first builds a deterministic line-structured fixture from the
+corpus itself — 12/16-token lines plus boilerplate injections keyed on
+``doc_id`` residues (the ``pii_redaction_report`` fixture convention) —
+then runs the generic operator from ``operators/text_clean.py``. The
+oracle rebuilds the identical fixture and replays the filter/dedup in
+SQL, so both the fixture construction AND the cleaning semantics are
+hash-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.text_clean import (
+    c4_line_filter,
+    paragraph_dedup,
+)
+from azure_medicine_data_engineering_spark.queries.registry import (
+    register,
+    table as _t,
+)
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+_BOILER = {
+    3: "please enable javascript to continue",
+    4: "click here now {menu}",
+    5: "lorem ipsum dolor sit amet consectetur",
+    7: "ok go now",
+}
+
+_PARA_BOILER = {
+    4: "shared boilerplate navigation menu home about contact privacy terms",
+    6: "subscribe to our newsletter for updates and exclusive offers weekly",
+}
+
+
+def _lines_fixture(df: DataFrame, width: int, boiler: dict[int, str]) -> DataFrame:
+    """Deterministic line-structured fixture: the document's tokens cut
+    into ``width``-token lines, plus boilerplate lines appended for
+    ``doc_id`` residue classes, newline-joined."""
+    extras = F.filter(
+        F.array(
+            *[
+                F.when(F.col("doc_id") % k == 0, F.lit(s))
+                for k, s in sorted(boiler.items())
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # sequence(0, -1) DESCENDS in Spark (vs DuckDB's empty range(0)):
+    # empty documents need the explicit empty-array branch.
+    base = F.expr(
+        "case when size(toks) = 0 then cast(array() as array<string>) else "
+        "transform(sequence(0, int(ceil(size(toks) / {w}.0)) - 1), "
+        "i -> array_join(slice(toks, i * {w} + 1, {w}), ' ')) end".format(w=width)
+    )
+    return (
+        df.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("toks"),
+        )
+        .select("doc_id", F.array_join(F.concat(base, extras), "\n").alias("text"))
+    )
+
+
+def _lines_fixture_sql(width: int, boiler: dict[int, str]) -> str:
+    cases = ", ".join(
+        f"CASE WHEN doc_id % {k} = 0 THEN '{s}' END" for k, s in sorted(boiler.items())
+    )
+    return f"""
+    base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    fixture AS (
+      SELECT doc_id, array_to_string(list_concat(
+        list_transform(
+          range(CAST(ceil(len(toks) / {width}.0) AS BIGINT)),
+          i -> array_to_string(toks[i * {width} + 1 : i * {width} + {width}], ' ')
+        ),
+        list_filter([{cases}], x -> x IS NOT NULL)
+      ), chr(10)) AS t
+      FROM base
+    )"""
+
+
+@register(
+    "c4_line_filter_report",
+    f"""
+    WITH {_lines_fixture_sql(12, _BOILER)},
+    l AS (
+      SELECT doc_id, unnest(range(len(lines))) AS i, lines
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS lines FROM fixture)
+    ),
+    flagged AS (
+      SELECT doc_id, i, lines[i + 1] AS line,
+             len(list_filter(string_split(lines[i + 1], ' '), x -> x <> '')) >= 5
+             AND NOT contains(lower(lines[i + 1]), 'javascript')
+             AND NOT contains(lower(lines[i + 1]), 'lorem ipsum')
+             AND NOT contains(lower(lines[i + 1]), '{{')
+             AS keep
+      FROM l
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i), '') AS clean
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_kept,
+           CAST(length(clean) AS INT) AS kept_len, md5(clean) AS kept_md5
+    FROM agg
+    """,
+)
+def q_c4_line_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-filter (Raffel et al. 2020 §2.2) over a line-structured
+    fixture: 12-token lines plus four boilerplate injections (javascript
+    notice, brace menu, lorem ipsum, a 3-word stub). The filter must drop
+    exactly the injected classes plus natural short tail lines and
+    reassemble survivors in order — the md5 of the cleaned text is the
+    gate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = c4_line_filter(_lines_fixture(docs, 12, _BOILER))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("clean_text").cast("int").alias("kept_len"),
+        F.md5("clean_text").alias("kept_md5"),
+    )
+
+
+@register(
+    "paragraph_dedup_docs",
+    f"""
+    WITH {_lines_fixture_sql(16, _PARA_BOILER)},
+    p AS (
+      SELECT doc_id, unnest(range(len(paras))) AS i, paras
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS paras FROM fixture)
+    ),
+    flagged AS (
+      SELECT doc_id, i, paras[i + 1] AS para,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(paras[i + 1]) ORDER BY doc_id, i
+             ) = 1 AS first_seen
+      FROM p WHERE paras[i + 1] <> ''
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_paras,
+             CAST(SUM(CASE WHEN first_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(CASE WHEN first_seen THEN para END, chr(10) ORDER BY i), '') AS clean
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id, n_paras, n_kept,
+           CAST(length(clean) AS INT) AS kept_len, md5(clean) AS kept_md5
+    FROM agg
+    """,
+)
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global first-occurrence paragraph dedup (C4's span-dedup at
+    paragraph granularity): 16-token paragraphs plus two shared
+    boilerplate paragraphs injected across residue classes — every copy
+    after the lowest ``(doc_id, position)`` must drop, and surviving
+    paragraphs must reassemble in order on the keeper."""
+    docs = _t(spark, sf_dir, "documents")
+    out = paragraph_dedup(_lines_fixture(docs, 16, _PARA_BOILER))
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.length("clean_text").cast("int").alias("kept_len"),
+        F.md5("clean_text").alias("kept_md5"),
+    )

@@ -1,0 +1,372 @@
+"""Medical-statistics queries: rank-based nonparametric tests, chi-square
+independence, odds/relative risk, and survival analysis (Kaplan-Meier +
+log-rank) — the classic clinical panel extending the reference's
+hypothesis-testing battery (``notebooks/PhdProject/main Statistical
+Analysis/Hypothesis testing R.r`` runs fisher.test / perm tests /
+PERMANOVA driver-side; these are their distributed, exactly-oracled
+siblings).
+
+Oracle discipline: all rank/count state is BIGINT; every double-precision
+finalization is ONE shared expression string (imported from
+``functions/rankstats.py`` / ``operators/survival.py``) embedded verbatim
+in both the Spark plan and the DuckDB SQL, so the IEEE op sequence is
+identical cross-engine. Cross-cell double sums ride the integer
+micro-unit grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (
+    CHI2_EXPR,
+    KW_H_EXPR,
+    MW_U1_EXPR,
+    MW_Z_EXPR,
+    OR_CI_HI_EXPR,
+    OR_CI_LO_EXPR,
+    OR_EXPR,
+    RR_EXPR,
+    chi_square_independence,
+    kruskal_wallis,
+    mann_whitney_u,
+    odds_ratio_2x2,
+)
+from azure_medicine_data_engineering_spark.operators.survival import (
+    LOGRANK_CHI2_EXPR,
+    kaplan_meier,
+    logrank_2group,
+    time_to_event_days,
+)
+from azure_medicine_data_engineering_spark.queries.registry import (
+    events_table,
+    register,
+    table as _t,
+)
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: click vs view event values.
+# ---------------------------------------------------------------------------
+
+_RANKED_SQL = """
+    byval AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM src GROUP BY v
+    ),
+    r AS (
+      SELECT *, CAST(COALESCE(SUM(c_all) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS cnt_less
+      FROM byval
+    )"""
+
+
+@register(
+    "mann_whitney_click_vs_view",
+    f"""
+    WITH src AS (
+      SELECT value AS v, event_type = 'click' AS g1
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    {_RANKED_SQL},
+    s AS (
+      SELECT CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c_all - c1) AS BIGINT) AS n2,
+             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS tiesum
+      FROM r
+    )
+    SELECT n1, n2, {MW_U1_EXPR} AS u1, {MW_Z_EXPR} AS z FROM s
+    """,
+)
+def q_mann_whitney_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon rank-sum of event ``value`` between click and view events
+    (tie-corrected z) — the distributed twin of R's ``wilcox.test``
+    (extends ``Hypothesis testing R.r``'s two-sample battery). The oracle
+    recomputes the 2x rank sums from a global cumulative window; the Spark
+    side uses the two-phase bucketed prefix sum (rankstats docstring)."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return mann_whitney_u(ev, "value", "event_type", "click")
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across all five event types.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    f"""
+    WITH src AS (SELECT value AS v, event_type AS g FROM events),
+    byval AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c_tot FROM src GROUP BY v),
+    r AS (
+      SELECT *, CAST(COALESCE(SUM(c_tot) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS cnt_less
+      FROM byval
+    ),
+    byvg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c_g FROM src GROUP BY v, g),
+    pg AS (
+      SELECT g, CAST(SUM(c_g * (2 * cnt_less + c_tot + 1)) AS BIGINT) AS rgx2,
+             CAST(SUM(c_g) AS BIGINT) AS n_g
+      FROM byvg JOIN r USING (v) GROUP BY g
+    ),
+    terms AS (
+      SELECT g, (rgx2 / 2e0) * (rgx2 / 2e0) / n_g AS term, n_g FROM pg
+    ),
+    kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n FROM pg),
+    tie AS (SELECT CAST(SUM(c_tot * c_tot * c_tot - c_tot) AS BIGINT) AS tiesum FROM byval),
+    ss AS (
+      SELECT MAX(CASE WHEN g = 'click' THEN term END) AS t1,
+             MAX(CASE WHEN g = 'error' THEN term END) AS t2,
+             MAX(CASE WHEN g = 'purchase' THEN term END) AS t3,
+             MAX(CASE WHEN g = 'signup' THEN term END) AS t4,
+             MAX(CASE WHEN g = 'view' THEN term END) AS t5
+      FROM terms
+    ),
+    s AS (
+      SELECT kn.k, kn.n, tie.tiesum,
+             ((((0e0 + ss.t1) + ss.t2) + ss.t3) + ss.t4) + ss.t5 AS sumsq
+      FROM ss, kn, tie
+    )
+    SELECT k, n, tiesum, {KW_H_EXPR} AS h FROM s
+    """,
+)
+def q_kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H of ``value`` across the five event types
+    (distributed ``kruskal.test`` twin). The Spark side folds the 5
+    per-group ``R_g^2/n_g`` doubles over a group-sorted array; the oracle
+    sums the same terms in the same (alphabetical) order with explicit
+    parenthesization — identical left-fold, bit-identical H."""
+    return kruskal_wallis(events_table(spark, sf_dir), "value", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: event_type x day-of-week.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_type_dow",
+    f"""
+    WITH src AS (
+      SELECT event_type AS a,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS b
+      FROM events
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM src GROUP BY a, b),
+    rows_ AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cols_ AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    spine AS (SELECT ra.a, ra.r, cb.b, cb.c FROM rows_ ra, cols_ cb),
+    filled AS (
+      SELECT s.a, s.b, s.r, s.c, COALESCE(cells.o, 0) AS o, t.n
+      FROM spine s LEFT JOIN cells USING (a, b), tot t
+    ),
+    s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(ROUND(
+               (o * 1e0 * n - r * 1e0 * c) * (o * 1e0 * n - r * 1e0 * c)
+               / (n * 1e0 * r * c) * 1e6
+             ) AS BIGINT)) AS BIGINT) AS chi2_u
+      FROM filled
+    )
+    SELECT n, n_a, n_b, CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+           {CHI2_EXPR} AS chi2
+    FROM s
+    """,
+)
+def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square of independence between event type and
+    day-of-week (engine-neutral ``epoch_day % 7`` — DAYOFWEEK origins
+    differ across engines). Zero cells enter through the margin spine;
+    per-cell terms ride the micro-unit grid (``chi_square_independence``
+    docstring)."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        F.col("event_type").alias("etype"),
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))), 7
+        ).cast("long").alias("dow"),
+    )
+    return chi_square_independence(src, "etype", "dow")
+
+
+# ---------------------------------------------------------------------------
+# Odds ratio / relative risk with Wald CI (orders 2x2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "odds_ratio_urgent_fulfilled",
+    f"""
+    WITH cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM (
+        SELECT o_orderpriority LIKE '1-%' AS e, o_orderstatus = 'F' AS o
+        FROM orders
+      ) t
+    )
+    SELECT a, b, c, d,
+           {OR_EXPR} AS odds_ratio,
+           {RR_EXPR} AS rel_risk,
+           {OR_CI_LO_EXPR} AS ci_lo,
+           {OR_CI_HI_EXPR} AS ci_hi
+    FROM cells
+    """,
+)
+def q_odds_ratio_urgent_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio + relative risk of order fulfilment (status F) given
+    urgent priority, with the Wald 95% CI — the epidemiologist's 2x2
+    companion to ``fisher_exact_orders`` (same distributed contingency
+    build; ``Hypothesis testing R.r:551-554`` runs the fisher.test side)."""
+    o = _t(spark, sf_dir, "orders")
+    return odds_ratio_2x2(
+        o,
+        F.col("o_orderpriority").like("1-%"),
+        F.col("o_orderstatus") == "F",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survival: Kaplan-Meier table + log-rank test on signup -> purchase.
+# ---------------------------------------------------------------------------
+
+_TTE_SQL = """
+    per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS start_ts,
+             MAX(ts) AS last_ts,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS grp
+      FROM events GROUP BY user_id
+    ),
+    firing AS (
+      SELECT e.user_id, MIN(e.ts) AS event_ts
+      FROM events e JOIN per_user p USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= p.start_ts
+      GROUP BY e.user_id
+    ),
+    tte AS (
+      SELECT p.user_id, p.grp,
+             CASE WHEN f.event_ts IS NOT NULL
+                  THEN CAST(CAST(f.event_ts AS DATE) - CAST(p.start_ts AS DATE) AS INT)
+                  ELSE CAST(CAST(p.last_ts AS DATE) - CAST(p.start_ts AS DATE) AS INT)
+             END AS t,
+             CASE WHEN f.event_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user p LEFT JOIN firing f USING (user_id)
+      WHERE p.start_ts IS NOT NULL
+    )"""
+
+
+@register(
+    "kaplan_meier_signup_to_purchase",
+    f"""
+    WITH {_TTE_SQL},
+    at_t AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM tte GROUP BY t
+    ),
+    wr AS (
+      SELECT t, d, c, CAST(SUM(d + c) OVER (
+        ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      ) AS BIGINT) AS n_risk
+      FROM at_t
+    ),
+    cum AS (
+      SELECT t, n_risk, d, c,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(ROUND(LN((n_risk - d) / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+                 ELSE 0 END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lnu,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS dead
+      FROM wr
+    )
+    SELECT CAST(t AS INT) AS t, n_risk, d, c,
+           CASE WHEN dead = 1 THEN 0e0 ELSE ROUND(EXP(lnu / 1e6), 4) END AS surv
+    FROM cum
+    """,
+)
+def q_kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve of days from first signup to first
+    purchase (censored at last observed event). Risk sets are suffix sums
+    over the day frame; the survival product is an integer micro-unit log
+    sum (``operators/survival.py`` docstring). The oracle replays the
+    estimator CTE-for-CTE."""
+    return kaplan_meier(time_to_event_days(events_table(spark, sf_dir)))
+
+
+@register(
+    "logrank_error_vs_clean",
+    f"""
+    WITH {_TTE_SQL},
+    g AS (
+      SELECT t, grp AS g, CAST(SUM(ev) AS BIGINT) AS d_g,
+             CAST(COUNT(*) AS BIGINT) AS rm_g
+      FROM tte GROUP BY t, grp
+    ),
+    spine AS (
+      SELECT ts.t, gs.g
+      FROM (SELECT DISTINCT t FROM g) ts, (SELECT DISTINCT g FROM g) gs
+    ),
+    filled AS (
+      SELECT s.t, s.g, COALESCE(g.d_g, 0) AS d_g, COALESCE(g.rm_g, 0) AS rm_g
+      FROM spine s LEFT JOIN g USING (t, g)
+    ),
+    risk AS (
+      SELECT t, g, d_g, CAST(SUM(rm_g) OVER (
+        PARTITION BY g ORDER BY t
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      ) AS BIGINT) AS n_g
+      FROM filled
+    ),
+    by_t AS (
+      SELECT t,
+             CAST(MAX(CASE WHEN g = 1 THEN d_g END) AS BIGINT) AS d1,
+             CAST(MAX(CASE WHEN g = 0 THEN d_g END) AS BIGINT) AS d0,
+             CAST(MAX(CASE WHEN g = 1 THEN n_g END) AS BIGINT) AS n1t,
+             CAST(MAX(CASE WHEN g = 0 THEN n_g END) AS BIGINT) AS n0t
+      FROM risk GROUP BY t
+    ),
+    s AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(CAST(ROUND(
+               (d1 + d0) * 1e0 * n1t / (n1t + n0t) * 1e6
+             ) AS BIGINT)) AS BIGINT) AS e1u,
+             CAST(SUM(CAST(ROUND(
+               CASE WHEN n1t + n0t > 1
+                 THEN ((d1 + d0) * 1e0 * n1t / (n1t + n0t))
+                      * (n0t * 1e0 / (n1t + n0t))
+                      * ((n1t + n0t) - (d1 + d0)) / ((n1t + n0t) - 1)
+                 ELSE 0e0 END * 1e6
+             ) AS BIGINT)) AS BIGINT) AS vu
+      FROM by_t WHERE n1t + n0t > 0
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM tte
+    )
+    SELECT tot.n1, tot.n0, s.o1, ROUND(s.e1u / 1e6, 4) AS e1,
+           {LOGRANK_CHI2_EXPR} AS chi2
+    FROM s, tot
+    """,
+)
+def q_logrank_error_vs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test: does experiencing an ``error`` event
+    stratify time-to-purchase? Group-level risk sets come from per-group
+    suffix sums; expectation/variance terms ride the micro-unit grid
+    (``operators/survival.py:logrank_2group``)."""
+    return logrank_2group(time_to_event_days(events_table(spark, sf_dir)))

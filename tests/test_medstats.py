@@ -1,0 +1,274 @@
+"""Unit tests for the medical-statistics family (rank tests, chi-square,
+odds ratio, survival) against naive in-test reference implementations,
+plus the text-cleaning operators' semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (
+    chi_square_independence,
+    kruskal_wallis,
+    mann_whitney_u,
+    odds_ratio_2x2,
+)
+from azure_medicine_data_engineering_spark.operators.survival import (
+    kaplan_meier,
+    logrank_2group,
+    time_to_event_days,
+)
+from azure_medicine_data_engineering_spark.operators.text_clean import (
+    c4_line_filter,
+    paragraph_dedup,
+)
+
+
+def _avg_ranks(values):
+    """Average ranks (1-based, ties averaged) of a list."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j + 2) / 2.0  # 1-based average of positions i..j
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+class TestMannWhitney:
+    # two groups with ties across and within groups
+    A = [1.0, 2.0, 2.0, 3.5, 7.0, 9.0]
+    B = [2.0, 4.0, 4.0, 5.0, 6.0]
+
+    def test_u_and_z_match_naive(self, spark):
+        rows = [("a", v) for v in self.A] + [("b", v) for v in self.B]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = mann_whitney_u(df, "v", "g", "a").collect()[0]
+
+        allv = self.A + self.B
+        ranks = _avg_ranks(allv)
+        r1 = sum(ranks[: len(self.A)])
+        n1, n2 = len(self.A), len(self.B)
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        assert out["n1"] == n1 and out["n2"] == n2
+        assert out["u1"] == pytest.approx(u1, abs=1e-9)
+
+        # tie-corrected z
+        nn = n1 + n2
+        from collections import Counter
+
+        ties = sum(t**3 - t for t in Counter(allv).values())
+        var = (n1 * n2 / 12.0) * ((nn + 1) - ties / (nn * (nn - 1)))
+        z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+        assert out["z"] == pytest.approx(z, abs=1e-3)
+
+    def test_no_ties_simple(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], ["g", "v"]
+        )
+        out = mann_whitney_u(df, "v", "g", "a").collect()[0]
+        assert out["u1"] == 0.0  # all of a below all of b
+
+
+class TestKruskalWallis:
+    def test_h_matches_naive(self, spark):
+        groups = {
+            "x": [2.9, 3.0, 2.5, 2.6, 3.2],
+            "y": [3.8, 2.7, 4.0, 2.4],
+            "z": [2.8, 3.4, 3.7, 2.2, 2.0],
+        }
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = kruskal_wallis(df, "v", "g").collect()[0]
+
+        allv = [v for vs in groups.values() for v in vs]
+        ranks = _avg_ranks(allv)
+        i = 0
+        rsums = {}
+        for g, vs in groups.items():
+            rsums[g] = sum(ranks[i : i + len(vs)])
+            i += len(vs)
+        n = len(allv)
+        h = 12.0 / (n * (n + 1)) * sum(
+            rsums[g] ** 2 / len(vs) for g, vs in groups.items()
+        ) - 3 * (n + 1)
+        assert out["k"] == 3 and out["n"] == n and out["tiesum"] == 0
+        assert out["h"] == pytest.approx(h, abs=1e-3)
+
+    def test_tie_correction_applied(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0), ("c", 2.0), ("c", 3.0)],
+            ["g", "v"],
+        )
+        out = kruskal_wallis(df, "v", "g").collect()[0]
+        # ties: value 1.0 x3, 2.0 x2 -> (27-3) + (8-2) = 30
+        assert out["tiesum"] == 30
+
+
+class TestChiSquare:
+    def test_matches_naive_with_zero_cell(self, spark):
+        # 2x3 with one structurally absent cell
+        rows = (
+            [("m", "l")] * 10 + [("m", "c")] * 20 + [("m", "r")] * 5
+            + [("f", "l")] * 8 + [("f", "c")] * 12
+        )
+        df = spark.createDataFrame(rows, ["sex", "side"])
+        out = chi_square_independence(df, "sex", "side").collect()[0]
+        n = len(rows)
+        from collections import Counter
+
+        obs = Counter(rows)
+        rt = Counter(r for r, _ in rows)
+        ct = Counter(c for _, c in rows)
+        chi2 = sum(
+            (obs.get((a, b), 0) - rt[a] * ct[b] / n) ** 2 / (rt[a] * ct[b] / n)
+            for a in rt
+            for b in ct
+        )
+        assert out["n"] == n and out["dof"] == 2
+        assert out["chi2"] == pytest.approx(chi2, abs=1e-3)
+
+
+class TestOddsRatio:
+    def test_matches_naive(self, spark):
+        rows = (
+            [(True, True)] * 30 + [(True, False)] * 70
+            + [(False, True)] * 10 + [(False, False)] * 90
+        )
+        df = spark.createDataFrame(rows, ["e", "o"])
+        out = odds_ratio_2x2(df, F.col("e"), F.col("o")).collect()[0]
+        assert (out["a"], out["b"], out["c"], out["d"]) == (30, 70, 10, 90)
+        orr = 30 * 90 / (70 * 10)
+        assert out["odds_ratio"] == pytest.approx(orr, abs=1e-3)
+        assert out["rel_risk"] == pytest.approx((30 / 100) / (10 / 100), abs=1e-3)
+        se = math.sqrt(1 / 30 + 1 / 70 + 1 / 10 + 1 / 90)
+        assert out["ci_lo"] == pytest.approx(math.exp(math.log(orr) - 1.96 * se), abs=1e-3)
+        assert out["ci_hi"] == pytest.approx(math.exp(math.log(orr) + 1.96 * se), abs=1e-3)
+
+
+def _km_naive(durations):
+    """(t, n_risk, d, c, surv) rows from (t, ev) pairs."""
+    times = sorted({t for t, _ in durations})
+    n = len(durations)
+    out = []
+    surv = 1.0
+    removed = 0
+    for t in times:
+        d = sum(1 for tt, ev in durations if tt == t and ev == 1)
+        c = sum(1 for tt, ev in durations if tt == t and ev == 0)
+        n_risk = n - removed
+        if d > 0:
+            surv *= (n_risk - d) / n_risk
+        out.append((t, n_risk, d, c, surv))
+        removed += d + c
+    return out
+
+
+class TestSurvival:
+    DUR = [
+        (1, 1), (1, 1), (2, 0), (3, 1), (3, 1), (3, 0), (5, 1), (8, 0), (8, 1),
+        (10, 0),
+    ]
+
+    def test_km_matches_naive(self, spark):
+        df = spark.createDataFrame(self.DUR, ["t", "ev"])
+        got = {r["t"]: r for r in kaplan_meier(df).collect()}
+        for t, n_risk, d, c, surv in _km_naive(self.DUR):
+            row = got[t]
+            assert (row["n_risk"], row["d"], row["c"]) == (n_risk, d, c)
+            assert row["surv"] == pytest.approx(surv, abs=1e-3)
+
+    def test_km_hits_zero_when_all_fail(self, spark):
+        df = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], ["t", "ev"])
+        rows = {r["t"]: r["surv"] for r in kaplan_meier(df).collect()}
+        assert rows[3] == 0.0
+
+    def test_logrank_identical_groups_near_zero(self, spark):
+        # same durations in both groups -> no separation, chi2 ~ 0
+        rows = [(t, ev, g) for g in (0, 1) for t, ev in self.DUR]
+        df = spark.createDataFrame(rows, ["t", "ev", "grp"])
+        out = logrank_2group(df).collect()[0]
+        assert out["n1"] == 10 and out["n0"] == 10
+        assert out["chi2"] == pytest.approx(0.0, abs=1e-6)
+        assert out["e1"] == pytest.approx(out["o1"], abs=1e-3)
+
+    def test_logrank_separated_groups(self, spark):
+        # group 1 fails much earlier -> large chi2
+        rows = [(t, 1, 1) for t in (1, 1, 2, 2, 3)] + [
+            (t, 1, 0) for t in (8, 9, 10, 11, 12)
+        ]
+        df = spark.createDataFrame(rows, ["t", "ev", "grp"])
+        out = logrank_2group(df).collect()[0]
+        assert out["chi2"] > 5.0
+
+    def test_time_to_event_extraction(self, spark):
+        import datetime as dt
+
+        def ts(day, h=0):
+            return dt.datetime(2024, 1, day, h)
+
+        rows = [
+            # user 1: signup d1, purchase d4 -> t=3 ev=1
+            (1, ts(1), "signup"), (1, ts(4), "purchase"),
+            # user 2: purchase BEFORE signup doesn't count; censored at last
+            (2, ts(2), "purchase"), (2, ts(3), "signup"), (2, ts(9), "view"),
+            # user 3: no signup -> excluded
+            (3, ts(1), "view"), (3, ts(2), "purchase"),
+            # user 4: error then purchase -> grp 1
+            (4, ts(1), "signup"), (4, ts(2), "error"), (4, ts(6), "purchase"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {r["user_id"]: r for r in time_to_event_days(df).collect()}
+        assert set(got) == {1, 2, 4}
+        assert (got[1]["t"], got[1]["ev"], got[1]["grp"]) == (3, 1, 0)
+        assert (got[2]["t"], got[2]["ev"]) == (6, 0)  # censored at d9
+        assert (got[4]["t"], got[4]["ev"], got[4]["grp"]) == (5, 1, 1)
+
+
+class TestTextClean:
+    def test_line_filter_rules_and_order(self, spark):
+        text = "\n".join(
+            [
+                "alpha beta gamma delta epsilon",       # keep
+                "too short line",                        # drop: < 5 words
+                "please enable JavaScript to continue",  # drop: banned (ci)
+                "second good line with many words here", # keep
+                "lorem ipsum dolor sit amet",            # drop: banned
+                "menu { nav }",                          # drop: banned + short
+            ]
+        )
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = c4_line_filter(df).collect()[0]
+        assert out["n_lines"] == 6 and out["n_kept"] == 2
+        assert out["clean_text"] == (
+            "alpha beta gamma delta epsilon\n"
+            "second good line with many words here"
+        )
+
+    def test_paragraph_dedup_first_occurrence(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "unique one\nshared para\nunique two"),
+                (2, "shared para\nunique three"),
+                (3, "unique four\nshared para"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+        assert out[1]["n_kept"] == 3  # first occurrence keeps it
+        assert out[2]["n_kept"] == 1
+        assert out[2]["clean_text"] == "unique three"
+        assert out[3]["clean_text"] == "unique four"
+
+    def test_paragraph_dedup_within_doc(self, spark):
+        df = spark.createDataFrame([(1, "a b c\na b c\nd e f")], ["doc_id", "text"])
+        out = paragraph_dedup(df).collect()[0]
+        assert out["n_paras"] == 3 and out["n_kept"] == 2
+        assert out["clean_text"] == "a b c\nd e f"

@@ -183,6 +183,13 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # an in-bucket value-level cum window (both bounded: ~n_buckets rows /
     # <= bucket_width distinct values; quality.py:exact_kth_cents docstring)
     "winsorized_mean_extendedprice": (4, "bucket + in-bucket kth windows"),
+    # 1024-row bucket-summary offset window of the two-phase rank prefix
+    # sum (functions/rankstats.py:ranked_value_counts docstring)
+    "mann_whitney_click_vs_view": (1, "1024-row rank-bucket offset window"),
+    "kruskal_wallis_value_by_type": (1, "1024-row rank-bucket offset window"),
+    # suffix/cumulative windows over the day-level KM summary frame
+    # (bounded by the observation span; operators/survival.py docstring)
+    "kaplan_meier_signup_to_purchase": (2, "day-frame KM windows"),
 }
 
 
