@@ -40,6 +40,10 @@ __all__ = [
     "kruskal_wallis",
     "chi_square_independence",
     "odds_ratio_2x2",
+    "cmh_stratified",
+    "cochran_armitage_trend",
+    "spearman_corr",
+    "anova_oneway",
 ]
 
 #: Shared finalization expressions — embedded verbatim in both the Spark
@@ -65,6 +69,21 @@ OR_LNU_EXPR = "cast(round(ln(a * 1e0 * d / (b * 1e0 * c)) * 1e6) as bigint)"
 OR_SE_EXPR = "sqrt(1e0 / a + 1e0 / b + 1e0 / c + 1e0 / d)"
 OR_CI_LO_EXPR = f"round(exp({OR_LNU_EXPR} / 1e6 - 1.96e0 * {OR_SE_EXPR}), 4)"
 OR_CI_HI_EXPR = f"round(exp({OR_LNU_EXPR} / 1e6 + 1.96e0 * {OR_SE_EXPR}), 4)"
+CMH_OR_EXPR = "round(adu * 1e0 / bcu, 4)"
+CMH_CHI2_EXPR = "round((au - eu / 1e6) * (au - eu / 1e6) / (vu / 1e6), 4)"
+CA_Z_EXPR = (
+    "round((sr - r * 1e0 * sn / n) / "
+    "sqrt((r * 1e0 / n) * (1e0 - r * 1e0 / n) * "
+    "(snn - sn * 1e0 * sn / n)), 4)"
+)
+SPEARMAN_RHO_EXPR = (
+    "round((n * 1e0 * suv - su * 1e0 * sv) / "
+    "sqrt((n * 1e0 * suu - su * 1e0 * su) * (n * 1e0 * svv - sv * 1e0 * sv)), 4)"
+)
+ANOVA_F_EXPR = (
+    "round(((ssg - s * 1e0 * s / n) / (k - 1)) / "
+    "((q - ssg) / (n - k)), 4)"
+)
 
 
 def ranked_value_counts(
@@ -268,6 +287,163 @@ def chi_square_independence(
         ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
         F.expr(CHI2_EXPR).alias("chi2"),
     )
+
+
+def cmh_stratified(
+    df: DataFrame, exposure: Column, outcome: Column, stratum: Column
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association: the MH common
+    odds ratio and the CMH chi-square (no continuity correction), exact
+    across any number of strata.
+
+    One keyed aggregation builds the per-stratum 2x2 cells; per-stratum
+    expectation / variance / MH terms round into integer micro-units
+    before the global sum (order-free). Returns one row
+    ``(n_strata, or_mh, chi2)``.
+    """
+    per = (
+        df.select(
+            stratum.alias("st"), exposure.alias("_e"), outcome.alias("_o")
+        )
+        .groupBy("st")
+        .agg(
+            F.sum(F.when(F.col("_e") & F.col("_o"), 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(F.col("_e") & ~F.col("_o"), 1).otherwise(0)).cast("long").alias("b"),
+            F.sum(F.when(~F.col("_e") & F.col("_o"), 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(~F.col("_e") & ~F.col("_o"), 1).otherwise(0)).cast("long").alias("d"),
+        )
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    nk = (a + b + c + d).alias("n")
+    per = per.select("st", "a", "b", "c", "d", nk)
+    n = F.col("n")
+    ad_t = a * 1.0 * d / n
+    bc_t = b * 1.0 * c / n
+    e_t = (a + b) * 1.0 * (a + c) / n
+    v_t = F.when(
+        n > 1,
+        (a + b) * 1.0 * (c + d) * (a + c) * (b + d) / (n * 1.0 * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    scal = per.where(n > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("au"),
+        F.sum(F.round(ad_t * 1e6).cast("long")).cast("long").alias("adu"),
+        F.sum(F.round(bc_t * 1e6).cast("long")).cast("long").alias("bcu"),
+        F.sum(F.round(e_t * 1e6).cast("long")).cast("long").alias("eu"),
+        F.sum(F.round(v_t * 1e6).cast("long")).cast("long").alias("vu"),
+    )
+    return scal.select(
+        "n_strata",
+        F.expr(CMH_OR_EXPR).alias("or_mh"),
+        F.expr(CMH_CHI2_EXPR).alias("chi2"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame, score: Column, outcome: Column
+) -> DataFrame:
+    """Cochran-Armitage trend test for a binary outcome across ordered
+    exposure levels with integer scores. Every sufficient statistic
+    (``n, r, Σs·n, Σs·r, Σs²·n``) is an exact BIGINT from one keyed
+    aggregation; the z finalization is the shared ``CA_Z_EXPR``. Returns
+    one row ``(n, r, levels, z)``.
+    """
+    lev = (
+        df.select(score.cast("long").alias("s"), outcome.cast("long").alias("x"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("x").cast("long").alias("r_i"),
+        )
+    )
+    scal = lev.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.count(F.lit(1)).cast("long").alias("levels"),
+        F.sum(F.col("s") * F.col("r_i")).cast("long").alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast("long").alias("snn"),
+    )
+    return scal.select("n", "r", "levels", F.expr(CA_Z_EXPR).alias("z"))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation (Pearson over average
+    ranks), exact at any size: doubled average ranks
+    ``u = 2·cnt_less + c_all + 1`` are integers, so all five sufficient
+    statistics accumulate exactly (DECIMAL(38,0) on the Spark side /
+    128-bit sums in the oracle) and the only doubles are the final
+    shared-expression arithmetic on identical operands. Returns one row
+    ``(n, rho)``.
+
+    Both rank frames come from the two-phase bucketed prefix sum and are
+    value-keyed joins back onto the rows — no global window anywhere.
+    """
+    dec = "decimal(38,0)"
+    rx = ranked_value_counts(df.select(F.col(x_col)), x_col)
+    ry = ranked_value_counts(df.select(F.col(y_col)), y_col)
+    ux = (2 * F.col("cnt_less") + F.col("c_all") + 1).cast("long")
+    rows = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    joined = rows.join(
+        rx.select(F.col("v").alias("_x"), ux.alias("u")), "_x"
+    ).join(ry.select(F.col("v").alias("_y"), ux.alias("w")), "_y")
+    scal = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("u").cast(dec)).alias("su_d"),
+        F.sum(F.col("w").cast(dec)).alias("sv_d"),
+        F.sum((F.col("u").cast(dec) * F.col("u"))).alias("suu_d"),
+        F.sum((F.col("w").cast(dec) * F.col("w"))).alias("svv_d"),
+        F.sum((F.col("u").cast(dec) * F.col("w"))).alias("suv_d"),
+    )
+    asdbl = scal.select(
+        "n",
+        *[
+            F.col(f"{c}_d").cast("double").alias(c)
+            for c in ("su", "sv", "suu", "svv", "suv")
+        ],
+    )
+    return asdbl.select("n", F.expr(SPEARMAN_RHO_EXPR).alias("rho"))
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F statistic over an INTEGER-grid value column (pass
+    cents for money — the repo's integer-grid convention): per-group sums
+    and sums-of-squares accumulate exactly in DECIMAL(38,0), the k
+    per-group ``S_g²/n_g`` doubles fold over a group-sorted array (the
+    deterministic left fold the oracle mirrors with explicit
+    parenthesization), and the F finalization is the shared
+    ``ANOVA_F_EXPR``. Returns one row ``(k, n, f)``.
+    """
+    dec = "decimal(38,0)"
+    per = (
+        df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("c"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(F.col("c").cast(dec)).alias("s_g"),
+            F.sum(F.col("c").cast(dec) * F.col("c")).alias("q_g"),
+        )
+    )
+    scal = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum("q_g").cast("double").alias("q"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g"),
+                        F.col("s_g").cast("double").alias("sgd"),
+                        F.col("n_g"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["sgd"] * e["sgd"] / e["n_g"],
+        ).alias("ssg"),
+    )
+    return scal.select("k", "n", F.expr(ANOVA_F_EXPR).alias("f"))
 
 
 def odds_ratio_2x2(

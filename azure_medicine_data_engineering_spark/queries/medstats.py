@@ -370,3 +370,201 @@ def q_logrank_error_vs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix sums; expectation/variance terms ride the micro-unit grid
     (``operators/survival.py:logrank_2group``)."""
     return logrank_2group(time_to_event_days(events_table(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# CMH stratified odds ratio (orders 2x2 stratified by order year).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    ANOVA_F_EXPR,
+    CA_Z_EXPR,
+    CMH_CHI2_EXPR,
+    CMH_OR_EXPR,
+    SPEARMAN_RHO_EXPR,
+    anova_oneway,
+    cmh_stratified,
+    cochran_armitage_trend,
+    spearman_corr,
+)
+
+
+@register(
+    "cmh_stratified_odds_by_year",
+    f"""
+    WITH per AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS st,
+        CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM (
+        SELECT o_orderdate, o_orderpriority LIKE '1-%' AS e,
+               o_orderstatus = 'F' AS o
+        FROM orders
+      ) t GROUP BY 1
+    ),
+    per2 AS (SELECT *, a + b + c + d AS n FROM per),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        CAST(SUM(a) AS BIGINT) AS au,
+        CAST(SUM(CAST(ROUND(a * 1e0 * d / n * 1e6) AS BIGINT)) AS BIGINT) AS adu,
+        CAST(SUM(CAST(ROUND(b * 1e0 * c / n * 1e6) AS BIGINT)) AS BIGINT) AS bcu,
+        CAST(SUM(CAST(ROUND((a + b) * 1e0 * (a + c) / n * 1e6) AS BIGINT)) AS BIGINT) AS eu,
+        CAST(SUM(CAST(ROUND(
+          CASE WHEN n > 1
+            THEN (a + b) * 1e0 * (c + d) * (a + c) * (b + d)
+                 / (n * 1e0 * n * (n - 1))
+            ELSE 0e0 END * 1e6
+        ) AS BIGINT)) AS BIGINT) AS vu
+      FROM per2 WHERE n > 0
+    )
+    SELECT n_strata, {CMH_OR_EXPR} AS or_mh, {CMH_CHI2_EXPR} AS chi2 FROM s
+    """,
+)
+def q_cmh_stratified_odds_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio + CMH chi-square of urgent
+    priority vs fulfilment, stratified by order year — the confounder-
+    adjusted companion to ``odds_ratio_urgent_fulfilled`` (R's
+    ``mantelhaen.test``). Per-stratum terms ride the micro-unit grid;
+    one keyed shuffle builds all strata."""
+    o = _t(spark, sf_dir, "orders")
+    return cmh_stratified(
+        o,
+        F.col("o_orderpriority").like("1-%"),
+        F.col("o_orderstatus") == "F",
+        F.year("o_orderdate").cast("long"),
+    )
+
+
+@register(
+    "trend_test_priority_fulfilled",
+    f"""
+    WITH lev AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+      FROM orders GROUP BY 1
+    ),
+    sc AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS levels,
+             CAST(SUM(s * r_i) AS BIGINT) AS sr,
+             CAST(SUM(s * n_i) AS BIGINT) AS sn,
+             CAST(SUM(s * s * n_i) AS BIGINT) AS snn
+      FROM lev
+    )
+    SELECT n, r, levels, {CA_Z_EXPR} AS z FROM sc
+    """,
+)
+def q_trend_test_priority_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does fulfilment probability trend
+    monotonically across the ordered priority scale 1..5? All sufficient
+    statistics are exact BIGINTs (``rankstats.cochran_armitage_trend``);
+    the z finalization is one shared expression."""
+    o = _t(spark, sf_dir, "orders")
+    return cochran_armitage_trend(
+        o,
+        F.substring("o_orderpriority", 1, 1).cast("long"),
+        F.col("o_orderstatus") == "F",
+    )
+
+
+@register(
+    "spearman_price_vs_date",
+    f"""
+    WITH rows_src AS (
+      SELECT o_totalprice AS x,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+      FROM orders
+    ),
+    rxv AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c_all FROM rows_src GROUP BY x),
+    rx AS (
+      SELECT v, 2 * CAST(COALESCE(SUM(c_all) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) + c_all + 1 AS u
+      FROM rxv
+    ),
+    ryv AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c_all FROM rows_src GROUP BY y),
+    ry AS (
+      SELECT v, 2 * CAST(COALESCE(SUM(c_all) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) + c_all + 1 AS w
+      FROM ryv
+    ),
+    j AS (
+      SELECT rows_src.x, rows_src.y, rx.u, ry.w
+      FROM rows_src JOIN rx ON rows_src.x = rx.v JOIN ry ON rows_src.y = ry.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(u AS HUGEINT)) AS DOUBLE) AS su,
+             CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE) AS suu,
+             CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) AS svv,
+             CAST(SUM(CAST(u AS HUGEINT) * w) AS DOUBLE) AS suv
+      FROM j
+    )
+    SELECT n, {SPEARMAN_RHO_EXPR} AS rho FROM s
+    """,
+)
+def q_spearman_price_vs_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between order price and
+    order date (epoch day) — doubled average ranks keep every sufficient
+    statistic an exact integer (DECIMAL(38,0) Spark-side, HUGEINT in the
+    oracle); the only doubles are the shared final expression on
+    identical operands."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("eday"),
+    )
+    return spearman_corr(src, "price", "eday")
+
+
+@register(
+    "anova_totalprice_by_priority",
+    f"""
+    WITH per AS (
+      SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS s_g,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS q_g
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT g, CAST(s_g AS DOUBLE) AS sgd, n_g FROM per),
+    ss AS (
+      SELECT MAX(CASE WHEN g = '1-URGENT' THEN sgd * sgd / n_g END) AS t1,
+             MAX(CASE WHEN g = '2-HIGH' THEN sgd * sgd / n_g END) AS t2,
+             MAX(CASE WHEN g = '3-MEDIUM' THEN sgd * sgd / n_g END) AS t3,
+             MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN sgd * sgd / n_g END) AS t4,
+             MAX(CASE WHEN g = '5-LOW' THEN sgd * sgd / n_g END) AS t5
+      FROM t
+    ),
+    kn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS DOUBLE) AS s, CAST(SUM(q_g) AS DOUBLE) AS q
+      FROM per
+    ),
+    s2 AS (
+      SELECT kn.k, kn.n, kn.s, kn.q,
+             ((((0e0 + ss.t1) + ss.t2) + ss.t3) + ss.t4) + ss.t5 AS ssg
+      FROM kn, ss
+    )
+    SELECT k, n, {ANOVA_F_EXPR} AS f FROM s2
+    """,
+)
+def q_anova_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of order price (cents grid) across the five
+    priority classes — the parametric sibling of
+    ``kruskal_wallis_value_by_type`` (R's ``aov``). Per-group sufficient
+    statistics are exact DECIMAL(38,0); the 5-term between-group fold is
+    the deterministic sorted left fold."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return anova_oneway(src, "cents", "o_orderpriority")

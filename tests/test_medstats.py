@@ -272,3 +272,112 @@ class TestTextClean:
         out = paragraph_dedup(df).collect()[0]
         assert out["n_paras"] == 3 and out["n_kept"] == 2
         assert out["clean_text"] == "a b c\nd e f"
+
+
+class TestCMH:
+    def test_matches_naive(self, spark):
+        # two strata with different exposure-outcome structure
+        strata = {
+            1: (12, 18, 7, 23),  # (a, b, c, d)
+            2: (30, 10, 20, 40),
+        }
+        rows = []
+        for st, (a, b, c, d) in strata.items():
+            rows += [(st, True, True)] * a + [(st, True, False)] * b
+            rows += [(st, False, True)] * c + [(st, False, False)] * d
+        df = spark.createDataFrame(rows, ["st", "e", "o"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            cmh_stratified,
+        )
+
+        out = cmh_stratified(df, F.col("e"), F.col("o"), F.col("st")).collect()[0]
+        num = sum(a * d / (a + b + c + d) for a, b, c, d in strata.values())
+        den = sum(b * c / (a + b + c + d) for a, b, c, d in strata.values())
+        assert out["n_strata"] == 2
+        assert out["or_mh"] == pytest.approx(num / den, abs=1e-3)
+        sa = sum(a for a, *_ in strata.values())
+        se_ = sum(
+            (a + b) * (a + c) / (a + b + c + d) for a, b, c, d in strata.values()
+        )
+        sv = sum(
+            (a + b) * (c + d) * (a + c) * (b + d)
+            / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+            for a, b, c, d in strata.values()
+        )
+        assert out["chi2"] == pytest.approx((sa - se_) ** 2 / sv, abs=1e-3)
+
+
+class TestCochranArmitage:
+    def test_matches_naive(self, spark):
+        # monotone trend: positives rise with score
+        levels = {1: (100, 10), 2: (100, 20), 3: (100, 35)}  # s: (n_i, r_i)
+        rows = []
+        for s, (n_i, r_i) in levels.items():
+            rows += [(s, True)] * r_i + [(s, False)] * (n_i - r_i)
+        df = spark.createDataFrame(rows, ["s", "x"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            cochran_armitage_trend,
+        )
+
+        out = cochran_armitage_trend(df, F.col("s"), F.col("x")).collect()[0]
+        n = sum(ni for ni, _ in levels.values())
+        r = sum(ri for _, ri in levels.values())
+        sr = sum(s * ri for s, (_, ri) in levels.items())
+        sn = sum(s * ni for s, (ni, _) in levels.items())
+        snn = sum(s * s * ni for s, (ni, _) in levels.items())
+        t = sr - r * sn / n
+        var = (r / n) * (1 - r / n) * (snn - sn * sn / n)
+        assert (out["n"], out["r"], out["levels"]) == (n, r, 3)
+        assert out["z"] == pytest.approx(t / math.sqrt(var), abs=1e-3)
+        assert out["z"] > 2  # the planted trend is strongly positive
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), float(i * i)) for i in range(1, 20)], ["x", "y"]
+        )
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            spearman_corr,
+        )
+
+        out = spearman_corr(df, "x", "y").collect()[0]
+        assert out["rho"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_matches_naive_with_ties(self, spark):
+        xs = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 5.0, 6.0]
+        ys = [2.0, 1.0, 3.0, 5.0, 4.0, 7.0, 6.0, 6.0]
+        df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            spearman_corr,
+        )
+
+        out = spearman_corr(df, "x", "y").collect()[0]
+        rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+        )
+        assert out["rho"] == pytest.approx(num / den, abs=1e-3)
+
+
+class TestAnova:
+    def test_matches_naive(self, spark):
+        groups = {"a": [10, 12, 9, 11], "b": [20, 22, 19], "c": [15, 14, 16, 15, 15]}
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, ["g", "c"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            anova_oneway,
+        )
+
+        out = anova_oneway(df, "c", "g").collect()[0]
+        allv = [v for vs in groups.values() for v in vs]
+        n, k = len(allv), len(groups)
+        gm = sum(allv) / n
+        ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+        ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert (out["k"], out["n"]) == (k, n)
+        assert out["f"] == pytest.approx(f, abs=1e-3)

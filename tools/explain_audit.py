@@ -190,6 +190,8 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # suffix/cumulative windows over the day-level KM summary frame
     # (bounded by the observation span; operators/survival.py docstring)
     "kaplan_meier_signup_to_purchase": (2, "day-frame KM windows"),
+    # one 1024-row bucket-offset window per ranked axis (x and y)
+    "spearman_price_vs_date": (2, "rank-bucket offset windows (x, y)"),
 }
 
 
