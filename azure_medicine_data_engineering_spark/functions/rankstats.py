@@ -44,6 +44,9 @@ __all__ = [
     "cochran_armitage_trend",
     "spearman_corr",
     "anova_oneway",
+    "grouped_cdf_counts",
+    "ks_two_sample",
+    "gini_coefficient",
 ]
 
 #: Shared finalization expressions — embedded verbatim in both the Spark
@@ -145,6 +148,116 @@ def ranked_value_counts(
             ).alias("cnt_less"),
         )
         .drop("_bk", "_off")
+    )
+
+
+def grouped_cdf_counts(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distinct-value frame ``(v, cum1, cum2)`` with INCLUSIVE cumulative
+    counts per group (``flag_col`` true → group 1) — the empirical-CDF
+    numerators for two-sample distribution tests (KS). Same two-phase
+    bucketed prefix sum as :func:`ranked_value_counts`: per-bucket group
+    subtotals take the one bounded offset window, in-bucket cumulatives
+    use a window keyed by bucket. The distinct-value frame is persisted
+    (three consumers); caller-owned lifecycle.
+    """
+    byval = (
+        df.select(F.col(value_col).alias("v"), F.col(flag_col).alias("_f"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.col("_f").cast("long")).cast("long").alias("c1"),
+            F.sum((~F.col("_f")).cast("long")).cast("long").alias("c2"),
+        )
+        .persist()
+    )
+    bounds = byval.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * n_buckets),
+        )
+    )
+    bk = (
+        byval.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("_bk").agg(
+        F.sum("c1").alias("_b1"), F.sum("c2").alias("_b2")
+    )
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bk",
+        F.coalesce(F.sum("_b1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_b2").over(w_off), F.lit(0)).alias("_o2"),
+    )
+    w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bk.join(F.broadcast(offsets), "_bk")
+        .select(
+            "v",
+            (F.col("_o1") + F.sum("c1").over(w_in)).cast("long").alias("cum1"),
+            (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
+        )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, EXACT: the sup-distance
+    maximization runs entirely on integers — ``D·n1·n2 =
+    max|cum1·n2 - cum2·n1|`` over distinct values — so there is no
+    float comparison anywhere until the final display division. Returns
+    one row ``(n1, n2, d_num, v_at_d, d)`` where ``v_at_d`` is the
+    lowest value attaining the sup (deterministic tie-break).
+    """
+    cdf = grouped_cdf_counts(
+        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
+        value_col,
+        "_f",
+    ).persist()
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
+    )
+    scored = (
+        cdf.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            "c.v",
+            "t.n1",
+            "t.n2",
+            F.abs(
+                F.col("c.cum1") * F.col("t.n2") - F.col("c.cum2") * F.col("t.n1")
+            ).cast("long").alias("dn"),
+        )
+        .persist()
+    )
+    best = scored.agg(F.max("dn").cast("long").alias("d_num"))
+    return (
+        scored.alias("s")
+        .join(F.broadcast(best).alias("b"), F.col("s.dn") == F.col("b.d_num"))
+        .groupBy()
+        .agg(
+            F.max("s.n1").cast("long").alias("n1"),
+            F.max("s.n2").cast("long").alias("n2"),
+            F.max("s.dn").cast("long").alias("d_num"),
+            F.min("s.v").alias("v_at_d"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            "v_at_d",
+            F.expr("round(d_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("d"),
+        )
     )
 
 
@@ -446,6 +559,38 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     return scal.select("k", "n", F.expr(ANOVA_F_EXPR).alias("f"))
 
 
+GINI_EXPR = "round(srx / (n * 1e0 * sx) - (n + 1e0) / n, 4)"
+
+
+def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
+    """Gini inequality coefficient over a non-negative INTEGER-grid value
+    column (pass cents for money), tie-corrected via average ranks:
+    ``G = 2·Σ r_i x_i / (n·Σx) − (n+1)/n``. The doubled-rank weighted sum
+    ``Σ c·(2·cnt_less + c + 1)·x`` and the totals accumulate exactly in
+    DECIMAL(38,0) from the bucketed prefix-sum rank frame; only the final
+    shared expression touches doubles. Returns one row ``(n, gini)``.
+    """
+    dec = "decimal(38,0)"
+    ranked = ranked_value_counts(df.select(F.col(value_col)), value_col)
+    scal = ranked.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(F.col("c_all").cast(dec) * F.col("v")).alias("sx_d"),
+        F.sum(
+            (
+                F.col("c_all").cast(dec)
+                * (2 * F.col("cnt_less") + F.col("c_all") + 1)
+            )
+            * F.col("v")
+        ).alias("srx_d"),
+    )
+    asdbl = scal.select(
+        "n",
+        F.col("sx_d").cast("double").alias("sx"),
+        F.col("srx_d").cast("double").alias("srx"),
+    )
+    return asdbl.select("n", F.expr(GINI_EXPR).alias("gini"))
+
+
 def odds_ratio_2x2(
     df: DataFrame, exposure: Column, outcome: Column
 ) -> DataFrame:
@@ -475,3 +620,120 @@ def odds_ratio_2x2(
         F.expr(OR_CI_LO_EXPR).alias("ci_lo"),
         F.expr(OR_CI_HI_EXPR).alias("ci_hi"),
     )
+
+
+import math as _math
+
+#: Benford first-digit probabilities as integer micro-units — the repo's
+#: shared-literal-weight-table convention (no engine evaluates log10).
+BENFORD_PU = {d: int(_math.log10(1 + 1 / d) * 1e6 + 0.5) for d in range(1, 10)}
+
+
+def _span_bin(nbins: int):
+    span = F.col("b.vmax") - F.col("b.vmin")
+    return F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * nbins),
+        )
+    ).cast("int")
+
+
+def psi_drift(
+    df: DataFrame, value_col: str, ref_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    population of ``value_col`` (``ref_col`` true → reference) — the
+    standard ML-monitoring drift score. Fixed-width bins over the global
+    [min, max]; Laplace-smoothed shares ``(c+1)/(n+bins)`` keep empty
+    bins finite; per-bin ``(p−q)·ln(p/q)`` terms round into integer
+    micro-units before the (order-free) sum. Returns one row
+    ``(n_bins, n_ref, n_cur, psi)``.
+    """
+    src = df.select(F.col(value_col).alias("v"), F.col(ref_col).alias("_r"))
+    bounds = src.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    binned = (
+        src.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select(_span_bin(n_bins).alias("bin"), "a._r")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("_r").cast("long")).cast("long").alias("p"),
+        F.sum((~F.col("_r")).cast("long")).cast("long").alias("q"),
+    ).persist()  # n_bins rows, two consumers (spine join + totals)
+    spine = F.explode(F.array(*[F.lit(i) for i in range(n_bins)])).alias("bin")
+    full = (
+        df.sparkSession.range(1)
+        .select(spine)
+        .join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("p", F.lit(0)).cast("long").alias("p"),
+            F.coalesce("q", F.lit(0)).cast("long").alias("q"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("p").cast("long").alias("np"), F.sum("q").cast("long").alias("nq")
+    )
+    term_u = (
+        f"cast(round(((p + 1e0) / (np + {n_bins}) - (q + 1e0) / (nq + {n_bins})) * "
+        f"ln(((p + 1e0) / (np + {n_bins})) / ((q + 1e0) / (nq + {n_bins}))) * 1e6) "
+        "as bigint)"
+    )
+    scal = (
+        full.alias("f")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.max("t.np").cast("long").alias("n_ref"),
+            F.max("t.nq").cast("long").alias("n_cur"),
+            F.sum(F.expr(term_u)).cast("long").alias("psi_u"),
+        )
+    )
+    return scal.select(
+        "n_bins", "n_ref", "n_cur", F.expr("round(psi_u / 1e6, 4)").alias("psi")
+    )
+
+
+def benford_chi2(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit conformance chi-square over a positive
+    numeric column — the forensic data-quality screen. Expected digit
+    probabilities are SHARED INTEGER LITERALS (``BENFORD_PU`` micro-units;
+    no engine evaluates log10); per-digit terms ride the micro-unit grid.
+    Returns one row ``(n, chi2)``.
+    """
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = df.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).persist()  # <= 9 rows, two consumers (spine join + total)
+    spine = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d"),
+                        F.lit(pu).cast("long").alias("pu"),
+                    )
+                    for d, pu in sorted(BENFORD_PU.items())
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.pu")
+    tot = counts.agg(F.sum("o").cast("long").alias("n"))
+    full = (
+        spine.join(counts, "d", "left")
+        .select("d", "pu", F.coalesce("o", F.lit(0)).cast("long").alias("o"))
+        .alias("f")
+        .crossJoin(F.broadcast(tot).alias("t"))
+    )
+    term_u = (
+        "cast(round((o - n * pu / 1e6) * (o - n * pu / 1e6) / (n * pu / 1e6) "
+        "* 1e6) as bigint)"
+    )
+    scal = full.agg(
+        F.max("t.n").cast("long").alias("n"),
+        F.sum(F.expr(term_u)).cast("long").alias("chi2_u"),
+    )
+    return scal.select("n", F.expr("round(chi2_u / 1e6, 4)").alias("chi2"))

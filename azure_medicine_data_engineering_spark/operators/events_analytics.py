@@ -362,3 +362,140 @@ def day_of_week_seasonality(
             (F.expr("mean_dollars * 1000000 div _om") / 1e6).alias("seasonal_index"),
         )
     )
+
+
+#: Shared ACF finalization — identical text in the DuckDB oracle. All
+#: operands are doubles cast from exact integer (DECIMAL/HUGEINT) sums.
+ACF_R_EXPR = (
+    "round((pk - s / n * (ak + bk) + npairs * (s / n) * (s / n)) / "
+    "(q - s / n * s), 4)"
+)
+
+CUSUM_STAT_EXPR = "round(dmax / (n * 1e0 * s), 4)"
+
+
+def acf_daily_revenue(
+    orders: DataFrame,
+    max_lag: int = 7,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at calendar
+    lags 1..``max_lag`` — the Box-Jenkins diagnostic behind every
+    seasonality/trend decision. ``r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²``
+    over observed days, expanded into five sufficient statistics that all
+    accumulate exactly (cents grid, DECIMAL(38,0)); the only doubles are
+    the shared ``ACF_R_EXPR`` on identical operands.
+
+    Plan: fact rows collapse to the day frame once (persisted — lag fan-out
+    and totals both read it), each lag pair comes from ONE keyed self-join
+    on ``day_num + k`` after a 7× map-side explode. No windows at all.
+
+    Returns ``(k, npairs, r)`` — one row per lag.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
+        .select(
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))).cast("long").alias("dn"),
+            "x",
+        )
+        .persist()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s_d"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("q_d"),
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("k")
+    left = daily.select(F.col("dn"), F.col("x").alias("xt"), lags)
+    pairs = left.join(
+        daily.select(F.col("dn").alias("_dn2"), F.col("x").alias("xk")),
+        left["dn"] + F.col("k") == F.col("_dn2"),
+    )
+    per_lag = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("npairs"),
+        F.sum(F.col("xt").cast(dec) * F.col("xk")).alias("pk_d"),
+        F.sum(F.col("xt").cast(dec)).alias("ak_d"),
+        F.sum(F.col("xk").cast(dec)).alias("bk_d"),
+    )
+    final = (
+        per_lag.alias("l")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            F.col("l.k").cast("int").alias("k"),
+            "l.npairs",
+            F.col("l.pk_d").cast("double").alias("pk"),
+            F.col("l.ak_d").cast("double").alias("ak"),
+            F.col("l.bk_d").cast("double").alias("bk"),
+            "t.n",
+            F.col("t.s_d").cast("double").alias("s"),
+            F.col("t.q_d").cast("double").alias("q"),
+        )
+    )
+    return final.select("k", "npairs", F.expr(ACF_R_EXPR).alias("r"))
+
+
+def cusum_changepoint(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """CUSUM changepoint scan on the daily revenue series: the day
+    maximizing ``|Σ_{i≤t}(x_i − x̄)|``, evaluated division-free as
+    ``D_t = |n·cum_t − t·S|`` — exact integers end to end (cents grid,
+    DECIMAL(38,0)), deterministic lowest-day tie-break. The cumulative
+    window runs over the calendar-bounded day frame (licensed class).
+
+    Returns one row ``(n_days, day_at_max, cusum_stat)`` with
+    ``cusum_stat = max_t |S_t| · n / (n·S)`` via the shared expression.
+    """
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
+        .persist()
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "d",
+        F.sum(F.col("x").cast(dec)).over(w).alias("cum_d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("t_idx"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s_d"),
+    )
+    scored = (
+        cum.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            "c.d",
+            "t.n",
+            F.col("t.s_d").alias("s_d"),
+            F.abs(
+                F.col("c.cum_d") * F.col("t.n") - F.col("t.s_d") * F.col("c.t_idx")
+            ).alias("dt_d"),
+        )
+        .persist()
+    )
+    best = scored.agg(F.max("dt_d").alias("dmax_d"))
+    return (
+        scored.alias("s")
+        .join(F.broadcast(best).alias("b"), F.col("s.dt_d") == F.col("b.dmax_d"))
+        .groupBy()
+        .agg(
+            F.max("s.n").cast("long").alias("n"),
+            F.date_format(F.min("s.d"), "yyyy-MM-dd").alias("day_at_max"),
+            F.max("s.dt_d").cast("double").alias("dmax"),
+            F.max(F.col("s.s_d").cast("double")).alias("s"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            "day_at_max",
+            F.expr(CUSUM_STAT_EXPR).alias("cusum_stat"),
+        )
+    )

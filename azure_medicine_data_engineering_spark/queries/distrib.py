@@ -1,0 +1,306 @@
+"""Distribution & time-series diagnostics: two-sample KS, PSI drift,
+Gini inequality, Benford first-digit conformance, ACF, and CUSUM
+changepoint — the monitoring panel a production pipeline runs beside the
+clinical tests (``queries/medstats.py``). All statistics are exact-integer
+or micro-unit constructions per the repo conventions; every double
+finalization is a shared expression string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (
+    BENFORD_PU,
+    GINI_EXPR,
+    benford_chi2,
+    gini_coefficient,
+    ks_two_sample,
+    psi_drift,
+)
+from azure_medicine_data_engineering_spark.operators.events_analytics import (
+    ACF_R_EXPR,
+    CUSUM_STAT_EXPR,
+    acf_daily_revenue,
+    cusum_changepoint,
+)
+from azure_medicine_data_engineering_spark.queries.registry import (
+    events_table,
+    register,
+    table as _t,
+)
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov: click vs view values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_test_click_vs_view",
+    """
+    WITH src AS (
+      SELECT value AS v, event_type = 'click' AS f
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    byval AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM src GROUP BY v
+    ),
+    cdf AS (
+      SELECT v,
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM byval
+    ),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2 FROM cdf),
+    scored AS (
+      SELECT v, t.n1, t.n2, CAST(abs(cum1 * t.n2 - cum2 * t.n1) AS BIGINT) AS dn
+      FROM cdf, tot t
+    ),
+    best AS (SELECT CAST(MAX(dn) AS BIGINT) AS d_num FROM scored),
+    s2 AS (
+      SELECT CAST(MAX(s.n1) AS BIGINT) AS n1, CAST(MAX(s.n2) AS BIGINT) AS n2,
+             CAST(MAX(s.dn) AS BIGINT) AS d_num, MIN(s.v) AS v_at_d
+      FROM scored s JOIN best b ON s.dn = b.d_num
+    )
+    SELECT n1, n2, d_num, v_at_d,
+           round(d_num * 1e0 / (n1 * 1e0 * n2), 4) AS d
+    FROM s2
+    """,
+)
+def q_ks_test_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test of the click vs view value distributions —
+    EXACT: the sup-distance maximization is pure integer arithmetic
+    (``max|cum1·n2 − cum2·n1|``; ``rankstats.ks_two_sample``), with the
+    lowest attaining value as the deterministic location tie-break. The
+    Spark CDF comes from the two-phase bucketed prefix sum; the oracle
+    replays it as one flat cumulative window."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return ks_two_sample(ev, "value", "event_type", "click")
+
+
+# ---------------------------------------------------------------------------
+# Gini inequality of customer spend.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_customer_spend",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ),
+    byval AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c_all FROM cust GROUP BY v),
+    r AS (
+      SELECT v, c_all, CAST(COALESCE(SUM(c_all) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS cnt_less
+      FROM byval
+    ),
+    s AS (
+      SELECT CAST(SUM(c_all) AS BIGINT) AS n,
+             CAST(SUM(CAST(c_all AS HUGEINT) * v) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_all AS HUGEINT) * (2 * cnt_less + c_all + 1) * v) AS DOUBLE) AS srx
+      FROM r
+    )
+    SELECT n, {GINI_EXPR} AS gini FROM s
+    """,
+)
+def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer lifetime spend (cents grid) —
+    tie-corrected via average ranks; the doubled-rank weighted sum stays
+    an exact integer through DECIMAL(38,0)/HUGEINT accumulation
+    (``rankstats.gini_coefficient``)."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend")
+    )
+    return gini_coefficient(cust, "spend")
+
+
+# ---------------------------------------------------------------------------
+# PSI drift: event values, first half vs second half of the window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "psi_value_drift_halves",
+    """
+    WITH src AS (
+      SELECT value AS v, ts < TIMESTAMP '2024-01-16 00:00:00' AS r FROM events
+    ),
+    bounds AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM src),
+    binned AS (
+      SELECT CASE WHEN b.vmax - b.vmin <= 0 THEN 0
+                  ELSE CAST(LEAST(9, FLOOR((a.v - b.vmin) / (b.vmax - b.vmin) * 10)) AS INT)
+             END AS bin, a.r
+      FROM src a, bounds b
+    ),
+    counts AS (
+      SELECT bin, CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM binned GROUP BY bin
+    ),
+    spine AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+    filled AS (
+      SELECT s.bin, COALESCE(c.p, 0) AS p, COALESCE(c.q, 0) AS q
+      FROM spine s LEFT JOIN counts c USING (bin)
+    ),
+    tot AS (SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(q) AS BIGINT) AS nq FROM counts),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(MAX(t.np) AS BIGINT) AS n_ref,
+             CAST(MAX(t.nq) AS BIGINT) AS n_cur,
+             CAST(SUM(cast(round(((p + 1e0) / (t.np + 10) - (q + 1e0) / (t.nq + 10)) *
+               ln(((p + 1e0) / (t.np + 10)) / ((q + 1e0) / (t.nq + 10))) * 1e6)
+             as bigint)) AS BIGINT) AS psi_u
+      FROM filled f, tot t
+    )
+    SELECT n_bins, n_ref, n_cur, round(psi_u / 1e6, 4) AS psi FROM scal
+    """,
+)
+def q_psi_value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution, first
+    half of January vs second half — the ML-monitoring drift score
+    (``rankstats.psi_drift``): 10 fixed-width bins on the global range,
+    Laplace-smoothed shares, micro-unit ``(p−q)·ln(p/q)`` terms."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        F.col("value"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_ref"),
+    )
+    return psi_drift(src, "value", "is_ref", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance of order prices.
+# ---------------------------------------------------------------------------
+
+_BENFORD_VALUES = ", ".join(f"({d}, {pu})" for d, pu in sorted(BENFORD_PU.items()))
+
+
+@register(
+    "benford_first_digit_price",
+    f"""
+    WITH counts AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1
+    ),
+    spine(d, pu) AS (VALUES {_BENFORD_VALUES}),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
+    filled AS (
+      SELECT CAST(s.d AS BIGINT) AS d, CAST(s.pu AS BIGINT) AS pu,
+             COALESCE(c.o, 0) AS o, t.n
+      FROM spine s LEFT JOIN counts c ON s.d = c.d, tot t
+    ),
+    scal AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(cast(round((o - n * pu / 1e6) * (o - n * pu / 1e6)
+               / (n * pu / 1e6) * 1e6) as bigint)) AS BIGINT) AS chi2_u
+      FROM filled
+    )
+    SELECT n, round(chi2_u / 1e6, 4) AS chi2 FROM scal
+    """,
+)
+def q_benford_first_digit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit chi-square over order prices — the
+    forensic conformance screen (``rankstats.benford_chi2``). Expected
+    probabilities are shared integer literals (micro-units); TPC-H prices
+    are range-bounded, so a LARGE chi-square is the expected, honestly
+    reported outcome — the query gates the measurement, not the verdict."""
+    return benford_chi2(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# ACF of daily revenue, lags 1..7.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acf_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS q
+      FROM daily
+    ),
+    pairs AS (
+      SELECT t.k, a.x AS xt, b.x AS xk
+      FROM (SELECT unnest(range(1, 8)) AS k) t, daily a, daily b
+      WHERE a.dn + t.k = b.dn
+    ),
+    per_lag AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS npairs,
+             CAST(SUM(CAST(xt AS HUGEINT) * xk) AS DOUBLE) AS pk,
+             CAST(SUM(CAST(xt AS HUGEINT)) AS DOUBLE) AS ak,
+             CAST(SUM(CAST(xk AS HUGEINT)) AS DOUBLE) AS bk
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS INT) AS k, npairs, {ACF_R_EXPR} AS r
+    FROM per_lag, tot
+    """,
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at calendar lags 1..7 — the
+    Box-Jenkins seasonality diagnostic (weekly cadence shows as an r_7
+    spike). Exact integer sufficient statistics per lag via one keyed
+    self-join on the persisted day frame
+    (``events_analytics.acf_daily_revenue``)."""
+    return acf_daily_revenue(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint on daily revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT d,
+        SUM(CAST(x AS HUGEINT)) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_h,
+        CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t_idx
+      FROM daily
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS HUGEINT)) AS s_h FROM daily),
+    scored AS (
+      SELECT c.d, t.n, t.s_h, abs(c.cum_h * t.n - t.s_h * c.t_idx) AS dt
+      FROM cum c, tot t
+    ),
+    best AS (SELECT MAX(dt) AS dmax_h FROM scored),
+    s2 AS (
+      SELECT CAST(MAX(s.n) AS BIGINT) AS n, strftime(MIN(s.d), '%Y-%m-%d') AS day_at_max,
+             CAST(MAX(s.dt) AS DOUBLE) AS dmax,
+             MAX(CAST(s.s_h AS DOUBLE)) AS s
+      FROM scored s JOIN best b ON s.dt = b.dmax_h
+    )
+    SELECT n AS n_days, day_at_max, {CUSUM_STAT_EXPR} AS cusum_stat FROM s2
+    """,
+)
+def q_cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan on daily revenue: the day maximizing the
+    mean-adjusted cumulative deviation, division-free on exact integers
+    (``|n·cum_t − t·S|``), lowest-day tie-break
+    (``events_analytics.cusum_changepoint``)."""
+    return cusum_changepoint(_t(spark, sf_dir, "orders"))

@@ -381,3 +381,166 @@ class TestAnova:
         f = (ssb / (k - 1)) / (ssw / (n - k))
         assert (out["k"], out["n"]) == (k, n)
         assert out["f"] == pytest.approx(f, abs=1e-3)
+
+
+class TestKS:
+    def test_matches_naive(self, spark):
+        a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+        b = [3.5, 4.5, 5.5, 6.5, 7.5]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            ks_two_sample,
+        )
+
+        out = ks_two_sample(df, "v", "g", "a").collect()[0]
+        allv = sorted(set(a + b))
+        d = max(
+            abs(
+                sum(1 for x in a if x <= v) / len(a)
+                - sum(1 for x in b if x <= v) / len(b)
+            )
+            for v in allv
+        )
+        assert (out["n1"], out["n2"]) == (6, 5)
+        assert out["d"] == pytest.approx(d, abs=1e-3)
+        assert out["d_num"] == round(d * 6 * 5)
+
+    def test_identical_distributions_zero(self, spark):
+        rows = [("a", float(i)) for i in range(10)] + [
+            ("b", float(i)) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            ks_two_sample,
+        )
+
+        assert ks_two_sample(df, "v", "g", "a").collect()[0]["d_num"] == 0
+
+
+class TestGini:
+    def test_equal_values_zero(self, spark):
+        df = spark.createDataFrame([(100,)] * 8, ["v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            gini_coefficient,
+        )
+
+        assert gini_coefficient(df, "v").collect()[0]["gini"] == pytest.approx(
+            0.0, abs=1e-9
+        )
+
+    def test_matches_naive(self, spark):
+        vals = [1, 2, 3, 10, 50, 100, 200, 500]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            gini_coefficient,
+        )
+
+        out = gini_coefficient(df, "v").collect()[0]
+        n = len(vals)
+        sv = sorted(vals)
+        g = 2 * sum((i + 1) * x for i, x in enumerate(sv)) / (n * sum(sv)) - (
+            n + 1
+        ) / n
+        assert out["gini"] == pytest.approx(g, abs=1e-3)
+
+
+class TestPsiBenford:
+    def test_psi_zero_for_same_distribution(self, spark):
+        rows = [(float(i % 20), True) for i in range(200)] + [
+            (float(i % 20), False) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["v", "r"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            psi_drift,
+        )
+
+        out = psi_drift(df, "v", "r").collect()[0]
+        assert out["psi"] == pytest.approx(0.0, abs=1e-6)
+        assert out["n_ref"] == 200 and out["n_cur"] == 200
+
+    def test_psi_positive_on_shift(self, spark):
+        rows = [(float(i % 20), True) for i in range(200)] + [
+            (float(i % 20) + 10.0, False) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["v", "r"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            psi_drift,
+        )
+
+        assert psi_drift(df, "v", "r").collect()[0]["psi"] > 0.5
+
+    def test_benford_conforming_sample(self, spark):
+        # exact Benford-proportioned counts -> tiny chi2
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            BENFORD_PU,
+            benford_chi2,
+        )
+
+        rows = []
+        for d, pu in BENFORD_PU.items():
+            rows += [(float(d * 1000),)] * round(pu / 1000)
+        df = spark.createDataFrame(rows, ["v"])
+        out = benford_chi2(df, "v").collect()[0]
+        assert out["chi2"] < 1.0
+
+    def test_benford_uniform_sample_large_chi2(self, spark):
+        rows = [(float(d * 1000),) for d in range(1, 10) for _ in range(100)]
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            benford_chi2,
+        )
+
+        df = spark.createDataFrame(rows, ["v"])
+        assert benford_chi2(df, "v").collect()[0]["chi2"] > 50.0
+
+
+class TestAcfCusum:
+    def _orders(self, spark, series, start="2024-01-01"):
+        import datetime as dt
+
+        d0 = dt.date.fromisoformat(start)
+        rows = [
+            (d0 + dt.timedelta(days=i), float(x)) for i, x in enumerate(series)
+        ]
+        return spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+
+    def test_acf_matches_naive(self, spark):
+        series = [10, 12, 9, 14, 11, 13, 10, 15, 12, 16, 11, 14]
+        df = self._orders(spark, series)
+        from azure_medicine_data_engineering_spark.operators.events_analytics import (
+            acf_daily_revenue,
+        )
+
+        out = {r["k"]: r for r in acf_daily_revenue(df, max_lag=3).collect()}
+        n = len(series)
+        m = sum(series) / n
+        den = sum((x - m) ** 2 for x in series)
+        for k in (1, 2, 3):
+            num = sum(
+                (series[t] - m) * (series[t + k] - m) for t in range(n - k)
+            )
+            assert out[k]["npairs"] == n - k
+            assert out[k]["r"] == pytest.approx(num / den, abs=1e-3)
+
+    def test_acf_weekly_cycle_peaks_at_7(self, spark):
+        series = [100 if i % 7 == 0 else 10 for i in range(56)]
+        df = self._orders(spark, series)
+        from azure_medicine_data_engineering_spark.operators.events_analytics import (
+            acf_daily_revenue,
+        )
+
+        out = {r["k"]: r["r"] for r in acf_daily_revenue(df).collect()}
+        assert out[7] > 0.8 and out[7] > out[1]
+
+    def test_cusum_finds_level_shift(self, spark):
+        series = [10.0] * 15 + [50.0] * 15
+        df = self._orders(spark, series)
+        from azure_medicine_data_engineering_spark.operators.events_analytics import (
+            cusum_changepoint,
+        )
+
+        out = cusum_changepoint(df).collect()[0]
+        # |S_t| peaks exactly at the last pre-shift day (index 14)
+        assert out["day_at_max"] == "2024-01-15"
+        assert out["n_days"] == 30
+        assert out["cusum_stat"] > 0.1

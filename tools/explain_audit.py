@@ -192,6 +192,12 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "kaplan_meier_signup_to_purchase": (2, "day-frame KM windows"),
     # one 1024-row bucket-offset window per ranked axis (x and y)
     "spearman_price_vs_date": (2, "rank-bucket offset windows (x, y)"),
+    # 1024-row bucket-offset window of the grouped-CDF prefix sum
+    "ks_test_click_vs_view": (1, "1024-row CDF-bucket offset window"),
+    # 1024-row bucket-offset window of the spend rank prefix sum
+    "gini_customer_spend": (1, "1024-row rank-bucket offset window"),
+    # cumulative window over the calendar-bounded day frame
+    "cusum_changepoint_revenue": (1, "day-frame cumulative window"),
 }
 
 
