@@ -499,3 +499,53 @@ def cusum_changepoint(
             F.expr(CUSUM_STAT_EXPR).alias("cusum_stat"),
         )
     )
+
+
+def ewma_daily_revenue(
+    orders: DataFrame,
+    alpha_tenths: int = 2,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue with
+    INTEGER state: ``e_t = round(α·x_t + (1−α)·e_{t−1})`` on the cents
+    grid, seeded at ``e_0 = x_0``. Rounding the state to an integer at
+    every step makes the recursion bit-identical on any engine (the same
+    trick as the micro-unit log sums): both sides perform the identical
+    double step on identical integer state, and the round() re-anchors it.
+
+    ``α = alpha_tenths/10`` is embedded as the exact double literal
+    ``0.<t>e0`` in both the fold and the oracle's recursive CTE.
+
+    Scale shape: fact rows collapse to the day frame first; the fold runs
+    inside ONE global aggregate over the calendar-bounded day array
+    (structurally licensed — a ``Keys: []`` aggregate), then explodes
+    back to rows. Returns ``(day, daily_cents, ewma_cents)``.
+    """
+    a = alpha_tenths
+    assert 1 <= a <= 9
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x")
+    )
+    fold = (
+        "aggregate("
+        "  slice(arr, 2, size(arr) - 1),"
+        "  array(named_struct('d', arr[0].d, 'x', arr[0].x,"
+        "                     'e', cast(arr[0].x as bigint))),"
+        "  (acc, s) -> concat(acc, array(named_struct("
+        "    'd', s.d, 'x', s.x,"
+        f"   'e', cast(round(0.{a}e0 * s.x + 0.{10 - a}e0 * element_at(acc, -1).e) as bigint)"
+        "  )))"
+        ")"
+    )
+    packed = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("arr")
+    )
+    return (
+        packed.select(F.explode(F.expr(fold)).alias("s"))
+        .select(
+            F.date_format("s.d", "yyyy-MM-dd").alias("day"),
+            F.col("s.x").cast("long").alias("daily_cents"),
+            F.col("s.e").cast("long").alias("ewma_cents"),
+        )
+    )

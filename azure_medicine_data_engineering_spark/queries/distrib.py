@@ -304,3 +304,141 @@ def q_cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``|n·cum_t − t·S|``), lowest-day tie-break
     (``events_analytics.cusum_changepoint``)."""
     return cusum_changepoint(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over lineitem numerics.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    CORR_EXPR,
+    OLS2_B0_EXPR,
+    OLS2_B1_EXPR,
+    OLS2_B2_EXPR,
+    OLS2_R2_EXPR,
+    correlation_matrix,
+    ols_two_factor,
+)
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    ewma_daily_revenue,
+)
+
+_CM_COLS = ["qty", "price_c", "disc_c", "tax_c"]
+
+
+def _cm_oracle() -> str:
+    from itertools import combinations
+
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CM_COLS:
+        moments.append(f"SUM(CAST({c} AS HUGEINT)) AS s_{c}")
+        moments.append(f"SUM(CAST({c} AS HUGEINT) * {c}) AS ss_{c}")
+    for a, b in combinations(_CM_COLS, 2):
+        moments.append(f"SUM(CAST({a} AS HUGEINT) * {b}) AS sp_{a}_{b}")
+    selects = []
+    for a, b in combinations(_CM_COLS, 2):
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, {CORR_EXPR} AS corr "
+            f"FROM (SELECT n, CAST(s_{a} AS DOUBLE) AS sa, CAST(s_{b} AS DOUBLE) AS sb, "
+            f"CAST(ss_{a} AS DOUBLE) AS saa, CAST(ss_{b} AS DOUBLE) AS sbb, "
+            f"CAST(sp_{a}_{b} AS DOUBLE) AS sab FROM mom)"
+        )
+    return f"""
+    WITH src AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+      FROM lineitem
+    ),
+    mom AS (SELECT {', '.join(moments)} FROM src)
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@register("correlation_matrix_lineitem", _cm_oracle())
+def q_correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the four lineitem numerics
+    (integer grids: unit quantity, cents, percent) — all six pairs from
+    ONE scan / one global moment aggregate (``regress.correlation_matrix``);
+    exact DECIMAL(38,0)/HUGEINT moments, shared finalization."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    return correlation_matrix(src, _CM_COLS)
+
+
+@register(
+    "ols_two_factor_lineitem",
+    f"""
+    WITH src AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM src
+    )
+    SELECT n, {OLS2_B0_EXPR} AS b0, {OLS2_B1_EXPR} AS b1,
+           {OLS2_B2_EXPR} AS b2, {OLS2_R2_EXPR} AS r2
+    FROM mom
+    """,
+)
+def q_ols_two_factor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS: extended price (cents) on quantity and discount
+    (percent) — Cramer's rule on the 3x3 normal equations from exact
+    integer moments (``regress.ols_two_factor``); one scan, one global
+    aggregate, no iteration."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    return ols_two_factor(src, "y", "x1", "x2")
+
+
+@register(
+    "ewma_daily_revenue",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    di AS (
+      SELECT d, x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i FROM daily
+    ),
+    r AS (
+      SELECT d, x, i, CAST(x AS BIGINT) AS e FROM di WHERE i = 1
+      UNION ALL
+      SELECT di.d, di.x, di.i,
+             CAST(round(0.2e0 * di.x + 0.8e0 * r.e) AS BIGINT) AS e
+      FROM di JOIN r ON di.i = r.i + 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, x AS daily_cents, e AS ewma_cents
+    FROM r
+    """,
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha = 0.2) of daily revenue with INTEGER cents state —
+    rounding the state each step re-anchors the recursion to the integer
+    grid, so the fold (Spark) and the recursive CTE (oracle) stay
+    bit-identical over thousands of steps
+    (``events_analytics.ewma_daily_revenue``)."""
+    return ewma_daily_revenue(_t(spark, sf_dir, "orders"), alpha_tenths=2)

@@ -544,3 +544,90 @@ class TestAcfCusum:
         assert out["day_at_max"] == "2024-01-15"
         assert out["n_days"] == 30
         assert out["cusum_stat"] > 0.1
+
+
+class TestRegress:
+    def test_correlation_matrix_matches_numpy(self, spark):
+        import numpy as np
+
+        rng = [(i, (i * 7) % 13, (i * i) % 17) for i in range(1, 40)]
+        df = spark.createDataFrame(rng, ["a", "b", "c"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            correlation_matrix,
+        )
+
+        out = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+        }
+        arr = np.array(rng, dtype=float)
+        for i, a in enumerate(["a", "b", "c"]):
+            for j, b in enumerate(["a", "b", "c"]):
+                if i < j:
+                    expect = np.corrcoef(arr[:, i], arr[:, j])[0, 1]
+                    assert out[(a, b)] == pytest.approx(expect, abs=1e-3)
+
+    def test_ols_two_factor_matches_numpy(self, spark):
+        import numpy as np
+
+        rows = []
+        for i in range(60):
+            x1 = i % 10
+            x2 = (i * 3) % 7
+            noise = ((i * 37) % 11) - 5  # deterministic pseudo-noise
+            y = 100 + 5 * x1 - 3 * x2 + noise
+            rows.append((y, x1, x2))
+        df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            ols_two_factor,
+        )
+
+        out = ols_two_factor(df, "y", "x1", "x2").collect()[0]
+        arr = np.array(rows, dtype=float)
+        X = np.column_stack([np.ones(len(rows)), arr[:, 1], arr[:, 2]])
+        beta, *_ = np.linalg.lstsq(X, arr[:, 0], rcond=None)
+        assert out["b0"] == pytest.approx(beta[0], abs=1e-3)
+        assert out["b1"] == pytest.approx(beta[1], abs=1e-3)
+        assert out["b2"] == pytest.approx(beta[2], abs=1e-3)
+        pred = X @ beta
+        sse = float(((arr[:, 0] - pred) ** 2).sum())
+        sst = float(((arr[:, 0] - arr[:, 0].mean()) ** 2).sum())
+        assert out["r2"] == pytest.approx(1 - sse / sst, abs=1e-3)
+
+
+class TestEwma:
+    def test_matches_naive_recursion(self, spark):
+        import datetime as dt
+
+        series = [100.0, 200.0, 50.0, 300.0, 120.0, 80.0, 250.0]
+        d0 = dt.date(2024, 3, 1)
+        rows = [
+            (d0 + dt.timedelta(days=i), x) for i, x in enumerate(series)
+        ]
+        df = spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+        from azure_medicine_data_engineering_spark.operators.events_analytics import (
+            ewma_daily_revenue,
+        )
+
+        out = {r["day"]: r for r in ewma_daily_revenue(df, alpha_tenths=2).collect()}
+        e = round(series[0] * 100)
+        for i, x in enumerate(series):
+            cents = round(x * 100)
+            if i > 0:
+                e = round(0.2 * cents + 0.8 * e)
+            day = (d0 + dt.timedelta(days=i)).isoformat()
+            assert out[day]["daily_cents"] == cents
+            assert out[day]["ewma_cents"] == e
+
+    def test_single_day(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.date(2024, 3, 1), 55.0)], ["o_orderdate", "o_totalprice"]
+        )
+        from azure_medicine_data_engineering_spark.operators.events_analytics import (
+            ewma_daily_revenue,
+        )
+
+        out = ewma_daily_revenue(df).collect()
+        assert len(out) == 1 and out[0]["ewma_cents"] == 5500
