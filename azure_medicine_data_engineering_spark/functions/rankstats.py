@@ -737,3 +737,95 @@ def benford_chi2(df: DataFrame, value_col: str) -> DataFrame:
         F.sum(F.expr(term_u)).cast("long").alias("chi2_u"),
     )
     return scal.select("n", F.expr("round(chi2_u / 1e6, 4)").alias("chi2"))
+
+
+#: Poisson(1) inverse-CDF thresholds scaled to 2^48 — shared integer
+#: literals (both engines compare the same 48-bit md5 uniform against the
+#: same constants; no engine evaluates exp).
+POIS1_T48 = []
+
+
+def _pois1_thresholds() -> list[int]:
+    acc = 0.0
+    p = _math.exp(-1.0)
+    out = []
+    for k in range(0, 9):
+        acc += p
+        out.append(int(acc * (1 << 48) + 0.5))
+        p /= k + 1
+    return out
+
+
+POIS1_T48 = _pois1_thresholds()
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 100,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean — the resampling scheme that
+    actually distributes (each row draws an independent Poisson(1) weight
+    per replicate, so no replicate ever needs a global multinomial): a
+    deterministic 48-bit md5 uniform per ``(seed, id, replicate)`` maps
+    through SHARED Poisson(1) threshold literals (``POIS1_T48``) to a
+    weight 0..9; replicate means are integer micro-unit divisions; the
+    nearest-rank 2.5%/97.5% replicate means bound the CI.
+
+    ``value_col`` must be positive (portable integer division). Returns
+    one row ``(n, n_boot, mean_u, ci_lo_u, ci_hi_u)`` — micro-unit
+    BIGINTs, exact.
+
+    Scale shape: the B-fold explode is map-side; the only shuffle is the
+    B-group aggregate (fixed-size mergeable state); the replicate-mean
+    sort happens inside one global aggregate over B rows.
+    """
+    dec = "decimal(38,0)"
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("x_u"),
+    )
+    b = F.explode(F.array(*[F.lit(i) for i in range(n_boot)])).alias("b")
+    rep = src.select("_id", "x_u", b)
+    u48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + "|"),
+                    F.col("_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(9)
+    for k in range(len(POIS1_T48) - 1, -1, -1):
+        w = F.when(u48 < POIS1_T48[k], F.lit(k)).otherwise(w)
+    weighted = rep.select("b", w.cast("long").alias("w"), "x_u")
+    per_b = weighted.groupBy("b").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w").cast(dec) * F.col("x_u")).alias("swx_d"),
+    )
+    means = per_b.select(F.expr("cast(swx_d div sw as bigint)").alias("m_u"))
+    point = src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x_u").cast(dec)).alias("sx_d"),
+    ).select("n", F.expr("cast(sx_d div n as bigint)").alias("mean_u"))
+    lo_i, hi_i = -(-25 * n_boot // 1000), -(-975 * n_boot // 1000)  # ceil ranks
+    ci = means.agg(F.sort_array(F.collect_list("m_u")).alias("arr")).select(
+        F.lit(n_boot).cast("long").alias("n_boot"),
+        F.element_at("arr", lo_i).alias("ci_lo_u"),
+        F.element_at("arr", hi_i).alias("ci_hi_u"),
+    )
+    return (
+        point.alias("p")
+        .crossJoin(F.broadcast(ci).alias("c"))
+        .select("p.n", "c.n_boot", "p.mean_u", "c.ci_lo_u", "c.ci_hi_u")
+    )

@@ -442,3 +442,61 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical over thousands of steps
     (``events_analytics.ewma_daily_revenue``)."""
     return ewma_daily_revenue(_t(spark, sf_dir, "orders"), alpha_tenths=2)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI for the mean event value.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    POIS1_T48,
+    poisson_bootstrap_ci,
+)
+
+
+def _boot_oracle(n_boot: int = 100, seed: str = "boot") -> str:
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POIS1_T48)
+    )
+    return f"""
+    WITH src AS (
+      SELECT event_id AS id, CAST(ROUND(value * 1e6) AS BIGINT) AS x_u FROM events
+    ),
+    rep AS (
+      SELECT id, x_u, t.b,
+        CAST(('0x' || substr(md5('{seed}|' || CAST(id AS VARCHAR) || '|' || CAST(t.b AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+      FROM src, (SELECT unnest(range({n_boot})) AS b) t
+    ),
+    weighted AS (SELECT b, CASE {cases} ELSE 9 END AS w, x_u FROM rep),
+    per_b AS (
+      SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
+             SUM(CAST(w AS HUGEINT) * x_u) AS swx
+      FROM weighted GROUP BY b
+    ),
+    means AS (SELECT CAST(swx // sw AS BIGINT) AS m_u FROM per_b),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x_u AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_u
+      FROM src
+    ),
+    ci AS (
+      SELECT CAST({n_boot} AS BIGINT) AS n_boot,
+             (list_sort(list(m_u)))[{-(-25 * n_boot // 1000)}] AS ci_lo_u,
+             (list_sort(list(m_u)))[{-(-975 * n_boot // 1000)}] AS ci_hi_u
+      FROM means
+    )
+    SELECT p.n, c.n_boot, p.mean_u, c.ci_lo_u, c.ci_hi_u FROM point p, ci c
+    """
+
+
+@register("bootstrap_ci_mean_value", _boot_oracle())
+def q_bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean event value — the
+    resampling scheme that distributes (independent Poisson(1) weights
+    per (row, replicate), no global multinomial): md5-seeded 48-bit
+    uniforms through SHARED Poisson threshold literals, replicate means
+    as exact micro-unit integer divisions, nearest-rank percentile CI
+    (``rankstats.poisson_bootstrap_ci``). 100 replicates; the oracle
+    replays every weight draw."""
+    ev = events_table(spark, sf_dir)
+    return poisson_bootstrap_ci(ev, "value", "event_id", n_boot=100)

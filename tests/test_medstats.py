@@ -631,3 +631,32 @@ class TestEwma:
 
         out = ewma_daily_revenue(df).collect()
         assert len(out) == 1 and out[0]["ewma_cents"] == 5500
+
+
+class TestBootstrap:
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        rows = [(i, 10.0 + (i % 7)) for i in range(300)]
+        df = spark.createDataFrame(rows, ["id", "v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            poisson_bootstrap_ci,
+        )
+
+        out1 = poisson_bootstrap_ci(df, "v", "id", n_boot=40).collect()[0]
+        out2 = poisson_bootstrap_ci(df, "v", "id", n_boot=40).collect()[0]
+        assert out1 == out2  # fully deterministic
+        true_mean_u = round(sum(v for _, v in rows) / len(rows) * 1e6)
+        assert abs(out1["mean_u"] - true_mean_u) <= 1
+        assert out1["ci_lo_u"] <= out1["mean_u"] <= out1["ci_hi_u"]
+        # CI is tight around the mean for this low-variance sample
+        assert (out1["ci_hi_u"] - out1["ci_lo_u"]) / 1e6 < 1.0
+
+    def test_seed_changes_draws(self, spark):
+        rows = [(i, float(i % 50)) for i in range(200)]
+        df = spark.createDataFrame(rows, ["id", "v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            poisson_bootstrap_ci,
+        )
+
+        a = poisson_bootstrap_ci(df, "v", "id", n_boot=30, seed="s1").collect()[0]
+        b = poisson_bootstrap_ci(df, "v", "id", n_boot=30, seed="s2").collect()[0]
+        assert (a["ci_lo_u"], a["ci_hi_u"]) != (b["ci_lo_u"], b["ci_hi_u"])
