@@ -549,3 +549,64 @@ def ewma_daily_revenue(
             F.col("s.e").cast("long").alias("ewma_cents"),
         )
     )
+
+
+def holt_linear_daily(
+    orders: DataFrame,
+    alpha_tenths: int = 2,
+    beta_tenths: int = 1,
+    horizon: int = 7,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of daily revenue
+    with INTEGER cents state, plus the h-step-ahead linear forecast:
+
+        l_t = round(α·x_t + (1−α)·(l_{t−1} + b_{t−1}))
+        b_t = round(β·(l_t − l_{t−1}) + (1−β)·b_{t−1})
+
+    seeded ``l_0 = x_0, b_0 = 0``. Per-step integer rounding re-anchors
+    both states (the :func:`ewma_daily_revenue` trick), so the fold and
+    the oracle's recursive CTE stay bit-identical. Emits the LAST state
+    row plus the forecast: ``(n_days, last_day, level_cents, trend_cents,
+    forecast_cents)`` with ``forecast = l_n + h·b_n``.
+    """
+    a, b = alpha_tenths, beta_tenths
+    assert 1 <= a <= 9 and 1 <= b <= 9
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x")
+    )
+    step_l = (
+        f"cast(round(0.{a}e0 * s.x + 0.{10 - a}e0 * "
+        "(element_at(acc, -1).l + element_at(acc, -1).b)) as bigint)"
+    )
+    fold = (
+        "aggregate("
+        "  slice(arr, 2, size(arr) - 1),"
+        "  array(named_struct('d', arr[0].d, 'x', arr[0].x,"
+        "                     'l', cast(arr[0].x as bigint),"
+        "                     'b', cast(0 as bigint))),"
+        "  (acc, s) -> concat(acc, array(named_struct("
+        "    'd', s.d, 'x', s.x,"
+        f"   'l', {step_l},"
+        f"   'b', cast(round(0.{b}e0 * ({step_l} - element_at(acc, -1).l)"
+        f"             + 0.{10 - b}e0 * element_at(acc, -1).b) as bigint)"
+        "  )))"
+        ")"
+    )
+    packed = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    last = packed.select(
+        "n_days", F.element_at(F.expr(fold), -1).alias("s")
+    )
+    return last.select(
+        "n_days",
+        F.date_format("s.d", "yyyy-MM-dd").alias("last_day"),
+        F.col("s.l").cast("long").alias("level_cents"),
+        F.col("s.b").cast("long").alias("trend_cents"),
+        (F.col("s.l") + F.lit(horizon) * F.col("s.b")).cast("long").alias(
+            "forecast_cents"
+        ),
+    )

@@ -73,3 +73,55 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted label-propagation community detection (Raghavan et al.
+    2007), synchronized rounds, fully deterministic: labels start as the
+    node id; each round every node adopts the label with the LARGEST
+    incident edge-weight mass among its neighbours (ties → smallest
+    label; isolated nodes keep their label). Integer weights keep the
+    argmax exact — no float comparison anywhere.
+
+    Same iterative shape as :func:`pagerank`: the undirected edge list
+    shuffles once and stays persisted; each round is one join against the
+    node-sized label table, a (node, label) re-aggregation, and a keyed
+    row_number argmax. Returns ``(node, community)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+    e = (
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .persist()
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    rank_w = Window.partitionBy("u").orderBy(F.col("sw").desc(), F.col("lab"))
+    for _ in range(iterations):
+        mass = (
+            e.join(labels, e["v"] == labels["node"])
+            .groupBy("u", "lab")
+            .agg(F.sum("w").cast("long").alias("sw"))
+        )
+        vote = (
+            mass.withColumn("rn", F.row_number().over(rank_w))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("lab").alias("vlab"))
+        )
+        labels = nodes.join(vote, "node", "left").select(
+            "node", F.coalesce("vlab", F.col("node")).alias("lab")
+        )
+    return labels.select("node", F.col("lab").alias("community"))

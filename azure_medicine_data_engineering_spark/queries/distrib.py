@@ -500,3 +500,124 @@ def q_bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays every weight draw."""
     ev = events_table(spark, sf_dir)
     return poisson_bootstrap_ci(ev, "value", "event_id", n_boot=100)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities on the nation trade graph.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_round_sql(prev: str, m: str, v: str, out: str) -> str:
+    return f"""
+    {m} AS (
+      SELECT e.u, l.lab, CAST(SUM(e.w) AS BIGINT) AS sw
+      FROM e JOIN {prev} l ON e.v = l.node GROUP BY 1, 2
+    ),
+    {v} AS (
+      SELECT u, lab FROM (
+        SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u ORDER BY sw DESC, lab) AS rn
+        FROM {m}
+      ) WHERE rn = 1
+    ),
+    {out} AS (
+      SELECT n.node, COALESCE({v}.lab, n.node) AS lab
+      FROM nodes n LEFT JOIN {v} ON n.node = {v}.u
+    )"""
+
+
+@register(
+    "lpa_nation_communities",
+    f"""
+    WITH he AS (
+      SELECT c.c_nationkey AS u, s.s_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT u, v, w FROM he UNION ALL SELECT v AS u, u AS v, w FROM he
+      ) t WHERE u <> v GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {_lpa_round_sql('l0', 'm1', 'v1', 'l1')},
+    {_lpa_round_sql('l1', 'm2', 'v2', 'l2')},
+    {_lpa_round_sql('l2', 'm3', 'v3', 'l3')}
+    SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS community FROM l3
+    """,
+)
+def q_lpa_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities (3 synchronized rounds) on
+    the undirected nation trade graph — integer edge weights make every
+    argmax exact and the whole fixed-point trajectory bit-reproducible;
+    the oracle unrolls all three rounds CTE-for-CTE with the identical
+    (mass DESC, label ASC) vote (``operators/graph.py:label_propagation``).
+    Same star-join edge build as ``pagerank_nation_trade``."""
+    from azure_medicine_data_engineering_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    out = label_propagation(edges, iterations=3, weight="w")
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    holt_linear_daily,
+)
+
+
+@register(
+    "holt_forecast_revenue",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    di AS (
+      SELECT d, x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i FROM daily
+    ),
+    r AS (
+      SELECT d, x, i, CAST(x AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      FROM di WHERE i = 1
+      UNION ALL
+      SELECT di.d, di.x, di.i,
+        CAST(round(0.2e0 * di.x + 0.8e0 * (r.l + r.b)) AS BIGINT) AS l,
+        CAST(round(0.1e0 * (CAST(round(0.2e0 * di.x + 0.8e0 * (r.l + r.b)) AS BIGINT) - r.l)
+             + 0.9e0 * r.b) AS BIGINT) AS b
+      FROM di JOIN r ON di.i = r.i + 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    last AS (SELECT * FROM r WHERE i = (SELECT MAX(i) FROM di))
+    SELECT n.n_days, strftime(last.d, '%Y-%m-%d') AS last_day,
+           last.l AS level_cents, last.b AS trend_cents,
+           CAST(last.l + 7 * last.b AS BIGINT) AS forecast_cents
+    FROM last, n
+    """,
+)
+def q_holt_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha=0.2, beta=0.1) of daily
+    revenue with integer cents states, plus the 7-day-ahead linear
+    forecast — the per-step rounds re-anchor level AND trend so the fold
+    and the recursive-CTE oracle stay bit-identical
+    (``events_analytics.holt_linear_daily``)."""
+    return holt_linear_daily(_t(spark, sf_dir, "orders"))

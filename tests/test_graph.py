@@ -38,3 +38,34 @@ def test_mass_is_bounded_and_positive(spark):
     out = _pr(spark, edges, iterations=4)
     assert all(0 < v < 1 for v in out.values())
     assert sum(out.values()) <= 1.0 + 1e-9  # dangling mass damps away
+
+
+class TestLabelPropagation:
+    def test_two_planted_communities(self, spark):
+        from azure_medicine_data_engineering_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # two dense triangles {1,2,3} and {10,11,12} joined by one weak edge
+        edges = [
+            (1, 2, 5), (2, 3, 5), (1, 3, 5),
+            (10, 11, 5), (11, 12, 5), (10, 12, 5),
+            (3, 10, 1),
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        out = {r["node"]: r["community"] for r in
+               label_propagation(df, iterations=3, weight="w").collect()}
+        assert out[1] == out[2] == out[3]
+        assert out[10] == out[11] == out[12]
+        assert out[1] != out[10]
+
+    def test_isolated_pairs_keep_min_label(self, spark):
+        from azure_medicine_data_engineering_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame([(5, 9, 1)], ["src", "dst", "w"])
+        out = {r["node"]: r["community"] for r in
+               label_propagation(df, iterations=2, weight="w").collect()}
+        # after round 1 they swap labels; round 2 swaps back deterministically
+        assert out == {5: 5, 9: 9}

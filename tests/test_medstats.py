@@ -610,11 +610,15 @@ class TestEwma:
         )
 
         out = {r["day"]: r for r in ewma_daily_revenue(df, alpha_tenths=2).collect()}
-        e = round(series[0] * 100)
+
+        def rr(x):  # half-away-from-zero, matching SQL round (not Python's)
+            return math.floor(x + 0.5)
+
+        e = rr(series[0] * 100)
         for i, x in enumerate(series):
-            cents = round(x * 100)
+            cents = rr(x * 100)
             if i > 0:
-                e = round(0.2 * cents + 0.8 * e)
+                e = rr(0.2 * cents + 0.8 * e)
             day = (d0 + dt.timedelta(days=i)).isoformat()
             assert out[day]["daily_cents"] == cents
             assert out[day]["ewma_cents"] == e
@@ -660,3 +664,36 @@ class TestBootstrap:
         a = poisson_bootstrap_ci(df, "v", "id", n_boot=30, seed="s1").collect()[0]
         b = poisson_bootstrap_ci(df, "v", "id", n_boot=30, seed="s2").collect()[0]
         assert (a["ci_lo_u"], a["ci_hi_u"]) != (b["ci_lo_u"], b["ci_hi_u"])
+
+
+class TestHolt:
+    def test_matches_naive_recursion(self, spark):
+        import datetime as dt
+
+        series = [100.0, 110.0, 125.0, 135.0, 150.0, 160.0]
+        d0 = dt.date(2024, 5, 1)
+        rows = [(d0 + dt.timedelta(days=i), x) for i, x in enumerate(series)]
+        df = spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+        from azure_medicine_data_engineering_spark.operators.events_analytics import (
+            holt_linear_daily,
+        )
+
+        out = holt_linear_daily(df, horizon=7).collect()[0]
+
+        def r(x):  # half-away-from-zero, matching SQL round (not Python's)
+            return math.floor(x + 0.5)
+
+        l = r(series[0] * 100)
+        b = 0
+        for x in series[1:]:
+            cents = r(x * 100)
+            l_new = r(0.2 * cents + 0.8 * (l + b))
+            b = r(0.1 * (l_new - l) + 0.9 * b)
+            l = l_new
+        assert out["n_days"] == 6
+        assert out["last_day"] == "2024-05-06"
+        assert out["level_cents"] == l
+        assert out["trend_cents"] == b
+        assert out["forecast_cents"] == l + 7 * b
+        # planted uptrend -> positive trend, forecast above level
+        assert b > 0 and out["forecast_cents"] > out["level_cents"]
