@@ -829,3 +829,102 @@ def poisson_bootstrap_ci(
         .crossJoin(F.broadcast(ci).alias("c"))
         .select("p.n", "c.n_boot", "p.mean_u", "c.ci_lo_u", "c.ci_hi_u")
     )
+
+
+MCNEMAR_CHI2_EXPR = (
+    "case when b + c > 0 then round((b - c) * 1e0 * (b - c) / (b + c), 4) end"
+)
+KAPPA_EXPR = (
+    "round((n * 1e0 * (a + d) - ((a + b) * 1e0 * (a + c) + (c + d) * 1e0 * (b + d)))"
+    " / (n * 1e0 * n - ((a + b) * 1e0 * (a + c) + (c + d) * 1e0 * (b + d))), 4)"
+)
+PROP_Z_EXPR = (
+    "case when x1 + x2 > 0 and x1 + x2 < n1 + n2 and n1 > 0 and n2 > 0 then "
+    "round((x1 * 1e0 / n1 - x2 * 1e0 / n2) / "
+    "sqrt(((x1 + x2) * 1e0 / (n1 + n2)) * (1e0 - (x1 + x2) * 1e0 / (n1 + n2)) * "
+    "(1e0 / n1 + 1e0 / n2)), 4) end"
+)
+#: Wilson score interval bounds for a single proportion (x successes, n).
+WILSON_LO_EXPR = (
+    "case when n > 0 then "
+    "round(((x * 1e0 / n) + 1.96e0 * 1.96e0 / (2e0 * n) - 1.96e0 * "
+    "sqrt((x * 1e0 / n) * (1e0 - x * 1e0 / n) / n + 1.96e0 * 1.96e0 / (4e0 * n * n)))"
+    " / (1e0 + 1.96e0 * 1.96e0 / n), 4) end"
+)
+WILSON_HI_EXPR = (
+    "case when n > 0 then "
+    "round(((x * 1e0 / n) + 1.96e0 * 1.96e0 / (2e0 * n) + 1.96e0 * "
+    "sqrt((x * 1e0 / n) * (1e0 - x * 1e0 / n) / n + 1.96e0 * 1.96e0 / (4e0 * n * n)))"
+    " / (1e0 + 1.96e0 * 1.96e0 / n), 4) end"
+)
+
+
+def mcnemar_test(df: DataFrame, before: Column, after: Column) -> DataFrame:
+    """McNemar's test for paired binary outcomes (the clinical
+    before/after design): chi-square (no continuity correction) from the
+    discordant cells of the paired 2x2 — exact BIGINT counts, one shared
+    finalization. Returns ``(a, b, c, d, chi2)`` where b/c are the
+    discordant counts.
+    """
+    cells = df.select(before.alias("_x"), after.alias("_y")).agg(
+        F.sum(F.when(F.col("_x") & F.col("_y"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("_x") & ~F.col("_y"), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~F.col("_x") & F.col("_y"), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~F.col("_x") & ~F.col("_y"), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    return cells.select("a", "b", "c", "d", F.expr(MCNEMAR_CHI2_EXPR).alias("chi2"))
+
+
+def cohens_kappa(df: DataFrame, rater1: Column, rater2: Column) -> DataFrame:
+    """Cohen's kappa inter-rater agreement for two binary raters —
+    ``(po − pe)/(1 − pe)`` cleared of divisions into one shared integer
+    expression (``KAPPA_EXPR``). Returns ``(n, a, b, c, d, kappa)``.
+    """
+    cells = df.select(rater1.alias("_x"), rater2.alias("_y")).agg(
+        F.sum(F.when(F.col("_x") & F.col("_y"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("_x") & ~F.col("_y"), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~F.col("_x") & F.col("_y"), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~F.col("_x") & ~F.col("_y"), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    return cells.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("long").alias("n"),
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(KAPPA_EXPR).alias("kappa"),
+    )
+
+
+def two_proportion_test(
+    df: DataFrame, group1: Column, success: Column
+) -> DataFrame:
+    """Two-proportion z-test (pooled) plus per-group Wilson 95% score
+    intervals — integer counts, shared finalizations. Returns one row
+    ``(n1, x1, n2, x2, z, p1_lo, p1_hi, p2_lo, p2_hi)``.
+    """
+    cells = df.select(group1.alias("_g"), success.alias("_s")).agg(
+        F.sum(F.col("_g").cast("long")).cast("long").alias("n1"),
+        F.sum(F.when(F.col("_g") & F.col("_s"), 1).otherwise(0)).cast("long").alias("x1"),
+        F.sum((~F.col("_g")).cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(~F.col("_g") & F.col("_s"), 1).otherwise(0)).cast("long").alias("x2"),
+    )
+    return cells.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(PROP_Z_EXPR).alias("z"),
+        F.expr(_wilson_sub(WILSON_LO_EXPR, "x1", "n1")).alias("p1_lo"),
+        F.expr(_wilson_sub(WILSON_HI_EXPR, "x1", "n1")).alias("p1_hi"),
+        F.expr(_wilson_sub(WILSON_LO_EXPR, "x2", "n2")).alias("p2_lo"),
+        F.expr(_wilson_sub(WILSON_HI_EXPR, "x2", "n2")).alias("p2_hi"),
+    )
+
+
+def _wilson_sub(expr: str, x: str, n: str) -> str:
+    """Substitute the x/n placeholders of the Wilson expressions with
+    concrete column names — token-boundary-safe."""
+    import re as _re
+
+    return _re.sub(r"\bx\b", x, _re.sub(r"\bn\b", n, expr))

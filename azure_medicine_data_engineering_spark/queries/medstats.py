@@ -568,3 +568,138 @@ def q_anova_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return anova_oneway(src, "cents", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Paired and proportion tests (McNemar, Cohen's kappa, two-proportion z).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    KAPPA_EXPR,
+    MCNEMAR_CHI2_EXPR,
+    PROP_Z_EXPR,
+    WILSON_HI_EXPR,
+    WILSON_LO_EXPR,
+    _wilson_sub,
+    cohens_kappa,
+    mcnemar_test,
+    two_proportion_test,
+)
+
+
+@register(
+    "mcnemar_purchase_halves",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'purchase' AND value >= 250
+                 AND ts < TIMESTAMP '2024-01-16 00:00:00'
+            THEN 1 ELSE 0 END) = 1 AS x,
+        MAX(CASE WHEN event_type = 'purchase' AND value >= 250
+                 AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+            THEN 1 ELSE 0 END) = 1 AS y
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM per_user
+    )
+    SELECT a, b, c, d, {MCNEMAR_CHI2_EXPR} AS chi2 FROM cells
+    """,
+)
+def q_mcnemar_purchase_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: did each user's HIGH-VALUE purchasing
+    (value >= 250) change between the first and second half of the
+    window? The clinical before/after design on the user grain —
+    discordant-cell chi-square from exact counts
+    (``rankstats.mcnemar_test``; degenerate b+c=0 guarded to NULL)."""
+    ev = events_table(spark, sf_dir)
+    half = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    hi = (F.col("event_type") == "purchase") & (F.col("value") >= 250)
+    per_user = ev.groupBy("user_id").agg(
+        (F.max(F.when(hi & (F.col("ts") < half), 1).otherwise(0)) == 1).alias("x"),
+        (F.max(F.when(hi & (F.col("ts") >= half), 1).otherwise(0)) == 1).alias("y"),
+    )
+    return mcnemar_test(per_user, F.col("x"), F.col("y"))
+
+
+@register(
+    "cohens_kappa_quality_rules",
+    f"""
+    WITH rated AS (
+      SELECT length(text) >= 170 AS x,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) >= 32 AS y
+      FROM documents
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM rated
+    )
+    SELECT CAST(a + b + c + d AS BIGINT) AS n, a, b, c, d, {KAPPA_EXPR} AS kappa
+    FROM cells
+    """,
+)
+def q_cohens_kappa_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters (a
+    character-length rule and a token-count rule) — the inter-rater
+    agreement statistic of every clinical annotation study, computed from
+    exact confusion counts (``rankstats.cohens_kappa``)."""
+    d = _t(spark, sf_dir, "documents")
+    rated = d.select(
+        (F.length("text") >= 170).alias("r1"),
+        (F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")) >= 32).alias("r2"),
+    )
+    return cohens_kappa(rated, F.col("r1"), F.col("r2"))
+
+
+@register(
+    "two_proportion_error_purchase",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 = 0 AS g,
+        MAX(CASE WHEN event_type = 'purchase' AND value >= 250
+            THEN 1 ELSE 0 END) = 1 AS s
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g AND s THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN NOT g AND s THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      FROM per_user
+    )
+    SELECT n1, x1, n2, x2, {PROP_Z_EXPR} AS z,
+           {_wilson_sub(WILSON_LO_EXPR, 'x1', 'n1')} AS p1_lo,
+           {_wilson_sub(WILSON_HI_EXPR, 'x1', 'n1')} AS p1_hi,
+           {_wilson_sub(WILSON_LO_EXPR, 'x2', 'n2')} AS p2_lo,
+           {_wilson_sub(WILSON_HI_EXPR, 'x2', 'n2')} AS p2_hi
+    FROM cells
+    """,
+)
+def q_two_proportion_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of the high-value purchase rate
+    (value >= 250) between the two id-parity user buckets — the A/B
+    experiment readout shape — with Wilson 95% score intervals per group
+    (``rankstats.two_proportion_test``; degenerate all/none-success
+    guarded to NULL)."""
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        (F.first(F.col("user_id") % 2 == 0)).alias("g"),
+        (
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 250), 1
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("s"),
+    )
+    return two_proportion_test(per_user, F.col("g"), F.col("s"))

@@ -697,3 +697,65 @@ class TestHolt:
         assert out["forecast_cents"] == l + 7 * b
         # planted uptrend -> positive trend, forecast above level
         assert b > 0 and out["forecast_cents"] > out["level_cents"]
+
+
+class TestPairedProportions:
+    def test_mcnemar_matches_naive(self, spark):
+        rows = (
+            [(True, True)] * 20 + [(True, False)] * 12
+            + [(False, True)] * 5 + [(False, False)] * 30
+        )
+        df = spark.createDataFrame(rows, ["x", "y"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            mcnemar_test,
+        )
+
+        out = mcnemar_test(df, F.col("x"), F.col("y")).collect()[0]
+        assert (out["a"], out["b"], out["c"], out["d"]) == (20, 12, 5, 30)
+        assert out["chi2"] == pytest.approx((12 - 5) ** 2 / 17, abs=1e-3)
+
+    def test_mcnemar_degenerate_is_null(self, spark):
+        df = spark.createDataFrame([(True, True)] * 5, ["x", "y"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            mcnemar_test,
+        )
+
+        assert mcnemar_test(df, F.col("x"), F.col("y")).collect()[0]["chi2"] is None
+
+    def test_kappa_matches_naive(self, spark):
+        rows = (
+            [(True, True)] * 40 + [(True, False)] * 10
+            + [(False, True)] * 5 + [(False, False)] * 45
+        )
+        df = spark.createDataFrame(rows, ["x", "y"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            cohens_kappa,
+        )
+
+        out = cohens_kappa(df, F.col("x"), F.col("y")).collect()[0]
+        n = 100
+        po = (40 + 45) / n
+        pe = (50 / n) * (45 / n) + (50 / n) * (55 / n)
+        assert out["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-3)
+
+    def test_two_proportion_matches_naive(self, spark):
+        rows = (
+            [(True, True)] * 30 + [(True, False)] * 70
+            + [(False, True)] * 45 + [(False, False)] * 55
+        )
+        df = spark.createDataFrame(rows, ["g", "s"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            two_proportion_test,
+        )
+
+        out = two_proportion_test(df, F.col("g"), F.col("s")).collect()[0]
+        assert (out["n1"], out["x1"], out["n2"], out["x2"]) == (100, 30, 100, 45)
+        p1, p2, pp = 0.30, 0.45, 0.375
+        z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+        assert out["z"] == pytest.approx(z, abs=1e-3)
+        # Wilson bounds bracket the point estimates and are ordered
+        assert out["p1_lo"] < p1 < out["p1_hi"]
+        assert out["p2_lo"] < p2 < out["p2_hi"]
+        zc = 1.96
+        lo = (p1 + zc * zc / 200 - zc * math.sqrt(p1 * (1 - p1) / 100 + zc * zc / 40000)) / (1 + zc * zc / 100)
+        assert out["p1_lo"] == pytest.approx(lo, abs=1e-3)
