@@ -119,3 +119,182 @@ def ols_two_factor(
         F.expr(OLS2_B2_EXPR).alias("b2"),
         F.expr(OLS2_R2_EXPR).alias("r2"),
     )
+
+
+GRUBBS_G_EXPR = (
+    "round((dmax / n) / sqrt((n * q - s * s) / (n * 1e0 * (n - 1))), 4)"
+)
+
+#: Jarque-Bera finalizations — central moments expanded from raw moment
+#: sums; identical text in the oracle. All of s1..s4 are doubles cast
+#: from exact integer sums, n is BIGINT.
+_JB_MEAN = "(s1 / n)"
+_JB_M2 = f"(s2 / n - {_JB_MEAN} * {_JB_MEAN})"
+_JB_M3 = (
+    f"(s3 / n - 3e0 * {_JB_MEAN} * s2 / n + 2e0 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_M4 = (
+    f"(s4 / n - 4e0 * {_JB_MEAN} * s3 / n + 6e0 * {_JB_MEAN} * {_JB_MEAN} * s2 / n "
+    f"- 3e0 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+JB_SKEW_EXPR = f"round({_JB_M3} / ({_JB_M2} * sqrt({_JB_M2})), 4)"
+JB_KURT_EXPR = f"round({_JB_M4} / ({_JB_M2} * {_JB_M2}) - 3e0, 4)"
+JB_STAT_EXPR = (
+    f"round(n / 6e0 * (({_JB_M3} / ({_JB_M2} * sqrt({_JB_M2}))) * "
+    f"({_JB_M3} / ({_JB_M2} * sqrt({_JB_M2}))) + "
+    f"({_JB_M4} / ({_JB_M2} * {_JB_M2}) - 3e0) * "
+    f"({_JB_M4} / ({_JB_M2} * {_JB_M2}) - 3e0) / 4e0), 4)"
+)
+
+#: num/den are DOUBLES cast from exact DECIMAL(38,0)/HUGEINT sums of the
+#: 1e-2-grid residual terms — a BIGINT sum overflows at ~10x sf0.1 daily
+#: revenue (caught by the replica sweep), the decimal sum does not.
+DW_EXPR = "round(num / den, 4)"
+
+
+def grubbs_test(df: DataFrame, value_col: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate outlier test over an
+    INTEGER-grid column: the deviation maximization is pure integer
+    arithmetic (``max|n·x − S|``, lowest value as tie-break — the CUSUM
+    trick), so the flagged observation is engine-exact; only the final
+    ``G`` expression touches doubles. Returns one row
+    ``(n, x_at_max, g)``.
+    """
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast(_DEC)).alias("s_d"),
+        F.sum(F.col(value_col).cast(_DEC) * F.col(value_col)).alias("q_d"),
+    )
+    scored = (
+        df.select(F.col(value_col).alias("x")).alias("r")
+        .crossJoin(F.broadcast(mom).alias("m"))
+        .select(
+            "r.x",
+            "m.n",
+            "m.s_d",
+            "m.q_d",
+            F.abs(F.col("r.x") * F.col("m.n") - F.col("m.s_d")).alias("dev_d"),
+        )
+        .persist()
+    )
+    best = scored.agg(F.max("dev_d").alias("dmax_d"))
+    return (
+        scored.alias("s")
+        .join(F.broadcast(best).alias("b"), F.col("s.dev_d") == F.col("b.dmax_d"))
+        .groupBy()
+        .agg(
+            F.max("s.n").cast("long").alias("n"),
+            F.min("s.x").cast("long").alias("x_at_max"),
+            F.max(F.col("s.dev_d").cast("double")).alias("dmax"),
+            F.max(F.col("s.s_d").cast("double")).alias("s"),
+            F.max(F.col("s.q_d").cast("double")).alias("q"),
+        )
+        .select("n", "x_at_max", F.expr(GRUBBS_G_EXPR).alias("g"))
+    )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality test over an INTEGER-grid column (pass a
+    coarse grid — dollars, not cents — so the 4th raw moment stays inside
+    DECIMAL(38,0) at any plausible row count): exact raw moment sums,
+    central moments expanded in ONE shared expression per output.
+    Returns ``(n, skew, kurt_excess, jb)``.
+    """
+    x = F.col(value_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(_DEC)).alias("s1_d"),
+        F.sum(x.cast(_DEC) * x).alias("s2_d"),
+        F.sum(x.cast(_DEC) * x * x).alias("s3_d"),
+        F.sum(x.cast(_DEC) * x * x * x).alias("s4_d"),
+    )
+    asdbl = mom.select(
+        "n",
+        *[
+            F.col(f"s{i}_d").cast("double").alias(f"s{i}")
+            for i in range(1, 5)
+        ],
+    )
+    return asdbl.select(
+        "n",
+        F.expr(JB_SKEW_EXPR).alias("skew"),
+        F.expr(JB_KURT_EXPR).alias("kurt_excess"),
+        F.expr(JB_STAT_EXPR).alias("jb"),
+    )
+
+
+def durbin_watson_daily(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Durbin-Watson autocorrelation-of-residuals statistic for the OLS
+    daily revenue trend (dollar grid): slope/intercept come closed-form
+    from exact integer sums, per-day residual terms round onto a 1e-2
+    grid before the (order-free) sums, and the lagged pair comes from one
+    keyed self-join on ``day_num + 1`` — no windows. Returns
+    ``(n_days, dw)``.
+    """
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col))).cast("long").alias("x"))
+        .select(
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))).cast("long").alias("t"),
+            "x",
+        )
+        .persist()
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("t").cast(_DEC)).alias("st_d"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx_d"),
+        F.sum(F.col("t").cast(_DEC) * F.col("t")).alias("stt_d"),
+        F.sum(F.col("t").cast(_DEC) * F.col("x")).alias("stx_d"),
+    )
+    co = mom.select(
+        "n",
+        *[
+            F.col(f"{c}_d").cast("double").alias(c)
+            for c in ("st", "sx", "stt", "stx")
+        ],
+    ).select(
+        "n",
+        "st",
+        "sx",
+        F.expr("(n * stx - st * sx) / (n * stt - st * st)").alias("b1"),
+    ).select(
+        "n", F.expr("(sx - b1 * st) / n").alias("b0"), "b1"
+    )
+    resid = (
+        daily.alias("d")
+        .crossJoin(F.broadcast(co).alias("c"))
+        .select(
+            "d.t",
+            F.expr("d.x - (c.b0 + c.b1 * d.t)").alias("e"),
+        )
+        .persist()
+    )
+    den = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.expr("cast(round(e * e * 1e2) as bigint)").cast(_DEC))
+        .cast("double")
+        .alias("den"),
+    )
+    lagged = (
+        resid.alias("a")
+        .join(
+            resid.select(F.col("t").alias("_t2"), F.col("e").alias("e2")).alias("b"),
+            F.col("a.t") + 1 == F.col("b._t2"),
+        )
+        .agg(
+            F.sum(F.expr("cast(round((e2 - e) * (e2 - e) * 1e2) as bigint)").cast(_DEC))
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return (
+        den.alias("x")
+        .crossJoin(F.broadcast(lagged).alias("y"))
+        .select("x.n_days", "y.num", "x.den")
+        .select("n_days", F.expr(DW_EXPR).alias("dw"))
+    )

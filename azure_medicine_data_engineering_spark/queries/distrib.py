@@ -621,3 +621,122 @@ def q_holt_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the recursive-CTE oracle stay bit-identical
     (``events_analytics.holt_linear_daily``)."""
     return holt_linear_daily(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Model / normality diagnostics: Grubbs, Jarque-Bera, Durbin-Watson.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    DW_EXPR,
+    GRUBBS_G_EXPR,
+    JB_KURT_EXPR,
+    JB_SKEW_EXPR,
+    JB_STAT_EXPR,
+    durbin_watson_daily,
+    grubbs_test,
+    jarque_bera,
+)
+
+
+@register(
+    "grubbs_outlier_price",
+    f"""
+    WITH src AS (SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS x FROM orders),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS s_h,
+             SUM(CAST(x AS HUGEINT) * x) AS q_h
+      FROM src
+    ),
+    scored AS (
+      SELECT src.x, m.n, m.s_h, m.q_h, abs(src.x * m.n - m.s_h) AS dev
+      FROM src, mom m
+    ),
+    best AS (SELECT MAX(dev) AS dmax_h FROM scored),
+    s2 AS (
+      SELECT CAST(MAX(s.n) AS BIGINT) AS n, CAST(MIN(s.x) AS BIGINT) AS x_at_max,
+             MAX(CAST(s.dev AS DOUBLE)) AS dmax,
+             MAX(CAST(s.s_h AS DOUBLE)) AS s, MAX(CAST(s.q_h AS DOUBLE)) AS q
+      FROM scored s JOIN best b ON s.dev = b.dmax_h
+    )
+    SELECT n, x_at_max, {GRUBBS_G_EXPR} AS g FROM s2
+    """,
+)
+def q_grubbs_outlier_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate outlier screen on order prices
+    (dollar grid) — integer deviation argmax with a lowest-value
+    tie-break, shared G finalization (``regress.grubbs_test``)."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(F.round(F.col("o_totalprice")).cast("long").alias("price_d"))
+    return grubbs_test(src, "price_d")
+
+
+@register(
+    "jarque_bera_price",
+    f"""
+    WITH src AS (SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS x FROM orders),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+      FROM src
+    )
+    SELECT n, {JB_SKEW_EXPR} AS skew, {JB_KURT_EXPR} AS kurt_excess,
+           {JB_STAT_EXPR} AS jb
+    FROM mom
+    """,
+)
+def q_jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of order prices (dollar grid so the
+    4th raw moment stays inside exact DECIMAL(38,0) at any plausible row
+    count): skewness, excess kurtosis and the JB statistic from shared
+    central-moment expansions (``regress.jarque_bera``)."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(F.round(F.col("o_totalprice")).cast("long").alias("price_d"))
+    return jarque_bera(src, "price_d")
+
+
+@register(
+    "durbin_watson_daily_trend",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(SUM(ROUND(o_totalprice)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS stt,
+             CAST(SUM(CAST(t AS HUGEINT) * x) AS DOUBLE) AS stx
+      FROM daily
+    ),
+    co1 AS (SELECT n, st, sx, (n * stx - st * sx) / (n * stt - st * st) AS b1 FROM mom),
+    co AS (SELECT n, (sx - b1 * st) / n AS b0, b1 FROM co1),
+    resid AS (
+      SELECT d.t, d.x - (c.b0 + c.b1 * d.t) AS e FROM daily d, co c
+    ),
+    den AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(cast(round(e * e * 1e2) as bigint)) AS DOUBLE) AS den
+      FROM resid
+    ),
+    num AS (
+      SELECT CAST(SUM(cast(round((b.e - a.e) * (b.e - a.e) * 1e2) as bigint)) AS DOUBLE) AS num
+      FROM resid a JOIN resid b ON a.t + 1 = b.t
+    )
+    SELECT den.n_days, {DW_EXPR} AS dw FROM den, num
+    """,
+)
+def q_durbin_watson_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation-of-residuals diagnostic for the OLS
+    daily revenue trend — the companion to ``ols_daily_trend`` and
+    ``acf_daily_revenue``: closed-form trend from exact integer sums,
+    per-day residual terms rounded onto a 1e-2 grid before the order-free
+    sums, lag pair via one keyed self-join
+    (``regress.durbin_watson_daily``)."""
+    return durbin_watson_daily(_t(spark, sf_dir, "orders"))

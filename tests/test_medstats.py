@@ -759,3 +759,74 @@ class TestPairedProportions:
         zc = 1.96
         lo = (p1 + zc * zc / 200 - zc * math.sqrt(p1 * (1 - p1) / 100 + zc * zc / 40000)) / (1 + zc * zc / 100)
         assert out["p1_lo"] == pytest.approx(lo, abs=1e-3)
+
+
+class TestDiagnostics:
+    def test_grubbs_flags_planted_outlier(self, spark):
+        vals = [100, 102, 98, 101, 99, 103, 97, 100, 500]  # 500 planted
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            grubbs_test,
+        )
+
+        out = grubbs_test(df, "v").collect()[0]
+        assert out["x_at_max"] == 500
+        n = len(vals)
+        mean = sum(vals) / n
+        sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+        assert out["g"] == pytest.approx((500 - mean) / sd, abs=1e-3)
+
+    def test_jarque_bera_matches_naive(self, spark):
+        vals = [1, 2, 2, 3, 3, 3, 4, 4, 5, 9]  # right-skewed
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            jarque_bera,
+        )
+
+        out = jarque_bera(df, "v").collect()[0]
+        n = len(vals)
+        mean = sum(vals) / n
+        m2 = sum((v - mean) ** 2 for v in vals) / n
+        m3 = sum((v - mean) ** 3 for v in vals) / n
+        m4 = sum((v - mean) ** 4 for v in vals) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3
+        assert out["skew"] == pytest.approx(skew, abs=1e-3)
+        assert out["kurt_excess"] == pytest.approx(kurt, abs=1e-3)
+        assert out["jb"] == pytest.approx(n / 6 * (skew**2 + kurt**2 / 4), abs=1e-2)
+        assert out["skew"] > 0  # planted right skew
+
+    def test_durbin_watson_positive_autocorr_low(self, spark):
+        import datetime as dt
+
+        # slow sine wave around a trend -> strongly autocorrelated
+        # residuals -> DW well below 2
+        d0 = dt.date(2024, 1, 1)
+        rows = [
+            (d0 + dt.timedelta(days=i), 1000.0 + 300 * math.sin(i / 8.0))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            durbin_watson_daily,
+        )
+
+        out = durbin_watson_daily(df).collect()[0]
+        assert out["n_days"] == 60
+        assert out["dw"] < 1.0
+
+    def test_durbin_watson_alternating_high(self, spark):
+        import datetime as dt
+
+        d0 = dt.date(2024, 1, 1)
+        rows = [
+            (d0 + dt.timedelta(days=i), 1000.0 + (100 if i % 2 == 0 else -100))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            durbin_watson_daily,
+        )
+
+        out = durbin_watson_daily(df).collect()[0]
+        assert out["dw"] > 3.0  # alternating residuals -> DW near 4
