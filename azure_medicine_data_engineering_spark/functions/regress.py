@@ -298,3 +298,64 @@ def durbin_watson_daily(
         .select("x.n_days", "y.num", "x.den")
         .select("n_days", F.expr(DW_EXPR).alias("dw"))
     )
+
+
+MK_Z_EXPR = (
+    "case when s > 0 then round((s - 1) / sqrt(v), 4) "
+    "when s < 0 then round((s + 1) / sqrt(v), 4) else 0e0 end"
+)
+MK_VAR_EXPR = "((n * 1e0 * (n - 1) * (2 * n + 5) - tiesum) / 18e0)"
+
+PARTIAL_CORR_EXPR = (
+    "round((rxy - rxz * ryz) / sqrt((1e0 - rxz * rxz) * (1e0 - ryz * ryz)), 4)"
+)
+
+
+def mann_kendall_daily(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on the daily revenue series —
+    the significance companion to the Theil-Sen slope: ``S = Σ_{i<j}
+    sign(x_j − x_i)`` is an exact integer from one keyed self-join over
+    the calendar-bounded day frame (pairs are day²-sized, never
+    fact-sized), the tie-corrected variance comes from integer tie-group
+    sums, and the continuity-corrected z is one shared expression.
+    Returns ``(n_days, s, z)``.
+    """
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
+        .select(
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))).cast("long").alias("t"),
+            "x",
+        )
+        .persist()
+    )
+    pairs = (
+        daily.alias("a")
+        .join(daily.select(F.col("t").alias("t2"), F.col("x").alias("x2")).alias("b"),
+              F.col("a.t") < F.col("b.t2"))
+        .agg(F.sum(F.signum(F.col("b.x2") - F.col("a.x")).cast("long")).cast("long").alias("s"))
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).cast("long").alias("tiesum"),
+        )
+    )
+    return (
+        pairs.alias("p")
+        .crossJoin(F.broadcast(ties).alias("t"))
+        .select(
+            F.col("t.n").alias("n_days"),
+            "p.s",
+            F.expr(MK_VAR_EXPR).alias("v"),
+        )
+        .select("n_days", "s", F.expr(MK_Z_EXPR).alias("z"))
+    )

@@ -740,3 +740,105 @@ def q_durbin_watson_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, lag pair via one keyed self-join
     (``regress.durbin_watson_daily``)."""
     return durbin_watson_daily(_t(spark, sf_dir, "orders"))
+
+
+from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    MK_VAR_EXPR,
+    MK_Z_EXPR,
+    PARTIAL_CORR_EXPR,
+    mann_kendall_daily,
+)
+
+
+@register(
+    "mann_kendall_revenue_trend",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.t < b.t
+    ),
+    ties AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tiesum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY x) g
+    ),
+    v AS (
+      SELECT t.n AS n_days, p.s, {MK_VAR_EXPR} AS v
+      FROM pairs p, ties t
+    )
+    SELECT n_days, s, {MK_Z_EXPR} AS z FROM v
+    """,
+)
+def q_mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on daily revenue — the
+    significance companion to ``theil_sen_daily_trend``: exact integer
+    S from one day-frame self-join (day²-sized, never fact-sized),
+    tie-corrected variance from integer tie sums, continuity-corrected z
+    (``regress.mann_kendall_daily``)."""
+    return mann_kendall_daily(_t(spark, sf_dir, "orders"))
+
+
+_PC_COLS = ["qty", "price_c", "disc_c"]
+
+
+def _pc_oracle() -> str:
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _PC_COLS:
+        moments.append(f"SUM(CAST({c} AS HUGEINT)) AS s_{c}")
+        moments.append(f"SUM(CAST({c} AS HUGEINT) * {c}) AS ss_{c}")
+    from itertools import combinations
+
+    for a, b in combinations(_PC_COLS, 2):
+        moments.append(f"SUM(CAST({a} AS HUGEINT) * {b}) AS sp_{a}_{b}")
+
+    def corr_of(a: str, b: str) -> str:
+        return (
+            f"(SELECT {CORR_EXPR} FROM (SELECT n, CAST(s_{a} AS DOUBLE) AS sa, "
+            f"CAST(s_{b} AS DOUBLE) AS sb, CAST(ss_{a} AS DOUBLE) AS saa, "
+            f"CAST(ss_{b} AS DOUBLE) AS sbb, CAST(sp_{a}_{b} AS DOUBLE) AS sab "
+            f"FROM mom) t)"
+        )
+
+    return f"""
+    WITH src AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c
+      FROM lineitem
+    ),
+    mom AS (SELECT {', '.join(moments)} FROM src),
+    r AS (
+      SELECT n, {corr_of('qty', 'price_c')} AS rxy,
+             {corr_of('qty', 'disc_c')} AS rxz,
+             {corr_of('price_c', 'disc_c')} AS ryz
+      FROM mom
+    )
+    SELECT n, rxy, rxz, ryz, {PARTIAL_CORR_EXPR} AS r_partial FROM r
+    """
+
+
+@register("partial_corr_qty_price_given_discount", _pc_oracle())
+def q_partial_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial Pearson correlation of quantity and price CONTROLLING for
+    discount — the confounder-adjusted correlation, combined from the
+    exact-moment pairwise correlations (both engines combine the same
+    ROUNDED pairwise r's, so the adjustment is bit-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+    )
+    cm = correlation_matrix(src, _PC_COLS)
+    one = cm.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when((F.col("col_a") == "qty") & (F.col("col_b") == "price_c"), F.col("corr"))).alias("rxy"),
+        F.max(F.when((F.col("col_a") == "qty") & (F.col("col_b") == "disc_c"), F.col("corr"))).alias("rxz"),
+        F.max(F.when((F.col("col_a") == "price_c") & (F.col("col_b") == "disc_c"), F.col("corr"))).alias("ryz"),
+    )
+    return one.select("n", "rxy", "rxz", "ryz", F.expr(PARTIAL_CORR_EXPR).alias("r_partial"))

@@ -830,3 +830,56 @@ class TestDiagnostics:
 
         out = durbin_watson_daily(df).collect()[0]
         assert out["dw"] > 3.0  # alternating residuals -> DW near 4
+
+
+class TestMannKendallPartial:
+    def test_mk_matches_naive(self, spark):
+        import datetime as dt
+
+        series = [10.0, 14.0, 12.0, 18.0, 16.0, 22.0, 20.0, 25.0]
+        d0 = dt.date(2024, 2, 1)
+        rows = [(d0 + dt.timedelta(days=i), x) for i, x in enumerate(series)]
+        df = spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            mann_kendall_daily,
+        )
+
+        out = mann_kendall_daily(df).collect()[0]
+        cents = [round(x * 100) for x in series]
+        n = len(cents)
+        s = sum(
+            (cents[j] > cents[i]) - (cents[j] < cents[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        var = n * (n - 1) * (2 * n + 5) / 18
+        z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0
+        assert out["n_days"] == n and out["s"] == s
+        assert out["z"] == pytest.approx(z, abs=1e-3)
+        assert out["z"] > 1.5  # planted uptrend
+
+    def test_partial_corr_removes_common_driver(self, spark):
+        import numpy as np
+
+        # x and y both driven by z plus independent deterministic parts
+        rows = []
+        for i in range(286):  # 2 x 143: full joint period of the residuals
+            z = i % 20
+            x = 3 * z + (i * 37) % 11  # residual period 11
+            y = 2 * z + (i * 53) % 13  # residual period 13 (coprime)
+            rows.append((x, y, z))
+        df = spark.createDataFrame(rows, ["x", "y", "z"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            PARTIAL_CORR_EXPR,
+            correlation_matrix,
+        )
+
+        cm = correlation_matrix(df, ["x", "y", "z"])
+        got = {(r["col_a"], r["col_b"]): r["corr"] for r in cm.collect()}
+        rxy, rxz, ryz = got[("x", "y")], got[("x", "z")], got[("y", "z")]
+        partial = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+        arr = np.array(rows, dtype=float)
+        raw = np.corrcoef(arr[:, 0], arr[:, 1])[0, 1]
+        # marginal correlation is strong; the z-adjusted one collapses
+        assert raw > 0.9
+        assert abs(partial) < 0.3
