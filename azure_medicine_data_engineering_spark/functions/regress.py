@@ -359,3 +359,87 @@ def mann_kendall_daily(
         )
         .select("n_days", "s", F.expr(MK_Z_EXPR).alias("z"))
     )
+
+
+def cronbach_alpha(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over k
+    INTEGER-grid item columns — the psychometric staple:
+    ``α = k/(k−1) · (1 − Σ var_i / var_total)`` with the total-score
+    variance expanded as ``Σ var_i + 2·Σ cov_ij``, everything from the
+    one-pass exact moment aggregate (same machinery as
+    :func:`correlation_matrix`). The k item variances and k(k−1)/2
+    covariances combine in a FIXED literal order (sorted column names),
+    so the double arithmetic is identical cross-engine. Returns one row
+    ``(n, k, alpha)``.
+    """
+    cols = sorted(cols)
+    k = len(cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(_DEC)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c).cast(_DEC) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum(F.col(a).cast(_DEC) * F.col(b)).alias(f"sp_{a}_{b}"))
+    mom = df.agg(*aggs)
+    dbl = mom.select(
+        "n",
+        *[F.col(f"s_{c}").cast("double").alias(f"s_{c}") for c in cols],
+        *[F.col(f"ss_{c}").cast("double").alias(f"ss_{c}") for c in cols],
+        *[
+            F.col(f"sp_{a}_{b}").cast("double").alias(f"sp_{a}_{b}")
+            for a, b in combinations(cols, 2)
+        ],
+    )
+    # population variances/covariances: var_i = ss_i/n - (s_i/n)^2 etc.;
+    # explicit left-assoc sums in sorted order (identical in the oracle)
+    var_terms = " + ".join(
+        f"(ss_{c} / n - (s_{c} / n) * (s_{c} / n))" for c in cols
+    )
+    cov_terms = " + ".join(
+        f"(sp_{a}_{b} / n - (s_{a} / n) * (s_{b} / n))"
+        for a, b in combinations(cols, 2)
+    )
+    alpha = (
+        f"round({k}e0 / {k - 1}e0 * (1e0 - ({var_terms}) / "
+        f"(({var_terms}) + 2e0 * ({cov_terms}))), 4)"
+    )
+    return dbl.select(
+        "n", F.lit(k).cast("long").alias("k"), F.expr(alpha).alias("alpha")
+    )
+
+
+def cronbach_alpha_oracle_sql(src_sql: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`cronbach_alpha` over ``src_sql`` (a query
+    producing the item columns): identical moment set (HUGEINT sums) and
+    the identical finalization expression text."""
+    cols = sorted(cols)
+    k = len(cols)
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        moments.append(f"SUM(CAST({c} AS HUGEINT)) AS sh_{c}")
+        moments.append(f"SUM(CAST({c} AS HUGEINT) * {c}) AS ssh_{c}")
+    for a, b in combinations(cols, 2):
+        moments.append(f"SUM(CAST({a} AS HUGEINT) * {b}) AS sph_{a}_{b}")
+    casts = ["n"]
+    for c in cols:
+        casts.append(f"CAST(sh_{c} AS DOUBLE) AS s_{c}")
+        casts.append(f"CAST(ssh_{c} AS DOUBLE) AS ss_{c}")
+    for a, b in combinations(cols, 2):
+        casts.append(f"CAST(sph_{a}_{b} AS DOUBLE) AS sp_{a}_{b}")
+    var_terms = " + ".join(
+        f"(ss_{c} / n - (s_{c} / n) * (s_{c} / n))" for c in cols
+    )
+    cov_terms = " + ".join(
+        f"(sp_{a}_{b} / n - (s_{a} / n) * (s_{b} / n))"
+        for a, b in combinations(cols, 2)
+    )
+    alpha = (
+        f"round({k}e0 / {k - 1}e0 * (1e0 - ({var_terms}) / "
+        f"(({var_terms}) + 2e0 * ({cov_terms}))), 4)"
+    )
+    return f"""
+    WITH src AS ({src_sql}),
+    mom AS (SELECT {', '.join(moments)} FROM src),
+    dbl AS (SELECT {', '.join(casts)} FROM mom)
+    SELECT n, CAST({k} AS BIGINT) AS k, {alpha} AS alpha FROM dbl
+    """

@@ -842,3 +842,37 @@ def q_partial_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when((F.col("col_a") == "price_c") & (F.col("col_b") == "disc_c"), F.col("corr"))).alias("ryz"),
     )
     return one.select("n", "rxy", "rxz", "ryz", F.expr(PARTIAL_CORR_EXPR).alias("r_partial"))
+
+
+from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    cronbach_alpha,
+    cronbach_alpha_oracle_sql,
+)
+
+_CA_SRC_SQL = """
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+      FROM lineitem
+"""
+
+
+@register(
+    "cronbach_alpha_lineitem",
+    cronbach_alpha_oracle_sql(_CA_SRC_SQL, ["qty", "price_c", "disc_c", "tax_c"]),
+)
+def q_cronbach_alpha_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over the four
+    lineitem numerics treated as a measurement battery — the reliability
+    staple of clinical questionnaires, from the one-pass exact moment
+    aggregate with a fixed sorted-order finalization
+    (``regress.cronbach_alpha``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    return cronbach_alpha(src, ["qty", "price_c", "disc_c", "tax_c"])

@@ -883,3 +883,27 @@ class TestMannKendallPartial:
         # marginal correlation is strong; the z-adjusted one collapses
         assert raw > 0.9
         assert abs(partial) < 0.3
+
+
+class TestCronbach:
+    def test_matches_naive(self, spark):
+        import numpy as np
+
+        rng = []
+        for i in range(100):
+            base = i % 10
+            rng.append((base + (i * 3) % 4, base + (i * 7) % 4, base + (i * 11) % 4))
+        df = spark.createDataFrame(rng, ["i1", "i2", "i3"])
+        from azure_medicine_data_engineering_spark.functions.regress import (
+            cronbach_alpha,
+        )
+
+        out = cronbach_alpha(df, ["i1", "i2", "i3"]).collect()[0]
+        arr = np.array(rng, dtype=float)
+        k = 3
+        item_vars = arr.var(axis=0)  # population variances
+        total_var = arr.sum(axis=1).var()
+        alpha = k / (k - 1) * (1 - item_vars.sum() / total_var)
+        assert out["k"] == 3 and out["n"] == 100
+        assert out["alpha"] == pytest.approx(alpha, abs=1e-3)
+        assert out["alpha"] > 0.5  # shared base -> consistent battery
