@@ -928,3 +928,36 @@ def _wilson_sub(expr: str, x: str, n: str) -> str:
     import re as _re
 
     return _re.sub(r"\bx\b", x, _re.sub(r"\bn\b", n, expr))
+
+
+def levene_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Levene's test of variance homogeneity (mean-centred variant) — the
+    assumption check run before every ANOVA: W is literally the one-way
+    ANOVA F computed over the absolute deviations ``z = |x − mean_g|``,
+    so this composes :func:`anova_oneway` over a derived column. The
+    deviations are rounded onto an integer 1e-4 grid per row (order-free
+    downstream sums, engine-identical since ``mean_g = S_g/n_g`` is the
+    same double on both sides); group means come from exact integer sums
+    joined back as a broadcast k-row frame. ``value_col`` must be an
+    INTEGER-grid column. Returns ``(k, n, f)``.
+    """
+    means = (
+        df.groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(F.col(value_col).cast("decimal(38,0)")).alias("s_g"),
+        )
+        .select(
+            "_g",
+            (F.col("s_g").cast("double") / F.col("n_g")).alias("m_g"),
+        )
+    )
+    z = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_x")).join(
+        F.broadcast(means), "_g"
+    ).select(
+        "_g",
+        F.expr("cast(round(abs(_x - m_g) * 1e4) as bigint)").alias("z_u"),
+    )
+    return anova_oneway(z, "z_u", "_g")

@@ -703,3 +703,68 @@ def q_two_proportion_error_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("s"),
     )
     return two_proportion_test(per_user, F.col("g"), F.col("s"))
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    ANOVA_F_EXPR,
+    levene_test,
+)
+
+
+@register(
+    "levene_totalprice_by_priority",
+    f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    means AS (
+      SELECT g, CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*) AS m_g
+      FROM src GROUP BY g
+    ),
+    z AS (
+      SELECT src.g, cast(round(abs(src.x - means.m_g) * 1e4) as bigint) AS z_u
+      FROM src JOIN means USING (g)
+    ),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(z_u AS HUGEINT)) AS s_g,
+             SUM(CAST(z_u AS HUGEINT) * z_u) AS q_g
+      FROM z GROUP BY g
+    ),
+    t AS (SELECT g, CAST(s_g AS DOUBLE) AS sgd, n_g FROM per),
+    ss AS (
+      SELECT MAX(CASE WHEN g = '1-URGENT' THEN sgd * sgd / n_g END) AS t1,
+             MAX(CASE WHEN g = '2-HIGH' THEN sgd * sgd / n_g END) AS t2,
+             MAX(CASE WHEN g = '3-MEDIUM' THEN sgd * sgd / n_g END) AS t3,
+             MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN sgd * sgd / n_g END) AS t4,
+             MAX(CASE WHEN g = '5-LOW' THEN sgd * sgd / n_g END) AS t5
+      FROM t
+    ),
+    kn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS DOUBLE) AS s, CAST(SUM(q_g) AS DOUBLE) AS q
+      FROM per
+    ),
+    s2 AS (
+      SELECT kn.k, kn.n, kn.s, kn.q,
+             ((((0e0 + ss.t1) + ss.t2) + ss.t3) + ss.t4) + ss.t5 AS ssg
+      FROM kn, ss
+    )
+    SELECT k, n, {ANOVA_F_EXPR} AS f FROM s2
+    """,
+)
+def q_levene_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's variance-homogeneity test (mean-centred) of order price
+    across the five priority classes — the assumption check for
+    ``anova_totalprice_by_priority``, computed as one-way ANOVA over the
+    1e-4-grid absolute deviations (``rankstats.levene_test``); the group
+    means are the identical double ``S_g/n_g`` on both engines, so the
+    derived integer column is bit-exact."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return levene_test(src, "cents", "o_orderpriority")

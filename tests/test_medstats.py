@@ -907,3 +907,33 @@ class TestCronbach:
         assert out["k"] == 3 and out["n"] == 100
         assert out["alpha"] == pytest.approx(alpha, abs=1e-3)
         assert out["alpha"] > 0.5  # shared base -> consistent battery
+
+
+class TestLevene:
+    def test_matches_naive(self, spark):
+        groups = {
+            "a": [10, 12, 9, 11, 10, 12],        # tight
+            "b": [20, 30, 10, 40, 5, 35],        # wide
+            "c": [15, 16, 14, 15, 16, 14],       # tight
+        }
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            levene_test,
+        )
+
+        out = levene_test(df, "v", "g").collect()[0]
+        # naive Levene (mean-centred): one-way ANOVA F over z = |x - mean_g|
+        z = {
+            g: [abs(v - sum(vs) / len(vs)) for v in vs]
+            for g, vs in groups.items()
+        }
+        allz = [x for vs in z.values() for x in vs]
+        n, k = len(allz), len(groups)
+        gm = sum(allz) / n
+        ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in z.values())
+        ssw = sum((x - sum(vs) / len(vs)) ** 2 for vs in z.values() for x in vs)
+        w = (ssb / (k - 1)) / (ssw / (n - k))
+        assert (out["k"], out["n"]) == (k, n)
+        assert out["f"] == pytest.approx(w, rel=2e-3)
+        assert out["f"] > 3  # planted variance heterogeneity
