@@ -205,3 +205,25 @@ def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+class TestAvroSeam:
+    """Avro ingress/egress seam: Spark's avro module is EXTERNAL (a
+    separate jar this runtime does not ship and cannot fetch — same
+    environment gate as Delta, re-probed per round: 2026-08-14 still
+    absent). The test runs the real round-trip whenever the jar is
+    present and pins the honest failure mode here."""
+
+    def test_avro_roundtrip_or_documented_absence(self, spark, tmp_path):
+        df = spark.range(5).selectExpr("id", "id * 2 AS v")
+        path = str(tmp_path / "avro_probe")
+        try:
+            df.write.format("avro").mode("overwrite").save(path)
+        except Exception as e:
+            assert "Failed to find data source: avro" in str(e)
+            import pytest as _pytest
+
+            _pytest.skip("spark-avro jar absent in this runtime (no network)")
+        back = spark.read.format("avro").load(path)
+        assert back.count() == 5
+        assert {r["v"] for r in back.collect()} == {0, 2, 4, 6, 8}
