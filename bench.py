@@ -53,6 +53,10 @@ HEADLINE = [
     "incremental_day_state_merge",
     "semantic_contamination_flags",
     "length_bucketed_batches",
+    # round-4 session-2 additions: the bucketed-prefix-sum rank statistic
+    # and the survival estimator (day-frame windows)
+    "mann_whitney_click_vs_view",
+    "kaplan_meier_signup_to_purchase",
 ]
 
 
