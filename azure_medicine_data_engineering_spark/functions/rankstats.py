@@ -961,3 +961,38 @@ def levene_test(
         F.expr("cast(round(abs(_x - m_g) * 1e4) as bigint)").alias("z_u"),
     )
     return anova_oneway(z, "z_u", "_g")
+
+
+WSR_W_EXPR = "round(wx2 / 2e0, 1)"
+WSR_Z_EXPR = (
+    "round((wx2 / 2e0 - n * 1e0 * (n + 1) / 4e0) / "
+    "sqrt(n * 1e0 * (n + 1) * (2 * n + 1) / 24e0 - tiesum / 48e0), 4)"
+)
+
+
+def wilcoxon_signed_rank(df: DataFrame, diff_col: str) -> DataFrame:
+    """Wilcoxon signed-rank test over an INTEGER-grid paired-difference
+    column (the paired sibling of Mann-Whitney; zeros drop per the
+    standard treatment): ranks of ``|d|`` come from the bucketed prefix
+    sum, ``W+`` rides the doubled-rank integer grid
+    (``c_pos · (2·cnt_less + c_all + 1)``), and the tie-corrected normal
+    z is one shared expression. Returns one row ``(n, w_plus, z)``.
+    """
+    nz = df.select(F.col(diff_col).alias("d")).where(F.col("d") != 0)
+    ranked = ranked_value_counts(
+        nz.select(F.abs(F.col("d")).alias("ad"), (F.col("d") > 0).alias("_p")),
+        "ad",
+        extra_counts=[F.sum(F.col("_p").cast("long")).cast("long").alias("c_pos")],
+    )
+    scal = ranked.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(
+            F.col("c_pos") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
+        ).cast("long").alias("wx2"),
+        F.sum(
+            F.col("c_all") * F.col("c_all") * F.col("c_all") - F.col("c_all")
+        ).cast("long").alias("tiesum"),
+    )
+    return scal.select(
+        "n", F.expr(WSR_W_EXPR).alias("w_plus"), F.expr(WSR_Z_EXPR).alias("z")
+    )

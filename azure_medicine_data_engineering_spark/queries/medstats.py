@@ -768,3 +768,62 @@ def q_levene_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return levene_test(src, "cents", "o_orderpriority")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    WSR_W_EXPR,
+    WSR_Z_EXPR,
+    wilcoxon_signed_rank,
+)
+
+
+@register(
+    "wilcoxon_signed_rank_spend_halves",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        - CAST(SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d
+      FROM events GROUP BY user_id
+    ),
+    nz AS (SELECT d FROM per_user WHERE d <> 0),
+    byval AS (
+      SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+      FROM nz GROUP BY abs(d)
+    ),
+    r AS (
+      SELECT *, CAST(COALESCE(SUM(c_all) OVER (
+        ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS cnt_less
+      FROM byval
+    ),
+    s AS (
+      SELECT CAST(SUM(c_all) AS BIGINT) AS n,
+             CAST(SUM(c_pos * (2 * cnt_less + c_all + 1)) AS BIGINT) AS wx2,
+             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS tiesum
+      FROM r
+    )
+    SELECT n, {WSR_W_EXPR} AS w_plus, {WSR_Z_EXPR} AS z FROM s
+    """,
+)
+def q_wilcoxon_signed_rank_spend_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of each user's purchase spend (cents)
+    in the first vs second half of the window — the paired
+    location-shift test of the clinical battery (R's
+    ``wilcox.test(paired=TRUE)``): integer cent differences, |d| ranks
+    from the bucketed prefix sum, zeros dropped
+    (``rankstats.wilcoxon_signed_rank``)."""
+    ev = events_table(spark, sf_dir)
+    half = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(is_p & (F.col("ts") < half), cents).otherwise(0)).cast("long")
+            - F.sum(F.when(is_p & (F.col("ts") >= half), cents).otherwise(0)).cast("long")
+        ).alias("d")
+    )
+    return wilcoxon_signed_rank(per_user, "d")

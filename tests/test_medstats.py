@@ -937,3 +937,40 @@ class TestLevene:
         assert (out["k"], out["n"]) == (k, n)
         assert out["f"] == pytest.approx(w, rel=2e-3)
         assert out["f"] > 3  # planted variance heterogeneity
+
+
+class TestWilcoxonSignedRank:
+    def test_matches_naive(self, spark):
+        diffs = [5, -3, 8, -2, 7, 10, -1, 4, 0, 6]  # one zero drops
+        df = spark.createDataFrame([(d,) for d in diffs], ["d"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            wilcoxon_signed_rank,
+        )
+
+        out = wilcoxon_signed_rank(df, "d").collect()[0]
+        nz = [d for d in diffs if d != 0]
+        ranks = _avg_ranks([abs(d) for d in nz])
+        w_plus = sum(r for d, r in zip(nz, ranks) if d > 0)
+        n = len(nz)
+        from collections import Counter
+
+        ties = sum(t**3 - t for t in Counter(abs(d) for d in nz).values())
+        var = n * (n + 1) * (2 * n + 1) / 24 - ties / 48
+        z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+        assert out["n"] == n
+        assert out["w_plus"] == pytest.approx(w_plus, abs=1e-9)
+        assert out["z"] == pytest.approx(z, abs=1e-3)
+        assert out["z"] > 1  # mostly positive differences
+
+    def test_symmetric_differences_near_zero(self, spark):
+        diffs = [3, -3, 5, -5, 7, -7, 9, -9]
+        df = spark.createDataFrame([(d,) for d in diffs], ["d"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            wilcoxon_signed_rank,
+        )
+
+        out = wilcoxon_signed_rank(df, "d").collect()[0]
+        assert out["w_plus"] == pytest.approx(
+            len(diffs) * (len(diffs) + 1) / 4, abs=1e-9
+        )
+        assert abs(out["z"]) < 0.1

@@ -198,6 +198,8 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "gini_customer_spend": (1, "1024-row rank-bucket offset window"),
     # cumulative window over the calendar-bounded day frame
     "cusum_changepoint_revenue": (1, "day-frame cumulative window"),
+    # 1024-row bucket-offset window of the |d| rank prefix sum
+    "wilcoxon_signed_rank_spend_halves": (1, "1024-row rank-bucket offset window"),
 }
 
 
