@@ -996,3 +996,74 @@ def wilcoxon_signed_rank(df: DataFrame, diff_col: str) -> DataFrame:
     return scal.select(
         "n", F.expr(WSR_W_EXPR).alias("w_plus"), F.expr(WSR_Z_EXPR).alias("z")
     )
+
+
+FRIEDMAN_CHI2_EXPR = (
+    "round((k - 1) * 1e0 * devsq / (ax4 - n * 1e0 * k * (k + 1) * (k + 1)), 4)"
+)
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman repeated-measures rank test (tie-corrected general form)
+    over complete blocks: within-block average ranks live on the doubled
+    integer grid (``2r = 2·cnt_less + c_eq + 1`` from two KEYED windows —
+    min-rank and equal-count, never a global window), and with doubled
+    ranks the whole statistic collapses to integers:
+
+        χ² = (k−1)·Σ_j (R_j·2 − n(k+1))² / (Σ r²·4 − n·k·(k+1)²)
+
+    Blocks missing any treatment are dropped (complete-block design).
+    Returns one row ``(n_blocks, k, chi2)``.
+    """
+    cell = (
+        df.select(
+            F.col(block_col).alias("b"),
+            F.col(treatment_col).alias("trt"),
+            F.col(value_col).alias("x"),
+        )
+        .groupBy("b", "trt")
+        .agg(F.sum("x").cast("long").alias("m"))
+    )
+    k_tot = cell.select("trt").distinct().count()
+    complete = (
+        cell.groupBy("b").agg(F.count(F.lit(1)).alias("_nt"))
+        .where(F.col("_nt") == k_tot)
+        .select("b")
+    )
+    cc = cell.join(complete, "b").persist()
+    w_rank = Window.partitionBy("b").orderBy("m")
+    w_eq = Window.partitionBy("b", "m")
+    ranked = cc.select(
+        "b",
+        "trt",
+        (
+            2 * (F.rank().over(w_rank) - 1)
+            + F.count(F.lit(1)).over(w_eq)
+            + 1
+        ).cast("long").alias("rx2"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("rx2").cast("long").alias("rjx2"),
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+    )
+    a_tot = ranked.agg(
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("ax4")
+    )
+    scal = (
+        per_trt.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.max("n_b").cast("long").alias("n"),
+            F.sum(
+                (F.col("rjx2") - F.col("n_b") * (k_tot + 1))
+                * (F.col("rjx2") - F.col("n_b") * (k_tot + 1))
+            ).cast("long").alias("devsq"),
+        )
+        .alias("p")
+        .crossJoin(F.broadcast(a_tot).alias("a"))
+        .select("p.k", "p.n", "p.devsq", "a.ax4")
+    )
+    return scal.select(
+        F.col("n").alias("n_blocks"), "k", F.expr(FRIEDMAN_CHI2_EXPR).alias("chi2")
+    )

@@ -827,3 +827,58 @@ def q_wilcoxon_signed_rank_spend_halves(spark: SparkSession, sf_dir: str) -> Dat
         ).alias("d")
     )
     return wilcoxon_signed_rank(per_user, "d")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    FRIEDMAN_CHI2_EXPR,
+    friedman_test,
+)
+
+
+@register(
+    "friedman_value_by_type_blocks",
+    f"""
+    WITH cell AS (
+      SELECT user_id AS b, event_type AS trt,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    k_tot AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS kt FROM cell),
+    complete AS (
+      SELECT b FROM cell, k_tot GROUP BY b, kt HAVING COUNT(*) = kt
+    ),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+    ranked AS (
+      SELECT b, trt,
+        CAST(2 * (RANK() OVER (PARTITION BY b ORDER BY m) - 1)
+             + COUNT(*) OVER (PARTITION BY b, m) + 1 AS BIGINT) AS rx2
+      FROM cc
+    ),
+    per_trt AS (
+      SELECT trt, CAST(SUM(rx2) AS BIGINT) AS rjx2,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM ranked GROUP BY trt
+    ),
+    a_tot AS (SELECT CAST(SUM(rx2 * rx2) AS BIGINT) AS ax4 FROM ranked),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n_b) AS BIGINT) AS n,
+             CAST(SUM((rjx2 - n_b * (kt + 1)) * (rjx2 - n_b * (kt + 1))) AS BIGINT) AS devsq
+      FROM per_trt, k_tot GROUP BY kt
+    )
+    SELECT n AS n_blocks, k, {FRIEDMAN_CHI2_EXPR} AS chi2 FROM scal, a_tot
+    """,
+)
+def q_friedman_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures test: does total event value (cents)
+    differ systematically across the five event types, ranking WITHIN
+    each user (blocks)? The nonparametric two-way layout of the clinical
+    battery (R's ``friedman.test``): doubled within-block ranks from two
+    keyed windows make the whole statistic integer-exact
+    (``rankstats.friedman_test``)."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return friedman_test(src, "user_id", "event_type", "cents")

@@ -974,3 +974,54 @@ class TestWilcoxonSignedRank:
             len(diffs) * (len(diffs) + 1) / 4, abs=1e-9
         )
         assert abs(out["z"]) < 0.1
+
+
+class TestFriedman:
+    def test_matches_naive(self, spark):
+        # 6 blocks x 3 treatments with a planted treatment effect
+        data = {
+            1: {"a": 10, "b": 20, "c": 30},
+            2: {"a": 12, "b": 25, "c": 28},
+            3: {"a": 9, "b": 18, "c": 27},
+            4: {"a": 15, "b": 14, "c": 35},
+            5: {"a": 8, "b": 22, "c": 24},
+            6: {"a": 11, "b": 19, "c": 33},
+        }
+        rows = [(b, t, v) for b, tv in data.items() for t, v in tv.items()]
+        df = spark.createDataFrame(rows, ["b", "t", "v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            friedman_test,
+        )
+
+        out = friedman_test(df, "b", "t", "v").collect()[0]
+        n, k = 6, 3
+        ranks = {
+            b: {
+                t: sorted(tv.values()).index(v) + 1
+                for t, v in tv.items()
+            }
+            for b, tv in data.items()
+        }
+        rj = {t: sum(ranks[b][t] for b in data) for t in ("a", "b", "c")}
+        a4 = sum(r**2 for b in data for r in ranks[b].values())
+        chi2 = (
+            (k - 1)
+            * sum((rj[t] - n * (k + 1) / 2) ** 2 for t in rj)
+            / (a4 - n * k * (k + 1) ** 2 / 4)
+        )
+        assert (out["n_blocks"], out["k"]) == (n, k)
+        assert out["chi2"] == pytest.approx(chi2, abs=1e-3)
+        assert out["chi2"] > 6  # planted effect
+
+    def test_incomplete_blocks_dropped(self, spark):
+        rows = [
+            (1, "a", 1), (1, "b", 2), (2, "a", 3), (2, "b", 1),
+            (3, "a", 5),  # block 3 missing treatment b -> dropped
+        ]
+        df = spark.createDataFrame(rows, ["b", "t", "v"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            friedman_test,
+        )
+
+        out = friedman_test(df, "b", "t", "v").collect()[0]
+        assert out["n_blocks"] == 2 and out["k"] == 2
