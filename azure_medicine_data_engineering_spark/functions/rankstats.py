@@ -1067,3 +1067,56 @@ def friedman_test(
     return scal.select(
         F.col("n").alias("n_blocks"), "k", F.expr(FRIEDMAN_CHI2_EXPR).alias("chi2")
     )
+
+
+COCHRAN_Q_EXPR = (
+    "round((k - 1) * 1e0 * (k * cj2 - tot * 1e0 * tot) / (k * 1e0 * tot - ri2), 4)"
+)
+
+
+def cochran_q(
+    df: DataFrame, block_col: str, treatment_col: str, success_col: str
+) -> DataFrame:
+    """Cochran's Q test — the k-treatment generalization of McNemar for
+    binary outcomes over complete blocks: every sufficient statistic
+    (treatment column totals ``ΣC_j²``, block row totals ``ΣR_i²``, grand
+    total) is an exact BIGINT, so Q is integer arithmetic until the final
+    division. Blocks missing any treatment drop (complete-block design).
+    Returns one row ``(n_blocks, k, q)``.
+    """
+    cell = (
+        df.select(
+            F.col(block_col).alias("b"),
+            F.col(treatment_col).alias("trt"),
+            F.col(success_col).cast("long").alias("x"),
+        )
+        .groupBy("b", "trt")
+        .agg(F.max("x").cast("long").alias("x"))
+    )
+    k_tot = cell.select("trt").distinct().count()
+    complete = (
+        cell.groupBy("b").agg(F.count(F.lit(1)).alias("_nt"))
+        .where(F.col("_nt") == k_tot)
+        .select("b")
+    )
+    cc = cell.join(complete, "b").persist()
+    cols = cc.groupBy("trt").agg(F.sum("x").cast("long").alias("cj"))
+    rows = cc.groupBy("b").agg(F.sum("x").cast("long").alias("ri"))
+    scal = (
+        cols.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.col("cj") * F.col("cj")).cast("long").alias("cj2"),
+            F.sum("cj").cast("long").alias("tot"),
+        )
+        .alias("c")
+        .crossJoin(
+            F.broadcast(
+                rows.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                    F.sum(F.col("ri") * F.col("ri")).cast("long").alias("ri2"),
+                )
+            ).alias("r")
+        )
+        .select("r.n_blocks", "c.k", "c.cj2", "c.tot", "r.ri2")
+    )
+    return scal.select("n_blocks", "k", F.expr(COCHRAN_Q_EXPR).alias("q"))

@@ -882,3 +882,55 @@ def q_friedman_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return friedman_test(src, "user_id", "event_type", "cents")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    COCHRAN_Q_EXPR,
+    cochran_q,
+)
+
+
+@register(
+    "cochran_q_weekly_purchase",
+    f"""
+    WITH src AS (
+      SELECT user_id AS b,
+             CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS trt,
+             CASE WHEN event_type = 'purchase' AND value >= 250 THEN 1 ELSE 0 END AS x
+      FROM events
+      WHERE CAST(ts AS DATE) < DATE '2024-01-29'
+    ),
+    cell AS (SELECT b, trt, CAST(MAX(x) AS BIGINT) AS x FROM src GROUP BY b, trt),
+    k_tot AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS kt FROM cell),
+    complete AS (SELECT b FROM cell, k_tot GROUP BY b, kt HAVING COUNT(*) = kt),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+    cols AS (SELECT trt, CAST(SUM(x) AS BIGINT) AS cj FROM cc GROUP BY trt),
+    rows_ AS (SELECT b, CAST(SUM(x) AS BIGINT) AS ri FROM cc GROUP BY b),
+    scal AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS n_blocks,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(cj * cj) AS BIGINT) AS cj2,
+             CAST(SUM(cj) AS BIGINT) AS tot,
+             (SELECT CAST(SUM(ri * ri) AS BIGINT) FROM rows_) AS ri2
+      FROM cols
+    )
+    SELECT n_blocks, k, {COCHRAN_Q_EXPR} AS q FROM scal
+    """,
+)
+def q_cochran_q_weekly_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: does the per-user high-value purchase indicator
+    (value >= 250) differ across the four January weeks? The k-treatment
+    McNemar of the clinical battery — all sufficient statistics exact
+    BIGINTs (``rankstats.cochran_q``); week buckets are engine-neutral
+    epoch-day arithmetic."""
+    ev = events_table(spark, sf_dir)
+    src = ev.where(
+        F.col("ts").cast("date") < F.to_date(F.lit("2024-01-29"))
+    ).select(
+        F.col("user_id"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))) / 7
+        ).cast("long").alias("week"),
+        ((F.col("event_type") == "purchase") & (F.col("value") >= 250)).alias("hit"),
+    )
+    return cochran_q(src, "user_id", "week", "hit")

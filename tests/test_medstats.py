@@ -1025,3 +1025,33 @@ class TestFriedman:
 
         out = friedman_test(df, "b", "t", "v").collect()[0]
         assert out["n_blocks"] == 2 and out["k"] == 2
+
+
+class TestCochranQ:
+    def test_matches_naive(self, spark):
+        # 8 blocks x 3 treatments, planted treatment effect
+        outcomes = {
+            1: (1, 1, 0), 2: (1, 0, 0), 3: (1, 1, 1), 4: (1, 0, 0),
+            5: (1, 1, 0), 6: (0, 1, 0), 7: (1, 0, 0), 8: (1, 1, 0),
+        }
+        rows = [
+            (b, t, bool(x))
+            for b, xs in outcomes.items()
+            for t, x in zip(("t1", "t2", "t3"), xs)
+        ]
+        df = spark.createDataFrame(rows, ["b", "t", "x"])
+        from azure_medicine_data_engineering_spark.functions.rankstats import (
+            cochran_q,
+        )
+
+        out = cochran_q(df, "b", "t", "x").collect()[0]
+        k, n = 3, 8
+        cj = [sum(xs[j] for xs in outcomes.values()) for j in range(k)]
+        ri = [sum(xs) for xs in outcomes.values()]
+        tot = sum(cj)
+        q = (k - 1) * (k * sum(c * c for c in cj) - tot * tot) / (
+            k * tot - sum(r * r for r in ri)
+        )
+        assert (out["n_blocks"], out["k"]) == (n, k)
+        assert out["q"] == pytest.approx(q, abs=1e-3)
+        assert out["q"] > 5  # planted effect (t1 almost always succeeds)
