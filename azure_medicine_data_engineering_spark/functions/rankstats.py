@@ -284,9 +284,15 @@ def mann_whitney_u(
         ).cast("long").alias("r1x2"),
         F.sum("c1").cast("long").alias("n1"),
         F.sum(F.col("c_all") - F.col("c1")).cast("long").alias("n2"),
+        # c_all^3 overflows BIGINT once a single value repeats >~2.1M times:
+        # cube and sum in DECIMAL(38,0) (oracle: HUGEINT), double-cast only
+        # into the shared expression — same exact integer on both engines.
         F.sum(
-            F.col("c_all") * F.col("c_all") * F.col("c_all") - F.col("c_all")
-        ).cast("long").alias("tiesum"),
+            F.col("c_all").cast("decimal(38,0)") * F.col("c_all") * F.col("c_all")
+            - F.col("c_all")
+        ).alias("tiesum_d"),
+    ).select(
+        "r1x2", "n1", "n2", F.col("tiesum_d").cast("double").alias("tiesum")
     )
     return scal.select(
         "n1",
@@ -326,11 +332,15 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             F.sum("c_g").cast("long").alias("n_g"),
         )
     )
+    # cube-and-sum in DECIMAL(38,0) (oracle: HUGEINT) so a >~2.1M-fold tie
+    # never overflows mid-aggregation; the BIGINT cast below is the only
+    # (display-column) boundary and errors loudly under ANSI if crossed.
     ties = ranked.agg(
         F.sum(
-            F.col("c_tot") * F.col("c_tot") * F.col("c_tot") - F.col("c_tot")
-        ).cast("long").alias("tiesum")
-    )
+            F.col("c_tot").cast("decimal(38,0)") * F.col("c_tot") * F.col("c_tot")
+            - F.col("c_tot")
+        ).alias("ts_d")
+    ).select(F.col("ts_d").cast("bigint").alias("tiesum"))
     scal = (
         per_group.agg(
             F.count(F.lit(1)).cast("long").alias("k"),
@@ -705,6 +715,10 @@ def benford_chi2(df: DataFrame, value_col: str) -> DataFrame:
     digit = F.substring(
         F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
     ).cast("long")
+    # guard the documented positive-numeric precondition: floor < 1 rows
+    # ('0'/'-' digits) would inflate the total n without ever joining the
+    # 1..9 spine, silently skewing chi2 — filter them on BOTH engines.
+    df = df.where(F.floor(F.col(value_col)) >= 1)
     counts = df.select(digit.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).cast("long").alias("o")
     ).persist()  # <= 9 rows, two consumers (spine join + total)
@@ -989,10 +1003,12 @@ def wilcoxon_signed_rank(df: DataFrame, diff_col: str) -> DataFrame:
         F.sum(
             F.col("c_pos") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
         ).cast("long").alias("wx2"),
+        # DECIMAL(38,0) cube-and-sum (oracle: HUGEINT) — see mann_whitney_u
         F.sum(
-            F.col("c_all") * F.col("c_all") * F.col("c_all") - F.col("c_all")
-        ).cast("long").alias("tiesum"),
-    )
+            F.col("c_all").cast("decimal(38,0)") * F.col("c_all") * F.col("c_all")
+            - F.col("c_all")
+        ).alias("tiesum_d"),
+    ).select("n", "wx2", F.col("tiesum_d").cast("double").alias("tiesum"))
     return scal.select(
         "n", F.expr(WSR_W_EXPR).alias("w_plus"), F.expr(WSR_Z_EXPR).alias("z")
     )

@@ -107,7 +107,15 @@ def label_propagation(
         .agg(F.sum("w").cast("long").alias("w"))
         .persist()
     )
-    nodes = e.select(F.col("u").alias("node")).distinct().persist()
+    # node set from the RAW edge list (before the u != v drop): a node whose
+    # only incident edges are self-loops still exists — it keeps its own
+    # label as a singleton community instead of vanishing from the output.
+    nodes = (
+        half.select(F.col("u").alias("node"))
+        .unionByName(half.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
     labels = nodes.select("node", F.col("node").alias("lab"))
     rank_w = Window.partitionBy("u").orderBy(F.col("sw").desc(), F.col("lab"))
     for _ in range(iterations):

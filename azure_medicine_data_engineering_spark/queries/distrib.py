@@ -193,7 +193,7 @@ _BENFORD_VALUES = ", ".join(f"({d}, {pu})" for d, pu in sorted(BENFORD_PU.items(
     WITH counts AS (
       SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d,
              CAST(COUNT(*) AS BIGINT) AS o
-      FROM orders GROUP BY 1
+      FROM orders WHERE FLOOR(o_totalprice) >= 1 GROUP BY 1
     ),
     spine(d, pu) AS (VALUES {_BENFORD_VALUES}),
     tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
@@ -541,7 +541,11 @@ def _lpa_round_sql(prev: str, m: str, v: str, out: str) -> str:
         SELECT u, v, w FROM he UNION ALL SELECT v AS u, u AS v, w FROM he
       ) t WHERE u <> v GROUP BY 1, 2
     ),
-    nodes AS (SELECT DISTINCT u AS node FROM e),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM he UNION ALL SELECT v AS node FROM he
+      ) allv
+    ),
     l0 AS (SELECT node, node AS lab FROM nodes),
     {_lpa_round_sql('l0', 'm1', 'v1', 'l1')},
     {_lpa_round_sql('l1', 'm2', 'v2', 'l2')},

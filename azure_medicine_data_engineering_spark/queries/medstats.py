@@ -75,7 +75,7 @@ _RANKED_SQL = """
       SELECT CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
              CAST(SUM(c1) AS BIGINT) AS n1,
              CAST(SUM(c_all - c1) AS BIGINT) AS n2,
-             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS tiesum
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS DOUBLE) AS tiesum
       FROM r
     )
     SELECT n1, n2, {MW_U1_EXPR} AS u1, {MW_Z_EXPR} AS z FROM s
@@ -119,7 +119,7 @@ def q_mann_whitney_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g, (rgx2 / 2e0) * (rgx2 / 2e0) / n_g AS term, n_g FROM pg
     ),
     kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n FROM pg),
-    tie AS (SELECT CAST(SUM(c_tot * c_tot * c_tot - c_tot) AS BIGINT) AS tiesum FROM byval),
+    tie AS (SELECT CAST(SUM(CAST(c_tot AS HUGEINT) * c_tot * c_tot - c_tot) AS BIGINT) AS tiesum FROM byval),
     ss AS (
       SELECT MAX(CASE WHEN g = 'click' THEN term END) AS t1,
              MAX(CASE WHEN g = 'error' THEN term END) AS t2,
@@ -661,7 +661,7 @@ def q_cohens_kappa_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "two_proportion_error_purchase",
+    "two_proportion_parity_purchase",
     f"""
     WITH per_user AS (
       SELECT user_id, user_id % 2 = 0 AS g,
@@ -684,7 +684,7 @@ def q_cohens_kappa_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cells
     """,
 )
-def q_two_proportion_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_two_proportion_parity_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pooled two-proportion z-test of the high-value purchase rate
     (value >= 250) between the two id-parity user buckets — the A/B
     experiment readout shape — with Wilson 95% score intervals per group
@@ -803,7 +803,7 @@ from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa:
     s AS (
       SELECT CAST(SUM(c_all) AS BIGINT) AS n,
              CAST(SUM(c_pos * (2 * cnt_less + c_all + 1)) AS BIGINT) AS wx2,
-             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS tiesum
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS DOUBLE) AS tiesum
       FROM r
     )
     SELECT n, {WSR_W_EXPR} AS w_plus, {WSR_Z_EXPR} AS z FROM s
