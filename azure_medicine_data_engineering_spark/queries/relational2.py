@@ -1648,6 +1648,10 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Revenue concentration (Pareto/Lorenz deciles over customers).
 # ---------------------------------------------------------------------------
 
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    ranked_value_counts,
+)
+
 
 @register(
     "revenue_pareto_deciles",
@@ -1671,29 +1675,56 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration deciles (the Pareto/80-20 report): customers
-    ranked by cents-grid lifetime spend, NTILE(10) with id tie-break,
-    per-decile revenue and integer-micro share. Scale: one keyed agg to
-    customer grain; the ntile runs over the customer frame (the one
-    unavoidable ordered pass at this grain — at 100 TB swap in the
-    histogram-quantile cut like quality_quantile_gate to avoid it)."""
-    from pyspark.sql.window import Window
-
+    ranked by cents-grid lifetime spend, per-decile revenue and
+    integer-micro share — EXACTLY the oracle's
+    ``NTILE(10) OVER (ORDER BY cents DESC, o_custkey)`` output, but with
+    no data-grain window anywhere: within a tied-cents group every row
+    carries the same cents, so NTILE's per-decile counts and sums are
+    tie-break-invariant, and each DISTINCT value's exact descending span
+    ``[n - cnt_less - c_all + 1, n - cnt_less]`` (from the two-phase
+    bucketed rank prefix sum, ``rankstats.ranked_value_counts`` — one
+    1024-row bounded offset window + bucket-keyed windows) intersects the
+    closed-form NTILE boundaries ``B_t = t·q + min(t, r)`` (q = n div 10,
+    r = n mod 10) in pure integer arithmetic. Scale: one keyed agg to
+    customer grain, a 10-way spine explode of the distinct-value frame,
+    one keyed re-aggregation — survives any customer count."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    ranked = spend.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("decile"),
+    ranked = ranked_value_counts(spend, "cents")  # (v, c_all, cnt_less)
+    tot = ranked.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(F.col("c_all") * F.col("v")).cast("long").alias("t"),
     )
-    tot = ranked.agg(F.sum("cents").alias("t"))
-    return (
-        ranked.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.sum("cents").cast("long").alias("_c"),
+    spans = (
+        ranked.alias("a")
+        .crossJoin(F.broadcast(tot).alias("b"))
+        .select(
+            "a.v",
+            (F.col("b.n") - F.col("a.cnt_less")).alias("hi"),
+            # lo - 1: rows strictly before this value group in DESC order
+            (F.col("b.n") - F.col("a.cnt_less") - F.col("a.c_all")).alias("lo0"),
+            "b.n",
+            "b.t",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
         )
-        .crossJoin(F.broadcast(tot))
+    )
+    b_hi = F.expr("decile * (n div 10) + least(decile, n % 10)")
+    b_lo = F.expr("(decile - 1) * (n div 10) + least(decile - 1, n % 10)")
+    overl = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("hi"), b_hi) - F.greatest(F.col("lo0"), b_lo),
+    )
+    return (
+        spans.select("decile", overl.alias("k"), "v", "t")
+        .where(F.col("k") > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum("k").cast("long").alias("n_customers"),
+            F.sum(F.col("k") * F.col("v")).cast("long").alias("_c"),
+            F.max("t").alias("t"),
+        )
         .select(
             F.col("decile").cast("int").alias("decile"),
             "n_customers",

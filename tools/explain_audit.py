@@ -175,10 +175,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # calendar-bounded day-frame rolling window (same class as
     # rolling_7day_revenue)
     "daily_revenue_anomalies": (1, "day-frame rolling window"),
-    # customer-grain ntile — the documented exact-decile pass; the 100 TB
-    # variant cuts deciles from the mergeable histogram instead
-    # (quality_quantile_gate pattern)
-    "revenue_pareto_deciles": (1, "customer-grain decile ntile"),
+    # 1024-row bucket-offset window of the spend rank prefix sum (the
+    # NTILE-free decile rewrite, relational2.py:q_revenue_pareto_deciles)
+    "revenue_pareto_deciles": (1, "1024-row rank-bucket offset window"),
     # two exact-kth selections, each with a bucket-summary cum window plus
     # an in-bucket value-level cum window (both bounded: ~n_buckets rows /
     # <= bucket_width distinct values; quality.py:exact_kth_cents docstring)
@@ -202,6 +201,16 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "wilcoxon_signed_rank_spend_halves": (1, "1024-row rank-bucket offset window"),
 }
 
+#: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
+#: a data table, not a fixed bucket/day/bin count). These print
+#: ``?? data-grain`` — a warning, never ``ok`` — so the zero-unbounded
+#: invariant the audit enforces stays meaningful. Kept EMPTY by design:
+#: an entry here is a known scale defect awaiting the bucketed-prefix-sum
+#: (or histogram-cut) rewrite, not an accepted license. (The last entry,
+#: revenue_pareto_deciles' customer-grain ntile, was rewritten onto
+#: rankstats.ranked_value_counts in round 5.)
+DATA_GRAIN_SINGLE_PARTITION: dict[str, tuple[int, str]] = {}
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -223,6 +232,7 @@ def main() -> None:
         if info["single_partition"]:
             n_sp, n_licensed = sp_exchange_license(plan)
             bound, why = BOUNDED_SINGLE_PARTITION.get(name, (0, ""))
+            dg_bound, dg_why = DATA_GRAIN_SINGLE_PARTITION.get(name, (0, ""))
             unlicensed = n_sp - n_licensed
             if n_licensed:
                 flags.append(f"ok {n_licensed} sp->global-agg")
@@ -230,6 +240,12 @@ def main() -> None:
                 pass
             elif unlicensed <= bound:
                 flags.append(f"ok {unlicensed} bounded single-partition ({why})")
+            elif unlicensed <= bound + dg_bound:
+                # data-grain licenses warn — the bound scales with a table,
+                # so the plan is a known 100x scale defect, not accepted
+                flags.append(
+                    f"?? {unlicensed - bound} data-grain single-partition ({dg_why})"
+                )
             else:
                 flags.append(
                     f"!! {unlicensed} unlicensed single-partition exchange"
