@@ -379,6 +379,7 @@ def acf_daily_revenue(
     max_lag: int = 7,
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
+    cache: bool = True,
 ) -> DataFrame:
     """Autocorrelation function of the daily revenue series at calendar
     lags 1..``max_lag`` — the Box-Jenkins diagnostic behind every
@@ -401,8 +402,9 @@ def acf_daily_revenue(
             F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))).cast("long").alias("dn"),
             "x",
         )
-        .persist()
     )
+    if cache:  # day-frame, multi-consumer; caller-owned lifecycle
+        daily = daily.persist()
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("x").cast(dec)).alias("s_d"),
@@ -441,6 +443,7 @@ def cusum_changepoint(
     orders: DataFrame,
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
+    cache: bool = True,
 ) -> DataFrame:
     """CUSUM changepoint scan on the daily revenue series: the day
     maximizing ``|Σ_{i≤t}(x_i − x̄)|``, evaluated division-free as
@@ -457,8 +460,9 @@ def cusum_changepoint(
     daily = (
         orders.groupBy(F.col(date_col).cast("date").alias("d"))
         .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
-        .persist()
     )
+    if cache:  # day-frame, multi-consumer; caller-owned lifecycle
+        daily = daily.persist()
     w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = daily.select(
         "d",
@@ -480,8 +484,9 @@ def cusum_changepoint(
                 F.col("c.cum_d") * F.col("t.n") - F.col("t.s_d") * F.col("c.t_idx")
             ).alias("dt_d"),
         )
-        .persist()
     )
+    if cache:
+        scored = scored.persist()
     best = scored.agg(F.max("dt_d").alias("dmax_d"))
     return (
         scored.alias("s")

@@ -28,6 +28,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Weighted PageRank with uniform init 1/N:
 
@@ -42,17 +43,16 @@ def pagerank(
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     # normalized transition edges: partitioned once, reused every iteration
-    trans = (
-        e.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
-        .persist()
+    trans = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if cache:  # caller-owned lifecycle, repo convention
+        trans, nodes = trans.persist(), nodes.persist()
     n_nodes = nodes.count()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
@@ -81,6 +81,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Weighted label-propagation community detection (Raghavan et al.
     2007), synchronized rounds, fully deterministic: labels start as the
@@ -105,8 +106,9 @@ def label_propagation(
         .where(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum("w").cast("long").alias("w"))
-        .persist()
     )
+    if cache:  # reused every round; caller-owned lifecycle
+        e = e.persist()
     # node set from the RAW edge list (before the u != v drop): a node whose
     # only incident edges are self-loops still exists — it keeps its own
     # label as a singleton community instead of vanishing from the output.
@@ -114,8 +116,9 @@ def label_propagation(
         half.select(F.col("u").alias("node"))
         .unionByName(half.select(F.col("v").alias("node")))
         .distinct()
-        .persist()
     )
+    if cache:
+        nodes = nodes.persist()
     labels = nodes.select("node", F.col("node").alias("lab"))
     rank_w = Window.partitionBy("u").orderBy(F.col("sw").desc(), F.col("lab"))
     for _ in range(iterations):

@@ -55,6 +55,7 @@ def quality_report(
     zscore_cols: list[str] | None = None,
     z_threshold: float = 3.0,
     keep_zero_rows: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Fused quality report: ``(description, columnName, number)``.
 
@@ -69,7 +70,8 @@ def quality_report(
     made its bench timing hostage to whatever cached frames the preceding
     queries left behind). The persisted 1-row moments frame (2 consumers:
     z-pass broadcast + report emit) is stashed as ``_stage_caches`` —
-    caller-owned lifecycle, repo convention."""
+    caller-owned lifecycle, repo convention; pass ``cache=False`` to skip
+    the persist entirely (repeated calls in long sessions)."""
     null_cols = null_cols or []
     ranges = ranges or []
     zscore_cols = zscore_cols or []
@@ -92,7 +94,9 @@ def quality_report(
     if not aggs:
         return spark.createDataFrame([], REPORT_SCHEMA)
 
-    moments = df.agg(*aggs).persist()
+    moments = df.agg(*aggs)
+    if cache:
+        moments = moments.persist()
 
     # Second scan: z violation counts with the moments broadcast back over
     # the table. A null mean (all-null column), null std (empty table) or
@@ -141,7 +145,7 @@ def quality_report(
     )
     if not keep_zero_rows:
         rep = rep.where(F.col("number") > 0)
-    rep._stage_caches = [moments]
+    rep._stage_caches = [moments] if cache else []
     return rep
 
 
@@ -233,6 +237,7 @@ def mad_outlier_report(
     cols: list[str],
     k: float = 3.0,
     round_digits: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """Robust outlier report via Median Absolute Deviation — the
     breakdown-resistant twin of the z-score counts (``stydyGrB.scala``'s
@@ -250,7 +255,8 @@ def mad_outlier_report(
     Cache lifecycle is CALLER-owned (repo convention): the two persisted
     1-row stage frames are stashed on the result as ``_stage_caches`` —
     unpersist them after the report is materialized in long-lived
-    sessions (per call they pin only two 1-row frames)."""
+    sessions (per call they pin only two 1-row frames), or pass
+    ``cache=False`` to skip the persists (costs extra table scans)."""
     if not cols:
         raise ValueError("mad_outlier_report: cols must be non-empty")
     # both 1-row stages are persisted: each feeds TWO downstream consumers
@@ -261,7 +267,9 @@ def mad_outlier_report(
             F.round(F.expr(f"percentile(`{c}`, 0.5)"), round_digits).alias(f"_med_{c}")
             for c in cols
         ]
-    ).persist()
+    )
+    if cache:
+        meds = meds.persist()
     with_med = df.crossJoin(F.broadcast(meds))
     mads = with_med.agg(
         *[
@@ -270,7 +278,9 @@ def mad_outlier_report(
             ).alias(f"_mad_{c}")
             for c in cols
         ]
-    ).persist()
+    )
+    if cache:
+        mads = mads.persist()
     both = df.crossJoin(F.broadcast(meds)).crossJoin(F.broadcast(mads))
     counts = both.agg(
         *[
@@ -307,11 +317,13 @@ def mad_outlier_report(
         F.col("_s.mad").alias("mad"),
         F.col("_s.n").alias("n_outliers"),
     )
-    out._stage_caches = [meds, mads]
+    out._stage_caches = [meds, mads] if cache else []
     return out
 
 
-def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 5, cache: bool = True
+) -> DataFrame:
     """Join/aggregation-key skew diagnosis: the measurement that decides
     between a plain shuffle, AQE skew splitting, and an explicit salted
     join (operators/joins.py:salted_join) BEFORE a 100 TB job discovers its
@@ -333,7 +345,9 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
 
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    ).persist()
+    )
+    if cache:
+        counts = counts.persist()
     summary = counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("total_rows"),
@@ -382,7 +396,7 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
             ).cast("long").alias("suggested_salt"),
         )
     )
-    out._stage_caches = [counts]
+    out._stage_caches = [counts] if cache else []
     return out
 
 
@@ -439,6 +453,7 @@ def winsorized_mean_report(
     p_lo: float = 0.05,
     p_hi: float = 0.95,
     bucket_width: int = 65536,
+    cache: bool = True,
 ) -> DataFrame:
     """Winsorized mean on the cents grid — the robust-location companion to
     the MAD report: tail values clamp to the exact p_lo/p_hi order
@@ -449,7 +464,9 @@ def winsorized_mean_report(
     """
     cents = df.select(
         F.round(F.col(amount_col) * 100).cast("long").alias("_cents")
-    ).persist()
+    )
+    if cache:
+        cents = cents.persist()
     lo = exact_kth_cents(
         cents, "_cents", F.ceil(F.lit(p_lo) * F.col("_n")), bucket_width
     ).select(F.col("kth_value").alias("_lo"))
@@ -473,7 +490,7 @@ def winsorized_mean_report(
         F.sum((F.col("_cents") < F.col("_lo")).cast("long")).cast("long").alias("n_clamped_lo"),
         F.sum((F.col("_cents") > F.col("_hi")).cast("long")).cast("long").alias("n_clamped_hi"),
     )
-    out._stage_caches = [cents]
+    out._stage_caches = [cents] if cache else []
     return out
 
 

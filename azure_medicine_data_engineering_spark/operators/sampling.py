@@ -144,6 +144,7 @@ def temperature_upsample(
     strata_col: str,
     alpha: float = 0.5,
     buckets: int = 10_000,
+    cache: bool = True,
 ) -> DataFrame:
     """Temperature-based mixture rebalancing WITH replacement — the
     upsampling counterpart of :func:`quota_sample` (multilingual pre-training
@@ -165,7 +166,9 @@ def temperature_upsample(
     # persisted: consumed by the normalizer aggregate AND the rate join —
     # also cuts the counts↔aggregate-of-counts self-lineage that makes the
     # crossJoin's `_n` reference ambiguous
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")).persist()
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    if cache:
+        counts = counts.persist()
     tot = counts.agg(
         F.sum("_n").alias("_N"),
         F.sum(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))).alias("_Z"),
@@ -199,7 +202,7 @@ def temperature_upsample(
     # caller-owned cache lifecycle (repo convention): the persisted
     # per-stratum counts frame is strata-sized; release it after the
     # resample is materialized in long-lived sessions
-    out._stage_caches = [counts]
+    out._stage_caches = [counts] if cache else []
     return out
 
 

@@ -210,7 +210,7 @@ def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
 class TestAvroSeam:
     """Avro ingress/egress seam: Spark's avro module is EXTERNAL (a
     separate jar this runtime does not ship and cannot fetch — same
-    environment gate as Delta, re-probed per round: 2026-08-14 still
+    environment gate as Delta, re-probed per round: 2026-08-14 (r5: delta pkg absent, spark-avro connector jar absent; core avro-1.12.1 only) still
     absent). The test runs the real round-trip whenever the jar is
     present and pins the honest failure mode here."""
 
