@@ -260,3 +260,110 @@ def wordpiece_tokenize_stats(
             F.sum("w_unk").cast("long").alias("n_unk"),
         )
     )
+
+
+def bpe_merge_train(
+    df: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE merge-loop tokenizer TRAINING (Sennrich et al. 2016): the
+    iterative half of the subword story next to the counting pass
+    (:func:`subword_vocab_candidates`) and greedy serving
+    (:func:`wordpiece_tokenize_stats`); cross-language boundary analog in
+    the reference: ``Hypothesis testing R.r:354-359`` (train small, serve
+    distributed). Each round counts adjacent symbol pairs over the
+    DISTINCT-WORD frequency table (overlapping pairs included, per the
+    reference implementation's ``zip(word, word[1:])``), merges the
+    globally most frequent pair (ties: count DESC, left ASC, right ASC —
+    deterministic on the [a-z] alphabet), and rewrites every word's symbol
+    sequence. Returns one row per merge:
+    ``(merge_idx, left_sym, right_sym, pair_count)``.
+
+    Engine-portable symbol encoding: a word's symbol sequence is the
+    string ``|s1||s2||...|`` — every symbol owns BOTH its delimiters, so
+    the merge rewrite is a single ``replace(s, '|a||b|', '|ab|')`` whose
+    leftmost-non-overlapping semantics are identical in Spark and DuckDB
+    (and are exactly BPE's simultaneous left-to-right merge), and no
+    match can ever cross a symbol boundary. Words are lowercased and
+    filtered to ``^[a-z]+$`` so ``|`` cannot collide with corpus bytes.
+
+    Scale: the corpus collapses ONCE to the distinct-word table (hash
+    aggregation); every round after that is (1) a map-side split+explode
+    of that table, (2) one keyed pair-count shuffle with map-side
+    combine, (3) a 1-row TakeOrderedAndProject argmax, (4) a map-only
+    broadcast-join rewrite. Rounds are a fixed caller-chosen count, so
+    the lineage is a finite DAG; each round's word frame is persisted
+    (word-table-sized) and stashed on ``_stage_caches`` (caller-owned
+    lifecycle, repo convention). At 100 TB the word table is the corpus
+    vocabulary — millions of rows, not corpus-sized — which is what makes
+    the per-round shuffles cheap."""
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+        .where(F.col("_w").rlike("^[a-z]+$"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .select(F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f")
+    )
+    caches: list[DataFrame] = []
+    merges: list[DataFrame] = []
+    cur = words.persist()
+    caches.append(cur)
+    for i in range(1, n_merges + 1):
+        toks = cur.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|").alias("l"),
+            "f",
+        )
+        pairs = (
+            toks.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("l", 1, F.size("l") - 1).alias("a"),
+                        F.slice(F.col("l"), 2, F.size("l") - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "f")
+        )
+        # 1-row argmax is localCheckpoint-ed EAGERLY (clusters.py precedent):
+        # it feeds two branches (merge output + rewrite), and without the
+        # lineage cut every round's plan embeds the previous round TWICE —
+        # 2^n_merges analysis blowup. The checkpoint makes each round's
+        # plan a leaf, so analysis and execution both stay linear.
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(i).cast("int").alias("merge_idx"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        nxt = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("s"),
+                "f",
+            )
+            .persist()
+        )
+        caches.append(nxt)
+        cur = nxt
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    out._stage_caches = caches
+    return out

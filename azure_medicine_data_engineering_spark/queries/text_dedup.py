@@ -1606,3 +1606,69 @@ def q_edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_near_pairs(
         _t(spark, sf_dir, "documents"), max_ratio_micro=300_000
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-loop tokenizer training (the iterative half of the subword story).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round (the kmeans/LPA CTE-for-CTE pattern): pair
+    counts from the delimited symbol strings, deterministic argmax, merge
+    rewrite via the boundary-safe ``replace``."""
+    return f"""
+    p{i} AS (
+      SELECT t.l[r.j] AS a, t.l[r.j + 1] AS b, CAST(SUM(t.f) AS BIGINT) AS cnt
+      FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||') AS l, f
+            FROM w{i - 1}) t,
+           LATERAL (SELECT unnest(range(1, len(t.l))) AS j) r
+      GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT replace(w.s, '|' || m.a || '||' || m.b || '|',
+                     '|' || m.a || m.b || '|') AS s, w.f
+      FROM w{i - 1} w, m{i} m
+    )"""
+
+
+_BPE_FINAL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS merge_idx, a AS left_sym, b AS right_sym, "
+    f"cnt AS pair_count FROM m{i}"
+    for i in range(1, _BPE_MERGES + 1)
+)
+
+
+@register(
+    "bpe_vocab_merges",
+    r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, f FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+      ) g
+    ),
+    """
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + "\n    "
+    + _BPE_FINAL,
+)
+def q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the documents corpus
+    (``operators/text.py:bpe_merge_train``): 12 merge rounds, each one
+    keyed pair-count shuffle over the DISTINCT-WORD table + a 1-row
+    argmax + a map-only boundary-safe ``replace`` rewrite — the
+    train-small/serve-distributed loop the subword counting pass
+    (``subword_vocab_candidates``) feeds. The oracle unrolls every round
+    CTE-for-CTE (the kmeans/LPA pattern); the delimited ``|s1||s2|``
+    symbol encoding makes the merge rewrite a single ``replace`` with
+    identical leftmost-non-overlap semantics on both engines."""
+    return text.bpe_merge_train(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )

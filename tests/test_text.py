@@ -111,3 +111,74 @@ def test_wordpiece_tokenize_greedy_longest_match(spark):
     assert got[1] == (3, 4, 0)
     assert got[2] == (2, 3, 1)
     assert got[3] == (1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-loop training: naive-reference test (mirror-oracle blind-spot
+# closure per repo convention — the CTE oracle shares the formula, a naive
+# Python trainer does not).
+# ---------------------------------------------------------------------------
+
+
+def _naive_bpe(word_freqs, n_merges):
+    words = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for i in range(1, n_merges + 1):
+        pairs = {}
+        for w, syms in words.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):  # overlapping pairs counted
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((i, a, b, cnt))
+        for w, syms in list(words.items()):
+            out, j = [], 0
+            while j < len(syms):  # simultaneous left-to-right non-overlap
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = tuple(out)
+    return merges
+
+
+def test_bpe_merge_train_matches_naive(spark):
+    from azure_medicine_data_engineering_spark.operators.text import bpe_merge_train
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "newer": 4}
+    # spread the words over documents in arbitrary order / casing noise
+    texts = []
+    bag = [w for w, f in sorted(freqs.items()) for _ in range(f)]
+    for i in range(0, len(bag), 3):
+        texts.append(" ".join(bag[i : i + 3]).upper() if i % 2 else " ".join(bag[i : i + 3]))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    got = [
+        (r.merge_idx, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_train(df, n_merges=8).orderBy("merge_idx").collect()
+    ]
+    assert got == _naive_bpe(freqs, 8)
+
+
+def test_bpe_merge_train_overlap_and_boundary(spark):
+    """'aaaa' x3: merge 1 must be (a,a) with OVERLAPPING count 9 (3 pairs
+    per word), and the rewrite must be the non-overlapping left-to-right
+    'aa','aa' — then merge 2 is (aa,aa). Also plants a multi-char boundary
+    trap: after merging (a,a), words like 'baa' must NOT let a later
+    (b, a) search match inside the 'aa' symbol."""
+    from azure_medicine_data_engineering_spark.operators.text import bpe_merge_train
+
+    df = spark.createDataFrame(
+        [("aaaa aaaa aaaa",), ("baa baa",)], "text string"
+    )
+    got = [
+        (r.merge_idx, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_train(df, n_merges=3).orderBy("merge_idx").collect()
+    ]
+    assert got == _naive_bpe({"aaaa": 3, "baa": 2}, 3)
