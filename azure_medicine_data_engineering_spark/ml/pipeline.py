@@ -211,3 +211,65 @@ def grid_search_tree(
         seed=seed,
     )
     return tvs.fit(train)
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> tuple[DataFrame, list[str]]:
+    """Hashed bag-of-words feature frame — the TRAINING-side twin of the
+    fastText-shape serving path (``operators/text_rank.py:
+    hashed_linear_scores``): the same ``h(tok) % n_buckets`` buckets, but
+    materialized as ``n_buckets`` count columns so Spark ML can assemble
+    them into a feature vector. One token explode + ONE wide conditional
+    aggregation keyed on the doc id (no pivot shuffle, no UDF); docs whose
+    text yields zero tokens keep all-zero features via the left join.
+    Returns ``(features_df, feature_col_names)``."""
+    from azure_medicine_data_engineering_spark.operators.dedup import _hash32
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+
+    cols = [f"f{i}" for i in range(n_buckets)]
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, (_hash32(F.col("tok")) % n_buckets).alias("b"))
+    counted = tok.groupBy(id_col).agg(
+        *[
+            F.sum((F.col("b") == i).cast("int")).cast("double").alias(c)
+            for i, c in enumerate(cols)
+        ]
+    )
+    base = df.select(id_col).join(counted, id_col, "left").na.fill(0.0, cols)
+    return base, cols
+
+
+def train_quality_lr(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_iter: int = 25,
+    reg_param: float = 0.01,
+):
+    """Distributed logistic-regression training of the hashed quality
+    classifier (closes the train half of the fastText loop whose serving
+    half is ``hashed_linear_scores``; reference boundary analog: the
+    sklearn notebook ``AzureMl/mlB`` trains centrally, this trains where
+    the data lives). VectorAssembler over the hashed count columns →
+    L2-regularized LogisticRegression (LBFGS; deterministic
+    initialization, no seed parameter). Returns the fitted
+    PipelineModel."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    stages = [
+        VectorAssembler(inputCols=feature_cols, outputCol="features"),
+        LogisticRegression(
+            labelCol=label_col,
+            featuresCol="features",
+            maxIter=max_iter,
+            regParam=reg_param,
+        ),
+    ]
+    return Pipeline(stages=stages).fit(train)

@@ -341,6 +341,98 @@ def q_ml_decision_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ML_QUALITY_LR_ORACLE = """
+    WITH b AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+             % 100 AS bucket,
+             CASE WHEN length(text) >= 170 THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT CAST(SUM(CASE WHEN bucket < 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN bucket >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN bucket < 70 THEN y ELSE 0 END) AS BIGINT) AS n_pos_train,
+           CAST(SUM(CASE WHEN bucket >= 70 THEN y ELSE 0 END) AS BIGINT) AS n_pos_test,
+           TRUE AS acc_valid,
+           TRUE AS auc_valid
+    FROM b
+    """
+
+
+@register("ml_quality_classifier_docs", _ML_QUALITY_LR_ORACLE)
+def q_ml_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of the hashed quality classifier
+    (``ml/pipeline.py:train_quality_lr``): the same 256 ``h(tok) % D``
+    buckets the serving path scores with (``operators/text_rank.py:
+    hashed_linear_scores``), assembled into count features and fit with
+    Spark ML LogisticRegression against the length>=170 reference-class
+    weak label — the fastText-shape train-where-the-data-lives loop.
+    Deterministic md5-bucket 70/30 split (``hash_split``).
+
+    Oracle contract (the ``ml_decision_tree_orders`` pattern): split
+    sizes and per-split label counts are engine-replicable and hash
+    exactly; LBFGS metrics are not SQL-expressible and export
+    unit-interval validity booleans. Exact metrics (AUC 1.0 on a planted
+    separable corpus, integer confusion counts) are pinned in
+    tests/test_multimodal_ml.py."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        hash_split,
+        hashed_token_features,
+        train_quality_lr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats, cols = hashed_token_features(d, "text", "doc_id", n_buckets=256)
+    labeled = feats.join(
+        d.select("doc_id", (F.length("text") >= 170).cast("double").alias("label")),
+        "doc_id",
+    )
+    train, test = hash_split(labeled, "doc_id", 0.7)
+    train = train.persist()
+    test = test.persist()
+    model = train_quality_lr(train, cols, "label")
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    pred = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(pred)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", metricName="accuracy"
+    ).evaluate(pred)
+    counts = (
+        train.agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum("label").cast("long").alias("n_pos_train"),
+        )
+        .crossJoin(
+            test.agg(
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.sum("label").cast("long").alias("n_pos_test"),
+            )
+        )
+        .collect()[0]
+    )
+    train.unpersist()
+    test.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                counts["n_train"],
+                counts["n_test"],
+                counts["n_pos_train"],
+                counts["n_pos_test"],
+                bool(acc == acc and 0.0 <= acc <= 1.0),
+                bool(auc == auc and 0.0 <= auc <= 1.0),
+            )
+        ],
+        "n_train long, n_test long, n_pos_train long, n_pos_test long, "
+        "acc_valid boolean, auc_valid boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming twins — share the batch queries' oracles (identical output).
 # ---------------------------------------------------------------------------

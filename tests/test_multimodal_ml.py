@@ -85,3 +85,66 @@ def test_decision_tree_pipeline(spark):
     assert result.metrics["accuracy"] > 0.95
     assert result.metrics["auc"] > 0.95
     assert result.feature_importances["x"] > 0.9  # x dominates (M8)
+
+
+def test_quality_lr_planted_separable(spark):
+    """Planted linearly separable corpus: positive docs speak only
+    'good'-vocab tokens, negatives only 'bad'-vocab tokens — the hashed
+    LR must reach AUC 1.0 on the held-out split and a perfect confusion
+    matrix at the 0.5 threshold."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        hash_split,
+        hashed_token_features,
+        train_quality_lr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            rows.append((i, "excellent prose flows clearly here " * 3, 1.0))
+        else:
+            rows.append((i, "spam spam junk junk noise noise " * 3, 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    feats, cols = hashed_token_features(df, "text", "doc_id", n_buckets=64)
+    labeled = feats.join(df.select("doc_id", "label"), "doc_id")
+    train, test = hash_split(labeled, "doc_id", 0.7)
+    assert train.count() > 0 and test.count() > 0
+    model = train_quality_lr(train, cols, "label")
+
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    pred = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(pred)
+    assert auc == 1.0
+    cm = pred.agg(
+        F.sum(((F.col("prediction") == 1.0) & (F.col("label") == 1.0)).cast("int")).alias("tp"),
+        F.sum(((F.col("prediction") == 0.0) & (F.col("label") == 0.0)).cast("int")).alias("tn"),
+        F.sum(((F.col("prediction") == 1.0) & (F.col("label") == 0.0)).cast("int")).alias("fp"),
+        F.sum(((F.col("prediction") == 0.0) & (F.col("label") == 1.0)).cast("int")).alias("fn"),
+    ).collect()[0]
+    assert cm["fp"] == 0 and cm["fn"] == 0
+    assert cm["tp"] + cm["tn"] == test.count()
+
+
+def test_quality_lr_features_match_serving_buckets(spark):
+    """The training features must live in the SAME hash buckets the
+    serving path scores with: for a one-token doc, the single nonzero
+    feature column index equals hashed_linear_scores' h(tok) % D."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import hashed_token_features
+    from azure_medicine_data_engineering_spark.operators.dedup import _hash32
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "zebra")], "doc_id long, text string")
+    feats, cols = hashed_token_features(df, "text", "doc_id", n_buckets=16)
+    row = feats.collect()[0]
+    nz = [c for c in cols if row[c] != 0.0]
+    expected_b = (
+        spark.range(1)
+        .select((_hash32(F.lit("zebra")) % 16).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert nz == [f"f{expected_b}"]
+    assert row[f"f{expected_b}"] == 1.0
