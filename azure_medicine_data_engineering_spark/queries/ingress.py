@@ -197,6 +197,75 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_shard_egress_manifest",
+    f"""
+    WITH {_PACK_CTE}
+    SELECT CAST(seq_id // 16 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(MIN(seq_id) AS BIGINT) AS min_seq,
+           CAST(MAX(seq_id) AS BIGINT) AS max_seq
+    FROM seqs GROUP BY 1
+    """,
+)
+def q_streaming_shard_egress_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING twin of ``training_shard_manifest``
+    (``streaming/sinks.py:ShardEgress``): the packed corpus is staged as
+    a 4-file directory, streamed back one file per micro-batch
+    (``maxFilesPerTrigger=1``), and every batch lands through the
+    batch-id high-water-mark shard sink. The returned manifest is
+    re-AGGREGATED FROM THE LANDED SHARD BYTES across all batch dirs —
+    so the oracle (one flat pack + GROUP BY seq div 16, identical to the
+    batch twin's) proves the multi-batch, replay-safe egress wrote
+    exactly the one-shot shard set, regardless of how the source was
+    micro-batched. Replay/kill semantics are pinned in
+    tests/test_streaming_sinks.py."""
+    from azure_medicine_data_engineering_spark.operators.chunking import (
+        chunk_documents,
+        pack_token_sequences,
+    )
+    from azure_medicine_data_engineering_spark.streaming.sinks import (
+        run_shard_egress,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(_FIXTURE_ROOT, f"egress_stage_{tag}")
+    root = os.path.join(_FIXTURE_ROOT, f"egress_{tag}")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+    packed = pack_token_sequences(chunks, budget=256, bucket_width=100)
+    packed.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    egress = run_shard_egress(stream, root, shard_col="seq_id", seqs_per_shard=16)
+    # one read per batch dir, unioned: each dir has its own shard=N
+    # partition layout, and Spark's multi-root partition discovery rejects
+    # the mixed depths ([CONFLICTING_DIRECTORY_STRUCTURES])
+    from functools import reduce
+
+    landed = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(p) for p in egress.batch_paths()],
+    )
+    return (
+        landed.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("seq_id")).cast("long").alias("n_seqs"),
+            F.min("seq_id").cast("long").alias("min_seq"),
+            F.max("seq_id").cast("long").alias("max_seq"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ORC round-trip ingress: the engine's second columnar format, verified
 # against the parquet truth.

@@ -97,3 +97,107 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_total").cast("double"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming shard egress (batch-id high-water mark).
+# ---------------------------------------------------------------------------
+
+
+class ShardEgress:
+    """Idempotent, replay-safe training-shard sink for ``foreachBatch`` —
+    the production story for continuous corpus ingestion: every
+    micro-batch lands via :func:`~azure_medicine_data_engineering_spark.
+    sources.writers.write_training_shards` under ``<root>/b<batch_id>``,
+    and a batch-id HIGH-WATER MARK (``<root>/_HWM``, written atomically
+    via rename AFTER the batch's shards + manifest are durable) makes the
+    whole pipeline exactly-once under Structured Streaming's replay
+    contract (same checkpoint + replayable source → a restarted query
+    re-delivers the same batch_id with the same rows):
+
+    - replay of a COMMITTED batch (crash after marker): ``batch_id <=
+      hwm`` → skipped entirely, bytes on disk untouched;
+    - replay of an UNCOMMITTED batch (crash between data write and
+      marker): the deterministic shard write (``mode=overwrite``, integer
+      ``seq div k`` assignment — no sampling, no randomness) rewrites the
+      same rows, then the marker commits — net effect identical to a
+      single clean run.
+
+    At 100 TB the marker is one tiny file per trigger and the per-batch
+    write is one keyed repartition; swap the marker device for a
+    transactional table commit (Delta/Iceberg txn id) without touching
+    the dataflow."""
+
+    def __init__(
+        self,
+        root: str,
+        shard_col: str = "seq_id",
+        seqs_per_shard: int = 16,
+    ) -> None:
+        self.root = root
+        self.shard_col = shard_col
+        self.seqs_per_shard = seqs_per_shard
+        os.makedirs(root, exist_ok=True)
+
+    def high_water_mark(self) -> int:
+        try:
+            with open(os.path.join(self.root, "_HWM")) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _advance_hwm(self, batch_id: int) -> None:
+        tmp = os.path.join(self.root, "_HWM.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(self.root, "_HWM"))  # atomic commit
+
+    def batch_paths(self) -> list[str]:
+        return sorted(
+            os.path.join(self.root, d, "shards")
+            for d in os.listdir(self.root)
+            if d.startswith("b") and d[1:].isdigit()
+        )
+
+    def commit_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """Returns True iff this call performed the write (False = replay
+        of an already-committed batch, skipped)."""
+        if batch_id <= self.high_water_mark():
+            return False
+        from azure_medicine_data_engineering_spark.sources.writers import (
+            write_training_shards,
+        )
+
+        write_training_shards(
+            batch_df,
+            os.path.join(self.root, f"b{batch_id}", "shards"),
+            shard_col=self.shard_col,
+            seqs_per_shard=self.seqs_per_shard,
+        )
+        self._advance_hwm(batch_id)  # marker LAST: data is already durable
+        return True
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.commit_batch(batch_df, batch_id)
+
+
+def run_shard_egress(
+    stream_df: DataFrame,
+    root: str,
+    shard_col: str = "seq_id",
+    seqs_per_shard: int = 16,
+) -> ShardEgress:
+    """Drain a bounded stream (availableNow) through :class:`ShardEgress`
+    and return the egress handle (``batch_paths()`` lists the landed
+    batch shard dirs)."""
+    egress = ShardEgress(root, shard_col, seqs_per_shard)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(egress)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    return egress

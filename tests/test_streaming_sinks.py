@@ -84,3 +84,110 @@ def test_streaming_corpus_dedup_planted(spark, tmp_path):
     out = streaming_corpus_dedup_counts(spark, str(d)).collect()[0]
     # stream fps: {alpha beta, delta, epsilon} -> 3 unique; alpha beta known
     assert (out.n_stream_unique, out.n_truly_new, out.n_known) == (3, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once shard egress: kill/replay semantics.
+# ---------------------------------------------------------------------------
+
+
+def _egress_snapshot(spark, egress):
+    """Full durable state: every landed row + per-batch manifests + hwm."""
+    rows = []
+    for p in egress.batch_paths():
+        rows.extend(
+            tuple(r) for r in spark.read.parquet(p)
+            .select("seq_id", "payload", "shard").collect()
+        )
+    manifests = []
+    for p in egress.batch_paths():
+        manifests.extend(
+            tuple(r) for r in spark.read.parquet(p + "_manifest").collect()
+        )
+    return (sorted(rows), sorted(manifests), egress.high_water_mark())
+
+
+def test_shard_egress_exactly_once_replay(spark, tmp_path):
+    import os
+
+    from azure_medicine_data_engineering_spark.streaming.sinks import (
+        ShardEgress,
+        run_shard_egress,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(40)], "seq_id long, payload string"
+    )
+    stage = str(tmp_path / "stage")
+    src.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    root = str(tmp_path / "egress")
+
+    # record every delivered micro-batch so the test can replay it
+    # verbatim, the way a restarted checkpointed query would
+    delivered: dict[int, list] = {}
+    egress = ShardEgress(root, shard_col="seq_id", seqs_per_shard=8)
+
+    def recording_sink(batch_df, batch_id):
+        delivered[batch_id] = batch_df.collect()
+        egress(batch_df, batch_id)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(recording_sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    assert len(delivered) == 4  # one file per trigger
+    last_bid = max(delivered)
+    assert egress.high_water_mark() == last_bid
+    baseline = _egress_snapshot(spark, egress)
+    # all 40 rows landed exactly once
+    assert len(baseline[0]) == 40
+    assert sorted({r[0] for r in baseline[0]}) == list(range(40))
+
+    # (1) replay of a COMMITTED batch (crash after the marker): skipped,
+    # durable state byte-identical
+    replay_df = spark.createDataFrame(delivered[0], src.schema)
+    assert egress.commit_batch(replay_df, 0) is False
+    assert _egress_snapshot(spark, egress) == baseline
+
+    # (2) kill between data write and marker: rewind the hwm to simulate
+    # the marker never landing, then replay the same batch — the write
+    # re-runs (True) and the final state is identical to the clean run
+    egress._advance_hwm(last_bid - 1)
+    replay_last = spark.createDataFrame(delivered[last_bid], src.schema)
+    assert egress.commit_batch(replay_last, last_bid) is True
+    assert _egress_snapshot(spark, egress) == baseline
+
+
+def test_shard_egress_resume_skips_committed_prefix(spark, tmp_path):
+    """A restarted query re-delivering batches 0..n must rewrite NOTHING
+    for the committed prefix: every commit_batch returns False and mtimes
+    of the landed batch dirs are untouched."""
+    import os
+
+    from azure_medicine_data_engineering_spark.streaming.sinks import ShardEgress
+
+    src = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(12)], "seq_id long, payload string"
+    )
+    root = str(tmp_path / "egress2")
+    egress = ShardEgress(root, shard_col="seq_id", seqs_per_shard=4)
+    batches = [src.where(f"seq_id div 4 = {b}") for b in range(3)]
+    for b, bdf in enumerate(batches):
+        assert egress.commit_batch(bdf, b) is True
+    mtimes = {p: os.path.getmtime(p) for p in egress.batch_paths()}
+    for b, bdf in enumerate(batches):  # full replay from scratch
+        assert egress.commit_batch(bdf, b) is False
+    assert {p: os.path.getmtime(p) for p in egress.batch_paths()} == mtimes
