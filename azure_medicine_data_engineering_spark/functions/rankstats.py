@@ -46,6 +46,7 @@ __all__ = [
     "anova_oneway",
     "grouped_cdf_counts",
     "ks_two_sample",
+    "cvm_two_sample",
     "gini_coefficient",
 ]
 
@@ -203,6 +204,8 @@ def grouped_cdf_counts(
         bk.join(F.broadcast(offsets), "_bk")
         .select(
             "v",
+            "c1",
+            "c2",
             (F.col("_o1") + F.sum("c1").over(w_in)).cast("long").alias("cum1"),
             (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
         )
@@ -259,6 +262,56 @@ def ks_two_sample(
             F.expr("round(d_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("d"),
         )
     )
+
+
+CVM_T_EXPR = (
+    "round(cast(u_d as double) / "
+    "((n1 * 1e0 * n2) * ((n1 + n2) * 1e0 * (n1 + n2))), 4)"
+)
+
+
+def cvm_two_sample(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic, EXACT — the whole-CDF
+    companion to the sup-distance KS test (:func:`ks_two_sample`), more
+    powerful against distributed (non-local) distribution differences.
+    With pooled inclusive cumulative counts per distinct value, each
+    value contributes ``(c1 + c2) · (cum1·n2 − cum2·n1)²`` — an exact
+    integer, accumulated in DECIMAL(38,0) (oracle: HUGEINT; d² alone can
+    exceed BIGINT at ~1e10 group sizes) — and
+
+        T = U / (n1 · n2 · (n1+n2)²)
+
+    is ONE shared double expression at the end (``CVM_T_EXPR``). Uses the
+    same two-phase bucketed CDF prefix sum as KS: no global window, one
+    1024-row bounded offset window. Returns one row ``(n1, n2, t)``.
+    """
+    dec = "decimal(38,0)"
+    cdf = grouped_cdf_counts(
+        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
+        value_col,
+        "_f",
+    ).persist()
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
+    )
+    # cast BEFORE the product: cum·n is already ~n1·n2 and would overflow
+    # BIGINT at ~3e9-row groups
+    d = (
+        F.col("c.cum1").cast(dec) * F.col("t.n2")
+        - F.col("c.cum2").cast(dec) * F.col("t.n1")
+    )
+    scal = (
+        cdf.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.max("t.n1").cast("long").alias("n1"),
+            F.max("t.n2").cast("long").alias("n2"),
+            F.sum((F.col("c.c1") + F.col("c.c2")).cast(dec) * d * d).alias("u_d"),
+        )
+    )
+    return scal.select("n1", "n2", F.expr(CVM_T_EXPR).alias("t"))
 
 
 def mann_whitney_u(

@@ -83,6 +83,54 @@ def q_ks_test_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(ev, "value", "event_type", "click")
 
 
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    CVM_T_EXPR,
+    cvm_two_sample,
+)
+
+
+@register(
+    "cvm_test_click_vs_view",
+    f"""
+    WITH src AS (
+      SELECT value AS v, event_type = 'click' AS f
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    byval AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM src GROUP BY v
+    ),
+    cdf AS (
+      SELECT v, c1, c2,
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM byval
+    ),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2 FROM cdf),
+    s AS (
+      SELECT CAST(MAX(t.n1) AS BIGINT) AS n1, CAST(MAX(t.n2) AS BIGINT) AS n2,
+             SUM(CAST(c1 + c2 AS HUGEINT)
+                 * (CAST(cum1 AS HUGEINT) * t.n2 - CAST(cum2 AS HUGEINT) * t.n1)
+                 * (CAST(cum1 AS HUGEINT) * t.n2 - CAST(cum2 AS HUGEINT) * t.n1)) AS u_d
+      FROM cdf, tot t
+    )
+    SELECT n1, n2, {CVM_T_EXPR} AS t FROM s
+    """,
+)
+def q_cvm_test_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test of the click vs view value
+    distributions — the whole-CDF companion to ``ks_test_click_vs_view``
+    (more powerful against non-local differences): per distinct value the
+    contribution ``(c1+c2)·(cum1·n2 − cum2·n1)²`` is an exact integer
+    accumulated in DECIMAL(38,0)/HUGEINT, and T is one shared double
+    expression (``rankstats.cvm_two_sample``)."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return cvm_two_sample(ev, "value", "event_type", "click")
+
+
 # ---------------------------------------------------------------------------
 # Gini inequality of customer spend.
 # ---------------------------------------------------------------------------

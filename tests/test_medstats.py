@@ -1055,3 +1055,63 @@ class TestCochranQ:
         assert (out["n_blocks"], out["k"]) == (n, k)
         assert out["q"] == pytest.approx(q, abs=1e-3)
         assert out["q"] > 5  # planted effect (t1 almost always succeeds)
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample (round 5).
+# ---------------------------------------------------------------------------
+
+
+def _naive_cvm(xs, ys):
+    import math
+
+    n1, n2 = len(xs), len(ys)
+    pooled = sorted(xs + ys)
+    u = 0
+    for v in pooled:  # per pooled point, inclusive ECDF counts
+        c1 = sum(1 for x in xs if x <= v)
+        c2 = sum(1 for y in ys if y <= v)
+        u += (c1 * n2 - c2 * n1) ** 2
+    t = u / ((n1 * n2) * (n1 + n2) ** 2)
+    return math.floor(t * 1e4 + 0.5) / 1e4  # half-away display round
+
+
+def test_cvm_two_sample_matches_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        cvm_two_sample,
+    )
+
+    xs = [1.0, 2.0, 2.0, 3.5, 7.0, 9.0, 4.5]
+    ys = [2.0, 4.0, 4.0, 5.5, 6.0, 8.0, 8.0, 10.0]
+    rows = [(float(v), "a") for v in xs] + [(float(v), "b") for v in ys]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = cvm_two_sample(df, "value", "grp", "a").collect()[0]
+    assert (got["n1"], got["n2"]) == (len(xs), len(ys))
+    assert got["t"] == _naive_cvm(xs, ys)
+
+
+def test_cvm_identical_samples_small_t(spark):
+    """Identical samples: every cum1*n2 == cum2*n1 -> T == 0 exactly."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        cvm_two_sample,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [(v, "a") for v in vals] + [(v, "b") for v in vals]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    assert cvm_two_sample(df, "value", "grp", "a").collect()[0]["t"] == 0.0
+
+
+def test_cvm_disjoint_samples_large_t(spark):
+    """Fully separated samples maximize the integrated CDF gap; T must
+    exceed the 1% critical value (~0.743) and dominate the identical
+    case."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        cvm_two_sample,
+    )
+
+    rows = [(float(v), "a") for v in range(10)] + [
+        (float(v), "b") for v in range(100, 110)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    assert cvm_two_sample(df, "value", "grp", "a").collect()[0]["t"] > 0.743
