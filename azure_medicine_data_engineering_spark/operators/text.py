@@ -367,3 +367,45 @@ def bpe_merge_train(
         out = out.unionByName(m)
     out._stage_caches = caches
     return out
+
+
+def bpe_tokenize_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a trained BPE merge table (:func:`bpe_merge_train`'s output
+    collected as a model artifact, like the WordPiece vocab list):
+    applying the merges IN TRAINING ORDER to a word's character sequence
+    is exactly the original BPE tokenizer's inference rule (Sennrich et
+    al. 2016), and with the ``|s1||s2|`` delimited encoding each merge is
+    one boundary-safe literal ``replace`` — the whole tokenizer is a
+    fixed chain of JVM string ops, no UDF, no per-row loop.
+
+    Runs over the DISTINCT word table only (the serving discipline of
+    :func:`wordpiece_tokenize_stats`); per-doc stats re-join the exploded
+    corpus. Words outside the trained ``^[a-z]+$`` alphabet are excluded
+    from both counts (the training-side filter, applied identically at
+    serving). Returns ``(id, n_words, n_pieces)``."""
+    enc: Column = F.regexp_replace("_w", "(.)", r"|$1|")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_pieces = F.size(F.split(F.regexp_replace(enc, r"^\||\|$", ""), r"\|\|"))
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+        .where(F.col("_w").rlike("^[a-z]+$"))
+        .distinct()
+        .select("_w", n_pieces.cast("long").alias("_np"))
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_w")
+    ).where(F.col("_w").rlike("^[a-z]+$"))
+    return (
+        exploded.join(words, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_np").cast("long").alias("n_pieces"),
+        )
+    )

@@ -1615,10 +1615,12 @@ def q_edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 12
 
 
-def _bpe_round_sql(i: int) -> str:
+def _bpe_round_sql(i: int, carry_word: bool = False) -> str:
     """One unrolled BPE round (the kmeans/LPA CTE-for-CTE pattern): pair
     counts from the delimited symbol strings, deterministic argmax, merge
-    rewrite via the boundary-safe ``replace``."""
+    rewrite via the boundary-safe ``replace``. ``carry_word`` threads the
+    original word through the rounds (the serving oracle joins on it)."""
+    wcol = "w.wd, " if carry_word else ""
     return f"""
     p{i} AS (
       SELECT t.l[r.j] AS a, t.l[r.j + 1] AS b, CAST(SUM(t.f) AS BIGINT) AS cnt
@@ -1629,7 +1631,7 @@ def _bpe_round_sql(i: int) -> str:
     ),
     m{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
     w{i} AS MATERIALIZED (
-      SELECT replace(w.s, '|' || m.a || '||' || m.b || '|',
+      SELECT {wcol}replace(w.s, '|' || m.a || '||' || m.b || '|',
                      '|' || m.a || m.b || '|') AS s, w.f
       FROM w{i - 1} w, m{i} m
     )"""
@@ -1672,3 +1674,59 @@ def q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_train(
         _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
     )
+
+
+_BPE_SERVE_FINAL = f"""
+    pieces AS (
+      SELECT wd,
+             CAST(len(string_split(substring(s, 2, length(s) - 2), '||')) AS BIGINT) AS np
+      FROM w{_BPE_MERGES}
+    ),
+    tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) t WHERE regexp_matches(w, '^[a-z]+$')
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_pieces
+    FROM tok JOIN pieces ON tok.w = pieces.wd
+    GROUP BY doc_id"""
+
+
+@register(
+    "bpe_tokenize_stats_docs",
+    r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT w AS wd, regexp_replace(w, '(.)', '|\1|', 'g') AS s, f FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+      ) g
+    ),
+    """
+    + ",".join(_bpe_round_sql(i, carry_word=True) for i in range(1, _BPE_MERGES + 1))
+    + ",\n    "
+    + _BPE_SERVE_FINAL,
+)
+def q_bpe_tokenize_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE SERVING (``operators/text.py:bpe_tokenize_stats``): the 12
+    merges trained by ``bpe_vocab_merges`` are collected as the model
+    artifact (the WordPiece-vocab convention) and applied in training
+    order as a fixed chain of boundary-safe ``replace`` ops over the
+    DISTINCT word table; per-doc ``(n_words, n_pieces)`` re-joins the
+    exploded corpus. The oracle replays the full train-then-serve chain —
+    every merge round CTE-for-CTE with the original word threaded
+    through, then the identical per-doc join — so the end-to-end
+    tokenizer (training argmaxes AND serving rewrites) must be exact."""
+    d = _t(spark, sf_dir, "documents")
+    trained = text.bpe_merge_train(d, n_merges=_BPE_MERGES)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in trained.orderBy("merge_idx").collect()
+    ]
+    for c in getattr(trained, "_stage_caches", []):
+        c.unpersist()
+    return text.bpe_tokenize_stats(d, merges)

@@ -148,6 +148,23 @@ def _naive_bpe(word_freqs, n_merges):
     return merges
 
 
+def _naive_bpe_final_words(word_freqs, n_merges):
+    """Final per-word symbol tuples after n_merges naive rounds."""
+    words = {w: tuple(w) for w in word_freqs}
+    for i, (_, a, b, _c) in enumerate(_naive_bpe(word_freqs, n_merges)):
+        for w, syms in list(words.items()):
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = tuple(out)
+    return words
+
+
 def test_bpe_merge_train_matches_naive(spark):
     from azure_medicine_data_engineering_spark.operators.text import bpe_merge_train
 
@@ -182,3 +199,51 @@ def test_bpe_merge_train_overlap_and_boundary(spark):
         for r in bpe_merge_train(df, n_merges=3).orderBy("merge_idx").collect()
     ]
     assert got == _naive_bpe({"aaaa": 3, "baa": 2}, 3)
+
+
+def test_bpe_tokenize_stats_serving_order(spark):
+    """Merge order matters: [(a,b), (ab,c)] collapses 'abc' to ONE piece
+    only because the second merge sees the first's output; 'bc' stays 2
+    pieces (no (b,c) merge was trained). Non-[a-z] words drop from both
+    counts."""
+    from azure_medicine_data_engineering_spark.operators.text import (
+        bpe_tokenize_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc bc abc 42"), (2, "cab abc")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces)
+        for r in bpe_tokenize_stats(df, [("a", "b"), ("ab", "c")]).collect()
+    }
+    # doc 1: abc(1) + bc(2) + abc(1) = 3 words, 4 pieces ('42' excluded)
+    # doc 2: cab -> c,ab = 2 pieces; abc -> 1 piece
+    assert got == {1: (3, 4), 2: (2, 3)}
+
+
+def test_bpe_train_then_serve_roundtrip(spark):
+    """Serving the trainer's own merges over the training corpus must
+    reproduce the trainer's final word states: total pieces == sum over
+    words of the final symbol count."""
+    from azure_medicine_data_engineering_spark.operators.text import (
+        bpe_merge_train,
+        bpe_tokenize_stats,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "low low lower newest"), (2, "newest newest widest low")],
+        "doc_id long, text string",
+    )
+    trained = bpe_merge_train(df, n_merges=5)
+    merges = [(r.left_sym, r.right_sym) for r in trained.orderBy("merge_idx").collect()]
+    served = bpe_tokenize_stats(df, merges)
+    total = served.agg(
+        F.sum("n_words").alias("w"), F.sum("n_pieces").alias("p")
+    ).collect()[0]
+    assert total["w"] == 8  # 8 word occurrences, all [a-z]
+    freqs = {"low": 3, "lower": 1, "newest": 3, "widest": 1}
+    finals = _naive_bpe_final_words(freqs, 5)
+    assert total["p"] == sum(len(syms) * f for w, f in freqs.items()
+                             for syms in [finals[w]])
