@@ -711,6 +711,77 @@ def _panel(df: DataFrame, query_ids: list[int], id_col: str, vec_col: str) -> Da
     )
 
 
+def rbo_suffix_nano(k: int, p: float = 0.9) -> list[int]:
+    """Truncated rank-biased-overlap SUFFIX weights as nano-unit INTEGER
+    LITERALS (the dcg_weights_micro convention — no engine evaluates the
+    geometric series): ``SUFFIX[m] = round(Σ_{d=m..k} (1−p)·p^(d−1)/d ·
+    1e9)``, 1-based ``m``. A common pair first co-present at pooled depth
+    ``m = max(rank_A, rank_B)`` contributes to every A_d with d ≥ m, so
+    its total RBO gain is exactly SUFFIX[m] — turning the whole statistic
+    into one integer sum over common pairs."""
+    import math  # noqa: F401  (kept for parity with dcg_weights_micro)
+
+    terms = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [int(sum(terms[m - 1 :]) * 1e9 + 0.5) for m in range(1, k + 1)]
+
+
+def rbo_eval(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    p: float = 0.9,
+    n_clusters: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at k) between
+    the IVF index ranking and the exact ground truth — the top-weighted
+    list-similarity that completes the eval family next to recall@k
+    (order-blind) and MRR/nDCG (relevance-graded): RBO compares the two
+    RANKINGS directly, discounting depth geometrically, so an index that
+    agrees on the first results but diverges in the tail scores near 1.
+
+    Exactness: each common (query, neighbor) pair gains the integer
+    nano-unit literal ``SUFFIX[max(exact_rank, ivf_rank)]``
+    (:func:`rbo_suffix_nano`), so per-query RBO is ONE integer sum with a
+    display division — bit-identical on any engine/partitioning. Returns
+    ``(query_id, n_common, rbo)``; truncated RBO is the lower bound of
+    the extrapolated score (residual mass ignored, documented).
+
+    Scale: the panel-evaluation shape of :func:`ann_recall` — the overlap
+    join and sum move only (query × k) rows."""
+    suffix = rbo_suffix_nano(k, p)
+    sarr = F.array(*[F.lit(s).cast("long") for s in suffix])
+    exact = knn_topk(
+        df, _panel(df, query_ids, id_col, vec_col), k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("rnk").alias("_ex_rnk"))
+    approx = ivf_knn_topk(
+        df, query_ids, k=k, n_clusters=n_clusters, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    ).select("query_id", "neighbor_id", F.col("rnk").alias("_iv_rnk"))
+    pairs = approx.join(exact, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        F.element_at(
+            sarr, F.greatest(F.col("_iv_rnk"), F.col("_ex_rnk")).cast("int")
+        ).alias("_gain"),
+    )
+    spine = approx.select("query_id").distinct()
+    per_q = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("_gain").cast("long").alias("_nano"),
+    )
+    return (
+        spine.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(F.coalesce("_nano", F.lit(0)) / 1e9, 4).alias("rbo"),
+        )
+    )
+
+
 def contrastive_pairs(
     df: DataFrame,
     query_ids: list[int],

@@ -1730,3 +1730,86 @@ def q_bpe_tokenize_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in getattr(trained, "_stage_caches", []):
         c.unpersist()
     return text.bpe_tokenize_stats(d, merges)
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap of the IVF ranking vs exact truth (eval family cap).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.similarity import (  # noqa: E402
+    rbo_suffix_nano as _rbo_sfx,
+)
+
+_RBO_VALUES = ", ".join(f"({m + 1}, {s})" for m, s in enumerate(_rbo_sfx(10, 0.9)))
+
+
+@register(
+    "retrieval_rbo_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cluster),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cluster,
+             ROUND(CAST({_COS_AB.format(a='e.v', b='c.centroid')} AS DOUBLE), 6) AS c_sim
+      FROM e, carr c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cluster) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qc FROM assigned WHERE vec_id < 5),
+    ivf AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                        b.vec_id) AS rnk
+      FROM assigned b JOIN q ON b.cluster = q.qc AND b.vec_id <> q.query_id
+      QUALIFY rnk <= 10
+    ),
+    exact AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(CAST({_COS_AB.format(a='b.v', b='q.qv')} AS DOUBLE), 4) DESC,
+                        b.vec_id) AS rnk
+      FROM e b JOIN q ON b.vec_id <> q.query_id
+      QUALIFY rnk <= 10
+    ),
+    sfx(m, s) AS (VALUES {_RBO_VALUES}),
+    pairs AS (
+      SELECT i.query_id, sfx.s AS gain
+      FROM ivf i JOIN exact x ON i.query_id = x.query_id
+                             AND i.neighbor_id = x.neighbor_id
+      JOIN sfx ON sfx.m = GREATEST(i.rnk, x.rnk)
+    ),
+    per_q AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(gain) AS BIGINT) AS nano
+      FROM pairs GROUP BY 1
+    )
+    SELECT s.query_id,
+           COALESCE(p.n_common, 0) AS n_common,
+           ROUND(COALESCE(p.nano, 0) / 1e9, 4) AS rbo
+    FROM (SELECT DISTINCT query_id FROM ivf) s
+    LEFT JOIN per_q p USING (query_id)
+    """,
+)
+def q_retrieval_rbo_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap @10, p=0.9 (operators/similarity.py:rbo_eval;
+    Webber et al. 2010 truncated form) between the nprobe=1 IVF ranking
+    and the exact ground truth on the 5-query panel — the ranking-level
+    agreement metric that completes recall (order-blind) and MRR/nDCG
+    (relevance-graded). Each common pair's gain is the shared nano-unit
+    SUFFIX literal at its first co-present depth, so per-query RBO is one
+    integer sum; the oracle replays both rankings and the same literal
+    table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.rbo_eval(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, p=0.9, n_clusters=8
+    )

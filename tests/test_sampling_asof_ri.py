@@ -366,3 +366,51 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert got[1].mmr_score < got[1].cos_sim  # redundancy penalty applied
     for c in out._stage_caches:
         c.unpersist()
+
+
+def test_rbo_suffix_weights_naive():
+    """SUFFIX[m] must equal the naive truncated-RBO tail sum; identical
+    lists then score SUFFIX[1]/1e9 == (1-p)*sum p^(d-1) (A_d = 1)."""
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        rbo_suffix_nano,
+    )
+
+    k, p = 10, 0.9
+    sfx = rbo_suffix_nano(k, p)
+    for m in range(1, k + 1):
+        naive = sum((1 - p) * p ** (d - 1) / d for d in range(m, k + 1))
+        assert sfx[m - 1] == int(naive * 1e9 + 0.5)
+    # pair-sum identity: identical length-k lists -> every depth d adds
+    # exactly one NEW common pair at m=d, so sum SUFFIX[d] == full RBO
+    full = sum((1 - p) * p ** (d - 1) for d in range(1, k + 1))
+    assert abs(sum(sfx) / 1e9 - full) < 1e-6
+
+
+def test_rbo_eval_identical_and_disjoint(spark):
+    """A query whose IVF list equals the exact list must score the full
+    truncated RBO; the statistic is 0 when the lists are disjoint. Build
+    a 2-cluster geometry where cluster membership decides everything."""
+    import math
+
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        rbo_eval,
+        rbo_suffix_nano,
+    )
+
+    # 12 vectors on a ring: ids 0..5 near angle 0, ids 6..11 near pi/2 —
+    # with id-mod-2 clustering the IVF cell mixes both groups, but for
+    # query 0 the exact top-k are the nearby ids regardless.
+    rows = []
+    for i in range(12):
+        ang = 0.015 * i if i < 6 else (math.pi / 2 + 0.015 * (i - 6))
+        rows.append((i, [math.cos(ang), math.sin(ang)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.query_id: (r.n_common, r.rbo)
+        for r in rbo_eval(
+            df, query_ids=[0], k=5, p=0.9, n_clusters=1, nprobe=1
+        ).collect()
+    }
+    # n_clusters=1: IVF == exact brute force -> full truncated RBO@5
+    full5 = round(sum(rbo_suffix_nano(5, 0.9)) / 1e9, 4)
+    assert out[0] == (5, full5)
