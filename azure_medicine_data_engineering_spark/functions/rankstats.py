@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "ranked_value_counts",
     "mann_whitney_u",
+    "exact_auc",
     "kruskal_wallis",
     "chi_square_independence",
     "odds_ratio_2x2",
@@ -353,6 +354,35 @@ def mann_whitney_u(
         F.expr(MW_U1_EXPR).alias("u1"),
         F.expr(MW_Z_EXPR).alias("z"),
     )
+
+
+AUC_EXPR = "round(((r1x2 - n1 * (n1 + 1)) / 2e0) / (n1 * 1e0 * n2), 4)"
+
+
+def exact_auc(
+    df: DataFrame, score_col: str, positive: Column
+) -> DataFrame:
+    """EXACT ROC-AUC of a score against a binary outcome, at any data
+    size, via the rank identity ``AUC = U₁ / (n₁·n₂)`` — the Mann-Whitney
+    U with AVERAGE ranks, which makes it tie-correct
+    (``P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)``). The trapezoid-free way to evaluate a
+    classifier distributed: no sorted sweep, no sampled thresholds — one
+    bucketed rank prefix sum (:func:`ranked_value_counts`, bounded
+    1024-row window) and three BIGINTs; AUC is one shared expression.
+    Returns one row ``(n1, n2, auc)`` (n1 = positives)."""
+    ranked = ranked_value_counts(
+        df.select(F.col(score_col), positive.alias("_g1")),
+        score_col,
+        extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
+    )
+    scal = ranked.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
+        ).cast("long").alias("r1x2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c_all") - F.col("c1")).cast("long").alias("n2"),
+    )
+    return scal.select("n1", "n2", F.expr(AUC_EXPR).alias("auc"))
 
 
 def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:

@@ -934,3 +934,37 @@ def q_cochran_q_weekly_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_type") == "purchase") & (F.col("value") >= 250)).alias("hit"),
     )
     return cochran_q(src, "user_id", "week", "hit")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    AUC_EXPR,
+    exact_auc,
+)
+
+
+@register(
+    "exact_auc_purchase_value",
+    f"""
+    WITH src AS (
+      SELECT value AS v, event_type = 'purchase' AS g1 FROM events
+    ),
+    {_RANKED_SQL},
+    s AS (
+      SELECT CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c_all - c1) AS BIGINT) AS n2
+      FROM r
+    )
+    SELECT n1, n2, {AUC_EXPR} AS auc FROM s
+    """,
+)
+def q_exact_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed ROC-AUC of event ``value`` as a purchase
+    discriminator (``rankstats.exact_auc`` — the rank identity
+    AUC = U₁/(n₁·n₂), tie-correct via average ranks): the classifier-
+    evaluation staple computed with no sorted sweep and no threshold
+    sampling — the measurement the ML pipeline quotes next to the
+    LBFGS-side AUC validity boolean of ``ml_quality_classifier_docs``.
+    Oracle replays the rank prefix sum as one flat cumulative window."""
+    ev = events_table(spark, sf_dir)
+    return exact_auc(ev, "value", F.col("event_type") == "purchase")

@@ -1115,3 +1115,42 @@ def test_cvm_disjoint_samples_large_t(spark):
     ]
     df = spark.createDataFrame(rows, "value double, grp string")
     assert cvm_two_sample(df, "value", "grp", "a").collect()[0]["t"] > 0.743
+
+
+def test_exact_auc_matches_naive_pairs(spark):
+    """AUC must equal the naive pair statistic
+    (wins + 0.5*ties) / (n1*n2), including tied scores."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        exact_auc,
+    )
+
+    pos = [3.0, 5.0, 5.0, 9.0]
+    neg = [1.0, 5.0, 4.0, 8.0, 2.0]
+    import math
+
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    naive = math.floor((wins + 0.5 * ties) / (len(pos) * len(neg)) * 1e4 + 0.5) / 1e4
+    rows = [(v, True) for v in pos] + [(v, False) for v in neg]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    got = exact_auc(df, "score", F.col("y")).collect()[0]
+    assert (got["n1"], got["n2"]) == (len(pos), len(neg))
+    assert got["auc"] == naive
+
+
+def test_exact_auc_perfect_and_random(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        exact_auc,
+    )
+
+    rows = [(float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    assert exact_auc(df, "score", F.col("y")).collect()[0]["auc"] == 1.0
+    # constant score: every pair ties -> AUC exactly 0.5
+    rows2 = [(1.0, i % 2 == 0) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "score double, y boolean")
+    assert exact_auc(df2, "score", F.col("y")).collect()[0]["auc"] == 0.5
