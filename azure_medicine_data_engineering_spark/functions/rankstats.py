@@ -788,6 +788,57 @@ def psi_drift(
     )
 
 
+def js_divergence(
+    df: DataFrame, cat_col: str, ref_col: str
+) -> DataFrame:
+    """Jensen-Shannon divergence between the reference and current
+    CATEGORICAL distributions of ``cat_col`` (``ref_col`` true →
+    reference) — the bounded [0, ln 2], symmetric drift score that
+    complements :func:`psi_drift` (PSI is unbounded and undefined on
+    empty cells; JS handles zero-probability categories exactly:
+    ``p·ln(p/m) = 0`` when p = 0). Per-category terms round into integer
+    micro-units before the order-free sum (the PSI device — the micro
+    grid absorbs cross-engine ``ln`` ulps). Returns one row
+    ``(n_cats, n_ref, n_cur, js)``.
+
+    Scale: one keyed count of the fact table; everything after runs on
+    the category frame."""
+    counts = (
+        df.select(F.col(cat_col).alias("c"), F.col(ref_col).alias("_r"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.col("_r").cast("long")).cast("long").alias("a"),
+            F.sum((~F.col("_r")).cast("long")).cast("long").alias("b"),
+        )
+        .persist()  # category-frame, two consumers (totals + terms)
+    )
+    tot = counts.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    term_u = (
+        "cast(round(("
+        "case when a > 0 then 0.5e0 * (a * 1e0 / na) * "
+        "ln((a * 1e0 / na) / (0.5e0 * (a * 1e0 / na) + 0.5e0 * (b * 1e0 / nb))) "
+        "else 0e0 end + "
+        "case when b > 0 then 0.5e0 * (b * 1e0 / nb) * "
+        "ln((b * 1e0 / nb) / (0.5e0 * (a * 1e0 / na) + 0.5e0 * (b * 1e0 / nb))) "
+        "else 0e0 end) * 1e6) as bigint)"
+    )
+    scal = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.max("t.na").cast("long").alias("n_ref"),
+            F.max("t.nb").cast("long").alias("n_cur"),
+            F.sum(F.expr(term_u)).cast("long").alias("js_u"),
+        )
+    )
+    return scal.select(
+        "n_cats", "n_ref", "n_cur", F.expr("round(js_u / 1e6, 4)").alias("js")
+    )
+
+
 def benford_chi2(df: DataFrame, value_col: str) -> DataFrame:
     """Benford's-law first-digit conformance chi-square over a positive
     numeric column — the forensic data-quality screen. Expected digit

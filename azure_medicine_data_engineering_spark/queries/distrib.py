@@ -928,3 +928,51 @@ def q_cronbach_alpha_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
     )
     return cronbach_alpha(src, ["qty", "price_c", "disc_c", "tax_c"])
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    js_divergence,
+)
+
+
+@register(
+    "js_event_type_drift_halves",
+    """
+    WITH src AS (
+      SELECT event_type AS c, ts < TIMESTAMP '2024-01-16 00:00:00' AS r
+      FROM events
+    ),
+    counts AS (
+      SELECT c, CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM src GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM counts),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+             CAST(MAX(t.na) AS BIGINT) AS n_ref,
+             CAST(MAX(t.nb) AS BIGINT) AS n_cur,
+             CAST(SUM(cast(round((
+               case when a > 0 then 0.5e0 * (a * 1e0 / na) * ln((a * 1e0 / na) / (0.5e0 * (a * 1e0 / na) + 0.5e0 * (b * 1e0 / nb))) else 0e0 end +
+               case when b > 0 then 0.5e0 * (b * 1e0 / nb) * ln((b * 1e0 / nb) / (0.5e0 * (a * 1e0 / na) + 0.5e0 * (b * 1e0 / nb))) else 0e0 end
+             ) * 1e6) as bigint)) AS BIGINT) AS js_u
+      FROM counts c, tot t
+    )
+    SELECT n_cats, n_ref, n_cur, round(js_u / 1e6, 4) AS js FROM s
+    """,
+)
+def q_js_event_type_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of the event-type mix, first vs second
+    half of the window (``rankstats.js_divergence``) — the bounded,
+    symmetric, zero-cell-exact categorical drift score next to the
+    numeric PSI (``psi_value_drift_halves``). Per-category terms ride the
+    micro-unit grid; the category frame is the only post-scan state."""
+    ev = events_table(spark, sf_dir)
+    return js_divergence(
+        ev.select(
+            "event_type",
+            (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("_r"),
+        ),
+        "event_type",
+        "_r",
+    )

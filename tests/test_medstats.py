@@ -1154,3 +1154,41 @@ def test_exact_auc_perfect_and_random(spark):
     rows2 = [(1.0, i % 2 == 0) for i in range(50)]
     df2 = spark.createDataFrame(rows2, "score double, y boolean")
     assert exact_auc(df2, "score", F.col("y")).collect()[0]["auc"] == 0.5
+
+
+def test_js_divergence_naive_and_bounds(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        js_divergence,
+    )
+
+    # planted categorical mixes incl. a zero cell on each side
+    ref = {"a": 30, "b": 10, "c": 0, "d": 5}
+    cur = {"a": 10, "b": 30, "c": 5, "d": 0}
+    rows = [(k, True) for k, n in ref.items() for _ in range(n)] + [
+        (k, False) for k, n in cur.items() for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "cat string, r boolean")
+    got = js_divergence(df, "cat", "r").collect()[0]
+    na, nb = sum(ref.values()), sum(cur.values())
+
+    def term(a, b):
+        p, q = a / na, b / nb
+        m = 0.5 * p + 0.5 * q
+        u = (0.5 * p * math.log(p / m) if a > 0 else 0.0) + (
+            0.5 * q * math.log(q / m) if b > 0 else 0.0
+        )
+        return int(math.floor(u * 1e6 + 0.5))
+
+    naive_u = sum(term(ref[k], cur[k]) for k in ref)
+    assert got["n_cats"] == 4 and (got["n_ref"], got["n_cur"]) == (na, nb)
+    assert got["js"] == round(naive_u / 1e6, 4)
+    assert 0.0 <= got["js"] <= math.log(2) + 1e-9
+
+    # identical mixes -> exactly 0
+    rows2 = [(k, True) for k in "aabb"] + [(k, False) for k in "aabb"]
+    df2 = spark.createDataFrame(rows2, "cat string, r boolean")
+    assert js_divergence(df2, "cat", "r").collect()[0]["js"] == 0.0
