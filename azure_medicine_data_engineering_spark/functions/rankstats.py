@@ -36,6 +36,8 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "ranked_value_counts",
+    "grouped_ranked_value_counts",
+    "mann_whitney_by_group",
     "mann_whitney_u",
     "exact_auc",
     "kruskal_wallis",
@@ -349,6 +351,117 @@ def mann_whitney_u(
         "r1x2", "n1", "n2", F.col("tiesum_d").cast("double").alias("tiesum")
     )
     return scal.select(
+        "n1",
+        "n2",
+        F.expr(MW_U1_EXPR).alias("u1"),
+        F.expr(MW_Z_EXPR).alias("z"),
+    )
+
+
+def grouped_ranked_value_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    extra_counts: list[Column] | None = None,
+    n_buckets: int = 1024,
+    cache: bool = True,
+) -> DataFrame:
+    """Per-STRATUM distinct-value rank frame ``(g, v, c_all, cnt_less,
+    *extras)`` — :func:`ranked_value_counts` with every stage keyed by the
+    group: per-group bounds shape per-group buckets, the bucket-offset
+    prefix sum runs PARTITION BY group (so unlike the global variant
+    there is NO single-partition exchange anywhere — grouping makes the
+    decomposition strictly more parallel), and in-bucket ranks key on
+    (group, bucket). The stratified foundation for per-segment rank
+    statistics at 100 TB: one keyed collapse of the fact table, then
+    everything runs on the per-group distinct-value frame."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("c_all")] + [
+        c for c in (extra_counts or [])
+    ]
+    byval = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(*aggs)
+    if cache:
+        byval = byval.persist()
+    bounds = byval.groupBy("g").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * n_buckets),
+        )
+    )
+    bk = (
+        byval.alias("a")
+        .join(F.broadcast(bounds).alias("b"), F.col("a.g") == F.col("b.g"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("g", "_bk").agg(F.sum("c_all").alias("_bn"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "g", "_bk", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("g", "_bk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bk.join(F.broadcast(offsets), ["g", "_bk"])
+        .select(
+            "*",
+            (
+                F.col("_off") + F.coalesce(F.sum("c_all").over(w_in), F.lit(0))
+            ).alias("cnt_less"),
+        )
+        .drop("_bk", "_off")
+    )
+
+
+def mann_whitney_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    class_col: str,
+    class1: str,
+) -> DataFrame:
+    """Stratified Mann-Whitney: the two-sample rank-sum test run
+    INDEPENDENTLY within every stratum of ``group_col`` — the per-segment
+    readout (per language, per day-of-week, per site) that a single
+    pooled test hides. One row per stratum ``(g, n1, n2, u1, z)`` with
+    the exact same integer 2× rank sums and shared finalizations as
+    :func:`mann_whitney_u`; ranks come from
+    :func:`grouped_ranked_value_counts`, so the whole plan is keyed
+    shuffles and group-partitioned windows — zero single-partition
+    exchanges."""
+    is1 = F.col(class_col) == class1
+    ranked = grouped_ranked_value_counts(
+        df.select(F.col(group_col), F.col(value_col), is1.alias("_g1")),
+        group_col,
+        value_col,
+        extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
+    )
+    scal = ranked.groupBy("g").agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
+        ).cast("long").alias("r1x2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c_all") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(
+            F.col("c_all").cast("decimal(38,0)") * F.col("c_all") * F.col("c_all")
+            - F.col("c_all")
+        ).alias("tiesum_d"),
+    ).select(
+        "g", "r1x2", "n1", "n2", F.col("tiesum_d").cast("double").alias("tiesum")
+    )
+    return scal.select(
+        "g",
         "n1",
         "n2",
         F.expr(MW_U1_EXPR).alias("u1"),

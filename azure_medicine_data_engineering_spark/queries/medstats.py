@@ -968,3 +968,60 @@ def q_exact_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle replays the rank prefix sum as one flat cumulative window."""
     ev = events_table(spark, sf_dir)
     return exact_auc(ev, "value", F.col("event_type") == "purchase")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    mann_whitney_by_group,
+)
+
+
+@register(
+    "mann_whitney_by_dow",
+    f"""
+    WITH src AS (
+      SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS g,
+             value AS v, event_type = 'click' AS g1
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    byval AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM src GROUP BY g, v
+    ),
+    r AS (
+      SELECT *, CAST(COALESCE(SUM(c_all) OVER (
+        PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS cnt_less
+      FROM byval
+    ),
+    s AS (
+      SELECT g,
+             CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c_all - c1) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS DOUBLE) AS tiesum
+      FROM r GROUP BY g
+    )
+    SELECT g, n1, n2, {MW_U1_EXPR} AS u1, {MW_Z_EXPR} AS z FROM s
+    """,
+)
+def q_mann_whitney_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED Mann-Whitney: the click-vs-view value shift tested
+    independently within each day-of-week stratum
+    (``rankstats.mann_whitney_by_group``) — the per-segment readout a
+    pooled test hides. Every stage of the grouped rank decomposition is
+    keyed by the stratum (per-group bounds/buckets, PARTITION BY g offset
+    windows), so unlike the global variant the plan has ZERO
+    single-partition exchanges; the oracle replays the ranks with one
+    group-partitioned cumulative window. Engine-neutral epoch-day % 7."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    src = ev.select(
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))), 7
+        ).cast("long").alias("dow"),
+        "value",
+        "event_type",
+    )
+    return mann_whitney_by_group(src, "dow", "value", "event_type", "click")

@@ -1192,3 +1192,36 @@ def test_js_divergence_naive_and_bounds(spark):
     rows2 = [(k, True) for k in "aabb"] + [(k, False) for k in "aabb"]
     df2 = spark.createDataFrame(rows2, "cat string, r boolean")
     assert js_divergence(df2, "cat", "r").collect()[0]["js"] == 0.0
+
+
+def test_mann_whitney_by_group_matches_global_per_stratum(spark):
+    """Each stratum's (n1, n2, u1, z) must equal the GLOBAL test run on
+    that stratum's rows alone — the defining property of stratification."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        mann_whitney_by_group,
+        mann_whitney_u,
+    )
+
+    rows = []
+    import random
+
+    rng = random.Random(7)
+    for g in ["x", "y", "z"]:
+        shift = {"x": 0.0, "y": 5.0, "z": -2.0}[g]
+        for i in range(40):
+            cls = "a" if i % 2 == 0 else "b"
+            v = float(rng.randint(0, 20)) + (shift if cls == "a" else 0.0)
+            rows.append((g, v, cls))
+    df = spark.createDataFrame(rows, "g string, value double, cls string")
+    grouped = {
+        r["g"]: (r["n1"], r["n2"], r["u1"], r["z"])
+        for r in mann_whitney_by_group(df, "g", "value", "cls", "a").collect()
+    }
+    assert set(grouped) == {"x", "y", "z"}
+    for g in ["x", "y", "z"]:
+        solo = mann_whitney_u(
+            df.where(F.col("g") == g), "value", "cls", "a"
+        ).collect()[0]
+        assert grouped[g] == (solo["n1"], solo["n2"], solo["u1"], solo["z"])
