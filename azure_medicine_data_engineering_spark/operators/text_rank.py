@@ -491,3 +491,42 @@ def quality_quantile_gate(
     )
     out._stage_caches = [scored] if cache else []
     return out
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration readout quoted next to AUC (a model can rank perfectly
+    and still be miscalibrated): fixed-width probability bins, per bin
+    the doc count, mean predicted probability and observed positive
+    rate. Well-calibrated ⇔ mean_prob ≈ pos_rate per bin.
+
+    Engine-exact: ``bin = floor(prob · n_bins)`` (clamped) on the
+    display-rounded prob double is identical on both engines; the mean
+    predicted probability accumulates on the 1e-4 integer grid and the
+    positive rate is an integer micro division — order-free, no float
+    sums. One keyed aggregation; bin-frame-sized state."""
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(F.col(prob_col) * n_bins)
+    ).cast("int")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.round(F.col(prob_col) * 1e4).cast("long"))
+            .cast("long")
+            .alias("_sp_u"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            (F.expr("_sp_u div n_docs") / 1e4).alias("mean_prob"),
+            "n_pos",
+            (F.expr("n_pos * 1000000 div n_docs") / 1e6).alias("pos_rate"),
+        )
+    )

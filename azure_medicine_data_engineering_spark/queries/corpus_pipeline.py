@@ -1343,3 +1343,62 @@ def q_embedding_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
         k=5, shortlist=20,
     )
+
+
+@register(
+    "calibration_bins_quality",
+    f"""
+    WITH w AS (
+      SELECT t.b,
+             CAST(('0x' || substr(md5('w|' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2001 - 1000 AS w_u
+      FROM (SELECT unnest(range(256)) AS b) t
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t.tk), 1, 8)) AS BIGINT) % 256 AS b
+      FROM documents, unnest({_TOKS.format(t='text')}) AS t(tk)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w_u) AS BIGINT) AS logit_u
+      FROM tok JOIN w USING (b)
+      GROUP BY doc_id
+    ),
+    probd AS (
+      SELECT s.doc_id,
+             ROUND(1.0 / (1.0 + exp(-(s.logit_u / (s.n_tokens * 1000.0)))), 4) AS prob,
+             CASE WHEN length(d.text) >= 170 THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    binned AS (
+      SELECT CAST(LEAST(7, FLOOR(prob * 8)) AS INT) AS bin, prob, y FROM probd
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (CAST(SUM(CAST(ROUND(prob * 1e4) AS BIGINT)) AS BIGINT) // COUNT(*)) / 1e4 AS mean_prob,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           (CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*)) / 1e6 AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def q_calibration_bins_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability bins (operators/text_rank.py:
+    calibration_bins) of the served hashed-linear quality probabilities
+    against the length>=170 reference label — the readout that tells a
+    pipeline whether its quality-filter probabilities can be THRESHOLDED
+    as probabilities or only ranked (md5-derived weights are near-random,
+    so the expected picture is a flat, uninformative diagram — honestly
+    measured). The oracle replays the full serving chain, the binning,
+    and both integer-grid means."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        calibration_bins,
+        hashed_linear_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_scores(d).join(
+        d.select("doc_id", (F.length("text") >= 170).alias("y")), "doc_id"
+    )
+    return calibration_bins(scored, "prob", "y", n_bins=8)

@@ -148,3 +148,33 @@ def test_quality_quantile_gate_keeps_top_slice(spark):
         # ~top quarter survives (bin-edge rounding gives a small band)
         assert 8 <= r.n_kept <= 14
         assert abs(r.kept_frac - r.n_kept * 1_000_000 // 40 / 1e6) < 1e-9
+
+
+def test_calibration_bins_planted(spark):
+    """Perfectly calibrated planted scores: bin b gets docs with
+    prob (b+0.5)/8 and a positive fraction equal to that prob -> every
+    bin's mean_prob equals its pos_rate on the shared grids."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        calibration_bins,
+    )
+
+    rows = []
+    for b in range(8):
+        p = (b + 0.5) / 8  # 0.0625, 0.1875, ... exactly on the 1e-4 grid
+        n = 16
+        pos = round(p * n)
+        for i in range(n):
+            rows.append((p, i < pos))
+    df = spark.createDataFrame(rows, "prob double, y boolean")
+    got = {r["bin"]: r for r in calibration_bins(df, "prob", "y", 8).collect()}
+    assert set(got) == set(range(8))
+    for b, r in got.items():
+        assert r["n_docs"] == 16
+        assert r["mean_prob"] == (b + 0.5) / 8
+        assert r["n_pos"] == round((b + 0.5) / 8 * 16)
+        assert abs(r["pos_rate"] - r["n_pos"] / 16) < 1e-6
+    # prob == 1.0 clamps into the top bin
+    df2 = spark.createDataFrame([(1.0, True)], "prob double, y boolean")
+    assert calibration_bins(df2, "prob", "y", 8).collect()[0]["bin"] == 7
