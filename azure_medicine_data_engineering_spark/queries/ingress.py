@@ -305,3 +305,49 @@ def q_orc_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").cast("long").alias("min_key"),
         F.max("c_custkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "schema_evolution_orders",
+    """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'MISSING' ELSE o_orderpriority END
+             AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION ingress (the engine-surface reality of
+    any long-lived lake: old files lack columns added later): orders are
+    staged as two generations — even keys WITHOUT ``o_orderpriority``
+    (the pre-evolution schema), odd keys with it — and read back through
+    ``mergeSchema=true``, which must surface the missing column as NULL
+    for the old generation while preserving every value. The aggregate
+    folds the NULLs into a 'MISSING' bucket; the oracle computes the
+    identical report from the ORIGINAL single-schema table, so both the
+    column reconciliation and the cents-grid sums must be exact. At
+    100 TB this is a footer-schema union — no data rewrite."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_FIXTURE_ROOT, f"evo_orders_{tag}")
+    old_p, new_p = os.path.join(root, "gen_old"), os.path.join(root, "gen_new")
+    o = _t(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(old_p, "_SUCCESS")):
+        o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(old_p)
+    if not os.path.exists(os.path.join(new_p, "_SUCCESS")):
+        o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(new_p)
+    merged = spark.read.option("mergeSchema", "true").parquet(old_p, new_p)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("MISSING")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long")
+            / 100.0
+        ).alias("total_price"),
+    )
