@@ -49,6 +49,7 @@ __all__ = [
     "anova_oneway",
     "grouped_cdf_counts",
     "ks_two_sample",
+    "ks_by_group",
     "cvm_two_sample",
     "gini_coefficient",
 ]
@@ -421,6 +422,114 @@ def grouped_ranked_value_counts(
             ).alias("cnt_less"),
         )
         .drop("_bk", "_off")
+    )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    flag_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-STRATUM two-sample Kolmogorov-Smirnov — drift detection per
+    segment (per event type, per language, per site): the integer
+    sup-distance maximization of :func:`ks_two_sample` run independently
+    within every group of ``group_col`` (``flag_col`` true → sample 1).
+    Like :func:`grouped_ranked_value_counts`, EVERY stage keys on the
+    stratum (per-group bounds/buckets, PARTITION BY g offset and
+    in-bucket windows) — zero single-partition exchanges. Returns one row
+    per group ``(g, n1, n2, d_num, v_at_d, d)`` with the lowest attaining
+    value as the deterministic tie-break."""
+    byval = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("v"),
+            F.col(flag_col).alias("_f"),
+        )
+        .groupBy("g", "v")
+        .agg(
+            F.sum(F.col("_f").cast("long")).cast("long").alias("c1"),
+            F.sum((~F.col("_f")).cast("long")).cast("long").alias("c2"),
+        )
+        .persist()
+    )
+    bounds = byval.groupBy("g").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * n_buckets),
+        )
+    )
+    bk = (
+        byval.alias("a")
+        .join(F.broadcast(bounds).alias("b"), F.col("a.g") == F.col("b.g"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("g", "_bk").agg(
+        F.sum("c1").alias("_b1"), F.sum("c2").alias("_b2")
+    )
+    w_off = (
+        Window.partitionBy("g").orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "g",
+        "_bk",
+        F.coalesce(F.sum("_b1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_b2").over(w_off), F.lit(0)).alias("_o2"),
+    )
+    w_in = (
+        Window.partitionBy("g", "_bk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        bk.join(F.broadcast(offsets), ["g", "_bk"])
+        .select(
+            "g",
+            "v",
+            (F.col("_o1") + F.sum("c1").over(w_in)).cast("long").alias("cum1"),
+            (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
+        )
+        .persist()
+    )
+    tot = cdf.groupBy("g").agg(
+        F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
+    )
+    scored = cdf.join(F.broadcast(tot), "g").select(
+        "g",
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        .cast("long")
+        .alias("dn"),
+    ).persist()
+    best = scored.groupBy("g").agg(F.max("dn").cast("long").alias("d_num"))
+    return (
+        scored.alias("s")
+        .join(
+            F.broadcast(best).alias("b"),
+            (F.col("s.g") == F.col("b.g")) & (F.col("s.dn") == F.col("b.d_num")),
+        )
+        .groupBy("s.g")
+        .agg(
+            F.max("s.n1").cast("long").alias("n1"),
+            F.max("s.n2").cast("long").alias("n2"),
+            F.max("s.dn").cast("long").alias("d_num"),
+            F.min("s.v").alias("v_at_d"),
+        )
+        .select(
+            F.col("g"),
+            "n1",
+            "n2",
+            "d_num",
+            "v_at_d",
+            F.expr("round(d_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("d"),
+        )
     )
 
 

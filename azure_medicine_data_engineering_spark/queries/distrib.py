@@ -976,3 +976,71 @@ def q_js_event_type_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "_r",
     )
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    ks_by_group,
+)
+
+
+@register(
+    "ks_drift_by_event_type",
+    """
+    WITH src AS (
+      SELECT event_type AS g, value AS v,
+             ts < TIMESTAMP '2024-01-16 00:00:00' AS f
+      FROM events
+    ),
+    byval AS (
+      SELECT g, v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM src GROUP BY g, v
+    ),
+    cdf AS (
+      SELECT g, v,
+        CAST(SUM(c1) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM byval
+    ),
+    tot AS (
+      SELECT g, CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2
+      FROM cdf GROUP BY g
+    ),
+    scored AS (
+      SELECT c.g, c.v, t.n1, t.n2,
+             CAST(abs(c.cum1 * t.n2 - c.cum2 * t.n1) AS BIGINT) AS dn
+      FROM cdf c JOIN tot t USING (g)
+    ),
+    best AS (SELECT g, CAST(MAX(dn) AS BIGINT) AS d_num FROM scored GROUP BY g),
+    s2 AS (
+      SELECT s.g, CAST(MAX(s.n1) AS BIGINT) AS n1, CAST(MAX(s.n2) AS BIGINT) AS n2,
+             CAST(MAX(s.dn) AS BIGINT) AS d_num, MIN(s.v) AS v_at_d
+      FROM scored s JOIN best b ON s.g = b.g AND s.dn = b.d_num
+      GROUP BY s.g
+    )
+    SELECT g, n1, n2, d_num, v_at_d,
+           round(d_num * 1e0 / (n1 * 1e0 * n2), 4) AS d
+    FROM s2
+    """,
+)
+def q_ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT drift detection (``rankstats.ks_by_group``): the
+    two-sample KS of the value distribution, first vs second half of the
+    window, run independently within every event type — the monitoring
+    sweep that localizes WHICH segment drifted instead of pooling it
+    away. Every stage keys on the stratum (zero single-partition
+    exchanges); the oracle replays per-group CDFs with PARTITION BY g
+    windows."""
+    ev = events_table(spark, sf_dir)
+    return ks_by_group(
+        ev.select(
+            "event_type",
+            "value",
+            (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("_f"),
+        ),
+        "event_type",
+        "value",
+        "_f",
+    )

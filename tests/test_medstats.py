@@ -1225,3 +1225,37 @@ def test_mann_whitney_by_group_matches_global_per_stratum(spark):
             df.where(F.col("g") == g), "value", "cls", "a"
         ).collect()[0]
         assert grouped[g] == (solo["n1"], solo["n2"], solo["u1"], solo["z"])
+
+
+def test_ks_by_group_matches_global_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ks_by_group,
+        ks_two_sample,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for g in ["p", "q"]:
+        for i in range(60):
+            grp1 = i % 2 == 0
+            v = float(rng.randint(0, 15)) + (3.0 if (grp1 and g == "q") else 0.0)
+            rows.append((g, v, grp1))
+    df = spark.createDataFrame(rows, "g string, value double, f boolean")
+    per = {
+        r["g"]: (r["n1"], r["n2"], r["d_num"], r["v_at_d"], r["d"])
+        for r in ks_by_group(df, "g", "value", "f").collect()
+    }
+    for g in ["p", "q"]:
+        sub = df.where(F.col("g") == g).select(
+            "value", F.when(F.col("f"), "a").otherwise("b").alias("cls")
+        )
+        solo = ks_two_sample(sub, "value", "cls", "a").collect()[0]
+        assert per[g] == (
+            solo["n1"], solo["n2"], solo["d_num"], solo["v_at_d"], solo["d"]
+        )
+    # the shifted stratum must show the larger D
+    assert per["q"][4] > per["p"][4]

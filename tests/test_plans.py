@@ -210,3 +210,28 @@ def test_rolling_window_runs_on_day_level_frame(spark, queries):
     # plan contains a partial+final aggregate below it
     assert plan.count("Exchange SinglePartition") <= 2  # tree + detail print
     assert "HashAggregate" in plan
+
+
+def test_observe_metrics_match_aggregate(spark):
+    """df.observe: the in-flight metric accumulator (the production
+    observability hook — count rows / sum values WHILE a pipeline runs,
+    no second scan) must agree exactly with a direct aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    obs = Observation("pipeline_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s"),
+    )
+    out = observed.where(F.col("m") == 0).count()  # downstream action
+    direct = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("m").alias("s")
+    ).collect()[0]
+    assert obs.get["n"] == direct["n"] == 1000
+    assert obs.get["s"] == direct["s"]
+    assert out == df.where(F.col("m") == 0).count()
