@@ -199,6 +199,13 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "cusum_changepoint_revenue": (1, "day-frame cumulative window"),
     # 1024-row bucket-offset window of the |d| rank prefix sum
     "wilcoxon_signed_rank_spend_halves": (1, "1024-row rank-bucket offset window"),
+    # 1024-row bucket-offset window of the grouped-CDF prefix sum (CvM)
+    "cvm_test_click_vs_view": (1, "1024-row CDF-bucket offset window"),
+    # 1024-row bucket-offset window of the score rank prefix sum (AUC)
+    "exact_auc_purchase_value": (1, "1024-row rank-bucket offset window"),
+    # prefix-sum offsets over the bucket-summary frame of the packing
+    # decomposition (same license class as packed_token_sequences)
+    "training_shard_manifest": (1, "bucket-summary offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
