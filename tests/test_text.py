@@ -247,3 +247,70 @@ def test_bpe_train_then_serve_roundtrip(spark):
     finals = _naive_bpe_final_words(freqs, 5)
     assert total["p"] == sum(len(syms) * f for w, f in freqs.items()
                              for syms in [finals[w]])
+
+
+# ---------------------------------------------------------------------------
+# Property test: the |s1||s2| delimited-string merge encoding is EXACTLY
+# the naive symbol-list merge, for arbitrary words and merge tables.
+# Python str.replace has the same leftmost-non-overlap semantics as Spark's
+# replace() and DuckDB's replace(), so this pins the encoding scheme itself
+# (boundary safety, multi-char symbols, overlap behavior) without a JVM.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _encode(word: str) -> str:
+    return "".join(f"|{c}|" for c in word)
+
+
+def _apply_merge_string(s: str, a: str, b: str) -> str:
+    return s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+
+
+def _decode(s: str) -> tuple:
+    return tuple(s[1:-1].split("||")) if s else ()
+
+
+def _apply_merge_list(syms: tuple, a: str, b: str) -> tuple:
+    out, j = [], 0
+    while j < len(syms):
+        if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return tuple(out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8), min_size=1, max_size=5
+    ),
+    merge_seeds=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=6,
+    ),
+)
+def test_bpe_encoding_equivalent_to_list_merge(words, merge_seeds):
+    # build a merge table from symbols that actually exist as the rounds
+    # progress (like real BPE: each merge may create multi-char symbols)
+    states = {w: tuple(w) for w in words}
+    strings = {w: _encode(w) for w in words}
+    for ia, ib in merge_seeds:
+        # pick an adjacent pair present in some current state, if any
+        pairs = sorted(
+            {(s[i], s[i + 1]) for s in states.values() for i in range(len(s) - 1)}
+        )
+        if not pairs:
+            break
+        a, b = pairs[(ia * 31 + ib) % len(pairs)]
+        for w in words:
+            states[w] = _apply_merge_list(states[w], a, b)
+            strings[w] = _apply_merge_string(strings[w], a, b)
+    for w in words:
+        assert _decode(strings[w]) == states[w], (w, strings[w], states[w])
