@@ -484,3 +484,90 @@ def q_grouped_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return grouped_exact_kth_cents(orders, "o_orderpriority", "cents", q=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Privacy audits: k-anonymity / l-diversity on quasi-identifier combos
+# (round 5; operators/privacy.py).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.privacy import (  # noqa: E402
+    k_anonymity_report,
+    l_diversity_report,
+)
+
+
+@register(
+    "k_anonymity_customers",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+    FROM g
+    """,
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py:k_anonymity_report) of the
+    customer table under the quasi-identifier combination (nation,
+    market segment, $100 account-balance band) — the re-identification
+    screen run before any release of person-grained data (the
+    reference's clinical domain) or user-derived training text. Reports
+    the groups an attacker can corner (size < k=5) and the rows inside
+    them; state is the distinct-combination frame, never row-sized."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
+@register(
+    "l_diversity_customers",
+    """
+    WITH pair AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT c_nationkey, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(n) AS BIGINT) AS rows_
+      FROM pair GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(d) AS BIGINT) AS min_distinct_sensitive,
+           CAST(SUM(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_undiverse_groups,
+           CAST(SUM(CASE WHEN d < 2 THEN rows_ ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+           SUM(CASE WHEN d < 2 THEN 1 ELSE 0 END) = 0 AS l_diverse
+    FROM g
+    """,
+)
+def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (operators/privacy.py:
+    l_diversity_report): within every (nation, $2000 balance-band)
+    quasi-group the market segment — standing in for the sensitive
+    attribute — must take >= 2 distinct values; a 50-row group that all
+    share one value still discloses it, which k-anonymity alone misses.
+    Two keyed aggregations; state bounded by distinct (group, value)
+    pairs."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity_report(
+        c, ["c_nationkey", "bal_band"], "c_mktsegment", l=2
+    )

@@ -153,3 +153,39 @@ def test_grouped_exact_median_matches_sorted_oracle(spark):
         vals = sorted(v for gg, v in rows if gg == g)
         k = math.ceil(0.5 * len(vals))
         assert got[g] == (len(vals), vals[k - 1])
+
+
+def test_k_anonymity_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        [("a", 1)] * 6        # safe group (6 >= 5)
+        + [("a", 2)] * 2      # unsafe (2 < 5)
+        + [("b", 1)] * 1      # unsafe singleton
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 long")
+    r = k_anonymity_report(df, ["q1", "q2"], k=5).collect()[0]
+    assert (r["n_rows"], r["n_groups"], r["min_group_size"]) == (9, 3, 1)
+    assert (r["n_unsafe_groups"], r["n_rows_at_risk"]) == (2, 3)
+    assert r["k_anonymous"] is False
+    safe = k_anonymity_report(df.where("q2 = 1 and q1 = 'a'"), ["q1"], k=5)
+    assert safe.collect()[0]["k_anonymous"] is True
+
+
+def test_l_diversity_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    rows = (
+        [("g1", "flu")] * 5 + [("g1", "ok")] * 3   # diverse (2 values)
+        + [("g2", "cancer")] * 50                  # big but UNdiverse
+    )
+    df = spark.createDataFrame(rows, "q string, diag string")
+    r = l_diversity_report(df, ["q"], "diag", l=2).collect()[0]
+    assert r["n_groups"] == 2
+    assert r["min_distinct_sensitive"] == 1
+    assert (r["n_undiverse_groups"], r["n_rows_exposed"]) == (1, 50)
+    assert r["l_diverse"] is False
