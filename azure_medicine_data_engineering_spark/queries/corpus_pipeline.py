@@ -1402,3 +1402,89 @@ def q_calibration_bins_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", (F.length("text") >= 170).alias("y")), "doc_id"
     )
     return calibration_bins(scored, "prob", "y", n_bins=8)
+
+
+@register(
+    "corpus_datasheet_by_source",
+    f"""
+    WITH base AS (
+      SELECT source, lang, doc_id,
+             CAST(len({_TOKS.format(t='text')}) AS BIGINT) AS n_toks,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    lang_counts AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    top_lang AS (
+      SELECT source, lang AS top_lang FROM lang_counts
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) = 1
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs
+      FROM base GROUP BY 1
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.n_chars, p.n_langs, t.top_lang,
+           p.n_unique_docs,
+           ((p.n_docs - p.n_unique_docs) * 1000000 // p.n_docs) / 1e6 AS dup_rate
+    FROM per_src p JOIN top_lang t USING (source)
+    """,
+)
+def q_corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATASHEET — the release artifact every dataset
+    ships (Gebru et al. 2021's datasheets, operationalized): doc/token/
+    char volumes, language spread with the deterministic majority
+    language, and the exact-duplicate rate from the normalized-text
+    fingerprint (``operators/text.py:fingerprint``). One keyed pass over
+    the corpus plus a (source, lang)-frame argmax — every number
+    engine-exact (integer micro dup-rate), so the datasheet itself is
+    reproducible evidence, not an estimate."""
+    from azure_medicine_data_engineering_spark.operators.text import (
+        fingerprint,
+        token_count,
+    )
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).persist()
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    top = (
+        lang_counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("fp").cast("long").alias("n_unique_docs"),
+    )
+    return per.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "top_lang",
+        "n_unique_docs",
+        (F.expr("(n_docs - n_unique_docs) * 1000000 div n_docs") / 1e6).alias(
+            "dup_rate"
+        ),
+    )

@@ -1125,3 +1125,50 @@ def q_multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_video_payload(docs, "doc_id", "text")
     return video_motion_report(media)
+
+
+@register(
+    "ml_kfold_assignment_orders",
+    """
+    WITH b AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+             % 5 AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           (CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*)) / 1e6 AS pos_rate
+    FROM b GROUP BY 1
+    """,
+)
+def q_ml_kfold_assignment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (the M4/M7
+    companion): fold = md5-bucket % 5 of the row id — reproducible on any
+    cluster layout or engine, unlike randomSplit — with per-fold sizes
+    and label balance (integer micro rate) as the sanity report a CV run
+    records before training. The md5 device is the same engine-replicable
+    split as ``hash_split``; the oracle recomputes every assignment."""
+    o = _t(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5
+    )
+    return (
+        o.select(
+            fold.alias("fold"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "fold",
+            "n_rows",
+            "n_pos",
+            (F.expr("n_pos * 1000000 div n_rows") / 1e6).alias("pos_rate"),
+        )
+    )

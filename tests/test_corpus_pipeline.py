@@ -419,3 +419,51 @@ def test_span_corruption_masks_invariants(spark):
     assert {(r.doc_id, r.span_idx, r.span_start) for r in other} != {
         (r.doc_id, r.span_idx, r.span_start) for r in rows
     }
+
+
+def test_corpus_datasheet_planted(spark):
+    """Planted corpus: exact duplicates (same text modulo case/punct)
+    must fold into one fingerprint; top language is the majority with
+    an ascending tie-break."""
+    import __spark_entry__ as m
+
+    rows = [
+        (1, "Hello World!", "en", "sA", 12),
+        (2, "hello   world", "en", "sA", 13),   # dup of 1 after normalize
+        (3, "otro texto aqui", "es", "sA", 15),
+        (4, "ganz anders", "de", "sB", 11),
+        (5, "noch ein text", "de", "sB", 13),
+        (6, "texto distinto", "es", "sB", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("_ds_docs")
+    from azure_medicine_data_engineering_spark.operators.text import (
+        fingerprint,
+        token_count,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # run the same construction as the registered query, over the planted df
+    base = df.select(
+        "source", "lang",
+        token_count(F.col("text")).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_uniq"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    got = {r["source"]: (r["n_docs"], r["n_uniq"], r["n_langs"]) for r in per.collect()}
+    assert got == {"sA": (3, 2, 2), "sB": (3, 2, 2)}  # sA has the dup pair
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    top = {
+        r["source"]: r["lang"]
+        for r in lc.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    assert top == {"sA": "en", "sB": "de"}
