@@ -459,7 +459,7 @@ def test_corpus_datasheet_planted(spark):
         F.count_distinct("lang").alias("n_langs"),
     )
     got = {r["source"]: (r["n_docs"], r["n_uniq"], r["n_langs"]) for r in per.collect()}
-    assert got == {"sA": (3, 2, 2), "sB": (3, 2, 2)}  # sA has the dup pair
+    assert got == {"sA": (3, 2, 2), "sB": (3, 3, 2)}  # only sA has the dup pair
     lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
     top = {
