@@ -90,3 +90,58 @@ def l_diversity_report(
         "n_rows_exposed",
         (F.col("n_undiverse_groups") == 0).alias("l_diverse"),
     )
+
+
+#: Shared Laplace inverse-CDF expression (inputs: u in (0,1) as a double,
+#: scale b = 1/epsilon): noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|).
+#: Embedded verbatim in Spark and the oracle; the final micro rounding
+#: absorbs cross-engine ln ulps (the PSI device).
+LAPLACE_NOISE_U_EXPR = (
+    "cast(round(-(1e0 / {eps}) * sign(u - 0.5e0) * "
+    "ln(1e0 - 2e0 * abs(u - 0.5e0)) * 1e6) as bigint)"
+)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1): per-group counts plus Laplace(1/ε) noise — the
+    release primitive for person-grained aggregates after the
+    k-anonymity/l-diversity audits. Noise is SEEDED (md5-derived 48-bit
+    uniform per (seed, group) — the repo's deterministic-randomness
+    convention) so the release is reproducible and oracle-verifiable;
+    a production deployment swaps the seed for real entropy, the
+    dataflow is identical. Returns ``(group, noisy_count, epsilon)``
+    with the noisy count on the 1e-6 grid.
+
+    NOTE: the TRUE count column is intentionally NOT emitted — a DP
+    release that ships the raw count next to the noisy one protects
+    nothing. One keyed aggregation; group-frame-sized everything."""
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "|"), F.col("g").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    # scientific-suffix literal ("1.0e0") parses as DOUBLE in both engines;
+    # a bare "1.0" would parse as DECIMAL in Spark SQL (CLAUDE.md hazard)
+    eps = f"{float(epsilon)!r}e0"
+    noise_expr = LAPLACE_NOISE_U_EXPR.format(eps=eps)
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    withu = counts.select(
+        "g",
+        "_n",
+        ((u48 + 1) / F.lit(float((1 << 48) + 1))).alias("u"),
+    )
+    return withu.select(
+        F.col("g").alias(group_col),
+        ((F.col("_n") * 1000000 + F.expr(noise_expr)) / 1e6).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

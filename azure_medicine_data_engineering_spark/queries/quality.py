@@ -571,3 +571,43 @@ def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(
         c, ["c_nationkey", "bal_band"], "c_mktsegment", l=2
     )
+
+
+from azure_medicine_data_engineering_spark.operators.privacy import (  # noqa: E402
+    LAPLACE_NOISE_U_EXPR,
+    dp_noisy_counts,
+)
+
+_DP_NOISE = LAPLACE_NOISE_U_EXPR.format(eps="1.0e0")
+
+
+@register(
+    "dp_noisy_counts_mktsegment",
+    f"""
+    WITH counts AS (
+      SELECT c_mktsegment AS g, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1
+    ),
+    withu AS (
+      SELECT g, n,
+             (CAST(('0x' || substr(md5('dp|' || g), 1, 12)) AS BIGINT) + 1)
+               / {float((1 << 48) + 1)!r} AS u
+      FROM counts
+    )
+    SELECT g AS c_mktsegment,
+           (n * 1000000 + {_DP_NOISE}) / 1e6 AS noisy_count,
+           1.0e0 AS epsilon
+    FROM withu
+    """,
+)
+def q_dp_noisy_counts_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (operators/privacy.py:
+    dp_noisy_counts, Laplace mechanism ε=1): per-segment customer counts
+    plus seeded Laplace noise — the release primitive that follows the
+    k-anonymity/l-diversity audits. The md5-seeded uniform and the shared
+    inverse-CDF expression make the release reproducible and
+    oracle-verifiable (micro-grid rounding absorbs ln ulps); the true
+    count is deliberately absent from the output."""
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", epsilon=1.0, seed="dp"
+    )

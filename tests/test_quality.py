@@ -189,3 +189,40 @@ def test_l_diversity_planted(spark):
     assert r["min_distinct_sensitive"] == 1
     assert (r["n_undiverse_groups"], r["n_rows_exposed"]) == (1, 50)
     assert r["l_diverse"] is False
+
+
+def test_dp_noisy_counts_statistics(spark):
+    """Seeded Laplace release: deterministic across runs, noise centered
+    (many groups -> mean |noise| ~ 1/eps), and never equal to the true
+    count grid except by measure-zero luck."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    df = spark.range(10_000).select((F.col("id") % 200).alias("g"))
+    a = dp_noisy_counts(df, "g", epsilon=1.0, seed="s1")
+    b = dp_noisy_counts(df, "g", epsilon=1.0, seed="s1")
+    ra = {r["g"]: r["noisy_count"] for r in a.collect()}
+    rb = {r["g"]: r["noisy_count"] for r in b.collect()}
+    assert ra == rb  # seeded determinism
+    noises = [ra[g] - 50.0 for g in ra]  # every group has exactly 50 rows
+    assert len(noises) == 200
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    # Laplace(1): E|X| = 1; allow wide sampling slack
+    assert 0.5 < mean_abs < 2.0
+    assert min(noises) < 0 < max(noises)
+    # different seed -> different release
+    rc = {
+        r["g"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, "g", epsilon=1.0, seed="s2").collect()
+    }
+    assert rc != ra
+    # tighter epsilon -> larger noise scale
+    rd = {
+        r["g"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, "g", epsilon=0.1, seed="s1").collect()
+    }
+    mean_abs_01 = sum(abs(rd[g] - 50.0) for g in rd) / len(rd)
+    assert mean_abs_01 > 4 * mean_abs
