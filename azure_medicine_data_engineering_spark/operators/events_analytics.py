@@ -615,3 +615,75 @@ def holt_linear_daily(
             "forecast_cents"
         ),
     )
+
+
+MASE_EXPR = (
+    "case when sum_n > 0 and n_test > 0 then "
+    "round((sum_f * 1e0 * n_pairs) / (n_test * 1e0 * sum_n), 4) end"
+)
+
+
+def seasonal_naive_mase(
+    orders: DataFrame,
+    season: int = 7,
+    holdout: int = 7,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    cache: bool = True,
+) -> DataFrame:
+    """Forecast-quality evaluation by MASE (mean absolute scaled error,
+    Hyndman & Koehler 2006) of the SEASONAL-NAIVE forecast — the
+    benchmark every fancier model (EWMA/Holt) must beat before shipping:
+    hold out the last ``holdout`` days, forecast each as the value
+    ``season`` days earlier, and scale by the in-sample one-step naive
+    MAE. MASE < 1 ⇔ better than the random-walk baseline.
+
+    Integer-exact: daily revenue on the cents grid; both MAE numerators
+    are integer |error| sums over keyed day self-joins (day-frame-sized,
+    never fact-sized); the final ratio is one shared expression
+    (``MASE_EXPR``). Returns one row
+    ``(n_train, n_test, sum_f_cents, sum_n_cents, mase)``."""
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
+        .select(
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01")))
+            .cast("long")
+            .alias("dn"),
+            "x",
+        )
+    )
+    if cache:  # day-frame, four consumers
+        daily = daily.persist()
+    mx = daily.agg(F.max("dn").alias("dmax"))
+    lab = daily.crossJoin(F.broadcast(mx)).select(
+        "dn", "x", (F.col("dn") > F.col("dmax") - holdout).alias("is_test")
+    )
+    if cache:
+        lab = lab.persist()
+    test = lab.where("is_test").alias("t")
+    fc = test.join(
+        lab.alias("s"), F.col("t.dn") - season == F.col("s.dn")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.abs(F.col("t.x") - F.col("s.x"))).cast("long").alias("sum_f"),
+    )
+    train = lab.where(~F.col("is_test"))
+    nv = train.alias("a").join(
+        train.alias("b"), F.col("a.dn") - 1 == F.col("b.dn")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.abs(F.col("a.x") - F.col("b.x"))).cast("long").alias("sum_n"),
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    return (
+        fc.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_train",
+            "n_test",
+            F.col("sum_f").alias("sum_f_cents"),
+            F.col("sum_n").alias("sum_n_cents"),
+            F.expr(MASE_EXPR).alias("mase"),
+        )
+    )

@@ -1044,3 +1044,48 @@ def q_ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "_f",
     )
+
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    MASE_EXPR,
+    seasonal_naive_mase,
+)
+
+
+@register(
+    "mase_seasonal_naive_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT CAST(MAX(dn) AS BIGINT) AS dmax FROM daily),
+    lab AS (SELECT dn, x, dn > (SELECT dmax FROM mx) - 7 AS is_test FROM daily),
+    fc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(abs(t.x - s.x)) AS BIGINT) AS sum_f
+      FROM lab t JOIN lab s ON t.dn - 7 = s.dn
+      WHERE t.is_test
+    ),
+    nv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(abs(a.x - b.x)) AS BIGINT) AS sum_n
+      FROM lab a JOIN lab b ON a.dn - 1 = b.dn
+      WHERE NOT a.is_test AND NOT b.is_test
+    ),
+    tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM lab WHERE NOT is_test)
+    SELECT tr.n_train, fc.n_test,
+           fc.sum_f AS sum_f_cents, nv.sum_n AS sum_n_cents,
+           {MASE_EXPR} AS mase
+    FROM fc, nv, tr
+    """,
+)
+def q_mase_seasonal_naive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality benchmark (``events_analytics.seasonal_naive_mase``,
+    Hyndman & Koehler 2006): MASE of the seasonal-naive (t−7) forecast on
+    the last 7 held-out days of daily revenue, scaled by the in-sample
+    one-step naive MAE — the baseline every EWMA/Holt deployment must
+    beat. Both |error| sums are exact cents integers from day-frame
+    self-joins; the ratio is the shared ``MASE_EXPR``."""
+    return seasonal_naive_mase(_t(spark, sf_dir, "orders"))

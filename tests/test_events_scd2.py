@@ -290,3 +290,35 @@ def test_dow_seasonality_flat_series_indexes_to_one(spark):
     out = day_of_week_seasonality(orders).collect()
     assert len(out) == 7
     assert all(r.n_days == 4 and abs(r.seasonal_index - 1.0) < 1e-6 for r in out)
+
+
+def test_seasonal_naive_mase_planted(spark):
+    """Perfectly weekly-periodic series: the t-7 forecast is exact on the
+    holdout, so MASE == 0; a constant series makes the naive denominator
+    0 and the forecast numerator 0 (0/0 -> NULL, surfaced honestly)."""
+    import datetime
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        seasonal_naive_mase,
+    )
+
+    base = datetime.date(2023, 1, 1)
+    rows = []
+    for i in range(28):  # 4 exact weekly cycles
+        amount = [100.0, 110.0, 120.0, 130.0, 140.0, 150.0, 160.0][i % 7]
+        rows.append((datetime.datetime.combine(base + datetime.timedelta(days=i),
+                                               datetime.time()), amount))
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    r = seasonal_naive_mase(df).collect()[0]
+    assert (r["n_train"], r["n_test"]) == (21, 7)
+    assert r["sum_f_cents"] == 0 and r["mase"] == 0.0
+    assert r["sum_n_cents"] > 0
+
+    flat = spark.createDataFrame(
+        [(datetime.datetime.combine(base + datetime.timedelta(days=i),
+                                    datetime.time()), 100.0) for i in range(28)],
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    r2 = seasonal_naive_mase(flat).collect()[0]
+    assert r2["sum_f_cents"] == 0 and r2["sum_n_cents"] == 0
+    assert r2["mase"] is None
