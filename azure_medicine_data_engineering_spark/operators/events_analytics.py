@@ -14,7 +14,7 @@ than the fact) before the final cohort rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -686,4 +686,73 @@ def seasonal_naive_mase(
             F.col("sum_n").alias("sum_n_cents"),
             F.expr(MASE_EXPR).alias("mase"),
         )
+    )
+
+
+def _quintile_by_value(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """Deterministic value-level quintile via the bucketed rank prefix
+    sum: ``q(v) = (cnt_less · 5) div n + 1`` (min-rank rule — every row
+    sharing a value gets the SAME quintile, so the label is joinable by
+    value; documented divergence from NTILE, which splits ties). Returns
+    ``(v, out_col)``."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ranked_value_counts,
+    )
+
+    ranked = ranked_value_counts(df.select(F.col(value_col)), value_col)
+    tot = ranked.agg(F.sum("c_all").cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("v"),
+            (F.expr("cnt_less * 5 div n") + 1).cast("int").alias(out_col),
+        )
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "value",
+    purchase_pred: Column | None = None,
+) -> DataFrame:
+    """RFM customer segmentation — the classic BI scoring (recency /
+    frequency / monetary quintiles 1..5) — built WITHOUT any data-grain
+    window: each axis collapses to its distinct-value frame, gets a
+    deterministic min-rank quintile from the bucketed rank prefix sum
+    (:func:`_quintile_by_value`), and joins back to the customer frame BY
+    VALUE (ties share a label, so the join is well-defined). Output is
+    the segment summary ``(r_q, f_q, m_q, n_customers, total_cents)`` —
+    at most 125 rows.
+
+    Scale: one keyed collapse of the fact table to customer grain, three
+    distinct-value quintile frames (each with only the 1024-row bounded
+    offset window), three value-keyed joins, one segment aggregation."""
+    pred = purchase_pred if purchase_pred is not None else F.lit(True)
+    per_user = (
+        events.where(pred)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.max(F.col(ts_col).cast("long")).cast("long").alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col(amount_col) * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .persist()  # three quintile builds + the final join read it
+    )
+    rq = _quintile_by_value(per_user, "rec", "r_q")
+    fq = _quintile_by_value(per_user, "freq", "f_q")
+    mq = _quintile_by_value(per_user, "cents", "m_q")
+    # value-KEYED joins (not broadcasts): the quintile frames scale with
+    # the distinct recency/cents values — customer-sized at 100 TB
+    labeled = (
+        per_user.join(rq.withColumnRenamed("v", "rec"), "rec")
+        .join(fq.withColumnRenamed("v", "freq"), "freq")
+        .join(mq.withColumnRenamed("v", "cents"), "cents")
+    )
+    return labeled.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
     )

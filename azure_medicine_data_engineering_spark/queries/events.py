@@ -811,3 +811,87 @@ def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return day_of_week_seasonality(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 5; operators/events_analytics.py:rfm_segments).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    rfm_segments,
+)
+
+
+@register(
+    "rfm_segments_purchases",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS rec_key,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pu AS (
+      SELECT user_id,
+             CAST(MAX(rec_key) AS BIGINT) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM per_user GROUP BY user_id
+    ),
+    rq AS (
+      SELECT v, CAST(cl * 5 // n + 1 AS INT) AS r_q FROM (
+        SELECT v, COALESCE(SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl,
+          (SELECT COUNT(*) FROM pu) AS n
+        FROM (SELECT rec AS v, COUNT(*) AS c FROM pu GROUP BY 1) t
+      ) r
+    ),
+    fq AS (
+      SELECT v, CAST(cl * 5 // n + 1 AS INT) AS f_q FROM (
+        SELECT v, COALESCE(SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl,
+          (SELECT COUNT(*) FROM pu) AS n
+        FROM (SELECT freq AS v, COUNT(*) AS c FROM pu GROUP BY 1) t
+      ) r
+    ),
+    mq AS (
+      SELECT v, CAST(cl * 5 // n + 1 AS INT) AS m_q FROM (
+        SELECT v, COALESCE(SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl,
+          (SELECT COUNT(*) FROM pu) AS n
+        FROM (SELECT cents AS v, COUNT(*) AS c FROM pu GROUP BY 1) t
+      ) r
+    )
+    SELECT rq.r_q, fq.f_q, mq.m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(pu.cents) AS BIGINT) AS total_cents
+    FROM pu
+    JOIN rq ON pu.rec = rq.v
+    JOIN fq ON pu.freq = fq.v
+    JOIN mq ON pu.cents = mq.v
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasing users (recency = last purchase
+    epoch-second, frequency = purchase count, monetary = cents spend) —
+    the classic BI scoring built with NO data-grain window: each axis
+    gets a deterministic min-rank quintile per DISTINCT VALUE
+    (``q = cnt_less·5 div n + 1`` — ties share a label, joinable by
+    value; documented divergence from tie-splitting NTILE) from the
+    bucketed rank prefix sum, then three value-keyed joins and one
+    segment aggregation (≤125 rows). The oracle replays each axis with a
+    flat cumulative window."""
+    ev = events_table(spark, sf_dir)
+    return rfm_segments(
+        ev.select(
+            "user_id",
+            F.col("ts").cast("long").alias("rec_key"),
+            "value",
+            "event_type",
+        ).withColumnRenamed("rec_key", "ts"),
+        user_col="user_id",
+        ts_col="ts",
+        amount_col="value",
+        purchase_pred=F.col("event_type") == "purchase",
+    )

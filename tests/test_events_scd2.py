@@ -322,3 +322,47 @@ def test_seasonal_naive_mase_planted(spark):
     r2 = seasonal_naive_mase(flat).collect()[0]
     assert r2["sum_f_cents"] == 0 and r2["sum_n_cents"] == 0
     assert r2["mase"] is None
+
+
+def test_rfm_segments_planted(spark):
+    """20 users with hand-designed R/F/M values: quintile rule is
+    q = cnt_less*5 div n + 1 per DISTINCT value (ties share labels);
+    segment counts must sum back to the user count and the top segment
+    must hold the top user."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        rfm_segments,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(20):
+        # user u purchases (u+1) times, amount 10*(u+1), last at day u
+        for k in range(u + 1):
+            rows.append(
+                (u, base + datetime.timedelta(days=u, hours=k), "purchase",
+                 10.0 * (u + 1))
+            )
+        rows.append((u, base, "view", 1.0))  # non-purchase noise
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    seg = rfm_segments(
+        df.select("user_id", F.col("ts").cast("long").alias("ts"),
+                  "value", "event_type"),
+        purchase_pred=F.col("event_type") == "purchase",
+    ).collect()
+    assert sum(r["n_customers"] for r in seg) == 20
+    # user 19: max recency, max freq, max spend -> (5,5,5)
+    top = {(r["r_q"], r["f_q"], r["m_q"]): r["n_customers"] for r in seg}
+    assert (5, 5, 5) in top
+    # all monotone together here: r_q == f_q == m_q for every user
+    assert all(r["r_q"] == r["f_q"] == r["m_q"] for r in seg)
+    # quintile rule: 20 users -> 4 per quintile on each axis
+    per_q = {}
+    for r in seg:
+        per_q[r["r_q"]] = per_q.get(r["r_q"], 0) + r["n_customers"]
+    assert per_q == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}

@@ -206,6 +206,8 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # prefix-sum offsets over the bucket-summary frame of the packing
     # decomposition (same license class as packed_token_sequences)
     "training_shard_manifest": (1, "bucket-summary offset window"),
+    # one 1024-row rank-bucket offset window per RFM axis
+    "rfm_segments_purchases": (3, "1024-row rank-bucket offset windows (r, f, m)"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
