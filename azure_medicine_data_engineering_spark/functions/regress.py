@@ -443,3 +443,60 @@ def cronbach_alpha_oracle_sql(src_sql: str, cols: list[str]) -> str:
     dbl AS (SELECT {', '.join(casts)} FROM mom)
     SELECT n, CAST({k} AS BIGINT) AS k, {alpha} AS alpha FROM dbl
     """
+
+
+#: Simple-OLS per-group finalizations over exact integer moments
+#: (sx, sy, sxx, sxy, syy as doubles cast from DECIMAL(38,0) sums).
+OLS1_SLOPE_EXPR = "round((n * 1e0 * sxy - sx * 1e0 * sy) / (n * 1e0 * sxx - sx * 1e0 * sx), 4)"
+OLS1_INTERCEPT_EXPR = (
+    "round((sy - ((n * 1e0 * sxy - sx * 1e0 * sy) / (n * 1e0 * sxx - sx * 1e0 * sx)) * sx)"
+    " / n, 4)"
+)
+OLS1_R2_EXPR = (
+    "round(((n * 1e0 * sxy - sx * 1e0 * sy) * (n * 1e0 * sxy - sx * 1e0 * sy)) / "
+    "((n * 1e0 * sxx - sx * 1e0 * sx) * (n * 1e0 * syy - sy * 1e0 * sy)), 4)"
+)
+
+
+def ols_by_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-GROUP simple linear regression (slope, intercept, R²) from
+    exact integer sufficient statistics — the grouped companion to the
+    day-frame :func:`~azure_medicine_data_engineering_spark.operators.
+    events_analytics.ols_daily_trend` and the 2-factor
+    :func:`ols_two_factor`: one keyed aggregation per group accumulates
+    ``n, Σx, Σy, Σx², Σxy, Σy²`` in DECIMAL(38,0) (both columns must be
+    INTEGER-grid — pass cents for money), the three finalizations are
+    shared expressions evaluated per group row. Embarrassingly parallel:
+    state is 6 numbers per group, no windows at all. Returns one row per
+    group ``(g, n, slope, intercept, r2)``."""
+    dec = "decimal(38,0)"
+    x, y = F.col(x_col), F.col(y_col)
+    per = (
+        df.select(F.col(group_col).alias("g"), x.alias("_x"), y.alias("_y"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_x").cast(dec)).alias("sx_d"),
+            F.sum(F.col("_y").cast(dec)).alias("sy_d"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("sxx_d"),
+            F.sum(F.col("_x").cast(dec) * F.col("_y")).alias("sxy_d"),
+            F.sum(F.col("_y").cast(dec) * F.col("_y")).alias("syy_d"),
+        )
+        .select(
+            "g",
+            "n",
+            *[
+                F.col(f"{c}_d").cast("double").alias(c)
+                for c in ("sx", "sy", "sxx", "sxy", "syy")
+            ],
+        )
+    )
+    return per.select(
+        "g",
+        "n",
+        F.expr(OLS1_SLOPE_EXPR).alias("slope"),
+        F.expr(OLS1_INTERCEPT_EXPR).alias("intercept"),
+        F.expr(OLS1_R2_EXPR).alias("r2"),
+    )

@@ -1089,3 +1089,49 @@ def q_mase_seasonal_naive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     beat. Both |error| sums are exact cents integers from day-frame
     self-joins; the ratio is the shared ``MASE_EXPR``."""
     return seasonal_naive_mase(_t(spark, sf_dir, "orders"))
+
+
+from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    OLS1_INTERCEPT_EXPR,
+    OLS1_R2_EXPR,
+    OLS1_SLOPE_EXPR,
+    ols_by_group,
+)
+
+
+@register(
+    "ols_price_vs_qty_by_returnflag",
+    f"""
+    WITH src AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM src GROUP BY g
+    )
+    SELECT g, n, {OLS1_SLOPE_EXPR} AS slope,
+           {OLS1_INTERCEPT_EXPR} AS intercept,
+           {OLS1_R2_EXPR} AS r2
+    FROM per
+    """,
+)
+def q_ols_price_vs_qty_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (``regress.ols_by_group``): extended price
+    (cents) regressed on quantity within each return flag — the grouped
+    regression shape (per-segment elasticities) with 6-number state per
+    group and zero windows; exact DECIMAL(38,0)/HUGEINT moments, shared
+    finalizations. Embarrassingly parallel at any group count."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return ols_by_group(li, "l_returnflag", "x", "y")

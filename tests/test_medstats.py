@@ -1259,3 +1259,38 @@ def test_ks_by_group_matches_global_per_stratum(spark):
         )
     # the shifted stratum must show the larger D
     assert per["q"][4] > per["p"][4]
+
+
+def test_ols_by_group_matches_numpy(spark):
+    import numpy as np
+
+    from azure_medicine_data_engineering_spark.functions.regress import (
+        ols_by_group,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    truth = {}
+    for g, (m, b) in {"a": (3, 100), "b": (-2, 50)}.items():
+        xs, ys = [], []
+        for _ in range(200):
+            x = rng.randint(0, 100)
+            y = m * x + b + rng.randint(-5, 5)
+            rows.append((g, x, y))
+            xs.append(x)
+            ys.append(y)
+        truth[g] = (np.array(xs, dtype=float), np.array(ys, dtype=float))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in ols_by_group(df, "g", "x", "y").collect()}
+    for g, (xs, ys) in truth.items():
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = got[g]
+        assert abs(r["slope"] - slope) < 1e-3
+        assert abs(r["intercept"] - intercept) < 1e-3
+        ss_res = ((ys - (slope * xs + intercept)) ** 2).sum()
+        ss_tot = ((ys - ys.mean()) ** 2).sum()
+        assert abs(r["r2"] - (1 - ss_res / ss_tot)) < 1e-3
+        assert math.isfinite(r["r2"]) and 0.9 < r["r2"] <= 1.0
