@@ -57,3 +57,40 @@ def profile(df: DataFrame, cols: list[str] | None = None, approx_distinct: bool 
         "min_value",
         "max_value",
     )
+
+
+ENTROPY_EXPR = "round(h_u / 1e6, 4)"
+
+
+def categorical_entropy(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column within each group —
+    the information-theoretic column profile (near-zero entropy flags a
+    constant/degenerate segment, high entropy a high-cardinality one;
+    the datasheet companion to plain distinct counts). Per-(group, cat)
+    counts collapse the table; per-category ``-(c/n)·ln(c/n)`` terms
+    round into integer micro-units before the order-free sum (the PSI
+    device). Returns ``(g, n, n_cats, entropy)``.
+
+    Two keyed aggregations; state bounded by distinct (group, category)
+    pairs."""
+    cells = (
+        df.select(F.col(group_col).alias("g"), F.col(cat_col).alias("c"))
+        .groupBy("g", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    tot = cells.groupBy("g").agg(F.sum("k").cast("long").alias("n"))
+    term_u = (
+        "cast(round(-(k * 1e0 / n) * ln(k * 1e0 / n) * 1e6) as bigint)"
+    )
+    per = (
+        cells.join(tot, "g")
+        .groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.sum(F.expr(term_u)).cast("long").alias("h_u"),
+        )
+    )
+    return per.select("g", "n", "n_cats", F.expr(ENTROPY_EXPR).alias("entropy"))

@@ -15,7 +15,11 @@ from azure_medicine_data_engineering_spark.operators.quality import (
     null_counts,
     quality_report,
 )
-from azure_medicine_data_engineering_spark.queries.registry import register, table as _t
+from azure_medicine_data_engineering_spark.queries.registry import (
+    events_table,
+    register,
+    table as _t,
+)
 
 # ---------------------------------------------------------------------------
 # A8+A9+A10 fused quality report on lineitem (reference: one job per column,
@@ -610,4 +614,50 @@ def q_dp_noisy_counts_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is deliberately absent from the output."""
     return dp_noisy_counts(
         _t(spark, sf_dir, "customer"), "c_mktsegment", epsilon=1.0, seed="dp"
+    )
+
+
+from azure_medicine_data_engineering_spark.operators.profile import (  # noqa: E402
+    ENTROPY_EXPR,
+    categorical_entropy,
+)
+
+
+@register(
+    "entropy_event_type_by_dow",
+    f"""
+    WITH cells AS (
+      SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS g,
+             event_type AS c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, CAST(SUM(k) AS BIGINT) AS n FROM cells GROUP BY g),
+    per AS (
+      SELECT c.g, CAST(MAX(t.n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cats,
+             CAST(SUM(cast(round(-(k * 1e0 / t.n) * ln(k * 1e0 / t.n) * 1e6)
+               as bigint)) AS BIGINT) AS h_u
+      FROM cells c JOIN tot t USING (g) GROUP BY c.g
+    )
+    SELECT g, n, n_cats, {ENTROPY_EXPR} AS entropy FROM per
+    """,
+)
+def q_entropy_event_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per day-of-week
+    (``operators/profile.py:categorical_entropy``) — the
+    information-theoretic profile column next to distinct counts: a
+    near-zero-entropy segment is degenerate, a flat mix approaches
+    ln(5). Micro-unit ln terms keep the sum order-free and engine-exact;
+    engine-neutral epoch-day %% 7."""
+    ev = events_table(spark, sf_dir)
+    return categorical_entropy(
+        ev.select(
+            F.pmod(
+                F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))),
+                7,
+            ).cast("long").alias("dow"),
+            "event_type",
+        ),
+        "dow",
+        "event_type",
     )

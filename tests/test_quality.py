@@ -226,3 +226,25 @@ def test_dp_noisy_counts_statistics(spark):
     }
     mean_abs_01 = sum(abs(rd[g] - 50.0) for g in rd) / len(rd)
     assert mean_abs_01 > 4 * mean_abs
+
+
+def test_categorical_entropy_bounds(spark):
+    import math
+
+    from azure_medicine_data_engineering_spark.operators.profile import (
+        categorical_entropy,
+    )
+
+    rows = (
+        [("uni", c) for c in "abcd" * 25]        # uniform over 4 -> ln(4)
+        + [("const", "z")] * 40                  # constant -> 0
+        + [("skew", "a")] * 30 + [("skew", "b")] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r["g"]: r for r in categorical_entropy(df, "g", "c").collect()}
+    assert got["const"]["entropy"] == 0.0 and got["const"]["n_cats"] == 1
+    assert abs(got["uni"]["entropy"] - math.log(4)) < 1e-3
+    p = 0.75
+    expected = -(p * math.log(p) + 0.25 * math.log(0.25))
+    assert abs(got["skew"]["entropy"] - expected) < 1e-3
+    assert 0 < got["skew"]["entropy"] < got["uni"]["entropy"]
