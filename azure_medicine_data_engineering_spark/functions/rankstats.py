@@ -1492,3 +1492,99 @@ def cochran_q(
         .select("r.n_blocks", "c.k", "c.cj2", "c.tot", "r.ri2")
     )
     return scal.select("n_blocks", "k", F.expr(COCHRAN_Q_EXPR).alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# Effect sizes (round 5): the other half of every clinical report — tests
+# above give p-values, these give magnitudes.
+# ---------------------------------------------------------------------------
+
+COHENS_D_EXPR = (
+    "round((s1 / (n1 * 1e0) - s2 / (n2 * 1e0)) / "
+    "sqrt(((q1 - s1 * 1e0 * s1 / n1) + (q2 - s2 * 1e0 * s2 / n2)) / "
+    "(n1 + n2 - 2e0)), 4)"
+)
+CRAMERS_V_EXPR = (
+    "round(sqrt((chi2_u / 1e6) / (n * 1e0 * least(n_a - 1, n_b - 1))), 4)"
+)
+RANK_BISERIAL_EXPR = (
+    "round((r1x2 - n1 * (n1 + 1)) / (n1 * 1e0 * n2) - 1e0, 4)"
+)
+
+
+def cohens_d(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Cohen's d standardized mean difference (pooled-SD form) over an
+    INTEGER-grid value column — the parametric effect size quoted next
+    to the t/ANOVA p-value. All five sufficient statistics are exact
+    (DECIMAL(38,0) sums/sums-of-squares per group); d is one shared
+    expression. Returns one row ``(n1, n2, d)``."""
+    dec = "decimal(38,0)"
+    is1 = F.col(group_col) == group1
+    per = df.select(is1.alias("_g"), F.col(value_col).alias("_x")).agg(
+        F.sum(F.col("_g").cast("long")).cast("long").alias("n1"),
+        F.sum((~F.col("_g")).cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("_g"), F.col("_x")).otherwise(0).cast(dec)).alias("s1_d"),
+        F.sum(F.when(~F.col("_g"), F.col("_x")).otherwise(0).cast(dec)).alias("s2_d"),
+        F.sum(
+            F.when(F.col("_g"), F.col("_x").cast(dec) * F.col("_x")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("q1_d"),
+        F.sum(
+            F.when(~F.col("_g"), F.col("_x").cast(dec) * F.col("_x")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("q2_d"),
+    )
+    asdbl = per.select(
+        "n1",
+        "n2",
+        *[
+            F.col(f"{c}_d").cast("double").alias(c)
+            for c in ("s1", "s2", "q1", "q2")
+        ],
+    )
+    return asdbl.select("n1", "n2", F.expr(COHENS_D_EXPR).alias("d"))
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association strength — the [0, 1] effect size of the
+    chi-square independence test (:func:`chi_square_independence`, whose
+    exact micro-unit chi2 this reuses). Returns
+    ``(n, n_a, n_b, chi2, v)``."""
+    base = chi_square_independence(df, col_a, col_b)
+    return base.select(
+        "n",
+        "n_a",
+        "n_b",
+        "chi2",
+        F.expr(
+            CRAMERS_V_EXPR.replace("chi2_u / 1e6", "chi2")
+        ).alias("v"),
+    )
+
+
+def rank_biserial(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Rank-biserial correlation r = 2·U₁/(n₁n₂) − 1 — the nonparametric
+    effect size companion to Mann-Whitney (and exactly 2·AUC − 1): the
+    probability-scale magnitude the U test's p-value lacks. Same bucketed
+    rank prefix sum, three BIGINTs, one shared expression. Returns
+    ``(n1, n2, r_rb)``."""
+    is1 = F.col(group_col) == group1
+    ranked = ranked_value_counts(
+        df.select(F.col(value_col), is1.alias("_g1")),
+        value_col,
+        extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
+    )
+    scal = ranked.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
+        ).cast("long").alias("r1x2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c_all") - F.col("c1")).cast("long").alias("n2"),
+    )
+    return scal.select("n1", "n2", F.expr(RANK_BISERIAL_EXPR).alias("r_rb"))

@@ -1025,3 +1025,132 @@ def q_mann_whitney_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return mann_whitney_by_group(src, "dow", "value", "event_type", "click")
+
+
+# ---------------------------------------------------------------------------
+# Effect-size panel (round 5): magnitudes next to the tests' p-values.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    COHENS_D_EXPR,
+    CRAMERS_V_EXPR,
+    RANK_BISERIAL_EXPR,
+    cohens_d,
+    cramers_v,
+    rank_biserial,
+)
+
+
+@register(
+    "cohens_d_click_vs_view",
+    f"""
+    WITH src AS (
+      SELECT event_type = 'click' AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN NOT g THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN g THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN NOT g THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS DOUBLE) AS q2
+      FROM src
+    )
+    SELECT n1, n2, {COHENS_D_EXPR} AS d FROM s
+    """,
+)
+def q_cohens_d_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled SD) of click vs view value on the cents grid
+    (``rankstats.cohens_d``) — the parametric effect size next to the
+    Mann-Whitney/t p-values; exact DECIMAL(38,0)/HUGEINT moments, one
+    shared finalization."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return cohens_d(
+        ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("x")),
+        "x",
+        "event_type",
+        "click",
+    )
+
+
+@register(
+    "cramers_v_type_dow",
+    f"""
+    WITH src AS (
+      SELECT event_type AS a,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS b
+      FROM events
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM src GROUP BY a, b),
+    rows_ AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cols_ AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    spine AS (SELECT ra.a, ra.r, cb.b, cb.c FROM rows_ ra, cols_ cb),
+    filled AS (
+      SELECT s.a, s.b, s.r, s.c, COALESCE(cells.o, 0) AS o, t.n
+      FROM spine s LEFT JOIN cells USING (a, b), tot t
+    ),
+    s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(ROUND(
+               (o * 1e0 * n - r * 1e0 * c) * (o * 1e0 * n - r * 1e0 * c)
+               / (n * 1e0 * r * c) * 1e6
+             ) AS BIGINT)) AS BIGINT) AS chi2_u
+      FROM filled
+    ),
+    fin AS (SELECT n, n_a, n_b, round(chi2_u / 1e6, 4) AS chi2, chi2_u FROM s)
+    SELECT n, n_a, n_b, chi2,
+           {CRAMERS_V_EXPR.replace("chi2_u / 1e6", "chi2")} AS v
+    FROM fin
+    """,
+)
+def q_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for event-type × day-of-week (``rankstats.cramers_v``)
+    — the [0,1] association MAGNITUDE of the chi-square independence
+    test (``chi_square_type_dow`` reports the statistic, this reports
+    how strong the dependence actually is). Reuses the exact micro-unit
+    chi2; V is one shared expression over its display-rounded value on
+    both engines."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        F.col("event_type").alias("etype"),
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))), 7
+        ).cast("long").alias("dow"),
+    )
+    return cramers_v(src, "etype", "dow")
+
+
+@register(
+    "rank_biserial_click_vs_view",
+    f"""
+    WITH src AS (
+      SELECT value AS v, event_type = 'click' AS g1
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    {_RANKED_SQL},
+    s AS (
+      SELECT CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c_all - c1) AS BIGINT) AS n2
+      FROM r
+    )
+    SELECT n1, n2, {RANK_BISERIAL_EXPR} AS r_rb FROM s
+    """,
+)
+def q_rank_biserial_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biserial correlation r = 2·U₁/(n₁n₂) − 1 of click vs view
+    value (``rankstats.rank_biserial``) — the nonparametric effect size
+    the Mann-Whitney z lacks (and exactly 2·AUC − 1, tying the clinical
+    and ML readouts together). Same bucketed rank prefix sum, three
+    BIGINTs, one shared expression."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return rank_biserial(ev, "value", "event_type", "click")

@@ -1294,3 +1294,46 @@ def test_ols_by_group_matches_numpy(spark):
         ss_tot = ((ys - ys.mean()) ** 2).sum()
         assert abs(r["r2"] - (1 - ss_res / ss_tot)) < 1e-3
         assert math.isfinite(r["r2"]) and 0.9 < r["r2"] <= 1.0
+
+
+def test_effect_sizes_naive(spark):
+    """Naive references for the round-5 effect-size panel."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        cohens_d,
+        cramers_v,
+        rank_biserial,
+        exact_auc,
+    )
+
+    # Cohen's d on planted integer samples
+    g1 = [10, 12, 14, 16, 18, 20]
+    g2 = [8, 9, 10, 11, 12, 13]
+    rows = [("a", v) for v in g1] + [("b", v) for v in g2]
+    df = spark.createDataFrame(rows, "g string, x long")
+    m1, m2 = sum(g1) / len(g1), sum(g2) / len(g2)
+    ss1 = sum((v - m1) ** 2 for v in g1)
+    ss2 = sum((v - m2) ** 2 for v in g2)
+    sd = math.sqrt((ss1 + ss2) / (len(g1) + len(g2) - 2))
+    naive_d = math.floor((m1 - m2) / sd * 1e4 + 0.5) / 1e4
+    got = cohens_d(df, "x", "g", "a").collect()[0]
+    assert (got["n1"], got["n2"], got["d"]) == (6, 6, naive_d)
+
+    # rank-biserial == 2*AUC - 1 on the same data
+    rb = rank_biserial(df, "x", "g", "a").collect()[0]["r_rb"]
+    auc = exact_auc(df, "x", F.col("g") == "a").collect()[0]["auc"]
+    assert abs(rb - (2 * auc - 1)) < 2e-4  # both display-rounded
+
+    # Cramér's V: perfect association -> 1, independence -> ~0
+    perf = spark.createDataFrame(
+        [("x", "p")] * 20 + [("y", "q")] * 20, "a string, b string"
+    )
+    assert cramers_v(perf, "a", "b").collect()[0]["v"] == 1.0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(25)],
+        "a string, b string",
+    )
+    assert cramers_v(indep, "a", "b").collect()[0]["v"] == 0.0
