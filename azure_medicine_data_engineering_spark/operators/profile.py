@@ -94,3 +94,44 @@ def categorical_entropy(
         )
     )
     return per.select("g", "n", "n_cats", F.expr(ENTROPY_EXPR).alias("entropy"))
+
+
+MI_EXPR = "round(mi_u / 1e6, 4)"
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    dependence measure that catches what correlation can't (nonlinear,
+    categorical): ``I = Σ (c/n)·ln(c·n / (r·s))`` over the contingency
+    cells with row/column margins. Per-cell terms round into integer
+    micro-units before the order-free sum (zero cells contribute 0 by
+    absence). The feature-selection companion to
+    :func:`categorical_entropy` and Cramér's V. Returns one row
+    ``(n, n_a, n_b, mi)``. Cell-frame state only."""
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # margins + total + terms all read it
+    )
+    rows = cells.groupBy("a").agg(F.sum("c").cast("long").alias("r"))
+    cols = cells.groupBy("b").agg(F.sum("c").cast("long").alias("s"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    term_u = (
+        "cast(round((c * 1e0 / n) * ln((c * 1e0 * n) / (r * 1e0 * s)) * 1e6)"
+        " as bigint)"
+    )
+    joined = (
+        cells.join(rows, "a")
+        .join(cols, "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    scal = joined.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct("a").cast("long").alias("n_a"),
+        F.count_distinct("b").cast("long").alias("n_b"),
+        F.sum(F.expr(term_u)).cast("long").alias("mi_u"),
+    )
+    return scal.select("n", "n_a", "n_b", F.expr(MI_EXPR).alias("mi"))

@@ -661,3 +661,52 @@ def q_entropy_event_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "event_type",
     )
+
+
+from azure_medicine_data_engineering_spark.operators.profile import (  # noqa: E402
+    MI_EXPR,
+    mutual_information,
+)
+
+
+@register(
+    "mutual_info_type_dow",
+    f"""
+    WITH src AS (
+      SELECT event_type AS a,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS b
+      FROM events
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY a, b),
+    rows_ AS (SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY a),
+    cols_ AS (SELECT b, CAST(SUM(c) AS BIGINT) AS s FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    scal AS (
+      SELECT CAST(MAX(t.n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT cells.a) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT cells.b) AS BIGINT) AS n_b,
+             CAST(SUM(cast(round((c * 1e0 / t.n) *
+               ln((c * 1e0 * t.n) / (r * 1e0 * s)) * 1e6) as bigint)) AS BIGINT) AS mi_u
+      FROM cells JOIN rows_ USING (a) JOIN cols_ USING (b), tot t
+    )
+    SELECT n, n_a, n_b, {MI_EXPR} AS mi FROM scal
+    """,
+)
+def q_mutual_info_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week
+    (``operators/profile.py:mutual_information``) — the dependence
+    measure next to Cramér's V (``cramers_v_type_dow``): V scales the
+    chi-square, MI measures the shared information in nats. Micro-unit
+    cell terms, margins from the cell frame, engine-neutral
+    epoch-day %% 7."""
+    ev = events_table(spark, sf_dir)
+    return mutual_information(
+        ev.select(
+            F.col("event_type").alias("etype"),
+            F.pmod(
+                F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))), 7
+            ).cast("long").alias("dow"),
+        ),
+        "etype",
+        "dow",
+    )

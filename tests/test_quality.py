@@ -248,3 +248,29 @@ def test_categorical_entropy_bounds(spark):
     expected = -(p * math.log(p) + 0.25 * math.log(0.25))
     assert abs(got["skew"]["entropy"] - expected) < 1e-3
     assert 0 < got["skew"]["entropy"] < got["uni"]["entropy"]
+
+
+def test_mutual_information_poles(spark):
+    """MI = 0 at independence; MI = H(A) when B determines A (here both
+    uniform over 2 -> ln 2); symmetric in its arguments."""
+    import math
+
+    from azure_medicine_data_engineering_spark.operators.profile import (
+        mutual_information,
+    )
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(25)],
+        "a string, b string",
+    )
+    assert mutual_information(indep, "a", "b").collect()[0]["mi"] == 0.0
+
+    det = spark.createDataFrame(
+        [("x", "p")] * 30 + [("y", "q")] * 30, "a string, b string"
+    )
+    r = mutual_information(det, "a", "b").collect()[0]
+    assert abs(r["mi"] - math.log(2)) < 1e-3
+
+    ab = mutual_information(det, "a", "b").collect()[0]["mi"]
+    ba = mutual_information(det, "b", "a").collect()[0]["mi"]
+    assert ab == ba
