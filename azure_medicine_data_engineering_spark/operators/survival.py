@@ -214,3 +214,41 @@ def logrank_2group(
             F.expr(LOGRANK_CHI2_EXPR).alias("chi2"),
         )
     )
+
+
+def nelson_aalen(
+    tte: DataFrame, time_col: str = "t", event_col: str = "ev"
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard table over a ``(time, event)``
+    frame — the estimator quoted next to Kaplan-Meier (KM multiplies
+    survival factors, NA sums hazard increments ``d_t/n_t``; at low
+    hazard ``S ≈ exp(−H)``, and NA is the building block of
+    hazard-ratio diagnostics). One row per distinct time with
+    ``(t, n_risk, d, cumhaz)``.
+
+    Same shape as :func:`kaplan_meier`: risk sets are suffix sums over
+    the day-level summary frame; per-time increments round into integer
+    micro-units so the cumulative sum is order-free and engine-exact."""
+    at_t = tte.groupBy(F.col(time_col).alias("t")).agg(
+        F.sum(F.col(event_col)).cast("long").alias("d"),
+        F.sum(1 - F.col(event_col)).cast("long").alias("c"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_risk = at_t.select(
+        "t", "d", F.sum(F.col("d") + F.col("c")).over(w_risk).alias("n_risk")
+    )
+    inc_u = F.when(
+        F.col("d") > 0,
+        F.round(F.col("d") / F.col("n_risk").cast("double") * 1e6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return with_risk.select(
+        "t",
+        "n_risk",
+        "d",
+        (F.sum(inc_u).over(w_cum) / 1e6).alias("cumhaz"),
+    )

@@ -1154,3 +1154,41 @@ def q_rank_biserial_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_type").isin("click", "view")
     )
     return rank_biserial(ev, "value", "event_type", "click")
+
+
+from azure_medicine_data_engineering_spark.operators.survival import (  # noqa: E402
+    nelson_aalen,
+)
+
+
+@register(
+    "nelson_aalen_signup_to_purchase",
+    f"""
+    WITH {{tte}},
+    at_t AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM tte GROUP BY t
+    ),
+    wr AS (
+      SELECT t, d, CAST(SUM(d + c) OVER (
+        ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      ) AS BIGINT) AS n_risk
+      FROM at_t
+    )
+    SELECT CAST(t AS INT) AS t, n_risk, d,
+           SUM(CASE WHEN d > 0
+               THEN CAST(ROUND(d / CAST(n_risk AS DOUBLE) * 1e6) AS BIGINT)
+               ELSE 0 END) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 1e6 AS cumhaz
+    FROM wr
+    """.format(tte=_TTE_SQL),
+)
+def q_nelson_aalen_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of days from first signup to first
+    purchase (``operators/survival.py:nelson_aalen``) — the estimator
+    quoted next to the Kaplan-Meier curve (KM multiplies survival
+    factors, NA sums d/n hazard increments; S ≈ exp(−H) at low hazard).
+    Same day-frame suffix-sum risk sets and micro-unit increments; the
+    oracle replays the estimator CTE-for-CTE."""
+    return nelson_aalen(time_to_event_days(events_table(spark, sf_dir)))

@@ -1337,3 +1337,26 @@ def test_effect_sizes_naive(spark):
         "a string, b string",
     )
     assert cramers_v(indep, "a", "b").collect()[0]["v"] == 0.0
+
+
+def test_nelson_aalen_naive(spark):
+    """Hand-computed NA on a small censored cohort; H is the running sum
+    of micro-rounded d/n increments and n_risk the suffix removals."""
+    import math
+
+    from azure_medicine_data_engineering_spark.operators.survival import (
+        nelson_aalen,
+    )
+
+    # (t, ev): events at t=2 (2 of them), censor at 3, event at 5
+    rows = [(2, 1), (2, 1), (3, 0), (5, 1), (5, 0), (7, 0)]
+    df = spark.createDataFrame(rows, "t long, ev long")
+    got = {r["t"]: (r["n_risk"], r["d"], r["cumhaz"]) for r in
+           nelson_aalen(df).collect()}
+    assert got[2][0] == 6 and got[2][1] == 2
+    assert got[3] == (4, 0, got[2][2])  # censoring adds no hazard
+    h2 = math.floor(2 / 6 * 1e6 + 0.5) / 1e6
+    h5 = h2 + math.floor(1 / 3 * 1e6 + 0.5) / 1e6
+    assert got[2][2] == h2
+    assert got[5] == (3, 1, h5)
+    assert got[7] == (1, 0, h5)
