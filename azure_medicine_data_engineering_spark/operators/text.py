@@ -409,3 +409,42 @@ def bpe_tokenize_stats(
             F.sum("_np").cast("long").alias("n_pieces"),
         )
     )
+
+
+FLESCH_EXPR = (
+    "case when w > 0 then round(206.835e0 - 1.015e0 * (w * 1e0 / s) "
+    "- 84.6e0 * (y * 1e0 / w), 4) end"
+)
+
+
+def flesch_reading_ease(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease score per document — the readability gate a
+    text-quality pipeline quotes next to the length/stopword heuristics
+    (quality_score): ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)``. Counts are RE2-safe regexp counts (JVM-side,
+    no UDF): sentences = ``[.!?]+`` runs clamped to >= 1, syllables = the
+    standard vowel-group heuristic ``[aeiouy]+`` runs over the lowercased
+    text (vowel runs never cross whitespace, so the text-level count
+    equals the per-word sum). The score is one shared expression over
+    three exact integers — engine-identical. Returns
+    ``(id, n_words, n_sentences, n_syllables, flesch)``."""
+    w = token_count(F.col(text_col)).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+    )
+    y = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+")).cast("long")
+    return df.select(
+        F.col(id_col),
+        w.alias("w"),
+        s.alias("s"),
+        y.alias("y"),
+    ).select(
+        id_col,
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        F.expr(FLESCH_EXPR).alias("flesch"),
+    )

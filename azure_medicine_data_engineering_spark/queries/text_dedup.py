@@ -1813,3 +1813,33 @@ def q_retrieval_rbo_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rbo_eval(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, p=0.9, n_clusters=8
     )
+
+
+from azure_medicine_data_engineering_spark.operators.text import (  # noqa: E402
+    FLESCH_EXPR as _FLESCH,
+)
+
+
+@register(
+    "flesch_reading_ease_docs",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS w,
+             GREATEST(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+           {_FLESCH} AS flesch
+    FROM c
+    """,
+)
+def q_flesch_reading_ease_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (``operators/text.py:
+    flesch_reading_ease``): sentence runs and vowel-group syllables as
+    RE2-safe regexp counts, the score one shared expression over three
+    exact integers — the readability column of the text-quality panel."""
+    return text.flesch_reading_ease(_t(spark, sf_dir, "documents"))

@@ -314,3 +314,24 @@ def test_bpe_encoding_equivalent_to_list_merge(words, merge_seeds):
             strings[w] = _apply_merge_string(strings[w], a, b)
     for w in words:
         assert _decode(strings[w]) == states[w], (w, strings[w], states[w])
+
+
+def test_flesch_reading_ease_hand_computed(spark):
+    from azure_medicine_data_engineering_spark.operators.text import (
+        flesch_reading_ease,
+    )
+
+    # "the cat sat. it ran fast!" -> w=6, s=2, vowel groups:
+    # the(1) cat(1) sat(1) it(1) ran(1) fast(1) = 6
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran fast!"), (2, ""), (3, "xyz qrst")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in flesch_reading_ease(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 4)
+    assert abs(r1["flesch"] - expected) < 1e-9
+    assert got[2]["flesch"] is None          # zero words -> NULL, no div0
+    assert got[3]["n_syllables"] == 0        # vowelless words count 0 (documented)
+    assert got[3]["n_sentences"] == 1        # clamp
