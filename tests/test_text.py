@@ -324,7 +324,7 @@ def test_flesch_reading_ease_hand_computed(spark):
     # "the cat sat. it ran fast!" -> w=6, s=2, vowel groups:
     # the(1) cat(1) sat(1) it(1) ran(1) fast(1) = 6
     df = spark.createDataFrame(
-        [(1, "the cat sat. it ran fast!"), (2, ""), (3, "xyz qrst")],
+        [(1, "the cat sat. it ran fast!"), (2, ""), (3, "bcd fghj")],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r for r in flesch_reading_ease(df).collect()}
@@ -333,5 +333,5 @@ def test_flesch_reading_ease_hand_computed(spark):
     expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 4)
     assert abs(r1["flesch"] - expected) < 1e-9
     assert got[2]["flesch"] is None          # zero words -> NULL, no div0
-    assert got[3]["n_syllables"] == 0        # vowelless words count 0 (documented)
+    assert got[3]["n_syllables"] == 0        # vowelless (y counts as vowel)
     assert got[3]["n_sentences"] == 1        # clamp
