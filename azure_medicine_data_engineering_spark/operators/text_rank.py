@@ -530,3 +530,61 @@ def calibration_bins(
             (F.expr("n_pos * 1000000 div n_docs") / 1e6).alias("pos_rate"),
         )
     )
+
+
+ZIPF_SLOPE_EXPR = (
+    "round((n * 1e0 * sxy - sx * 1e0 * sy) / (n * 1e0 * sxx - sx * 1e0 * sx), 4)"
+)
+ZIPF_INTERCEPT_EXPR = (
+    "round((sy - ((n * 1e0 * sxy - sx * 1e0 * sy) / (n * 1e0 * sxx - sx * 1e0 * sx))"
+    " * sx) / n, 4)"
+)
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_k: int = 200
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution: OLS of
+    ``ln(freq)`` on ``ln(rank)`` over the top-k tokens — natural language
+    sits near slope −1, and a corpus whose slope drifts far from it
+    (template spam, boilerplate floods, synthetic text) fails the
+    linguistic sanity screen. Returns one row
+    ``(n_top, slope, intercept)``.
+
+    Engine-exact: the top-k ranking is ``orderBy+limit`` (per-partition
+    heaps → TakeOrderedAndProject) with a (freq DESC, token ASC)
+    tie-break, the rank window then runs over k rows only; ``ln`` values
+    are rounded to the integer micro grid PER ROW before the moment sums,
+    making the 5 sufficient statistics order-free BIGINTs; slope and
+    intercept are shared expressions."""
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "tok")
+    top = (
+        counts.orderBy(F.desc("freq"), "tok")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    mic = top.select(
+        F.expr("cast(round(ln(cast(rank as double)) * 1e6) as bigint)").alias("lx"),
+        F.expr("cast(round(ln(cast(freq as double)) * 1e6) as bigint)").alias("ly"),
+    )
+    scal = mic.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("lx").cast("double") / 1e6).alias("sx"),
+        (F.sum("ly").cast("double") / 1e6).alias("sy"),
+        (F.sum(F.col("lx") * F.col("lx")).cast("double") / 1e12).alias("sxx"),
+        (F.sum(F.col("lx") * F.col("ly")).cast("double") / 1e12).alias("sxy"),
+    )
+    return scal.select(
+        F.col("n").alias("n_top"),
+        F.expr(ZIPF_SLOPE_EXPR).alias("slope"),
+        F.expr(ZIPF_INTERCEPT_EXPR).alias("intercept"),
+    )

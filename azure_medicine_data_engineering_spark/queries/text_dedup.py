@@ -1843,3 +1843,54 @@ def q_flesch_reading_ease_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2-safe regexp counts, the score one shared expression over three
     exact integers — the readability column of the text-quality panel."""
     return text.flesch_reading_ease(_t(spark, sf_dir, "documents"))
+
+
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    ZIPF_INTERCEPT_EXPR,
+    ZIPF_SLOPE_EXPR,
+    zipf_fit,
+)
+
+
+@register(
+    "zipf_fit_documents",
+    f"""
+    WITH counts AS (
+      SELECT t.tk AS tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tk)
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT tok, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+      FROM counts
+      QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, tok) <= 200
+    ),
+    mic AS (
+      SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+             CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx) AS DOUBLE) / 1e6 AS sx,
+             CAST(SUM(ly) AS DOUBLE) / 1e6 AS sy,
+             CAST(SUM(lx * lx) AS DOUBLE) / 1e12 AS sxx,
+             CAST(SUM(lx * ly) AS DOUBLE) / 1e12 AS sxy
+      FROM mic
+    )
+    SELECT n AS n_top, {ZIPF_SLOPE_EXPR} AS slope,
+           {ZIPF_INTERCEPT_EXPR} AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-200 corpus tokens
+    (``operators/text_rank.py:zipf_fit``): ln(freq) ~ ln(rank) OLS, the
+    linguistic sanity screen (natural text sits near slope −1; template
+    or synthetic floods drift away). TakeOrderedAndProject top-k,
+    micro-grid ln values, order-free integer moments, shared
+    finalizations."""
+    return zipf_fit(_t(spark, sf_dir, "documents"))

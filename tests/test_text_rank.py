@@ -178,3 +178,28 @@ def test_calibration_bins_planted(spark):
     # prob == 1.0 clamps into the top bin
     df2 = spark.createDataFrame([(1.0, True)], "prob double, y boolean")
     assert calibration_bins(df2, "prob", "y", 8).collect()[0]["bin"] == 7
+
+
+def test_zipf_fit_planted_power_law(spark):
+    """Planted exact power law freq = round(1000 / rank): the fitted
+    slope must land near -1; a flat (uniform-frequency) corpus fits
+    slope 0."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        zipf_fit,
+    )
+
+    words = []
+    for r in range(1, 51):
+        words.extend([f"w{r:03d}"] * max(1, round(1000 / r)))
+    df = spark.createDataFrame(
+        [(" ".join(words),)], "text string"
+    )
+    got = zipf_fit(df, top_k=50).collect()[0]
+    assert got["n_top"] == 50
+    assert -1.1 < got["slope"] < -0.9
+
+    flat = spark.createDataFrame(
+        [((" ".join(f"t{i}" for i in range(40)) + " ") * 3,)], "text string"
+    )
+    g2 = zipf_fit(flat, top_k=40).collect()[0]
+    assert abs(g2["slope"]) < 0.05
