@@ -235,3 +235,25 @@ def test_observe_metrics_match_aggregate(spark):
     assert obs.get["n"] == direct["n"] == 1000
     assert obs.get["s"] == direct["s"]
     assert out == df.where(F.col("m") == 0).count()
+
+
+def test_zipf_topk_uses_take_ordered(spark, queries):
+    # the top-200 token ranking must be per-partition heaps, never a
+    # global sort; the rank window then runs over 200 rows only
+    plan = plan_of(queries["zipf_fit_documents"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_rank_stats_have_no_single_partition(spark, queries):
+    # the grouped rank/CDF decompositions key EVERY window by the
+    # stratum — zero SinglePartition exchanges anywhere in the plan
+    for name in ["mann_whitney_by_dow", "ks_drift_by_event_type"]:
+        plan = plan_of(queries[name](spark, SF))
+        assert "SinglePartition" not in plan, name
+
+
+def test_rfm_quintile_joins_are_keyed_not_broadcast_corpus(spark, queries):
+    # the three quintile frames scale with distinct values: they must
+    # join back by value key; the segment output stays tiny
+    df = queries["rfm_segments_purchases"](spark, SF)
+    assert df.count() <= 125
