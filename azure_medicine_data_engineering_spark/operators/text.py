@@ -448,3 +448,98 @@ def flesch_reading_ease(
         F.col("y").alias("n_syllables"),
         F.expr(FLESCH_EXPR).alias("flesch"),
     )
+
+
+def bpe_merge_train_by_group(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-GROUP BPE training — one merge table per language in a SINGLE
+    unrolled loop (the multilingual reality: per-language tokenizers
+    trained side by side): each round counts pairs keyed by (group, a, b),
+    takes the per-group argmax with a GROUP-KEYED row_number window (never
+    a global ordering), and rewrites each group's words with ITS pair via
+    a group join (``replace`` with column arguments). The per-round
+    argmax frame is |groups| rows, eagerly localCheckpoint-ed (the same
+    2^n lineage cut as :func:`bpe_merge_train`). Returns one row per
+    (group, merge): ``(g, merge_idx, left_sym, right_sym, pair_count)``.
+
+    A group whose words run out of pairs simply stops emitting rows
+    (inner joins drop it) — groups are independent."""
+    from pyspark.sql.window import Window
+
+    words = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"),
+        )
+        .where(F.col("_w").rlike("^[a-z]+$"))
+        .groupBy("g", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .select("g", F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f")
+    )
+    caches: list[DataFrame] = []
+    merges: list[DataFrame] = []
+    cur = words.persist()
+    caches.append(cur)
+    w_rank = Window.partitionBy("g").orderBy(F.desc("cnt"), "a", "b")
+    for i in range(1, n_merges + 1):
+        toks = cur.select(
+            "g",
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|").alias("l"),
+            "f",
+        )
+        pairs = (
+            toks.select(
+                "g",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("l", 1, F.size("l") - 1).alias("a"),
+                        F.slice(F.col("l"), 2, F.size("l") - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .select("g", F.col("p.a").alias("a"), F.col("p.b").alias("b"), "f")
+        )
+        top = (
+            pairs.groupBy("g", "a", "b")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w_rank))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)  # |groups|-row; cuts the 2^n lineage
+        )
+        merges.append(
+            top.select(
+                "g",
+                F.lit(i).cast("int").alias("merge_idx"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        nxt = (
+            cur.join(top.select("g", "a", "b"), "g")
+            .select(
+                "g",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("s"),
+                "f",
+            )
+            .persist()
+        )
+        caches.append(nxt)
+        cur = nxt
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    out._stage_caches = caches
+    return out

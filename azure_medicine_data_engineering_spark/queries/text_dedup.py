@@ -1894,3 +1894,68 @@ def q_zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-grid ln values, order-free integer moments, shared
     finalizations."""
     return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Per-language BPE training (the stratified iterative trainer).
+# ---------------------------------------------------------------------------
+
+_BPEG_MERGES = 8
+
+
+def _bpeg_round_sql(i: int) -> str:
+    return f"""
+    gp{i} AS (
+      SELECT t.g, t.l[r.j] AS a, t.l[r.j + 1] AS b, CAST(SUM(t.f) AS BIGINT) AS cnt
+      FROM (SELECT g, string_split(substring(s, 2, length(s) - 2), '||') AS l, f
+            FROM gw{i - 1}) t,
+           LATERAL (SELECT unnest(range(1, len(t.l))) AS j) r
+      GROUP BY 1, 2, 3
+    ),
+    gm{i} AS MATERIALIZED (
+      SELECT g, a, b, cnt FROM gp{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY cnt DESC, a, b) = 1
+    ),
+    gw{i} AS MATERIALIZED (
+      SELECT w.g, replace(w.s, '|' || m.a || '||' || m.b || '|',
+                          '|' || m.a || m.b || '|') AS s, w.f
+      FROM gw{i - 1} w JOIN gm{i} m USING (g)
+    )"""
+
+
+_BPEG_FINAL = " UNION ALL ".join(
+    f"SELECT g, CAST({i} AS INT) AS merge_idx, a AS left_sym, b AS right_sym, "
+    f"cnt AS pair_count FROM gm{i}"
+    for i in range(1, _BPEG_MERGES + 1)
+)
+
+
+@register(
+    "bpe_vocab_merges_by_lang",
+    r"""
+    WITH gw0 AS MATERIALIZED (
+      SELECT g, regexp_replace(w, '(.)', '|\1|', 'g') AS s, f FROM (
+        SELECT lang AS g, w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY lang, w
+      ) q
+    ),
+    """
+    + ",".join(_bpeg_round_sql(i) for i in range(1, _BPEG_MERGES + 1))
+    + "\n    "
+    + _BPEG_FINAL,
+)
+def q_bpe_vocab_merges_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE BPE training (``operators/text.py:
+    bpe_merge_train_by_group``): one merge table per language in a single
+    unrolled loop — per-round pair counts keyed by (lang, pair), the
+    argmax from a LANG-KEYED row_number window (no global ordering
+    anywhere), the rewrite a lang join with column-argument replace. The
+    oracle unrolls every round CTE-for-CTE with PARTITION BY lang
+    argmaxes. The multilingual reality next to the global trainer
+    (``bpe_vocab_merges``)."""
+    return text.bpe_merge_train_by_group(
+        _t(spark, sf_dir, "documents"), n_merges=_BPEG_MERGES, group_col="lang"
+    )

@@ -335,3 +335,29 @@ def test_flesch_reading_ease_hand_computed(spark):
     assert got[2]["flesch"] is None          # zero words -> NULL, no div0
     assert got[3]["n_syllables"] == 0        # vowelless (y counts as vowel)
     assert got[3]["n_sentences"] == 1        # clamp
+
+
+def test_bpe_by_group_matches_per_group_naive(spark):
+    """Each language's merge sequence must equal the naive trainer run on
+    that language's words alone — group independence."""
+    from azure_medicine_data_engineering_spark.operators.text import (
+        bpe_merge_train_by_group,
+    )
+
+    corp = {
+        "aa": {"low": 4, "lower": 2},
+        "bb": {"newest": 5, "widest": 2, "new": 3},
+    }
+    rows = []
+    for g, freqs in corp.items():
+        bag = [w for w, f in sorted(freqs.items()) for _ in range(f)]
+        rows.append((g, " ".join(bag)))
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {}
+    out = bpe_merge_train_by_group(df, n_merges=4, group_col="lang")
+    for r in out.orderBy("g", "merge_idx").collect():
+        got.setdefault(r["g"], []).append(
+            (r["merge_idx"], r["left_sym"], r["right_sym"], r["pair_count"])
+        )
+    for g, freqs in corp.items():
+        assert got[g] == _naive_bpe(freqs, 4), g
