@@ -46,7 +46,13 @@ def audit(name: str, plan: str) -> dict:
         "nested_loop": _count_unique(plan, r"BroadcastNestedLoopJoin|CartesianProduct"),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
         "scans": _count_unique(plan, r"Scan parquet"),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # Spark 4 formatted explain annotates codegen as "[codegen id : N]"
+        # (the tree-node "WholeStageCodegen (N)" form only appears in simple
+        # mode) — count distinct codegen ids across both syntaxes
+        "codegen_spans": len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+            | set(re.findall(r"\[codegen id : (\d+)\]", plan))
+        ),
         "read_cols": [
             len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         ],
