@@ -1959,3 +1959,71 @@ def q_bpe_vocab_merges_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_train_by_group(
         _t(spark, sf_dir, "documents"), n_merges=_BPEG_MERGES, group_col="lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: heuristic prediction vs stored label.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.text import (  # noqa: E402
+    LANG_MARKERS as _LM,
+    predict_language as _predict_language,
+)
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lang, markers in _LM.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        hits.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{arr}], x)))"
+            f" AS BIGINT) AS h_{lang}"
+        )
+    hit_cols = ",\n             ".join(hits)
+    langs = list(_LM)
+    best = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    # priority order mirrors predict_language: first lang in LANG_MARKERS
+    # order wins ties (the Python when-chain wraps later langs inside)
+    case = (
+        "CASE "
+        + " ".join(f"WHEN h_{l} = best AND best > 0 THEN '{l}'" for l in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT lang AS true_lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT true_lang,
+             {hit_cols}
+      FROM base
+    ),
+    pred AS (SELECT true_lang, {best} AS best, * FROM scored)
+    SELECT true_lang, {case} AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@register("langid_confusion_matrix", _langid_oracle())
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality control: the stopword-marker heuristic
+    (``operators/text.py:predict_language``) evaluated against the
+    STORED language label as a confusion matrix — the label-vs-content
+    audit a multilingual corpus runs before trusting either column (on
+    this synthetic corpus the content is English-ish regardless of
+    label, and the matrix reports exactly that honestly). The oracle
+    re-derives every marker count, the greatest-hit argmax and the
+    priority tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            _predict_language(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -361,3 +361,26 @@ def test_bpe_by_group_matches_per_group_naive(spark):
         )
     for g, freqs in corp.items():
         assert got[g] == _naive_bpe(freqs, 4), g
+
+
+def test_langid_prediction_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.text import (
+        predict_language,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat of the house is in a tree"),   # en
+            (2, "el perro de la casa y los gatos"),     # es
+            (3, "zzz qqq www"),                          # no markers -> und
+            (4, "the el"),                               # tie en/es -> en (priority)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", predict_language(F.col("text")).alias("pred")).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "und", 4: "en"}
