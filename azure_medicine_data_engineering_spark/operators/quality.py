@@ -539,3 +539,45 @@ def grouped_exact_kth_cents(
             F.min("_v").cast("long").alias("kth_value"),
         )
     )
+
+
+def grouped_percentile_bands(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    qs: tuple[float, float, float] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Exact P10/P50/P90 bands per group from ONE count-of-counts pass —
+    the SLA/spread report (latency bands, price bands) that
+    :func:`grouped_exact_kth_cents` computes for a single quantile:
+    the same group-keyed cumulative window serves all three ranks
+    simultaneously, so the cost does not triple. Returns
+    ``(group, n, p_lo, p_mid, p_hi)`` (lower-quantile convention,
+    ``ceil(q·n)`` ranks). Keyed shuffles only — never single-partition."""
+    from pyspark.sql.window import Window
+
+    lo, mid, hi = qs
+    cc = df.groupBy(F.col(group_col), F.col(cents_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(group_col)
+    cum = cc.select(
+        group_col,
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    picks = [
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")), F.col("_v"))
+        ).cast("long").alias(name)
+        for q, name in ((lo, "p_lo"), (mid, "p_mid"), (hi, "p_hi"))
+    ]
+    return cum.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n"), *picks
+    )

@@ -710,3 +710,45 @@ def q_mutual_info_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "etype",
         "dow",
     )
+
+
+from azure_medicine_data_engineering_spark.operators.quality import (  # noqa: E402
+    grouped_percentile_bands,
+)
+
+
+@register(
+    "price_bands_by_priority",
+    """
+    WITH cc AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v,
+        CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM cc
+    )
+    SELECT g AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.1 * n) THEN v END) AS BIGINT) AS p_lo,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN v END) AS BIGINT) AS p_mid,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN v END) AS BIGINT) AS p_hi
+    FROM cum GROUP BY g
+    """,
+)
+def q_price_bands_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P10/P50/P90 price bands (cents) per order priority from ONE
+    group-keyed count-of-counts pass (``operators/quality.py:
+    grouped_percentile_bands``) — the spread report whose three exact
+    order statistics share a single cumulative window instead of
+    tripling the cost; keyed shuffles only. The oracle replays the
+    cumulative counts with PARTITION BY windows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return grouped_percentile_bands(o, "o_orderpriority", "cents")

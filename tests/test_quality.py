@@ -274,3 +274,22 @@ def test_mutual_information_poles(spark):
     ab = mutual_information(det, "a", "b").collect()[0]["mi"]
     ba = mutual_information(det, "b", "a").collect()[0]["mi"]
     assert ab == ba
+
+
+def test_grouped_percentile_bands_naive(spark):
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        grouped_percentile_bands,
+    )
+
+    import math
+
+    data = {"a": list(range(1, 101)), "b": [5] * 10 + [50] * 10}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in grouped_percentile_bands(df, "g", "v").collect()}
+    for g, vs in data.items():
+        s = sorted(vs)
+        n = len(s)
+        exp = tuple(s[math.ceil(q * n) - 1] for q in (0.1, 0.5, 0.9))
+        r = got[g]
+        assert (r["n"], r["p_lo"], r["p_mid"], r["p_hi"]) == (n, *exp), g
