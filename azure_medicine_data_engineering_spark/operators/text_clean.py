@@ -113,3 +113,49 @@ def paragraph_dedup(
             sep,
         ).alias("clean_text"),
     )
+
+
+#: Demonstration blocklist — the MECHANISM (token-boundary-safe counting,
+#: per-source gate report) is the operator; production swaps in a real
+#: content-safety list exactly like LANG_MARKERS / QUALITY_STOPWORDS.
+BLOCKLIST_DEMO: list[str] = ["badword", "slur", "spamlink", "xxx"]
+
+
+def blocklist_gate_report(
+    df: DataFrame,
+    blocklist: list[str] | None = None,
+    text_col: str = "text",
+    group_col: str = "source",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Content-safety blocklist gate per source — the screening sibling
+    of the PII scrub (``text.redact_pii``: that one rewrites, this one
+    GATES): count token-boundary blocklist hits per document (lowercased
+    whitespace tokens — substring matches inside clean words do NOT
+    flag), flag docs with more than ``max_hits``, and report per source
+    ``(source, n_docs, n_flagged, total_hits, flagged_rate)`` with the
+    rate on the integer micro grid. Map-only hit counting + one keyed
+    aggregation."""
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+
+    bl = blocklist if blocklist is not None else BLOCKLIST_DEMO
+    arr = F.array(*[F.lit(w) for w in bl])
+    hits = F.size(
+        F.filter(tokens(F.lower(F.col(text_col))), lambda t: F.array_contains(arr, t))
+    ).cast("long")
+    per_doc = df.select(F.col(group_col).alias("g"), hits.alias("_h"))
+    return (
+        per_doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("_h") > max_hits).cast("long")).cast("long").alias("n_flagged"),
+            F.sum("_h").cast("long").alias("total_hits"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_flagged",
+            "total_hits",
+            (F.expr("n_flagged * 1000000 div n_docs") / 1e6).alias("flagged_rate"),
+        )
+    )

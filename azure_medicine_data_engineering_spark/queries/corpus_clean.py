@@ -174,3 +174,41 @@ def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").cast("int").alias("kept_len"),
         F.md5("clean_text").alias("kept_md5"),
     )
+
+
+from azure_medicine_data_engineering_spark.operators.text_clean import (  # noqa: E402
+    BLOCKLIST_DEMO,
+    blocklist_gate_report,
+)
+
+_BL_ARR = ", ".join(f"'{w}'" for w in BLOCKLIST_DEMO)
+
+
+@register(
+    "blocklist_gate_by_source",
+    f"""
+    WITH per_doc AS (
+      SELECT source AS g,
+             CAST(len(list_filter(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+               x -> list_contains([{_BL_ARR}], x))) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT g AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(h) AS BIGINT) AS total_hits,
+           (CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // COUNT(*)) / 1e6 AS flagged_rate
+    FROM per_doc GROUP BY g
+    """,
+)
+def q_blocklist_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-safety blocklist gate per source (``operators/
+    text_clean.py:blocklist_gate_report``) — the screening sibling of the
+    PII scrub: token-boundary hit counts (substrings inside clean words
+    never flag), per-source flag counts and micro-grid rates. The demo
+    list exercises the mechanism (the synthetic corpus is clean, so
+    zero flags is the honest expected report); production swaps in a
+    real list like LANG_MARKERS."""
+    return blocklist_gate_report(_t(spark, sf_dir, "documents"))

@@ -467,3 +467,25 @@ def test_corpus_datasheet_planted(spark):
         for r in lc.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
     }
     assert top == {"sA": "en", "sB": "de"}
+
+
+def test_blocklist_gate_planted(spark):
+    """Planted hits: token-boundary matching (no substring flags), per-
+    source counts and micro rates."""
+    from azure_medicine_data_engineering_spark.operators.text_clean import (
+        blocklist_gate_report,
+    )
+
+    rows = [
+        ("sA", "clean text here"),
+        ("sA", "this has a badword inside"),
+        ("sA", "badwordish is NOT a hit"),        # substring must not flag
+        ("sB", "slur badword slur"),              # 3 hits, 1 doc
+        ("sB", "totally fine"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in blocklist_gate_report(df).collect()}
+    a, b = got["sA"], got["sB"]
+    assert (a["n_docs"], a["n_flagged"], a["total_hits"]) == (3, 1, 1)
+    assert (b["n_docs"], b["n_flagged"], b["total_hits"]) == (2, 1, 3)
+    assert b["flagged_rate"] == 0.5
