@@ -351,3 +351,45 @@ def q_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_price"),
     )
+
+
+@register(
+    "python_datasource_seq",
+    """
+    WITH src AS (
+      SELECT r.range AS id, md5(CAST(r.range AS VARCHAR)) AS h
+      FROM range(1000) r
+    )
+    SELECT CAST(id % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 12)) AS BIGINT)) AS BIGINT) AS h48_sum
+    FROM src GROUP BY 1
+    """,
+)
+def q_python_datasource_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 DataSource API;
+    sources/readers.py:register_seq_datasource): the pure-Python
+    connector surface — options → partition planning (4 input
+    partitions) → per-partition iterators — verified end to end: the
+    oracle regenerates every (id, md5) row and the per-bucket 48-bit
+    hash checksums must match exactly, so a dropped/duplicated partition
+    or a mis-planned split breaks the gate."""
+    from azure_medicine_data_engineering_spark.sources.readers import (
+        register_seq_datasource,
+    )
+
+    register_seq_datasource(spark)
+    df = (
+        spark.read.format("amde_seq")
+        .option("n", "1000")
+        .option("parts", "4")
+        .load()
+    )
+    return df.groupBy((F.col("id") % 4).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("h").cast("long").alias("n_distinct"),
+        F.sum(
+            F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+        ).cast("long").alias("h48_sum"),
+    )

@@ -110,3 +110,44 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def register_seq_datasource(spark) -> None:
+    """Register the ``amde_seq`` CUSTOM PYTHON DATA SOURCE (Spark 4's
+    DataSource API — the pure-Python connector surface): a deterministic
+    sequence source that plans ``parts`` input partitions and yields
+    ``(id, h)`` rows with ``h = md5(id)``, round-robin across partitions.
+    The shape every proprietary-record-format connector takes: options →
+    partition planning → per-partition iterator; here the payload is
+    deterministic so the oracle can recompute every row.
+
+    Idempotent (re-registering overwrites)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", "1000"))
+            self.parts = int(options.get("parts", "4"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            import hashlib
+
+            start = partition.value
+            for k in range(start, self.n, self.parts):
+                yield (k, hashlib.md5(str(k).encode()).hexdigest())
+
+    class SeqDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "amde_seq"
+
+        def schema(self):
+            return "id long, h string"
+
+        def reader(self, schema):
+            return SeqReader(self.options)
+
+    spark.dataSource.register(SeqDataSource)

@@ -227,3 +227,27 @@ class TestAvroSeam:
         back = spark.read.format("avro").load(path)
         assert back.count() == 5
         assert {r["v"] for r in back.collect()} == {0, 2, 4, 6, 8}
+
+
+def test_python_datasource_partitions_and_rows(spark):
+    """Spark 4 custom Python DataSource: partition planning must place
+    each id in exactly one round-robin partition and the union must be
+    the full range — no dropped or duplicated splits."""
+    from azure_medicine_data_engineering_spark.sources.readers import (
+        register_seq_datasource,
+    )
+
+    register_seq_datasource(spark)
+    df = (
+        spark.read.format("amde_seq")
+        .option("n", "97")  # non-multiple of parts: ragged partitions
+        .option("parts", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == list(range(97))
+    import hashlib
+
+    h = {r["id"]: r["h"] for r in df.collect()}
+    assert h[42] == hashlib.md5(b"42").hexdigest()
