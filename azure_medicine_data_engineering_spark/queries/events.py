@@ -895,3 +895,39 @@ def q_rfm_segments_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         amount_col="value",
         purchase_pred=F.col("event_type") == "purchase",
     )
+
+
+@register(
+    "variant_props_by_band",
+    """
+    SELECT CAST(CAST(props ->> 'k' AS BIGINT) // 10 AS BIGINT) AS k_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_props_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on Spark 4's VARIANT type: the JSON
+    props column is parsed ONCE into a variant (``parse_json``) and the
+    typed path extraction (``try_variant_get`` — the binary-encoded,
+    shredding-ready representation that replaces per-access string
+    re-parsing at 100 TB) drives a banded aggregation; the oracle
+    extracts the same path with DuckDB's JSON operators. Counts, k-sums
+    and cents-grid value totals must match exactly — parse, type cast
+    and banding all verified."""
+    ev = events_table(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy(F.expr("k div 10").cast("long").alias("k_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+                / 100.0
+            ).alias("total_value"),
+        )
+    )

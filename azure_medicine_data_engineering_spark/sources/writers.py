@@ -168,3 +168,70 @@ def write_training_shards(
     )
     manifest.write.mode("overwrite").parquet(f"{path}_manifest")
     return manifest
+
+
+def register_linesink_datasource(spark) -> None:
+    """Register the ``amde_linesink`` CUSTOM PYTHON DATA SOURCE WRITER
+    (Spark 4 DataSource API, the write half of the pure-Python connector
+    story next to ``readers.register_seq_datasource``): every task
+    writes its partition's rows as tab-joined lines to a STAGED file and
+    returns the path as its commit message; ``commit`` promotes staged
+    files into place and writes a ``_MANIFEST`` listing them LAST (the
+    marker-last discipline of the exactly-once shard egress), ``abort``
+    removes the staging leftovers. Options: ``path`` (target dir).
+
+    Idempotent (re-registering overwrites)."""
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, staged: str):
+            self.staged = staged
+
+    class LineSinkWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            _os.makedirs(_os.path.join(self.path, "_staging"), exist_ok=True)
+            staged = _os.path.join(
+                self.path, "_staging", f"part-{_uuid.uuid4().hex}.txt"
+            )
+            with open(staged, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    fh.write("\t".join(str(v) for v in row) + "\n")
+            return _Msg(staged)
+
+        def commit(self, messages):
+            finals = []
+            for i, m in enumerate(messages):
+                final = _os.path.join(self.path, f"part-{i:05d}.txt")
+                _os.replace(m.staged, final)
+                finals.append(_os.path.basename(final))
+            tmp = _os.path.join(self.path, "_MANIFEST.tmp")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(finals) + "\n")
+            _os.replace(tmp, _os.path.join(self.path, "_MANIFEST"))
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    _os.remove(m.staged)
+                except FileNotFoundError:
+                    pass
+
+    class LineSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "amde_linesink"
+
+        def writer(self, schema, overwrite):
+            return LineSinkWriter(self.options)
+
+    spark.dataSource.register(LineSinkDataSource)

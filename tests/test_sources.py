@@ -251,3 +251,38 @@ def test_python_datasource_partitions_and_rows(spark):
 
     h = {r["id"]: r["h"] for r in df.collect()}
     assert h[42] == hashlib.md5(b"42").hexdigest()
+
+
+def test_python_datasource_writer_commit_manifest(spark, tmp_path):
+    """Write half of the Python connector: staged files promote on
+    commit, the _MANIFEST lands LAST and lists exactly the committed
+    parts, and the row payload round-trips."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.sources.writers import (
+        register_linesink_datasource,
+    )
+
+    register_linesink_datasource(spark)
+    out = str(tmp_path / "sink")
+    (
+        spark.range(25)
+        .select("id", (F.col("id") % 5).alias("v"))
+        .repartition(4)
+        .write.format("amde_linesink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    manifest = open(os.path.join(out, "_MANIFEST")).read().split()
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert manifest == parts and len(parts) == 4
+    rows = []
+    for f in parts:
+        for line in open(os.path.join(out, f)).read().splitlines():
+            a, b = line.split("\t")
+            rows.append((int(a), int(b)))
+    assert sorted(rows) == [(i, i % 5) for i in range(25)]
+    assert not os.listdir(os.path.join(out, "_staging"))  # all promoted
