@@ -581,3 +581,44 @@ def grouped_percentile_bands(
     return cum.groupBy(group_col).agg(
         F.max("_n").cast("long").alias("n"), *picks
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Exact per-group WEIGHTED quantile (default: weighted lower
+    median): the least value whose cumulative WEIGHT reaches
+    ``ceil(q · W_group)`` — the revenue-weighted median price, the
+    token-weighted median doc length: quantiles where rows don't count
+    equally. Same group-keyed count-of-counts decomposition as
+    :func:`grouped_exact_kth_cents`, with integer weights summed instead
+    of rows counted. Returns ``(group, total_weight, qth_value)``."""
+    from pyspark.sql.window import Window
+
+    cc = df.groupBy(F.col(group_col), F.col(value_col).alias("_v")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("_w")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(group_col)
+    cum = cc.select(
+        group_col,
+        "_v",
+        F.sum("_w").over(w).alias("_cum"),
+        F.sum("_w").over(wg).alias("_tw"),
+    )
+    return (
+        cum.where(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_tw")))
+        .groupBy(group_col)
+        .agg(
+            F.first("_tw").cast("long").alias("total_weight"),
+            F.min("_v").cast("long").alias("qth_value"),
+        )
+    )

@@ -752,3 +752,49 @@ def q_price_bands_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return grouped_percentile_bands(o, "o_orderpriority", "cents")
+
+
+from azure_medicine_data_engineering_spark.operators.quality import (  # noqa: E402
+    grouped_weighted_median,
+)
+
+
+@register(
+    "weighted_median_price_by_priority",
+    """
+    WITH cc AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v,
+        CAST(SUM(v * w) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+        CAST(SUM(v * w) OVER (PARTITION BY g) AS BIGINT) AS tw
+      FROM cc
+    )
+    SELECT g AS o_orderpriority, CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN cumw >= CEIL(0.5 * tw) THEN v END) AS BIGINT)
+             AS qth_value
+    FROM cum GROUP BY g
+    """,
+)
+def q_weighted_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE-weighted median order price (cents) per priority
+    (``operators/quality.py:grouped_weighted_median``, weight = the
+    price itself): the price below which half of each priority's DOLLAR
+    VOLUME sits — a very different animal from the row-count median on
+    skewed spend, and the quantile shape where rows don't count equally.
+    Group-keyed count-of-counts with weight sums; keyed shuffles only."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return grouped_weighted_median(
+        o.select("o_orderpriority", "cents", F.col("cents").alias("wt")),
+        "o_orderpriority",
+        "cents",
+        "wt",
+    )

@@ -293,3 +293,31 @@ def test_grouped_percentile_bands_naive(spark):
         exp = tuple(s[math.ceil(q * n) - 1] for q in (0.1, 0.5, 0.9))
         r = got[g]
         assert (r["n"], r["p_lo"], r["p_mid"], r["p_hi"]) == (n, *exp), g
+
+
+def test_grouped_weighted_median_naive(spark):
+    from azure_medicine_data_engineering_spark.operators.quality import (
+        grouped_weighted_median,
+    )
+
+    import math
+
+    # group g: values with weights; weighted median = least v with
+    # cumweight >= ceil(0.5 * W)
+    data = {"g1": [(1, 1), (2, 1), (100, 10)], "g2": [(5, 3), (6, 3)]}
+    rows = [(g, v, w) for g, vw in data.items() for v, w in vw]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r["g"]: (r["total_weight"], r["qth_value"]) for r in
+           grouped_weighted_median(df, "g", "v", "w").collect()}
+    for g, vw in data.items():
+        tw = sum(w for _, w in vw)
+        target = math.ceil(0.5 * tw)
+        cum = 0
+        for v, w in sorted(vw):
+            cum += w
+            if cum >= target:
+                exp = v
+                break
+        assert got[g] == (tw, exp), g
+    # the heavy tail dominates: g1's weighted median is 100, row median is 2
+    assert got["g1"][1] == 100
