@@ -588,3 +588,90 @@ def zipf_fit(
         F.expr(ZIPF_SLOPE_EXPR).alias("slope"),
         F.expr(ZIPF_INTERCEPT_EXPR).alias("intercept"),
     )
+
+
+HEAPS_BETA_EXPR = ZIPF_SLOPE_EXPR  # same OLS slope over (sx, sy, sxx, sxy)
+HEAPS_LNK_EXPR = ZIPF_INTERCEPT_EXPR
+
+
+def heaps_law_fit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", points: int = 10
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth ``V(T) ≈ K·T^β`` — Zipf's
+    companion diagnostic (natural corpora sit near β ≈ 0.4–0.6; a corpus
+    whose vocabulary grows linearly (β→1, e.g. serial-number floods) or
+    saturates hard (β→0, template spam) fails the screen): vocabulary
+    size at ``points`` corpus prefixes regressed log-log against tokens
+    seen.
+
+    Distributed WITHOUT any doc-grain ordering: prefix boundaries are
+    VALUE-based id cuts ``d_k = min + (max−min)·k/points``; cumulative
+    token counts bucket per doc and cumulate over the ``points``-row
+    frame; vocabulary at each cut = tokens whose FIRST-occurrence doc id
+    (one groupBy min) falls at or below it — again a ``points``-row
+    cumulation. The log-log OLS rides the micro-grid integer moments of
+    :func:`zipf_fit`. Returns one row ``(n_points, beta, ln_k)``."""
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("d"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).persist()  # two consumers: per-doc counts + first occurrences
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("long").alias("dmin"),
+        F.max(F.col(id_col)).cast("long").alias("dmax"),
+    )
+    # bucket k of a doc id: smallest cut index covering it (1-based)
+    bexpr = (
+        "least(cast({p} as bigint), greatest(cast(1 as bigint), "
+        "cast(ceil(({d} - dmin + 1) * {p} * 1e0 / (dmax - dmin + 1)) as bigint)))"
+    )
+    per_doc_tok = tok.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    tok_buckets = (
+        per_doc_tok.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(bexpr.format(p=points, d="d")).alias("k"), "nt"
+        )
+        .groupBy("k")
+        .agg(F.sum("nt").cast("long").alias("bt"))
+    )
+    first_occ = tok.groupBy("tok").agg(F.min("d").cast("long").alias("fd"))
+    voc_buckets = (
+        first_occ.crossJoin(F.broadcast(bounds))
+        .select(F.expr(bexpr.format(p=points, d="fd")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("bv"))
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = (
+        tok_buckets.join(voc_buckets, "k", "full")
+        .select(
+            "k",
+            F.coalesce("bt", F.lit(0)).alias("bt"),
+            F.coalesce("bv", F.lit(0)).alias("bv"),
+        )
+        .select(
+            "k",
+            F.sum("bt").over(w).cast("long").alias("t_cum"),
+            F.sum("bv").over(w).cast("long").alias("v_cum"),
+        )
+        .where((F.col("t_cum") > 0) & (F.col("v_cum") > 0))
+    )
+    mic = pts.select(
+        F.expr("cast(round(ln(cast(t_cum as double)) * 1e6) as bigint)").alias("lx"),
+        F.expr("cast(round(ln(cast(v_cum as double)) * 1e6) as bigint)").alias("ly"),
+    )
+    scal = mic.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("lx").cast("double") / 1e6).alias("sx"),
+        (F.sum("ly").cast("double") / 1e6).alias("sy"),
+        (F.sum(F.col("lx") * F.col("lx")).cast("double") / 1e12).alias("sxx"),
+        (F.sum(F.col("lx") * F.col("ly")).cast("double") / 1e12).alias("sxy"),
+    )
+    return scal.select(
+        F.col("n").alias("n_points"),
+        F.expr(HEAPS_BETA_EXPR).alias("beta"),
+        F.expr(HEAPS_LNK_EXPR).alias("ln_k"),
+    )

@@ -2027,3 +2027,75 @@ def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    HEAPS_BETA_EXPR,
+    HEAPS_LNK_EXPR,
+    heaps_law_fit,
+)
+
+
+@register(
+    "heaps_law_fit_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS d, t.tk AS tok
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tk)
+    ),
+    bounds AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS dmin,
+             CAST(MAX(doc_id) AS BIGINT) AS dmax
+      FROM documents
+    ),
+    per_doc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY d),
+    tb AS (
+      SELECT LEAST(CAST(10 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+               CAST(CEIL((d - b.dmin + 1) * 10 * 1e0 / (b.dmax - b.dmin + 1)) AS BIGINT)))
+             AS k,
+             CAST(SUM(nt) AS BIGINT) AS bt
+      FROM per_doc, bounds b GROUP BY 1
+    ),
+    fo AS (SELECT tok, CAST(MIN(d) AS BIGINT) AS fd FROM tok GROUP BY tok),
+    vb AS (
+      SELECT LEAST(CAST(10 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+               CAST(CEIL((fd - b.dmin + 1) * 10 * 1e0 / (b.dmax - b.dmin + 1)) AS BIGINT)))
+             AS k,
+             CAST(COUNT(*) AS BIGINT) AS bv
+      FROM fo, bounds b GROUP BY 1
+    ),
+    pts AS (
+      SELECT k,
+        CAST(SUM(COALESCE(bt, 0)) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t_cum,
+        CAST(SUM(COALESCE(bv, 0)) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v_cum
+      FROM tb FULL JOIN vb USING (k)
+    ),
+    mic AS (
+      SELECT CAST(ROUND(LN(CAST(t_cum AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+             CAST(ROUND(LN(CAST(v_cum AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+      FROM pts WHERE t_cum > 0 AND v_cum > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx) AS DOUBLE) / 1e6 AS sx,
+             CAST(SUM(ly) AS DOUBLE) / 1e6 AS sy,
+             CAST(SUM(lx * lx) AS DOUBLE) / 1e12 AS sxx,
+             CAST(SUM(lx * ly) AS DOUBLE) / 1e12 AS sxy
+      FROM mic
+    )
+    SELECT n AS n_points, {HEAPS_BETA_EXPR} AS beta, {HEAPS_LNK_EXPR} AS ln_k
+    FROM s
+    """,
+)
+def q_heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (``operators/text_rank.py:
+    heaps_law_fit``): V(T) ~ K·T^beta over 10 value-based corpus-prefix
+    cuts — Zipf's companion screen (natural corpora near beta 0.4-0.6;
+    linear growth flags id floods, hard saturation flags templates).
+    Prefix vocab counts come from token FIRST-occurrence doc ids — no
+    doc-grain ordering anywhere, only 10-row cumulations."""
+    return heaps_law_fit(_t(spark, sf_dir, "documents"))

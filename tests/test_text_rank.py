@@ -203,3 +203,25 @@ def test_zipf_fit_planted_power_law(spark):
     )
     g2 = zipf_fit(flat, top_k=40).collect()[0]
     assert abs(g2["slope"]) < 0.05
+
+
+def test_heaps_fit_sublinear_vs_linear(spark):
+    """Repeating a fixed vocabulary saturates (beta ~ 0); all-unique
+    serial tokens grow linearly (beta ~ 1)."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        heaps_law_fit,
+    )
+
+    vocab = [f"w{i}" for i in range(30)]
+    sat = spark.createDataFrame(
+        [(d, " ".join(vocab)) for d in range(40)], "doc_id long, text string"
+    )
+    b_sat = heaps_law_fit(sat).collect()[0]["beta"]
+    assert b_sat < 0.15
+
+    lin = spark.createDataFrame(
+        [(d, " ".join(f"u{d}x{i}" for i in range(20))) for d in range(40)],
+        "doc_id long, text string",
+    )
+    b_lin = heaps_law_fit(lin).collect()[0]["beta"]
+    assert b_lin > 0.9
