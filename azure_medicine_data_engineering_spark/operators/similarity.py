@@ -1144,3 +1144,44 @@ def mmr_diversified_topk(
     out = sel.select("query_id", "neighbor_id", "cos_sim", "mmr_score", "pick")
     out._stage_caches = [cand]
     return out
+
+
+def source_centroid_similarity(
+    emb: DataFrame,
+    docs: DataFrame,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    group_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Domain-similarity map: pairwise cosine between per-SOURCE embedding
+    centroids — the measurement behind corpus-mixing decisions (two
+    near-identical sources are redundant; an outlier source is either
+    valuable diversity or junk). Centroids are per-(source, dim) averages
+    rounded to the 1e-6 grid (the kmeans-oracle convention that absorbs
+    partial-agg ulps), assembled into ordered arrays; cosines run over
+    the |sources|-row centroid frame only — the corpus is touched once.
+    Returns ``(src_a, src_b, cos)`` for src_a < src_b."""
+    joined = emb.join(
+        docs.select(F.col(doc_id_col).alias(id_col), F.col(group_col)), id_col
+    )
+    per_dim = (
+        joined.select(group_col, F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy(group_col, "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cents = per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("v")
+    )
+    a = cents.select(F.col(group_col).alias("src_a"), F.col("v").alias("va"))
+    b = cents.select(F.col(group_col).alias("src_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+    )

@@ -2099,3 +2099,35 @@ def q_heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Prefix vocab counts come from token FIRST-occurrence doc ids — no
     doc-grain ordering anywhere, only 10-row cumulations."""
     return heaps_law_fit(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_centroid_similarity",
+    f"""
+    WITH e AS (
+      SELECT d.source, CAST(em.embedding AS DOUBLE[]) AS v
+      FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+    ),
+    per_dim AS (
+      SELECT source, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(64)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT source, list(c ORDER BY dim) AS v FROM per_dim GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           ROUND(CAST({_COS_AB.format(a='a.v', b='b.v')} AS DOUBLE), 4) AS cos
+    FROM cents a JOIN cents b ON a.source < b.source
+    """,
+)
+def q_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-similarity map (``operators/similarity.py:
+    source_centroid_similarity``): pairwise cosine between per-source
+    embedding centroids — the corpus-mixing diagnostic (redundant twins
+    vs diversity outliers). 1e-6-grid centroid averages (the kmeans
+    convention), cosines over the sources-row frame only; the oracle
+    replays centroids and every pair."""
+    return similarity.source_centroid_similarity(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    )

@@ -414,3 +414,31 @@ def test_rbo_eval_identical_and_disjoint(spark):
     # n_clusters=1: IVF == exact brute force -> full truncated RBO@5
     full5 = round(sum(rbo_suffix_nano(5, 0.9)) / 1e9, 4)
     assert out[0] == (5, full5)
+
+
+def test_source_centroid_similarity_geometry(spark):
+    """Two sources with identical vectors -> cosine 1; orthogonal
+    sources -> 0; output covers each unordered pair once."""
+    from azure_medicine_data_engineering_spark.operators.similarity import (
+        source_centroid_similarity,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [1.0, 0.0]),   # sA
+            (2, [1.0, 0.0]), (3, [1.0, 0.0]),   # sB (same direction as sA)
+            (4, [0.0, 1.0]), (5, [0.0, 1.0]),   # sC (orthogonal)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "sA"), (1, "sA"), (2, "sB"), (3, "sB"), (4, "sC"), (5, "sC")],
+        "doc_id long, source string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["cos"]
+        for r in source_centroid_similarity(emb, docs).collect()
+    }
+    assert set(got) == {("sA", "sB"), ("sA", "sC"), ("sB", "sC")}
+    assert got[("sA", "sB")] == 1.0
+    assert got[("sA", "sC")] == 0.0 and got[("sB", "sC")] == 0.0
