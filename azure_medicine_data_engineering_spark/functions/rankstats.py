@@ -1588,3 +1588,48 @@ def rank_biserial(
         F.sum(F.col("c_all") - F.col("c1")).cast("long").alias("n2"),
     )
     return scal.select("n1", "n2", F.expr(RANK_BISERIAL_EXPR).alias("r_rb"))
+
+
+def spearman_by_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-STRATUM tie-corrected Spearman rank correlation — the
+    association member of the stratified trio (location:
+    :func:`mann_whitney_by_group`, distribution: :func:`ks_by_group`):
+    within every group both axes rank via
+    :func:`grouped_ranked_value_counts` (all windows keyed by the
+    stratum — zero single-partition exchanges), doubled average ranks
+    join back BY (group, value), and the five sufficient statistics
+    accumulate exactly in DECIMAL(38,0) per group. Returns one row per
+    group ``(g, n, rho)`` via the shared ``SPEARMAN_RHO_EXPR``."""
+    dec = "decimal(38,0)"
+    rx = grouped_ranked_value_counts(
+        df.select(F.col(group_col), F.col(x_col)), group_col, x_col
+    )
+    ry = grouped_ranked_value_counts(
+        df.select(F.col(group_col), F.col(y_col)), group_col, y_col
+    )
+    u = (2 * F.col("cnt_less") + F.col("c_all") + 1).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("g"), F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+    joined = rows.join(
+        rx.select(F.col("g"), F.col("v").alias("_x"), u.alias("u")), ["g", "_x"]
+    ).join(ry.select(F.col("g"), F.col("v").alias("_y"), u.alias("w")), ["g", "_y"])
+    scal = joined.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("u").cast(dec)).alias("su_d"),
+        F.sum(F.col("w").cast(dec)).alias("sv_d"),
+        F.sum(F.col("u").cast(dec) * F.col("u")).alias("suu_d"),
+        F.sum(F.col("w").cast(dec) * F.col("w")).alias("svv_d"),
+        F.sum(F.col("u").cast(dec) * F.col("w")).alias("suv_d"),
+    )
+    asdbl = scal.select(
+        "g",
+        "n",
+        *[
+            F.col(f"{c}_d").cast("double").alias(c)
+            for c in ("su", "sv", "suu", "svv", "suv")
+        ],
+    )
+    return asdbl.select("g", "n", F.expr(SPEARMAN_RHO_EXPR).alias("rho"))

@@ -1192,3 +1192,71 @@ def q_nelson_aalen_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataF
     Same day-frame suffix-sum risk sets and micro-unit increments; the
     oracle replays the estimator CTE-for-CTE."""
     return nelson_aalen(time_to_event_days(events_table(spark, sf_dir)))
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    SPEARMAN_RHO_EXPR,
+    spearman_by_group,
+)
+
+
+@register(
+    "spearman_value_vs_time_by_type",
+    f"""
+    WITH src AS (
+      SELECT event_type AS g, value AS x,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS y
+      FROM events
+    ),
+    rx AS (
+      SELECT g, x AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(COALESCE(SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl
+      FROM src GROUP BY g, x
+    ),
+    ry AS (
+      SELECT g, y AS v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(COALESCE(SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl
+      FROM src GROUP BY g, y
+    ),
+    joined AS (
+      SELECT s.g,
+             CAST(2 * rx.cl + rx.c_all + 1 AS BIGINT) AS u,
+             CAST(2 * ry.cl + ry.c_all + 1 AS BIGINT) AS w
+      FROM src s
+      JOIN rx ON s.g = rx.g AND s.x = rx.v
+      JOIN ry ON s.g = ry.g AND s.y = ry.v
+    ),
+    scal AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(u AS HUGEINT)) AS DOUBLE) AS su,
+             CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE) AS suu,
+             CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) AS svv,
+             CAST(SUM(CAST(u AS HUGEINT) * w) AS DOUBLE) AS suv
+      FROM joined GROUP BY g
+    )
+    SELECT g, n, {SPEARMAN_RHO_EXPR} AS rho FROM scal
+    """,
+)
+def q_spearman_value_vs_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT Spearman: rank correlation of event value vs time
+    (epoch seconds) within each event type
+    (``rankstats.spearman_by_group``) — the association member of the
+    stratified trio (MW: location, KS: distribution): a value drifting
+    with time in ONE segment is exactly what the pooled test dilutes.
+    All rank windows keyed by the stratum; DECIMAL(38,0)/HUGEINT exact
+    moments; the oracle replays per-group ranks with PARTITION BY
+    windows."""
+    ev = events_table(spark, sf_dir)
+    return spearman_by_group(
+        ev.select(
+            F.col("event_type").alias("etype"),
+            "value",
+            F.col("ts").cast("long").alias("tsec"),
+        ),
+        "etype",
+        "value",
+        "tsec",
+    )

@@ -1360,3 +1360,30 @@ def test_nelson_aalen_naive(spark):
     assert got[2][2] == h2
     assert got[5] == (3, 1, h5)
     assert got[7] == (1, 0, h5)
+
+
+def test_spearman_by_group_matches_global_per_stratum(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        spearman_by_group,
+        spearman_corr,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for g, slope in [("up", 1), ("down", -1), ("noise", 0)]:
+        for i in range(50):
+            x = i + rng.randint(0, 3)
+            y = slope * i + rng.randint(0, 3) if slope else rng.randint(0, 100)
+            rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    per = {r["g"]: (r["n"], r["rho"]) for r in
+           spearman_by_group(df, "g", "x", "y").collect()}
+    for g in ["up", "down", "noise"]:
+        solo = spearman_corr(df.where(F.col("g") == g), "x", "y").collect()[0]
+        assert per[g] == (solo["n"], solo["rho"]), g
+    assert per["up"][1] > 0.9 and per["down"][1] < -0.9
+    assert abs(per["noise"][1]) < 0.4
