@@ -111,3 +111,30 @@ def validate(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
         )
     exploded = row.select(F.explode(F.array(*parts)).alias("r"))
     return exploded.select("r.rule", "r.metric", "r.passed").orderBy("rule")
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing — the row-level counterpart of the
+    table-level :func:`validate` suite (and the relational sibling of
+    the JSONL PERMISSIVE quarantine): every row either passes ALL rules
+    or lands in the quarantine frame tagged with its FIRST failing rule
+    (deterministic: rules evaluate in list order, NULL predicate counts
+    as a failure — a rule that cannot be evaluated must not silently
+    pass). Returns ``(good, quarantined)`` where quarantined =
+    input columns + ``reason``.
+
+    One when-chain per row, two filtered projections of the same scan —
+    map-only, no shuffle; at 100 TB the split is free next to the write."""
+    if not rules:
+        raise ValueError("quarantine_split: rules must be non-empty")
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(rules):
+        reason = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(
+            reason
+        )
+    tagged = df.withColumn("reason", reason)
+    good = tagged.where(F.col("reason").isNull()).drop("reason")
+    bad = tagged.where(F.col("reason").isNotNull())
+    return good, bad

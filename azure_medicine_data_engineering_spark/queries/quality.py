@@ -798,3 +798,65 @@ def q_weighted_median_price_by_priority(spark: SparkSession, sf_dir: str) -> Dat
         "cents",
         "wt",
     )
+
+
+from azure_medicine_data_engineering_spark.operators.validation import (  # noqa: E402
+    quarantine_split,
+)
+
+
+@register(
+    "quarantine_orders_report",
+    """
+    WITH tagged AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE
+               WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 'price_positive'
+               WHEN NOT COALESCE(o_totalprice < 450000, FALSE) THEN 'price_below_cap'
+               WHEN NOT COALESCE(o_orderpriority IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+                 THEN 'priority_known'
+               ELSE NULL
+             END AS reason
+      FROM orders
+    )
+    SELECT COALESCE(reason, 'GOOD') AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_price
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_quarantine_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing report (``operators/validation.py:
+    quarantine_split``): orders stream through an ordered rule chain
+    (price positive → below cap → known priority); each row passes all
+    rules or quarantines under its FIRST failing rule (NULL predicates
+    fail — an unevaluable rule must not silently pass). The report
+    reunions both sides with key and cents checksums, so a row routed to
+    the wrong side or counted twice breaks the hash. Map-only split —
+    two filtered projections of one scan."""
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        ("price_positive", F.col("o_totalprice") > 0),
+        ("price_below_cap", F.col("o_totalprice") < 450000),
+        (
+            "priority_known",
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+    ]
+    good, bad = quarantine_split(o, rules)
+    both = good.select(
+        F.lit("GOOD").alias("reason"), "o_orderkey", "o_totalprice"
+    ).unionByName(bad.select("reason", "o_orderkey", "o_totalprice"))
+    return both.groupBy("reason").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long")
+            / 100.0
+        ).alias("total_price"),
+    )

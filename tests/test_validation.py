@@ -65,3 +65,32 @@ def test_validate_rejects_empty_constraints(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         validate(spark.range(3), [])
+
+
+def test_quarantine_split_first_reason_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.validation import (
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok"),
+            (2, -5.0, "ok"),       # fails rule 1 (and rule 2) -> reason 1
+            (3, 10.0, "bad"),      # fails rule 3
+            (4, None, "ok"),       # NULL predicate -> fails rule 1
+        ],
+        "id long, price double, status string",
+    )
+    rules = [
+        ("price_positive", F.col("price") > 0),
+        ("price_small", F.col("price") < 100),
+        ("status_ok", F.col("status") == "ok"),
+    ]
+    good, bad = quarantine_split(df, rules)
+    assert sorted(r["id"] for r in good.collect()) == [1]
+    reasons = {r["id"]: r["reason"] for r in bad.collect()}
+    assert reasons == {2: "price_positive", 3: "status_ok", 4: "price_positive"}
+    # partition property: every row exactly once
+    assert good.count() + bad.count() == df.count()
