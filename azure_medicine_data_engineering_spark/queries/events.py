@@ -931,3 +931,79 @@ def q_variant_props_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    PROP_Z_EXPR,
+)
+
+
+@register(
+    "funnel_stepdown_significance",
+    f"""
+    WITH t0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    t1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'signup' AND e.ts > t1.t GROUP BY 1),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1),
+    n AS (
+      SELECT 0 AS k, CAST((SELECT COUNT(*) FROM t0) AS BIGINT) AS n_users
+      UNION ALL SELECT 1, CAST((SELECT COUNT(*) FROM t1) AS BIGINT)
+      UNION ALL SELECT 2, CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+      UNION ALL SELECT 3, CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+    ),
+    steps AS (
+      SELECT c.k AS step_idx,
+             c.n_users AS x1, p.n_users AS n1,
+             p.n_users AS x2, pp.n_users AS n2
+      FROM n c JOIN n p ON c.k = p.k + 1 JOIN n pp ON c.k = pp.k + 2
+    )
+    SELECT CAST(step_idx AS INT) AS step_idx,
+           n1 AS n_prev, x1 AS n_reached,
+           (x1 * 1000000 // n1) / 1e6 AS conv_rate,
+           (x2 * 1000000 // n2) / 1e6 AS prev_conv_rate,
+           {PROP_Z_EXPR} AS z
+    FROM steps
+    """,
+)
+def q_funnel_stepdown_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel drop-off SIGNIFICANCE: for each step k >= 2 of the 4-stage
+    view → click → signup → purchase funnel, the pooled two-proportion z
+    comparing this step's conversion (n_k of n_{k-1}) against the
+    previous step's (n_{k-1} of n_{k-2}) — 'did conversion get
+    significantly worse at THIS step?', the question the raw funnel
+    counts don't answer. Composes funnel_counts (one user-partitioned
+    window pass) with the shared PROP_Z_EXPR over the 4-row stage frame;
+    micro-grid rates."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        funnel_counts,
+    )
+
+    totals = funnel_counts(
+        events_table(spark, sf_dir), ["view", "click", "signup", "purchase"]
+    ).persist()  # 4-row frame, three self-join consumers
+    c = totals.alias("c")
+    p = totals.alias("p")
+    pp = totals.alias("pp")
+    steps = (
+        c.join(p, F.col("c.stage_idx") == F.col("p.stage_idx") + 1)
+        .join(pp, F.col("c.stage_idx") == F.col("pp.stage_idx") + 2)
+        .select(
+            F.col("c.stage_idx").cast("int").alias("step_idx"),
+            F.col("c.n_users").alias("x1"),
+            F.col("p.n_users").alias("n1"),
+            F.col("p.n_users").alias("x2"),
+            F.col("pp.n_users").alias("n2"),
+        )
+    )
+    return steps.select(
+        "step_idx",
+        F.col("n1").alias("n_prev"),
+        F.col("x1").alias("n_reached"),
+        (F.expr("x1 * 1000000 div n1") / 1e6).alias("conv_rate"),
+        (F.expr("x2 * 1000000 div n2") / 1e6).alias("prev_conv_rate"),
+        F.expr(PROP_Z_EXPR).alias("z"),
+    )
