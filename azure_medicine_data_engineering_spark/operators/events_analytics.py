@@ -756,3 +756,85 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+def _cusum_segment(daily: DataFrame, label: str) -> DataFrame:
+    """One CUSUM pass over a (d, x) day frame: 1-row
+    ``(segment, n_days, day_at_max, cusum_stat)`` with the division-free
+    integer maximization of :func:`cusum_changepoint`."""
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "d",
+        F.sum(F.col("x").cast(dec)).over(w).alias("cum_d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("t_idx"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s_d"),
+    )
+    scored = (
+        cum.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            "c.d",
+            "t.n",
+            F.col("t.s_d").alias("s_d"),
+            F.abs(
+                F.col("c.cum_d") * F.col("t.n") - F.col("t.s_d") * F.col("c.t_idx")
+            ).alias("dt_d"),
+        )
+        .persist()
+    )
+    best = scored.agg(F.max("dt_d").alias("dmax_d"))
+    return (
+        scored.alias("s")
+        .join(F.broadcast(best).alias("b"), F.col("s.dt_d") == F.col("b.dmax_d"))
+        .groupBy()
+        .agg(
+            F.max("s.n").cast("long").alias("n"),
+            F.date_format(F.min("s.d"), "yyyy-MM-dd").alias("day_at_max"),
+            F.max("s.dt_d").cast("double").alias("dmax"),
+            F.max(F.col("s.s_d").cast("double")).alias("s"),
+        )
+        .select(
+            F.lit(label).alias("segment"),
+            F.col("n").alias("n_days"),
+            "day_at_max",
+            F.expr(CUSUM_STAT_EXPR).alias("cusum_stat"),
+        )
+    )
+
+
+def binary_segmentation_changepoints(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Two-level binary segmentation (the standard multiple-changepoint
+    scheme): the CUSUM argmax splits the daily series, then each half is
+    scanned again — three candidate changepoints ranked by their own
+    segments' statistics, where the single-pass
+    :func:`cusum_changepoint` reports only the strongest. Every pass
+    runs on the calendar-bounded day frame; the level-0 split day is a
+    1-row eagerly localCheckpoint-ed frame (it gates BOTH halves — the
+    two-branch lineage cut, the BPE discipline). Returns three rows
+    ``(segment ∈ full/left/right, n_days, day_at_max, cusum_stat)``."""
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
+        .persist()
+    )
+    full = _cusum_segment(daily, "full").localCheckpoint(eager=True)
+    cp = full.select(F.to_date("day_at_max").alias("cp_day"))
+    left = daily.crossJoin(F.broadcast(cp)).where(
+        F.col("d") <= F.col("cp_day")
+    ).select("d", "x")
+    right = daily.crossJoin(F.broadcast(cp)).where(
+        F.col("d") > F.col("cp_day")
+    ).select("d", "x")
+    return full.unionByName(_cusum_segment(left, "left")).unionByName(
+        _cusum_segment(right, "right")
+    )

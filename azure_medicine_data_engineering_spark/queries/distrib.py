@@ -1135,3 +1135,62 @@ def q_ols_price_vs_qty_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
     return ols_by_group(li, "l_returnflag", "x", "y")
+
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    binary_segmentation_changepoints,
+)
+
+_CUSUM_SEG_SQL = """
+    {name} AS (
+      SELECT '{label}' AS segment,
+             CAST(MAX(n) AS BIGINT) AS n_days,
+             strftime(MIN(CASE WHEN dt = dmax THEN d END), '%Y-%m-%d') AS day_at_max,
+             round(MAX(dt) / (MAX(n) * 1e0 * MAX(sd)), 4) AS cusum_stat
+      FROM (
+        SELECT d, n, sd, dt, MAX(dt) OVER () AS dmax
+        FROM (
+          SELECT d, n, sd,
+                 abs(CAST(SUM(x) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) * n
+                   - sd * (ROW_NUMBER() OVER (ORDER BY d))) AS dt
+          FROM (
+            SELECT d, x,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS HUGEINT)) OVER () AS HUGEINT) AS sd
+            FROM {src}
+          ) b
+        ) s0
+      ) s
+    )"""
+
+
+@register(
+    "binary_segmentation_revenue",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    {_CUSUM_SEG_SQL.format(name="seg_full", label="full", src="daily")},
+    cp AS MATERIALIZED (SELECT CAST(day_at_max AS DATE) AS cp_day FROM seg_full),
+    dleft AS (SELECT d, x FROM daily, cp WHERE d <= cp_day),
+    dright AS (SELECT d, x FROM daily, cp WHERE d > cp_day),
+    {_CUSUM_SEG_SQL.format(name="seg_left", label="left", src="dleft")},
+    {_CUSUM_SEG_SQL.format(name="seg_right", label="right", src="dright")}
+    SELECT * FROM seg_full
+    UNION ALL SELECT * FROM seg_left
+    UNION ALL SELECT * FROM seg_right
+    """,
+)
+def q_binary_segmentation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary segmentation of daily revenue
+    (``events_analytics.binary_segmentation_changepoints``): the CUSUM
+    argmax splits the series, each half is scanned again — the standard
+    multiple-changepoint scheme where the single pass reports only the
+    strongest break. Integer division-free maximizations per segment;
+    the level-0 split day is a 1-row eagerly-checkpointed frame gating
+    both halves (the two-branch lineage cut); the oracle replays all
+    three scans CTE-for-CTE over the MATERIALIZED day frame."""
+    return binary_segmentation_changepoints(_t(spark, sf_dir, "orders"))

@@ -366,3 +366,32 @@ def test_rfm_segments_planted(spark):
     for r in seg:
         per_q[r["r_q"]] = per_q.get(r["r_q"], 0) + r["n_customers"]
     assert per_q == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+
+def test_binary_segmentation_planted_two_shifts(spark):
+    """Series with two level shifts: level 0 finds the bigger break, the
+    child segments recover the second one."""
+    import datetime
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        binary_segmentation_changepoints,
+    )
+
+    base = datetime.date(2023, 1, 1)
+    rows = []
+    for i in range(90):
+        amt = 100.0 if i < 30 else (500.0 if i < 60 else 120.0)
+        rows.append(
+            (datetime.datetime.combine(base + datetime.timedelta(days=i),
+                                       datetime.time()), amt)
+        )
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = {r["segment"]: r for r in binary_segmentation_changepoints(df).collect()}
+    assert set(got) == {"full", "left", "right"}
+    assert got["full"]["n_days"] == 90
+    d_full = got["full"]["day_at_max"]
+    # the strongest break is one of the two planted boundaries
+    assert d_full in {"2023-01-30", "2023-02-28", "2023-01-29", "2023-03-01"}
+    assert got["left"]["n_days"] + got["right"]["n_days"] == 90
+    # each child finds a break INSIDE its own segment
+    assert got["left"]["day_at_max"] <= d_full < got["right"]["day_at_max"]
