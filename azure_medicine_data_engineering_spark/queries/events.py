@@ -1007,3 +1007,61 @@ def q_funnel_stepdown_significance(spark: SparkSession, sf_dir: str) -> DataFram
         (F.expr("x2 * 1000000 div n2") / 1e6).alias("prev_conv_rate"),
         F.expr(PROP_Z_EXPR).alias("z"),
     )
+
+
+from azure_medicine_data_engineering_spark.operators.scd2 import (  # noqa: E402
+    snapshot_diff,
+)
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH cls AS (
+      SELECT o_orderkey,
+             CASE
+               WHEN o_orderkey % 97 = 0 THEN 'removed'
+               WHEN o_orderkey % 101 = 0 THEN 'changed'
+               ELSE 'unchanged'
+             END AS change
+      FROM orders
+    ),
+    base AS (
+      SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+      FROM cls GROUP BY change
+    ),
+    added AS (
+      SELECT 'added' AS change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey + 1000000000) AS BIGINT) AS key_checksum
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT * FROM base UNION ALL SELECT * FROM added
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (``operators/scd2.py:snapshot_diff``): yesterday's
+    orders vs a new version with DETERMINISTICALLY PLANTED edits (keys
+    %97 dropped, %101 repriced, %103 re-added under offset ids) —
+    classified added/removed/changed/unchanged by one NULL-safe
+    full-outer key join, summarized with key checksums. The oracle
+    recomputes the report from the planting rules alone, so any
+    misclassified row breaks the hash. The promote-gate every rebuilt
+    table should pass before going live."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(o, new, ["o_orderkey"], ["o_totalprice"])

@@ -395,3 +395,20 @@ def test_binary_segmentation_planted_two_shifts(spark):
     assert got["left"]["n_days"] + got["right"]["n_days"] == 90
     # each child finds a break INSIDE its own segment
     assert got["left"]["day_at_max"] <= d_full < got["right"]["day_at_max"]
+
+
+def test_snapshot_diff_classes(spark):
+    from azure_medicine_data_engineering_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, None), (5, "e")], "k long, v string"
+    )
+    got = {r["change"]: (r["n_rows"], r["key_checksum"]) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got["unchanged"] == (2, 1 + 4)   # NULL == NULL is null-safe
+    assert got["changed"] == (1, 2)
+    assert got["removed"] == (1, 3)
+    assert got["added"] == (1, 5)
