@@ -55,3 +55,52 @@ def frequent_itemsets(
         F.concat_ws(",", F.sort_array("items")).alias("items"),
         F.col("freq").cast("long").alias("freq"),
     )
+
+
+def sequential_patterns(
+    events: DataFrame,
+    min_support: float = 0.3,
+    max_pattern_length: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential pattern mining over per-user event journeys via Spark
+    ML's distributed PrefixSpan (Pei et al. 2001) — the ORDER-aware
+    sibling of FPGrowth's baskets (:func:`association_rules`): a pattern
+    ``a → b`` is supported by a user iff some ``a`` event STRICTLY
+    precedes some ``b`` event. Sequences are built as ts-grouped
+    ITEMSETS (all types sharing one timestamp form one itemset), which
+    pins PrefixSpan's i<j itemset semantics to strict-timestamp
+    precedence — deterministic under same-ts ties on any partitioning,
+    and exactly the EXISTS(ts_a < ts_b) formulation a SQL oracle can
+    brute-force. Returns ``(pattern, freq)`` with the pattern rendered
+    ``'a>b'`` (itemset items sorted, '+'-joined)."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(type_col).alias("e"),
+        )
+        .groupBy("u", "t")
+        .agg(F.array_sort(F.collect_set("e")).alias("itemset"))
+        .groupBy("u")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "itemset"))),
+                lambda s: s["itemset"],
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        sequenceCol="sequence",
+    )
+    out = ps.findFrequentSequentialPatterns(seqs)
+    render = F.array_join(
+        F.transform(F.col("sequence"), lambda s: F.array_join(s, "+")), ">"
+    )
+    return out.select(render.alias("pattern"), F.col("freq").cast("long").alias("freq"))

@@ -1172,3 +1172,54 @@ def q_ml_kfold_assignment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("n_pos * 1000000 div n_rows") / 1e6).alias("pos_rate"),
         )
     )
+
+
+@register(
+    "prefixspan_event_patterns",
+    """
+    WITH peru AS (SELECT user_id, event_type AS e, ts FROM events),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM peru),
+    ut AS (
+      SELECT user_id, e, MIN(ts) AS mn, MAX(ts) AS mx FROM peru GROUP BY 1, 2
+    ),
+    singles AS (
+      SELECT e AS pattern, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS freq
+      FROM peru GROUP BY e
+    ),
+    seqp AS (
+      SELECT a.e || '>' || b.e AS pattern, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      WHERE a.mn < b.mx
+      GROUP BY 1
+    ),
+    conc AS (
+      SELECT a.e || '+' || b.e AS pattern,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS freq
+      FROM peru a JOIN peru b
+        ON a.user_id = b.user_id AND a.ts = b.ts AND a.e < b.e
+      GROUP BY 1
+    ),
+    allp AS (
+      SELECT * FROM singles UNION ALL SELECT * FROM seqp
+      UNION ALL SELECT * FROM conc
+    )
+    SELECT pattern, freq FROM allp, tot
+    WHERE freq >= CEIL(0.3 * tot.n)
+    """,
+)
+def q_prefixspan_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (``functions/mining.py:
+    sequential_patterns``; Spark ML PrefixSpan, Pei et al. 2001): the
+    ORDER-aware sibling of the FPGrowth baskets — 'a>b' is supported by a
+    user iff some a STRICTLY precedes some b (ts-grouped itemsets pin the
+    semantics under same-ts ties). The oracle brute-forces every
+    candidate up to 2 items — singles, sequential pairs via the
+    min(ts_a) < max(ts_b) existence identity (never an events² join),
+    and same-ts concurrent itemsets — at minSupport 0.3."""
+    from azure_medicine_data_engineering_spark.functions.mining import (
+        sequential_patterns,
+    )
+
+    return sequential_patterns(
+        events_table(spark, sf_dir), min_support=0.3, max_pattern_length=2
+    )

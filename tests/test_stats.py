@@ -250,3 +250,47 @@ def test_permanova_grouped_degenerate_single_group(spark):
     import math
     # NaN surfaces as None through the Arrow boundary
     assert row.pseudo_f is None or math.isnan(row.pseudo_f)
+
+
+def test_sequential_patterns_planted(spark):
+    """Hand-checkable journeys incl. a same-ts concurrent itemset and an
+    a>a repeat; minSupport 0.5 of 4 users = 2 sequences."""
+    import datetime
+
+    from azure_medicine_data_engineering_spark.functions.mining import (
+        sequential_patterns,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # u1: view -> click -> purchase
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: view -> click
+        (2, ts(0), "view"), (2, ts(5), "click"),
+        # u3: click & view CONCURRENT (same ts), then view again
+        (3, ts(0), "view"), (3, ts(0), "click"), (3, ts(9), "view"),
+        # u4: purchase only
+        (4, ts(0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["pattern"]: r["freq"] for r in
+           sequential_patterns(df, min_support=0.5, max_pattern_length=2).collect()}
+    assert got["view"] == 3 and got["click"] == 3 and got["purchase"] == 2
+    # strict precedence: u3's same-ts view/click supports NEITHER
+    # view>click NOR click>view sequentially...
+    assert got["view>click"] == 2
+    # ...but u3's later view gives click>view support 1 (< minSupport)
+    assert "click>view" not in got
+    # concurrent itemset click+view: only u3 -> below support
+    assert "click+view" not in got
+    lowered = {r["pattern"]: r["freq"] for r in
+               sequential_patterns(df, min_support=0.25,
+                                   max_pattern_length=2).collect()}
+    assert lowered["click+view"] == 1
+    assert lowered["click>view"] == 1
+    # a>a repeat: u3 has two views at distinct ts
+    assert lowered["view>view"] == 1
