@@ -838,3 +838,108 @@ def binary_segmentation_changepoints(
     return full.unionByName(_cusum_segment(left, "left")).unionByName(
         _cusum_segment(right, "right")
     )
+
+
+def split_conformal_daily(
+    orders: DataFrame,
+    alpha_pct: int = 10,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Split-conformal prediction interval for the daily-revenue OLS
+    trend (Vovk et al.; the distribution-free uncertainty wrapper modern
+    forecasting ships): fit the closed-form trend on the first 70% of
+    days, take the ceil((1−α)(n_cal+1))-th smallest absolute residual on
+    the next 15% as the conformal radius q, and report the EMPIRICAL
+    coverage of ``prediction ± q`` on the final 15% — finite-sample
+    ≥ 1−α coverage guaranteed if the split is exchangeable, and the
+    report shows exactly what materialized.
+
+    Engine-exact: the trend comes from DECIMAL(38,0) integer moments
+    (shared expressions → identical b0/b1 doubles); per-day residuals
+    round onto the cents grid BEFORE the rank selection and the coverage
+    compare, so quantile and coverage are pure integer decisions. All
+    frames are day-level (bounded windows). Returns one row
+    ``(n_train, n_cal, n_test, q_cents, n_covered, coverage)``."""
+    dec = "decimal(38,0)"
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
+        .select(
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01")))
+            .cast("long")
+            .alias("t"),
+            "x",
+        )
+        .persist()
+    )
+    b = daily.agg(
+        F.min("t").alias("tmin"), F.max("t").alias("tmax")
+    )
+    # value-based day cuts: train <= c1, cal in (c1, c2], test > c2
+    lab = daily.crossJoin(F.broadcast(b)).select(
+        "t",
+        "x",
+        F.expr("tmin + (tmax - tmin) * 70 div 100").alias("c1"),
+        F.expr("tmin + (tmax - tmin) * 85 div 100").alias("c2"),
+    )
+    train = lab.where(F.col("t") <= F.col("c1"))
+    mom = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st_d"),
+        F.sum(F.col("x").cast(dec)).alias("sx_d"),
+        F.sum(F.col("t").cast(dec) * F.col("t")).alias("stt_d"),
+        F.sum(F.col("t").cast(dec) * F.col("x")).alias("stx_d"),
+    ).select(
+        "n",
+        *[
+            F.col(f"{c}_d").cast("double").alias(c)
+            for c in ("st", "sx", "stt", "stx")
+        ],
+    )
+    b1 = "((n * 1e0 * stx - st * 1e0 * sx) / (n * 1e0 * stt - st * 1e0 * st))"
+    b0 = f"((sx - {b1} * st) / n)"
+    resid_u = f"cast(round(abs(x - ({b0} + {b1} * t))) as bigint)"
+    scored = lab.crossJoin(F.broadcast(mom)).select(
+        "t", "x", "c1", "c2", F.expr(resid_u).alias("r_u")
+    ).persist()
+    cal = scored.where((F.col("t") > F.col("c1")) & (F.col("t") <= F.col("c2")))
+    # exact k-th smallest calibration residual, k = ceil((1-a)(n_cal+1))
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("r_u").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cal_cum = cal.groupBy("r_u").agg(F.count(F.lit(1)).cast("long").alias("c")) \
+        .select("r_u", F.sum("c").over(w).alias("cum"))
+    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    q = (
+        cal_cum.crossJoin(F.broadcast(n_cal))
+        .where(
+            F.col("cum")
+            >= F.expr(f"cast(ceil((100 - {alpha_pct}) * 1e0 * (n_cal + 1) / 100) as bigint)")
+        )
+        .agg(F.min("r_u").cast("long").alias("q_cents"))
+    )
+    test = scored.where(F.col("t") > F.col("c2"))
+    cov = (
+        test.crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("r_u") <= F.col("q_cents")).cast("long"))
+            .cast("long")
+            .alias("n_covered"),
+            F.max("q_cents").cast("long").alias("q_cents"),
+        )
+    )
+    n_train = mom.select(F.col("n").alias("n_train"))
+    return (
+        n_train.crossJoin(F.broadcast(n_cal))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            "q_cents",
+            "n_covered",
+            (F.expr("n_covered * 1000000 div n_test") / 1e6).alias("coverage"),
+        )
+    )

@@ -1194,3 +1194,73 @@ def q_binary_segmentation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     both halves (the two-branch lineage cut); the oracle replays all
     three scans CTE-for-CTE over the MATERIALIZED day frame."""
     return binary_segmentation_changepoints(_t(spark, sf_dir, "orders"))
+
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    split_conformal_daily,
+)
+
+
+@register(
+    "conformal_interval_daily_revenue",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM daily),
+    lab AS (
+      SELECT t, x,
+             tmin + (tmax - tmin) * 70 // 100 AS c1,
+             tmin + (tmax - tmin) * 85 // 100 AS c2
+      FROM daily, b
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS stt,
+             CAST(SUM(CAST(t AS HUGEINT) * x) AS DOUBLE) AS stx
+      FROM lab WHERE t <= c1
+    ),
+    scored AS MATERIALIZED (
+      SELECT t, c1, c2,
+             CAST(round(abs(x - (((sx - ((n * 1e0 * stx - st * 1e0 * sx) /
+               (n * 1e0 * stt - st * 1e0 * st)) * st) / n) +
+               ((n * 1e0 * stx - st * 1e0 * sx) /
+               (n * 1e0 * stt - st * 1e0 * st)) * t))) AS BIGINT) AS r_u
+      FROM lab, mom
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM scored WHERE t > c1 AND t <= c2),
+    q AS (
+      SELECT CAST(MIN(r_u) AS BIGINT) AS q_cents FROM (
+        SELECT r_u, SUM(c) OVER (ORDER BY r_u
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT r_u, CAST(COUNT(*) AS BIGINT) AS c
+              FROM scored WHERE t > c1 AND t <= c2 GROUP BY r_u) cc
+      ) s, ncal
+      WHERE cum >= CEIL(90 * 1e0 * (n_cal + 1) / 100)
+    ),
+    cov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN r_u <= q.q_cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+             CAST(MAX(q.q_cents) AS BIGINT) AS q_cents
+      FROM scored, q WHERE t > c2
+    )
+    SELECT m.n AS n_train, ncal.n_cal, cov.n_test, cov.q_cents, cov.n_covered,
+           (cov.n_covered * 1000000 // cov.n_test) / 1e6 AS coverage
+    FROM mom m, ncal, cov
+    """,
+)
+def q_conformal_interval_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval for the daily revenue trend
+    (``events_analytics.split_conformal_daily``, alpha = 10%%): fit on
+    the first 70%% of days, conformal radius = exact
+    ceil(0.9(n_cal+1))-th absolute residual on the next 15%% (cents-grid
+    rank selection), empirical coverage reported on the last 15%% — the
+    distribution-free uncertainty wrapper with its finite-sample
+    guarantee, every decision integer-exact. Oracle replays the fit,
+    the residual grid, the rank pick and the coverage count."""
+    return split_conformal_daily(_t(spark, sf_dir, "orders"), alpha_pct=10)

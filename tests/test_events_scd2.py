@@ -412,3 +412,42 @@ def test_snapshot_diff_classes(spark):
     assert got["changed"] == (1, 2)
     assert got["removed"] == (1, 3)
     assert got["added"] == (1, 5)
+
+
+def test_split_conformal_coverage_on_planted_noise(spark):
+    """Linear series with bounded +/-3-dollar noise: the conformal radius
+    must cover ~90% of test days (finite-sample guarantee holds
+    empirically on exchangeable noise), and a PERFECT line yields
+    q == 0 with 100% coverage."""
+    import datetime
+    import random
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        split_conformal_daily,
+    )
+
+    rng = random.Random(9)
+    base = datetime.date(2023, 1, 1)
+    rows = []
+    for i in range(200):
+        amt = 500.0 + 2.0 * i + rng.randint(-300, 300) / 100.0
+        rows.append(
+            (datetime.datetime.combine(base + datetime.timedelta(days=i),
+                                       datetime.time()), amt)
+        )
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    r = split_conformal_daily(df, alpha_pct=10).collect()[0]
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == 200
+    assert r["q_cents"] <= 600  # radius bounded by the noise scale
+    assert r["coverage"] >= 0.8  # near-nominal on exchangeable noise
+
+    exact = spark.createDataFrame(
+        [
+            (datetime.datetime.combine(base + datetime.timedelta(days=i),
+                                       datetime.time()), 100.0 + 3.0 * i)
+            for i in range(100)
+        ],
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    r2 = split_conformal_daily(exact, alpha_pct=10).collect()[0]
+    assert r2["q_cents"] == 0 and r2["coverage"] == 1.0
