@@ -1633,3 +1633,60 @@ def spearman_by_group(
         ],
     )
     return asdbl.select("g", "n", F.expr(SPEARMAN_RHO_EXPR).alias("rho"))
+
+
+DID_EXPR = (
+    "round((s11 / (n11 * 1e0) - s10 / (n10 * 1e0)) - "
+    "(s01 / (n01 * 1e0) - s00 / (n00 * 1e0)), 4)"
+)
+
+
+def diff_in_diff(
+    df: DataFrame, treated: Column, post: Column, outcome_cents: Column
+) -> DataFrame:
+    """Difference-in-differences point estimate — the workhorse causal
+    design (treated vs control, pre vs post; parallel-trends assumption):
+    ``DiD = (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post −
+    ȳ_control,pre)``, estimated from the four cell means in ONE pass.
+    The outcome must be INTEGER-grid (cents): cell sums accumulate
+    exactly in DECIMAL(38,0), the four means and their double difference
+    are one shared expression — identical IEEE sequence on both engines.
+    Returns one row ``(n00, n01, n10, n11, did_cents)`` (first index =
+    treated, second = post)."""
+    dec = "decimal(38,0)"
+    t = treated.cast("int")
+    p = post.cast("int")
+    cells = df.select(
+        t.alias("_t"), p.alias("_p"), outcome_cents.alias("_y")
+    ).agg(
+        *[
+            F.sum(
+                F.when((F.col("_t") == ti) & (F.col("_p") == pi), 1).otherwise(0)
+            ).cast("long").alias(f"n{ti}{pi}")
+            for ti in (0, 1)
+            for pi in (0, 1)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("_t") == ti) & (F.col("_p") == pi), F.col("_y")
+                ).otherwise(0).cast(dec)
+            ).alias(f"s{ti}{pi}_d")
+            for ti in (0, 1)
+            for pi in (0, 1)
+        ],
+    )
+    asdbl = cells.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        *[
+            F.col(f"s{ti}{pi}_d").cast("double").alias(f"s{ti}{pi}")
+            for ti in (0, 1)
+            for pi in (0, 1)
+        ],
+    )
+    return asdbl.select(
+        "n00", "n01", "n10", "n11", F.expr(DID_EXPR).alias("did_cents")
+    )

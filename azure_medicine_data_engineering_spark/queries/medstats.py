@@ -1260,3 +1260,49 @@ def q_spearman_value_vs_time_by_type(spark: SparkSession, sf_dir: str) -> DataFr
         "value",
         "tsec",
     )
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    DID_EXPR,
+    diff_in_diff,
+)
+
+
+@register(
+    "diff_in_diff_purchase_value",
+    f"""
+    WITH src AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS p,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s00,
+        CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s01,
+        CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s10,
+        CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s11
+      FROM src
+    )
+    SELECT n00, n01, n10, n11, {DID_EXPR} AS did_cents FROM cells
+    """,
+)
+def q_diff_in_diff_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (``rankstats.diff_in_diff``): purchase
+    value (cents), id-parity treatment x window-half period — the
+    workhorse causal design estimated from four exact cell moments in one
+    pass; the A/B analyst's answer to 'did the treated group's CHANGE
+    exceed the control group's change'. The DiD is one shared expression
+    over DECIMAL(38,0)/HUGEINT sums."""
+    ev = events_table(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return diff_in_diff(
+        ev,
+        F.col("user_id") % 2 == 0,
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        F.round(F.col("value") * 100).cast("long"),
+    )

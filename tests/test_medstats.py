@@ -1387,3 +1387,34 @@ def test_spearman_by_group_matches_global_per_stratum(spark):
         assert per[g] == (solo["n"], solo["rho"]), g
     assert per["up"][1] > 0.9 and per["down"][1] < -0.9
     assert abs(per["noise"][1]) < 0.4
+
+
+def test_diff_in_diff_planted_effect(spark):
+    """Planted parallel trends + a 500-cent treatment effect: DiD must
+    recover exactly 500 (common shocks cancel), and a no-effect world
+    returns 0."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        diff_in_diff,
+    )
+
+    rows = []
+    for i in range(40):
+        base = 1000 + (i % 7) * 10        # unit heterogeneity
+        for t in (0, 1):
+            for p in (0, 1):
+                y = base + 200 * p + 300 * t          # trends + group gap
+                if t == 1 and p == 1:
+                    y += 500                           # the causal effect
+                rows.append((t == 1, p == 1, y))
+    df = spark.createDataFrame(rows, "t boolean, p boolean, y long")
+    r = diff_in_diff(df, F.col("t"), F.col("p"), F.col("y")).collect()[0]
+    assert (r["n00"], r["n01"], r["n10"], r["n11"]) == (40, 40, 40, 40)
+    assert r["did_cents"] == 500.0
+
+    null_rows = [(t == 1, p == 1, 1000 + 200 * p + 300 * t)
+                 for i in range(20) for t in (0, 1) for p in (0, 1)]
+    df0 = spark.createDataFrame(null_rows, "t boolean, p boolean, y long")
+    assert diff_in_diff(df0, F.col("t"), F.col("p"),
+                        F.col("y")).collect()[0]["did_cents"] == 0.0
