@@ -1690,3 +1690,55 @@ def diff_in_diff(
     return asdbl.select(
         "n00", "n01", "n10", "n11", F.expr(DID_EXPR).alias("did_cents")
     )
+
+
+CUPED_THETA_EXPR = (
+    "round((n * 1e0 * sxy - sx * 1e0 * sy) / (n * 1e0 * sxx - sx * 1e0 * sx), 4)"
+)
+CUPED_VARRAW_EXPR = "round((n * 1e0 * syy - sy * 1e0 * sy) / (n * 1e0 * n), 4)"
+CUPED_VARADJ_EXPR = (
+    "round((n * 1e0 * syy - sy * 1e0 * sy) / (n * 1e0 * n) - "
+    "((n * 1e0 * sxy - sx * 1e0 * sy) * (n * 1e0 * sxy - sx * 1e0 * sy)) / "
+    "((n * 1e0 * sxx - sx * 1e0 * sx) * (n * 1e0 * n)), 4)"
+)
+CUPED_REDUCTION_EXPR = (
+    "round(((n * 1e0 * sxy - sx * 1e0 * sy) * (n * 1e0 * sxy - sx * 1e0 * sy)) / "
+    "((n * 1e0 * sxx - sx * 1e0 * sx) * (n * 1e0 * syy - sy * 1e0 * sy)), 4)"
+)
+
+
+def cuped_adjustment(
+    df: DataFrame, pre_cents: Column, metric_cents: Column
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the standard
+    experiment-sensitivity booster: with a pre-experiment covariate x,
+    the adjusted metric ``y − θ(x − x̄)`` at the optimal
+    ``θ = cov(x,y)/var(x)`` has variance ``var(y)·(1 − ρ²)``; the
+    reported reduction IS ρ², telling the analyst how much smaller the
+    experiment could be. All five sufficient statistics accumulate
+    exactly in DECIMAL(38,0) from the cents-grid columns; θ and the
+    variances are shared expressions. Returns one row
+    ``(n, theta, var_raw, var_adj, reduction)``."""
+    dec = "decimal(38,0)"
+    scal = df.select(pre_cents.alias("_x"), metric_cents.alias("_y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_x").cast(dec)).alias("sx_d"),
+        F.sum(F.col("_y").cast(dec)).alias("sy_d"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("sxx_d"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y")).alias("sxy_d"),
+        F.sum(F.col("_y").cast(dec) * F.col("_y")).alias("syy_d"),
+    )
+    asdbl = scal.select(
+        "n",
+        *[
+            F.col(f"{c}_d").cast("double").alias(c)
+            for c in ("sx", "sy", "sxx", "sxy", "syy")
+        ],
+    )
+    return asdbl.select(
+        "n",
+        F.expr(CUPED_THETA_EXPR).alias("theta"),
+        F.expr(CUPED_VARRAW_EXPR).alias("var_raw"),
+        F.expr(CUPED_VARADJ_EXPR).alias("var_adj"),
+        F.expr(CUPED_REDUCTION_EXPR).alias("reduction"),
+    )

@@ -1418,3 +1418,29 @@ def test_diff_in_diff_planted_effect(spark):
     df0 = spark.createDataFrame(null_rows, "t boolean, p boolean, y long")
     assert diff_in_diff(df0, F.col("t"), F.col("p"),
                         F.col("y")).collect()[0]["did_cents"] == 0.0
+
+
+def test_cuped_planted_correlation(spark):
+    """y = 2x + bounded noise: theta ~ 2 and the variance reduction is
+    rho^2 (near 1); independent x gives reduction ~ 0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        cuped_adjustment,
+    )
+
+    rng = random.Random(13)
+    rows = [(x := rng.randint(100, 1000), 2 * x + rng.randint(-20, 20))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = cuped_adjustment(df, F.col("x"), F.col("y")).collect()[0]
+    assert abs(r["theta"] - 2.0) < 0.05
+    assert r["reduction"] > 0.95
+    assert r["var_adj"] < 0.05 * r["var_raw"]
+
+    indep = [(rng.randint(100, 1000), rng.randint(100, 1000)) for _ in range(400)]
+    df2 = spark.createDataFrame(indep, "x long, y long")
+    r2 = cuped_adjustment(df2, F.col("x"), F.col("y")).collect()[0]
+    assert r2["reduction"] < 0.05
