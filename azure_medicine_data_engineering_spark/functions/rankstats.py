@@ -1742,3 +1742,60 @@ def cuped_adjustment(
         F.expr(CUPED_VARADJ_EXPR).alias("var_adj"),
         F.expr(CUPED_REDUCTION_EXPR).alias("reduction"),
     )
+
+
+SRM_CHI2_EXPR = "round((n1 - n2) * 1e0 * (n1 - n2) / (n1 + n2), 4)"
+#: z_{alpha/2}=1.96, z_{power 0.8}=0.8416 as shared literals — no engine
+#: evaluates an inverse normal CDF.
+POWER_N_EXPR = (
+    "cast(ceil((1.96e0 + 0.8416e0) * (1.96e0 + 0.8416e0) * "
+    "(p1 * (1e0 - p1) + p2 * (1e0 - p2)) / ((p2 - p1) * (p2 - p1))) as bigint)"
+)
+
+
+def srm_check(df: DataFrame, arm: Column) -> DataFrame:
+    """Sample-ratio mismatch check — the first guardrail every A/B
+    platform runs (a 50/50 assignment that lands 51/49 at scale means
+    the randomizer or the logging is broken, and every downstream
+    p-value is garbage): 1-dof chi-square of the two arm counts against
+    the expected even split, flagged at the 3.84 (p=0.05) critical
+    value. Returns ``(n1, n2, chi2, srm_flag)``; all-integer counts, one
+    shared expression."""
+    cells = df.select(arm.cast("int").alias("_a")).agg(
+        F.sum(F.col("_a")).cast("long").alias("n1"),
+        F.sum(1 - F.col("_a")).cast("long").alias("n2"),
+    )
+    return cells.select(
+        "n1",
+        "n2",
+        F.expr(SRM_CHI2_EXPR).alias("chi2"),
+        F.expr(f"{SRM_CHI2_EXPR} > 3.84e0").alias("srm_flag"),
+    )
+
+
+def power_sample_size(
+    df: DataFrame, success: Column, rel_mde_pct: int = 10
+) -> DataFrame:
+    """Two-proportion sample-size calculator (alpha = 0.05 two-sided,
+    power = 0.80) seeded from the OBSERVED baseline rate — the planning
+    step before any experiment: how many users per arm to detect a
+    ``rel_mde_pct``-percent relative lift. The z quantiles are SHARED
+    LITERALS (1.96, 0.8416 — no engine evaluates an inverse normal CDF);
+    the baseline p1 is an exact integer ratio evaluated identically on
+    both engines. Returns ``(n_obs, x_obs, p1, p2, n_per_arm)``."""
+    cells = df.select(success.cast("long").alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_s").cast("long").alias("x_obs"),
+    )
+    lift = f"(1e0 + {rel_mde_pct} / 100e0)"
+    return cells.select(
+        "n_obs",
+        "x_obs",
+        F.expr("round(x_obs * 1e0 / n_obs, 4)").alias("p1"),
+        F.expr(f"round(x_obs * 1e0 / n_obs * {lift}, 4)").alias("p2"),
+        F.expr(
+            POWER_N_EXPR.replace("p1", "(x_obs * 1e0 / n_obs)").replace(
+                "p2", f"(x_obs * 1e0 / n_obs * {lift})"
+            )
+        ).alias("n_per_arm"),
+    )

@@ -1360,3 +1360,71 @@ def q_cuped_purchase_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") >= half, cents).otherwise(0)).cast("long").alias("y"),
     )
     return cuped_adjustment(per_user, F.col("x"), F.col("y"))
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    POWER_N_EXPR,
+    SRM_CHI2_EXPR,
+    power_sample_size,
+    srm_check,
+)
+
+
+@register(
+    "srm_check_user_parity",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM u
+    )
+    SELECT n1, n2, {SRM_CHI2_EXPR} AS chi2,
+           {SRM_CHI2_EXPR} > 3.84e0 AS srm_flag
+    FROM cells
+    """,
+)
+def q_srm_check_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch guardrail (``rankstats.srm_check``) on the
+    id-parity assignment used by the repo's A/B-shaped queries: 1-dof
+    chi-square of the arm counts vs the expected even split, flagged at
+    3.84 — the check that must pass before any of the two-proportion /
+    DiD / CUPED readouts are trusted."""
+    ev = events_table(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    return srm_check(users, F.col("user_id") % 2 == 0)
+
+
+@register(
+    "power_sample_size_purchase",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(s) AS BIGINT) AS x_obs
+      FROM u
+    )
+    SELECT n_obs, x_obs,
+           round(x_obs * 1e0 / n_obs, 4) AS p1,
+           round(x_obs * 1e0 / n_obs * (1e0 + 10 / 100e0), 4) AS p2,
+           {POWER_N_EXPR.replace("p1", "(x_obs * 1e0 / n_obs)").replace(
+               "p2", "(x_obs * 1e0 / n_obs * (1e0 + 10 / 100e0))")} AS n_per_arm
+    FROM cells
+    """,
+)
+def q_power_sample_size_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment planning (``rankstats.power_sample_size``): users per
+    arm needed to detect a 10%% relative lift of the observed per-user
+    purchase rate at alpha 0.05 / power 0.80 — z quantiles as shared
+    literals, baseline from one user-grain aggregate. The sizing number
+    every experiment review asks for first."""
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1)
+        .alias("s")
+    )
+    return power_sample_size(per_user, F.col("s"), rel_mde_pct=10)

@@ -1444,3 +1444,32 @@ def test_cuped_planted_correlation(spark):
     df2 = spark.createDataFrame(indep, "x long, y long")
     r2 = cuped_adjustment(df2, F.col("x"), F.col("y")).collect()[0]
     assert r2["reduction"] < 0.05
+
+
+def test_srm_and_power_naive(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        power_sample_size,
+        srm_check,
+    )
+
+    even = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    r = srm_check(even, F.col("id") % 2 == 0).collect()[0]
+    assert (r["n1"], r["n2"], r["chi2"], r["srm_flag"]) == (500, 500, 0.0, False)
+
+    # 550/450 split: chi2 = 100^2/1000 = 10 -> flagged
+    skew = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    r2 = srm_check(skew, F.col("id") < 550).collect()[0]
+    assert r2["chi2"] == 10.0 and r2["srm_flag"] is True
+
+    # power: p1 = 0.2, MDE 10% -> p2 = 0.22; closed form check
+    pop = spark.createDataFrame([(i, i < 200) for i in range(1000)],
+                                "id long, s boolean")
+    pr = power_sample_size(pop, F.col("s"), rel_mde_pct=10).collect()[0]
+    p1, p2 = 0.2, 0.22
+    exp_n = math.ceil((1.96 + 0.8416) ** 2 * (p1 * (1 - p1) + p2 * (1 - p2))
+                      / (p2 - p1) ** 2)
+    assert (pr["p1"], pr["p2"], pr["n_per_arm"]) == (0.2, 0.22, exp_n)
