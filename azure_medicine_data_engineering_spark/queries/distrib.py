@@ -1264,3 +1264,66 @@ def q_conformal_interval_daily_revenue(spark: SparkSession, sf_dir: str) -> Data
     guarantee, every decision integer-exact. Oracle replays the fit,
     the residual grid, the rank pick and the coverage count."""
     return split_conformal_daily(_t(spark, sf_dir, "orders"), alpha_pct=10)
+
+
+from azure_medicine_data_engineering_spark.operators.graph import (  # noqa: E402
+    triangle_stats,
+)
+
+
+@register(
+    "triangle_stats_nation_trade",
+    """
+    WITH he AS (
+      SELECT c.c_nationkey AS a, s.s_nationkey AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM he WHERE a <> b
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+      ) t GROUP BY n
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e ab JOIN e bc ON ab.v = bc.u
+                JOIN e ac ON ab.u = ac.u AND bc.v = ac.v
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT base.n_nodes, base.n_edges, tri.n_triangles, base.n_wedges,
+           CASE WHEN base.n_wedges > 0 THEN
+             round(3e0 * tri.n_triangles / base.n_wedges, 4) END AS clustering
+    FROM base, tri
+    """,
+)
+def q_triangle_stats_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the undirected
+    nation trade graph (``operators/graph.py:triangle_stats``) — the
+    cohesion metrics beside pagerank (importance) and LPA (communities):
+    canonical u<v ordered edge-joins count each triangle once; wedges
+    from the degree frame; the coefficient one shared expression. Same
+    star-join edge build as the other graph queries."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    return triangle_stats(edges)

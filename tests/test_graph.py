@@ -69,3 +69,24 @@ class TestLabelPropagation:
                label_propagation(df, iterations=2, weight="w").collect()}
         # after round 1 they swap labels; round 2 swaps back deterministically
         assert out == {5: 5, 9: 9}
+
+
+def test_triangle_stats_known_graphs(spark):
+    from azure_medicine_data_engineering_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # K4: 4 triangles, 12 wedges, clustering = 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    r = triangle_stats(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["n_wedges"]) == (4, 6, 4, 12)
+    assert r["clustering"] == 1.0
+
+    # path 0-1-2: no triangle, 1 wedge, clustering 0; dup/reversed/self
+    # edges must not change anything
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 0), (2, 2), (0, 1)], "src long, dst long"
+    )
+    r2 = triangle_stats(path).collect()[0]
+    assert (r2["n_triangles"], r2["n_wedges"], r2["clustering"]) == (0, 1, 0.0)
