@@ -1281,7 +1281,7 @@ from azure_medicine_data_engineering_spark.operators.graph import (  # noqa: E40
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
       FROM he WHERE a <> b
     ),
