@@ -770,3 +770,56 @@ def edit_distance_near_pairs(
             <= F.lit(int(max_ratio_micro)) * F.col("max_len")
         )
     )
+
+
+def containment_top_pairs(
+    df: DataFrame,
+    top_k: int = 50,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jaccard CONTAINMENT pairs (Broder's asymmetric resemblance twin):
+    ``C(A→B) = |A∩B| / |A|`` catches what symmetric Jaccard dilutes —
+    a short document QUOTED inside a long one scores containment ≈ 1
+    with tiny Jaccard. Distinct shingle sets share through one
+    shingle-keyed join (posting-list bounded — at 100 TB run it behind
+    the LSH candidate prefilter like the edit-distance rung); emits the
+    ``top_k`` pairs by max-directional containment (micro grid,
+    deterministic id tie-break). Returns ``(id_a, id_b, n_shared, n_a,
+    n_b, containment_a, containment_b)``."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    joined = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_set", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_set", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.expr("n_shared * 1000000 div n_a") / 1e6).alias("containment_a"),
+            (F.expr("n_shared * 1000000 div n_b") / 1e6).alias("containment_b"),
+        )
+    )
+    best = F.greatest(F.col("containment_a"), F.col("containment_b"))
+    return (
+        joined.orderBy(best.desc(), "id_a", "id_b")
+        .limit(top_k)
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b",
+                "containment_a", "containment_b")
+    )

@@ -2131,3 +2131,50 @@ def q_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.source_centroid_similarity(
         _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "containment_top_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'),
+               x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT id,
+             t[r.i + 1] || ' ' || t[r.i + 2] || ' ' || t[r.i + 3] AS s
+      FROM toks, LATERAL (SELECT unnest(range(len(t) - 2)) AS i) r
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_set FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT id_a, id_b, n_shared, sa.n_set AS n_a, sb.n_set AS n_b,
+             (n_shared * 1000000 // sa.n_set) / 1e6 AS containment_a,
+             (n_shared * 1000000 // sb.n_set) / 1e6 AS containment_b
+      FROM pairs
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    )
+    SELECT id_a, id_b, n_shared, n_a, n_b, containment_a, containment_b
+    FROM joined
+    ORDER BY GREATEST(containment_a, containment_b) DESC, id_a, id_b
+    LIMIT 50
+    """,
+)
+def q_containment_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (``operators/dedup.py:
+    containment_top_pairs``; Broder): C(A→B) = |A∩B|/|A| over distinct
+    3-token shingle sets — the quote/subset signal symmetric Jaccard
+    dilutes. Shingle-keyed join (posting-list bounded; behind the LSH
+    prefilter at 100 TB), top-50 by max-directional containment with id
+    tie-break; the oracle rebuilds every shingle set and both
+    directions."""
+    return dedup.containment_top_pairs(_t(spark, sf_dir, "documents"), top_k=50)

@@ -231,3 +231,25 @@ def test_edit_distance_near_pairs_planted(spark):
     assert (1, 2) in got
     assert got[(1, 2)].edit_distance == 1
     assert all(k == (1, 2) for k in got)   # doc 3 never survives the verify
+
+
+def test_containment_quote_vs_jaccard(spark):
+    """A short doc quoted inside a long one: containment of the short
+    side is 1.0 while symmetric Jaccard would be tiny — the signal this
+    operator exists for."""
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        containment_top_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler[::1])],
+        "doc_id long, text string",
+    )
+    r = containment_top_pairs(df, top_k=5).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["containment_a"] == 1.0       # every shingle of the quote is in 2
+    assert row["containment_b"] < 0.1        # Jaccard-style signal would vanish
