@@ -252,3 +252,48 @@ def nelson_aalen(
         "d",
         (F.sum(inc_u).over(w_cum) / 1e6).alias("cumhaz"),
     )
+
+
+def rmst(
+    tte: DataFrame, tau: int, time_col: str = "t", event_col: str = "ev"
+) -> DataFrame:
+    """Restricted mean survival time — the area under the Kaplan-Meier
+    curve up to horizon ``tau`` (Royston & Parmar's recommended effect
+    scale when hazards aren't proportional): ``RMST = Σ S(t_i)·(min(t_{i+1},τ)
+    − t_i)`` over the KM step function, plus the leading ``S=1`` segment
+    before the first observed time. The display-rounded ``surv`` steps
+    (identical doubles on both engines) multiply integer day widths into
+    micro-unit terms, so the area sum is order-free. Day-frame bounded
+    (one lead window over the KM summary). Returns one row
+    ``(tau, n_steps, rmst_days)``."""
+    km = kaplan_meier(tte, time_col, event_col)
+    w = Window.orderBy("t")
+    stepped = km.select(
+        "t",
+        "surv",
+        F.coalesce(F.lead("t").over(w), F.lit(tau)).alias("t_next"),
+    )
+    first_t = km.agg(F.min("t").cast("long").alias("t0"))
+    seg_u = F.when(
+        F.col("t") < tau,
+        (
+            F.least(F.col("t_next"), F.lit(tau)) - F.col("t")
+        ).cast("long")
+        * F.round(F.col("surv") * 1e6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    area = stepped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum(seg_u).cast("long").alias("a_u"),
+    )
+    return (
+        area.crossJoin(F.broadcast(first_t))
+        .select(
+            F.lit(tau).cast("long").alias("tau"),
+            "n_steps",
+            (
+                (F.expr(f"least(cast(t0 as bigint), cast({tau} as bigint))") * 1000000
+                 + F.col("a_u"))
+                / 1e6
+            ).alias("rmst_days"),
+        )
+    )

@@ -1428,3 +1428,69 @@ def q_power_sample_size_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s")
     )
     return power_sample_size(per_user, F.col("s"), rel_mde_pct=10)
+
+
+from azure_medicine_data_engineering_spark.operators.survival import (  # noqa: E402
+    rmst,
+)
+
+
+@register(
+    "rmst_signup_to_purchase",
+    f"""
+    WITH {_TTE_SQL},
+    at_t AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM tte GROUP BY t
+    ),
+    wr AS (
+      SELECT t, d, c, CAST(SUM(d + c) OVER (
+        ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      ) AS BIGINT) AS n_risk
+      FROM at_t
+    ),
+    cum AS (
+      SELECT t, n_risk, d, c,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(ROUND(LN((n_risk - d) / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+                 ELSE 0 END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lnu,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS dead
+      FROM wr
+    ),
+    km AS (
+      SELECT t,
+             CASE WHEN dead = 1 THEN 0e0 ELSE ROUND(EXP(lnu / 1e6), 4) END AS surv
+      FROM cum
+    ),
+    stepped AS (
+      SELECT t, surv,
+             COALESCE(LEAD(t) OVER (ORDER BY t), 14) AS t_next
+      FROM km
+    ),
+    area AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+             CAST(SUM(CASE WHEN t < 14 THEN
+               (LEAST(t_next, 14) - t) * CAST(ROUND(surv * 1e6) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS a_u
+      FROM stepped
+    ),
+    f AS (SELECT CAST(MIN(t) AS BIGINT) AS t0 FROM km)
+    SELECT CAST(14 AS BIGINT) AS tau, area.n_steps,
+           (LEAST(f.t0, 14) * 1000000 + area.a_u) / 1e6 AS rmst_days
+    FROM area, f
+    """,
+)
+def q_rmst_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at a 14-day horizon
+    (``operators/survival.py:rmst``; Royston & Parmar) — the
+    non-proportional-hazards effect scale for the signup-to-purchase
+    cohort: the KM step areas multiply integer day widths by the shared
+    display-rounded survival micro steps, so the area is an order-free
+    integer sum; the oracle replays KM and the step integration."""
+    return rmst(
+        time_to_event_days(events_table(spark, sf_dir)), tau=14
+    )

@@ -1473,3 +1473,23 @@ def test_srm_and_power_naive(spark):
     exp_n = math.ceil((1.96 + 0.8416) ** 2 * (p1 * (1 - p1) + p2 * (1 - p2))
                       / (p2 - p1) ** 2)
     assert (pr["p1"], pr["p2"], pr["n_per_arm"]) == (0.2, 0.22, exp_n)
+
+
+def test_rmst_hand_computed(spark):
+    """Small cohort, hand-integrated KM area at tau=10: S=1 until t=2,
+    then steps; censoring keeps S flat."""
+    from azure_medicine_data_engineering_spark.operators.survival import rmst
+
+    rows = [(2, 1), (2, 1), (4, 0), (6, 1), (8, 0)]  # 5 subjects
+    df = spark.createDataFrame(rows, "t long, ev long")
+    r = rmst(df, tau=10).collect()[0]
+    # KM: S(2)=3/5=0.6; censor at 4 (S flat 0.6); at 6 risk=2, d=1 ->
+    # S=0.6*0.5=0.3; censor at 8.
+    # area = 1*2 (t<2) + 0.6*(4-2) + 0.6*(6-4) + 0.3*(8-6) + 0.3*(10-8)
+    expected = 2 + 0.6 * 2 + 0.6 * 2 + 0.3 * 2 + 0.3 * 2
+    assert r["tau"] == 10
+    assert abs(r["rmst_days"] - expected) < 1e-6
+
+    # tau before the first event: RMST == tau (S == 1 throughout)
+    r2 = rmst(df, tau=2).collect()[0]
+    assert r2["rmst_days"] == 2.0
