@@ -212,3 +212,47 @@ def q_blocklist_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero flags is the honest expected report); production swaps in a
     real list like LANG_MARKERS."""
     return blocklist_gate_report(_t(spark, sf_dir, "documents"))
+
+
+from azure_medicine_data_engineering_spark.operators.text import (  # noqa: E402
+    PII_PATTERNS,
+    pii_counts,
+)
+
+_PII_ORACLE_COLS = ",\n           ".join(
+    f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{name}"
+    for name, pat, _ in PII_PATTERNS
+)
+
+
+@register(
+    "pii_density_by_source",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {_PII_ORACLE_COLS},
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density per source (``operators/text.py:pii_counts`` — the
+    measurement half of the scrub: redact_pii rewrites, this reports
+    WHERE the exposure concentrates before/after): per-source match
+    counts for every PII category plus token volume. The shared RE2-safe
+    patterns count identically on both engines (the clean synthetic
+    corpus honestly reports zeros — the mechanism is the deliverable,
+    like the blocklist gate)."""
+    from azure_medicine_data_engineering_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    cnts = pii_counts(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(c).cast("long").alias(f"n_{name}")
+            for name, c in cnts.items()
+        ],
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )

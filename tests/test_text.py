@@ -384,3 +384,21 @@ def test_langid_prediction_and_ties(spark):
         for r in df.select("doc_id", predict_language(F.col("text")).alias("pred")).collect()
     }
     assert got == {1: "en", 2: "es", 3: "und", 4: "en"}
+
+
+def test_pii_density_planted(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.text import pii_counts
+
+    df = spark.createDataFrame(
+        [
+            ("reach me at a.b@example.com or c@d.org",),
+            ("card 1234567890123456 phone 555-123-4567",),
+            ("clean text",),
+        ],
+        "text string",
+    )
+    cnts = pii_counts(F.col("text"))
+    r = df.agg(*[F.sum(c).alias(n) for n, c in cnts.items()]).collect()[0]
+    assert (r["email"], r["card"], r["phone"]) == (2, 1, 1)
