@@ -2178,3 +2178,83 @@ def q_containment_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break; the oracle rebuilds every shingle set and both
     directions."""
     return dedup.containment_top_pairs(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+@register(
+    "bpe_fertility_by_lang",
+    r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT w AS wd, regexp_replace(w, '(.)', '|\1|', 'g') AS s, f FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+      ) g
+    ),
+    """
+    + ",".join(_bpe_round_sql(i, carry_word=True) for i in range(1, _BPE_MERGES + 1))
+    + f"""
+    ,
+    pieces AS (
+      SELECT wd,
+             CAST(len(string_split(substring(s, 2, length(s) - 2), '||')) AS BIGINT) AS np
+      FROM w{_BPE_MERGES}
+    ),
+    tok AS (
+      SELECT lang, w FROM (
+        SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) t WHERE regexp_matches(w, '^[a-z]+$')
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           (CAST(SUM(np) AS BIGINT) * 1000000 // COUNT(*)) / 1e6 AS fertility
+    FROM tok JOIN pieces ON tok.w = pieces.wd
+    GROUP BY lang
+    """,
+)
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language (pieces per word — THE
+    multilingual tokenizer-quality metric: a vocabulary trained on the
+    pooled corpus over-fragments under-represented languages, and
+    fertility is where that shows): the 12 trained merges served over
+    the distinct-word table, per-word piece counts re-joined to the
+    language-tagged corpus, micro-grid means. The oracle replays the
+    full train-then-serve chain with the per-language aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    trained = text.bpe_merge_train(d, n_merges=_BPE_MERGES)
+    merges = [
+        (r.left_sym, r.right_sym) for r in trained.orderBy("merge_idx").collect()
+    ]
+    for c in getattr(trained, "_stage_caches", []):
+        c.unpersist()
+    from azure_medicine_data_engineering_spark.operators.text import tokens as _tk
+
+    enc = F.regexp_replace("_w", "(.)", r"|$1|")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_pieces = F.size(F.split(F.regexp_replace(enc, r"^\||\|$", ""), r"\|\|"))
+    words = (
+        d.select(F.explode(_tk(F.lower(F.col("text")))).alias("_w"))
+        .where(F.col("_w").rlike("^[a-z]+$"))
+        .distinct()
+        .select("_w", n_pieces.cast("long").alias("_np"))
+    )
+    exploded = d.select(
+        "lang", F.explode(_tk(F.lower(F.col("text")))).alias("_w")
+    ).where(F.col("_w").rlike("^[a-z]+$"))
+    return (
+        exploded.join(words, "_w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_np").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            (F.expr("n_pieces * 1000000 div n_words") / 1e6).alias("fertility"),
+        )
+    )
