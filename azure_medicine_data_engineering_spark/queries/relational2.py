@@ -1732,3 +1732,86 @@ def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("_c * 1000000 div t") / 1e6).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "brand_affinity_lift",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob),
+    singles AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY b),
+    pairs AS (
+      SELECT a.b AS brand_a, bb.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT brand_a, brand_b, n_pair, sa.c AS n_a, sb.c AS n_b,
+             (n_pair * t.n * 1000000 // (sa.c * sb.c)) / 1e6 AS lift
+      FROM pairs
+      JOIN singles sa ON sa.b = brand_a
+      JOIN singles sb ON sb.b = brand_b
+      CROSS JOIN tot t
+      WHERE n_pair >= 20
+    )
+    SELECT brand_a, brand_b, n_pair, n_a, n_b, lift
+    FROM scored
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def q_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-affinity lift matrix (the product-affinity staple FPGrowth
+    generalizes): orders collapse to distinct (order, brand), pairs
+    count via one order-keyed self-join (bounded by brands-per-order,
+    never brands^2 globally), lift = P(ab)/(P(a)P(b)) on the integer
+    micro grid with a min-support floor; top-20 under a fully
+    deterministic order. At 100 TB the pair join stays keyed on the
+    order id."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .persist()
+    )
+    tot = ob.agg(F.count_distinct("o").cast("long").alias("n"))
+    singles = ob.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = (
+        ob.alias("a")
+        .join(
+            ob.alias("bb"),
+            (F.col("a.o") == F.col("bb.o")) & (F.col("a.b") < F.col("bb.b")),
+        )
+        .groupBy(F.col("a.b").alias("brand_a"), F.col("bb.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 20)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("b", "brand_a").withColumnRenamed("c", "n_a")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("b", "brand_b").withColumnRenamed("c", "n_b")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (F.expr("n_pair * n * 1000000 div (n_a * n_b)") / 1e6).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+        .select("brand_a", "brand_b", "n_pair", "n_a", "n_b", "lift")
+    )
