@@ -214,6 +214,15 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "training_shard_manifest": (1, "bucket-summary offset window"),
     # one 1024-row rank-bucket offset window per RFM axis
     "rfm_segments_purchases": (3, "1024-row rank-bucket offset windows (r, f, m)"),
+    # 10-point prefix cumulation of the Heaps bucket frame
+    "heaps_law_fit_documents": (1, "10-point prefix cumulation"),
+    # per-segment CUSUM cumulative windows over the calendar-bounded day
+    # frame (left/right children; the full segment is agg-licensed)
+    "binary_segmentation_revenue": (2, "day-frame CUSUM cumulative windows"),
+    # calibration-residual rank window over the day-frame count-of-counts
+    "conformal_interval_daily_revenue": (1, "day-frame residual rank window"),
+    # KM suffix/cumulative + step-lead windows over the day-level frame
+    "rmst_signup_to_purchase": (1, "day-frame KM + lead windows"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
