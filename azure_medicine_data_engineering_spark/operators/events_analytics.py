@@ -943,3 +943,81 @@ def split_conformal_daily(
             (F.expr("n_covered * 1000000 div n_test") / 1e6).alias("coverage"),
         )
     )
+
+
+CCF_R_EXPR = (
+    "round((pk - sy / n * ak - sx / n * bk + npairs * (sx / n) * (sy / n)) / "
+    "sqrt((qx - sx / n * sx) * (qy - sy / n * sy)), 4)"
+)
+
+
+def ccf_revenue_vs_orders(
+    orders: DataFrame,
+    max_lag: int = 3,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    cache: bool = True,
+) -> DataFrame:
+    """Cross-correlation function between daily revenue (cents) and
+    daily order COUNT at lags −max_lag..+max_lag — the lead/lag
+    diagnostic ACF can't give (does volume lead value, or the reverse?).
+    Same day-frame shape as :func:`acf_daily_revenue`: exact
+    DECIMAL(38,0) sufficient statistics per lag via ONE keyed self-join
+    after a (2·max_lag+1)× map-side explode; the only doubles are the
+    shared ``CCF_R_EXPR`` on identical operands. Returns one row per lag
+    ``(k, npairs, r)`` (positive k: revenue at t vs count at t+k)."""
+    dec = "decimal(38,0)"
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+        .select(
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01")))
+            .cast("long")
+            .alias("dn"),
+            "x",
+            "y",
+        )
+    )
+    if cache:
+        daily = daily.persist()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx_d"),
+        F.sum(F.col("y").cast(dec)).alias("sy_d"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("qx_d"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("qy_d"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+    ).alias("k")
+    left = daily.select(F.col("dn"), F.col("x").alias("xt"), lags)
+    pairs = left.join(
+        daily.select(F.col("dn").alias("_dn2"), F.col("y").alias("yk")),
+        left["dn"] + F.col("k") == F.col("_dn2"),
+    )
+    per_lag = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("npairs"),
+        F.sum(F.col("xt").cast(dec) * F.col("yk")).alias("pk_d"),
+        F.sum(F.col("xt").cast(dec)).alias("ak_d"),
+        F.sum(F.col("yk").cast(dec)).alias("bk_d"),
+    )
+    final = (
+        per_lag.alias("l")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            F.col("l.k").cast("int").alias("k"),
+            "l.npairs",
+            F.col("l.pk_d").cast("double").alias("pk"),
+            F.col("l.ak_d").cast("double").alias("ak"),
+            F.col("l.bk_d").cast("double").alias("bk"),
+            "t.n",
+            F.col("t.sx_d").cast("double").alias("sx"),
+            F.col("t.sy_d").cast("double").alias("sy"),
+            F.col("t.qx_d").cast("double").alias("qx"),
+            F.col("t.qy_d").cast("double").alias("qy"),
+        )
+    )
+    return final.select("k", "npairs", F.expr(CCF_R_EXPR).alias("r"))

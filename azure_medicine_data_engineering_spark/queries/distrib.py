@@ -1327,3 +1327,49 @@ def q_triangle_stats_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return triangle_stats(edges)
+
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    CCF_R_EXPR,
+    ccf_revenue_vs_orders,
+)
+
+
+@register(
+    "ccf_revenue_vs_orders",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS qx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS qy
+      FROM daily
+    ),
+    lags AS (SELECT CAST(unnest(range(-3, 4)) AS BIGINT) AS k),
+    per_lag AS (
+      SELECT l.k, CAST(COUNT(*) AS BIGINT) AS npairs,
+             CAST(SUM(CAST(a.x AS HUGEINT) * b.y) AS DOUBLE) AS pk,
+             CAST(SUM(CAST(a.x AS HUGEINT)) AS DOUBLE) AS ak,
+             CAST(SUM(CAST(b.y AS HUGEINT)) AS DOUBLE) AS bk
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON a.dn + l.k = b.dn
+      GROUP BY l.k
+    )
+    SELECT CAST(per_lag.k AS INT) AS k, npairs, {CCF_R_EXPR} AS r
+    FROM per_lag, tot
+    """,
+)
+def q_ccf_revenue_vs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily revenue vs daily order count at lags
+    -3..+3 (``events_analytics.ccf_revenue_vs_orders``) — the lead/lag
+    diagnostic ACF can't give. Exact DECIMAL(38,0)/HUGEINT moments per
+    lag from one keyed day-frame self-join; shared finalization."""
+    return ccf_revenue_vs_orders(_t(spark, sf_dir, "orders"))

@@ -1493,3 +1493,35 @@ def test_rmst_hand_computed(spark):
     # tau before the first event: RMST == tau (S == 1 throughout)
     r2 = rmst(df, tau=2).collect()[0]
     assert r2["rmst_days"] == 2.0
+
+
+def test_ccf_planted_lead(spark):
+    """Count leads revenue by exactly 2 days (x_t = 100*y_{t-2} + noise):
+    the CCF must peak at k = -2 (revenue at t correlates with count at
+    t-2)."""
+    import datetime
+    import random
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        ccf_revenue_vs_orders,
+    )
+
+    rng = random.Random(21)
+    base = datetime.date(2023, 1, 1)
+    counts = [rng.randint(1, 12) for _ in range(64)]
+    rows = []
+    for i in range(64):
+        n_orders = counts[i]
+        lead = counts[i - 2] if i >= 2 else 1
+        for j in range(n_orders):
+            # total day revenue ~ 100 * count-two-days-ago (split per order)
+            rows.append(
+                (datetime.datetime.combine(base + datetime.timedelta(days=i),
+                                           datetime.time()),
+                 100.0 * lead / n_orders + rng.randint(0, 2) / 100.0)
+            )
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = {r["k"]: r["r"] for r in ccf_revenue_vs_orders(df, max_lag=3).collect()}
+    assert set(got) == set(range(-3, 4))
+    peak = max(got, key=lambda k: got[k])
+    assert peak == -2 and got[-2] > 0.9
