@@ -1488,3 +1488,78 @@ def q_corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+@register(
+    "score_separation_ks",
+    f"""
+    WITH w AS (
+      SELECT t.b,
+             CAST(('0x' || substr(md5('w|' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2001 - 1000 AS w_u
+      FROM (SELECT unnest(range(256)) AS b) t
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t.tk), 1, 8)) AS BIGINT) % 256 AS b
+      FROM documents, unnest({_TOKS.format(t='text')}) AS t(tk)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w_u) AS BIGINT) AS logit_u
+      FROM tok JOIN w USING (b)
+      GROUP BY doc_id
+    ),
+    probd AS (
+      SELECT ROUND(1.0 / (1.0 + exp(-(s.logit_u / (s.n_tokens * 1000.0)))), 4) AS v,
+             length(d.text) >= 170 AS f
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    byval AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM probd GROUP BY v
+    ),
+    cdf AS (
+      SELECT v,
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM byval
+    ),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2 FROM cdf),
+    scoredk AS (
+      SELECT v, t.n1, t.n2, CAST(abs(cum1 * t.n2 - cum2 * t.n1) AS BIGINT) AS dn
+      FROM cdf, tot t
+    ),
+    best AS (SELECT CAST(MAX(dn) AS BIGINT) AS d_num FROM scoredk),
+    s2 AS (
+      SELECT CAST(MAX(s.n1) AS BIGINT) AS n1, CAST(MAX(s.n2) AS BIGINT) AS n2,
+             CAST(MAX(s.dn) AS BIGINT) AS d_num, MIN(s.v) AS v_at_d
+      FROM scoredk s JOIN best b ON s.dn = b.d_num
+    )
+    SELECT n1, n2, d_num, v_at_d,
+           round(d_num * 1e0 / (n1 * 1e0 * n2), 4) AS d
+    FROM s2
+    """,
+)
+def q_score_separation_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-separation KS — the credit-scoring industry's classifier
+    metric (max CDF gap between the score distributions of positives and
+    negatives; 2·AUC−1-adjacent but locates WHERE on the score axis the
+    separation peaks, i.e. the natural cutoff): the served hashed-linear
+    probabilities vs the length>=170 label through the integer-exact KS
+    machinery (``rankstats.ks_two_sample``). The oracle replays serving,
+    the grouped CDF and the sup maximization end to end."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ks_two_sample,
+    )
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        hashed_linear_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_scores(d).join(
+        d.select("doc_id", (F.length("text") >= 170).alias("y")), "doc_id"
+    ).select("prob", F.when(F.col("y"), "pos").otherwise("neg").alias("cls"))
+    return ks_two_sample(scored, "prob", "cls", "pos")
