@@ -1799,3 +1799,66 @@ def power_sample_size(
             )
         ).alias("n_per_arm"),
     )
+
+
+#: guarded: a covariate constant in BOTH arms (pooled variance 0) has no
+#: scale — SMD is NULL rather than a divide-by-zero (ANSI) or ±inf.
+SMD_EXPR = (
+    "case when ((q1 / (n1 * 1e0) - (s1 / (n1 * 1e0)) * (s1 / (n1 * 1e0))) + "
+    "(q0 / (n0 * 1e0) - (s0 / (n0 * 1e0)) * (s0 / (n0 * 1e0)))) > 0e0 then "
+    "round((s1 / (n1 * 1e0) - s0 / (n0 * 1e0)) / "
+    "sqrt(((q1 / (n1 * 1e0) - (s1 / (n1 * 1e0)) * (s1 / (n1 * 1e0))) + "
+    "(q0 / (n0 * 1e0) - (s0 / (n0 * 1e0)) * (s0 / (n0 * 1e0)))) / 2e0), 4) end"
+)
+
+
+def covariate_balance(
+    df: DataFrame, treated: Column, covariates: list[str]
+) -> DataFrame:
+    """Covariate balance check via standardized mean differences — the
+    diagnostic quoted before ANY observational causal estimate (and
+    after matching/weighting): ``SMD = (x̄₁ − x̄₀)/√((v₁+v₀)/2)``
+    per covariate, |SMD| < 0.1 the conventional balance bar. Covariates
+    must be INTEGER-grid; per-arm sums and sums-of-squares accumulate in
+    DECIMAL(38,0) in ONE pass over all covariates, the SMD is one shared
+    expression per row. Returns one row per covariate
+    ``(covariate, n1, n0, smd, balanced)``."""
+    dec = "decimal(38,0)"
+    t = treated.cast("int").alias("_t")
+    aggs = [
+        F.sum(F.col("_t")).cast("long").alias("n1"),
+        F.sum(1 - F.col("_t")).cast("long").alias("n0"),
+    ]
+    for c in covariates:
+        for arm, pred in (("1", F.col("_t") == 1), ("0", F.col("_t") == 0)):
+            aggs.append(
+                F.sum(F.when(pred, F.col(c)).otherwise(0).cast(dec)).alias(f"_s{arm}_{c}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(pred, F.col(c).cast(dec) * F.col(c)).otherwise(
+                        F.lit(0).cast(dec)
+                    )
+                ).alias(f"_q{arm}_{c}")
+            )
+    wide = df.select(t, *[F.col(c) for c in covariates]).agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("covariate"),
+            F.col(f"_s1_{c}").cast("double").alias("s1"),
+            F.col(f"_s0_{c}").cast("double").alias("s0"),
+            F.col(f"_q1_{c}").cast("double").alias("q1"),
+            F.col(f"_q0_{c}").cast("double").alias("q0"),
+        )
+        for c in covariates
+    ]
+    exploded = wide.select(
+        "n1", "n0", F.explode(F.array(*rows)).alias("_r")
+    ).select("n1", "n0", "_r.*")
+    return exploded.select(
+        "covariate",
+        "n1",
+        "n0",
+        F.expr(SMD_EXPR).alias("smd"),
+        F.expr(f"coalesce(abs({SMD_EXPR}) < 0.1e0, true)").alias("balanced"),
+    )

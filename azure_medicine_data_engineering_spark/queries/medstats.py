@@ -1494,3 +1494,68 @@ def q_rmst_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rmst(
         time_to_event_days(events_table(spark, sf_dir)), tau=14
     )
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    SMD_EXPR,
+    covariate_balance,
+)
+
+
+@register(
+    "covariate_balance_parity_arms",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id
+    ),
+    wide AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n1,
+             CAST(SUM(1 - t) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(n_events AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s1_ne,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(n_events AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s0_ne,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(n_events AS HUGEINT) * n_events ELSE 0 END) AS DOUBLE) AS q1_ne,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(n_events AS HUGEINT) * n_events ELSE 0 END) AS DOUBLE) AS q0_ne,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s1_c,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s0_c,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS DOUBLE) AS q1_c,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS DOUBLE) AS q0_c,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(n_types AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s1_nt,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(n_types AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s0_nt,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(n_types AS HUGEINT) * n_types ELSE 0 END) AS DOUBLE) AS q1_nt,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(n_types AS HUGEINT) * n_types ELSE 0 END) AS DOUBLE) AS q0_nt
+      FROM per_user
+    ),
+    rows_ AS (
+      SELECT 'n_events' AS covariate, n1, n0, s1_ne AS s1, s0_ne AS s0, q1_ne AS q1, q0_ne AS q0 FROM wide
+      UNION ALL
+      SELECT 'cents', n1, n0, s1_c, s0_c, q1_c, q0_c FROM wide
+      UNION ALL
+      SELECT 'n_types', n1, n0, s1_nt, s0_nt, q1_nt, q0_nt FROM wide
+    )
+    SELECT covariate, n1, n0, {SMD_EXPR} AS smd,
+           coalesce(abs({SMD_EXPR}) < 0.1e0, true) AS balanced
+    FROM rows_
+    """,
+)
+def q_covariate_balance_parity_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance (``rankstats.covariate_balance``): standardized
+    mean differences of per-user activity covariates (event count, spend
+    cents, type diversity) between the id-parity arms — the diagnostic
+    quoted before any DiD/CUPED readout is believed (|SMD| < 0.1 = the
+    conventional bar; randomized parity arms should pass). One pass over
+    all covariates, DECIMAL(38,0)/HUGEINT exact moments, shared SMD
+    expression."""
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+    )
+    return covariate_balance(
+        per_user, F.col("user_id") % 2 == 0, ["n_events", "cents", "n_types"]
+    )

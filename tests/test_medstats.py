@@ -1525,3 +1525,35 @@ def test_ccf_planted_lead(spark):
     assert set(got) == set(range(-3, 4))
     peak = max(got, key=lambda k: got[k])
     assert peak == -2 and got[-2] > 0.9
+
+
+def test_covariate_balance_planted(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        covariate_balance,
+    )
+
+    rows = []
+    for i in range(200):
+        t = i % 2 == 0
+        bal = 50 + ((i // 2) % 10)               # same dist both arms
+        imb = 100 + (40 if t else 0) + (i % 5)    # shifted in treatment
+        const = 7                                 # zero variance
+        rows.append((t, bal, imb, const))
+    df = spark.createDataFrame(rows, "t boolean, bal long, imb long, const long")
+    got = {r["covariate"]: r for r in
+           covariate_balance(df, F.col("t"), ["bal", "imb", "const"]).collect()}
+    assert got["bal"]["balanced"] is True and abs(got["bal"]["smd"]) < 0.1
+    assert got["imb"]["balanced"] is False and got["imb"]["smd"] > 2
+    assert got["const"]["smd"] is None and got["const"]["balanced"] is True
+    # naive check for imb
+    a = [100 + 40 + (i % 5) for i in range(0, 200, 2)]
+    b = [100 + (i % 5) for i in range(1, 200, 2)]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((v - ma) ** 2 for v in a) / len(a)
+    vb = sum((v - mb) ** 2 for v in b) / len(b)
+    naive = (ma - mb) / math.sqrt((va + vb) / 2)
+    assert abs(got["imb"]["smd"] - naive) < 1e-3
