@@ -1563,3 +1563,137 @@ def q_score_separation_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", (F.length("text") >= 170).alias("y")), "doc_id"
     ).select("prob", F.when(F.col("y"), "pos").otherwise("neg").alias("cls"))
     return ks_two_sample(scored, "prob", "cls", "pos")
+
+
+@register(
+    "gains_table_quality_scores",
+    f"""
+    WITH w AS (
+      SELECT t.b,
+             CAST(('0x' || substr(md5('w|' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2001 - 1000 AS w_u
+      FROM (SELECT unnest(range(256)) AS b) t
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t.tk), 1, 8)) AS BIGINT) % 256 AS b
+      FROM documents, unnest({_TOKS.format(t='text')}) AS t(tk)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w_u) AS BIGINT) AS logit_u
+      FROM tok JOIN w USING (b)
+      GROUP BY doc_id
+    ),
+    probd AS (
+      SELECT s.doc_id,
+             CAST(ROUND(ROUND(1.0 / (1.0 + exp(-(s.logit_u / (s.n_tokens * 1000.0)))), 4) * 1e4) AS BIGINT)
+               * 10000000000 + s.doc_id AS ckey,
+             CASE WHEN length(d.text) >= 170 THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos_tot FROM probd),
+    ranked AS (
+      SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY ckey DESC) AS BIGINT) AS pos
+      FROM probd
+    ),
+    dec AS (
+      SELECT CAST((pos - 1) * 10 // t.n + 1 AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM ranked, tot t GROUP BY 1, t.n
+    ),
+    cum AS (
+      SELECT decile, n_docs, n_pos,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+      FROM dec
+    )
+    SELECT decile, n_docs, n_pos,
+           (n_pos * 1000000 // n_docs) / 1e6 AS pos_rate,
+           (cum_pos * 1000000 // t.pos_tot) / 1e6 AS cum_capture,
+           round((n_pos * 1e0 / n_docs) / (t.pos_tot * 1e0 / t.n), 4) AS lift
+    FROM cum, tot t
+    """,
+)
+def q_gains_table_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table — the model-eval capstone next to AUC,
+    the score-separation KS and the calibration bins (the marketing
+    question: 'if we act on the top 10%%, what fraction of positives do
+    we capture, and at what lift?'). Row-exact score deciles WITHOUT a
+    data-grain window: a composite key ``round(prob·1e4)·1e10 + doc_id``
+    makes every row's sort value UNIQUE, so the bucketed rank prefix sum
+    (``ranked_value_counts``, bounded 1024-row offset window) assigns
+    exact descending positions and ``decile = (pos−1)·10 div n + 1`` —
+    byte-identical to the oracle's ROW_NUMBER ordering. Per decile:
+    counts, positive rate, cumulative capture and lift on the micro
+    grid."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ranked_value_counts,
+    )
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        hashed_linear_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probd = hashed_linear_scores(d).join(
+        d.select("doc_id", (F.length("text") >= 170).cast("long").alias("y")),
+        "doc_id",
+    ).select(
+        (
+            F.round(F.col("prob") * 1e4).cast("long") * 10_000_000_000
+            + F.col("doc_id")
+        ).alias("ckey"),
+        "y",
+    )
+    ranked = ranked_value_counts(
+        probd.select("ckey", "y"),
+        "ckey",
+        extra_counts=[F.sum("y").cast("long").alias("ypos")],
+    )
+    tot = ranked.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum("ypos").cast("long").alias("pos_tot"),
+    )
+    # composite keys are unique: c_all == 1, descending pos = n - cnt_less
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(n - cnt_less - 1) * 10 div n + 1").cast("int").alias("decile"),
+            "ypos",
+            "n",
+            "pos_tot",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ypos").cast("long").alias("n_pos"),
+            F.max("n").alias("n"),
+            F.max("pos_tot").alias("pos_tot"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dec.select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            "n",
+            "pos_tot",
+            F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            (F.expr("n_pos * 1000000 div n_docs") / 1e6).alias("pos_rate"),
+            (F.expr("cum_pos * 1000000 div pos_tot") / 1e6).alias("cum_capture"),
+            F.expr(
+                "round((n_pos * 1e0 / n_docs) / (pos_tot * 1e0 / n), 4)"
+            ).alias("lift"),
+        )
+    )

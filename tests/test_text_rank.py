@@ -225,3 +225,19 @@ def test_heaps_fit_sublinear_vs_linear(spark):
     )
     b_lin = heaps_law_fit(lin).collect()[0]["beta"]
     assert b_lin > 0.9
+
+
+def test_gains_table_decile_partition(spark):
+    """The composite-key deciles must partition rows near-evenly and the
+    cumulative capture must be monotone to 1.0 (gate-level invariants;
+    the value-exactness is the oracle's job)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["gains_table_quality_scores"](spark, "/root/testdata/sf0.001")
+    rows = sorted((r["decile"], r) for r in df.collect())
+    assert [d for d, _ in rows] == list(range(1, 11))
+    n_total = sum(r["n_docs"] for _, r in rows)
+    assert all(abs(r["n_docs"] - n_total / 10) <= 1 for _, r in rows)
+    caps = [r["cum_capture"] for _, r in rows]
+    assert all(a <= b for a, b in zip(caps, caps[1:]))
+    assert caps[-1] == 1.0
