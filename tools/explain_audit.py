@@ -223,6 +223,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "conformal_interval_daily_revenue": (1, "day-frame residual rank window"),
     # KM suffix/cumulative + step-lead windows over the day-level frame
     "rmst_signup_to_purchase": (1, "day-frame KM + lead windows"),
+    # 1024-row bucket-offset window of the score-CDF prefix sum
+    "score_separation_ks": (1, "1024-row CDF-bucket offset window"),
+    # 1024-row rank-bucket offset window + the 10-row decile cum window
+    "gains_table_quality_scores": (2, "1024-row rank-bucket offset + 10-row decile cum"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
