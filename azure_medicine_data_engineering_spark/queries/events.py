@@ -1065,3 +1065,53 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(o, new, ["o_orderkey"], ["o_totalprice"])
+
+
+from azure_medicine_data_engineering_spark.operators.event_windows import (  # noqa: E402
+    bounce_rate_daily,
+)
+
+
+@register(
+    "bounce_rate_daily",
+    """
+    WITH tagged AS (
+      SELECT user_id AS u, ts AS t,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1
+                  WHEN epoch_us(ts) // 1000000
+                       - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) // 1000000
+                       > 1800 THEN 1
+                  ELSE 0 END AS newf
+      FROM events
+    ),
+    sess AS (
+      SELECT u, t, SUM(newf) OVER (PARTITION BY u ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM tagged
+    ),
+    per_sess AS (
+      SELECT u, sid, CAST(COUNT(*) AS BIGINT) AS n_ev, MIN(t) AS t0
+      FROM sess GROUP BY u, sid
+    )
+    SELECT strftime(CAST(t0 AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           (CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // COUNT(*)) / 1e6 AS bounce_rate
+    FROM per_sess GROUP BY 1
+    """,
+)
+def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over gap-based 30-minute sessions
+    (``operators/event_windows.py:bounce_rate_daily``): the classic
+    islands-and-gaps assembly with USER-KEYED lag + cumulative windows
+    (never global), single-event sessions flagged as bounces, sessions
+    dated to their first event. ISO day strings (driver-canon DATE
+    hazard); rates on the micro grid. The oracle replays the assembly
+    with the same keyed windows."""
+    ev = events_table(spark, sf_dir)
+    # second-granularity gap on both engines: cast to epoch seconds
+    return bounce_rate_daily(
+        ev.select("user_id", F.col("ts")), gap_seconds=1800
+    )

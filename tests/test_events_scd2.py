@@ -451,3 +451,33 @@ def test_split_conformal_coverage_on_planted_noise(spark):
     )
     r2 = split_conformal_daily(exact, alpha_pct=10).collect()[0]
     assert r2["q_cents"] == 0 and r2["coverage"] == 1.0
+
+
+def test_bounce_rate_sessions_planted(spark):
+    import datetime
+
+    from azure_medicine_data_engineering_spark.operators.event_windows import (
+        bounce_rate_daily,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    rows = [
+        # u1: two events 10 min apart -> ONE session (not a bounce)
+        (1, ts(0)), (1, ts(10)),
+        # u1: another event 2h later -> second session, bounce
+        (1, ts(130)),
+        # u2: single event -> bounce
+        (2, ts(5)),
+        # u3: events exactly 30min apart: gap == 1800 NOT > 1800 -> one session
+        (3, ts(0)), (3, ts(30)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: r for r in bounce_rate_daily(df).collect()}
+    r = got["2024-03-01"]
+    assert r["n_sessions"] == 4
+    assert r["n_bounces"] == 2
+    assert r["bounce_rate"] == 0.5
