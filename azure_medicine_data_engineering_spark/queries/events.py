@@ -1115,3 +1115,54 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounce_rate_daily(
         ev.select("user_id", F.col("ts")), gap_seconds=1800
     )
+
+
+@register(
+    "daily_new_vs_returning",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0 FROM events GROUP BY user_id
+    ),
+    daily_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN d = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN d > f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           (CAST(SUM(CASE WHEN d = f.d0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // COUNT(*)) / 1e6 AS new_share
+    FROM daily_users du JOIN first_seen f USING (user_id)
+    GROUP BY d
+    """,
+)
+def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users — the growth-accounting
+    staple (is activity growth acquisition or retention?): first-seen
+    day per user from one keyed min, daily distinct actives, the split
+    by comparing each active day to the user's first day. Two keyed
+    aggregations + one user-keyed join; ISO day strings; micro-grid
+    share."""
+    ev = events_table(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    daily_users = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    return (
+        daily_users.join(first_seen, "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum((F.col("d") == F.col("d0")).cast("long")).cast("long").alias("n_new"),
+            F.sum((F.col("d") > F.col("d0")).cast("long")).cast("long").alias("n_returning"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            "n_returning",
+            (F.expr("n_new * 1000000 div n_active") / 1e6).alias("new_share"),
+        )
+    )
