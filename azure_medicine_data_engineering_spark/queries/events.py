@@ -1166,3 +1166,72 @@ def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("n_new * 1000000 div n_active") / 1e6).alias("new_share"),
         )
     )
+
+
+@register(
+    "dau_mau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events
+    ),
+    span AS (SELECT CAST(MIN(d) AS BIGINT) AS dmin, CAST(MAX(d) AS BIGINT) AS dmax FROM ud),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    fan AS (
+      SELECT ud.user_id, ud.d + o.k AS d
+      FROM ud, (SELECT unnest(range(28)) AS k) o(k)
+    ),
+    mau AS (
+      SELECT f.d, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS mau
+      FROM fan f, span s
+      WHERE f.d BETWEEN s.dmin + 27 AND s.dmax
+      GROUP BY f.d
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(m.d AS INT), '%Y-%m-%d') AS day,
+           COALESCE(a.dau, 0) AS dau, m.mau,
+           (COALESCE(a.dau, 0) * 1000000 // m.mau) / 1e6 AS stickiness
+    FROM mau m LEFT JOIN dau a USING (d)
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the engagement ratio every growth report
+    leads with, computed EXACTLY without any sliding-distinct state:
+    each (user, active-day) row fans out map-side to the 28 trailing
+    day-buckets it supports, and trailing-28-day MAU is one
+    count-distinct per day bucket (keyed aggregation; the fan-out is
+    28× the user-day frame, never the event fact). Days before a full
+    window drop; ISO day strings; micro-grid ratio."""
+    ev = events_table(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("d"),
+    ).distinct().persist()
+    span = ud.agg(
+        F.min("d").cast("long").alias("dmin"), F.max("d").cast("long").alias("dmax")
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(k) for k in range(28)])).alias("_k"),
+        F.col("d").alias("_d0"),
+    ).select("user_id", (F.col("_d0") + F.col("_k")).alias("d"))
+    mau = (
+        fan.crossJoin(F.broadcast(span))
+        .where((F.col("d") >= F.col("dmin") + 27) & (F.col("d") <= F.col("dmax")))
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        mau.join(dau, "d", "left")
+        .select(
+            F.date_format(
+                F.expr("date_add(to_date('1970-01-01'), cast(d as int))"),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            "mau",
+            (F.expr("coalesce(dau, 0) * 1000000 div mau") / 1e6).alias("stickiness"),
+        )
+    )
