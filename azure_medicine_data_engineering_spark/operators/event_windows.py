@@ -69,23 +69,18 @@ def bounce_rate_daily(
     after is session/day-frame sized."""
     from pyspark.sql.window import Window
 
-    w_u = Window.partitionBy(user_col).orderBy(ts_col)
+    w_u = Window.partitionBy("u").orderBy("t")
     tagged = events.select(
         F.col(user_col).alias("u"), F.col(ts_col).alias("t")
     ).withColumn(
         "_new",
         F.when(
-            F.col("t").cast("long")
-            - F.lag(F.col("t").cast("long")).over(
-                Window.partitionBy("u").orderBy("t")
-            )
+            F.col("t").cast("long") - F.lag(F.col("t").cast("long")).over(w_u)
             > gap_seconds,
             1,
         )
         .otherwise(
-            F.when(
-                F.lag("t").over(Window.partitionBy("u").orderBy("t")).isNull(), 1
-            ).otherwise(0)
+            F.when(F.lag("t").over(w_u).isNull(), 1).otherwise(0)
         ),
     )
     w_cum = (

@@ -266,6 +266,7 @@ def bpe_merge_train(
     df: DataFrame,
     n_merges: int = 12,
     text_col: str = "text",
+    batch_k: int = 1,
 ) -> DataFrame:
     """BPE merge-loop tokenizer TRAINING (Sennrich et al. 2016): the
     iterative half of the subword story next to the counting pass
@@ -297,7 +298,31 @@ def bpe_merge_train(
     (word-table-sized) and stashed on ``_stage_caches`` (caller-owned
     lifecycle, repo convention). At 100 TB the word table is the corpus
     vocabulary — millions of rows, not corpus-sized — which is what makes
-    the per-round shuffles cheap."""
+    the per-round shuffles cheap.
+
+    ``batch_k > 1`` enables BATCHED training (the standard parallel-BPE
+    trick; round-5 verdict ask #4): each round collects the bounded
+    top-``8*batch_k`` pair candidates (driver-side, <= a few hundred
+    rows — NOT a data-sized collect), greedily selects up to ``batch_k``
+    pairs whose symbol sets are mutually disjoint AND whose merged
+    concatenations don't collide with any other selected pair's symbols
+    or concat (so no selected rewrite can create or destroy another
+    selected pair's occurrences), and applies them all in ONE chained
+    leftmost-non-overlapping rewrite. This turns an ``n_merges``-round
+    sequential loop (one Spark job per merge — unusable at 30k-merge
+    production vocabs) into ``~n_merges/batch_k`` rounds. ``batch_k=1``
+    reproduces the sequential path EXACTLY (pytest-pinned); for
+    ``batch_k>1`` the selection can LEGALLY diverge from sequential BPE:
+    after the round's #1 merge, sequential BPE re-counts and may find a
+    brand-new pair involving the merged symbol that outranks the stale
+    #2 — batched selection uses the round-start counts by construction
+    (planted divergence case pinned in ``tests/test_bpe_batched.py``).
+    Reported ``pair_count`` is the round-start count each pair was
+    selected on. Lineage: each round ends in an eager ``localCheckpoint``
+    (the word frame is vocabulary-sized), so analysis cost stays linear
+    in rounds and the previous round's blocks are released on GC."""
+    if batch_k > 1:
+        return _bpe_merge_train_batched(df, n_merges, text_col, batch_k)
     words = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
         .where(F.col("_w").rlike("^[a-z]+$"))
@@ -366,6 +391,91 @@ def bpe_merge_train(
     for m in merges[1:]:
         out = out.unionByName(m)
     out._stage_caches = caches
+    return out
+
+
+def _bpe_merge_train_batched(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+    batch_k: int,
+) -> DataFrame:
+    """Batched BPE merge-loop body (see :func:`bpe_merge_train` docstring
+    for semantics and the non-interference proof sketch). Per round:
+    ONE keyed pair-count shuffle + ONE bounded ``top-8*batch_k`` collect
+    + ONE chained-replace map-only rewrite + an eager localCheckpoint.
+    The collect is candidate-list-sized (hundreds of rows), never
+    data-sized; per-round wall-clock is recorded on the result as
+    ``_round_secs`` so runners can report scaling (SCALE.md)."""
+    import time as _time
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+        .where(F.col("_w").rlike("^[a-z]+$"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .select(F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f")
+    )
+    cur = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    round_secs: list[float] = []
+    while len(merges) < n_merges:
+        t0 = _time.monotonic()
+        k = min(batch_k, n_merges - len(merges))
+        toks = cur.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|").alias("l"),
+            "f",
+        )
+        pairs = toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("l", 1, F.size("l") - 1).alias("a"),
+                    F.slice(F.col("l"), 2, F.size("l") - 1).alias("b"),
+                )
+            ).alias("p"),
+            "f",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "f")
+        cand = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(8 * batch_k)
+            .collect()
+        )
+        if not cand:
+            break
+        # Greedy symbol-disjoint selection: a pick (a, b) reserves a, b,
+        # and a+b; later candidates touching any reserved string are
+        # skipped this round (they stay eligible next round). The first
+        # candidate always passes (used starts empty), so every round
+        # makes progress and batch_k=1 degenerates to the exact argmax.
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for r in cand:
+            if len(picked) >= k:
+                break
+            a, b, cnt = r["a"], r["b"], int(r["cnt"])
+            if a in used or b in used or (a + b) in used:
+                continue
+            picked.append((a, b, cnt))
+            used.update((a, b, a + b))
+        for a, b, cnt in picked:
+            merges.append((len(merges) + 1, a, b, cnt))
+        col = F.col("s")
+        for a, b, _cnt in picked:
+            col = F.replace(
+                col,
+                F.concat(F.lit("|"), F.lit(a), F.lit("||"), F.lit(b), F.lit("|")),
+                F.concat(F.lit("|"), F.lit(a + b), F.lit("|")),
+            )
+        cur = cur.select(col.alias("s"), "f").localCheckpoint(eager=True)
+        round_secs.append(_time.monotonic() - t0)
+    out = spark.createDataFrame(
+        merges, "merge_idx int, left_sym string, right_sym string, pair_count long"
+    )
+    out._round_secs = round_secs
+    out._stage_caches = [cur]
     return out
 
 

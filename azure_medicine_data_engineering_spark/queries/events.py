@@ -1223,7 +1223,7 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count_distinct("user_id").cast("long").alias("mau"))
     )
-    return (
+    out = (
         mau.join(dau, "d", "left")
         .select(
             F.date_format(
@@ -1235,3 +1235,5 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("coalesce(dau, 0) * 1000000 div mau") / 1e6).alias("stickiness"),
         )
     )
+    out._stage_caches = [ud]
+    return out

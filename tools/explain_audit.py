@@ -227,6 +227,13 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "score_separation_ks": (1, "1024-row CDF-bucket offset window"),
     # 1024-row rank-bucket offset window + the 10-row decile cum window
     "gains_table_quality_scores": (2, "1024-row rank-bucket offset + 10-row decile cum"),
+    # 1024-row bucket-offset window of the value rank prefix sum (same
+    # class as mann_whitney_click_vs_view; functions/rankstats.py:1569)
+    "rank_biserial_click_vs_view": (1, "1024-row rank-bucket offset window"),
+    # global-ordered suffix/cumulative windows over the day-level NA
+    # summary frame (same class as kaplan_meier_signup_to_purchase;
+    # operators/survival.py:236-241)
+    "nelson_aalen_signup_to_purchase": (2, "day-frame NA suffix/cum windows"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of

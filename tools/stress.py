@@ -186,7 +186,79 @@ def main() -> None:
     ev.count()
     run("funnel", funnel_counts(ev, ["view", "click", "purchase"]))
     run("retention_cohorts", retention_cohorts(ev))
+
+    # statistics family at N× (round-5 verdict ask #5): the bucketed
+    # rank-prefix-sum claim ("survives any row count — no global
+    # Window.orderBy anywhere") gets a measured multi-10M-row data
+    # point. mann_whitney ranks the full replicated event fact; the
+    # stratified twin ranks it again WITHIN day-of-week strata (keyed
+    # windows, zero single-partition); the Pareto deciles ride the same
+    # ranked_value_counts over the replicated customer-spend frame.
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        mann_whitney_by_group,
+        mann_whitney_u,
+        ranked_value_counts,
+    )
+
+    cv = ev.where(F.col("event_type").isin("click", "view"))
+    t0 = time.time()
+    mw = mann_whitney_u(cv, "value", "event_type", "click").collect()
+    timings["mann_whitney"] = round(time.time() - t0, 2)
+    assert mw[0]["n1"] + mw[0]["n2"] > 0
+
+    t0 = time.time()
+    strat = mann_whitney_by_group(
+        cv.withColumn(
+            "dow",
+            F.pmod(
+                F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))),
+                7,
+            ).cast("long"),
+        ),
+        "dow",
+        "value",
+        "event_type",
+        "click",
+    ).collect()
+    timings["mann_whitney_stratified_dow"] = round(time.time() - t0, 2)
+    assert len(strat) == 7, len(strat)
     ev.unpersist()
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    t0 = time.time()
+    ranked = ranked_value_counts(spend, "cents")
+    tot = ranked.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(F.col("c_all") * F.col("v")).cast("long").alias("t"),
+    )
+    spans = (
+        ranked.alias("a")
+        .crossJoin(F.broadcast(tot).alias("b"))
+        .select(
+            "a.v",
+            (F.col("b.n") - F.col("a.cnt_less")).alias("hi"),
+            (F.col("b.n") - F.col("a.cnt_less") - F.col("a.c_all")).alias("lo0"),
+            "b.n",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        )
+    )
+    b_hi = F.expr("decile * (n div 10) + least(decile, n % 10)")
+    b_lo = F.expr("(decile - 1) * (n div 10) + least(decile - 1, n % 10)")
+    overl = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("hi"), b_hi) - F.greatest(F.col("lo0"), b_lo),
+    )
+    deciles = (
+        spans.select("decile", overl.alias("k"), "v")
+        .where(F.col("k") > 0)
+        .groupBy("decile")
+        .agg(F.sum("k").cast("long").alias("n_customers"))
+        .collect()
+    )
+    timings["revenue_pareto_deciles"] = round(time.time() - t0, 2)
+    assert len(deciles) == 10 and sum(r["n_customers"] for r in deciles) > 0
 
     run("bm25", bm25_scores(docs, ["spark", "table", "query"]))
 
