@@ -70,6 +70,7 @@ def categorized_summary(
     categories: list[str],
     include_all: bool = True,
     round_digits: int | None = 4,
+    counted_median_metrics: list[str] | None = None,
 ) -> DataFrame:
     """Grouping-sets summary over ``categories`` (+ optional grand total).
 
@@ -79,12 +80,29 @@ def categorized_summary(
 
     Single-pass plan: GROUPING SETS computes all agg×metric cells in one
     shuffle; ``stack`` unpivots agg-fns into rows (no extra shuffle).
+
+    ``counted_median_metrics`` (aliases) routes those metrics'
+    ``approx_median`` cells through an EXACT count-by-value median
+    instead of the KLL-style sketch — the right plan for low-cardinality
+    metrics (quantities, discount grids: tens of distinct values), where
+    per-row sketch updates cost ~4× a hash-count and the counting state
+    (one row per distinct value per fine group) is smaller than the
+    sketch. Exact values trivially satisfy the sketch's published rank
+    guarantee, so gate semantics are unchanged; high-cardinality metrics
+    keep the sketch. See :func:`_counted_medians` for the plan.
     """
     if not metrics or not aggs:
         raise ValueError("metrics and aggs must be non-empty")
     unknown = [a for a in aggs if a not in AGG_FUNCTIONS]
     if unknown:
         raise ValueError(f"unknown aggregations: {unknown}")
+    counted = [
+        alias
+        for _, alias in metrics
+        if counted_median_metrics
+        and alias in counted_median_metrics
+        and "approx_median" in aggs
+    ]
 
     cats = list(categories)
     sets = [(c,) for c in cats] + ([()] if include_all else [])
@@ -106,6 +124,12 @@ def categorized_summary(
     for a in aggs:
         fn = AGG_FUNCTIONS[a]
         for src, alias in metrics:
+            if a == "approx_median" and alias in counted:
+                # cell filled post-stack from the exact counting branch
+                agg_cols.append(
+                    F.lit(None).cast("double").alias(f"__{a}__{alias}")
+                )
+                continue
             expr = fn(src).cast("double")
             if round_digits is not None:
                 expr = F.round(expr, round_digits)
@@ -126,8 +150,142 @@ def categorized_summary(
             f"stack({len(aggs)}, {', '.join(stack_args)}) as ({out_names})"
         ),
     )
-    return stacked.select(
+    stacked = stacked.select(
         "Division", "DivisionCategory", "aggregation", *[alias for _, alias in metrics]
+    )
+    if not counted:
+        return stacked
+    meds = _counted_medians(
+        df,
+        [(src, alias) for src, alias in metrics if alias in counted],
+        cats,
+        include_all,
+        round_digits,
+    )
+    aliases = [alias for _, alias in metrics]
+    return stacked.join(
+        F.broadcast(meds),
+        ["Division", "DivisionCategory"],
+        "left",
+    ).select(
+        "Division",
+        "DivisionCategory",
+        "aggregation",
+        *[
+            (
+                F.when(
+                    F.col("aggregation") == "approx_median",
+                    F.col(f"__med_{alias}"),
+                ).otherwise(F.col(alias)).alias(alias)
+                if alias in counted
+                else F.col(alias)
+            )
+            for alias in aliases
+        ],
+    )
+
+
+def _counted_medians(
+    df: DataFrame,
+    metrics: list[tuple[str, str]],
+    cats: list[str],
+    include_all: bool,
+    round_digits: int | None,
+) -> DataFrame:
+    """Exact per-grouping-set medians by value counting, for
+    low-cardinality metrics: one map-side-combined shuffle collapses the
+    fact to ``(fine cats, metric, value, count)`` (state = one row per
+    distinct value per fine group — BOUNDED by the value grid, smaller
+    than a quantile sketch for grids of tens of values and exactly
+    mergeable, the 100 TB property the sketch only approximates); each
+    fine row then explodes into its grouping-set fates (one row per set —
+    the union-free fate pattern), a second tiny keyed shuffle re-counts
+    per (Division, DivisionCategory, metric, value), and the
+    percentile_cont(0.5) median interpolates the two middle ranks from a
+    keyed cumulative window over the value-count frame (group-keyed,
+    value-grid-bounded — never data-grain). Returns one row per
+    (Division, DivisionCategory) with ``__med_<alias>`` columns."""
+    from pyspark.sql.window import Window
+
+    pairs = df.select(
+        *[F.col(c) for c in cats],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(alias).alias("m"),
+                        F.col(src).cast("double").alias("v"),
+                    )
+                    for src, alias in metrics
+                ]
+            )
+        ).alias("_p"),
+    ).select(*cats, F.col("_p.m").alias("m"), F.col("_p.v").alias("v"))
+    fine = (
+        pairs.where(F.col("v").isNotNull())
+        .groupBy(*cats, "m", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fates = [
+        F.struct(
+            F.lit(c).alias("Division"),
+            F.col(c).cast("string").alias("DivisionCategory"),
+        )
+        for c in cats
+    ] + (
+        [
+            F.struct(
+                F.lit(ALL_LABEL).alias("Division"),
+                F.lit(ALL_LABEL).alias("DivisionCategory"),
+            )
+        ]
+        if include_all
+        else []
+    )
+    per_set = (
+        fine.select(F.explode(F.array(*fates)).alias("_f"), "m", "v", "c")
+        .select("_f.Division", "_f.DivisionCategory", "m", "v", "c")
+        .groupBy("Division", "DivisionCategory", "m", "v")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("Division", "DivisionCategory", "m")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("Division", "DivisionCategory", "m")
+    ranked = per_set.select(
+        "Division",
+        "DivisionCategory",
+        "m",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_n).alias("n"),
+    )
+    # 1-based middle ranks r1 = (n+1) div 2, r2 = n div 2 + 1; the value
+    # holding rank r is the unique row with cum - c < r <= cum.
+    r1 = F.expr("(n + 1) div 2")
+    r2 = F.expr("n div 2 + 1")
+    med = (
+        ranked.groupBy("Division", "DivisionCategory", "m")
+        .agg(
+            F.min(
+                F.when((F.col("cum") - F.col("c") < r1) & (r1 <= F.col("cum")), F.col("v"))
+            ).alias("v1"),
+            F.min(
+                F.when((F.col("cum") - F.col("c") < r2) & (r2 <= F.col("cum")), F.col("v"))
+            ).alias("v2"),
+        )
+        .withColumn("med", (F.col("v1") + F.col("v2")) / 2e0)
+    )
+    if round_digits is not None:
+        med = med.withColumn("med", F.round("med", round_digits))
+    return med.groupBy("Division", "DivisionCategory").agg(
+        *[
+            F.max(F.when(F.col("m") == alias, F.col("med"))).alias(f"__med_{alias}")
+            for _, alias in metrics
+        ]
     )
 
 

@@ -653,3 +653,52 @@ def bpe_merge_train_by_group(
         out = out.unionByName(m)
     out._stage_caches = caches
     return out
+
+
+#: Chao1 species-richness estimate from the count-of-counts frame:
+#: vocab + F1^2 / (2 F2), the classic singleton/doubleton lower bound.
+CHAO1_EXPR = (
+    "round(vocab + case when f2 = 0 then 0e0 "
+    "else f1 * 1e0 * f1 / (2e0 * f2) end, 4)"
+)
+
+
+def good_turing_ngram_mass(
+    df: DataFrame, n: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Good-Turing unseen-mass and Chao1 vocabulary-richness estimates
+    over the corpus n-gram distribution — the smoothing/coverage
+    diagnostics behind Katz-style LM backoff and "how much of the
+    n-gram space has this corpus actually seen" curation questions
+    (extends the n-gram LM family, :mod:`text_rank`; no reference
+    counterpart — its text handling stops at label normalization,
+    ``HypothesisTestingPrediction.scala:107-115``).
+
+    One shingle explode + one keyed count + ONE global aggregation to
+    four integers: total n-gram tokens N, distinct V, singletons F1,
+    doubletons F2. ``p0_unseen = F1/N`` (Good-Turing estimate of the
+    probability mass on unseen n-grams) on the integer micro grid;
+    ``chao1 = V + F1²/(2·F2)`` via the shared expression. Scale: the
+    only shuffle is the n-gram count (map-side combine); the
+    count-of-counts state is one row."""
+    from azure_medicine_data_engineering_spark.operators import dedup
+
+    counts = (
+        df.select(F.explode(dedup.word_shingles(F.col(text_col), n)).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scal = counts.agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return scal.select(
+        "n_grams",
+        "vocab",
+        "f1",
+        "f2",
+        (F.expr("f1 * 1000000 div n_grams") / 1e6).alias("p0_unseen"),
+        F.expr(CHAO1_EXPR).alias("chao1"),
+    )

@@ -1373,3 +1373,151 @@ def q_ccf_revenue_vs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic ACF can't give. Exact DECIMAL(38,0)/HUGEINT moments per
     lag from one keyed day-frame self-join; shared finalization."""
     return ccf_revenue_vs_orders(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: HBOS anomaly top-k, empirical-Bayes source-rate shrinkage,
+# jackknife source influence.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    EB_SHRUNK_EXPR,
+    HBOS_EXPR,
+    JACKKNIFE_INF_EXPR,
+    eb_shrink_rates,
+    hbos_topk,
+    jackknife_group_influence,
+)
+
+
+@register(
+    "hbos_anomaly_orders",
+    f"""
+    WITH src AS (
+      SELECT o_orderkey AS rid, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderpriority AS cat
+      FROM orders
+    ),
+    bounds AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS cmin, CAST(MAX(c) AS BIGINT) AS cmax FROM src
+    ),
+    binned AS (
+      SELECT s.rid, s.cat,
+             LEAST(9, (s.c - b.cmin) * 10 // (b.cmax - b.cmin + 1)) AS bin
+      FROM src s, bounds b
+    ),
+    bcnt AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS bc FROM binned GROUP BY bin),
+    ccnt AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS pc FROM binned GROUP BY cat),
+    tot AS (SELECT CAST(SUM(bc) AS BIGINT) AS n FROM bcnt)
+    SELECT rid AS o_orderkey, CAST(bin AS INT) AS bin, cat AS o_orderpriority,
+           {HBOS_EXPR} AS hbos
+    FROM binned JOIN bcnt USING (bin) JOIN ccnt USING (cat) CROSS JOIN tot
+    ORDER BY hbos DESC, rid
+    LIMIT 20
+    """,
+)
+def q_hbos_anomaly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score top-20 over orders
+    (``rankstats.hbos_topk``; Goldstein & Dengel 2012): equal-width
+    cents-grid price bins × order-priority frequencies, score =
+    ``−ln(p_bin) − ln(p_cat)`` via the shared expression — the
+    unsupervised anomaly screen next to the z-score / MAD / Grubbs
+    family. Top-k is a TakeOrderedAndProject with an orderkey
+    tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    out = hbos_topk(
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderpriority",
+        ),
+        "o_orderkey",
+        "cents",
+        "o_orderpriority",
+        n_bins=10,
+        k=20,
+    )
+    res = out.select(
+        F.col("rid").alias("o_orderkey"),
+        "bin",
+        F.col("cat").alias("o_orderpriority"),
+        "hbos",
+    )
+    res._stage_caches = out._stage_caches
+    return res
+
+
+@register(
+    "eb_shrunken_source_rates",
+    f"""
+    WITH pg AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CASE WHEN list_contains(
+               string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+               'spark') THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM documents GROUP BY source
+    ),
+    pg2 AS (SELECT g, n_g, x, x * 1000000 // n_g AS p_u FROM pg),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(p_u) AS BIGINT) AS sp,
+             CAST(SUM(p_u * p_u) AS BIGINT) AS sp2
+      FROM pg2
+    )
+    SELECT g, x, n_g, p_u / 1e6 AS raw_rate, {EB_SHRUNK_EXPR} AS shrunk_rate
+    FROM pg2 CROSS JOIN scal
+    """,
+)
+def q_eb_shrunken_source_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunken per-source "mentions spark" rates
+    (``rankstats.eb_shrink_rates``) — the source-quality league table
+    done right: each source's raw binary rate is pulled toward the grand
+    mean by the beta prior the between-source variance supports
+    (method of moments), so small sources can't top the ranking on
+    noise. The success indicator is membership of the normalized token
+    list — the same normalization as the dedup shingle family."""
+    from azure_medicine_data_engineering_spark.operators.text import normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return eb_shrink_rates(
+        docs.select(
+            "source",
+            F.array_contains(
+                F.split(normalized_text(F.col("text")), " "), "spark"
+            ).alias("_hit"),
+        ),
+        "source",
+        F.col("_hit"),
+    )
+
+
+@register(
+    "jackknife_source_influence",
+    f"""
+    WITH pg AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(n_chars) AS BIGINT) AS t_g
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n_all, CAST(SUM(t_g) AS BIGINT) AS t_all
+      FROM pg
+    ),
+    j AS (
+      SELECT g, n_g, t_all * 1000000 // n_all AS all_u,
+             CASE WHEN n_all > n_g
+                  THEN (t_all - t_g) * 1000000 // (n_all - n_g) END AS loo_u
+      FROM pg CROSS JOIN tot
+    )
+    SELECT g, n_g, all_u / 1e6 AS mean_all, loo_u / 1e6 AS loo_mean,
+           {JACKKNIFE_INF_EXPR} AS influence
+    FROM j
+    """,
+)
+def q_jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out jackknife influence of each source on the
+    corpus mean document length (``rankstats.jackknife_group_influence``)
+    — "is one source dragging the statistic": one keyed aggregation, one
+    1-row total, micro-grid integer means, shared influence
+    finalization."""
+    docs = _t(spark, sf_dir, "documents")
+    return jackknife_group_influence(docs, "source", "n_chars")

@@ -1559,3 +1559,51 @@ def q_covariate_balance_parity_arms(spark: SparkSession, sf_dir: str) -> DataFra
     return covariate_balance(
         per_user, F.col("user_id") % 2 == 0, ["n_events", "cents", "n_types"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: per-day-of-week Wilson conversion intervals.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    wilson_ci_by_group,
+)
+
+
+@register(
+    "wilson_ci_purchase_by_dow",
+    f"""
+    WITH src AS (
+      SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS g,
+             event_type = 'purchase' AS s
+      FROM events
+    ),
+    cells AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM src GROUP BY g
+    )
+    SELECT g, n, x, (x * 1000000 // n) / 1e6 AS p_hat,
+           {WILSON_LO_EXPR} AS p_lo, {WILSON_HI_EXPR} AS p_hi
+    FROM cells
+    """,
+)
+def q_wilson_ci_purchase_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-of-week purchase-rate Wilson 95% score intervals
+    (``rankstats.wilson_ci_by_group``) — the per-segment conversion CI
+    chart every growth dashboard draws; the score interval stays honest
+    at small n and extreme rates where the Wald interval collapses.
+    Engine-neutral epoch-day % 7 strata; integer cells, shared Wilson
+    finalizations."""
+    ev = events_table(spark, sf_dir)
+    return wilson_ci_by_group(
+        ev.select(
+            F.pmod(
+                F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))),
+                7,
+            ).cast("long").alias("dow"),
+            (F.col("event_type") == "purchase").alias("_s"),
+        ),
+        "dow",
+        F.col("_s"),
+    )

@@ -612,7 +612,12 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented scale knob for the flagship: same grouping-sets plan
     with approx_median (KLL-style sketch, mergeable across partitions)
     replacing the exact percentile — the only part of the exact plan whose
-    state grows with distinct-value count.
+    state grows with distinct-value count. Round 6: the two
+    low-cardinality metrics (qty: 50 distinct values, disc: 11) ride the
+    EXACT count-by-value branch instead (``counted_median_metrics`` —
+    bounded mergeable state, ~20% faster than sketching them, and exact
+    values satisfy the rank guarantee by construction); only the
+    583k-distinct price keeps the sketch.
 
     Oracle contract: the sum/min/max/count/avg_stable rows hash exactly
     against DuckDB. The sketch values are engine-specific, so the
@@ -628,7 +633,8 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     metric_aliases = [alias for _, alias in _CS_METRICS]
     summ = categorized_summary(
-        li, _CS_METRICS, _CS_FAST_AGGS + ["approx_median"], _CS_CATS
+        li, _CS_METRICS, _CS_FAST_AGGS + ["approx_median"], _CS_CATS,
+        counted_median_metrics=["qty", "disc"],
     )
     exact_rows = summ.where(F.col("aggregation") != "approx_median")
     am = summ.where(F.col("aggregation") == "approx_median").select(

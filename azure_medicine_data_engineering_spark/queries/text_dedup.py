@@ -2258,3 +2258,49 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("n_pieces * 1000000 div n_words") / 1e6).alias("fertility"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: Good-Turing unseen mass + Chao1 richness over corpus 4-grams.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.text import (  # noqa: E402
+    CHAO1_EXPR,
+    good_turing_ngram_mass,
+)
+
+
+@register(
+    "good_turing_4gram_mass",
+    f"""
+    WITH sh AS (
+      SELECT {_shingles_sql(_NORM.format(t='text'), 4)} AS grams FROM documents
+    ),
+    flat AS (SELECT unnest(grams) AS gr FROM sh),
+    counts AS (SELECT gr, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY gr),
+    scal AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM counts
+    )
+    SELECT n_grams, vocab, f1, f2,
+           (f1 * 1000000 // n_grams) / 1e6 AS p0_unseen,
+           {CHAO1_EXPR} AS chao1
+    FROM scal
+    """,
+)
+def q_good_turing_4gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability-mass and Chao1 vocabulary-richness
+    estimates over the corpus 4-gram distribution
+    (``text.good_turing_ngram_mass``) — the LM-smoothing / corpus-coverage
+    diagnostics: how much 4-gram probability mass sits on sequences the
+    corpus has never seen, and how many distinct 4-grams the underlying
+    process likely has. 4-grams (not 3) because the synthetic corpus's
+    31-word vocabulary saturates trigrams at sf0.1 (F1 → 0 — a degenerate
+    but honest statistic); the 4-gram space stays sparse at every SF."""
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return good_turing_ngram_mass(docs, n=4)

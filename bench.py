@@ -87,6 +87,9 @@ def _categorized_summary_fast_operator(spark, sf_dir):
         li, _CS_METRICS,
         ["sum", "min", "max", "count", "avg_stable", "approx_median"],
         _CS_CATS,
+        # low-cardinality metrics ride the exact counting branch (round-6
+        # hybrid); only the 583k-distinct price keeps the sketch
+        counted_median_metrics=["qty", "disc"],
     )
 
 

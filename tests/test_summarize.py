@@ -99,3 +99,64 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "cat string, m double")
     out = categorized_summary(df, [("m", "m")], ["sum", "count"], ["cat"])
     assert out.count() == 0
+
+
+def test_counted_median_equals_sketchless_exact(frame):
+    """counted_median_metrics routes approx_median cells through the
+    exact count-by-value branch: values must equal the exact percentile
+    (interpolated) and every other cell must be untouched."""
+    aggs = ["sum", "count", "approx_median"]
+    hybrid = _as_map(
+        categorized_summary(
+            frame, [("m1", "m1"), ("m2", "m2")], aggs, ["cat1", "cat2"],
+            counted_median_metrics=["m1", "m2"],
+        )
+    )
+    exact = _as_map(
+        categorized_summary(
+            frame, [("m1", "m1"), ("m2", "m2")], ["median"], ["cat1", "cat2"]
+        )
+    )
+    plain = _as_map(
+        categorized_summary(
+            frame, [("m1", "m1"), ("m2", "m2")], aggs, ["cat1", "cat2"]
+        )
+    )
+    assert set(hybrid) == set(plain)
+    for k, v in hybrid.items():
+        if k[2] == "approx_median":
+            assert v == exact[(k[0], k[1], "median")], (k, v)
+        else:
+            assert v == plain[k], (k, v)
+
+
+def test_counted_median_partial_selection(frame):
+    """Only the listed alias rides the counting branch; the other keeps
+    the sketch (here both equal the exact median on tiny data)."""
+    out = _as_map(
+        categorized_summary(
+            frame, [("m1", "m1"), ("m2", "m2")], ["approx_median"],
+            ["cat1"], counted_median_metrics=["m2"],
+        )
+    )
+    # m2 rides the counting branch (exact, interpolated); m1 keeps the
+    # sketch, which returns an ACTUAL value (lower middle), not an
+    # interpolation: median of (3,4) -> 3.0, of (1,2,3,4) -> 2.0
+    assert out[("cat1", "b", "approx_median")] == (3.0, 30.0)
+    assert out[("All", "All", "approx_median")] == (2.0, 20.0)
+
+
+def test_counted_median_all_null_group(spark):
+    """A group whose counted metric is entirely NULL yields NULL (the
+    sketch's behavior) rather than dropping the row."""
+    rows = [("a", None), ("a", None), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "cat1 string, m1 double")
+    out = _as_map(
+        categorized_summary(
+            df, [("m1", "m1")], ["approx_median"], ["cat1"],
+            counted_median_metrics=["m1"],
+        )
+    )
+    assert out[("cat1", "a", "approx_median")] == (None,)
+    assert out[("cat1", "b", "approx_median")] == (2.0,)
+    assert out[("All", "All", "approx_median")] == (2.0,)
