@@ -2066,3 +2066,161 @@ def jackknife_group_influence(
             F.expr(JACKKNIFE_INF_EXPR).alias("influence"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 wave 2: Kendall tau-b over keyed summary frames, Tukey-Kramer
+# HSD post-hoc after ANOVA.
+# ---------------------------------------------------------------------------
+
+#: Kendall tau-b from exact pair counts: nc concordant, nd discordant,
+#: n0 = n(n-1)/2 total pairs, tn1/tn2 the tie-pair counts in x / y.
+KENDALL_TAU_EXPR = (
+    "round((nc - nd) * 1e0 / "
+    "sqrt((n0 - tn1) * 1e0 * (n0 - tn2)), 4)"
+)
+
+
+def kendall_tau_keyed(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall tau-b rank correlation over a KEYED SUMMARY FRAME (day
+    frame, group frame — anything calendar- or domain-bounded; the
+    monotone-association sibling of :func:`spearman_corr` that is robust
+    to the exact rank geometry). All state is exact integer pair
+    counting: the frame self-joins on ``key1 < key2`` (a broadcast
+    nested-loop pair join — LICENSED for summary frames only, O(m²)
+    pairs on m summary rows; never call this on a data-grain frame),
+    concordant/discordant from the sign product, tie-pair counts from
+    per-value count frames, and the tau-b finalization is the shared
+    expression. Returns one row ``(n, nc, nd, tn1, tn2, tau_b)``.
+
+    BIGINT bounds: pair counts are < m²/2 — a 40-year day frame is
+    ~15k rows → ~1e8 pairs, far inside BIGINT."""
+    src = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).persist()
+    a, b = src.alias("a"), src.alias("b")
+    # pure integer comparisons — a sign PRODUCT of two cents-scale
+    # differences would overflow BIGINT (1e10 · 1e10)
+    conc = (
+        (F.col("a.x") > F.col("b.x")) & (F.col("a.y") > F.col("b.y"))
+    ) | ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+    disc = (
+        (F.col("a.x") > F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
+    ) | ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+    pairs = a.join(F.broadcast(b), F.col("a.k") < F.col("b.k")).agg(
+        F.sum(conc.cast("long")).cast("long").alias("nc"),
+        F.sum(disc.cast("long")).cast("long").alias("nd"),
+    )
+    n_row = src.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tx = (
+        src.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("tn1"))
+    )
+    ty = (
+        src.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("tn2"))
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .withColumn("n0", F.expr("n * (n - 1) div 2"))
+        .select(
+            "n", "nc", "nd", "tn1", "tn2",
+            F.expr(KENDALL_TAU_EXPR).alias("tau_b"),
+        )
+    )
+    out._stage_caches = [src]
+    return out
+
+
+#: Tukey-Kramer studentized range statistic and mean difference from
+#: exact integer state: s1/n1, s2/n2 the pair's cents sums/counts (sums
+#: arrive as exact DECIMAL cast to double), q/ssg/n/k the ANOVA
+#: within-variance state (:data:`ANOVA_F_EXPR`'s denominator).
+TUKEY_Q_EXPR = (
+    "round(abs(s1 / n1 - s2 / n2) / "
+    "sqrt(((q - ssg) / (n - k)) / 2e0 * (1e0 / n1 + 1e0 / n2)), 4)"
+)
+TUKEY_DIFF_EXPR = "round((s1 / n1 - s2 / n2) / 100e0, 4)"
+
+
+def tukey_hsd(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    q_crit: float = 3.858,
+) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc: every pairwise comparison of group
+    means after a significant one-way ANOVA (:func:`anova_oneway`),
+    controlling the family-wise error rate via the studentized range.
+    ``q_crit`` defaults to the asymptotic q(0.05, k=5, df=∞) = 3.858
+    from the published studentized-range table — the right constant for
+    the 5-level priority factor at corpus-scale df; pass the table value
+    for other designs.
+
+    Exactness: per-group sufficient statistics (cents sums, sums of
+    squares) accumulate in DECIMAL(38,0) exactly as ANOVA's do, the
+    between-group fold is the same deterministic sorted left fold, and
+    the pair statistics are shared double expressions over those
+    integers. The k-row group frame is persisted (it feeds the scalar
+    frame and the pair self-join — an unpersisted k-row aggregate costs
+    a full table scan per consumer) and stashed on ``_stage_caches``;
+    the pair join is k(k-1)/2 rows on a broadcast k-row frame. Returns
+    one row per pair ``(g1, g2, n1, n2, mean_diff, q_stat,
+    significant)``."""
+    dec = "decimal(38,0)"
+    per = (
+        df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("c"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(F.col("c").cast(dec)).alias("s_g"),
+            F.sum(F.col("c").cast(dec) * F.col("c")).alias("q_g"),
+        )
+        .persist()
+    )
+    scal = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("q_g").cast("double").alias("q"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g"),
+                        F.col("s_g").cast("double").alias("sgd"),
+                        F.col("n_g"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["sgd"] * e["sgd"] / e["n_g"],
+        ).alias("ssg"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a._g") < F.col("b._g")).select(
+        F.col("a._g").alias("g1"),
+        F.col("b._g").alias("g2"),
+        F.col("a.n_g").alias("n1"),
+        F.col("b.n_g").alias("n2"),
+        F.col("a.s_g").cast("double").alias("s1"),
+        F.col("b.s_g").cast("double").alias("s2"),
+    )
+    out = pairs.crossJoin(F.broadcast(scal)).select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        F.expr(TUKEY_DIFF_EXPR).alias("mean_diff"),
+        F.expr(TUKEY_Q_EXPR).alias("q_stat"),
+        (F.expr(TUKEY_Q_EXPR) > F.lit(float(q_crit))).alias("significant"),
+    )
+    out._stage_caches = [per]
+    return out

@@ -273,3 +273,48 @@ def train_quality_lr(
         ),
     ]
     return Pipeline(stages=stages).fit(train)
+
+
+def train_als_recommender(
+    ratings: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+    rank: int = 8,
+    reg_param: float = 0.1,
+    max_iter: int = 5,
+    seed: int = 42,
+):
+    """Collaborative-filtering recommender via Spark ML ALS (implicit
+    feedback, Hu/Koren/Volinsky 2008) — the matrix-factorization sibling
+    of the content-based retrieval stack (``operators/similarity.py``):
+    ranks items a user has NOT interacted with by latent-factor affinity
+    learned from interaction strength. Reference boundary analog: the
+    sklearn notebook boundary (``AzureMl/mlB``) trains centrally; ALS is
+    the canonically-distributed trainer (block-partitioned alternating
+    least squares — each sweep solves per-user/per-item normal equations
+    against broadcast factor blocks), so it scales to the 100 TB
+    interaction log where a driver-side factorization cannot.
+
+    Not oracle-expressible: the factorization is iterative least squares
+    whose float accumulation order depends on block partitioning —
+    evidence is the pytest ranking-quality gate (recommendations must
+    rank a user's held-in top item above never-seen items), not a SQL
+    hash twin. Returns the fitted ALSModel; callers use
+    ``recommendForAllUsers(k)`` (vocabulary-bounded output, never
+    user×item dense)."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        rank=rank,
+        regParam=reg_param,
+        maxIter=max_iter,
+        seed=seed,
+        implicitPrefs=True,
+        nonnegative=True,
+        coldStartStrategy="drop",
+    )
+    return als.fit(ratings)

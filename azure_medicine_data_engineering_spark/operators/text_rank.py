@@ -675,3 +675,56 @@ def heaps_law_fit(
         F.expr(HEAPS_BETA_EXPR).alias("beta"),
         F.expr(HEAPS_LNK_EXPR).alias("ln_k"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
+    word co-occurrence graph — an undirected edge per ADJACENT word pair
+    in the normalized token stream, weight = corpus-wide co-occurrence
+    count. The unsupervised keyword extractor next to the frequency-
+    weighted ones (:func:`tfidf_scores`, :func:`bm25_scores`): a word
+    ranks high when it co-occurs with other high-ranking words, not
+    merely when it is frequent.
+
+    Reuses :func:`~azure_medicine_data_engineering_spark.operators.graph.pagerank`
+    verbatim (undirectedness = both edge directions, so out-weight equals
+    weighted degree). Returns the FULL (word, score) frame — vocabulary-
+    sized, the scale-safe output; take a driver-side top-k only for
+    display. Scale: edge building is one explode + one (src, dst) count
+    shuffle (map-side combine; observed-bigram bounded, never vocab²);
+    each PageRank round joins the persisted normalized edge frame
+    against the vocabulary-sized rank frame."""
+    from azure_medicine_data_engineering_spark.operators.graph import pagerank
+    from azure_medicine_data_engineering_spark.operators.text import (
+        normalized_text,
+        tokens,
+    )
+
+    toks = df.select(tokens(normalized_text(F.col(text_col))).alias("ws"))
+    adj = toks.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i + 1).alias("a"),
+                        F.element_at(F.col("ws"), i + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    adj = adj.where(F.col("a") != F.col("b"))
+    edges = (
+        adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, iterations=iterations, damping=damping, weight="w")

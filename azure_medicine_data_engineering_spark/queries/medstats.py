@@ -570,6 +570,117 @@ def q_anova_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
     return anova_oneway(src, "cents", "o_orderpriority")
 
 
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    KENDALL_TAU_EXPR,
+    TUKEY_DIFF_EXPR,
+    TUKEY_Q_EXPR,
+    kendall_tau_keyed,
+    tukey_hsd,
+)
+
+
+@register(
+    "kendall_tau_daily_orders",
+    f"""
+    WITH d AS (
+      SELECT o_orderdate AS k, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN (a.x > b.x AND a.y > b.y)
+                             OR (a.x < b.x AND a.y < b.y)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN (a.x > b.x AND a.y < b.y)
+                             OR (a.x < b.x AND a.y > b.y)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM d a JOIN d b ON a.k < b.k
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    tx AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS tn1
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY x)),
+    ty AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS tn2
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY y)),
+    s AS (SELECT nn.n, p.nc, p.nd, tx.tn1, ty.tn2,
+                 CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS n0
+          FROM p, nn, tx, ty)
+    SELECT n, nc, nd, tn1, tn2, {KENDALL_TAU_EXPR} AS tau_b FROM s
+    """,
+)
+def q_kendall_tau_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily order count and daily revenue (cents)
+    over the order-date day frame (``rankstats.kendall_tau_keyed``) —
+    the exact-pair-count monotone-association sibling of
+    ``spearman_price_vs_date``, robust to the rank geometry. The day
+    frame is calendar-bounded (~2.4k rows at any SF), so the broadcast
+    pair join is licensed; all state is exact BIGINT pair counting and
+    tau-b is one shared expression."""
+    o = _t(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return kendall_tau_keyed(day, "d", "n_orders", "cents")
+
+
+@register(
+    "tukey_hsd_price_by_priority",
+    f"""
+    WITH per AS (
+      SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS s_g,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS q_g
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT g, CAST(s_g AS DOUBLE) AS sgd, n_g FROM per),
+    ss AS (
+      SELECT MAX(CASE WHEN g = '1-URGENT' THEN sgd * sgd / n_g END) AS t1,
+             MAX(CASE WHEN g = '2-HIGH' THEN sgd * sgd / n_g END) AS t2,
+             MAX(CASE WHEN g = '3-MEDIUM' THEN sgd * sgd / n_g END) AS t3,
+             MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN sgd * sgd / n_g END) AS t4,
+             MAX(CASE WHEN g = '5-LOW' THEN sgd * sgd / n_g END) AS t5
+      FROM t
+    ),
+    kn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(q_g) AS DOUBLE) AS q
+      FROM per
+    ),
+    scal AS (
+      SELECT kn.k, kn.n, kn.q,
+             ((((0e0 + ss.t1) + ss.t2) + ss.t3) + ss.t4) + ss.t5 AS ssg
+      FROM kn, ss
+    ),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+             CAST(a.s_g AS DOUBLE) AS s1, CAST(b.s_g AS DOUBLE) AS s2
+      FROM per a JOIN per b ON a.g < b.g
+    )
+    SELECT g1, g2, n1, n2, {TUKEY_DIFF_EXPR} AS mean_diff,
+           {TUKEY_Q_EXPR} AS q_stat,
+           {TUKEY_Q_EXPR} > 3.858e0 AS significant
+    FROM pairs, scal
+    """,
+)
+def q_tukey_hsd_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc after ``anova_totalprice_by_priority``
+    (``rankstats.tukey_hsd``): all 10 pairwise priority-class mean
+    comparisons under the studentized range with q_crit = q(0.05, k=5,
+    df=∞) = 3.858 — the answer to "WHICH groups differ" that the ANOVA F
+    alone cannot give. Same DECIMAL(38,0) sufficient statistics and
+    sorted between-group fold as the ANOVA; pair statistics are shared
+    double expressions over a broadcast 5-row frame."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return tukey_hsd(src, "cents", "o_orderpriority", q_crit=3.858)
+
+
 # ---------------------------------------------------------------------------
 # Paired and proportion tests (McNemar, Cohen's kappa, two-proportion z).
 # ---------------------------------------------------------------------------

@@ -617,6 +617,66 @@ def q_dp_noisy_counts_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from azure_medicine_data_engineering_spark.operators.privacy import (  # noqa: E402
+    T_DIST_EXPR,
+    t_closeness_report,
+)
+
+
+@register(
+    "t_closeness_customers",
+    f"""
+    WITH pair AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             c_mktsegment AS v, CAST(COUNT(*) AS BIGINT) AS n_gv
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    g AS (SELECT c_nationkey, bal_band, CAST(SUM(n_gv) AS BIGINT) AS n_g
+          FROM pair GROUP BY 1, 2),
+    vals AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS n_v FROM pair GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot FROM vals),
+    per_g AS (
+      SELECT grid.c_nationkey, grid.bal_band, grid.n_g, tot.n_tot,
+             SUM(ABS(CAST(COALESCE(pair.n_gv, 0) AS HUGEINT) * tot.n_tot
+                     - CAST(grid.n_v AS HUGEINT) * grid.n_g)) AS num
+      FROM (SELECT g.c_nationkey, g.bal_band, g.n_g, vals.v, vals.n_v
+            FROM g CROSS JOIN vals) grid
+      CROSS JOIN tot
+      LEFT JOIN pair ON grid.c_nationkey = pair.c_nationkey
+                    AND grid.bal_band = pair.bal_band AND grid.v = pair.v
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           ROUND(MAX({T_DIST_EXPR}), 4) AS max_t,
+           CAST(SUM(CASE WHEN num * 5 > 2 * CAST(n_g AS HUGEINT) * n_tot
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN num * 5 > 2 * CAST(n_g AS HUGEINT) * n_tot
+                    THEN n_g ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+           SUM(CASE WHEN num * 5 > 2 * CAST(n_g AS HUGEINT) * n_tot
+               THEN 1 ELSE 0 END) = 0 AS t_close
+    FROM per_g
+    """,
+)
+def q_t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/privacy.py:t_closeness_report,
+    t = 1/5): within every (nation, $2000 balance-band) quasi-group the
+    market-segment distribution must stay within total-variation distance
+    0.2 of the table-wide mix — the distributional tightening that
+    completes the k-anonymity → l-diversity → t-closeness release trio.
+    Distance numerators are exact DECIMAL(38,0)/HUGEINT integers and the
+    threshold test is pure integer arithmetic; only the reported max_t is
+    a shared double expression."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return t_closeness_report(
+        c, ["c_nationkey", "bal_band"], "c_mktsegment", t_num=1, t_den=5
+    )
+
+
 from azure_medicine_data_engineering_spark.operators.profile import (  # noqa: E402
     ENTROPY_EXPR,
     categorical_entropy,

@@ -2304,3 +2304,72 @@ def q_good_turing_4gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return good_turing_ngram_mass(docs, n=4)
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: PageRank over the word co-occurrence graph (round 6).
+# ---------------------------------------------------------------------------
+
+_TR_TOKS = _TOKS.format(t=_NORM_TEXT)
+
+
+def _tr_round_sql(i: int) -> str:
+    return f"""
+    r{i} AS (SELECT x.node, (1.0 - 0.85) / nn.n
+                  + 0.85 * COALESCE(m.mass, 0.0) AS pr
+           FROM nodes x CROSS JOIN nn
+           LEFT JOIN (SELECT t.dst AS node, SUM(r{i - 1}.pr * t.p) AS mass
+                      FROM t JOIN r{i - 1} ON t.src = r{i - 1}.node GROUP BY 1) m
+             USING (node))"""
+
+
+@register(
+    "textrank_keywords_documents",
+    f"""
+    WITH tk AS (SELECT {_TR_TOKS} AS ws FROM documents),
+    adj AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tk
+            WHERE len(ws) >= 2)
+      WHERE ws[i] <> ws[i + 1]
+    ),
+    e AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+        SELECT a AS src, b AS dst FROM adj
+        UNION ALL SELECT b, a FROM adj
+      ) GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+    t AS (SELECT e.src, e.dst, e.w / outw.ow AS p FROM e JOIN outw USING (src)),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+    {','.join(_tr_round_sql(i) for i in range(1, 4))}
+    SELECT node AS word, ROUND(CAST(pr AS DOUBLE), 4) AS pr FROM r3
+    """,
+)
+def q_textrank_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (``operators/text_rank.py:
+    textrank_keywords``, Mihalcea & Tarau 2004): PageRank (3 rounds,
+    d=0.85) over the word co-occurrence graph — an undirected edge per
+    adjacent normalized-token pair, weight = corpus co-occurrence count.
+    The unsupervised keyword extractor next to the frequency-weighted
+    ones (TF-IDF, BM25): a word ranks high when its neighbours rank
+    high, not merely when it is frequent. The oracle unrolls the same
+    three propagation rounds CTE-for-CTE (same init, damping, dangling
+    policy as the ``pagerank_nation_trade`` oracle). Output is the full
+    vocabulary-sized (word, pr) frame — the scale-safe shape; edge
+    building is one explode + one pair-count shuffle, observed-bigram
+    bounded, never vocab²."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        textrank_keywords,
+    )
+
+    ranks = textrank_keywords(
+        _t(spark, sf_dir, "documents"), "text", iterations=3, damping=0.85
+    )
+    return ranks.select(
+        F.col("node").alias("word"),
+        F.round(F.col("pr").cast("double"), 4).alias("pr"),
+    )

@@ -148,3 +148,29 @@ def test_quality_lr_features_match_serving_buckets(spark):
     )
     assert nz == [f"f{expected_b}"]
     assert row[f"f{expected_b}"] == 1.0
+
+
+def test_als_recommender_clusters(spark):
+    """ALS (implicit) must rank in-cluster items above out-of-cluster for
+    a planted two-block interaction matrix."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        train_als_recommender,
+    )
+
+    rows = []
+    # block A: users 0-9 interact with items 0-4; block B: 10-19 with 5-9
+    for u in range(10):
+        for i in range(5):
+            rows.append((u, i, 3.0 + (u + i) % 3))
+    for u in range(10, 20):
+        for i in range(5, 10):
+            rows.append((u, i, 3.0 + (u + i) % 3))
+    df = spark.createDataFrame(rows, "user_id int, item_id int, rating double")
+    model = train_als_recommender(df)
+    recs = model.recommendForAllUsers(3).collect()
+    assert len(recs) == 20
+    by_user = {r["user_id"]: [x["item_id"] for x in r["recommendations"]] for r in recs}
+    # every user's top-3 stays inside their block
+    for u, items in by_user.items():
+        block = set(range(5)) if u < 10 else set(range(5, 10))
+        assert set(items) <= block, (u, items)

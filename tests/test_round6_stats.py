@@ -166,3 +166,138 @@ def test_good_turing_no_doubletons(spark):
     assert got["f1"] == 2 and got["f2"] == 0
     assert got["chao1"] == 2.0
     assert got["p0_unseen"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 2: Kendall tau-b, Tukey HSD, t-closeness, TextRank.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    kendall_tau_keyed,
+    tukey_hsd,
+)
+from azure_medicine_data_engineering_spark.operators.privacy import (  # noqa: E402
+    t_closeness_report,
+)
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    textrank_keywords,
+)
+
+
+def test_kendall_tau_naive(spark):
+    # day frame with ties in both x and y
+    data = [(1, 3, 10), (2, 5, 20), (3, 5, 15), (4, 2, 15), (5, 7, 30)]
+    df = spark.createDataFrame(data, "k long, x long, y long")
+    got = kendall_tau_keyed(df, "k", "x", "y").collect()[0].asDict()
+
+    nc = nd = 0
+    n = len(data)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = data[i][1] - data[j][1]
+            dy = data[i][2] - data[j][2]
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+    n0 = n * (n - 1) // 2
+    cx = Counter(d[1] for d in data)
+    cy = Counter(d[2] for d in data)
+    tn1 = sum(t * (t - 1) // 2 for t in cx.values())
+    tn2 = sum(t * (t - 1) // 2 for t in cy.values())
+    tau = _r4((nc - nd) / math.sqrt((n0 - tn1) * (n0 - tn2)))
+    assert got["n"] == n and got["nc"] == nc and got["nd"] == nd
+    assert got["tn1"] == tn1 and got["tn2"] == tn2
+    assert abs(got["tau_b"] - tau) < 1e-12
+
+
+def test_kendall_tau_perfect_orders(spark):
+    asc = [(i, i, 10 * i) for i in range(1, 7)]
+    df = spark.createDataFrame(asc, "k long, x long, y long")
+    assert kendall_tau_keyed(df, "k", "x", "y").collect()[0]["tau_b"] == 1.0
+    desc = [(i, i, -10 * i) for i in range(1, 7)]
+    df = spark.createDataFrame(desc, "k long, x long, y long")
+    assert kendall_tau_keyed(df, "k", "x", "y").collect()[0]["tau_b"] == -1.0
+
+
+def test_tukey_hsd_naive(spark):
+    # three groups on the cents grid
+    spec = {"a": [100, 200, 300, 400], "b": [500, 600, 700], "c": [150, 250]}
+    rows = [(g, v) for g, vs in spec.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, c long")
+    got = {
+        (r["g1"], r["g2"]): r.asDict()
+        for r in tukey_hsd(df, "c", "g", q_crit=3.0).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    n = sum(len(v) for v in spec.values())
+    k = len(spec)
+    q_tot = sum(v * v for vs in spec.values() for v in vs)
+    ssg = 0.0
+    for g in sorted(spec):  # the deterministic sorted fold
+        ssg += sum(spec[g]) ** 2 / len(spec[g])
+    msw = (q_tot - ssg) / (n - k)
+    for g1, g2 in got:
+        n1, n2 = len(spec[g1]), len(spec[g2])
+        m1, m2 = sum(spec[g1]) / n1, sum(spec[g2]) / n2
+        qs = _r4(abs(m1 - m2) / math.sqrt(msw / 2 * (1 / n1 + 1 / n2)))
+        assert got[(g1, g2)]["n1"] == n1 and got[(g1, g2)]["n2"] == n2
+        assert abs(got[(g1, g2)]["q_stat"] - qs) < 1e-12
+        assert abs(got[(g1, g2)]["mean_diff"] - _r4((m1 - m2) / 100)) < 1e-12
+        assert got[(g1, g2)]["significant"] == (qs > 3.0)
+
+
+def test_t_closeness_naive(spark):
+    # group g1: 4 rows all sensitive 'x' (skewed); g2: 2 x + 2 y (matches
+    # the table mix less tightly). Table: 6 x, 2 y → p = (0.75, 0.25).
+    rows = [("g1", "x")] * 4 + [("g2", "x")] * 2 + [("g2", "y")] * 2
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = t_closeness_report(df, ["q"], "s", t_num=1, t_den=5).collect()[0]
+
+    # TV(g1, table) = 0.5*(|1-0.75| + |0-0.25|) = 0.25 > 0.2 → violating
+    # TV(g2, table) = 0.5*(|0.5-0.75| + |0.5-0.25|) = 0.25 > 0.2 → violating
+    assert got["n_groups"] == 2
+    assert got["max_t"] == 0.25
+    assert got["n_violating_groups"] == 2
+    assert got["n_rows_exposed"] == 8
+    assert not got["t_close"]
+
+
+def test_t_closeness_uniform_is_close(spark):
+    # every group mirrors the table distribution exactly → max_t = 0
+    rows = [("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = t_closeness_report(df, ["q"], "s", t_num=1, t_den=5).collect()[0]
+    assert got["max_t"] == 0.0 and got["t_close"]
+
+
+def test_textrank_naive(spark):
+    docs = [("a b c",), ("b c b",)]
+    df = spark.createDataFrame(docs, "text string")
+    got = {r["node"]: r["pr"] for r in textrank_keywords(df, "text").collect()}
+
+    # undirected co-occurrence edges: (a,b)x1, (b,c)x3 (b-c, c-b, b-c... from
+    # streams [a b c] → ab, bc; [b c b] → bc, cb) — each counted both ways
+    edges = Counter()
+    for (t,) in docs:
+        ws = t.split()
+        for i in range(len(ws) - 1):
+            if ws[i] != ws[i + 1]:
+                edges[(ws[i], ws[i + 1])] += 1
+                edges[(ws[i + 1], ws[i])] += 1
+    nodes = sorted({x for e in edges for x in e})
+    outw = Counter()
+    for (s, d), w in edges.items():
+        outw[s] += w
+    pr = {v: 1 / len(nodes) for v in nodes}
+    for _ in range(3):
+        mass = {v: 0.0 for v in nodes}
+        for (s, d), w in edges.items():
+            mass[d] += pr[s] * (w / outw[s])
+        pr = {v: 0.15 / len(nodes) + 0.85 * mass[v] for v in nodes}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 1e-9
+    # b sits between everything → highest rank
+    assert max(pr, key=pr.get) == "b"
