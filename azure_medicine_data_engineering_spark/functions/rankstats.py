@@ -2224,3 +2224,232 @@ def tukey_hsd(
     )
     out._stage_caches = [per]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover's) two-sample distance.
+# ---------------------------------------------------------------------------
+
+#: W1 = Σ|F1−F2|·Δv over distinct values; with integer-grid values and
+#: inclusive cumulative counts, ``w_num = Σ |cum1·n2 − cum2·n1| · Δv`` is an
+#: exact integer and ``W1 = w_num / (n1·n2·scale)`` — ``{scale}`` is the
+#: value-grid divisor (``1e2`` for cents). ``.format(scale=...)`` on BOTH
+#: sides keeps the IEEE op sequence identical.
+W1_EXPR = "round(cast(w_num as double) / (n1 * 1e0 * n2 * {scale}), 4)"
+
+
+def wasserstein_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    scale: str = "1e2",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Two-sample Wasserstein-1 (earth mover's) distance, EXACT — the
+    transport-cost companion to the sup-distance KS (:func:`ks_two_sample`)
+    and whole-CDF CvM (:func:`cvm_two_sample`): W1 integrates |F1−F2| over
+    the value axis, so it is the drift measure whose units ARE the metric's
+    units (the average value-shift between the samples).
+
+    ``value_col`` must already be on an INTEGER grid (caller pre-scales,
+    e.g. cents); then every per-value contribution
+    ``|cum1·n2 − cum2·n1| · (next_v − v)`` is an exact integer accumulated
+    in DECIMAL(38,0) (oracle: HUGEINT), and the only double is the shared
+    ``W1_EXPR`` finalization.
+
+    Scale plan: same two-phase bucketed CDF prefix sum as KS — the ONE
+    single-partition window is the ``n_buckets``-row per-bucket offset
+    frame (which also carries each bucket's next-non-empty-bucket minimum,
+    so the value successor ``next_v`` needs no global window either:
+    in-bucket ``lead`` keyed by bucket, falling back to the next bucket's
+    minimum at bucket edges).
+
+    Returns one row ``(n1, n2, w1)``.
+
+    Scale extension of the reference's distribution-comparison battery
+    (``notebooks/PhdProject/main Statistical Analysis/Hypothesis testing
+    R.r:374-392`` compares driver-local samples).
+    """
+    dec = "decimal(38,0)"
+    byval = (
+        df.select(
+            F.col(value_col).cast("long").alias("v"),
+            (F.col(group_col) == group1).alias("_f"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.col("_f").cast("long")).cast("long").alias("c1"),
+            F.sum((~F.col("_f")).cast("long")).cast("long").alias("c2"),
+        )
+        .persist()
+    )
+    bounds = byval.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * n_buckets),
+        )
+    )
+    bk = (
+        byval.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("_bk").agg(
+        F.sum("c1").alias("_b1"),
+        F.sum("c2").alias("_b2"),
+        F.min("v").alias("_bmin"),
+    )
+    # the one bounded single-partition window: n_buckets summary rows
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    w_nx = Window.orderBy("_bk")
+    offsets = per_bucket.select(
+        "_bk",
+        F.coalesce(F.sum("_b1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_b2").over(w_off), F.lit(0)).alias("_o2"),
+        F.lead("_bmin").over(w_nx).alias("_nxtbk"),
+    )
+    w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lead = Window.partitionBy("_bk").orderBy("v")
+    cdf = (
+        bk.join(F.broadcast(offsets), "_bk")
+        .select(
+            "v",
+            (F.col("_o1") + F.sum("c1").over(w_in)).cast("long").alias("cum1"),
+            (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
+            # value successor: in-bucket lead, else next bucket's min; the
+            # globally-last value coalesces to itself (zero-width interval)
+            F.coalesce(
+                F.lead("v").over(w_lead), F.col("_nxtbk"), F.col("v")
+            ).alias("_nxt"),
+        )
+        .persist()
+    )
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    scal = (
+        cdf.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.max("t.n1").cast("long").alias("n1"),
+            F.max("t.n2").cast("long").alias("n2"),
+            F.sum(
+                F.abs(
+                    F.col("c.cum1").cast(dec) * F.col("t.n2")
+                    - F.col("c.cum2").cast(dec) * F.col("t.n1")
+                )
+                * (F.col("c._nxt") - F.col("c.v"))
+            ).alias("w_num"),
+        )
+    )
+    out = scal.select(
+        "n1", "n2", F.expr(W1_EXPR.format(scale=scale)).alias("w1")
+    )
+    out._stage_caches = [byval, cdf]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hotelling T² two-sample test (p = 2, closed-form inverse).
+# ---------------------------------------------------------------------------
+
+#: All inputs are exact integer state cast to double: n1/n2 BIGINT counts,
+#: (sx, sy, sxx, syy, sxy) per group accumulated in DECIMAL(38,0)/HUGEINT
+#: and cast to double AFTER aggregation (same integer → identical double on
+#: both engines). The 2×2 pooled covariance inverse is closed-form.
+_HT_DX = "(sx1 / (n1 * 1e0) - sx2 / (n2 * 1e0))"
+_HT_DY = "(sy1 / (n1 * 1e0) - sy2 / (n2 * 1e0))"
+_HT_SXX = (
+    "(((sxx1 - sx1 * sx1 / (n1 * 1e0)) + (sxx2 - sx2 * sx2 / (n2 * 1e0)))"
+    " / (n1 + n2 - 2e0))"
+)
+_HT_SYY = (
+    "(((syy1 - sy1 * sy1 / (n1 * 1e0)) + (syy2 - sy2 * sy2 / (n2 * 1e0)))"
+    " / (n1 + n2 - 2e0))"
+)
+_HT_SXY = (
+    "(((sxy1 - sx1 * sy1 / (n1 * 1e0)) + (sxy2 - sx2 * sy2 / (n2 * 1e0)))"
+    " / (n1 + n2 - 2e0))"
+)
+_HT_T2_RAW = (
+    f"((n1 * 1e0 * n2 / (n1 + n2)) * "
+    f"(({_HT_DX} * {_HT_DX}) * {_HT_SYY} "
+    f"- 2e0 * {_HT_DX} * {_HT_DY} * {_HT_SXY} "
+    f"+ ({_HT_DY} * {_HT_DY}) * {_HT_SXX}) "
+    f"/ ({_HT_SXX} * {_HT_SYY} - {_HT_SXY} * {_HT_SXY}))"
+)
+HT2_T2_EXPR = f"round({_HT_T2_RAW}, 4)"
+#: F = (n1+n2−p−1)/(p(n1+n2−2)) · T² with p=2 — F(2, n1+n2−3) under H0.
+HT2_F_EXPR = (
+    f"round(((n1 + n2 - 3e0) / (2e0 * (n1 + n2 - 2e0))) * {_HT_T2_RAW}, 4)"
+)
+
+
+def hotelling_t2_two_sample(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    group1: str,
+) -> DataFrame:
+    """Two-sample Hotelling T² test on a bivariate response (p = 2) — the
+    multivariate generalization of the two-sample t-test: do the two
+    groups share a mean VECTOR, accounting for the covariance between the
+    responses? With p = 2 the pooled-covariance inverse is closed-form, so
+    the whole statistic is one shared scalar expression over 12 exact
+    integer state values (per-group n, Σx, Σy, Σx², Σy², Σxy accumulated in
+    DECIMAL(38,0); oracle HUGEINT) — ONE pass over the fact table, no
+    windows, no shuffle beyond the global aggregate.
+
+    ``x_col``/``y_col`` must be integer-grid columns (caller pre-scales).
+    Returns one row ``(n1, n2, t2, f_stat)``; F(2, n1+n2−3) under H0.
+
+    Scale extension of the reference's multivariate battery
+    (``notebooks/PhdProject/main Statistical Analysis/Hypothesis testing
+    R.r:551-554`` runs PERMANOVA over driver-local distance matrices).
+    """
+    dec = "decimal(38,0)"
+    f1 = F.col(group_col) == group1
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+
+    def _s(flag: Column, expr: Column, name: str) -> Column:
+        return F.sum(F.when(flag, expr).otherwise(F.lit(0).cast(dec))).alias(name)
+
+    st = df.agg(
+        F.sum(f1.cast("long")).cast("long").alias("n1"),
+        F.sum((~f1).cast("long")).cast("long").alias("n2"),
+        _s(f1, x.cast(dec), "sx1_i"),
+        _s(f1, y.cast(dec), "sy1_i"),
+        _s(f1, x.cast(dec) * x, "sxx1_i"),
+        _s(f1, y.cast(dec) * y, "syy1_i"),
+        _s(f1, x.cast(dec) * y, "sxy1_i"),
+        _s(~f1, x.cast(dec), "sx2_i"),
+        _s(~f1, y.cast(dec), "sy2_i"),
+        _s(~f1, x.cast(dec) * x, "sxx2_i"),
+        _s(~f1, y.cast(dec) * y, "syy2_i"),
+        _s(~f1, x.cast(dec) * y, "sxy2_i"),
+    )
+    # integer state → double ONCE, before the shared expression
+    dbl = st.select(
+        "n1",
+        "n2",
+        *[
+            F.col(f"{c}_i").cast("double").alias(c)
+            for c in (
+                "sx1", "sy1", "sxx1", "syy1", "sxy1",
+                "sx2", "sy2", "sxx2", "syy2", "sxy2",
+            )
+        ],
+    )
+    return dbl.select(
+        "n1",
+        "n2",
+        F.expr(HT2_T2_EXPR).alias("t2"),
+        F.expr(HT2_F_EXPR).alias("f_stat"),
+    )
