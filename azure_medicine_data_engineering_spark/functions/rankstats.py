@@ -2081,8 +2081,16 @@ KENDALL_TAU_EXPR = (
 )
 
 
+#: Hard ceiling on the keyed-frame row count for :func:`kendall_tau_keyed`
+#: — the O(m²) broadcast pair join is licensed for summary frames only; at
+#: 100k rows that is already 5e9 pair evaluations (minutes, not hours) and
+#: anything bigger is a data-grain frame passed by mistake.
+KENDALL_MAX_KEYED_ROWS = 100_000
+
+
 def kendall_tau_keyed(
-    df: DataFrame, key_col: str, x_col: str, y_col: str
+    df: DataFrame, key_col: str, x_col: str, y_col: str,
+    max_rows: int = KENDALL_MAX_KEYED_ROWS,
 ) -> DataFrame:
     """Kendall tau-b rank correlation over a KEYED SUMMARY FRAME (day
     frame, group frame — anything calendar- or domain-bounded; the
@@ -2102,6 +2110,17 @@ def kendall_tau_keyed(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     ).persist()
+    # runtime license guard (round-7 ADVICE): the eager count both
+    # materializes the persist (reused by every branch below) and refuses
+    # data-grain frames before the quadratic pair join can be planned
+    m = src.count()
+    if m > max_rows:
+        src.unpersist()
+        raise ValueError(
+            f"kendall_tau_keyed: keyed frame has {m} rows > max_rows="
+            f"{max_rows}; the O(m²) pair join is licensed for summary "
+            "frames only — pre-aggregate to a day/group frame first"
+        )
     a, b = src.alias("a"), src.alias("b")
     # pure integer comparisons — a sign PRODUCT of two cents-scale
     # differences would overflow BIGINT (1e10 · 1e10)

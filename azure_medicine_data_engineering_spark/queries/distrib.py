@@ -1521,3 +1521,66 @@ def q_jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalization."""
     docs = _t(spark, sf_dir, "documents")
     return jackknife_group_influence(docs, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover's) distance: click vs view values.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    W1_EXPR,
+    wasserstein_two_sample,
+)
+
+
+@register(
+    "wasserstein_click_vs_view",
+    f"""
+    WITH src AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, event_type = 'click' AS f
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    byval AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM src GROUP BY v
+    ),
+    cdf AS (
+      SELECT v,
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+        COALESCE(LEAD(v) OVER (ORDER BY v), v) AS nxt
+      FROM byval
+    ),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2 FROM cdf),
+    s AS (
+      SELECT CAST(MAX(t.n1) AS BIGINT) AS n1, CAST(MAX(t.n2) AS BIGINT) AS n2,
+             SUM(ABS(CAST(cum1 AS HUGEINT) * t.n2 - CAST(cum2 AS HUGEINT) * t.n1)
+                 * (nxt - v)) AS w_num
+      FROM cdf, tot t
+    )
+    SELECT n1, n2, {W1_EXPR.format(scale="1e2")} AS w1 FROM s
+    """,
+)
+def q_wasserstein_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Wasserstein-1 (earth mover's) distance between the click
+    and view value distributions, EXACT on the cents grid — the
+    transport-cost companion to ``ks_test_click_vs_view`` (sup distance)
+    and ``cvm_test_click_vs_view`` (whole-CDF): W1 is the average value
+    shift between the samples, in the metric's own units
+    (``rankstats.wasserstein_two_sample``). Per distinct value the
+    contribution ``|cum1·n2 − cum2·n1|·Δv`` is an exact integer
+    accumulated in DECIMAL(38,0)/HUGEINT; the only double is the shared
+    ``W1_EXPR`` finalization. The Spark CDF + value-successor come from
+    the two-phase bucketed prefix sum; the oracle replays them as one
+    flat cumulative window + LEAD."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    src = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        "event_type",
+    )
+    return wasserstein_two_sample(
+        src, "v_cents", "event_type", "click", scale="1e2"
+    )

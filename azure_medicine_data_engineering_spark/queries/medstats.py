@@ -1718,3 +1718,68 @@ def q_wilson_ci_purchase_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         F.col("_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hotelling T² two-sample test: (quantity, discount) by return flag.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    HT2_F_EXPR,
+    HT2_T2_EXPR,
+    hotelling_t2_two_sample,
+)
+
+
+@register(
+    "hotelling_t2_qty_disc_returnflag",
+    f"""
+    WITH src AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+             l_returnflag = 'R' AS f
+      FROM lineitem
+    ),
+    st AS (
+      SELECT CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             SUM(CASE WHEN f THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1_i,
+             SUM(CASE WHEN f THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1_i,
+             SUM(CASE WHEN f THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx1_i,
+             SUM(CASE WHEN f THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy1_i,
+             SUM(CASE WHEN f THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy1_i,
+             SUM(CASE WHEN f THEN 0 ELSE CAST(x AS HUGEINT) END) AS sx2_i,
+             SUM(CASE WHEN f THEN 0 ELSE CAST(y AS HUGEINT) END) AS sy2_i,
+             SUM(CASE WHEN f THEN 0 ELSE CAST(x AS HUGEINT) * x END) AS sxx2_i,
+             SUM(CASE WHEN f THEN 0 ELSE CAST(y AS HUGEINT) * y END) AS syy2_i,
+             SUM(CASE WHEN f THEN 0 ELSE CAST(x AS HUGEINT) * y END) AS sxy2_i
+      FROM src
+    ),
+    d AS (
+      SELECT n1, n2,
+             CAST(sx1_i AS DOUBLE) AS sx1, CAST(sy1_i AS DOUBLE) AS sy1,
+             CAST(sxx1_i AS DOUBLE) AS sxx1, CAST(syy1_i AS DOUBLE) AS syy1,
+             CAST(sxy1_i AS DOUBLE) AS sxy1,
+             CAST(sx2_i AS DOUBLE) AS sx2, CAST(sy2_i AS DOUBLE) AS sy2,
+             CAST(sxx2_i AS DOUBLE) AS sxx2, CAST(syy2_i AS DOUBLE) AS syy2,
+             CAST(sxy2_i AS DOUBLE) AS sxy2
+      FROM st
+    )
+    SELECT n1, n2, {HT2_T2_EXPR} AS t2, {HT2_F_EXPR} AS f_stat FROM d
+    """,
+)
+def q_hotelling_t2_qty_disc_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Hotelling T² on the (quantity, discount-cents) mean
+    VECTOR of returned ('R') vs non-returned lineitems — the multivariate
+    t-test accounting for the covariance between the two responses
+    (``rankstats.hotelling_t2_two_sample``). ONE pass: 12 exact
+    DECIMAL(38,0)/HUGEINT sufficient statistics, integer→double once,
+    then the closed-form p=2 pooled-inverse as shared expressions
+    (``HT2_T2_EXPR``/``HT2_F_EXPR``) — no windows, no pair joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_quantity").cast("long").alias("qx"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dy"),
+        "l_returnflag",
+    )
+    return hotelling_t2_two_sample(src, "qx", "dy", "l_returnflag", "R")

@@ -617,7 +617,10 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT count-by-value branch instead (``counted_median_metrics`` —
     bounded mergeable state, ~20% faster than sketching them, and exact
     values satisfy the rank guarantee by construction); only the
-    583k-distinct price keeps the sketch.
+    583k-distinct price keeps the sketch. Round 7: the routing is
+    derived automatically (``counted_median_metrics="auto"`` probes
+    approx_count_distinct against ``COUNTED_MEDIAN_MAX_DISTINCT``), so
+    no hand-tuned list appears here or in bench.py.
 
     Oracle contract: the sum/min/max/count/avg_stable rows hash exactly
     against DuckDB. The sketch values are engine-specific, so the
@@ -634,7 +637,6 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric_aliases = [alias for _, alias in _CS_METRICS]
     summ = categorized_summary(
         li, _CS_METRICS, _CS_FAST_AGGS + ["approx_median"], _CS_CATS,
-        counted_median_metrics=["qty", "disc"],
     )
     exact_rows = summ.where(F.col("aggregation") != "approx_median")
     am = summ.where(F.col("aggregation") == "approx_median").select(

@@ -87,9 +87,9 @@ def _categorized_summary_fast_operator(spark, sf_dir):
         li, _CS_METRICS,
         ["sum", "min", "max", "count", "avg_stable", "approx_median"],
         _CS_CATS,
-        # low-cardinality metrics ride the exact counting branch (round-6
-        # hybrid); only the 583k-distinct price keeps the sketch
-        counted_median_metrics=["qty", "disc"],
+        # default "auto" routing: the distinct-count probe sends qty (50
+        # distinct) and disc (11) down the exact counting branch and keeps
+        # the sketch for the 583k-distinct price — no hand-tuned list
     )
 
 

@@ -22,9 +22,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from azure_medicine_data_engineering_spark.operators.text import (
-    _bpe_merge_train_batched,
-)
+from azure_medicine_data_engineering_spark.operators.text import bpe_merge_train
 from azure_medicine_data_engineering_spark.session import get_spark
 
 
@@ -55,10 +53,12 @@ def main() -> None:
             ).alias("text")
         )
     t0 = time.monotonic()
-    out = _bpe_merge_train_batched(docs, n_merges, "text", batch_k)
+    # public API path (round-7 ADVICE): the measured path is the shipped
+    # bpe_merge_train(batch_k=...) entry, not the private batched kernel
+    out = bpe_merge_train(docs, n_merges, "text", batch_k=batch_k)
     n = out.count()
     total = time.monotonic() - t0
-    rs = out._round_secs
+    rs = getattr(out, "_round_secs", [])  # sequential path has no per-round clock
     print(
         json.dumps(
             {
