@@ -284,6 +284,7 @@ def train_als_recommender(
     reg_param: float = 0.1,
     max_iter: int = 5,
     seed: int = 42,
+    implicit_prefs: bool = True,
 ):
     """Collaborative-filtering recommender via Spark ML ALS (implicit
     feedback, Hu/Koren/Volinsky 2008) — the matrix-factorization sibling
@@ -313,7 +314,11 @@ def train_als_recommender(
         regParam=reg_param,
         maxIter=max_iter,
         seed=seed,
-        implicitPrefs=True,
+        # implicit (Hu/Koren/Volinsky confidence weighting) by default;
+        # explicit least-squares reconstruction when the caller's ratings
+        # are true preference VALUES to be recovered (the planted
+        # als_block_recommender_events surface query uses this)
+        implicitPrefs=implicit_prefs,
         nonnegative=True,
         coldStartStrategy="drop",
     )

@@ -1223,3 +1223,88 @@ def q_prefixspan_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequential_patterns(
         events_table(spark, sf_dir), min_support=0.3, max_pattern_length=2
     )
+
+
+# ---------------------------------------------------------------------------
+# ALS recommender surface: planted block-structured interactions.
+# ---------------------------------------------------------------------------
+
+_ALS_BLOCK_ORACLE = """
+    WITH u AS (
+      SELECT DISTINCT CAST(user_id % 50 AS INTEGER) AS user_bucket FROM events
+    )
+    SELECT user_bucket,
+           CAST((user_bucket % 4) * 5 + (user_bucket % 5) AS INTEGER) AS top_item,
+           TRUE AS in_block
+    FROM u
+    """
+
+
+@register("als_block_recommender_events", _ALS_BLOCK_ORACLE)
+def q_als_block_recommender_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS recommender surface query (``ml/pipeline.py:
+    train_als_recommender``), following the ``ml_quality_classifier_docs``
+    precedent: plant an interaction matrix whose top-1 recommendation per
+    user is ANALYTICALLY determined, so the float factorization's ranking
+    lands in the oracle ledger while the factors themselves stay behind
+    the pytest ranking gate.
+
+    Planting: 50 pseudo-users (the distinct ``user_id % 50`` universe
+    from the event log) over 20 items in 4 disjoint blocks of 5 — user u
+    rates exactly its block ``u % 4`` (items ``(u%4)*5 .. (u%4)*5+4``),
+    rating 5.0 on its DESIGNATED slot ``u % 5`` and 1.0 on the other
+    four; cross-block cells are unobserved. EXPLICIT ALS reconstructs
+    the rating values, so the 5-vs-1 margin makes the designated item
+    the top-1 recommendation analytically (implicit ALS would flatten
+    all interacted preferences to ~1 — measured: only 12/50 designated
+    hits — hence ``implicit_prefs=False`` here). The oracle is pure
+    arithmetic on the planted layout: ``top_item = (u%4)*5 + (u%5)``,
+    ``in_block = TRUE``.
+
+    Scale: the ratings frame is ONE distinct-key aggregation of the
+    event log exploded by 5 literal slots (bounded: users × 5 cells);
+    ALS itself is Spark ML's block-partitioned alternating least
+    squares, and ``recommendForAllUsers(1)`` is vocabulary-bounded —
+    nothing here is driver-side except the planted modulus arithmetic."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        train_als_recommender,
+    )
+
+    ev = events_table(spark, sf_dir)
+    users = ev.select((F.col("user_id") % 50).cast("int").alias("u")).distinct()
+    ratings = (
+        users.select(
+            "u", F.explode(F.array(*[F.lit(s) for s in range(5)])).alias("slot")
+        )
+        .select(
+            F.col("u").alias("user_bucket"),
+            ((F.col("u") % 4) * 5 + F.col("slot")).cast("int").alias("item_id"),
+            F.when(F.col("slot") == F.col("u") % 5, F.lit(5.0))
+            .otherwise(F.lit(1.0))
+            .cast("float")
+            .alias("strength"),
+        )
+        .persist()
+    )
+    model = train_als_recommender(
+        ratings,
+        user_col="user_bucket",
+        item_col="item_id",
+        rating_col="strength",
+        rank=16,
+        max_iter=10,
+        implicit_prefs=False,
+    )
+    recs = model.recommendForAllUsers(1).select(
+        F.col("user_bucket").cast("int").alias("user_bucket"),
+        F.col("recommendations")[0]["item_id"].cast("int").alias("top_item"),
+    )
+    out = recs.select(
+        "user_bucket",
+        "top_item",
+        # true block membership (the weaker invariant, kept separate from
+        # the strict designated-item equality carried by top_item itself)
+        F.expr("top_item div 5 = user_bucket % 4").alias("in_block"),
+    )
+    out._stage_caches = [ratings]
+    return out

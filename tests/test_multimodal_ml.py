@@ -174,3 +174,31 @@ def test_als_recommender_clusters(spark):
     for u, items in by_user.items():
         block = set(range(5)) if u < 10 else set(range(5, 10))
         assert set(items) <= block, (u, items)
+
+
+def test_als_explicit_designated_top1(spark):
+    """Explicit ALS on the planted block grid (the
+    als_block_recommender_events structure): rating 5.0 on each user's
+    designated item, 1.0 on the rest of its block, cross-block
+    unobserved — top-1 must recover the designated item for EVERY user
+    (the analytic claim the query's oracle hashes)."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        train_als_recommender,
+    )
+
+    rows = []
+    for u in range(50):
+        for slot in range(5):
+            rows.append(
+                (u, (u % 4) * 5 + slot, 5.0 if slot == u % 5 else 1.0)
+            )
+    df = spark.createDataFrame(rows, "user_bucket int, item_id int, strength double")
+    model = train_als_recommender(
+        df, user_col="user_bucket", rating_col="strength",
+        rank=16, max_iter=10, implicit_prefs=False,
+    )
+    recs = model.recommendForAllUsers(1).collect()
+    assert len(recs) == 50
+    for r in recs:
+        u = r["user_bucket"]
+        assert r["recommendations"][0]["item_id"] == (u % 4) * 5 + u % 5, u
