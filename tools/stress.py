@@ -262,6 +262,23 @@ def main() -> None:
 
     run("bm25", bm25_scores(docs, ["spark", "table", "query"]))
 
+    # round-6 corpus operators at N× (round-6 verdict ask #7): TextRank's
+    # PageRank state is vocab-sized (replication grows edge WEIGHTS, not
+    # the vocabulary — per-round cost should stay near-flat) and
+    # Good-Turing is one shingle-count shuffle folded to 4 integers.
+    from azure_medicine_data_engineering_spark.operators.text import (
+        good_turing_ngram_mass,
+    )
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        textrank_keywords,
+    )
+
+    run("textrank_keywords", textrank_keywords(docs, "text", iterations=3))
+    t0 = time.time()
+    gt = good_turing_ngram_mass(docs, n=4, text_col="text").collect()
+    timings["good_turing_4gram_mass"] = round(time.time() - t0, 2)
+    assert gt[0]["n_grams"] > 0
+
     emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_emb = emb_base.count()
     emb = replicate(emb_base, {"vec_id": 100_000_000}, REPL)
