@@ -2472,3 +2472,453 @@ def hotelling_t2_two_sample(
         F.expr(HT2_T2_EXPR).alias("t2"),
         F.expr(HT2_F_EXPR).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (k groups vs the pooled median).
+# ---------------------------------------------------------------------------
+
+#: Identical chi-square finalization as CHI2_EXPR but named for clarity at
+#: the Mood call sites (micro-unit cell terms summed order-free).
+MOOD_CHI2_EXPR = "round(chi2_u / 1e6, 4)"
+
+
+def mood_median_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Mood's median test: do the k groups share a common median? The
+    nonparametric sibling of one-way ANOVA that only asks ABOVE or not:
+    dichotomize every observation at the pooled median m, then Pearson
+    chi-square on the k×2 (group × above/at-or-below) table.
+
+    m is the LOWER-MIDDLE pooled order statistic (rank ``(n+1) div 2``),
+    located exactly on the distinct-value frame via the bucketed prefix
+    sum (:func:`ranked_value_counts` — no global data-grain window); the
+    dichotomization is one broadcast join of that 1-row frame back onto
+    a per-(group, side) COUNT aggregation. Per-cell chi-square terms ride
+    the integer micro grid (order-free sum), the
+    :func:`chi_square_independence` device.
+
+    Returns ``(k, n, med_v, chi2)``; dof = k-1.
+    """
+    vals = df.select(F.col(value_col).cast("long").alias("v"), F.col(group_col).alias("_g"))
+    ranked = ranked_value_counts(vals.select("v"), "v")
+    tot = ranked.agg(F.sum("c_all").cast("long").alias("n"))
+    med = (
+        ranked.alias("a")
+        .crossJoin(F.broadcast(tot).alias("b"))
+        .where(
+            (F.col("a.cnt_less") < F.expr("(b.n + 1) div 2"))
+            & (F.expr("(b.n + 1) div 2") <= F.col("a.cnt_less") + F.col("a.c_all"))
+        )
+        .select(F.col("a.v").alias("med_v"))
+        .persist()
+    )
+    cells = (
+        vals.crossJoin(F.broadcast(med))
+        .groupBy("_g")
+        .agg(
+            F.sum((F.col("v") > F.col("med_v")).cast("long")).cast("long").alias("o_above"),
+            F.sum((F.col("v") <= F.col("med_v")).cast("long")).cast("long").alias("o_below"),
+            F.max("med_v").cast("long").alias("med_v"),
+        )
+        .persist()
+    )
+    margins = cells.agg(
+        F.sum(F.col("o_above") + F.col("o_below")).cast("long").alias("n"),
+        F.sum("o_above").cast("long").alias("c_above"),
+        F.sum("o_below").cast("long").alias("c_below"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("med_v").cast("long").alias("med_v"),
+    )
+    long_cells = cells.select(
+        "_g",
+        (F.col("o_above") + F.col("o_below")).cast("long").alias("r"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("above").alias("side"), F.col("o_above").alias("o")),
+                F.struct(F.lit("below").alias("side"), F.col("o_below").alias("o")),
+            )
+        ).alias("_c"),
+    ).select("_g", "r", "_c.side", "_c.o")
+    num = (
+        F.col("s.o") * 1.0 * F.col("t.n")
+        - F.col("s.r")
+        * 1.0
+        * F.when(F.col("s.side") == "above", F.col("t.c_above")).otherwise(
+            F.col("t.c_below")
+        )
+    )
+    cmarg = F.when(F.col("s.side") == "above", F.col("t.c_above")).otherwise(
+        F.col("t.c_below")
+    )
+    term = num * num / (F.col("t.n") * 1.0 * F.col("s.r") * cmarg)
+    scal = (
+        long_cells.alias("s")
+        .crossJoin(F.broadcast(margins).alias("t"))
+        .agg(
+            F.max("t.k").cast("long").alias("k"),
+            F.max("t.n").cast("long").alias("n"),
+            F.max("t.med_v").cast("long").alias("med_v"),
+            F.sum(F.round(term * 1e6).cast("long")).cast("long").alias("chi2_u"),
+        )
+    )
+    out = scal.select("k", "n", "med_v", F.expr(MOOD_CHI2_EXPR).alias("chi2"))
+    out._stage_caches = [med, cells]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend test.
+# ---------------------------------------------------------------------------
+
+#: z from all-integer state: jt2/e2 the doubled JT statistic and its H0
+#: expectation, (va, vb_g, vb_t, vc_g, vc_t) the tie-corrected variance
+#: components (Hollander & Wolfe):
+#: Var = A/72 + B_g·B_t/(36·N(N−1)(N−2)) + C_g·C_t/(8·N(N−1)), and the
+#: doubled statistic divides z's numerator and denominator by 2.
+JT_Z_EXPR = (
+    "round((jt2 - e2) / (2e0 * sqrt("
+    "va / 72e0"
+    " + vb_g * 1e0 * vb_t / (36e0 * n * (n - 1e0) * (n - 2e0))"
+    " + vc_g * 1e0 * vc_t / (8e0 * n * (n - 1e0))"
+    ")), 4)"
+)
+
+
+def jonckheere_trend(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ordered_groups: list[str],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative (values trend
+    monotonically across the given group order) — strictly more powerful
+    than Kruskal-Wallis when the hypothesis IS a dose/severity ordering
+    (the reference's clinical batteries compare ordered severity grades;
+    ``Hypothesis testing R.r:374-392``). JT = Σ_{i<j} U_ij over ordered
+    group pairs; doubled (ties count 1, not ½) it is pure integer
+    arithmetic.
+
+    Scale plan: ONE (value)-keyed count aggregation pivots the k group
+    counts into columns (k is the literal ``ordered_groups``, never
+    data-derived); the per-group cumulative-below counts come from the
+    same two-phase bucketed prefix sum as :func:`ranked_value_counts`
+    but carried for all k columns at once (one bounded ``n_buckets``-row
+    offset window, in-bucket windows keyed by bucket); then
+    ``2·U_ij = Σ_v c_j(v)·(2·cumlt_i(v) + c_i(v))`` folds to one row.
+    The H0 expectation ``E[2JT] = (N² − Σ n_g²) div 2 · 2`` and the
+    tie-corrected variance are all exact BIGINT/DECIMAL(38,0) state;
+    z is the one shared expression (:data:`JT_Z_EXPR`).
+
+    Returns ``(n, k, jt2, e2, z)``.
+    """
+    k = len(ordered_groups)
+    if k < 2:
+        raise ValueError("ordered_groups needs >= 2 groups")
+    gcol = F.col(group_col)
+    byval = (
+        df.where(gcol.isin(list(ordered_groups)))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            *[
+                F.sum((gcol == g).cast("long")).cast("long").alias(f"c{i}")
+                for i, g in enumerate(ordered_groups)
+            ]
+        )
+        .withColumn("c_all", sum(F.col(f"c{i}") for i in range(k)).cast("long"))
+        .persist()
+    )
+    bounds = byval.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * n_buckets),
+        )
+    )
+    bk = (
+        byval.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("_bk").agg(
+        *[F.sum(f"c{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bk",
+        *[
+            F.coalesce(F.sum(f"_b{i}").over(w_off), F.lit(0)).alias(f"_o{i}")
+            for i in range(k)
+        ],
+    )
+    w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bk.join(F.broadcast(offsets), "_bk").select(
+        "v",
+        "c_all",
+        *[F.col(f"c{i}") for i in range(k)],
+        *[
+            (
+                F.col(f"_o{i}")
+                + F.coalesce(F.sum(f"c{i}").over(w_in), F.lit(0))
+            ).cast("long").alias(f"lt{i}")
+            for i in range(k)
+        ],
+    )
+    dec = "decimal(38,0)"
+    # 2U_ij summed over all ordered pairs in one aggregation
+    jt_terms = sum(
+        F.col(f"c{j}").cast(dec) * (2 * F.col(f"lt{i}") + F.col(f"c{i}"))
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    scal = cum.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(jt_terms).cast(dec).alias("jt2_d"),
+        *[F.sum(f"c{i}").cast("long").alias(f"n{i}") for i in range(k)],
+        # tie-group components over the pooled distinct values
+        F.sum(
+            F.col("c_all").cast(dec) * (F.col("c_all") - 1) * (2 * F.col("c_all") + 5)
+        ).alias("t_a"),
+        F.sum(
+            F.col("c_all").cast(dec) * (F.col("c_all") - 1) * (F.col("c_all") - 2)
+        ).alias("t_b"),
+        F.sum(F.col("c_all").cast(dec) * (F.col("c_all") - 1)).alias("t_c"),
+    )
+    ng = [F.col(f"n{i}").cast(dec) for i in range(k)]
+    sum_n2 = sum(g * F.col(f"n{i}") for i, g in enumerate(ng))
+    g_a = sum(g * (F.col(f"n{i}") - 1) * (2 * F.col(f"n{i}") + 5) for i, g in enumerate(ng))
+    g_b = sum(g * (F.col(f"n{i}") - 1) * (F.col(f"n{i}") - 2) for i, g in enumerate(ng))
+    g_c = sum(g * (F.col(f"n{i}") - 1) for i, g in enumerate(ng))
+    n_dec = F.col("n").cast(dec)
+    state = scal.select(
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        F.col("jt2_d").cast("long").alias("jt2"),
+        # E[2JT] = Σ_{i<j} n_i n_j = (N² − Σn²) div 2 (always even)
+        (n_dec * F.col("n") - sum_n2).cast("long").alias("_e2raw"),
+        (n_dec * (F.col("n") - 1) * (2 * F.col("n") + 5) - g_a - F.col("t_a"))
+        .cast("double")
+        .alias("va"),
+        g_b.cast("double").alias("vb_g"),
+        F.col("t_b").cast("double").alias("vb_t"),
+        g_c.cast("double").alias("vc_g"),
+        F.col("t_c").cast("double").alias("vc_t"),
+    ).withColumn("e2", F.expr("_e2raw div 2").cast("long"))
+    out = state.select(
+        "n", "k", "jt2", "e2", F.expr(JT_Z_EXPR).alias("z")
+    )
+    out._stage_caches = [byval]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling two-sample test (Scholz-Stephens midrank version).
+# ---------------------------------------------------------------------------
+
+#: A² = (N−1)/N · S/1e12 where S is the pico-unit term sum (each term is
+#: one double expression over exact integer inputs, rounded onto the 1e12
+#: grid BEFORE summation so the cross-value sum is order-free — the
+#: micro-unit ln-term device at higher precision, needed because AD terms
+#: are per-value-tiny).
+AD_A2_EXPR = "round((n1 + n2 - 1e0) / (n1 + n2) * (s_pico / 1e12), 4)"
+
+
+def ad_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz & Stephens 1987, the
+    tie-aware midrank version A²akN with k=2) — the tail-weighted member
+    of the distribution-comparison battery: KS sees the sup, CvM the
+    whole CDF, AD up-weights the TAILS by 1/(H(1−H)), so it is the test
+    that notices tail drift first.
+
+    All rank state is exact integer on the doubled grid: per distinct
+    value, tie count l, doubled midrank cumulative ``b2 = 2·cum − l``,
+    doubled per-group midrank count ``m2_i = 2·cum_i − c_i``; the term
+    numerator ``dn_i = N·m2_i − n_i·b2`` and denominator
+    ``den2 = b2·(2N − b2) − N·l`` are exact BIGINTs from the same
+    two-phase bucketed CDF as :func:`ks_two_sample` (one bounded
+    ``n_buckets``-row offset window). Each (group, value) term
+    ``l·dn²/(N·n_i·den2)`` is ONE double expression over those integers
+    — identical IEEE sequence both engines — rounded onto the 1e12 grid
+    and summed order-free in DECIMAL(38,0) (oracle HUGEINT);
+    :data:`AD_A2_EXPR` finalizes. Degenerate single-distinct-value input
+    (den2 = 0) yields NULL.
+
+    Returns one row ``(n1, n2, a2)``.
+    """
+    byval = (
+        df.select(
+            F.col(value_col).alias("v"),
+            (F.col(group_col) == group1).alias("_f"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.col("_f").cast("long")).cast("long").alias("c1"),
+            F.sum((~F.col("_f")).cast("long")).cast("long").alias("c2"),
+        )
+        .persist()
+    )
+    bounds = byval.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * n_buckets),
+        )
+    )
+    bk = (
+        byval.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("_bk").agg(
+        F.sum("c1").alias("_b1"), F.sum("c2").alias("_b2")
+    )
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bk",
+        F.coalesce(F.sum("_b1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_b2").over(w_off), F.lit(0)).alias("_o2"),
+    )
+    w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = (
+        bk.join(F.broadcast(offsets), "_bk")
+        .select(
+            "v",
+            "c1",
+            "c2",
+            (F.col("_o1") + F.sum("c1").over(w_in)).cast("long").alias("cum1"),
+            (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
+        )
+        .persist()
+    )
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    # exact integer per-value state on the doubled grid
+    l = F.col("c.c1") + F.col("c.c2")
+    cum = F.col("c.cum1") + F.col("c.cum2")
+    n_tot = F.col("t.n1") + F.col("t.n2")
+    b2 = 2 * cum - l
+    den2 = b2 * (2 * n_tot - b2) - n_tot * l
+    def _term(ci: str, cumi: str, ni: str):
+        m2 = 2 * F.col(f"c.{cumi}") - F.col(f"c.{ci}")
+        dn = (n_tot * m2 - F.col(f"t.{ni}") * b2).cast("double")
+        return F.when(
+            den2 > 0,
+            F.round(
+                l.cast("double")
+                * dn
+                * dn
+                / (
+                    n_tot.cast("double")
+                    * F.col(f"t.{ni}").cast("double")
+                    * den2.cast("double")
+                )
+                * 1e12
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.lit(None).cast("decimal(38,0)"))
+    scal = (
+        cdf.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.max("t.n1").cast("long").alias("n1"),
+            F.max("t.n2").cast("long").alias("n2"),
+            F.sum(_term("c1", "cum1", "n1") + _term("c2", "cum2", "n2"))
+            .cast("double")
+            .alias("s_pico"),
+        )
+    )
+    out = scal.select("n1", "n2", F.expr(AD_A2_EXPR).alias("a2"))
+    out._stage_caches = [byval, cdf]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test of variance homogeneity (k groups).
+# ---------------------------------------------------------------------------
+
+#: T from shared state: sp_sum = Σ_g (n_g·q_g − s_g²)/n_g folded over the
+#: GROUP-SORTED array (the kruskal_wallis deterministic-summation device —
+#: a floor-div integer grid was tried first and its per-group quotients
+#: overflow BIGINT at the 10×-sf0.1 replica: ~6.2e19 cents²), ln_u the
+#: micro-unit Σ (n_g−1)·ln(s²_g) (order-free BIGINT), inv_p the pico-unit
+#: Σ 1/(n_g−1).
+BARTLETT_T_EXPR = (
+    "round(((n - k) * ln(sp_sum / (n - k * 1e0)) - ln_u / 1e6)"
+    " / (1e0 + (inv_p / 1e12 - 1e0 / (n - k)) / (3e0 * (k - 1e0))), 4)"
+)
+
+
+def bartlett_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Bartlett's test: do the k groups share a common variance? The
+    likelihood-ratio sibling of :func:`levene_test` (more powerful under
+    normality, more fragile to heavy tails — run both). ``value_col``
+    must be integer-grid (caller pre-scales to cents).
+
+    Exactness plan: per group ONE pass accumulates (n_g, Σx, Σx²) in
+    DECIMAL(38,0)/HUGEINT; the group SS numerator ``n_g·q_g − s_g²`` is
+    exact; the pooled sum folds the per-group ``num_g/n_g`` doubles in
+    GROUP-SORTED order (the :func:`kruskal_wallis` deterministic-fold
+    device — k values, one fixed order, oracle replays the same left
+    fold). The per-group ``(n_g−1)·ln(s²_g)`` terms ride the micro-unit ln-term
+    device (round onto the 1e6 grid BEFORE the sum) and ``1/(n_g−1)``
+    the pico grid; :data:`BARTLETT_T_EXPR` finalizes. Returns
+    ``(n, k, t_stat)``; chi²(k−1) under H0.
+    """
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("long")
+    per = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(x.cast(dec)).alias("s_g"),
+            F.sum(x.cast(dec) * x).alias("q_g"),
+        )
+        .where(F.col("n_g") >= 2)
+    )
+    ssq_num = F.col("n_g").cast(dec) * F.col("q_g") - F.col("s_g") * F.col("s_g")
+    # s²_g as ONE double expression over exact integers (shared IEEE order)
+    s2_g = ssq_num.cast("double") / (
+        F.col("n_g").cast("double") * (F.col("n_g") - 1).cast("double")
+    )
+    scal = per.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        # pooled SS = Σ_g num_g/n_g: per-group doubles from exact DECIMAL
+        # numerators, folded in GROUP-SORTED order (deterministic
+        # summation; the oracle replays the same left fold over pivoted
+        # literal groups)
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"),
+                        ssq_num.cast("double").alias("numd"),
+                        F.col("n_g").alias("ng"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["numd"] / s["ng"],
+        ).alias("sp_sum"),
+        F.sum(
+            F.round((F.col("n_g") - 1).cast("double") * F.log(s2_g) * 1e6)
+            .cast("long")
+        ).cast("long").alias("ln_u"),
+        F.sum(
+            F.round(1e12 / (F.col("n_g") - 1).cast("double")).cast("long")
+        ).cast("long").alias("inv_p"),
+    )
+    return scal.select("n", "k", F.expr(BARTLETT_T_EXPR).alias("t_stat"))

@@ -46,6 +46,17 @@ AGG_FUNCTIONS: dict[str, Callable[[str], Column]] = {
     # recovers the exact decimal sum, so the result is bit-identical across
     # engines and partitionings (used by oracle-compared queries).
     "avg_stable": lambda c: F.round(F.sum(c), 2) / F.count(c),
+    # EXACT sum/mean for 2-decimal data at ANY row count: sum on the
+    # integer cents grid (BIGINT, order-free), divide once. The raw
+    # double "sum" drifts past ROUND(...,4) once a group accumulates
+    # millions of rows (observed at the 10×-sf0.1 replica: 'All' price
+    # sum off by 0.0089), and "avg_stable"'s ROUND(SUM,2) only survives
+    # while that error stays < 0.005 — these are the scale-proof forms.
+    "sum_2dec": lambda c: F.sum(F.round(F.col(c) * 100).cast("long")).cast("double")
+    / 100,
+    "avg_2dec": lambda c: F.sum(F.round(F.col(c) * 100).cast("long")).cast("double")
+    / 100
+    / F.count(c),
     # exact interpolated median (matches ANSI percentile_cont semantics);
     # replaces the reference's internal ApproximatePercentile construction
     # (``utils.scala:226-240``) — see also approx_median below for scale.
@@ -359,6 +370,11 @@ def categorized_summary_oracle_sql(
         "avg": "AVG({c})",
         "mean": "AVG({c})",
         "avg_stable": "ROUND(SUM({c}), 2) / COUNT({c})",
+        "sum_2dec": "CAST(SUM(CAST(ROUND({c} * 100) AS BIGINT)) AS DOUBLE) / 100",
+        "avg_2dec": (
+            "CAST(SUM(CAST(ROUND({c} * 100) AS BIGINT)) AS DOUBLE) / 100"
+            " / COUNT({c})"
+        ),
         "median": "quantile_cont({c}, 0.5)",
         "stddev": "stddev_samp({c})",
         "stddev_pop": "stddev_pop({c})",

@@ -1584,3 +1584,75 @@ def q_wasserstein_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_two_sample(
         src, "v_cents", "event_type", "click", scale="1e2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling two-sample: click vs view values.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    AD_A2_EXPR,
+    ad_two_sample,
+)
+
+
+@register(
+    "ad_test_click_vs_view",
+    f"""
+    WITH src AS (
+      SELECT value AS v, event_type = 'click' AS f
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    byval AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM src GROUP BY v
+    ),
+    cdf AS (
+      SELECT v, c1, c2,
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM byval
+    ),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2 FROM cdf),
+    terms AS (
+      SELECT t.n1, t.n2,
+        (c1 + c2) AS l,
+        (2 * (cum1 + cum2) - (c1 + c2)) AS b2,
+        (2 * (cum1 + cum2) - (c1 + c2))
+          * (2 * (t.n1 + t.n2) - (2 * (cum1 + cum2) - (c1 + c2)))
+          - (t.n1 + t.n2) * (c1 + c2) AS den2,
+        CAST((t.n1 + t.n2) * (2 * cum1 - c1) - t.n1 * (2 * (cum1 + cum2) - (c1 + c2)) AS DOUBLE) AS dn1,
+        CAST((t.n1 + t.n2) * (2 * cum2 - c2) - t.n2 * (2 * (cum1 + cum2) - (c1 + c2)) AS DOUBLE) AS dn2
+      FROM cdf, tot t
+    ),
+    s AS (
+      SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(SUM(
+               CASE WHEN den2 > 0 THEN CAST(ROUND(
+                 CAST(l AS DOUBLE) * dn1 * dn1
+                 / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(den2 AS DOUBLE)) * 1e12
+               ) AS HUGEINT) END
+               + CASE WHEN den2 > 0 THEN CAST(ROUND(
+                 CAST(l AS DOUBLE) * dn2 * dn2
+                 / (CAST(n1 + n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(den2 AS DOUBLE)) * 1e12
+               ) AS HUGEINT) END
+             ) AS DOUBLE) AS s_pico
+      FROM terms
+    )
+    SELECT n1, n2, {AD_A2_EXPR} AS a2 FROM s
+    """,
+)
+def q_ad_test_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz-Stephens midrank A²akN,
+    k=2) of the click vs view value distributions — the TAIL-weighted
+    member of the battery next to ``ks_test_click_vs_view`` (sup) and
+    ``cvm_test_click_vs_view`` (whole CDF): 1/(H(1−H)) weighting makes it
+    the first to notice tail drift (``rankstats.ad_two_sample``). All
+    rank state exact doubled-grid integers from the two-phase bucketed
+    CDF; per-(group, value) terms are one shared double expression
+    rounded onto the 1e12 grid and summed order-free."""
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return ad_two_sample(ev, "value", "event_type", "click")

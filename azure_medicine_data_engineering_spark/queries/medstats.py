@@ -1783,3 +1783,244 @@ def q_hotelling_t2_qty_disc_returnflag(spark: SparkSession, sf_dir: str) -> Data
         "l_returnflag",
     )
     return hotelling_t2_two_sample(src, "qx", "dy", "l_returnflag", "R")
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test: event value by event type.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    JT_Z_EXPR,
+    MOOD_CHI2_EXPR,
+    jonckheere_trend,
+    mood_median_test,
+)
+
+
+@register(
+    "mood_median_value_by_type",
+    f"""
+    WITH vals AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, event_type AS g
+      FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+    byval AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
+    rk AS (
+      SELECT v, c, CAST(COALESCE(SUM(c) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS cl
+      FROM byval
+    ),
+    med AS (
+      SELECT v AS med_v FROM rk, tot
+      WHERE cl < (n + 1) // 2 AND (n + 1) // 2 <= cl + c
+    ),
+    cells AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN v > med_v THEN 1 ELSE 0 END) AS BIGINT) AS oa,
+             CAST(SUM(CASE WHEN v <= med_v THEN 1 ELSE 0 END) AS BIGINT) AS ob
+      FROM vals, med GROUP BY g
+    ),
+    marg AS (
+      SELECT CAST(SUM(oa + ob) AS BIGINT) AS n,
+             CAST(SUM(oa) AS BIGINT) AS ca,
+             CAST(SUM(ob) AS BIGINT) AS cb,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cells
+    ),
+    long_cells AS (
+      SELECT oa + ob AS r, 'above' AS side, oa AS o FROM cells
+      UNION ALL
+      SELECT oa + ob AS r, 'below' AS side, ob AS o FROM cells
+    ),
+    s AS (
+      SELECT CAST(MAX(m.k) AS BIGINT) AS k, CAST(MAX(m.n) AS BIGINT) AS n,
+             CAST(MAX(med.med_v) AS BIGINT) AS med_v,
+             CAST(SUM(CAST(ROUND(
+               (o * 1e0 * m.n - r * 1e0 * (CASE WHEN side = 'above' THEN m.ca ELSE m.cb END))
+               * (o * 1e0 * m.n - r * 1e0 * (CASE WHEN side = 'above' THEN m.ca ELSE m.cb END))
+               / (m.n * 1e0 * r * (CASE WHEN side = 'above' THEN m.ca ELSE m.cb END)) * 1e6
+             ) AS BIGINT)) AS BIGINT) AS chi2_u
+      FROM long_cells, marg m, med
+    )
+    SELECT k, n, med_v, {MOOD_CHI2_EXPR} AS chi2 FROM s
+    """,
+)
+def q_mood_median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of the event value (cents grid) across the five
+    event types — do all types share a common median value?
+    (``rankstats.mood_median_test``): the pooled lower-middle median from
+    the bucketed prefix sum, one broadcast dichotomization pass, k×2
+    chi-square on the micro grid. The rank-free sibling of
+    ``kruskal_wallis_value_by_type`` (only asks ABOVE-or-not, so it is
+    the robust choice under gross outliers)."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    return mood_median_test(src, "cents", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered trend: order price across priority classes.
+# ---------------------------------------------------------------------------
+
+_JT_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _jt_oracle() -> str:
+    k = len(_JT_GROUPS)
+    c_cases = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i, g in enumerate(_JT_GROUPS)
+    )
+    lt_cols = ",\n             ".join(
+        f"CAST(COALESCE(SUM(c{i}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lt{i}"
+        for i in range(k)
+    )
+    jt_terms = " + ".join(
+        f"CAST(c{j} AS HUGEINT) * (2 * lt{i} + c{i})"
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    n_sums = ",\n             ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(k)
+    )
+    sum_n2 = " + ".join(f"CAST(n{i} AS HUGEINT) * n{i}" for i in range(k))
+    g_a = " + ".join(
+        f"CAST(n{i} AS HUGEINT) * (n{i} - 1) * (2 * n{i} + 5)" for i in range(k)
+    )
+    g_b = " + ".join(
+        f"CAST(n{i} AS HUGEINT) * (n{i} - 1) * (n{i} - 2)" for i in range(k)
+    )
+    g_c = " + ".join(f"CAST(n{i} AS HUGEINT) * (n{i} - 1)" for i in range(k))
+    return f"""
+    WITH src AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderpriority AS g
+      FROM orders
+    ),
+    byval AS (
+      SELECT v,
+             {c_cases},
+             CAST(COUNT(*) AS BIGINT) AS c_all
+      FROM src GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c_all, {', '.join(f'c{i}' for i in range(k))},
+             {lt_cols}
+      FROM byval
+    ),
+    scal AS (
+      SELECT CAST(SUM(c_all) AS BIGINT) AS n,
+             CAST(SUM({jt_terms}) AS BIGINT) AS jt2,
+             {n_sums},
+             SUM(CAST(c_all AS HUGEINT) * (c_all - 1) * (2 * c_all + 5)) AS t_a,
+             SUM(CAST(c_all AS HUGEINT) * (c_all - 1) * (c_all - 2)) AS t_b,
+             SUM(CAST(c_all AS HUGEINT) * (c_all - 1)) AS t_c
+      FROM cum
+    ),
+    state AS (
+      SELECT n, CAST({k} AS BIGINT) AS k, jt2,
+             CAST((CAST(n AS HUGEINT) * n - ({sum_n2})) // 2 AS BIGINT) AS e2,
+             CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                  - ({g_a}) - t_a AS DOUBLE) AS va,
+             CAST({g_b} AS DOUBLE) AS vb_g,
+             CAST(t_b AS DOUBLE) AS vb_t,
+             CAST({g_c} AS DOUBLE) AS vc_g,
+             CAST(t_c AS DOUBLE) AS vc_t
+      FROM scal
+    )
+    SELECT n, k, jt2, e2, {JT_Z_EXPR} AS z FROM state
+    """
+
+
+@register("jonckheere_price_by_priority", _jt_oracle())
+def q_jonckheere_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: does order price
+    trend monotonically from 1-URGENT to 5-LOW?
+    (``rankstats.jonckheere_trend``) — the dose-ordering refinement of
+    ``anova_totalprice_by_priority``/``kruskal_wallis``: one value-keyed
+    pivot of the five priority counts, per-group cumulative-below via
+    the multi-column two-phase bucketed prefix sum, doubled-integer
+    2U_ij fold, tie-corrected H0 variance from DECIMAL(38,0) tie/group
+    sums, z as the one shared expression."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    return jonckheere_trend(src, "cents", "o_orderpriority", _JT_GROUPS)
+
+
+# ---------------------------------------------------------------------------
+# Bartlett variance-homogeneity: order price across priority classes.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    BARTLETT_T_EXPR,
+    bartlett_test,
+)
+
+
+@register(
+    "bartlett_price_by_priority",
+    f"""
+    WITH src AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             o_orderpriority AS g
+      FROM orders
+    ),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(x AS HUGEINT)) AS s_g,
+             SUM(CAST(x AS HUGEINT) * x) AS q_g
+      FROM src GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    terms AS (
+      SELECT g,
+             CAST(CAST(n_g AS HUGEINT) * q_g - s_g * s_g AS DOUBLE) / n_g AS t_g
+      FROM per
+    ),
+    folded AS (
+      SELECT ((((0e0
+        + MAX(CASE WHEN g = '1-URGENT' THEN t_g END))
+        + MAX(CASE WHEN g = '2-HIGH' THEN t_g END))
+        + MAX(CASE WHEN g = '3-MEDIUM' THEN t_g END))
+        + MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN t_g END))
+        + MAX(CASE WHEN g = '5-LOW' THEN t_g END) AS sp_sum
+      FROM terms
+    ),
+    scal AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(ROUND(
+               CAST(n_g - 1 AS DOUBLE)
+               * ln(CAST(CAST(n_g AS HUGEINT) * q_g - s_g * s_g AS DOUBLE)
+                    / (CAST(n_g AS DOUBLE) * CAST(n_g - 1 AS DOUBLE)))
+               * 1e6
+             ) AS BIGINT)) AS BIGINT) AS ln_u,
+             CAST(SUM(CAST(ROUND(1e12 / CAST(n_g - 1 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inv_p
+      FROM per
+    )
+    SELECT n, k, {BARTLETT_T_EXPR} AS t_stat FROM scal, folded
+    """,
+)
+def q_bartlett_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test of order price (cents) across
+    the five priority classes (``rankstats.bartlett_test``) — the
+    likelihood-ratio companion to ``levene_totalprice_by_priority``
+    (Bartlett is sharper under normality, Levene robust to tails; a
+    variance-stability readout needs both). ONE pass of DECIMAL(38,0)
+    sufficient statistics; pooled SS folded over the group-sorted
+    per-group doubles (kruskal_wallis fold device), per-group ln terms
+    on the order-free micro grid."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    return bartlett_test(src, "cents", "o_orderpriority")

@@ -32,7 +32,9 @@ __all__ = ["QUERIES", "ORACLES"]
 # ---------------------------------------------------------------------------
 
 _CS_METRICS = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_discount", "disc")]
-_CS_AGGS = ["sum", "min", "max", "count", "avg_stable", "median"]
+# sum_2dec/avg_2dec: integer-cents-grid sum/mean — the raw-double "sum"
+# drifts past ROUND(...,4) at replica scale (10×-sf0.1 sweep, round 7)
+_CS_AGGS = ["sum_2dec", "min", "max", "count", "avg_2dec", "median"]
 _CS_CATS = ["l_returnflag", "l_linestatus"]
 
 
@@ -582,7 +584,7 @@ def q_scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CS_FAST_AGGS = ["sum", "min", "max", "count", "avg_stable"]
+_CS_FAST_AGGS = ["sum_2dec", "min", "max", "count", "avg_2dec"]
 _APPROX_PERCENTILE_ACCURACY = 2000  # keep in sync with summarize.AGG_FUNCTIONS
 
 

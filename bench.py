@@ -85,7 +85,7 @@ def _categorized_summary_fast_operator(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return categorized_summary(
         li, _CS_METRICS,
-        ["sum", "min", "max", "count", "avg_stable", "approx_median"],
+        ["sum_2dec", "min", "max", "count", "avg_2dec", "approx_median"],
         _CS_CATS,
         # default "auto" routing: the distinct-count probe sends qty (50
         # distinct) and disc (11) down the exact counting branch and keeps

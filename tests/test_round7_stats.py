@@ -112,3 +112,211 @@ def test_kendall_guard_rejects_data_grain(spark):
     # under the bound it still works
     out = kendall_tau_keyed(df.limit(5), "k", "x", "y", max_rows=10).collect()[0]
     assert out["tau_b"] == 1.0
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    ad_two_sample,
+    jonckheere_trend,
+    mood_median_test,
+)
+
+
+def test_mood_median_naive(spark):
+    vals = {"a": [1, 2, 3, 9], "b": [5, 6, 7], "c": [2, 8, 8, 8, 1]}
+    rows = [(v, g) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = mood_median_test(df, "v", "g").collect()[0]
+    pooled = sorted(v for vs in vals.values() for v in vs)
+    n = len(pooled)
+    m = pooled[(n + 1) // 2 - 1]  # lower-middle order statistic
+    assert got["med_v"] == m and got["n"] == n and got["k"] == 3
+    above = {g: sum(1 for v in vs if v > m) for g, vs in vals.items()}
+    below = {g: sum(1 for v in vs if v <= m) for g, vs in vals.items()}
+    ca, cb = sum(above.values()), sum(below.values())
+    chi2 = 0.0
+    for g in vals:
+        r = above[g] + below[g]
+        for o, c in ((above[g], ca), (below[g], cb)):
+            num = o * n - r * c
+            chi2 += math.floor(num * num / (n * r * c) * 1e6 + 0.5) / 1e6
+    assert abs(got["chi2"] - _r4(chi2)) <= 1e-9
+
+
+def _naive_jt(groups):
+    """groups: ordered list of value lists. Returns (jt2, e2, z)."""
+    k = len(groups)
+    jt2 = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            for a in groups[i]:
+                for b in groups[j]:
+                    jt2 += 2 if a < b else (1 if a == b else 0)
+    ns = [len(g) for g in groups]
+    n = sum(ns)
+    e2 = (n * n - sum(x * x for x in ns)) // 2
+    from collections import Counter
+    ties = Counter(v for g in groups for v in g)
+    t_a = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    t_b = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    t_c = sum(t * (t - 1) for t in ties.values())
+    g_a = sum(x * (x - 1) * (2 * x + 5) for x in ns)
+    g_b = sum(x * (x - 1) * (x - 2) for x in ns)
+    g_c = sum(x * (x - 1) for x in ns)
+    var = (
+        (n * (n - 1) * (2 * n + 5) - g_a - t_a) / 72.0
+        + g_b * t_b / (36.0 * n * (n - 1) * (n - 2))
+        + g_c * t_c / (8.0 * n * (n - 1))
+    )
+    z = (jt2 - e2) / (2.0 * math.sqrt(var))
+    return jt2, e2, z
+
+
+def test_jonckheere_naive(spark):
+    groups = {
+        "lo": [1, 3, 3, 5],
+        "mid": [2, 4, 6, 6, 8],
+        "hi": [5, 7, 9, 11],
+    }
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = jonckheere_trend(df, "v", "g", ["lo", "mid", "hi"]).collect()[0]
+    jt2, e2, z = _naive_jt([groups["lo"], groups["mid"], groups["hi"]])
+    assert got["jt2"] == jt2 and got["e2"] == e2
+    assert abs(got["z"] - _r4(z)) <= 1e-4
+    # the planted upward trend must push JT above its H0 expectation
+    assert got["jt2"] > got["e2"] and got["z"] > 0
+
+
+def test_jonckheere_reverse_order_flips_sign(spark):
+    rows = [(v, g) for g, vs in
+            {"lo": [1, 2, 3], "hi": [7, 8, 9]}.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    up = jonckheere_trend(df, "v", "g", ["lo", "hi"]).collect()[0]
+    dn = jonckheere_trend(df, "v", "g", ["hi", "lo"]).collect()[0]
+    assert up["z"] > 0 and dn["z"] < 0
+    assert up["jt2"] + dn["jt2"] == 2 * 3 * 3  # U_ij + U_ji = n_i*n_j (doubled)
+
+
+def _naive_ad(xs, ys):
+    """Scholz-Stephens midrank A2akN (k=2) with the 1e12-grid per-term
+    rounding the distributed plan uses."""
+    from collections import Counter
+    c1s, c2s = Counter(xs), Counter(ys)
+    n1, n2 = len(xs), len(ys)
+    n = n1 + n2
+    s = 0
+    cum1 = cum2 = 0
+    for v in sorted(set(xs) | set(ys)):
+        c1, c2 = c1s.get(v, 0), c2s.get(v, 0)
+        cum1 += c1
+        cum2 += c2
+        l = c1 + c2
+        cum = cum1 + cum2
+        b2 = 2 * cum - l
+        den2 = b2 * (2 * n - b2) - n * l
+        if den2 <= 0:
+            return None
+        for ci, cumi, ni in ((c1, cum1, n1), (c2, cum2, n2)):
+            m2 = 2 * cumi - ci
+            dn = n * m2 - ni * b2
+            s += math.floor(l * float(dn) * dn / (n * float(ni) * den2) * 1e12 + 0.5)
+    return _r4((n - 1) / n * (s / 1e12))
+
+
+def test_ad_two_sample_naive(spark):
+    xs = [1, 2, 2, 3, 5, 8]
+    ys = [2, 4, 4, 6, 7, 9, 9]
+    rows = [(v, "a") for v in xs] + [(v, "b") for v in ys]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = ad_two_sample(df, "v", "g", "a").collect()[0]
+    assert got["n1"] == len(xs) and got["n2"] == len(ys)
+    assert abs(got["a2"] - _naive_ad(xs, ys)) <= 1e-9
+
+
+def test_ad_group_swap_invariant(spark):
+    xs = [1, 4, 4, 7]
+    ys = [2, 3, 8, 9, 10]
+    rows = [(v, "a") for v in xs] + [(v, "b") for v in ys]
+    df = spark.createDataFrame(rows, "v long, g string")
+    a = ad_two_sample(df, "v", "g", "a").collect()[0]["a2"]
+    b = ad_two_sample(df, "v", "g", "b").collect()[0]["a2"]
+    assert a == b
+
+
+def test_ad_separation_dominates_identical(spark):
+    near = [(v, "a") for v in [1, 2, 3, 4]] + [(v, "b") for v in [1, 2, 3, 4]]
+    far = [(v, "a") for v in [1, 2, 3, 4]] + [(v, "b") for v in [11, 12, 13, 14]]
+    d_near = spark.createDataFrame(near, "v long, g string")
+    d_far = spark.createDataFrame(far, "v long, g string")
+    a_near = ad_two_sample(d_near, "v", "g", "a").collect()[0]["a2"]
+    a_far = ad_two_sample(d_far, "v", "g", "a").collect()[0]["a2"]
+    assert a_far > a_near
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    bartlett_test,
+)
+
+
+def _naive_bartlett_grid(groups):
+    """The engine's shared definition: pooled SS folded over the
+    group-sorted per-group doubles (callers pass groups pre-sorted),
+    micro-grid ln terms, pico-grid inverse terms."""
+    ns = [len(g) for g in groups]
+    n, k = sum(ns), len(groups)
+    sp_sum = 0.0
+    ln_u = 0
+    inv_p = 0
+    for g in groups:
+        ng = len(g)
+        s = sum(g)
+        q = sum(v * v for v in g)
+        num = ng * q - s * s
+        sp_sum = sp_sum + float(num) / ng
+        s2 = float(num) / (float(ng) * float(ng - 1))
+        ln_u += math.floor((ng - 1) * math.log(s2) * 1e6 + 0.5)
+        inv_p += math.floor(1e12 / float(ng - 1) + 0.5)
+    t = ((n - k) * math.log(sp_sum / (n - k * 1.0)) - ln_u / 1e6) / (
+        1.0 + (inv_p / 1e12 - 1.0 / (n - k)) / (3.0 * (k - 1.0))
+    )
+    return _r4(t)
+
+
+def _naive_bartlett_textbook(groups):
+    ns = [len(g) for g in groups]
+    n, k = sum(ns), len(groups)
+    ss = []
+    for g in groups:
+        mu = sum(g) / len(g)
+        ss.append(sum((v - mu) ** 2 for v in g))
+    sp2 = sum(ss) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(ssg / (len(g) - 1)) for g, ssg in zip(groups, ss)
+    )
+    den = 1 + (sum(1 / (len(g) - 1) for g in groups) - 1 / (n - k)) / (3 * (k - 1))
+    return num / den
+
+
+def test_bartlett_naive(spark):
+    # cents-scale magnitudes: the floor-div grid loses <=1 cent² per
+    # group, negligible at realistic scales (it is NOT at toy scales)
+    groups = {
+        "a": [1000, 1200, 1100, 1400, 900, 1300],
+        "b": [2000, 3000, 1000, 4000, 2500],
+        "c": [500, 500, 600, 600, 500, 600, 500],
+    }
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = bartlett_test(df, "v", "g").collect()[0]
+    gl = [groups["a"], groups["b"], groups["c"]]
+    assert got["n"] == 18 and got["k"] == 3
+    assert got["t_stat"] == _naive_bartlett_grid(gl)
+    # the grid definition tracks the textbook statistic
+    assert abs(got["t_stat"] - _naive_bartlett_textbook(gl)) < 1e-3
+    # unequal variances must reject harder than equal ones
+    eq = [[1, 2, 3, 4], [2, 3, 4, 5], [0, 1, 2, 3]]
+    rows_eq = [(v, str(i)) for i, g in enumerate(eq) for v in g]
+    t_eq = bartlett_test(
+        spark.createDataFrame(rows_eq, "v long, g string"), "v", "g"
+    ).collect()[0]["t_stat"]
+    assert got["t_stat"] > t_eq

@@ -137,7 +137,12 @@ def main() -> int:
     )
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver testdata is one file per table; Spark-written replica
+        # dirs (tools/make_replica.py) are DIRECTORIES of part files
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     results = {}
     failed = []

@@ -234,6 +234,13 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # summary frame (same class as kaplan_meier_signup_to_purchase;
     # operators/survival.py:236-241)
     "nelson_aalen_signup_to_purchase": (2, "day-frame NA suffix/cum windows"),
+    # round 7: 1024-row bucket-offset windows of the two-phase CDF/rank
+    # prefix sums (same class as ks/cvm/mann_whitney; rankstats docstrings)
+    "wasserstein_click_vs_view": (1, "1024-row CDF-bucket offset window"),
+    "ad_test_click_vs_view": (1, "1024-row CDF-bucket offset window"),
+    "jonckheere_price_by_priority": (1, "1024-row multi-column CDF-bucket offset window"),
+    # pooled-median location via ranked_value_counts (same 1024-row class)
+    "mood_median_value_by_type": (1, "1024-row rank-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of

@@ -78,9 +78,15 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/customer.parquet"),
         {"c_custkey": 1_000_000}, REPL,
     )
+    # documents.parquet is one small file -> 1-2 input splits, and the
+    # broadcast-range crossJoin replication adds NO shuffle, so without a
+    # repartition every map-side tokenize (textrank/good_turing/bm25) runs
+    # on ONE task regardless of the factor (observed: a 100x run pinned a
+    # single core on interpreted regexp for 10+ min). A real Nx corpus is
+    # N files wide; repartition models that.
     docs = replicate(
         spark.read.parquet(f"{SF_DIR}/documents.parquet"), {"doc_id": 1_000_000}, REPL
-    )
+    ).repartition(64)
 
     timings: dict[str, float] = {}
 
@@ -133,7 +139,7 @@ def main() -> None:
             spark.read.parquet(f"{SF_DIR}/documents.parquet"),
             {"doc_id": 1_000_000},
             DEDUP_REPL,
-        )
+        ).repartition(64)
     )
     t0 = time.time()
     pairs = dedup.minhash_dedup_pairs(docs_pairs, k=8, bands=4).persist()
