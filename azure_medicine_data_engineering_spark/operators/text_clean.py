@@ -159,3 +159,85 @@ def blocklist_gate_report(
             (F.expr("n_flagged * 1000000 div n_docs") / 1e6).alias("flagged_rate"),
         )
     )
+
+
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: int = 3,
+    max_word_len: int = 10,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, §A1.1 — the
+    MassiveText repetition-free subset that is well-defined on
+    newline-less documents), the pre-training curation battery next to
+    the C4 line rules (:func:`c4_line_filter`): per document,
+
+    - word count within ``[min_words, max_words]``;
+    - mean word length within ``[min_word_len, max_word_len]`` —
+      tested as the INTEGER comparison ``min·n ≤ Σlen ≤ max·n``
+      (no division, no float);
+    - symbol-to-word ratio ≤ 0.1 for ``#`` and ``...`` (integer
+      comparison ``10·(hashes + ellipses) ≤ n_words``);
+    - ≥ 80% of words contain an alphabetic character (integer
+      comparison ``10·n_alpha ≥ 8·n_words``);
+    - at least ``min_stop_hits`` DISTINCT stop words present
+      (:data:`GOPHER_STOP_WORDS`).
+
+    Returns one row per ``group_col``: document counts passing/failing
+    each rule plus the all-rules pass count — the per-source curation
+    datasheet. Every rule is a JVM-side expression over the split word
+    array (map-only; the single shuffle is the per-group count
+    aggregation), and every threshold is pure integer arithmetic so the
+    oracle hashes exactly at any scale. Scale extension with no
+    reference counterpart (its text handling stops at label
+    normalization, ``HypothesisTestingPrediction.scala:107-115``)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    n_ell = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, '...', ''))) div 3"
+    )
+    stop_hits = sum(
+        F.array_contains(words, sw).cast("int") for sw in GOPHER_STOP_WORDS
+    )
+    flags = df.select(
+        F.col(group_col).alias("g"),
+        n_words.alias("nw"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_count"),
+        (
+            (total_chars >= min_word_len * n_words)
+            & (total_chars <= max_word_len * n_words)
+        ).alias("ok_wlen"),
+        ((10 * (n_hash + n_ell) <= n_words)).alias("ok_symbol"),
+        ((10 * n_alpha >= 8 * n_words)).alias("ok_alpha"),
+        (stop_hits >= min_stop_hits).alias("ok_stop"),
+    ).withColumn(
+        "ok_all",
+        F.col("ok_count")
+        & F.col("ok_wlen")
+        & F.col("ok_symbol")
+        & F.col("ok_alpha")
+        & F.col("ok_stop"),
+    )
+    return flags.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("ok_all").cast("long")).cast("long").alias("n_pass"),
+        F.sum((~F.col("ok_count")).cast("long")).cast("long").alias("fail_word_count"),
+        F.sum((~F.col("ok_wlen")).cast("long")).cast("long").alias("fail_word_len"),
+        F.sum((~F.col("ok_symbol")).cast("long")).cast("long").alias("fail_symbol"),
+        F.sum((~F.col("ok_alpha")).cast("long")).cast("long").alias("fail_alpha"),
+        F.sum((~F.col("ok_stop")).cast("long")).cast("long").alias("fail_stop"),
+    ).withColumnRenamed("g", group_col)

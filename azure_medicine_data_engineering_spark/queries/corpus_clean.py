@@ -256,3 +256,69 @@ def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules per source.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.text_clean import (  # noqa: E402
+    GOPHER_STOP_WORDS,
+    gopher_quality_report,
+)
+
+_GOPHER_STOPS_SQL = " + ".join(
+    f"CAST(list_contains(ws, '{sw}') AS INT)" for sw in GOPHER_STOP_WORDS
+)
+
+
+@register(
+    "gopher_quality_by_source",
+    f"""
+    WITH w AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+      FROM documents
+    ),
+    f AS (
+      SELECT source,
+             len(ws) AS nw,
+             COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS tc,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS na,
+             n_hash, n_ell,
+             ({_GOPHER_STOPS_SQL}) AS stop_hits
+      FROM w
+    ),
+    fl AS (
+      SELECT source,
+             (nw >= 50 AND nw <= 100000) AS ok_count,
+             (tc >= 3 * nw AND tc <= 10 * nw) AS ok_wlen,
+             (10 * (n_hash + n_ell) <= nw) AS ok_symbol,
+             (10 * na >= 8 * nw) AS ok_alpha,
+             (stop_hits >= 2) AS ok_stop
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ok_count AND ok_wlen AND ok_symbol
+                          AND ok_alpha AND ok_stop
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN ok_count THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+           CAST(SUM(CASE WHEN ok_wlen THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_len,
+           CAST(SUM(CASE WHEN ok_symbol THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol,
+           CAST(SUM(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha,
+           CAST(SUM(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop
+    FROM fl GROUP BY source
+    """,
+)
+def q_gopher_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021) per source
+    (``text_clean.gopher_quality_report``): word-count bounds, mean
+    word length, symbol-to-word ratio, alphabetic-word ratio, and
+    stop-word presence — the MassiveText curation battery next to the
+    C4 line rules. Every threshold is pure integer arithmetic over the
+    split word array (no floats anywhere), so the per-source counts
+    hash exactly."""
+    return gopher_quality_report(_t(spark, sf_dir, "documents"))

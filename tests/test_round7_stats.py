@@ -320,3 +320,41 @@ def test_bartlett_naive(spark):
         spark.createDataFrame(rows_eq, "v long, g string"), "v", "g"
     ).collect()[0]["t_stat"]
     assert got["t_stat"] > t_eq
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (planted one-failure-per-rule corpus).
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.text_clean import (
+        gopher_quality_report,
+    )
+
+    good = "the cat sat with all of " + " ".join(f"word{i:02d}" for i in range(60))
+    short = "the cat sat with of"                       # < 50 words
+    longwords = "the of " + " ".join(["extraordinarily"] * 60)  # mean wlen > 10
+    symbols = "the of " + " ".join(["#"] * 60)          # symbol ratio + alpha
+    nostops = " ".join(f"tok{i:02d}" for i in range(60))  # no stop words
+    rows = [
+        (good, "s1"),
+        (short, "s1"),
+        (longwords, "s2"),
+        (symbols, "s2"),
+        (nostops, "s2"),
+    ]
+    df = spark.createDataFrame(rows, "text string, source string")
+    got = {r["source"]: r.asDict() for r in gopher_quality_report(df).collect()}
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["n_pass"] == 1
+    assert got["s1"]["fail_word_count"] == 1
+    assert got["s2"]["n_pass"] == 0
+    assert got["s2"]["fail_word_len"] == 2      # longwords + the 1-char '#' doc
+    assert got["s2"]["fail_symbol"] == 1        # symbols doc
+    assert got["s2"]["fail_alpha"] == 1         # same symbols doc
+    assert got["s2"]["fail_stop"] == 1          # nostops
+    # ellipsis symbols count as symbol hits too
+    ell = "the of " + " ".join(["..."] * 60)
+    d2 = spark.createDataFrame([(ell, "x")], "text string, source string")
+    r2 = gopher_quality_report(d2).collect()[0]
+    assert r2["fail_symbol"] == 1
