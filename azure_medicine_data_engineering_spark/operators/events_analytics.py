@@ -1021,3 +1021,107 @@ def ccf_revenue_vs_orders(
         )
     )
     return final.select("k", "npairs", F.expr(CCF_R_EXPR).alias("r"))
+
+
+def stl_lite_daily(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    period: int = 7,
+) -> DataFrame:
+    """STL-lite additive decomposition of the daily revenue series:
+    ``y = trend + seasonal + remainder`` — the classical decomposition
+    (Cleveland's STL with one pass and a moving-average trend): trend is
+    the centered ``period``-day moving average (full windows only),
+    seasonal is the day-of-week mean of the detrended series (normalized
+    to sum to zero over the cycle the way STL does), remainder is the
+    rest.
+
+    Exactness: everything lives on the integer micro-cents grid.
+    ``trend_u = (Σ_{±3} cents · 1e6) div period`` (positive operands →
+    identical in both engines); the detrended values can be NEGATIVE, so
+    the seasonal mean uses the engine-portable FLOOR division
+    ``(a − posmod(a, b)) / b`` (the :func:`theil_sen_trend` identity —
+    Spark's ``div`` truncates toward zero, DuckDB's ``//`` floors;
+    dividend-signed ``%`` matches, so posmod closes the gap). The
+    returned trend/seasonal/remainder are the micro values divided by
+    1e6 — an identity round both engines.
+
+    Plan: fact rows collapse once to the calendar-bounded day frame
+    (persisted: the rolling window, seasonal join and final projection
+    all read it); the rolling window and dow means are day-frame
+    windows/aggregations (bounded — licensed class). Gaps in the
+    calendar make the "centered 7 rows" window span >7 calendar days;
+    the day frame here is dense (TPC-H order dates), and the operator
+    documents row-centered (not calendar-centered) semantics.
+
+    Returns one row per day with a full trend window:
+    ``(d_iso, revenue, trend, seasonal, remainder)``.
+    """
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    half = period // 2
+    w = Window.orderBy("d").rowsBetween(-half, half)
+    trended = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).alias("_s7"),
+        F.count("cents").over(w).alias("_n7"),
+        F.expr("pmod(datediff(d, date '1970-01-01'), 7)").cast("int").alias("dow"),
+    ).where(F.col("_n7") == period)
+    # trend on the micro grid; detrended may be negative
+    trended = trended.select(
+        "d",
+        "cents",
+        "dow",
+        F.expr(f"(_s7 * 1000000) div {period}").alias("trend_u"),
+    ).withColumn(
+        "det_u", F.col("cents") * F.lit(1_000_000) - F.col("trend_u")
+    ).persist()
+    # per-dow mean of detrended (portable floor division), then zero-center
+    # the cycle: seasonal components sum to 0 over the period (STL contract)
+    dowsum = trended.groupBy("dow").agg(
+        # accumulate in DECIMAL(38,0) (oracle HUGEINT): detrended
+        # micro-cents can be ±1e15+ at replica scale and a BIGINT sum
+        # could overflow mid-accumulation; the FINAL per-dow sum is a
+        # near-zero-mean deviation total that fits BIGINT
+        F.sum(F.col("det_u").cast("decimal(38,0)")).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    # integer `div` (never double `/` — at >2^53 an exact-multiple double
+    # division can truncate to k−1 after cast)
+    dowmean = dowsum.select(
+        "dow",
+        F.expr("(s - (((s % c) + c) % c)) div c").cast("long").alias("m_u"),
+    )
+    tot = dowmean.agg(
+        F.sum("m_u").cast("long").alias("ms"),
+        F.count(F.lit(1)).cast("long").alias("mc"),
+    )
+    seasonal = (
+        dowmean.alias("a")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            "a.dow",
+            F.expr(
+                "a.m_u - ((t.ms - (((t.ms % t.mc) + t.mc) % t.mc)) div t.mc)"
+            ).cast("long").alias("seas_u"),
+        )
+    )
+    out = (
+        trended.join(F.broadcast(seasonal), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d_iso"),
+            (F.col("cents") / 100).cast("double").alias("revenue"),
+            (F.col("trend_u") / 1e6 / 100).cast("double").alias("trend"),
+            (F.col("seas_u") / 1e6 / 100).cast("double").alias("seasonal"),
+            (
+                (F.col("det_u") - F.col("seas_u")) / 1e6 / 100
+            ).cast("double").alias("remainder"),
+        )
+    )
+    out._stage_caches = [daily, trended]
+    return out

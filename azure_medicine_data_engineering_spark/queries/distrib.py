@@ -1656,3 +1656,64 @@ def q_ad_test_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "view")
     )
     return ad_two_sample(ev, "value", "event_type", "click")
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of daily revenue.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    stl_lite_daily,
+)
+
+
+@register(
+    "stl_lite_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    roll AS (
+      SELECT d, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(cents) OVER w AS BIGINT) AS n7,
+             CAST((d - DATE '1970-01-01') % 7 AS INT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    tr AS (
+      SELECT d, cents, dow,
+             (s7 * 1000000) // 7 AS trend_u,
+             cents * 1000000 - ((s7 * 1000000) // 7) AS det_u
+      FROM roll WHERE n7 = 7
+    ),
+    ds AS (
+      SELECT dow, CAST(SUM(det_u) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tr GROUP BY dow
+    ),
+    dm AS (SELECT dow, (s - (((s % c) + c) % c)) // c AS m_u FROM ds),
+    t2 AS (SELECT CAST(SUM(m_u) AS BIGINT) AS ms, CAST(COUNT(*) AS BIGINT) AS mc FROM dm),
+    se AS (
+      SELECT dow, m_u - ((ms - (((ms % mc) + mc) % mc)) // mc) AS seas_u
+      FROM dm, t2
+    )
+    SELECT strftime(tr.d, '%Y-%m-%d') AS d_iso,
+           CAST(cents / 100 AS DOUBLE) AS revenue,
+           CAST(trend_u / 1e6 / 100 AS DOUBLE) AS trend,
+           CAST(seas_u / 1e6 / 100 AS DOUBLE) AS seasonal,
+           CAST((det_u - seas_u) / 1e6 / 100 AS DOUBLE) AS remainder
+    FROM tr JOIN se USING (dow)
+    """,
+)
+def q_stl_lite_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of daily revenue
+    (``events_analytics.stl_lite_daily``): centered 7-day moving-average
+    trend, zero-centered day-of-week seasonal means of the detrended
+    series, remainder — the classical decomposition completing the
+    time-series panel (ACF diagnoses, CUSUM locates breaks, EWMA/Holt
+    smooth, STL explains). All state on the integer micro-cents grid;
+    negative detrended values floor-divide via the engine-portable
+    posmod identity; the day-frame windows are calendar-bounded."""
+    return stl_lite_daily(_t(spark, sf_dir, "orders"))

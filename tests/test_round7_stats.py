@@ -358,3 +358,47 @@ def test_gopher_rules_planted(spark):
     d2 = spark.createDataFrame([(ell, "x")], "text string, source string")
     r2 = gopher_quality_report(d2).collect()[0]
     assert r2["fail_symbol"] == 1
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition (planted weekly pattern).
+# ---------------------------------------------------------------------------
+
+
+def test_stl_lite_planted_weekly(spark):
+    """A series = linear trend + exact weekly pattern must decompose so
+    that (a) rows reconstruct exactly on the micro grid, (b) the
+    seasonal component is a function of day-of-week alone and
+    zero-centered, (c) the remainder is ~0 for a noiseless series."""
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        stl_lite_daily,
+    )
+    import datetime
+
+    base = datetime.date(1995, 1, 2)
+    pattern = [500, -300, 200, 0, -400, 100, -100]  # sums to 0, in cents
+    rows = []
+    for i in range(70):
+        d = base + datetime.timedelta(days=i)
+        dow = (d - datetime.date(1970, 1, 1)).days % 7
+        cents = 100_000 + 10 * i + pattern[dow]
+        rows.append((datetime.datetime.combine(d, datetime.time()), cents / 100.0))
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    out = stl_lite_daily(df).collect()
+    assert len(out) == 70 - 6  # full 7-day windows only
+    seas_by_dow = {}
+    for r in out:
+        # exact reconstruction on the grid
+        assert abs(r["trend"] + r["seasonal"] + r["remainder"] - r["revenue"]) < 1e-9
+        dow = (datetime.date.fromisoformat(r["d_iso"]) - datetime.date(1970, 1, 1)).days % 7
+        seas_by_dow.setdefault(dow, set()).add(r["seasonal"])
+        # noiseless series: remainder vanishes (up to the micro grid)
+        assert abs(r["remainder"]) < 0.01, r
+    # seasonal is a pure function of dow and zero-centered
+    assert all(len(v) == 1 for v in seas_by_dow.values())
+    assert abs(sum(next(iter(v)) for v in seas_by_dow.values())) < 0.01
+    # the planted pattern is recovered (up to the shared mean shift)
+    got = {d: next(iter(v)) for d, v in seas_by_dow.items()}
+    spread = {d: round(got[d] - min(got.values()), 2) for d in got}
+    want = {d: (pattern[d] - min(pattern)) / 100 for d in range(7)}
+    assert spread == {d: round(want[d], 2) for d in want}

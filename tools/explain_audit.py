@@ -241,6 +241,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "jonckheere_price_by_priority": (1, "1024-row multi-column CDF-bucket offset window"),
     # pooled-median location via ranked_value_counts (same 1024-row class)
     "mood_median_value_by_type": (1, "1024-row rank-bucket offset window"),
+    # centered 7-day rolling window over the calendar-bounded day frame
+    # (same class as daily_revenue_anomalies)
+    "stl_lite_daily_revenue": (1, "day-frame rolling window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
