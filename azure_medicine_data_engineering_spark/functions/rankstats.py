@@ -2922,3 +2922,79 @@ def bartlett_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         ).cast("long").alias("inv_p"),
     )
     return scal.select("n", "k", F.expr(BARTLETT_T_EXPR).alias("t_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over a keyed time-summary frame.
+# ---------------------------------------------------------------------------
+
+#: z with the standard ±1 continuity correction (0 when S = 0): all-integer
+#: inputs — S the concordant-minus-discordant pair sum, var_s18 = 18·Var(S)
+#: = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over y tie groups.
+MK_Z_EXPR = (
+    "round(case when s > 0 then (s - 1e0) / sqrt(var_s18 / 18e0) "
+    "when s < 0 then (s + 1e0) / sqrt(var_s18 / 18e0) "
+    "else 0e0 end, 4)"
+)
+
+
+def mann_kendall_keyed(
+    df: DataFrame, time_col: str, y_col: str,
+    max_rows: int = KENDALL_MAX_KEYED_ROWS,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test over a KEYED TIME-SUMMARY frame
+    (day frame): S = Σ_{i<j} sign(y_j − y_i) ordered by time — the
+    SIGNIFICANCE companion to the Theil-Sen slope
+    (:func:`..operators.events_analytics.theil_sen_trend` estimates HOW
+    steep; Mann-Kendall answers IS there a trend). Kendall-tau machinery
+    with x = time (``time_col`` values must be distinct): same licensed
+    O(m²) broadcast pair join, same ``max_rows`` guard; S and the
+    tie-corrected 18·Var(S) are exact BIGINTs, z is one shared
+    expression with the ±1 continuity correction.
+
+    Returns one row ``(n, s, var_s18, z)``.
+    """
+    src = df.select(
+        F.col(time_col).cast("long").alias("t"),
+        F.col(y_col).cast("long").alias("y"),
+    ).persist()
+    m = src.count()
+    if m > max_rows:
+        src.unpersist()
+        raise ValueError(
+            f"mann_kendall_keyed: keyed frame has {m} rows > max_rows="
+            f"{max_rows}; the O(m²) pair join is licensed for summary "
+            "frames only — pre-aggregate to a day/group frame first"
+        )
+    a, b = src.alias("a"), src.alias("b")
+    sgn = F.when(F.col("b.y") > F.col("a.y"), 1).when(
+        F.col("b.y") < F.col("a.y"), -1
+    ).otherwise(0)
+    pairs = a.join(F.broadcast(b), F.col("a.t") < F.col("b.t")).agg(
+        F.sum(sgn.cast("long")).cast("long").alias("s")
+    )
+    ties = (
+        src.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("tt"))
+        .agg(
+            F.sum(
+                F.col("tt").cast("decimal(38,0)")
+                * (F.col("tt") - 1)
+                * (2 * F.col("tt") + 5)
+            ).cast("long").alias("tie18")
+        )
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(ties))
+        .select(
+            F.lit(m).cast("long").alias("n"),
+            "s",
+            (
+                F.lit(m).cast("long") * (m - 1) * (2 * m + 5)
+                - F.coalesce(F.col("tie18"), F.lit(0))
+            ).cast("long").alias("var_s18"),
+        )
+        .select("n", "s", "var_s18", F.expr(MK_Z_EXPR).alias("z"))
+    )
+    out._stage_caches = [src]
+    return out

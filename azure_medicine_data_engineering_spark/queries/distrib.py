@@ -1717,3 +1717,61 @@ def q_stl_lite_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative detrended values floor-divide via the engine-portable
     posmod identity; the day-frame windows are calendar-bounded."""
     return stl_lite_daily(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend significance: daily revenue.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    MK_Z_EXPR,
+    mann_kendall_keyed,
+)
+
+
+@register(
+    "mann_kendall_daily_revenue",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM d a JOIN d b ON a.t < b.t
+    ),
+    ti AS (
+      SELECT CAST(COALESCE(SUM(CAST(tt AS HUGEINT) * (tt - 1) * (2 * tt + 5)), 0) AS BIGINT) AS tie18
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM d GROUP BY y)
+    ),
+    st AS (
+      SELECT nn.n, p.s,
+             CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) * (2 * nn.n + 5) - ti.tie18 AS BIGINT) AS var_s18
+      FROM nn, p, ti
+    )
+    SELECT n, s, var_s18, {MK_Z_EXPR} AS z FROM st
+    """,
+)
+def q_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test of daily revenue over the
+    epoch-day frame (``rankstats.mann_kendall_keyed``) — the
+    significance companion to ``theil_sen_daily_trend`` (slope
+    magnitude): exact sign-pair sum over the licensed calendar-bounded
+    pair join, tie-corrected variance from BIGINT tie sums, z as the
+    shared continuity-corrected expression."""
+    o = _t(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    day = day.select(
+        F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("t"),
+        F.col("cents").alias("y"),
+    )
+    return mann_kendall_keyed(day, "t", "y")

@@ -402,3 +402,49 @@ def test_stl_lite_planted_weekly(spark):
     spread = {d: round(got[d] - min(got.values()), 2) for d in got}
     want = {d: (pattern[d] - min(pattern)) / 100 for d in range(7)}
     assert spread == {d: round(want[d], 2) for d in want}
+
+
+def test_mann_kendall_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        mann_kendall_keyed,
+    )
+
+    ys = [10, 12, 11, 15, 15, 18, 17, 20]  # upward with one tie pair
+    rows = [(i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    got = mann_kendall_keyed(df, "t", "y").collect()[0]
+    s = sum(
+        (1 if ys[j] > ys[i] else (-1 if ys[j] < ys[i] else 0))
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    from collections import Counter
+    n = len(ys)
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    z = (s - 1) / math.sqrt(var18 / 18.0) if s > 0 else (
+        (s + 1) / math.sqrt(var18 / 18.0) if s < 0 else 0.0
+    )
+    assert got["n"] == n and got["s"] == s and got["var_s18"] == var18
+    assert abs(got["z"] - _r4(z)) <= 1e-9
+    assert got["z"] > 1.96  # the planted trend is significant
+
+
+def test_mann_kendall_no_trend_and_reversal(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        mann_kendall_keyed,
+    )
+
+    flat = [(i, 5) for i in range(10)]
+    df = spark.createDataFrame(flat, "t long, y long")
+    got = mann_kendall_keyed(df, "t", "y").collect()[0]
+    assert got["s"] == 0 and got["z"] == 0.0
+    up = [(i, i) for i in range(10)]
+    dn = [(i, 10 - i) for i in range(10)]
+    zu = mann_kendall_keyed(
+        spark.createDataFrame(up, "t long, y long"), "t", "y"
+    ).collect()[0]
+    zd = mann_kendall_keyed(
+        spark.createDataFrame(dn, "t long, y long"), "t", "y"
+    ).collect()[0]
+    assert zu["s"] == 45 and zd["s"] == -45 and zu["z"] == -zd["z"]
