@@ -2998,3 +2998,77 @@ def mann_kendall_keyed(
     )
     out._stage_caches = [src]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Page's L trend test (ordered repeated measures).
+# ---------------------------------------------------------------------------
+
+#: z over all-integer state (l2 = doubled L, n blocks, k treatments):
+#: E[2L] = n·k(k+1)²/2, Var[2L] = n·k²(k+1)²(k²−1)/36.
+PAGE_Z_EXPR = (
+    "round((l2 - n * 1e0 * k * (k + 1e0) * (k + 1e0) / 2e0)"
+    " / sqrt(n * 1e0 * k * k * (k + 1e0) * (k + 1e0) * (k * k - 1e0) / 36e0), 4)"
+)
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    ordered_treatments: list[str],
+) -> DataFrame:
+    """Page's L test for an ORDERED alternative across repeated-measures
+    treatments — the trend refinement of :func:`friedman_test` exactly as
+    :func:`jonckheere_trend` refines Kruskal-Wallis: within each complete
+    block, treatments are rank-ordered, and L = Σ_j j·R_j weights the
+    j-th hypothesized treatment's rank sum by its position. Doubled
+    within-block midranks (``2r = 2·cnt_less + c_eq + 1`` from two KEYED
+    windows, the :func:`friedman_test` device) make 2L a pure BIGINT;
+    the normal approximation uses the classical no-tie moments
+    (midrank ties are handled in L itself; heavy-tie panels should
+    prefer :func:`jonckheere_trend`). Blocks missing any treatment drop
+    (complete-block design). Returns ``(n_blocks, k, l2, z)``.
+    """
+    k = len(ordered_treatments)
+    if k < 3:
+        raise ValueError("ordered_treatments needs >= 3 treatments")
+    pos = F.lit(None).cast("int")
+    for i, t in enumerate(reversed(ordered_treatments)):
+        pos = F.when(F.col("trt") == t, F.lit(k - i)).otherwise(pos)
+    cell = (
+        df.select(
+            F.col(block_col).alias("b"),
+            F.col(treatment_col).alias("trt"),
+            F.col(value_col).alias("x"),
+        )
+        .where(F.col(treatment_col).isin(list(ordered_treatments)))
+        .groupBy("b", "trt")
+        .agg(F.sum("x").cast("long").alias("m"))
+    )
+    complete = (
+        cell.groupBy("b").agg(F.count(F.lit(1)).alias("_nt"))
+        .where(F.col("_nt") == k)
+        .select("b")
+    )
+    cc = cell.join(complete, "b").persist()
+    w_rank = Window.partitionBy("b").orderBy("m")
+    w_eq = Window.partitionBy("b", "m")
+    ranked = cc.select(
+        "b",
+        pos.alias("pos"),
+        (
+            2 * (F.rank().over(w_rank) - 1)
+            + F.count(F.lit(1)).over(w_eq)
+            + 1
+        ).cast("long").alias("rx2"),
+    )
+    scal = ranked.agg(
+        (F.count(F.lit(1)) / k).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.sum(F.col("pos") * F.col("rx2")).cast("long").alias("l2"),
+    )
+    out = scal.select("n", "k", "l2", F.expr(PAGE_Z_EXPR).alias("z"))
+    out._stage_caches = [cc]
+    return out

@@ -2024,3 +2024,66 @@ def q_bartlett_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return bartlett_test(src, "cents", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Page's L trend: monthly price blocks across ordered priorities.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    PAGE_Z_EXPR,
+    page_trend_test,
+)
+
+_PAGE_POS_SQL = (
+    "CASE trt WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 "
+    "WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 "
+    "WHEN '5-LOW' THEN 5 END"
+)
+
+
+@register(
+    "page_trend_price_by_priority",
+    f"""
+    WITH cell AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS b,
+             o_orderpriority AS trt,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (SELECT b FROM cell GROUP BY b HAVING COUNT(*) = 5),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+    rk AS (
+      SELECT b, trt,
+             CAST(2 * (RANK() OVER (PARTITION BY b ORDER BY m) - 1)
+                  + COUNT(*) OVER (PARTITION BY b, m) + 1 AS BIGINT) AS rx2
+      FROM cc
+    ),
+    sc AS (
+      SELECT CAST(COUNT(*) // 5 AS BIGINT) AS n,
+             CAST(5 AS BIGINT) AS k,
+             CAST(SUM(({_PAGE_POS_SQL}) * rx2) AS BIGINT) AS l2
+      FROM rk
+    )
+    SELECT n, k, l2, {PAGE_Z_EXPR} AS z FROM sc
+    """,
+)
+def q_page_trend_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-trend test over repeated measures: within each
+    order MONTH (the block), do the five priority classes' revenue cells
+    trend in the 1-URGENT → 5-LOW order?
+    (``rankstats.page_trend_test``) — the trend refinement of
+    ``friedman_value_by_type_blocks`` exactly as
+    ``jonckheere_price_by_priority`` refines Kruskal-Wallis, but on the
+    BLOCKED design (month effects cancel within blocks). Doubled
+    within-block midranks from block-keyed windows; 2L is a pure BIGINT;
+    z is the shared classical-moments expression."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return page_trend_test(
+        src, "month", "o_orderpriority", "cents", _JT_GROUPS
+    )

@@ -448,3 +448,55 @@ def test_mann_kendall_no_trend_and_reversal(spark):
         spark.createDataFrame(dn, "t long, y long"), "t", "y"
     ).collect()[0]
     assert zu["s"] == 45 and zd["s"] == -45 and zu["z"] == -zd["z"]
+
+
+def _naive_page(blocks, k):
+    """blocks: list of per-block value lists in hypothesized treatment
+    order. Doubled midranks; classical moments."""
+    l2 = 0
+    for vals in blocks:
+        srt = sorted(vals)
+        for j, v in enumerate(vals):
+            cnt_less = sum(1 for x in vals if x < v)
+            c_eq = sum(1 for x in vals if x == v)
+            rx2 = 2 * cnt_less + c_eq + 1
+            l2 += (j + 1) * rx2
+    n = len(blocks)
+    e2 = n * k * (k + 1) ** 2 / 2
+    var2 = n * k * k * (k + 1) ** 2 * (k * k - 1) / 36
+    return l2, (l2 - e2) / math.sqrt(var2)
+
+
+def test_page_trend_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        page_trend_test,
+    )
+
+    # 6 blocks, 4 ordered treatments, mostly increasing with one tie
+    blocks = [
+        [1, 2, 3, 4],
+        [2, 2, 5, 6],
+        [1, 3, 4, 8],
+        [4, 3, 6, 7],
+        [1, 2, 4, 3],
+        [2, 4, 6, 9],
+    ]
+    rows = [
+        (f"b{i}", f"t{j}", v)
+        for i, vals in enumerate(blocks)
+        for j, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "b string, trt string, v long")
+    got = page_trend_test(df, "b", "trt", "v", ["t0", "t1", "t2", "t3"]).collect()[0]
+    l2, z = _naive_page(blocks, 4)
+    assert got["n_blocks" if "n_blocks" in got.asDict() else "n"] == 6
+    assert got["l2"] == l2
+    assert abs(got["z"] - _r4(z)) <= 1e-9
+    assert got["z"] > 0
+    # incomplete block drops
+    rows_inc = rows + [("b9", "t0", 1)]
+    got2 = page_trend_test(
+        spark.createDataFrame(rows_inc, "b string, trt string, v long"),
+        "b", "trt", "v", ["t0", "t1", "t2", "t3"],
+    ).collect()[0]
+    assert got2["l2"] == l2
