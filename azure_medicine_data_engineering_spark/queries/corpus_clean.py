@@ -322,3 +322,56 @@ def q_gopher_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     split word array (no floats anywhere), so the per-source counts
     hash exactly."""
     return gopher_quality_report(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-distribution drift between corpus slices.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    js_divergence,
+)
+
+
+@register(
+    "unigram_js_source_drift",
+    """
+    WITH src AS (
+      SELECT w AS c, source = 'src0' AS r
+      FROM (SELECT unnest(string_split(text, ' ')) AS w, source FROM documents)
+      WHERE w <> ''
+    ),
+    counts AS (
+      SELECT c, CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM src GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM counts),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+             CAST(MAX(t.na) AS BIGINT) AS n_ref,
+             CAST(MAX(t.nb) AS BIGINT) AS n_cur,
+             CAST(SUM(cast(round((
+               case when a > 0 then 0.5e0 * (a * 1e0 / na) * ln((a * 1e0 / na) / (0.5e0 * (a * 1e0 / na) + 0.5e0 * (b * 1e0 / nb))) else 0e0 end +
+               case when b > 0 then 0.5e0 * (b * 1e0 / nb) * ln((b * 1e0 / nb) / (0.5e0 * (a * 1e0 / na) + 0.5e0 * (b * 1e0 / nb))) else 0e0 end
+             ) * 1e6) as bigint)) AS BIGINT) AS js_u
+      FROM counts c, tot t
+    )
+    SELECT n_cats, n_ref, n_cur, round(js_u / 1e6, 4) AS js FROM s
+    """,
+)
+def q_unigram_js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between source src0's UNIGRAM
+    distribution and the rest of the corpus — "does this source speak a
+    different language than the pool", the corpus-mixing drift score a
+    pre-training data audit runs per source (pairs with
+    ``source_centroid_similarity`` on the embedding side and
+    ``corpus_datasheet_by_source``). One token explode + one word-keyed
+    count; JS terms ride the micro-unit ln grid (``rankstats.
+    js_divergence``), vocabulary-bounded state."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+        (F.col("source") == "src0").alias("_r"),
+    ).where(F.col("w") != "")
+    return js_divergence(toks.select(F.col("w").alias("c"), "_r"), "c", "_r")
