@@ -1125,3 +1125,63 @@ def stl_lite_daily(
     )
     out._stage_caches = [daily, trended]
     return out
+
+
+#: Runs-test z over all-integer state: n1/n2 the sign counts, r the run
+#: count; E[R] = 1 + 2n1n2/n, Var[R] = 2n1n2(2n1n2 − n)/(n²(n−1)).
+RUNS_Z_EXPR = (
+    "round((r - (1e0 + 2e0 * n1 * n2 / (n1 + n2)))"
+    " / sqrt(2e0 * n1 * n2 * (2e0 * n1 * n2 - (n1 + n2))"
+    " / ((n1 + n2) * 1e0 * (n1 + n2) * ((n1 + n2) - 1e0))), 4)"
+)
+
+
+def runs_test_daily(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: are the
+    above/below-median days RANDOMLY ordered, or do they clump (trend /
+    regime persistence) or alternate (over-dispersion)? The
+    order-sensitivity companion to :func:`..functions.rankstats.
+    mann_kendall_keyed` — MK asks "monotone trend?", runs asks "any
+    serial structure at all?".
+
+    Exactness: the dichotomization cut is the day frame's lower-middle
+    median cents value (exact order statistic via the in-frame rank —
+    the day frame is calendar-bounded, so its windows are the licensed
+    day-frame class); equal-to-median days count as BELOW (documented
+    convention). The run count ``r = 1 + Σ 1[s_t ≠ s_{t−1}]`` comes from
+    ONE day-ordered lag window; n1/n2/r are exact BIGINTs and z is the
+    shared expression. Returns ``(n1, n2, r, z)``.
+    """
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    w_rank = Window.orderBy("cents", "d")
+    n_tot = daily.count()
+    med_rank = (n_tot + 1) // 2
+    med = (
+        daily.select(F.col("cents"), F.row_number().over(w_rank).alias("_rn"))
+        .where(F.col("_rn") == med_rank)
+        .select(F.col("cents").alias("med_c"))
+    )
+    w_day = Window.orderBy("d")
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .select("d", (F.col("cents") > F.col("med_c")).cast("int").alias("s"))
+        .select(
+            "s",
+            (F.col("s") != F.lag("s").over(w_day)).cast("long").alias("chg"),
+        )
+    )
+    out = signs.agg(
+        F.sum(F.col("s").cast("long")).cast("long").alias("n1"),
+        F.sum((1 - F.col("s")).cast("long")).cast("long").alias("n2"),
+        (F.coalesce(F.sum("chg"), F.lit(0)) + 1).cast("long").alias("r"),
+    ).select("n1", "n2", "r", F.expr(RUNS_Z_EXPR).alias("z"))
+    out._stage_caches = [daily]
+    return out

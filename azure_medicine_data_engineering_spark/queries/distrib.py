@@ -1775,3 +1775,55 @@ def q_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("y"),
     )
     return mann_kendall_keyed(day, "t", "y")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue signs.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    RUNS_Z_EXPR,
+    runs_test_daily,
+)
+
+
+@register(
+    "runs_test_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    rk AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, d) AS rn FROM daily
+    ),
+    med AS (SELECT cents AS med_c FROM rk, nn WHERE rn = (n + 1) // 2),
+    signs AS (
+      SELECT d, CASE WHEN cents > med_c THEN 1 ELSE 0 END AS s
+      FROM daily, med
+    ),
+    chg AS (
+      SELECT s,
+             CASE WHEN s <> LAG(s) OVER (ORDER BY d) THEN 1 ELSE 0 END AS c
+      FROM signs
+    ),
+    st AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2,
+             CAST(SUM(c) + 1 AS BIGINT) AS r
+      FROM chg
+    )
+    SELECT n1, n2, r, {RUNS_Z_EXPR} AS z FROM st
+    """,
+)
+def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily revenue series'
+    above/below-median signs (``events_analytics.runs_test_daily``) —
+    "is there ANY serial structure", the order-sensitivity companion to
+    ``mann_kendall_daily_revenue`` (monotone trend) and
+    ``acf_daily_revenue`` (linear autocorrelation). Exact day-frame
+    order statistic for the cut, one day-ordered lag window for the run
+    count, shared-expression z."""
+    return runs_test_daily(_t(spark, sf_dir, "orders"))

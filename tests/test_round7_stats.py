@@ -500,3 +500,52 @@ def test_page_trend_naive(spark):
         "b", "trt", "v", ["t0", "t1", "t2", "t3"],
     ).collect()[0]
     assert got2["l2"] == l2
+
+
+def test_runs_test_naive(spark):
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        runs_test_daily,
+    )
+    import datetime
+
+    # 12 days, cents pattern with known runs around the median
+    cents = [100, 200, 300, 150, 900, 800, 700, 120, 110, 950, 970, 130]
+    base = datetime.date(1995, 1, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = runs_test_daily(df).collect()[0]
+    n = len(cents)
+    med = sorted(cents)[(n + 1) // 2 - 1]
+    s = [1 if c > med else 0 for c in cents]
+    n1, n2 = sum(s), n - sum(s)
+    r = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+    e = 1 + 2 * n1 * n2 / n
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    z = (r - e) / math.sqrt(var)
+    assert (got["n1"], got["n2"], got["r"]) == (n1, n2, r)
+    assert abs(got["z"] - _r4(z)) <= 1e-9
+    # perfectly alternating -> far MORE runs than expected (z > 0)
+    alt = [100 if i % 2 else 900 for i in range(20)]
+    rows2 = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         c / 100.0)
+        for i, c in enumerate(alt)
+    ]
+    z_alt = runs_test_daily(
+        spark.createDataFrame(rows2, "o_orderdate timestamp, o_totalprice double")
+    ).collect()[0]["z"]
+    # perfectly clumped -> far FEWER runs (z < 0)
+    clump = [100] * 10 + [900] * 10
+    rows3 = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         c / 100.0)
+        for i, c in enumerate(clump)
+    ]
+    z_cl = runs_test_daily(
+        spark.createDataFrame(rows3, "o_orderdate timestamp, o_totalprice double")
+    ).collect()[0]["z"]
+    assert z_alt > 2 and z_cl < -2

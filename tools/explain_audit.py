@@ -244,6 +244,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # centered 7-day rolling window over the calendar-bounded day frame
     # (same class as daily_revenue_anomalies)
     "stl_lite_daily_revenue": (1, "day-frame rolling window"),
+    # day-frame median rank window + day-ordered lag window (both
+    # calendar-bounded; operators/events_analytics.py:runs_test_daily)
+    "runs_test_daily_revenue": (2, "day-frame rank + lag windows"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
