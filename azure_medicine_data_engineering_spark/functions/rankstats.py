@@ -3072,3 +3072,56 @@ def page_trend_test(
     out = scal.select("n", "k", "l2", F.expr(PAGE_Z_EXPR).alias("z"))
     out._stage_caches = [cc]
     return out
+
+
+def brown_forsythe_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity — Levene with the
+    group MEDIAN as the center (the robust member of the trio:
+    :func:`bartlett_test` sharp under normality, :func:`levene_test`
+    mean-centred, Brown-Forsythe the heavy-tail recommendation).
+    ``value_col`` must be integer-grid.
+
+    Exactness: per-group DOUBLED medians ``med2_g = v1 + v2`` (the two
+    middle order statistics from :func:`grouped_ranked_value_counts` —
+    group-keyed windows, never a global sort) keep the deviations
+    ``z2 = |2x − med2_g|`` pure integers, and the ANOVA F over z2 equals
+    F over ``|x − med_g|`` exactly (F is scale-invariant), so the whole
+    statistic runs on the integer grid with :func:`anova_oneway`'s
+    DECIMAL state + sorted fold. Returns ``(k, n, f)``.
+    """
+    src = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("x")
+    )
+    ranked = grouped_ranked_value_counts(src, "g", "x")
+    tot = ranked.groupBy("g").agg(F.sum("c_all").cast("long").alias("n_g"))
+    r1 = F.expr("(t.n_g + 1) div 2")
+    r2 = F.expr("t.n_g div 2 + 1")
+    med2 = (
+        ranked.alias("s")
+        .join(F.broadcast(tot).alias("t"), F.col("s.g") == F.col("t.g"))
+        .groupBy("s.g")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        (F.col("s.cnt_less") < r1)
+                        & (r1 <= F.col("s.cnt_less") + F.col("s.c_all")),
+                        F.col("s.v"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        (F.col("s.cnt_less") < r2)
+                        & (r2 <= F.col("s.cnt_less") + F.col("s.c_all")),
+                        F.col("s.v"),
+                    )
+                )
+            ).cast("long").alias("med2")
+        )
+    )
+    dev = src.join(F.broadcast(med2), "g").select(
+        "g", F.abs(2 * F.col("x") - F.col("med2")).cast("long").alias("z2")
+    )
+    return anova_oneway(dev, "z2", "g")

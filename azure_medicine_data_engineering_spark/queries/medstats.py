@@ -2087,3 +2087,85 @@ def q_page_trend_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
     return page_trend_test(
         src, "month", "o_orderpriority", "cents", _JT_GROUPS
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance homogeneity: price by priority (robust member).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    brown_forsythe_test,
+)
+
+
+@register(
+    "brown_forsythe_price_by_priority",
+    f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    byval AS (SELECT g, x AS v, CAST(COUNT(*) AS BIGINT) AS c_all FROM src GROUP BY g, x),
+    rk AS (
+      SELECT g, v, c_all,
+             CAST(COALESCE(SUM(c_all) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cl
+      FROM byval
+    ),
+    nt AS (SELECT g, CAST(SUM(c_all) AS BIGINT) AS n_g FROM byval GROUP BY g),
+    med AS (
+      SELECT rk.g,
+             CAST(MIN(CASE WHEN cl < (n_g + 1) // 2
+                            AND (n_g + 1) // 2 <= cl + c_all THEN v END)
+                + MIN(CASE WHEN cl < n_g // 2 + 1
+                            AND n_g // 2 + 1 <= cl + c_all THEN v END) AS BIGINT) AS med2
+      FROM rk JOIN nt USING (g) GROUP BY rk.g
+    ),
+    dev AS (
+      SELECT src.g, CAST(ABS(2 * x - med2) AS BIGINT) AS z2
+      FROM src JOIN med USING (g)
+    ),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(z2 AS HUGEINT)) AS s_g,
+             SUM(CAST(z2 AS HUGEINT) * z2) AS q_g
+      FROM dev GROUP BY g
+    ),
+    t AS (SELECT g, CAST(s_g AS DOUBLE) AS sgd, n_g FROM per),
+    ss AS (
+      SELECT MAX(CASE WHEN g = '1-URGENT' THEN sgd * sgd / n_g END) AS t1,
+             MAX(CASE WHEN g = '2-HIGH' THEN sgd * sgd / n_g END) AS t2,
+             MAX(CASE WHEN g = '3-MEDIUM' THEN sgd * sgd / n_g END) AS t3,
+             MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN sgd * sgd / n_g END) AS t4,
+             MAX(CASE WHEN g = '5-LOW' THEN sgd * sgd / n_g END) AS t5
+      FROM t
+    ),
+    kn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS DOUBLE) AS s, CAST(SUM(q_g) AS DOUBLE) AS q
+      FROM per
+    ),
+    s2 AS (
+      SELECT kn.k, kn.n, kn.s, kn.q,
+             ((((0e0 + ss.t1) + ss.t2) + ss.t3) + ss.t4) + ss.t5 AS ssg
+      FROM kn, ss
+    )
+    SELECT k, n, {ANOVA_F_EXPR} AS f FROM s2
+    """,
+)
+def q_brown_forsythe_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test of order price across
+    the five priorities (``rankstats.brown_forsythe_test``) — the
+    MEDIAN-centred, heavy-tail-robust member completing the variance
+    trio (Bartlett sharp-under-normality, Levene mean-centred): doubled
+    per-group medians from group-keyed rank windows keep the deviations
+    pure integers, and F(|2x − med2|) == F(|x − med|) by scale
+    invariance."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return brown_forsythe_test(src, "cents", "o_orderpriority")

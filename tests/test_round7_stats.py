@@ -549,3 +549,43 @@ def test_runs_test_naive(spark):
         spark.createDataFrame(rows3, "o_orderdate timestamp, o_totalprice double")
     ).collect()[0]["z"]
     assert z_alt > 2 and z_cl < -2
+
+
+def test_brown_forsythe_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        brown_forsythe_test,
+    )
+
+    groups = {
+        "a": [1000, 1200, 1100, 1400, 900, 1300],
+        "b": [2000, 3000, 1000, 4000, 2500],
+        "c": [500, 500, 600, 600, 500, 600, 500],
+    }
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = brown_forsythe_test(df, "v", "g").collect()[0]
+
+    # naive: doubled medians, ANOVA F over |2x - med2|
+    def med2(vs):
+        s = sorted(vs)
+        n = len(s)
+        return s[(n + 1) // 2 - 1] + s[n // 2]
+
+    devs = {g: [abs(2 * v - med2(vs)) for v in vs] for g, vs in groups.items()}
+    k = len(devs)
+    n = sum(len(d) for d in devs.values())
+    grand = sum(sum(d) for d in devs.values())
+    ssb = sum(len(d) * (sum(d) / len(d) - grand / n) ** 2 for d in devs.values())
+    ssw = sum(
+        sum((x - sum(d) / len(d)) ** 2 for x in d) for d in devs.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"] == k and got["n"] == n
+    assert abs(got["f"] - _r4(f)) <= 1e-4
+    # equal-spread groups score lower than the heterogeneous panel
+    eq = {"a": [10, 20, 30], "b": [110, 120, 130], "c": [210, 220, 230]}
+    rows2 = [(v, g) for g, vs in eq.items() for v in vs]
+    f_eq = brown_forsythe_test(
+        spark.createDataFrame(rows2, "v long, g string"), "v", "g"
+    ).collect()[0]["f"]
+    assert got["f"] > f_eq
