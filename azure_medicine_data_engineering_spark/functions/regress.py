@@ -500,3 +500,81 @@ def ols_by_group(
         F.expr(OLS1_INTERCEPT_EXPR).alias("intercept"),
         F.expr(OLS1_R2_EXPR).alias("r2"),
     )
+
+
+def generalized_esd_daily(
+    orders: DataFrame,
+    k: int = 5,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Generalized ESD (Rosner 1983): the k-outlier extension of
+    :func:`grubbs_test` — iteratively remove the maximum studentized
+    deviate from the daily revenue series and report each round's
+    R statistic, so a panel with SEVERAL gross days is not masked the
+    way a single Grubbs pass is. (The t-based critical values λ_i need
+    an inverse-t the SQL surface lacks; callers compare the returned
+    R_i against their α's λ table — the standard reporting split.)
+
+    Exactness: each round's deviation maximization is pure integer
+    arithmetic over the CURRENT day frame (``max|n·x − S|``, earliest
+    day as tie-break), removal is an anti-join on the selected day, and
+    only the shared ``GRUBBS_G_EXPR`` touches doubles. The day frame is
+    calendar-bounded, and each round's survivor frame and 1-row argmax
+    are eagerly ``localCheckpoint``-ed — the iterative-trainer lineage
+    cure (CLAUDE.md): without the cut each round embeds the previous
+    plan twice. Returns k rows ``(i, d_iso, x_cents, r_i)``.
+    """
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("x"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("d_iso"), "x")
+        .localCheckpoint(eager=True)
+    )
+    cur = daily
+    rounds = []
+    for i in range(1, k + 1):
+        mom = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x").cast(_DEC)).alias("s_d"),
+            F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("q_d"),
+        )
+        scored = (
+            cur.alias("r")
+            .crossJoin(F.broadcast(mom).alias("m"))
+            .select(
+                "r.d_iso",
+                "r.x",
+                "m.n",
+                F.col("m.s_d").cast("double").alias("s"),
+                F.col("m.q_d").cast("double").alias("q"),
+                F.abs(F.col("r.x").cast(_DEC) * F.col("m.n") - F.col("m.s_d"))
+                .alias("dev_d"),
+            )
+        )
+        best = (
+            scored.orderBy(F.col("dev_d").desc(), F.col("d_iso").asc())
+            .limit(1)
+            .select(
+                F.lit(i).cast("int").alias("i"),
+                "d_iso",
+                F.col("x").cast("long").alias("x_cents"),
+                F.col("dev_d").cast("double").alias("dmax"),
+                "n",
+                "s",
+                "q",
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.select(
+                "i", "d_iso", "x_cents", F.expr(GRUBBS_G_EXPR).alias("r_i")
+            )
+        )
+        cur = cur.join(
+            best.select("d_iso"), "d_iso", "anti"
+        ).localCheckpoint(eager=True)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1827,3 +1827,65 @@ def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistic for the cut, one day-ordered lag window for the run
     count, shared-expression z."""
     return runs_test_daily(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Generalized ESD (Rosner): top-k studentized outlier days.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    generalized_esd_daily,
+)
+
+
+def _esd_oracle(k: int = 5) -> str:
+    """Unrolled per-round CTEs, each MATERIALIZED (the BPE-oracle cure:
+    DuckDB inlines doubly-referenced CTEs exponentially otherwise)."""
+    parts = [
+        """cur0 AS MATERIALIZED (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_iso,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    )"""
+    ]
+    selects = []
+    for i in range(1, k + 1):
+        j = i - 1
+        parts.append(
+            f"""m{j} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS HUGEINT)) AS s_h,
+             SUM(CAST(x AS HUGEINT) * x) AS q_h
+      FROM cur{j}
+    )"""
+        )
+        parts.append(
+            f"""b{j} AS MATERIALIZED (
+      SELECT d_iso, x, CAST(abs(CAST(x AS HUGEINT) * n - s_h) AS DOUBLE) AS dmax,
+             n, CAST(s_h AS DOUBLE) AS s, CAST(q_h AS DOUBLE) AS q
+      FROM cur{j}, m{j}
+      ORDER BY abs(CAST(x AS HUGEINT) * n - s_h) DESC, d_iso ASC LIMIT 1
+    )"""
+        )
+        selects.append(
+            f"SELECT CAST({i} AS INTEGER) AS i, d_iso, CAST(x AS BIGINT) AS x_cents, "
+            f"{GRUBBS_G_EXPR} AS r_i FROM b{j}"
+        )
+        if i < k:
+            parts.append(
+                f"cur{i} AS MATERIALIZED (SELECT cur{j}.* FROM cur{j} "
+                f"WHERE d_iso NOT IN (SELECT d_iso FROM b{j}))"
+            )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register("generalized_esd_daily_revenue", _esd_oracle(5))
+def q_generalized_esd_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner) top-5 studentized outlier days of the
+    revenue series (``regress.generalized_esd_daily``) — the k-outlier
+    extension of ``grubbs_outlier_price`` that masking cannot defeat:
+    per round, integer deviation argmax over the CURRENT day frame
+    (earliest-day tie-break), anti-join removal, eager localCheckpoint
+    lineage cuts (the iterative-trainer cure); R_i is the shared Grubbs
+    expression. The oracle unrolls the five rounds with MATERIALIZED
+    CTEs (the BPE-oracle device)."""
+    return generalized_esd_daily(_t(spark, sf_dir, "orders"), k=5)

@@ -589,3 +589,42 @@ def test_brown_forsythe_naive(spark):
         spark.createDataFrame(rows2, "v long, g string"), "v", "g"
     ).collect()[0]["f"]
     assert got["f"] > f_eq
+
+
+def test_generalized_esd_planted_outliers(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: F401
+        mood_median_test,  # keep import block stable
+    )
+    from azure_medicine_data_engineering_spark.functions.regress import (
+        generalized_esd_daily,
+    )
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    cents = [10_000 + (i % 3) for i in range(30)]
+    cents[5] = 90_000   # gross high
+    cents[17] = 1_000   # gross low
+    cents[23] = 60_000  # moderate high
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    out = generalized_esd_daily(df, k=3).collect()
+    assert [r["i"] for r in out] == [1, 2, 3]
+    days = [r["d_iso"] for r in out]
+    # the three planted days surface in deviation order
+    assert days[0] == "1995-01-06" and set(days) == {
+        "1995-01-06", "1995-01-18", "1995-01-24"
+    }
+    # R statistics decrease... not guaranteed in general, but here the
+    # planted magnitudes do dominate successively
+    assert out[0]["r_i"] > 0 and all(r["r_i"] > 0 for r in out)
+
+    # naive round-1 check: R_1 equals Grubbs on the full series
+    n = len(cents)
+    mean = sum(cents) / n
+    sd = math.sqrt(sum((c - mean) ** 2 for c in cents) / (n - 1))
+    r1 = max(abs(c - mean) for c in cents) / sd
+    assert abs(out[0]["r_i"] - _r4(r1)) <= 1e-4
