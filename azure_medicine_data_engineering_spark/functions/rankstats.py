@@ -3125,3 +3125,83 @@ def brown_forsythe_test(
         "g", F.abs(2 * F.col("x") - F.col("med2")).cast("long").alias("z2")
     )
     return anova_oneway(dev, "z2", "g")
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc test (pairwise, after Kruskal-Wallis).
+# ---------------------------------------------------------------------------
+
+#: Pairwise z from doubled-rank integer state: r1x2/r2x2 the pairs' doubled
+#: rank sums, n1/n2 group sizes, n the pooled size, tiesum = Σ t³−t.
+DUNN_Z_EXPR = (
+    "round((r1x2 / (2e0 * n1) - r2x2 / (2e0 * n2))"
+    " / sqrt((n * (n + 1e0) / 12e0 - tiesum / (12e0 * (n - 1e0)))"
+    " * (1e0 / n1 + 1e0 / n2)), 4)"
+)
+
+
+def dunn_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Dunn's pairwise post-hoc after :func:`kruskal_wallis` — the answer
+    to "WHICH groups differ in location" that the omnibus H cannot give
+    (the rank-world sibling of :func:`tukey_hsd` after ANOVA; apply a
+    Bonferroni/BH correction across the k(k−1)/2 pairs downstream —
+    :func:`..functions.stats` ships BH).
+
+    Same machinery as KW: pooled average ranks on the doubled integer
+    grid from :func:`ranked_value_counts` (bucketed prefix sum, never a
+    global data-grain window), per-group doubled rank sums and the tie
+    sum all exact BIGINT/DECIMAL; the pair frame is the k-row group
+    summary self-joined on ``g1 < g2`` (bounded), and z is the one
+    shared expression. Returns one row per pair
+    ``(g1, g2, n1, n2, z)``.
+    """
+    ranked = ranked_value_counts(
+        df.select(F.col(value_col), F.col(group_col).alias("_g")),
+        value_col,
+    ).withColumnRenamed("c_all", "c_tot").persist()
+    byvg = df.groupBy(
+        F.col(value_col).alias("v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_g"))
+    per_group = (
+        byvg.join(ranked, "v")
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.col("c_g").cast("decimal(38,0)")
+                * (2 * F.col("cnt_less") + F.col("c_tot") + 1)
+            ).cast("long").alias("rgx2"),
+            F.sum("c_g").cast("long").alias("n_g"),
+        )
+        .persist()
+    )
+    tot = per_group.agg(F.sum("n_g").cast("long").alias("n"))
+    ties = ranked.agg(
+        F.sum(
+            F.col("c_tot").cast("decimal(38,0)") * F.col("c_tot") * F.col("c_tot")
+            - F.col("c_tot")
+        ).cast("long").alias("tiesum")
+    )
+    pairs = (
+        per_group.alias("a")
+        .join(
+            F.broadcast(per_group.alias("b")),
+            F.col("a._g") < F.col("b._g"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("a._g").alias("g1"),
+            F.col("b._g").alias("g2"),
+            F.col("a.n_g").alias("n1"),
+            F.col("b.n_g").alias("n2"),
+            F.col("a.rgx2").alias("r1x2"),
+            F.col("b.rgx2").alias("r2x2"),
+            "n",
+            "tiesum",
+        )
+    )
+    out = pairs.select(
+        "g1", "g2", "n1", "n2", F.expr(DUNN_Z_EXPR).alias("z")
+    )
+    out._stage_caches = [ranked, per_group]
+    return out

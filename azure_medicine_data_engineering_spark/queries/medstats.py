@@ -2169,3 +2169,51 @@ def q_brown_forsythe_price_by_priority(spark: SparkSession, sf_dir: str) -> Data
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return brown_forsythe_test(src, "cents", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc: pairwise event-type value comparisons after KW.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    DUNN_Z_EXPR,
+    dunn_test,
+)
+
+
+@register(
+    "dunn_posthoc_value_by_type",
+    f"""
+    WITH src AS (SELECT value AS v, event_type AS g FROM events),
+    byval AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c_tot FROM src GROUP BY v),
+    r AS (
+      SELECT *, CAST(COALESCE(SUM(c_tot) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS cnt_less
+      FROM byval
+    ),
+    byvg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c_g FROM src GROUP BY v, g),
+    pg AS (
+      SELECT g, CAST(SUM(CAST(c_g AS HUGEINT) * (2 * cnt_less + c_tot + 1)) AS BIGINT) AS rgx2,
+             CAST(SUM(c_g) AS BIGINT) AS n_g
+      FROM byvg JOIN r USING (v) GROUP BY g
+    ),
+    kn AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM pg),
+    tie AS (SELECT CAST(SUM(CAST(c_tot AS HUGEINT) * c_tot * c_tot - c_tot) AS BIGINT) AS tiesum FROM byval),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+             a.rgx2 AS r1x2, b.rgx2 AS r2x2, kn.n, tie.tiesum
+      FROM pg a JOIN pg b ON a.g < b.g, kn, tie
+    )
+    SELECT g1, g2, n1, n2, {DUNN_Z_EXPR} AS z FROM pairs
+    """,
+)
+def q_dunn_posthoc_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's pairwise post-hoc on event values across the five event
+    types (``rankstats.dunn_test``) — WHICH types differ in location
+    after ``kruskal_wallis_value_by_type``'s omnibus H, the rank-world
+    sibling of ``tukey_hsd_price_by_priority``: pooled doubled ranks
+    from the bucketed prefix sum, exact BIGINT rank/tie sums, the 10
+    pairwise z's as one shared expression over the 5-row group frame."""
+    ev = events_table(spark, sf_dir)
+    return dunn_test(ev.select("value", "event_type"), "value", "event_type")

@@ -628,3 +628,37 @@ def test_generalized_esd_planted_outliers(spark):
     sd = math.sqrt(sum((c - mean) ** 2 for c in cents) / (n - 1))
     r1 = max(abs(c - mean) for c in cents) / sd
     assert abs(out[0]["r_i"] - _r4(r1)) <= 1e-4
+
+
+def test_dunn_posthoc_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        dunn_test,
+    )
+
+    groups = {"a": [1, 2, 2, 4], "b": [3, 5, 5, 7, 9], "c": [8, 10, 11]}
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = {(r["g1"], r["g2"]): r for r in dunn_test(df, "v", "g").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    # naive: pooled midranks, Dunn z with tie correction
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+
+    def midrank(v):
+        less = sum(1 for x in pooled if x < v)
+        eq = sum(1 for x in pooled if x == v)
+        return less + (eq + 1) / 2
+
+    from collections import Counter
+    tiesum = sum(t**3 - t for t in Counter(pooled).values())
+    means = {g: sum(midrank(v) for v in vs) / len(vs) for g, vs in groups.items()}
+    for (g1, g2), r in got.items():
+        n1, n2 = len(groups[g1]), len(groups[g2])
+        z = (means[g1] - means[g2]) / math.sqrt(
+            (n * (n + 1) / 12 - tiesum / (12 * (n - 1))) * (1 / n1 + 1 / n2)
+        )
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert abs(r["z"] - _r4(z)) <= 1e-9, (g1, g2)
+    # location ordering a < b < c shows in the signs
+    assert got[("a", "b")]["z"] < 0 and got[("a", "c")]["z"] < 0 and got[("b", "c")]["z"] < 0

@@ -247,6 +247,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # day-frame median rank window + day-ordered lag window (both
     # calendar-bounded; operators/events_analytics.py:runs_test_daily)
     "runs_test_daily_revenue": (2, "day-frame rank + lag windows"),
+    # 1024-row bucket-offset window of the pooled rank prefix sum (same
+    # class as kruskal_wallis_value_by_type; rankstats.dunn_test)
+    "dunn_posthoc_value_by_type": (1, "1024-row rank-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
