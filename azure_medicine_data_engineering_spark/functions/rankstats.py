@@ -3205,3 +3205,27 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     )
     out._stage_caches = [ranked, per_group]
     return out
+
+
+#: Goodman-Kruskal gamma from the Kendall pair counts: ties drop out
+#: entirely — gamma = (nc − nd)/(nc + nd).
+GK_GAMMA_EXPR = "round((nc - nd) * 1e0 / (nc + nd), 4)"
+
+
+def gk_gamma_keyed(
+    df: DataFrame, key_col: str, x_col: str, y_col: str,
+    max_rows: int = KENDALL_MAX_KEYED_ROWS,
+) -> DataFrame:
+    """Goodman-Kruskal gamma over a keyed summary frame — the
+    tie-IGNORING member of the ordinal-association family next to
+    :func:`kendall_tau_keyed`'s tau-b (tau-b discounts ties in its
+    denominator; gamma drops tied pairs entirely, so on heavily-tied
+    grids gamma ≥ |tau-b| and the PAIR of readouts localizes how much
+    of the association ties are hiding). Same licensed pair join, same
+    guard, same exact integer pair counts; one extra shared expression.
+    Returns ``(n, nc, nd, gamma)``.
+    """
+    base = kendall_tau_keyed(df, key_col, x_col, y_col, max_rows=max_rows)
+    out = base.select("n", "nc", "nd", F.expr(GK_GAMMA_EXPR).alias("gamma"))
+    out._stage_caches = getattr(base, "_stage_caches", [])
+    return out

@@ -2217,3 +2217,50 @@ def q_dunn_posthoc_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise z's as one shared expression over the 5-row group frame."""
     ev = events_table(spark, sf_dir)
     return dunn_test(ev.select("value", "event_type"), "value", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal gamma: daily order count vs revenue (tie-free view).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    GK_GAMMA_EXPR,
+    gk_gamma_keyed,
+)
+
+
+@register(
+    "gk_gamma_daily_orders",
+    f"""
+    WITH d AS (
+      SELECT o_orderdate AS k, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN (a.x > b.x AND a.y > b.y)
+                             OR (a.x < b.x AND a.y < b.y)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN (a.x > b.x AND a.y < b.y)
+                             OR (a.x < b.x AND a.y > b.y)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM d a JOIN d b ON a.k < b.k
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT n, nc, nd, {GK_GAMMA_EXPR} AS gamma FROM p, nn
+    """,
+)
+def q_gk_gamma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between daily order count and daily revenue
+    (``rankstats.gk_gamma_keyed``) — the tie-ignoring reading of the
+    same exact pair counts behind ``kendall_tau_daily_orders``; reported
+    together the pair localizes how much association the count grid's
+    ties hide. Same licensed calendar-bounded pair join."""
+    o = _t(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return gk_gamma_keyed(day, "d", "n_orders", "cents")

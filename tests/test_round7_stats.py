@@ -662,3 +662,30 @@ def test_dunn_posthoc_naive(spark):
         assert abs(r["z"] - _r4(z)) <= 1e-9, (g1, g2)
     # location ordering a < b < c shows in the signs
     assert got[("a", "b")]["z"] < 0 and got[("a", "c")]["z"] < 0 and got[("b", "c")]["z"] < 0
+
+
+def test_gk_gamma_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        gk_gamma_keyed,
+    )
+
+    pts = [(0, 1, 10), (1, 2, 30), (2, 2, 20), (3, 3, 25), (4, 5, 50)]
+    df = spark.createDataFrame(pts, "k long, x long, y long")
+    got = gk_gamma_keyed(df, "k", "x", "y").collect()[0]
+    nc = nd = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[j][1] - pts[i][1]
+            dy = pts[j][2] - pts[i][2]
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+    assert (got["nc"], got["nd"]) == (nc, nd)
+    assert got["gamma"] == _r4((nc - nd) / (nc + nd))
+    # perfect monotone -> gamma == 1 even with x ties (tau-b < 1)
+    mono = [(i, v, v * 2) for i, v in enumerate([1, 2, 2, 3, 4])]
+    g = gk_gamma_keyed(
+        spark.createDataFrame(mono, "k long, x long, y long"), "k", "x", "y"
+    ).collect()[0]
+    assert g["gamma"] == 1.0
