@@ -2550,7 +2550,14 @@ def mood_median_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame
     cmarg = F.when(F.col("s.side") == "above", F.col("t.c_above")).otherwise(
         F.col("t.c_below")
     )
-    term = num * num / (F.col("t.n") * 1.0 * F.col("s.r") * cmarg)
+    # Degenerate one-sided table (median == max → c_above = 0): the
+    # observed cell is forced to 0 too (o·n − r·0 = 0), so the correct
+    # chi-square contribution is 0 — guard instead of letting non-ANSI
+    # 0/0 → NULL silently drop from the sum (DuckDB's 0/0 differs by
+    # version, so the guard lives on BOTH sides).
+    term = F.when(
+        cmarg > 0, num * num / (F.col("t.n") * 1.0 * F.col("s.r") * cmarg)
+    ).otherwise(F.lit(0.0))
     scal = (
         long_cells.alias("s")
         .crossJoin(F.broadcast(margins).alias("t"))
@@ -3005,10 +3012,13 @@ def mann_kendall_keyed(
 # ---------------------------------------------------------------------------
 
 #: z over all-integer state (l2 = doubled L, n blocks, k treatments):
-#: E[2L] = n·k(k+1)²/2, Var[2L] = n·k²(k+1)²(k²−1)/36.
+#: E[2L] = n·k(k+1)²/2, Var[2L] = n·k²(k+1)²(k−1)/36 — equal to the
+#: classical z = (12L − 3nk(k+1)²)/(k(k+1)·sqrt(n(k−1))) since
+#: (k²−1)(k+1) = (k−1)(k+1)²; verified by full permutation enumeration
+#: for k=3,4 in tests/test_round7_stats.py::test_page_moments_enumerated.
 PAGE_Z_EXPR = (
     "round((l2 - n * 1e0 * k * (k + 1e0) * (k + 1e0) / 2e0)"
-    " / sqrt(n * 1e0 * k * k * (k + 1e0) * (k + 1e0) * (k * k - 1e0) / 36e0), 4)"
+    " / sqrt(n * 1e0 * k * k * (k + 1e0) * (k + 1e0) * (k - 1e0) / 36e0), 4)"
 )
 
 

@@ -1837,11 +1837,12 @@ from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa:
     s AS (
       SELECT CAST(MAX(m.k) AS BIGINT) AS k, CAST(MAX(m.n) AS BIGINT) AS n,
              CAST(MAX(med.med_v) AS BIGINT) AS med_v,
-             CAST(SUM(CAST(ROUND(
+             CAST(SUM(CASE WHEN (CASE WHEN side = 'above' THEN m.ca ELSE m.cb END) > 0
+             THEN CAST(ROUND(
                (o * 1e0 * m.n - r * 1e0 * (CASE WHEN side = 'above' THEN m.ca ELSE m.cb END))
                * (o * 1e0 * m.n - r * 1e0 * (CASE WHEN side = 'above' THEN m.ca ELSE m.cb END))
                / (m.n * 1e0 * r * (CASE WHEN side = 'above' THEN m.ca ELSE m.cb END)) * 1e6
-             ) AS BIGINT)) AS BIGINT) AS chi2_u
+             ) AS BIGINT) ELSE 0 END) AS BIGINT) AS chi2_u
       FROM long_cells, marg m, med
     )
     SELECT k, n, med_v, {MOOD_CHI2_EXPR} AS chi2 FROM s

@@ -142,6 +142,20 @@ def test_mood_median_naive(spark):
     assert abs(got["chi2"] - _r4(chi2)) <= 1e-9
 
 
+def test_mood_median_degenerate_one_sided(spark):
+    """median == max (heavy upper tie) → c_above = 0: the 'above' column
+    margin is empty, its cells are forced 0, and the chi-square must
+    treat those 0²/0 terms as 0 — not NULL-drop them (non-ANSI 0/0)."""
+    vals = {"a": [1, 5, 5, 5], "b": [5, 5, 5], "c": [2, 5, 5]}
+    rows = [(v, g) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = mood_median_test(df, "v", "g").collect()[0]
+    assert got["med_v"] == 5 and got["k"] == 3 and got["n"] == 10
+    # every 'above' cell is 0 and every row margin equals its 'below'
+    # count, so o·n − r·c_below = 0 for all below cells too → chi2 = 0
+    assert got["chi2"] == 0.0
+
+
 def _naive_jt(groups):
     """groups: ordered list of value lists. Returns (jt2, e2, z)."""
     k = len(groups)
@@ -452,19 +466,37 @@ def test_mann_kendall_no_trend_and_reversal(spark):
 
 def _naive_page(blocks, k):
     """blocks: list of per-block value lists in hypothesized treatment
-    order. Doubled midranks; classical moments."""
-    l2 = 0
+    order. INDEPENDENT reference route (not the production expression):
+    single midranks L = Σ j·R_j, then the textbook standardization
+    z = (12L − 3nk(k+1)²) / (k(k+1)·sqrt(n(k−1)))
+    (Page 1963; Hollander & Wolfe eq. 7.36)."""
+    L = 0.0
     for vals in blocks:
-        srt = sorted(vals)
         for j, v in enumerate(vals):
             cnt_less = sum(1 for x in vals if x < v)
             c_eq = sum(1 for x in vals if x == v)
-            rx2 = 2 * cnt_less + c_eq + 1
-            l2 += (j + 1) * rx2
+            L += (j + 1) * (cnt_less + (c_eq + 1) / 2.0)
     n = len(blocks)
-    e2 = n * k * (k + 1) ** 2 / 2
-    var2 = n * k * k * (k + 1) ** 2 * (k * k - 1) / 36
-    return l2, (l2 - e2) / math.sqrt(var2)
+    z = (12.0 * L - 3.0 * n * k * (k + 1) ** 2) / (
+        k * (k + 1) * math.sqrt(n * (k - 1))
+    )
+    return int(round(2 * L)), z
+
+
+def test_page_moments_enumerated():
+    """Exact permutation moments of 2L by FULL enumeration for k=3,4:
+    the gate's mirror-oracle blind spot (CLAUDE.md) requires at least
+    one non-mirrored check of the E[2L]/Var[2L] constants themselves."""
+    import itertools
+
+    for k in (3, 4):
+        vals2 = []  # 2L over all within-block rank permutations, n=1
+        for perm in itertools.permutations(range(1, k + 1)):
+            vals2.append(sum((j + 1) * 2 * r for j, r in enumerate(perm)))
+        mean2 = sum(vals2) / len(vals2)
+        var2 = sum((v - mean2) ** 2 for v in vals2) / len(vals2)
+        assert mean2 == k * (k + 1) ** 2 / 2  # E[2L], n=1
+        assert abs(var2 - k * k * (k + 1) ** 2 * (k - 1) / 36.0) < 1e-9
 
 
 def test_page_trend_naive(spark):
