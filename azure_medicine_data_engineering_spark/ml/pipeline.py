@@ -285,6 +285,7 @@ def train_als_recommender(
     max_iter: int = 5,
     seed: int = 42,
     implicit_prefs: bool = True,
+    nonnegative: bool = True,
 ):
     """Collaborative-filtering recommender via Spark ML ALS (implicit
     feedback, Hu/Koren/Volinsky 2008) — the matrix-factorization sibling
@@ -319,7 +320,10 @@ def train_als_recommender(
         # are true preference VALUES to be recovered (the planted
         # als_block_recommender_events surface query uses this)
         implicitPrefs=implicit_prefs,
-        nonnegative=True,
+        # nonnegative factors aid interpretability; callers planting
+        # negative viewed-not-engaged signal (p=0, c=1+alpha*|r|) need
+        # free-sign factors to represent the suppression direction
+        nonnegative=nonnegative,
         coldStartStrategy="drop",
     )
     return als.fit(ratings)

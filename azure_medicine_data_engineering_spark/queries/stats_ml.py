@@ -1229,13 +1229,19 @@ def q_prefixspan_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ALS recommender surface: planted block-structured interactions.
 # ---------------------------------------------------------------------------
 
+#: Robust invariant oracle (both ALS surface queries): the trained
+#: model's top-1 must land in the user's own planted block. The STRICT
+#: designated-item equality (top_item == (u%4)*5 + u%5) holds under the
+#: fixed seed but is not analytically guaranteed against factorization
+#: jitter (Spark ML version / initializer changes), so it lives in
+#: pytest (tests/test_multimodal_ml.py) — the oracled surface hashes
+#: only the block-membership invariant, which the planted margin makes
+#: structural.
 _ALS_BLOCK_ORACLE = """
     WITH u AS (
       SELECT DISTINCT CAST(user_id % 50 AS INTEGER) AS user_bucket FROM events
     )
-    SELECT user_bucket,
-           CAST((user_bucket % 4) * 5 + (user_bucket % 5) AS INTEGER) AS top_item,
-           TRUE AS in_block
+    SELECT user_bucket, TRUE AS in_block
     FROM u
     """
 
@@ -1255,11 +1261,14 @@ def q_als_block_recommender_events(spark: SparkSession, sf_dir: str) -> DataFram
     rating 5.0 on its DESIGNATED slot ``u % 5`` and 1.0 on the other
     four; cross-block cells are unobserved. EXPLICIT ALS reconstructs
     the rating values, so the 5-vs-1 margin makes the designated item
-    the top-1 recommendation analytically (implicit ALS would flatten
-    all interacted preferences to ~1 — measured: only 12/50 designated
-    hits — hence ``implicit_prefs=False`` here). The oracle is pure
-    arithmetic on the planted layout: ``top_item = (u%4)*5 + (u%5)``,
-    ``in_block = TRUE``.
+    the top-1 recommendation analytically (implicit ALS flattens
+    EQUAL-preference cells into exact ties — measured: only 12/50
+    designated hits on this grid — hence ``implicit_prefs=False`` here;
+    ``als_implicit_block_recommender_events`` plants the
+    polarity-carrying design where the implicit mode IS decisive). The
+    oracled surface hashes the block-membership invariant
+    (``in_block = TRUE``); the strict designated-item arithmetic
+    ``top_item = (u%4)*5 + (u%5)`` is pytest-gated.
 
     Scale: the ratings frame is ONE distinct-key aggregation of the
     event log exploded by 5 literal slots (bounded: users × 5 cells);
@@ -1301,9 +1310,81 @@ def q_als_block_recommender_events(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = recs.select(
         "user_bucket",
-        "top_item",
-        # true block membership (the weaker invariant, kept separate from
-        # the strict designated-item equality carried by top_item itself)
+        # block membership — the margin-robust invariant the oracle
+        # hashes; the strict designated-item equality is pytest-gated
+        # (tests/test_multimodal_ml.py::test_als_explicit_designated_top1)
+        F.expr("top_item div 5 = user_bucket % 4").alias("in_block"),
+    )
+    out._stage_caches = [ratings]
+    return out
+
+
+@register("als_implicit_block_recommender_events", _ALS_BLOCK_ORACLE)
+def q_als_implicit_block_recommender_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMPLICIT-feedback ALS surface query — the reference's default mode
+    (``ml/pipeline.py:train_als_recommender`` defaults to
+    ``implicit_prefs=True``, Hu/Koren/Volinsky 2008) restored to the
+    oracle ledger with a planting where the implicit semantics are
+    DECISIVE.
+
+    Planting: the same 50-user / 4-block / 5-slot grid as the explicit
+    query, but with interaction COUNTS carrying engagement polarity:
+    the designated slot gets r = +40 (heavy engagement → p = 1 with
+    confidence c = 1 + α·40), the other four block slots r = −1
+    (viewed-but-not-engaged → p = 0 with c = 1 + α·1, the paper's
+    browsed-not-bought negative signal), cross-block unobserved
+    (p = 0, c = 1). Free-sign factors (``nonnegative=False``) are
+    required to represent the suppression direction. Measured margins:
+    top-1 = the designated item for 50/50 users at every probed seed
+    (42/7/123/999/2024) with min top prediction 0.985; the
+    uniform-count contrast (r = +1 designated) still ranks correctly
+    but with a 0.69 margin — the confidence weighting is what makes
+    the margin structural. The r6/r7 observation that EQUAL-preference
+    plantings recover only 12/50 under implicit mode (confidence
+    flattens same-p cells into exact ties) is kept in the explicit
+    query's docstring as the documented contrast.
+
+    The oracled surface hashes the block-membership invariant only
+    (see _ALS_BLOCK_ORACLE note); strict designated equality is
+    pytest-gated (test_als_implicit_designated_top1)."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        train_als_recommender,
+    )
+
+    ev = events_table(spark, sf_dir)
+    users = ev.select((F.col("user_id") % 50).cast("int").alias("u")).distinct()
+    ratings = (
+        users.select(
+            "u", F.explode(F.array(*[F.lit(s) for s in range(5)])).alias("slot")
+        )
+        .select(
+            F.col("u").alias("user_bucket"),
+            ((F.col("u") % 4) * 5 + F.col("slot")).cast("int").alias("item_id"),
+            F.when(F.col("slot") == F.col("u") % 5, F.lit(40.0))
+            .otherwise(F.lit(-1.0))
+            .cast("float")
+            .alias("strength"),
+        )
+        .persist()
+    )
+    model = train_als_recommender(
+        ratings,
+        user_col="user_bucket",
+        item_col="item_id",
+        rating_col="strength",
+        rank=16,
+        max_iter=10,
+        implicit_prefs=True,
+        nonnegative=False,
+    )
+    recs = model.recommendForAllUsers(1).select(
+        F.col("user_bucket").cast("int").alias("user_bucket"),
+        F.col("recommendations")[0]["item_id"].cast("int").alias("top_item"),
+    )
+    out = recs.select(
+        "user_bucket",
         F.expr("top_item div 5 = user_bucket % 4").alias("in_block"),
     )
     out._stage_caches = [ratings]

@@ -202,3 +202,33 @@ def test_als_explicit_designated_top1(spark):
     for r in recs:
         u = r["user_bucket"]
         assert r["recommendations"][0]["item_id"] == (u % 4) * 5 + u % 5, u
+
+
+def test_als_implicit_designated_top1(spark):
+    """Implicit ALS (the reference default) on the polarity-carrying
+    grid (the als_implicit_block_recommender_events structure):
+    r=+40 on the designated slot (p=1, c=1+α·40), r=−1 viewed-only on
+    the rest of the block (p=0, c=1+α), cross-block unobserved.
+    Free-sign factors; top-1 must recover the designated item for
+    EVERY user — the strict claim the oracled surface relaxes to
+    in_block."""
+    from azure_medicine_data_engineering_spark.ml.pipeline import (
+        train_als_recommender,
+    )
+
+    rows = []
+    for u in range(50):
+        for slot in range(5):
+            rows.append(
+                (u, (u % 4) * 5 + slot, 40.0 if slot == u % 5 else -1.0)
+            )
+    df = spark.createDataFrame(rows, "user_bucket int, item_id int, strength double")
+    model = train_als_recommender(
+        df, user_col="user_bucket", rating_col="strength",
+        rank=16, max_iter=10, implicit_prefs=True, nonnegative=False,
+    )
+    recs = model.recommendForAllUsers(1).collect()
+    assert len(recs) == 50
+    for r in recs:
+        u = r["user_bucket"]
+        assert r["recommendations"][0]["item_id"] == (u % 4) * 5 + u % 5, u
