@@ -237,7 +237,9 @@ def durbin_watson_daily(
     """
     daily = (
         orders.groupBy(F.col(date_col).cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col(amount_col))).cast("long").alias("x"))
+        # round-then-cast per ROW: the sum is BIGINT-native (a sum of
+        # integral doubles only stays exact below 2^53)
+        .agg(F.sum(F.round(F.col(amount_col)).cast("long")).alias("x"))
         .select(
             F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))).cast("long").alias("t"),
             "x",

@@ -18,7 +18,13 @@ def tumbling_hourly_agg(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+            # exact cents-grid sum (raw double value sums drift past the
+            # 4-decimal round at replica scale)
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100,
+                4,
+            ).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
@@ -30,7 +36,13 @@ def sliding_1h_30m_agg(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+            # exact cents-grid sum (raw double value sums drift past the
+            # 4-decimal round at replica scale)
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100,
+                4,
+            ).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )

@@ -140,9 +140,24 @@ def bm25_scores(
             ),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.round(F.sum("contrib").cast("double"), 4).alias("bm25"),
-        F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+    # per-term contribs snap to the 1e-6 grid BEFORE the sum: the per-doc
+    # sum is then an order-free BIGINT on both engines (a double sum of
+    # per-term contribs has engine-dependent accumulation order). The
+    # 4-decimal display value finalizes by HALF-UP INTEGER division to the
+    # 1e-4 grid — rounding the double quotient instead hits the exact
+    # .00005 grid boundary, which Spark (shortest-repr decimal) and DuckDB
+    # (exact binary) round differently (observed at sf0.01).
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.round(F.col("contrib") * 1e6).cast("long")).alias("s_u"),
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        )
+        .select(
+            "doc_id",
+            (F.expr("(2 * s_u + 100) div 200").cast("double") / 1e4).alias("bm25"),
+            "n_matched_terms",
+        )
     )
 
 

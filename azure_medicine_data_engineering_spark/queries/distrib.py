@@ -756,7 +756,7 @@ def q_jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH daily AS (
       SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
-             CAST(SUM(ROUND(o_totalprice)) AS BIGINT) AS x
+             CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS x
       FROM orders GROUP BY 1
     ),
     mom AS (

@@ -29,7 +29,8 @@ from azure_medicine_data_engineering_spark.queries.registry import (
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -52,7 +53,8 @@ def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_value
     FROM starts
     GROUP BY 1
     """,
@@ -126,7 +128,8 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
-           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE), 4)
+           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) / 100, 4)
              AS purchase_value,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_span_sec
     FROM events
@@ -139,7 +142,14 @@ def q_events_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
         F.round(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).cast("double"), 4
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ).cast("double")
+            / 100,
+            4,
         ).alias("purchase_value"),
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
         .cast("long")
@@ -356,13 +366,14 @@ def q_cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS daily_rev
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
       FROM orders GROUP BY 1
     )
-    SELECT strftime(d, '%Y-%m-%d') AS day, daily_rev,
-           ROUND(SUM(daily_rev) OVER (
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(rev_c AS DOUBLE) / 100.0 AS daily_rev,
+           ROUND(CAST(SUM(rev_c) OVER (
              ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-           ), 2) AS rolling_7d_rev
+           ) AS DOUBLE) / 100.0, 2) AS rolling_7d_rev
     FROM daily
     """,
 )
@@ -375,19 +386,19 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial+final agg), and the rolling window runs over that day-level
     frame — bounded by the calendar (~2.4k rows for 7 years), the same
     metadata-sized class as the funnel report, NOT a window over fact rows.
-    Dailies sum on the cents grid (SUM of ROUND(x*100) BIGINTs / 100 —
-    the repo's money-sum convention; per-day groups reach the double
-    running-sum drift regime at the target scale), so the ≤7-element frame
-    sum is exact in doubles and order-free. Dates emit as ISO strings
-    (DATE-typed outputs hash differently across engines)."""
+    Dailies AND the rolling frame both ride the integer cents grid
+    (BIGINT end to end; engines may evaluate range frames via different
+    strategies — segment tree vs incremental — so even a ≤7-element
+    double frame sum is not order-guaranteed); the division to currency
+    happens once per output cell. Dates emit as ISO strings (DATE-typed
+    outputs hash differently across engines)."""
     from pyspark.sql.window import Window
 
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(
-            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
-            .alias("daily_rev")
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
         )
     )
     w = (
@@ -396,8 +407,10 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        "daily_rev",
-        F.round(F.sum("daily_rev").over(w), 2).alias("rolling_7d_rev"),
+        (F.col("rev_c").cast("double") / 100.0).alias("daily_rev"),
+        F.round(F.sum("rev_c").over(w).cast("double") / 100.0, 2).alias(
+            "rolling_7d_rev"
+        ),
     )
 
 

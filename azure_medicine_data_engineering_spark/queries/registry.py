@@ -40,6 +40,55 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ---------------------------------------------------------------------------
+# Scale-proof money/metric aggregates (shared by query modules).
+#
+# A raw double SUM over 2-decimal values drifts past the 4-decimal display
+# round once a group accumulates millions of rows (running-sum ulp random
+# walk ~1e-3 measured at the 10×-sf0.1 replica, round 7), and
+# ROUND(SUM(x), 2) only survives while the accumulated error < 0.005.
+# These forms sum on the integer cents grid (BIGINT, order-free, exact)
+# and divide once — mirror the SQL twins verbatim in oracle text.
+# ---------------------------------------------------------------------------
+
+
+def cents_sum(col: str, digits: int = 4):
+    """Spark column: exact sum of a 2-decimal column, rounded for display."""
+    from pyspark.sql import functions as F
+
+    return F.round(
+        F.sum(F.round(F.col(col) * 100).cast("long")).cast("double") / 100, digits
+    )
+
+
+def cents_avg(col: str, digits: int = 4):
+    """Spark column: mean of a 2-decimal column over its exact cents sum."""
+    from pyspark.sql import functions as F
+
+    return F.round(
+        F.sum(F.round(F.col(col) * 100).cast("long")).cast("double")
+        / 100
+        / F.count(F.col(col)),
+        digits,
+    )
+
+
+def cents_sum_sql(col: str, digits: int = 4) -> str:
+    """DuckDB twin of :func:`cents_sum` (interpolate into oracle SQL)."""
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND({col} * 100) AS BIGINT)) AS DOUBLE) / 100,"
+        f" {digits})"
+    )
+
+
+def cents_avg_sql(col: str, digits: int = 4) -> str:
+    """DuckDB twin of :func:`cents_avg` (interpolate into oracle SQL)."""
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND({col} * 100) AS BIGINT)) AS DOUBLE) / 100"
+        f" / COUNT({col}), {digits})"
+    )
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with a canonical microsecond TIMESTAMP ``ts``.
 

@@ -19,6 +19,8 @@ from azure_medicine_data_engineering_spark.operators.summarize import (
 from azure_medicine_data_engineering_spark.queries.registry import (
     QUERIES,
     ORACLES,
+    cents_avg as _c2avg,
+    cents_sum as _c2sum,
     register,
     table as _t,
 )
@@ -58,13 +60,18 @@ def q_categorized_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
-           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS sum_base_price,
            ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
                  AS DOUBLE) / 10000, 4) AS sum_disc_price,
-           ROUND(CAST(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity) AS DOUBLE), 4) AS avg_qty,
-           ROUND(CAST(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice) AS DOUBLE), 4) AS avg_price,
-           ROUND(CAST(ROUND(SUM(l_discount), 2) / COUNT(l_discount) AS DOUBLE), 4) AS avg_disc,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+                 / COUNT(l_quantity), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 / COUNT(l_extendedprice), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100
+                 / COUNT(l_discount), 4) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -77,13 +84,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity").cast("double"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice").cast("double"), 4).alias("sum_base_price"),
-            # the price×(1−disc) product of two 2-decimal values IS a
-            # 4-decimal value: recover it on the 1e-4 integer grid per row
-            # and sum BIGINTs — order-free and exact, where a raw double
-            # sum drifts ~1e-4 past a few million rows and breaks the
-            # 4-decimal display round (caught at the 10×-sf0.1 tie sweep)
+            # every money/metric sum and mean rides the integer grid
+            # (cents for 2-decimal columns, 1e-4 for the price×(1−disc)
+            # product of two 2-decimal values): BIGINT sums are order-free
+            # and exact, where a raw double sum drifts ~1e-4 past a few
+            # million rows and breaks the 4-decimal display round (caught
+            # at the 10×-sf0.1 tie sweep)
+            _c2sum("l_quantity").alias("sum_qty"),
+            _c2sum("l_extendedprice").alias("sum_base_price"),
             F.round(
                 F.sum(
                     F.round(
@@ -93,9 +101,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 10000,
                 4,
             ).alias("sum_disc_price"),
-            F.round((F.round(F.sum("l_quantity"), 2) / F.count("l_quantity")).cast("double"), 4).alias("avg_qty"),
-            F.round((F.round(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice")).cast("double"), 4).alias("avg_price"),
-            F.round((F.round(F.sum("l_discount"), 2) / F.count("l_discount")).cast("double"), 4).alias("avg_disc"),
+            _c2avg("l_quantity").alias("avg_qty"),
+            _c2avg("l_extendedprice").alias("avg_price"),
+            _c2avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
     )
@@ -157,11 +165,12 @@ def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_spend",
     """
     SELECT c.c_custkey, c.c_name,
-           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 4) AS total_spend,
+           ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_spend,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
-    ORDER BY total_spend DESC, c.c_custkey
+    ORDER BY SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) DESC, c.c_custkey
     LIMIT 25
     """,
 )
@@ -172,11 +181,19 @@ def q_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice").cast("double"), 4).alias("total_spend"),
+            # cents-grid spend: the top-k ORDER rides the exact BIGINT, so
+            # the selected row set cannot differ on ulp-level sum noise
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
-        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .orderBy(F.col("spend_c").desc(), F.col("c_custkey"))
         .limit(25)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("spend_c").cast("double") / 100, 4).alias("total_spend"),
+            "n_orders",
+        )
     )
 
 
@@ -238,19 +255,29 @@ def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(CAST(a.avg_balance_customer AS DOUBLE), 4) AS avg_balance_customer,
            ROUND(CAST(b.avg_balance_supplier AS DOUBLE), 4) AS avg_balance_supplier,
            a.n_customer, b.n_supplier
-    FROM (SELECT ROUND(SUM(c_acctbal), 2) / COUNT(c_acctbal) AS avg_balance_customer,
+    FROM (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+                 / COUNT(c_acctbal) AS avg_balance_customer,
                  CAST(COUNT(*) AS BIGINT) AS n_customer FROM customer) a
-    CROSS JOIN (SELECT ROUND(SUM(s_acctbal), 2) / COUNT(s_acctbal) AS avg_balance_supplier,
+    CROSS JOIN (SELECT CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+                       / COUNT(s_acctbal) AS avg_balance_supplier,
                        CAST(COUNT(*) AS BIGINT) AS n_supplier FROM supplier) b
     """,
 )
 def q_cross_join_cohort_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").agg(
-        (F.round(F.sum("c_acctbal"), 2) / F.count("c_acctbal")).alias("avg_balance_customer"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / 100
+            / F.count("c_acctbal")
+        ).alias("avg_balance_customer"),
         F.count(F.lit(1)).cast("long").alias("n_customer"),
     )
     s = _t(spark, sf_dir, "supplier").agg(
-        (F.round(F.sum("s_acctbal"), 2) / F.count("s_acctbal")).alias("avg_balance_supplier"),
+        (
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).cast("double")
+            / 100
+            / F.count("s_acctbal")
+        ).alias("avg_balance_supplier"),
         F.count(F.lit(1)).cast("long").alias("n_supplier"),
     )
     return c.crossJoin(s).select(
@@ -272,7 +299,8 @@ def q_cross_join_cohort_aggregates(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT cohort, n_nationkey AS nationkey,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(ROUND(SUM(acctbal), 2) / COUNT(acctbal) AS DOUBLE), 4) AS avg_acctbal
+           ROUND(CAST(SUM(CAST(ROUND(acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+                 / COUNT(acctbal), 4) AS avg_acctbal
     FROM (
       SELECT 'customer' AS cohort, c_nationkey AS n_nationkey, c_acctbal AS acctbal FROM customer
       UNION ALL
@@ -297,7 +325,7 @@ def q_union_harmonized_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "nationkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round((F.round(F.sum("acctbal"), 2) / F.count("acctbal")).cast("double"), 4).alias("avg_acctbal"),
+            _c2avg("acctbal").alias("avg_acctbal"),
         )
     )
 
@@ -434,7 +462,8 @@ def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-             SUM(o_totalprice) OVER (PARTITION BY o_custkey) AS custkey_total
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE) / 100 AS custkey_total
       FROM orders) t
     WHERE rnk <= 3
     """,
@@ -451,7 +480,13 @@ def q_window_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round(F.col("o_totalprice").cast("double"), 4).alias("price"),
             F.row_number().over(w).cast("long").alias("rnk"),
-            F.round(F.sum("o_totalprice").over(wp).cast("double"), 4).alias("custkey_total"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .over(wp)
+                .cast("double")
+                / 100,
+                4,
+            ).alias("custkey_total"),
         )
         .where(F.col("rnk") <= 3)
     )
@@ -504,7 +539,8 @@ def q_window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
            CAST(month(o_orderdate) AS INT) AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -518,7 +554,7 @@ def q_scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("o_totalprice").cast("double"), 4).alias("revenue"),
+            _c2sum("o_totalprice").alias("revenue"),
         )
     )
 

@@ -10,13 +10,19 @@ import pandas as pd  # module-level: pandas_udf resolves stringified type hints 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_medicine_data_engineering_spark.queries.registry import register, table as _t
+from azure_medicine_data_engineering_spark.queries.registry import (
+    cents_avg as _c2avg,
+    cents_sum as _c2sum,
+    register,
+    table as _t,
+)
 
 
 @register(
     "forecast_revenue_filter",
     """
-    SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 4) AS revenue_effect,
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000, 4) AS revenue_effect,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -37,8 +43,15 @@ def q_forecast_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")).cast("double"), 4)
-            .alias("revenue_effect"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000,
+                4,
+            ).alias("revenue_effect"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
@@ -48,14 +61,16 @@ def q_forecast_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_topk",
     """
     SELECT l.l_orderkey,
-           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, l.l_orderkey
+    ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+             DESC, l.l_orderkey
     LIMIT 10
     """,
 )
@@ -70,14 +85,22 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
-                4,
-            ).alias("revenue")
+            # top-k orders on the exact 1e-4-grid BIGINT so the selected
+            # row set cannot differ on ulp-level sum noise
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("rev_u")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .orderBy(F.col("rev_u").desc(), F.col("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_u").cast("double") / 10000, 4).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
@@ -218,7 +241,8 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_value,
            CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_sec
     FROM gaps
     GROUP BY user_id
@@ -433,14 +457,16 @@ def q_pandas_udf_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_revenue_topk",
     """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
+    ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+             DESC, c.c_custkey
     LIMIT 20
     """,
 )
@@ -456,12 +482,20 @@ def q_returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", n.n_name.alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("rev_u")
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .orderBy(F.col("rev_u").desc(), F.col("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.round(F.col("rev_u").cast("double") / 10000, 4).alias("revenue"),
+        )
     )
 
 
@@ -500,23 +534,31 @@ def q_shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_share",
     """
     SELECT ROUND(CAST(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                  / SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS promo_pct,
+                          THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                          ELSE 0 END)
+                  / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                  AS DOUBLE), 4) AS promo_pct,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
 )
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue share with LIKE-prefix predicate
-    (part side broadcast)."""
+    (part side broadcast). Both revenue sums ride the exact 1e-4 integer
+    grid (the 2-dec×2-dec product is exactly 4-decimal); the grid scale
+    cancels in the ratio, so the share divides two exact BIGINTs."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    disc_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    promo_u = F.when(F.col("p_type").startswith("PROMO"), disc_u).otherwise(
+        F.lit(0).cast("long")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round((100.0 * F.sum(promo) / F.sum(disc)).cast("double"), 4).alias("promo_pct"),
+            F.round((100.0 * F.sum(promo_u) / F.sum(disc_u)).cast("double"), 4).alias("promo_pct"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
@@ -525,7 +567,8 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_predicate_revenue",
     """
-    SELECT ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000, 4) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
@@ -545,8 +588,15 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
     )
     return j.where(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4)
-        .alias("revenue"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).cast("double")
+            / 10000,
+            4,
+        ).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
 
@@ -555,11 +605,14 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     "idle_rich_customers_by_prefix",
     """
     WITH threshold AS (
-      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+             / COUNT(c_acctbal) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
     )
     SELECT substr(c.c_name, 10, 1) AS name_digit,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(c.c_acctbal) AS DOUBLE), 4) AS total_balance
+           ROUND(CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_balance
     FROM customer c, threshold t
     WHERE c.c_acctbal > t.avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -571,14 +624,20 @@ def q_idle_rich_customers_by_prefix(spark: SparkSession, sf_dir: str) -> DataFra
     anti join + substring grouping."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    thr = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / 100
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
     rich = c.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("avg_bal"))
     idle_rich = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return (
         idle_rich.groupBy(F.substring("c_name", 10, 1).alias("name_digit"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.round(F.sum("c_acctbal").cast("double"), 4).alias("total_balance"),
+            _c2sum("c_acctbal").alias("total_balance"),
         )
     )
 
@@ -643,9 +702,10 @@ def q_higher_order_array_predicates(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 3.0
+           ROUND(CAST(SUM(CAST(ROUND(CASE WHEN event_type = 'purchase' THEN 3.0
                                WHEN event_type = 'click' THEN 1.0
-                               ELSE 0.5 END * value) AS DOUBLE), 4) AS weighted_value
+                               ELSE 0.5 END * value * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000, 4) AS weighted_value
     FROM events
     GROUP BY event_type
     """,
@@ -662,7 +722,13 @@ def q_map_type_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0.5))
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum(w * F.col("value")).cast("double"), 4).alias("weighted_value"),
+        # weight (3/1/0.5) × 2-decimal value is exactly 3-decimal: the 1e-4
+        # integer grid sums it order-free and exact at any group size
+        F.round(
+            F.sum(F.round(w * F.col("value") * 10000).cast("long")).cast("double")
+            / 10000,
+            4,
+        ).alias("weighted_value"),
     )
 
 
@@ -672,7 +738,8 @@ def q_map_type_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
-           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000, 4) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -726,7 +793,12 @@ def q_volume_shipping_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).cast("double")
+            / 10000,
             4,
         ).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -743,7 +815,7 @@ def q_volume_shipping_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH base AS (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS vol_u,
              n2.n_name AS supp_nation
       FROM lineitem l
       JOIN part p     ON l.l_partkey = p.p_partkey
@@ -756,9 +828,9 @@ def q_volume_shipping_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFram
       WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
     )
     SELECT o_year,
-           ROUND(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
-                 / ROUND(SUM(volume), 2) AS DOUBLE), 4) AS mkt_share,
-           ROUND(CAST(SUM(volume) AS DOUBLE), 4) AS total_volume
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_u ELSE 0 END) * 1e0
+                 / SUM(vol_u) AS DOUBLE), 4) AS mkt_share,
+           ROUND(CAST(SUM(vol_u) AS DOUBLE) / 10000, 4) AS total_volume
     FROM base GROUP BY o_year
     """,
 )
@@ -767,8 +839,9 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-type-pruned lineitem side, supplier nation re-looked-up, then a
     conditional-aggregation ratio per year. At 100 TB the two fact joins
     (lineitem⋈orders, orders⋈customer) shuffle on their keys once; all five
-    dimensions broadcast. The share divides ROUND(SUM,2)-stabilized sums so
-    both engines divide bit-identical numerators (CLAUDE.md convention)."""
+    dimensions broadcast. The share divides two exact 1e-4-grid BIGINT sums
+    (the grid scale cancels in the ratio), so both engines divide
+    bit-identical integers at any group size."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -788,19 +861,25 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long").alias("vol_u"),
             "supp_nation",
         )
     )
     return base.groupBy("o_year").agg(
         F.round(
             (
-                F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)), 2)
-                / F.round(F.sum("volume"), 2)
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("vol_u"))
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                * 1.0
+                / F.sum("vol_u")
             ).cast("double"),
             4,
         ).alias("mkt_share"),
-        F.round(F.sum("volume").cast("double"), 4).alias("total_volume"),
+        F.round(F.sum("vol_u").cast("double") / 10000, 4).alias("total_volume"),
     )
 
 
@@ -814,8 +893,9 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)
-                          - 0.1 * p.p_retailprice * l.l_quantity) AS DOUBLE), 4) AS profit,
+           ROUND(CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                          - 0.1 * p.p_retailprice * l.l_quantity) * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000, 4) AS profit,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -837,9 +917,15 @@ def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # revenue (2dec×2dec = 4-dec) minus cost proxy (0.1×2dec×int = 3-dec)
+    # is exactly 4-decimal per row: sum it on the 1e-4 integer grid
+    profit_u = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
     return (
         li.join(
             F.broadcast(p.where(F.col("p_name").like("%widget%"))),
@@ -853,7 +939,7 @@ def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(profit).cast("double"), 4).alias("profit"),
+            F.round(F.sum(profit_u).cast("double") / 10000, 4).alias("profit"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
@@ -868,12 +954,13 @@ def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
     "important_parts_by_value",
     """
     WITH pv AS (
-      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS val_u
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 4) AS part_value
+    SELECT l_partkey, ROUND(CAST(val_u AS DOUBLE) / 10000, 4) AS part_value
     FROM pv
-    WHERE val > (SELECT 0.002 * SUM(val) FROM pv)
+    WHERE CAST(val_u AS DOUBLE) > (SELECT 0.002 * CAST(SUM(val_u) AS DOUBLE) FROM pv)
     """,
 )
 def q_important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,14 +972,23 @@ def q_important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pv = (
         li.groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("val_u")
+        )
         .persist()
     )
-    thr = pv.agg((F.lit(0.002) * F.sum("val")).alias("thr"))
+    thr = pv.agg((F.lit(0.002) * F.sum("val_u").cast("double")).alias("thr"))
     return (
         pv.crossJoin(F.broadcast(thr))
-        .where(F.col("val") > F.col("thr"))
-        .select("l_partkey", F.round(F.col("val").cast("double"), 4).alias("part_value"))
+        .where(F.col("val_u").cast("double") > F.col("thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val_u").cast("double") / 10000, 4).alias("part_value"),
+        )
     )
 
 
@@ -908,7 +1004,8 @@ def q_important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(l.l_extendedprice) / 7.0 AS DOUBLE), 4) AS avg_yearly,
+    SELECT ROUND(CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / 7.0 AS DOUBLE), 4) AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_small
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -935,7 +1032,14 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(agg, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round((F.sum("l_extendedprice") / 7.0).cast("double"), 4).alias("avg_yearly"),
+            F.round(
+                (
+                    F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                    / 100
+                    / 7.0
+                ).cast("double"),
+                4,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).cast("long").alias("n_small"),
         )
     )
@@ -1071,9 +1175,10 @@ def q_waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4) OVER w AS INT) AS quartile,
            ROUND(CAST(percent_rank() OVER w AS DOUBLE), 4) AS pct_rank,
            ROUND(CAST(cume_dist() OVER w AS DOUBLE), 4) AS cdist,
-           ROUND(CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 4)
              AS run_total,
            ROUND(CAST(lag(o_totalprice) OVER w AS DOUBLE), 4) AS prev_price,
            CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_key
@@ -1089,8 +1194,10 @@ def q_window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition+ordering, so Spark plans a single Exchange + Sort. The
     ordering key (o_orderdate, o_orderkey) is unique per partition —
     deterministic tie-breaks per CLAUDE.md; the running sum accumulates
-    incrementally in frame order in both engines, so it is bit-identical
-    before the shared ROUND."""
+    rides the integer cents grid (exact at any partition length —
+    engines may evaluate frames via different strategies, e.g. segment
+    trees vs incremental accumulation, so raw-double running sums are
+    not order-safe)."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
@@ -1103,7 +1210,12 @@ def q_window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.percent_rank().over(w).cast("double"), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w).cast("double"), 4).alias("cdist"),
-        F.round(F.sum("o_totalprice").over(wf).cast("double"), 4).alias("run_total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wf)
+            .cast("double")
+            / 100,
+            4,
+        ).alias("run_total"),
         F.round(F.lag("o_totalprice").over(w).cast("double"), 4).alias("prev_price"),
         F.first("o_orderkey").over(w).cast("long").alias("first_key"),
     )
@@ -1119,24 +1231,24 @@ def q_window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_u
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(r.total_rev AS DOUBLE), 4) AS total_rev
+           ROUND(CAST(r.rev_u AS DOUBLE) / 10000, 4) AS total_rev
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    WHERE r.rev_u = (SELECT MAX(rev_u) FROM rev)
     """,
 )
 def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): per-supplier revenue view compared
     against its own MAX scalar. The revenue view is computed once and
     cached; the 1-row MAX broadcasts back as a cross join (the Q11 pattern).
-    Sums are ROUND(.,2)-stabilized BEFORE the max/equality so the selected
-    row set cannot differ across engines on ulp-level sum noise."""
+    Revenues are exact 1e-4-grid BIGINTs, so the max/equality row set is
+    integer-sharp at any scale (no ulp-level sum noise to tie-break)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -1146,21 +1258,23 @@ def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_rev")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("rev_u")
         )
         .persist()
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    mx = rev.agg(F.max("rev_u").alias("max_rev_u"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .where(F.col("total_rev") == F.col("max_rev"))
+        .where(F.col("rev_u") == F.col("max_rev_u"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 4).alias("total_rev"),
+            F.round(F.col("rev_u").cast("double") / 10000, 4).alias("total_rev"),
         )
     )
 
@@ -1571,7 +1685,8 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS day_total
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS day_total
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
@@ -1597,7 +1712,7 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated with sequence()/explode, left-joined to daily order rollups;
     missing days get 0 counts and a forward-filled last-known total
     (last(ignorenulls) over a date-ordered window). The carried value is
-    an exact 2-decimal sum (never a small-count average — CLAUDE.md tie
+    an exact cents-grid sum (never a small-count average — CLAUDE.md tie
     hazard). At 100 TB the spine is dimension-sized (keys × days) and the
     window partitions by series key — parallel across series."""
     o = _t(spark, sf_dir, "orders")
@@ -1612,7 +1727,10 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("day_total"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("day_total"),
         )
         .persist()  # referenced 3x (bounds, spine keys, join probe)
     )

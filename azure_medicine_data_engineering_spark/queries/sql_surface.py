@@ -26,7 +26,8 @@ from azure_medicine_data_engineering_spark.queries.registry import register, tab
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(MIN(amount) AS DOUBLE), 4) AS min_amount,
            ROUND(CAST(MAX(amount) AS DOUBLE), 4) AS max_amount,
-           ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS total_amount
+           ROUND(CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_amount
     FROM spans
     GROUP BY source, y
     """,
@@ -49,7 +50,8 @@ def q_sql_cte_dates_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(CAST(MIN(amount) AS DOUBLE), 4) AS min_amount,
                ROUND(CAST(MAX(amount) AS DOUBLE), 4) AS max_amount,
-               ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS total_amount
+               ROUND(CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) AS DOUBLE) / 100,
+                     4) AS total_amount
         FROM spans
         GROUP BY source, y
         """

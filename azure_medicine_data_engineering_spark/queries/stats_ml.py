@@ -84,9 +84,11 @@ _PERM_ORACLE = """
            CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS BIGINT) AS n_a,
            CAST(COUNT(CASE WHEN user_id % 2 <> 0 THEN value END) AS BIGINT) AS n_b,
            ROUND(CAST(
-             ROUND(SUM(CASE WHEN user_id % 2 = 0 THEN value END), 2)
+             CAST(SUM(CASE WHEN user_id % 2 = 0
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) / 100
                / COUNT(CASE WHEN user_id % 2 = 0 THEN value END)
-             - ROUND(SUM(CASE WHEN user_id % 2 <> 0 THEN value END), 2)
+             - CAST(SUM(CASE WHEN user_id % 2 <> 0
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) / 100
                / COUNT(CASE WHEN user_id % 2 <> 0 THEN value END)
              AS DOUBLE), 4) AS observed_diff,
            TRUE AS p_valid
@@ -117,14 +119,15 @@ def q_permutation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = permutation_test_grouped(
         ev, "event_type", "value", "grp", n_permutations=n_perm, seed=42
     )
-    sum_a = F.sum(F.when(F.col("grp"), F.col("value")))
+    cents = F.round(F.col("value") * 100).cast("long")
+    sum_a = F.sum(F.when(F.col("grp"), cents)).cast("double") / 100
     cnt_a = F.count(F.when(F.col("grp"), F.col("value")))
-    sum_b = F.sum(F.when(~F.col("grp"), F.col("value")))
+    sum_b = F.sum(F.when(~F.col("grp"), cents)).cast("double") / 100
     cnt_b = F.count(F.when(~F.col("grp"), F.col("value")))
     observed = ev.groupBy(F.col("event_type").alias("hypothesis")).agg(
-        F.round(
-            (F.round(sum_a, 2) / cnt_a - F.round(sum_b, 2) / cnt_b).cast("double"), 4
-        ).alias("observed_diff")
+        F.round((sum_a / cnt_a - sum_b / cnt_b).cast("double"), 4).alias(
+            "observed_diff"
+        )
     )
     scaled = F.col("p_value") * (n_perm + 1)
     p_valid = (
@@ -679,7 +682,8 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment, e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(CAST(SUM(e.value) AS DOUBLE), 4) AS total_value
+           ROUND(CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -773,22 +777,27 @@ def q_grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRED_ORACLE = """
-    WITH per_user AS (
+    WITH sums AS (
       SELECT user_id,
-             CAST(ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2)
-                 / COUNT(CASE WHEN event_type = 'click' THEN value END)
-               AS DOUBLE) AS click_v,
-             CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2)
-                 / COUNT(CASE WHEN event_type = 'purchase' THEN value END)
-               AS DOUBLE) AS purchase_v
+             SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) END) AS ca,
+             COUNT(CASE WHEN event_type = 'click' THEN value END) AS na,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) END) AS cp,
+             COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS np
       FROM events GROUP BY user_id
+    ),
+    per_user AS (
+      SELECT user_id,
+             (2 * CAST(ca AS BIGINT) * 10000 + na) // (2 * na) AS mc_u,
+             (2 * CAST(cp AS BIGINT) * 10000 + np) // (2 * np) AS mp_u
+      FROM sums WHERE ca IS NOT NULL AND cp IS NOT NULL
     )
     SELECT 'click_vs_purchase' AS hypothesis,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(CAST(SUM(click_v - purchase_v) AS DOUBLE), 4) AS diff_sum,
+           ROUND(CAST(SUM(mc_u - mp_u) AS DOUBLE) / 1000000, 4) AS diff_sum,
            TRUE AS p_valid
     FROM per_user
-    WHERE click_v IS NOT NULL AND purchase_v IS NOT NULL
     """
 
 
@@ -799,13 +808,15 @@ def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation test on the per-user differences.
 
     Oracle contract mirrors ``permutation_tests_by_event_type``: pair count
-    and the sum of per-user differences are exact SQL. The per-user means are
-    ``round(sum,2)/count`` with NO further rounding: the decimal-recovered
-    sums are bit-identical doubles on both engines, so the division is too —
-    whereas rounding each small-count mean to 4 decimals hits exact .00005
-    ties that Spark and DuckDB break differently (observed at sf0.1). Only
-    the final pair-sum is rounded. The seeded p-value exports its estimator
-    invariants as ``p_valid``; exact p-values pinned in tests/test_stats.py."""
+    and the sum of per-user differences are exact SQL. The per-user means
+    are INTEGER-DIVISION micro-means on the 1e-6 grid — half-up
+    ``(2·cents·10000 + n) div (2·n)`` over positive cents sums (the
+    CLAUDE.md integer-division-means rule: a double divide-then-round hits
+    .00005 ties at corpus scale, and a cross-user SUM of double means is a
+    running-sum drift hazard) — so the pair-sum is a pure BIGINT on the
+    1e-6 grid, divided once at the end. The seeded p-value exports its
+    estimator invariants as ``p_valid``; exact p-values pinned in
+    tests/test_stats.py."""
     from azure_medicine_data_engineering_spark.functions.stats import (
         paired_permutation_test_grouped,
     )
@@ -813,27 +824,42 @@ def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_perm = 300
     ev = events_table(spark, sf_dir)
 
-    def _stable_avg(event_type: str):
-        v = F.when(F.col("event_type") == event_type, F.col("value"))
-        return (F.round(F.sum(v), 2) / F.count(v)).cast("double")
+    def _cents(event_type: str):
+        return F.sum(
+            F.when(
+                F.col("event_type") == event_type,
+                F.round(F.col("value") * 100).cast("long"),
+            )
+        )
 
-    per_user = ev.groupBy("user_id").agg(
-        _stable_avg("click").alias("click_v"),
-        _stable_avg("purchase").alias("purchase_v"),
+    def _cnt(event_type: str):
+        return F.count(F.when(F.col("event_type") == event_type, F.col("value")))
+
+    sums = ev.groupBy("user_id").agg(
+        _cents("click").alias("ca"),
+        _cnt("click").alias("na"),
+        _cents("purchase").alias("cp"),
+        _cnt("purchase").alias("np"),
+    )
+    per_user = sums.where(
+        F.col("ca").isNotNull() & F.col("cp").isNotNull()
+    ).select(
+        "user_id",
+        F.expr("(2 * ca * 10000 + na) div (2 * na)").alias("mc_u"),
+        F.expr("(2 * cp * 10000 + np) div (2 * np)").alias("mp_u"),
     )
     res = paired_permutation_test_grouped(
-        per_user.withColumn("hyp", F.lit("click_vs_purchase")),
+        per_user.select(
+            F.lit("click_vs_purchase").alias("hyp"),
+            (F.col("mc_u").cast("double") / 1e6).alias("click_v"),
+            (F.col("mp_u").cast("double") / 1e6).alias("purchase_v"),
+        ),
         "hyp", "click_v", "purchase_v", n_permutations=n_perm, seed=5,
     )
-    diff_sum = (
-        per_user.where(
-            F.col("click_v").isNotNull() & F.col("purchase_v").isNotNull()
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("click_v") - F.col("purchase_v")).cast("double"), 4
-            ).alias("diff_sum")
-        )
+    diff_sum = per_user.agg(
+        F.round(
+            F.sum(F.col("mc_u") - F.col("mp_u")).cast("double") / 1000000, 4
+        ).alias("diff_sum")
     )
     scaled = F.col("p_value") * (n_perm + 1)
     p_valid = (
@@ -853,7 +879,8 @@ def q_paired_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 4) AS total_value
     FROM events GROUP BY user_id
     """,
 )

@@ -789,7 +789,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN stats s
     )
     SELECT doc_id,
-           ROUND(SUM(contrib), 4) AS bm25,
+           CAST((2 * SUM(CAST(ROUND(contrib * 1e6) AS BIGINT)) + 100) // 200
+                AS DOUBLE) / 1e4 AS bm25,
            CAST(COUNT(*) AS BIGINT) AS n_matched_terms
     FROM scored GROUP BY doc_id
     """,
@@ -798,9 +799,10 @@ def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document to the query bag
     {spark, table, query} (operators/text_rank.py, k1=1.2, b=0.75). The
     oracle mirrors the Spark expression tree operation-for-operation
-    (same literal forms, same left-associative order), and avgdl is an
-    exact-integer sum / count, so the only inexactness is the final
-    ROUND-masked sum. No top-k limit: the full scored set is compared."""
+    (same literal forms, same left-associative order), avgdl is an
+    exact-integer sum / count, and per-term contribs snap to the 1e-6
+    grid before the per-doc sum so the aggregate is an order-free BIGINT.
+    No top-k limit: the full scored set is compared."""
     from azure_medicine_data_engineering_spark.operators.text_rank import (
         bm25_scores,
     )

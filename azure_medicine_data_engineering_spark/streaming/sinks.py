@@ -85,7 +85,9 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     agg = events.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum("value").alias("_total"),
+        # exact integer-cents state: order-free across micro-batches and
+        # merge order (the raw double sum is the replica-scale drift class)
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_total_c"),
     )
     root = tempfile.mkdtemp(prefix="amde_upsert_")
     final = foreach_batch_upsert(agg, ["user_id"], root)
@@ -94,7 +96,7 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round(F.col("_total").cast("double"), 4).alias("total_value"),
+            F.round(F.col("_total_c").cast("double") / 100, 4).alias("total_value"),
         )
     )
 

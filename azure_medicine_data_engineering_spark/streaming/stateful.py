@@ -34,7 +34,10 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        # exact integer-cents accumulator: a running double sum drifts past
+        # the 4-decimal display round once a user accumulates millions of
+        # 2-decimal events (the 10×-replica money-sum class)
+        StructField("total_cents", LongType()),
         StructField("max_gap", LongType()),
         StructField("last_ts", DoubleType()),  # epoch seconds of latest event
     ]
@@ -48,8 +51,10 @@ def _update_user_profile(
 ) -> Iterator[pd.DataFrame]:
     """GroupState update function. Rows are sorted by timestamp inside the
     function so results don't depend on partition arrival order."""
-    n, total, max_gap, last_ts = (
-        state.get if state.exists else (0, 0.0, 0, float("-inf"))
+    import math
+
+    n, total_cents, max_gap, last_ts = (
+        state.get if state.exists else (0, 0, 0, float("-inf"))
     )
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="stable")
     for ts, value in zip(rows["ts"], rows["value"]):
@@ -60,10 +65,12 @@ def _update_user_profile(
                 max_gap = gap
         last_ts = epoch
         n += 1
-        total += float(value)
-    state.update((n, round(total, 4), max_gap, last_ts))
+        # half-away-from-zero to the cents grid (CLAUDE.md rounding rule)
+        total_cents += int(math.floor(float(value) * 100 + 0.5))
+    state.update((n, total_cents, max_gap, last_ts))
+    total_value = round(total_cents / 100, 4)
     yield pd.DataFrame(
-        [[key[0], n, round(total, 4), max_gap]],
+        [[key[0], n, total_value, max_gap]],
         columns=[f.name for f in OUTPUT_SCHEMA.fields],
     )
 

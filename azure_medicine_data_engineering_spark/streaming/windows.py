@@ -155,7 +155,11 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        # exact cents-grid sum — order-free across micro-batches
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100,
+            4,
+        ).alias("total_value"),
     )
     return run_to_memory(agg, "stream_static_enrich")
 
