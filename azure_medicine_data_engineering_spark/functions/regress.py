@@ -504,6 +504,46 @@ def ols_by_group(
     )
 
 
+# ---------------------------------------------------------------------------
+# Rosner λ_i critical values (α = 0.05 two-sided), as STAGED shared
+# expressions — the inverse-t the SQL surface lacks is closed over two
+# published elementary-function approximations, so BOTH engines evaluate
+# the identical IEEE op sequence (zero drift, the CLAUDE.md shared-
+# expression discipline):
+#
+#   1e0 - p = α / (2·n)          (n = CURRENT round frame size)
+#   q_  = sqrt(−2·ln(1−p))
+#   z_  = Acklam (2003) upper-region rational inverse-normal at p —
+#         |rel err| < 1.15e−9 over the region (p > 0.97575 always holds
+#         here for n ≥ 3)
+#   t_  = Cornish–Fisher t-quantile expansion in z_ with ν = n − 2
+#         (Abramowitz & Stegun 26.7.5, four correction terms — error
+#         < 1e−6 for the ν ≥ 30 day frames this targets)
+#   λ_i = (n−1)·t / sqrt((n−2+t²)·n)      (Rosner 1983; NIST 1.3.5.17.3)
+# ---------------------------------------------------------------------------
+
+ESD_Q_EXPR = "sqrt(-2e0 * ln(2.5e-2 / n))"
+ESD_Z_EXPR = (
+    "-(((((-7.784894002430293e-03 * q_ + -3.223964580411365e-01) * q_"
+    " + -2.400758277161838e+00) * q_ + -2.549732539343734e+00) * q_"
+    " + 4.374664141464968e+00) * q_ + 2.938163982698783e+00)"
+    " / ((((7.784695709041462e-03 * q_ + 3.224671290700398e-01) * q_"
+    " + 2.445134137142996e+00) * q_ + 3.754408661907416e+00) * q_ + 1e0)"
+)
+ESD_T_EXPR = (
+    "z_"
+    " + (z_*z_*z_ + z_) / (4e0 * (n - 2e0))"
+    " + (5e0*z_*z_*z_*z_*z_ + 16e0*z_*z_*z_ + 3e0*z_)"
+    " / (96e0 * (n - 2e0) * (n - 2e0))"
+    " + (3e0*z_*z_*z_*z_*z_*z_*z_ + 19e0*z_*z_*z_*z_*z_ + 17e0*z_*z_*z_"
+    " - 15e0*z_) / (384e0 * (n - 2e0) * (n - 2e0) * (n - 2e0))"
+    " + (79e0*z_*z_*z_*z_*z_*z_*z_*z_*z_ + 776e0*z_*z_*z_*z_*z_*z_*z_"
+    " + 1482e0*z_*z_*z_*z_*z_ - 1920e0*z_*z_*z_ - 945e0*z_)"
+    " / (92160e0 * (n - 2e0) * (n - 2e0) * (n - 2e0) * (n - 2e0))"
+)
+ESD_LAMBDA_EXPR = "round((n - 1e0) * t_ / sqrt((n - 2e0 + t_ * t_) * n), 4)"
+
+
 def generalized_esd_daily(
     orders: DataFrame,
     k: int = 5,
@@ -514,9 +554,12 @@ def generalized_esd_daily(
     :func:`grubbs_test` — iteratively remove the maximum studentized
     deviate from the daily revenue series and report each round's
     R statistic, so a panel with SEVERAL gross days is not masked the
-    way a single Grubbs pass is. (The t-based critical values λ_i need
-    an inverse-t the SQL surface lacks; callers compare the returned
-    R_i against their α's λ table — the standard reporting split.)
+    way a single Grubbs pass is. Each round also emits its α = 0.05
+    critical value λ_i (``ESD_Q/Z/T/LAMBDA_EXPR`` — Acklam inverse-normal
+    + Cornish-Fisher t-quantile, staged shared expressions identical in
+    both engines) and the Rosner DECISION: ``outlier`` is true for
+    i ≤ max{i : R_i > λ_i} (the paper's rule — later exceedances
+    retroactively flag earlier rounds, which defeats masking).
 
     Exactness: each round's deviation maximization is pure integer
     arithmetic over the CURRENT day frame (``max|n·x − S|``, earliest
@@ -525,7 +568,8 @@ def generalized_esd_daily(
     calendar-bounded, and each round's survivor frame and 1-row argmax
     are eagerly ``localCheckpoint``-ed — the iterative-trainer lineage
     cure (CLAUDE.md): without the cut each round embeds the previous
-    plan twice. Returns k rows ``(i, d_iso, x_cents, r_i)``.
+    plan twice. Returns k rows
+    ``(i, d_iso, x_cents, r_i, lambda_i, outlier)``.
     """
     daily = (
         orders.groupBy(F.col(date_col).cast("date").alias("d"))
@@ -570,7 +614,17 @@ def generalized_esd_daily(
         )
         rounds.append(
             best.select(
-                "i", "d_iso", "x_cents", F.expr(GRUBBS_G_EXPR).alias("r_i")
+                "i", "d_iso", "x_cents", F.expr(GRUBBS_G_EXPR).alias("r_i"), "n"
+            )
+            .withColumn("q_", F.expr(ESD_Q_EXPR))
+            .withColumn("z_", F.expr(ESD_Z_EXPR))
+            .withColumn("t_", F.expr(ESD_T_EXPR))
+            .select(
+                "i",
+                "d_iso",
+                "x_cents",
+                "r_i",
+                F.expr(ESD_LAMBDA_EXPR).alias("lambda_i"),
             )
         )
         cur = cur.join(
@@ -579,4 +633,19 @@ def generalized_esd_daily(
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionByName(r)
-    return out
+    # Rosner decision: outliers are rows i <= max{i : R_i > lambda_i}
+    # (a k-row frame; the 1-row max broadcasts back — no global window)
+    mx = out.agg(
+        F.coalesce(
+            F.max(F.when(F.col("r_i") > F.col("lambda_i"), F.col("i"))),
+            F.lit(0),
+        ).alias("_max_i")
+    )
+    return out.crossJoin(F.broadcast(mx)).select(
+        "i",
+        "d_iso",
+        "x_cents",
+        "r_i",
+        "lambda_i",
+        (F.col("i") <= F.col("_max_i")).alias("outlier"),
+    )

@@ -241,6 +241,7 @@ def theil_sen_trend(
     orders: DataFrame,
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
+    max_days: int = 100_000,
 ) -> DataFrame:
     """Theil–Sen robust trend of daily revenue: the MEDIAN of all pairwise
     slopes — up to 29% of outlier days cannot move it, where an OLS slope
@@ -257,13 +258,24 @@ def theil_sen_trend(
 
     Scale: fact rows collapse to the calendar-bounded day frame first;
     the pair fan-out is days², still calendar-bounded (2.4k days → 2.9M
-    pairs), never fact-sized."""
+    pairs), never fact-sized. ``max_days`` is the runtime license guard
+    (the :func:`~..functions.rankstats.kendall_tau_keyed` convention):
+    the O(m²) pair join raises rather than silently running on a frame
+    that is NOT day-grained (e.g. a mis-passed per-event frame)."""
     daily = orders.groupBy(F.col(date_col).cast("date").alias("d")).agg(
         F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents")
     ).select(
         F.datediff(F.col("d"), F.lit("1990-01-01")).cast("long").alias("i"),
         F.expr("cents div 100").alias("y"),
-    )
+    ).persist()
+    m = daily.count()
+    if m > max_days:
+        daily.unpersist()
+        raise ValueError(
+            f"theil_sen_trend: day frame has {m} rows > max_days="
+            f"{max_days}; the O(m²) pair join is licensed for "
+            "calendar-bounded day frames only"
+        )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
         (F.col("b.y") - F.col("a.y")).alias("_dy"),
@@ -274,12 +286,14 @@ def theil_sen_trend(
     posmod = ((num % F.col("_dx")) + F.col("_dx")) % F.col("_dx")
     slope_micro = ((num - posmod) / F.col("_dx")).cast("long")
     slopes = pairs.select(slope_micro.alias("s"))
-    return slopes.agg(
+    out = slopes.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         (F.expr("percentile(s, 0.5)") / 1e6).alias("slope_dollars_per_day"),
         (F.min("s") / 1e6).alias("min_slope"),
         (F.max("s") / 1e6).alias("max_slope"),
     )
+    out._stage_caches = [daily]
+    return out
 
 
 def ols_daily_trend(

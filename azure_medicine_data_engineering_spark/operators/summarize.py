@@ -86,7 +86,16 @@ COUNTED_MEDIAN_MAX_DISTINCT = 10_000
 #: aliases. Repeated calls over the same file-backed input (bench
 #: repeats, notebook re-runs) skip the probe job entirely; frames whose
 #: input files are unknowable (pure in-memory lineage) are never cached.
+#:
+#: Invalidation contract: the key is the sorted ``inputFiles()`` list —
+#: any NEW write produces new part-file names (parquet writers always
+#: fresh-name), so re-reading a re-written table re-probes naturally.
+#: The one stale case is an in-place byte-overwrite of the SAME file
+#: names outside Spark; callers doing that must clear the cache. Bounded
+#: FIFO (``_PROBE_CACHE_MAX``) so a long-lived session enumerating many
+#: tables cannot grow it without limit.
 _PROBE_CACHE: dict[tuple, list[str]] = {}
+_PROBE_CACHE_MAX = 256
 
 
 def _auto_counted_metrics(
@@ -136,6 +145,8 @@ def _auto_counted_metrics(
         if (row[alias] or 0) <= COUNTED_MEDIAN_MAX_DISTINCT
     ]
     if key is not None:
+        while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:  # FIFO eviction
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
         _PROBE_CACHE[key] = [
             src for src, alias in metrics if alias in routed
         ]

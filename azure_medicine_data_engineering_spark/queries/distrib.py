@@ -1834,6 +1834,10 @@ def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    ESD_LAMBDA_EXPR,
+    ESD_Q_EXPR,
+    ESD_T_EXPR,
+    ESD_Z_EXPR,
     generalized_esd_daily,
 )
 
@@ -1867,15 +1871,32 @@ def _esd_oracle(k: int = 5) -> str:
     )"""
         )
         selects.append(
-            f"SELECT CAST({i} AS INTEGER) AS i, d_iso, CAST(x AS BIGINT) AS x_cents, "
-            f"{GRUBBS_G_EXPR} AS r_i FROM b{j}"
+            f"""SELECT i, d_iso, x_cents, r_i, {ESD_LAMBDA_EXPR} AS lambda_i
+      FROM (SELECT *, {ESD_T_EXPR} AS t_
+            FROM (SELECT *, {ESD_Z_EXPR} AS z_
+                  FROM (SELECT CAST({i} AS INTEGER) AS i, d_iso,
+                               CAST(x AS BIGINT) AS x_cents,
+                               {GRUBBS_G_EXPR} AS r_i, n, {ESD_Q_EXPR} AS q_
+                        FROM b{j}) s1) s2) s3"""
         )
         if i < k:
             parts.append(
                 f"cur{i} AS MATERIALIZED (SELECT cur{j}.* FROM cur{j} "
                 f"WHERE d_iso NOT IN (SELECT d_iso FROM b{j}))"
             )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+    rounds_union = "\n      UNION ALL\n      ".join(selects)
+    return (
+        "WITH " + ",\n    ".join(parts) + f""",
+    rounds AS MATERIALIZED (
+      {rounds_union}
+    ),
+    mx AS (
+      SELECT COALESCE(MAX(CASE WHEN r_i > lambda_i THEN i END), 0) AS max_i
+      FROM rounds
+    )
+    SELECT i, d_iso, x_cents, r_i, lambda_i, i <= mx.max_i AS outlier
+    FROM rounds, mx"""
+    )
 
 
 @register("generalized_esd_daily_revenue", _esd_oracle(5))
@@ -1886,6 +1907,10 @@ def q_generalized_esd_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     per round, integer deviation argmax over the CURRENT day frame
     (earliest-day tie-break), anti-join removal, eager localCheckpoint
     lineage cuts (the iterative-trainer cure); R_i is the shared Grubbs
-    expression. The oracle unrolls the five rounds with MATERIALIZED
-    CTEs (the BPE-oracle device)."""
+    expression, λ_i the shared α=0.05 Rosner critical value (Acklam
+    inverse-normal + Cornish-Fisher t-quantile — staged identical
+    expressions, so the query returns DECISIONS, not just statistics),
+    and ``outlier`` applies Rosner's max{i : R_i > λ_i} rule. The oracle
+    unrolls the five rounds with MATERIALIZED CTEs (the BPE-oracle
+    device)."""
     return generalized_esd_daily(_t(spark, sf_dir, "orders"), k=5)

@@ -114,6 +114,45 @@ def test_kendall_guard_rejects_data_grain(spark):
     assert out["tau_b"] == 1.0
 
 
+def test_mann_kendall_guard_rejects_data_grain(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        mann_kendall_keyed,
+    )
+
+    df = spark.range(50).selectExpr("id AS t", "id AS y")
+    with pytest.raises(ValueError, match="licensed for summary"):
+        mann_kendall_keyed(df, "t", "y", max_rows=10)
+    out = mann_kendall_keyed(df.limit(5), "t", "y", max_rows=10).collect()[0]
+    assert out["s"] == 10  # strictly increasing: all C(5,2) pairs concordant
+
+
+def test_gk_gamma_guard_rejects_data_grain(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        gk_gamma_keyed,
+    )
+
+    df = spark.range(50).selectExpr("id AS k", "id AS x", "id AS y")
+    with pytest.raises(ValueError, match="licensed for summary"):
+        gk_gamma_keyed(df, "k", "x", "y", max_rows=10)
+    out = gk_gamma_keyed(df.limit(5), "k", "x", "y", max_rows=10).collect()[0]
+    assert out["gamma"] == 1.0
+
+
+def test_theil_sen_guard_rejects_non_day_grain(spark):
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        theil_sen_trend,
+    )
+
+    orders = spark.range(40).selectExpr(
+        "CAST(timestamp '1995-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS timestamp) AS o_orderdate",
+        "CAST(100 + id * 2 AS DOUBLE) AS o_totalprice",
+    )
+    with pytest.raises(ValueError, match="licensed for calendar-bounded"):
+        theil_sen_trend(orders, max_days=10)
+    got = theil_sen_trend(orders, max_days=100).collect()[0]
+    assert got["slope_dollars_per_day"] == 2.0  # exact linear series
+
+
 from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
     ad_two_sample,
     jonckheere_trend,
@@ -660,6 +699,99 @@ def test_generalized_esd_planted_outliers(spark):
     sd = math.sqrt(sum((c - mean) ** 2 for c in cents) / (n - 1))
     r1 = max(abs(c - mean) for c in cents) / sd
     assert abs(out[0]["r_i"] - _r4(r1)) <= 1e-4
+
+    # λ_i against an INDEPENDENT inverse-t (incomplete-beta bisection,
+    # not the production Acklam+Cornish-Fisher pipeline) per Rosner:
+    # λ_i = (m−1)·t_{p,m−2} / sqrt((m−2+t²)·m), m the round's frame size,
+    # p = 1 − α/(2m), α = 0.05
+    for r in out:
+        m = n - (r["i"] - 1)
+        lam = _rosner_lambda_ref(m, alpha=0.05)
+        assert abs(r["lambda_i"] - lam) <= 2e-4, (r["i"], r["lambda_i"], lam)
+    # planted grosses exceed their critical values -> all three flagged
+    assert all(r["outlier"] for r in out)
+
+
+def _betacf(a, b, x):
+    """Continued fraction for the incomplete beta (Lentz; Numerical
+    Recipes 6.4 structure — standard public algorithm)."""
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < 1e-300:
+        d = 1e-300
+    d = 1.0 / d
+    h = d
+    for m in range(1, 200):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = 1.0 + aa / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = 1.0 + aa / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h
+
+
+def _betai(a, b, x):
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_cdf(t, nu):
+    x = nu / (nu + t * t)
+    p = 0.5 * _betai(nu / 2.0, 0.5, x)
+    return 1.0 - p if t > 0 else p
+
+
+def _t_quantile(p, nu):
+    lo, hi = 0.0, 100.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if _t_cdf(mid, nu) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def _rosner_lambda_ref(m, alpha=0.05):
+    p = 1.0 - alpha / (2.0 * m)
+    t = _t_quantile(p, m - 2)
+    return (m - 1) * t / math.sqrt((m - 2 + t * t) * m)
+
+
+def test_rosner_lambda_matches_published_table():
+    """Pin the independent reference itself against the published Rosner
+    λ values (NIST/SEMATECH 1.3.5.17.3 example, n = 54, α = 0.05:
+    λ1 = 3.1588, λ2 = 3.1514, λ3 = 3.1439)."""
+    for i, expect in ((1, 3.1588), (2, 3.1514), (3, 3.1439)):
+        got = _rosner_lambda_ref(54 - (i - 1))
+        assert abs(got - expect) <= 1e-4, (i, got)
 
 
 def test_dunn_posthoc_naive(spark):

@@ -217,3 +217,38 @@ def test_counted_median_auto_routing(spark):
     )
     routed = _auto_counted_metrics(df, [("m_low", "m_low"), ("m_high", "m_high")])
     assert routed == ["m_low"]
+
+
+def test_probe_cache_keyed_on_files_and_bounded(spark, tmp_path):
+    """The routing cache keys on the parquet file list: same files hit the
+    cache (no new entry), a CHANGED file list re-probes under a new key,
+    and the FIFO cap bounds the cache in long-lived sessions."""
+    from azure_medicine_data_engineering_spark.operators import summarize as sz
+
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    spark.range(10).selectExpr("CAST(id AS DOUBLE) AS m").write.parquet(p1)
+    spark.range(10).selectExpr("CAST(id % 2 AS DOUBLE) AS m").write.parquet(p2)
+    sz._PROBE_CACHE.clear()
+    d1 = spark.read.parquet(p1)
+    assert sz._auto_counted_metrics(d1, [("m", "m")]) == ["m"]
+    assert len(sz._PROBE_CACHE) == 1
+    key1 = next(iter(sz._PROBE_CACHE))
+    # same files: cache hit, no second entry
+    assert sz._auto_counted_metrics(spark.read.parquet(p1), [("m", "m")]) == ["m"]
+    assert len(sz._PROBE_CACHE) == 1
+    # different file list: re-probe under a new key
+    assert sz._auto_counted_metrics(spark.read.parquet(p2), [("m", "m")]) == ["m"]
+    assert len(sz._PROBE_CACHE) == 2
+    assert next(iter(sz._PROBE_CACHE)) == key1
+    # FIFO cap: shrink the bound and confirm the oldest entry evicts
+    old_max = sz._PROBE_CACHE_MAX
+    try:
+        sz._PROBE_CACHE_MAX = 2
+        p3 = str(tmp_path / "t3")
+        spark.range(5).selectExpr("CAST(id AS DOUBLE) AS m").write.parquet(p3)
+        sz._auto_counted_metrics(spark.read.parquet(p3), [("m", "m")])
+        assert len(sz._PROBE_CACHE) == 2
+        assert key1 not in sz._PROBE_CACHE  # oldest evicted
+    finally:
+        sz._PROBE_CACHE_MAX = old_max
+        sz._PROBE_CACHE.clear()
