@@ -3239,3 +3239,275 @@ def gk_gamma_keyed(
     out = base.select("n", "nc", "nd", F.expr(GK_GAMMA_EXPR).alias("gamma"))
     out._stage_caches = getattr(base, "_stage_caches", [])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal-variance two-sample t + Welch-Satterthwaite df).
+# ---------------------------------------------------------------------------
+
+#: Sample variances from exact integer sums (s1/q1 doubles cast ONCE from
+#: DECIMAL(38,0) state): v_g = (q_g − s_g²/n_g)/(n_g − 1).
+_W_V1 = "((q1 - s1 * s1 / n1) / (n1 - 1e0))"
+_W_V2 = "((q2 - s2 * s2 / n2) / (n2 - 1e0))"
+_W_SE2 = f"({_W_V1} / n1 + {_W_V2} / n2)"
+WELCH_T_EXPR = f"round((s1 / n1 - s2 / n2) / sqrt({_W_SE2}), 4)"
+#: Welch–Satterthwaite effective degrees of freedom.
+WELCH_DF_EXPR = (
+    f"round({_W_SE2} * {_W_SE2} / "
+    f"(({_W_V1} / n1) * ({_W_V1} / n1) / (n1 - 1e0)"
+    f" + ({_W_V2} / n2) * ({_W_V2} / n2) / (n2 - 1e0)), 4)"
+)
+
+
+def welch_t_test(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test of ``group1`` vs the
+    rest — the recommended default over Student's t (it does not assume
+    equal variances, and equals it asymptotically when they are). The
+    parametric companion to :func:`mann_whitney_u` on the same split.
+
+    ``value_col`` must be integer-grid (caller pre-scales to cents):
+    per-group (n, Σx, Σx²) accumulate exactly in DECIMAL(38,0) (oracle
+    HUGEINT), doubles appear only inside the shared ``WELCH_T_EXPR`` /
+    ``WELCH_DF_EXPR`` finalizations — identical IEEE sequence on both
+    engines. ONE pass, no windows. Returns ``(n1, n2, t, df_w)``.
+    """
+    dec = "decimal(38,0)"
+    f1 = F.col(group_col) == group1
+    x = F.col(value_col).cast("long")
+    st = df.agg(
+        F.sum(f1.cast("long")).cast("long").alias("n1"),
+        F.sum((~f1).cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(f1, x.cast(dec)).otherwise(F.lit(0).cast(dec))).alias("s1_i"),
+        F.sum(F.when(f1, x.cast(dec) * x).otherwise(F.lit(0).cast(dec))).alias("q1_i"),
+        F.sum(F.when(~f1, x.cast(dec)).otherwise(F.lit(0).cast(dec))).alias("s2_i"),
+        F.sum(F.when(~f1, x.cast(dec) * x).otherwise(F.lit(0).cast(dec))).alias("q2_i"),
+    )
+    dbl = st.select(
+        "n1",
+        "n2",
+        F.col("s1_i").cast("double").alias("s1"),
+        F.col("q1_i").cast("double").alias("q1"),
+        F.col("s2_i").cast("double").alias("s2"),
+        F.col("q2_i").cast("double").alias("q2"),
+    )
+    return dbl.select(
+        "n1",
+        "n2",
+        F.expr(WELCH_T_EXPR).alias("t"),
+        F.expr(WELCH_DF_EXPR).alias("df_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta (ordinal dominance effect size).
+# ---------------------------------------------------------------------------
+
+CLIFF_DELTA_EXPR = "round(cast(num_d as double) / (n1 * 1e0 * n2), 4)"
+
+
+def cliff_delta(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Cliff's delta — the ordinal effect size that accompanies a
+    significant :func:`mann_whitney_u`: δ = P(X₁ > X₂) − P(X₁ < X₂) over
+    all cross-group pairs, in [−1, 1] (|δ| < .147 negligible, < .33
+    small, < .474 medium — Romano et al. 2006). NEVER an O(n²) pair
+    join: over the shared distinct-value CDF frame
+    (:func:`grouped_cdf_counts`, bucketed prefix sums) each distinct
+    value v contributes ``c1(v) · ((cum2(v) − c2(v)) − (n2 − cum2(v)))``
+    — group-2 counts strictly below v minus strictly above — an exact
+    integer accumulated in DECIMAL(38,0) (oracle HUGEINT). Returns
+    ``(n1, n2, num_d_v, delta)`` with ``num_d_v`` the raw dominance
+    count for exactness audits.
+    """
+    dec = "decimal(38,0)"
+    cdf = grouped_cdf_counts(
+        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
+        value_col,
+        "_f",
+    ).persist()
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    below = F.col("c.cum2") - F.col("c.c2")
+    above = F.col("t.n2") - F.col("c.cum2")
+    scal = (
+        cdf.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.max("t.n1").cast("long").alias("n1"),
+            F.max("t.n2").cast("long").alias("n2"),
+            F.sum(F.col("c.c1").cast(dec) * (below - above)).alias("num_dd"),
+        )
+    )
+    out = scal.select(
+        "n1",
+        "n2",
+        F.col("num_dd").cast("long").alias("num_d"),
+        F.expr(CLIFF_DELTA_EXPR).alias("delta"),
+    )
+    out._stage_caches = [cdf]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Theil's U (uncertainty coefficient): directed categorical association.
+# ---------------------------------------------------------------------------
+
+#: U(Y|X) = (H(Y) − H(Y|X)) / H(Y) from micro-grid entropy term sums
+#: (hy_u, hyx_u are Σ-term·1e6 BIGINTs; n the grand total). Degenerate
+#: constant-Y panel (H(Y) = 0): Y is fully determined with no entropy to
+#: reduce — U := 1 by convention, guarded on BOTH engines (0/0 is NULL
+#: in Spark non-ANSI but NaN in DuckDB).
+THEILS_U_EXPR = (
+    "round(case when hy_u > 0 then (hy_u - hyx_u) * 1e0 / hy_u"
+    " else 1e0 end, 4)"
+)
+
+
+def theils_u(df: DataFrame, y_col: str, x_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) — the DIRECTED categorical
+    association (how much knowing X reduces the entropy of Y), the
+    asymmetric companion to :func:`cramers_v`: 0 = independent,
+    1 = Y fully determined by X; unlike V it names which way the
+    information flows.
+
+    Pipeline: one (x, y) contingency aggregation (bounded by the
+    category product), then per-cell entropy terms ``c·ln(c/margin)``
+    snapped to the 1e-6 grid (half-away ROUND, both engines) and summed
+    as BIGINTs — order-free — with the single shared division last.
+    H(Y) terms use the y-margin against the grand total; H(Y|X) cells
+    use the x-margin. Returns ``(n, hy_u, hyx_u, u)``.
+    """
+    cell = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    xm = cell.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    ym = cell.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    # H(Y)·n on the micro grid: Σ cy·ln(n/cy) — scaled by n to stay
+    # integer-linear (the shared ratio divides it out)
+    hy = (
+        ym.alias("a")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("a.cy") * (F.log(F.col("t.n") * 1.0) - F.log(F.col("a.cy") * 1.0)) * 1e6
+                ).cast("long")
+            ).cast("long").alias("hy_u")
+        )
+    )
+    hyx = (
+        cell.alias("a")
+        .join(F.broadcast(xm).alias("m"), F.col("a.x") == F.col("m.x"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("a.c") * (F.log(F.col("m.cx") * 1.0) - F.log(F.col("a.c") * 1.0)) * 1e6
+                ).cast("long")
+            ).cast("long").alias("hyx_u")
+        )
+    )
+    out = (
+        tot.crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hyx))
+        .select("n", "hy_u", "hyx_u", F.expr(THEILS_U_EXPR).alias("u"))
+    )
+    out._stage_caches = [cell]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hellinger distance between categorical distributions.
+# ---------------------------------------------------------------------------
+
+#: H = sqrt(1 − BC) from the micro-grid Bhattacharyya coefficient sum
+#: (bc_u = Σ round(sqrt(p·q)·1e6)); per-term grid rounding can push
+#: BC a hair past 1e6 on identical distributions — clamp, don't sqrt a
+#: negative (NaN on both engines, but keep the readout clean).
+HELLINGER_EXPR = "round(sqrt(greatest(0e0, 1e0 - bc_u / 1e6)), 4)"
+
+
+def hellinger_distance(df: DataFrame, cat_col: str, ref_col: str) -> DataFrame:
+    """Hellinger distance between the reference and current CATEGORICAL
+    distributions of ``cat_col`` (``ref_col`` true → reference) — the
+    third drift lens beside :func:`psi_drift` (unbounded, zero-cell
+    fragile) and :func:`js_divergence` (information-theoretic): bounded
+    [0, 1], a true metric, and zero-cell exact (``sqrt(p·0) = 0``).
+    Quoting JS and Hellinger together localizes WHERE drift lives —
+    JS weights by probability mass, Hellinger by amplitude, so rare-
+    category drift moves H earlier than JS.
+
+    Same shape as :func:`js_divergence`: one keyed category count, then
+    per-category Bhattacharyya terms ``sqrt((a/na)·(b/nb))`` snapped to
+    the 1e-6 grid (half-away ROUND absorbs cross-engine sqrt ulps) and
+    summed order-free; the single shared expression finalizes. Returns
+    ``(n_cats, n_ref, n_cur, hellinger)``.
+    """
+    counts = (
+        df.select(F.col(cat_col).alias("c"), F.col(ref_col).alias("_r"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.col("_r").cast("long")).cast("long").alias("a"),
+            F.sum((~F.col("_r")).cast("long")).cast("long").alias("b"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    term_u = (
+        "cast(round(sqrt((a * 1e0 / na) * (b * 1e0 / nb)) * 1e6) as bigint)"
+    )
+    scal = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.max("t.na").cast("long").alias("n_ref"),
+            F.max("t.nb").cast("long").alias("n_cur"),
+            F.sum(F.expr(term_u)).cast("long").alias("bc_u"),
+        )
+    )
+    out = scal.select(
+        "n_cats", "n_ref", "n_cur", F.expr(HELLINGER_EXPR).alias("hellinger")
+    )
+    out._stage_caches = [counts]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W (coefficient of concordance across k repeated measures).
+# ---------------------------------------------------------------------------
+
+#: W = χ²_F / (n·(k−1)) — the tie-corrected Friedman statistic rescaled
+#: to [0, 1] agreement (computed from the ROUNDED chi2 so both engines
+#: divide the identical double).
+KENDALL_W_EXPR = "round(chi2 / (n_blocks * 1e0 * (k - 1e0)), 4)"
+
+
+def kendall_w(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — "how strongly do the n
+    blocks AGREE on the ranking of the k treatments", the effect-size
+    companion that turns :func:`friedman_test`'s significance readout
+    into a 0-to-1 agreement strength (W = χ²_F / (n(k−1)), the
+    tie-corrected identity). 0 = rankings are random noise, 1 = every
+    block ranks the treatments identically. Same machinery end-to-end
+    (doubled in-block midranks, integer state); one extra shared
+    expression. Returns ``(n_blocks, k, chi2, w)``.
+    """
+    base = friedman_test(df, block_col, treatment_col, value_col)
+    out = base.select(
+        "n_blocks", "k", "chi2", F.expr(KENDALL_W_EXPR).alias("w")
+    )
+    out._stage_caches = getattr(base, "_stage_caches", [])
+    return out

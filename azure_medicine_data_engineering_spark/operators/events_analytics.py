@@ -1199,3 +1199,135 @@ def runs_test_daily(
     ).select("n1", "n2", "r", F.expr(RUNS_Z_EXPR).alias("z"))
     out._stage_caches = [daily]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pettitt change-point test (rank-based single change point).
+# ---------------------------------------------------------------------------
+
+#: Approximate two-sided significance of K = max|U_t| (Pettitt 1979):
+#: p ≈ 2·exp(−6K² / (n³ + n²)), capped at 1.
+PETTITT_P_EXPR = (
+    "round(least(1e0, 2e0 * exp(-6e0 * k_u * k_u"
+    " / (n * 1e0 * n * n + n * 1e0 * n))), 4)"
+)
+
+
+def pettitt_change_point(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Pettitt's nonparametric change-point test on the daily revenue
+    series: WHERE does the distribution shift, and is the shift
+    significant? The localization companion to
+    :func:`~..functions.rankstats.mann_kendall_keyed` (MK says "is there
+    a trend"; Pettitt says "the regime changed after day τ").
+
+    Exactness: with full-series doubled midranks ``r2 = 2·cnt_less +
+    c_eq + 1`` (day-frame windows, the licensed calendar-bounded class),
+    the Mann-Whitney-ish statistic telescopes to the integer prefix sum
+
+        U_t = Σ_{i≤t} r2_i − t·(n+1)
+
+    (verified: equals Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j), ties contributing
+    0). K = max|U_t| with the earliest day as tie-break; the only double
+    is the shared ``PETTITT_P_EXPR`` significance. Returns one row
+    ``(n, k_u, change_day, p_approx)`` — ``change_day`` is the LAST day
+    of the pre-change regime.
+    """
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    w_rank = Window.orderBy("cents")
+    w_eq = Window.partitionBy("cents")
+    w_day = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_t = Window.orderBy("d")
+    ranked = daily.select(
+        "d",
+        (
+            2 * (F.rank().over(w_rank) - 1) + F.count(F.lit(1)).over(w_eq) + 1
+        ).cast("long").alias("r2"),
+    )
+    n1 = daily.count() + 1
+    u = ranked.select(
+        "d",
+        (
+            F.sum("r2").over(w_day) - F.row_number().over(w_t).cast("long") * n1
+        ).alias("u_t"),
+    )
+    best = (
+        u.orderBy(F.abs(F.col("u_t")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.lit(n1 - 1).cast("long").alias("n"),
+            F.abs(F.col("u_t")).cast("long").alias("k_u"),
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+        )
+    )
+    out = best.select(
+        "n", "k_u", "change_day", F.expr(PETTITT_P_EXPR).alias("p_approx")
+    )
+    out._stage_caches = [daily]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cox-Stuart trend test (sign test on half-offset pairs).
+# ---------------------------------------------------------------------------
+
+#: Sign-test normal approximation over effective (non-tied) pairs:
+#: z = (2·s_plus − m) / sqrt(m).
+COX_STUART_Z_EXPR = "round((2e0 * s_plus - m) / sqrt(m * 1e0), 4)"
+
+
+def cox_stuart_trend(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cox-Stuart trend test on daily revenue: pair day i with day
+    i + ⌈n/2⌉ (odd-length series drop the middle day) and sign-test the
+    differences — the assumption-free quick check beside the rank-based
+    :func:`~..functions.rankstats.mann_kendall_keyed` (Cox-Stuart
+    trades power for an exact binomial null and O(n) work: no pair
+    join at all, one half-offset self-join on the day index).
+
+    Ties (equal cents) drop from the effective count m. All counts are
+    exact BIGINTs; z is the shared expression. Returns
+    ``(n_days, m, s_plus, z)``.
+    """
+    daily = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    w_t = Window.orderBy("d")
+    idx = daily.select(
+        (F.row_number().over(w_t) - 1).cast("long").alias("i"), "cents"
+    ).persist()
+    n = idx.count()
+    half = (n + 1) // 2  # offset; odd n leaves the middle unpaired
+    pairs = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            F.col("b.i") == F.col("a.i") + half,
+        )
+        .select(
+            (F.col("b.cents") > F.col("a.cents")).cast("long").alias("up"),
+            (F.col("b.cents") != F.col("a.cents")).cast("long").alias("eff"),
+        )
+    )
+    out = (
+        pairs.agg(
+            F.lit(n).cast("long").alias("n_days"),
+            F.sum("eff").cast("long").alias("m"),
+            F.sum("up").cast("long").alias("s_plus"),
+        )
+        .select("n_days", "m", "s_plus", F.expr(COX_STUART_Z_EXPR).alias("z"))
+    )
+    out._stage_caches = [daily, idx]
+    return out

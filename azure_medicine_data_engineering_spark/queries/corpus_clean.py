@@ -375,3 +375,53 @@ def q_unigram_js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == "src0").alias("_r"),
     ).where(F.col("w") != "")
     return js_divergence(toks.select(F.col("w").alias("c"), "_r"), "c", "_r")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Hellinger unigram drift (the metric companion to the JS score).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    HELLINGER_EXPR,
+    hellinger_distance,
+)
+
+
+@register(
+    "hellinger_unigram_source_drift",
+    f"""
+    WITH src AS (
+      SELECT w AS c, source = 'src0' AS r
+      FROM (SELECT unnest(string_split(text, ' ')) AS w, source FROM documents)
+      WHERE w <> ''
+    ),
+    counts AS (
+      SELECT c, CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM src GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM counts),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+             CAST(MAX(t.na) AS BIGINT) AS n_ref,
+             CAST(MAX(t.nb) AS BIGINT) AS n_cur,
+             CAST(SUM(CAST(ROUND(sqrt((a * 1e0 / na) * (b * 1e0 / nb)) * 1e6)
+                  AS BIGINT)) AS BIGINT) AS bc_u
+      FROM counts c, tot t
+    )
+    SELECT n_cats, n_ref, n_cur, {HELLINGER_EXPR} AS hellinger FROM s
+    """,
+)
+def q_hellinger_unigram_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between source src0's unigram distribution and
+    the rest of the corpus (``rankstats.hellinger_distance``) — the
+    bounded-metric companion to ``unigram_js_source_drift``: JS weights
+    drift by probability mass, Hellinger by amplitude, so rare-token
+    drift registers here first. Same one-explode vocabulary-bounded
+    shape; Bhattacharyya terms ride the 1e-6 grid."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+        (F.col("source") == "src0").alias("_r"),
+    ).where(F.col("w") != "")
+    return hellinger_distance(toks.select(F.col("w").alias("c"), "_r"), "c", "_r")

@@ -1250,3 +1250,85 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._stage_caches = [ud]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 8: change-point and sign-trend tests on the daily revenue series.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    COX_STUART_Z_EXPR,
+    PETTITT_P_EXPR,
+    cox_stuart_trend,
+    pettitt_change_point,
+)
+
+
+@register(
+    "pettitt_change_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT d,
+             CAST(2 * (RANK() OVER (ORDER BY cents) - 1)
+                  + COUNT(*) OVER (PARTITION BY cents) + 1 AS BIGINT) AS r2
+      FROM daily
+    ),
+    n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    u AS (
+      SELECT d,
+             CAST(SUM(r2) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (ROW_NUMBER() OVER (ORDER BY d)) * (n_.n + 1) AS BIGINT) AS u_t
+      FROM rk, n_
+    ),
+    best AS (SELECT u_t, d FROM u ORDER BY abs(u_t) DESC, d ASC LIMIT 1)
+    SELECT n_.n AS n, CAST(abs(best.u_t) AS BIGINT) AS k_u,
+           strftime(best.d, '%Y-%m-%d') AS change_day,
+           {PETTITT_P_EXPR} AS p_approx
+    FROM best, n_
+    """,
+)
+def q_pettitt_change_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test on daily revenue
+    (``events_analytics.pettitt_change_point``): the rank-based single
+    change-point localizer — WHERE does the revenue regime shift, and
+    how significant is the shift? U_t telescopes to an integer prefix
+    sum of doubled midranks over the calendar-bounded day frame; only
+    the approximate significance is a (shared) double."""
+    return pettitt_change_point(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "cox_stuart_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i, cents
+      FROM daily
+    ),
+    n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) AS BIGINT) AS s_plus,
+             CAST(SUM(CASE WHEN b.cents <> a.cents THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM idx a JOIN idx b ON b.i = a.i + (SELECT (n + 1) // 2 FROM n_)
+    )
+    SELECT n_.n AS n_days, p.m, p.s_plus, {COX_STUART_Z_EXPR} AS z
+    FROM p, n_
+    """,
+)
+def q_cox_stuart_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart sign-trend test on daily revenue
+    (``events_analytics.cox_stuart_trend``): pair each day with its
+    half-series offset and sign-test the differences — the O(n)
+    assumption-free trend check beside ``mann_kendall_daily_revenue``'s
+    rank statistic. Integer counts; z is the shared expression."""
+    return cox_stuart_trend(_t(spark, sf_dir, "orders"))

@@ -2265,3 +2265,185 @@ def q_gk_gamma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     return gk_gamma_keyed(day, "d", "n_orders", "cents")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Welch's t, Cliff's delta, Theil's U, Kendall's W.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    CLIFF_DELTA_EXPR,
+    KENDALL_W_EXPR,
+    THEILS_U_EXPR,
+    WELCH_DF_EXPR,
+    WELCH_T_EXPR,
+    cliff_delta,
+    kendall_w,
+    theils_u,
+    welch_t_test,
+)
+
+
+@register(
+    "welch_t_click_vs_rest",
+    f"""
+    WITH s0 AS (
+      SELECT event_type = 'click' AS f, CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN f THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN f THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN NOT f THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN NOT f THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS DOUBLE) AS q2
+      FROM s0
+    )
+    SELECT n1, n2, {WELCH_T_EXPR} AS t, {WELCH_DF_EXPR} AS df_w FROM s
+    """,
+)
+def q_welch_t_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of click event values (cents)
+    against all other event types (``rankstats.welch_t_test``) — the
+    parametric companion to ``mann_whitney_click_vs_view``'s rank
+    reading on the same fact table: one pass, DECIMAL(38,0)/HUGEINT
+    integer state, shared t and Welch-Satterthwaite df expressions."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return welch_t_test(src, "cents", "event_type", "click")
+
+
+@register(
+    "cliff_delta_click_vs_rest",
+    f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             event_type = 'click' AS f
+      FROM events
+    ),
+    cnt AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM v GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             CAST(SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM cnt),
+    s AS (
+      SELECT CAST(MAX(t.n1) AS BIGINT) AS n1, CAST(MAX(t.n2) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c.c1 AS HUGEINT)
+                  * ((c.cum2 - c.c2) - (t.n2 - c.cum2))) AS BIGINT) AS num_d
+      FROM cum c, tot t
+    )
+    SELECT n1, n2, num_d, {CLIFF_DELTA_EXPR} AS delta FROM s
+    """,
+)
+def q_cliff_delta_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size of click values (cents) vs the
+    rest (``rankstats.cliff_delta``) — the magnitude companion the
+    Mann-Whitney significance readout needs: δ = P(click > rest) −
+    P(click < rest) from exact dominance counts over the shared
+    distinct-value CDF frame (bucketed prefix sums, never an O(n²)
+    pair join)."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return cliff_delta(src, "cents", "event_type", "click")
+
+
+@register(
+    "theils_u_event_type_by_segment",
+    f"""
+    WITH cell AS (
+      SELECT c.c_mktsegment AS x, e.event_type AS y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    xm AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cell GROUP BY x),
+    ym AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cell GROUP BY y),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    hy AS (
+      SELECT CAST(SUM(CAST(ROUND(cy * (ln(n * 1e0) - ln(cy * 1e0)) * 1e6)
+             AS BIGINT)) AS BIGINT) AS hy_u
+      FROM ym, tot
+    ),
+    hyx AS (
+      SELECT CAST(SUM(CAST(ROUND(c * (ln(cx * 1e0) - ln(c * 1e0)) * 1e6)
+             AS BIGINT)) AS BIGINT) AS hyx_u
+      FROM cell JOIN xm USING (x)
+    )
+    SELECT n, hy_u, hyx_u, {THEILS_U_EXPR} AS u FROM tot, hy, hyx
+    """,
+)
+def q_theils_u_event_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(event_type | market segment)
+    (``rankstats.theils_u``): how much does knowing a user's segment
+    reduce uncertainty about what they do? The DIRECTED categorical
+    association beside ``cramers_v``-style symmetric readouts; per-cell
+    entropy terms ride the micro grid, the contingency is bounded by
+    the category product."""
+    ev = events_table(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(c), ev.user_id == c.c_custkey
+    ).select(F.col("event_type"), F.col("c_mktsegment"))
+    return theils_u(joined, "event_type", "c_mktsegment")
+
+
+@register(
+    "kendall_w_value_by_type_blocks",
+    f"""
+    WITH cell AS (
+      SELECT user_id AS b, event_type AS trt,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    k_tot AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS kt FROM cell),
+    complete AS (
+      SELECT b FROM cell, k_tot GROUP BY b, kt HAVING COUNT(*) = kt
+    ),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+    ranked AS (
+      SELECT b, trt,
+        CAST(2 * (RANK() OVER (PARTITION BY b ORDER BY m) - 1)
+             + COUNT(*) OVER (PARTITION BY b, m) + 1 AS BIGINT) AS rx2
+      FROM cc
+    ),
+    per_trt AS (
+      SELECT trt, CAST(SUM(rx2) AS BIGINT) AS rjx2,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM ranked GROUP BY trt
+    ),
+    a_tot AS (SELECT CAST(SUM(rx2 * rx2) AS BIGINT) AS ax4 FROM ranked),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n_b) AS BIGINT) AS n,
+             CAST(SUM((rjx2 - n_b * (kt + 1)) * (rjx2 - n_b * (kt + 1))) AS BIGINT) AS devsq
+      FROM per_trt, k_tot GROUP BY kt
+    ),
+    fr AS (
+      SELECT n AS n_blocks, k, {FRIEDMAN_CHI2_EXPR} AS chi2 FROM scal, a_tot
+    )
+    SELECT n_blocks, k, chi2, {KENDALL_W_EXPR} AS w FROM fr
+    """,
+)
+def q_kendall_w_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across users (blocks)
+    ranking the five event types by total value
+    (``rankstats.kendall_w``) — the agreement-strength reading of the
+    ``friedman_value_by_type_blocks`` layout: W = χ²_F/(n(k−1)),
+    tie-corrected, 0 = no agreement, 1 = unanimous ranking."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kendall_w(src, "user_id", "event_type", "cents")

@@ -59,6 +59,24 @@ HEADLINE = [
     "kaplan_meier_signup_to_purchase",
 ]
 
+#: Second frozen group (round 8): rounds 5-7 shipped the stats panel,
+#: corpus-curation rules and the auto-routed hybrid, none of which the
+#: original headline wall-clock-tracks. Reported SEPARATELY
+#: (headline2/value2) so the original 27-query trend line stays
+#: comparable round-over-round; this list is frozen from round 8 on.
+HEADLINE2 = [
+    "bartlett_price_by_priority",
+    "gopher_quality_by_source",
+    "wasserstein_click_vs_view",
+    "stl_lite_daily_revenue",
+    "paragraph_dedup_docs",
+    "jonckheere_price_by_priority",
+    "unigram_js_source_drift",
+    "mann_kendall_daily_revenue",
+    "c4_line_filter_report",
+    "quota_sampled_documents",
+]
+
 
 #: Per-query repeat count; the headline time is the best of N runs, which
 #: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
@@ -122,20 +140,25 @@ def main() -> None:
 
     import statistics
 
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        runs = []
-        for _ in range(max(1, REPEAT)):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
-        medians[name] = round(statistics.median(runs), 3)
+    def run_group(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
+        for name in names:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            runs = []
+            for _ in range(max(1, REPEAT)):
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
+            medians[name] = round(statistics.median(runs), 3)
+        return timings, medians
+
+    timings, medians = run_group(HEADLINE)
+    timings2, medians2 = run_group(HEADLINE2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -147,6 +170,13 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "value_median": round(sum(medians.values()), 3),
+                # second frozen group (round 8+): stats panel / corpus
+                # curation — reported separately to keep the original
+                # 27-query trend line comparable
+                "value2": round(sum(timings2.values()), 3),
+                "queries2": timings2,
+                "queries2_median": medians2,
+                "value2_median": round(sum(medians2.values()), 3),
                 "sf": sf,
             }
         )

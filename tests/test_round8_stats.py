@@ -1,0 +1,201 @@
+"""Round-8 statistics: naive-reference tests (CLAUDE.md mirror-oracle
+blind-spot rule — every statistic gets a hand/naive-Python expected value
+computed by an INDEPENDENT route, never the production expression)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (
+    cliff_delta,
+    hellinger_distance,
+    kendall_w,
+    theils_u,
+    welch_t_test,
+)
+from azure_medicine_data_engineering_spark.operators.events_analytics import (
+    cox_stuart_trend,
+    pettitt_change_point,
+)
+
+
+def _r4(x: float) -> float:
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+
+def test_welch_t_naive(spark):
+    a = [12, 15, 11, 19, 14, 13]
+    b = [22, 25, 21, 30, 28, 24, 27, 26]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "x long, g string")
+    got = welch_t_test(df, "x", "g", "a").collect()[0]
+    # independent route: plain float means/variances
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((v - ma) ** 2 for v in a) / (len(a) - 1)
+    vb = sum((v - mb) ** 2 for v in b) / (len(b) - 1)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / math.sqrt(se2)
+    df_w = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert got["n1"] == 6 and got["n2"] == 8
+    assert abs(got["t"] - _r4(t)) <= 1e-9
+    assert abs(got["df_w"] - _r4(df_w)) <= 1e-9
+    assert got["t"] < 0  # a is clearly below b
+
+
+def test_cliff_delta_bruteforce(spark):
+    a = [1, 2, 2, 5, 7]
+    b = [2, 3, 3, 4]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "x long, g string")
+    got = cliff_delta(df, "x", "g", "a").collect()[0]
+    num = sum(
+        (1 if x > y else (-1 if x < y else 0)) for x in a for y in b
+    )
+    assert got["n1"] == 5 and got["n2"] == 4
+    assert got["num_d"] == num
+    assert abs(got["delta"] - _r4(num / (5 * 4))) <= 1e-9
+    # dominance sanity: all of a above all of b -> delta = 1
+    rows2 = [(v + 100, "a") for v in a] + [(v, "b") for v in b]
+    got2 = cliff_delta(
+        spark.createDataFrame(rows2, "x long, g string"), "x", "g", "a"
+    ).collect()[0]
+    assert got2["delta"] == 1.0
+
+
+def test_theils_u_naive(spark):
+    # y perfectly determined by x -> U = 1; independent layout -> U = 0
+    rows = [("s1", "click")] * 4 + [("s2", "view")] * 6
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = theils_u(df, "y", "x").collect()[0]
+    assert got["u"] == 1.0
+
+    rows_ind = [
+        (x, y) for x in ("s1", "s2") for y in ("click", "view") for _ in range(3)
+    ]
+    got_ind = theils_u(
+        spark.createDataFrame(rows_ind, "x string, y string"), "y", "x"
+    ).collect()[0]
+    assert got_ind["u"] == 0.0
+
+    # general case vs brute entropy
+    from collections import Counter
+
+    rows_g = (
+        [("s1", "click")] * 5 + [("s1", "view")] * 2
+        + [("s2", "click")] * 1 + [("s2", "view")] * 7
+        + [("s3", "click")] * 3 + [("s3", "view")] * 3
+    )
+    got_g = theils_u(
+        spark.createDataFrame(rows_g, "x string, y string"), "y", "x"
+    ).collect()[0]
+    n = len(rows_g)
+    cy = Counter(y for _, y in rows_g)
+    cx = Counter(x for x, _ in rows_g)
+    cxy = Counter(rows_g)
+    hy = -sum(c / n * math.log(c / n) for c in cy.values())
+    hyx = -sum(
+        c / n * math.log(c / cx[x]) for (x, _), c in cxy.items()
+    )
+    u_ref = (hy - hyx) / hy
+    assert abs(got_g["u"] - u_ref) <= 2e-4  # micro-grid term rounding
+
+
+def test_kendall_w_naive(spark):
+    # 4 blocks ranking 3 treatments, no ties: classical 12S formula
+    blocks = {
+        "b1": {"t1": 1, "t2": 5, "t3": 9},
+        "b2": {"t1": 2, "t2": 6, "t3": 8},
+        "b3": {"t1": 3, "t2": 4, "t3": 7},
+        "b4": {"t1": 1, "t2": 3, "t3": 5},
+    }
+    rows = [(b, t, v) for b, ts in blocks.items() for t, v in ts.items()]
+    df = spark.createDataFrame(rows, "b string, trt string, v long")
+    got = kendall_w(df, "b", "trt", "v").collect()[0]
+    n, k = 4, 3
+    # independent: within-block ranks, W = 12S / (n^2 k (k^2-1))
+    rank_sums = {"t1": 0.0, "t2": 0.0, "t3": 0.0}
+    for ts in blocks.values():
+        order = sorted(ts, key=ts.get)
+        for r, t in enumerate(order, start=1):
+            rank_sums[t] += r
+    mean_r = n * (k + 1) / 2
+    s = sum((v - mean_r) ** 2 for v in rank_sums.values())
+    w_ref = 12.0 * s / (n * n * k * (k * k - 1))
+    assert got["n_blocks"] == n and got["k"] == k
+    assert abs(got["w"] - _r4(w_ref)) <= 2e-4
+    assert got["w"] == 1.0  # all four blocks agree perfectly
+
+
+def test_pettitt_bruteforce(spark):
+    import datetime
+
+    # clear level shift after day 9
+    vals = [10, 11, 10, 12, 11, 10, 11, 12, 10, 11, 30, 31, 32, 30, 31, 33, 32, 30]
+    base = datetime.date(2000, 1, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = pettitt_change_point(df).collect()[0]
+    n = len(vals)
+    # brute force U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+    k_best, t_best = -1, None
+    for t in range(1, n):
+        u = sum(
+            (1 if vals[i] > vals[j] else (-1 if vals[i] < vals[j] else 0))
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(u) > k_best:
+            k_best, t_best = abs(u), t
+    assert got["n"] == n
+    assert got["k_u"] == k_best
+    assert got["change_day"] == (base + datetime.timedelta(days=t_best - 1)).isoformat()
+    p_ref = min(1.0, 2.0 * math.exp(-6.0 * k_best**2 / (n**3 + n**2)))
+    assert abs(got["p_approx"] - _r4(p_ref)) <= 1e-9
+    assert got["p_approx"] < 0.01  # the planted shift is decisive
+
+
+def test_cox_stuart_naive(spark):
+    import datetime
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9]  # strictly increasing, odd length
+    base = datetime.date(2000, 1, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = cox_stuart_trend(df).collect()[0]
+    # offset ceil(9/2)=5 -> pairs (0,5)..(3,8): all increasing
+    assert got["n_days"] == 9 and got["m"] == 4 and got["s_plus"] == 4
+    assert abs(got["z"] - _r4((2 * 4 - 4) / math.sqrt(4))) <= 1e-9
+    assert got["z"] == 2.0
+
+
+def test_hellinger_naive(spark):
+    rows = (
+        [("w1", True)] * 4 + [("w2", True)] * 6
+        + [("w1", False)] * 8 + [("w3", False)] * 2
+    )
+    df = spark.createDataFrame(rows, "c string, r boolean")
+    got = hellinger_distance(df, "c", "r").collect()[0]
+    pa = {"w1": 0.4, "w2": 0.6, "w3": 0.0}
+    pb = {"w1": 0.8, "w2": 0.0, "w3": 0.2}
+    bc = sum(math.sqrt(pa[w] * pb[w]) for w in pa)
+    h_ref = math.sqrt(1 - bc)
+    assert got["n_cats"] == 3 and got["n_ref"] == 10 and got["n_cur"] == 10
+    assert abs(got["hellinger"] - h_ref) <= 2e-4
+    # identical distributions -> 0 (clamped against grid overshoot)
+    same = [("w1", True)] * 3 + [("w2", True)] * 2 + [("w1", False)] * 3 + [("w2", False)] * 2
+    got0 = hellinger_distance(
+        spark.createDataFrame(same, "c string, r boolean"), "c", "r"
+    ).collect()[0]
+    assert got0["hellinger"] == 0.0
