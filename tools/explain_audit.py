@@ -250,6 +250,15 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row bucket-offset window of the pooled rank prefix sum (same
     # class as kruskal_wallis_value_by_type; rankstats.dunn_test)
     "dunn_posthoc_value_by_type": (1, "1024-row rank-bucket offset window"),
+    # round 8: calendar-bounded day-frame windows (rank + day-ordered
+    # prefix/row_number; events_analytics.pettitt_change_point docstring —
+    # same class as runs_test_daily_revenue)
+    "pettitt_change_daily_revenue": (2, "day-frame rank + prefix windows"),
+    # day-ordered row_number window over the day frame (cox_stuart_trend)
+    "cox_stuart_daily_revenue": (2, "day-frame index windows"),
+    # 1024-row bucket-offset window of the grouped-CDF prefix sum (same
+    # class as ks/cvm/wasserstein; rankstats.cliff_delta docstring)
+    "cliff_delta_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
