@@ -743,3 +743,96 @@ def textrank_keywords(
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
     return pagerank(edges, iterations=iterations, damping=damping, weight="w")
+
+
+def oov_rate_by_source(
+    df: DataFrame,
+    ref_source: str,
+    vocab_k: int = 1000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against the top-``vocab_k``
+    reference vocabulary — the tokenizer-coverage audit a training-data
+    mix runs before committing a vocab: a source whose OOV rate spikes
+    will fragment into byte-fallback pieces and eat sequence budget.
+
+    The reference vocabulary is the top-k tokens of ``ref_source`` by
+    (count DESC, token ASC — deterministic tie-break); membership is one
+    BROADCAST left join (vocab is k rows), and per-source rates are
+    floor-division micro-ratios (integer-exact on both engines). The
+    token stream is persisted once (vocab build + scoring pass).
+    Returns ``(source, n_tokens, n_oov, oov_rate)``.
+    """
+    toks = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .persist()
+    )
+    vocab = (
+        toks.where(F.col("source") == ref_source)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("w").asc())
+        .limit(vocab_k)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "w", "left")
+    out = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long")).cast("long").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.expr("n_oov * 1000000 div n_tokens") / 1e6).alias("oov_rate"),
+        )
+    )
+    out._stage_caches = [toks]
+    return out
+
+
+def lexical_diversity_by_source(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio and hapax
+    share — the cheap richness/templatedness signals a corpus datasheet
+    quotes next to the Zipf/Heaps fits (a boilerplate-heavy source has
+    LOW TTR; an OCR-noise source has a HIGH hapax share).
+
+    One token explode → one (source, token) count — vocabulary-bounded
+    state — then per-source type/token/hapax counts; the ratios are
+    floor-division micro-ratios (integer-exact both engines). Returns
+    ``(source, n_tokens, n_types, n_hapax, ttr, hapax_share)``.
+    """
+    wc = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.expr("n_types * 1000000 div n_tokens") / 1e6).alias("ttr"),
+            (F.expr("n_hapax * 1000000 div n_types") / 1e6).alias("hapax_share"),
+        )
+    )

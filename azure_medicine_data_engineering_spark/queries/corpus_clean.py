@@ -425,3 +425,74 @@ def q_hellinger_unigram_source_drift(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("source") == "src0").alias("_r"),
     ).where(F.col("w") != "")
     return hellinger_distance(toks.select(F.col("w").alias("c"), "_r"), "c", "_r")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: vocabulary-coverage and lexical-diversity corpus audits.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    lexical_diversity_by_source,
+    oov_rate_by_source,
+)
+
+
+@register(
+    "oov_rate_by_source",
+    """
+    WITH toks AS (
+      SELECT source, w
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rn
+        FROM toks WHERE source = 'src0' GROUP BY w
+      ) WHERE rn <= 1000
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           (SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*)) / 1e6 AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.source
+    """,
+)
+def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against src0's top-1000 token
+    vocabulary (``text_rank.oov_rate_by_source``) — the tokenizer-
+    coverage audit of the corpus-mixing battery (high OOV → byte
+    fallback → wasted sequence budget). Deterministic top-k vocab
+    (count DESC, token ASC), one broadcast membership join,
+    floor-division micro-ratios."""
+    return oov_rate_by_source(_t(spark, sf_dir, "documents"), "src0", 1000)
+
+
+@register(
+    "lexical_diversity_by_source",
+    """
+    WITH wc AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           (COUNT(*) * 1000000 // SUM(c)) / 1e6 AS ttr,
+           (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*)) / 1e6 AS hapax_share
+    FROM wc GROUP BY source
+    """,
+)
+def q_lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio and hapax share
+    (``text_rank.lexical_diversity_by_source``) — the richness /
+    templatedness signals beside the Zipf and Heaps fits in the corpus
+    datasheet: boilerplate sources read LOW TTR, OCR-noise sources read
+    HIGH hapax share. Vocabulary-bounded state, integer micro-ratios."""
+    return lexical_diversity_by_source(_t(spark, sf_dir, "documents"))

@@ -199,3 +199,42 @@ def test_hellinger_naive(spark):
         spark.createDataFrame(same, "c string, r boolean"), "c", "r"
     ).collect()[0]
     assert got0["hellinger"] == 0.0
+
+
+def test_oov_rate_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        oov_rate_by_source,
+    )
+
+    rows = [
+        (1, "src0", "a b c a b a"),       # ref vocab (k=2): a(3), b(2) -> top2
+        (2, "srcX", "a b zz qq"),          # 2 in-vocab, 2 OOV
+        (3, "srcY", "zz zz zz zz"),        # all OOV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in oov_rate_by_source(df, "src0", vocab_k=2).collect()
+    }
+    # src0 itself: 6 tokens, 'c' (count 1) is outside the top-2 vocab
+    assert out["src0"]["n_tokens"] == 6 and out["src0"]["n_oov"] == 1
+    assert out["srcX"]["n_oov"] == 2 and out["srcX"]["oov_rate"] == 0.5
+    assert out["srcY"]["n_oov"] == 4 and out["srcY"]["oov_rate"] == 1.0
+
+
+def test_lexical_diversity_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        lexical_diversity_by_source,
+    )
+
+    rows = [
+        (1, "tmpl", "x x x x"),            # 4 tokens, 1 type, 0 hapax
+        (2, "rich", "a b c d"),            # 4 tokens, 4 types, 4 hapax
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r for r in lexical_diversity_by_source(df).collect()
+    }
+    assert out["tmpl"]["n_types"] == 1 and out["tmpl"]["n_hapax"] == 0
+    assert out["tmpl"]["ttr"] == 0.25 and out["tmpl"]["hapax_share"] == 0.0
+    assert out["rich"]["ttr"] == 1.0 and out["rich"]["hapax_share"] == 1.0
