@@ -3511,3 +3511,98 @@ def kendall_w(
     )
     out._stage_caches = getattr(base, "_stage_caches", [])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley rank dispersion test.
+# ---------------------------------------------------------------------------
+
+#: z over (w, sa, sa2, n1, n2, nn): W the group-1 AB score sum,
+#: E[W] = n1·ΣA/N, Var(W) = n1·n2·(N·ΣA² − (ΣA)²)/(N²(N−1)) — the
+#: tie-average-score conditional moments (Hollander & Wolfe).
+AB_Z_EXPR = (
+    "round((w - n1 * 1e0 * sa / nn) / sqrt(n1 * 1e0 * n2"
+    " * (nn * 1e0 * sa2 - sa * 1e0 * sa)"
+    " / (nn * 1e0 * nn * (nn - 1e0))), 4)"
+)
+
+#: Prefix sum of the AB score S(i) = min(i, N+1−i) over rank positions
+#: 1..x — integer closed form split at m0 = (N+1) div 2 (all products of
+#: consecutive integers, so the halvings are exact):
+#: T(x) = x(x+1)/2 for x ≤ m0, else
+#: T(m0) + (x−m0)(N+1) − (x(x+1) − m0(m0+1))/2.
+def _ab_prefix(x: Column, n: Column) -> Column:
+    m0 = F.expr("(nn + 1) div 2")
+    tm0 = (m0 * (m0 + 1) / 2).cast("long")
+    lo = (x * (x + 1) / 2).cast("long")
+    hi = (
+        tm0
+        + (x - m0) * (n + 1)
+        - ((x * (x + 1) - m0 * (m0 + 1)) / 2).cast("long")
+    ).cast("long")
+    return F.when(x <= m0, lo).otherwise(hi)
+
+
+def ansari_bradley_test(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Ansari-Bradley two-sample DISPERSION test — the rank-based member
+    of the spread family whose moment-based members are
+    :func:`bartlett_test` / :func:`brown_forsythe_test`: scores
+    ``a(i) = min(i, N+1−i)`` peak at the pooled center, so a group whose
+    values crowd the middle collects a LARGE score sum (smaller spread).
+    Assumes comparable medians (the classical caveat); quote it beside
+    the location tests.
+
+    Never a data-grain window: over the distinct-value rank frame
+    (:func:`ranked_value_counts`, bucketed prefix sums) a tied block at
+    positions ``p+1..p+c`` contributes the closed-form score-prefix
+    difference ``b_s = T(p+c) − T(p)`` (exact integers); tie-average
+    scores make the group-1 sum ``Σ c1·b_s/c`` (terms floor(x+0.5) to
+    the 1e-4 grid — tie averages are exact halves/thirds, so W itself
+    must carry sub-unit precision) and the score square sum ``Σ b_s²/c``
+    (also 1e-4 grid; DECIMAL absorbs the ~N² magnitudes), both accumulated
+    in DECIMAL(38,0) (oracle HUGEINT). Returns ``(n1, n2, w, z)``.
+    """
+    dec = "decimal(38,0)"
+    is1 = F.col(group_col) == group1
+    ranked = ranked_value_counts(
+        df.select(F.col(value_col), is1.alias("_g1")),
+        value_col,
+        extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
+    ).persist()
+    tot = ranked.agg(
+        F.sum("c_all").cast("long").alias("nn"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    j = ranked.alias("r").crossJoin(F.broadcast(tot).alias("t"))
+    nn = F.col("t.nn")
+    p = F.col("r.cnt_less")
+    c = F.col("r.c_all")
+    b_s = (_ab_prefix(p + c, nn) - _ab_prefix(p, nn)).cast("long")
+    # floor(x+0.5): identical half-handling on identical doubles in both
+    # engines (plain round() differs at exact .5 doubles)
+    w_term = F.floor(F.col("r.c1") * b_s * 1.0 / c * 1e4 + 0.5).cast(dec)
+    sa2_term = F.floor(b_s * 1.0 * b_s / c * 1e4 + 0.5).cast(dec)
+    scal = j.agg(
+        F.max("t.nn").cast("long").alias("nn"),
+        F.max("t.n1").cast("long").alias("n1"),
+        F.sum(b_s).cast("long").alias("sa_i"),
+        F.sum(w_term).alias("w_d"),
+        F.sum(sa2_term).alias("sa2_d"),
+    )
+    out = scal.select(
+        "n1",
+        (F.col("nn") - F.col("n1")).cast("long").alias("n2"),
+        (F.col("w_d").cast("double") / 1e4).alias("w"),
+        "nn",
+        F.col("sa_i").cast("double").alias("sa"),
+        (F.col("sa2_d").cast("double") / 1e4).alias("sa2"),
+    ).select(
+        "n1",
+        "n2",
+        F.round("w", 4).alias("w"),
+        F.expr(AB_Z_EXPR).alias("z"),
+    )
+    out._stage_caches = [ranked]
+    return out

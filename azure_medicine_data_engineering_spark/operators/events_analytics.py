@@ -1331,3 +1331,50 @@ def cox_stuart_trend(
     )
     out._stage_caches = [daily, idx]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test over the ACF.
+# ---------------------------------------------------------------------------
+
+#: Q = n(n+2)·Σ r_k²/(n−k) from the 1e-12-grid per-lag term sum.
+LJUNG_BOX_Q_EXPR = "round(n * 1e0 * (n + 2e0) * lb_u / 1e12, 4)"
+
+
+def ljung_box_daily(
+    orders: DataFrame,
+    max_lag: int = 7,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Ljung-Box portmanteau test of the daily revenue series: are the
+    first ``max_lag`` autocorrelations JOINTLY zero? The one-number
+    is-there-any-serial-structure readout that summarizes the
+    :func:`acf_daily_revenue` panel (χ²_{max_lag} under H0 — white
+    noise); quote it before trusting i.i.d.-assuming statistics on the
+    series.
+
+    Built ON the ACF: per-lag r_k are the shared ``ACF_R_EXPR`` doubles
+    (already 4-decimal-rounded, bit-identical cross-engine); each term
+    ``r_k²/(n−k)`` snaps to the 1e-12 grid (floor(x+0.5) — magnitudes
+    ≤ 1) and the ≤ max_lag-row sum is BIGINT. Returns one row
+    ``(n, m, q_stat)``.
+    """
+    acf = acf_daily_revenue(orders, max_lag, date_col, amount_col)
+    ndays = (
+        orders.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    term_u = F.floor(
+        F.col("r") * F.col("r") / (F.col("n") - F.col("k")) * 1e12 + 0.5
+    ).cast("long")
+    scal = (
+        acf.crossJoin(F.broadcast(ndays))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(term_u).cast("long").alias("lb_u"),
+        )
+    )
+    return scal.select("n", "m", F.expr(LJUNG_BOX_Q_EXPR).alias("q_stat"))

@@ -1914,3 +1914,62 @@ def q_generalized_esd_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     unrolls the five rounds with MATERIALIZED CTEs (the BPE-oracle
     device)."""
     return generalized_esd_daily(_t(spark, sf_dir, "orders"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Ljung-Box portmanteau over the ACF panel.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    LJUNG_BOX_Q_EXPR,
+    ljung_box_daily,
+)
+
+
+@register(
+    "ljung_box_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS q
+      FROM daily
+    ),
+    pairs AS (
+      SELECT t.k, a.x AS xt, b.x AS xk
+      FROM (SELECT unnest(range(1, 8)) AS k) t, daily a, daily b
+      WHERE a.dn + t.k = b.dn
+    ),
+    per_lag AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS npairs,
+             CAST(SUM(CAST(xt AS HUGEINT) * xk) AS DOUBLE) AS pk,
+             CAST(SUM(CAST(xt AS HUGEINT)) AS DOUBLE) AS ak,
+             CAST(SUM(CAST(xk AS HUGEINT)) AS DOUBLE) AS bk
+      FROM pairs GROUP BY k
+    ),
+    acf AS (
+      SELECT CAST(k AS INT) AS k, {ACF_R_EXPR} AS r, tot.n
+      FROM per_lag, tot
+    ),
+    scal AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(FLOOR(r * r / (n - k) * 1e12 + 0.5e0) AS BIGINT))
+               AS BIGINT) AS lb_u
+      FROM acf
+    )
+    SELECT n, m, {LJUNG_BOX_Q_EXPR} AS q_stat FROM scal
+    """,
+)
+def q_ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over the lag-1..7 daily-revenue ACF
+    (``events_analytics.ljung_box_daily``) — the joint
+    any-serial-structure χ² that summarizes the ``acf_daily_revenue``
+    panel into one decision-ready statistic. Per-lag terms snap to the
+    1e-12 grid over the already-shared 4-decimal r_k values."""
+    return ljung_box_daily(_t(spark, sf_dir, "orders"))

@@ -2447,3 +2447,81 @@ def q_kendall_w_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return kendall_w(src, "user_id", "event_type", "cents")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    AB_Z_EXPR,
+    ansari_bradley_test,
+)
+
+
+def _ab_t_sql(x: str) -> str:
+    """DuckDB twin of rankstats._ab_prefix: score-prefix T(x) closed form."""
+    return (
+        f"(CASE WHEN {x} <= m0 THEN CAST({x} * ({x} + 1) / 2 AS BIGINT) "
+        f"ELSE CAST(tm0 + ({x} - m0) * (nn + 1) "
+        f"- CAST(({x} * ({x} + 1) - m0 * (m0 + 1)) / 2 AS BIGINT) AS BIGINT) END)"
+    )
+
+
+@register(
+    "ansari_bradley_click_vs_rest",
+    f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             event_type = 'click' AS f
+      FROM events
+    ),
+    cnt AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM v GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c_all, c1,
+             CAST(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c_all
+               AS BIGINT) AS cnt_less
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS nn,
+                   CAST(SUM(c1) AS BIGINT) AS n1 FROM cnt),
+    st AS (
+      SELECT c.*, t.nn, t.n1, (t.nn + 1) // 2 AS m0 FROM cum c, tot t
+    ),
+    st2 AS (SELECT *, CAST(m0 * (m0 + 1) / 2 AS BIGINT) AS tm0 FROM st),
+    terms AS (
+      SELECT *,
+             {_ab_t_sql('(cnt_less + c_all)')} - {_ab_t_sql('cnt_less')} AS b_s
+      FROM st2
+    ),
+    scal AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(n1) AS BIGINT) AS n1,
+             CAST(SUM(b_s) AS BIGINT) AS sa_i,
+             SUM(CAST(FLOOR(c1 * b_s * 1e0 / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS w_h,
+             SUM(CAST(FLOOR(b_s * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT)) AS sa2_h
+      FROM terms
+    ),
+    dbl AS (
+      SELECT n1, CAST(nn - n1 AS BIGINT) AS n2,
+             CAST(w_h AS DOUBLE) / 1e4 AS w, nn,
+             CAST(sa_i AS DOUBLE) AS sa, CAST(sa2_h AS DOUBLE) / 1e4 AS sa2
+      FROM scal
+    )
+    SELECT n1, n2, ROUND(w, 4) AS w, {AB_Z_EXPR} AS z FROM dbl
+    """,
+)
+def q_ansari_bradley_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank dispersion test of click event values (cents)
+    against the rest (``rankstats.ansari_bradley_test``) — the
+    nonparametric member of the spread family beside
+    ``bartlett_price_by_priority`` / ``brown_forsythe_price_by_priority``:
+    does one event type's value distribution crowd the pooled center?
+    Closed-form score-prefix differences over the distinct-value rank
+    frame, tie-average moments, unit-grid term rounding."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return ansari_bradley_test(src, "cents", "event_type", "click")

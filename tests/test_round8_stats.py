@@ -238,3 +238,65 @@ def test_lexical_diversity_planted(spark):
     assert out["tmpl"]["n_types"] == 1 and out["tmpl"]["n_hapax"] == 0
     assert out["tmpl"]["ttr"] == 0.25 and out["tmpl"]["hapax_share"] == 0.0
     assert out["rich"]["ttr"] == 1.0 and out["rich"]["hapax_share"] == 1.0
+
+
+def test_ansari_bradley_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ansari_bradley_test,
+    )
+
+    a = [10, 12, 14, 16]          # wide spread around 13
+    b = [12, 13, 13, 14, 13]      # crowded at the center
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "x long, g string")
+    got = ansari_bradley_test(df, "x", "g", "a").collect()[0]
+
+    # independent route: explicit positional scores with tie averaging
+    pooled = sorted(a + b)
+    n = len(pooled)
+    score = [min(i + 1, n - i) for i in range(n)]  # position scores
+    from collections import defaultdict
+
+    pos_by_val = defaultdict(list)
+    for i, v in enumerate(pooled):
+        pos_by_val[v].append(score[i])
+    avg_score = {v: sum(s) / len(s) for v, s in pos_by_val.items()}
+    w_ref = sum(avg_score[v] for v in a)
+    sa = sum(score)
+    sa2 = sum(len(s) * (sum(s) / len(s)) ** 2 for s in pos_by_val.values())
+    n1, n2 = len(a), len(b)
+    e_w = n1 * sa / n
+    var_w = n1 * n2 * (n * sa2 - sa * sa) / (n * n * (n - 1))
+    z_ref = (w_ref - e_w) / math.sqrt(var_w)
+    assert got["n1"] == n1 and got["n2"] == n2
+    # W rounds per-block to the unit grid; this layout's averages are
+    # integer/half so the rounded sum matches within 1 unit
+    assert abs(got["w"] - w_ref) <= 1.0
+    assert abs(got["z"] - z_ref) <= 2e-3
+    assert got["z"] < 0  # wide group collects a LOW center-peaked score sum
+
+
+def test_ljung_box_naive(spark):
+    import datetime
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        acf_daily_revenue,
+        ljung_box_daily,
+    )
+
+    # 40 days with a strong weekly sawtooth -> serial structure
+    vals = [100 + 30 * (i % 7) for i in range(40)]
+    base = datetime.date(2001, 1, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = ljung_box_daily(df, max_lag=5).collect()[0]
+    rks = {r["k"]: r["r"] for r in acf_daily_revenue(df, 5).collect()}
+    n = len(vals)
+    q_ref = n * (n + 2) * sum(rks[k] ** 2 / (n - k) for k in range(1, 6))
+    assert got["n"] == n and got["m"] == 5
+    assert abs(got["q_stat"] - q_ref) <= 1e-3
+    assert got["q_stat"] > 15.09  # chi2_0.99(5): the sawtooth is decisive

@@ -259,6 +259,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row bucket-offset window of the grouped-CDF prefix sum (same
     # class as ks/cvm/wasserstein; rankstats.cliff_delta docstring)
     "cliff_delta_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
+    # 1024-row bucket-offset window of the value rank prefix sum (same
+    # class as mann_whitney; rankstats.ansari_bradley_test docstring)
+    "ansari_bradley_click_vs_rest": (1, "1024-row rank-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
