@@ -81,6 +81,7 @@ def quota_sample(
     strata_col: str,
     targets: dict[str, float],
     buckets: int = 10_000,
+    strict: bool = True,
 ) -> DataFrame:
     """Mixture balancing: deterministically downsample each stratum so the
     surviving corpus matches the target proportions — the domain-mixing
@@ -96,7 +97,13 @@ def quota_sample(
     the per-stratum thresholds are broadcast, so the big side never
     shuffles. The threshold is ``floor(frac * buckets + 0.5)``
     (half-away-from-zero, CLAUDE.md convention) computed from identical
-    IEEE expressions on both engines."""
+    IEEE expressions on both engines.
+
+    ``strict`` governs the INFEASIBLE mixture (a target stratum with zero
+    surviving rows → T = 0): True (default) fails loudly instead of
+    silently skewing the mix; False returns the only mixture-preserving
+    corpus — the EMPTY one (composed pipelines like the e2e funnel report
+    the empty final stage instead of aborting the whole report)."""
     from pyspark.sql import functions as F
 
     if not targets:
@@ -116,11 +123,14 @@ def quota_sample(
     # infeasible (T = 0); fail loudly instead of silently skewing the mix
     present = {r[0] for r in joined.select(strata_col).collect()}
     absent = sorted(set(targets) - present)
-    if absent:
+    if absent and strict:
         raise ValueError(
             f"quota_sample: target strata absent from input: {absent}"
         )
-    feasible = joined.agg(F.min(F.col("_cnt") / F.col("_target")).alias("_T"))
+    if absent:  # strict=False: infeasible -> T = 0 -> empty sample
+        feasible = joined.agg(F.lit(0.0).alias("_T"))
+    else:
+        feasible = joined.agg(F.min(F.col("_cnt") / F.col("_target")).alias("_T"))
     thresholds = joined.crossJoin(F.broadcast(feasible)).select(
         strata_col,
         F.floor(

@@ -347,7 +347,11 @@ def _e2e_oracle() -> str:
     tgt(lang, target) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
     counts AS (SELECT s4.lang, COUNT(*) AS cnt, ANY_VALUE(target) AS target
                FROM s4 JOIN tgt USING (lang) GROUP BY s4.lang),
-    feasible AS (SELECT MIN(cnt / target) AS T FROM counts),
+    feasible AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM counts) < (SELECT COUNT(*) FROM tgt)
+                  THEN 0.0 ELSE MIN(cnt / target) END AS T
+      FROM counts
+    ),
     thr AS (SELECT lang, FLOOR(LEAST(1.0, (target * T) / cnt) * 10000 + 0.5) AS thr
             FROM counts, feasible),
     s5 AS (
@@ -420,6 +424,10 @@ def q_corpus_e2e_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc_id",
         strata_col="lang",
         targets={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        # the REPORT must survive an infeasible final mix (replicated
+        # corpora can contaminate every training doc — the 10× replica
+        # sweep did exactly that): strict=False reports the empty stage
+        strict=False,
     )
 
     def row(df: DataFrame, sid: int, name: str) -> DataFrame:

@@ -129,6 +129,24 @@ def test_quota_sample_mixture_and_determinism(spark):
     assert ids1 == ids2
 
 
+def test_quota_sample_infeasible_mixture(spark):
+    """A target stratum with zero rows: strict (default) fails loudly;
+    strict=False returns the only mixture-preserving corpus — the empty
+    one (the e2e funnel's report-the-empty-stage contract, forced by the
+    10x replica where contamination emptied the final stage)."""
+    import pytest as _pytest
+
+    from azure_medicine_data_engineering_spark.operators.sampling import quota_sample
+
+    rows = [(i, "a") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    targets = {"a": 0.5, "missing": 0.5}
+    with _pytest.raises(ValueError, match="absent from input"):
+        quota_sample(df, "id", "dom", targets)
+    out = quota_sample(df, "id", "dom", targets, strict=False)
+    assert out.count() == 0
+
+
 def _vec_rows(base, n, dim=16, off=0.0):
     return [(base + i, [float(((base + i) * 7 + j) % 5) + off for j in range(dim)]) for i in range(n)]
 
