@@ -135,12 +135,10 @@ def random_search_tree(
     seed: int = 42,
 ):
     """Random-search tuning (M7) over :func:`sample_tree_configs` draws via
-    ``TrainValidationSplit``. The reference used *Bayesian* hyperdrive
-    sampling; sequential Bayesian proposals serialize fitting, which defeats
-    Spark's parallel param-map evaluation — seeded random search keeps the
-    50-run budget and the search space while all candidates fit in parallel
-    (documented divergence; Bergstra & Bengio 2012 justify random search at
-    this budget). Returns ``(tvs_model, configs)``."""
+    ``TrainValidationSplit`` — the all-parallel budget BASELINE (Bergstra &
+    Bengio 2012). The reference's *Bayesian* hyperdrive mode is
+    :func:`tpe_search_tree` (batched TPE: adaptive proposals, parallel
+    fitting within each round). Returns ``(tvs_model, configs)``."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
@@ -327,3 +325,182 @@ def train_als_recommender(
         coldStartStrategy="drop",
     )
     return als.fit(ratings)
+
+
+# ---------------------------------------------------------------------------
+# Batched TPE Bayesian hyperparameter search (closes the M7 parity gap).
+# ---------------------------------------------------------------------------
+
+#: Search space matching sample_tree_configs / the reference's hyperdrive
+#: ranges (README.md:697-703): (low, high, is_log, is_int) per dimension.
+TPE_SPACE: dict[str, tuple[float, float, bool, bool]] = {
+    "maxDepth": (2, 12, False, True),
+    "minInstancesPerNode": (1, 20, False, True),
+    "minInfoGain": (1e-6, 1e-2, True, False),
+}
+
+
+def _tpe_unit(value: float, low: float, high: float, is_log: bool) -> float:
+    import math
+
+    if is_log:
+        return (math.log(value) - math.log(low)) / (math.log(high) - math.log(low))
+    return (value - low) / (high - low)
+
+
+def _tpe_from_unit(u: float, low: float, high: float, is_log: bool, is_int: bool):
+    import math
+
+    u = min(1.0, max(0.0, u))
+    if is_log:
+        v = math.exp(math.log(low) + u * (math.log(high) - math.log(low)))
+    else:
+        v = low + u * (high - low)
+    return int(math.floor(v + 0.5)) if is_int else v
+
+
+def tpe_propose(
+    history: list[tuple[dict, float]],
+    batch: int,
+    seed: int,
+    space: dict[str, tuple[float, float, bool, bool]] = None,
+    gamma: float = 0.25,
+    n_candidates: int = 32,
+) -> list[dict]:
+    """One batched Tree-Parzen-Estimator proposal round (Bergstra et al.
+    2011): split observed trials at the top-``gamma`` score quantile,
+    model good/bad per dimension as Gaussian KDEs in unit space
+    (factorized TPE), draw candidates from the GOOD kde and rank by the
+    density ratio l(x)/g(x) (∝ expected improvement under the TPE
+    identity). Pure seeded numpy — deterministic on any machine; batch
+    proposals keep Spark's parallel param-map fitting per round (the
+    standard batch-BO compromise the old seeded-random note worried
+    about). Scores are HIGHER-is-better."""
+    import numpy as np
+
+    space = space or TPE_SPACE
+    rng = np.random.default_rng(seed)
+    names = sorted(space)
+    obs = sorted(history, key=lambda t: -t[1])
+    n_good = max(1, int(round(gamma * len(obs))))
+    good = obs[:n_good]
+    bad = obs[n_good:] or obs[:1]
+
+    def kde(samples, x):
+        samples = np.asarray(samples, dtype=float)
+        bw = max(0.1, samples.std() * (len(samples) ** -0.2)) if len(samples) > 1 else 0.25
+        d = (x[:, None] - samples[None, :]) / bw
+        return np.exp(-0.5 * d * d).sum(axis=1) / (len(samples) * bw) + 1e-12
+
+    out: list[dict] = []
+    seen = {tuple(sorted(c.items())) for c, _ in history}
+    for b in range(batch):
+        cand_u = {}
+        score = np.ones(n_candidates)
+        for dim in names:
+            low, high, is_log, is_int = space[dim]
+            gu = [_tpe_unit(c[dim], low, high, is_log) for c, _ in good]
+            bu = [_tpe_unit(c[dim], low, high, is_log) for c, _ in bad]
+            centers = np.array(gu)[rng.integers(0, len(gu), n_candidates)]
+            draws = np.clip(centers + rng.normal(0, 0.2, n_candidates), 0, 1)
+            score *= kde(gu, draws) / kde(bu, draws)
+            cand_u[dim] = draws
+        for idx in np.argsort(-score):
+            cfg = {
+                dim: _tpe_from_unit(cand_u[dim][idx], *space[dim])
+                for dim in names
+            }
+            key = tuple(sorted(cfg.items()))
+            if key not in seen:
+                seen.add(key)
+                out.append(cfg)
+                break
+        else:  # all candidates duplicate: take the top one anyway
+            idx = int(np.argmax(score))
+            out.append(
+                {dim: _tpe_from_unit(cand_u[dim][idx], *space[dim]) for dim in names}
+            )
+    return out
+
+
+def tpe_search_tree(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_configs: int = 50,
+    n_warmup: int = 10,
+    batch: int = 5,
+    seed: int = 42,
+):
+    """TRUE sequential Bayesian hyperparameter search (M7 — the reference's
+    hyperdrive Bayesian mode, ``README.md:697-703``): ``n_warmup`` seeded
+    random trials, then TPE-proposed batches of ``batch`` configs until the
+    ``n_configs`` budget is spent. Each batch fits as ONE parallel
+    ``TrainValidationSplit`` param-map evaluation (parallelism=4), so the
+    adaptivity costs ⌈(n−w)/b⌉ sequential rounds instead of n — the batch-BO
+    resolution of the serialize-vs-parallel tension :func:`random_search_tree`
+    documents (that one remains the all-parallel budget baseline).
+
+    Returns ``(best_model, history)`` — history is the [(config, auc), ...]
+    trial ledger, best model refit on the winning config."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import Imputer, MinMaxScaler, VectorAssembler
+    from pyspark.ml.tuning import TrainValidationSplit
+
+    imputed = [f"{c}__imp" for c in feature_cols]
+
+    def build():
+        dt = DecisionTreeClassifier(
+            labelCol=label_col, featuresCol="features", seed=seed
+        )
+        pipe = Pipeline(
+            stages=[
+                Imputer(strategy="mean", inputCols=feature_cols, outputCols=imputed),
+                VectorAssembler(inputCols=imputed, outputCol="features_raw"),
+                MinMaxScaler(inputCol="features_raw", outputCol="features"),
+                dt,
+            ]
+        )
+        return dt, pipe
+
+    def fit_batch(configs):
+        dt, pipe = build()
+        maps = [
+            {
+                dt.maxDepth: int(c["maxDepth"]),
+                dt.minInstancesPerNode: int(c["minInstancesPerNode"]),
+                dt.minInfoGain: float(c["minInfoGain"]),
+            }
+            for c in configs
+        ]
+        tvs = TrainValidationSplit(
+            estimator=pipe,
+            estimatorParamMaps=maps,
+            evaluator=BinaryClassificationEvaluator(labelCol=label_col),
+            trainRatio=0.75,
+            seed=seed,
+            parallelism=4,
+        )
+        m = tvs.fit(train)
+        return m, list(m.validationMetrics)
+
+    history: list[tuple[dict, float]] = []
+    best_model, best_auc = None, float("-inf")
+    round_id = 0
+    while len(history) < n_configs:
+        if not history:
+            configs = sample_tree_configs(min(n_warmup, n_configs), seed)
+        else:
+            configs = tpe_propose(
+                history, min(batch, n_configs - len(history)), seed + round_id
+            )
+        model, metrics = fit_batch(configs)
+        for c, auc in zip(configs, metrics):
+            history.append((c, float(auc)))
+        top = max(metrics)
+        if top > best_auc:
+            best_auc, best_model = top, model
+        round_id += 1
+    return best_model, history
