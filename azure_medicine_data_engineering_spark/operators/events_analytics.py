@@ -1378,3 +1378,54 @@ def ljung_box_daily(
         )
     )
     return scal.select("n", "m", F.expr(LJUNG_BOX_Q_EXPR).alias("q_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration per segment.
+# ---------------------------------------------------------------------------
+
+
+def hhi_by_group(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    weight_cents: Column | None = None,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: HHI =
+    Σ_entities share² ∈ (0, 1] — the is-this-segment-dominated-by-few
+    readout (the BI sibling of ``gini_customer_spend``'s inequality
+    curve: HHI reads concentration straight off squared shares, no
+    ordering at all — so unlike Gini it needs NO rank windows).
+
+    Shares come from exact integer weights (``weight_cents`` BIGINT
+    cents, or row counts); per-entity share² terms snap to the 1e-9
+    grid (floor(x+0.5), identical both engines) and sum as BIGINTs.
+    Two keyed aggregations, both map-side combinable; the entity frame
+    is the only state. Returns ``(group, n_entities, hhi)``.
+    """
+    w = weight_cents if weight_cents is not None else F.lit(1).cast("long")
+    per_entity = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(entity_col).alias("e"), w.alias("_w")
+        )
+        .groupBy("g", "e")
+        .agg(F.sum("_w").cast("long").alias("w"))
+        .persist()  # two consumers (group totals + share terms)
+    )
+    totals = per_entity.groupBy("g").agg(F.sum("w").cast("long").alias("tw"))
+    terms = per_entity.join(F.broadcast(totals), "g").select(
+        "g",
+        F.floor(
+            (F.col("w") * 1.0 / F.col("tw")) * (F.col("w") * 1.0 / F.col("tw")) * 1e9
+            + 0.5
+        ).cast("long").alias("t_u"),
+    )
+    out = (
+        terms.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.round(F.sum("t_u").cast("double") / 1e9, 4).alias("hhi"),
+        )
+    )
+    out._stage_caches = [per_entity]
+    return out

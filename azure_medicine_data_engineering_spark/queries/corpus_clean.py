@@ -496,3 +496,52 @@ def q_lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     datasheet: boilerplate sources read LOW TTR, OCR-noise sources read
     HIGH hapax share. Vocabulary-bounded state, integer micro-ratios."""
     return lexical_diversity_by_source(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: bigram conditional entropy (corpus predictability) per source.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    bigram_conditional_entropy_by_source,
+)
+
+
+@register(
+    "bigram_cond_entropy_by_source",
+    """
+    WITH tl AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    fan AS (
+      SELECT source, t, unnest(range(1, len(t))) AS i
+      FROM tl WHERE len(t) >= 2
+    ),
+    bg AS (
+      SELECT source, t[CAST(i AS BIGINT)] AS cur, t[CAST(i AS BIGINT) + 1] AS nxt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM fan GROUP BY 1, 2, 3
+    ),
+    marg AS (SELECT source, cur, CAST(SUM(c) AS BIGINT) AS cx
+             FROM bg GROUP BY source, cur),
+    scal AS (
+      SELECT b.source,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(ROUND(c * (ln(cx * 1e0) - ln(c * 1e0)) * 1e6)
+               AS BIGINT)) AS BIGINT) AS h_u
+      FROM bg b JOIN marg m ON b.source = m.source AND b.cur = m.cur
+      GROUP BY b.source
+    )
+    SELECT source, n_bigrams, (h_u // n_bigrams) / 1e6 AS h_cond FROM scal
+    """,
+)
+def q_bigram_cond_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram conditional entropy H(next | current)
+    (``text_rank.bigram_conditional_entropy_by_source``) — the
+    predictability of each source's token stream: templated sources
+    read near 0 (next token determined), rich sources read high. The
+    third corpus-statistics lens beside ``lexical_diversity_by_source``
+    and the Zipf/Heaps fits; bigram-vocabulary-bounded state,
+    micro-grid ln terms, integer-division finalization."""
+    return bigram_conditional_entropy_by_source(_t(spark, sf_dir, "documents"))

@@ -1332,3 +1332,50 @@ def q_cox_stuart_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumption-free trend check beside ``mann_kendall_daily_revenue``'s
     rank statistic. Integer counts; z is the shared expression."""
     return cox_stuart_trend(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: revenue concentration per segment (HHI).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    hhi_by_group,
+)
+
+
+@register(
+    "hhi_revenue_by_segment",
+    """
+    WITH per_e AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS e,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tw AS (SELECT seg, CAST(SUM(w) AS BIGINT) AS tw FROM per_e GROUP BY seg),
+    terms AS (
+      SELECT p.seg,
+             CAST(FLOOR((p.w * 1e0 / t.tw) * (p.w * 1e0 / t.tw) * 1e9 + 0.5e0)
+               AS BIGINT) AS t_u
+      FROM per_e p JOIN tw t USING (seg)
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           ROUND(CAST(SUM(t_u) AS DOUBLE) / 1e9, 4) AS hhi
+    FROM terms GROUP BY seg
+    """,
+)
+def q_hhi_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per market segment
+    (``events_analytics.hhi_by_group``): is a segment's revenue spread
+    across its customers or dominated by a few? Exact cents weights,
+    1e-9-grid share² terms, no rank windows at all — the
+    ordering-free concentration companion to ``gini_customer_spend``."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment"),
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return hhi_by_group(j, "c_mktsegment", "o_custkey", F.col("cents"))

@@ -300,3 +300,47 @@ def test_ljung_box_naive(spark):
     assert got["n"] == n and got["m"] == 5
     assert abs(got["q_stat"] - q_ref) <= 1e-3
     assert got["q_stat"] > 15.09  # chi2_0.99(5): the sawtooth is decisive
+
+
+def test_hhi_poles(spark):
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        hhi_by_group,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("mono", "e1", 100.0)] * 4                      # one entity -> HHI 1
+        + [("even", f"e{i}", 25.0) for i in range(4)]     # 4 equal -> 0.25
+        + [("skew", "big", 90.0), ("skew", "small", 10.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, e string, v double")
+    out = {
+        r["g"]: r
+        for r in hhi_by_group(
+            df, "g", "e", F.round(F.col("v") * 100).cast("long")
+        ).collect()
+    }
+    assert out["mono"]["hhi"] == 1.0 and out["mono"]["n_entities"] == 1
+    assert out["even"]["hhi"] == 0.25 and out["even"]["n_entities"] == 4
+    assert abs(out["skew"]["hhi"] - (0.81 + 0.01)) <= 1e-9
+
+
+def test_bigram_cond_entropy_naive(spark):
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        bigram_conditional_entropy_by_source,
+    )
+
+    rows = [
+        (1, "det", "a b a b a b"),   # next fully determined -> 0
+        (2, "mix", "a b a c"),        # H = 2*ln2/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in bigram_conditional_entropy_by_source(df).collect()
+    }
+    assert out["det"]["h_cond"] == 0.0 and out["det"]["n_bigrams"] == 5
+    # pairs: (a,b),(b,a),(a,c); cur=a margin 2 -> terms ln2 + 0 + ln2
+    ref = 2 * math.log(2) / 3
+    assert out["mix"]["n_bigrams"] == 3
+    assert abs(out["mix"]["h_cond"] - ref) <= 2e-6  # micro grid + floor div
