@@ -483,8 +483,20 @@ def winsorized_mean_report(
     )
     out = clamped.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        (F.expr("sum(_cents) * 1000000 div count(1)") / 1e6).alias("raw_mean_cents"),
-        (F.expr("sum(_w) * 1000000 div count(1)") / 1e6).alias("winsorized_mean_cents"),
+        # cents sums reach ~2.4e14 at the 10x replica, so the 1e6 micro
+        # multiplier overflows BIGINT (ANSI ARITHMETIC_OVERFLOW — caught
+        # by the replica sweep): accumulate in DECIMAL(38,0); the div
+        # quotient is mean-sized, well inside BIGINT
+        (
+            F.expr(
+                "sum(cast(_cents as decimal(38,0))) * 1000000 div count(1)"
+            )
+            / 1e6
+        ).alias("raw_mean_cents"),
+        (
+            F.expr("sum(cast(_w as decimal(38,0))) * 1000000 div count(1)")
+            / 1e6
+        ).alias("winsorized_mean_cents"),
         F.first("_lo").cast("long").alias("lo_cut_cents"),
         F.first("_hi").cast("long").alias("hi_cut_cents"),
         F.sum((F.col("_cents") < F.col("_lo")).cast("long")).cast("long").alias("n_clamped_lo"),

@@ -556,18 +556,23 @@ def q_bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_round_sql(prev: str, m: str, v: str, out: str) -> str:
+    # every stage MATERIALIZED: the unrolled rounds reference e/nodes and
+    # each other repeatedly, and DuckDB inlines non-materialized CTEs
+    # per-reference — at the 10x replica the re-inlined 4-way edge join
+    # spilled >50 GB of temp before filling the disk (the BPE-oracle
+    # exponential-inlining class; caught by the round-8 replica sweep)
     return f"""
-    {m} AS (
+    {m} AS MATERIALIZED (
       SELECT e.u, l.lab, CAST(SUM(e.w) AS BIGINT) AS sw
       FROM e JOIN {prev} l ON e.v = l.node GROUP BY 1, 2
     ),
-    {v} AS (
+    {v} AS MATERIALIZED (
       SELECT u, lab FROM (
         SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u ORDER BY sw DESC, lab) AS rn
         FROM {m}
       ) WHERE rn = 1
     ),
-    {out} AS (
+    {out} AS MATERIALIZED (
       SELECT n.node, COALESCE({v}.lab, n.node) AS lab
       FROM nodes n LEFT JOIN {v} ON n.node = {v}.u
     )"""
@@ -576,7 +581,7 @@ def _lpa_round_sql(prev: str, m: str, v: str, out: str) -> str:
 @register(
     "lpa_nation_communities",
     f"""
-    WITH he AS (
+    WITH he AS MATERIALIZED (
       SELECT c.c_nationkey AS u, s.s_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -584,12 +589,12 @@ def _lpa_round_sql(prev: str, m: str, v: str, out: str) -> str:
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
         SELECT u, v, w FROM he UNION ALL SELECT v AS u, u AS v, w FROM he
       ) t WHERE u <> v GROUP BY 1, 2
     ),
-    nodes AS (
+    nodes AS MATERIALIZED (
       SELECT DISTINCT node FROM (
         SELECT u AS node FROM he UNION ALL SELECT v AS node FROM he
       ) allv

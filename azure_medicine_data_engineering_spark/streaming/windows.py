@@ -29,16 +29,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql.types import LongType
 
+    import os
+
     path = f"{sf_dir}/events.parquet"
     stored = spark.read.parquet(path).schema
     nanos = isinstance(stored["ts"].dataType, LongType)
-    # file-stream source requires a directory; select the single table file
-    # via glob filter
-    raw = (
-        spark.readStream.schema(stored)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory-layout table (writer output, replica dirs): stream the
+        # directory itself — a file-glob for "events.parquet" matches no
+        # FILES there and silently yields an empty stream (caught by the
+        # 10× replica sweep, round 8)
+        raw = spark.readStream.schema(stored).parquet(path)
+    else:
+        # single-file table: the file-stream source requires a directory;
+        # select the one table file via glob filter
+        raw = (
+            spark.readStream.schema(stored)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -203,10 +212,15 @@ def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents parquet as a bounded stream (same glob-filter device as
-    ``read_events_stream``) — stands in for the corpus-ingest feed."""
+    """documents parquet as a bounded stream (same layout-adaptive device
+    as ``read_events_stream``) — stands in for the corpus-ingest feed."""
+    import os
+
     ensure_utc(spark)
-    stored = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    path = f"{sf_dir}/documents.parquet"
+    stored = spark.read.parquet(path).schema
+    if os.path.isdir(path):  # directory-layout table: stream it directly
+        return spark.readStream.schema(stored).parquet(path)
     return (
         spark.readStream.schema(stored)
         .option("pathGlobFilter", "documents.parquet")
