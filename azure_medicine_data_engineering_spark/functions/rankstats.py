@@ -3606,3 +3606,106 @@ def ansari_bradley_test(
     )
     out._stage_caches = [ranked]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quade test (range-weighted Friedman).
+# ---------------------------------------------------------------------------
+
+#: F over pure-integer state (quadrupled S cells): with S4_ij =
+#: q2_i·(r2_ij − (k+1)) = 4·S_ij, A4 = ΣS4², Bnum = Σ_j(Σ_i S4_ij)²:
+#: F = (n−1)·B/(A−B) = (n−1)·Bnum / (n·A4 − Bnum) — the 16× and /n
+#: factors cancel. Perfect agreement makes A−B = 0 (F → ∞): NULL on
+#: both engines via the shared CASE.
+QUADE_F_EXPR = (
+    "round(case when n * 1e0 * a4 - bnum > 0e0"
+    " then (n - 1e0) * bnum / (n * 1e0 * a4 - bnum) else null end, 4)"
+)
+
+
+def quade_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Quade test — the RANGE-WEIGHTED Friedman (Quade 1979): blocks
+    whose treatments differ MORE carry more weight (block weight = the
+    across-block rank of the within-block range), which buys power over
+    Friedman at small k where most blocks barely discriminate. The
+    third member of the repeated-measures family beside
+    :func:`friedman_test` (unweighted) and :func:`page_trend_test`
+    (ordered alternative).
+
+    Exactness: within-block doubled midranks r2 (the friedman device) ×
+    across-block doubled range midranks q2 (from
+    :func:`ranked_value_counts` over the BLOCK frame — bucketed prefix
+    sums, never a data-grain window) give quadrupled integer cells
+    S4 = q2·(r2 − (k+1)); A4 and the B numerator accumulate in
+    DECIMAL(38,0) (oracle HUGEINT) and the F statistic is one shared
+    integer-ratio expression (scale factors cancel exactly).
+    F ~ F(k−1, (n−1)(k−1)) under H0. Complete blocks only. Returns
+    ``(n_blocks, k, f_stat)``.
+    """
+    dec = "decimal(38,0)"
+    cell = (
+        df.select(
+            F.col(block_col).alias("b"),
+            F.col(treatment_col).alias("trt"),
+            F.col(value_col).alias("x"),
+        )
+        .groupBy("b", "trt")
+        .agg(F.sum("x").cast("long").alias("m"))
+    )
+    k_tot = cell.select("trt").distinct().count()
+    complete = (
+        cell.groupBy("b").agg(F.count(F.lit(1)).alias("_nt"))
+        .where(F.col("_nt") == k_tot)
+        .select("b")
+    )
+    cc = cell.join(complete, "b").persist()
+    w_rank = Window.partitionBy("b").orderBy("m")
+    w_eq = Window.partitionBy("b", "m")
+    rng = cc.groupBy("b").agg((F.max("m") - F.min("m")).cast("long").alias("rng"))
+    q_by_val = ranked_value_counts(rng.select("rng"), "rng").select(
+        F.col("v").alias("rng"),
+        (2 * F.col("cnt_less") + F.col("c_all") + 1).cast("long").alias("q2"),
+    )
+    weights = rng.join(F.broadcast(q_by_val), "rng").select("b", "q2")
+    ranked_t = cc.select(
+        "b",
+        "trt",
+        (
+            2 * (F.rank().over(w_rank) - 1) + F.count(F.lit(1)).over(w_eq) + 1
+        ).cast("long").alias("r2"),
+    )
+    s_cells = (
+        ranked_t.join(F.broadcast(weights), "b")
+        .select(
+            "trt",
+            (F.col("q2") * (F.col("r2") - F.lit(k_tot + 1))).cast("long").alias("s4"),
+        )
+        .persist()
+    )
+    a_tot = s_cells.agg(
+        F.sum(F.col("s4").cast(dec) * F.col("s4")).alias("a4_d"),
+        (F.count(F.lit(1)) / k_tot).cast("long").alias("n"),
+    )
+    t_sums = s_cells.groupBy("trt").agg(
+        F.sum(F.col("s4").cast(dec)).alias("t4_d")
+    )
+    b_num = t_sums.agg(
+        F.sum(F.col("t4_d") * F.col("t4_d")).alias("bnum_d"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    scal = (
+        a_tot.crossJoin(F.broadcast(b_num))
+        .select(
+            F.col("n"),
+            F.col("k"),
+            F.col("a4_d").cast("double").alias("a4"),
+            F.col("bnum_d").cast("double").alias("bnum"),
+        )
+    )
+    out = scal.select(
+        F.col("n").alias("n_blocks"), "k", F.expr(QUADE_F_EXPR).alias("f_stat")
+    )
+    out._stage_caches = [cc, s_cells]
+    return out

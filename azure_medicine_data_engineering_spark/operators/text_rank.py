@@ -890,3 +890,84 @@ def bigram_conditional_entropy_by_source(
     )
     out._stage_caches = [bg]
     return out
+
+
+def dunning_keyness_top_terms(
+    df: DataFrame,
+    ref_source: str,
+    k: int = 10,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Top-``k`` Dunning log-likelihood keywords of ``ref_source`` against
+    the rest of the corpus (Dunning 1993 G² keyness — the standard
+    corpus-linguistics answer to "which words make this slice
+    DISTINCTIVE", far better calibrated than χ² or plain ratio on the
+    rare tokens that dominate vocabulary):
+
+        G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)),  E_a = (a+b)·Na/N, …
+
+    with a/b the token's counts in the slice/rest. One token explode →
+    one vocabulary-bounded (token, a, b) count; per-token G² snaps to
+    the 1e-6 grid (half-away ROUND — a and b are exact integers, only
+    ln is inexact) and the top-k takes a deterministic
+    (g2_u DESC, token ASC) TakeOrderedAndProject. ``enriched`` marks
+    over-represented tokens (a/Na > b/Nb). Returns
+    ``(rank, token, a, b, g2, enriched)``.
+    """
+    toks = (
+        df.select(
+            (F.col(source_col) == ref_source).alias("_r"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    counts = (
+        toks.groupBy("w")
+        .agg(
+            F.sum(F.col("_r").cast("long")).cast("long").alias("a"),
+            F.sum((~F.col("_r")).cast("long")).cast("long").alias("b"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    # a·ln(a/E_a) with a=0 contributing 0 (lim x·ln x = 0), identically
+    # CASE-guarded on both engines
+    g2_u = (
+        "cast(round(2e0 * ("
+        "case when a > 0 then a * ln(a * 1e0 * (na + nb) / ((a + b) * 1e0 * na)) else 0e0 end"
+        " + case when b > 0 then b * ln(b * 1e0 * (na + nb) / ((a + b) * 1e0 * nb)) else 0e0 end"
+        ") * 1e6) as bigint)"
+    )
+    scored = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            "c.w",
+            "c.a",
+            "c.b",
+            F.expr(g2_u).alias("g2_u"),
+            (
+                F.col("c.a") * 1.0 / F.col("t.na")
+                > F.col("c.b") * 1.0 / F.col("t.nb")
+            ).alias("enriched"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("g2_u").desc(), F.col("w").asc())
+    out = (
+        scored.orderBy(F.col("g2_u").desc(), F.col("w").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            "a",
+            "b",
+            F.round(F.col("g2_u").cast("double") / 1e6, 4).alias("g2"),
+            "enriched",
+        )
+    )
+    out._stage_caches = [counts]
+    return out

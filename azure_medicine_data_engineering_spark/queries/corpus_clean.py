@@ -545,3 +545,53 @@ def q_bigram_cond_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     and the Zipf/Heaps fits; bigram-vocabulary-bounded state,
     micro-grid ln terms, integer-division finalization."""
     return bigram_conditional_entropy_by_source(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Dunning log-likelihood keyness (distinctive vocabulary).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    dunning_keyness_top_terms,
+)
+
+
+@register(
+    "dunning_keyness_src0",
+    """
+    WITH toks AS (
+      SELECT source = 'src0' AS r, w
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    counts AS (
+      SELECT w, CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM toks GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM counts),
+    scored AS (
+      SELECT w, a, b,
+             CAST(ROUND(2e0 * (
+               CASE WHEN a > 0 THEN a * ln(a * 1e0 * (na + nb) / ((a + b) * 1e0 * na)) ELSE 0e0 END
+               + CASE WHEN b > 0 THEN b * ln(b * 1e0 * (na + nb) / ((a + b) * 1e0 * nb)) ELSE 0e0 END
+             ) * 1e6) AS BIGINT) AS g2_u,
+             (a * 1e0 / na > b * 1e0 / nb) AS enriched
+      FROM counts, tot
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY g2_u DESC, w ASC) AS INT) AS rank,
+           w AS token, a, b,
+           ROUND(CAST(g2_u AS DOUBLE) / 1e6, 4) AS g2, enriched
+    FROM scored
+    ORDER BY g2_u DESC, w ASC LIMIT 10
+    """,
+)
+def q_dunning_keyness_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 Dunning G² keywords of source src0 vs the rest
+    (``text_rank.dunning_keyness_top_terms``) — which tokens make the
+    slice DISTINCTIVE (the corpus-linguistics keyness statistic, better
+    calibrated than χ²/ratio on rare tokens). Completes the
+    source-audit battery beside the JS/Hellinger drift scores (those
+    say HOW different; keyness says WITH WHICH WORDS). Deterministic
+    (g2, token) top-k; vocabulary-bounded state."""
+    return dunning_keyness_top_terms(_t(spark, sf_dir, "documents"), "src0", 10)

@@ -2525,3 +2525,77 @@ def q_ansari_bradley_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFram
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     return ansari_bradley_test(src, "cents", "event_type", "click")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    QUADE_F_EXPR,
+    quade_test,
+)
+
+
+@register(
+    "quade_value_by_type_blocks",
+    f"""
+    WITH cell AS (
+      SELECT user_id AS b, event_type AS trt,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    k_tot AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS kt FROM cell),
+    complete AS (
+      SELECT b FROM cell, k_tot GROUP BY b, kt HAVING COUNT(*) = kt
+    ),
+    cc AS MATERIALIZED (SELECT cell.* FROM cell JOIN complete USING (b)),
+    rng AS MATERIALIZED (
+      SELECT b, CAST(MAX(m) - MIN(m) AS BIGINT) AS rng FROM cc GROUP BY b
+    ),
+    qv AS (
+      SELECT rng, CAST(2 * (RANK() OVER (ORDER BY rng) - 1)
+             + COUNT(*) OVER (PARTITION BY rng) + 1 AS BIGINT) AS q2
+      FROM rng
+    ),
+    weights AS MATERIALIZED (
+      SELECT r.b, ANY_VALUE(q.q2) AS q2 FROM rng r JOIN qv q USING (rng) GROUP BY r.b
+    ),
+    ranked AS (
+      SELECT b, trt,
+        CAST(2 * (RANK() OVER (PARTITION BY b ORDER BY m) - 1)
+             + COUNT(*) OVER (PARTITION BY b, m) + 1 AS BIGINT) AS r2
+      FROM cc
+    ),
+    s_cells AS MATERIALIZED (
+      SELECT ranked.trt,
+             CAST(w.q2 * (ranked.r2 - (k_tot.kt + 1)) AS BIGINT) AS s4
+      FROM ranked JOIN weights w USING (b), k_tot
+    ),
+    a_tot AS (
+      SELECT SUM(CAST(s4 AS HUGEINT) * s4) AS a4_h,
+             CAST(COUNT(*) // MAX(k_tot.kt) AS BIGINT) AS n
+      FROM s_cells, k_tot
+    ),
+    t_sums AS (SELECT trt, SUM(CAST(s4 AS HUGEINT)) AS t4_h FROM s_cells GROUP BY trt),
+    b_num AS (
+      SELECT SUM(t4_h * t4_h) AS bnum_h, CAST(COUNT(*) AS BIGINT) AS k FROM t_sums
+    ),
+    scal AS (
+      SELECT a.n, b.k, CAST(a.a4_h AS DOUBLE) AS a4, CAST(b.bnum_h AS DOUBLE) AS bnum
+      FROM a_tot a, b_num b
+    )
+    SELECT n AS n_blocks, k, {QUADE_F_EXPR} AS f_stat FROM scal
+    """,
+)
+def q_quade_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade range-weighted repeated-measures test on the
+    ``friedman_value_by_type_blocks`` layout (``rankstats.quade_test``):
+    users whose per-type value totals differ MORE carry more weight, so
+    the readout is more powerful than Friedman's at small k. Quadrupled
+    integer cells (doubled within-block midranks × doubled across-block
+    range midranks), DECIMAL(38,0)/HUGEINT state, one shared
+    integer-ratio F expression."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return quade_test(src, "user_id", "event_type", "cents")

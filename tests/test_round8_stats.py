@@ -344,3 +344,84 @@ def test_bigram_cond_entropy_naive(spark):
     ref = 2 * math.log(2) / 3
     assert out["mix"]["n_bigrams"] == 3
     assert abs(out["mix"]["h_cond"] - ref) <= 2e-6  # micro grid + floor div
+
+
+def test_quade_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        quade_test,
+    )
+
+    # Conover's structure: 5 blocks x 3 treatments with varied block ranges
+    blocks = {
+        "b1": {"t1": 1, "t2": 5, "t3": 9},    # wide block, clear order
+        "b2": {"t1": 2, "t2": 3, "t3": 4},    # narrow
+        "b3": {"t1": 10, "t2": 30, "t3": 50}, # widest, same order
+        "b4": {"t1": 3, "t2": 2, "t3": 6},    # mild disagreement
+        "b5": {"t1": 1, "t2": 2, "t3": 2},    # tie inside a block
+    }
+    rows = [(b, t, v) for b, ts in blocks.items() for t, v in ts.items()]
+    df = spark.createDataFrame(rows, "b string, trt string, v long")
+    got = quade_test(df, "b", "trt", "v").collect()[0]
+
+    # independent reference: classical fractional ranks
+    def mid_ranks(vals):
+        out = []
+        for v in vals:
+            less = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            out.append(less + (eq + 1) / 2)
+        return out
+
+    k = 3
+    names = sorted({t for ts in blocks.values() for t in ts})
+    ranges = {b: max(ts.values()) - min(ts.values()) for b, ts in blocks.items()}
+    q_ranks = dict(zip(sorted(ranges), mid_ranks([ranges[b] for b in sorted(ranges)])))
+    s = {}
+    a_stat = 0.0
+    for b, ts in blocks.items():
+        r = dict(zip(sorted(ts), mid_ranks([ts[t] for t in sorted(ts)])))
+        for t in names:
+            sij = q_ranks[b] * (r[t] - (k + 1) / 2)
+            s[t] = s.get(t, 0.0) + sij
+            a_stat += sij * sij
+    n = len(blocks)
+    b_stat = sum(v * v for v in s.values()) / n
+    f_ref = (n - 1) * b_stat / (a_stat - b_stat)
+    assert got["n_blocks"] == n and got["k"] == k
+    assert abs(got["f_stat"] - _r4(f_ref)) <= 1e-9
+
+    # degenerate: identical order AND equal ranges in every block ->
+    # equal weights, identical S rows -> A == B -> F undefined -> NULL
+    # (guarded identically on both engines)
+    rows_p = [
+        (f"b{i}", t, (j + 1) + i)
+        for i in range(4)
+        for j, t in enumerate(["t1", "t2", "t3"])
+    ]
+    got_p = quade_test(
+        spark.createDataFrame(rows_p, "b string, trt string, v long"),
+        "b", "trt", "v",
+    ).collect()[0]
+    assert got_p["f_stat"] is None
+
+
+def test_dunning_keyness_planted(spark):
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        dunning_keyness_top_terms,
+    )
+
+    rows = [
+        (1, "src0", "special special special common common"),
+        (2, "rest", "common common common other other other"),
+        (3, "rest", "common other filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dunning_keyness_top_terms(df, "src0", k=3).collect()
+    # 'special' occurs ONLY in src0 -> top keyness, enriched
+    assert out[0]["token"] == "special" and out[0]["enriched"]
+    assert out[0]["a"] == 3 and out[0]["b"] == 0
+    # independent G2 for 'special': a=3,b=0,na=5,nb=10
+    a, b_, na, nb = 3, 0, 5, 10
+    g2_ref = 2 * (a * math.log(a * (na + nb) / ((a + b_) * na)))
+    assert abs(out[0]["g2"] - _r4(g2_ref)) <= 2e-6  # g2 displays 4-dec
+    assert [r["rank"] for r in out] == [1, 2, 3]

@@ -262,6 +262,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row bucket-offset window of the value rank prefix sum (same
     # class as mann_whitney; rankstats.ansari_bradley_test docstring)
     "ansari_bradley_click_vs_rest": (1, "1024-row rank-bucket offset window"),
+    # 1024-row bucket-offset window of the block-range rank prefix sum
+    # (rankstats.quade_test weights; same class as mann_whitney)
+    "quade_value_by_type_blocks": (1, "1024-row rank-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
