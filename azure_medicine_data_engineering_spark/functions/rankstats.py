@@ -3709,3 +3709,69 @@ def quade_test(
     )
     out._stage_caches = [cc, s_cells]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Risk difference with Newcombe-Wilson hybrid CI (+ NNT).
+# ---------------------------------------------------------------------------
+
+RD_EXPR = "round(x1 * 1e0 / n1 - x2 * 1e0 / n2, 4)"
+#: Newcombe (1998) method-10 hybrid: the RD interval is assembled from
+#: the two groups' Wilson score bounds — l/u are the (shared, rounded)
+#: Wilson columns, p_g the raw proportions.
+RD_LO_EXPR = (
+    "round((x1 * 1e0 / n1 - x2 * 1e0 / n2)"
+    " - sqrt((x1 * 1e0 / n1 - p1_lo) * (x1 * 1e0 / n1 - p1_lo)"
+    " + (p2_hi - x2 * 1e0 / n2) * (p2_hi - x2 * 1e0 / n2)), 4)"
+)
+RD_HI_EXPR = (
+    "round((x1 * 1e0 / n1 - x2 * 1e0 / n2)"
+    " + sqrt((p1_hi - x1 * 1e0 / n1) * (p1_hi - x1 * 1e0 / n1)"
+    " + (x2 * 1e0 / n2 - p2_lo) * (x2 * 1e0 / n2 - p2_lo)), 4)"
+)
+#: NNT = 1/|RD| over the ROUNDED rd (identical both engines); RD = 0 →
+#: undefined → NULL on both.
+NNT_EXPR = "case when rd <> 0e0 then round(1e0 / abs(rd), 4) end"
+
+
+def risk_difference_newcombe(
+    df: DataFrame, group1: Column, success: Column
+) -> DataFrame:
+    """Absolute risk difference RD = p₁ − p₂ with the Newcombe-Wilson
+    hybrid 95% CI (Newcombe 1998 method 10 — the score-interval RD the
+    clinical literature recommends over the Wald interval, which
+    misbehaves at extreme rates) and the number needed to treat
+    NNT = 1/|RD|. The EFFECT-SIZE companion to
+    :func:`two_proportion_test`'s significance z and the absolute-scale
+    sibling of the odds/relative-risk readouts — together they complete
+    the clinical 2×2 panel.
+
+    One pass over exact integer cells; the CI assembles from the same
+    shared Wilson bound expressions. Returns
+    ``(n1, x1, n2, x2, rd, rd_lo, rd_hi, nnt)``.
+    """
+    cells = df.select(group1.alias("_g"), success.alias("_s")).agg(
+        F.sum(F.col("_g").cast("long")).cast("long").alias("n1"),
+        F.sum(F.when(F.col("_g") & F.col("_s"), 1).otherwise(0)).cast("long").alias("x1"),
+        F.sum((~F.col("_g")).cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(~F.col("_g") & F.col("_s"), 1).otherwise(0)).cast("long").alias("x2"),
+    )
+    staged = cells.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(_wilson_sub(WILSON_LO_EXPR, "x1", "n1")).alias("p1_lo"),
+        F.expr(_wilson_sub(WILSON_HI_EXPR, "x1", "n1")).alias("p1_hi"),
+        F.expr(_wilson_sub(WILSON_LO_EXPR, "x2", "n2")).alias("p2_lo"),
+        F.expr(_wilson_sub(WILSON_HI_EXPR, "x2", "n2")).alias("p2_hi"),
+    )
+    return staged.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(RD_EXPR).alias("rd"),
+        F.expr(RD_LO_EXPR).alias("rd_lo"),
+        F.expr(RD_HI_EXPR).alias("rd_hi"),
+    ).select("n1", "x1", "n2", "x2", "rd", "rd_lo", "rd_hi", F.expr(NNT_EXPR).alias("nnt"))

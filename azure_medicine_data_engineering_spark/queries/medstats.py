@@ -2599,3 +2599,57 @@ def q_quade_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return quade_test(src, "user_id", "event_type", "cents")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    NNT_EXPR,
+    RD_EXPR,
+    RD_HI_EXPR,
+    RD_LO_EXPR,
+    WILSON_HI_EXPR,
+    WILSON_LO_EXPR,
+    _wilson_sub,
+    risk_difference_newcombe,
+)
+
+
+@register(
+    "risk_difference_purchase_parity",
+    f"""
+    WITH cells AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      FROM events
+    ),
+    staged AS (
+      SELECT n1, x1, n2, x2,
+             {_wilson_sub(WILSON_LO_EXPR, 'x1', 'n1')} AS p1_lo,
+             {_wilson_sub(WILSON_HI_EXPR, 'x1', 'n1')} AS p1_hi,
+             {_wilson_sub(WILSON_LO_EXPR, 'x2', 'n2')} AS p2_lo,
+             {_wilson_sub(WILSON_HI_EXPR, 'x2', 'n2')} AS p2_hi
+      FROM cells
+    ),
+    rdq AS (
+      SELECT n1, x1, n2, x2, {RD_EXPR} AS rd, {RD_LO_EXPR} AS rd_lo,
+             {RD_HI_EXPR} AS rd_hi
+      FROM staged
+    )
+    SELECT n1, x1, n2, x2, rd, rd_lo, rd_hi, {NNT_EXPR} AS nnt FROM rdq
+    """,
+)
+def q_risk_difference_purchase_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute purchase-rate difference between even- and odd-parity
+    users with the Newcombe-Wilson hybrid 95% CI and NNT
+    (``rankstats.risk_difference_newcombe``) — the absolute-scale
+    effect readout completing the clinical 2×2 panel beside the odds
+    ratio, relative risk, Fisher exact, and the pooled z
+    (``two_proportion_test``); integer cells, shared Wilson-bound and
+    CI expressions."""
+    ev = events_table(spark, sf_dir)
+    return risk_difference_newcombe(
+        ev, F.col("user_id") % 2 == 0, F.col("event_type") == "purchase"
+    )

@@ -425,3 +425,44 @@ def test_dunning_keyness_planted(spark):
     g2_ref = 2 * (a * math.log(a * (na + nb) / ((a + b_) * na)))
     assert abs(out[0]["g2"] - _r4(g2_ref)) <= 2e-6  # g2 displays 4-dec
     assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_risk_difference_newcombe_naive(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        risk_difference_newcombe,
+    )
+    from pyspark.sql import functions as F
+
+    # group1: 30/100 success; group2: 10/100
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 70
+        + [(False, True)] * 10 + [(False, False)] * 90
+    )
+    df = spark.createDataFrame(rows, "g boolean, s boolean")
+    got = risk_difference_newcombe(df, F.col("g"), F.col("s")).collect()[0]
+    assert (got["n1"], got["x1"], got["n2"], got["x2"]) == (100, 30, 100, 10)
+    assert got["rd"] == 0.2 and got["nnt"] == 5.0
+
+    # independent Newcombe route: Wilson bounds from the closed form
+    def wilson(x, n, z=1.96):
+        p = x / n
+        lo = (p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+        hi = (p + z * z / (2 * n) + z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+        return lo, hi
+
+    l1, u1 = wilson(30, 100)
+    l2, u2 = wilson(10, 100)
+    d = 0.3 - 0.1
+    lo_ref = d - math.sqrt((0.3 - l1) ** 2 + (u2 - 0.1) ** 2)
+    hi_ref = d + math.sqrt((u1 - 0.3) ** 2 + (0.1 - l2) ** 2)
+    # production assembles from 4-dec-rounded Wilson bounds: ~2e-4 slack
+    assert abs(got["rd_lo"] - lo_ref) <= 3e-4
+    assert abs(got["rd_hi"] - hi_ref) <= 3e-4
+    assert got["rd_lo"] > 0  # clearly separated rates exclude 0
+
+    # RD = 0 -> NNT undefined -> NULL
+    rows0 = [(True, True)] * 5 + [(True, False)] * 5 + [(False, True)] * 5 + [(False, False)] * 5
+    got0 = risk_difference_newcombe(
+        spark.createDataFrame(rows0, "g boolean, s boolean"), F.col("g"), F.col("s")
+    ).collect()[0]
+    assert got0["rd"] == 0.0 and got0["nnt"] is None
