@@ -3532,13 +3532,18 @@ AB_Z_EXPR = (
 #: T(x) = x(x+1)/2 for x ≤ m0, else
 #: T(m0) + (x−m0)(N+1) − (x(x+1) − m0(m0+1))/2.
 def _ab_prefix(x: Column, n: Column) -> Column:
+    # All halvings are of products of consecutive integers (always even),
+    # so shiftright-by-1 on the long is the exact quotient. Never double
+    # `/` here: double→long truncates in Spark but CAST(double AS BIGINT)
+    # ROUNDS in DuckDB, and past ~9.5e7 pooled rows x*(x+1) exceeds 2^53
+    # and the engines would disagree by 1.
     m0 = F.expr("(nn + 1) div 2")
-    tm0 = (m0 * (m0 + 1) / 2).cast("long")
-    lo = (x * (x + 1) / 2).cast("long")
+    tm0 = F.shiftright((m0 * (m0 + 1)).cast("long"), 1)
+    lo = F.shiftright((x * (x + 1)).cast("long"), 1)
     hi = (
         tm0
         + (x - m0) * (n + 1)
-        - ((x * (x + 1) - m0 * (m0 + 1)) / 2).cast("long")
+        - F.shiftright((x * (x + 1) - m0 * (m0 + 1)).cast("long"), 1)
     ).cast("long")
     return F.when(x <= m0, lo).otherwise(hi)
 
@@ -3582,7 +3587,9 @@ def ansari_bradley_test(
     b_s = (_ab_prefix(p + c, nn) - _ab_prefix(p, nn)).cast("long")
     # floor(x+0.5): identical half-handling on identical doubles in both
     # engines (plain round() differs at exact .5 doubles)
-    w_term = F.floor(F.col("r.c1") * b_s * 1.0 / c * 1e4 + 0.5).cast(dec)
+    # promote BEFORE the c1*b_s product (b_s scales ~N·c on a heavy tie
+    # block; a LONG×LONG product could wrap silently while DuckDB raises)
+    w_term = F.floor(F.col("r.c1") * 1.0 * b_s / c * 1e4 + 0.5).cast(dec)
     sa2_term = F.floor(b_s * 1.0 * b_s / c * 1e4 + 0.5).cast(dec)
     scal = j.agg(
         F.max("t.nn").cast("long").alias("nn"),
@@ -3653,6 +3660,8 @@ def quade_test(
         )
         .groupBy("b", "trt")
         .agg(F.sum("x").cast("long").alias("m"))
+        .persist()  # events-scale agg: consumed eagerly by k_tot and
+        # embedded TWICE in cc's plan (cell join complete-from-cell)
     )
     k_tot = cell.select("trt").distinct().count()
     complete = (
@@ -3707,7 +3716,7 @@ def quade_test(
     out = scal.select(
         F.col("n").alias("n_blocks"), "k", F.expr(QUADE_F_EXPR).alias("f_stat")
     )
-    out._stage_caches = [cc, s_cells]
+    out._stage_caches = [cell, cc, s_cells]
     return out
 
 

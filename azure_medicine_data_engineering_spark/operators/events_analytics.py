@@ -394,6 +394,7 @@ def acf_daily_revenue(
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
     cache: bool = True,
+    include_n: bool = False,
 ) -> DataFrame:
     """Autocorrelation function of the daily revenue series at calendar
     lags 1..``max_lag`` — the Box-Jenkins diagnostic behind every
@@ -406,7 +407,9 @@ def acf_daily_revenue(
     and totals both read it), each lag pair comes from ONE keyed self-join
     on ``day_num + k`` after a 7× map-side explode. No windows at all.
 
-    Returns ``(k, npairs, r)`` — one row per lag.
+    Returns ``(k, npairs, r)`` — one row per lag — plus the day count
+    ``n`` when ``include_n`` (so downstream portmanteau tests reuse it
+    instead of re-scanning the fact table).
     """
     dec = "decimal(38,0)"
     daily = (
@@ -450,7 +453,10 @@ def acf_daily_revenue(
             F.col("t.q_d").cast("double").alias("q"),
         )
     )
-    return final.select("k", "npairs", F.expr(ACF_R_EXPR).alias("r"))
+    cols = ["k", "npairs", F.expr(ACF_R_EXPR).alias("r")]
+    if include_n:
+        cols.append(F.col("n"))
+    return final.select(*cols)
 
 
 def cusum_changepoint(
@@ -1360,22 +1366,16 @@ def ljung_box_daily(
     ≤ 1) and the ≤ max_lag-row sum is BIGINT. Returns one row
     ``(n, m, q_stat)``.
     """
-    acf = acf_daily_revenue(orders, max_lag, date_col, amount_col)
-    ndays = (
-        orders.groupBy(F.col(date_col).cast("date").alias("d"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    # include_n rides the day count out of the ACF's own totals frame —
+    # no second fact scan / groupBy just for n (ADVICE r8).
+    acf = acf_daily_revenue(orders, max_lag, date_col, amount_col, include_n=True)
     term_u = F.floor(
         F.col("r") * F.col("r") / (F.col("n") - F.col("k")) * 1e12 + 0.5
     ).cast("long")
-    scal = (
-        acf.crossJoin(F.broadcast(ndays))
-        .agg(
-            F.max("n").cast("long").alias("n"),
-            F.count(F.lit(1)).cast("long").alias("m"),
-            F.sum(term_u).cast("long").alias("lb_u"),
-        )
+    scal = acf.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(term_u).cast("long").alias("lb_u"),
     )
     return scal.select("n", "m", F.expr(LJUNG_BOX_Q_EXPR).alias("q_stat"))
 

@@ -2458,9 +2458,9 @@ from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa:
 def _ab_t_sql(x: str) -> str:
     """DuckDB twin of rankstats._ab_prefix: score-prefix T(x) closed form."""
     return (
-        f"(CASE WHEN {x} <= m0 THEN CAST({x} * ({x} + 1) / 2 AS BIGINT) "
+        f"(CASE WHEN {x} <= m0 THEN ({x} * ({x} + 1)) // 2 "
         f"ELSE CAST(tm0 + ({x} - m0) * (nn + 1) "
-        f"- CAST(({x} * ({x} + 1) - m0 * (m0 + 1)) / 2 AS BIGINT) AS BIGINT) END)"
+        f"- ({x} * ({x} + 1) - m0 * (m0 + 1)) // 2 AS BIGINT) END)"
     )
 
 
@@ -2489,7 +2489,7 @@ def _ab_t_sql(x: str) -> str:
     st AS (
       SELECT c.*, t.nn, t.n1, (t.nn + 1) // 2 AS m0 FROM cum c, tot t
     ),
-    st2 AS (SELECT *, CAST(m0 * (m0 + 1) / 2 AS BIGINT) AS tm0 FROM st),
+    st2 AS (SELECT *, m0 * (m0 + 1) // 2 AS tm0 FROM st),
     terms AS (
       SELECT *,
              {_ab_t_sql('(cnt_less + c_all)')} - {_ab_t_sql('cnt_less')} AS b_s
@@ -2498,7 +2498,7 @@ def _ab_t_sql(x: str) -> str:
     scal AS (
       SELECT CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(n1) AS BIGINT) AS n1,
              CAST(SUM(b_s) AS BIGINT) AS sa_i,
-             SUM(CAST(FLOOR(c1 * b_s * 1e0 / c_all * 1e4 + 0.5e0) AS HUGEINT))
+             SUM(CAST(FLOOR(c1 * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT))
                AS w_h,
              SUM(CAST(FLOOR(b_s * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT)) AS sa2_h
       FROM terms
