@@ -302,6 +302,45 @@ def test_ljung_box_naive(spark):
     assert got["q_stat"] > 15.09  # chi2_0.99(5): the sawtooth is decisive
 
 
+def test_ljung_box_hand_pinned(spark):
+    """Hand-computed 8-day ACF + Q pin, independent of acf_daily_revenue
+    (the sawtooth test above derives Q from the implementation's own r_k,
+    so it alone could not catch a defect SHARED by ACF and Q).
+
+    Series x = [2,4,6,8,6,4,2,4]; n=8; x̄ = 36/8 = 4.5.
+    Deviations d = [-2.5,-0.5,1.5,3.5,1.5,-0.5,-2.5,-0.5];
+    den = Σd² = 6.25+0.25+2.25+12.25+2.25+0.25+6.25+0.25 = 30.
+    lag-1 num = 1.25−0.75+5.25+5.25−0.75+1.25+1.25 = 12.75 → r1 = 0.425.
+    lag-2 num = −3.75−1.75+2.25−1.75−3.75+0.25 = −8.5
+      → r2 = −17/60 = −0.28333… → 4-dec −0.2833.
+    Q on the production 1e-12 grid over the ROUNDED r_k:
+      t1 = floor(0.425²/7·1e12 + .5)  = floor(25803571428.571+.5) = 25803571429
+      t2 = floor(0.2833²/6·1e12 + .5) = floor(13376481666.667+.5) = 13376481667
+      Q = round(8·10·(t1+t2)/1e12, 4) = round(3.13440424768, 4) = 3.1344.
+    """
+    import datetime
+
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        acf_daily_revenue,
+        ljung_box_daily,
+    )
+
+    vals = [2.0, 4.0, 6.0, 8.0, 6.0, 4.0, 2.0, 4.0]
+    base = datetime.date(2001, 3, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    rks = {r["k"]: r["r"] for r in acf_daily_revenue(df, max_lag=2).collect()}
+    assert rks[1] == pytest.approx(0.425, abs=1e-9)
+    assert rks[2] == pytest.approx(-0.2833, abs=1e-9)
+    got = ljung_box_daily(df, max_lag=2).collect()[0]
+    assert got["n"] == 8 and got["m"] == 2
+    assert got["q_stat"] == pytest.approx(3.1344, abs=1e-9)
+
+
 def test_hhi_poles(spark):
     from azure_medicine_data_engineering_spark.operators.events_analytics import (
         hhi_by_group,
