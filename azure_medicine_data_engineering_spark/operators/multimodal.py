@@ -52,14 +52,21 @@ DECODED_SCHEMA = StructType(
 
 
 def real_decode(payload: bytes) -> tuple[int, int, float]:
-    """Production decode hook: dispatches on container format. PNG is decoded
-    natively (:func:`png_decode` — pure stdlib, no image library); other
-    formats (JPEG etc.) need a codec library this runtime lacks."""
+    """Production decode hook: dispatches on container format. PNG decodes
+    natively (:func:`png_decode` — pure stdlib chunk walk), BASELINE JPEG
+    decodes natively too (:mod:`.jpeg` — marker walk, canonical Huffman,
+    batched numpy IDCT, chroma upsample; progressive raises cleanly);
+    remaining formats (video containers, audio) need codec libraries this
+    runtime lacks."""
     if payload[:8] == _PNG_SIG:
         return png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from azure_medicine_data_engineering_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     raise NotImplementedError(
-        "only PNG payloads decode natively; JPEG/other codecs require "
-        "PIL/opencv — wire them here in deployments"
+        "only PNG and baseline JPEG payloads decode natively; other codecs "
+        "require PIL/opencv/ffmpeg — wire them here in deployments"
     )
 
 
@@ -235,6 +242,58 @@ def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 pixels = (h * (n // 16 + 1))[:n]
                 ids.append(i)
                 payloads.append(png_encode_gray(w, ht, pixels))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-JPEG fixture with a BIT-EXACT decode: per row,
+    w = 8·(1 + b0 % 5) and h = 8·(1 + b1 % 4) from md5(text), and every
+    8x8 block is CONSTANT — block (by, bx) carries digest byte
+    ``(by·cols + bx) % 16``. Encoded with the flat quant table of 8s, the
+    DCT of each flat block is DC-only and survives quantization exactly
+    (see :mod:`.jpeg` module docstring), so the decoded luma mean is
+    SQL-recomputable from the md5 hex — the lossy format's analogue of the
+    lossless-PNG oracle trick. Arrow-batched mapInPandas, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.jpeg import (
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                cols = 1 + h[0] % 5
+                rows = 1 + h[1] % 4
+                bv = np.array(
+                    [h[(by * cols + bx) % 16] for by in range(rows) for bx in range(cols)],
+                    dtype=np.uint8,
+                ).reshape(rows, cols)
+                y = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
+                ids.append(i)
+                payloads.append(jpeg_encode(y))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

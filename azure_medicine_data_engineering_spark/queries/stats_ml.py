@@ -552,6 +552,49 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             1 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 5 AS cols,
+             1 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 4 AS rows
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(cols * 8 AS INT) AS width,
+           CAST(rows * 8 AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(rows * cols),
+                 i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT)))
+                 / (rows * cols * 255.0) AS DOUBLE), 4) AS mean_intensity
+    FROM d
+    """,
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec JPEG path: genuine baseline JPEG files (flat 8x8 blocks
+    from md5(text), flat quant table of 8s) decoded by the numpy/stdlib
+    baseline decoder (`operators/jpeg.py` — marker walk, canonical Huffman,
+    batched IDCT) inside Arrow-batched mapInPandas. DC-only blocks make the
+    lossy format's round trip BIT-EXACT (the DCT of a flat block survives
+    quantization exactly), so the oracle recomputes dimensions and the luma
+    mean from the md5 hex — the full container round-trip (entropy coding →
+    unstuffing → Huffman → dequantize → IDCT → stats) must be lossless to
+    hash-match."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        decode_media,
+        real_decode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_jpeg_payload(docs, "doc_id", "text")
+    return decode_media(media, decode_fn=real_decode).select(
+        "media_id", "media_type", "width", "height", "mean_intensity"
+    )
+
+
+@register(
     "multimodal_resize_png",
     """
     WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
