@@ -3526,6 +3526,20 @@ AB_Z_EXPR = (
     " / (nn * 1e0 * nn * (nn - 1e0))), 4)"
 )
 
+def snap_half_up_dec(x: Column) -> Column:
+    """floor(x + 0.5) → DECIMAL(38,0) WITHOUT Spark's floor(double)→BIGINT
+    conversion: micro-grid terms built from count PRODUCTS (Ansari sa2
+    ~N³/12·1e4 = 2.5e23 at 1e7 pooled rows; AD tail terms ~n1·n2·1e6 under
+    full separation) exceed BIGINT, where Spark's floor saturates/NULLs
+    while DuckDB's FLOOR stays double — the engines then diverge (the
+    100×-replica sweep caught exactly this on Ansari-Bradley, round 9).
+    ``y − y % 1.0`` floors in pure double arithmetic at any magnitude; the
+    integral double then casts to DECIMAL exactly, matching the oracle's
+    ``CAST(FLOOR(... + 0.5e0) AS HUGEINT)`` bit for bit."""
+    y = x + 0.5
+    return (y - y % F.lit(1.0)).cast("decimal(38,0)")
+
+
 #: Prefix sum of the AB score S(i) = min(i, N+1−i) over rank positions
 #: 1..x — integer closed form split at m0 = (N+1) div 2 (all products of
 #: consecutive integers, so the halvings are exact):
@@ -3570,6 +3584,7 @@ def ansari_bradley_test(
     in DECIMAL(38,0) (oracle HUGEINT). Returns ``(n1, n2, w, z)``.
     """
     dec = "decimal(38,0)"
+    snap = snap_half_up_dec
     is1 = F.col(group_col) == group1
     ranked = ranked_value_counts(
         df.select(F.col(value_col), is1.alias("_g1")),
@@ -3586,11 +3601,12 @@ def ansari_bradley_test(
     c = F.col("r.c_all")
     b_s = (_ab_prefix(p + c, nn) - _ab_prefix(p, nn)).cast("long")
     # floor(x+0.5): identical half-handling on identical doubles in both
-    # engines (plain round() differs at exact .5 doubles)
-    # promote BEFORE the c1*b_s product (b_s scales ~N·c on a heavy tie
-    # block; a LONG×LONG product could wrap silently while DuckDB raises)
-    w_term = F.floor(F.col("r.c1") * 1.0 * b_s / c * 1e4 + 0.5).cast(dec)
-    sa2_term = F.floor(b_s * 1.0 * b_s / c * 1e4 + 0.5).cast(dec)
+    # engines (plain round() differs at exact .5 doubles); snap() keeps the
+    # floor in DOUBLE space (magnitude-safe). Promote BEFORE the c1*b_s
+    # product (b_s scales ~N·c on a heavy tie block; a LONG×LONG product
+    # could wrap silently while DuckDB raises).
+    w_term = snap(F.col("r.c1") * 1.0 * b_s / c * 1e4)
+    sa2_term = snap(b_s * 1.0 * b_s / c * 1e4)
     scal = j.agg(
         F.max("t.nn").cast("long").alias("nn"),
         F.max("t.n1").cast("long").alias("n1"),
@@ -3784,3 +3800,265 @@ def risk_difference_newcombe(
         F.expr(RD_LO_EXPR).alias("rd_lo"),
         F.expr(RD_HI_EXPR).alias("rd_hi"),
     ).select("n1", "x1", "n2", "x2", "rd", "rd_lo", "rd_hi", F.expr(NNT_EXPR).alias("nnt"))
+
+
+# ---------------------------------------------------------------------------
+# Round 9 wave: Brunner-Munzel, Anderson-Darling 2-sample, Cohen's kappa,
+# Breslow-Day OR homogeneity.
+# ---------------------------------------------------------------------------
+
+#: Brunner-Munzel finalization over exact integer state (lawstat
+#: parameterization): doubled pooled-rank sums r1s2/r2s2, numerator-
+#: integer squared-deviation sums s1/s2 (each Σ c_g·inner² with
+#: inner = n_g·(m2 − w2 + n_g + 1) − r_gs2, so v_g = s_g/(4n_g²(n_g−1))).
+_BM_V1 = "(s1 / (4e0 * n1 * n1 * (n1 - 1e0)))"
+_BM_V2 = "(s2 / (4e0 * n2 * n2 * (n2 - 1e0)))"
+_BM_SIG = f"(n1 * {_BM_V1} + n2 * {_BM_V2})"
+BM_W_EXPR = (
+    f"case when {_BM_SIG} > 0e0 then "
+    f"round(n1 * 1e0 * n2 * (r2s2 / (2e0 * n2) - r1s2 / (2e0 * n1)) "
+    f"/ (n1 + n2) / sqrt({_BM_SIG}), 4) end"
+)
+BM_P_EXPR = "round((r2s2 / (2e0 * n2) - (n2 + 1e0) / 2e0) / n1, 4)"
+BM_DF_EXPR = (
+    f"case when {_BM_SIG} > 0e0 then "
+    f"round({_BM_SIG} * {_BM_SIG} / "
+    f"((n1 * {_BM_V1}) * (n1 * {_BM_V1}) / (n1 - 1e0) + "
+    f"(n2 * {_BM_V2}) * (n2 * {_BM_V2}) / (n2 - 1e0)), 4) end"
+)
+
+
+def brunner_munzel_test(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Brunner-Munzel two-sample test (the heteroscedasticity-robust
+    modern replacement for Mann-Whitney when the two groups may differ in
+    shape/variance — BM tests the stochastic-equality functional
+    P(X<Y) + ½P(X=Y) = ½ without MW's equal-shape assumption). Lawstat
+    parameterization: pooled and within-group MIDRANKS, per-group
+    squared-deviation variances, Satterthwaite df.
+
+    Exactness: all ranks live on the 0.5 grid, so DOUBLED midranks are
+    integers straight off :func:`grouped_cdf_counts` (two-phase bucketed
+    prefix sums — never a data-grain window): per distinct value,
+    ``m2 = 2(cum1+cum2) − (c1+c2) + 1`` (pooled) and
+    ``w_g2 = 2·cum_g − c_g + 1`` (within-group). The squared deviation of
+    every observation at that value is constant, and multiplying the
+    mean-centering through by n_g makes the per-value numerator
+    ``inner = n_g·(m2 − w_g2 + n_g + 1) − r_gs2`` an EXACT integer whose
+    square accumulates in DECIMAL(38,0) (oracle HUGEINT). The only
+    doubles are the shared finalization expressions. Returns one row
+    ``(n1, n2, p_hat, w, df_sw)``.
+    """
+    dec = "decimal(38,0)"
+    cdf = grouped_cdf_counts(
+        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
+        value_col,
+        "_f",
+    ).persist()
+    m2 = (2 * (F.col("cum1") + F.col("cum2")) - (F.col("c1") + F.col("c2")) + 1).cast(
+        "long"
+    )
+    w1_2 = (2 * F.col("cum1") - F.col("c1") + 1).cast("long")
+    w2_2 = (2 * F.col("cum2") - F.col("c2") + 1).cast("long")
+    sums = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+        F.sum(F.col("c1").cast(dec) * m2).alias("r1s2_d"),
+        F.sum(F.col("c2").cast(dec) * m2).alias("r2s2_d"),
+    )
+    j = cdf.alias("c").crossJoin(F.broadcast(sums).alias("t"))
+    inner1 = (
+        F.col("t.n1").cast(dec) * (m2 - w1_2 + F.col("t.n1") + 1)
+        - F.col("t.r1s2_d")
+    )
+    inner2 = (
+        F.col("t.n2").cast(dec) * (m2 - w2_2 + F.col("t.n2") + 1)
+        - F.col("t.r2s2_d")
+    )
+    scal = j.agg(
+        F.max("t.n1").cast("long").alias("n1"),
+        F.max("t.n2").cast("long").alias("n2"),
+        F.max(F.col("t.r1s2_d").cast("double")).alias("r1s2"),
+        F.max(F.col("t.r2s2_d").cast("double")).alias("r2s2"),
+        F.sum(F.col("c.c1") * inner1 * inner1).alias("s1_d"),
+        F.sum(F.col("c.c2") * inner2 * inner2).alias("s2_d"),
+    )
+    out = scal.select(
+        "n1",
+        "n2",
+        "r1s2",
+        "r2s2",
+        F.col("s1_d").cast("double").alias("s1"),
+        F.col("s2_d").cast("double").alias("s2"),
+    ).select(
+        "n1",
+        "n2",
+        F.expr(BM_P_EXPR).alias("p_hat"),
+        F.expr(BM_W_EXPR).alias("w"),
+        F.expr(BM_DF_EXPR).alias("df_sw"),
+    )
+    out._stage_caches = [cdf]
+    return out
+
+
+#: Anderson-Darling A²akN, RIGHT-CONTINUOUS variant (Scholz-Stephens
+#: 1987 eq. without midranks — scipy's ``anderson_ksamp(midrank=False)``
+#: twin of the MIDRANK :func:`ad_two_sample` / :data:`AD_A2_EXPR` above;
+#: the two differ on tied data): A² = (N−1)·S/(N·n1·n2) with S the
+#: 1e-6-grid sum of l·d²/(B(N−B)) over distinct values with pooled
+#: inclusive count B < N, d = n2·cum1 − n1·cum2 (the same exact integer
+#: as KS/CvM).
+AD_RIGHT_A2_EXPR = (
+    "round((nn - 1e0) * (s_u / 1e6) / (nn * 1e0 * n1 * n2), 4)"
+)
+
+
+def ad_two_sample_right(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic, RIGHT-CONTINUOUS tie
+    convention (Scholz-Stephens k-sample form at k=2 WITHOUT midranks —
+    scipy's ``anderson_ksamp(..., midrank=False)``). The variant twin of
+    the MIDRANK :func:`ad_two_sample`: on tie-free data they coincide;
+    on heavily tied integer grids (cents) they differ by design, and
+    a drift monitor comparing against a scipy-based baseline needs
+    whichever convention that baseline used. Same family role: KS takes
+    the sup, CvM integrates uniformly, AD reweights by 1/(B(N−B)) so
+    TAIL drift counts most.
+
+    Same two-phase bucketed CDF prefix sums as KS/CvM; per distinct value
+    the term ``l·d²/(B(N−B))`` is one shared double expression over exact
+    integers (d in DECIMAL — d² alone exceeds BIGINT at ~3e9-row groups),
+    snapped to the 1e-6 grid (floor(x+0.5)) and accumulated in
+    DECIMAL(38,0) (oracle HUGEINT). Returns one row ``(n1, n2, a2)``.
+    """
+    dec = "decimal(38,0)"
+    cdf = grouped_cdf_counts(
+        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
+        value_col,
+        "_f",
+    ).persist()
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    j = cdf.alias("c").crossJoin(F.broadcast(tot).alias("t"))
+    nn = F.col("t.n1") + F.col("t.n2")
+    bb = F.col("c.cum1") + F.col("c.cum2")
+    ll = F.col("c.c1") + F.col("c.c2")
+    d = (
+        F.col("c.cum1").cast(dec) * F.col("t.n2")
+        - F.col("c.cum2").cast(dec) * F.col("t.n1")
+    ).cast("double")
+    # snap in DOUBLE space: under full separation the tail term reaches
+    # ~l·n1·n2·1e6, past BIGINT — see snap_half_up_dec
+    term_u = F.when(
+        bb < nn,
+        snap_half_up_dec(ll * d * d / (bb.cast("double") * (nn - bb)) * 1e6),
+    ).otherwise(F.lit(0).cast(dec))
+    scal = j.agg(
+        F.max("t.n1").cast("long").alias("n1"),
+        F.max("t.n2").cast("long").alias("n2"),
+        F.sum(term_u).alias("s_d"),
+    )
+    out = scal.select(
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).cast("long").alias("nn"),
+        F.col("s_d").cast("double").alias("s_u"),
+    ).select("n1", "n2", F.expr(AD_RIGHT_A2_EXPR).alias("a2"))
+    out._stage_caches = [cdf]
+    return out
+
+
+#: Breslow-Day expected (1,1) cell under the common odds ratio t: the
+#: in-range root of (t−1)ã² − [t(r1+c1) + (n−r1−c1)]ã + t·r1·c1 = 0,
+#: linear (ã = r1c1/n) as t→1. r1 = a+b, c1 = a+c. The shared strings
+#: stage through named columns (qa/qb/qc/disc) to keep the IEEE sequence
+#: identical on both engines.
+_BD_T = "(adu * 1e0 / bcu)"  # UNROUNDED MH common OR from exact micro ints
+_BD_QA = f"({_BD_T} - 1e0)"
+_BD_QB = f"({_BD_T} * (r1 + c1) + (nk - r1 - c1))"
+_BD_QC = f"({_BD_T} * r1 * c1)"
+_BD_DISC = f"sqrt({_BD_QB} * {_BD_QB} - 4e0 * {_BD_QA} * {_BD_QC})"
+_BD_R1 = f"(({_BD_QB} - {_BD_DISC}) / (2e0 * {_BD_QA}))"
+_BD_R2 = f"(({_BD_QB} + {_BD_DISC}) / (2e0 * {_BD_QA}))"
+_BD_LO = "greatest(0e0, r1 + c1 - nk * 1e0)"
+_BD_HI = "least(r1 * 1e0, c1 * 1e0)"
+BD_EA_EXPR = (
+    f"case when abs({_BD_QA}) < 1e-12 then r1 * 1e0 * c1 / nk "
+    f"when {_BD_R1} >= {_BD_LO} and {_BD_R1} <= {_BD_HI} then {_BD_R1} "
+    f"else {_BD_R2} end"
+)
+#: Per-stratum chi2 term over the staged expected cell ea: variance is
+#: the harmonic form 1/(1/ã + 1/b̃ + 1/c̃ + 1/d̃); degenerate strata
+#: (expected cell on the boundary) contribute NULL -> excluded on both
+#: engines via the CASE.
+BD_TERM_EXPR = (
+    "case when ea > 0e0 and r1 - ea > 0e0 and c1 - ea > 0e0 "
+    "and nk - r1 - c1 + ea > 0e0 then "
+    "(a - ea) * (a - ea) * "
+    "(1e0 / ea + 1e0 / (r1 - ea) + 1e0 / (c1 - ea) "
+    "+ 1e0 / (nk - r1 - c1 + ea)) end"
+)
+
+
+def breslow_day_test(
+    df: DataFrame, exposure: Column, outcome: Column, stratum: Column
+) -> DataFrame:
+    """Breslow-Day homogeneity test of the odds ratio across strata — the
+    companion CMH (:func:`cmh_stratified`) needs before its common-OR
+    summary is quotable: CMH asks "is there a common association", BD
+    asks "is COMMON even the right model" (χ²_{K−1} under homogeneity; no
+    Tarone correction). Expected (1,1) cells solve the per-stratum
+    quadratic under the MH common OR (shared staged expressions, exact
+    integer margins; the UNROUNDED adu/bcu micro-int ratio feeds the
+    quadratic so no rounding compounds); per-stratum χ² terms snap to the
+    1e-6 grid and sum as BIGINTs. Returns one row
+    ``(n_strata, or_mh, chi2_bd)``."""
+    per = (
+        df.select(
+            stratum.alias("st"), exposure.alias("_e"), outcome.alias("_o")
+        )
+        .groupBy("st")
+        .agg(
+            F.sum(F.when(F.col("_e") & F.col("_o"), 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(F.col("_e") & ~F.col("_o"), 1).otherwise(0)).cast("long").alias("b"),
+            F.sum(F.when(~F.col("_e") & F.col("_o"), 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(~F.col("_e") & ~F.col("_o"), 1).otherwise(0)).cast("long").alias("d"),
+        )
+        .persist()  # feeds the MH scalar AND the per-stratum term frame
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    n = a + b + c + d
+    mh = per.where(n > 0).agg(
+        F.sum(F.round(a * 1.0 * d / n * 1e6).cast("long")).cast("long").alias("adu"),
+        F.sum(F.round(b * 1.0 * c / n * 1e6).cast("long")).cast("long").alias("bcu"),
+    )
+    staged = (
+        per.where(n > 1)
+        .select(
+            "a",
+            (a + b).cast("long").alias("r1"),
+            (a + c).cast("long").alias("c1"),
+            n.cast("long").alias("nk"),
+        )
+        .crossJoin(F.broadcast(mh))
+        .withColumn("ea", F.expr(BD_EA_EXPR))
+    )
+    scal = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.max("adu").cast("long").alias("adu"),
+        F.max("bcu").cast("long").alias("bcu"),
+        F.sum(
+            F.floor(F.expr(BD_TERM_EXPR) * 1e6 + 0.5).cast("long")
+        ).cast("long").alias("chi2_u"),
+    )
+    out = scal.select(
+        "n_strata",
+        F.expr("round(adu * 1e0 / bcu, 4)").alias("or_mh"),
+        F.expr("round(chi2_u / 1e6, 4)").alias("chi2_bd"),
+    )
+    out._stage_caches = [per]
+    return out

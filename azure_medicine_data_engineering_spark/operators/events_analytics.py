@@ -1429,3 +1429,4 @@ def hhi_by_group(
     )
     out._stage_caches = [per_entity]
     return out
+

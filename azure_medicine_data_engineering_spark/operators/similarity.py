@@ -1185,3 +1185,92 @@ def source_centroid_similarity(
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
         )
     )
+
+
+#: Per-vector cosine-to-centroid on the 1e-6 grid: dotc/nv/nc are EXACT
+#: integer quadratics (DECIMAL/HUGEINT state), the cosine is one shared
+#: double expression over them, snapped with floor(x·1e6 + 0.5).
+CENTROID_COS_U_EXPR = (
+    "case when nv > 0 and nc > 0 then "
+    "cast(floor(cast(dotc as double) / sqrt(cast(nv as double)) "
+    "/ sqrt(cast(nc as double)) * 1e6 + 0.5e0) as bigint) end"
+)
+
+
+def label_centroid_cohesion(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding cohesion: every vector's cosine to its OWN
+    label's (unnormalized) centroid, aggregated to the per-label mean and
+    minimum — the drift/mislabel screen for embedding corpora ("has this
+    shard's cluster gone diffuse", "which label hides off-cluster
+    vectors"). The min is the outlier tail; the mean is the cohesion
+    trend to alert on between snapshot versions.
+
+    Exactness at any scale: components snap to the 1e-6 integer grid
+    FIRST (float32 → double widening is exact, so both engines grid
+    identically), per-label per-dimension centroid sums are integer
+    (element order never matters), and all three quadratics (vec·cen,
+    |vec|², |cen|²) accumulate in DECIMAL(38,0) — |cen|² alone passes
+    BIGINT at ~100k vectors/label. The only double is the shared cosine
+    expression, snapped to the 1e-6 grid per vector so the per-label MEAN
+    is an exact integer ratio (no float-sum order dependence anywhere).
+    Plan: one explode for the keyed centroid agg (map-side combinable),
+    one broadcast join of the label-sized centroid frame back onto
+    vectors — no self-joins, no windows. Returns one row per label
+    ``(label, n_vecs, avg_cos, min_cos)``.
+    """
+    dec = "decimal(38,0)"
+    micro = df.select(
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+        ).alias("v"),
+    ).persist()  # two consumers: centroid explode + per-vector join
+    cen = (
+        micro.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("long").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda st: st["s"],
+            ).alias("cen")
+        )
+        .select(
+            "label",
+            "cen",
+            F.aggregate(
+                F.col("cen"),
+                F.lit(0).cast(dec),
+                lambda acc, x: acc + x.cast(dec) * x,
+            ).alias("nc"),
+        )
+    )
+    per_vec = (
+        micro.join(F.broadcast(cen), "label")
+        .select(
+            "label",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cen"), lambda a, b: a.cast(dec) * b),
+                F.lit(0).cast(dec),
+                lambda acc, x: acc + x,
+            ).alias("dotc"),
+            F.aggregate(
+                F.col("v"),
+                F.lit(0).cast(dec),
+                lambda acc, x: acc + x.cast(dec) * x,
+            ).alias("nv"),
+            F.col("nc"),
+        )
+        .select("label", F.expr(CENTROID_COS_U_EXPR).alias("cos_u"))
+    )
+    out = per_vec.where(F.col("cos_u").isNotNull()).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("round(sum(cos_u) * 1e0 / count(1) / 1e6, 6)").alias("avg_cos"),
+        F.expr("round(min(cos_u) * 1e0 / 1e6, 6)").alias("min_cos"),
+    )
+    out._stage_caches = [micro]
+    return out

@@ -1978,3 +1978,4 @@ def q_ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel into one decision-ready statistic. Per-lag terms snap to the
     1e-12 grid over the already-shared 4-decimal r_k values."""
     return ljung_box_daily(_t(spark, sf_dir, "orders"))
+

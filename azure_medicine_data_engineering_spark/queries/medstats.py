@@ -2653,3 +2653,197 @@ def q_risk_difference_purchase_parity(spark: SparkSession, sf_dir: str) -> DataF
     return risk_difference_newcombe(
         ev, F.col("user_id") % 2 == 0, F.col("event_type") == "purchase"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Brunner-Munzel, right-continuous Anderson-Darling, Breslow-Day.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    AD_RIGHT_A2_EXPR,
+    BD_EA_EXPR,
+    BD_TERM_EXPR,
+    BM_DF_EXPR,
+    BM_P_EXPR,
+    BM_W_EXPR,
+    ad_two_sample_right,
+    breslow_day_test,
+    brunner_munzel_test,
+)
+
+#: Shared CDF CTE over event value cents, group1 = click (the BM/AD twin of
+#: the ansari/mann-whitney layout): inclusive per-group cumulative counts
+#: over distinct values.
+_CDF_CTE = """
+    v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                 event_type = 'click' AS f
+          FROM events),
+    cnt AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM v GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             CAST(SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM cnt
+    )
+"""
+
+
+@register(
+    "brunner_munzel_click_vs_rest",
+    f"""
+    WITH {_CDF_CTE},
+    tot AS (
+      SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2,
+             SUM(CAST(c1 AS HUGEINT) * (2 * (cum1 + cum2) - (c1 + c2) + 1)) AS r1s2_h,
+             SUM(CAST(c2 AS HUGEINT) * (2 * (cum1 + cum2) - (c1 + c2) + 1)) AS r2s2_h
+      FROM cum
+    ),
+    terms AS (
+      SELECT c.c1, c.c2, t.n1, t.n2, t.r1s2_h, t.r2s2_h,
+             2 * (c.cum1 + c.cum2) - (c.c1 + c.c2) + 1 AS m2,
+             2 * c.cum1 - c.c1 + 1 AS w1_2,
+             2 * c.cum2 - c.c2 + 1 AS w2_2
+      FROM cum c, tot t
+    ),
+    scal AS (
+      SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(MAX(r1s2_h) AS DOUBLE) AS r1s2,
+             CAST(MAX(r2s2_h) AS DOUBLE) AS r2s2,
+             CAST(SUM(c1 * (CAST(n1 AS HUGEINT) * (m2 - w1_2 + n1 + 1) - r1s2_h)
+                         * (CAST(n1 AS HUGEINT) * (m2 - w1_2 + n1 + 1) - r1s2_h))
+                  AS DOUBLE) AS s1,
+             CAST(SUM(c2 * (CAST(n2 AS HUGEINT) * (m2 - w2_2 + n2 + 1) - r2s2_h)
+                         * (CAST(n2 AS HUGEINT) * (m2 - w2_2 + n2 + 1) - r2s2_h))
+                  AS DOUBLE) AS s2
+      FROM terms
+    )
+    SELECT n1, n2, {BM_P_EXPR} AS p_hat, {BM_W_EXPR} AS w, {BM_DF_EXPR} AS df_sw
+    FROM scal
+    """,
+)
+def q_brunner_munzel_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel stochastic-equality test of click event values
+    (cents) vs the rest (``rankstats.brunner_munzel_test``) — the
+    heteroscedasticity-robust modern replacement for the Mann-Whitney
+    reading (``mann_whitney_click_vs_view``): tests P(X<Y)+½P(X=Y)=½
+    without the equal-shape assumption, with Satterthwaite df. Doubled
+    midranks off the bucketed CDF prefix sums; exact integer deviation
+    numerators in DECIMAL/HUGEINT."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return brunner_munzel_test(src, "cents", "event_type", "click")
+
+
+@register(
+    "anderson_darling_click_vs_rest",
+    f"""
+    WITH {_CDF_CTE},
+    tot AS (
+      SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2
+      FROM cum
+    ),
+    terms AS (
+      SELECT c.c1, c.c2, c.cum1, c.cum2, t.n1, t.n2,
+             CAST(CAST(c.cum1 AS HUGEINT) * t.n2
+                  - CAST(c.cum2 AS HUGEINT) * t.n1 AS DOUBLE) AS d
+      FROM cum c, tot t
+    ),
+    scal AS (
+      SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             SUM(CASE WHEN cum1 + cum2 < n1 + n2 THEN
+                 CAST(FLOOR((c1 + c2) * d * d
+                      / (CAST(cum1 + cum2 AS DOUBLE) * (n1 + n2 - cum1 - cum2))
+                      * 1e6 + 0.5e0) AS HUGEINT)
+                 ELSE 0 END) AS s_h
+      FROM terms
+    ),
+    dbl AS (
+      SELECT n1, n2, CAST(n1 + n2 AS BIGINT) AS nn,
+             CAST(s_h AS DOUBLE) AS s_u
+      FROM scal
+    )
+    SELECT n1, n2, {AD_RIGHT_A2_EXPR} AS a2 FROM dbl
+    """,
+)
+def q_anderson_darling_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A² of click event values (cents) vs
+    the rest, RIGHT-CONTINUOUS tie convention
+    (``rankstats.ad_two_sample_right`` — scipy's ``midrank=False``): the
+    variant twin of the midrank ``ad_test_click_vs_view``, and the two
+    deliberately DIFFER on this heavily tied cents grid — a drift monitor
+    migrating from a scipy baseline needs whichever convention that
+    baseline used. Same bucketed CDF prefix sums; 1e-6-grid terms in
+    HUGEINT/DECIMAL."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ad_two_sample_right(src, "cents", "event_type", "click")
+
+
+@register(
+    "breslow_day_odds_by_year",
+    f"""
+    WITH per AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS st,
+        CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM (
+        SELECT o_orderdate, o_orderpriority LIKE '1-%' AS e,
+               o_orderstatus = 'F' AS o
+        FROM orders
+      ) t GROUP BY 1
+    ),
+    per2 AS (SELECT *, a + b + c + d AS n FROM per),
+    mh AS (
+      SELECT
+        CAST(SUM(CAST(ROUND(a * 1e0 * d / n * 1e6) AS BIGINT)) AS BIGINT) AS adu,
+        CAST(SUM(CAST(ROUND(b * 1e0 * c / n * 1e6) AS BIGINT)) AS BIGINT) AS bcu
+      FROM per2 WHERE n > 0
+    ),
+    staged AS (
+      SELECT p.a, CAST(p.a + p.b AS BIGINT) AS r1,
+             CAST(p.a + p.c AS BIGINT) AS c1,
+             CAST(p.n AS BIGINT) AS nk, m.adu, m.bcu
+      FROM per2 p, mh m WHERE p.n > 1
+    ),
+    staged2 AS (SELECT *, {BD_EA_EXPR} AS ea FROM staged),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(MAX(adu) AS BIGINT) AS adu, CAST(MAX(bcu) AS BIGINT) AS bcu,
+             CAST(SUM(CAST(FLOOR({BD_TERM_EXPR} * 1e6 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS chi2_u
+      FROM staged2
+    )
+    SELECT n_strata, round(adu * 1e0 / bcu, 4) AS or_mh,
+           round(chi2_u / 1e6, 4) AS chi2_bd
+    FROM scal
+    """,
+)
+def q_breslow_day_odds_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day homogeneity test of the urgent-priority/fulfilment
+    odds ratio across order years (``rankstats.breslow_day_test``) — the
+    model check ``cmh_stratified_odds_by_year`` needs before its common
+    OR is quotable: a significant BD χ²_{K−1} says the per-year ORs
+    differ and the MH summary hides real-year structure. Per-stratum
+    expected cells solve the common-OR quadratic in shared staged
+    expressions; χ² terms ride the 1e-6 grid."""
+    o = _t(spark, sf_dir, "orders")
+    return breslow_day_test(
+        o,
+        F.col("o_orderpriority").like("1-%"),
+        F.col("o_orderstatus") == "F",
+        F.year("o_orderdate").cast("long"),
+    )

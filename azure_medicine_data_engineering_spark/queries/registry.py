@@ -24,9 +24,20 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator registering a query (and its oracle SQL twin, if any)."""
+    """Decorator registering a query (and its oracle SQL twin, if any).
+
+    Duplicate names RAISE: a silent overwrite destroys the earlier
+    query's oracle and breaks the driver's cumulative per-name ledger
+    (a round-9 duplicate of the round-7 runs test slipped through
+    exactly this way before the guard existed)."""
 
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"query {name!r} is already registered "
+                f"({QUERIES[name].__module__}.{QUERIES[name].__qualname__}); "
+                f"pick a distinct name instead of overwriting"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

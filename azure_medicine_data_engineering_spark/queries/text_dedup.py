@@ -2375,3 +2375,58 @@ def q_textrank_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("node").alias("word"),
         F.round(F.col("pr").cast("double"), 4).alias("pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: per-label embedding centroid cohesion.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.similarity import (  # noqa: E402
+    CENTROID_COS_U_EXPR,
+    label_centroid_cohesion,
+)
+
+
+@register(
+    "embedding_label_cohesion",
+    f"""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+      FROM m
+    ),
+    c AS (
+      SELECT label, dim, CAST(SUM(val) AS BIGINT) AS s FROM e GROUP BY 1, 2
+    ),
+    ncs AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS nc FROM c GROUP BY 1),
+    p AS (
+      SELECT e.label, e.vec_id,
+             SUM(CAST(e.val AS HUGEINT) * c.s) AS dotc,
+             SUM(CAST(e.val AS HUGEINT) * e.val) AS nv
+      FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT p.label, {CENTROID_COS_U_EXPR.replace("nc", "ncs.nc")} AS cos_u
+      FROM p JOIN ncs ON p.label = ncs.label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(sum(cos_u) * 1e0 / count(1) / 1e6, 6) AS avg_cos, -- lint: ok exact 1e-6-grid BIGINT sum
+           round(min(cos_u) * 1e0 / 1e6, 6) AS min_cos
+    FROM u WHERE cos_u IS NOT NULL GROUP BY label
+    """,
+)
+def q_embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion (``similarity.label_centroid_cohesion``):
+    each vector's cosine to its own label's centroid, reduced to the
+    per-label mean (drift trend) and minimum (mislabel/outlier tail) —
+    the embedding-corpus companion to the pairwise source-centroid cosine
+    matrix. 1e-6 integer grid end to end: integer centroid sums, DECIMAL/
+    HUGEINT quadratics, per-vector snapped cosine, exact integer mean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_cohesion(emb, "label", "embedding")

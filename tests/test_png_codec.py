@@ -123,8 +123,15 @@ def test_real_decode_dispatches_png():
 
     payload = png_encode_gray(3, 3, bytes([9] * 9))
     assert real_decode(payload) == (3, 3, _expected_mean(bytes([9] * 9)))
+    # JPEG dispatches to the round-9 baseline decoder now (a truncated
+    # stream is a JpegError, not a codec gap); only genuinely unwired
+    # formats raise NotImplementedError
+    from azure_medicine_data_engineering_spark.operators.jpeg import JpegError
+
+    with pytest.raises(JpegError):
+        real_decode(b"\xff\xd8\xff\xe0 jpeg-ish but truncated")
     with pytest.raises(NotImplementedError):
-        real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+        real_decode(b"RIFF....WAVEfmt ")
 
 
 def test_resize_nearest_identity_and_geometry():

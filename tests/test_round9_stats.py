@@ -1,0 +1,305 @@
+"""Round-9 statistics panel: every test pins its statistic through an
+INDEPENDENT route (published worked example, algebraically different
+summation, exact enumeration, numpy root-finder, or hand arithmetic) per
+the mirror-independence rule hardened in rounds 7–9."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (
+    ad_two_sample,
+    ad_two_sample_right,
+    breslow_day_test,
+    brunner_munzel_test,
+    cohens_kappa,
+)
+from azure_medicine_data_engineering_spark.operators.events_analytics import (
+    runs_test_daily,
+)
+from azure_medicine_data_engineering_spark.operators.similarity import (
+    label_centroid_cohesion,
+)
+
+
+# ---------------------------------------------------------------------------
+# Brunner-Munzel: the published example from Brunner & Munzel (2000) /
+# the R lawstat docs — W = 3.1375, df = 17.68, p̂ = 0.789.
+# ---------------------------------------------------------------------------
+
+BM_X1 = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+BM_X2 = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+
+
+def test_brunner_munzel_published_example(spark):
+    rows = [("g1", float(v)) for v in BM_X1] + [("g2", float(v)) for v in BM_X2]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = brunner_munzel_test(df, "v", "g", "g1").collect()[0]
+    assert (got["n1"], got["n2"]) == (14, 11)
+    assert got["p_hat"] == pytest.approx(0.789, abs=1e-9)
+    assert got["w"] == pytest.approx(3.1375, abs=1e-9)
+    assert got["df_sw"] == pytest.approx(17.6828, abs=1e-3)
+
+
+def test_brunner_munzel_swap_identity(spark):
+    """Swapping the two groups negates W and complements p̂ — a structural
+    identity that pairs with the published pin above."""
+    rows = [("g1", float(v)) for v in BM_X1] + [("g2", float(v)) for v in BM_X2]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = brunner_munzel_test(df, "v", "g", "g1").collect()[0]
+    b = brunner_munzel_test(df, "v", "g", "g2").collect()[0]
+    assert a["w"] == pytest.approx(-b["w"], abs=2e-4)
+    assert a["p_hat"] + b["p_hat"] == pytest.approx(1.0, abs=2e-4)
+    assert a["df_sw"] == pytest.approx(b["df_sw"], abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling, RIGHT-CONTINUOUS variant (ad_two_sample_right):
+# independent POSITION-indexed summation (over pooled order statistics
+# j = 1..N−1) vs the production distinct-value route — two algebraically
+# different folds that must coincide; on tie-free data the midrank
+# variant (ad_two_sample) must coincide with BOTH.
+# ---------------------------------------------------------------------------
+
+
+def _ad_position_route(a, b):
+    pool = sorted(a + b)
+    n_tot = len(pool)
+    n1, n2 = len(a), len(b)
+    s = 0.0
+    for j in range(1, n_tot):
+        zj = pool[j - 1]
+        m1 = sum(1 for v in a if v <= zj)
+        m2 = sum(1 for v in b if v <= zj)
+        s += (1 / n1) * (n_tot * m1 - j * n1) ** 2 / (j * (n_tot - j))
+        s += (1 / n2) * (n_tot * m2 - j * n2) ** 2 / (j * (n_tot - j))
+    return (n_tot - 1) / n_tot * s / n_tot
+
+
+def test_anderson_darling_vs_position_route_no_ties(spark):
+    a = [38.7, 41.5, 43.8, 44.5, 45.5, 46.0, 47.7, 58.0]
+    b = [39.2, 39.3, 39.7, 41.4, 41.8, 42.9, 43.3, 45.8]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ref = _ad_position_route(a, b)
+    got = ad_two_sample_right(df, "v", "g", "a").collect()[0]
+    assert (got["n1"], got["n2"]) == (8, 8)
+    assert got["a2"] == pytest.approx(ref, abs=1e-3)
+    # the midrank variant is a DIFFERENT discretization (half-steps at
+    # each observation) — close but not equal even without ties
+    mid = ad_two_sample(df, "v", "g", "a").collect()[0]
+    assert mid["a2"] != got["a2"]
+    assert mid["a2"] == pytest.approx(ref, rel=0.15)
+
+
+def test_anderson_darling_separated_samples(spark):
+    """Fully separated samples — the tail terms reach ~l·n1·n2·1e6, the
+    magnitude class where Spark's floor(double)→BIGINT saturates (the
+    snap_half_up_dec regression caught at the 100× replica)."""
+    a = [float(i) for i in range(100)]
+    b = [float(i + 1000) for i in range(100)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ad_two_sample_right(df, "v", "g", "a").collect()[0]
+    ref = _ad_position_route(a, b)
+    assert got["a2"] == pytest.approx(ref, abs=1e-3)
+    assert got["a2"] > 30  # decisively non-null
+
+
+def test_anderson_darling_with_ties(spark):
+    a = [1.0, 1.0, 2.0, 3.0, 3.0]
+    b = [2.0, 2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ad_two_sample_right(df, "v", "g", "a").collect()[0]
+    # discrete (distinct-value) route computed by hand in plain python,
+    # structured differently from the Spark prefix-sum plan
+    pool = sorted(set(a + b))
+    n1, n2 = len(a), len(b)
+    n_tot = n1 + n2
+    s = cum1 = cum2 = 0
+    sval = 0.0
+    for v in pool:
+        c1 = a.count(v)
+        c2 = b.count(v)
+        cum1 += c1
+        cum2 += c2
+        bb = cum1 + cum2
+        if bb < n_tot:
+            d = n2 * cum1 - n1 * cum2
+            sval += (c1 + c2) * d * d / (bb * (n_tot - bb))
+    ref = (n_tot - 1) * sval / (n_tot * n1 * n2)
+    assert got["a2"] == pytest.approx(ref, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (the round-5 operator): hand 2x2 pin — po = 0.7, pe = 0.5,
+# κ = 0.4 by calculator arithmetic, independent of KAPPA_EXPR's cleared
+# integer form.
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_hand_pin(spark):
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 5
+        + [(False, True)] * 10 + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    # po = 35/50 = 0.7; pe = (25·30 + 25·20)/2500 = 0.5; κ = 0.2/0.5 = 0.4
+    assert (got["n"], got["a"], got["b"], got["c"], got["d"]) == (50, 20, 5, 10, 15)
+    assert got["kappa"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_cohens_kappa_identical_raters(spark):
+    ident = [(True, True)] * 3 + [(False, False)] * 7
+    got = cohens_kappa(
+        spark.createDataFrame(ident, "a boolean, b boolean"),
+        F.col("a"), F.col("b"),
+    ).collect()[0]
+    assert got["kappa"] == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Breslow-Day: homogeneous-OR zero pin (needs no BD formula at all) +
+# heterogeneous case with expected cells from numpy's root finder.
+# ---------------------------------------------------------------------------
+
+
+def _bd_rows(strata):
+    rows = []
+    for st, (a, b, c, d) in strata.items():
+        rows += [(st, True, True)] * a + [(st, True, False)] * b
+        rows += [(st, False, True)] * c + [(st, False, False)] * d
+    return rows
+
+
+def test_breslow_day_zero_under_homogeneity(spark):
+    strata = {1: (4, 1, 2, 2), 2: (8, 2, 4, 4), 3: (12, 6, 2, 4)}
+    for a, b, c, d in strata.values():
+        assert a * d == 4 * b * c  # every stratum OR exactly 4
+    df = spark.createDataFrame(_bd_rows(strata), ["st", "e", "o"])
+    got = breslow_day_test(df, F.col("e"), F.col("o"), F.col("st")).collect()[0]
+    assert got["n_strata"] == 3
+    assert got["or_mh"] == pytest.approx(4.0, abs=1e-3)
+    assert got["chi2_bd"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_breslow_day_vs_numpy_roots(spark):
+    strata = {1: (10, 5, 4, 12), 2: (6, 14, 11, 5)}
+    df = spark.createDataFrame(_bd_rows(strata), ["st", "e", "o"])
+    got = breslow_day_test(df, F.col("e"), F.col("o"), F.col("st")).collect()[0]
+    adu = sum(
+        round(a * d / (a + b + c + d) * 1e6) for a, b, c, d in strata.values()
+    )
+    bcu = sum(
+        round(b * c / (a + b + c + d) * 1e6) for a, b, c, d in strata.values()
+    )
+    t = adu / bcu
+    chi2 = 0.0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        r1, c1 = a + b, a + c
+        roots = np.roots([t - 1, -(t * (r1 + c1) + (n - r1 - c1)), t * r1 * c1])
+        ea = [
+            r.real for r in roots
+            if max(0, r1 + c1 - n) - 1e-9 <= r.real <= min(r1, c1) + 1e-9
+        ][0]
+        var = 1 / (1 / ea + 1 / (r1 - ea) + 1 / (c1 - ea) + 1 / (n - r1 - c1 + ea))
+        chi2 += (a - ea) ** 2 / var
+    assert got["or_mh"] == pytest.approx(t, abs=1e-3)
+    assert got["chi2_bd"] == pytest.approx(chi2, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Runs test (round-7 implementation): exact moments by FULL enumeration of
+# all binomial(n, n1) above/below arrangements — the variance constant in
+# RUNS_Z_EXPR cannot hide behind a mirrored formula.
+# ---------------------------------------------------------------------------
+
+
+def _count_runs(seq):
+    return 1 + sum(1 for i in range(1, len(seq)) if seq[i] != seq[i - 1])
+
+
+def test_runs_test_vs_enumerated_moments(spark):
+    import datetime
+    import itertools
+
+    # 8 days; the r7 convention cuts at the LOWER-MIDDLE order statistic
+    # (here 90) with equal-to-median counting BELOW -> 4 above, 4 below
+    vals = [90, 110, 80, 70, 120, 130, 140, 60]
+    pattern = [v > 90 for v in vals]
+    base = datetime.date(2002, 5, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = runs_test_daily(df).collect()[0]
+    n1 = sum(pattern)
+    n2 = len(pattern) - n1
+    r_obs = _count_runs(pattern)
+    assert (got["n1"], got["n2"], got["r"]) == (n1, n2, r_obs)
+    # exact conditional moments by enumerating all C(8,4) arrangements
+    runs_dist = [
+        _count_runs(arr)
+        for arr in set(itertools.permutations(pattern))
+    ]
+    e_r = sum(runs_dist) / len(runs_dist)
+    var_r = sum((r - e_r) ** 2 for r in runs_dist) / len(runs_dist)
+    z_ref = (r_obs - e_r) / math.sqrt(var_r)
+    assert got["z"] == pytest.approx(z_ref, abs=1e-4)
+
+
+def test_runs_test_equal_to_median_counts_below(spark):
+    import datetime
+
+    vals = [100, 100, 50, 150, 50, 150]  # lower-middle median = 100
+    base = datetime.date(2002, 6, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=i), datetime.time()),
+         float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    got = runs_test_daily(df).collect()[0]
+    # signs by day: 0 0 0 1 0 1 -> n1=2 above, n2=4 (median days below), r=4
+    assert (got["n1"], got["n2"], got["r"]) == (2, 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Centroid cohesion: hand-computable two-label pin.
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroid_cohesion_hand_pin(spark):
+    rows = [
+        (1, 0, [1.0, 0.0]),   # label 0: centroid (1e6, 1e6) after micro grid
+        (2, 0, [0.0, 1.0]),   # cos(v, c) = 1/√2 for both vectors
+        (3, 1, [3.0, 4.0]),   # label 1: identical vectors -> cos = 1
+        (4, 1, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {
+        r["label"]: r.asDict()
+        for r in label_centroid_cohesion(df, "label", "embedding").collect()
+    }
+    # floor(1/√2·1e6 + 0.5) = 707107
+    assert got[0]["n_vecs"] == 2
+    assert got[0]["avg_cos"] == pytest.approx(0.707107, abs=1e-9)
+    assert got[0]["min_cos"] == pytest.approx(0.707107, abs=1e-9)
+    assert got[1]["n_vecs"] == 2
+    assert got[1]["avg_cos"] == 1.0 and got[1]["min_cos"] == 1.0
+
+
+def test_label_centroid_cohesion_outlier_min(spark):
+    rows = [(i, 0, [1.0, 0.0]) for i in range(9)] + [(9, 0, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = label_centroid_cohesion(df, "label", "embedding").collect()[0]
+    # centroid (8e6, 0): inliers cos=1, the flipped vector cos=-1
+    assert got["min_cos"] == -1.0
+    assert got["avg_cos"] == pytest.approx((9 * 1.0 - 1.0) / 10, abs=1e-9)

@@ -265,6 +265,11 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row bucket-offset window of the block-range rank prefix sum
     # (rankstats.quade_test weights; same class as mann_whitney)
     "quade_value_by_type_blocks": (1, "1024-row rank-bucket offset window"),
+    # round 9: 1024-row bucket-offset windows of the grouped-CDF prefix
+    # sum (same class as ks/cvm/ad_test; rankstats.brunner_munzel_test and
+    # rankstats.ad_two_sample_right docstrings)
+    "brunner_munzel_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
+    "anderson_darling_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
