@@ -398,14 +398,32 @@ def image_quality_flags(df: DataFrame, low_contrast_sigma: int = 8) -> DataFrame
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def samples(payload: bytes):
+            # container dispatch mirrors real_decode: PNG all-channel
+            # samples, JPEG the full-resolution LUMA plane
+            if payload[:8] == _PNG_SIG:
+                w, h, _c, px = png_decode_pixels(payload)
+                return w, h, np.frombuffer(px, dtype=np.uint8)
+            if payload[:2] == b"\xff\xd8":
+                from azure_medicine_data_engineering_spark.operators.jpeg import (
+                    jpeg_decode_planes,
+                )
+
+                w, h, planes, _n = jpeg_decode_planes(payload)
+                return w, h, planes[0].reshape(-1)
+            raise NotImplementedError("only PNG/JPEG quality gates are wired")
+
         for b in batches:
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
-                w, h, _c, px = png_decode_pixels(bytes(payload))
-                n = len(px)
-                s = sum(px)
-                q = sum(x * x for x in px)
-                rows.append((mid, w, h, n, s, q, min(px), max(px)))
+                w, h, px = samples(bytes(payload))
+                arr = px.astype(np.int64)
+                n = int(arr.size)
+                s = int(arr.sum())
+                q = int((arr * arr).sum())
+                rows.append((mid, w, h, n, s, q, int(arr.min()), int(arr.max())))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "_n", "_s", "_q",

@@ -595,6 +595,56 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_quality_gates",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             1 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 5 AS cols,
+             1 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 4 AS rows
+      FROM m
+    ),
+    b AS (
+      SELECT doc_id, cols, rows,
+             list_transform(range(rows * cols),
+               i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS BIGINT)) AS bv
+      FROM d
+    ),
+    st AS (
+      SELECT doc_id, CAST(cols * 8 AS INT) AS width, CAST(rows * 8 AS INT) AS height,
+             CAST(rows * cols * 64 AS BIGINT) AS n,
+             CAST(64 * list_sum(bv) AS BIGINT) AS s,
+             CAST(64 * list_sum(list_transform(bv, x -> x * x)) AS BIGINT) AS q,
+             CAST(list_min(bv) AS INT) AS px_min,
+             CAST(list_max(bv) AS INT) AS px_max
+      FROM b
+    )
+    SELECT doc_id AS media_id, width, height, px_min, px_max,
+           CAST(px_max - px_min AS INT) AS dynamic_range,
+           n * q - s * s = 0 AS is_blank,
+           n * q - s * s < 64 * n * n AS is_low_contrast
+    FROM st
+    """,
+)
+def q_multimodal_jpeg_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-corpus quality gating: planted baseline JPEGs (DC-only blocks
+    from md5(text)) decoded by the round-9 baseline decoder and flagged
+    blank / low-contrast by `multimodal.image_quality_flags` (σ² < t as an
+    integer inequality on pixel sums). The DC-only fixtures decode
+    bit-exactly, so the oracle recomputes the per-image pixel moments from
+    the md5 hex — single-block images (cols = rows = 1) flag blank by
+    construction. Map-only Arrow plan, same shape as the PNG gates."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        image_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_jpeg_payload(docs, "doc_id", "text")
+    return image_quality_flags(media)
+
+
+@register(
     "multimodal_resize_png",
     """
     WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
