@@ -4062,3 +4062,190 @@ def breslow_day_test(
     )
     out._stage_caches = [per]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fligner-Killeen normal-scores dispersion test (round 9).
+# ---------------------------------------------------------------------------
+
+#: Normal score a(r) = Φ⁻¹(p), p = ½ + r/(2(N+1)) with r the pooled
+#: midrank of |x − med_g| (doubled midrank m2 keeps p exact):
+FK_P_EXPR = "(5e-1 + m2 / (4e0 * (nn + 1e0)))"
+#: Acklam (2003) CENTRAL-region rational (|p − ½| ≤ 0.47575) over the
+#: staged qc_ = p − ½, rc_ = qc_²; the upper tail reuses the ESD
+#: upper-region rational (regress.ESD_Z_EXPR) on qt_ = sqrt(−2 ln(1−p)).
+FK_CENTRAL_EXPR = (
+    "(((((-3.969683028665376e+01 * rc_ + 2.209460984245205e+02) * rc_"
+    " + -2.759285104469687e+02) * rc_ + 1.383577518672690e+02) * rc_"
+    " + -3.066479806614716e+01) * rc_ + 2.506628277459239e+00) * qc_"
+    " / (((((-5.447609879822406e+01 * rc_ + 1.615858368580409e+02) * rc_"
+    " + -1.556989798598866e+02) * rc_ + 6.680131188771972e+01) * rc_"
+    " + -1.328068155288572e+01) * rc_ + 1e0)"
+)
+#: χ² = (Σ_g S_g²/n_g − S²/N) / ((Q − S²/N)/(N−1)) over 1e-9-grid score
+#: integers (the micro scale cancels). Zero score variance → NULL.
+FK_CHI2_EXPR = (
+    "case when q - s * s / nn > 0e0 then "
+    "round((ssg - s * s / nn) / ((q - s * s / nn) / (nn - 1e0)), 4) end"
+)
+
+
+def fligner_killeen_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Fligner-Killeen test of variance homogeneity — the NORMAL-SCORES
+    member completing the dispersion family (:func:`bartlett_test` sharp
+    under normality, :func:`brown_forsythe_test` median-centred Levene,
+    :func:`ansari_bradley_test` the two-sample rank member): pooled
+    midranks of the median-centred absolute deviations map through
+    Φ⁻¹(½ + r/(2(N+1))), and the k-group χ²_{k−1} compares per-group
+    score means. R's ``fligner.test`` — the robust default the R docs
+    recommend when normality is in doubt. ``value_col`` must be
+    integer-grid.
+
+    Exactness: per-group DOUBLED medians from
+    :func:`grouped_ranked_value_counts` (group-keyed windows) keep the
+    deviations ``z2 = |2x − med2_g|`` pure integers; pooled midranks of
+    z2 come from :func:`ranked_value_counts` (two-phase bucketed prefix
+    sums) as doubled integers, so p is exact; the Acklam/ESD staged
+    rationals (|ε| < 1.2e-9, identical IEEE sequence both engines) give
+    each DISTINCT deviation value one score, snapped to the 1e-9 grid —
+    every downstream sum is an exact integer in DECIMAL(38,0) (oracle
+    HUGEINT) and the final χ² is one shared expression with the
+    group-sorted deterministic fold for Σ S_g²/n_g. Returns
+    ``(k, n, chi2)``.
+    """
+    from azure_medicine_data_engineering_spark.functions.regress import (
+        ESD_Z_EXPR,
+    )
+
+    dec = "decimal(38,0)"
+    src = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("x")
+    )
+    ranked = grouped_ranked_value_counts(src, "g", "x")
+    tot_g = ranked.groupBy("g").agg(F.sum("c_all").cast("long").alias("n_g"))
+    r1 = F.expr("(t.n_g + 1) div 2")
+    r2 = F.expr("t.n_g div 2 + 1")
+    med2 = (
+        ranked.alias("s")
+        .join(F.broadcast(tot_g).alias("t"), F.col("s.g") == F.col("t.g"))
+        .groupBy("s.g")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        (F.col("s.cnt_less") < r1)
+                        & (r1 <= F.col("s.cnt_less") + F.col("s.c_all")),
+                        F.col("s.v"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        (F.col("s.cnt_less") < r2)
+                        & (r2 <= F.col("s.cnt_less") + F.col("s.c_all")),
+                        F.col("s.v"),
+                    )
+                )
+            ).cast("long").alias("med2")
+        )
+    )
+    dcnt = (
+        src.join(F.broadcast(med2), "g")
+        .select("g", F.abs(2 * F.col("x") - F.col("med2")).cast("long").alias("z2"))
+        .groupBy("g", "z2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # feeds the pooled rank frame AND the per-group join
+    )
+    # pooled distinct-value cumulative counts straight off the keyed
+    # (g, z2) count frame — the ranked_value_counts two-phase shape with
+    # the row counts pre-aggregated (no second pass over the data grain)
+    byval = dcnt.groupBy(F.col("z2").alias("v")).agg(
+        F.sum("c").cast("long").alias("c_all")
+    ).persist()
+    bounds = byval.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(1023),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * 1024),
+        )
+    )
+    bk = (
+        byval.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("_bk").agg(F.sum("c_all").alias("_b1"))
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bk", F.coalesce(F.sum("_b1").over(w_off), F.lit(0)).alias("_o1")
+    )
+    w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vals = (
+        bk.join(F.broadcast(offsets), "_bk")
+        .select(
+            "v",
+            "c_all",
+            (F.col("_o1") + F.sum("c_all").over(w_in) - F.col("c_all"))
+            .cast("long")
+            .alias("cnt_less"),
+        )
+    )
+    nn1 = vals.agg(F.sum("c_all").cast("long").alias("nn"))
+    staged = (
+        vals.alias("v")
+        .crossJoin(F.broadcast(nn1).alias("t"))
+        .select(
+            F.col("v.v").alias("z2"),
+            F.col("t.nn").alias("nn"),
+            (2 * F.col("v.cnt_less") + F.col("v.c_all") + 1).cast("long").alias("m2"),
+        )
+        .withColumn("p_", F.expr(FK_P_EXPR))
+        .withColumn("qc_", F.expr("p_ - 5e-1"))
+        .withColumn("rc_", F.expr("(p_ - 5e-1) * (p_ - 5e-1)"))
+        .withColumn("q_", F.expr("sqrt(-2e0 * ln(1e0 - p_))"))
+        .withColumn(
+            "a_",
+            F.expr(
+                f"case when p_ <= 9.7575e-1 then {FK_CENTRAL_EXPR} "
+                f"else {ESD_Z_EXPR} end"
+            ),
+        )
+        .select("z2", snap_half_up_dec(F.col("a_") * 1e9).alias("au"))
+    )
+    joined = dcnt.join(staged, "z2")
+    # ONE pass over the joined frame: per-group score sums AND the global
+    # score-square sum ride the same keyed aggregation (a second
+    # consumer would replay the whole staged-score pipeline)
+    per = joined.groupBy("g").agg(
+        F.sum(F.col("c").cast(dec) * F.col("au")).alias("sg_d"),
+        F.sum(F.col("c").cast(dec) * F.col("au") * F.col("au")).alias("qg_d"),
+        F.sum("c").cast("long").alias("n_g"),
+    )
+    scal = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("nn"),
+        F.sum("sg_d").cast("double").alias("s"),
+        F.sum("qg_d").cast("double").alias("q"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"),
+                        F.col("sg_d").cast("double").alias("sgd"),
+                        F.col("n_g"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["sgd"] * e["sgd"] / e["n_g"],
+        ).alias("ssg"),
+    )
+    out = scal.select(
+        "k", F.col("nn").alias("n"), "s", "ssg", "q", "nn"
+    ).select("k", "n", F.expr(FK_CHI2_EXPR).alias("chi2"))
+    out._stage_caches = [dcnt, byval]
+    return out

@@ -2847,3 +2847,120 @@ def q_breslow_day_odds_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F",
         F.year("o_orderdate").cast("long"),
     )
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    FK_CENTRAL_EXPR,
+    FK_CHI2_EXPR,
+    FK_P_EXPR,
+    fligner_killeen_test,
+)
+from azure_medicine_data_engineering_spark.functions.regress import (  # noqa: E402
+    ESD_Z_EXPR as _FK_TAIL_EXPR,
+)
+
+
+@register(
+    "fligner_killeen_price_by_priority",
+    f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    cnt AS MATERIALIZED (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+    cum AS (
+      SELECT g, x, c,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+               AS BIGINT) AS cnt_less
+      FROM cnt
+    ),
+    gt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cnt GROUP BY 1),
+    med AS (
+      SELECT c2.g,
+             CAST(MIN(CASE WHEN c2.cnt_less < (gt.n_g + 1) // 2
+                            AND (gt.n_g + 1) // 2 <= c2.cnt_less + c2.c
+                           THEN c2.x END)
+                + MIN(CASE WHEN c2.cnt_less < gt.n_g // 2 + 1
+                            AND gt.n_g // 2 + 1 <= c2.cnt_less + c2.c
+                           THEN c2.x END) AS BIGINT) AS med2
+      FROM cum c2 JOIN gt ON c2.g = gt.g GROUP BY c2.g
+    ),
+    dcnt AS MATERIALIZED (
+      SELECT s.g, ABS(2 * s.x - m.med2) AS z2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM src s JOIN med m ON s.g = m.g GROUP BY 1, 2
+    ),
+    vc AS (SELECT z2, CAST(SUM(c) AS BIGINT) AS c_all FROM dcnt GROUP BY 1),
+    vcum AS (
+      SELECT z2, c_all,
+             CAST(SUM(c_all) OVER (ORDER BY z2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c_all
+               AS BIGINT) AS cnt_less
+      FROM vc
+    ),
+    tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS nn FROM vc),
+    sc1 AS (
+      SELECT v.z2, t.nn,
+             CAST(2 * v.cnt_less + v.c_all + 1 AS BIGINT) AS m2
+      FROM vcum v, tot t
+    ),
+    sc2 AS (SELECT z2, nn, {FK_P_EXPR} AS p_ FROM sc1),
+    sc3 AS (
+      SELECT z2, p_, p_ - 5e-1 AS qc_, (p_ - 5e-1) * (p_ - 5e-1) AS rc_,
+             sqrt(-2e0 * ln(1e0 - p_)) AS q_
+      FROM sc2
+    ),
+    sc4 AS MATERIALIZED (
+      SELECT z2,
+             CAST(FLOOR((CASE WHEN p_ <= 9.7575e-1 THEN {FK_CENTRAL_EXPR}
+                         ELSE {_FK_TAIL_EXPR} END) * 1e9 + 0.5e0)
+                  AS BIGINT) AS au
+      FROM sc3
+    ),
+    per AS MATERIALIZED (
+      SELECT d.g,
+             SUM(CAST(d.c AS HUGEINT) * s4.au) AS sg_h,
+             SUM(CAST(d.c AS HUGEINT) * s4.au * s4.au) AS qg_h,
+             CAST(SUM(d.c) AS BIGINT) AS n_g
+      FROM dcnt d JOIN sc4 s4 ON d.z2 = s4.z2 GROUP BY 1
+    ),
+    perd AS (SELECT g, CAST(sg_h AS DOUBLE) AS sg, n_g FROM per),
+    folded AS (
+      SELECT ((((0e0
+        + MAX(CASE WHEN g = '1-URGENT' THEN sg * sg / n_g END))
+        + MAX(CASE WHEN g = '2-HIGH' THEN sg * sg / n_g END))
+        + MAX(CASE WHEN g = '3-MEDIUM' THEN sg * sg / n_g END))
+        + MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN sg * sg / n_g END))
+        + MAX(CASE WHEN g = '5-LOW' THEN sg * sg / n_g END) AS ssg
+      FROM perd
+    ),
+    tots AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(sg_h) AS DOUBLE) AS s,
+             CAST(SUM(qg_h) AS DOUBLE) AS q
+      FROM per
+    )
+    SELECT k, n, {FK_CHI2_EXPR.replace("nn", "n")} AS chi2
+    FROM tots, folded
+    """,
+)
+def q_fligner_killeen_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen normal-scores dispersion test of order price
+    (cents) across the five priority levels
+    (``rankstats.fligner_killeen_test``) — R's ``fligner.test``, the
+    robust recommendation completing the variance-homogeneity family
+    beside ``bartlett_price_by_priority`` (normal-sharp) and
+    ``brown_forsythe_price_by_priority`` (median-Levene). Pooled
+    midranks of median-centred deviations map through the staged
+    Acklam/ESD inverse-normal rationals; 1e-9-grid scores make every
+    sum exact."""
+    o = _t(spark, sf_dir, "orders")
+    return fligner_killeen_test(
+        o.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+        "cents",
+        "o_orderpriority",
+    )

@@ -303,3 +303,82 @@ def test_label_centroid_cohesion_outlier_min(spark):
     # centroid (8e6, 0): inliers cos=1, the flipped vector cos=-1
     assert got["min_cos"] == -1.0
     assert got["avg_cos"] == pytest.approx((9 * 1.0 - 1.0) / 10, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Fligner-Killeen: independent route — normal scores from a BISECTION
+# inverse on math.erf (stdlib), nothing shared with the Acklam rationals.
+# ---------------------------------------------------------------------------
+
+
+def _inv_norm_bisect(p):
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def test_fligner_killeen_vs_erf_bisection(spark):
+    import random
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        fligner_killeen_test,
+    )
+
+    rnd = random.Random(5)
+    groups = {
+        "a": [round(rnd.gauss(0, 10)) for _ in range(40)],
+        "b": [round(rnd.gauss(5, 30)) for _ in range(35)],
+        "c": [round(rnd.gauss(-3, 10)) for _ in range(30)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = fligner_killeen_test(df, "x", "g").collect()[0]
+
+    def med_lower_pair(vals):  # production doubled median = two middle stats
+        s = sorted(vals)
+        n = len(s)
+        return (s[(n + 1) // 2 - 1] + s[n // 2]) / 2
+
+    devs = []
+    for g, vs in groups.items():
+        m = med_lower_pair(vs)
+        devs += [(g, abs(v - m)) for v in vs]
+    n_tot = len(devs)
+    sd = sorted(d for _, d in devs)
+
+    def midrank(d):
+        lo = sum(1 for u in sd if u < d)
+        c = sum(1 for u in sd if u == d)
+        return lo + (c + 1) / 2
+
+    scores = [
+        (g, _inv_norm_bisect(0.5 + midrank(d) / (2 * (n_tot + 1)))) for g, d in devs
+    ]
+    abar = sum(a for _, a in scores) / n_tot
+    v2 = sum((a - abar) ** 2 for _, a in scores) / (n_tot - 1)
+    num = 0.0
+    for g in groups:
+        ag = [a for gg, a in scores if gg == g]
+        num += len(ag) * (sum(ag) / len(ag) - abar) ** 2
+    assert (got["k"], got["n"]) == (3, n_tot)
+    assert got["chi2"] == pytest.approx(num / v2, abs=1e-3)
+    assert got["chi2"] > 9.21  # chi2_0.99(2): the 3x-spread group is decisive
+
+
+def test_fligner_killeen_equal_dispersion_small(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        fligner_killeen_test,
+    )
+
+    # identical shapes shifted by location only -> FK sees nothing
+    rows = [("a", v) for v in (10, 20, 30, 40, 50)] + [
+        ("b", v + 1000) for v in (10, 20, 30, 40, 50)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = fligner_killeen_test(df, "x", "g").collect()[0]
+    assert got["chi2"] == pytest.approx(0.0, abs=1e-3)

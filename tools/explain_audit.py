@@ -270,6 +270,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # rankstats.ad_two_sample_right docstrings)
     "brunner_munzel_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
     "anderson_darling_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
+    # pooled deviation-rank prefix sum (same 1024-row class; group medians
+    # ride group-KEYED windows which need no license —
+    # rankstats.fligner_killeen_test docstring)
+    "fligner_killeen_price_by_priority": (1, "1024-row rank-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
