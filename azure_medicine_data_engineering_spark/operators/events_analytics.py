@@ -1078,6 +1078,28 @@ def stl_lite_daily(
     Returns one row per day with a full trend window:
     ``(d_iso, revenue, trend, seasonal, remainder)``.
     """
+    joined, caches = _stl_micro_daily(orders, date_col, amount_col, period)
+    out = joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d_iso"),
+        (F.col("cents") / 100).cast("double").alias("revenue"),
+        (F.col("trend_u") / 1e6 / 100).cast("double").alias("trend"),
+        (F.col("seas_u") / 1e6 / 100).cast("double").alias("seasonal"),
+        (
+            (F.col("det_u") - F.col("seas_u")) / 1e6 / 100
+        ).cast("double").alias("remainder"),
+    )
+    out._stage_caches = caches
+    return out
+
+
+def _stl_micro_daily(
+    orders: DataFrame, date_col: str, amount_col: str, period: int
+):
+    """The STL-lite integer micro pipeline shared by the decomposition
+    (:func:`stl_lite_daily`) and the strength indices
+    (:func:`stl_strength_daily`): returns the per-day frame with exact
+    micro-cents columns ``(d, cents, dow, trend_u, det_u, seas_u)`` plus
+    the caller-owned persist list."""
     daily = (
         orders.groupBy(F.col(date_col).cast("date").alias("d"))
         .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents"))
@@ -1131,19 +1153,80 @@ def stl_lite_daily(
             ).cast("long").alias("seas_u"),
         )
     )
-    out = (
-        trended.join(F.broadcast(seasonal), "dow")
-        .select(
-            F.date_format("d", "yyyy-MM-dd").alias("d_iso"),
-            (F.col("cents") / 100).cast("double").alias("revenue"),
-            (F.col("trend_u") / 1e6 / 100).cast("double").alias("trend"),
-            (F.col("seas_u") / 1e6 / 100).cast("double").alias("seasonal"),
-            (
-                (F.col("det_u") - F.col("seas_u")) / 1e6 / 100
-            ).cast("double").alias("remainder"),
-        )
+    joined = trended.join(F.broadcast(seasonal), "dow")
+    return joined, [daily, trended]
+
+
+#: tsfeatures strength indices over exact integer quadratics: with
+#: population-variance numerators n·Σx² − (Σx)² (the n and micro scales
+#: cancel in the ratio), F_T = max(0, 1 − V(remainder)/V(deseasonalized))
+#: and F_S = max(0, 1 − V(remainder)/V(detrended)). Degenerate zero
+#: denominators → NULL on both engines.
+STL_FT_EXPR = (
+    "case when n * 1e0 * eq - es * es > 0e0 then "
+    "round(greatest(0e0, 1e0 - (n * 1e0 * rq - rs * rs) "
+    "/ (n * 1e0 * eq - es * es)), 4) end"
+)
+STL_FS_EXPR = (
+    "case when n * 1e0 * dq - ds2 * ds2 > 0e0 then "
+    "round(greatest(0e0, 1e0 - (n * 1e0 * rq - rs * rs) "
+    "/ (n * 1e0 * dq - ds2 * ds2)), 4) end"
+)
+
+
+def stl_strength_daily(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    period: int = 7,
+) -> DataFrame:
+    """Trend and seasonal STRENGTH of the daily revenue series — the
+    tsfeatures/forecasting-workbench one-number summaries of the STL
+    decomposition (Hyndman): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)), both in [0, 1] — "how much of the
+    deseasonalized movement the trend explains" and "how much of the
+    detrended movement the weekly cycle explains". The alerting layer
+    over :func:`stl_lite_daily`: a seasonal-strength collapse between
+    snapshots means the weekly rhythm broke.
+
+    Exactness: the three series (remainder, deseasonalized = cents·1e6 −
+    seas_u, detrended = det_u) are exact micro-cents INTEGERS from the
+    shared STL pipeline; their sums and squares accumulate in
+    DECIMAL(38,0) (oracle HUGEINT), and the variance ratios are shared
+    expressions where n and the micro scale cancel. One aggregation over
+    the decomposition frame. Returns one row
+    ``(n_days, trend_strength, seasonal_strength)``.
+    """
+    dec = "decimal(38,0)"
+    joined, caches = _stl_micro_daily(orders, date_col, amount_col, period)
+    series = joined.select(
+        (F.col("det_u") - F.col("seas_u")).cast(dec).alias("r"),
+        (F.col("cents").cast(dec) * 1_000_000 - F.col("seas_u")).alias("e"),
+        F.col("det_u").cast(dec).alias("dd"),
     )
-    out._stage_caches = [daily, trended]
+    scal = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").alias("rs_d"),
+        F.sum(F.col("r") * F.col("r")).alias("rq_d"),
+        F.sum("e").alias("es_d"),
+        F.sum(F.col("e") * F.col("e")).alias("eq_d"),
+        F.sum("dd").alias("ds_d"),
+        F.sum(F.col("dd") * F.col("dd")).alias("dq_d"),
+    )
+    out = scal.select(
+        "n",
+        F.col("rs_d").cast("double").alias("rs"),
+        F.col("rq_d").cast("double").alias("rq"),
+        F.col("es_d").cast("double").alias("es"),
+        F.col("eq_d").cast("double").alias("eq"),
+        F.col("ds_d").cast("double").alias("ds2"),
+        F.col("dq_d").cast("double").alias("dq"),
+    ).select(
+        F.col("n").alias("n_days"),
+        F.expr(STL_FT_EXPR).alias("trend_strength"),
+        F.expr(STL_FS_EXPR).alias("seasonal_strength"),
+    )
+    out._stage_caches = caches
     return out
 
 

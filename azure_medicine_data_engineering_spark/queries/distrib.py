@@ -1979,3 +1979,74 @@ def q_ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-12 grid over the already-shared 4-decimal r_k values."""
     return ljung_box_daily(_t(spark, sf_dir, "orders"))
 
+
+
+# ---------------------------------------------------------------------------
+# Round 9: STL trend/seasonal strength indices.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.events_analytics import (  # noqa: E402
+    STL_FS_EXPR,
+    STL_FT_EXPR,
+    stl_strength_daily,
+)
+
+
+@register(
+    "stl_strength_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    roll AS (
+      SELECT d, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(cents) OVER w AS BIGINT) AS n7,
+             CAST((d - DATE '1970-01-01') % 7 AS INT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    tr AS MATERIALIZED (
+      SELECT d, cents, dow,
+             (s7 * 1000000) // 7 AS trend_u,
+             cents * 1000000 - ((s7 * 1000000) // 7) AS det_u
+      FROM roll WHERE n7 = 7
+    ),
+    dsum AS (
+      SELECT dow, CAST(SUM(det_u) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tr GROUP BY dow
+    ),
+    dm AS (SELECT dow, (s - (((s % c) + c) % c)) // c AS m_u FROM dsum),
+    t2 AS (SELECT CAST(SUM(m_u) AS BIGINT) AS ms, CAST(COUNT(*) AS BIGINT) AS mc FROM dm),
+    se AS (
+      SELECT dow, m_u - ((ms - (((ms % mc) + mc) % mc)) // mc) AS seas_u
+      FROM dm, t2
+    ),
+    ser AS (
+      SELECT CAST(det_u - seas_u AS HUGEINT) AS r,
+             CAST(cents AS HUGEINT) * 1000000 - seas_u AS e,
+             CAST(det_u AS HUGEINT) AS dd
+      FROM tr JOIN se USING (dow)
+    ),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS DOUBLE) AS rs, CAST(SUM(r * r) AS DOUBLE) AS rq,
+             CAST(SUM(e) AS DOUBLE) AS es, CAST(SUM(e * e) AS DOUBLE) AS eq,
+             CAST(SUM(dd) AS DOUBLE) AS ds2, CAST(SUM(dd * dd) AS DOUBLE) AS dq
+      FROM ser
+    )
+    SELECT n AS n_days, {STL_FT_EXPR} AS trend_strength,
+           {STL_FS_EXPR} AS seasonal_strength
+    FROM scal
+    """,
+)
+def q_stl_strength_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal strength of daily revenue
+    (``events_analytics.stl_strength_daily``) — the tsfeatures one-number
+    summaries over the STL-lite decomposition: F_T/F_S in [0,1] say how
+    much of the deseasonalized (resp. detrended) movement the trend
+    (resp. weekly cycle) explains. Exact integer quadratics over the
+    shared STL micro pipeline; variance ratios are shared expressions."""
+    return stl_strength_daily(_t(spark, sf_dir, "orders"))

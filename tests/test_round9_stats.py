@@ -382,3 +382,61 @@ def test_fligner_killeen_equal_dispersion_small(spark):
     df = spark.createDataFrame(rows, "g string, x long")
     got = fligner_killeen_test(df, "x", "g").collect()[0]
     assert got["chi2"] == pytest.approx(0.0, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# STL strength indices: planted pure-pattern poles + a numpy-variance
+# reference over the decomposition's own (independently tested) output.
+# ---------------------------------------------------------------------------
+
+
+def _orders_series(spark, vals, start="2003-01-06"):
+    import datetime
+
+    d0 = datetime.date.fromisoformat(start)
+    rows = [
+        (datetime.datetime.combine(d0 + datetime.timedelta(days=i), datetime.time()),
+         float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+
+
+def test_stl_strength_poles(spark):
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        stl_strength_daily,
+    )
+
+    weekly = [100 + 50 * (i % 7 in (5, 6)) for i in range(70)]  # pure cycle
+    got = stl_strength_daily(_orders_series(spark, weekly)).collect()[0]
+    # exact cycle: remainder is identically 0 -> F_S = 1; deseasonalized
+    # (trend + remainder) is CONSTANT -> zero denominator -> NULL F_T
+    assert got["seasonal_strength"] == 1.0
+    assert got["trend_strength"] is None
+
+    trend = [100 + 10 * i for i in range(70)]  # pure ramp, no weekly shape
+    got2 = stl_strength_daily(_orders_series(spark, trend)).collect()[0]
+    assert got2["trend_strength"] > 0.95
+
+
+def test_stl_strength_vs_numpy_variances(spark):
+    from azure_medicine_data_engineering_spark.operators.events_analytics import (
+        stl_lite_daily,
+        stl_strength_daily,
+    )
+
+    import random
+
+    rnd = random.Random(11)
+    vals = [100 + 3 * i + 20 * (i % 7 in (5, 6)) + rnd.randint(-8, 8) for i in range(84)]
+    df = _orders_series(spark, vals)
+    got = stl_strength_daily(df).collect()[0]
+    dec = stl_lite_daily(df).collect()
+    r = np.array([row["remainder"] for row in dec])
+    t = np.array([row["trend"] for row in dec])
+    s = np.array([row["seasonal"] for row in dec])
+    ft = max(0.0, 1 - np.var(r) / np.var(t + r))
+    fs = max(0.0, 1 - np.var(r) / np.var(s + r))
+    assert got["n_days"] == len(dec)
+    assert got["trend_strength"] == pytest.approx(ft, abs=1e-3)
+    assert got["seasonal_strength"] == pytest.approx(fs, abs=1e-3)

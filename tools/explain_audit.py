@@ -274,6 +274,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # ride group-KEYED windows which need no license —
     # rankstats.fligner_killeen_test docstring)
     "fligner_killeen_price_by_priority": (1, "1024-row rank-bucket offset window"),
+    # centered 7-day rolling window over the calendar-bounded day frame
+    # (same class as stl_lite_daily_revenue; shared _stl_micro_daily)
+    "stl_strength_daily_revenue": (1, "day-frame rolling window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
