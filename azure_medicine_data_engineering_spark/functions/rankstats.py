@@ -4249,3 +4249,137 @@ def fligner_killeen_test(
     ).select("k", "n", F.expr(FK_CHI2_EXPR).alias("chi2"))
     out._stage_caches = [dcnt, byval]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mood's two-sample SCALE test + Kuiper's two-sample test (round 9, wave 2).
+# ---------------------------------------------------------------------------
+
+
+def _mood_prefix(x: Column, n: Column) -> Column:
+    """Exact DECIMAL prefix of the QUADRUPLED Mood scores over rank
+    positions 1..x: Σ (2i − (N+1))² = 2·(x(x+1)(2x+1)/3)
+    − 4(N+1)·(x(x+1)/2) + x(N+1)². Both inner divisions are exact
+    (6 | x(x+1)(2x+1), 2 | x(x+1)); everything runs in DECIMAL(38,0)
+    because the cube passes BIGINT at ~1.6e6 pooled rows (oracle:
+    HUGEINT `//`, the same integers)."""
+    dec = "decimal(38,0)"
+    xd = x.cast(dec)
+    t6 = xd * (x + 1) * (2 * x + 1)
+    s2x3 = (t6 / 3).cast(dec)  # exact: 3 | x(x+1)(2x+1)
+    s1x = (xd * (x + 1) / 2).cast(dec)  # exact: 2 | x(x+1)
+    np1 = (n + 1).cast(dec)
+    return 2 * s2x3 - 4 * np1 * s1x + xd * np1 * np1
+
+
+def mood_scale_test(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Mood's two-sample SCALE test (scipy ``mood``): rank scores
+    ``(i − (N+1)/2)²`` grow toward BOTH extremes, so a group with larger
+    dispersion collects a LARGE score sum — the squared-scores member of
+    the dispersion family beside :func:`ansari_bradley_test` (center-
+    peaked linear scores) and the k-group :func:`fligner_killeen_test`
+    (normal scores). Unlike scipy's implementation this one handles TIES
+    exactly: tie blocks carry the block-average score, and z uses the
+    conditional linear-rank-statistic moments over the observed scores
+    (Hollander-Wolfe — the same shared ``AB_Z_EXPR`` finalization as
+    Ansari, which the no-tie case collapses to the classical
+    n1(N²−1)/12 / n1n2(N+1)(N²−4)/180 constants; pinned by enumeration
+    in pytest).
+
+    Exactness: QUADRUPLED scores make every block sum an exact integer
+    via the closed-form :func:`_mood_prefix` differences (pure DECIMAL/
+    HUGEINT arithmetic, no doubles); tie-average terms snap to the 1e-4
+    grid (w) and the unit grid (sa2 — its magnitudes reach ~N⁵/c and
+    only cross-engine identity matters, not sub-unit precision), both
+    via :func:`snap_half_up_dec`. Returns ``(n1, n2, w, z)`` with w the
+    quadrupled-score group-1 sum /1e4-grid (z is scale-invariant).
+    """
+    dec = "decimal(38,0)"
+    is1 = F.col(group_col) == group1
+    ranked = ranked_value_counts(
+        df.select(F.col(value_col), is1.alias("_g1")),
+        value_col,
+        extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
+    ).persist()
+    tot = ranked.agg(
+        F.sum("c_all").cast("long").alias("nn"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    j = ranked.alias("r").crossJoin(F.broadcast(tot).alias("t"))
+    nn = F.col("t.nn")
+    p = F.col("r.cnt_less")
+    c = F.col("r.c_all")
+    b4 = (_mood_prefix(p + c, nn) - _mood_prefix(p, nn)).cast("double")
+    w_term = snap_half_up_dec(F.col("r.c1") * 1.0 * b4 / c * 1e4)
+    sa2_term = snap_half_up_dec(b4 * b4 / c)
+    scal = j.agg(
+        F.max("t.nn").cast("long").alias("nn"),
+        F.max("t.n1").cast("long").alias("n1"),
+        F.sum((_mood_prefix(p + c, nn) - _mood_prefix(p, nn))).alias("sa_d"),
+        F.sum(w_term).alias("w_d"),
+        F.sum(sa2_term).alias("sa2_d"),
+    )
+    out = scal.select(
+        "n1",
+        (F.col("nn") - F.col("n1")).cast("long").alias("n2"),
+        (F.col("w_d").cast("double") / 1e4).alias("w"),
+        "nn",
+        F.col("sa_d").cast("double").alias("sa"),
+        F.col("sa2_d").cast("double").alias("sa2"),
+    ).select(
+        "n1",
+        "n2",
+        F.round("w", 4).alias("w"),
+        F.expr(AB_Z_EXPR).alias("z"),
+    )
+    out._stage_caches = [ranked]
+    return out
+
+
+def kuiper_two_sample(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Kuiper's two-sample statistic V = D⁺ + D⁻ — the variant of KS
+    (:func:`ks_two_sample`) that weighs BOTH signed CDF excursions, so a
+    distribution shifted up in one region and down in another (or
+    circular/wrap-around data where the "start" is arbitrary) scores
+    what the one-sided sup misses. Exactly KS's integer machinery:
+    ``D⁺·n1·n2 = max(cum1·n2 − cum2·n1, 0)`` and the mirrored D⁻ over
+    the bucketed CDF frame; V is one shared display division. Returns
+    ``(n1, n2, v_num, v)``."""
+    dec = "decimal(38,0)"
+    cdf = grouped_cdf_counts(
+        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
+        value_col,
+        "_f",
+    ).persist()
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    d = (
+        F.col("c.cum1").cast(dec) * F.col("t.n2")
+        - F.col("c.cum2").cast(dec) * F.col("t.n1")
+    )
+    scal = (
+        cdf.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .agg(
+            F.max("t.n1").cast("long").alias("n1"),
+            F.max("t.n2").cast("long").alias("n2"),
+            F.greatest(F.max(d), F.lit(0).cast(dec)).alias("dplus_d"),
+            F.greatest(F.max(-d), F.lit(0).cast(dec)).alias("dminus_d"),
+        )
+    )
+    out = scal.select(
+        "n1",
+        "n2",
+        (F.col("dplus_d") + F.col("dminus_d")).cast("long").alias("v_num"),
+    ).select(
+        "n1", "n2", "v_num",
+        F.expr("round(v_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("v"),
+    )
+    out._stage_caches = [cdf]
+    return out

@@ -2964,3 +2964,126 @@ def q_fligner_killeen_price_by_priority(spark: SparkSession, sf_dir: str) -> Dat
         "cents",
         "o_orderpriority",
     )
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    kuiper_two_sample,
+    mood_scale_test,
+)
+
+#: DuckDB twin of rankstats._mood_prefix (pure HUGEINT arithmetic).
+def _mood_q4_sql(x: str) -> str:
+    return (
+        f"(2 * (CAST({x} AS HUGEINT) * ({x} + 1) * (2 * {x} + 1) // 3) "
+        f"- 4 * (nn + 1) * (CAST({x} AS HUGEINT) * ({x} + 1) // 2) "
+        f"+ CAST({x} AS HUGEINT) * (nn + 1) * (nn + 1))"
+    )
+
+
+@register(
+    "mood_scale_click_vs_rest",
+    f"""
+    WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                 event_type = 'click' AS f
+          FROM events),
+    cnt AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM v GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c_all, c1,
+             CAST(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c_all
+               AS BIGINT) AS cnt_less
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS nn,
+                   CAST(SUM(c1) AS BIGINT) AS n1 FROM cnt),
+    terms AS (
+      SELECT c.*, t.nn, t.n1,
+             CAST({_mood_q4_sql('(c.cnt_less + c.c_all)')}
+                  - {_mood_q4_sql('c.cnt_less')} AS DOUBLE) AS b4,
+             {_mood_q4_sql('(c.cnt_less + c.c_all)')}
+                  - {_mood_q4_sql('c.cnt_less')} AS b4_h
+      FROM cum c, tot t
+    ),
+    scal AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(n1) AS BIGINT) AS n1,
+             SUM(b4_h) AS sa_h,
+             SUM(CAST(FLOOR(c1 * 1e0 * b4 / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS w_h,
+             SUM(CAST(FLOOR(b4 * b4 / c_all + 0.5e0) AS HUGEINT)) AS sa2_h
+      FROM terms
+    ),
+    dbl AS (
+      SELECT n1, CAST(nn - n1 AS BIGINT) AS n2,
+             CAST(w_h AS DOUBLE) / 1e4 AS w, nn,
+             CAST(sa_h AS DOUBLE) AS sa, CAST(sa2_h AS DOUBLE) AS sa2
+      FROM scal
+    )
+    SELECT n1, n2, ROUND(w, 4) AS w, {AB_Z_EXPR} AS z FROM dbl
+    """,
+)
+def q_mood_scale_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's two-sample scale test of click event values (cents) vs the
+    rest (``rankstats.mood_scale_test``) — the squared-rank-scores
+    dispersion member beside Ansari-Bradley (center-peaked linear
+    scores): scores (i − (N+1)/2)² grow toward both extremes, so the
+    wider group collects a LARGE sum. Tie-exact (block-average scores,
+    conditional Hollander-Wolfe moments), quadrupled-score integer
+    prefix closed form in DECIMAL/HUGEINT."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mood_scale_test(src, "cents", "event_type", "click")
+
+
+@register(
+    "kuiper_click_vs_rest",
+    """
+    WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                 event_type = 'click' AS f
+          FROM events),
+    cnt AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM v GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             CAST(SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+                   CAST(MAX(cum2) AS BIGINT) AS n2 FROM cum),
+    scal AS (
+      SELECT CAST(MAX(t.n1) AS BIGINT) AS n1, CAST(MAX(t.n2) AS BIGINT) AS n2,
+             GREATEST(MAX(CAST(c.cum1 AS HUGEINT) * t.n2
+                          - CAST(c.cum2 AS HUGEINT) * t.n1), 0) AS dplus_h,
+             GREATEST(MAX(CAST(c.cum2 AS HUGEINT) * t.n1
+                          - CAST(c.cum1 AS HUGEINT) * t.n2), 0) AS dminus_h
+      FROM cum c, tot t
+    )
+    SELECT n1, n2, CAST(dplus_h + dminus_h AS BIGINT) AS v_num,
+           round((dplus_h + dminus_h) * 1e0 / (n1 * 1e0 * n2), 4) AS v
+    FROM scal
+    """,
+)
+def q_kuiper_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper two-sample V = D⁺ + D⁻ of click event values (cents) vs
+    the rest (``rankstats.kuiper_two_sample``) — the both-excursions
+    variant of KS (``ks_test_click_vs_view``), equally sensitive at both
+    tails and the standard choice for circular/wrap-around domains.
+    Same exact-integer bucketed CDF machinery as KS/CvM/AD."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kuiper_two_sample(src, "cents", "event_type", "click")

@@ -440,3 +440,102 @@ def test_stl_strength_vs_numpy_variances(spark):
     assert got["n_days"] == len(dec)
     assert got["trend_strength"] == pytest.approx(ft, abs=1e-3)
     assert got["seasonal_strength"] == pytest.approx(fs, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Mood's scale test: (a) no-tie case pinned to the CLASSICAL constants
+# E = n1(N²−1)/12, Var = n1n2(N+1)(N²−4)/180 (a route the production
+# conditional-moments code never touches); (b) tie case pinned by FULL
+# permutation enumeration of the tie-averaged score sum.
+# ---------------------------------------------------------------------------
+
+
+def test_mood_scale_classical_constants_no_ties(spark):
+    import random
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        mood_scale_test,
+    )
+
+    rnd = random.Random(3)
+    a = rnd.sample(range(1000), 12)
+    b = rnd.sample(range(2000, 3000), 9)  # disjoint ranges: zero ties
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = mood_scale_test(df, "v", "g", "g1").collect()[0]
+    pool = sorted(a + b)
+    n_tot, n1, n2 = len(pool), len(a), len(b)
+    ranks = {v: i + 1 for i, v in enumerate(pool)}
+    t_stat = sum((ranks[v] - (n_tot + 1) / 2) ** 2 for v in a)
+    e_t = n1 * (n_tot * n_tot - 1) / 12
+    var_t = n1 * n2 * (n_tot + 1) * (n_tot * n_tot - 4) / 180
+    assert got["w"] == pytest.approx(4 * t_stat, abs=1e-3)  # quadrupled scores
+    assert got["z"] == pytest.approx((t_stat - e_t) / math.sqrt(var_t), abs=1e-3)
+
+
+def test_mood_scale_vs_permutation_enumeration(spark):
+    import itertools
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        mood_scale_test,
+    )
+
+    a = [1, 1, 2, 5, 9]
+    b = [2, 2, 5, 7]
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = mood_scale_test(df, "v", "g", "g1").collect()[0]
+    pool = sorted(a + b)
+    n_tot, n1 = len(pool), len(a)
+    from collections import defaultdict
+
+    posv = defaultdict(list)
+    for i, v in enumerate(pool):
+        posv[v].append(i + 1)
+    avg4 = {
+        v: sum((2 * i - (n_tot + 1)) ** 2 for i in ps) / len(ps)
+        for v, ps in posv.items()
+    }
+    t_obs = sum(avg4[v] for v in a)
+    # exact permutation distribution of the group-1 tie-averaged score sum
+    scores = [avg4[v] for v in pool]
+    ts = [
+        sum(scores[i] for i in idx)
+        for idx in itertools.combinations(range(n_tot), n1)
+    ]
+    e_t = sum(ts) / len(ts)
+    var_t = sum((t - e_t) ** 2 for t in ts) / len(ts)
+    # sampling n1 scores WITHOUT replacement: the enumerated variance IS
+    # the Hollander-Wolfe n1·n2·(N·Σa²−(Σa)²)/(N²(N−1)) production form,
+    # so formula and enumeration must agree exactly
+    z_ref = (t_obs - e_t) / math.sqrt(var_t)
+    assert got["w"] == pytest.approx(t_obs, abs=1e-3)
+    assert got["z"] == pytest.approx(z_ref, abs=1e-3)
+
+
+def test_kuiper_vs_brute_and_ks_bound(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ks_two_sample,
+        kuiper_two_sample,
+    )
+
+    a = [1.0, 2.0, 3.0, 10.0]
+    b = [4.0, 5.0, 6.0]
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = kuiper_two_sample(df, "v", "g", "g1").collect()[0]
+    n1, n2 = len(a), len(b)
+    vals = sorted(set(a + b))
+    dplus = max(
+        max(0, sum(1 for x in a if x <= v) * n2 - sum(1 for x in b if x <= v) * n1)
+        for v in vals
+    )
+    dminus = max(
+        max(0, sum(1 for x in b if x <= v) * n1 - sum(1 for x in a if x <= v) * n2)
+        for v in vals
+    )
+    assert got["v_num"] == dplus + dminus
+    assert got["v"] == pytest.approx((dplus + dminus) / (n1 * n2), abs=1e-9)
+    # structural identity: KS's D is max(D+, D-), so D <= V <= 2D
+    ks = ks_two_sample(df, "v", "g", "g1").collect()[0]
+    assert ks["d_num"] <= got["v_num"] <= 2 * ks["d_num"]

@@ -277,6 +277,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # centered 7-day rolling window over the calendar-bounded day frame
     # (same class as stl_lite_daily_revenue; shared _stl_micro_daily)
     "stl_strength_daily_revenue": (1, "day-frame rolling window"),
+    # 1024-row bucket-offset windows (same class as ansari/ks;
+    # rankstats.mood_scale_test / kuiper_two_sample docstrings)
+    "mood_scale_click_vs_rest": (1, "1024-row rank-bucket offset window"),
+    "kuiper_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
