@@ -3087,3 +3087,58 @@ def q_kuiper_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return kuiper_two_sample(src, "cents", "event_type", "click")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    quantile_shift_two_sample,
+)
+
+
+@register(
+    "quantile_shift_click_vs_rest",
+    """
+    WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                 event_type = 'click' AS f
+          FROM events),
+    cnt AS (
+      SELECT v, CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM v GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+                   CAST(MAX(cum2) AS BIGINT) AS n2 FROM cum),
+    ks AS (SELECT k FROM range(1, 10) r(k)),
+    j AS (SELECT c.v, c.cum1, c.cum2, t.n1, t.n2, ks.k FROM cum c, tot t, ks),
+    agg AS (
+      SELECT k,
+             MIN(CASE WHEN cum1 >= (k * n1 + 9) // 10 THEN v END) AS q1_v,
+             MIN(CASE WHEN cum2 >= (k * n2 + 9) // 10 THEN v END) AS q2_v
+      FROM j GROUP BY k
+    )
+    SELECT CAST(k * 10 AS INT) AS q_pct,
+           CAST(q1_v AS BIGINT) AS q1_v, CAST(q2_v AS BIGINT) AS q2_v,
+           CAST(q2_v - q1_v AS BIGINT) AS shift
+    FROM agg
+    """,
+)
+def q_quantile_shift_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doksum shift function between click event values (cents) and the
+    rest (``rankstats.quantile_shift_two_sample``): per-decile exact
+    order-statistic differences localizing WHERE the click distribution
+    sits above/below the rest — the drill-down companion to the
+    one-number CDF-distance family (KS/CvM/AD/W1/Kuiper over the same
+    bucketed CDF machinery)."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return quantile_shift_two_sample(src, "cents", "event_type", "click")

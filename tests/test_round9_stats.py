@@ -539,3 +539,45 @@ def test_kuiper_vs_brute_and_ks_bound(spark):
     # structural identity: KS's D is max(D+, D-), so D <= V <= 2D
     ks = ks_two_sample(df, "v", "g", "g1").collect()[0]
     assert ks["d_num"] <= got["v_num"] <= 2 * ks["d_num"]
+
+
+# ---------------------------------------------------------------------------
+# Quantile shift function: hand order statistics on a tiny frame + a
+# planted location shift where Δ(q) is constant by construction.
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_shift_hand_order_statistics(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        quantile_shift_two_sample,
+    )
+
+    a = list(range(1, 11))            # deciles of 1..10: ceil(k)th values
+    b = [v + 7 for v in range(1, 11)]  # exact +7 location shift
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["q_pct"]: r.asDict()
+           for r in quantile_shift_two_sample(df, "v", "g", "g1").collect()}
+    assert set(got) == {10, 20, 30, 40, 50, 60, 70, 80, 90}
+    for k in range(1, 10):
+        # lower order statistic: min v with cum >= ceil(k*10/10) = k
+        assert got[k * 10]["q1_v"] == a[k - 1]
+        assert got[k * 10]["q2_v"] == a[k - 1] + 7
+        assert got[k * 10]["shift"] == 7
+
+
+def test_quantile_shift_tail_only(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        quantile_shift_two_sample,
+    )
+
+    a = list(range(100))
+    # shift the top 15 values so the 90th order statistic (rank 90) lands
+    # inside the shifted block while ranks <= 80 stay untouched
+    b = list(range(85)) + [v + 500 for v in range(85, 100)]
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["q_pct"]: r["shift"]
+           for r in quantile_shift_two_sample(df, "v", "g", "g1").collect()}
+    assert all(got[q] == 0 for q in range(10, 90, 10))
+    assert got[90] == 500  # the shift localizes to the tail decile

@@ -281,6 +281,7 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # rankstats.mood_scale_test / kuiper_two_sample docstrings)
     "mood_scale_click_vs_rest": (1, "1024-row rank-bucket offset window"),
     "kuiper_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
+    "quantile_shift_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
