@@ -4440,3 +4440,40 @@ def quantile_shift_two_sample(
     )
     out._stage_caches = [cdf]
     return out
+
+
+#: Lepage L = z_W² + z_AB² over the two components' (already 4-decimal)
+#: shared z's — χ²₂ under H0.
+LEPAGE_EXPR = "round(zw * zw + za * za, 4)"
+
+
+def lepage_test(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """Lepage's joint LOCATION-AND-SCALE two-sample test (Lepage 1971):
+    L = z_Wilcoxon² + z_Ansari-Bradley² ~ χ²₂ under H0 — the combined
+    alternative for "did the distribution move OR change spread", more
+    powerful than running either component alone when both could drift
+    (the classical rank-world analogue of a mean+variance drift alarm).
+
+    Pure composition of :func:`mann_whitney_u` (location component) and
+    :func:`ansari_bradley_test` (dispersion component) — each already
+    exact on the bucketed rank machinery with tie-corrected /
+    conditional moments; their 4-decimal shared z's square into one
+    shared expression (the oracle squares the SAME rounded z's, so no
+    drift can compound). Two passes over the rank frame by construction
+    (the components rank different score functions over the same
+    values). Returns ``(n1, n2, zw, za, l_stat)``.
+    """
+    mw_raw = mann_whitney_u(df, value_col, group_col, group1)
+    ab_raw = ansari_bradley_test(df, value_col, group_col, group1)
+    mw = mw_raw.select("n1", "n2", F.col("z").alias("zw"))
+    ab = ab_raw.select(F.col("z").alias("za"))
+    out = mw.crossJoin(F.broadcast(ab)).select(
+        "n1", "n2", "zw", "za", F.expr(LEPAGE_EXPR).alias("l_stat")
+    )
+    # the .select() results don't carry the components' cache attrs
+    out._stage_caches = list(getattr(mw_raw, "_stage_caches", [])) + list(
+        getattr(ab_raw, "_stage_caches", [])
+    )
+    return out

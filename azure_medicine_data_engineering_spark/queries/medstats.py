@@ -3142,3 +3142,72 @@ def q_quantile_shift_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return quantile_shift_two_sample(src, "cents", "event_type", "click")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    LEPAGE_EXPR,
+    MW_Z_EXPR as _LP_MW_Z,
+    lepage_test,
+)
+
+
+@register(
+    "lepage_click_vs_rest",
+    f"""
+    WITH src AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             event_type = 'click' AS g1
+      FROM events
+    ),
+    {_RANKED_SQL},
+    mws AS (
+      SELECT CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c_all - c1) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS DOUBLE)
+               AS tiesum
+      FROM r
+    ),
+    mwz AS (SELECT n1, n2, {_LP_MW_Z} AS zw FROM mws),
+    tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS nn,
+                   CAST(SUM(c1) AS BIGINT) AS n1 FROM byval),
+    st AS (
+      SELECT r.*, t.nn, t.n1, (t.nn + 1) // 2 AS m0 FROM r, tot t
+    ),
+    st2 AS (SELECT *, m0 * (m0 + 1) // 2 AS tm0 FROM st),
+    terms AS (
+      SELECT *,
+             {_ab_t_sql('(cnt_less + c_all)')} - {_ab_t_sql('cnt_less')} AS b_s
+      FROM st2
+    ),
+    scal AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(n1) AS BIGINT) AS n1,
+             CAST(SUM(b_s) AS BIGINT) AS sa_i,
+             SUM(CAST(FLOOR(c1 * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS w_h,
+             SUM(CAST(FLOOR(b_s * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT)) AS sa2_h
+      FROM terms
+    ),
+    dbl AS (
+      SELECT n1, CAST(nn - n1 AS BIGINT) AS n2,
+             CAST(w_h AS DOUBLE) / 1e4 AS w, nn,
+             CAST(sa_i AS DOUBLE) AS sa, CAST(sa2_h AS DOUBLE) / 1e4 AS sa2
+      FROM scal
+    ),
+    abz AS (SELECT {AB_Z_EXPR} AS za FROM dbl)
+    SELECT mwz.n1, mwz.n2, zw, za, {LEPAGE_EXPR} AS l_stat FROM mwz, abz
+    """,
+)
+def q_lepage_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage joint location-and-scale test of click event values (cents)
+    vs the rest (``rankstats.lepage_test``): L = z_W² + z_AB² ~ χ²₂ —
+    the combined drift alarm composing the Wilcoxon location component
+    and the Ansari-Bradley dispersion component, both already exact on
+    the bucketed rank machinery; the oracle squares the SAME 4-decimal
+    shared z's."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return lepage_test(src, "cents", "event_type", "click")

@@ -581,3 +581,50 @@ def test_quantile_shift_tail_only(spark):
            for r in quantile_shift_two_sample(df, "v", "g", "g1").collect()}
     assert all(got[q] == 0 for q in range(10, 90, 10))
     assert got[90] == 500  # the shift localizes to the tail decile
+
+
+# ---------------------------------------------------------------------------
+# Lepage: component identity (L must equal the two independently computed
+# z's squared and summed) + directional power poles.
+# ---------------------------------------------------------------------------
+
+
+def test_lepage_component_identity_and_poles(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ansari_bradley_test,
+        lepage_test,
+        mann_whitney_u,
+    )
+
+    import random
+
+    rnd = random.Random(9)
+    a = [round(rnd.gauss(100, 10)) for _ in range(40)]   # location+scale base
+    b = [round(rnd.gauss(130, 35)) for _ in range(35)]   # shifted AND wider
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = lepage_test(df, "v", "g", "g1").collect()[0]
+    zw = mann_whitney_u(df, "v", "g", "g1").collect()[0]["z"]
+    za = ansari_bradley_test(df, "v", "g", "g1").collect()[0]["z"]
+    assert got["zw"] == zw and got["za"] == za
+    assert got["l_stat"] == pytest.approx(
+        math.floor((zw * zw + za * za) * 1e4 + 0.5) / 1e4, abs=1e-9
+    )
+    # both components contribute: the planted shift+spread is decisive on
+    # the chi2_2 scale
+    assert got["l_stat"] > 13.8  # chi2_0.999(2)
+    assert abs(zw) > 2 and abs(za) > 2
+
+
+def test_lepage_null_small(spark):
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        lepage_test,
+    )
+
+    # identical distributions (interleaved) -> small L
+    a = list(range(0, 60, 2))
+    b = list(range(1, 60, 2))
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = lepage_test(df, "v", "g", "g1").collect()[0]
+    assert got["l_stat"] < 2.0

@@ -282,6 +282,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "mood_scale_click_vs_rest": (1, "1024-row rank-bucket offset window"),
     "kuiper_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
     "quantile_shift_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
+    # composes mann_whitney + ansari: one 1024-row rank-bucket window per
+    # component collapses to a single licensed exchange in the fused plan
+    "lepage_click_vs_rest": (1, "1024-row rank-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
