@@ -755,10 +755,10 @@ def cmh_stratified(
     scal = per.where(n > 0).agg(
         F.count(F.lit(1)).cast("long").alias("n_strata"),
         F.sum("a").cast("long").alias("au"),
-        F.sum(F.round(ad_t * 1e6).cast("long")).cast("long").alias("adu"),
-        F.sum(F.round(bc_t * 1e6).cast("long")).cast("long").alias("bcu"),
-        F.sum(F.round(e_t * 1e6).cast("long")).cast("long").alias("eu"),
-        F.sum(F.round(v_t * 1e6).cast("long")).cast("long").alias("vu"),
+        F.sum(F.floor(ad_t * 1e6 + 0.5).cast("long")).cast("long").alias("adu"),
+        F.sum(F.floor(bc_t * 1e6 + 0.5).cast("long")).cast("long").alias("bcu"),
+        F.sum(F.floor(e_t * 1e6 + 0.5).cast("long")).cast("long").alias("eu"),
+        F.sum(F.floor(v_t * 1e6 + 0.5).cast("long")).cast("long").alias("vu"),
     )
     return scal.select(
         "n_strata",
@@ -3533,11 +3533,15 @@ def snap_half_up_dec(x: Column) -> Column:
     full separation) exceed BIGINT, where Spark's floor saturates/NULLs
     while DuckDB's FLOOR stays double — the engines then diverge (the
     100×-replica sweep caught exactly this on Ansari-Bradley, round 9).
-    ``y − y % 1.0`` floors in pure double arithmetic at any magnitude; the
-    integral double then casts to DECIMAL exactly, matching the oracle's
-    ``CAST(FLOOR(... + 0.5e0) AS HUGEINT)`` bit for bit."""
+    The posmod identity ``y − ((y % 1.0 + 1.0) % 1.0)`` floors in pure
+    double arithmetic at any magnitude AND any sign (Spark's ``%`` keeps
+    the dividend's sign, so the naive ``y − y % 1.0`` truncates toward
+    zero for negative y: snap(−2.3) would give −1 where FLOOR gives −2);
+    the integral double then casts to DECIMAL exactly, matching the
+    oracle's ``CAST(FLOOR(... + 0.5e0) AS HUGEINT)`` bit for bit."""
     y = x + 0.5
-    return (y - y % F.lit(1.0)).cast("decimal(38,0)")
+    frac = ((y % F.lit(1.0)) + F.lit(1.0)) % F.lit(1.0)
+    return (y - frac).cast("decimal(38,0)")
 
 
 #: Prefix sum of the AB score S(i) = min(i, N+1−i) over rank positions
@@ -4033,8 +4037,8 @@ def breslow_day_test(
     a, b, c, d = (F.col(x) for x in "abcd")
     n = a + b + c + d
     mh = per.where(n > 0).agg(
-        F.sum(F.round(a * 1.0 * d / n * 1e6).cast("long")).cast("long").alias("adu"),
-        F.sum(F.round(b * 1.0 * c / n * 1e6).cast("long")).cast("long").alias("bcu"),
+        F.sum(F.floor(a * 1.0 * d / n * 1e6 + 0.5).cast("long")).cast("long").alias("adu"),
+        F.sum(F.floor(b * 1.0 * c / n * 1e6 + 0.5).cast("long")).cast("long").alias("bcu"),
     )
     staged = (
         per.where(n > 1)

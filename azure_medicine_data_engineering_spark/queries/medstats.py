@@ -408,14 +408,14 @@ from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa:
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
         CAST(SUM(a) AS BIGINT) AS au,
-        CAST(SUM(CAST(ROUND(a * 1e0 * d / n * 1e6) AS BIGINT)) AS BIGINT) AS adu,
-        CAST(SUM(CAST(ROUND(b * 1e0 * c / n * 1e6) AS BIGINT)) AS BIGINT) AS bcu,
-        CAST(SUM(CAST(ROUND((a + b) * 1e0 * (a + c) / n * 1e6) AS BIGINT)) AS BIGINT) AS eu,
-        CAST(SUM(CAST(ROUND(
+        CAST(SUM(CAST(FLOOR(a * 1e0 * d / n * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS adu,
+        CAST(SUM(CAST(FLOOR(b * 1e0 * c / n * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS bcu,
+        CAST(SUM(CAST(FLOOR((a + b) * 1e0 * (a + c) / n * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS eu,
+        CAST(SUM(CAST(FLOOR(
           CASE WHEN n > 1
             THEN (a + b) * 1e0 * (c + d) * (a + c) * (b + d)
                  / (n * 1e0 * n * (n - 1))
-            ELSE 0e0 END * 1e6
+            ELSE 0e0 END * 1e6 + 0.5e0
         ) AS BIGINT)) AS BIGINT) AS vu
       FROM per2 WHERE n > 0
     )
@@ -2809,8 +2809,8 @@ def q_anderson_darling_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFr
     per2 AS (SELECT *, a + b + c + d AS n FROM per),
     mh AS (
       SELECT
-        CAST(SUM(CAST(ROUND(a * 1e0 * d / n * 1e6) AS BIGINT)) AS BIGINT) AS adu,
-        CAST(SUM(CAST(ROUND(b * 1e0 * c / n * 1e6) AS BIGINT)) AS BIGINT) AS bcu
+        CAST(SUM(CAST(FLOOR(a * 1e0 * d / n * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS adu,
+        CAST(SUM(CAST(FLOOR(b * 1e0 * c / n * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS bcu
       FROM per2 WHERE n > 0
     ),
     staged AS (

@@ -101,12 +101,21 @@ def test_color_444_and_420():
         assert planes[1].shape == (24, 32)  # upsampled to full resolution
 
 
-def test_progressive_rejected():
+def test_unsupported_sof_rejected():
+    """SOF3 (lossless) and SOF9 (arithmetic) raise cleanly; SOF2 is now
+    SUPPORTED (round 10) — a baseline stream relabeled SOF2 instead dies
+    on the illegal Ss=0/Se=63 scan header, still as JpegError."""
     y = np.full((8, 8), 100, dtype=np.uint8)
+    for bad in (0xC3, 0xC9):
+        data = bytearray(jpeg_encode(y))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = bad
+        with pytest.raises(JpegError, match="unsupported SOF"):
+            jpeg_decode_planes(bytes(data))
     data = bytearray(jpeg_encode(y))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(JpegError, match="progressive|baseline"):
+    data[i + 1] = 0xC2
+    with pytest.raises(JpegError, match="mixes DC and AC"):
         jpeg_decode_planes(bytes(data))
 
 

@@ -628,3 +628,31 @@ def test_lepage_null_small(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     got = lepage_test(df, "v", "g", "g1").collect()[0]
     assert got["l_stat"] < 2.0
+
+
+def test_snap_half_up_dec_negative_inputs(spark):
+    """Round-10 ADVICE fix: snap_half_up_dec must be the bit-exact FLOOR
+    twin for SIGNED inputs too — Spark's % keeps the dividend's sign, so
+    the naive y − y%1.0 truncated toward zero (snap(−2.3) gave −1 where
+    FLOOR(−2.3 + 0.5) = −2). Pins the posmod form against Python's
+    math.floor(x + 0.5) (true half-away-from-zero-ish floor semantics)
+    across both signs and magnitudes past 2^53."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        snap_half_up_dec,
+    )
+
+    vals = [
+        -2.8, -2.5, -2.3, -2.0, -0.5, -0.2, 0.0, 0.2, 0.5, 2.3, 2.5,
+        -1e18, 1e18, -2.5e19, 2.5e19,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["x"]: int(r["s"])
+        for r in df.select("x", snap_half_up_dec(F.col("x")).alias("s")).collect()
+    }
+    for v in vals:
+        assert got[v] == math.floor(v + 0.5), (v, got[v], math.floor(v + 0.5))
