@@ -263,7 +263,9 @@ def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return made.withColumn("byte_len", F.length("payload").cast("int"))
 
 
-def attach_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def attach_jpeg_payload(
+    df: DataFrame, id_col: str, text_col: str, progressive: bool = False
+) -> DataFrame:
     """Deterministic REAL-JPEG fixture with a BIT-EXACT decode: per row,
     w = 8·(1 + b0 % 5) and h = 8·(1 + b1 % 4) from md5(text), and every
     8x8 block is CONSTANT — block (by, bx) carries digest byte
@@ -271,7 +273,12 @@ def attach_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     DCT of each flat block is DC-only and survives quantization exactly
     (see :mod:`.jpeg` module docstring), so the decoded luma mean is
     SQL-recomputable from the md5 hex — the lossy format's analogue of the
-    lossless-PNG oracle trick. Arrow-batched mapInPandas, no shuffle."""
+    lossless-PNG oracle trick. With ``progressive=True`` the same
+    quantized coefficients are emitted as a progressive (SOF2) stream
+    through the full libjpeg-style scan script (DC successive
+    approximation + AC spectral bands), so the decode — now through the
+    DC-first/DC-refine and AC EOB-run paths — stays bit-exact. Arrow-
+    batched mapInPandas, no shuffle."""
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -279,8 +286,10 @@ def attach_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         from azure_medicine_data_engineering_spark.operators.jpeg import (
             jpeg_encode,
+            jpeg_encode_progressive,
         )
 
+        enc = jpeg_encode_progressive if progressive else jpeg_encode
         for pdf in batches:
             ids, payloads = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -293,7 +302,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 ).reshape(rows, cols)
                 y = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
                 ids.append(i)
-                payloads.append(jpeg_encode(y))
+                payloads.append(enc(y))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

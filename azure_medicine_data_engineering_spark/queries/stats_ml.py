@@ -595,6 +595,54 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_progressive",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             1 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 5 AS cols,
+             1 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 4 AS rows
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(cols * 8 AS INT) AS width,
+           CAST(rows * 8 AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(rows * cols),
+                 i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT)))
+                 / (rows * cols * 255.0) AS DOUBLE), 4) AS mean_intensity
+    FROM d
+    """,
+)
+def q_multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG path — round 10's closure of the
+    highest-frequency real-corpus image format gap: the same flat-block
+    md5(text) fixtures as ``multimodal_decode_jpeg``, but emitted as
+    progressive streams through the full libjpeg-style scan script (DC
+    successive approximation Al=1→0, AC spectral-selection bands with EOB
+    runs) and decoded by the T.81 Annex-G progressive scan decoder
+    (`operators/jpeg.py` — DC first/refine, AC first with EOB runs, AC
+    refinement with correction bits). Flat DC-only blocks keep the
+    multi-scan round trip BIT-EXACT ((dc >> 1) << 1 | refine-bit = dc),
+    so the SAME oracle recomputes dimensions and luma mean from the md5
+    hex — progressive entropy framing must be decoded losslessly end to
+    end to hash-match. Map-only Arrow plan, no shuffle."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        decode_media,
+        real_decode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_jpeg_payload(docs, "doc_id", "text", progressive=True)
+    return decode_media(media, decode_fn=real_decode).select(
+        "media_id", "media_type", "width", "height", "mean_intensity"
+    )
+
+
+@register(
     "multimodal_jpeg_quality_gates",
     """
     WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
