@@ -104,9 +104,106 @@ def _driver_verified() -> set[str]:
     return seen
 
 
+def _touched_queries() -> tuple[set[str], set[str]]:
+    """Diff the live registry against `.gate_snapshot.json` (written at
+    round START by tools/gate_snapshot.py). Returns (precise, broad):
+    precise = queries whose fn source or oracle text changed since the
+    snapshot; broad = queries whose defining module, or a package module
+    their defining module imports, changed. Round-10 VERDICT #2: a
+    once-verified query modified later must re-enter the driver's
+    50-slot gate instead of sorting last forever."""
+    import hashlib
+    import inspect
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, ".gate_snapshot.json")) as f:
+            snap = json.load(f)
+    except (OSError, ValueError):
+        return set(), set()
+    old_q = snap.get("queries", {})
+    old_m = snap.get("modules", {})
+
+    pkg = "azure_medicine_data_engineering_spark"
+    precise: set[str] = set()
+    mod_src_cache: dict[str, str] = {}
+    changed_modules: set[str] = set()
+    # current module hashes vs snapshot
+    cur_files: set[str] = set()
+    for root, _dirs, files in os.walk(os.path.join(here, pkg)):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, here)
+            cur_files.add(rel)
+            with open(path, "rb") as fh:
+                digest = hashlib.sha256(fh.read()).hexdigest()
+            if old_m.get(rel) != digest:
+                changed_modules.add(rel)
+    changed_modules.update(set(old_m) - cur_files)  # deleted modules
+
+    # static one-level import scan: defining module -> imported pkg modules
+    def imports_of(rel: str) -> set[str]:
+        if rel in mod_src_cache:
+            src = mod_src_cache[rel]
+        else:
+            try:
+                with open(os.path.join(here, rel)) as fh:
+                    src = fh.read()
+            except OSError:
+                src = ""
+            mod_src_cache[rel] = src
+        mods = set()
+        for m in re.finditer(
+            rf"from {pkg}((?:\.\w+)+) import|import {pkg}((?:\.\w+)+)", src
+        ):
+            dotted = (m.group(1) or m.group(2)).lstrip(".")
+            parts = dotted.split(".")
+            mods.add(os.path.join(pkg, *parts) + ".py")
+            mods.add(os.path.join(pkg, *parts, "__init__.py"))
+        return mods
+
+    broad: set[str] = set()
+    for name, fn in registry.QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = ""
+        oracle = registry.ORACLES.get(name, "")
+        digest = hashlib.sha256(
+            (src + "\x00" + oracle).encode("utf-8")
+        ).hexdigest()
+        if old_q.get(name) != digest:
+            precise.add(name)
+            continue
+        mod = sys.modules.get(fn.__module__)
+        mod_file = getattr(mod, "__file__", None)
+        if not mod_file:
+            continue
+        rel = os.path.relpath(mod_file, here)
+        deps = {rel} | imports_of(rel)
+        if deps & changed_modules:
+            broad.add(name)
+    return precise, broad
+
+
 def _gate_order(names) -> list[str]:
     verified = _driver_verified()
-    return sorted(names, key=lambda n: n in verified)  # stable sort
+    precise, broad = _touched_queries()
+
+    def tier(n: str) -> int:
+        if n not in verified:
+            return 0
+        if n in precise:
+            return 1
+        if n in broad:
+            return 2
+        return 3
+
+    return sorted(names, key=tier)  # stable sort keeps registration order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
