@@ -161,6 +161,7 @@ def categorized_summary(
     include_all: bool = True,
     round_digits: int | None = 4,
     counted_median_metrics: list[str] | str | None = "auto",
+    base_cache: bool | None = None,
 ) -> DataFrame:
     """Grouping-sets summary over ``categories`` (+ optional grand total).
 
@@ -186,6 +187,23 @@ def categorized_summary(
     threshold :data:`COUNTED_MEDIAN_MAX_DISTINCT`) so every caller gets
     the hybrid without hand-tuning; pass an explicit alias list to
     override, or ``None`` / ``[]`` to force the pure sketch plan.
+
+    Scan sharing (round 10): both branches (grouping-sets agg +
+    count-by-value medians) consume the input, so the operator now feeds
+    them from ONE narrow projection (categories + metric sources + cents
+    columns — the only columns either branch touches). Measured at
+    sf0.1/local[32]: the projection alone cut the flagship operator from
+    ~3.3 s to ~2.3 s best-of-4. PERSISTING that projection was ALSO
+    measured — and rejected as the default: cache fill + in-memory
+    rescan cost ~3.3 s vs ~2.3 s for two pruned parquet scans (columnar
+    scan + codegen beats MEMORY_AND_DISK serialization), and at 100 TB a
+    fact-sized cache is cluster memory pressure while a second
+    column-pruned scan is cheap and elastic. ``base_cache`` therefore
+    defaults to no caching; pass ``True`` only when the input's lineage
+    is EXPENSIVE (not a bare table scan — e.g. a join or UDF stage whose
+    recompute dwarfs a cache round-trip). A ``True`` cache is stashed on
+    the result's ``_stage_caches`` (caller-owned lifecycle, repo
+    convention).
     """
     if not metrics or not aggs:
         raise ValueError("metrics and aggs must be non-empty")
@@ -219,14 +237,22 @@ def categorized_summary(
         if any(a in ("sum_2dec", "avg_2dec") for a in aggs)
     }
     cents_col = {alias: f"__c2_{alias}" for alias in cents_needed}
-    if cents_needed:
-        df = df.select(
-            "*",
-            *[
-                F.round(F.col(src) * 100).cast("long").alias(cents_col[alias])
-                for alias, src in cents_needed.items()
-            ],
-        )
+    # narrow projection: the only columns either branch reads (column
+    # pruning for both the scan and — when persisted — the cache)
+    need_cols = list(dict.fromkeys(cats + [src for src, _ in metrics]))
+    df = df.select(
+        *need_cols,
+        *[
+            F.round(F.col(src) * 100).cast("long").alias(cents_col[alias])
+            for alias, src in cents_needed.items()
+        ],
+    )
+    stage_caches: list[DataFrame] = []
+    if base_cache is None:
+        base_cache = False  # measured: pruned re-scan beats cache (docstring)
+    if base_cache:
+        df = df.persist()
+        stage_caches.append(df)
     sets = [(c,) for c in cats] + ([()] if include_all else [])
     grouped = df.groupingSets(sets, *[F.col(c) for c in cats]) if cats else df.groupBy()
 
@@ -287,6 +313,7 @@ def categorized_summary(
         "Division", "DivisionCategory", "aggregation", *[alias for _, alias in metrics]
     )
     if not counted:
+        stacked._stage_caches = stage_caches
         return stacked
     meds = _counted_medians(
         df,
@@ -301,7 +328,7 @@ def categorized_summary(
     # those groups' medians silently vanish. Both frames share df's
     # lineage, so alias+qualify every reference (analysis-time ambiguity).
     stk, md = stacked.alias("__stk"), F.broadcast(meds).alias("__meds")
-    return stk.join(
+    out = stk.join(
         md,
         F.col("__stk.Division").eqNullSafe(F.col("__meds.Division"))
         & F.col("__stk.DivisionCategory").eqNullSafe(
@@ -324,6 +351,8 @@ def categorized_summary(
             for alias in aliases
         ],
     )
+    out._stage_caches = stage_caches
+    return out
 
 
 def _counted_medians(

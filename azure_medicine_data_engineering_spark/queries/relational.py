@@ -673,9 +673,26 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     times)."""
     li = _t(spark, sf_dir, "lineitem")
     metric_aliases = [alias for _, alias in _CS_METRICS]
-    summ = categorized_summary(
-        li, _CS_METRICS, _CS_FAST_AGGS + ["approx_median"], _CS_CATS,
+    # Round-10 scan sharing: one NARROW projection (cats + metric
+    # sources) feeds the summary operator AND the rank-guarantee branch —
+    # column pruning, not caching (persisting a fact-sized base was
+    # measured SLOWER than pruned re-scans; see summarize docstring).
+    base = li.select(
+        *dict.fromkeys(_CS_CATS + [src for src, _ in _CS_METRICS])
     )
+    summ = categorized_summary(
+        base, _CS_METRICS, _CS_FAST_AGGS + ["approx_median"], _CS_CATS,
+    )
+    # summ itself feeds TWO consumers (exact rows + the approx_median
+    # frame): cut its lineage or the grouping-sets subtree — two fact
+    # scans + shuffle — replays per consumer. persist() is NOT enough
+    # here: the final union's analyzer dedup rewrites the second branch's
+    # attribute ids, which defeats cached-plan substitution for that
+    # branch (observed: one InMemoryTableScan + a full replan). EAGER
+    # localCheckpoint (repo convention for tiny multi-consumer frames)
+    # materializes the ~36-row summary once; both consumers then read the
+    # checkpointed blocks.
+    summ = summ.localCheckpoint(eager=True)
     exact_rows = summ.where(F.col("aggregation") != "approx_median")
     am = summ.where(F.col("aggregation") == "approx_median").select(
         "Division",
@@ -697,7 +714,7 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    raw_long = li.select(
+    raw_long = base.select(
         groups.alias("g"), *[F.col(src).alias(a) for src, a in _CS_METRICS]
     ).select("g.Division", "g.DivisionCategory", *metric_aliases)
     joined = raw_long.join(F.broadcast(am), ["Division", "DivisionCategory"])
@@ -715,4 +732,6 @@ def q_categorized_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("aggregation", F.lit("approx_median"))
         .select("Division", "DivisionCategory", "aggregation", *metric_aliases)
     )
-    return exact_rows.unionByName(check_rows)
+    out = exact_rows.unionByName(check_rows)
+    out._stage_caches = list(getattr(summ, "_stage_caches", [])) + [summ]
+    return out

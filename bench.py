@@ -162,6 +162,10 @@ def main() -> None:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
+                # release per-run stage caches (repo convention) so the
+                # 3x repeat doesn't stack persisted copies
+                for c in getattr(df, "_stage_caches", None) or []:
+                    c.unpersist()
             timings[name] = round(min(runs), 3)
             medians[name] = round(statistics.median(runs), 3)
         return timings, medians

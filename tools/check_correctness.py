@@ -151,7 +151,10 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            df = fn(spark, SF_DIR)
+            sdf = df.toPandas()
+            for c in getattr(df, "_stage_caches", None) or []:
+                c.unpersist()
         except Exception as e:
             results[name] = {"error": f"spark: {type(e).__name__}: {e}"}
             failed.append(name)

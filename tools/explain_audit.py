@@ -35,7 +35,44 @@ def _count_unique(plan: str, node_pattern: str) -> int:
     return len(set(re.findall(rf"(?:{node_pattern})[^\n(]*\((\d+)\)", plan)))
 
 
+def _cached_subtree_ids(plan: str) -> set[int]:
+    """Node ids living UNDER an InMemoryRelation in any printed tree
+    section: formatted explain inlines the cached plan's FILL subtree per
+    consumer, so its scans/exchanges print once per reference while
+    executing at most once (zero times if the cache is already
+    materialized). The audit reports them separately instead of counting
+    them as per-execution work."""
+    ids: set[int] = set()
+    imr_stack: list[int] = []  # name positions of open InMemoryRelation nodes
+    in_tree = False
+    for line in plan.splitlines():
+        if line.startswith("== Physical Plan ==") or line.startswith("Subquery:"):
+            in_tree = True
+            imr_stack = []
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            in_tree = False
+            continue
+        if not in_tree:
+            continue
+        m = _TREE_LINE.match(line)
+        if not m:
+            continue
+        pos = m.start("name")
+        while imr_stack and pos <= imr_stack[-1]:
+            imr_stack.pop()
+        if imr_stack:
+            ids.add(int(m.group("id")))
+        if m.group("name").startswith("InMemoryRelation"):
+            imr_stack.append(pos)
+    return ids
+
+
 def audit(name: str, plan: str) -> dict:
+    cached = _cached_subtree_ids(plan)
+    scan_ids = set(
+        int(i) for i in re.findall(r"Scan parquet[^\n(]*\((\d+)\)", plan)
+    )
     return {
         "exchanges": _count_unique(plan, r"\bExchange\b"),
         # formatted explain puts partitioning in the details section;
@@ -45,7 +82,8 @@ def audit(name: str, plan: str) -> dict:
         "sortmerge_joins": _count_unique(plan, r"SortMergeJoin"),
         "nested_loop": _count_unique(plan, r"BroadcastNestedLoopJoin|CartesianProduct"),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        "scans": _count_unique(plan, r"Scan parquet"),
+        "scans": len(scan_ids - cached),
+        "cache_fill_scans": len(scan_ids & cached),
         # Spark 4 formatted explain annotates codegen as "[codegen id : N]"
         # (the tree-node "WholeStageCodegen (N)" form only appears in simple
         # mode) — count distinct codegen ids across both syntaxes
