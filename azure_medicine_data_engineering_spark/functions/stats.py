@@ -146,6 +146,149 @@ def sabha_select(
     return mask
 
 
+def storey_select(
+    pvals: np.ndarray, alpha: float = 0.05, thr: float = 0.5
+) -> np.ndarray:
+    """Storey adaptive-FDR rejection mask (``Storey_method``, ``Hypothesis
+    testing R.r:293-298``): estimate the null proportion
+    π̂₀ = min(1, mean(p > thr)/(1 − thr)), censor p-values above ``thr``
+    to ∞, then run BH at the inflated level α/π̂₀ — strictly more
+    rejections than plain BH whenever signal exists (π̂₀ < 1). Round 10:
+    closes one of the reference's defined-but-uncalled corrections.
+
+    R-quirk parity note: when NO p-value exceeds ``thr``, R computes
+    α/0 = Inf and `Inf <= Inf` is TRUE, so EVERYTHING (censored included)
+    selects; this port reproduces that literally so the hand-enumerated
+    pins transfer."""
+    p = np.asarray(pvals, dtype=float)
+    n = len(p)
+    est = min(1.0, float((p > thr).mean()) / (1.0 - thr))
+    censored = np.where(p > thr, np.inf, p)
+    level = np.inf if est == 0.0 else alpha / est
+    order = np.argsort(censored, kind="stable")
+    ranked = censored[order]
+    thresh = level * (np.arange(1, n + 1) / n)
+    below = ranked <= thresh
+    k = np.max(np.nonzero(below)[0]) + 1 if below.any() else 0
+    return censored <= level * k / n
+
+
+def sabha_qhat_step(
+    pvals: np.ndarray, tau: float = 0.5, eps: float = 0.1
+) -> np.ndarray:
+    """Step-function q̂ (``Solve_q_step``, ``Hypothesis testing
+    R.r:20-27``): q = (ε,…,ε,1,…,1) with as many leading ε's as the
+    budget Σᵢ 1{pᵢ>τ}/qᵢ ≤ n(1−τ) allows — K = the largest prefix whose
+    count of censored p-values stays within
+    (n(1−τ) − Σ1{p>τ}) / (1/ε − 1). Exactly the reference's closed form
+    (no ADMM needed for this constraint set)."""
+    p = np.asarray(pvals, dtype=float)
+    n = len(p)
+    over = p > tau
+    total_over = int(over.sum())
+    budget = (n * (1.0 - tau) - total_over) / (1.0 / eps - 1.0)
+    cum = np.cumsum(over)
+    ok = np.nonzero(cum <= budget)[0]
+    k = int(ok.max()) + 1 if len(ok) else 0
+    q = np.ones(n)
+    q[:k] = eps
+    return q
+
+
+def pava_isotonic(y: np.ndarray) -> np.ndarray:
+    """Pool-adjacent-violators isotonic fit: argmin ½‖x − y‖² subject to
+    x₁ ≤ … ≤ xₙ (Barlow et al. 1972 — the projection the reference's
+    ``create_PAVA_alg_function`` (R.r:39-81) builds for the ordered-q̂
+    ADMM). Stack-based O(n) merge instead of the reference's repeated
+    mean-rescan loop; identical fixed point."""
+    y = np.asarray(y, dtype=float)
+    # blocks as (sum, count) with running means; merge while decreasing
+    sums: list[float] = []
+    cnts: list[int] = []
+    for v in y:
+        sums.append(float(v))
+        cnts.append(1)
+        while len(sums) > 1 and sums[-2] / cnts[-2] > sums[-1] / cnts[-1]:
+            s, c = sums.pop(), cnts.pop()
+            sums[-1] += s
+            cnts[-1] += c
+    out = np.empty(len(y))
+    i = 0
+    for s, c in zip(sums, cnts):
+        out[i : i + c] = s / c
+        i += c
+    return out
+
+
+def sabha_qhat_ordered(
+    pvals: np.ndarray, tau: float = 0.5, eps: float = 0.1
+) -> np.ndarray:
+    """Monotone q̂ with ε ≤ q₁ ≤ … ≤ qₙ ≤ 1 (``Solve_q_ordered``,
+    R.r:33-38): the isotonic projection of the raw censoring estimate
+    1{p>τ}/(1−τ) via :func:`pava_isotonic`, clipped to [ε, 1] — the same
+    projection-of-the-plugin-estimate simplification the repo's block
+    solver makes (the reference's ADMM refines exactly this projection;
+    p-value vectors here are tiny and driver-side)."""
+    p = np.asarray(pvals, dtype=float)
+    raw = (p > tau).astype(float) / (1.0 - tau)
+    return np.clip(pava_isotonic(raw), eps, 1.0)
+
+
+def storey_select_df(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    thr: float = 0.5,
+) -> DataFrame:
+    """Distributed Storey adaptive FDR — the DataFrame twin of
+    :func:`storey_select` for hypothesis sets too large to collect
+    (mirrors :func:`sabha_select_df`'s shape): π̂₀ is one 1-row global
+    aggregate broadcast back; the BH step at level α/π̂₀ is a single
+    global ranking over the HYPOTHESIS-level frame (one row per test —
+    bounded by the number of hypotheses, never data rows). Censored
+    p-values (> thr) rank NULLS LAST and are never selected (the sane
+    reading of the reference's Inf handling; the R est=0 quirk cannot
+    arise once any p-value exceeds thr).
+
+    Returns ``(key, p, pi0, rk, selected)``."""
+    from pyspark.sql.window import Window
+
+    pi0 = df.agg(
+        F.least(
+            F.lit(1.0),
+            F.avg((F.col(p_col) > thr).cast("double")) / (1.0 - thr),
+        ).alias("pi0"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    censored = df.crossJoin(F.broadcast(pi0)).withColumn(
+        "wp", F.when(F.col(p_col) <= thr, F.col(p_col))
+    )
+    w = Window.orderBy(F.col("wp").asc_nulls_last(), F.col(key_col))
+    ranked = censored.select(
+        key_col,
+        p_col,
+        "pi0",
+        "_n",
+        "wp",
+        F.row_number().over(w).alias("rk"),
+    )
+    kmax = ranked.where(
+        F.col("wp") * F.col("pi0") <= F.lit(float(alpha)) * F.col("rk") / F.col("_n")
+    ).agg(F.max("rk").alias("_kmax"))
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .withColumn(
+            "selected",
+            F.coalesce(
+                F.col("wp").isNotNull() & (F.col("rk") <= F.col("_kmax")),
+                F.lit(False),
+            ),
+        )
+        .drop("_n", "_kmax", "wp")
+    )
+
+
 def _log_comb(n: int, k: int) -> float:
     return math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
 

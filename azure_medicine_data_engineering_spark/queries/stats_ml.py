@@ -208,6 +208,74 @@ _SABHA_ORACLE = f"""
     """
 
 
+_STOREY_ORACLE = f"""
+    WITH h AS (
+      SELECT hypothesis,
+             ROUND(CASE WHEN psize <= 5 THEN u * 0.001 ELSE u END, 8) AS p
+      FROM (
+        SELECT p_partkey AS hypothesis, p_size AS psize,
+               (CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 12))
+                AS BIGINT) + 1.0) / {_U48!r} AS u
+        FROM part
+      )
+    ),
+    pi AS (
+      SELECT LEAST(1.0, AVG(CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END) / 0.5)
+               AS pi0,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM h
+    ),
+    r AS (
+      SELECT h.hypothesis, h.p, pi.pi0, pi.n,
+             CASE WHEN h.p <= 0.5 THEN h.p END AS wp,
+             ROW_NUMBER() OVER (
+               ORDER BY (CASE WHEN h.p <= 0.5 THEN h.p END) ASC NULLS LAST,
+                        h.hypothesis) AS rk
+      FROM h, pi
+    ),
+    k AS (SELECT MAX(rk) AS kmax FROM r WHERE wp * pi0 <= 0.05 * rk / n)
+    SELECT r.hypothesis, ROUND(r.p, 4) AS p, ROUND(r.pi0, 4) AS pi0,
+           CAST(r.rk AS INT) AS rk,
+           COALESCE(r.wp IS NOT NULL AND r.rk <= k.kmax, FALSE) AS selected
+    FROM r, k
+    """
+
+
+@register("storey_fdr_selection", _STOREY_ORACLE)
+def q_storey_fdr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey adaptive-FDR selection (``Storey_method``, ``Hypothesis
+    testing R.r:293-298``) run DISTRIBUTED over the same seeded hypothesis
+    set as ``sabha_adjusted_selection`` (one md5-derived p-value per part,
+    small-size parts injected as signal) — round 10 closes the last
+    defined-but-uncalled reference corrections. π̂₀ is a 1-row broadcast
+    aggregate; the BH step at level α/π̂₀ is the same hypothesis-frame
+    global ranking as BH/SABHA. The oracle recomputes π̂₀, the censored
+    ranking, and the k_max cutoff in SQL — the whole selection set must
+    match row-for-row. Storey rejects a SUPERSET of plain BH here (π̂₀ ≈
+    the true null fraction < 1 inflates the level)."""
+    from azure_medicine_data_engineering_spark.functions.stats import (
+        storey_select_df,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    h48 = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h48 + F.lit(1.0)) / F.lit(_U48)
+    hyp = part.select(
+        F.col("p_partkey").alias("hypothesis"),
+        F.round(F.when(F.col("p_size") <= 5, u * 0.001).otherwise(u), 8).alias("p"),
+    )
+    out = storey_select_df(hyp, "hypothesis", "p", alpha=0.05, thr=0.5)
+    return out.select(
+        "hypothesis",
+        F.round("p", 4).alias("p"),
+        F.round("pi0", 4).alias("pi0"),
+        F.col("rk").cast("int").alias("rk"),
+        "selected",
+    )
+
+
 @register("sabha_adjusted_selection", _SABHA_ORACLE)
 def q_sabha_adjusted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 driver-checkable: structure-adaptive BH (SABHA, ``Hypothesis

@@ -294,3 +294,142 @@ def test_sequential_patterns_planted(spark):
     assert lowered["click>view"] == 1
     # a>a repeat: u3 has two views at distinct ts
     assert lowered["view>view"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Storey FDR + the step / ordered (PAVA) SABHA q-hat solvers —
+# the reference's last defined-but-uncalled corrections (R.r:20-84,293-298).
+# Hand-enumerated pins (naive references, mirror-blind-spot convention).
+# ---------------------------------------------------------------------------
+
+
+def test_storey_select_hand_pinned():
+    p = np.array([0.001, 0.005, 0.04, 0.2, 0.6, 0.7, 0.9, 0.3])
+    # mean(p > 0.5) = 3/8 -> pi0 = 0.75; level = 0.05/0.75 = 1/15
+    # sorted censored: .001 .005 .04 .2 .3 inf inf inf vs level*i/8:
+    # .00833 .01667 ... -> khat = 2 -> select censored <= level*2/8
+    mask = stats.storey_select(p, alpha=0.05, thr=0.5)
+    assert mask.tolist() == [True, True, False, False, False, False, False, False]
+
+
+def test_storey_superset_of_bh():
+    """With signal present pi0 < 1, so Storey's level alpha/pi0 > alpha
+    and its rejection set contains BH's."""
+    rng = np.random.RandomState(5)
+    p = np.concatenate([rng.uniform(0, 0.002, 20), rng.uniform(0, 1, 80)])
+    bh = stats.bh_adjust(p, alpha=0.05)
+    st = stats.storey_select(p, alpha=0.05, thr=0.5)
+    assert st[bh].all()
+    assert st.sum() >= bh.sum()
+
+
+def test_storey_r_quirk_no_censored():
+    """R parity: no p-value above thr -> pi0 = 0 -> alpha/0 = Inf selects
+    everything (Inf <= Inf is TRUE in R)."""
+    p = np.array([0.1, 0.2, 0.3])
+    assert stats.storey_select(p, thr=0.5).all()
+
+
+def test_sabha_qhat_step_hand_pinned():
+    q = stats.sabha_qhat_step(
+        np.array([0.1, 0.6, 0.2, 0.7, 0.8, 0.3]), tau=0.5, eps=0.1
+    )
+    # budget = (6*0.5 - 3)/(1/0.1 - 1) = 0; cumsum(over) = 0,1,1,2,3,3
+    # -> K = 1 (the leading position with cumsum 0)
+    assert q.tolist() == [0.1, 1.0, 1.0, 1.0, 1.0, 1.0]
+    # all p below tau -> budget positive, every prefix fits -> all eps
+    q2 = stats.sabha_qhat_step(np.array([0.1] * 6), tau=0.5, eps=0.1)
+    assert q2.tolist() == [0.1] * 6
+
+
+def test_pava_isotonic_hand_pinned():
+    got = stats.pava_isotonic(np.array([3.0, 1.0, 2.0, 5.0, 4.0]))
+    assert got.tolist() == [2.0, 2.0, 2.0, 4.5, 4.5]
+    # already monotone -> identity
+    y = np.array([1.0, 2.0, 2.0, 7.0])
+    assert stats.pava_isotonic(y).tolist() == y.tolist()
+    # strictly decreasing -> global mean
+    assert stats.pava_isotonic(np.array([3.0, 2.0, 1.0])).tolist() == [2.0] * 3
+
+
+def test_pava_matches_reference_rescan_algorithm():
+    """Pin the stack-based merge against a direct transcription of the
+    reference's repeated mean-rescan PAVA (R.r:39-81) on random vectors —
+    two structurally different routes to the same fixed point."""
+
+    def pava_rescan(y):
+        y = list(map(float, y))
+        n = len(y)
+        groups = list(range(1, n + 1))
+        block = 1
+        thresh = 1e-8
+
+        def mean_of(b):
+            vals = [y[i] for i in range(n) if groups[i] == b]
+            return sum(vals) / len(vals)
+
+        while True:
+            if (block + 1) in groups:
+                if mean_of(block) <= mean_of(block + 1) + thresh:
+                    block += 1
+                else:
+                    groups = [g - 1 if g > block else g for g in groups]
+                    while True:
+                        if (block - 1) in groups:
+                            if mean_of(block - 1) > mean_of(block) + thresh:
+                                groups = [
+                                    g - 1 if g >= block else g for g in groups
+                                ]
+                                block -= 1
+                            else:
+                                break
+                        else:
+                            break
+            else:
+                break
+        out = list(y)
+        for b in set(groups):
+            m = mean_of(b)
+            for i in range(n):
+                if groups[i] == b:
+                    out[i] = m
+        return out
+
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        y = rng.uniform(0, 3, size=rng.randint(1, 30))
+        got = stats.pava_isotonic(y)
+        ref = pava_rescan(y)
+        assert np.allclose(got, ref, atol=1e-9)
+
+
+def test_sabha_qhat_ordered_hand_pinned():
+    q = stats.sabha_qhat_ordered(
+        np.array([0.6, 0.2, 0.7, 0.1]), tau=0.5, eps=0.1
+    )
+    # raw censoring estimate [2,0,2,0] -> isotonic [1,1,1,1] -> clip
+    assert q.tolist() == [1.0, 1.0, 1.0, 1.0]
+    # sorted p-values with late censoring -> monotone step up to 1
+    q2 = stats.sabha_qhat_ordered(
+        np.array([0.1, 0.2, 0.3, 0.6, 0.9]), tau=0.5, eps=0.1
+    )
+    assert (np.diff(q2) >= -1e-12).all()
+    assert q2[0] == 0.1 and q2[-1] <= 1.0
+
+
+def test_storey_df_matches_numpy(spark):
+    rng = np.random.RandomState(23)
+    p = np.round(
+        np.concatenate([rng.uniform(0, 0.003, 8), rng.uniform(0, 1, 40)]), 6
+    )
+    rows = [(int(i), float(v)) for i, v in enumerate(p)]
+    df = spark.createDataFrame(rows, "key long, p double")
+    got = {
+        r["key"]: (r["selected"], r["pi0"])
+        for r in stats.storey_select_df(df, "key", "p").collect()
+    }
+    mask = stats.storey_select(p, alpha=0.05, thr=0.5)
+    est = min(1.0, float((p > 0.5).mean()) / 0.5)
+    for i in range(len(p)):
+        assert got[i][0] == bool(mask[i]), i
+        assert got[i][1] == pytest.approx(est, abs=1e-12)

@@ -193,6 +193,8 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # global BH rank window over one row per hypothesis (stats.py:
     # sabha_select_df docstring)
     "sabha_adjusted_selection": (2, "hypothesis-frame ranking"),
+    # round 10: same hypothesis-frame global ranking (storey_select_df)
+    "storey_fdr_selection": (2, "hypothesis-frame ranking"),
     # cumulative FP/FN sweep window over one row per distinct score
     # (stats.py:roc_optimal_cutoff_df docstring)
     "roc_optimal_cutoff": (1, "per-candidate ROC sweep"),
