@@ -415,3 +415,236 @@ def video_motion_report(df: DataFrame, static_threshold_milli: int = 0) -> DataF
         (mean_motion_milli / 1e3).alias("mean_motion"),
         (mean_motion_milli <= static_threshold_milli).alias("is_static"),
     )
+
+
+# --------------------------------------------------------------------------
+# Real video container (round 10): MJPEG-in-AVI demux. The RIFF chunk walk
+# is the same machinery as the WAV reader above; the per-frame payloads are
+# baseline JPEGs decoded by operators/jpeg.py — so the toy VID0 seam now has
+# a REAL-container sibling (VID0 stays as the documented raw-frame fallback
+# a deployment can swap for ffmpeg). Replaces the "no container format is
+# parseable without ffmpeg" caveat for the MJPEG/AVI class.
+# --------------------------------------------------------------------------
+
+
+def avi_encode_mjpeg(
+    frames_jpeg: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal spec-conforming AVI writer for an MJPEG video stream:
+    RIFF('AVI ') { LIST('hdrl'){ avih, LIST('strl'){ strh('vids'/'MJPG'),
+    strf(BITMAPINFOHEADER) } }, LIST('movi'){ '00dc' JPEG ... }, idx1 }.
+    Any standard player/demuxer opens these fixtures; any conforming
+    MJPEG-AVI demuxes in :func:`avi_demux_mjpeg`."""
+    n = len(frames_jpeg)
+    max_size = max((len(f) for f in frames_jpeg), default=0)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_size * fps,    # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        n,                 # dwTotalFrames
+        0,                 # dwInitialFrames
+        1,                 # dwStreams
+        max_size,          # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,        # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIII",
+            0,        # dwFlags
+            0, 0,     # wPriority, wLanguage
+            0,        # dwInitialFrames
+            1,        # dwScale
+            fps,      # dwRate (rate/scale = fps)
+            0,        # dwStart
+            n,        # dwLength (frames)
+            max_size, # dwSuggestedBufferSize
+            10_000,   # dwQuality
+            0,        # dwSampleSize (0: variable-size samples)
+            0,        # rcFrame left/top
+        )
+        + struct.pack("<HH", width, height)  # rcFrame right/bottom
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,                 # biSize
+        width,
+        height,
+        1,                  # biPlanes
+        24,                 # biBitCount
+        b"MJPG",            # biCompression
+        width * height * 3, # biSizeImage (nominal)
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_items = []
+    offsets = []  # offsets relative to the start of 'movi' fourcc
+    off = 4  # after the 'movi' fourcc
+    for f in frames_jpeg:
+        offsets.append(off)
+        item = chunk(b"00dc", f)
+        movi_items.append(item)
+        off += len(item)
+    movi = lst(b"movi", b"".join(movi_items))
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, o, len(f))  # AVIIF_KEYFRAME
+        for o, f in zip(offsets, frames_jpeg)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_demux_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Demux an MJPEG AVI into (width, height, [JPEG frame payloads]) by
+    the RIFF chunk walk (chunk order inside lists is NOT assumed beyond
+    the spec's hdrl-before-movi): verifies RIFF/'AVI ' magic, reads
+    width/height from avih, collects every '..dc'/'..db' chunk of the
+    'movi' list. Raises ValueError on non-AVI or truncated payloads."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= stop:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > len(payload):
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", payload[body_start : body_start + 56])
+                width, height = vals[8], vals[9]
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(payload[body_start : body_start + size]))
+            pos = body_start + size + (size & 1)
+
+    walk(12, end)
+    if width is None:
+        raise ValueError("missing avih header")
+    return width, height, frames
+
+
+def attach_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-AVI fixture with BIT-EXACT per-frame decode:
+    md5(text) drives geometry (cols = 1 + b0 % 3, rows = 1 + b1 % 2 blocks
+    of 8x8) and frame count (2 + b2 % 4); frame f's block (by, bx) is the
+    CONSTANT digest byte (f + by·cols + bx) % 16 — the flat-block trick
+    that makes the lossy JPEG round trip exact (operators/jpeg.py
+    docstring), lifted to the frame axis so consecutive frames slide the
+    tile like footage. Each frame is a genuine baseline JPEG; the
+    container is a genuine MJPEG AVI. Arrow-batched mapInPandas, no
+    shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.jpeg import (
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                cols = 1 + h[0] % 3
+                rows = 1 + h[1] % 2
+                nf = 2 + h[2] % 4
+                frames = []
+                for f in range(nf):
+                    bv = np.array(
+                        [
+                            h[(f + by * cols + bx) % 16]
+                            for by in range(rows)
+                            for bx in range(cols)
+                        ],
+                        dtype=np.uint8,
+                    ).reshape(rows, cols)
+                    y = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
+                    frames.append(jpeg_encode(y))
+                ids.append(i)
+                payloads.append(
+                    avi_encode_mjpeg(frames, cols * 8, rows * 8)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "video", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+def video_demux_mjpeg(df: DataFrame) -> DataFrame:
+    """Demux MJPEG-AVI payloads into per-frame luma-stat rows
+    ``(media_id, frame_idx, width, height, frame_mean)`` — the REAL
+    decode-and-fan-out stage (:func:`frame_sample` is its raw-container
+    twin): one Arrow ``mapInPandas`` pass runs the RIFF demux and the
+    baseline JPEG decoder per frame; output rows stay in the input's
+    partitions (map-only, no shuffle — frame fan-out multiplies rows,
+    never moves them). ``frame_mean`` is the JPEG decoder's half-away
+    4-decimal luma mean, so flat-block fixtures are SQL-recomputable."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.jpeg import (
+            jpeg_decode,
+        )
+
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = avi_demux_mjpeg(bytes(p))
+                for fi, jpg in enumerate(frames):
+                    fw, fh, mean = jpeg_decode(jpg)
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"frame {fi} dims {fw}x{fh} != header {w}x{h}"
+                        )
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ws.append(fw)
+                    hs.append(fh)
+                    means.append(mean)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "frame_mean": means,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -887,6 +887,52 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_demux",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             1 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 3 AS cols,
+             1 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 2 AS rows_,
+             2 + CAST(('0x' || substr(hex, 5, 2)) AS INT) % 4 AS nf
+      FROM m
+    ),
+    f AS (
+      SELECT doc_id, hex, cols, rows_,
+             CAST(unnest(range(nf)) AS INT) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(cols * 8 AS INT) AS width, CAST(rows_ * 8 AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(rows_ * cols),
+                j -> CAST(('0x' || substr(hex, ((frame_idx + j) % 16) * 2 + 1, 2)) AS INT)))
+                / (rows_ * cols * 255.0) AS DOUBLE), 4) AS frame_mean
+    FROM f
+    """,
+)
+def q_multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container demux — round 10 replaces the VID0-only story:
+    genuine MJPEG-in-AVI files (RIFF hdrl/strl/movi/idx1 structure, frames
+    are genuine baseline JPEGs with flat DC-only blocks from md5(text))
+    demuxed by the RIFF chunk walk (`media_av.avi_demux_mjpeg` — the WAV
+    reader's machinery) and per-frame decoded by the round-9 baseline JPEG
+    decoder, all inside one Arrow mapInPandas pass (map-only; frame
+    fan-out multiplies rows, never moves them). The flat-block trick makes
+    every frame's luma decode BIT-EXACT, so the oracle recomputes frame
+    count, dimensions, and each frame's luma mean from the md5 hex — the
+    container offsets, the JPEG entropy coding, AND the frame ordering
+    must all be exact to hash-match."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_avi_payload,
+        video_demux_mjpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_avi_payload(docs, "doc_id", "text")
+    return video_demux_mjpeg(media)
+
+
+@register(
     "streaming_static_enrich",
     """
     SELECT c.c_mktsegment, e.event_type,
