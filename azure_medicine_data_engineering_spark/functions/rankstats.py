@@ -217,7 +217,11 @@ def grouped_cdf_counts(
 
 
 def ks_two_sample(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic, EXACT: the sup-distance
     maximization runs entirely on integers — ``D·n1·n2 =
@@ -225,12 +229,19 @@ def ks_two_sample(
     float comparison anywhere until the final display division. Returns
     one row ``(n1, n2, d_num, v_at_d, d)`` where ``v_at_d`` is the
     lowest value attaining the sup (deterministic tie-break).
+
+    ``cdf`` (round 10): a prebuilt ``(v, c1, c2, cum1, cum2)`` frame
+    (caller-persisted) shared across the CDF-test family in panel
+    compositions.
     """
-    cdf = grouped_cdf_counts(
-        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
-        value_col,
-        "_f",
-    ).persist()
+    if cdf is None:
+        cdf = grouped_cdf_counts(
+            df.select(
+                F.col(value_col), (F.col(group_col) == group1).alias("_f")
+            ),
+            value_col,
+            "_f",
+        ).persist()
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
     )
@@ -275,7 +286,11 @@ CVM_T_EXPR = (
 
 
 def cvm_two_sample(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sample Cramér–von Mises statistic, EXACT — the whole-CDF
     companion to the sup-distance KS test (:func:`ks_two_sample`), more
@@ -290,13 +305,17 @@ def cvm_two_sample(
     is ONE shared double expression at the end (``CVM_T_EXPR``). Uses the
     same two-phase bucketed CDF prefix sum as KS: no global window, one
     1024-row bounded offset window. Returns one row ``(n1, n2, t)``.
+    ``cdf``: prebuilt shared CDF frame (see :func:`ks_two_sample`).
     """
     dec = "decimal(38,0)"
-    cdf = grouped_cdf_counts(
-        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
-        value_col,
-        "_f",
-    ).persist()
+    if cdf is None:
+        cdf = grouped_cdf_counts(
+            df.select(
+                F.col(value_col), (F.col(group_col) == group1).alias("_f")
+            ),
+            value_col,
+            "_f",
+        ).persist()
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
     )
@@ -319,22 +338,31 @@ def cvm_two_sample(
 
 
 def mann_whitney_u(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Mann-Whitney U / Wilcoxon rank-sum test between ``group1`` and the
     rest of ``group_col``, tie-corrected normal approximation.
 
     Returns one row ``(n1, n2, u1, z)`` — ``u1`` exact on the 0.5 grid,
     ``z`` from the shared ``MW_Z_EXPR`` finalization.
+
+    ``ranked`` (round 10): a prebuilt ``(v, c_all, c1, cnt_less)`` frame
+    (caller-persisted) so panel compositions share ONE rank frame across
+    the whole two-sample family instead of re-scanning the fact per test.
     """
-    is1 = F.col(group_col) == group1
-    ranked = ranked_value_counts(
-        df.select(F.col(value_col), is1.alias("_g1")),
-        value_col,
-        extra_counts=[
-            F.sum(F.col("_g1").cast("long")).alias("c1"),
-        ],
-    )
+    if ranked is None:
+        is1 = F.col(group_col) == group1
+        ranked = ranked_value_counts(
+            df.select(F.col(value_col), is1.alias("_g1")),
+            value_col,
+            extra_counts=[
+                F.sum(F.col("_g1").cast("long")).alias("c1"),
+            ],
+        )
     scal = ranked.agg(
         F.sum(
             F.col("c1") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
@@ -3567,7 +3595,11 @@ def _ab_prefix(x: Column, n: Column) -> Column:
 
 
 def ansari_bradley_test(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Ansari-Bradley two-sample DISPERSION test — the rank-based member
     of the spread family whose moment-based members are
@@ -3589,12 +3621,14 @@ def ansari_bradley_test(
     """
     dec = "decimal(38,0)"
     snap = snap_half_up_dec
-    is1 = F.col(group_col) == group1
-    ranked = ranked_value_counts(
-        df.select(F.col(value_col), is1.alias("_g1")),
-        value_col,
-        extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
-    ).persist()
+    owns_ranked = ranked is None
+    if owns_ranked:
+        is1 = F.col(group_col) == group1
+        ranked = ranked_value_counts(
+            df.select(F.col(value_col), is1.alias("_g1")),
+            value_col,
+            extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
+        ).persist()
     tot = ranked.agg(
         F.sum("c_all").cast("long").alias("nn"),
         F.sum("c1").cast("long").alias("n1"),
@@ -3631,7 +3665,7 @@ def ansari_bradley_test(
         F.round("w", 4).alias("w"),
         F.expr(AB_Z_EXPR).alias("z"),
     )
-    out._stage_caches = [ranked]
+    out._stage_caches = [ranked] if owns_ranked else []
     return out
 
 
@@ -3919,7 +3953,11 @@ AD_RIGHT_A2_EXPR = (
 
 
 def ad_two_sample_right(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sample Anderson-Darling statistic, RIGHT-CONTINUOUS tie
     convention (Scholz-Stephens k-sample form at k=2 WITHOUT midranks —
@@ -3938,11 +3976,15 @@ def ad_two_sample_right(
     DECIMAL(38,0) (oracle HUGEINT). Returns one row ``(n1, n2, a2)``.
     """
     dec = "decimal(38,0)"
-    cdf = grouped_cdf_counts(
-        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
-        value_col,
-        "_f",
-    ).persist()
+    owns_cdf = cdf is None
+    if owns_cdf:
+        cdf = grouped_cdf_counts(
+            df.select(
+                F.col(value_col), (F.col(group_col) == group1).alias("_f")
+            ),
+            value_col,
+            "_f",
+        ).persist()
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
@@ -3972,7 +4014,7 @@ def ad_two_sample_right(
         (F.col("n1") + F.col("n2")).cast("long").alias("nn"),
         F.col("s_d").cast("double").alias("s_u"),
     ).select("n1", "n2", F.expr(AD_RIGHT_A2_EXPR).alias("a2"))
-    out._stage_caches = [cdf]
+    out._stage_caches = [cdf] if owns_cdf else []
     return out
 
 
@@ -4277,7 +4319,11 @@ def _mood_prefix(x: Column, n: Column) -> Column:
 
 
 def mood_scale_test(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Mood's two-sample SCALE test (scipy ``mood``): rank scores
     ``(i − (N+1)/2)²`` grow toward BOTH extremes, so a group with larger
@@ -4301,12 +4347,14 @@ def mood_scale_test(
     quadrupled-score group-1 sum /1e4-grid (z is scale-invariant).
     """
     dec = "decimal(38,0)"
-    is1 = F.col(group_col) == group1
-    ranked = ranked_value_counts(
-        df.select(F.col(value_col), is1.alias("_g1")),
-        value_col,
-        extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
-    ).persist()
+    owns_ranked = ranked is None
+    if owns_ranked:
+        is1 = F.col(group_col) == group1
+        ranked = ranked_value_counts(
+            df.select(F.col(value_col), is1.alias("_g1")),
+            value_col,
+            extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
+        ).persist()
     tot = ranked.agg(
         F.sum("c_all").cast("long").alias("nn"),
         F.sum("c1").cast("long").alias("n1"),
@@ -4338,12 +4386,16 @@ def mood_scale_test(
         F.round("w", 4).alias("w"),
         F.expr(AB_Z_EXPR).alias("z"),
     )
-    out._stage_caches = [ranked]
+    out._stage_caches = [ranked] if owns_ranked else []
     return out
 
 
 def kuiper_two_sample(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """Kuiper's two-sample statistic V = D⁺ + D⁻ — the variant of KS
     (:func:`ks_two_sample`) that weighs BOTH signed CDF excursions, so a
@@ -4352,13 +4404,18 @@ def kuiper_two_sample(
     what the one-sided sup misses. Exactly KS's integer machinery:
     ``D⁺·n1·n2 = max(cum1·n2 − cum2·n1, 0)`` and the mirrored D⁻ over
     the bucketed CDF frame; V is one shared display division. Returns
-    ``(n1, n2, v_num, v)``."""
+    ``(n1, n2, v_num, v)``. ``cdf``: prebuilt shared CDF frame (see
+    :func:`ks_two_sample`)."""
     dec = "decimal(38,0)"
-    cdf = grouped_cdf_counts(
-        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
-        value_col,
-        "_f",
-    ).persist()
+    owns_cdf = cdf is None
+    if owns_cdf:
+        cdf = grouped_cdf_counts(
+            df.select(
+                F.col(value_col), (F.col(group_col) == group1).alias("_f")
+            ),
+            value_col,
+            "_f",
+        ).persist()
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
@@ -4385,7 +4442,7 @@ def kuiper_two_sample(
         "n1", "n2", "v_num",
         F.expr("round(v_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("v"),
     )
-    out._stage_caches = [cdf]
+    out._stage_caches = [cdf] if owns_cdf else []
     return out
 
 
@@ -4395,6 +4452,7 @@ def quantile_shift_two_sample(
     group_col: str,
     group1: str,
     n_q: int = 10,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """Doksum SHIFT FUNCTION between two samples: the per-quantile
     difference Δ(q) = Q₂(q) − Q₁(q) at the inner deciles — the drift
@@ -4409,12 +4467,17 @@ def quantile_shift_two_sample(
     search is one aggregation over the (distinct values × (n_q−1))
     explode — no windows beyond the CDF's own. Returns one row per inner
     quantile ``(q_pct, q1_v, q2_v, shift)`` (values in the input grid).
+    ``cdf``: prebuilt shared CDF frame (see :func:`ks_two_sample`).
     """
-    cdf = grouped_cdf_counts(
-        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
-        value_col,
-        "_f",
-    ).persist()
+    owns_cdf = cdf is None
+    if owns_cdf:
+        cdf = grouped_cdf_counts(
+            df.select(
+                F.col(value_col), (F.col(group_col) == group1).alias("_f")
+            ),
+            value_col,
+            "_f",
+        ).persist()
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
@@ -4442,7 +4505,7 @@ def quantile_shift_two_sample(
             (F.col("q2_v") - F.col("q1_v")).cast("long").alias("shift"),
         )
     )
-    out._stage_caches = [cdf]
+    out._stage_caches = [cdf] if owns_cdf else []
     return out
 
 
@@ -4480,4 +4543,113 @@ def lepage_test(
     out._stage_caches = list(getattr(mw_raw, "_stage_caches", [])) + list(
         getattr(ab_raw, "_stage_caches", [])
     )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift panel (round 10): the ergonomic one-call entry point
+# composing the two-sample rank/CDF family — location (Mann-Whitney),
+# scale (Ansari-Bradley, Mood), joint (Lepage), shape (KS, CvM, Kuiper,
+# right-continuous AD), localization (max Doksum decile shift) — over ONE
+# shared CDF frame.
+# ---------------------------------------------------------------------------
+
+
+def distribution_drift_panel(
+    df: DataFrame, value_col: str, group_col: str, group1: str
+) -> DataFrame:
+    """One-call drift monitor between ``group1`` and the rest: every
+    member statistic of the two-sample family in ONE table
+    ``(test, family, stat, n1, n2)`` — the composition a real user
+    reaches for first, instead of nine separate queries.
+
+    Scale plan — ONE fact pass total: a single
+    :func:`grouped_cdf_counts` frame ``(v, c1, c2, cum1, cum2)`` is
+    persisted (eagerly — nine consumers must read the cache, not race to
+    fill it); the rank shape every rank-statistic kernel needs derives
+    from it MAP-ONLY (``c_all = c1+c2``, ``cnt_less = cum1+cum2-c1-c2``),
+    so Mann-Whitney/Ansari/Mood share the same blocks. Each member is the
+    UNCHANGED exact kernel fed the prebuilt frame (``ranked=`` /
+    ``cdf=``), and Lepage is pure composition of the already-rounded
+    member z's (``LEPAGE_EXPR`` — same contract as ``lepage_test``).
+    Wasserstein-1 is omitted: its kernel needs the value-successor frame
+    (a different two-phase decomposition), not this CDF shape.
+
+    Members: mann_whitney_z (location), ansari_bradley_z + mood_scale_z
+    (scale), lepage_l (location+scale), ks_d / cvm_t / kuiper_v /
+    anderson_darling_a2 (shape; AD is the right-continuous variant),
+    max_decile_shift (localization — max |Doksum shift| over the inner
+    deciles, in value-grid units). The shared CDF frame is stashed on
+    ``_stage_caches`` (caller-owned lifecycle)."""
+    flagged = df.select(
+        F.col(value_col), (F.col(group_col) == group1).alias("_f")
+    )
+    cdf = grouped_cdf_counts(flagged, value_col, "_f").persist()
+    cdf.count()  # eager: nine consumers read the cache
+    ranked = cdf.select(
+        "v",
+        (F.col("c1") + F.col("c2")).cast("long").alias("c_all"),
+        "c1",
+        (F.col("cum1") + F.col("cum2") - F.col("c1") - F.col("c2"))
+        .cast("long")
+        .alias("cnt_less"),
+    )
+    mw = mann_whitney_u(df, value_col, group_col, group1, ranked=ranked)
+    ab = ansari_bradley_test(df, value_col, group_col, group1, ranked=ranked)
+    mood = mood_scale_test(df, value_col, group_col, group1, ranked=ranked)
+    ks = ks_two_sample(df, value_col, group_col, group1, cdf=cdf)
+    cvm = cvm_two_sample(df, value_col, group_col, group1, cdf=cdf)
+    kp = kuiper_two_sample(df, value_col, group_col, group1, cdf=cdf)
+    ad = ad_two_sample_right(df, value_col, group_col, group1, cdf=cdf)
+    qshift = quantile_shift_two_sample(
+        df, value_col, group_col, group1, cdf=cdf
+    )
+
+    def row(frame: DataFrame, test: str, family: str, stat: Column) -> DataFrame:
+        return frame.select(
+            F.lit(test).alias("test"),
+            F.lit(family).alias("family"),
+            stat.cast("double").alias("stat"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+        )
+
+    lep = (
+        mw.select(F.col("n1"), F.col("n2"), F.col("z").alias("zw"))
+        .crossJoin(F.broadcast(ab.select(F.col("z").alias("za"))))
+        .select(
+            F.lit("lepage_l").alias("test"),
+            F.lit("location+scale").alias("family"),
+            F.expr(LEPAGE_EXPR).cast("double").alias("stat"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+        )
+    )
+    tot = cdf.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    qmax = (
+        qshift.agg(F.max(F.abs(F.col("shift"))).alias("ms"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("max_decile_shift").alias("test"),
+            F.lit("localization").alias("family"),
+            F.col("ms").cast("double").alias("stat"),
+            "n1",
+            "n2",
+        )
+    )
+    out = (
+        row(mw, "mann_whitney_z", "location", F.col("z"))
+        .unionByName(row(ab, "ansari_bradley_z", "scale", F.col("z")))
+        .unionByName(row(mood, "mood_scale_z", "scale", F.col("z")))
+        .unionByName(lep)
+        .unionByName(row(ks, "ks_d", "shape", F.col("d")))
+        .unionByName(row(cvm, "cvm_t", "shape", F.col("t")))
+        .unionByName(row(kp, "kuiper_v", "shape", F.col("v")))
+        .unionByName(row(ad, "anderson_darling_a2", "shape", F.col("a2")))
+        .unionByName(qmax)
+    )
+    out._stage_caches = [cdf]
     return out

@@ -3211,3 +3211,200 @@ def q_lepage_click_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return lepage_test(src, "cents", "event_type", "click")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift panel (round 10) — the one-call composition of the
+# two-sample family over ONE shared CDF/rank frame.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    AD_RIGHT_A2_EXPR as _DP_AD_A2,
+    CVM_T_EXPR as _DP_CVM_T,
+    distribution_drift_panel,
+)
+
+#: shared base: ranked frame (byval/r) + per-group inclusive cumulatives +
+#: totals, each MATERIALIZED (referenced by several member chains — inline
+#: re-expansion is the documented DuckDB blowup).
+_DP_BASE = (
+    _RANKED_SQL.replace("byval AS (", "byval AS MATERIALIZED (").replace(
+        "r AS (", "r AS MATERIALIZED ("
+    )
+    + """,
+    cum AS MATERIALIZED (
+      SELECT v, c1, CAST(c_all - c1 AS BIGINT) AS c2,
+             CAST(cnt_less + c_all AS BIGINT) AS cumall,
+             CAST(SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(SUM(c_all - c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM r
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(SUM(c_all) AS BIGINT) AS nn,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c_all - c1) AS BIGINT) AS n2
+      FROM byval
+    )"""
+)
+
+
+@register(
+    "distribution_drift_panel_events",
+    f"""
+    WITH src AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             event_type = 'click' AS g1
+      FROM events
+    ),
+    {_DP_BASE},
+    mws AS (
+      SELECT CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c_all - c1) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS DOUBLE)
+               AS tiesum
+      FROM r
+    ),
+    mwz AS (SELECT n1, n2, {_LP_MW_Z} AS zw FROM mws),
+    st AS (
+      SELECT r.*, t.nn, (t.nn + 1) // 2 AS m0 FROM r, tot t
+    ),
+    st2 AS (SELECT *, m0 * (m0 + 1) // 2 AS tm0 FROM st),
+    terms AS (
+      SELECT *,
+             {_ab_t_sql('(cnt_less + c_all)')} - {_ab_t_sql('cnt_less')} AS b_s
+      FROM st2
+    ),
+    scal AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS nn, CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(b_s) AS BIGINT) AS sa_i,
+             SUM(CAST(FLOOR(c1 * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS w_h,
+             SUM(CAST(FLOOR(b_s * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT)) AS sa2_h
+      FROM terms
+    ),
+    dbl AS (
+      SELECT n1, CAST(nn - n1 AS BIGINT) AS n2,
+             CAST(w_h AS DOUBLE) / 1e4 AS w, nn,
+             CAST(sa_i AS DOUBLE) AS sa, CAST(sa2_h AS DOUBLE) / 1e4 AS sa2
+      FROM scal
+    ),
+    abz AS (SELECT {AB_Z_EXPR} AS za FROM dbl),
+    terms_m AS (
+      SELECT c.c_all, c.c1, t.nn,
+             CAST({_mood_q4_sql('(c.cnt_less + c.c_all)')}
+                  - {_mood_q4_sql('c.cnt_less')} AS DOUBLE) AS b4,
+             {_mood_q4_sql('(c.cnt_less + c.c_all)')}
+                  - {_mood_q4_sql('c.cnt_less')} AS b4_h
+      FROM r c, tot t
+    ),
+    scal_m AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS nn, CAST(SUM(c1) AS BIGINT) AS n1,
+             SUM(b4_h) AS sa_h,
+             SUM(CAST(FLOOR(c1 * 1e0 * b4 / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS w_h,
+             SUM(CAST(FLOOR(b4 * b4 / c_all + 0.5e0) AS HUGEINT)) AS sa2_h
+      FROM terms_m
+    ),
+    dbl_m AS (
+      SELECT n1, CAST(nn - n1 AS BIGINT) AS n2,
+             CAST(w_h AS DOUBLE) / 1e4 AS w, nn,
+             CAST(sa_h AS DOUBLE) AS sa, CAST(sa2_h AS DOUBLE) AS sa2
+      FROM scal_m
+    ),
+    mz AS (SELECT {AB_Z_EXPR} AS z_mood FROM dbl_m),
+    ksd AS (
+      SELECT MAX(ABS(CAST(c.cum1 AS HUGEINT) * t.n2
+                     - CAST(c.cum2 AS HUGEINT) * t.n1)) AS d_num
+      FROM cum c, tot t
+    ),
+    cvs AS (
+      SELECT SUM(CAST(c.c1 + c.c2 AS HUGEINT)
+                 * (CAST(c.cum1 AS HUGEINT) * t.n2 - CAST(c.cum2 AS HUGEINT) * t.n1)
+                 * (CAST(c.cum1 AS HUGEINT) * t.n2 - CAST(c.cum2 AS HUGEINT) * t.n1))
+               AS u_d_h
+      FROM cum c, tot t
+    ),
+    kpr AS (
+      SELECT GREATEST(MAX(CAST(c.cum1 AS HUGEINT) * t.n2
+                          - CAST(c.cum2 AS HUGEINT) * t.n1), 0) AS dplus_h,
+             GREATEST(MAX(CAST(c.cum2 AS HUGEINT) * t.n1
+                          - CAST(c.cum1 AS HUGEINT) * t.n2), 0) AS dminus_h
+      FROM cum c, tot t
+    ),
+    adr AS (
+      SELECT SUM(CASE WHEN c.cumall < t.nn THEN
+                 CAST(FLOOR((c.c1 + c.c2)
+                      * CAST(CAST(c.cum1 AS HUGEINT) * t.n2
+                             - CAST(c.cum2 AS HUGEINT) * t.n1 AS DOUBLE)
+                      * CAST(CAST(c.cum1 AS HUGEINT) * t.n2
+                             - CAST(c.cum2 AS HUGEINT) * t.n1 AS DOUBLE)
+                      / (CAST(c.cumall AS DOUBLE) * (t.nn - c.cumall))
+                      * 1e6 + 0.5e0) AS HUGEINT)
+                 ELSE 0 END) AS s_h
+      FROM cum c, tot t
+    ),
+    qsagg AS (
+      SELECT ks_.k,
+             MIN(CASE WHEN c.cum1 >= (ks_.k * t.n1 + 9) // 10 THEN c.v END) AS q1_v,
+             MIN(CASE WHEN c.cum2 >= (ks_.k * t.n2 + 9) // 10 THEN c.v END) AS q2_v
+      FROM cum c, tot t, range(1, 10) ks_(k)
+      GROUP BY ks_.k
+    ),
+    qsm AS (SELECT CAST(MAX(ABS(q2_v - q1_v)) AS DOUBLE) AS ms FROM qsagg)
+    SELECT 'mann_whitney_z' AS test, 'location' AS family,
+           mwz.zw AS stat, t.n1, t.n2 FROM mwz, tot t
+    UNION ALL
+    SELECT 'ansari_bradley_z', 'scale', abz.za, t.n1, t.n2 FROM abz, tot t
+    UNION ALL
+    SELECT 'mood_scale_z', 'scale', mz.z_mood, t.n1, t.n2 FROM mz, tot t
+    UNION ALL
+    SELECT 'lepage_l', 'location+scale',
+           ROUND(mwz.zw * mwz.zw + abz.za * abz.za, 4), t.n1, t.n2
+    FROM mwz, abz, tot t
+    UNION ALL
+    SELECT 'ks_d', 'shape',
+           ROUND(CAST(ksd.d_num AS DOUBLE) / (t.n1 * 1e0 * t.n2), 4),
+           t.n1, t.n2
+    FROM ksd, tot t
+    UNION ALL
+    SELECT 'cvm_t', 'shape', stat, n1, n2 FROM (
+      SELECT cvs.u_d_h AS u_d, t.n1, t.n2, {_DP_CVM_T} AS stat
+      FROM cvs, tot t
+    )
+    UNION ALL
+    SELECT 'kuiper_v', 'shape',
+           ROUND((kpr.dplus_h + kpr.dminus_h) * 1e0 / (t.n1 * 1e0 * t.n2), 4),
+           t.n1, t.n2
+    FROM kpr, tot t
+    UNION ALL
+    SELECT 'anderson_darling_a2', 'shape', stat, n1, n2 FROM (
+      SELECT t.n1, t.n2, t.nn, CAST(adr.s_h AS DOUBLE) AS s_u,
+             {_DP_AD_A2} AS stat
+      FROM adr, tot t
+    )
+    UNION ALL
+    SELECT 'max_decile_shift', 'localization', qsm.ms, t.n1, t.n2
+    FROM qsm, tot t
+    """,
+)
+def q_distribution_drift_panel_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution drift panel of click event values (cents) vs the rest
+    (``rankstats.distribution_drift_panel``) — the round-10 composition
+    the family was building toward: location (Mann-Whitney z), scale
+    (Ansari-Bradley z, Mood z), joint (Lepage L), shape (KS D, CvM T,
+    Kuiper V, right-continuous AD A²) and localization (max |Doksum
+    decile shift|) in ONE monitoring table from ONE shared CDF frame
+    (each member statistic must equal its standalone query's value — the
+    oracle recomputes all nine from the same shared CTE chains). One
+    fact pass; the rank shape derives map-only from the CDF frame."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return distribution_drift_panel(src, "cents", "event_type", "click")

@@ -656,3 +656,57 @@ def test_snap_half_up_dec_negative_inputs(spark):
     }
     for v in vals:
         assert got[v] == math.floor(v + 0.5), (v, got[v], math.floor(v + 0.5))
+
+
+def test_distribution_drift_panel_matches_standalone_kernels(spark):
+    """Round 10: the panel's nine member statistics over the SHARED CDF
+    frame must equal each standalone kernel's value on the same data —
+    the shared-frame derivation (c_all = c1+c2, cnt_less = cum1+cum2−
+    c1−c2) is the only new code path, so any off-by-one there shows as a
+    member mismatch."""
+    import numpy as np
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ad_two_sample_right,
+        ansari_bradley_test,
+        cvm_two_sample,
+        distribution_drift_panel,
+        ks_two_sample,
+        kuiper_two_sample,
+        mann_whitney_u,
+        mood_scale_test,
+        quantile_shift_two_sample,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = [("a", int(v)) for v in rng.randint(0, 40, 120)]
+    rows += [("b", int(v)) for v in rng.randint(5, 60, 90)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    panel = {
+        r["test"]: (r["stat"], r["n1"], r["n2"])
+        for r in distribution_drift_panel(df, "x", "g", "a").collect()
+    }
+    assert set(panel) == {
+        "mann_whitney_z", "ansari_bradley_z", "mood_scale_z", "lepage_l",
+        "ks_d", "cvm_t", "kuiper_v", "anderson_darling_a2",
+        "max_decile_shift",
+    }
+    mw = mann_whitney_u(df, "x", "g", "a").collect()[0]
+    ab = ansari_bradley_test(df, "x", "g", "a").collect()[0]
+    mood = mood_scale_test(df, "x", "g", "a").collect()[0]
+    ks = ks_two_sample(df, "x", "g", "a").collect()[0]
+    cvm = cvm_two_sample(df, "x", "g", "a").collect()[0]
+    kp = kuiper_two_sample(df, "x", "g", "a").collect()[0]
+    ad = ad_two_sample_right(df, "x", "g", "a").collect()[0]
+    qs = quantile_shift_two_sample(df, "x", "g", "a").collect()
+    assert panel["mann_whitney_z"] == (mw["z"], 120, 90)
+    assert panel["ansari_bradley_z"][0] == ab["z"]
+    assert panel["mood_scale_z"][0] == mood["z"]
+    assert panel["lepage_l"][0] == round(mw["z"] ** 2 + ab["z"] ** 2, 4)
+    assert panel["ks_d"][0] == ks["d"]
+    assert panel["cvm_t"][0] == cvm["t"]
+    assert panel["kuiper_v"][0] == kp["v"]
+    assert panel["anderson_darling_a2"][0] == ad["a2"]
+    assert panel["max_decile_shift"][0] == float(
+        max(abs(r["shift"]) for r in qs)
+    )

@@ -325,6 +325,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # composes mann_whitney + ansari: one 1024-row rank-bucket window per
     # component collapses to a single licensed exchange in the fused plan
     "lepage_click_vs_rest": (1, "1024-row rank-bucket offset window"),
+    # round 10: nine members over ONE shared CDF frame — the shared
+    # 1024-row bucket-offset window prints in the cache-fill subtree and
+    # once more for the eager count (rankstats.distribution_drift_panel)
+    "distribution_drift_panel_events": (2, "shared 1024-row CDF-bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
