@@ -3867,7 +3867,11 @@ BM_DF_EXPR = (
 
 
 def brunner_munzel_test(
-    df: DataFrame, value_col: str, group_col: str, group1: str
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1: str,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """Brunner-Munzel two-sample test (the heteroscedasticity-robust
     modern replacement for Mann-Whitney when the two groups may differ in
@@ -3886,14 +3890,19 @@ def brunner_munzel_test(
     ``inner = n_g·(m2 − w_g2 + n_g + 1) − r_gs2`` an EXACT integer whose
     square accumulates in DECIMAL(38,0) (oracle HUGEINT). The only
     doubles are the shared finalization expressions. Returns one row
-    ``(n1, n2, p_hat, w, df_sw)``.
+    ``(n1, n2, p_hat, w, df_sw)``. ``cdf``: prebuilt shared CDF frame
+    (see :func:`ks_two_sample`).
     """
     dec = "decimal(38,0)"
-    cdf = grouped_cdf_counts(
-        df.select(F.col(value_col), (F.col(group_col) == group1).alias("_f")),
-        value_col,
-        "_f",
-    ).persist()
+    owns_cdf = cdf is None
+    if owns_cdf:
+        cdf = grouped_cdf_counts(
+            df.select(
+                F.col(value_col), (F.col(group_col) == group1).alias("_f")
+            ),
+            value_col,
+            "_f",
+        ).persist()
     m2 = (2 * (F.col("cum1") + F.col("cum2")) - (F.col("c1") + F.col("c2")) + 1).cast(
         "long"
     )
@@ -3936,7 +3945,7 @@ def brunner_munzel_test(
         F.expr(BM_W_EXPR).alias("w"),
         F.expr(BM_DF_EXPR).alias("df_sw"),
     )
-    out._stage_caches = [cdf]
+    out._stage_caches = [cdf] if owns_cdf else []
     return out
 
 
@@ -4575,7 +4584,8 @@ def distribution_drift_panel(
     Wasserstein-1 is omitted: its kernel needs the value-successor frame
     (a different two-phase decomposition), not this CDF shape.
 
-    Members: mann_whitney_z (location), ansari_bradley_z + mood_scale_z
+    Members: mann_whitney_z + brunner_munzel_w (location — BM is the
+    heteroscedasticity-robust twin), ansari_bradley_z + mood_scale_z
     (scale), lepage_l (location+scale), ks_d / cvm_t / kuiper_v /
     anderson_darling_a2 (shape; AD is the right-continuous variant),
     max_decile_shift (localization — max |Doksum shift| over the inner
@@ -4595,6 +4605,7 @@ def distribution_drift_panel(
         .alias("cnt_less"),
     )
     mw = mann_whitney_u(df, value_col, group_col, group1, ranked=ranked)
+    bm = brunner_munzel_test(df, value_col, group_col, group1, cdf=cdf)
     ab = ansari_bradley_test(df, value_col, group_col, group1, ranked=ranked)
     mood = mood_scale_test(df, value_col, group_col, group1, ranked=ranked)
     ks = ks_two_sample(df, value_col, group_col, group1, cdf=cdf)
@@ -4642,6 +4653,7 @@ def distribution_drift_panel(
     )
     out = (
         row(mw, "mann_whitney_z", "location", F.col("z"))
+        .unionByName(row(bm, "brunner_munzel_w", "location", F.col("w")))
         .unionByName(row(ab, "ansari_bradley_z", "scale", F.col("z")))
         .unionByName(row(mood, "mood_scale_z", "scale", F.col("z")))
         .unionByName(lep)

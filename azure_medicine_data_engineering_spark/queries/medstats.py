@@ -3353,9 +3353,38 @@ _DP_BASE = (
       FROM cum c, tot t, range(1, 10) ks_(k)
       GROUP BY ks_.k
     ),
-    qsm AS (SELECT CAST(MAX(ABS(q2_v - q1_v)) AS DOUBLE) AS ms FROM qsagg)
+    qsm AS (SELECT CAST(MAX(ABS(q2_v - q1_v)) AS DOUBLE) AS ms FROM qsagg),
+    bmtot AS (
+      SELECT CAST(MAX(cum1) AS BIGINT) AS n1, CAST(MAX(cum2) AS BIGINT) AS n2,
+             SUM(CAST(c1 AS HUGEINT) * (2 * (cum1 + cum2) - (c1 + c2) + 1)) AS r1s2_h,
+             SUM(CAST(c2 AS HUGEINT) * (2 * (cum1 + cum2) - (c1 + c2) + 1)) AS r2s2_h
+      FROM cum
+    ),
+    bmterms AS (
+      SELECT c.c1, c.c2, t.n1, t.n2, t.r1s2_h, t.r2s2_h,
+             2 * (c.cum1 + c.cum2) - (c.c1 + c.c2) + 1 AS m2,
+             2 * c.cum1 - c.c1 + 1 AS w1_2,
+             2 * c.cum2 - c.c2 + 1 AS w2_2
+      FROM cum c, bmtot t
+    ),
+    bmscal AS (
+      SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (CAST(n1 AS HUGEINT) * (m2 - w1_2 + n1 + 1) - r1s2_h)
+                         * (CAST(n1 AS HUGEINT) * (m2 - w1_2 + n1 + 1) - r1s2_h))
+                  AS DOUBLE) AS s1,
+             CAST(SUM(c2 * (CAST(n2 AS HUGEINT) * (m2 - w2_2 + n2 + 1) - r2s2_h)
+                         * (CAST(n2 AS HUGEINT) * (m2 - w2_2 + n2 + 1) - r2s2_h))
+                  AS DOUBLE) AS s2,
+             CAST(MAX(r1s2_h) AS DOUBLE) AS r1s2,
+             CAST(MAX(r2s2_h) AS DOUBLE) AS r2s2
+      FROM bmterms
+    ),
+    bmw AS (SELECT {BM_W_EXPR} AS w_bm FROM bmscal)
     SELECT 'mann_whitney_z' AS test, 'location' AS family,
            mwz.zw AS stat, t.n1, t.n2 FROM mwz, tot t
+    UNION ALL
+    SELECT 'brunner_munzel_w', 'location', bmw.w_bm, t.n1, t.n2
+    FROM bmw, tot t
     UNION ALL
     SELECT 'ansari_bradley_z', 'scale', abz.za, t.n1, t.n2 FROM abz, tot t
     UNION ALL
@@ -3398,9 +3427,10 @@ def q_distribution_drift_panel_events(
     the family was building toward: location (Mann-Whitney z), scale
     (Ansari-Bradley z, Mood z), joint (Lepage L), shape (KS D, CvM T,
     Kuiper V, right-continuous AD A²) and localization (max |Doksum
-    decile shift|) in ONE monitoring table from ONE shared CDF frame
+    decile shift|) in ONE monitoring table from ONE shared CDF frame —
+    plus Brunner-Munzel W, the heteroscedasticity-robust location twin
     (each member statistic must equal its standalone query's value — the
-    oracle recomputes all nine from the same shared CTE chains). One
+    oracle recomputes all ten from the same shared CTE chains). One
     fact pass; the rank shape derives map-only from the CDF frame."""
     ev = events_table(spark, sf_dir)
     src = ev.select(

@@ -933,6 +933,58 @@ def q_multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_ingest_docs",
+    """
+    WITH m AS (
+      SELECT doc_id, text, md5(text) AS hex FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text, hex,
+             '<urn:uuid:' || substr(hex, 1, 8) || '-' || substr(hex, 9, 4)
+               || '-' || substr(hex, 13, 4) || '-' || substr(hex, 17, 4)
+               || '-' || substr(hex, 21, 12) || '>' AS rid,
+             'fetch-ms: ' ||
+               CAST(CAST(('0x' || substr(hex, 1, 4)) AS INT) AS VARCHAR)
+               AS meta
+      FROM m
+    )
+    SELECT doc_id AS media_id, CAST(0 AS INT) AS rec_idx,
+           'response' AS warc_type, rid AS record_id,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length,
+           md5(text) AS content_md5
+    FROM base
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), 'metadata', rid,
+           NULL,
+           CAST(octet_length(CAST(meta AS BLOB)) AS BIGINT),
+           md5(meta)
+    FROM base
+    """,
+)
+def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest — round 10 closes the container Common Crawl ships,
+    the FIRST format a web-scale training ingest touches: genuine
+    member-gzipped WARC/1.0 files (`sources/warc.py` — spec headers,
+    Content-Length-authoritative blocks, one gzip member per record)
+    manufactured deterministically from document text, then exploded to
+    per-record rows by the multi-member-aware reader inside one Arrow
+    mapInPandas pass (map-only fan-out, no shuffle). The oracle
+    recomputes every field from SQL — record ids from the md5 hex,
+    content lengths as UTF-8 octet counts, content md5s of the exact
+    block bytes — so the gzip member walk, the header parse, AND the
+    Content-Length block slicing must all be exact to hash-match."""
+    from azure_medicine_data_engineering_spark.sources.warc import (
+        attach_warc_payload,
+        warc_ingest_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_warc_payload(docs, "doc_id", "text", gzip_members=True)
+    return warc_ingest_records(media)
+
+
+@register(
     "streaming_static_enrich",
     """
     SELECT c.c_mktsegment, e.event_type,

@@ -669,6 +669,7 @@ def test_distribution_drift_panel_matches_standalone_kernels(spark):
     from azure_medicine_data_engineering_spark.functions.rankstats import (
         ad_two_sample_right,
         ansari_bradley_test,
+        brunner_munzel_test,
         cvm_two_sample,
         distribution_drift_panel,
         ks_two_sample,
@@ -687,10 +688,12 @@ def test_distribution_drift_panel_matches_standalone_kernels(spark):
         for r in distribution_drift_panel(df, "x", "g", "a").collect()
     }
     assert set(panel) == {
-        "mann_whitney_z", "ansari_bradley_z", "mood_scale_z", "lepage_l",
-        "ks_d", "cvm_t", "kuiper_v", "anderson_darling_a2",
-        "max_decile_shift",
+        "mann_whitney_z", "brunner_munzel_w", "ansari_bradley_z",
+        "mood_scale_z", "lepage_l", "ks_d", "cvm_t", "kuiper_v",
+        "anderson_darling_a2", "max_decile_shift",
     }
+    bm = brunner_munzel_test(df, "x", "g", "a").collect()[0]
+    assert panel["brunner_munzel_w"][0] == bm["w"]
     mw = mann_whitney_u(df, "x", "g", "a").collect()[0]
     ab = ansari_bradley_test(df, "x", "g", "a").collect()[0]
     mood = mood_scale_test(df, "x", "g", "a").collect()[0]

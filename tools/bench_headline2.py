@@ -47,8 +47,11 @@ def main() -> None:
         runs = []
         for _ in range(max(1, repeat)):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+            for c in getattr(df, "_stage_caches", None) or []:
+                c.unpersist()
         best[name] = round(min(runs), 2)
         med[name] = round(statistics.median(runs), 2)
     load_after = tuple(round(x, 2) for x in os.getloadavg())
