@@ -985,6 +985,54 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "html_extract_text_docs",
+    """
+    WITH m AS (
+      SELECT doc_id, substr(md5(text), 1, 8) AS hex8,
+             trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))
+               AS collapsed
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             'T' || hex8 || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN collapsed <> ''
+                     THEN chr(10) || collapsed ELSE '' END AS extracted
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(length(extracted)
+                - length(replace(extracted, chr(10), '')) + 1 AS BIGINT)
+             AS n_lines,
+           CAST(length(extracted) AS BIGINT) AS n_chars,
+           md5(extracted) AS text_md5
+    FROM base
+    """,
+)
+def q_html_extract_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction — the stage between WARC ingest and the
+    C4/Gopher text rules, closing the crawl chain (round 10): realistic
+    pages (DOCTYPE, title, script/style noise whose BODY even contains a
+    fake ``<p>`` inside a JS string, comments, escaped entities) built
+    deterministically from document text, then stripped by the stdlib
+    streaming extractor (`operators/html_text.py` — drop-subtree
+    suppression, block-tag line splits, HTML5-whitespace collapse) inside
+    one Arrow mapInPandas pass. The extraction contract makes the full
+    expected TEXT SQL-recomputable (title from the md5 hex, heading from
+    the id, the collapsed document text), so the oracle hashes the exact
+    extracted string — entity decoding, script-CDATA handling, and the
+    whitespace contract must all be exact to hash-match. Map-only."""
+    from azure_medicine_data_engineering_spark.operators.html_text import (
+        attach_html_payload,
+        extract_text_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_html_payload(docs, "doc_id", "text")
+    return extract_text_stats(media)
+
+
+@register(
     "streaming_static_enrich",
     """
     SELECT c.c_mktsegment, e.event_type,

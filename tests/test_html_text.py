@@ -1,0 +1,82 @@
+"""HTML → text extractor tests (round 10). The naive-reference pins use
+hand-written pages with known expected text — independent of the fixture
+builder, so a contract bug shared by builder and extractor can't hide."""
+
+import pytest
+
+from azure_medicine_data_engineering_spark.operators.html_text import (
+    html_to_text,
+)
+
+
+def test_basic_blocks_and_inline():
+    html = "<html><body><h1>Title</h1><p>Hello <b>bold</b> world</p></body></html>"
+    assert html_to_text(html) == "Title\nHello bold world"
+
+
+def test_script_style_comment_dropped():
+    html = (
+        "<head><script>var a = '<p>fake</p>';</script>"
+        "<style>p { color: red }</style></head>"
+        "<body><!-- note --><p>real</p><noscript>off</noscript></body>"
+    )
+    assert html_to_text(html) == "real"
+
+
+def test_entities_decode():
+    assert html_to_text("<p>a &amp; b &lt;c&gt; &#233;</p>") == "a & b <c> é"
+
+
+def test_whitespace_collapse_html5_set():
+    assert html_to_text("<p>a\t\tb\n  c\r\nd\fe</p>") == "a b c d e"
+    # vertical tab is NOT HTML5 whitespace: preserved as a character
+    assert html_to_text("<p>a\x0bb</p>") == "a\x0bb"
+
+
+def test_tag_soup_unclosed():
+    assert html_to_text("<p>a<p>b<br>c<div>d") == "a\nb\nc\nd"
+    assert html_to_text("plain text, no tags") == "plain text, no tags"
+
+
+def test_nested_drop_subtrees():
+    html = "<p>keep</p><script><script>x</script><p>lost until outer closes"
+    # stdlib parser ends script CDATA at the FIRST </script>; the inner
+    # <script> open inside CDATA is data, so depth returns to 0 there
+    out = html_to_text(html)
+    assert "keep" in out and "x" not in out
+
+
+def test_inline_tags_do_not_split():
+    html = "<p><span>a</span><em>b</em><a href='#'>c</a></p>"
+    assert html_to_text(html) == "abc"
+
+
+def test_empty_and_blank_lines_drop():
+    assert html_to_text("<p>  </p><p>x</p><div></div>") == "x"
+    assert html_to_text("") == ""
+
+
+def test_spark_stage_roundtrip(spark):
+    from azure_medicine_data_engineering_spark.operators.html_text import (
+        attach_html_payload,
+        extract_text_stats,
+    )
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "alpha  beta"), (2, "x & y <z>")], "doc_id long, text string"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_text_stats(
+            attach_html_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    h1 = hashlib.md5(b"alpha  beta").hexdigest()[:8]
+    expect1 = f"T{h1}\nDoc 1\nalpha beta"
+    assert rows[1]["n_lines"] == 3
+    assert rows[1]["n_chars"] == len(expect1)
+    assert rows[1]["text_md5"] == hashlib.md5(expect1.encode()).hexdigest()
+    h2 = hashlib.md5("x & y <z>".encode()).hexdigest()[:8]
+    expect2 = f"T{h2}\nDoc 2\nx & y <z>"  # escape + entity decode round-trip
+    assert rows[2]["text_md5"] == hashlib.md5(expect2.encode()).hexdigest()
