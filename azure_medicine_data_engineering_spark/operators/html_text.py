@@ -189,3 +189,57 @@ def extract_text_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, HTML_EXTRACT_SCHEMA)
+
+
+CRAWL_E2E_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content_length", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+
+def warc_html_extract(df: DataFrame) -> DataFrame:
+    """FUSED crawl-ingest stage: parse each WARC payload
+    (`sources/warc.py` — member-gzip aware), keep the ``response``
+    records, strip their HTML to text, and emit per-document extraction
+    stats — WARC demux and HTML extraction in ONE Arrow pass so the
+    (potentially large) raw page bytes never cross a stage boundary.
+    This is the composition a Common-Crawl pipeline actually runs:
+    ``.warc.gz → response filter → text → quality rules``. Map-only.
+
+    Emits ``(media_id, content_length, n_lines, n_chars, text_md5)``
+    (one row per response record)."""
+    from azure_medicine_data_engineering_spark.sources.warc import warc_parse
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for headers, content in warc_parse(bytes(p)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    text = html_to_text(content.decode("utf-8"))
+                    rows.append(
+                        (
+                            mid,
+                            len(content),
+                            text.count("\n") + 1 if text else 0,
+                            len(text),
+                            hashlib.md5(text.encode("utf-8")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_length", "n_lines", "n_chars",
+                    "text_md5",
+                ],
+            )
+
+    return df.mapInPandas(run, CRAWL_E2E_SCHEMA)

@@ -1033,6 +1033,86 @@ def q_html_extract_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_ingest_e2e_docs",
+    """
+    WITH m AS (
+      SELECT doc_id, text, substr(md5(text), 1, 8) AS hex8,
+             replace(replace(replace(text, '&', '&amp;'),
+                     '<', '&lt;'), '>', '&gt;') AS esc,
+             trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))
+               AS collapsed
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, hex8, collapsed,
+             '<!DOCTYPE html><html><head><title>T' || hex8
+             || '</title><script type="text/javascript">var p = "<p>NOISE</p>";</script><style>p { color: red }</style></head><body><h1>Doc '
+             || CAST(doc_id AS VARCHAR) || '</h1><p>' || esc
+             || '</p><!-- crawler comment --></body></html>' AS page
+      FROM m
+    ),
+    base AS (
+      SELECT doc_id, page,
+             'T' || hex8 || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN collapsed <> ''
+                     THEN chr(10) || collapsed ELSE '' END AS extracted
+      FROM pg
+    )
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(page AS BLOB)) AS BIGINT) AS content_length,
+           CAST(length(extracted)
+                - length(replace(extracted, chr(10), '')) + 1 AS BIGINT)
+             AS n_lines,
+           CAST(length(extracted) AS BIGINT) AS n_chars,
+           md5(extracted) AS text_md5
+    FROM base
+    """,
+)
+def q_crawl_ingest_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl ingest — the composition the round-10 containers
+    were built for: each document becomes a realistic HTML page (title,
+    script/style noise, escaped body), wrapped as the response record of
+    a member-gzipped WARC/1.0 file; then ONE fused Arrow stage
+    (`operators/html_text.warc_html_extract`) demuxes the WARC, filters
+    to response records, strips the HTML, and emits extraction stats —
+    gzip member walk → Content-Length block slice → entity-decoding
+    parse → whitespace contract, all of which the oracle recomputes from
+    SQL alone (page bytes re-assembled for the octet length; extracted
+    text re-derived and hashed). Map-only: raw page bytes never cross a
+    stage boundary."""
+    from azure_medicine_data_engineering_spark.operators.html_text import (
+        warc_html_extract,
+    )
+    from azure_medicine_data_engineering_spark.sources.warc import (
+        attach_warc_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    page = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>T"),
+        F.substring(F.md5(F.col("text")), 1, 8),
+        F.lit(
+            '</title><script type="text/javascript">var p = "<p>NOISE</p>";'
+            "</script><style>p { color: red }</style></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit("</p><!-- crawler comment --></body></html>"),
+    )
+    paged = docs.select("doc_id", page.alias("page"))
+    media = attach_warc_payload(paged, "doc_id", "page", gzip_members=True)
+    return warc_html_extract(media)
+
+
+@register(
     "streaming_static_enrich",
     """
     SELECT c.c_mktsegment, e.event_type,

@@ -80,3 +80,31 @@ def test_spark_stage_roundtrip(spark):
     h2 = hashlib.md5("x & y <z>".encode()).hexdigest()[:8]
     expect2 = f"T{h2}\nDoc 2\nx & y <z>"  # escape + entity decode round-trip
     assert rows[2]["text_md5"] == hashlib.md5(expect2.encode()).hexdigest()
+
+
+def test_fused_warc_html_extract(spark):
+    """Fused crawl stage: WARC-of-HTML in, extraction stats out — the
+    metadata record is filtered, the response record's page round-trips."""
+    import hashlib
+
+    from azure_medicine_data_engineering_spark.operators.html_text import (
+        warc_html_extract,
+    )
+    from azure_medicine_data_engineering_spark.sources.warc import (
+        attach_warc_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(5, "<html><body><p>hi &amp; bye</p></body></html>")],
+        "doc_id long, page string",
+    )
+    media = attach_warc_payload(df, "doc_id", "page", gzip_members=True)
+    rows = warc_html_extract(media).collect()
+    assert len(rows) == 1  # metadata record filtered out
+    r = rows[0]
+    assert r["media_id"] == 5
+    assert r["content_length"] == len(
+        "<html><body><p>hi &amp; bye</p></body></html>".encode()
+    )
+    assert r["n_lines"] == 1 and r["n_chars"] == len("hi & bye")
+    assert r["text_md5"] == hashlib.md5(b"hi & bye").hexdigest()
