@@ -1112,6 +1112,104 @@ def q_crawl_ingest_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_html_extract(media)
 
 
+def _url_canon_oracle() -> str:
+    from azure_medicine_data_engineering_spark.operators.urls import (
+        TRACKING_PARAM_RE,
+        canonicalize_url_sql,
+    )
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hex FROM documents
+    ),
+    b AS (
+      SELECT doc_id, hex,
+             CAST(('0x' || substr(hex, 1, 2)) AS INT) AS b0,
+             CAST(('0x' || substr(hex, 3, 2)) AS INT) AS b1,
+             CAST(('0x' || substr(hex, 5, 2)) AS INT) AS b2,
+             CAST(('0x' || substr(hex, 7, 2)) AS INT) AS b3
+      FROM m
+    ),
+    u AS (
+      SELECT doc_id,
+             (CASE WHEN b1 % 2 = 0 THEN 'HtTp' ELSE 'hTTpS' END)
+             || '://WwW.SiTe' || CAST(b0 % 4 AS VARCHAR) || '.OrG'
+             || (CASE WHEN b2 % 3 = 0 THEN
+                   (CASE WHEN b1 % 2 = 0 THEN ':80' ELSE ':443' END)
+                 WHEN b2 % 3 = 1 THEN ':8080' ELSE '' END)
+             || '/Dir/' || substr(hex, 9, 6)
+             || (CASE WHEN b3 % 2 = 0 THEN '/' ELSE '' END)
+             || '?b=2&utm_source=news&a=' || CAST(b0 % 10 AS VARCHAR)
+             || '&fbclid=xyz'
+             || (CASE WHEN b3 % 3 = 0 THEN '&ref=home' ELSE '' END)
+             || (CASE WHEN b1 % 3 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM b
+    )
+    SELECT doc_id, url,
+           {canonicalize_url_sql('url')} AS canon_url,
+           len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1),
+               '&'), p -> regexp_matches(p, '{TRACKING_PARAM_RE}'))) > 0
+             AS had_tracking,
+           contains(url, '#') AS had_fragment
+    FROM u
+    """
+
+
+@register("url_canonicalize_docs", _url_canon_oracle())
+def q_url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization before exact-URL dedup in
+    a crawl pipeline (`operators/urls.py`): messy md5-driven fixture URLs
+    (mixed-case scheme/host, default AND real ports, trailing slashes,
+    utm_/fbclid/ref tracking params out of order, fragments) canonicalized
+    by PURE JVM column expressions (regexp_extract + higher-order array
+    filter/sort — no Python UDF; the stage runs at scan throughput and
+    whole-stage codegen applies). The oracle constructs the SAME URLs from
+    the md5 hex and applies the DuckDB mirror of the contract — scheme/
+    host lowering, default-port stripping, tracking-param drop, bytewise
+    param sort, trailing-slash and fragment removal must all agree
+    string-for-string."""
+    from azure_medicine_data_engineering_spark.operators.urls import (
+        canonicalize_url,
+        url_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hexc = F.md5(F.col("text"))
+    b0 = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("int")
+    b1 = F.conv(F.substring(hexc, 3, 2), 16, 10).cast("int")
+    b2 = F.conv(F.substring(hexc, 5, 2), 16, 10).cast("int")
+    b3 = F.conv(F.substring(hexc, 7, 2), 16, 10).cast("int")
+    url = F.concat(
+        F.when(b1 % 2 == 0, F.lit("HtTp")).otherwise(F.lit("hTTpS")),
+        F.lit("://WwW.SiTe"),
+        (b0 % 4).cast("string"),
+        F.lit(".OrG"),
+        F.when(
+            b2 % 3 == 0,
+            F.when(b1 % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(b2 % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Dir/"),
+        F.substring(hexc, 9, 6),
+        F.when(b3 % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=news&a="),
+        (b0 % 10).cast("string"),
+        F.lit("&fbclid=xyz"),
+        F.when(b3 % 3 == 0, F.lit("&ref=home")).otherwise(F.lit("")),
+        F.when(b1 % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    src = docs.select("doc_id", url.alias("url"))
+    ht, hf = url_flags(F.col("url"))
+    return src.select(
+        "doc_id",
+        "url",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        ht.alias("had_tracking"),
+        hf.alias("had_fragment"),
+    )
+
+
 @register(
     "streaming_static_enrich",
     """

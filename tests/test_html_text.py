@@ -108,3 +108,36 @@ def test_fused_warc_html_extract(spark):
     )
     assert r["n_lines"] == 1 and r["n_chars"] == len("hi & bye")
     assert r["text_md5"] == hashlib.md5(b"hi & bye").hexdigest()
+
+
+def test_url_canonicalize_hand_pins(spark):
+    """Hand-pinned canonical forms + UDF-free plan guard (the operator's
+    100 TB claim IS that it's pure JVM expressions)."""
+    from azure_medicine_data_engineering_spark.operators.urls import (
+        canonicalize_urls,
+    )
+
+    cases = [
+        ("HtTp://WwW.ExAmple.COM:80/A/B/?b=2&utm_source=x&a=1#frag",
+         "http://www.example.com/A/B?a=1&b=2"),
+        ("https://Site.ORG:443/", "https://site.org/"),
+        ("https://site.org:8080/x", "https://site.org:8080/x"),  # real port kept
+        ("http://h.io", "http://h.io/"),  # empty path -> '/'
+        ("http://h.io/p?fbclid=1&gclid=2&ref=z", "http://h.io/p"),  # all tracking
+        ("http://h.io/p?z=1&a=2&a=1", "http://h.io/p?a=1&a=2&z=1"),  # dup params sort
+        ("http://h.io/CaSe/Path", "http://h.io/CaSe/Path"),  # path case preserved
+        ("http://h.io:443/x", "http://h.io:443/x"),  # :443 on http is NOT default
+        ("http://h.io/p?k=a=b&utm_x=1", "http://h.io/p?k=a=b"),  # '=' in value
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    out = canonicalize_urls(df, "url")
+    got = {r["i"]: r["canon_url"] for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure JVM: no Python UDF nodes
+    flags = {r["i"]: (r["had_tracking"], r["had_fragment"])
+             for r in out.collect()}
+    assert flags[0] == (True, True)
+    assert flags[2] == (False, False)
