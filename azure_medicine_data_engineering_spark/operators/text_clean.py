@@ -241,3 +241,77 @@ def gopher_quality_report(
         F.sum((~F.col("ok_alpha")).cast("long")).cast("long").alias("fail_alpha"),
         F.sum((~F.col("ok_stop")).cast("long")).cast("long").alias("fail_stop"),
     ).withColumnRenamed("g", group_col)
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (round 10) — Flesch-Kincaid grade level per corpus
+# slice, the curation signal complexity-based filters (textbook-vs-forum
+# routing, age-band selection) key on. Pure JVM higher-order expressions
+# (split + filter + aggregate lambdas — no UDF), exactly mirrored in SQL.
+# ---------------------------------------------------------------------------
+
+#: FK grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 over
+#: the slice's EXACT integer totals — one shared expression, scientific
+#: literals (decimal literals leak DECIMAL types, CLAUDE.md).
+FK_GRADE_EXPR = (
+    "case when w > 0 and s > 0 then "
+    "round(3.9e-1 * w / s + 1.18e1 * y / w - 1.559e1, 4) end"
+)
+
+
+def _fk_doc_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_words, n_syllables, n_sentences) for one document — the
+    deterministic heuristic contract shared with the DuckDB mirror:
+    words = maximal [a-z]+ runs of the lowercased text; syllables per
+    word = max(1, number of [aeiouy]+ vowel groups); sentences =
+    max(1, number of [.!?]+ terminator runs)."""
+    words = F.filter(F.split(F.lower(text), "[^a-z]+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.filter(F.split(w, "[^aeiouy]+"), lambda p: p != "")),
+        ).cast("long"),
+    )
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.split(text, "[.!?]+")) - 1
+    ).cast("long")
+    return n_words, n_syll, n_sent
+
+
+def flesch_kincaid_by_group(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Flesch-Kincaid grade level per group: per-document integer counts
+    (words, vowel-group syllables, sentence terminators) roll up through
+    one keyed aggregation — exact BIGINT totals, the grade is one shared
+    double expression at the end. Map-side combinable; no shuffle beyond
+    the one keyed agg; no data-grain windows. Returns
+    ``(g, n_docs, n_words, n_syllables, n_sentences, fk_grade)``."""
+    nw, ny, ns = _fk_doc_counts(F.col(text_col))
+    per_doc = df.select(
+        F.col(group_col).alias("g"),
+        nw.alias("_w"),
+        ny.alias("_y"),
+        ns.alias("_s"),
+    )
+    return (
+        per_doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("w"),
+            F.sum("_y").cast("long").alias("y"),
+            F.sum("_s").cast("long").alias("s"),
+        )
+        .select(
+            "g",
+            "n_docs",
+            F.col("w").alias("n_words"),
+            F.col("y").alias("n_syllables"),
+            F.col("s").alias("n_sentences"),
+            F.expr(FK_GRADE_EXPR).alias("fk_grade"),
+        )
+    )

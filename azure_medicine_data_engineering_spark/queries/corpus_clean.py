@@ -595,3 +595,55 @@ def q_dunning_keyness_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
     say HOW different; keyness says WITH WHICH WORDS). Deterministic
     (g2, token) top-k; vocabulary-bounded state."""
     return dunning_keyness_top_terms(_t(spark, sf_dir, "documents"), "src0", 10)
+
+
+# ---------------------------------------------------------------------------
+# Readability (round 10)
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.text_clean import (  # noqa: E402
+    FK_GRADE_EXPR,
+    flesch_kincaid_by_group,
+)
+
+
+@register(
+    "readability_by_source",
+    f"""
+    WITH per AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                 w -> w <> '')) AS w_,
+             COALESCE(list_sum(list_transform(
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             w -> w <> ''),
+                 w -> GREATEST(1, len(list_filter(
+                        string_split_regex(w, '[^aeiouy]+'),
+                        p -> p <> ''))))), 0) AS y_,
+             GREATEST(1, len(string_split_regex(text, '[.!?]+')) - 1) AS s_
+      FROM documents
+    ),
+    agg AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w_) AS BIGINT) AS w,
+             CAST(SUM(y_) AS BIGINT) AS y,
+             CAST(SUM(s_) AS BIGINT) AS s
+      FROM per GROUP BY source
+    )
+    SELECT g, n_docs, w AS n_words, y AS n_syllables, s AS n_sentences,
+           {FK_GRADE_EXPR} AS fk_grade
+    FROM agg
+    """,
+)
+def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per source
+    (``text_clean.flesch_kincaid_by_group``) — the complexity signal a
+    curation pipeline keys age-band/textbook-vs-forum routing on, joining
+    the quality battery beside the Gopher rules and LM-quality scores.
+    Pure JVM higher-order expressions (split/filter/aggregate lambdas —
+    no UDF); per-document word / vowel-group-syllable / sentence-run
+    counts are exact integers rolled up in ONE keyed aggregation, and the
+    grade is the shared ``FK_GRADE_EXPR`` over BIGINT totals — the
+    oracle recomputes the identical heuristic with DuckDB list lambdas."""
+    docs = _t(spark, sf_dir, "documents")
+    return flesch_kincaid_by_group(docs, "text", "source")

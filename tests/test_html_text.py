@@ -141,3 +141,39 @@ def test_url_canonicalize_hand_pins(spark):
              for r in out.collect()}
     assert flags[0] == (True, True)
     assert flags[2] == (False, False)
+
+
+def test_flesch_kincaid_hand_pinned(spark):
+    """Naive-reference pin (mirror-blind-spot convention): hand-counted
+    words/syllables/sentences and a hand-evaluated FK grade."""
+    from azure_medicine_data_engineering_spark.operators.text_clean import (
+        flesch_kincaid_by_group,
+    )
+
+    # 'the cat sat. it sat on a mat!' -> 8 words, 8 syllables (all
+    # 1-vowel-group), 2 sentences. 'beautiful education everywhere.' ->
+    # 3 words, eau-i-u=3 + e-u-a-io=4 + e-e-y-e-e=5 -> 12 syllables? count:
+    # beautiful: eau,i,u -> 3; education: e,u,a,io -> 4;
+    # everywhere: e,e,y? y in [aeiouy]: e,ve,ryw... groups of [aeiouy]+ in
+    # 'everywhere': e,e,y? -> 'e','e','ywhe'... compute: e|v|e|r|y|w|h|e|r|e
+    # vowel runs: e / e / y / e / e -> 5. total 12.
+    rows = [
+        ("s1", "the cat sat. it sat on a mat!"),
+        ("s2", "beautiful education everywhere."),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["g"]: r for r in flesch_kincaid_by_group(df, "text", "source").collect()
+    }
+    assert (got["s1"]["n_words"], got["s1"]["n_syllables"],
+            got["s1"]["n_sentences"]) == (8, 8, 2)
+    fk1 = round(0.39 * 8 / 2 + 11.8 * 8 / 8 - 15.59, 4)
+    assert got["s1"]["fk_grade"] == fk1
+    assert (got["s2"]["n_words"], got["s2"]["n_syllables"],
+            got["s2"]["n_sentences"]) == (3, 12, 1)
+    fk2 = round(0.39 * 3 / 1 + 11.8 * 12 / 3 - 15.59, 4)
+    assert got["s2"]["fk_grade"] == fk2
+    # degenerate: no letters at all -> NULL grade
+    df0 = spark.createDataFrame([("z", "123 456!")], "source string, text string")
+    r0 = flesch_kincaid_by_group(df0, "text", "source").collect()[0]
+    assert r0["n_words"] == 0 and r0["fk_grade"] is None
