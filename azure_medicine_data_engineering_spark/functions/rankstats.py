@@ -4665,3 +4665,86 @@ def distribution_drift_panel(
     )
     out._stage_caches = [cdf]
     return out
+
+
+def ks_by_group(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-slice KS drift: for EACH group, the exact two-sample KS
+    distance between that group's value distribution and the REST of the
+    corpus — the keyed monitoring twin of :func:`distribution_drift_panel`
+    (the panel answers "did A drift from B"; this answers "which slice
+    drifted from everyone else", the per-source audit a corpus pipeline
+    schedules).
+
+    Exact and scale-safe: the group CDF must be evaluated at EVERY pooled
+    distinct value (the sup can fall at a value absent from the group,
+    where the group CDF is flat and the rest's keeps rising), so the
+    per-(group, value) count frame is REPLICATED onto the pooled distinct-
+    value grid — |groups| × |distinct values| rows, bounded by the value
+    grid times the (small) group count, never by data rows. Per-group
+    inclusive cumulatives ride GROUP-KEYED windows (parallel, no license
+    needed); the pooled cumulative reuses :func:`ranked_value_counts`'s
+    bucketed machinery. ``D·n_g·n_rest = max|cum_g·n_rest − cum_rest·n_g|``
+    in DECIMAL. Returns ``(g, n_g, n_rest, d_num, d)``."""
+    dec = "decimal(38,0)"
+    src = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    byval = (
+        src.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    pooled = (
+        ranked_value_counts(src.select("v"), "v")
+        .select(
+            "v",
+            (F.col("cnt_less") + F.col("c_all")).cast("long").alias("cumpool"),
+        )
+    )
+    groups = byval.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    tot = byval.agg(F.sum("c").cast("long").alias("nn"))
+    grid = (
+        pooled.crossJoin(F.broadcast(groups))
+        .join(byval, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            "n_g",
+            "cumpool",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w_g = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumg = grid.select(
+        "g",
+        "n_g",
+        "cumpool",
+        F.sum("c").over(w_g).cast("long").alias("cum_g"),
+    )
+    j = cumg.crossJoin(F.broadcast(tot))
+    n_rest = (F.col("nn") - F.col("n_g")).cast("long")
+    cum_rest = (F.col("cumpool") - F.col("cum_g")).cast("long")
+    d = (
+        F.col("cum_g").cast(dec) * n_rest - cum_rest.cast(dec) * F.col("n_g")
+    )
+    out = (
+        j.groupBy("g")
+        .agg(
+            F.max("n_g").cast("long").alias("n_g"),
+            F.max(n_rest).cast("long").alias("n_rest"),
+            F.max(F.abs(d)).cast("long").alias("d_num"),
+        )
+        .select(
+            "g",
+            "n_g",
+            "n_rest",
+            "d_num",
+            F.expr("round(d_num * 1e0 / (n_g * 1e0 * n_rest), 4)").alias("d"),
+        )
+    )
+    out._stage_caches = [byval]
+    return out

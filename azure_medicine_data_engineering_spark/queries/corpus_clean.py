@@ -647,3 +647,67 @@ def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the identical heuristic with DuckDB list lambdas."""
     docs = _t(spark, sf_dir, "documents")
     return flesch_kincaid_by_group(docs, "text", "source")
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    ks_by_group,
+)
+
+
+@register(
+    "ks_drift_by_source",
+    """
+    WITH src AS (SELECT source AS g, n_chars AS v FROM documents),
+    byval AS MATERIALIZED (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM byval GROUP BY v
+    ),
+    pcum AS MATERIALIZED (
+      SELECT v, CAST(SUM(cv) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cumpool
+      FROM pooled
+    ),
+    groups AS MATERIALIZED (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM byval GROUP BY g
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM byval),
+    grid AS (
+      SELECT gr.g, p.v, gr.n_g, p.cumpool, COALESCE(b.c, 0) AS c
+      FROM pcum p CROSS JOIN groups gr
+      LEFT JOIN byval b ON b.g = gr.g AND b.v = p.v
+    ),
+    cumg AS (
+      SELECT g, n_g, cumpool,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_g
+      FROM grid
+    ),
+    scal AS (
+      SELECT g, CAST(MAX(n_g) AS BIGINT) AS n_g,
+             CAST(MAX(t.nn - n_g) AS BIGINT) AS n_rest,
+             CAST(MAX(ABS(CAST(cum_g AS HUGEINT) * (t.nn - n_g)
+                          - CAST(cumpool - cum_g AS HUGEINT) * n_g))
+                  AS BIGINT) AS d_num
+      FROM cumg, tot t GROUP BY g
+    )
+    SELECT g, n_g, n_rest, d_num,
+           round(d_num * 1e0 / (n_g * 1e0 * n_rest), 4) AS d
+    FROM scal
+    """,
+)
+def q_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice KS drift audit (``rankstats.ks_by_group``): for each
+    source, the exact two-sample KS distance between its document-length
+    distribution and the REST of the corpus — the scheduled which-slice-
+    drifted monitor beside the pairwise ``distribution_drift_panel``.
+    The group CDF is evaluated on the POOLED distinct-value grid (the
+    sup can fall at a value the slice never takes), per-group cumulatives
+    ride group-KEYED windows, and the pooled cumulative reuses the
+    bucketed rank machinery — the grid is |sources| x |distinct lengths|,
+    bounded by the value grid, never data rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return ks_by_group(docs, "n_chars", "source")
