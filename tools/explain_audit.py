@@ -329,6 +329,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row bucket-offset window prints in the cache-fill subtree and
     # once more for the eager count (rankstats.distribution_drift_panel)
     "distribution_drift_panel_events": (2, "shared 1024-row CDF-bucket offset window"),
+    # pooled distinct-value cumulative via ranked_value_counts (same
+    # 1024-row class; the per-group cumulatives are group-KEYED windows
+    # which need no license — rankstats.ks_by_group docstring)
+    "ks_drift_by_source": (1, "1024-row pooled-CDF bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
@@ -357,6 +361,13 @@ def main() -> None:
             print(f"{name}: BUILD ERROR {e}")
             continue
         plan = plan_of(df)
+        # release this query's stage caches BEFORE auditing the next one:
+        # an eagerly materialized cache (e.g. the drift panel's shared CDF
+        # frame) otherwise substitutes into later queries' canonically
+        # equal subtrees and rewrites THEIR plans mid-session (observed:
+        # the cdf-family standalones flagging phantom SP exchanges)
+        for c in getattr(df, "_stage_caches", None) or []:
+            c.unpersist()
         info = audit(name, plan)
         flags = []
         if info["single_partition"]:
