@@ -4667,7 +4667,7 @@ def distribution_drift_panel(
     return out
 
 
-def ks_by_group(
+def ks_vs_rest_by_group(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:
     """Per-slice KS drift: for EACH group, the exact two-sample KS

@@ -650,7 +650,7 @@ def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
-    ks_by_group,
+    ks_vs_rest_by_group,
 )
 
 
@@ -700,7 +700,7 @@ from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa:
     """,
 )
 def q_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-slice KS drift audit (``rankstats.ks_by_group``): for each
+    """Per-slice KS drift audit (``rankstats.ks_vs_rest_by_group``): for each
     source, the exact two-sample KS distance between its document-length
     distribution and the REST of the corpus — the scheduled which-slice-
     drifted monitor beside the pairwise ``distribution_drift_panel``.
@@ -710,4 +710,4 @@ def q_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed rank machinery — the grid is |sources| x |distinct lengths|,
     bounded by the value grid, never data rows."""
     docs = _t(spark, sf_dir, "documents")
-    return ks_by_group(docs, "n_chars", "source")
+    return ks_vs_rest_by_group(docs, "n_chars", "source")

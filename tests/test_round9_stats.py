@@ -715,17 +715,17 @@ def test_distribution_drift_panel_matches_standalone_kernels(spark):
     )
 
 
-def test_ks_by_group_hand_pinned(spark):
+def test_ks_vs_rest_by_group_hand_pinned(spark):
     """Naive pin incl. the sup-off-grid case: group 'a' never takes value
     2, where the rest's CDF jumps — the grid replication must still see
     that point. Hand CDFs: a=[1,1,3], b=[2,2,2,4]: D = 2/3 at v=1."""
     from azure_medicine_data_engineering_spark.functions.rankstats import (
-        ks_by_group,
+        ks_vs_rest_by_group,
     )
 
     rows = [("a", 1), ("a", 1), ("a", 3), ("b", 2), ("b", 2), ("b", 2), ("b", 4)]
     df = spark.createDataFrame(rows, "g string, v long")
-    got = {r["g"]: r for r in ks_by_group(df, "v", "g").collect()}
+    got = {r["g"]: r for r in ks_vs_rest_by_group(df, "v", "g").collect()}
     assert (got["a"]["n_g"], got["a"]["n_rest"]) == (3, 4)
     assert got["a"]["d_num"] == 8  # |cum_a*4 - cum_b*3| max, at v=1
     assert got["a"]["d"] == round(8 / 12, 4)
@@ -733,5 +733,5 @@ def test_ks_by_group_hand_pinned(spark):
     # identical distributions -> D = 0
     same = [("x", v) for v in (1, 2, 3)] + [("y", v) for v in (1, 2, 3)]
     df2 = spark.createDataFrame(same, "g string, v long")
-    for r in ks_by_group(df2, "v", "g").collect():
+    for r in ks_vs_rest_by_group(df2, "v", "g").collect():
         assert r["d_num"] == 0 and r["d"] == 0.0

@@ -331,7 +331,7 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "distribution_drift_panel_events": (2, "shared 1024-row CDF-bucket offset window"),
     # pooled distinct-value cumulative via ranked_value_counts (same
     # 1024-row class; the per-group cumulatives are group-KEYED windows
-    # which need no license — rankstats.ks_by_group docstring)
+    # which need no license — rankstats.ks_vs_rest_by_group docstring)
     "ks_drift_by_source": (1, "1024-row pooled-CDF bucket offset window"),
 }
 
