@@ -103,3 +103,38 @@ def test_zorder_write_narrows_file_ranges(spark, tmp_path):
             # a random (unclustered) file would span ~the full 0..63 domain;
             # a 1/16 z-range of a 2-D grid spans ~1/4 per dimension
             assert span <= n_side // 2, (f, col, span)
+
+
+def test_no_duplicate_toplevel_defs():
+    """Round-10 guard: Python silently SHADOWS a re-defined module-level
+    function (the registry's duplicate guard covers query NAMES only) —
+    a round-10 draft redefined the round-5 ks_by_group and broke its
+    query at build time. Fail fast on any duplicate top-level def/class
+    in the package."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "azure_medicine_data_engineering_spark",
+    )
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            tree = ast.parse(open(path).read())
+            seen: dict[str, int] = {}
+            for node in tree.body:
+                if isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                ):
+                    if node.name in seen:
+                        offenders.append(
+                            f"{path}:{node.lineno} redefines {node.name} "
+                            f"(first at :{seen[node.name]})"
+                        )
+                    else:
+                        seen[node.name] = node.lineno
+    assert not offenders, offenders
