@@ -265,6 +265,8 @@ def storey_select_df(
         "wp", F.when(F.col(p_col) <= thr, F.col(p_col))
     )
     w = Window.orderBy(F.col("wp").asc_nulls_last(), F.col(key_col))
+    # hypothesis-grain frame (one row per test) consumed by BOTH the kmax
+    # aggregate and the output join — persist or its ranking replays
     ranked = censored.select(
         key_col,
         p_col,
@@ -272,11 +274,11 @@ def storey_select_df(
         "_n",
         "wp",
         F.row_number().over(w).alias("rk"),
-    )
+    ).persist()
     kmax = ranked.where(
         F.col("wp") * F.col("pi0") <= F.lit(float(alpha)) * F.col("rk") / F.col("_n")
     ).agg(F.max("rk").alias("_kmax"))
-    return (
+    out = (
         ranked.crossJoin(F.broadcast(kmax))
         .withColumn(
             "selected",
@@ -287,6 +289,8 @@ def storey_select_df(
         )
         .drop("_n", "_kmax", "wp")
     )
+    out._stage_caches = [ranked]
+    return out
 
 
 def _log_comb(n: int, k: int) -> float:
@@ -608,6 +612,8 @@ def sabha_select_df(
         "wp", F.when(F.col(p_col) <= tau, F.col("qhat") * F.col(p_col))
     )
     w = Window.orderBy(F.col("wp").asc_nulls_last(), F.col(key_col))
+    # hypothesis-grain frame (one row per test) consumed by BOTH the kmax
+    # aggregate and the output join — persist or its ranking replays
     ranked = weighted.select(
         key_col,
         block_col,
@@ -616,11 +622,11 @@ def sabha_select_df(
         "wp",
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
-    )
+    ).persist()
     kmax = ranked.where(
         F.col("wp") <= F.lit(float(alpha)) * F.col("rk") / F.col("_n")
     ).agg(F.max("rk").alias("_kmax"))
-    return (
+    out = (
         ranked.crossJoin(F.broadcast(kmax))
         .withColumn(
             "selected",
@@ -628,6 +634,8 @@ def sabha_select_df(
         )
         .drop("_n", "_kmax")
     )
+    out._stage_caches = [ranked]
+    return out
 
 
 def roc_optimal_cutoff_df(
