@@ -87,8 +87,9 @@ def png_decode(payload: bytes) -> tuple[int, int, float]:
     IHDR parse, zlib inflate, full scanline defilter (None/Sub/Up/Average/
     Paeth), then (width, height, mean_intensity over all samples).
 
-    Supports 8-bit depth, non-interlaced, any color type (grayscale/RGB/
-    palette-index/alpha variants; palette indices are averaged as stored).
+    Supports 8-bit depth, any color type (grayscale/RGB/palette-index/
+    alpha variants; palette indices are averaged as stored), and — round
+    10 — Adam7 INTERLACED streams.
     """
     width, height, channels, samples = png_decode_pixels(payload)
     n_samples = len(samples)
@@ -97,47 +98,24 @@ def png_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
-def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Full decode to raw samples: (width, height, channels, defiltered
-    sample bytes row-major). The stats decoder and the resize operator both
-    build on this."""
-    import struct
-    import zlib
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass (the spec's
+#: starting col/row and col/row increments).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    width = height = channels = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
-        data = payload[pos + 8:pos + 8 + length]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            channels = _PNG_CHANNELS[color_type]
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+
+def _png_defilter(raw: bytes, i: int, width: int, height: int, channels: int):
+    """Defilter ``height`` scanlines of ``width`` pixels starting at byte
+    offset ``i`` of the inflated stream (one filter byte per line —
+    None/Sub/Up/Average/Paeth). Filter continuity resets at the start (the
+    per-pass contract Adam7 requires). Returns (pixels, next offset)."""
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    if len(raw) < i + height * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     out = bytearray()
     prev = bytearray(stride)
-    i = 0
     for _ in range(height):
         ftype = raw[i]
         i += 1
@@ -162,7 +140,71 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ftype}")
         out += line
         prev = line
-    return width, height, channels, bytes(out)
+    return bytes(out), i
+
+
+def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full decode to raw samples: (width, height, channels, defiltered
+    sample bytes row-major). The stats decoder and the resize operator both
+    build on this. Round 10: Adam7 INTERLACED images decode too — the
+    seven passes defilter independently (per-pass filter continuity) and
+    scatter onto the full-resolution grid by the spec's offsets/strides."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = channels = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) != height * (width * channels + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        out, _ = _png_defilter(raw, 0, width, height, channels)
+        return width, height, channels, out
+    # Adam7: defilter each non-empty pass, scatter into the full grid
+    full = bytearray(width * height * channels)
+    i = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, i = _png_defilter(raw, i, pw, ph, channels)
+        for r in range(ph):
+            src_row = r * pw * channels
+            y = y0 + r * dy
+            for c_ in range(pw):
+                dst = ((y * width) + (x0 + c_ * dx)) * channels
+                src = src_row + c_ * channels
+                full[dst:dst + channels] = sub[src:src + channels]
+    if i != len(raw):
+        raise ValueError("IDAT length does not match interlaced passes")
+    return width, height, channels, bytes(full)
 
 
 def png_resize_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
@@ -181,9 +223,14 @@ def png_resize_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
     return png_encode_gray(out_w, out_h, bytes(resized))
 
 
-def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
+def png_encode_gray(
+    width: int, height: int, pixels: bytes, interlace: bool = False
+) -> bytes:
     """Minimal 8-bit grayscale PNG writer (filter 0 rows, one IDAT) — the
-    fixture side of :func:`png_decode` for datasets without raw media."""
+    fixture side of :func:`png_decode` for datasets without raw media.
+    ``interlace=True`` emits a spec-valid Adam7 stream (the seven passes
+    serialized in order, one filter byte per pass scanline) — the PNG
+    analogue of the progressive-JPEG fixtures."""
     import struct
     import zlib
 
@@ -198,10 +245,25 @@ def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + pixels[r * width:(r + 1) * width] for r in range(height)
-    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + pixels[r * width:(r + 1) * width] for r in range(height)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for r in range(ph):
+                y = y0 + r * dy
+                parts.append(b"\x00")
+                parts.append(
+                    bytes(pixels[y * width + x0 + c * dx] for c in range(pw))
+                )
+        raw = b"".join(parts)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -222,12 +284,17 @@ def fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_intensity
 
 
-def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def attach_png_payload(
+    df: DataFrame, id_col: str, text_col: str, interlace: bool = False
+) -> DataFrame:
     """Deterministic REAL-PNG fixture: per row, dimensions and grayscale
     pixels derive from md5(text) (w = 4 + b0 % 13, h = 4 + b1 % 11, pixels =
     digest bytes tiled to w·h), wrapped into a genuine PNG file via
-    :func:`png_encode_gray` — any standard viewer decodes it. Arrow-batched
-    mapInPandas, no shuffle."""
+    :func:`png_encode_gray` — any standard viewer decodes it. With
+    ``interlace=True`` the same pixels serialize as a spec-valid Adam7
+    stream (round 10 — the PNG analogue of the progressive-JPEG fixtures);
+    the decode is lossless either way. Arrow-batched mapInPandas, no
+    shuffle."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -241,7 +308,7 @@ def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 n = w * ht
                 pixels = (h * (n // 16 + 1))[:n]
                 ids.append(i)
-                payloads.append(png_encode_gray(w, ht, pixels))
+                payloads.append(png_encode_gray(w, ht, pixels, interlace=interlace))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

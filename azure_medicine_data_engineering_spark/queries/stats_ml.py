@@ -1949,3 +1949,48 @@ def q_als_implicit_block_recommender_events(
     )
     out._stage_caches = [ratings]
     return out
+
+
+@register(
+    "multimodal_decode_png_interlaced",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             4 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 13 AS width,
+             4 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 11 AS height
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(width * height),
+                 i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT)))
+                 / (width * height * 255.0) AS DOUBLE), 4) AS mean_intensity
+    FROM d
+    """,
+)
+def q_multimodal_decode_png_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adam7 INTERLACED PNG path — round 10's PNG analogue of the
+    progressive-JPEG closure: the same md5-driven grayscale fixtures as
+    ``multimodal_decode_png``, serialized as spec-valid seven-pass Adam7
+    streams and decoded by the per-pass defilter + scatter
+    (`multimodal.png_decode_pixels`). PNG is lossless, so the SAME oracle
+    recomputes dimensions and pixel means from the md5 hex — the pass
+    geometry (offsets/strides/sub-image dims), per-pass filter
+    continuity, and the scatter must all be exact to hash-match.
+    Map-only Arrow plan."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media,
+        real_decode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_png_payload(docs, "doc_id", "text", interlace=True)
+    return decode_media(media, decode_fn=real_decode).select(
+        "media_id", "media_type", "width", "height", "mean_intensity"
+    )

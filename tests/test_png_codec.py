@@ -176,3 +176,88 @@ def test_image_quality_flags_planted(spark):
     assert not got[2].is_blank and got[2].is_low_contrast
     assert not got[3].is_blank and not got[3].is_low_contrast
     assert got[3].dynamic_range == 255
+
+
+def test_adam7_interlace_roundtrip_exact():
+    """Round 10: Adam7 streams decode to EXACTLY the same pixels as their
+    non-interlaced twins — random sizes incl. 1x1 and sub-8x8 images
+    where several passes are EMPTY."""
+    import random
+
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_encode_gray,
+    )
+
+    rng = random.Random(7)
+    sizes = [(1, 1), (1, 9), (9, 1), (2, 2), (7, 3), (8, 8)] + [
+        (rng.randint(1, 40), rng.randint(1, 40)) for _ in range(20)
+    ]
+    for w, h in sizes:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        plain = png_decode_pixels(png_encode_gray(w, h, px))
+        inter = png_decode_pixels(png_encode_gray(w, h, px, interlace=True))
+        assert plain == inter == (w, h, 1, px), (w, h)
+
+
+def test_adam7_pass_geometry_matches_spec_diagram():
+    """Pin the pass table against the spec's 8x8 diagram (independent of
+    the encoder/decoder pair): which pass owns each pixel."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        _ADAM7,
+    )
+
+    spec = [
+        "16462646",
+        "77777777",
+        "56565656",
+        "77777777",
+        "36463646",
+        "77777777",
+        "56565656",
+        "77777777",
+    ]
+    owner = [[0] * 8 for _ in range(8)]
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        for y in range(y0, 8, dy):
+            for x in range(x0, 8, dx):
+                assert owner[y][x] == 0, "overlapping passes"
+        for y in range(y0, 8, dy):
+            for x in range(x0, 8, dx):
+                owner[y][x] = p
+    for y in range(8):
+        for x in range(8):
+            assert owner[y][x] == int(spec[y][x]), (y, x)
+
+
+def test_interlaced_truncated_raises():
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_encode_gray,
+    )
+    import struct
+    import zlib
+
+    import pytest
+
+    good = png_encode_gray(10, 10, bytes(range(100)), interlace=True)
+    # corrupt: shrink the inflated stream by re-wrapping fewer bytes
+    pos = 8
+    parts = {b"IHDR": None, b"IDAT": None}
+    while pos + 8 <= len(good):
+        length, ctype = struct.unpack(">I4s", good[pos : pos + 8])
+        parts[ctype] = good[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(parts[b"IDAT"])
+    bad_idat = zlib.compress(raw[:-7])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = good[:8]
+    bad = sig + chunk(b"IHDR", parts[b"IHDR"]) + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT length"):
+        png_decode_pixels(bad)
