@@ -53,20 +53,25 @@ DECODED_SCHEMA = StructType(
 
 def real_decode(payload: bytes) -> tuple[int, int, float]:
     """Production decode hook: dispatches on container format. PNG decodes
-    natively (:func:`png_decode` — pure stdlib chunk walk), BASELINE JPEG
-    decodes natively too (:mod:`.jpeg` — marker walk, canonical Huffman,
-    batched numpy IDCT, chroma upsample; progressive raises cleanly);
-    remaining formats (video containers, audio) need codec libraries this
-    runtime lacks."""
+    natively (:func:`png_decode` — pure stdlib chunk walk, Adam7 included),
+    JPEG decodes natively too (:mod:`.jpeg` — baseline AND progressive),
+    and GIF decodes natively (:mod:`.gif` — full LZW, palettes, 4-pass
+    interlace); remaining formats (video containers beyond MJPEG-AVI,
+    audio beyond WAV) need codec libraries this runtime lacks."""
     if payload[:8] == _PNG_SIG:
         return png_decode(payload)
     if payload[:2] == b"\xff\xd8":
         from azure_medicine_data_engineering_spark.operators.jpeg import jpeg_decode
 
         return jpeg_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from azure_medicine_data_engineering_spark.operators.gif import gif_decode
+
+        w, h, _n_frames, mean = gif_decode(payload)
+        return w, h, mean
     raise NotImplementedError(
-        "only PNG and baseline JPEG payloads decode natively; other codecs "
-        "require PIL/opencv/ffmpeg — wire them here in deployments"
+        "only PNG, JPEG (baseline+progressive) and GIF payloads decode "
+        "natively; other codecs require PIL/opencv/ffmpeg — wire them here"
     )
 
 
@@ -525,3 +530,47 @@ def image_quality_flags(df: DataFrame, low_contrast_sigma: int = 8) -> DataFrame
             "is_low_contrast"
         ),
     )
+
+
+def attach_gif_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-GIF fixture (round 10): same md5-driven geometry
+    and tiled digest pixels as the PNG fixture (w = 4 + b0 % 13, h = 4 +
+    b1 % 11), encoded as a spec-valid GIF89a with a grayscale palette —
+    and INTERLACED for half the corpus (b2 even), so the oracle exercises
+    both row orders. GIF is lossless, so pixel means stay md5
+    arithmetic. Arrow-batched mapInPandas, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.gif import (
+            gif_encode_gray,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                w = 4 + h[0] % 13
+                ht = 4 + h[1] % 11
+                n = w * ht
+                pixels = (h * (n // 16 + 1))[:n]
+                ids.append(i)
+                payloads.append(
+                    gif_encode_gray(w, ht, pixels, interlace=h[2] % 2 == 0)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "image", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))

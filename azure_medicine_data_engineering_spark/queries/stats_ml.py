@@ -1994,3 +1994,47 @@ def q_multimodal_decode_png_interlaced(
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
     )
+
+
+@register(
+    "multimodal_decode_gif",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             4 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 13 AS width,
+             4 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 11 AS height
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(width * height),
+                 i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT)))
+                 / (width * height * 255.0) AS DOUBLE), 4) AS mean_intensity
+    FROM d
+    """,
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF path — the THIRD real web-image codec (round 10, beside PNG and
+    baseline+progressive JPEG): md5-driven grayscale-palette GIF89a
+    fixtures (HALF the corpus interlaced, keyed on a digest bit) decoded
+    by the pure-stdlib LZW decoder (`operators/gif.py` — variable code
+    width with the early-change boundary rule, dictionary growth to the
+    12-bit cap, CLEAR/EOI, 4-pass de-interlace, palette resolution)
+    inside Arrow mapInPandas. GIF is lossless and the palette is
+    grayscale (i → (i,i,i)), so the SAME md5-hex oracle as PNG recomputes
+    dimensions and pixel means — the LZW bit walk, sub-block chaining,
+    AND both row orders must be exact to hash-match. Map-only."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_gif_payload,
+        decode_media,
+        real_decode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_gif_payload(docs, "doc_id", "text")
+    return decode_media(media, decode_fn=real_decode).select(
+        "media_id", "media_type", "width", "height", "mean_intensity"
+    )
