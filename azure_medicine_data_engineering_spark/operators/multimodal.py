@@ -494,7 +494,22 @@ def image_quality_flags(df: DataFrame, low_contrast_sigma: int = 8) -> DataFrame
 
                 w, h, planes, _n = jpeg_decode_planes(payload)
                 return w, h, planes[0].reshape(-1)
-            raise NotImplementedError("only PNG/JPEG quality gates are wired")
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                from azure_medicine_data_engineering_spark.operators.gif import (
+                    gif_decode_frames,
+                )
+
+                w, h, frames = gif_decode_frames(payload)
+                # first frame's palette-resolved samples (all channels,
+                # matching the PNG all-sample convention)
+                return (
+                    frames[0]["w"],
+                    frames[0]["h"],
+                    np.frombuffer(frames[0]["rgb"], dtype=np.uint8),
+                )
+            raise NotImplementedError(
+                "only PNG/JPEG/GIF quality gates are wired"
+            )
 
         for b in batches:
             rows = []

@@ -135,3 +135,21 @@ def test_header_geometry():
     assert (w, h) == (300, 7)
     gw, gh, frames = gif_decode_frames(g)
     assert (gw, gh) == (300, 7) and len(frames[0]["indices"]) == 2100
+
+
+def test_image_quality_flags_gif(spark):
+    """The quality-gating operator dispatches GIF beside PNG/JPEG: a solid
+    frame flags blank, a full-range frame does not."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        image_quality_flags,
+    )
+
+    blank = gif_encode_gray(6, 6, bytes([77] * 36))
+    ramp = gif_encode_gray(6, 6, bytes(range(0, 252, 7)))
+    df = spark.createDataFrame(
+        [(1, bytearray(blank)), (2, bytearray(ramp))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_quality_flags(df).collect()}
+    assert rows[1]["is_blank"] and rows[1]["dynamic_range"] == 0
+    assert not rows[2]["is_blank"] and rows[2]["px_max"] == 245
