@@ -2038,3 +2038,47 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
     )
+
+
+@register(
+    "wds_shard_ingest_docs",
+    """
+    WITH m AS (
+      SELECT doc_id, text, md5(text) AS hex FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text,
+             lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key_,
+             CAST(CAST(('0x' || substr(hex, 1, 2)) AS INT) % 10 AS VARCHAR)
+               AS cls
+      FROM m
+    )
+    SELECT doc_id AS media_id, CAST(0 AS INT) AS member_idx,
+           key_ AS sample_key, 'txt' AS ext,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size,
+           md5(text) AS content_md5
+    FROM base
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), key_, 'cls',
+           CAST(1 AS BIGINT), md5(cls)
+    FROM base
+    """,
+)
+def q_wds_shard_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingest (`sources/webdataset.py`) — the
+    de-facto multimodal TRAINING-shard container, completing the ingest
+    pair with WARC (crawl in, curated shards out/in): each document
+    becomes a deterministic one-sample ustar shard (``<key>.txt`` +
+    ``<key>.cls``), and one Arrow pass explodes shards into per-member
+    rows with the WebDataset sample key (basename before the FIRST dot)
+    and extension. The oracle recomputes keys (zero-padded ids), sizes
+    (UTF-8 octets) and content md5s from SQL — the 512-byte ustar header
+    walk and member slicing must be exact to hash-match. Map-only."""
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_shard_payload,
+        wds_ingest_members,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_wds_shard_payload(docs, "doc_id", "text")
+    return wds_ingest_members(media)
