@@ -69,9 +69,13 @@ def real_decode(payload: bytes) -> tuple[int, int, float]:
 
         w, h, _n_frames, mean = gif_decode(payload)
         return w, h, mean
+    if payload[:2] == b"BM":
+        from azure_medicine_data_engineering_spark.operators.bmp import bmp_decode
+
+        return bmp_decode(payload)
     raise NotImplementedError(
-        "only PNG, JPEG (baseline+progressive) and GIF payloads decode "
-        "natively; other codecs require PIL/opencv/ffmpeg — wire them here"
+        "only PNG, JPEG (baseline+progressive), GIF and BMP payloads "
+        "decode natively; other codecs require PIL/opencv/ffmpeg"
     )
 
 
@@ -507,8 +511,15 @@ def image_quality_flags(df: DataFrame, low_contrast_sigma: int = 8) -> DataFrame
                     frames[0]["h"],
                     np.frombuffer(frames[0]["rgb"], dtype=np.uint8),
                 )
+            if payload[:2] == b"BM":
+                from azure_medicine_data_engineering_spark.operators.bmp import (
+                    bmp_decode_pixels,
+                )
+
+                w, h, _c, samples = bmp_decode_pixels(payload)
+                return w, h, np.frombuffer(samples, dtype=np.uint8)
             raise NotImplementedError(
-                "only PNG/JPEG/GIF quality gates are wired"
+                "only PNG/JPEG/GIF/BMP quality gates are wired"
             )
 
         for b in batches:
@@ -574,6 +585,46 @@ def attach_gif_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 payloads.append(
                     gif_encode_gray(w, ht, pixels, interlace=h[2] % 2 == 0)
                 )
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "image", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-BMP fixture (round 10): the PNG fixture's
+    md5-driven geometry and tiled digest pixels, encoded as an 8-bit
+    grayscale-palette BMP (`operators/bmp.py`). Lossless, so pixel means
+    stay md5 arithmetic. Arrow-batched mapInPandas, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.bmp import (
+            bmp_encode_gray,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                w = 4 + h[0] % 13
+                ht = 4 + h[1] % 11
+                n = w * ht
+                pixels = (h * (n // 16 + 1))[:n]
+                ids.append(i)
+                payloads.append(bmp_encode_gray(w, ht, pixels))
             yield pd.DataFrame(
                 {"media_id": ids, "media_type": "image", "payload": payloads}
             )

@@ -2082,3 +2082,44 @@ def q_wds_shard_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_wds_shard_payload(docs, "doc_id", "text")
     return wds_ingest_members(media)
+
+
+@register(
+    "multimodal_decode_bmp",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             4 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 13 AS width,
+             4 + CAST(('0x' || substr(hex, 3, 2)) AS INT) % 11 AS height
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           ROUND(CAST(list_sum(list_transform(range(width * height),
+                 i -> CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT)))
+                 / (width * height * 255.0) AS DOUBLE), 4) AS mean_intensity
+    FROM d
+    """,
+)
+def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP path — the uncompressed-DIB container completing the native
+    image set (round 10): md5-driven grayscale-palette BMP fixtures
+    (bottom-up rows, 4-byte padding) decoded by `operators/bmp.py` inside
+    Arrow mapInPandas. Lossless, so the PNG-style md5-hex oracle
+    recomputes dimensions and pixel means — the header offsets, palette
+    resolution, row order, AND row padding must be exact to hash-match.
+    Map-only."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_media,
+        real_decode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_bmp_payload(docs, "doc_id", "text")
+    return decode_media(media, decode_fn=real_decode).select(
+        "media_id", "media_type", "width", "height", "mean_intensity"
+    )
