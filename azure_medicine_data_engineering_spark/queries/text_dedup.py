@@ -2430,3 +2430,25 @@ def q_embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT quadratics, per-vector snapped cosine, exact integer mean."""
     emb = _t(spark, sf_dir, "embeddings")
     return label_centroid_cohesion(emb, "label", "embedding")
+
+
+from azure_medicine_data_engineering_spark.operators.unigram_lm import (  # noqa: E402
+    unigram_lm_oracle,
+    unigram_lm_train,
+)
+
+
+@register("unigram_lm_vocab", unigram_lm_oracle())
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training — the third
+    tokenizer family next to BPE and WordPiece (round 11,
+    `operators/unigram_lm.py`): substring-seeded vocab, Viterbi-EM
+    rounds on the 1e-6 integer cost grid (shared ln expression — the
+    repo's micro-grid discipline), frequency-weighted piece counts from
+    one Arrow mapInPandas pass per round over the distinct-word frame,
+    lowest-count pruning. The oracle unrolls every EM round AND every
+    Viterbi DP position as MATERIALIZED CTEs (the BPE-oracle
+    discipline), so the seed selection, integer argmin tie-breaks,
+    backtrace multiplicities, and prune order must all be exact to
+    hash-match. Emits the final ``(piece, cnt, cost_micro)`` vocab."""
+    return unigram_lm_train(_t(spark, sf_dir, "documents"))
