@@ -2175,3 +2175,45 @@ def q_pdf_extract_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_pdf_payload(docs, "doc_id", "text", 80, 4)
     return pdf_extract_stats(media)
+
+
+@register(
+    "multimodal_decode_flac",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             32 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 97 AS n
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'audio' AS media_type,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST(n AS DOUBLE) / 8000 AS duration_sec,
+           CAST(list_sum(list_transform(range(n),
+                i -> abs((CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT) - 128) * 231)))
+                AS DOUBLE) / n AS mean_abs_amplitude
+    FROM d
+    """,
+)
+def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC path — the lossless audio container speech corpora actually
+    ship (round 11, `operators/flac.py`): genuine multi-frame FLAC
+    streams (STREAMINFO, CRC-8-verified frame headers, Rice-coded
+    residuals, subframe type rotating verbatim/fixed-1/fixed-2/LPC-2 by
+    doc id, CRC-16-verified frame footers) manufactured from the SAME
+    md5-derived PCM as the WAV fixture, then decoded by the pure-stdlib
+    bitstream walker inside Arrow mapInPandas. The oracle recomputes the
+    sample count and mean |amplitude| from md5(text) — the bit-level
+    encode → sync/CRC walk → predictor reconstruction round-trip must be
+    LOSSLESS to hash-match (a one-sample error anywhere shifts the
+    integer sum). Map-only (no shuffle)."""
+    from azure_medicine_data_engineering_spark.operators.flac import (
+        attach_flac_payload,
+        decode_flac_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_flac_payload(docs, "doc_id", "text")
+    return decode_flac_audio(media)
