@@ -477,6 +477,90 @@ def duplicate_window_spans(
     )
 
 
+def duplicate_span_ranges(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache: bool = True,
+) -> DataFrame:
+    """MAXIMAL duplicated-span cut ranges — the Lee et al. 2022 output
+    :func:`duplicate_window_spans` stops short of: that operator flags
+    fixed-width duplicated windows; this one merges adjacent/overlapping
+    flagged windows per document into maximal token ranges (the byte
+    ranges ExactSubstr actually cuts). Islands-and-gaps over window
+    ordinals: window ordinal ``o`` covers tokens ``[o, o+w)``; a flagged
+    ordinal opens a new island when it starts past the previous flagged
+    ordinal's coverage (``o > prev + w``), else it extends the island.
+    Returns one row per maximal span:
+    ``(id, span_start, span_end, span_tokens, n_windows)`` — token
+    indices 0-based, end exclusive.
+
+    Scale: same window-hash shuffle as :func:`duplicate_window_spans`;
+    the island windows (`lag` + running sum) key on the DOCUMENT, so
+    there is no single-partition exchange anywhere."""
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    wins = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(tokens(F.col(text_col)), w)).alias(
+                "ord", "gram"
+            ),
+        )
+        .select(F.col(id_col), F.col("ord").cast("long").alias("ord"),
+                F.md5("gram").alias("h"))
+    )
+    if cache:
+        wins = wins.persist()  # 2 consumers: distinct-doc counts + flag join
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup_h, "h").select(id_col, "ord")
+    w_doc = Window.partitionBy(id_col).orderBy("ord")
+    prev = F.lag("ord").over(w_doc)
+    islands = flagged.select(
+        F.col(id_col),
+        "ord",
+        F.when(prev.isNull() | (F.col("ord") > prev + w), 1)
+        .otherwise(0)
+        .alias("ni"),
+    ).select(
+        F.col(id_col),
+        "ord",
+        F.sum("ni")
+        .over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    out = (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("ord").cast("long").alias("span_start"),
+            (F.max("ord") + w).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+            "n_windows",
+        )
+    )
+    out._stage_caches = [wins] if cache else []
+    return out
+
+
 def incremental_dedup_flags(
     new: DataFrame,
     corpus: DataFrame,

@@ -1705,3 +1705,51 @@ def q_gains_table_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "duplicate_span_ranges",
+    f"""
+    WITH wins AS MATERIALIZED (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS ord,
+             md5(array_to_string(({_TOKS.format(t='text')})[i : i + 7], ' ')) AS h
+      FROM documents, range(1, 2048) t(i)
+      WHERE i <= len({_TOKS.format(t='text')}) - 7
+    ),
+    dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT w.doc_id, w.ord FROM wins w JOIN dup_h USING (h)),
+    isl AS (
+      SELECT doc_id, ord,
+             CASE WHEN lag(ord) OVER (PARTITION BY doc_id ORDER BY ord) IS NULL
+                       OR ord > lag(ord) OVER (PARTITION BY doc_id ORDER BY ord) + 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM flagged
+    ),
+    isl2 AS (
+      SELECT doc_id, ord,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY ord
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(ord) AS BIGINT) AS span_start,
+           CAST(MAX(ord) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(ord) + 8 - MIN(ord) AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def q_duplicate_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span cut ranges (round 11, operators/dedup.py:
+    duplicate_span_ranges) — merges duplicate_window_spans' fixed-width
+    flagged windows into the maximal token ranges Lee et al.'s
+    ExactSubstr actually cuts: islands-and-gaps over flagged window
+    ordinals (new island when a flagged window starts past the previous
+    one's coverage), per-document keyed windows only. The oracle replays
+    the window hashing, the distinct-doc duplicate test, and the same
+    lag/running-sum island assignment."""
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        duplicate_span_ranges,
+    )
+
+    return duplicate_span_ranges(_t(spark, sf_dir, "documents"), w=8)

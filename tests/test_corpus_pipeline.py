@@ -507,3 +507,41 @@ def test_blocklist_gate_planted(spark):
     assert (a["n_docs"], a["n_flagged"], a["total_hits"]) == (3, 1, 1)
     assert (b["n_docs"], b["n_flagged"], b["total_hits"]) == (2, 1, 3)
     assert b["flagged_rate"] == 0.5
+
+
+def test_duplicate_span_ranges_merges_overlapping_windows(spark):
+    from azure_medicine_data_engineering_spark.operators.dedup import (
+        duplicate_span_ranges,
+    )
+
+    # 9 shared tokens -> windows at ordinals 2 and 3 (w=8) overlap and
+    # must merge into ONE maximal span [2, 11); the second doc's copy
+    # starts at ordinal 0 -> span [0, 9). A separate 8-token repeat at
+    # the tail of doc 1 / head of doc 3 yields its own island.
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    tail8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = [
+        (1, f"a b {shared} x y {tail8}"),
+        (2, f"{shared} p q r"),
+        (3, f"{tail8} z z2 z3 z4 z5 z6 z7 z8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = duplicate_span_ranges(df, w=8)
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_tokens"],
+            r["n_windows"],
+        )
+        for r in out.collect()
+    }
+    for c in out._stage_caches:
+        c.unpersist()
+    # doc 1: tokens = a b s1..s9 x y t1..t8  (21 tokens)
+    #   shared windows at ord 2,3 -> span [2, 11); tail window at ord 13
+    assert rows[(1, 2, 11)] == (9, 2)
+    assert rows[(1, 13, 21)] == (8, 1)
+    # doc 2: shared at ord 0,1 -> [0, 9)
+    assert rows[(2, 0, 9)] == (9, 2)
+    # doc 3: tail8 at ord 0 -> [0, 8)
+    assert rows[(3, 0, 8)] == (8, 1)
+    assert len(rows) == 4
