@@ -4700,6 +4700,356 @@ def distribution_drift_panel(
     return out
 
 
+def _group_vs_rest_grid(
+    df: DataFrame, value_col: str, group_col: str, n_buckets: int = 1024
+) -> DataFrame:
+    """Shared per-(group, pooled-distinct-value) CDF grid for every
+    group-vs-rest statistic: one row per (g, v) carrying the group-1
+    counts/cumulatives (``c1``/``cum1``), the rest's (``c2``/``cum2``),
+    the POOLED rank quantities (``c_all``/``cnt_less``/``cumpool``) and
+    the per-group totals (``n1``/``n2``/``nn``). |groups| × |distinct
+    values| rows — bounded by the value grid, never data rows.
+
+    ONE fact collapse total (round-11 ADVICE: the pooled cumulative
+    derives from the byval frame, not a second fact scan); the pooled
+    prefix sum uses the two-phase bucketed machinery (the only
+    single-partition window is the ``n_buckets``-row offset frame), and
+    per-group cumulatives ride GROUP-KEYED windows. Groups with
+    ``n_rest = 0`` (single-group input) are EXCLUDED — every statistic
+    divides by n2, so the guard replaces NULL-division rows with an
+    explicitly empty result. Returned frame is persisted; the persisted
+    handles (grid + byval) ride ``_stage_caches``."""
+    src = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    byval = (
+        src.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    pv = byval.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    # bucketed pooled prefix sum (inclusive) over the distinct-value frame
+    bounds = pv.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("b.vmax") - F.col("b.vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("a.v") - F.col("b.vmin")) / span * n_buckets),
+        )
+    )
+    bk = (
+        pv.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select("a.*", bucket.cast("int").alias("_bk"))
+    )
+    per_bucket = bk.groupBy("_bk").agg(F.sum("cv").alias("_bn"))
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bk", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pooled = bk.join(F.broadcast(offsets), "_bk").select(
+        "v",
+        "cv",
+        (F.col("_off") + F.sum("cv").over(w_in)).cast("long").alias("cumpool"),
+    )
+    groups = byval.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    tot = byval.agg(F.sum("c").cast("long").alias("nn"))
+    base = (
+        pooled.crossJoin(F.broadcast(groups))
+        .join(byval, ["g", "v"], "left")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("nn") > F.col("n_g"))  # n_rest = 0 guard
+        .select(
+            "g",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c1"),
+            (F.col("cv") - F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("c2"),
+            F.col("cv").cast("long").alias("c_all"),
+            (F.col("cumpool") - F.col("cv")).cast("long").alias("cnt_less"),
+            F.col("cumpool").cast("long").alias("cumpool"),
+            F.col("n_g").cast("long").alias("n1"),
+            (F.col("nn") - F.col("n_g")).cast("long").alias("n2"),
+            F.col("nn").cast("long").alias("nn"),
+        )
+    )
+    w_g = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid = base.select(
+        "*", F.sum("c1").over(w_g).cast("long").alias("cum1")
+    ).select("*", (F.col("cumpool") - F.col("cum1")).cast("long").alias("cum2"))
+    grid = grid.persist()
+    grid._stage_caches = [grid, byval]
+    return grid
+
+
+def drift_panel_by_group(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """PER-SLICE drift panel — :func:`distribution_drift_panel` rolled
+    out per group (each group vs the REST of the corpus): the monitoring
+    table a curation team keys alerts on, one row per
+    ``(g, test, family)`` with the same members and the same shared
+    finalization expressions as the pairwise panel.
+
+    Scale plan: ONE fact collapse into the shared
+    :func:`_group_vs_rest_grid` (|groups| × |distinct values| rows,
+    persisted, read by every member), then every statistic is a keyed
+    ``groupBy(g)`` aggregation — group-keyed windows only, identical
+    integer state to the scalar kernels (pooled rank quantities are the
+    same for every slice, only the group counts differ). Members:
+    mann_whitney_z, brunner_munzel_w (location), ansari_bradley_z,
+    mood_scale_z (scale), lepage_l (location+scale), ks_d / cvm_t /
+    kuiper_v / anderson_darling_a2 (shape), max_decile_shift
+    (localization). Returns ``(g, test, family, stat, n1, n2)``."""
+    dec = "decimal(38,0)"
+    snap = snap_half_up_dec
+    grid = _group_vs_rest_grid(df, value_col, group_col)
+
+    # --- location: Mann-Whitney (pooled midranks, tie-corrected) -------
+    mw = (
+        grid.groupBy("g")
+        .agg(
+            F.sum(
+                F.col("c1") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
+            ).cast("long").alias("r1x2"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.sum(
+                F.col("c_all").cast(dec) * F.col("c_all") * F.col("c_all")
+                - F.col("c_all")
+            ).alias("tiesum_d"),
+        )
+        .select(
+            "g", "n1", "n2",
+            F.col("tiesum_d").cast("double").alias("tiesum"),
+            "r1x2",
+        )
+        .selectExpr("g", "n1", "n2", f"{MW_Z_EXPR} AS zw")
+    )
+
+    # --- scale: Ansari-Bradley (closed-form tie-block score prefixes) --
+    p, c, nn_c = F.col("cnt_less"), F.col("c_all"), F.col("nn")
+    b_s = (_ab_prefix(p + c, nn_c) - _ab_prefix(p, nn_c)).cast("long")
+    ab = (
+        grid.groupBy("g")
+        .agg(
+            F.max("nn").cast("long").alias("nn"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.sum(b_s).cast("long").alias("sa_i"),
+            F.sum(snap(F.col("c1") * 1.0 * b_s / c * 1e4)).alias("w_d"),
+            F.sum(snap(b_s * 1.0 * b_s / c * 1e4)).alias("sa2_d"),
+        )
+        .select(
+            "g", "n1", "n2", "nn",
+            (F.col("w_d").cast("double") / 1e4).alias("w"),
+            F.col("sa_i").cast("double").alias("sa"),
+            (F.col("sa2_d").cast("double") / 1e4).alias("sa2"),
+        )
+        .selectExpr("g", "n1", "n2", f"{AB_Z_EXPR} AS za")
+    )
+
+    # --- scale: Mood (quadrupled squared scores) ------------------------
+    b4 = (_mood_prefix(p + c, nn_c) - _mood_prefix(p, nn_c)).cast("double")
+    mood = (
+        grid.groupBy("g")
+        .agg(
+            F.max("nn").cast("long").alias("nn"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.sum(
+                _mood_prefix(p + c, nn_c) - _mood_prefix(p, nn_c)
+            ).alias("sa_d"),
+            F.sum(snap(F.col("c1") * 1.0 * b4 / c * 1e4)).alias("w_d"),
+            F.sum(snap(b4 * b4 / c)).alias("sa2_d"),
+        )
+        .select(
+            "g", "n1", "n2", "nn",
+            (F.col("w_d").cast("double") / 1e4).alias("w"),
+            F.col("sa_d").cast("double").alias("sa"),
+            F.col("sa2_d").cast("double").alias("sa2"),
+        )
+        .selectExpr("g", "n1", "n2", f"{AB_Z_EXPR} AS z")
+    )
+
+    # --- shape: KS / Kuiper / CvM / AD-right off the same d integers ---
+    d = (
+        F.col("cum1").cast(dec) * F.col("n2")
+        - F.col("cum2").cast(dec) * F.col("n1")
+    )
+    ks = (
+        grid.groupBy("g")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(F.abs(d)).cast("long").alias("d_num"),
+        )
+        .selectExpr(
+            "g", "n1", "n2",
+            "round(d_num * 1e0 / (n1 * 1e0 * n2), 4) AS d",
+        )
+    )
+    kp = (
+        grid.groupBy("g")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.greatest(F.max(d), F.lit(0).cast(dec)).alias("dplus_d"),
+            F.greatest(F.max(-d), F.lit(0).cast(dec)).alias("dminus_d"),
+        )
+        .select(
+            "g", "n1", "n2",
+            (F.col("dplus_d") + F.col("dminus_d")).cast("long").alias("v_num"),
+        )
+        .selectExpr(
+            "g", "n1", "n2",
+            "round(v_num * 1e0 / (n1 * 1e0 * n2), 4) AS v",
+        )
+    )
+    cvm = (
+        grid.groupBy("g")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.sum(F.col("c_all").cast(dec) * d * d).alias("u_d_raw"),
+        )
+        .select(
+            "g", "n1", "n2", F.col("u_d_raw").cast("double").alias("u_d")
+        )
+        .selectExpr("g", "n1", "n2", f"{CVM_T_EXPR} AS t")
+    )
+    bb = F.col("cumpool")
+    ad_term = F.when(
+        bb < nn_c,
+        snap(
+            F.col("c_all")
+            * d.cast("double")
+            * d.cast("double")
+            / (bb.cast("double") * (nn_c - bb))
+            * 1e6
+        ),
+    ).otherwise(F.lit(0).cast(dec))
+    ad = (
+        grid.groupBy("g")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max("nn").cast("long").alias("nn"),
+            F.sum(ad_term).alias("s_d"),
+        )
+        .select(
+            "g", "n1", "n2", "nn", F.col("s_d").cast("double").alias("s_u")
+        )
+        .selectExpr("g", "n1", "n2", f"{AD_RIGHT_A2_EXPR} AS a2")
+    )
+
+    # --- location: Brunner-Munzel (two keyed passes over the grid) -----
+    m2 = (2 * F.col("cumpool") - F.col("c_all") + 1).cast("long")
+    w1_2 = (2 * F.col("cum1") - F.col("c1") + 1).cast("long")
+    w2_2 = (2 * F.col("cum2") - F.col("c2") + 1).cast("long")
+    bmsums = grid.groupBy("g").agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.sum(F.col("c1").cast(dec) * m2).alias("r1s2_d"),
+        F.sum(F.col("c2").cast(dec) * m2).alias("r2s2_d"),
+    )
+    bj = grid.alias("c").join(
+        F.broadcast(bmsums).alias("t"), F.col("c.g") == F.col("t.g")
+    )
+    m2j = (
+        2 * F.col("c.cumpool") - F.col("c.c_all") + 1
+    ).cast("long")
+    w1j = (2 * F.col("c.cum1") - F.col("c.c1") + 1).cast("long")
+    w2j = (2 * F.col("c.cum2") - F.col("c.c2") + 1).cast("long")
+    inner1 = (
+        F.col("t.n1").cast(dec) * (m2j - w1j + F.col("t.n1") + 1)
+        - F.col("t.r1s2_d")
+    )
+    inner2 = (
+        F.col("t.n2").cast(dec) * (m2j - w2j + F.col("t.n2") + 1)
+        - F.col("t.r2s2_d")
+    )
+    bm = (
+        bj.groupBy("c.g")
+        .agg(
+            F.max("t.n1").cast("long").alias("n1"),
+            F.max("t.n2").cast("long").alias("n2"),
+            F.max(F.col("t.r1s2_d").cast("double")).alias("r1s2"),
+            F.max(F.col("t.r2s2_d").cast("double")).alias("r2s2"),
+            F.sum(F.col("c.c1") * inner1 * inner1).alias("s1_d"),
+            F.sum(F.col("c.c2") * inner2 * inner2).alias("s2_d"),
+        )
+        .select(
+            F.col("g"), "n1", "n2", "r1s2", "r2s2",
+            F.col("s1_d").cast("double").alias("s1"),
+            F.col("s2_d").cast("double").alias("s2"),
+        )
+        .selectExpr("g", "n1", "n2", f"{BM_W_EXPR} AS w")
+    )
+
+    # --- localization: max |decile shift| -------------------------------
+    qj = grid.select(
+        "g", "v", "cum1", "cum2", "n1", "n2",
+        F.explode(F.array(*[F.lit(k) for k in range(1, 10)])).alias("k"),
+    )
+    t1 = F.expr("(k * n1 + 9) div 10")
+    t2 = F.expr("(k * n2 + 9) div 10")
+    qs = (
+        qj.groupBy("g", "k")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.min(F.when(F.col("cum1") >= t1, F.col("v"))).alias("q1_v"),
+            F.min(F.when(F.col("cum2") >= t2, F.col("v"))).alias("q2_v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(F.abs(F.col("q2_v") - F.col("q1_v")))
+            .cast("double")
+            .alias("ms"),
+        )
+    )
+
+    lep = (
+        mw.alias("m")
+        .join(ab.select("g", "za").alias("a"), "g")
+        .selectExpr("g", "n1", "n2", f"{LEPAGE_EXPR} AS l_stat")
+    )
+
+    def rows(frame: DataFrame, test: str, family: str, stat: str) -> DataFrame:
+        return frame.select(
+            F.col("g"),
+            F.lit(test).alias("test"),
+            F.lit(family).alias("family"),
+            F.col(stat).cast("double").alias("stat"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+        )
+
+    out = (
+        rows(mw, "mann_whitney_z", "location", "zw")
+        .unionByName(rows(bm, "brunner_munzel_w", "location", "w"))
+        .unionByName(rows(ab, "ansari_bradley_z", "scale", "za"))
+        .unionByName(rows(mood, "mood_scale_z", "scale", "z"))
+        .unionByName(rows(lep, "lepage_l", "location+scale", "l_stat"))
+        .unionByName(rows(ks, "ks_d", "shape", "d"))
+        .unionByName(rows(cvm, "cvm_t", "shape", "t"))
+        .unionByName(rows(kp, "kuiper_v", "shape", "v"))
+        .unionByName(rows(ad, "anderson_darling_a2", "shape", "a2"))
+        .unionByName(rows(qs, "max_decile_shift", "localization", "ms"))
+    )
+    out._stage_caches = list(grid._stage_caches)
+    return out
+
+
 def ks_vs_rest_by_group(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:
@@ -4717,58 +5067,23 @@ def ks_vs_rest_by_group(
     value grid — |groups| × |distinct values| rows, bounded by the value
     grid times the (small) group count, never by data rows. Per-group
     inclusive cumulatives ride GROUP-KEYED windows (parallel, no license
-    needed); the pooled cumulative reuses :func:`ranked_value_counts`'s
-    bucketed machinery. ``D·n_g·n_rest = max|cum_g·n_rest − cum_rest·n_g|``
-    in DECIMAL. Returns ``(g, n_g, n_rest, d_num, d)``."""
+    needed); the pooled cumulative derives from the SAME byval collapse
+    via the shared :func:`_group_vs_rest_grid` (round-11 ADVICE: one
+    fact pass total, no second scan). Groups with ``n_rest = 0``
+    (single-group input) are excluded by the grid's guard rather than
+    yielding a NULL division. ``D·n_g·n_rest = max|cum_g·n_rest −
+    cum_rest·n_g|`` in DECIMAL. Returns ``(g, n_g, n_rest, d_num, d)``."""
     dec = "decimal(38,0)"
-    src = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
-    byval = (
-        src.groupBy("g", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
-    )
-    pooled = (
-        ranked_value_counts(src.select("v"), "v")
-        .select(
-            "v",
-            (F.col("cnt_less") + F.col("c_all")).cast("long").alias("cumpool"),
-        )
-    )
-    groups = byval.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
-    tot = byval.agg(F.sum("c").cast("long").alias("nn"))
-    grid = (
-        pooled.crossJoin(F.broadcast(groups))
-        .join(byval, ["g", "v"], "left")
-        .select(
-            "g",
-            "v",
-            "n_g",
-            "cumpool",
-            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
-        )
-    )
-    w_g = (
-        Window.partitionBy("g")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cumg = grid.select(
-        "g",
-        "n_g",
-        "cumpool",
-        F.sum("c").over(w_g).cast("long").alias("cum_g"),
-    )
-    j = cumg.crossJoin(F.broadcast(tot))
-    n_rest = (F.col("nn") - F.col("n_g")).cast("long")
-    cum_rest = (F.col("cumpool") - F.col("cum_g")).cast("long")
+    grid = _group_vs_rest_grid(df, value_col, group_col)
     d = (
-        F.col("cum_g").cast(dec) * n_rest - cum_rest.cast(dec) * F.col("n_g")
+        F.col("cum1").cast(dec) * F.col("n2")
+        - F.col("cum2").cast(dec) * F.col("n1")
     )
     out = (
-        j.groupBy("g")
+        grid.groupBy("g")
         .agg(
-            F.max("n_g").cast("long").alias("n_g"),
-            F.max(n_rest).cast("long").alias("n_rest"),
+            F.max("n1").cast("long").alias("n_g"),
+            F.max("n2").cast("long").alias("n_rest"),
             F.max(F.abs(d)).cast("long").alias("d_num"),
         )
         .select(
@@ -4779,5 +5094,5 @@ def ks_vs_rest_by_group(
             F.expr("round(d_num * 1e0 / (n_g * 1e0 * n_rest), 4)").alias("d"),
         )
     )
-    out._stage_caches = [byval]
+    out._stage_caches = list(grid._stage_caches)
     return out

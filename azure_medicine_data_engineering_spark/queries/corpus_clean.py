@@ -711,3 +711,249 @@ def q_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the value grid, never data rows."""
     docs = _t(spark, sf_dir, "documents")
     return ks_vs_rest_by_group(docs, "n_chars", "source")
+
+
+# ---------------------------------------------------------------------------
+# Per-slice drift panel (round 11): the full two-sample battery per source.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    AB_Z_EXPR as _GP_AB_Z,
+    AD_RIGHT_A2_EXPR as _GP_AD_A2,
+    BM_W_EXPR as _GP_BM_W,
+    CVM_T_EXPR as _GP_CVM_T,
+    LEPAGE_EXPR as _GP_LEPAGE,
+    MW_Z_EXPR as _GP_MW_Z,
+    drift_panel_by_group,
+)
+from azure_medicine_data_engineering_spark.queries.medstats import (  # noqa: E402
+    _ab_t_sql,
+    _mood_q4_sql,
+)
+
+#: the shared per-(group, pooled-value) grid all member statistics read —
+#: one byval collapse, pooled cumulative from the SAME collapse, group-
+#: keyed cumulative windows, n_rest = 0 slices excluded (mirror of
+#: rankstats._group_vs_rest_grid).
+_GP_GRID = """
+    byval AS MATERIALIZED (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2
+    ),
+    pv AS MATERIALIZED (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM byval GROUP BY v
+    ),
+    pooled AS MATERIALIZED (
+      SELECT v, cv, CAST(SUM(cv) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cumpool
+      FROM pv
+    ),
+    groups_ AS MATERIALIZED (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM byval GROUP BY g
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM byval),
+    grid0 AS MATERIALIZED (
+      SELECT gr.g, p.v,
+             COALESCE(b.c, 0) AS c1,
+             p.cv - COALESCE(b.c, 0) AS c2,
+             p.cv AS c_all,
+             p.cumpool - p.cv AS cnt_less,
+             p.cumpool AS cumpool,
+             gr.n_g AS n1, t.nn - gr.n_g AS n2, t.nn AS nn,
+             CAST(SUM(COALESCE(b.c, 0)) OVER (PARTITION BY gr.g ORDER BY p.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum1
+      FROM pooled p CROSS JOIN groups_ gr
+      LEFT JOIN byval b ON b.g = gr.g AND b.v = p.v
+      CROSS JOIN tot t
+      WHERE t.nn > gr.n_g
+    ),
+    grid AS MATERIALIZED (
+      SELECT *, cumpool - cum1 AS cum2,
+             (nn + 1) // 2 AS m0,
+             ((nn + 1) // 2) * ((nn + 1) // 2 + 1) // 2 AS tm0
+      FROM grid0
+    )"""
+
+
+@register(
+    "drift_panel_by_source",
+    f"""
+    WITH src AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+                 FROM documents),
+    {_GP_GRID},
+    mws AS (
+      SELECT g, CAST(SUM(c1 * (2 * cnt_less + c_all + 1)) AS BIGINT) AS r1x2,
+             CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all)
+                  AS DOUBLE) AS tiesum
+      FROM grid GROUP BY g
+    ),
+    mwz AS MATERIALIZED (SELECT g, n1, n2, {_GP_MW_Z} AS zw FROM mws),
+    abterms AS (
+      SELECT g, c_all, c1, nn, n1, n2,
+             {_ab_t_sql('(cnt_less + c_all)')} - {_ab_t_sql('cnt_less')} AS b_s
+      FROM grid
+    ),
+    abscal AS (
+      SELECT g, CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(n1) AS BIGINT) AS n1,
+             CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(SUM(b_s) AS BIGINT) AS sa_i,
+             SUM(CAST(FLOOR(c1 * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS w_h,
+             SUM(CAST(FLOOR(b_s * 1e0 * b_s / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS sa2_h
+      FROM abterms GROUP BY g
+    ),
+    abdbl AS (
+      SELECT g, n1, n2, nn, CAST(w_h AS DOUBLE) / 1e4 AS w,
+             CAST(sa_i AS DOUBLE) AS sa, CAST(sa2_h AS DOUBLE) / 1e4 AS sa2
+      FROM abscal
+    ),
+    abz AS MATERIALIZED (SELECT g, n1, n2, {_GP_AB_Z} AS za FROM abdbl),
+    mterms AS (
+      SELECT g, c_all, c1, nn, n1, n2,
+             CAST({_mood_q4_sql('(cnt_less + c_all)')}
+                  - {_mood_q4_sql('cnt_less')} AS DOUBLE) AS b4,
+             {_mood_q4_sql('(cnt_less + c_all)')}
+                  - {_mood_q4_sql('cnt_less')} AS b4_h
+      FROM grid
+    ),
+    mscal AS (
+      SELECT g, CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(n1) AS BIGINT) AS n1,
+             CAST(MAX(n2) AS BIGINT) AS n2,
+             SUM(b4_h) AS sa_h,
+             SUM(CAST(FLOOR(c1 * 1e0 * b4 / c_all * 1e4 + 0.5e0) AS HUGEINT))
+               AS w_h,
+             SUM(CAST(FLOOR(b4 * b4 / c_all + 0.5e0) AS HUGEINT)) AS sa2_h
+      FROM mterms GROUP BY g
+    ),
+    mdbl AS (
+      SELECT g, n1, n2, nn, CAST(w_h AS DOUBLE) / 1e4 AS w,
+             CAST(sa_h AS DOUBLE) AS sa, CAST(sa2_h AS DOUBLE) AS sa2
+      FROM mscal
+    ),
+    mz AS (SELECT g, n1, n2, {_GP_AB_Z} AS z_mood FROM mdbl),
+    ksd AS (
+      SELECT g, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(MAX(ABS(CAST(cum1 AS HUGEINT) * n2
+                          - CAST(cum2 AS HUGEINT) * n1)) AS BIGINT) AS d_num
+      FROM grid GROUP BY g
+    ),
+    cvs AS (
+      SELECT g, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             SUM(CAST(c_all AS HUGEINT)
+                 * (CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+                 * (CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+               AS u_d
+      FROM grid GROUP BY g
+    ),
+    kpr AS (
+      SELECT g, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             GREATEST(MAX(CAST(cum1 AS HUGEINT) * n2
+                          - CAST(cum2 AS HUGEINT) * n1), 0) AS dplus_h,
+             GREATEST(MAX(CAST(cum2 AS HUGEINT) * n1
+                          - CAST(cum1 AS HUGEINT) * n2), 0) AS dminus_h
+      FROM grid GROUP BY g
+    ),
+    adr AS (
+      SELECT g, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(MAX(nn) AS BIGINT) AS nn,
+             SUM(CASE WHEN cumpool < nn THEN
+                 CAST(FLOOR(c_all
+                      * CAST(CAST(cum1 AS HUGEINT) * n2
+                             - CAST(cum2 AS HUGEINT) * n1 AS DOUBLE)
+                      * CAST(CAST(cum1 AS HUGEINT) * n2
+                             - CAST(cum2 AS HUGEINT) * n1 AS DOUBLE)
+                      / (CAST(cumpool AS DOUBLE) * (nn - cumpool))
+                      * 1e6 + 0.5e0) AS HUGEINT)
+                 ELSE 0 END) AS s_h
+      FROM grid GROUP BY g
+    ),
+    bmtot AS MATERIALIZED (
+      SELECT g, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             SUM(CAST(c1 AS HUGEINT) * (2 * cumpool - c_all + 1)) AS r1s2_h,
+             SUM(CAST(c2 AS HUGEINT) * (2 * cumpool - c_all + 1)) AS r2s2_h
+      FROM grid GROUP BY g
+    ),
+    bmterms AS (
+      SELECT c.g, c.c1, c.c2, t.n1, t.n2, t.r1s2_h, t.r2s2_h,
+             2 * c.cumpool - c.c_all + 1 AS m2,
+             2 * c.cum1 - c.c1 + 1 AS w1_2,
+             2 * c.cum2 - c.c2 + 1 AS w2_2
+      FROM grid c JOIN bmtot t USING (g)
+    ),
+    bmscal AS (
+      SELECT g, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (CAST(n1 AS HUGEINT) * (m2 - w1_2 + n1 + 1) - r1s2_h)
+                         * (CAST(n1 AS HUGEINT) * (m2 - w1_2 + n1 + 1) - r1s2_h))
+                  AS DOUBLE) AS s1,
+             CAST(SUM(c2 * (CAST(n2 AS HUGEINT) * (m2 - w2_2 + n2 + 1) - r2s2_h)
+                         * (CAST(n2 AS HUGEINT) * (m2 - w2_2 + n2 + 1) - r2s2_h))
+                  AS DOUBLE) AS s2,
+             CAST(MAX(r1s2_h) AS DOUBLE) AS r1s2,
+             CAST(MAX(r2s2_h) AS DOUBLE) AS r2s2
+      FROM bmterms GROUP BY g
+    ),
+    bmw AS (SELECT g, n1, n2, {_GP_BM_W} AS w_bm FROM bmscal),
+    qsagg AS (
+      SELECT c.g, ks_.k,
+             CAST(MAX(c.n1) AS BIGINT) AS n1, CAST(MAX(c.n2) AS BIGINT) AS n2,
+             MIN(CASE WHEN c.cum1 >= (ks_.k * c.n1 + 9) // 10 THEN c.v END)
+               AS q1_v,
+             MIN(CASE WHEN c.cum2 >= (ks_.k * c.n2 + 9) // 10 THEN c.v END)
+               AS q2_v
+      FROM grid c, range(1, 10) ks_(k)
+      GROUP BY c.g, ks_.k
+    ),
+    qsm AS (
+      SELECT g, CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(MAX(ABS(q2_v - q1_v)) AS DOUBLE) AS ms
+      FROM qsagg GROUP BY g
+    )
+    SELECT g, 'mann_whitney_z' AS test, 'location' AS family,
+           zw AS stat, n1, n2 FROM mwz
+    UNION ALL
+    SELECT g, 'brunner_munzel_w', 'location', w_bm, n1, n2 FROM bmw
+    UNION ALL
+    SELECT g, 'ansari_bradley_z', 'scale', za, n1, n2 FROM abz
+    UNION ALL
+    SELECT g, 'mood_scale_z', 'scale', z_mood, n1, n2 FROM mz
+    UNION ALL
+    SELECT m.g, 'lepage_l', 'location+scale',
+           ROUND(m.zw * m.zw + a.za * a.za, 4), m.n1, m.n2
+    FROM mwz m JOIN abz a USING (g)
+    UNION ALL
+    SELECT g, 'ks_d', 'shape',
+           ROUND(CAST(d_num AS DOUBLE) / (n1 * 1e0 * n2), 4), n1, n2
+    FROM ksd
+    UNION ALL
+    SELECT g, 'cvm_t', 'shape', stat, n1, n2 FROM (
+      SELECT g, n1, n2, {_GP_CVM_T} AS stat FROM cvs
+    )
+    UNION ALL
+    SELECT g, 'kuiper_v', 'shape',
+           ROUND((dplus_h + dminus_h) * 1e0 / (n1 * 1e0 * n2), 4), n1, n2
+    FROM kpr
+    UNION ALL
+    SELECT g, 'anderson_darling_a2', 'shape', stat, n1, n2 FROM (
+      SELECT g, n1, n2, nn, CAST(s_h AS DOUBLE) AS s_u, {_GP_AD_A2} AS stat
+      FROM adr
+    )
+    UNION ALL
+    SELECT g, 'max_decile_shift', 'localization', ms, n1, n2 FROM qsm
+    """,
+)
+def q_drift_panel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice drift panel (round 11, ``rankstats.drift_panel_by_group``):
+    the full two-sample battery — location (Mann-Whitney,
+    Brunner-Munzel), scale (Ansari-Bradley, Mood), joint (Lepage), shape
+    (KS, CvM, Kuiper, right-continuous Anderson-Darling) and
+    localization (max decile shift) — for EVERY source against the rest
+    of the corpus, off ONE shared per-(group, pooled-value) grid (one
+    fact collapse; pooled rank quantities shared across slices,
+    group-keyed windows only). The monitoring table a curation team keys
+    alerts on; every statistic reuses the pairwise panel's exact integer
+    state and shared finalization expressions, per slice."""
+    docs = _t(spark, sf_dir, "documents")
+    return drift_panel_by_group(docs, "n_chars", "source")
