@@ -166,6 +166,27 @@ def _touched_queries() -> tuple[set[str], set[str]]:
             mods.add(os.path.join(pkg, *parts, "__init__.py"))
         return mods
 
+    # transitive closure (round-11 ADVICE): a codec behind a seam —
+    # queries/x imports operators/multimodal which lazily imports
+    # operators/gif — must still re-flag when the CODEC changes; the
+    # regex matches lazy in-function imports too (no line anchor), so
+    # the closure walk covers them.
+    closure_cache: dict[str, set[str]] = {}
+
+    def closure_of(rel: str) -> set[str]:
+        if rel in closure_cache:
+            return closure_cache[rel]
+        seen_mods = {rel}
+        stack = [rel]
+        while stack:
+            cur = stack.pop()
+            for dep in imports_of(cur):
+                if dep not in seen_mods:
+                    seen_mods.add(dep)
+                    stack.append(dep)
+        closure_cache[rel] = seen_mods
+        return seen_mods
+
     broad: set[str] = set()
     for name, fn in registry.QUERIES.items():
         try:
@@ -184,8 +205,7 @@ def _touched_queries() -> tuple[set[str], set[str]]:
         if not mod_file:
             continue
         rel = os.path.relpath(mod_file, here)
-        deps = {rel} | imports_of(rel)
-        if deps & changed_modules:
+        if closure_of(rel) & changed_modules:
             broad.add(name)
     return precise, broad
 

@@ -37,6 +37,11 @@ def bmp_decode_pixels(payload: bytes):
         raise BmpError(f"compressed BMP unsupported (method {compression})")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        # zero-area (or negative-width) images would otherwise escape the
+        # documented error surface as ZeroDivisionError in bmp_decode's
+        # mean (round-11 ADVICE)
+        raise BmpError(f"zero-area image {width}x{height}")
     if bpp == 8:
         n_colors = clr_used or 256
         pal_off = 14 + hdr_size

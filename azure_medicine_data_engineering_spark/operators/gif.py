@@ -167,6 +167,11 @@ def gif_decode_frames(payload: bytes):
                     k += 1
             idx = b"".join(ordered)  # type: ignore[arg-type]
         n_colors = len(table) // 3
+        if not idx:
+            # a 0-pixel frame would otherwise raise ValueError from
+            # max() — keep the documented GifError surface (round-11
+            # ADVICE)
+            raise GifError("zero-pixel frame")
         if max(idx) >= n_colors:
             raise GifError("palette index out of range")
         rgb = b"".join(table[3 * i : 3 * i + 3] for i in idx)

@@ -97,10 +97,16 @@ def warc_parse(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
     """Parse a WARC file (plain or member-gzipped — sniffed on the 0x1F8B
     magic) into ``[(headers, content), ...]``. Header names are returned
     LOWERCASED (the spec makes them case-insensitive); Content-Length is
-    authoritative for the block size. Raises ValueError on non-WARC or
-    truncated payloads."""
+    authoritative for the block size. Spec-permitted FOLDED header lines
+    (continuations starting with space/tab) join onto the previous
+    value. Raises ValueError on non-WARC, truncated, or gzip-corrupt
+    payloads (zlib errors are wrapped — round-11 ADVICE: the docstring's
+    error contract now holds for corrupt members too)."""
     if payload[:2] == b"\x1f\x8b":
-        payload = _gunzip_members(payload)
+        try:
+            payload = _gunzip_members(payload)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
     if not payload.startswith(b"WARC/"):
         raise ValueError("not a WARC payload (missing WARC/ version line)")
     records: list[tuple[dict[str, str], bytes]] = []
@@ -120,11 +126,17 @@ def warc_parse(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
         if not lines[0].startswith("WARC/"):
             raise ValueError(f"expected WARC version line at offset {pos}")
         headers: dict[str, str] = {}
+        last_key: str | None = None
         for line in lines[1:]:
+            if line[:1] in (" ", "\t") and last_key is not None:
+                # folded continuation line: append to the previous value
+                headers[last_key] += " " + line.strip()
+                continue
             if ":" not in line:
                 raise ValueError(f"malformed WARC header line: {line!r}")
             k, v = line.split(":", 1)
-            headers[k.strip().lower()] = v.strip()
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):

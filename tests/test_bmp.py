@@ -73,3 +73,22 @@ def test_real_decode_and_quality_gates_dispatch(spark):
     )
     r = image_quality_flags(df).collect()[0]
     assert r["is_blank"] and r["width"] == 6
+
+
+def test_zero_area_raises_bmperror():
+    import struct
+
+    import pytest
+
+    from azure_medicine_data_engineering_spark.operators.bmp import (
+        BmpError,
+        bmp_decode,
+        bmp_encode_gray,
+    )
+
+    good = bmp_encode_gray(2, 2, bytes([1, 2, 3, 4]))
+    for field_off, val in ((18, 0), (22, 0), (18, -2)):
+        bad = bytearray(good)
+        struct.pack_into("<i", bad, field_off, val)
+        with pytest.raises(BmpError):  # never ZeroDivisionError
+            bmp_decode(bytes(bad))

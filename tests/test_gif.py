@@ -153,3 +153,32 @@ def test_image_quality_flags_gif(spark):
     rows = {r["media_id"]: r for r in image_quality_flags(df).collect()}
     assert rows[1]["is_blank"] and rows[1]["dynamic_range"] == 0
     assert not rows[2]["is_blank"] and rows[2]["px_max"] == 245
+
+
+def test_zero_pixel_frame_raises_giferror():
+    import struct
+
+    import pytest
+
+    from azure_medicine_data_engineering_spark.operators.gif import (
+        GifError,
+        gif_decode_frames,
+        gif_encode_gray,
+    )
+
+    g = gif_encode_gray(2, 2, bytes([0, 1, 2, 3]))
+    width, height, packed, _bg, _aspect = struct.unpack("<HHBBB", g[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    while g[pos] == 0x21:  # skip extensions to the image descriptor
+        pos += 2
+        while g[pos] != 0:
+            pos += 1 + g[pos]
+        pos += 1
+    assert g[pos] == 0x2C
+    bad = bytearray(g)
+    struct.pack_into("<H", bad, pos + 5, 0)
+    struct.pack_into("<H", bad, pos + 7, 0)
+    with pytest.raises(GifError):  # never ValueError from max()
+        gif_decode_frames(bytes(bad))

@@ -286,3 +286,40 @@ def test_python_datasource_writer_commit_manifest(spark, tmp_path):
             rows.append((int(a), int(b)))
     assert sorted(rows) == [(i, i % 5) for i in range(25)]
     assert not os.listdir(os.path.join(out, "_staging"))  # all promoted
+
+
+def test_warc_corrupt_gzip_raises_valueerror():
+    import pytest
+
+    from azure_medicine_data_engineering_spark.sources.warc import (
+        warc_parse,
+        warc_write_records,
+    )
+
+    good = warc_write_records(
+        [({"WARC-Type": "response", "WARC-Record-ID": "<r1>"}, b"body")],
+        gzip_members=True,
+    )
+    bad = bytearray(good)
+    bad[10] ^= 0xFF  # corrupt inside the member
+    with pytest.raises(ValueError):  # wrapped zlib.error
+        warc_parse(bytes(bad))
+
+
+def test_warc_folded_header_lines_join():
+    from azure_medicine_data_engineering_spark.sources.warc import warc_parse
+
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/a\r\n"
+        b"\tvery/long/path\r\n"
+        b"Content-Length: 4\r\n"
+        b"\r\n"
+        b"body\r\n\r\n"
+    )
+    records = warc_parse(raw)
+    assert len(records) == 1
+    headers, content = records[0]
+    assert headers["warc-target-uri"] == "http://example.com/a very/long/path"
+    assert content == b"body"
