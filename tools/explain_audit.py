@@ -333,6 +333,11 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row class; the per-group cumulatives are group-KEYED windows
     # which need no license — rankstats.ks_vs_rest_by_group docstring)
     "ks_drift_by_source": (1, "1024-row pooled-CDF bucket offset window"),
+    # round 11: per-slice panel over the shared group-vs-rest grid — the
+    # pooled cumulative's 1024-row bucket offset window (the per-group
+    # cumulatives and every member statistic ride g-KEYED windows/aggs,
+    # no license needed — rankstats._group_vs_rest_grid docstring)
+    "drift_panel_by_source": (1, "1024-row pooled-CDF bucket offset window"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
