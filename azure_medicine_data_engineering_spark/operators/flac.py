@@ -599,3 +599,11 @@ def decode_flac_audio(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, FLAC_AUDIO_SCHEMA)
+
+
+def flac_decode_samples(payload: bytes) -> tuple[int, list[int]]:
+    """``(rate, mono samples)`` adapter matching the WAV decoder's
+    signature so :func:`media_av.audio_quality_flags` gates FLAC corpora
+    with the same integer metrics."""
+    sr, _ch, _bps, chans = flac_decode(payload)
+    return sr, chans[0]

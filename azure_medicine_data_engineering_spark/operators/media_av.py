@@ -324,6 +324,7 @@ def audio_quality_flags(
     df: DataFrame,
     silence_peak: int = 1000,
     clip_level: int = 29000,
+    decode_samples=None,
 ) -> DataFrame:
     """Audio-quality gating for multimodal corpora: flag silent clips
     (peak |amplitude| below ``silence_peak``) and report hard-clipping
@@ -333,16 +334,20 @@ def audio_quality_flags(
     All metrics are integer (peak, counts, micro-unit clip fraction), so
     the flag set is engine-exact. Emits ``(media_id, n_samples, peak,
     is_silent, n_clipped, clip_frac)``. Same Arrow map-only shape as
-    :func:`decode_audio`."""
+    :func:`decode_audio`. ``decode_samples`` (round 11): payload →
+    ``(rate, [samples])`` decoder, default the WAV chunk walker — pass
+    a FLAC adapter to gate FLAC corpora with the same metrics."""
     from collections.abc import Iterator
 
     import pandas as pd
+
+    decoder = decode_samples or wav_decode_samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
-                _rate, samples = wav_decode_samples(bytes(payload))
+                _rate, samples = decoder(bytes(payload))
                 n = len(samples)
                 peak = max((s if s >= 0 else -s) for s in samples) if n else 0
                 clipped = sum(

@@ -2217,3 +2217,52 @@ def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_flac_payload(docs, "doc_id", "text")
     return decode_flac_audio(media)
+
+
+@register(
+    "multimodal_flac_quality_gates",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             32 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 97 AS n
+      FROM m
+    ),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(n),
+               i -> abs((CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT) - 128) * 231))
+               AS amps
+      FROM d
+    ),
+    agg AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             CAST(list_max(amps) AS BIGINT) AS peak,
+             CAST(len(list_filter(amps, a -> a >= 29000)) AS BIGINT) AS n_clipped
+      FROM s
+    )
+    SELECT doc_id AS media_id, n_samples, peak,
+           peak < 1000 AS is_silent,
+           n_clipped,
+           (n_clipped * 1000000 // n_samples) / 1e6 AS clip_frac
+    FROM agg
+    """,
+)
+def q_multimodal_flac_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC in the speech-corpus quality gates (round 11): the same
+    silence/clip integer metrics as the WAV gate, but decoded through
+    the FULL FLAC bitstream walk (`operators/flac.py` — multi-frame,
+    rotating subframe types, CRCs verified) — the gate a LibriSpeech-
+    class pipeline actually runs. The oracle regenerates the PCM from
+    md5(text); any one-sample decode error flips a peak/clip count."""
+    from azure_medicine_data_engineering_spark.operators.flac import (
+        attach_flac_payload,
+        flac_decode_samples,
+    )
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        audio_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_flac_payload(docs, "doc_id", "text")
+    return audio_quality_flags(media, decode_samples=flac_decode_samples)
