@@ -336,3 +336,103 @@ def token_budget_waterfill(
         .withColumn("capped", F.col("alloc_tokens") < F.col("n_tokens"))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (round 11).
+# ---------------------------------------------------------------------------
+
+#: Shared finalization strings (Spark F.expr + DuckDB verbatim — identical
+#: IEEE sequences; scientific literals per repo convention). The alpha
+#: integer snaps exp-scaled token masses onto a 1e2 grid BEFORE the
+#: normalizing sum, so the cross-domain sum is exact-integer on both
+#: engines (double sums over domains would be fold-order-dependent).
+DOREMI_ALPHA_EXPR = (
+    "CAST(FLOOR(n_tokens * 1e0 * exp(1e0 * excess_micro / 1e6) * 1e2"
+    " + 0.5e0) AS BIGINT)"
+)
+DOREMI_WEIGHT_EXPR = (
+    "round((1e0 - 1e-2) * (alpha * 1e0 / alpha_sum) + 1e-2 / k, 6)"
+)
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain mixture weights, DoReMi-shaped (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    upweight domains whose EXCESS loss over a reference is largest via
+    an exponentiated-gradient step on the token-share prior, then smooth
+    with the uniform mixture. This engine's deterministic twin uses the
+    corpus-self unigram LM as the proxy (the CCNet-tier loss this repo
+    already scores documents with): per-domain mean NLL on the 1e-6
+    integer grid, excess clamped at 0 against the GLOBAL mean (the
+    "reference model" of the data-engine setting), one EG step
+    ``alpha_d ∝ tokens_d · exp(eta · excess_d)`` (eta = 1), 1%-uniform
+    smoothing — emitted as ``(g, n_docs, n_tokens, nll_micro,
+    excess_micro, weight)``.
+
+    Scale plan: ONE token explode; the unigram model is a token-keyed
+    collapse; per-domain sums are a domain-keyed collapse; the
+    normalizing constant is exact-integer (``DOREMI_ALPHA_EXPR`` snaps
+    before the sum — domain-count-sized, broadcast back). No windows,
+    no driver-side loops."""
+    toks = df.select(
+        F.col(domain_col).alias("g"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    lpu = (
+        vocab.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "tok",
+            "CAST(ROUND(ln(cnt / (total * 1e0)) * 1e6) AS BIGINT) AS lpu",
+        )
+    )
+    per_dom = (
+        toks.join(lpu, "tok")
+        .groupBy("g")
+        .agg(
+            F.sum("lpu").cast("long").alias("slpu"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    docs = df.groupBy(F.col(domain_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    base = per_dom.agg(
+        F.sum("slpu").cast("long").alias("slpu_all"),
+        F.sum("n_tokens").cast("long").alias("n_all"),
+    ).selectExpr("(-slpu_all) div n_all AS base_micro")
+    staged = (
+        per_dom.join(docs, "g")
+        .crossJoin(F.broadcast(base))
+        .selectExpr(
+            "g",
+            "n_docs",
+            "n_tokens",
+            "(-slpu) div n_tokens AS nll_micro",
+            "greatest((-slpu) div n_tokens - base_micro, 0) AS excess_micro",
+        )
+        .selectExpr("*", f"{DOREMI_ALPHA_EXPR} AS alpha")
+    )
+    norm = staged.agg(
+        F.sum("alpha").cast("long").alias("alpha_sum"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return (
+        staged.crossJoin(F.broadcast(norm))
+        .selectExpr(
+            "g",
+            "n_docs",
+            "n_tokens",
+            "nll_micro",
+            "excess_micro",
+            f"{DOREMI_WEIGHT_EXPR} AS weight",
+        )
+    )

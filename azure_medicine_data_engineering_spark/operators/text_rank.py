@@ -971,3 +971,91 @@ def dunning_keyness_top_terms(
     )
     out._stage_caches = [counts]
     return out
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail routing (Wenzek et al. 2020): per corpus
+    slice, cut the document NLL distribution at its exact terciles and
+    report each bucket — LOW perplexity = ``head`` (cleanest third),
+    then ``middle``, then ``tail``; CCNet trains on head+middle and
+    audits the tail. Returns one row per ``(g, bucket)`` with
+    ``(n_docs, nll_min, nll_max)`` on the 1e-6 integer NLL grid.
+
+    Exactness: per-doc NLL is the micro-grid integer of
+    :func:`unigram_logprob_scores` (order-free integer sums, integer
+    division); tercile cut points are EXACT lower order statistics
+    ``t_q = min{v : cum(v) ≥ ceil(q·n)}`` per slice — never a
+    percentile sketch. Scale: one token explode + vocab join (persisted
+    token frame), then everything is doc-grain and (slice, distinct-NLL)
+    grain; per-slice cumulatives ride group-KEYED windows via
+    :func:`rankstats.grouped_ranked_value_counts` (no single-partition
+    exchange)."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        grouped_ranked_value_counts,
+    )
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    tok = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).persist()  # vocab build + per-doc scoring share it
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lpu = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("lpu"),
+    )
+    doc_nll = (
+        tok.join(lpu, "tok")
+        .groupBy(id_col, "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lpu").alias("slpu"),
+        )
+        .selectExpr(id_col, "g", "(-slpu) div n_tokens AS nll")
+    )
+    ranked = grouped_ranked_value_counts(doc_nll, "g", "nll")
+    # inclusive cumulative + per-slice doc count; tercile targets
+    # ceil(k·n/3) = (k·n + 2) div 3, k = 1, 2
+    cum = ranked.selectExpr(
+        "g", "v", "cnt_less + c_all AS cum"
+    )
+    n_g = doc_nll.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cuts = (
+        cum.join(F.broadcast(n_g), "g")
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.expr("cum >= (1 * n + 2) div 3"), F.col("v"))
+            ).alias("t1"),
+            F.min(
+                F.when(F.expr("cum >= (2 * n + 2) div 3"), F.col("v"))
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = (
+        doc_nll.join(F.broadcast(cuts), "g")
+        .select("g", "nll", bucket.alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("nll").cast("long").alias("nll_min"),
+            F.max("nll").cast("long").alias("nll_max"),
+        )
+    )
+    out._stage_caches = [tok] + list(getattr(ranked, "_stage_caches", []))
+    return out

@@ -222,16 +222,66 @@ def unigram_lm_train(
     return out
 
 
-def unigram_lm_oracle(
-    keep_multi: int = 48,
-    prune_per_round: int = 8,
-    rounds: int = 2,
-    max_piece: int = 4,
-) -> str:
-    """DuckDB oracle for :func:`unigram_lm_train`: every EM round AND
-    every Viterbi DP position unrolled as MATERIALIZED CTEs (the BPE
-    oracle discipline — multi-referenced CTEs inline exponentially
-    otherwise). Shares ``UNIGRAM_COST_EXPR`` verbatim."""
+def _viterbi_dp_ctes(
+    tag: str, cost_cte: str, max_piece: int
+) -> tuple[list[str], str, str]:
+    """Unrolled Viterbi-DP + backtrace CTEs over ``words`` with piece
+    costs from ``cost_cte``. Returns (parts, choice_cte, bt_prefix) —
+    ``bt_prefix`` names the backtrace chain ``{bt_prefix}_1..L`` whose
+    rows are the chosen pieces (one per segmentation step)."""
+    L = MAX_WORD_LEN
+    parts: list[str] = []
+    parts.append(
+        f"""edges{tag} AS MATERIALIZED (
+  SELECT e.w, e.i, e.j, c.cost FROM (
+    SELECT w.w, t.i, t.i + u.l AS j, substr(w.w, t.i + 1, u.l) AS piece
+    FROM words w, range(0, {L}) t(i), range(1, {max_piece + 1}) u(l)
+    WHERE t.i + u.l <= length(w.w)) e
+  JOIN {cost_cte} c USING (piece)
+),
+ball{tag}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM words)"""
+    )
+    for p in range(1, L + 1):
+        parts.append(
+            f"""best{tag}_{p} AS MATERIALIZED (
+  SELECT w, {p} AS pos, cost, i FROM (
+    SELECT b.w, b.cost + e.cost AS cost, e.i,
+           ROW_NUMBER() OVER (PARTITION BY b.w
+                              ORDER BY b.cost + e.cost, e.i) AS rn
+    FROM ball{tag}_{p - 1} b
+    JOIN edges{tag} e ON e.w = b.w AND e.i = b.pos AND e.j = {p})
+  WHERE rn = 1
+),
+ball{tag}_{p} AS MATERIALIZED (
+  SELECT w, pos, cost FROM ball{tag}_{p - 1}
+  UNION ALL SELECT w, pos, cost FROM best{tag}_{p}
+)"""
+        )
+    choice_union = "\n  UNION ALL ".join(
+        f"SELECT w, pos, i FROM best{tag}_{p}" for p in range(1, L + 1)
+    )
+    parts.append(f"choice{tag} AS MATERIALIZED (\n  {choice_union}\n)")
+    parts.append(f"bt{tag}_0 AS (SELECT w, length(w) AS pos FROM words)")
+    for s in range(1, L + 1):
+        parts.append(
+            f"""bt{tag}_{s} AS MATERIALIZED (
+  SELECT b.w, c.i AS pos, substr(b.w, c.i + 1, b.pos - c.i) AS piece
+  FROM bt{tag}_{s - 1} b JOIN choice{tag} c ON c.w = b.w AND c.pos = b.pos
+  WHERE b.pos > 0
+)"""
+        )
+    return parts, f"choice{tag}", f"bt{tag}"
+
+
+def _train_parts(
+    keep_multi: int,
+    prune_per_round: int,
+    rounds: int,
+    max_piece: int,
+) -> list[str]:
+    """Shared CTE list replaying the FULL training (words → seed →
+    vocab0 → unrolled EM rounds → vocab{rounds} + statf) — composed by
+    :func:`unigram_lm_oracle` and the serving oracles."""
     L = MAX_WORD_LEN
     parts: list[str] = []
     parts.append(
@@ -264,49 +314,12 @@ vocab0 AS MATERIALIZED (
 ),
 cost{r} AS MATERIALIZED (
   SELECT piece, {UNIGRAM_COST_EXPR} AS cost FROM {v}, stat{r}
-),
-edges{r} AS MATERIALIZED (
-  SELECT e.w, e.i, e.j, c.cost FROM (
-    SELECT w.w, t.i, t.i + u.l AS j, substr(w.w, t.i + 1, u.l) AS piece
-    FROM words w, range(0, {L}) t(i), range(1, {max_piece + 1}) u(l)
-    WHERE t.i + u.l <= length(w.w)) e
-  JOIN cost{r} c USING (piece)
-),
-ball{r}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM words)"""
-        )
-        for p in range(1, L + 1):
-            parts.append(
-                f"""best{r}_{p} AS MATERIALIZED (
-  SELECT w, {p} AS pos, cost, i FROM (
-    SELECT b.w, b.cost + e.cost AS cost, e.i,
-           ROW_NUMBER() OVER (PARTITION BY b.w
-                              ORDER BY b.cost + e.cost, e.i) AS rn
-    FROM ball{r}_{p - 1} b
-    JOIN edges{r} e ON e.w = b.w AND e.i = b.pos AND e.j = {p})
-  WHERE rn = 1
-),
-ball{r}_{p} AS MATERIALIZED (
-  SELECT w, pos, cost FROM ball{r}_{p - 1}
-  UNION ALL SELECT w, pos, cost FROM best{r}_{p}
 )"""
-            )
-        choice_union = "\n  UNION ALL ".join(
-            f"SELECT w, pos, i FROM best{r}_{p}" for p in range(1, L + 1)
         )
-        parts.append(f"choice{r} AS MATERIALIZED (\n  {choice_union}\n)")
-        parts.append(
-            f"bt{r}_0 AS (SELECT w, length(w) AS pos FROM words)"
-        )
-        for s in range(1, L + 1):
-            parts.append(
-                f"""bt{r}_{s} AS MATERIALIZED (
-  SELECT b.w, c.i AS pos, substr(b.w, c.i + 1, b.pos - c.i) AS piece
-  FROM bt{r}_{s - 1} b JOIN choice{r} c ON c.w = b.w AND c.pos = b.pos
-  WHERE b.pos > 0
-)"""
-            )
+        dp_parts, _choice, bt = _viterbi_dp_ctes(str(r), f"cost{r}", max_piece)
+        parts.extend(dp_parts)
         pieces_union = "\n  UNION ALL ".join(
-            f"SELECT w, piece FROM bt{r}_{s}" for s in range(1, L + 1)
+            f"SELECT w, piece FROM {bt}_{s}" for s in range(1, L + 1)
         )
         parts.append(f"pieces{r} AS MATERIALIZED (\n  {pieces_union}\n)")
         parts.append(
@@ -331,9 +344,164 @@ vocab{r} AS MATERIALIZED (
   FROM vocab{rounds}
 )"""
     )
-    body = ",\n".join(parts)
+    return parts
+
+
+def unigram_lm_oracle(
+    keep_multi: int = 48,
+    prune_per_round: int = 8,
+    rounds: int = 2,
+    max_piece: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`unigram_lm_train`: every EM round AND
+    every Viterbi DP position unrolled as MATERIALIZED CTEs (the BPE
+    oracle discipline — multi-referenced CTEs inline exponentially
+    otherwise). Shares ``UNIGRAM_COST_EXPR`` verbatim."""
+    body = ",\n".join(_train_parts(keep_multi, prune_per_round, rounds, max_piece))
     return (
         f"WITH {body}\n"
         f"SELECT piece, cnt, {UNIGRAM_COST_EXPR} AS cost_micro\n"
         f"FROM vocab{rounds}, statf"
+    )
+
+
+def _viterbi_word_npieces(
+    words: DataFrame, cost_map: dict[str, int], max_piece: int
+) -> DataFrame:
+    """SERVE-side Viterbi: segment every distinct word under the FINAL
+    trained costs and emit ``(w, n_pieces)`` — the same word-local DP
+    and ``(cost, start)`` tie-break as the E-step kernel, one Arrow
+    mapInPandas pass."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for w in pdf["w"]:
+                w = str(w)
+                n = len(w)
+                best: list[int | None] = [None] * (n + 1)
+                best[0] = 0
+                choice: list[int | None] = [None] * (n + 1)
+                for j in range(1, n + 1):
+                    bc = bi = None
+                    for i in range(max(0, j - max_piece), j):
+                        if best[i] is None:
+                            continue
+                        c = cost_map.get(w[i:j])
+                        if c is None:
+                            continue
+                        t = best[i] + c
+                        if bc is None or t < bc:
+                            bc, bi = t, i
+                    best[j], choice[j] = bc, bi
+                pos, count = n, 0
+                while pos:
+                    count += 1
+                    pos = choice[pos]
+                rows.append((w, count))
+            yield pd.DataFrame(rows, columns=["w", "n_pieces"])
+
+    schema = StructType(
+        [StructField("w", StringType()), StructField("n_pieces", LongType())]
+    )
+    return words.select("w").mapInPandas(run, schema)
+
+
+def unigram_fertility_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    keep_multi: int = 48,
+    prune_per_round: int = 8,
+    rounds: int = 2,
+    max_piece: int = 4,
+) -> DataFrame:
+    """Tokenizer FERTILITY per corpus slice under the trained unigram-LM
+    vocab — the number every tokenizer evaluation quotes (pieces per
+    word; fertility >> 1 on a slice means the vocab serves it badly and
+    its token budget explodes). Trains via :func:`unigram_lm_train`,
+    collects the vocab-bounded final cost table, Viterbi-segments the
+    DISTINCT word frame once (serve kernel), and joins the per-(group,
+    word) counts back — the corpus is never re-segmented per row.
+    Returns ``(g, n_words, n_pieces, fertility)`` with fertility an
+    exact micro-grid integer division (both engines)."""
+    vocab = unigram_lm_train(
+        df, text_col, keep_multi, prune_per_round, rounds, max_piece
+    )
+    cost_map = {
+        r["piece"]: int(r["cost_micro"]) for r in vocab.collect()
+    }  # vocab-bounded driver collect (the BPE candidate-list class)
+    gw = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .where(F.col("w").rlike("^[a-z]{1,%d}$" % MAX_WORD_LEN))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    distinct_w = gw.select("w").distinct().localCheckpoint(eager=True)
+    stats = _viterbi_word_npieces(distinct_w, cost_map, max_piece)
+    return (
+        gw.join(stats, "w")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long").alias("n_pieces"),
+        )
+        .select(
+            "g",
+            "n_words",
+            "n_pieces",
+            (F.expr("n_pieces * 1000000 div n_words") / 1e6).alias("fertility"),
+        )
+    )
+
+
+def unigram_fertility_oracle(
+    group_col: str = "source",
+    keep_multi: int = 48,
+    prune_per_round: int = 8,
+    rounds: int = 2,
+    max_piece: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`unigram_fertility_by_group`: the FULL
+    training replay (:func:`_train_parts`) plus a final-cost CTE and one
+    more unrolled serve DP whose backtrace rows are COUNTED per word."""
+    L = MAX_WORD_LEN
+    parts = _train_parts(keep_multi, prune_per_round, rounds, max_piece)
+    parts.append(
+        f"""costf AS MATERIALIZED (
+  SELECT piece, {UNIGRAM_COST_EXPR} AS cost FROM vocab{rounds}, statf
+)"""
+    )
+    dp_parts, _choice, bt = _viterbi_dp_ctes("s", "costf", max_piece)
+    parts.extend(dp_parts)
+    steps_union = "\n  UNION ALL ".join(
+        f"SELECT w FROM {bt}_{s}" for s in range(1, L + 1)
+    )
+    parts.append(
+        f"""wstats AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM (\n  {steps_union}\n) GROUP BY w
+),
+gw AS MATERIALIZED (
+  SELECT {group_col} AS g, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT {group_col},
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  x -> regexp_matches(x, '^[a-z]{{1,{L}}}$'))) AS w
+    FROM documents) GROUP BY 1, 2
+)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        "SELECT g, CAST(SUM(c) AS BIGINT) AS n_words,\n"
+        "       CAST(SUM(c * s.n_pieces) AS BIGINT) AS n_pieces,\n"
+        "       (SUM(c * s.n_pieces) * 1000000 // SUM(c)) / 1e6 AS fertility\n"
+        "FROM gw JOIN wstats s USING (w)\n"
+        "GROUP BY g"
     )

@@ -1753,3 +1753,133 @@ def q_duplicate_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return duplicate_span_ranges(_t(spark, sf_dir, "documents"), w=8)
+
+
+from azure_medicine_data_engineering_spark.operators.sampling import (  # noqa: E402
+    DOREMI_ALPHA_EXPR,
+    DOREMI_WEIGHT_EXPR,
+    doremi_domain_weights,
+)
+
+
+@register(
+    "doremi_domain_weights",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT source AS g, unnest({_TOKS.format(t='text')}) AS tok
+      FROM documents
+    ),
+    vocab AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lpu AS MATERIALIZED (
+      SELECT tok, CAST(ROUND(ln(cnt / (total * 1e0)) * 1e6) AS BIGINT) AS lpu
+      FROM vocab, tot
+    ),
+    per_dom AS MATERIALIZED (
+      SELECT t.g, CAST(SUM(l.lpu) AS BIGINT) AS slpu,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks t JOIN lpu l USING (tok) GROUP BY t.g
+    ),
+    docs AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST((-SUM(slpu)) // SUM(n_tokens) AS BIGINT) AS base_micro
+      FROM per_dom
+    ),
+    staged AS MATERIALIZED (
+      SELECT g, n_docs, n_tokens,
+             CAST((-slpu) // n_tokens AS BIGINT) AS nll_micro,
+             CAST(GREATEST((-slpu) // n_tokens - base_micro, 0) AS BIGINT)
+               AS excess_micro
+      FROM per_dom JOIN docs USING (g), base
+    ),
+    alphas AS MATERIALIZED (
+      SELECT *, {DOREMI_ALPHA_EXPR} AS alpha FROM staged
+    ),
+    norm AS (
+      SELECT CAST(SUM(alpha) AS BIGINT) AS alpha_sum,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM alphas
+    )
+    SELECT g, n_docs, n_tokens, nll_micro, excess_micro,
+           {DOREMI_WEIGHT_EXPR} AS weight
+    FROM alphas, norm
+    """,
+)
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped domain mixture weights (round 11,
+    operators/sampling.py:doremi_domain_weights; Xie et al. 2023): per
+    source the mean unigram-LM NLL on the 1e-6 integer grid, excess over
+    the global mean clamped at 0, one exponentiated-gradient step on the
+    token-share prior (alpha snapped to an exact integer BEFORE the
+    normalizing sum — cross-domain double sums would be fold-order-
+    dependent), 1%-uniform smoothing. The mixture table a pretraining
+    data team feeds back into quota sampling."""
+    return doremi_domain_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, source AS g, unnest({_TOKS.format(t='text')}) AS tok
+      FROM documents
+    ),
+    vocab AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lpu AS MATERIALIZED (
+      SELECT tok, CAST(ROUND(ln(cnt / total) * 1e6) AS BIGINT) AS lpu
+      FROM vocab, tot
+    ),
+    doc_nll AS MATERIALIZED (
+      SELECT t.doc_id, t.g,
+             CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nll
+      FROM tok t JOIN lpu l USING (tok) GROUP BY t.doc_id, t.g
+    ),
+    byval AS (
+      SELECT g, nll AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM doc_nll GROUP BY 1, 2
+    ),
+    cum AS MATERIALIZED (
+      SELECT g, v,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM byval
+    ),
+    n_g AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM doc_nll GROUP BY g),
+    cuts AS MATERIALIZED (
+      SELECT c.g,
+             MIN(CASE WHEN c.cum >= (1 * ng.n + 2) // 3 THEN c.v END) AS t1,
+             MIN(CASE WHEN c.cum >= (2 * ng.n + 2) // 3 THEN c.v END) AS t2
+      FROM cum c JOIN n_g ng USING (g) GROUP BY c.g
+    )
+    SELECT d.g,
+           CASE WHEN d.nll <= k.t1 THEN 'head'
+                WHEN d.nll <= k.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(d.nll) AS BIGINT) AS nll_min,
+           CAST(MAX(d.nll) AS BIGINT) AS nll_max
+    FROM doc_nll d JOIN cuts k USING (g)
+    GROUP BY 1, 2
+    """,
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity routing per source (round 11,
+    operators/text_rank.py:ccnet_perplexity_buckets; Wenzek et al.
+    2020): per-doc unigram NLL on the 1e-6 integer grid, per-slice
+    EXACT tercile order statistics (min v with cum ≥ ceil(k·n/3) —
+    never a sketch), head = cleanest third. The routing table CCNet
+    derivatives (RedPajama, CulturaX) key their quality splits on."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        ccnet_perplexity_buckets,
+    )
+
+    return ccnet_perplexity_buckets(_t(spark, sf_dir, "documents"))

@@ -2452,3 +2452,23 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     backtrace multiplicities, and prune order must all be exact to
     hash-match. Emits the final ``(piece, cnt, cost_micro)`` vocab."""
     return unigram_lm_train(_t(spark, sf_dir, "documents"))
+
+
+from azure_medicine_data_engineering_spark.operators.unigram_lm import (  # noqa: E402
+    unigram_fertility_by_group,
+    unigram_fertility_oracle,
+)
+
+
+@register("unigram_fertility_by_source", unigram_fertility_oracle())
+def q_unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per corpus slice under the trained unigram-LM
+    vocab (round 11, `operators/unigram_lm.py`) — pieces per word, the
+    number every tokenizer evaluation quotes (a slice with fertility
+    >> 1 blows its token budget). Train → collect the vocab-bounded
+    final cost table → ONE serve-Viterbi Arrow pass over the distinct
+    word frame → join per-(source, word) counts back; fertility is an
+    exact micro-grid integer division. The oracle replays the FULL
+    training (every EM round and DP position as MATERIALIZED CTEs) plus
+    the serve DP, counting backtrace rows per word."""
+    return unigram_fertility_by_group(_t(spark, sf_dir, "documents"))

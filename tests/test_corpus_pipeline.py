@@ -545,3 +545,51 @@ def test_duplicate_span_ranges_merges_overlapping_windows(spark):
     # doc 3: tail8 at ord 0 -> [0, 8)
     assert rows[(3, 0, 8)] == (8, 1)
     assert len(rows) == 4
+
+
+def test_doremi_domain_weights_naive(spark):
+    import math
+    from collections import Counter
+
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    docs = [
+        ("common", "the the the cat sat on the mat"),
+        ("common", "the cat and the dog sat"),
+        ("rare", "quantum chromodynamics entangles hadrons"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r["g"]: r for r in doremi_domain_weights(df).collect()}
+
+    # naive third implementation (half-away rounding; engine-independent)
+    toks = [(s, w) for s, t in docs for w in t.split() if w]
+    vocab = Counter(w for _s, w in toks)
+    total = sum(vocab.values())
+
+    def snap_round(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    lpu = {w: snap_round(math.log(c / total) * 1e6) for w, c in vocab.items()}
+    doms = sorted({s for s, _w in toks})
+    slpu = {g: sum(lpu[w] for s, w in toks if s == g) for g in doms}
+    ntok = {g: sum(1 for s, w in toks if s == g) for g in doms}
+    base = (-sum(slpu.values())) // sum(ntok.values())
+    nll = {g: (-slpu[g]) // ntok[g] for g in doms}
+    exc = {g: max(nll[g] - base, 0) for g in doms}
+    alpha = {
+        g: math.floor(ntok[g] * math.exp(exc[g] / 1e6) * 1e2 + 0.5)
+        for g in doms
+    }
+    asum = sum(alpha.values())
+    for g in doms:
+        w_naive = round((1 - 1e-2) * (alpha[g] / asum) + 1e-2 / len(doms), 6)
+        r = got[g]
+        assert r["nll_micro"] == nll[g]
+        assert r["excess_micro"] == exc[g]
+        assert abs(r["weight"] - w_naive) < 1.5e-6
+    # the rare domain carries the excess and the upweight
+    assert exc["rare"] > 0 and exc["common"] == 0
+    assert got["rare"]["weight"] * ntok["common"] > got["common"]["weight"] * ntok["rare"]
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-5

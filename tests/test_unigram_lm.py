@@ -132,3 +132,70 @@ def test_long_words_excluded(spark):
     assert all(r["piece"] != "a" * 2 for r in out)
     joined = "".join(sorted(r["piece"] for r in out))
     assert "a" not in joined
+
+
+def _naive_costs(vocab_set):
+    """cost table from a {(piece, cnt, cost)} naive-vocab set."""
+    return {p: cost for p, _c, cost in vocab_set}
+
+
+def _naive_viterbi_npieces(w, costs, max_piece):
+    n = len(w)
+    best = [None] * (n + 1)
+    best[0] = 0
+    back = [None] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece), j):
+            if best[i] is None or w[i:j] not in costs:
+                continue
+            t = best[i] + costs[w[i:j]]
+            if best[j] is None or t < best[j]:
+                best[j], back[j] = t, i
+    pos, cnt = n, 0
+    while pos:
+        cnt += 1
+        pos = back[pos]
+    return cnt
+
+
+def test_fertility_matches_naive_reference(spark):
+    from azure_medicine_data_engineering_spark.operators.unigram_lm import (
+        unigram_fertility_by_group,
+    )
+
+    docs = [
+        ("a", TEXTS[0]),
+        ("a", TEXTS[1]),
+        ("b", TEXTS[2]),
+        ("b", "low lowest widest new"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        (r["g"], r["n_words"], r["n_pieces"], r["fertility"])
+        for r in unigram_fertility_by_group(
+            df, keep_multi=6, prune_per_round=2, rounds=2, max_piece=3
+        ).collect()
+    }
+    texts = [t for _s, t in docs]
+    vocab = _naive_unigram(
+        texts, keep_multi=6, prune_per_round=2, rounds=2, max_piece=3
+    )
+    costs = _naive_costs(vocab)
+    import re as _re
+    from collections import Counter as _C
+
+    want = set()
+    for g in ("a", "b"):
+        words = _C()
+        for s, t in docs:
+            if s != g:
+                continue
+            for w in t.lower().split():
+                if _re.fullmatch(r"[a-z]{1,16}", w):
+                    words[w] += 1
+        n_words = sum(words.values())
+        n_pieces = sum(
+            c * _naive_viterbi_npieces(w, costs, 3) for w, c in words.items()
+        )
+        want.add((g, n_words, n_pieces, (n_pieces * 1000000 // n_words) / 1e6))
+    assert got == want
