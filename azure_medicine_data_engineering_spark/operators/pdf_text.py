@@ -616,3 +616,54 @@ def pdf_extract_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, PDF_EXTRACT_SCHEMA)
+
+
+PDF_E2E_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("n_words", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+
+def pdf_extract_e2e(df: DataFrame) -> DataFrame:
+    """FUSED PDF-ingest stage: decode each PDF payload, extract text, and
+    compute the downstream quality counters (lines, whitespace words,
+    chars, text md5) in ONE Arrow pass — the (potentially large) raw PDF
+    bytes never cross a stage boundary, mirroring the WARC+HTML fused
+    stage (`html_text.warc_html_extract`). Map-only."""
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                text, n_pages = pdf_extract_text(bytes(p))
+                words = [t for t in ws.split(text) if t]
+                rows.append(
+                    (
+                        mid,
+                        n_pages,
+                        text.count("\n") + 1 if text else 0,
+                        len(words),
+                        len(text),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_pages", "n_lines", "n_words",
+                    "n_chars", "text_md5",
+                ],
+            )
+
+    return df.mapInPandas(run, PDF_E2E_SCHEMA)

@@ -2266,3 +2266,49 @@ def q_multimodal_flac_quality_gates(spark: SparkSession, sf_dir: str) -> DataFra
     docs = _t(spark, sf_dir, "documents")
     media = attach_flac_payload(docs, "doc_id", "text")
     return audio_quality_flags(media, decode_samples=flac_decode_samples)
+
+
+@register(
+    "pdf_ingest_e2e_docs",
+    """
+    WITH m AS (
+      SELECT doc_id, text,
+             (length(text) + 79) // 80 AS n_chunks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, n_chunks,
+             'Doc ' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN n_chunks > 0
+                     THEN chr(10) || array_to_string(
+                       list_transform(range(1, CAST(n_chunks AS INTEGER) + 1),
+                         i -> substr(text, (i - 1) * 80 + 1, 80)),
+                       chr(10))
+                     ELSE '' END AS extracted
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST((1 + n_chunks + 3) // 4 AS BIGINT) AS n_pages,
+           CAST(1 + n_chunks AS BIGINT) AS n_lines,
+           CAST(len(list_filter(regexp_split_to_array(extracted, '\\s+'),
+                x -> x <> '')) AS BIGINT) AS n_words,
+           CAST(length(extracted) AS BIGINT) AS n_chars,
+           md5(extracted) AS text_md5
+    FROM base
+    """,
+)
+def q_pdf_ingest_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused PDF-ingest e2e (round 11, operators/pdf_text.py:
+    pdf_extract_e2e): PDF decode → text extraction → quality counters
+    (lines, whitespace words incl. the chunk-boundary splits, chars,
+    text md5) in ONE Arrow pass — raw PDF bytes never cross a stage
+    boundary, the composition a crawl pipeline actually runs on PDF
+    payloads (mirror of crawl_ingest_e2e_docs). Map-only (no shuffle)."""
+    from azure_medicine_data_engineering_spark.operators.pdf_text import (
+        attach_pdf_payload,
+        pdf_extract_e2e,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_pdf_payload(docs, "doc_id", "text", 80, 4)
+    return pdf_extract_e2e(media)
