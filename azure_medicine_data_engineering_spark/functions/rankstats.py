@@ -5097,3 +5097,78 @@ def ks_vs_rest_by_group(
     )
     out._stage_caches = list(grid._stage_caches)
     return out
+
+
+def psi_vs_corpus_by_group(
+    df: DataFrame, value_col: str, group_col: str, n_bins: int = 10,
+    alarm_threshold: float = 0.2,
+) -> DataFrame:
+    """Per-SLICE Population Stability Index against the WHOLE-corpus
+    baseline — the batch expression of the standard streaming drift
+    alarm (each window/segment's distribution vs the long-run
+    distribution; PSI > 0.2 is the classic "major shift" alert level).
+    Returns ``(g, n_cur, psi, alarm)``.
+
+    Same integer machinery as :func:`psi_drift`: fixed-width bins on
+    the GLOBAL [min, max], Laplace-smoothed shares, per-(g, bin) micro
+    terms summed order-free. State is |groups| × ``n_bins`` rows —
+    bounded however large the fact is (the property that makes the
+    streaming twin's state store safe); the baseline per bin derives
+    from the per-(g, bin) counts (one collapse, no second fact pass)."""
+    src = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    bounds = src.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    binned = (
+        src.alias("a")
+        .crossJoin(F.broadcast(bounds).alias("b"))
+        .select("a.g", _span_bin(n_bins).alias("bin"))
+    )
+    counts = (
+        binned.groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("q"))
+        .persist()  # |groups|·n_bins rows; 4 consumers below
+    )
+    base = counts.groupBy("bin").agg(F.sum("q").cast("long").alias("p"))
+    tot = counts.agg(F.sum("q").cast("long").alias("np"))
+    n_g = counts.groupBy("g").agg(F.sum("q").cast("long").alias("nq"))
+    spine = (
+        counts.select("g")
+        .distinct()
+        .select(
+            "g",
+            F.explode(F.array(*[F.lit(i) for i in range(n_bins)])).alias("bin"),
+        )
+    )
+    full = (
+        spine.join(counts, ["g", "bin"], "left")
+        .join(F.broadcast(base), "bin", "left")
+        .join(F.broadcast(n_g), "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            "bin",
+            F.coalesce("q", F.lit(0)).cast("long").alias("q"),
+            F.coalesce("p", F.lit(0)).cast("long").alias("p"),
+            "np",
+            "nq",
+        )
+    )
+    term_u = (
+        f"cast(round(((p + 1e0) / (np + {n_bins}) - (q + 1e0) / (nq + {n_bins})) * "
+        f"ln(((p + 1e0) / (np + {n_bins})) / ((q + 1e0) / (nq + {n_bins}))) * 1e6) "
+        "as bigint)"
+    )
+    out = (
+        full.groupBy("g")
+        .agg(
+            F.max("nq").cast("long").alias("n_cur"),
+            F.sum(F.expr(term_u)).cast("long").alias("psi_u"),
+        )
+        .selectExpr(
+            "g",
+            "n_cur",
+            "round(psi_u / 1e6, 4) AS psi",
+            f"psi_u / 1e6 > {alarm_threshold} AS alarm",
+        )
+    )
+    out._stage_caches = [counts]
+    return out

@@ -2050,3 +2050,69 @@ def q_stl_strength_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (resp. weekly cycle) explains. Exact integer quadratics over the
     shared STL micro pipeline; variance ratios are shared expressions."""
     return stl_strength_daily(_t(spark, sf_dir, "orders"))
+
+
+from azure_medicine_data_engineering_spark.functions.rankstats import (  # noqa: E402
+    psi_vs_corpus_by_group,
+)
+
+
+@register(
+    "psi_drift_daily_alarm",
+    """
+    WITH src AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS g, value AS v FROM events
+    ),
+    bounds AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM src),
+    binned AS (
+      SELECT a.g,
+             CASE WHEN b.vmax - b.vmin <= 0 THEN 0
+                  ELSE CAST(LEAST(9, FLOOR((a.v - b.vmin) / (b.vmax - b.vmin) * 10)) AS INT)
+             END AS bin
+      FROM src a, bounds b
+    ),
+    counts AS MATERIALIZED (
+      SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS q FROM binned GROUP BY 1, 2
+    ),
+    base AS (SELECT bin, CAST(SUM(q) AS BIGINT) AS p FROM counts GROUP BY bin),
+    tot AS (SELECT CAST(SUM(q) AS BIGINT) AS np FROM counts),
+    n_g AS (SELECT g, CAST(SUM(q) AS BIGINT) AS nq FROM counts GROUP BY g),
+    spine AS (
+      SELECT DISTINCT c.g, CAST(s.b AS INT) AS bin
+      FROM counts c, range(10) s(b)
+    ),
+    full_ AS (
+      SELECT s.g, s.bin, COALESCE(c.q, 0) AS q, COALESCE(b.p, 0) AS p,
+             t.np, ng.nq
+      FROM spine s
+      LEFT JOIN counts c ON c.g = s.g AND c.bin = s.bin
+      LEFT JOIN base b ON b.bin = s.bin
+      JOIN n_g ng ON ng.g = s.g
+      CROSS JOIN tot t
+    ),
+    scal AS (
+      SELECT g, CAST(MAX(nq) AS BIGINT) AS n_cur,
+             CAST(SUM(cast(round(((p + 1e0) / (np + 10) - (q + 1e0) / (nq + 10)) *
+               ln(((p + 1e0) / (np + 10)) / ((q + 1e0) / (nq + 10))) * 1e6)
+             as bigint)) AS BIGINT) AS psi_u
+      FROM full_ GROUP BY g
+    )
+    SELECT g, n_cur, round(psi_u / 1e6, 4) AS psi,
+           psi_u / 1e6 > 0.2 AS alarm
+    FROM scal
+    """,
+)
+def q_psi_drift_daily_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DAY PSI drift alarm against the whole-corpus value baseline
+    (round 11, rankstats.psi_vs_corpus_by_group) — the batch expression
+    of the standard streaming drift monitor: each day's value
+    distribution vs the long-run distribution, 10 global fixed-width
+    bins, Laplace-smoothed micro-grid terms, alarm at the classic
+    PSI > 0.2 level. State is days x 10 bins — bounded however large
+    the stream; day keys emit as ISO strings (driver-canon DATE
+    hazard)."""
+    ev = events_table(spark, sf_dir)
+    src = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("value")
+    )
+    return psi_vs_corpus_by_group(src, "value", "day")

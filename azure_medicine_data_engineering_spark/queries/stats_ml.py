@@ -2312,3 +2312,17 @@ def q_pdf_ingest_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_pdf_payload(docs, "doc_id", "text", 80, 4)
     return pdf_extract_e2e(media)
+
+
+@register("streaming_psi_daily_alarm", _O["psi_drift_daily_alarm"])
+def q_streaming_psi_daily_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the per-day PSI drift alarm (round 11,
+    streaming/windows.py:streaming_psi_daily_alarm): the stream keeps
+    only the bounded (day, bin) counts; the PSI-vs-baseline composition
+    is a snapshot batch over the materialized state — the architecture
+    a real monitoring deployment uses. Shares the batch oracle."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_psi_daily_alarm,
+    )
+
+    return streaming_psi_daily_alarm(spark, sf_dir)

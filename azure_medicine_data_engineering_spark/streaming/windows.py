@@ -275,3 +275,113 @@ def streaming_corpus_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_truly_new",
         (F.col("n_stream_unique") - F.col("n_truly_new")).alias("n_known"),
     )
+
+
+def streaming_psi_daily_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of ``psi_drift_daily_alarm`` — the streaming
+    drift monitor a production deployment actually runs: the STREAM
+    maintains only the bounded (day, bin) count state (10 bins on
+    static global bounds, broadcast like the static-enrich pattern);
+    the PSI composition against the long-run baseline is a cheap batch
+    pass over the materialized counts each evaluation tick (two-level
+    streaming aggregations are not expressible in one query — and the
+    alarm evaluation SHOULD be a snapshot read, so the split is the
+    honest architecture, not a workaround). Shares the batch query's
+    oracle."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        _span_bin,
+    )
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    # static global bounds (config-like broadcast; the batch twin's are
+    # identical because min/max are stream-order-free)
+    from azure_medicine_data_engineering_spark.queries.registry import (
+        events_table,
+    )
+
+    bounds_row = (
+        events_table(spark, sf_dir)
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .collect()[0]
+    )
+    src = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("g"),
+        F.col("value").alias("v"),
+    ).select(
+        "g",
+        F.lit(float(bounds_row["vmin"])).alias("vmin"),
+        F.lit(float(bounds_row["vmax"])).alias("vmax"),
+        "v",
+    )
+    n_bins = 10
+    span = F.col("vmax") - F.col("vmin")
+    bin_col = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("v") - F.col("vmin")) / span * n_bins),
+            )
+        )
+        .cast("int")
+    )
+    counts_stream = (
+        src.select("g", bin_col.alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("q"))
+    )
+    counts = run_to_memory(counts_stream, "stream_psi_counts")
+    # snapshot-side PSI composition over the bounded counts state
+    # every frame below derives from the SAME memory table — RENAME the
+    # key columns per derived frame so no join ever sees two attributes
+    # of one name (the same-lineage crossJoin hazard class; plain alias
+    # qualification still collided through the analyzer's dedup here)
+    base = counts.groupBy("bin").agg(F.sum("q").cast("long").alias("p"))
+    base = base.select(F.col("bin").alias("bbin"), "p")
+    tot = counts.agg(F.sum("q").cast("long").alias("np"))
+    n_g = counts.groupBy("g").agg(F.sum("q").cast("long").alias("nq"))
+    n_g = n_g.select(F.col("g").alias("ng_g"), "nq")
+    spine = (
+        counts.select(F.col("g").alias("sg"))
+        .distinct()
+        .select(
+            "sg",
+            F.explode(F.array(*[F.lit(i) for i in range(n_bins)])).alias(
+                "sbin"
+            ),
+        )
+    )
+    full = (
+        spine.join(
+            counts,
+            (F.col("sg") == F.col("g")) & (F.col("sbin") == F.col("bin")),
+            "left",
+        )
+        .join(F.broadcast(base), F.col("sbin") == F.col("bbin"), "left")
+        .join(F.broadcast(n_g), F.col("sg") == F.col("ng_g"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sg").alias("g"),
+            F.col("sbin").alias("bin"),
+            F.coalesce(F.col("q"), F.lit(0)).cast("long").alias("q"),
+            F.coalesce(F.col("p"), F.lit(0)).cast("long").alias("p"),
+            "np",
+            "nq",
+        )
+    )
+    term_u = (
+        f"cast(round(((p + 1e0) / (np + {n_bins}) - (q + 1e0) / (nq + {n_bins})) * "
+        f"ln(((p + 1e0) / (np + {n_bins})) / ((q + 1e0) / (nq + {n_bins}))) * 1e6) "
+        "as bigint)"
+    )
+    return (
+        full.groupBy("g")
+        .agg(
+            F.max("nq").cast("long").alias("n_cur"),
+            F.sum(F.expr(term_u)).cast("long").alias("psi_u"),
+        )
+        .selectExpr(
+            "g", "n_cur", "round(psi_u / 1e6, 4) AS psi",
+            "psi_u / 1e6 > 0.2 AS alarm",
+        )
+    )
