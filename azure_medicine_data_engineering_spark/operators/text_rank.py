@@ -1001,11 +1001,15 @@ def ccnet_perplexity_buckets(
     from azure_medicine_data_engineering_spark.operators.text import tokens
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
+    # NO persist on the token frame: it is fact × tokens sized — at the
+    # 100× replica the cache fill OOMed a 12g heap (measured, round 11);
+    # re-running the explode for the two consumers is cheap map-side
+    # compute and the 100 TB story needs no executor-memory cache here
     tok = ensure_parallelism(df).select(
         F.col(id_col),
         F.col(group_col).alias("g"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).persist()  # vocab build + per-doc scoring share it
+    )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     lpu = vocab.crossJoin(F.broadcast(total)).select(
@@ -1014,6 +1018,10 @@ def ccnet_perplexity_buckets(
         .cast("long")
         .alias("lpu"),
     )
+    # persist the DOC-grain frame (id, g, nll — small) so its three
+    # consumers (rank frame, per-slice counts, final bucket join) run
+    # the expensive token-grain join ONCE; the token frame itself stays
+    # unpersisted (fact × tokens sized — the 100× OOM class)
     doc_nll = (
         tok.join(lpu, "tok")
         .groupBy(id_col, "g")
@@ -1022,6 +1030,7 @@ def ccnet_perplexity_buckets(
             F.sum("lpu").alias("slpu"),
         )
         .selectExpr(id_col, "g", "(-slpu) div n_tokens AS nll")
+        .persist()
     )
     ranked = grouped_ranked_value_counts(doc_nll, "g", "nll")
     # inclusive cumulative + per-slice doc count; tercile targets
@@ -1057,5 +1066,5 @@ def ccnet_perplexity_buckets(
             F.max("nll").cast("long").alias("nll_max"),
         )
     )
-    out._stage_caches = [tok] + list(getattr(ranked, "_stage_caches", []))
+    out._stage_caches = [doc_nll] + list(getattr(ranked, "_stage_caches", []))
     return out
