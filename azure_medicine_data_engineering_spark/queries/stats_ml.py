@@ -2326,3 +2326,58 @@ def q_streaming_psi_daily_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_psi_daily_alarm(spark, sf_dir)
+
+
+@register(
+    "robots_allow_gate",
+    """
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hex, doc_id % 7 AS k FROM documents
+    ),
+    p AS (
+      SELECT doc_id, k,
+             CASE WHEN CAST(('0x' || substr(hex, 2, 1)) AS INT) % 3 <> 2
+                  THEN '/p' || CAST(CAST(('0x' || substr(hex, 1, 1)) AS INT) % 4 AS VARCHAR)
+                  ELSE '/q' || CAST(CAST(('0x' || substr(hex, 1, 1)) AS INT) % 4 AS VARCHAR)
+             END
+             || CASE CAST(('0x' || substr(hex, 3, 1)) AS INT) % 3
+                  WHEN 0 THEN '' WHEN 1 THEN '/open' ELSE '/deep' END
+             || '/page' || substr(hex, 4, 1) AS path
+      FROM m
+    ),
+    r AS (
+      SELECT doc_id, k, path,
+             '/p' || CAST(k % 4 AS VARCHAR) AS d1,
+             '/p' || CAST(k % 4 AS VARCHAR) || '/open' AS a1,
+             '/q' || CAST((k + 1) % 4 AS VARCHAR) || '/deep' AS d2
+      FROM p
+    ),
+    sc AS (
+      SELECT doc_id, k, path,
+             CASE WHEN starts_with(path, d1) THEN length(d1) ELSE -1 END AS s1,
+             CASE WHEN starts_with(path, a1) THEN length(a1) ELSE -1 END AS s2,
+             CASE WHEN starts_with(path, d2) THEN length(d2) ELSE -1 END AS s3
+      FROM r
+    )
+    SELECT doc_id,
+           'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+           path,
+           GREATEST(s1, s2, s3) = -1 OR s2 = GREATEST(s1, s2, s3) AS allowed,
+           CAST(GREATEST(s1, s2, s3) AS INT) AS rule_len
+    FROM sc
+    """,
+)
+def q_robots_allow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness gate (round 11, operators/robots.py): every
+    document's fixture URL evaluated against its host's robots.txt by a
+    real REP parser/evaluator (user-agent group selection, longest-match
+    decision, Allow-wins-ties, wildcard '*' and '$' anchors — pinned in
+    unit tests) inside one Arrow pass. The fixture hosts publish
+    wildcard-free PREFIX rules, so the oracle replays the longest-prefix
+    decision in pure SQL (starts_with + GREATEST); decoy agent groups
+    and comment noise must be skipped correctly to match. Map-only."""
+    from azure_medicine_data_engineering_spark.operators.robots import (
+        robots_gate,
+    )
+
+    return robots_gate(_t(spark, sf_dir, "documents"))
