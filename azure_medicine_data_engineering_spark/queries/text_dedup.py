@@ -2472,3 +2472,173 @@ def q_unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     training (every EM round and DP position as MATERIALIZED CTEs) plus
     the serve DP, counting backtrace rows per word."""
     return unigram_fertility_by_group(_t(spark, sf_dir, "documents"))
+
+
+#: corpus-total twins of the three family oracles, each isolated in its
+#: own derived-table WITH scope so the union needs no CTE renaming.
+_BPE_TOTALS_SQL = (
+    r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT w AS wd, regexp_replace(w, '(.)', '|\1|', 'g') AS s, f FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+      ) g
+    ),
+    """
+    + ",".join(_bpe_round_sql(i, carry_word=True) for i in range(1, _BPE_MERGES + 1))
+    + f""",
+    pieces AS (
+      SELECT wd,
+             CAST(len(string_split(substring(s, 2, length(s) - 2), '||')) AS BIGINT) AS np
+      FROM w{_BPE_MERGES}
+    ),
+    tok AS (
+      SELECT w FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) t WHERE regexp_matches(w, '^[a-z]+$')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_pieces
+    FROM tok JOIN pieces ON tok.w = pieces.wd"""
+)
+
+_WP_TOTALS_SQL = f"""
+    WITH RECURSIVE
+    allpieces AS (
+      SELECT unnest(
+        flatten([
+          list_transform(range(1, least(4, length(w)) + 1),
+                         L -> substr(w, 1, CAST(L AS INT))),
+          flatten(list_transform(range(2, length(w) + 1),
+            s -> list_transform(range(1, least(4, length(w) - s + 1) + 1),
+                                L -> '##' || substr(w, CAST(s AS INT), CAST(L AS INT)))))
+        ])
+      ) AS piece
+      FROM (SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)
+    ),
+    vocab AS (
+      SELECT piece FROM (
+        SELECT piece, COUNT(*) AS cnt FROM allpieces GROUP BY piece
+      ) ORDER BY cnt DESC, piece LIMIT 200
+    ),
+    vl AS (SELECT list(piece) AS vp FROM vocab),
+    words AS (
+      SELECT DISTINCT unnest({_TOKS.format(t='text')}) AS w FROM documents
+    ),
+    steps(w, pos, n_pieces, failed) AS (
+      SELECT w, CAST(1 AS BIGINT), 0, FALSE FROM words
+      UNION ALL
+      SELECT w, pos + COALESCE(bestL, 0), n_pieces + 1, bestL IS NULL
+      FROM (
+        SELECT w, pos, n_pieces,
+               list_max(list_filter(list_transform(
+                 range(least(4, length(w) - pos + 1), 0, -1),
+                 L -> CASE WHEN list_contains(vp,
+                        (CASE WHEN pos > 1 THEN '##' ELSE '' END)
+                          || substr(w, CAST(pos AS INT), CAST(L AS INT)))
+                      THEN L END), x -> x IS NOT NULL)) AS bestL
+        FROM steps, vl WHERE pos <= length(w) AND NOT failed
+      ) t
+    ),
+    word_stats AS (
+      SELECT w,
+             CASE WHEN failed THEN 1 ELSE n_pieces END AS w_pieces
+      FROM steps WHERE failed OR pos = length(w) + 1
+    ),
+    corpus AS (
+      SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_pieces) AS BIGINT) AS n_pieces
+    FROM corpus JOIN word_stats USING (w)"""
+
+
+def _unigram_totals_sql() -> str:
+    full = unigram_fertility_oracle(group_col="'all'")
+    # keep only the totals columns (the derived-table wrapper selects them)
+    return full
+
+
+@register(
+    "tokenizer_family_report",
+    f"""
+    SELECT family, n_words, n_pieces,
+           (n_pieces * 1000000 // n_words) / 1e6 AS fertility
+    FROM (
+      SELECT 'bpe' AS family, n_words, n_pieces FROM ({_BPE_TOTALS_SQL})
+      UNION ALL
+      SELECT 'wordpiece', n_words, n_pieces FROM ({_WP_TOTALS_SQL})
+      UNION ALL
+      SELECT 'unigram_lm', n_words, n_pieces FROM ({_unigram_totals_sql()})
+    )
+    """,
+)
+def q_tokenizer_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-family comparison table (round 11): BPE (12 merges,
+    trained+served), WordPiece (top-200 induced vocab, greedy
+    longest-match) and Unigram-LM (Viterbi-EM trained+served) each
+    tokenize the corpus AS CONFIGURED by their own oracled queries; one
+    row per family with corpus totals and fertility (pieces per word,
+    exact micro-grid division) — the number that picks a tokenizer for
+    a pretraining run. The oracle replays all three train+serve chains
+    (merge rounds, the recursive greedy walk, the unrolled EM) in
+    isolated subquery scopes."""
+    from pyspark.sql import functions as FF
+
+    from azure_medicine_data_engineering_spark.operators.text import (
+        subword_vocab_candidates,
+        wordpiece_tokenize_stats,
+    )
+    from azure_medicine_data_engineering_spark.operators.unigram_lm import (
+        unigram_fertility_by_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+
+    trained = text.bpe_merge_train(d, n_merges=_BPE_MERGES)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in trained.orderBy("merge_idx").collect()
+    ]
+    for c in getattr(trained, "_stage_caches", []):
+        c.unpersist()
+    bpe = (
+        text.bpe_tokenize_stats(d, merges)
+        .agg(
+            FF.sum("n_words").cast("long").alias("n_words"),
+            FF.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(FF.lit("bpe").alias("family"), "n_words", "n_pieces")
+    )
+    vocab = [
+        r.piece
+        for r in subword_vocab_candidates(d, top_k=200, max_len=4).collect()
+    ]
+    wp = (
+        wordpiece_tokenize_stats(d, vocab, max_len=4)
+        .agg(
+            FF.sum("n_words").cast("long").alias("n_words"),
+            FF.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(FF.lit("wordpiece").alias("family"), "n_words", "n_pieces")
+    )
+    ug = (
+        unigram_fertility_by_group(d.withColumn("_all", FF.lit("all")), "_all")
+        .select(
+            FF.lit("unigram_lm").alias("family"), "n_words", "n_pieces"
+        )
+    )
+    return (
+        bpe.unionByName(wp)
+        .unionByName(ug)
+        .selectExpr(
+            "family",
+            "n_words",
+            "n_pieces",
+            "(n_pieces * 1000000 div n_words) / 1e6 AS fertility",
+        )
+    )
