@@ -272,16 +272,22 @@ def ks_two_sample(
             ).cast("long").alias("dn"),
         )
     )
-    best = scored.agg(F.max("dn").cast("long").alias("d_num"))
+    # ONE terminal aggregation: max over (dn, -v) structs picks the max
+    # sup-distance and, on ties, the LOWEST attaining value (v is numeric
+    # in every call site — cents/micro grids). Round 11: the old
+    # best-frame + self-join FANNED OUT the whole unpersisted CDF lineage
+    # a second time (formatted plans doubled per consumer level).
     out = (
-        scored.alias("s")
-        .join(F.broadcast(best).alias("b"), F.col("s.dn") == F.col("b.d_num"))
-        .groupBy()
-        .agg(
-            F.max("s.n1").cast("long").alias("n1"),
-            F.max("s.n2").cast("long").alias("n2"),
-            F.max("s.dn").cast("long").alias("d_num"),
-            F.min("s.v").alias("v_at_d"),
+        scored.agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(F.struct(F.col("dn"), (-F.col("v")).alias("nv"))).alias("m"),
+        )
+        .select(
+            "n1",
+            "n2",
+            F.col("m.dn").cast("long").alias("d_num"),
+            (-F.col("m.nv")).alias("v_at_d"),
         )
         .select(
             "n1",

@@ -238,7 +238,7 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # one 1024-row bucket-offset window per ranked axis (x and y)
     "spearman_price_vs_date": (2, "rank-bucket offset windows (x, y)"),
     # 1024-row bucket-offset window of the grouped-CDF prefix sum
-    "ks_test_click_vs_view": (1, "1024-row CDF-bucket offset window"),
+    "ks_test_click_vs_view": (3, "1024-row CDF-bucket offset window, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
     # 1024-row bucket-offset window of the spend rank prefix sum
     "gini_customer_spend": (1, "1024-row rank-bucket offset window"),
     # cumulative window over the calendar-bounded day frame
@@ -246,7 +246,7 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row bucket-offset window of the |d| rank prefix sum
     "wilcoxon_signed_rank_spend_halves": (1, "1024-row rank-bucket offset window"),
     # 1024-row bucket-offset window of the grouped-CDF prefix sum (CvM)
-    "cvm_test_click_vs_view": (1, "1024-row CDF-bucket offset window"),
+    "cvm_test_click_vs_view": (3, "1024-row CDF-bucket offset window, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
     # 1024-row bucket-offset window of the score rank prefix sum (AUC)
     "exact_auc_purchase_value": (1, "1024-row rank-bucket offset window"),
     # prefix-sum offsets over the bucket-summary frame of the packing
@@ -264,7 +264,7 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # KM suffix/cumulative + step-lead windows over the day-level frame
     "rmst_signup_to_purchase": (1, "day-frame KM + lead windows"),
     # 1024-row bucket-offset window of the score-CDF prefix sum
-    "score_separation_ks": (1, "1024-row CDF-bucket offset window"),
+    "score_separation_ks": (3, "1024-row CDF-bucket offset window, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
     # 1024-row rank-bucket offset window + the 10-row decile cum window
     "gains_table_quality_scores": (2, "1024-row rank-bucket offset + 10-row decile cum"),
     # 1024-row bucket-offset window of the value rank prefix sum (same
@@ -308,8 +308,8 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # round 9: 1024-row bucket-offset windows of the grouped-CDF prefix
     # sum (same class as ks/cvm/ad_test; rankstats.brunner_munzel_test and
     # rankstats.ad_two_sample_right docstrings)
-    "brunner_munzel_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
-    "anderson_darling_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
+    "brunner_munzel_click_vs_rest": (3, "1024-row CDF-bucket offset window, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
+    "anderson_darling_click_vs_rest": (3, "1024-row CDF-bucket offset window, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
     # pooled deviation-rank prefix sum (same 1024-row class; group medians
     # ride group-KEYED windows which need no license —
     # rankstats.fligner_killeen_test docstring)
@@ -320,11 +320,11 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # 1024-row bucket-offset windows (same class as ansari/ks;
     # rankstats.mood_scale_test / kuiper_two_sample docstrings)
     "mood_scale_click_vs_rest": (1, "1024-row rank-bucket offset window"),
-    "kuiper_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
-    "quantile_shift_click_vs_rest": (1, "1024-row CDF-bucket offset window"),
+    "kuiper_click_vs_rest": (3, "1024-row CDF-bucket offset window, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
+    "quantile_shift_click_vs_rest": (3, "1024-row CDF-bucket offset window, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
     # composes mann_whitney + ansari: one 1024-row rank-bucket window per
     # component collapses to a single licensed exchange in the fused plan
-    "lepage_click_vs_rest": (1, "1024-row rank-bucket offset window"),
+    "lepage_click_vs_rest": (3, "1024-row rank/CDF-bucket offset windows, printed per consumer (ReuseExchange-deduped at runtime; round 11)"),
     # round 10: nine members over ONE shared CDF frame — the shared
     # 1024-row bucket-offset window prints in the cache-fill subtree and
     # once more for the eager count (rankstats.distribution_drift_panel)
