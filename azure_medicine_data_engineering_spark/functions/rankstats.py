@@ -496,7 +496,10 @@ def ks_by_group(
     stratum (per-group bounds/buckets, PARTITION BY g offset and
     in-bucket windows) — zero single-partition exchanges. Returns one row
     per group ``(g, n1, n2, d_num, v_at_d, d)`` with the lowest attaining
-    value as the deterministic tie-break."""
+    value as the deterministic tie-break. Round 11: no persists (the
+    multi-consumer frames share canonical exchanges — ReuseExchange) and
+    a single struct-max argmax per group (v is numeric in every call
+    site)."""
     byval = (
         df.select(
             F.col(group_col).alias("g"),
@@ -508,7 +511,6 @@ def ks_by_group(
             F.sum(F.col("_f").cast("long")).cast("long").alias("c1"),
             F.sum((~F.col("_f")).cast("long")).cast("long").alias("c2"),
         )
-        .persist()
     )
     bounds = byval.groupBy("g").agg(
         F.min("v").alias("vmin"), F.max("v").alias("vmax")
@@ -550,7 +552,6 @@ def ks_by_group(
             (F.col("_o1") + F.sum("c1").over(w_in)).cast("long").alias("cum1"),
             (F.col("_o2") + F.sum("c2").over(w_in)).cast("long").alias("cum2"),
         )
-        .persist()
     )
     tot = cdf.groupBy("g").agg(
         F.max("cum1").cast("long").alias("n1"), F.max("cum2").cast("long").alias("n2")
@@ -563,23 +564,23 @@ def ks_by_group(
         F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
         .cast("long")
         .alias("dn"),
-    ).persist()
-    best = scored.groupBy("g").agg(F.max("dn").cast("long").alias("d_num"))
-    return (
-        scored.alias("s")
-        .join(
-            F.broadcast(best).alias("b"),
-            (F.col("s.g") == F.col("b.g")) & (F.col("s.dn") == F.col("b.d_num")),
-        )
-        .groupBy("s.g")
+    )
+    out = (
+        scored.groupBy("g")
         .agg(
-            F.max("s.n1").cast("long").alias("n1"),
-            F.max("s.n2").cast("long").alias("n2"),
-            F.max("s.dn").cast("long").alias("d_num"),
-            F.min("s.v").alias("v_at_d"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(F.struct(F.col("dn"), (-F.col("v")).alias("nv"))).alias("m"),
         )
         .select(
-            F.col("g"),
+            "g",
+            "n1",
+            "n2",
+            F.col("m.dn").cast("long").alias("d_num"),
+            (-F.col("m.nv")).alias("v_at_d"),
+        )
+        .select(
+            "g",
             "n1",
             "n2",
             "d_num",
@@ -587,6 +588,8 @@ def ks_by_group(
             F.expr("round(d_num * 1e0 / (n1 * 1e0 * n2), 4)").alias("d"),
         )
     )
+    out._stage_caches = []
+    return out
 
 
 def mann_whitney_by_group(
