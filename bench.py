@@ -86,6 +86,24 @@ HEADLINE2 = [
     "quota_sampled_documents",
 ]
 
+#: Third frozen group (round 11): crawl-ingest (PDF), native audio
+#: (FLAC), tokenizer training/serving, maximal-span dedup, per-slice
+#: drift, corpus mixing/routing, politeness. Reported separately
+#: (headline3/value3) so the earlier trend lines stay comparable;
+#: frozen from round 11 on.
+HEADLINE3 = [
+    "pdf_ingest_e2e_docs",
+    "multimodal_decode_flac",
+    "unigram_lm_vocab",
+    "unigram_fertility_by_source",
+    "duplicate_span_ranges",
+    "drift_panel_by_source",
+    "ccnet_perplexity_buckets",
+    "doremi_domain_weights",
+    "psi_drift_daily_alarm",
+    "robots_allow_gate",
+]
+
 
 #: Per-query repeat count; the headline time is the best of N runs, which
 #: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
@@ -208,6 +226,7 @@ def main() -> None:
     load_before = tuple(round(x, 2) for x in os.getloadavg())
     timings, medians = run_group(HEADLINE)
     timings2, medians2 = run_group(HEADLINE2)
+    timings3, medians3 = run_group(HEADLINE3)
     load_after = tuple(round(x, 2) for x in os.getloadavg())
 
     total = round(sum(timings.values()), 3)
@@ -220,6 +239,8 @@ def main() -> None:
                 "queries_median": medians,
                 "queries2": timings2,
                 "queries2_median": medians2,
+                "queries3": timings3,
+                "queries3_median": medians3,
             }
         )
     )
@@ -235,6 +256,10 @@ def main() -> None:
                 # 27-query trend line comparable
                 "value2": round(sum(timings2.values()), 3),
                 "value2_median": round(sum(medians2.values()), 3),
+                # third frozen group (round 11+): crawl/audio/tokenizer/
+                # drift/mixing families
+                "value3": round(sum(timings3.values()), 3),
+                "value3_median": round(sum(medians3.values()), 3),
                 "unit": "sec",
                 "flagship": "categorized_summary_fast",
                 "sf": sf,
