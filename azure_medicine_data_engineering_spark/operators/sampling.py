@@ -417,7 +417,13 @@ def doremi_domain_weights(
             "n_docs",
             "n_tokens",
             "(-slpu) div n_tokens AS nll_micro",
-            "greatest((-slpu) div n_tokens - base_micro, 0) AS excess_micro",
+            # clamp at 5 nats (5e6 micro): a pathological all-OOV domain would
+            # otherwise push exp(excess)·tokens·1e2 past BIGINT at ~1e12
+            # tokens (DoReMi itself bounds per-token excess); 5 nats is far
+            # beyond any realistic domain gap, so the clamp never binds on
+            # real mixtures
+            "least(greatest((-slpu) div n_tokens - base_micro, 0), 5000000)"
+            " AS excess_micro",
         )
         .selectExpr("*", f"{DOREMI_ALPHA_EXPR} AS alpha")
     )

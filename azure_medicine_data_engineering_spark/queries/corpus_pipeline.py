@@ -1793,7 +1793,8 @@ from azure_medicine_data_engineering_spark.operators.sampling import (  # noqa: 
     staged AS MATERIALIZED (
       SELECT g, n_docs, n_tokens,
              CAST((-slpu) // n_tokens AS BIGINT) AS nll_micro,
-             CAST(GREATEST((-slpu) // n_tokens - base_micro, 0) AS BIGINT)
+             CAST(LEAST(GREATEST((-slpu) // n_tokens - base_micro, 0),
+                        5000000) AS BIGINT)
                AS excess_micro
       FROM per_dom JOIN docs USING (g), base
     ),

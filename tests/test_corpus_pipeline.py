@@ -577,7 +577,7 @@ def test_doremi_domain_weights_naive(spark):
     ntok = {g: sum(1 for s, w in toks if s == g) for g in doms}
     base = (-sum(slpu.values())) // sum(ntok.values())
     nll = {g: (-slpu[g]) // ntok[g] for g in doms}
-    exc = {g: max(nll[g] - base, 0) for g in doms}
+    exc = {g: min(max(nll[g] - base, 0), 5_000_000) for g in doms}
     alpha = {
         g: math.floor(ntok[g] * math.exp(exc[g] / 1e6) * 1e2 + 0.5)
         for g in doms
