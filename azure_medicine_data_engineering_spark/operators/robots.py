@@ -195,6 +195,8 @@ def robots_gate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
                 rows, columns=["doc_id", "host", "path", "allowed", "rule_len"]
             )
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
     ).mapInPandas(run, ROBOTS_GATE_SCHEMA)
