@@ -4809,131 +4809,31 @@ def drift_panel_by_group(
 
     Scale plan: ONE fact collapse into the shared
     :func:`_group_vs_rest_grid` (|groups| × |distinct values| rows,
-    persisted, read by every member), then every statistic is a keyed
-    ``groupBy(g)`` aggregation — group-keyed windows only, identical
-    integer state to the scalar kernels (pooled rank quantities are the
-    same for every slice, only the group counts differ). Members:
-    mann_whitney_z, brunner_munzel_w (location), ansari_bradley_z,
-    mood_scale_z (scale), lepage_l (location+scale), ks_d / cvm_t /
-    kuiper_v / anderson_darling_a2 (shape), max_decile_shift
-    (localization). Returns ``(g, test, family, stat, n1, n2)``."""
+    persisted), then THREE keyed passes total (round 11): one FUSED
+    ``groupBy(g)`` aggregation computes the integer state of seven
+    members at once (MW, Ansari, Mood, KS, CvM, Kuiper, AD-right — they
+    all aggregate the same grid rows; the |groups|-row result is
+    eagerly localCheckpoint-ed and fans out to the member finalizations
+    for free), Brunner-Munzel adds its second grid pass (per-value
+    deviations need the per-g rank sums), and the Doksum decile shift
+    adds its k-exploded pass. Identical integer state to the scalar
+    kernels. Members: mann_whitney_z, brunner_munzel_w (location),
+    ansari_bradley_z, mood_scale_z (scale), lepage_l (location+scale),
+    ks_d / cvm_t / kuiper_v / anderson_darling_a2 (shape),
+    max_decile_shift (localization). Returns
+    ``(g, test, family, stat, n1, n2)``."""
     dec = "decimal(38,0)"
     snap = snap_half_up_dec
     grid = _group_vs_rest_grid(df, value_col, group_col)
 
-    # --- location: Mann-Whitney (pooled midranks, tie-corrected) -------
-    mw = (
-        grid.groupBy("g")
-        .agg(
-            F.sum(
-                F.col("c1") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
-            ).cast("long").alias("r1x2"),
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-            F.sum(
-                F.col("c_all").cast(dec) * F.col("c_all") * F.col("c_all")
-                - F.col("c_all")
-            ).alias("tiesum_d"),
-        )
-        .select(
-            "g", "n1", "n2",
-            F.col("tiesum_d").cast("double").alias("tiesum"),
-            "r1x2",
-        )
-        .selectExpr("g", "n1", "n2", f"{MW_Z_EXPR} AS zw")
-    )
-
-    # --- scale: Ansari-Bradley (closed-form tie-block score prefixes) --
     p, c, nn_c = F.col("cnt_less"), F.col("c_all"), F.col("nn")
     b_s = (_ab_prefix(p + c, nn_c) - _ab_prefix(p, nn_c)).cast("long")
-    ab = (
-        grid.groupBy("g")
-        .agg(
-            F.max("nn").cast("long").alias("nn"),
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-            F.sum(b_s).cast("long").alias("sa_i"),
-            F.sum(snap(F.col("c1") * 1.0 * b_s / c * 1e4)).alias("w_d"),
-            F.sum(snap(b_s * 1.0 * b_s / c * 1e4)).alias("sa2_d"),
-        )
-        .select(
-            "g", "n1", "n2", "nn",
-            (F.col("w_d").cast("double") / 1e4).alias("w"),
-            F.col("sa_i").cast("double").alias("sa"),
-            (F.col("sa2_d").cast("double") / 1e4).alias("sa2"),
-        )
-        .selectExpr("g", "n1", "n2", f"{AB_Z_EXPR} AS za")
-    )
-
-    # --- scale: Mood (quadrupled squared scores) ------------------------
     b4 = (_mood_prefix(p + c, nn_c) - _mood_prefix(p, nn_c)).cast("double")
-    mood = (
-        grid.groupBy("g")
-        .agg(
-            F.max("nn").cast("long").alias("nn"),
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-            F.sum(
-                _mood_prefix(p + c, nn_c) - _mood_prefix(p, nn_c)
-            ).alias("sa_d"),
-            F.sum(snap(F.col("c1") * 1.0 * b4 / c * 1e4)).alias("w_d"),
-            F.sum(snap(b4 * b4 / c)).alias("sa2_d"),
-        )
-        .select(
-            "g", "n1", "n2", "nn",
-            (F.col("w_d").cast("double") / 1e4).alias("w"),
-            F.col("sa_d").cast("double").alias("sa"),
-            F.col("sa2_d").cast("double").alias("sa2"),
-        )
-        .selectExpr("g", "n1", "n2", f"{AB_Z_EXPR} AS z")
-    )
-
-    # --- shape: KS / Kuiper / CvM / AD-right off the same d integers ---
     d = (
         F.col("cum1").cast(dec) * F.col("n2")
         - F.col("cum2").cast(dec) * F.col("n1")
     )
-    ks = (
-        grid.groupBy("g")
-        .agg(
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-            F.max(F.abs(d)).cast("long").alias("d_num"),
-        )
-        .selectExpr(
-            "g", "n1", "n2",
-            "round(d_num * 1e0 / (n1 * 1e0 * n2), 4) AS d",
-        )
-    )
-    kp = (
-        grid.groupBy("g")
-        .agg(
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-            F.greatest(F.max(d), F.lit(0).cast(dec)).alias("dplus_d"),
-            F.greatest(F.max(-d), F.lit(0).cast(dec)).alias("dminus_d"),
-        )
-        .select(
-            "g", "n1", "n2",
-            (F.col("dplus_d") + F.col("dminus_d")).cast("long").alias("v_num"),
-        )
-        .selectExpr(
-            "g", "n1", "n2",
-            "round(v_num * 1e0 / (n1 * 1e0 * n2), 4) AS v",
-        )
-    )
-    cvm = (
-        grid.groupBy("g")
-        .agg(
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-            F.sum(F.col("c_all").cast(dec) * d * d).alias("u_d_raw"),
-        )
-        .select(
-            "g", "n1", "n2", F.col("u_d_raw").cast("double").alias("u_d")
-        )
-        .selectExpr("g", "n1", "n2", f"{CVM_T_EXPR} AS t")
-    )
+    m2 = (2 * F.col("cumpool") - F.col("c_all") + 1).cast("long")
     bb = F.col("cumpool")
     ad_term = F.when(
         bb < nn_c,
@@ -4945,36 +4845,89 @@ def drift_panel_by_group(
             * 1e6
         ),
     ).otherwise(F.lit(0).cast(dec))
-    ad = (
+
+    # --- ONE fused per-g aggregation for seven members + BM stage A ----
+    fused = (
         grid.groupBy("g")
         .agg(
             F.max("n1").cast("long").alias("n1"),
             F.max("n2").cast("long").alias("n2"),
             F.max("nn").cast("long").alias("nn"),
-            F.sum(ad_term).alias("s_d"),
+            # Mann-Whitney
+            F.sum(
+                F.col("c1") * (2 * F.col("cnt_less") + F.col("c_all") + 1)
+            ).cast("long").alias("r1x2"),
+            F.sum(
+                F.col("c_all").cast(dec) * F.col("c_all") * F.col("c_all")
+                - F.col("c_all")
+            ).alias("tiesum_d"),
+            # Ansari-Bradley
+            F.sum(b_s).cast("long").alias("sa_i"),
+            F.sum(snap(F.col("c1") * 1.0 * b_s / c * 1e4)).alias("ab_w_d"),
+            F.sum(snap(b_s * 1.0 * b_s / c * 1e4)).alias("ab_sa2_d"),
+            # Mood
+            F.sum(
+                _mood_prefix(p + c, nn_c) - _mood_prefix(p, nn_c)
+            ).alias("mood_sa_d"),
+            F.sum(snap(F.col("c1") * 1.0 * b4 / c * 1e4)).alias("mood_w_d"),
+            F.sum(snap(b4 * b4 / c)).alias("mood_sa2_d"),
+            # KS / Kuiper
+            F.max(F.abs(d)).cast("long").alias("d_num"),
+            F.greatest(F.max(d), F.lit(0).cast(dec)).alias("dplus_d"),
+            F.greatest(F.max(-d), F.lit(0).cast(dec)).alias("dminus_d"),
+            # CvM
+            F.sum(F.col("c_all").cast(dec) * d * d).alias("u_d_raw"),
+            # AD-right
+            F.sum(ad_term).alias("ad_s_d"),
+            # Brunner-Munzel stage A (per-g doubled rank sums)
+            F.sum(F.col("c1").cast(dec) * m2).alias("r1s2_d"),
+            F.sum(F.col("c2").cast(dec) * m2).alias("r2s2_d"),
         )
-        .select(
-            "g", "n1", "n2", "nn", F.col("s_d").cast("double").alias("s_u")
-        )
-        .selectExpr("g", "n1", "n2", f"{AD_RIGHT_A2_EXPR} AS a2")
+        .localCheckpoint(eager=True)  # |groups|-row; fans out to 8 members
     )
 
-    # --- location: Brunner-Munzel (two keyed passes over the grid) -----
-    m2 = (2 * F.col("cumpool") - F.col("c_all") + 1).cast("long")
-    w1_2 = (2 * F.col("cum1") - F.col("c1") + 1).cast("long")
-    w2_2 = (2 * F.col("cum2") - F.col("c2") + 1).cast("long")
-    bmsums = grid.groupBy("g").agg(
-        F.max("n1").cast("long").alias("n1"),
-        F.max("n2").cast("long").alias("n2"),
-        F.sum(F.col("c1").cast(dec) * m2).alias("r1s2_d"),
-        F.sum(F.col("c2").cast(dec) * m2).alias("r2s2_d"),
+    mw = fused.select(
+        "g", "n1", "n2", "r1x2",
+        F.col("tiesum_d").cast("double").alias("tiesum"),
+    ).selectExpr("g", "n1", "n2", f"{MW_Z_EXPR} AS zw")
+    ab = fused.select(
+        "g", "n1", "n2", "nn",
+        (F.col("ab_w_d").cast("double") / 1e4).alias("w"),
+        F.col("sa_i").cast("double").alias("sa"),
+        (F.col("ab_sa2_d").cast("double") / 1e4).alias("sa2"),
+    ).selectExpr("g", "n1", "n2", f"{AB_Z_EXPR} AS za")
+    mood = fused.select(
+        "g", "n1", "n2", "nn",
+        (F.col("mood_w_d").cast("double") / 1e4).alias("w"),
+        F.col("mood_sa_d").cast("double").alias("sa"),
+        F.col("mood_sa2_d").cast("double").alias("sa2"),
+    ).selectExpr("g", "n1", "n2", f"{AB_Z_EXPR} AS z")
+    ks = fused.selectExpr(
+        "g", "n1", "n2",
+        "round(d_num * 1e0 / (n1 * 1e0 * n2), 4) AS d",
     )
+    kp = fused.select(
+        "g", "n1", "n2",
+        (F.col("dplus_d") + F.col("dminus_d")).cast("long").alias("v_num"),
+    ).selectExpr(
+        "g", "n1", "n2",
+        "round(v_num * 1e0 / (n1 * 1e0 * n2), 4) AS v",
+    )
+    cvm = fused.select(
+        "g", "n1", "n2", F.col("u_d_raw").cast("double").alias("u_d")
+    ).selectExpr("g", "n1", "n2", f"{CVM_T_EXPR} AS t")
+    ad = fused.select(
+        "g", "n1", "n2", "nn", F.col("ad_s_d").cast("double").alias("s_u")
+    ).selectExpr("g", "n1", "n2", f"{AD_RIGHT_A2_EXPR} AS a2")
+
+    # --- location: Brunner-Munzel stage B (per-value deviations) -------
     bj = grid.alias("c").join(
-        F.broadcast(bmsums).alias("t"), F.col("c.g") == F.col("t.g")
+        F.broadcast(
+            fused.select("g", "n1", "n2", "r1s2_d", "r2s2_d")
+        ).alias("t"),
+        F.col("c.g") == F.col("t.g"),
     )
-    m2j = (
-        2 * F.col("c.cumpool") - F.col("c.c_all") + 1
-    ).cast("long")
+    m2j = (2 * F.col("c.cumpool") - F.col("c.c_all") + 1).cast("long")
     w1j = (2 * F.col("c.cum1") - F.col("c.c1") + 1).cast("long")
     w2j = (2 * F.col("c.cum2") - F.col("c.c2") + 1).cast("long")
     inner1 = (
