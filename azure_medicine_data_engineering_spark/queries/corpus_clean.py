@@ -957,3 +957,136 @@ def q_drift_panel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     state and shared finalization expressions, per slice."""
     docs = _t(spark, sf_dir, "documents")
     return drift_panel_by_group(docs, "n_chars", "source")
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card (round 11): the per-source datasheet a team publishes.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.queries.registry import (  # noqa: E402
+    ORACLES as _CARD_O,
+)
+
+_CARD_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+@register(
+    "corpus_data_card",
+    f"""
+    WITH base AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(len({_CARD_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    fp AS (SELECT doc_id, source AS g, md5(text) AS h FROM documents),
+    dup_h AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (
+      SELECT f.g, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM fp f JOIN dup_h USING (h) GROUP BY f.g
+    ),
+    tokv AS (
+      SELECT source AS g, unnest({_CARD_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokv GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lpu AS (
+      SELECT tok, CAST(ROUND(ln(cnt / (total * 1e0)) * 1e6) AS BIGINT) AS lpu
+      FROM vocab, tot
+    ),
+    nll AS (
+      SELECT t.g, CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nll_micro
+      FROM tokv t JOIN lpu l USING (tok) GROUP BY t.g
+    )
+    SELECT b.g,
+           b.n_docs,
+           b.n_tokens,
+           (b.sum_chars * 1000000 // b.n_docs) / 1e6 AS mean_chars,
+           (COALESCE(d.n_dup, 0) * 1000000 // b.n_docs) / 1e6 AS exact_dup_frac,
+           (gp.n_pass * 1000000 // gp.n_docs) / 1e6 AS gopher_pass_frac,
+           k.d AS ks_vs_rest_d,
+           nll.nll_micro
+    FROM base b
+    LEFT JOIN dup d USING (g)
+    JOIN (SELECT source AS g, n_docs, n_pass
+          FROM ({_CARD_O["gopher_quality_by_source"]})) gp USING (g)
+    JOIN (SELECT g, d FROM ({_CARD_O["ks_drift_by_source"]})) k USING (g)
+    JOIN nll USING (g)
+    """,
+)
+def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source CORPUS DATA CARD (round 11) — the datasheet a team
+    publishes with a dataset, one row per source: volume (docs, tokens,
+    mean chars), exact-duplicate exposure (corpus-wide md5 fingerprints
+    appearing ≥2×), Gopher all-rules pass fraction, KS drift of the
+    length distribution vs the rest, and the mean unigram NLL on the
+    1e-6 grid. Every cell reuses an already-oracled component (the
+    oracle EMBEDS the registered gopher and KS oracles as subquery
+    scopes, so the card can never drift from its parts); fractions are
+    exact micro-grid integer divisions. One scan per component family,
+    all aggregations source-keyed."""
+    from pyspark.sql import functions as FF
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ks_vs_rest_by_group,
+    )
+    from azure_medicine_data_engineering_spark.operators.text_clean import (
+        gopher_quality_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks_col = FF.filter(
+        FF.split(FF.col("text"), r"\s+"), lambda x: x != ""
+    )
+    base = docs.groupBy(FF.col("source").alias("g")).agg(
+        FF.count(FF.lit(1)).cast("long").alias("n_docs"),
+        FF.sum("n_chars").cast("long").alias("sum_chars"),
+        FF.sum(FF.size(toks_col)).cast("long").alias("n_tokens"),
+    )
+    fp = docs.select(
+        FF.col("source").alias("g"), FF.md5("text").alias("h")
+    )
+    dup_h = fp.groupBy("h").agg(
+        FF.count(FF.lit(1)).alias("cnt")
+    ).where("cnt >= 2").select("h")
+    dup = fp.join(dup_h, "h").groupBy("g").agg(
+        FF.count(FF.lit(1)).cast("long").alias("n_dup")
+    )
+    gp = gopher_quality_report(docs).select(
+        FF.col("source").alias("g"),
+        FF.col("n_docs").alias("gp_docs"),
+        FF.col("n_pass"),
+    )
+    ks = ks_vs_rest_by_group(docs, "n_chars", "source")
+    tokv = docs.select(
+        FF.col("source").alias("g"), FF.explode(toks_col).alias("tok")
+    )
+    vocab = tokv.groupBy("tok").agg(FF.count(FF.lit(1)).cast("long").alias("cnt"))
+    tot = vocab.agg(FF.sum("cnt").cast("long").alias("total"))
+    lpu = vocab.crossJoin(FF.broadcast(tot)).selectExpr(
+        "tok", "CAST(ROUND(ln(cnt / (total * 1e0)) * 1e6) AS BIGINT) AS lpu"
+    )
+    nll = (
+        tokv.join(lpu, "tok")
+        .groupBy("g")
+        .agg(FF.sum("lpu").alias("slpu"), FF.count(FF.lit(1)).alias("ntok"))
+        .selectExpr("g", "(-slpu) div ntok AS nll_micro")
+    )
+    out = (
+        base.join(dup, "g", "left")
+        .join(gp, "g")
+        .join(ks.select("g", FF.col("d").alias("ks_vs_rest_d")), "g")
+        .join(nll, "g")
+        .selectExpr(
+            "g",
+            "n_docs",
+            "n_tokens",
+            "(sum_chars * 1000000 div n_docs) / 1e6 AS mean_chars",
+            "(coalesce(n_dup, 0) * 1000000 div n_docs) / 1e6 AS exact_dup_frac",
+            "(n_pass * 1000000 div gp_docs) / 1e6 AS gopher_pass_frac",
+            "ks_vs_rest_d",
+            "nll_micro",
+        )
+    )
+    out._stage_caches = list(getattr(ks, "_stage_caches", []))
+    return out
