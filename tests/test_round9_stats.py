@@ -735,3 +735,66 @@ def test_ks_vs_rest_by_group_hand_pinned(spark):
     df2 = spark.createDataFrame(same, "g string, v long")
     for r in ks_vs_rest_by_group(df2, "v", "g").collect():
         assert r["d_num"] == 0 and r["d"] == 0.0
+
+
+def test_drift_panel_by_group_matches_per_slice_kernels(spark):
+    """Round 11: the FUSED per-slice panel (one groupBy computing seven
+    members' state at once over the shared group-vs-rest grid) must
+    equal the standalone scalar kernels run per slice on a relabeled
+    copy (slice g -> group1, everything else -> 'rest') — the fusion
+    and the grid's pooled-rank derivation are the only new code paths,
+    and a shared-formula bug cannot fake this green."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        ad_two_sample_right,
+        ansari_bradley_test,
+        brunner_munzel_test,
+        cvm_two_sample,
+        drift_panel_by_group,
+        ks_two_sample,
+        kuiper_two_sample,
+        mann_whitney_u,
+        mood_scale_test,
+        quantile_shift_two_sample,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = [("a", int(v)) for v in rng.randint(0, 40, 100)]
+    rows += [("b", int(v)) for v in rng.randint(5, 60, 80)]
+    rows += [("c", int(v)) for v in rng.randint(10, 30, 60)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    panel = {
+        (r["g"], r["test"]): (r["stat"], r["n1"], r["n2"])
+        for r in drift_panel_by_group(df, "x", "g").collect()
+    }
+    for g in ("a", "b", "c"):
+        two = df.select(
+            "x", F.when(F.col("g") == g, g).otherwise("rest").alias("gg")
+        )
+        mw = mann_whitney_u(two, "x", "gg", g).collect()[0]
+        ab = ansari_bradley_test(two, "x", "gg", g).collect()[0]
+        mood = mood_scale_test(two, "x", "gg", g).collect()[0]
+        ks = ks_two_sample(two, "x", "gg", g).collect()[0]
+        cvm = cvm_two_sample(two, "x", "gg", g).collect()[0]
+        kp = kuiper_two_sample(two, "x", "gg", g).collect()[0]
+        ad = ad_two_sample_right(two, "x", "gg", g).collect()[0]
+        bm = brunner_munzel_test(two, "x", "gg", g).collect()[0]
+        qs = quantile_shift_two_sample(two, "x", "gg", g).collect()
+        assert panel[(g, "mann_whitney_z")][0] == mw["z"], g
+        assert panel[(g, "ansari_bradley_z")][0] == ab["z"], g
+        assert panel[(g, "mood_scale_z")][0] == mood["z"], g
+        assert panel[(g, "lepage_l")][0] == round(
+            mw["z"] ** 2 + ab["z"] ** 2, 4
+        ), g
+        assert panel[(g, "ks_d")][0] == ks["d"], g
+        assert panel[(g, "cvm_t")][0] == cvm["t"], g
+        assert panel[(g, "kuiper_v")][0] == kp["v"], g
+        assert panel[(g, "anderson_darling_a2")][0] == ad["a2"], g
+        assert panel[(g, "brunner_munzel_w")][0] == bm["w"], g
+        assert panel[(g, "max_decile_shift")][0] == float(
+            max(abs(r["shift"]) for r in qs)
+        ), g
+        assert panel[(g, "ks_d")][1:] == (mw["n1"], mw["n2"])
