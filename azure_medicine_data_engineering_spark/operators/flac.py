@@ -607,3 +607,154 @@ def flac_decode_samples(payload: bytes) -> tuple[int, list[int]]:
     with the same integer metrics."""
     sr, _ch, _bps, chans = flac_decode(payload)
     return sr, chans[0]
+
+
+def flac_encode_stereo_ms(
+    sample_rate: int,
+    left: list[int],
+    right: list[int],
+    block_size: int = 64,
+) -> bytes:
+    """Encode stereo 16-bit PCM as MID/SIDE-decorrelated FLAC (channel
+    assignment 10): per block, mid = (l+r) >> 1 and side = l − r encode
+    as VERBATIM subframes (mid at 16 bits, side at 17 per spec); the
+    decoder's decorrelation must reconstruct both channels exactly.
+    Fixture twin of :func:`flac_encode_pcm16` for the stereo paths."""
+    if sample_rate != 8000:
+        raise FlacError("fixture writer emits the 8 kHz rate code only")
+    if len(left) != len(right):
+        raise FlacError("channel length mismatch")
+    n = len(left)
+    si_bits = (
+        (sample_rate << 44) | (1 << 41) | ((16 - 1) << 36) | n
+    )
+    streaminfo = (
+        struct.pack(">HH", block_size, block_size)
+        + b"\x00\x00\x00" * 2
+        + si_bits.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    frame_no = 0
+    for start in range(0, n, block_size):
+        lb = left[start : start + block_size]
+        rb = right[start : start + block_size]
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 2)
+        full = len(lb) == block_size
+        w.write(0b0111 if full else 0b0110, 4)
+        w.write(0b0100, 4)  # 8 kHz
+        w.write(10, 4)  # mid/side
+        w.write(0b100, 3)  # 16 bps
+        w.write(0, 1)
+        _write_utf8_number(w, frame_no)
+        w.write(len(lb) - 1, 16 if full else 8)
+        w.align()
+        header = w.bytes()
+        w2 = _BitWriter()
+        w2.write(_crc8(header), 8)
+        # mid subframe: VERBATIM, 16 bits
+        w2.write(0, 1)
+        w2.write(1, 6)
+        w2.write(0, 1)
+        for l_, r_ in zip(lb, rb):
+            w2.write(((l_ + r_) >> 1) & 0xFFFF, 16)
+        # side subframe: VERBATIM, 17 bits
+        w2.write(0, 1)
+        w2.write(1, 6)
+        w2.write(0, 1)
+        for l_, r_ in zip(lb, rb):
+            w2.write((l_ - r_) & 0x1FFFF, 17)
+        w2.align()
+        frame_wo_crc = header + w2.bytes()
+        out += frame_wo_crc + struct.pack(">H", _crc16(frame_wo_crc))
+        frame_no += 1
+    return bytes(out)
+
+
+def attach_flac_stereo_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Deterministic STEREO mid/side FLAC fixture: left channel = the WAV
+    fixture PCM, right = the digest-tiled sequence phase-shifted by 5
+    (so side = l − r is genuinely nonzero and the decorrelation path is
+    load-bearing). Arrow mapInPandas, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                did = int(i)
+                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                n = 32 + h[0] % 97
+                left = [(h[k % 16] - 128) * 231 for k in range(n)]
+                right = [(h[(k + 5) % 16] - 128) * 197 for k in range(n)]
+                ids.append(did)
+                payloads.append(flac_encode_stereo_ms(8000, left, right))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "audio", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+
+
+FLAC_STEREO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("mean_abs_left", DoubleType()),
+        StructField("mean_abs_right", DoubleType()),
+    ]
+)
+
+
+def decode_flac_stereo(df: DataFrame) -> DataFrame:
+    """Decode stereo FLAC payloads → per-channel integer stats (the WAV
+    convention: sequential exact integer sums, one IEEE division)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _sr, ch, _bps, chans = flac_decode(bytes(p))
+                sums = []
+                for c in chans:
+                    tot = 0
+                    for s in c:
+                        tot += s if s >= 0 else -s
+                    sums.append(tot)
+                n = len(chans[0])
+                rows.append(
+                    (
+                        mid,
+                        ch,
+                        n,
+                        sums[0] / n if n else 0.0,
+                        sums[1] / n if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channels", "n_samples",
+                    "mean_abs_left", "mean_abs_right",
+                ],
+            )
+
+    return df.mapInPandas(run, FLAC_STEREO_SCHEMA)

@@ -2381,3 +2381,41 @@ def q_robots_allow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return robots_gate(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_decode_flac_stereo",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             32 + CAST(('0x' || substr(hex, 1, 2)) AS INT) % 97 AS n
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 AS INT) AS channels,
+           CAST(n AS INT) AS n_samples,
+           CAST(list_sum(list_transform(range(n),
+                i -> abs((CAST(('0x' || substr(hex, (i % 16) * 2 + 1, 2)) AS INT) - 128) * 231)))
+                AS DOUBLE) / n AS mean_abs_left,
+           CAST(list_sum(list_transform(range(n),
+                i -> abs((CAST(('0x' || substr(hex, ((i + 5) % 16) * 2 + 1, 2)) AS INT) - 128) * 197)))
+                AS DOUBLE) / n AS mean_abs_right
+    FROM d
+    """,
+)
+def q_multimodal_decode_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC path (round 11): mid/side-decorrelated streams
+    (channel assignment 10 — mid at 16 bits, side at 17) with a
+    phase-shifted right channel so the side signal is load-bearing; the
+    decoder's decorrelation must reconstruct BOTH channels exactly for
+    the per-channel integer means to hash (`operators/flac.py`). Takes
+    the stereo paths from pin-tested to gate-verified. Map-only."""
+    from azure_medicine_data_engineering_spark.operators.flac import (
+        attach_flac_stereo_payload,
+        decode_flac_stereo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_flac_stereo_payload(docs, "doc_id", "text")
+    return decode_flac_stereo(media)

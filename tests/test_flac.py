@@ -142,3 +142,16 @@ def test_error_surface():
     # truncated payload
     with pytest.raises(FlacError):
         flac_decode(good[: len(good) - 6])
+
+
+def test_stereo_ms_writer_roundtrip_and_negative_sides():
+    from azure_medicine_data_engineering_spark.operators.flac import (
+        flac_encode_stereo_ms,
+    )
+
+    left = [30000, -30000, 7, 0, -1, 1] * 30
+    right = [-30000, 30000, -7, 1, 0, -1] * 30  # extreme sides (±60000)
+    data = flac_encode_stereo_ms(8000, left, right, block_size=64)
+    _sr, ch, _bps, chans = flac_decode(data)
+    assert ch == 2
+    assert chans[0] == left and chans[1] == right
