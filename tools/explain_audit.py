@@ -337,7 +337,10 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # pooled cumulative's 1024-row bucket offset window (the per-group
     # cumulatives and every member statistic ride g-KEYED windows/aggs,
     # no license needed — rankstats._group_vs_rest_grid docstring)
-    "drift_panel_by_source": (1, "1024-row pooled-CDF bucket offset window"),
+    "drift_panel_by_source": (3, "1024-row pooled-CDF bucket offset window, printed per consumer pass (fused agg + BM + decile explode; cache/ReuseExchange-deduped at runtime)"),
+    # the data card embeds ks_vs_rest_by_group — same pooled 1024-row
+    # offset window class (round 11)
+    "corpus_data_card": (2, "1024-row pooled-CDF bucket offset window (embedded KS-vs-rest component)"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
