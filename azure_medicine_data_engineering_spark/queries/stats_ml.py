@@ -2419,3 +2419,51 @@ def q_multimodal_decode_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFra
     docs = _t(spark, sf_dir, "documents")
     media = attach_flac_stereo_payload(docs, "doc_id", "text")
     return decode_flac_stereo(media)
+
+
+@register(
+    "sitemap_ingest_urls",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    d AS (
+      SELECT doc_id, hex,
+             1 + CAST(('0x' || substr(hex, 5, 1)) AS INT) % 4 AS n
+      FROM m
+    ),
+    e AS (
+      SELECT doc_id, hex, CAST(k AS INT) AS pos
+      FROM d, range(0, 4) t(k) WHERE k < n
+    )
+    SELECT doc_id AS media_id,
+           pos,
+           'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/s'
+             || CAST(CAST(('0x' || substr(hex, pos + 1, 1)) AS INT) AS VARCHAR)
+             || '/page' || substr(hex, pos + 6, 1) AS loc,
+           '2024-01-' || CASE WHEN 1 + CAST(('0x' || substr(hex, pos + 2, 1)) AS INT) < 10
+                              THEN '0' ELSE '' END
+             || CAST(1 + CAST(('0x' || substr(hex, pos + 2, 1)) AS INT) AS VARCHAR)
+             AS lastmod,
+           CAST(CAST(('0x' || substr(hex, pos + 3, 1)) AS INT) % 10 AS INT)
+             AS priority_deci,
+           FALSE AS is_index
+    FROM e
+    """,
+)
+def q_sitemap_ingest_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL-discovery ingest (round 11, sources/sitemap.py) — the
+    crawl-frontier stage upstream of the robots gate: spec-correct
+    sitemaps.org urlsets (namespace-qualified, even doc ids gzipped as
+    .xml.gz) manufactured deterministically from md5(text), then
+    exploded to per-URL frontier rows by the namespace-aware stdlib
+    parser inside one Arrow fan-out pass. The oracle recomputes every
+    loc/lastmod/priority from the digest — the gzip sniff, namespace
+    handling, element order, and deci-grid priority parse must all be
+    exact. Map-only."""
+    from azure_medicine_data_engineering_spark.sources.sitemap import (
+        attach_sitemap_payload,
+        sitemap_ingest_urls,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_sitemap_payload(docs, "doc_id", "text")
+    return sitemap_ingest_urls(media)
