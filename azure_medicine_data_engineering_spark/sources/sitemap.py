@@ -156,8 +156,10 @@ def attach_sitemap_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
             StructField("payload", BinaryType()),
         ]
     )
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
     ).mapInPandas(run, out_schema)
 
 
