@@ -368,7 +368,9 @@ def _write_utf8_number(w: _BitWriter, val: int) -> None:
 
 def _write_residual(w: _BitWriter, res: list[int]) -> None:
     """Single-partition Rice (method 0) with a simple parameter pick;
-    escapes to raw 17-bit verbatim when residuals are too wide."""
+    escapes to raw ``n``-bit verbatim when residuals are too wide, with
+    ``n`` sized from the actual residual range (fixed-2 / LPC residuals
+    of valid 16-bit PCM reach ~±118k, i.e. past 17 bits)."""
     w.write(0, 2)  # method 0: 4-bit params
     w.write(0, 4)  # partition order 0
     zz = [(e << 1) if e >= 0 else ((-e) << 1) - 1 for e in res]
@@ -378,10 +380,16 @@ def _write_residual(w: _BitWriter, res: list[int]) -> None:
         while (1 << (best_k + 1)) < mean and best_k < 13:
             best_k += 1
         if max(zz) >> best_k > 60:  # pathological quotient: escape
+            # two's-complement width that holds every residual exactly:
+            # bit_length of the magnitude plus a sign bit (min 17 keeps
+            # legacy fixtures byte-identical).
+            raw = max(17, max(e.bit_length() + 1 for e in res))
+            if raw > 31:
+                raise FlacError("escape residual exceeds 31-bit raw width")
             w.write(0xF, 4)
-            w.write(17, 5)
+            w.write(raw, 5)
             for e in res:
-                w.write(e & ((1 << 17) - 1), 17)
+                w.write(e & ((1 << raw) - 1), raw)
             return
     w.write(best_k, 4)
     for u in zz:

@@ -448,8 +448,19 @@ _STR_ESC = {0x5C: b"\\\\", 0x28: b"\\(", 0x29: b"\\)"}
 
 
 def _pdf_string(s: str) -> bytes:
+    # Fixture contract: the writer emits WinAnsi (latin-1-coded) literal
+    # strings, so text is limited to U+0000–U+00FF. Surface anything wider
+    # as the documented PdfError, not a raw UnicodeEncodeError escaping an
+    # Arrow kernel as an executor task failure (ADVICE r11).
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError as exc:
+        raise PdfError(
+            "fixture writer encodes latin-1 only; "
+            f"text contains U+{ord(s[exc.start]):04X}"
+        ) from exc
     out = bytearray(b"(")
-    for b in s.encode("latin-1"):
+    for b in raw:
         out += _STR_ESC.get(b, bytes([b]))
     out += b")"
     return bytes(out)

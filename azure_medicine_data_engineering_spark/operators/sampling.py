@@ -398,7 +398,11 @@ def doremi_domain_weights(
         toks.join(lpu, "tok")
         .groupBy("g")
         .agg(
-            F.sum("lpu").cast("long").alias("slpu"),
+            # DECIMAL(38,0) accumulator: per-domain SUM(lpu) is ~1e7-magnitude
+            # per token, so a BIGINT sum wraps silently (ANSI off) near 1e12
+            # tokens/domain — exactly the 100-TB scale; DuckDB's HUGEINT is
+            # already exact on the oracle side (micro-grid sum convention)
+            F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu"),
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
@@ -406,7 +410,7 @@ def doremi_domain_weights(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     base = per_dom.agg(
-        F.sum("slpu").cast("long").alias("slpu_all"),
+        F.sum("slpu").alias("slpu_all"),  # stays DECIMAL(38,0)
         F.sum("n_tokens").cast("long").alias("n_all"),
     ).selectExpr("(-slpu_all) div n_all AS base_micro")
     staged = (

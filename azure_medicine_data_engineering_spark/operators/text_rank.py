@@ -1027,7 +1027,8 @@ def ccnet_perplexity_buckets(
         .groupBy(id_col, "g")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lpu").alias("slpu"),
+            # DECIMAL(38,0) accumulator per micro-grid sum convention
+            F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu"),
         )
         .selectExpr(id_col, "g", "(-slpu) div n_tokens AS nll")
         .persist()

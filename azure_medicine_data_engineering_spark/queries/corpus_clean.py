@@ -1069,7 +1069,12 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = (
         tokv.join(lpu, "tok")
         .groupBy("g")
-        .agg(FF.sum("lpu").alias("slpu"), FF.count(FF.lit(1)).alias("ntok"))
+        .agg(
+            # DECIMAL(38,0): per-source token sums wrap BIGINT at ~1e12
+            # tokens/source (micro-grid sum convention; HUGEINT in oracle)
+            FF.sum(FF.col("lpu").cast("decimal(38,0)")).alias("slpu"),
+            FF.count(FF.lit(1)).alias("ntok"),
+        )
         .selectExpr("g", "(-slpu) div ntok AS nll_micro")
     )
     out = (

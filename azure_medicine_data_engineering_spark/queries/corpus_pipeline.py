@@ -1710,11 +1710,13 @@ def q_gains_table_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "duplicate_span_ranges",
     f"""
-    WITH wins AS MATERIALIZED (
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_TOKS.format(t='text')} AS tk FROM documents
+    ),
+    wins AS MATERIALIZED (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS ord,
-             md5(array_to_string(({_TOKS.format(t='text')})[i : i + 7], ' ')) AS h
-      FROM documents, range(1, 2048) t(i)
-      WHERE i <= len({_TOKS.format(t='text')}) - 7
+             md5(array_to_string(tk[i : i + 7], ' ')) AS h
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM toks)
     ),
     dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
     flagged AS (SELECT w.doc_id, w.ord FROM wins w JOIN dup_h USING (h)),
@@ -1778,7 +1780,7 @@ from azure_medicine_data_engineering_spark.operators.sampling import (  # noqa: 
       FROM vocab, tot
     ),
     per_dom AS MATERIALIZED (
-      SELECT t.g, CAST(SUM(l.lpu) AS BIGINT) AS slpu,
+      SELECT t.g, SUM(l.lpu) AS slpu,  -- HUGEINT: no BIGINT cap on the sum
              CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM toks t JOIN lpu l USING (tok) GROUP BY t.g
     ),

@@ -288,10 +288,6 @@ def streaming_psi_daily_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm evaluation SHOULD be a snapshot read, so the split is the
     honest architecture, not a workaround). Shares the batch query's
     oracle."""
-    from azure_medicine_data_engineering_spark.functions.rankstats import (
-        _span_bin,
-    )
-
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     # static global bounds (config-like broadcast; the batch twin's are
     # identical because min/max are stream-order-free)

@@ -124,6 +124,22 @@ def test_roundtrip_all_subframe_kinds(kind):
     assert chans[0] == samples  # lossless across multi-frame walk
 
 
+@pytest.mark.parametrize("kind", ["fixed1", "fixed2", "lpc2"])
+def test_escape_path_spiky_pcm_lossless(kind):
+    # fixed-2/LPC residuals of valid 16-bit PCM reach ~±118k (> 2^16):
+    # the Rice escape must size its raw width from the residuals, not a
+    # hardcoded 17 bits (ADVICE r11 — wrapped to -101072 before the fix).
+    samples = [0] * 62 + [-18000, 30000]
+    data = flac_encode_pcm16(8000, samples, block_size=64, subframe=kind)
+    _sr, _ch, _bps, chans = flac_decode(data)
+    assert chans[0] == samples
+    # full-range alternation: worst-case fixed-2 residual magnitude
+    wild = [32767, -32768] * 40
+    data = flac_encode_pcm16(8000, wild, block_size=64, subframe=kind)
+    _sr, _ch, _bps, chans = flac_decode(data)
+    assert chans[0] == wild
+
+
 def test_error_surface():
     with pytest.raises(FlacError):
         flac_decode(b"RIFF not flac")

@@ -94,6 +94,13 @@ def test_hex_strings_and_quote_operator():
 def test_error_surface():
     with pytest.raises(PdfError):
         pdf_extract_text(b"GIF89a not a pdf")
+    # fixture writer is latin-1 coded: wider chars surface as PdfError,
+    # not a raw UnicodeEncodeError from inside an Arrow kernel (ADVICE r11)
+    with pytest.raises(PdfError, match="latin-1"):
+        pdf_write([["日本語"]])
+    # full latin-1 range still round-trips
+    blob = pdf_write([["héllo £5 ±2"]])
+    assert pdf_extract_text(blob)[0] == "héllo £5 ±2"
     # unsupported filter
     bad = pdf_write([["x"]], flate=True).replace(
         b"/Filter /FlateDecode", b"/Filter /DCTDecode  "
