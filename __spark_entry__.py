@@ -27,6 +27,7 @@ from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     corpus_pipeline,
     distrib,
     events,
+    image_dedup,
     ingress,
     medstats,
     quality,

@@ -1,0 +1,327 @@
+"""Image perceptual-hash near-dup queries (round 12 — the LAION/DataComp
+image-dedup curation stage; see ``operators/image_hash.py``).
+
+Oracle strategy: the PNG fixture pixels are a CLOSED FORM of doc_id (md5
+lattice -> integer bilinear value noise -> variant bump), and both hashes
+are defined all-integer (cross-multiplied block compares; Q15 fixed-point
+DCT whose cosine table is computed ONCE in Python and inlined into the SQL
+as literals — zero cross-engine float surface). The oracle therefore
+replays pixel -> hash -> banded pair search bit-for-bit: a hash match
+certifies the whole Spark chain (PNG encode -> IDAT -> defilter -> hash ->
+band join) end to end.
+
+Oracle scale shape: the expensive pixel/DCT work runs once per FAMILY
+(``doc_id // 4`` — n/4 rows), and each doc folds its variant bump through
+the hash algebra as a precomputed integer delta (the bump is linear
+through the area averages and the DCT, and every ``//`` floor it crosses
+is exact because 256 is divisible by the 1-or-2 cell widths), so per-doc
+work is 64 comparisons, not a 1152-pixel rebuild. The bilinear weights and
+lattice indices are position constants — inlined as literal lists rather
+than re-derived per pixel. Together this keeps the oracle sweepable at the
+10x replica.
+
+The pair oracles mirror the operator's 4x16-bit band join rather than the
+O(n^2) brute force; the two are provably identical for Hamming <= 3 by
+pigeonhole (<= 3 differing bits touch <= 3 of 4 bands), and
+``tests/test_image_hash.py`` pins band-join == brute-force equality on a
+controlled corpus, so the oracle stays an equi-join that survives the
+10x/100x replica sweeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from azure_medicine_data_engineering_spark.operators.image_hash import (
+    FIXTURE_AMP,
+    FIXTURE_PATCH,
+    FIXTURE_Q,
+    PHASH_COS_Q15,
+    _block_ranges,
+)
+from azure_medicine_data_engineering_spark.queries.registry import (
+    register,
+    table as _t,
+)
+
+# natural fixture sizes: 36x32 makes the dHash 8x9 grid exact 4x4 blocks;
+# 32x32 makes the pHash downsample the identity
+DH_W, DH_H = 36, 32
+PH_W, PH_H = 32, 32
+
+_CT_LITERAL = str([v for row in PHASH_COS_Q15 for v in row])
+
+
+def _bilerp_tables(w: int, h: int) -> tuple[list[int], ...]:
+    """Per-pixel lattice indices (0-based) and Q16 weights of the bilinear
+    value-noise fixture — position constants mirroring
+    ``image_hash.family_fixture_pixels``."""
+    q = FIXTURE_Q
+    i00, i10, i01, i11 = [], [], [], []
+    w00, w10, w01, w11 = [], [], [], []
+    for p in range(w * h):
+        r, c = divmod(p, w)
+        fu = r * 3 * q // (h - 1)
+        fv = c * 3 * q // (w - 1)
+        u0, du = divmod(fu, q)
+        v0, dv = divmod(fv, q)
+        u1, v1 = min(u0 + 1, 3), min(v0 + 1, 3)
+        i00.append(u0 * 4 + v0)
+        i10.append(u1 * 4 + v0)
+        i01.append(u0 * 4 + v1)
+        i11.append(u1 * 4 + v1)
+        w00.append((q - du) * (q - dv))
+        w10.append(du * (q - dv))
+        w01.append((q - du) * dv)
+        w11.append(du * dv)
+    return i00, i10, i01, i11, w00, w10, w01, w11
+
+
+def _family_px_ctes(w: int, h: int) -> str:
+    """CTEs ``fam``/``lat``/``wt``/``px``: base (bump-free) pixels per
+    FAMILY — the per-doc variant is applied downstream as a hash-space
+    delta, never as a pixel rebuild."""
+    i00, i10, i01, i11, w00, w10, w01, w11 = _bilerp_tables(w, h)
+    return f"""
+    fam AS MATERIALIZED (SELECT DISTINCT doc_id // 4 AS f FROM documents),
+    lat AS MATERIALIZED (
+      SELECT f, list_transform(range(16), k ->
+               CAST(('0x' || substr(md5(CAST(f AS VARCHAR)),
+                                    k * 2 + 1, 2)) AS INT) * 15 // 16) AS B
+      FROM fam
+    ),
+    wt AS (SELECT {i00} AS I00, {i10} AS I10, {i01} AS I01, {i11} AS I11,
+                  {w00} AS W00, {w10} AS W10, {w01} AS W01, {w11} AS W11),
+    px AS MATERIALIZED (
+      SELECT f, list_transform(range({w * h}), p ->
+        (W00[p + 1] * B[I00[p + 1] + 1] + W10[p + 1] * B[I10[p + 1] + 1]
+         + W01[p + 1] * B[I01[p + 1] + 1] + W11[p + 1] * B[I11[p + 1] + 1])
+        // {FIXTURE_Q * FIXTURE_Q}) AS g
+      FROM lat, wt
+    )"""
+
+
+def _patch_block_counts(w: int, h: int) -> list[int]:
+    """Patch-pixel count per dHash block: how many perturbed pixels
+    (r < PATCH, c < PATCH) fall in block (i, j) — the bump's exact
+    contribution to each block sum."""
+    rows = _block_ranges(h, 8)
+    cols = _block_ranges(w, 9)
+    out = []
+    for r0, r1 in rows:
+        nr = max(0, min(r1, FIXTURE_PATCH) - r0)
+        for c0, c1 in cols:
+            nc = max(0, min(c1, FIXTURE_PATCH) - c0)
+            out.append(nr * nc)
+    return out
+
+
+def _phash_patch_deltas(w: int, h: int) -> list[int]:
+    """Per-coefficient DCT delta of a unit bump over the patch, exact on
+    integers: dcoef(u, v) = (sum_{x cells in patch rows} CT[u][x]) *
+    (sum_y dV(y) * CT[v][y]) where dV(y) = 256 * k_y // CW_y is the exact
+    cell-value shift (256 divisible by every cell width, so the floor in
+    v = 256*sum // n commutes with the bump)."""
+    rows = _block_ranges(h, 32)
+    cols = _block_ranges(w, 32)
+    # rows: fixture heights are 32 -> identity; patch rows are x < PATCH,
+    # but keep it general via overlap counts (must be all-or-nothing for
+    # exactness through the row sum — true when h == 32)
+    row_in = [max(0, min(r1, FIXTURE_PATCH) - r0) for r0, r1 in rows]
+    assert all(k in (0, r1 - r0) for k, (r0, r1) in zip(row_in, rows)), (
+        "partial patch rows would break bump linearity"
+    )
+    dv = []
+    for c0, c1 in cols:
+        k = max(0, min(c1, FIXTURE_PATCH) - c0)
+        n = c1 - c0
+        assert (256 * k) % n == 0
+        dv.append(256 * k // n)
+    out = []
+    for u in range(8):
+        su = sum(PHASH_COS_Q15[u][x] for x, k in enumerate(row_in) if k)
+        for v in range(8):
+            tv = sum(d * PHASH_COS_Q15[v][y] for y, d in enumerate(dv))
+            out.append(su * tv)
+    return out
+
+
+def _bits_to_halves(bit_expr: str) -> str:
+    """hi/lo BIGINT halves from a 64-bit MSB-first bit expression over the
+    placeholder @I@ (global bit index)."""
+    hi = bit_expr.replace("@I@", "i")
+    lo = bit_expr.replace("@I@", "(i + 32)")
+    shift = "(CAST(1 AS BIGINT) << CAST(31 - i AS INT))"
+    return (
+        f"CAST(list_sum(list_transform(range(32), i -> ({hi}) * {shift}))"
+        f" AS BIGINT) AS hi,\n"
+        f"      CAST(list_sum(list_transform(range(32), i -> ({lo}) * {shift}))"
+        f" AS BIGINT) AS lo"
+    )
+
+
+def _dhash_hv_ctes(w: int, h: int) -> str:
+    """Family block sums + per-doc bit assembly with the bump delta."""
+    pb = _patch_block_counts(w, h)
+    bw, bh = w // 9, h // 8
+    assert bw * 9 == w and bh * 8 == h, "exact-block fixture expected"
+    n_blk = bw * bh
+    bit = (
+        f"CASE WHEN s[(@I@ // 8) * 9 + @I@ % 8 + 1]"
+        f" + bump * PB[(@I@ // 8) * 9 + @I@ % 8 + 1]"
+        f" > s[(@I@ // 8) * 9 + @I@ % 8 + 2]"
+        f" + bump * PB[(@I@ // 8) * 9 + @I@ % 8 + 2] THEN 1 ELSE 0 END"
+    )
+    return f"""
+    bs AS MATERIALIZED (
+      SELECT f, list_transform(range(72), b ->
+        list_sum(list_transform(range({n_blk}), t ->
+          g[((b // 9) * {bh} + t // {bw}) * {w}
+            + (b % 9) * {bw} + t % {bw} + 1]))) AS s
+      FROM px
+    ),
+    pb AS (SELECT {pb} AS PB),
+    dbs AS MATERIALIZED (
+      SELECT d.doc_id, s, (d.doc_id % 4) * {FIXTURE_AMP} AS bump
+      FROM documents d, bs WHERE bs.f = d.doc_id // 4
+    ),
+    hv AS MATERIALIZED (
+      SELECT doc_id, {_bits_to_halves(bit)}
+      FROM dbs, pb
+    )"""
+
+
+def _phash_hv_ctes(w: int, h: int, hv_name: str = "hv") -> str:
+    """Family fixed-point DCT coefficients + per-doc bump delta, median
+    test, and bit assembly. Handles the general column downsample
+    (w > 32) via exact 256-grid cell values."""
+    kp = _phash_patch_deltas(w, h)
+    cols = _block_ranges(w, 32)
+    if w == 32:
+        vexpr = "256 * g[x * 32 + q % 32 + 1]"
+        vp_cte = ""
+        tt_src = "px"
+    else:
+        co_off = [c0 for c0, _ in cols]
+        cw = [c1 - c0 for c0, c1 in cols]
+        vp_cte = f"""
+    vt AS (SELECT {co_off} AS CO, {cw} AS CW),
+    vp AS MATERIALIZED (
+      SELECT f, list_transform(range(1024), p ->
+        256 * list_sum(g[(p // 32) * {w} + CO[p % 32 + 1] + 1 :
+                         (p // 32) * {w} + CO[p % 32 + 1] + CW[p % 32 + 1]])
+          // CW[p % 32 + 1]) AS v
+      FROM px, vt
+    ),"""
+        vexpr = "v[x * 32 + q % 32 + 1]"
+        tt_src = "vp"
+    bit = (
+        f"CASE WHEN 2 * (c_arr[@I@ + 1] + bump * KP[@I@ + 1])"
+        f" > s[32] + s[33] THEN 1 ELSE 0 END"
+    )
+    return f"""{vp_cte}
+    ct AS (SELECT {_CT_LITERAL} AS CT),
+    tt AS MATERIALIZED (
+      SELECT f, list_transform(range(256), q ->
+        list_sum(list_transform(range(32), x ->
+          {vexpr} * CT[(q // 32) * 32 + x + 1]))) AS t
+      FROM {tt_src}, ct
+    ),
+    fco AS MATERIALIZED (
+      SELECT f, list_transform(range(64), uv ->
+        list_sum(list_transform(range(32), y ->
+          t[(uv // 8) * 32 + y + 1] * CT[(uv % 8) * 32 + y + 1]))) AS c_arr
+      FROM tt, ct
+    ),
+    kp AS (SELECT {kp} AS KP),
+    dth AS MATERIALIZED (
+      SELECT d.doc_id, c_arr, (d.doc_id % 4) * {FIXTURE_AMP} AS bump,
+             list_sort(list_transform(range(64), i ->
+               c_arr[i + 1] + (d.doc_id % 4) * {FIXTURE_AMP} * KP[i + 1])) AS s
+      FROM documents d JOIN fco ON fco.f = d.doc_id // 4, kp
+    ),
+    {hv_name} AS MATERIALIZED (
+      SELECT doc_id, {_bits_to_halves(bit)}
+      FROM dth, kp
+    )"""
+
+
+_PAIRS_TAIL = """
+    bands AS MATERIALIZED (
+      SELECT doc_id, hi, lo,
+             unnest([hi // 65536, hi % 65536, lo // 65536, lo % 65536]) AS chunk,
+             unnest([0, 1, 2, 3]) AS band
+      FROM hv
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS INT)
+             AS hamming
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) <= 3
+"""
+
+
+def _hashed_pairs(
+    spark: SparkSession, sf_dir: str, w: int, h: int, hi: str, lo: str
+) -> DataFrame:
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+        hamming_near_pairs,
+        image_perceptual_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_family_png_payload(docs, "doc_id", w, h)
+    hashes = image_perceptual_hashes(media)
+    return hamming_near_pairs(hashes, hi, lo, "media_id", max_hamming=3)
+
+
+@register(
+    "image_dhash_near_pairs",
+    f"WITH {_family_px_ctes(DH_W, DH_H)},{_dhash_hv_ctes(DH_W, DH_H)},{_PAIRS_TAIL}",
+)
+def q_image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-duplicate image pairs at Hamming <= 3 over planted
+    family fixtures — PNG wire -> integer dHash -> 4x16-bit banded join
+    (exact recall by pigeonhole). Extends the dedup family
+    (`operators/dedup.py`, re-expressing fl_aud.R:21 unique()) to the
+    raw-image modality."""
+    return _hashed_pairs(spark, sf_dir, DH_W, DH_H, "dhash_hi", "dhash_lo")
+
+
+@register(
+    "image_phash_near_pairs",
+    f"WITH {_family_px_ctes(PH_W, PH_H)},{_phash_hv_ctes(PH_W, PH_H)},{_PAIRS_TAIL}",
+)
+def q_image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash (fixed-point DCT) near-duplicate image pairs at Hamming <= 3
+    — robust to the re-encode/brightness perturbations dHash block means
+    smooth over; same banded exact-recall search."""
+    return _hashed_pairs(spark, sf_dir, PH_W, PH_H, "phash_hi", "phash_lo")
+
+
+@register(
+    "image_hash_codes",
+    f"""WITH {_family_px_ctes(DH_W, DH_H)},{_dhash_hv_ctes(DH_W, DH_H)},
+    {_phash_hv_ctes(DH_W, DH_H, hv_name="phv")}
+    SELECT d.doc_id AS media_id,
+           printf('%08x%08x', d.hi, d.lo) AS dhash_hex,
+           printf('%08x%08x', p.hi, p.lo) AS phash_hex
+    FROM hv d JOIN phv p USING (doc_id)
+    """,
+)
+def q_image_hash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit dHash + pHash hex codes — pins the exact bit
+    patterns (not just pair structure), through the general integer
+    area-downsample path (36 -> 32 columns)."""
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+        image_perceptual_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_family_png_payload(docs, "doc_id", DH_W, DH_H)
+    return image_perceptual_hashes(media).select(
+        "media_id", "dhash_hex", "phash_hex"
+    )
