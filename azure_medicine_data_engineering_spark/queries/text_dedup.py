@@ -2642,3 +2642,81 @@ def q_tokenizer_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_pieces * 1000000 div n_words) / 1e6 AS fertility",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style) — round 12.
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.operators.byte_bpe import (  # noqa: E402
+    BYTE_SYMBOLS,
+    DELIM as _BB_D,
+    byte_bpe_merge_train,
+)
+
+_BB_DD = _BB_D + _BB_D
+_BB_MERGES = 12
+# SQL literal of the 256-entry GPT-2 byte->unicode table ('' escapes the
+# single-quote symbol, byte 0x27)
+_BB_U = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in BYTE_SYMBOLS) + "]"
+
+
+def _byte_bpe_round_sql(i: int) -> str:
+    """One unrolled byte-BPE round — _bpe_round_sql with the unit-separator
+    delimiter (| is a byte symbol at byte level, chr(31) is outside the
+    GPT-2 symbol image)."""
+    return f"""
+    bp{i} AS (
+      SELECT t.l[r.j] AS a, t.l[r.j + 1] AS b, CAST(SUM(t.f) AS BIGINT) AS cnt
+      FROM (SELECT string_split(substring(s, 2, length(s) - 2), '{_BB_DD}') AS l, f
+            FROM bw{i - 1}) t,
+           LATERAL (SELECT unnest(range(1, len(t.l))) AS j) r
+      GROUP BY 1, 2
+    ),
+    bm{i} AS MATERIALIZED (SELECT a, b, cnt FROM bp{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    bw{i} AS MATERIALIZED (
+      SELECT replace(w.s, '{_BB_D}' || m.a || '{_BB_DD}' || m.b || '{_BB_D}',
+                     '{_BB_D}' || m.a || m.b || '{_BB_D}') AS s, w.f
+      FROM bw{i - 1} w, bm{i} m
+    )"""
+
+
+_BB_FINAL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS merge_idx, a AS left_sym, b AS right_sym, "
+    f"cnt AS pair_count FROM bm{i}"
+    for i in range(1, _BB_MERGES + 1)
+)
+
+
+@register(
+    "byte_bpe_vocab_merges",
+    f"""
+    WITH ut AS (SELECT {_BB_U} AS U),
+    bw0 AS MATERIALIZED (
+      SELECT '{_BB_D}' || array_to_string(list_transform(
+               regexp_extract_all(hex(replace(replace(replace(
+                 w, 'a', 'ä'), 'e', '日'), 'o', 'ø')), '..'),
+               c -> U[('0x' || c)::INT + 1]), '{_BB_DD}') || '{_BB_D}' AS s, f
+      FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+      ) g, ut
+    ),
+    """
+    + ",".join(_byte_bpe_round_sql(i) for i in range(1, _BB_MERGES + 1))
+    + "\n    "
+    + _BB_FINAL,
+)
+def q_byte_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level (GPT-2) BPE training over the documents corpus with the
+    deterministic multi-byte enrichment a->ä / e->日 / o->ø
+    (``operators/byte_bpe.py``): 12 merges over UTF-8 BYTE symbols mapped
+    through the public bytes_to_unicode table — merges cross multi-byte
+    character boundaries, the case char-level BPE cannot represent. The
+    oracle unrolls every round CTE-for-CTE with the same delimiter trick
+    (unit separator; '|' is itself a byte symbol at byte level)."""
+    return byte_bpe_merge_train(
+        _t(spark, sf_dir, "documents"), n_merges=_BB_MERGES
+    )
