@@ -1069,3 +1069,126 @@ def ccnet_perplexity_buckets(
     )
     out._stage_caches = [doc_nll] + list(getattr(ranked, "_stage_caches", []))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney trigram LM (round 12) — the CCNet router's published model
+# class (Wenzek et al. 2020 score with a KN LM; the add-k bigram above is
+# the engine's lower rung).
+# ---------------------------------------------------------------------------
+
+#: Interpolated absolute-discount KN (Chen & Goodman 1999), d = 0.75, as ONE
+#: shared expression string (CLAUDE.md convention: all-integer state in,
+#: one scalar expression out — interpolated verbatim into the DuckDB oracle
+#: so both engines execute the identical IEEE op sequence). Inputs:
+#:   c3  = trigram count c(a b c)
+#:   cab = sum_c' c(a b c')            (trigram-interior context count)
+#:   nab = N1+(a b .)                  (distinct continuations of (a, b))
+#:   nbc = N1+(. b c)                  (distinct left-extensions of (b, c))
+#:   nbb = N1+(. b .)                  (distinct (a, c) around b)
+#:   nbl = |{c : N1+(. b c) > 0}|      (middle-level lambda numerator)
+#:   n1c = N1+(. c)                    (continuation-unigram numerator)
+#:   nal = N1+(. .)                    (distinct (b, c) pairs)
+#: P(c|a,b) = [max(c3-d,0) + d*nab*P2] / cab
+#: P2(c|b)  = [max(nbc-d,0) + d*nbl*P3] / nbb
+#: P3(c)    = n1c / nal
+KN_LP_EXPR = (
+    "ln((greatest(c3 - 7.5e-1, 0e0) + 7.5e-1 * nab * "
+    "((greatest(nbc - 7.5e-1, 0e0) + 7.5e-1 * nbl * (n1c * 1e0 / nal)) / nbb))"
+    " / cab)"
+)
+KN_LPU_EXPR = f"CAST(ROUND(({KN_LP_EXPR}) * 1e6) AS BIGINT)"
+
+
+def kn_trigram_logprob_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice corpus-self perplexity under an interpolated Kneser-Ney
+    TRIGRAM LM — the CCNet router's published model class, two rungs above
+    :func:`unigram_logprob_scores` (which cannot see order) and one above
+    :func:`bigram_logprob_scores` (add-k smoothing; KN's continuation
+    counts generalize far better on rare contexts). Trigram positions are
+    document-interior (no BOS/EOS padding); docs under 3 tokens contribute
+    nothing. Returns ``(g, n_docs, n_trigrams, nll_micro)`` with the NLL
+    mean on the 1e-6 integer grid (micro-grid sum in DECIMAL(38,0),
+    integer division — the repo's order-free, engine-exact mean).
+
+    Scale: one trigram explode feeds (a) the DISTINCT-TRIGRAM model table
+    — the only persisted frame, the LM's count table (at 100 TB this is
+    the frame a production run would materialize to parquet; every count
+    CTE derives from it, never from a raw re-scan) — and (b) the scoring
+    join. All KN quantities (context sums, continuation counts) are keyed
+    groupBys of that table; the single scalar (``nal``) broadcasts. The
+    per-token cost is exactly one token-grain join into the
+    trigram-keyed lpu table, the same honest cost class as
+    ``ccnet_perplexity_buckets``."""
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    tri = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), 3)).alias("tri"),
+    )
+    # distinct-trigram model table: split once, persist (model grain)
+    t3 = (
+        tri.groupBy("tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .select(
+            "tri",
+            "c3",
+            F.substring_index("tri", " ", 1).alias("a"),
+            F.substring_index(F.substring_index("tri", " ", 2), " ", -1).alias("b"),
+            F.substring_index("tri", " ", -1).alias("c"),
+        )
+        .persist()
+    )
+    # disjoint key names per derived frame: every frame below shares t3's
+    # lineage, and same-name attr reuse in self-lineage joins is the
+    # analysis-time ambiguity CLAUDE.md warns about
+    ab = t3.groupBy(
+        F.col("a").alias("a1"), F.col("b").alias("b1")
+    ).agg(
+        F.sum("c3").cast("long").alias("cab"),
+        F.count(F.lit(1)).cast("long").alias("nab"),
+    )
+    bc = t3.groupBy(F.col("b").alias("b2"), F.col("c").alias("c2")).agg(
+        F.count(F.lit(1)).cast("long").alias("nbc")
+    )
+    bb = t3.groupBy(F.col("b").alias("b3")).agg(
+        F.count(F.lit(1)).cast("long").alias("nbb"),
+        F.count_distinct("c").cast("long").alias("nbl"),
+    )
+    c1 = bc.groupBy(F.col("c2").alias("c4")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1c")
+    )
+    nal = bc.agg(F.count(F.lit(1)).cast("long").alias("nal"))
+    lpu = (
+        t3.join(ab, (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1")))
+        .join(bc, (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")))
+        .join(bb, F.col("b") == F.col("b3"))
+        .join(c1, F.col("c") == F.col("c4"))
+        .crossJoin(F.broadcast(nal))
+        .selectExpr("tri AS tri_k", f"{KN_LPU_EXPR} AS lpu")
+    )
+    out = (
+        tri.join(lpu, tri.tri == lpu.tri_k)
+        .groupBy("g")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu"),
+        )
+        .selectExpr(
+            "g",
+            "n_docs",
+            "n_trigrams",
+            "(-slpu) div n_trigrams AS nll_micro",
+        )
+    )
+    out._stage_caches = [t3]
+    return out

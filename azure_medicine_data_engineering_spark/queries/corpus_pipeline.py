@@ -1886,3 +1886,74 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ccnet_perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney trigram router (round 12).
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    KN_LPU_EXPR as _KN_LPU,
+)
+
+
+@register(
+    "kn_trigram_perplexity_by_source",
+    f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, source AS g, {_TOKS.format(t='text')} AS w FROM documents
+    ),
+    tri AS MATERIALIZED (
+      SELECT doc_id, g, t.w[r.i] || ' ' || t.w[r.i + 1] || ' ' || t.w[r.i + 2] AS tg
+      FROM tk t, LATERAL (SELECT unnest(range(1, len(t.w) - 1)) AS i) r
+    ),
+    t3 AS MATERIALIZED (
+      SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3,
+             string_split(tg, ' ')[1] AS a,
+             string_split(tg, ' ')[2] AS b,
+             string_split(tg, ' ')[3] AS c
+      FROM tri GROUP BY tg
+    ),
+    ab AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(c3) AS BIGINT) AS cab, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM t3 GROUP BY a, b
+    ),
+    bc AS MATERIALIZED (
+      SELECT b, c, CAST(COUNT(*) AS BIGINT) AS nbc FROM t3 GROUP BY b, c
+    ),
+    bb AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS nbb,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nbl
+      FROM t3 GROUP BY b
+    ),
+    c1 AS MATERIALIZED (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n1c FROM bc GROUP BY c
+    ),
+    na AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nal FROM bc),
+    lpu AS MATERIALIZED (
+      SELECT t3.tg AS tg_k, {_KN_LPU} AS lpu
+      FROM t3 JOIN ab USING (a, b) JOIN bc USING (b, c)
+              JOIN bb USING (b) JOIN c1 USING (c), na
+    )
+    SELECT g,
+           CAST(COUNT(DISTINCT tri.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nll_micro
+    FROM tri JOIN lpu l ON tri.tg = l.tg_k
+    GROUP BY g
+    """,
+)
+def q_kn_trigram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM perplexity per source slice
+    (``operators/text_rank.py:kn_trigram_logprob_by_group``) — the CCNet
+    router's published model class (Wenzek et al. 2020), upgrading the
+    engine's add-k bigram rung: continuation counts instead of raw counts,
+    absolute discount d = 0.75, closed-form from five keyed groupBys of
+    the distinct-trigram model table. The KN log-prob is ONE shared
+    expression string interpolated verbatim into this oracle (identical
+    IEEE op sequence both engines); sums ride the DECIMAL(38,0)/HUGEINT
+    micro-grid."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        kn_trigram_logprob_by_group,
+    )
+
+    return kn_trigram_logprob_by_group(_t(spark, sf_dir, "documents"))
