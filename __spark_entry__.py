@@ -25,6 +25,7 @@ from azure_medicine_data_engineering_spark.queries import registry  # noqa: E402
 from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     corpus_clean,
     corpus_pipeline,
+    crawl_funnel,
     distrib,
     events,
     image_dedup,

@@ -202,7 +202,7 @@ CRAWL_E2E_SCHEMA = StructType(
 )
 
 
-def warc_html_extract(df: DataFrame) -> DataFrame:
+def warc_html_extract(df: DataFrame, with_text: bool = False) -> DataFrame:
     """FUSED crawl-ingest stage: parse each WARC payload
     (`sources/warc.py` — member-gzip aware), keep the ``response``
     records, strip their HTML to text, and emit per-document extraction
@@ -212,7 +212,9 @@ def warc_html_extract(df: DataFrame) -> DataFrame:
     ``.warc.gz → response filter → text → quality rules``. Map-only.
 
     Emits ``(media_id, content_length, n_lines, n_chars, text_md5)``
-    (one row per response record)."""
+    (one row per response record); ``with_text=True`` appends the
+    ``extracted`` text column so downstream C4/Gopher stages can consume
+    it directly (round 12 — the crawl-funnel composition)."""
     from azure_medicine_data_engineering_spark.sources.warc import warc_parse
 
     def run(batches: Iterator) -> Iterator:
@@ -225,21 +227,25 @@ def warc_html_extract(df: DataFrame) -> DataFrame:
                     if headers.get("warc-type") != "response":
                         continue
                     text = html_to_text(content.decode("utf-8"))
-                    rows.append(
-                        (
-                            mid,
-                            len(content),
-                            text.count("\n") + 1 if text else 0,
-                            len(text),
-                            hashlib.md5(text.encode("utf-8")).hexdigest(),
-                        )
+                    row = (
+                        mid,
+                        len(content),
+                        text.count("\n") + 1 if text else 0,
+                        len(text),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_length", "n_lines", "n_chars",
-                    "text_md5",
-                ],
-            )
+                    rows.append(row + (text,) if with_text else row)
+            cols = [
+                "media_id", "content_length", "n_lines", "n_chars",
+                "text_md5",
+            ]
+            if with_text:
+                cols.append("extracted")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, CRAWL_E2E_SCHEMA)
+    schema = CRAWL_E2E_SCHEMA
+    if with_text:
+        schema = StructType(
+            CRAWL_E2E_SCHEMA.fields + [StructField("extracted", StringType())]
+        )
+    return df.mapInPandas(run, schema)

@@ -641,12 +641,14 @@ PDF_E2E_SCHEMA = StructType(
 )
 
 
-def pdf_extract_e2e(df: DataFrame) -> DataFrame:
+def pdf_extract_e2e(df: DataFrame, with_text: bool = False) -> DataFrame:
     """FUSED PDF-ingest stage: decode each PDF payload, extract text, and
     compute the downstream quality counters (lines, whitespace words,
     chars, text md5) in ONE Arrow pass — the (potentially large) raw PDF
     bytes never cross a stage boundary, mirroring the WARC+HTML fused
-    stage (`html_text.warc_html_extract`). Map-only."""
+    stage (`html_text.warc_html_extract`). Map-only. ``with_text=True``
+    appends the ``extracted`` text column for direct C4/Gopher
+    consumption (round 12 — the crawl-funnel composition)."""
     import re as _re
 
     ws = _re.compile(r"\s+")
@@ -659,22 +661,26 @@ def pdf_extract_e2e(df: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 text, n_pages = pdf_extract_text(bytes(p))
                 words = [t for t in ws.split(text) if t]
-                rows.append(
-                    (
-                        mid,
-                        n_pages,
-                        text.count("\n") + 1 if text else 0,
-                        len(words),
-                        len(text),
-                        hashlib.md5(text.encode("utf-8")).hexdigest(),
-                    )
+                row = (
+                    mid,
+                    n_pages,
+                    text.count("\n") + 1 if text else 0,
+                    len(words),
+                    len(text),
+                    hashlib.md5(text.encode("utf-8")).hexdigest(),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "n_pages", "n_lines", "n_words",
-                    "n_chars", "text_md5",
-                ],
-            )
+                rows.append(row + (text,) if with_text else row)
+            cols = [
+                "media_id", "n_pages", "n_lines", "n_words",
+                "n_chars", "text_md5",
+            ]
+            if with_text:
+                cols.append("extracted")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, PDF_E2E_SCHEMA)
+    schema = PDF_E2E_SCHEMA
+    if with_text:
+        schema = StructType(
+            PDF_E2E_SCHEMA.fields + [StructField("extracted", StringType())]
+        )
+    return df.mapInPandas(run, schema)

@@ -200,3 +200,58 @@ def robots_gate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return ensure_parallelism(
         df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
     ).mapInPandas(run, ROBOTS_GATE_SCHEMA)
+
+
+URL_GATE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("pos", IntegerType()),
+        StructField("host_idx", IntegerType()),
+        StructField("path", StringType()),
+        StructField("allowed", BooleanType()),
+        StructField("rule_len", IntegerType()),
+    ]
+)
+
+
+def robots_gate_urls(df: DataFrame) -> DataFrame:
+    """URL-grain REP gate (round 12): evaluate FRONTIER rows
+    ``(media_id, pos, host_idx, path)`` — e.g. sitemap-discovered URLs —
+    against each host's robots rules in one Arrow pass, the composable
+    sibling of :func:`robots_gate` (which manufactures its own per-doc
+    URL). Rules parse once per host per batch; at crawl scale the
+    host-rules table is a broadcast dimension. Map-only."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        rules_cache = {
+            k: parse_robots(host_rules_text(k)) for k in range(N_HOSTS)
+        }
+        for pdf in batches:
+            rows = []
+            for mid, pos, k, path in zip(
+                pdf["media_id"], pdf["pos"], pdf["host_idx"], pdf["path"]
+            ):
+                rules = rules_cache[int(k) % N_HOSTS]
+                cands = [
+                    (len(p.rstrip("$")), al)
+                    for al, p in rules
+                    if _pattern_matches(p, path)
+                ]
+                if cands:
+                    ln, allowed = max(cands)
+                else:
+                    ln, allowed = -1, True
+                rows.append((int(mid), int(pos), int(k), path, allowed, ln))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "pos", "host_idx", "path", "allowed",
+                    "rule_len",
+                ],
+            )
+
+    return df.select("media_id", "pos", "host_idx", "path").mapInPandas(
+        run, URL_GATE_SCHEMA
+    )

@@ -164,6 +164,39 @@ def blocklist_gate_report(
 GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def gopher_ok_all(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: int = 3,
+    max_word_len: int = 10,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Per-document Gopher all-rules pass flag as ONE column expression —
+    the composable (filter-stage) form of :func:`gopher_quality_report`'s
+    rule battery, same integer-only thresholds (round 12, for the crawl
+    funnel). Words are the single-space split, matching the report."""
+    words = F.filter(F.split(text, " "), lambda x: x != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    n_ell = n_ell.cast("long")
+    stop_hits = sum(
+        F.array_contains(words, sw).cast("int") for sw in GOPHER_STOP_WORDS
+    )
+    return (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (total_chars >= min_word_len * n_words)
+        & (total_chars <= max_word_len * n_words)
+        & (10 * (n_hash + n_ell) <= n_words)
+        & (10 * n_alpha >= 8 * n_words)
+        & (stop_hits >= min_stop_hits)
+    )
+
+
 def gopher_quality_report(
     df: DataFrame,
     text_col: str = "text",

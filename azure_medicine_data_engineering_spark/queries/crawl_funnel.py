@@ -1,0 +1,297 @@
+"""End-to-end crawl funnel (round 12): sitemap frontier -> robots gate ->
+WARC fetch -> content-type-routed extraction (HTML and PDF) -> C4 line
+cleanup -> Gopher quality gate -> exact dedup, with per-stage survivor /
+drop counts and sum-of-ids membership checksums — the
+``corpus_e2e_filter`` funnel discipline applied to the crawl chain whose
+stages rounds 10-11 verified individually.
+
+Every stage runs the REAL kernel (XML parse, REP evaluator, WARC demux,
+HTML/PDF extraction) while the oracle replays the fixture closed forms
+CTE-for-CTE, so the whole chain must be bit-exact end to end for the
+funnel counts and checksums to hash-match.
+
+Scale: URL stages are fan-out map passes; fetch is one semi-join on
+doc_id; extraction is map-only Arrow; C4/Gopher are column algebra; the
+dedup window is keyed by content fingerprint (duplicate-group-sized).
+Every intermediate frame is persisted because each feeds BOTH the next
+stage and its own funnel row (CLAUDE.md union-per-fate rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.queries.registry import (
+    register,
+    table as _t,
+)
+
+_BANNED_SQL = (
+    "NOT contains(lower(l), 'javascript') "
+    "AND NOT contains(lower(l), 'lorem ipsum') "
+    "AND NOT contains(lower(l), '{')"
+)
+
+_STAGE_ROW = (
+    "SELECT {sid} AS stage_id, '{name}' AS stage, "
+    "CAST(COUNT(*) AS BIGINT) AS n_out, "
+    "CAST(COALESCE(SUM({idc}), 0) AS BIGINT) AS sum_ids FROM {src}"
+)
+
+
+def _gopher_stops_sql() -> str:
+    from azure_medicine_data_engineering_spark.operators.text_clean import (
+        GOPHER_STOP_WORDS,
+    )
+
+    return " + ".join(
+        f"CAST(list_contains(ws, '{sw}') AS INT)" for sw in GOPHER_STOP_WORDS
+    )
+
+
+def _funnel_oracle() -> str:
+    rows = "\n      UNION ALL ".join(
+        _STAGE_ROW.format(sid=sid, name=name, idc=idc, src=src)
+        for sid, name, idc, src in [
+            (0, "frontier_urls", "doc_id", "urls"),
+            (1, "robots_allowed", "doc_id", "ok_urls"),
+            (2, "fetched_docs", "doc_id", "fetched"),
+            (3, "extracted_docs", "doc_id", "ext"),
+            (4, "c4_line_clean", "doc_id", "s4"),
+            (5, "gopher_pass", "doc_id", "s5"),
+            (6, "exact_dedup", "doc_id", "s6"),
+        ]
+    )
+    return f"""
+    WITH m AS MATERIALIZED (
+      SELECT doc_id, text, md5(text) AS hex,
+             substr(md5(text), 1, 8) AS hex8,
+             1 + CAST(('0x' || substr(md5(text), 5, 1)) AS INT) % 4 AS n_urls,
+             trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS collapsed
+      FROM documents
+    ),
+    urls AS MATERIALIZED (
+      SELECT doc_id, CAST(k AS INT) AS pos,
+             CASE WHEN CAST(('0x' || substr(hex, k + 2, 1)) AS INT) % 3 <> 2
+                  THEN '/p' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+                  ELSE '/q' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+             END
+             || CASE CAST(('0x' || substr(hex, k + 3, 1)) AS INT) % 3
+                  WHEN 0 THEN '' WHEN 1 THEN '/open' ELSE '/deep' END
+             || '/page' || substr(hex, k + 4, 1) AS path
+      FROM m, range(0, 4) t(k) WHERE k < n_urls
+    ),
+    gated AS MATERIALIZED (
+      SELECT doc_id, pos, path,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR))
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR)) ELSE -1 END AS s1,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open')
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open') ELSE -1 END AS s2,
+             CASE WHEN starts_with(path, '/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep')
+                  THEN length('/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep') ELSE -1 END AS s3
+      FROM urls
+    ),
+    ok_urls AS MATERIALIZED (
+      SELECT doc_id, pos FROM gated
+      WHERE GREATEST(s1, s2, s3) = -1 OR s2 = GREATEST(s1, s2, s3)
+    ),
+    fetched AS MATERIALIZED (SELECT DISTINCT doc_id FROM ok_urls),
+    ext AS MATERIALIZED (
+      SELECT m.doc_id,
+             CASE WHEN m.doc_id % 3 <> 0 THEN
+               'T' || hex8 || chr(10) || 'Doc ' || CAST(m.doc_id AS VARCHAR)
+               || CASE WHEN collapsed <> '' THEN chr(10) || collapsed ELSE '' END
+             ELSE
+               'Doc ' || CAST(m.doc_id AS VARCHAR)
+               || CASE WHEN length(text) > 0
+                       THEN chr(10) || array_to_string(
+                         list_transform(range(1, CAST((length(text) + 79) // 80 AS INTEGER) + 1),
+                           i -> substr(text, (i - 1) * 80 + 1, 80)),
+                         chr(10))
+                       ELSE '' END
+             END AS extracted
+      FROM m JOIN fetched USING (doc_id)
+    ),
+    s4 AS MATERIALIZED (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(extracted, chr(10)),
+                 l -> len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+                      AND {_BANNED_SQL}),
+               chr(10)) AS clean
+      FROM ext
+      WHERE len(list_filter(string_split(extracted, chr(10)),
+              l -> len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+                   AND {_BANNED_SQL})) >= 1
+    ),
+    gf AS MATERIALIZED (
+      SELECT doc_id, clean,
+             list_filter(string_split(clean, ' '), x -> x <> '') AS ws,
+             length(clean) - length(replace(clean, '#', '')) AS n_hash,
+             (length(clean) - length(replace(clean, '...', ''))) // 3 AS n_ell
+      FROM s4
+    ),
+    s5 AS MATERIALIZED (
+      SELECT doc_id, clean FROM (
+        SELECT doc_id, clean, len(ws) AS nw,
+               COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS tc,
+               len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS na,
+               n_hash, n_ell, ({_gopher_stops_sql()}) AS stop_hits
+        FROM gf
+      )
+      WHERE nw >= 30 AND nw <= 100000
+        AND tc >= 3 * nw AND tc <= 10 * nw
+        AND 10 * (n_hash + n_ell) <= nw
+        AND 10 * na >= 8 * nw
+        AND stop_hits >= 1
+    ),
+    s6 AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(clean)
+                                          ORDER BY doc_id) AS rn
+        FROM s5
+      ) WHERE rn = 1
+    ),
+    funnel AS (
+      {rows}
+    )
+    SELECT CAST(stage_id AS INT) AS stage_id, stage, n_out,
+           CAST(COALESCE(LAG(n_out) OVER (ORDER BY stage_id) - n_out, 0) AS BIGINT)
+             AS n_dropped,
+           sum_ids
+    FROM funnel
+    """
+
+
+@register("crawl_e2e_frontier_docs", _funnel_oracle())
+def q_crawl_e2e_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete crawl chain as ONE funnel (see module docstring):
+    sitemap URL discovery (``sources/sitemap.py``, robots-rule-space
+    frontier paths) -> REP gate on every frontier URL
+    (``operators/robots.py:robots_gate_urls``) -> fetch = docs with >= 1
+    allowed URL -> WARC->HTML extraction for 2/3 of docs and PDF
+    extraction for the rest (content-type routing; real kernels, text
+    emitted) -> C4 line cleanup -> Gopher all-rules gate -> exact dedup.
+    Output: the per-stage funnel report."""
+    from azure_medicine_data_engineering_spark.operators.html_text import (
+        warc_html_extract,
+    )
+    from azure_medicine_data_engineering_spark.operators.pdf_text import (
+        attach_pdf_payload,
+        pdf_extract_e2e,
+    )
+    from azure_medicine_data_engineering_spark.operators.robots import (
+        robots_gate_urls,
+    )
+    from azure_medicine_data_engineering_spark.operators.text_clean import (
+        c4_line_filter,
+        gopher_ok_all,
+    )
+    from azure_medicine_data_engineering_spark.sources.sitemap import (
+        attach_frontier_sitemap_payload,
+        sitemap_ingest_urls,
+    )
+    from azure_medicine_data_engineering_spark.sources.warc import (
+        attach_warc_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_frontier_sitemap_payload(docs, "doc_id", "text")
+    frontier = sitemap_ingest_urls(media).select(
+        "media_id",
+        "pos",
+        F.regexp_extract("loc", r"^https://h(\d+)\.example\.com", 1)
+        .cast("int")
+        .alias("host_idx"),
+        F.regexp_extract("loc", r"example\.com(/.*)$", 1).alias("path"),
+    ).persist()
+    gated = robots_gate_urls(frontier).persist()
+    fetched = (
+        gated.where("allowed").select("media_id").distinct().persist()
+    )
+    fdocs = docs.join(
+        fetched, docs.doc_id == fetched.media_id
+    ).select("doc_id", "text")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    page = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>T"),
+        F.substring(F.md5(F.col("text")), 1, 8),
+        F.lit(
+            '</title><script type="text/javascript">var p = "<p>NOISE</p>";'
+            "</script><style>p { color: red }</style></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit("</p><!-- crawler comment --></body></html>"),
+    )
+    html_docs = fdocs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", page.alias("page")
+    )
+    html_ext = warc_html_extract(
+        attach_warc_payload(html_docs, "doc_id", "page"), with_text=True
+    ).select("media_id", "extracted")
+    pdf_docs = fdocs.where(F.col("doc_id") % 3 == 0)
+    pdf_ext = pdf_extract_e2e(
+        attach_pdf_payload(pdf_docs, "doc_id", "text", 80, 4), with_text=True
+    ).select("media_id", "extracted")
+    ext = (
+        html_ext.unionByName(pdf_ext)
+        .where(F.length("extracted") > 0)
+        .persist()
+    )
+    c4 = c4_line_filter(ext, text_col="extracted", id_col="media_id")
+    s4 = c4.where(F.col("n_kept") >= 1).select("media_id", "clean_text").persist()
+    # thresholds tuned to the synthetic corpus profile (~54-word docs, a
+    # vocabulary that carries 'the' but few other Gopher stop words) so the
+    # stage separates instead of annihilating; the OPERATOR defaults stay
+    # the Gopher-paper values
+    s5 = s4.where(
+        gopher_ok_all(F.col("clean_text"), min_words=30, min_stop_hits=1)
+    ).persist()
+    w_dup = Window.partitionBy(F.md5("clean_text")).orderBy("media_id")
+    s6 = (
+        s5.withColumn("rn", F.row_number().over(w_dup))
+        .where(F.col("rn") == 1)
+        .select("media_id")
+    )
+
+    def row(df: DataFrame, idc: str, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.coalesce(F.sum(idc), F.lit(0)).cast("long").alias("sum_ids"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_out",
+            "sum_ids",
+        )
+
+    funnel = (
+        row(frontier, "media_id", 0, "frontier_urls")
+        .unionByName(row(gated.where("allowed"), "media_id", 1, "robots_allowed"))
+        .unionByName(row(fetched, "media_id", 2, "fetched_docs"))
+        .unionByName(row(ext, "media_id", 3, "extracted_docs"))
+        .unionByName(row(s4, "media_id", 4, "c4_line_clean"))
+        .unionByName(row(s5, "media_id", 5, "gopher_pass"))
+        .unionByName(row(s6, "media_id", 6, "exact_dedup"))
+    )
+    w = Window.orderBy("stage_id")
+    out = funnel.select(
+        "stage_id",
+        "stage",
+        "n_out",
+        F.coalesce(F.lag("n_out").over(w) - F.col("n_out"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+        "sum_ids",
+    )
+    out._stage_caches = [frontier, gated, fetched, ext, s4, s5]
+    return out

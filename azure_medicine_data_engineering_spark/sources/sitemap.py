@@ -211,3 +211,57 @@ def sitemap_ingest_urls(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, SITEMAP_ROWS_SCHEMA)
+
+
+def attach_frontier_sitemap_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Frontier-fixture variant of :func:`attach_sitemap_payload` (round
+    12, for the end-to-end crawl funnel): same URL count / lastmod /
+    priority / gzip rules, but the loc PATHS live in the robots-rule
+    space — ``operators/robots.doc_path`` over the digest nibbles at each
+    position — so the downstream REP gate actually bites (the '/s…' paths
+    of the plain fixture never match any fixture rule). Arrow
+    mapInPandas, no shuffle."""
+    from azure_medicine_data_engineering_spark.operators.robots import doc_path
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                did = int(i)
+                hexd = hashlib.md5(str(t).encode("utf-8")).hexdigest()
+                n = 1 + int(hexd[4], 16) % 4
+                urls = []
+                for k in range(n):
+                    urls.append(
+                        {
+                            "loc": (
+                                f"https://h{did % 7}.example.com"
+                                + doc_path(hexd[k:])
+                            ),
+                            "lastmod": "2024-01-%02d"
+                            % (1 + int(hexd[k + 1], 16)),
+                            "priority": "0.%d" % (int(hexd[k + 2], 16) % 10),
+                        }
+                    )
+                ids.append(did)
+                payloads.append(sitemap_write(urls, gz=(did % 2 == 0)))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "sitemap", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    ).mapInPandas(run, out_schema)
