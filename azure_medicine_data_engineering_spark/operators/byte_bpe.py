@@ -111,8 +111,10 @@ def byte_bpe_merge_train(
     dd = DELIM + DELIM
     caches: list[DataFrame] = []
     merges: list[DataFrame] = []
-    cur = words.persist()
-    caches.append(cur)
+    # per-round eager checkpoints, not a persist chain: with persists each
+    # later round's plan carries the whole earlier chain and per-round
+    # wall-clock grows (measured on the char-level trainer, round 12)
+    cur = words.localCheckpoint(eager=True)
     for i in range(1, n_merges + 1):
         toks = cur.select(
             F.split(F.expr("substring(s, 2, length(s) - 2)"), dd).alias("l"),
@@ -145,7 +147,7 @@ def byte_bpe_merge_train(
                 F.col("cnt").alias("pair_count"),
             )
         )
-        nxt = (
+        cur = (
             cur.crossJoin(F.broadcast(top))
             .select(
                 F.replace(
@@ -157,10 +159,8 @@ def byte_bpe_merge_train(
                 ).alias("s"),
                 "f",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        caches.append(nxt)
-        cur = nxt
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

@@ -155,6 +155,7 @@ def subword_vocab_candidates(
     top_k: int = 40,
     max_len: int = 4,
     text_col: str = "text",
+    words_freq: DataFrame | None = None,
 ) -> DataFrame:
     """WordPiece-style subword vocabulary induction, round one: corpus-wide
     frequencies of every candidate unit — word-initial prefixes bare,
@@ -165,7 +166,15 @@ def subword_vocab_candidates(
 
     Scale: tokenize + piece fan-out are map-only array expressions; one
     hash aggregation on the piece string (map-side combined), then
-    TakeOrderedAndProject for the top-k — never a full sort."""
+    TakeOrderedAndProject for the top-k — never a full sort.
+
+    ``words_freq`` (round 12): an optional pre-collapsed DISTINCT-word
+    frequency frame ``(_w, f)`` of the raw whitespace tokens; the piece
+    fan-out then runs per distinct word weighted by ``f`` — identical
+    counts, and on low-entropy corpora (31 distinct words across 270k
+    occurrences at sf0.1) the explode shrinks by four orders of
+    magnitude. Callers composing several tokenizer families share ONE
+    collapse (``tokenizer_family_report``)."""
     from pyspark.sql.window import Window
 
     pieces = F.expr(
@@ -181,12 +190,19 @@ def subword_vocab_candidates(
         )
         """
     )
-    counted = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
-        .select(F.explode(pieces).alias("piece"))
-        .groupBy("piece")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    if words_freq is not None:
+        counted = (
+            words_freq.select(F.explode(pieces).alias("piece"), "f")
+            .groupBy("piece")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+        )
+    else:
+        counted = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+            .select(F.explode(pieces).alias("piece"))
+            .groupBy("piece")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
     w = Window.orderBy(F.desc("cnt"), "piece")
     return (
         counted.orderBy(F.desc("cnt"), "piece")
@@ -214,6 +230,30 @@ def wordpiece_tokenize_stats(
     to the exploded corpus and aggregating JVM-side. The vocab itself is a
     model artifact (closure-captured set, like the hashed-linear weight
     table). Deterministic: pure string matching, no floats."""
+    words = wordpiece_word_pieces(
+        df.select(F.explode(tokens(F.col(text_col))).alias("w")).distinct(),
+        vocab,
+        max_len,
+    )
+    exploded = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    return (
+        exploded.join(words, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_pieces").cast("long").alias("n_pieces"),
+            F.sum("w_unk").cast("long").alias("n_unk"),
+        )
+    )
+
+
+def wordpiece_word_pieces(
+    words_df: DataFrame, vocab: list[str], max_len: int = 4
+) -> DataFrame:
+    """Greedy longest-match WordPiece segmentation of a DISTINCT-word
+    frame (column ``w``) -> ``(w, w_pieces, w_unk)`` — the Arrow kernel
+    shared by :func:`wordpiece_tokenize_stats` and the composed tokenizer
+    report (round 12). Whole-word [UNK] counts as one piece."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -245,20 +285,8 @@ def wordpiece_tokenize_stats(
                 }
             )
 
-    words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .distinct()
-        .mapInPandas(kernel, "w string, w_pieces long, w_unk long")
-    )
-    exploded = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
-    return (
-        exploded.join(words, "w")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("w_pieces").cast("long").alias("n_pieces"),
-            F.sum("w_unk").cast("long").alias("n_unk"),
-        )
+    return words_df.select("w").mapInPandas(
+        kernel, "w string, w_pieces long, w_unk long"
     )
 
 
@@ -267,6 +295,7 @@ def bpe_merge_train(
     n_merges: int = 12,
     text_col: str = "text",
     batch_k: int = 1,
+    words_freq: DataFrame | None = None,
 ) -> DataFrame:
     """BPE merge-loop tokenizer TRAINING (Sennrich et al. 2016): the
     iterative half of the subword story next to the counting pass
@@ -323,17 +352,30 @@ def bpe_merge_train(
     in rounds and the previous round's blocks are released on GC."""
     if batch_k > 1:
         return _bpe_merge_train_batched(df, n_merges, text_col, batch_k)
-    words = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
-        .where(F.col("_w").rlike("^[a-z]+$"))
-        .groupBy("_w")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-        .select(F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f")
-    )
+    if words_freq is not None:
+        # round 12: optional pre-collapsed (_w, f) frame, already
+        # lowercased and ^[a-z]+$-gated — shared-collapse composition
+        # (tokenizer_family_report); identical results by construction
+        words = words_freq.select(
+            F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f"
+        )
+    else:
+        words = (
+            df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+            .where(F.col("_w").rlike("^[a-z]+$"))
+            .groupBy("_w")
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+            .select(F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f")
+        )
     caches: list[DataFrame] = []
     merges: list[DataFrame] = []
-    cur = words.persist()
-    caches.append(cur)
+    # round 12: the WORD frame is eagerly checkpointed per round (not
+    # persisted) — with a persist chain each later round's plan carries
+    # the whole earlier chain through analysis and the final 12-way merge
+    # union, and per-round wall-clock GROWS (measured 0.6 s -> 1.8 s by
+    # round 12 at sf0.1); checkpoint leaves keep every round flat
+    # (~0.4 s) and the batched path already did exactly this
+    cur = words.localCheckpoint(eager=True)
     for i in range(1, n_merges + 1):
         toks = cur.select(
             F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|").alias("l"),
@@ -371,7 +413,7 @@ def bpe_merge_train(
                 F.col("cnt").alias("pair_count"),
             )
         )
-        nxt = (
+        cur = (
             cur.crossJoin(F.broadcast(top))
             .select(
                 F.replace(
@@ -383,10 +425,8 @@ def bpe_merge_train(
                 ).alias("s"),
                 "f",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        caches.append(nxt)
-        cur = nxt
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
