@@ -348,3 +348,45 @@ def flesch_kincaid_by_group(
             F.expr(FK_GRADE_EXPR).alias("fk_grade"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CJK / whitespace-free-script routing (round 12). Every word metric above
+# tokenizes on whitespace; on CJK text that silently collapses word counts
+# to sentence-chunk counts. These helpers make the failure mode EXPLICIT
+# (a detector + a unit counter that routes by script) so quality gates can
+# count the right unit instead of silently passing garbage counts.
+# ---------------------------------------------------------------------------
+
+#: CJK Unified Ideographs block as a literal char-class — the same UTF-8
+#: pattern text works in Java regex (Spark) and RE2 (DuckDB).
+CJK_RANGE_PATTERN = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+
+#: lowercase a-z -> the first 26 CJK Unified Ideographs: the deterministic
+#: transliteration the CJK fixture slice uses (shared with the SQL oracle).
+CJK_TRANSLATE_TO = "".join(chr(0x4E00 + i) for i in range(26))
+
+
+def cjk_char_count(text: Column) -> Column:
+    """Number of CJK-Unified-Ideograph characters in ``text``."""
+    return F.regexp_count(text, F.lit(CJK_RANGE_PATTERN)).cast("long")
+
+
+def script_route(text: Column, threshold_pct: int = 30) -> Column:
+    """'cjk' when at least ``threshold_pct`` percent of characters are CJK
+    ideographs, else 'latin' — integer comparison, no floats."""
+    return F.when(
+        100 * cjk_char_count(text) >= threshold_pct * F.length(text),
+        F.lit("cjk"),
+    ).otherwise(F.lit("latin"))
+
+
+def text_units(text: Column) -> Column:
+    """The quality-gate counting unit, routed by script: whitespace words
+    for latin text, CJK CHARACTERS for whitespace-free CJK text (the
+    standard char-grain proxy; whitespace tokenization would return ~1
+    'word' per unbroken CJK run)."""
+    ws_words = F.size(F.filter(F.split(text, r"\s+"), lambda x: x != ""))
+    return F.when(
+        script_route(text) == "cjk", cjk_char_count(text)
+    ).otherwise(ws_words.cast("long"))

@@ -1095,3 +1095,111 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._stage_caches = list(getattr(ks, "_stage_caches", []))
     return out
+
+
+# ---------------------------------------------------------------------------
+# CJK / whitespace-free-script routing (round 12).
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.operators.text_clean import (  # noqa: E402
+    CJK_RANGE_PATTERN,
+    CJK_TRANSLATE_TO,
+    cjk_char_count,
+    script_route,
+    text_units,
+)
+
+_ASCII_LC = "abcdefghijklmnopqrstuvwxyz"
+_CJK_STOPS_SQL = " + ".join(
+    f"CAST(list_contains(ws, '{sw}') AS INT)" for sw in GOPHER_STOP_WORDS
+)
+
+
+@register(
+    "gopher_quality_cjk_routed",
+    f"""
+    WITH t AS MATERIALIZED (
+      SELECT source,
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(translate(lower(text),
+                         '{_ASCII_LC}', '{CJK_TRANSLATE_TO}'), ' ', '')
+                  ELSE text END AS t2
+      FROM documents
+    ),
+    r AS (
+      SELECT source, t2,
+             len(regexp_extract_all(t2, '{CJK_RANGE_PATTERN}')) AS n_cjk,
+             CAST(len(list_filter(regexp_split_to_array(t2, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_ws,
+             list_filter(string_split(t2, ' '), x -> x <> '') AS ws
+      FROM t
+    ),
+    u AS (
+      SELECT source,
+             CASE WHEN 100 * n_cjk >= 30 * length(t2)
+                  THEN 'cjk' ELSE 'latin' END AS script,
+             n_ws,
+             CASE WHEN 100 * n_cjk >= 30 * length(t2)
+                  THEN CAST(n_cjk AS BIGINT) ELSE n_ws END AS units,
+             CASE WHEN 100 * n_cjk < 30 * length(t2)
+                       AND ({_CJK_STOPS_SQL}) >= 1
+                  THEN 1 ELSE 0 END AS stop_ok
+      FROM r
+    )
+    SELECT source, script,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(units) AS BIGINT) AS n_units,
+           CAST(SUM(CASE WHEN units BETWEEN 30 AND 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_len_ok,
+           CAST(SUM(stop_ok) AS BIGINT) AS n_stop_ok
+    FROM u GROUP BY source, script
+    """,
+)
+def q_gopher_quality_cjk_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-routed quality counting over a corpus with a CJK slice
+    (round 12 — the whitespace-free robustness gap): docs with
+    ``doc_id % 5 = 0`` are deterministically transliterated to
+    space-free CJK (a-z -> the first 26 Unified Ideographs, spaces
+    removed — the fixture slice), then every doc routes by script
+    (``>= 30%`` CJK chars) and counts the RIGHT unit — whitespace words
+    for latin, CJK CHARACTERS for CJK (`operators/text_clean.py:
+    text_units`). The report keeps ``n_ws_tokens`` alongside
+    ``n_units`` to make the documented failure mode visible: whitespace
+    tokenization collapses an unbroken CJK doc to ~1 'word'.
+    DOCUMENTED SEMANTICS: the English stop-word rule is script-specific
+    and reports 0 for the CJK route (``n_stop_ok`` counts latin docs
+    with >= 1 distinct Gopher stop word); length bounds apply to the
+    routed unit. Pure column algebra, one keyed aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    cjk_txt = F.replace(
+        F.translate(F.lower(F.col("text")), _ASCII_LC, CJK_TRANSLATE_TO),
+        F.lit(" "),
+        F.lit(""),
+    )
+    t2 = F.when(F.col("doc_id") % 5 == 0, cjk_txt).otherwise(F.col("text"))
+    base = d.select("source", t2.alias("t2"))
+    ws_words = F.size(
+        F.filter(F.split(F.col("t2"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    words_sp = F.filter(F.split(F.col("t2"), " "), lambda x: x != "")
+    stop_hits = sum(
+        F.array_contains(words_sp, sw).cast("int") for sw in GOPHER_STOP_WORDS
+    )
+    staged = base.select(
+        "source",
+        script_route(F.col("t2")).alias("script"),
+        ws_words.alias("n_ws"),
+        text_units(F.col("t2")).alias("units"),
+        (
+            (script_route(F.col("t2")) == "latin") & (stop_hits >= 1)
+        ).cast("int").alias("stop_ok"),
+    )
+    return staged.groupBy("source", "script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("units").cast("long").alias("n_units"),
+        F.sum(
+            ((F.col("units") >= 30) & (F.col("units") <= 100000)).cast("long")
+        ).cast("long").alias("n_len_ok"),
+        F.sum("stop_ok").cast("long").alias("n_stop_ok"),
+    )
