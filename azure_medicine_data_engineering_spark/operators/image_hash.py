@@ -245,9 +245,13 @@ def attach_family_png_payload(
             StructField("payload", BinaryType()),
         ]
     )
-    made = df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        run, out_schema
-    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    # single-file doc tables otherwise run the whole Python encode+hash
+    # chain on 1-2 cores (the crossJoin-replication pitfall's cousin)
+    made = ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col))
+    ).mapInPandas(run, out_schema)
     return made.withColumn("byte_len", F.length("payload").cast("int"))
 
 

@@ -104,6 +104,21 @@ HEADLINE3 = [
     "robots_allow_gate",
 ]
 
+#: Fourth frozen group (round 12): image perceptual-hash dedup, byte-level
+#: BPE, the KN-trigram router, the composed crawl funnel, CJK routing, and
+#: the (now shared-collapse) tokenizer report. Reported separately
+#: (headline4/value4); frozen from round 12 on.
+HEADLINE4 = [
+    "image_dhash_near_pairs",
+    "image_phash_near_pairs",
+    "image_hash_codes",
+    "byte_bpe_vocab_merges",
+    "kn_trigram_perplexity_by_source",
+    "crawl_e2e_frontier_docs",
+    "gopher_quality_cjk_routed",
+    "tokenizer_family_report",
+]
+
 
 #: Per-query repeat count; the headline time is the best of N runs, which
 #: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
@@ -227,6 +242,7 @@ def main() -> None:
     timings, medians = run_group(HEADLINE)
     timings2, medians2 = run_group(HEADLINE2)
     timings3, medians3 = run_group(HEADLINE3)
+    timings4, medians4 = run_group(HEADLINE4)
     load_after = tuple(round(x, 2) for x in os.getloadavg())
 
     total = round(sum(timings.values()), 3)
@@ -241,6 +257,8 @@ def main() -> None:
                 "queries2_median": medians2,
                 "queries3": timings3,
                 "queries3_median": medians3,
+                "queries4": timings4,
+                "queries4_median": medians4,
             }
         )
     )
@@ -260,6 +278,10 @@ def main() -> None:
                 # drift/mixing families
                 "value3": round(sum(timings3.values()), 3),
                 "value3_median": round(sum(medians3.values()), 3),
+                # fourth frozen group (round 12+): image-hash dedup,
+                # byte BPE, KN router, crawl funnel, CJK routing
+                "value4": round(sum(timings4.values()), 3),
+                "value4_median": round(sum(medians4.values()), 3),
                 "unit": "sec",
                 "flagship": "categorized_summary_fast",
                 "sf": sf,
