@@ -325,3 +325,45 @@ def q_image_hash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_perceptual_hashes(media).select(
         "media_id", "dhash_hex", "phash_hex"
     )
+
+
+@register(
+    "image_dhash_dedup_groups",
+    f"""WITH {_family_px_ctes(DH_W, DH_H)},{_dhash_hv_ctes(DH_W, DH_H)}
+    SELECT printf('%08x%08x', hi, lo) AS dhash_hex,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS representative
+    FROM hv GROUP BY hi, lo HAVING COUNT(*) >= 2
+    """,
+)
+def q_image_dhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dHash duplicate GROUPS — the image sibling of
+    ``exact_dedup_groups`` and the LINEAR-scale production dedup path:
+    one groupBy on the 64-bit hash (copies collapse to a count + min-id
+    representative), no pair enumeration. The round-12 100x diagnosis
+    motivates it: smooth images make dHash bits spatially correlated
+    (127,576 distinct hashes across 500k images at the perturbed 100x
+    replica; one 16-bit band chunk shared by 88k images), so the
+    pair-emitting query's candidate mass grows quadratically in the
+    natural collision load while this collapse stays one shuffle at any
+    scale. pHash's median threshold keeps its bands balanced (top chunk
+    6.8k there), so near-dup PAIR search at 100 TB should run pHash-first
+    and reserve dHash for group-collapse or verify stages."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+        image_perceptual_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_family_png_payload(docs, "doc_id", DH_W, DH_H)
+    return (
+        image_perceptual_hashes(media)
+        .groupBy("dhash_hex")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("media_id").cast("long").alias("representative"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
