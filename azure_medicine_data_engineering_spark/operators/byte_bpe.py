@@ -166,3 +166,54 @@ def byte_bpe_merge_train(
         out = out.unionByName(m)
     out._stage_caches = caches
     return out
+
+
+def byte_bpe_tokenize_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a trained byte-level merge table (the byte sibling of
+    ``text.bpe_tokenize_stats``): each word's UTF-8 byte-symbol string
+    gets the merges applied IN TRAINING ORDER as boundary-safe literal
+    replaces — a fixed chain of JVM string ops over the DISTINCT word
+    table, per-doc stats re-join the exploded corpus. Words pass the same
+    gate + multi-byte enrichment as training. Returns
+    ``(id, n_words, n_pieces)`` — and NO UNK column: byte-level serving
+    cannot fail (every byte is a base symbol), which is the operational
+    point of the byte alphabet."""
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+
+    dd = DELIM + DELIM
+    enrich = lambda c: F.replace(  # noqa: E731
+        F.replace(F.replace(c, F.lit("a"), F.lit("ä")), F.lit("e"), F.lit("日")),
+        F.lit("o"),
+        F.lit("ø"),
+    )
+    enc = byte_symbol_string(enrich(F.col("_w")))
+    for a, b in merges:
+        enc = F.replace(
+            enc, F.lit(f"{DELIM}{a}{dd}{b}{DELIM}"), F.lit(f"{DELIM}{a}{b}{DELIM}")
+        )
+    n_pieces = F.size(
+        F.split(F.expr("substring(_enc, 2, length(_enc) - 2)"), dd)
+    )
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+        .where(F.col("_w").rlike("^[a-z]+$"))
+        .distinct()
+        .select("_w", enc.alias("_enc"))
+        .select("_w", n_pieces.cast("long").alias("_np"))
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_w")
+    ).where(F.col("_w").rlike("^[a-z]+$"))
+    return (
+        exploded.join(words, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_np").cast("long").alias("n_pieces"),
+        )
+    )

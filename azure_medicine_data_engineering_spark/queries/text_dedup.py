@@ -2754,3 +2754,82 @@ def q_byte_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_bpe_merge_train(
         _t(spark, sf_dir, "documents"), n_merges=_BB_MERGES
     )
+
+
+def _byte_bpe_round_sql_cw(i: int) -> str:
+    """carry-word variant of _byte_bpe_round_sql (serving oracle joins
+    per-word piece counts back to the corpus)."""
+    return f"""
+    bp{i} AS (
+      SELECT t.l[r.j] AS a, t.l[r.j + 1] AS b, CAST(SUM(t.f) AS BIGINT) AS cnt
+      FROM (SELECT string_split(substring(s, 2, length(s) - 2), '{_BB_DD}') AS l, f
+            FROM bw{i - 1}) t,
+           LATERAL (SELECT unnest(range(1, len(t.l))) AS j) r
+      GROUP BY 1, 2
+    ),
+    bm{i} AS MATERIALIZED (SELECT a, b, cnt FROM bp{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    bw{i} AS MATERIALIZED (
+      SELECT w.wd, replace(w.s, '{_BB_D}' || m.a || '{_BB_DD}' || m.b || '{_BB_D}',
+                     '{_BB_D}' || m.a || m.b || '{_BB_D}') AS s, w.f
+      FROM bw{i - 1} w, bm{i} m
+    )"""
+
+
+@register(
+    "byte_bpe_tokenize_stats_docs",
+    f"""
+    WITH ut AS (SELECT {_BB_U} AS U),
+    bw0 AS MATERIALIZED (
+      SELECT w AS wd,
+             '{_BB_D}' || array_to_string(list_transform(
+               regexp_extract_all(hex(replace(replace(replace(
+                 w, 'a', 'ä'), 'e', '日'), 'o', 'ø')), '..'),
+               c -> U[('0x' || c)::INT + 1]), '{_BB_DD}') || '{_BB_D}' AS s, f
+      FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+      ) g, ut
+    ),
+    """
+    + ",".join(_byte_bpe_round_sql_cw(i) for i in range(1, _BB_MERGES + 1))
+    + f""",
+    pieces AS (
+      SELECT wd,
+             CAST(len(string_split(substring(s, 2, length(s) - 2), '{_BB_DD}'))
+                  AS BIGINT) AS np
+      FROM bw{_BB_MERGES}
+    ),
+    tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) t WHERE regexp_matches(w, '^[a-z]+$')
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_pieces
+    FROM tok JOIN pieces ON tok.w = pieces.wd
+    GROUP BY doc_id
+    """,
+)
+def q_byte_bpe_tokenize_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE SERVING (``operators/byte_bpe.py:
+    byte_bpe_tokenize_stats``): the 12 trained byte merges applied in
+    training order over the distinct-word table, per-doc piece counts via
+    the corpus re-join — and NO UNK column, because byte-level serving
+    cannot fail (every byte is a base symbol). Completes the byte
+    family's train+serve pair, mirroring the char-level
+    ``bpe_tokenize_stats_docs``."""
+    from azure_medicine_data_engineering_spark.operators.byte_bpe import (
+        byte_bpe_tokenize_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    trained = byte_bpe_merge_train(d, n_merges=_BB_MERGES)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in trained.orderBy("merge_idx").collect()
+    ]
+    return byte_bpe_tokenize_stats(d, merges)

@@ -66,6 +66,45 @@ def test_multibyte_merge_unrepresentable_by_char_bpe(spark):
         assert ord(c) < 0x144  # BMP, below the 256+68 table ceiling
 
 
+def test_serving_matches_training_segmentation(spark):
+    """Serving applies merges in training order over the same delimited
+    encoding, so on the TRAINING corpus the per-word piece counts must
+    equal what the trainer's final word frame holds — and no UNK exists
+    at byte level by construction."""
+    from azure_medicine_data_engineering_spark.operators.byte_bpe import (
+        byte_bpe_tokenize_stats,
+    )
+
+    rows = [(1, "the cat sat"), (2, "the cat ate food"), (3, "zebra zebra the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    trained = byte_bpe_merge_train(df, n_merges=6)
+    merges = [(r.left_sym, r.right_sym) for r in trained.orderBy("merge_idx").collect()]
+    got = {r.doc_id: (r.n_words, r.n_pieces)
+           for r in byte_bpe_tokenize_stats(df, merges).collect()}
+    # naive: replay training to the final state, read piece counts per word
+    freqs: Counter = Counter()
+    for _, t in rows:
+        for w in t.split():
+            freqs[w.replace("a", "ä").replace("e", "日").replace("o", "ø")] += 1
+    table = gpt2_bytes_to_unicode()
+    dd = DELIM + DELIM
+    state = {
+        w: DELIM + dd.join(table[b] for b in w.encode()) + DELIM for w in freqs
+    }
+    for _, a, b, _c in _naive_byte_bpe(dict(freqs), 6):
+        state = {
+            w: s.replace(DELIM + a + dd + b + DELIM, DELIM + a + b + DELIM)
+            for w, s in state.items()
+        }
+    np_of = {w: len(s[1:-1].split(dd)) for w, s in state.items()}
+    for did, t in rows:
+        ws = [
+            w.replace("a", "ä").replace("e", "日").replace("o", "ø")
+            for w in t.split()
+        ]
+        assert got[did] == (len(ws), sum(np_of[w] for w in ws))
+
+
 def test_matches_naive_reference_on_multibyte_corpus(spark):
     corpus = [
         ("the cat sat on the mat",),
