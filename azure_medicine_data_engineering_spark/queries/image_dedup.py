@@ -367,3 +367,52 @@ def q_image_dhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") >= 2)
     )
+
+
+@register(
+    "image_phash_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_family_px_ctes(PH_W, PH_H)},{_phash_hv_ctes(PH_W, PH_H)},
+    bands AS MATERIALIZED (
+      SELECT doc_id, hi, lo,
+             unnest([hi // 65536, hi % 65536, lo // 65536, lo % 65536]) AS chunk,
+             unnest([0, 1, 2, 3]) AS band
+      FROM hv
+    ),
+    prs AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    mins AS (SELECT src AS id, MIN(dst) AS mr FROM reach GROUP BY src)
+    SELECT LEAST(d.doc_id, COALESCE(m.mr, d.doc_id)) AS cluster_id,
+           d.doc_id,
+           d.doc_id = LEAST(d.doc_id, COALESCE(m.mr, d.doc_id)) AS is_representative
+    FROM documents d LEFT JOIN mins m ON d.doc_id = m.id
+    """,
+)
+def q_image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup pairs resolved into image dedup CLUSTERS via the
+    shared min-label-propagation connected components
+    (`operators/clusters.py:dedup_clusters` — the same resolution the text
+    LSH family uses): every image appears once, representative = min id,
+    singletons keep themselves. Completes the image modality's parity with
+    text/embedding dedup (pairs -> clusters -> representatives). Oracle:
+    recursive-CTE transitive closure over the identical banded pair set."""
+    from azure_medicine_data_engineering_spark.operators.clusters import (
+        dedup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _hashed_pairs(spark, sf_dir, PH_W, PH_H, "phash_hi", "phash_lo")
+    return dedup_clusters(docs.select("doc_id"), pairs)
