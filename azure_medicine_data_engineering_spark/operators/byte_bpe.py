@@ -109,7 +109,6 @@ def byte_bpe_merge_train(
     )
     words = enriched.select(byte_symbol_string(F.col("w")).alias("s"), "f")
     dd = DELIM + DELIM
-    caches: list[DataFrame] = []
     merges: list[DataFrame] = []
     # per-round eager checkpoints, not a persist chain: with persists each
     # later round's plan carries the whole earlier chain and per-round
@@ -164,7 +163,6 @@ def byte_bpe_merge_train(
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    out._stage_caches = caches
     return out
 
 

@@ -97,19 +97,26 @@ def _pattern_matches(pattern: str, path: str) -> bool:
     return re.match(rx, path) is not None
 
 
-def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
-    """Longest-match decision over parsed rules; Allow wins length ties;
-    no match → allowed."""
+def match_decision(rules: list[tuple[bool, str]], path: str) -> tuple[int, bool]:
+    """Longest-match REP decision: ``(winning_rule_len, allowed)``, with
+    ``(-1, True)`` when no rule matches. Allow wins length ties (the
+    max over ``(length, is_allow)`` tuples — True > False). The single
+    implementation behind :func:`robots_allowed`, :func:`robots_gate`
+    and :func:`robots_gate_urls`."""
     cands = [
         (len(p.rstrip("$")), al)
         for al, p in rules
         if _pattern_matches(p, path)
     ]
     if not cands:
-        return True
-    # max over (length, is_allow): longest wins, and at equal length the
-    # tuple ordering (True > False) implements the Allow-wins-ties rule
-    return max(cands)[1]
+        return -1, True
+    return max(cands)
+
+
+def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Longest-match decision over parsed rules; Allow wins length ties;
+    no match → allowed."""
+    return match_decision(rules, path)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -180,16 +187,7 @@ def robots_gate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
                 hexd = hashlib.md5(str(t).encode("utf-8")).hexdigest()
                 k = did % N_HOSTS
                 path = doc_path(hexd)
-                rules = rules_cache[k]
-                cands = [
-                    (len(p.rstrip("$")), al)
-                    for al, p in rules
-                    if _pattern_matches(p, path)
-                ]
-                if cands:
-                    ln, allowed = max(cands)
-                else:
-                    ln, allowed = -1, True
+                ln, allowed = match_decision(rules_cache[k], path)
                 rows.append((did, "h%d.example.com" % k, path, allowed, ln))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "host", "path", "allowed", "rule_len"]
@@ -233,16 +231,7 @@ def robots_gate_urls(df: DataFrame) -> DataFrame:
             for mid, pos, k, path in zip(
                 pdf["media_id"], pdf["pos"], pdf["host_idx"], pdf["path"]
             ):
-                rules = rules_cache[int(k) % N_HOSTS]
-                cands = [
-                    (len(p.rstrip("$")), al)
-                    for al, p in rules
-                    if _pattern_matches(p, path)
-                ]
-                if cands:
-                    ln, allowed = max(cands)
-                else:
-                    ln, allowed = -1, True
+                ln, allowed = match_decision(rules_cache[int(k) % N_HOSTS], path)
                 rows.append((int(mid), int(pos), int(k), path, allowed, ln))
             yield pd.DataFrame(
                 rows,

@@ -97,7 +97,7 @@ def _funnel_oracle() -> str:
       WHERE GREATEST(s1, s2, s3) = -1 OR s2 = GREATEST(s1, s2, s3)
     ),
     fetched AS MATERIALIZED (SELECT DISTINCT doc_id FROM ok_urls),
-    ext AS MATERIALIZED (
+    ext0 AS MATERIALIZED (
       SELECT m.doc_id,
              CASE WHEN m.doc_id % 3 <> 0 THEN
                'T' || hex8 || chr(10) || 'Doc ' || CAST(m.doc_id AS VARCHAR)
@@ -112,6 +112,11 @@ def _funnel_oracle() -> str:
                        ELSE '' END
              END AS extracted
       FROM m JOIN fetched USING (doc_id)
+    ),
+    -- mirrors the Spark side's non-empty gate (dead on current fixtures,
+    -- but an unmirrored predicate is a latent parity break)
+    ext AS MATERIALIZED (
+      SELECT doc_id, extracted FROM ext0 WHERE length(extracted) > 0
     ),
     s4 AS MATERIALIZED (
       SELECT doc_id,

@@ -415,4 +415,8 @@ def q_image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = _hashed_pairs(spark, sf_dir, PH_W, PH_H, "phash_hi", "phash_lo")
-    return dedup_clusters(docs.select("doc_id"), pairs)
+    out = dedup_clusters(docs.select("doc_id"), pairs)
+    # propagate the pairs frame's persisted hash frame so the gate/bench
+    # harness unpersists it (stage-cache convention)
+    out._stage_caches = list(getattr(pairs, "_stage_caches", []))
+    return out

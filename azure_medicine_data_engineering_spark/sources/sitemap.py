@@ -114,12 +114,13 @@ def sitemap_write(urls: list[dict], index: bool = False, gz: bool = False) -> by
     return data
 
 
-def attach_sitemap_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Deterministic sitemap fixture per document: 1 + (b4 % 4) URLs on
-    the doc's ``h<doc_id%7>.example.com`` host (paths from digest
-    nibbles), lastmod = a January-2024 day from the digest, priority on
-    the 0.1 grid; even doc ids ship gzipped (.xml.gz transport). Arrow
-    mapInPandas, no shuffle."""
+def _attach_sitemap(df: DataFrame, id_col: str, text_col: str, path_fn) -> DataFrame:
+    """Shared sitemap-fixture kernel: 1 + (b4 % 4) URLs on the doc's
+    ``h<doc_id%7>.example.com`` host, lastmod = a January-2024 day from
+    the digest, priority on the 0.1 grid; even doc ids ship gzipped
+    (.xml.gz transport). ``path_fn(did, hexd, k)`` builds the loc path —
+    the ONLY difference between the fixture variants. Arrow mapInPandas,
+    no shuffle."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -135,8 +136,8 @@ def attach_sitemap_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
                     urls.append(
                         {
                             "loc": (
-                                f"https://h{did % 7}.example.com/s"
-                                f"{int(hexd[k], 16)}/page{hexd[k + 5]}"
+                                f"https://h{did % 7}.example.com"
+                                + path_fn(did, hexd, k)
                             ),
                             "lastmod": "2024-01-%02d"
                             % (1 + int(hexd[k + 1], 16)),
@@ -161,6 +162,17 @@ def attach_sitemap_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
     return ensure_parallelism(
         df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
     ).mapInPandas(run, out_schema)
+
+
+def attach_sitemap_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic sitemap fixture per document (shared kernel
+    :func:`_attach_sitemap`; '/s<nibble>/page<hex>' paths)."""
+    return _attach_sitemap(
+        df,
+        id_col,
+        text_col,
+        lambda did, hexd, k: f"/s{int(hexd[k], 16)}/page{hexd[k + 5]}",
+    )
 
 
 SITEMAP_ROWS_SCHEMA = StructType(
@@ -221,47 +233,10 @@ def attach_frontier_sitemap_payload(
     priority / gzip rules, but the loc PATHS live in the robots-rule
     space — ``operators/robots.doc_path`` over the digest nibbles at each
     position — so the downstream REP gate actually bites (the '/s…' paths
-    of the plain fixture never match any fixture rule). Arrow
-    mapInPandas, no shuffle."""
+    of the plain fixture never match any fixture rule). Shared kernel
+    :func:`_attach_sitemap`; Arrow mapInPandas, no shuffle."""
     from azure_medicine_data_engineering_spark.operators.robots import doc_path
 
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                did = int(i)
-                hexd = hashlib.md5(str(t).encode("utf-8")).hexdigest()
-                n = 1 + int(hexd[4], 16) % 4
-                urls = []
-                for k in range(n):
-                    urls.append(
-                        {
-                            "loc": (
-                                f"https://h{did % 7}.example.com"
-                                + doc_path(hexd[k:])
-                            ),
-                            "lastmod": "2024-01-%02d"
-                            % (1 + int(hexd[k + 1], 16)),
-                            "priority": "0.%d" % (int(hexd[k + 2], 16) % 10),
-                        }
-                    )
-                ids.append(did)
-                payloads.append(sitemap_write(urls, gz=(did % 2 == 0)))
-            yield pd.DataFrame(
-                {"media_id": ids, "media_type": "sitemap", "payload": payloads}
-            )
-
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
+    return _attach_sitemap(
+        df, id_col, text_col, lambda did, hexd, k: doc_path(hexd[k:])
     )
-    from azure_medicine_data_engineering_spark.session import ensure_parallelism
-
-    return ensure_parallelism(
-        df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
-    ).mapInPandas(run, out_schema)

@@ -87,9 +87,7 @@ def test_with_text_variants_match_md5(spark):
     assert pout.n_chars == len(pout.extracted)
 
 
-def test_funnel_monotone_and_nontrivial(spark, tmp_path):
-    import shutil
-
+def test_funnel_monotone_and_nontrivial(spark):
     # run the registered query against the sf0.001 tables
     from azure_medicine_data_engineering_spark.queries.crawl_funnel import (
         q_crawl_e2e_frontier_docs,

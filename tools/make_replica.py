@@ -41,16 +41,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def replicate(df, key_cols: dict[str, int], n: int):
-    """n key-offset copies (tools/stress.py:replicate — inlined because
-    stress.py parses sys.argv at import time)."""
-    rep = df.crossJoin(F.broadcast(
-        df.sparkSession.range(n).select(F.col("id").alias("__copy"))
-    ))
-    for col, offset in key_cols.items():
-        rep = rep.withColumn(col, F.col(col) + F.col("__copy") * F.lit(offset))
-    return rep.drop("__copy")
-
 #: fact table -> key columns to offset per copy
 FACT_KEYS = {
     "lineitem": {"l_orderkey": 10_000_000},
@@ -67,47 +57,32 @@ def perturb_documents_text(rep, prob_denom: int = 10):
     """Seeded token noise for copies > 0 (requires the still-present
     ``__copy`` column): token t at copy c of doc d rewrites to
     ``t~<hexchar>`` iff md5('t:d:c') lands in the 1/prob_denom slice.
-    Pure JVM expressions; copy 0 stays byte-identical to the source."""
+    Pure JVM expressions; copy 0 stays byte-identical to the source.
+    The digest binds ONCE per token via a struct stage — subexpression
+    elimination is unreliable inside higher-order when/otherwise
+    branches, and this hash dominates the fact-sized 100x build."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    staged = F.transform(
+        toks,
+        lambda t: F.struct(
+            t.alias("t"),
+            F.md5(
+                F.concat_ws(":", t, F.col("doc_id"), F.col("__copy"))
+            ).alias("h"),
+        ),
+    )
+    rewritten = F.transform(
+        staged,
+        lambda s: F.when(
+            F.conv(F.substring(s["h"], 1, 4), 16, 10).cast("long") % prob_denom
+            == 0,
+            F.concat(s["t"], F.lit("~"), F.substring(s["h"], 5, 1)),
+        ).otherwise(s["t"]),
+    )
     return rep.withColumn(
         "text",
         F.when(F.col("__copy") == 0, F.col("text")).otherwise(
-            F.array_join(
-                F.transform(
-                    F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""),
-                    lambda t: F.when(
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(
-                                        ":", t, F.col("doc_id"), F.col("__copy")
-                                    )
-                                ),
-                                1,
-                                4,
-                            ),
-                            16,
-                            10,
-                        )
-                        .cast("long")
-                        % prob_denom
-                        == 0,
-                        F.concat(
-                            t,
-                            F.lit("~"),
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(
-                                        ":", t, F.col("doc_id"), F.col("__copy")
-                                    )
-                                ),
-                                5,
-                                1,
-                            ),
-                        ),
-                    ).otherwise(t),
-                ),
-                " ",
-            )
+            F.array_join(rewritten, " ")
         ),
     )
 
