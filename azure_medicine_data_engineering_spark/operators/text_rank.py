@@ -1100,31 +1100,18 @@ KN_LP_EXPR = (
 KN_LPU_EXPR = f"CAST(ROUND(({KN_LP_EXPR}) * 1e6) AS BIGINT)"
 
 
-def kn_trigram_logprob_by_group(
+def kn_trigram_doc_nll(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-slice corpus-self perplexity under an interpolated Kneser-Ney
-    TRIGRAM LM — the CCNet router's published model class, two rungs above
-    :func:`unigram_logprob_scores` (which cannot see order) and one above
-    :func:`bigram_logprob_scores` (add-k smoothing; KN's continuation
-    counts generalize far better on rare contexts). Trigram positions are
-    document-interior (no BOS/EOS padding); docs under 3 tokens contribute
-    nothing. Returns ``(g, n_docs, n_trigrams, nll_micro)`` with the NLL
-    mean on the 1e-6 integer grid (micro-grid sum in DECIMAL(38,0),
-    integer division — the repo's order-free, engine-exact mean).
-
-    Scale: one trigram explode feeds (a) the DISTINCT-TRIGRAM model table
-    — the only persisted frame, the LM's count table (at 100 TB this is
-    the frame a production run would materialize to parquet; every count
-    CTE derives from it, never from a raw re-scan) — and (b) the scoring
-    join. All KN quantities (context sums, continuation counts) are keyed
-    groupBys of that table; the single scalar (``nal``) broadcasts. The
-    per-token cost is exactly one token-grain join into the
-    trigram-keyed lpu table, the same honest cost class as
-    ``ccnet_perplexity_buckets``."""
+    """DOC-grain Kneser-Ney trigram NLL frame ``(id, g, n_trigrams, slpu,
+    nll)`` — the shared core of :func:`kn_trigram_logprob_by_group` and
+    the router-delta comparison (``slpu`` stays DECIMAL(38,0) so group
+    re-aggregation sums the exact integers, not per-doc means). See the
+    by-group function for the model/exactness/scale story; the persisted
+    distinct-trigram model table rides ``_stage_caches``."""
     from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
     from azure_medicine_data_engineering_spark.operators.text import tokens
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
@@ -1177,11 +1164,51 @@ def kn_trigram_logprob_by_group(
     )
     out = (
         tri.join(lpu, tri.tri == lpu.tri_k)
-        .groupBy("g")
+        .groupBy(id_col, "g")
         .agg(
-            F.count_distinct(id_col).cast("long").alias("n_docs"),
             F.count(F.lit(1)).cast("long").alias("n_trigrams"),
             F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu"),
+        )
+        .selectExpr(
+            id_col, "g", "n_trigrams", "slpu", "(-slpu) div n_trigrams AS nll"
+        )
+    )
+    out._stage_caches = [t3]
+    return out
+
+
+def kn_trigram_logprob_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice corpus-self perplexity under an interpolated Kneser-Ney
+    TRIGRAM LM — the CCNet router's published model class, two rungs above
+    :func:`unigram_logprob_scores` (which cannot see order) and one above
+    :func:`bigram_logprob_scores` (add-k smoothing; KN's continuation
+    counts generalize far better on rare contexts). Trigram positions are
+    document-interior (no BOS/EOS padding); docs under 3 tokens contribute
+    nothing. Returns ``(g, n_docs, n_trigrams, nll_micro)`` with the NLL
+    mean on the 1e-6 integer grid (micro-grid sum in DECIMAL(38,0),
+    integer division — the repo's order-free, engine-exact mean).
+
+    Scale: one trigram explode feeds (a) the DISTINCT-TRIGRAM model table
+    — the only persisted frame, the LM's count table (at 100 TB this is
+    the frame a production run would materialize to parquet; every count
+    CTE derives from it, never from a raw re-scan) — and (b) the scoring
+    join. All KN quantities (context sums, continuation counts) are keyed
+    groupBys of that table; the single scalar (``nal``) broadcasts. The
+    per-token cost is exactly one token-grain join into the
+    trigram-keyed lpu table, the same honest cost class as
+    ``ccnet_perplexity_buckets``."""
+    doc = kn_trigram_doc_nll(df, group_col, text_col, id_col)
+    out = (
+        doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_trigrams").cast("long").alias("n_trigrams"),
+            F.sum("slpu").alias("slpu"),
         )
         .selectExpr(
             "g",
@@ -1190,5 +1217,118 @@ def kn_trigram_logprob_by_group(
             "(-slpu) div n_trigrams AS nll_micro",
         )
     )
-    out._stage_caches = [t3]
+    out._stage_caches = list(getattr(doc, "_stage_caches", []))
+    return out
+
+
+def _exact_tercile_cuts(doc_frame: DataFrame, val_col: str) -> DataFrame:
+    """Exact per-slice tercile cut points ``(g, t1, t2)`` over a doc-grain
+    integer column — the ccnet_perplexity_buckets order-statistic rule
+    (``t_q = min{v : cum(v) >= ceil(q*n)}``, never a sketch), on
+    group-KEYED windows via ``rankstats.grouped_ranked_value_counts``."""
+    from azure_medicine_data_engineering_spark.functions.rankstats import (
+        grouped_ranked_value_counts,
+    )
+
+    ranked = grouped_ranked_value_counts(
+        doc_frame.select("g", F.col(val_col).alias("v0")), "g", "v0"
+    )
+    cum = ranked.selectExpr("g", "v", "cnt_less + c_all AS cum")
+    n_g = doc_frame.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        cum.join(F.broadcast(n_g), "g")
+        .groupBy("g")
+        .agg(
+            F.min(F.when(F.expr("cum >= (1 * n + 2) div 3"), F.col("v"))).alias("t1"),
+            F.min(F.when(F.expr("cum >= (2 * n + 2) div 3"), F.col("v"))).alias("t2"),
+        )
+    )
+    out._stage_caches = list(getattr(ranked, "_stage_caches", []))
+    return out
+
+
+def ccnet_router_model_delta(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """How many routing decisions CHANGE when the CCNet router upgrades
+    from the unigram score to the Kneser-Ney trigram (the round-12
+    completion of the model-delta ask): both models score the SAME
+    population (docs with >= 3 tokens — the KN-scoreable set), each
+    model's head/middle/tail terciles are computed exactly over that
+    population per slice, and the report counts per slice how many docs
+    keep their bucket vs move — split by direction (``n_kn_stricter`` =
+    KN routes the doc to a WORSE bucket than unigram; shuffled-order junk
+    with plausible unigrams moves exactly this way). Returns
+    ``(g, n_docs, n_same, n_kn_stricter, n_kn_looser)``.
+
+    Scale: the KN side is :func:`kn_trigram_doc_nll` (one trigram-keyed
+    join); the unigram side is one token-keyed join; the joined doc-grain
+    population frame is persisted (small — id/g/two integers) because
+    four consumers read it (two tercile builds, the bucket join, the
+    final counts); tercile state is (slice, distinct-NLL) grain."""
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    kn_doc = kn_trigram_doc_nll(df, group_col, text_col, id_col)
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lpu = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("lpu"),
+    )
+    uni_doc = (
+        tok.join(lpu, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu_u"),
+        )
+        .selectExpr(id_col, "(-slpu_u) div n_tokens AS nu")
+    )
+    pop = (
+        kn_doc.select(id_col, "g", F.col("nll").alias("nk"))
+        .join(uni_doc, id_col)
+        .persist()
+    )
+    cuts_k = _exact_tercile_cuts(pop.select("g", "nk"), "nk")
+    cuts_u = _exact_tercile_cuts(pop.select("g", "nu"), "nu")
+
+    def rank(val: str, t1: str, t2: str):
+        return (
+            F.when(F.col(val) <= F.col(t1), F.lit(0))
+            .when(F.col(val) <= F.col(t2), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    ck = cuts_k.select(F.col("g").alias("gk"), F.col("t1").alias("k1"), F.col("t2").alias("k2"))
+    cu = cuts_u.select(F.col("g").alias("gu"), F.col("t1").alias("u1"), F.col("t2").alias("u2"))
+    staged = (
+        pop.join(F.broadcast(ck), pop.g == ck.gk)
+        .join(F.broadcast(cu), pop.g == cu.gu)
+        .select(
+            "g",
+            rank("nk", "k1", "k2").alias("rk"),
+            rank("nu", "u1", "u2").alias("ru"),
+        )
+    )
+    out = staged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("rk") == F.col("ru")).cast("long")).cast("long").alias("n_same"),
+        F.sum((F.col("rk") > F.col("ru")).cast("long")).cast("long").alias("n_kn_stricter"),
+        F.sum((F.col("rk") < F.col("ru")).cast("long")).cast("long").alias("n_kn_looser"),
+    )
+    out._stage_caches = (
+        list(getattr(kn_doc, "_stage_caches", []))
+        + [pop]
+        + list(getattr(cuts_k, "_stage_caches", []))
+        + list(getattr(cuts_u, "_stage_caches", []))
+    )
     return out

@@ -1957,3 +1957,110 @@ def q_kn_trigram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     return kn_trigram_logprob_by_group(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ccnet_router_model_delta",
+    f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, source AS g, {_TOKS.format(t='text')} AS w FROM documents
+    ),
+    tri AS MATERIALIZED (
+      SELECT doc_id, g, t.w[r.i] || ' ' || t.w[r.i + 1] || ' ' || t.w[r.i + 2] AS tg
+      FROM tk t, LATERAL (SELECT unnest(range(1, len(t.w) - 1)) AS i) r
+    ),
+    t3 AS MATERIALIZED (
+      SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3,
+             string_split(tg, ' ')[1] AS a,
+             string_split(tg, ' ')[2] AS b,
+             string_split(tg, ' ')[3] AS c
+      FROM tri GROUP BY tg
+    ),
+    ab AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(c3) AS BIGINT) AS cab, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM t3 GROUP BY a, b
+    ),
+    bc AS MATERIALIZED (
+      SELECT b, c, CAST(COUNT(*) AS BIGINT) AS nbc FROM t3 GROUP BY b, c
+    ),
+    bb AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS nbb,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nbl
+      FROM t3 GROUP BY b
+    ),
+    c1 AS MATERIALIZED (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n1c FROM bc GROUP BY c
+    ),
+    na AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nal FROM bc),
+    lpu AS MATERIALIZED (
+      SELECT t3.tg AS tg_k, {_KN_LPU} AS lpu
+      FROM t3 JOIN ab USING (a, b) JOIN bc USING (b, c)
+              JOIN bb USING (b) JOIN c1 USING (c), na
+    ),
+    kdoc AS MATERIALIZED (
+      SELECT tri.doc_id, tri.g,
+             CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nk
+      FROM tri JOIN lpu l ON tri.tg = l.tg_k GROUP BY tri.doc_id, tri.g
+    ),
+    utk AS MATERIALIZED (
+      SELECT doc_id, unnest(w) AS tok FROM tk
+    ),
+    uv AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM utk GROUP BY tok),
+    ut AS (SELECT SUM(cnt) AS total FROM uv),
+    ulpu AS MATERIALIZED (
+      SELECT tok, CAST(ROUND(ln(cnt / (total * 1e0)) * 1e6) AS BIGINT) AS lpu
+      FROM uv, ut
+    ),
+    udoc AS MATERIALIZED (
+      SELECT u.doc_id, CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nu
+      FROM utk u JOIN ulpu l USING (tok) GROUP BY u.doc_id
+    ),
+    pop AS MATERIALIZED (
+      SELECT kdoc.doc_id, g, nk, nu FROM kdoc JOIN udoc USING (doc_id)
+    ),
+    cutk AS MATERIALIZED (
+      SELECT g,
+        MIN(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS k1,
+        MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS k2
+      FROM (
+        SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM (SELECT g, nk AS v, COUNT(*) AS c FROM pop GROUP BY g, nk)
+      ) GROUP BY g
+    ),
+    cutu AS MATERIALIZED (
+      SELECT g,
+        MIN(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS u1,
+        MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS u2
+      FROM (
+        SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM (SELECT g, nu AS v, COUNT(*) AS c FROM pop GROUP BY g, nu)
+      ) GROUP BY g
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk = ru THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN rk > ru THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kn_stricter,
+           CAST(SUM(CASE WHEN rk < ru THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kn_looser
+    FROM (
+      SELECT pop.g,
+        CASE WHEN nk <= k1 THEN 0 WHEN nk <= k2 THEN 1 ELSE 2 END AS rk,
+        CASE WHEN nu <= u1 THEN 0 WHEN nu <= u2 THEN 1 ELSE 2 END AS ru
+      FROM pop JOIN cutk USING (g) JOIN cutu USING (g)
+    ) GROUP BY g
+    """,
+)
+def q_ccnet_router_model_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-decision delta between the unigram score and the KN
+    trigram (``operators/text_rank.py:ccnet_router_model_delta``): both
+    models score the KN-scoreable population, exact per-slice terciles
+    each, and the report counts kept vs moved buckets per slice split by
+    direction — the number that says what upgrading the router's model
+    actually changes."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        ccnet_router_model_delta,
+    )
+
+    return ccnet_router_model_delta(_t(spark, sf_dir, "documents"))

@@ -83,6 +83,31 @@ def test_matches_naive_reference(spark):
     assert got == want
 
 
+def test_router_delta_flags_shuffled_doc_as_kn_stricter(spark):
+    """The planted shuffled-order doc keeps its unigram bucket (same token
+    multiset as the dominant phrasing) but the KN trigram routes it to a
+    worse tercile — it shows up in n_kn_stricter, nowhere else."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        ccnet_router_model_delta,
+    )
+
+    nat = "the quick brown fox jumps over the lazy dog near the old barn"
+    toks = nat.split()
+    shuf = " ".join(toks[::-1][3:] + toks[::-1][:3])
+    alt = "a calm red hen walks under a tall tree by a deep well today"
+    rows = (
+        [(i, "s", nat) for i in range(10)]
+        + [(50 + i, "s", alt) for i in range(10)]
+        + [(100, "s", shuf)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.g: r for r in ccnet_router_model_delta(df).collect()}
+    r = out["s"]
+    assert r.n_docs == 21
+    assert r.n_kn_stricter >= 1  # the scrambled doc moved down
+    assert r.n_same + r.n_kn_stricter + r.n_kn_looser == r.n_docs
+
+
 def test_shuffled_order_detected_where_unigram_is_blind(spark):
     """Source 'shuf' holds the SAME token multiset as 'nat' but with word
     order scrambled: unigram NLL is identical by construction, the KN
