@@ -1,0 +1,126 @@
+"""Audio perceptual-fingerprint dedup queries (round 12 — the last
+modality in the dedup family; see ``operators/audio_hash.py``).
+
+Same oracle discipline as the image family: the WAV fixture PCM is a
+closed form of doc_id (md5 lattice -> 1-D integer value noise -> variant
+bump), the fingerprint is all-integer (Q15 filter bank inlined as
+literals, |coef| magnitudes, difference signs), so the oracle replays
+PCM -> band magnitudes -> bits -> banded pair search bit-for-bit. The
+per-doc bump crosses an ``abs()`` so it cannot fold through the algebra
+like the image bump — the oracle simply computes per doc (≈9k integer
+ops, cheap at every sweep scale).
+
+Pair search and its pigeonhole-exactness argument are shared with the
+image family (``image_hash.hamming_near_pairs``; band-join == brute-force
+pinned in ``tests/test_image_hash.py`` on the generic operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from azure_medicine_data_engineering_spark.operators.audio_hash import (
+    AUDIO_COS_Q15,
+    FRAME,
+    MIN_SAMPLES,
+    N_BANDS,
+    N_FRAMES,
+)
+from azure_medicine_data_engineering_spark.queries.image_dedup import (
+    _PAIRS_TAIL,
+    _bits_to_halves,
+)
+from azure_medicine_data_engineering_spark.queries.registry import (
+    register,
+    table as _t,
+)
+
+_ACT = str([v for row in AUDIO_COS_Q15 for v in row])
+_N = MIN_SAMPLES
+_SCALE = _N - 1  # lattice interpolation span
+
+
+def _fp_hv_ctes() -> str:
+    """CTEs ``lat``/``pcm``/``ee``/``hv``: per-doc PCM closed form, band
+    magnitudes, H-K difference bits as (hi, lo)."""
+    fu = f"(k * {15 * 256} // {_SCALE})"
+    s_expr = (
+        f"(((256 - {fu} % 256) * B[{fu} // 256 + 1]"
+        f" + ({fu} % 256) * B[LEAST({fu} // 256 + 1, 15) + 1]) // 256 - 128)"
+        f" * 200 + CASE WHEN k < 8 THEN (doc_id % 4) * 50 ELSE 0 END"
+    )
+    bit = (
+        f"CASE WHEN (ee[(@I@ // 8 + 1) * {N_BANDS} + @I@ % 8 + 1]"
+        f" - ee[(@I@ // 8 + 1) * {N_BANDS} + @I@ % 8 + 2])"
+        f" - (ee[(@I@ // 8) * {N_BANDS} + @I@ % 8 + 1]"
+        f" - ee[(@I@ // 8) * {N_BANDS} + @I@ % 8 + 2]) > 0 THEN 1 ELSE 0 END"
+    )
+    return f"""
+    lat AS MATERIALIZED (
+      SELECT doc_id, list_transform(range(16), j ->
+               CAST(('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)),
+                                    j * 2 + 1, 2)) AS INT)) AS B
+      FROM documents
+    ),
+    pcm AS MATERIALIZED (
+      SELECT doc_id, list_transform(range({_N}), k -> {s_expr}) AS s
+      FROM lat
+    ),
+    ct AS (SELECT {_ACT} AS CT),
+    ee AS MATERIALIZED (
+      SELECT doc_id, list_transform(range({N_FRAMES * N_BANDS}), q ->
+        abs(list_sum(list_transform(range({FRAME}), k ->
+          s[(q // {N_BANDS}) * 16 + k + 1]
+          * CT[(q % {N_BANDS}) * {FRAME} + k + 1])))) AS ee
+      FROM pcm, ct
+    ),
+    hv AS MATERIALIZED (
+      SELECT doc_id, {_bits_to_halves(bit)}
+      FROM ee
+    )"""
+
+
+@register(
+    "audio_fingerprint_codes",
+    f"""WITH {_fp_hv_ctes()}
+    SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS fp_hex
+    FROM hv
+    """,
+)
+def q_audio_fingerprint_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip 64-bit Haitsma-Kalker-style fingerprints through the full
+    WAV wire (RIFF encode -> chunk walk -> PCM -> Q15 filter bank ->
+    difference signs) — pins the exact bit patterns."""
+    from azure_medicine_data_engineering_spark.operators.audio_hash import (
+        attach_family_wav_payload,
+        audio_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_fingerprints(
+        attach_family_wav_payload(docs, "doc_id")
+    ).select("media_id", "fp_hex")
+
+
+@register(
+    "audio_fingerprint_near_pairs",
+    f"WITH {_fp_hv_ctes()},{_PAIRS_TAIL}",
+)
+def q_audio_fingerprint_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs at Hamming <= 3 over planted family
+    clips — the dedup family's AUDIO modality (after text, embeddings,
+    and images), sharing the banded exact-recall search
+    (`image_hash.hamming_near_pairs`). Fingerprint bits are difference
+    signs, so level-shifted re-masters hash identically and lightly
+    noised captures land within a few bits (pinned)."""
+    from azure_medicine_data_engineering_spark.operators.audio_hash import (
+        attach_family_wav_payload,
+        audio_fingerprints,
+    )
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        hamming_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = audio_fingerprints(attach_family_wav_payload(docs, "doc_id"))
+    return hamming_near_pairs(fps, "fp_hi", "fp_lo", "media_id", max_hamming=3)
