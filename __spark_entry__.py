@@ -39,6 +39,7 @@ from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     sql_surface,
     stats_ml,
     text_dedup,
+    video_dedup,
 )
 
 

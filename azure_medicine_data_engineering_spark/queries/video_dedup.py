@@ -1,0 +1,125 @@
+"""Video perceptual-signature dedup queries (round 12 — the fifth and
+final dedup modality; see ``operators/video_hash.py``).
+
+Oracle strategy follows the image family: the pan clip's frames are
+windows over the per-FAMILY 43x32 value-noise field (bump-free pixels
+from ``image_dedup._family_px_ctes``), frame block sums are a flat
+576-entry list per family, and the per-doc variant bump folds through as
+``bump * patch-count`` (sums are linear — no floor crosses the bump), so
+per-doc work is 64 majority votes over 8 frame bits each. The banded pair
+tail and the pigeonhole exactness argument are shared with images/audio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from azure_medicine_data_engineering_spark.operators.image_hash import (
+    FIXTURE_AMP,
+    FIXTURE_PATCH,
+)
+from azure_medicine_data_engineering_spark.operators.video_hash import (
+    FIELD_W,
+    VID_FRAMES,
+    VID_H,
+    VID_W,
+)
+from azure_medicine_data_engineering_spark.queries.image_dedup import (
+    _PAIRS_TAIL,
+    _bits_to_halves,
+    _family_px_ctes,
+)
+from azure_medicine_data_engineering_spark.queries.registry import (
+    register,
+    table as _t,
+)
+
+
+def _frame_patch_counts() -> list[int]:
+    """Flat [frame*72 + block] patch-pixel counts: how many bump pixels
+    (field r < PATCH, c < PATCH) land in frame f's dHash block (i, j)
+    (frame f shows field columns [f, f+W))."""
+    out = []
+    for f in range(VID_FRAMES):
+        for i in range(8):
+            r0, r1 = i * 4, i * 4 + 4
+            nr = max(0, min(r1, FIXTURE_PATCH) - r0)
+            for j in range(9):
+                c0, c1 = f + j * 4, f + j * 4 + 4  # field columns
+                nc = max(0, min(c1, FIXTURE_PATCH) - c0)
+                out.append(nr * nc)
+    return out
+
+
+def _sig_hv_ctes() -> str:
+    pbf = _frame_patch_counts()
+    n_q = VID_FRAMES * 72
+    bit = (
+        "CASE WHEN 2 * list_sum(list_transform(range(8), f -> "
+        "CASE WHEN fs[f * 72 + (@I@ // 8) * 9 + @I@ % 8 + 1]"
+        " + bump * PBF[f * 72 + (@I@ // 8) * 9 + @I@ % 8 + 1]"
+        " > fs[f * 72 + (@I@ // 8) * 9 + @I@ % 8 + 2]"
+        " + bump * PBF[f * 72 + (@I@ // 8) * 9 + @I@ % 8 + 2]"
+        f" THEN 1 ELSE 0 END)) > {VID_FRAMES} THEN 1 ELSE 0 END"
+    )
+    return f"""
+    fs AS MATERIALIZED (
+      SELECT f, list_transform(range({n_q}), q ->
+        list_sum(list_transform(range(16), t ->
+          g[((q % 72) // 9 * 4 + t // 4) * {FIELD_W}
+            + (q // 72) + (q % 72) % 9 * 4 + t % 4 + 1]))) AS fs
+      FROM px
+    ),
+    pbf AS (SELECT {pbf} AS PBF),
+    dbs AS MATERIALIZED (
+      SELECT d.doc_id, fs, (d.doc_id % 4) * {FIXTURE_AMP} AS bump
+      FROM documents d, fs WHERE fs.f = d.doc_id // 4
+    ),
+    hv AS MATERIALIZED (
+      SELECT doc_id, {_bits_to_halves(bit)}
+      FROM dbs, pbf
+    )"""
+
+
+@register(
+    "video_signature_codes",
+    f"""WITH {_family_px_ctes(FIELD_W, VID_H)},{_sig_hv_ctes()}
+    SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS sig_hex
+    FROM hv
+    """,
+)
+def q_video_signature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip 64-bit majority-of-frame-dHash signatures through the
+    full VID0 wire (container encode -> demux -> per-frame dHash ->
+    strict-majority fold) — pins the exact bit patterns."""
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        attach_family_vid_payload,
+        video_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return video_signatures(attach_family_vid_payload(docs, "doc_id")).select(
+        "media_id", "sig_hex"
+    )
+
+
+@register(
+    "video_signature_near_pairs",
+    f"WITH {_family_px_ctes(FIELD_W, VID_H)},{_sig_hv_ctes()},{_PAIRS_TAIL}",
+)
+def q_video_signature_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs at Hamming <= 3 over planted pan-clip
+    families — the dedup family's VIDEO modality, completing all five
+    (text / embeddings / images / audio / video) on the one shared banded
+    exact-recall search (`image_hash.hamming_near_pairs`)."""
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        hamming_near_pairs,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        attach_family_vid_payload,
+        video_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = video_signatures(attach_family_vid_payload(docs, "doc_id"))
+    return hamming_near_pairs(sigs, "sig_hi", "sig_lo", "media_id", max_hamming=3)

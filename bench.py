@@ -117,6 +117,8 @@ HEADLINE4 = [
     "crawl_e2e_frontier_docs",
     "gopher_quality_cjk_routed",
     "tokenizer_family_report",
+    "audio_fingerprint_near_pairs",
+    "ccnet_router_model_delta",
 ]
 
 
