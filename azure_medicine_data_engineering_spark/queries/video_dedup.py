@@ -123,3 +123,154 @@ def q_video_signature_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = video_signatures(attach_family_vid_payload(docs, "doc_id"))
     return hamming_near_pairs(sigs, "sig_hi", "sig_lo", "media_id", max_hamming=3)
+
+
+def _pair_scope_sql(hv_chain: str) -> str:
+    """One modality's (n_items, n_pairs, n_paired) in an ISOLATED WITH
+    scope (the tokenizer_family_report discipline — the shared CTE names
+    of the hash chains cannot collide across modalities)."""
+    return f"""(
+      WITH {hv_chain},
+      bands AS MATERIALIZED (
+        SELECT doc_id, hi, lo,
+               unnest([hi // 65536, hi % 65536, lo // 65536, lo % 65536]) AS chunk,
+               unnest([0, 1, 2, 3]) AS band
+        FROM hv
+      ),
+      prs AS MATERIALIZED (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) <= 3
+      )
+      SELECT CAST((SELECT COUNT(*) FROM hv) AS BIGINT) AS n_items,
+             CAST((SELECT COUNT(*) FROM prs) AS BIGINT) AS n_pairs,
+             CAST((SELECT COUNT(DISTINCT x) FROM
+                    (SELECT a AS x FROM prs UNION SELECT b FROM prs)) AS BIGINT)
+               AS n_paired
+    )"""
+
+
+def _dedup_card_oracle() -> str:
+    from azure_medicine_data_engineering_spark.queries.audio_dedup import (
+        _fp_hv_ctes,
+    )
+    from azure_medicine_data_engineering_spark.queries.image_dedup import (
+        PH_H,
+        PH_W,
+        _phash_hv_ctes,
+    )
+
+    img = _family_px_ctes(PH_W, PH_H) + "," + _phash_hv_ctes(PH_W, PH_H)
+    aud = _fp_hv_ctes()
+    vid = _family_px_ctes(FIELD_W, VID_H) + "," + _sig_hv_ctes()
+    return f"""
+    SELECT 'text_exact' AS modality, n_items, n_pairs, n_paired FROM (
+      WITH g AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS k
+                 FROM documents GROUP BY 1)
+      SELECT CAST(SUM(k) AS BIGINT) AS n_items,
+             CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN k >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_paired
+      FROM g
+    )
+    UNION ALL
+    SELECT 'image_phash', n_items, n_pairs, n_paired FROM {_pair_scope_sql(img)}
+    UNION ALL
+    SELECT 'audio_fp', n_items, n_pairs, n_paired FROM {_pair_scope_sql(aud)}
+    UNION ALL
+    SELECT 'video_sig', n_items, n_pairs, n_paired FROM {_pair_scope_sql(vid)}
+    """
+
+
+@register("multimodal_dedup_card", _dedup_card_oracle())
+def q_multimodal_dedup_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modality dedup DATASHEET — one row per modality (exact
+    text, pHash images, H-K audio fingerprints, majority video
+    signatures) with item count, near-dup pair count (Hamming <= 3 for
+    the perceptual modalities) and how many items participate in any
+    pair — the corpus_data_card discipline applied to duplication across
+    modalities, all four members running their real wire chains."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.audio_hash import (
+        attach_family_wav_payload,
+        audio_fingerprints,
+    )
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+        hamming_near_pairs,
+        image_perceptual_hashes,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        attach_family_vid_payload,
+        video_signatures,
+    )
+    from azure_medicine_data_engineering_spark.queries.image_dedup import (
+        PH_H,
+        PH_W,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    caches = []
+
+    def pair_row(name: str, pairs: DataFrame, n_items) -> DataFrame:
+        caches.extend(getattr(pairs, "_stage_caches", []))
+        both = pairs.select(F.col("id_a").alias("x")).unionByName(
+            pairs.select(F.col("id_b").alias("x"))
+        )
+        return (
+            pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .crossJoin(n_items)
+            .crossJoin(
+                both.agg(F.count_distinct("x").cast("long").alias("n_paired"))
+            )
+            .select(
+                F.lit(name).alias("modality"), "n_items", "n_pairs", "n_paired"
+            )
+        )
+
+    n_items = docs.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    txt = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .agg(
+            F.sum("k").cast("long").alias("n_items"),
+            F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("n_pairs"),
+            F.sum(F.expr("CASE WHEN k >= 2 THEN k ELSE 0 END"))
+            .cast("long")
+            .alias("n_paired"),
+        )
+        .select(
+            F.lit("text_exact").alias("modality"), "n_items", "n_pairs", "n_paired"
+        )
+    )
+    img_pairs = hamming_near_pairs(
+        image_perceptual_hashes(
+            attach_family_png_payload(docs, "doc_id", PH_W, PH_H)
+        ),
+        "phash_hi",
+        "phash_lo",
+        "media_id",
+        3,
+    )
+    aud_pairs = hamming_near_pairs(
+        audio_fingerprints(attach_family_wav_payload(docs, "doc_id")),
+        "fp_hi",
+        "fp_lo",
+        "media_id",
+        3,
+    )
+    vid_pairs = hamming_near_pairs(
+        video_signatures(attach_family_vid_payload(docs, "doc_id")),
+        "sig_hi",
+        "sig_lo",
+        "media_id",
+        3,
+    )
+    out = (
+        txt.unionByName(pair_row("image_phash", img_pairs, n_items))
+        .unionByName(pair_row("audio_fp", aud_pairs, n_items))
+        .unionByName(pair_row("video_sig", vid_pairs, n_items))
+    )
+    out._stage_caches = caches
+    return out
