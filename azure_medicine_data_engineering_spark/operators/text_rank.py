@@ -1298,8 +1298,17 @@ def ccnet_router_model_delta(
         .join(uni_doc, id_col)
         .persist()
     )
-    cuts_k = _exact_tercile_cuts(pop.select("g", "nk"), "nk")
-    cuts_u = _exact_tercile_cuts(pop.select("g", "nu"), "nu")
+    # ONE tercile pass for BOTH models: stack (model|slice, value) rows
+    # and run the bucketed rank machinery once — two separate builds
+    # doubled the window stages for no reason (bench-profiled, round 12)
+    stacked = pop.selectExpr("concat('k|', g) AS g", "nk AS v").unionByName(
+        pop.selectExpr("concat('u|', g) AS g", "nu AS v")
+    )
+    cuts0 = _exact_tercile_cuts(stacked.select("g", F.col("v")), "v")
+    cut_caches = list(getattr(cuts0, "_stage_caches", []))
+    # two consumers (the k| and u| splits) — eager checkpoint the tiny
+    # (2·slices)-row frame so the rank lineage runs once, not per branch
+    cuts = cuts0.localCheckpoint(eager=True)
 
     def rank(val: str, t1: str, t2: str):
         return (
@@ -1308,8 +1317,16 @@ def ccnet_router_model_delta(
             .otherwise(F.lit(2))
         )
 
-    ck = cuts_k.select(F.col("g").alias("gk"), F.col("t1").alias("k1"), F.col("t2").alias("k2"))
-    cu = cuts_u.select(F.col("g").alias("gu"), F.col("t1").alias("u1"), F.col("t2").alias("u2"))
+    ck = cuts.where(F.col("g").startswith("k|")).select(
+        F.expr("substring(g, 3)").alias("gk"),
+        F.col("t1").alias("k1"),
+        F.col("t2").alias("k2"),
+    )
+    cu = cuts.where(F.col("g").startswith("u|")).select(
+        F.expr("substring(g, 3)").alias("gu"),
+        F.col("t1").alias("u1"),
+        F.col("t2").alias("u2"),
+    )
     staged = (
         pop.join(F.broadcast(ck), pop.g == ck.gk)
         .join(F.broadcast(cu), pop.g == cu.gu)
@@ -1326,9 +1343,6 @@ def ccnet_router_model_delta(
         F.sum((F.col("rk") < F.col("ru")).cast("long")).cast("long").alias("n_kn_looser"),
     )
     out._stage_caches = (
-        list(getattr(kn_doc, "_stage_caches", []))
-        + [pop]
-        + list(getattr(cuts_k, "_stage_caches", []))
-        + list(getattr(cuts_u, "_stage_caches", []))
+        list(getattr(kn_doc, "_stage_caches", [])) + [pop] + cut_caches
     )
     return out
