@@ -371,3 +371,69 @@ def hamming_near_pairs(
     if cache:
         out._stage_caches = [sk]
     return out
+
+
+def hamming_cross_matches(
+    left: DataFrame,
+    right: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming matches BETWEEN two hash frames (round 12): the
+    incremental-ingest shape — a NEW batch probes the existing CORPUS
+    hash table and the corpus is NEVER self-joined (the
+    ``dedup.incremental_dedup_flags`` discipline applied to perceptual
+    hashes). Same 4x16-bit pigeonhole bands, exact recall for
+    ``max_hamming <= 3``. Returns ``(id_l, id_r, hamming)``."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(f"exact recall needs 0 <= max_hamming <= 3, got {max_hamming}")
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sk = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(hi_col).alias(f"hi_{side}"),
+            F.col(lo_col).alias(f"lo_{side}"),
+        )
+        return sk.select(
+            f"id_{side}",
+            f"hi_{side}",
+            f"lo_{side}",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            c.alias("chunk"),
+                        )
+                        for b, c in enumerate(
+                            [
+                                F.shiftrightunsigned(f"hi_{side}", 16),
+                                F.col(f"hi_{side}").bitwiseAND(F.lit(0xFFFF)),
+                                F.shiftrightunsigned(f"lo_{side}", 16),
+                                F.col(f"lo_{side}").bitwiseAND(F.lit(0xFFFF)),
+                            ]
+                        )
+                    ]
+                )
+            ).alias("bc"),
+        ).select(f"id_{side}", f"hi_{side}", f"lo_{side}", "bc.band", "bc.chunk")
+
+    lb = banded(left, "l")
+    rb = banded(right, "r")
+    return (
+        lb.join(rb, ["band", "chunk"])
+        .select(
+            "id_l",
+            "id_r",
+            (
+                F.bit_count(F.col("hi_l").bitwiseXOR(F.col("hi_r")))
+                + F.bit_count(F.col("lo_l").bitwiseXOR(F.col("lo_r")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -420,3 +420,73 @@ def q_image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # harness unpersists it (stage-cache convention)
     out._stage_caches = list(getattr(pairs, "_stage_caches", []))
     return out
+
+
+@register(
+    "incremental_image_dedup_batch",
+    f"""WITH {_family_px_ctes(PH_W, PH_H)},{_phash_hv_ctes(PH_W, PH_H)},
+    bands AS MATERIALIZED (
+      SELECT doc_id, hi, lo,
+             unnest([hi // 65536, hi % 65536, lo // 65536, lo % 65536]) AS chunk,
+             unnest([0, 1, 2, 3]) AS band
+      FROM hv
+    ),
+    m AS MATERIALIZED (
+      SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid,
+             bit_count(xor(n.hi, c.hi)) + bit_count(xor(n.lo, c.lo)) AS ham
+      FROM bands n JOIN bands c ON n.band = c.band AND n.chunk = c.chunk
+      WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        AND bit_count(xor(n.hi, c.hi)) + bit_count(xor(n.lo, c.lo)) <= 3
+    ),
+    agg AS (
+      SELECT nid, CAST(COUNT(*) AS BIGINT) AS nm, CAST(MIN(ham) AS INT) AS mh
+      FROM m GROUP BY nid
+    )
+    SELECT d.doc_id AS new_id,
+           COALESCE(nm, 0) AS n_corpus_matches,
+           COALESCE(mh, -1) AS min_hamming,
+           nm IS NOT NULL AS is_near_dup
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.nid
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def q_incremental_image_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time IMAGE dedup of a new batch (doc_id%10==0 stands in
+    for the arriving slice) against the existing corpus — pHash bands
+    probed NEW x CORPUS only, the corpus is never self-joined
+    (`image_hash.hamming_cross_matches`; the incremental_dedup_new_batch
+    discipline applied to perceptual hashes). Every new image reports its
+    corpus match count, closest Hamming distance (-1 = clean), and the
+    near-dup flag."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+        hamming_cross_matches,
+        image_perceptual_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.where(F.col("doc_id") % 10 == 0)
+    corp_docs = docs.where(F.col("doc_id") % 10 != 0)
+    h_new = image_perceptual_hashes(
+        attach_family_png_payload(new_docs, "doc_id", PH_W, PH_H)
+    )
+    h_corp = image_perceptual_hashes(
+        attach_family_png_payload(corp_docs, "doc_id", PH_W, PH_H)
+    )
+    matches = hamming_cross_matches(h_new, h_corp, "phash_hi", "phash_lo")
+    agg = matches.groupBy("id_l").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.min("hamming").cast("int").alias("mh"),
+    )
+    return (
+        new_docs.select(F.col("doc_id").alias("new_id"))
+        .join(agg, F.col("new_id") == F.col("id_l"), "left")
+        .select(
+            "new_id",
+            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_corpus_matches"),
+            F.coalesce(F.col("mh"), F.lit(-1)).cast("int").alias("min_hamming"),
+            F.col("nm").isNotNull().alias("is_near_dup"),
+        )
+    )
