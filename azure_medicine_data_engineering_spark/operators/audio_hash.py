@@ -125,33 +125,16 @@ def attach_family_wav_payload(
     from azure_medicine_data_engineering_spark.operators.media_av import (
         wav_encode_pcm16,
     )
-    from azure_medicine_data_engineering_spark.session import ensure_parallelism
-
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for i in pdf[id_col]:
-                i = int(i)
-                ids.append(i)
-                payloads.append(
-                    wav_encode_pcm16(8000, family_audio_samples(i, n_samples))
-                )
-            yield pd.DataFrame(
-                {"media_id": ids, "media_type": "audio", "payload": payloads}
-            )
-
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_media_payload,
     )
-    return ensure_parallelism(
-        df.select(F.col(id_col).cast("long").alias(id_col))
-    ).mapInPandas(run, out_schema)
+
+    return attach_media_payload(
+        df,
+        id_col,
+        "audio",
+        lambda i: wav_encode_pcm16(8000, family_audio_samples(i, n_samples)),
+    )
 
 
 _FP_SCHEMA = StructType(

@@ -221,37 +221,20 @@ def attach_family_png_payload(
     IDAT -> defilter -> hash chain end to end. Arrow-batched mapInPandas,
     no shuffle."""
     from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_media_payload,
         png_encode_gray,
     )
 
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for i in pdf[id_col]:
-                i = int(i)
-                px = family_fixture_pixels(i, width, height, family_div, variant_mod)
-                ids.append(i)
-                payloads.append(png_encode_gray(width, height, px))
-            yield pd.DataFrame(
-                {"media_id": ids, "media_type": "image", "payload": payloads}
-            )
-
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
+    made = attach_media_payload(
+        df,
+        id_col,
+        "image",
+        lambda i: png_encode_gray(
+            width,
+            height,
+            family_fixture_pixels(i, width, height, family_div, variant_mod),
+        ),
     )
-    from azure_medicine_data_engineering_spark.session import ensure_parallelism
-
-    # single-file doc tables otherwise run the whole Python encode+hash
-    # chain on 1-2 cores (the crossJoin-replication pitfall's cousin)
-    made = ensure_parallelism(
-        df.select(F.col(id_col).cast("long").alias(id_col))
-    ).mapInPandas(run, out_schema)
     return made.withColumn("byte_len", F.length("payload").cast("int"))
 
 
@@ -300,6 +283,19 @@ def image_perceptual_hashes(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, _HASH_SCHEMA)
 
 
+def _band_chunks(hi_col: str, lo_col: str) -> list:
+    """The 4x16-bit band chunk expressions of a 64-bit (hi, lo) hash —
+    the ONE definition of the banding scheme, shared by the self-join
+    (:func:`hamming_near_pairs`) and cross-join
+    (:func:`hamming_cross_matches`) searches."""
+    return [
+        F.shiftrightunsigned(hi_col, 16),
+        F.col(hi_col).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(lo_col, 16),
+        F.col(lo_col).bitwiseAND(F.lit(0xFFFF)),
+    ]
+
+
 def hamming_near_pairs(
     hashes: DataFrame,
     hi_col: str,
@@ -328,10 +324,7 @@ def hamming_near_pairs(
     if cache:
         sk = sk.persist()
     chunks = [
-        F.shiftrightunsigned("h_hi", 16).alias("c0"),
-        F.col("h_hi").bitwiseAND(F.lit(0xFFFF)).alias("c1"),
-        F.shiftrightunsigned("h_lo", 16).alias("c2"),
-        F.col("h_lo").bitwiseAND(F.lit(0xFFFF)).alias("c3"),
+        c.alias(f"c{b}") for b, c in enumerate(_band_chunks("h_hi", "h_lo"))
     ]
     banded = sk.select(F.col(id_col), "h_hi", "h_lo", *chunks).select(
         F.col(id_col),
@@ -403,17 +396,9 @@ def hamming_cross_matches(
             F.explode(
                 F.array(
                     *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            c.alias("chunk"),
-                        )
+                        F.struct(F.lit(b).alias("band"), c.alias("chunk"))
                         for b, c in enumerate(
-                            [
-                                F.shiftrightunsigned(f"hi_{side}", 16),
-                                F.col(f"hi_{side}").bitwiseAND(F.lit(0xFFFF)),
-                                F.shiftrightunsigned(f"lo_{side}", 16),
-                                F.col(f"lo_{side}").bitwiseAND(F.lit(0xFFFF)),
-                            ]
+                            _band_chunks(f"hi_{side}", f"lo_{side}")
                         )
                     ]
                 )

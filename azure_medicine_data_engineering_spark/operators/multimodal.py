@@ -640,3 +640,39 @@ def attach_bmp_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
     ).mapInPandas(run, out_schema)
     return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+def attach_media_payload(
+    df: DataFrame, id_col: str, media_type: str, make_payload
+) -> DataFrame:
+    """Shared id-keyed fixture-attach scaffolding (round 12): cast the id,
+    ensure parallelism (Python-heavy encode kernels on single-file tables
+    otherwise run on 1-2 cores), and emit ``(media_id, media_type,
+    payload)`` via ``make_payload(doc_id) -> bytes`` in one Arrow
+    mapInPandas pass — the ONE copy of the batching loop the image /
+    audio / video family attaches previously triplicated."""
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                ids.append(i)
+                payloads.append(make_payload(i))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": media_type, "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col))
+    ).mapInPandas(run, out_schema)

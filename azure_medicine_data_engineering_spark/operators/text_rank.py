@@ -995,9 +995,6 @@ def ccnet_perplexity_buckets(
     grain; per-slice cumulatives ride group-KEYED windows via
     :func:`rankstats.grouped_ranked_value_counts` (no single-partition
     exchange)."""
-    from azure_medicine_data_engineering_spark.functions.rankstats import (
-        grouped_ranked_value_counts,
-    )
     from azure_medicine_data_engineering_spark.operators.text import tokens
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
@@ -1033,25 +1030,10 @@ def ccnet_perplexity_buckets(
         .selectExpr(id_col, "g", "(-slpu) div n_tokens AS nll")
         .persist()
     )
-    ranked = grouped_ranked_value_counts(doc_nll, "g", "nll")
-    # inclusive cumulative + per-slice doc count; tercile targets
-    # ceil(k·n/3) = (k·n + 2) div 3, k = 1, 2
-    cum = ranked.selectExpr(
-        "g", "v", "cnt_less + c_all AS cum"
-    )
-    n_g = doc_nll.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cuts = (
-        cum.join(F.broadcast(n_g), "g")
-        .groupBy("g")
-        .agg(
-            F.min(
-                F.when(F.expr("cum >= (1 * n + 2) div 3"), F.col("v"))
-            ).alias("t1"),
-            F.min(
-                F.when(F.expr("cum >= (2 * n + 2) div 3"), F.col("v"))
-            ).alias("t2"),
-        )
-    )
+    # exact tercile cut points via the shared helper (round 12 — one
+    # implementation of the order-statistic rule, used here and by the
+    # router model delta)
+    cuts = _exact_tercile_cuts(doc_nll.select("g", "nll"), "nll")
     bucket = (
         F.when(F.col("nll") <= F.col("t1"), F.lit("head"))
         .when(F.col("nll") <= F.col("t2"), F.lit("middle"))
@@ -1067,7 +1049,7 @@ def ccnet_perplexity_buckets(
             F.max("nll").cast("long").alias("nll_max"),
         )
     )
-    out._stage_caches = [doc_nll] + list(getattr(ranked, "_stage_caches", []))
+    out._stage_caches = [doc_nll] + list(getattr(cuts, "_stage_caches", []))
     return out
 
 
@@ -1293,10 +1275,15 @@ def ccnet_router_model_delta(
         )
         .selectExpr(id_col, "(-slpu_u) div n_tokens AS nu")
     )
+    # eager checkpoint, NOT persist: pop feeds both unionByName branches
+    # below, and the analyzer's attribute-id rewrite on the second branch
+    # defeats cached-plan substitution for persisted frames (CLAUDE.md) —
+    # a persist here replayed the full KN+unigram scoring lineage per
+    # branch
     pop = (
         kn_doc.select(id_col, "g", F.col("nll").alias("nk"))
         .join(uni_doc, id_col)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # ONE tercile pass for BOTH models: stack (model|slice, value) rows
     # and run the bucketed rank machinery once — two separate builds
@@ -1342,7 +1329,5 @@ def ccnet_router_model_delta(
         F.sum((F.col("rk") > F.col("ru")).cast("long")).cast("long").alias("n_kn_stricter"),
         F.sum((F.col("rk") < F.col("ru")).cast("long")).cast("long").alias("n_kn_looser"),
     )
-    out._stage_caches = (
-        list(getattr(kn_doc, "_stage_caches", [])) + [pop] + cut_caches
-    )
+    out._stage_caches = list(getattr(kn_doc, "_stage_caches", [])) + cut_caches
     return out

@@ -79,33 +79,16 @@ def attach_family_vid_payload(df: DataFrame, id_col: str = "doc_id") -> DataFram
     from azure_medicine_data_engineering_spark.operators.media_av import (
         vid_encode_gray,
     )
-    from azure_medicine_data_engineering_spark.session import ensure_parallelism
-
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for i in pdf[id_col]:
-                i = int(i)
-                ids.append(i)
-                payloads.append(
-                    vid_encode_gray(VID_W, VID_H, family_video_frames(i))
-                )
-            yield pd.DataFrame(
-                {"media_id": ids, "media_type": "video", "payload": payloads}
-            )
-
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_media_payload,
     )
-    return ensure_parallelism(
-        df.select(F.col(id_col).cast("long").alias(id_col))
-    ).mapInPandas(run, out_schema)
+
+    return attach_media_payload(
+        df,
+        id_col,
+        "video",
+        lambda i: vid_encode_gray(VID_W, VID_H, family_video_frames(i)),
+    )
 
 
 _SIG_SCHEMA = StructType(

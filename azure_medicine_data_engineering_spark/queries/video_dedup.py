@@ -215,21 +215,26 @@ def q_multimodal_dedup_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pair_row(name: str, pairs: DataFrame, n_items) -> DataFrame:
         caches.extend(getattr(pairs, "_stage_caches", []))
-        both = pairs.select(F.col("id_a").alias("x")).unionByName(
-            pairs.select(F.col("id_b").alias("x"))
+        # ONE pass over the pairs frame: the exploded endpoint list gives
+        # n_pairs (= rows/2) and n_paired (= distinct ids) together —
+        # three separate consumers replayed the banded self-join and the
+        # unionByName attr-id rewrite defeated the persisted hash cache
+        # on one branch (CLAUDE.md; round-12 wave-3 review)
+        stats = pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("x")
+        ).agg(
+            F.expr("count(1) div 2").cast("long").alias("n_pairs"),
+            F.count_distinct("x").cast("long").alias("n_paired"),
         )
-        return (
-            pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-            .crossJoin(n_items)
-            .crossJoin(
-                both.agg(F.count_distinct("x").cast("long").alias("n_paired"))
-            )
-            .select(
-                F.lit(name).alias("modality"), "n_items", "n_pairs", "n_paired"
-            )
+        return stats.crossJoin(n_items).select(
+            F.lit(name).alias("modality"), "n_items", "n_pairs", "n_paired"
         )
 
-    n_items = docs.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    # 1-row frame with THREE consumers: checkpoint, or each pair row
+    # re-scans documents just to count it (CLAUDE.md 1-row-frame rule)
+    n_items = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    ).localCheckpoint(eager=True)
     txt = (
         docs.groupBy(F.md5("text").alias("h"))
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
