@@ -231,7 +231,7 @@ def robots_gate_urls(df: DataFrame) -> DataFrame:
             for mid, pos, k, path in zip(
                 pdf["media_id"], pdf["pos"], pdf["host_idx"], pdf["path"]
             ):
-                ln, allowed = match_decision(rules_cache[int(k) % N_HOSTS], path)
+                ln, allowed = match_decision(rules_cache[int(k)], path)
                 rows.append((int(mid), int(pos), int(k), path, allowed, ln))
             yield pd.DataFrame(
                 rows,

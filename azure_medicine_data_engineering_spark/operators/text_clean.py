@@ -178,7 +178,9 @@ def gopher_ok_all(
     funnel). Words are the single-space split, matching the report."""
     words = F.filter(F.split(text, " "), lambda x: x != "")
     n_words = F.size(words)
-    total_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
     n_ell = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3

@@ -58,6 +58,12 @@ def perturb_documents_text(rep, prob_denom: int = 10):
     ``__copy`` column): token t at copy c of doc d rewrites to
     ``t~<hexchar>`` iff md5('t:d:c') lands in the 1/prob_denom slice.
     Pure JVM expressions; copy 0 stays byte-identical to the source.
+    SIDE EFFECT (round-13 adjudication): copies > 0 are rebuilt via
+    ``split(\\s+)`` + ``array_join(' ')``, which normalizes whitespace —
+    newlines/tabs collapse to single spaces, so per-line structure
+    (``n_lines``, C4 line grain) differs from copy 0 beyond the token
+    noise. Acceptable for the dedup/quality sweeps this feeds (those are
+    token-grain); line-grain queries must sweep on unperturbed replicas.
     The digest binds ONCE per token via a struct stage — subexpression
     elimination is unreliable inside higher-order when/otherwise
     branches, and this hash dominates the fact-sized 100x build."""
