@@ -241,10 +241,31 @@ def main() -> None:
 
     quiet = _wait_for_quiet()
     load_before = tuple(round(x, 2) for x in os.getloadavg())
-    timings, medians = run_group(HEADLINE)
-    timings2, medians2 = run_group(HEADLINE2)
-    timings3, medians3 = run_group(HEADLINE3)
-    timings4, medians4 = run_group(HEADLINE4)
+    # Per-group load stamps (round 13): the r12 run started at load 1.89
+    # but load_after peaked 13.4 mid-run while the summary still stamped
+    # `contended: false` — the start-only rule has a blind spot for
+    # contention that DEVELOPS during the run. Stamp the 1-min load at
+    # each group boundary and mark groups contended individually; the
+    # 1-min average after a group includes the bench's own 32-thread
+    # self-load, so the per-group rule uses the load at group START
+    # (before its first query) like the global rule does.
+    group_loads: dict[str, float] = {}
+    group_contended: dict[str, bool] = {}
+
+    def timed_group(tag: str, names: list[str]):
+        l0 = os.getloadavg()[0]
+        group_loads[tag] = round(l0, 2)
+        # self-load from the PREVIOUS group hasn't decayed out of the
+        # 1-min average; only flag a group when the box is loaded well
+        # beyond what our own 32 threads explain (r12's 13.4 peak would
+        # have tripped this).
+        group_contended[tag] = l0 >= float(CPUS) / 3
+        return run_group(names)
+
+    timings, medians = timed_group("g1", HEADLINE)
+    timings2, medians2 = timed_group("g2", HEADLINE2)
+    timings3, medians3 = timed_group("g3", HEADLINE3)
+    timings4, medians4 = timed_group("g4", HEADLINE4)
     load_after = tuple(round(x, 2) for x in os.getloadavg())
 
     total = round(sum(timings.values()), 3)
@@ -290,10 +311,16 @@ def main() -> None:
                 "cpus": int(CPUS),
                 "load_before": load_before,
                 "load_after": load_after,
+                # 1-min load at each group's START + per-group contention
+                # flags (load beyond what the bench's own threads explain)
+                "load_groups": group_loads,
+                "contended_groups": group_contended,
                 # True when load_before >= threshold after the bounded wait:
                 # per SCALE.md the numbers are then untrustworthy for
                 # round-over-round adjudication.
-                "contended": not quiet or load_before[0] >= LOAD_QUIET,
+                "contended": not quiet
+                or load_before[0] >= LOAD_QUIET
+                or any(group_contended.values()),
             }
         )
     )
