@@ -191,25 +191,49 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     cache: bool = True,
+    max_pairs_per_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup report: MinHash → LSH candidates → exact Jaccard.
 
     The shingle frame is computed ONCE and cached — banding and Jaccard
     verification both reuse it (recomputing shingles per join side triples
     the tokenization+md5 cost; at 100 TB the equivalent is materializing the
-    signature table before the self-join)."""
+    signature table before the self-join).
+
+    ``max_pairs_per_bucket`` (round 13, the SCALE.md-named mitigation for
+    the C(k,2) mega-bucket blowup): when set, each (band, bucket) emits at
+    most that many candidate pairs, selected DETERMINISTICALLY in
+    lexicographic (id_a, id_b) order — i.e. the pairs involving the
+    bucket's lowest ids come first, so truncation keeps the star around
+    the canonical representative. The rule is closed-form: with members
+    ranked 1..n by id, the pairs preceding left-rank r number
+    S(r-1) = (r-1)(2n-r)/2, and pair (r_l, r_r) is emitted iff
+    S(r_l-1) + (r_r - r_l) <= cap. The plan stays bounded because the
+    LEFT side of the bucket self-join is pre-filtered to ranks with
+    S(r-1) < cap — in a mega-bucket that is ~cap/n + 1 members, so the
+    per-bucket join work is O(cap + n), never C(n,2). Small buckets
+    (C(n,2) <= cap) are emitted in full — the cap is a no-op on healthy
+    buckets and only truncates the pathological ones."""
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
     rows = k // bands
+    # Materialize the md5 hash array IN the persisted stage frame: each of
+    # the k signature slots references `hashes`, and an expression-level
+    # transform(shingles, md5…) would re-run the md5 pass k times per row
+    # (CLAUDE.md nested-array-expression rule; measured 212 s vs 27 s on
+    # the 100x replica for the representatives path before this staging).
     sh = ensure_parallelism(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    ).select(
+        F.col(id_col),
+        "shingles",
+        F.transform(F.col("shingles"), _hash32).alias("hashes"),
     )
     if cache:
         sh = sh.persist()
-    hashes = F.transform(F.col("shingles"), _hash32)
     sig = sh.select(
         F.col(id_col),
-        F.array(*[_permuted_min(hashes, j) for j in range(k)]).alias("sig"),
+        F.array(*[_permuted_min(F.col("hashes"), j) for j in range(k)]).alias("sig"),
     )
     banded = sig.select(
         F.col(id_col),
@@ -223,17 +247,57 @@ def minhash_dedup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if max_pairs_per_bucket is None:
+        pairs = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    else:
+        from pyspark.sql import Window
+
+        cap = int(max_pairs_per_bucket)
+        wo = Window.partitionBy("band", "bucket").orderBy(id_col)
+        wc = Window.partitionBy("band", "bucket")
+        # O(n log n) per bucket — vs C(n,2) pair emission; positive
+        # operands so `div` matches DuckDB `//`, and (r-1)(2n-r) is
+        # always even so the division is exact.
+        mr = banded.select(
+            F.col(id_col),
+            "band",
+            "bucket",
+            F.row_number().over(wo).alias("r"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        lhs = mr.where(F.expr(f"(r - 1) * (2 * n - r) div 2 < {cap}"))
+        pairs = (
+            lhs.alias("l")
+            .join(
+                mr.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.r") < F.col("r.r")),
+            )
+            .where(
+                F.expr(
+                    f"(l.r - 1) * (2 * l.n - l.r) div 2 + (r.r - l.r) <= {cap}"
+                )
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     dsh = sh.select(F.col(id_col), F.array_distinct("shingles").alias("dsh"))
     return (
         pairs.join(dsh.alias("a"), pairs.id_a == F.col(f"a.{id_col}"))
@@ -250,6 +314,73 @@ def minhash_dedup_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def lsh_bucket_representatives(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Representatives-only LSH output (round 13): per document, the
+    minimum id over every (band, bucket) the document lands in —
+    ``(doc_id, rep_id, is_representative)`` — with ZERO pair emission.
+    This is the one-hop min-label step of the connected-components
+    resolution (`dedup_cluster_assignment` iterates it to fixpoint); as a
+    standalone mode it is the bounded first pass production pipelines run
+    when the pair volume itself is the bottleneck: cost is one window min
+    per bucket + one groupBy per doc, linear in rows x bands regardless
+    of bucket skew. Docs sharing any band bucket get the same rep after
+    enough hops; one hop already collapses every star-shaped family."""
+    from pyspark.sql import Window
+
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    rows = k // bands
+    # Stage-materialize the md5 hash array before fanning out to the k
+    # signature slots — the inline expression form re-runs shingling+md5
+    # once PER SLOT (8x; measured 212 s vs 27 s at the 100x replica).
+    hh = ensure_parallelism(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    ).select(
+        F.col(id_col), F.transform(F.col("shingles"), _hash32).alias("hashes")
+    ).persist()
+    banded = (
+        hh.select(
+            F.col(id_col),
+            F.array(*[_permuted_min(F.col("hashes"), j) for j in range(k)]).alias(
+                "sig"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+    )
+    wmin = Window.partitionBy("band", "bucket")
+    out = (
+        banded.withColumn("mn", F.min(id_col).over(wmin))
+        .groupBy(id_col)
+        .agg(F.min("mn").alias("rep_id"))
+        .select(
+            F.col(id_col),
+            "rep_id",
+            (F.col(id_col) == F.col("rep_id")).alias("is_representative"),
+        )
+    )
+    out._stage_caches = [hh]
+    return out
 
 
 def simhash_near_pairs(

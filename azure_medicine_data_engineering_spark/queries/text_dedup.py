@@ -267,6 +267,77 @@ def q_dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Capped LSH pair emission + representatives-only mode (round 13 — the
+# SCALE.md-named mitigation for the mega-bucket C(k,2) blowup).
+# ---------------------------------------------------------------------------
+
+_LSH_CAP = 2  # sf0.01's largest buckets have 3 members (C(3,2)=3 pairs), so
+# cap=2 genuinely truncates at gate scale — the 3-member buckets keep the
+# two lowest-id-star pairs and drop the (2nd,3rd) edge; at sf0.1 the
+# 10-member buckets emit 2 of 45. Production would run ~10k; the rule is
+# scale-free so the gate exercises the same branch.
+
+
+@register(
+    "minhash_lsh_dedup_capped",
+    f"""
+    WITH {_LSH_CTES},
+    mr AS (
+      SELECT doc_id, band, bucket,
+             ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY band, bucket) AS n
+      FROM banded
+    ),
+    cpairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM mr l JOIN mr r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.r < r.r
+      WHERE (l.r - 1) * (2 * l.n - l.r) // 2 < {_LSH_CAP}
+        AND (l.r - 1) * (2 * l.n - l.r) // 2 + (r.r - l.r) <= {_LSH_CAP}
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) /
+                 nullif(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh)), 0)
+                 AS DOUBLE), 4) AS jaccard
+    FROM cpairs p
+    JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) a ON p.id_a = a.doc_id
+    JOIN (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh) b ON p.id_b = b.doc_id
+    """,
+)
+def q_minhash_lsh_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-bucket pair-emission cap (deterministic lexicographic
+    lowest-id selection, closed-form rank rule) over the same LSH
+    pipeline as `minhash_lsh_dedup` — bounds a pathological mega-bucket
+    at `cap` pairs instead of C(k,2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        docs, k=8, bands=4, max_pairs_per_bucket=_LSH_CAP
+    )
+
+
+@register(
+    "lsh_bucket_representatives",
+    f"""
+    WITH {_LSH_CTES},
+    reps AS (
+      SELECT band, bucket, MIN(doc_id) AS mn FROM banded GROUP BY band, bucket
+    )
+    SELECT b.doc_id, MIN(r.mn) AS rep_id,
+           b.doc_id = MIN(r.mn) AS is_representative
+    FROM banded b
+    JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+    GROUP BY b.doc_id
+    """,
+)
+def q_lsh_bucket_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representatives-only LSH output: per-doc min id over its band
+    buckets, zero pair emission — the bounded mode for corpora where the
+    pair volume itself is the bottleneck."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.lsh_bucket_representatives(docs, k=8, bands=4)
+
+
+# ---------------------------------------------------------------------------
 # SimHash sketches.
 # ---------------------------------------------------------------------------
 

@@ -253,3 +253,59 @@ def test_containment_quote_vs_jaccard(spark):
     assert (row["id_a"], row["id_b"]) == (1, 2)
     assert row["containment_a"] == 1.0       # every shingle of the quote is in 2
     assert row["containment_b"] < 0.1        # Jaccard-style signal would vanish
+
+
+# ---------------------------------------------------------------------------
+# Round 13: per-bucket pair-emission cap + representatives-only mode.
+# ---------------------------------------------------------------------------
+
+
+def test_capped_pairs_mega_bucket_star(spark):
+    """A planted 12-clone family (one LSH mega-bucket per band, C(12,2)=66
+    pairs uncapped) must, under cap=5, emit EXACTLY the five lexicographic
+    lowest-id-star pairs — bounded volume, deterministic selection, and the
+    family stays connected through the representative."""
+    words = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, words) for i in range(12)]
+    # an unrelated singleton that must be unaffected by the cap
+    rows.append((99, " ".join(f"z{i}" for i in range(30))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.minhash_dedup_pairs(
+        docs, k=K, bands=BANDS, max_pairs_per_bucket=5
+    )
+    got = sorted((r.id_a, r.id_b) for r in capped.collect())
+    assert got == [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5)]
+    uncapped = dedup.minhash_dedup_pairs(docs, k=K, bands=BANDS)
+    assert uncapped.count() == 66
+
+
+def test_capped_pairs_small_buckets_noop(spark):
+    """Buckets with C(n,2) <= cap emit in full — the cap only truncates
+    pathological buckets."""
+    words = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, words) for i in range(3)]  # C(3,2) = 3 pairs
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.minhash_dedup_pairs(
+        docs, k=K, bands=BANDS, max_pairs_per_bucket=3
+    )
+    assert sorted((r.id_a, r.id_b) for r in capped.collect()) == [
+        (0, 1), (0, 2), (1, 2),
+    ]
+
+
+def test_lsh_bucket_representatives_one_hop(spark):
+    """Representatives mode: every member of a clone family maps to the
+    family's min id with zero pair emission; singletons represent
+    themselves."""
+    words = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, words) for i in range(5, 12)]
+    rows.append((99, " ".join(f"z{i}" for i in range(30))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.lsh_bucket_representatives(docs, k=K, bands=BANDS)
+    got = {r.doc_id: (r.rep_id, r.is_representative) for r in out.collect()}
+    for c in getattr(out, "_stage_caches", []):
+        c.unpersist()
+    assert got[99] == (99, True)
+    assert got[5] == (5, True)
+    for i in range(6, 12):
+        assert got[i] == (5, False)
