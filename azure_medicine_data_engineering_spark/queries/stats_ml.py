@@ -2084,6 +2084,114 @@ def q_wds_shard_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wds_ingest_members(media)
 
 
+# ---------------------------------------------------------------------------
+# Round 13: cross-modal image-text alignment gate (LAION-style curation).
+# ---------------------------------------------------------------------------
+
+#: shared finalization expressions (identical strings interpolated into the
+#: Spark plan AND the DuckDB oracle — zero float drift; integer state first,
+#: one scalar expression last; scientific literals per CLAUDE.md)
+_ALIGN_COS = "CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))"
+_ALIGN_KEEP = (
+    "floor(CAST(n_kept AS DOUBLE) / CAST(n_samples AS DOUBLE) * 1e4 + 5e-1) / 1e4"
+)
+_ALIGN_THRESHOLD = "6e-1"
+
+
+def _align_tower_sql(fp: str, prefix: str) -> str:
+    return (
+        f"list_transform(range(32), j -> "
+        f"(CAST(('0x' || substr(md5({fp} || ':' || j), 1, 8)) AS BIGINT) % 2001 - 1000)"
+        f" + (CAST(('0x' || substr(md5('{prefix}:' || {fp} || ':' || j), 1, 8)) AS BIGINT) % 101 - 50))"
+    )
+
+
+@register(
+    "image_text_alignment_gate",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source, text, md5(text) AS fpi,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 4 = 0 AS planted
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, planted, fpi,
+             CASE WHEN planted THEN md5('mismatch ' || text) ELSE fpi END AS fpt
+      FROM m
+    ),
+    e AS (
+      SELECT doc_id, source, planted,
+             {_align_tower_sql('fpi', 'i')} AS ei,
+             {_align_tower_sql('fpt', 't')} AS et
+      FROM c
+    ),
+    s AS (
+      SELECT source, planted,
+             CAST(list_sum(list_transform(range(32), j -> ei[j+1] * et[j+1])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(ei, x -> x * x)) AS BIGINT) AS na,
+             CAST(list_sum(list_transform(et, x -> x * x)) AS BIGINT) AS nb
+      FROM e
+    ),
+    g AS (SELECT source, planted, {_ALIGN_COS} AS cos FROM s),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+             CAST(SUM(CASE WHEN cos >= {_ALIGN_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM g GROUP BY source
+    )
+    SELECT source, n_samples, n_planted, n_kept, {_ALIGN_KEEP} AS keep_rate
+    FROM agg
+    """,
+)
+def q_image_text_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal image-text alignment curation (round 13 — the
+    CLIP-score-shaped gate a LAION-style multimodal pretraining pipeline
+    runs): documents become REAL one-sample WebDataset tars (genuine PNG
+    + caption member, ~1/4 planted mismatched captions), one Arrow pass
+    tar-parses + PNG-decodes each sample and recovers the image content
+    fingerprint FROM THE DECODED PIXELS, both modalities embed on a
+    shared deterministic integer grid, and the gate keeps samples whose
+    exact-integer cosine clears the threshold — reporting per-source
+    sample / planted-mismatch / kept counts and the keep rate. The
+    oracle replays fingerprints, towers, and the one shared double
+    expression from SQL; the kernel's PNG round-trip must be lossless to
+    hash-match. Map-only fan-out + one keyed groupBy."""
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_image_caption_payload,
+        image_text_alignment_stats,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    media = attach_wds_image_caption_payload(docs, "doc_id", "text")
+    stats = image_text_alignment_stats(media)
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(conv(substr(md5(text), 5, 2), 16, 10) AS INT) % 4 = 0").alias(
+            "planted"
+        ),
+    )
+    joined = stats.join(meta, stats.media_id == meta.doc_id).withColumn(
+        "cos", F.expr(_ALIGN_COS)
+    )
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col("planted").cast("long")).cast("long").alias("n_planted"),
+        F.sum(F.expr(f"CAST(cos >= {_ALIGN_THRESHOLD} AS LONG)"))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_samples",
+        "n_planted",
+        "n_kept",
+        F.expr(_ALIGN_KEEP).alias("keep_rate"),
+    )
+
+
 @register(
     "multimodal_decode_bmp",
     """

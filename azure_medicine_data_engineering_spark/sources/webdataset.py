@@ -165,3 +165,141 @@ def wds_ingest_members(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, WDS_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: LAION-style image+caption samples + the CLIP-score-shaped
+# alignment gate (cross-modal curation — the filter every multimodal
+# pretraining pipeline runs before training).
+# ---------------------------------------------------------------------------
+
+#: two-tower embedding dimension for the deterministic alignment stub —
+#: 32 keeps the random-pair cosine std ~0.18, so the 0.6 threshold
+#: separates aligned (~0.995) from mismatched pairs with wide margin.
+ALIGN_DIM = 32
+
+
+def _grid_embedding(fp_hex: str, modality_prefix: str) -> list[int]:
+    """Deterministic integer-grid "CLIP tower": base vector from the
+    content fingerprint (shared across modalities — two towers projecting
+    the same content land near each other) plus a small modality-specific
+    delta. Every slot is an exact integer, so the md5-chain is
+    reproducible in any engine; the only float op is the final cosine."""
+    out = []
+    for j in range(ALIGN_DIM):
+        b = int(hashlib.md5(f"{fp_hex}:{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        d = (
+            int(
+                hashlib.md5(f"{modality_prefix}:{fp_hex}:{j}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 101
+            - 50
+        )
+        out.append(b + d)
+    return out
+
+
+def attach_wds_image_caption_payload(
+    df: DataFrame, id_col: str, text_col: str, misalign_denom: int = 4
+) -> DataFrame:
+    """Deterministic LAION-shaped WDS fixture: each document becomes a
+    one-sample tar with a REAL grayscale PNG (pixels = md5(text) digest
+    tiled, same rule as `multimodal.attach_png_payload` — any standard
+    viewer decodes it) and a ``<key>.txt`` caption. A deterministic
+    1/``misalign_denom`` slice of samples (md5(text) byte 2) gets a
+    MISMATCHED caption (``'mismatch ' + text``) — the planted
+    image-text misalignment the gate must catch. Arrow map-only."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_encode_gray,
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                text = str(t)
+                h = hashlib.md5(text.encode("utf-8")).digest()
+                w = 4 + h[0] % 13
+                ht = 4 + h[1] % 11
+                n = w * ht
+                pixels = (h * (n // 16 + 1))[:n]
+                caption = ("mismatch " + text) if h[2] % misalign_denom == 0 else text
+                key = f"{int(i):09d}"
+                members = [
+                    (f"{key}.png", png_encode_gray(w, ht, pixels)),
+                    (f"{key}.txt", caption.encode("utf-8")),
+                ]
+                ids.append(i)
+                payloads.append(tar_write_members(members))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "wds", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+ALIGN_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dot", LongType()),
+        StructField("na", LongType()),
+        StructField("nb", LongType()),
+    ]
+)
+
+
+def image_text_alignment_stats(df: DataFrame) -> DataFrame:
+    """CLIP-score-shaped alignment statistics per WDS sample: REALLY
+    parse the tar, REALLY decode the PNG member (stdlib chunk-CRC walk +
+    inflate + defilter), recover the image's content fingerprint FROM THE
+    DECODED PIXELS (the fixture's pixels are the tiled md5 digest, so the
+    first 16 samples are the digest — a stub image tower that fails loudly
+    if the decode is wrong), embed both towers on the shared integer
+    grid, and emit the EXACT integer cosine state ``(dot, na, nb)``. The
+    cosine itself is finalized by ONE shared double expression Spark-side
+    (CLAUDE.md shared-expression rule) so the oracle can replay it
+    bit-identically. Arrow map-only, no shuffle."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                png = txt = None
+                for name, content in tar_read_members(bytes(p)):
+                    _, ext = wds_sample_key(name)
+                    if ext == "png":
+                        png = content
+                    elif ext == "txt":
+                        txt = content
+                if png is None or txt is None:
+                    raise ValueError(f"sample {mid}: missing png/txt member")
+                _, _, _, pixels = png_decode_pixels(png)
+                fp_img = bytes(pixels[:16]).hex()
+                fp_txt = hashlib.md5(txt).hexdigest()
+                ei = _grid_embedding(fp_img, "i")
+                et = _grid_embedding(fp_txt, "t")
+                dot = sum(a * b for a, b in zip(ei, et))
+                na = sum(a * a for a in ei)
+                nb = sum(b * b for b in et)
+                rows.append((int(mid), dot, na, nb))
+            yield pd.DataFrame(rows, columns=["media_id", "dot", "na", "nb"])
+
+    return df.select("media_id", "payload").mapInPandas(run, ALIGN_STATS_SCHEMA)

@@ -278,3 +278,80 @@ def test_tpe_search_tree_end_to_end(spark):
     assert len(history) == 8
     assert all(0.0 <= auc <= 1.0 for _, auc in history)
     assert max(auc for _, auc in history) >= 0.95  # separable by x
+
+
+# ---------------------------------------------------------------------------
+# Round 13: image-text alignment gate.
+# ---------------------------------------------------------------------------
+
+
+def test_alignment_gate_detects_planted_mismatches(spark):
+    """Aligned samples score near-1 cosine, planted mismatches score near
+    0 — the 0.6 threshold separates them exactly on the fixture."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_image_caption_payload,
+        image_text_alignment_stats,
+    )
+
+    import hashlib
+
+    rows = [(i, f"document number {i} with some words " * 3) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = attach_wds_image_caption_payload(docs, "doc_id", "text")
+    stats = image_text_alignment_stats(media).withColumn(
+        "cos", F.expr("CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))")
+    )
+    got = {r.media_id: r.cos for r in stats.collect()}
+    planted = {
+        i
+        for i, t in rows
+        if hashlib.md5(t.encode()).digest()[2] % 4 == 0
+    }
+    assert planted, "fixture should plant at least one mismatch"
+    for i, t in rows:
+        if i in planted:
+            assert got[i] < 0.6, f"planted mismatch {i} not caught (cos={got[i]})"
+        else:
+            assert got[i] > 0.95, f"aligned sample {i} scored low (cos={got[i]})"
+
+
+def test_alignment_fingerprint_comes_from_decoded_pixels(spark):
+    """The image tower reads the DECODED pixels: corrupting one pixel row
+    inside the PNG (re-encoded, so the container is still valid) must
+    flip an aligned sample below the threshold — the gate would catch a
+    broken decode path loudly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_encode_gray,
+    )
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        image_text_alignment_stats,
+        tar_read_members,
+        tar_write_members,
+    )
+
+    text = "a perfectly aligned caption about this image " * 2
+    assert hashlib.md5(text.encode()).digest()[2] % 4 != 0
+    h = hashlib.md5(text.encode()).digest()
+    w, ht = 4 + h[0] % 13, 4 + h[1] % 11
+    pixels = (h * ((w * ht) // 16 + 1))[: w * ht]
+    corrupted = bytes([pixels[0] ^ 0xFF]) + bytes(pixels[1:])
+    members = [
+        ("000000001.png", png_encode_gray(w, ht, corrupted)),
+        ("000000001.txt", text.encode()),
+    ]
+    media = spark.createDataFrame(
+        [(1, "wds", bytearray(tar_write_members(members)))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = image_text_alignment_stats(media).withColumn(
+        "cos", F.expr("CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))")
+    )
+    [r] = out.collect()
+    assert r.cos < 0.6
