@@ -886,9 +886,8 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_k=2)
 
 
-@register(
-    "multimodal_video_demux",
-    """
+#: shared by the AVI and MP4 demux queries — identical fixture geometry.
+_VIDEO_DEMUX_ORACLE = """
     WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
     d AS (
       SELECT doc_id, hex,
@@ -908,7 +907,12 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 j -> CAST(('0x' || substr(hex, ((frame_idx + j) % 16) * 2 + 1, 2)) AS INT)))
                 / (rows_ * cols * 255.0) AS DOUBLE), 4) AS frame_mean
     FROM f
-    """,
+    """
+
+
+@register(
+    "multimodal_video_demux",
+    _VIDEO_DEMUX_ORACLE,
 )
 def q_multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video container demux — round 10 replaces the VID0-only story:
@@ -926,10 +930,37 @@ def q_multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_avi_payload,
         video_demux_mjpeg,
     )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_avi_payload(docs, "doc_id", "text")
     return video_demux_mjpeg(media)
+
+
+@register(
+    "multimodal_video_demux_mp4",
+    _VIDEO_DEMUX_ORACLE,
+)
+def q_multimodal_video_demux_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container demux (round 13 — the ISO-BMFF/14496-12 twin of
+    the MJPEG-AVI path): the same flat-block baseline-JPEG frames wrapped
+    in a genuine MP4 (ftyp/mdat/moov with full stsd/stts/stsc/stsz/stco
+    sample tables), demuxed by the spec box walk in `operators/mp4.py`
+    (stsc run-length chunk mapping + stco/co64 offsets, moov at any
+    position; H.264 sample entries raise the documented
+    NotImplementedError boundary) and per-frame decoded by the baseline
+    JPEG decoder in one Arrow map-only pass. Identical fixture geometry
+    means the AVI demux oracle applies VERBATIM — the sample-table offset
+    resolution must be byte-exact to hash-match."""
+    from azure_medicine_data_engineering_spark.operators.mp4 import (
+        attach_mp4_payload,
+        video_demux_mp4,
+    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    media = attach_mp4_payload(docs, "doc_id", "text")
+    return video_demux_mp4(media)
 
 
 @register(
