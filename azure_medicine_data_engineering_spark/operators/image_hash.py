@@ -421,3 +421,41 @@ def hamming_cross_matches(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def corpus_match_report(
+    new_docs: DataFrame,
+    h_corp: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    hi_col: str = "phash_hi",
+    lo_col: str = "phash_lo",
+) -> DataFrame:
+    """Per-new-image corpus match report ``(new_id, n_corpus_matches,
+    min_hamming, is_near_dup)`` — encode+hash the NEW slice, probe the
+    existing corpus hash table via the banded cross match (corpus never
+    self-joins), left-join back so clean images report (0, -1, false).
+    Factored out in round 13 so the batch query
+    (`incremental_image_dedup_batch`) and its streaming twin run the
+    IDENTICAL report per (micro-)batch: each new image's verdict depends
+    only on the static corpus, so the output is invariant to how the
+    stream is split into batches."""
+    h_new = image_perceptual_hashes(
+        attach_family_png_payload(new_docs, id_col, width, height)
+    )
+    matches = hamming_cross_matches(h_new, h_corp, hi_col, lo_col)
+    agg = matches.groupBy("id_l").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.min("hamming").cast("int").alias("mh"),
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(agg, F.col("new_id") == F.col("id_l"), "left")
+        .select(
+            "new_id",
+            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_corpus_matches"),
+            F.coalesce(F.col("mh"), F.lit(-1)).cast("int").alias("min_hamming"),
+            F.col("nm").isNotNull().alias("is_near_dup"),
+        )
+    )

@@ -422,9 +422,10 @@ def q_image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "incremental_image_dedup_batch",
-    f"""WITH {_family_px_ctes(PH_W, PH_H)},{_phash_hv_ctes(PH_W, PH_H)},
+#: shared by the batch query and its streaming twin (identical report
+#: per construction - each new image is judged against the static corpus
+#: only, so micro-batch splits cannot change the output).
+_INCR_IMAGE_ORACLE = f"""WITH {_family_px_ctes(PH_W, PH_H)},{_phash_hv_ctes(PH_W, PH_H)},
     bands AS MATERIALIZED (
       SELECT doc_id, hi, lo,
              unnest([hi // 65536, hi % 65536, lo // 65536, lo % 65536]) AS chunk,
@@ -448,7 +449,12 @@ def q_image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            nm IS NOT NULL AS is_near_dup
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.nid
     WHERE d.doc_id % 10 = 0
-    """,
+    """
+
+
+@register(
+    "incremental_image_dedup_batch",
+    _INCR_IMAGE_ORACLE,
 )
 def q_incremental_image_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time IMAGE dedup of a new batch (doc_id%10==0 stands in
@@ -462,31 +468,32 @@ def q_incremental_image_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFra
 
     from azure_medicine_data_engineering_spark.operators.image_hash import (
         attach_family_png_payload,
-        hamming_cross_matches,
+        corpus_match_report,
         image_perceptual_hashes,
     )
 
     docs = _t(spark, sf_dir, "documents")
     new_docs = docs.where(F.col("doc_id") % 10 == 0)
     corp_docs = docs.where(F.col("doc_id") % 10 != 0)
-    h_new = image_perceptual_hashes(
-        attach_family_png_payload(new_docs, "doc_id", PH_W, PH_H)
-    )
     h_corp = image_perceptual_hashes(
         attach_family_png_payload(corp_docs, "doc_id", PH_W, PH_H)
     )
-    matches = hamming_cross_matches(h_new, h_corp, "phash_hi", "phash_lo")
-    agg = matches.groupBy("id_l").agg(
-        F.count(F.lit(1)).cast("long").alias("nm"),
-        F.min("hamming").cast("int").alias("mh"),
+    return corpus_match_report(new_docs, h_corp, PH_W, PH_H)
+
+
+@register(
+    "streaming_image_dedup",
+    _INCR_IMAGE_ORACLE,
+)
+def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `incremental_image_dedup_batch` (round 13):
+    the documents stream's new slice probes the eagerly-checkpointed
+    static corpus pHash table per micro-batch via foreachBatch, writing
+    idempotent batch-id-versioned outputs (kill/replay-safe). Shares the
+    batch oracle — the per-image verdict depends only on the static
+    corpus, so any micro-batch split unions to the batch report."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_image_dedup_matches,
     )
-    return (
-        new_docs.select(F.col("doc_id").alias("new_id"))
-        .join(agg, F.col("new_id") == F.col("id_l"), "left")
-        .select(
-            "new_id",
-            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_corpus_matches"),
-            F.coalesce(F.col("mh"), F.lit(-1)).cast("int").alias("min_hamming"),
-            F.col("nm").isNotNull().alias("is_near_dup"),
-        )
-    )
+
+    return streaming_image_dedup_matches(spark, sf_dir)

@@ -381,3 +381,79 @@ def streaming_psi_daily_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_u / 1e6 > 0.2 AS alarm",
         )
     )
+
+
+def image_dedup_process_batch(
+    batch_df: DataFrame, h_corp: DataFrame, state_root: str, batch_id: int
+) -> None:
+    """One foreachBatch step of the streaming image dedup: run the SAME
+    per-batch corpus match report as the batch query and write it to the
+    batch-id-versioned slot ``v{batch_id}`` with mode=overwrite — a
+    REPLAYED batch (crash between the write and the checkpoint commit)
+    overwrites its own slot with identical rows, so recovery is
+    idempotent (exposed separately so the kill/replay test can drive it
+    without a streaming query)."""
+    import os
+
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        corpus_match_report,
+    )
+    from azure_medicine_data_engineering_spark.queries.image_dedup import PH_H, PH_W
+
+    report = corpus_match_report(batch_df.select("doc_id"), h_corp, PH_W, PH_H)
+    report.write.mode("overwrite").parquet(os.path.join(state_root, f"v{batch_id}"))
+
+
+def streaming_image_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``incremental_image_dedup_batch`` — real ingest
+    is a stream, so the banded pHash cross-match runs as a foreachBatch
+    stage over the documents stream (new slice doc_id%10==0) with the
+    CORPUS HASH TABLE as the static side: the corpus is encoded+hashed
+    ONCE and eagerly localCheckpointed (per-micro-batch joins replay a
+    checkpoint scan, never the encode+hash lineage — the BPE-argmax rule
+    applied to a streaming static side), each micro-batch probes it via
+    `image_hash.corpus_match_report` (corpus never self-joins), and
+    per-batch outputs land in batch-id-versioned parquet slots
+    (idempotent under kill/replay — see `image_dedup_process_batch`).
+    Equal to the batch twin on bounded input BY CONSTRUCTION: a new
+    image's verdict depends only on the static corpus, so the union over
+    any micro-batch split is the batch report. Shares the batch oracle."""
+    import os
+    import tempfile
+
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+        image_perceptual_hashes,
+    )
+    from azure_medicine_data_engineering_spark.queries.image_dedup import PH_H, PH_W
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    corp_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+    )
+    h_corp = image_perceptual_hashes(
+        attach_family_png_payload(ensure_parallelism(corp_docs), "doc_id", PH_W, PH_H)
+    ).localCheckpoint(eager=True)
+
+    state_root = tempfile.mkdtemp(prefix="amde_img_stream_")
+    stream = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: image_dedup_process_batch(
+                    bdf, h_corp, state_root, bid
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    parts = [
+        os.path.join(state_root, d)
+        for d in sorted(os.listdir(state_root))
+        if d.startswith("v")
+    ]
+    return spark.read.parquet(*parts)

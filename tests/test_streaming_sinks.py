@@ -191,3 +191,53 @@ def test_shard_egress_resume_skips_committed_prefix(spark, tmp_path):
     for b, bdf in enumerate(batches):  # full replay from scratch
         assert egress.commit_batch(bdf, b) is False
     assert {p: os.path.getmtime(p) for p in egress.batch_paths()} == mtimes
+
+
+# ---------------------------------------------------------------------------
+# Round 13: streaming image dedup — kill/replay idempotence.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_image_dedup_kill_replay(spark, tmp_path):
+    """A micro-batch replayed after a simulated crash (written, but the
+    checkpoint never committed) overwrites its own versioned slot with
+    identical rows — the drained union equals the batch twin's report
+    with no duplicates."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+        corpus_match_report,
+        image_perceptual_hashes,
+    )
+    from azure_medicine_data_engineering_spark.queries.image_dedup import PH_H, PH_W
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        image_dedup_process_batch,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    corp = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    h_corp = image_perceptual_hashes(
+        attach_family_png_payload(corp, "doc_id", PH_W, PH_H)
+    ).localCheckpoint(eager=True)
+
+    state_root = str(tmp_path / "state")
+    batch0 = new.where(F.col("doc_id") < 20)
+    batch1 = new.where(F.col("doc_id") >= 20)
+    image_dedup_process_batch(batch0, h_corp, state_root, 0)
+    # simulated crash AFTER the write, BEFORE the checkpoint commit:
+    # the engine re-delivers batch 0, then proceeds with batch 1
+    image_dedup_process_batch(batch0, h_corp, state_root, 0)
+    image_dedup_process_batch(batch1, h_corp, state_root, 1)
+
+    import os
+
+    drained = spark.read.parquet(
+        *[os.path.join(state_root, d) for d in sorted(os.listdir(state_root))]
+    )
+    expect = corpus_match_report(new, h_corp, PH_W, PH_H)
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in expect.collect())
+    assert got == want
+    assert len(got) == new.count()  # no replay duplicates
