@@ -368,6 +368,22 @@ CJK_RANGE_PATTERN = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
 #: transliteration the CJK fixture slice uses (shared with the SQL oracle).
 CJK_TRANSLATE_TO = "".join(chr(0x4E00 + i) for i in range(26))
 
+#: High-frequency Chinese function words (the head of the standard zh
+#: stop list) — the CJK-route counterpart of :data:`GOPHER_STOP_WORDS`
+#: (round 13). Matched by SUBSTRING containment, not whitespace tokens:
+#: CJK has no word boundaries, so the particle either appears in the
+#: character stream or it doesn't. Note that 一/不/与/且 fall inside the
+#: first-26-ideograph transliteration range, so the synthetic fixture
+#: slice genuinely exercises the rule (they are the images of a/n/o/u).
+CJK_STOP_CHARS = ["的", "了", "是", "在", "一", "不", "与", "且", "有", "人"]
+
+
+def cjk_stop_hits(text: Column) -> Column:
+    """Number of DISTINCT CJK stop particles present in ``text``
+    (substring containment per particle, integer sum — mirrors the
+    latin route's distinct-stop-word count)."""
+    return sum(text.contains(p).cast("int") for p in CJK_STOP_CHARS)
+
 
 def cjk_char_count(text: Column) -> Column:
     """Number of CJK-Unified-Ideograph characters in ``text``."""

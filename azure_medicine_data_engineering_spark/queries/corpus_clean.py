@@ -1102,8 +1102,10 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from azure_medicine_data_engineering_spark.operators.text_clean import (  # noqa: E402
     CJK_RANGE_PATTERN,
+    CJK_STOP_CHARS,
     CJK_TRANSLATE_TO,
     cjk_char_count,
+    cjk_stop_hits,
     script_route,
     text_units,
 )
@@ -1111,6 +1113,12 @@ from azure_medicine_data_engineering_spark.operators.text_clean import (  # noqa
 _ASCII_LC = "abcdefghijklmnopqrstuvwxyz"
 _CJK_STOPS_SQL = " + ".join(
     f"CAST(list_contains(ws, '{sw}') AS INT)" for sw in GOPHER_STOP_WORDS
+)
+# routed CJK particle rule (round 13): distinct-particle containment over
+# the character stream — mirrors text_clean.cjk_stop_hits
+_CJK_PARTICLES_SQL = " + ".join(
+    f"CAST(position('{p}' IN t2) > 0 AS INT)"
+    for p in CJK_STOP_CHARS
 )
 
 
@@ -1140,9 +1148,10 @@ _CJK_STOPS_SQL = " + ".join(
              n_ws,
              CASE WHEN 100 * n_cjk >= 30 * length(t2)
                   THEN CAST(n_cjk AS BIGINT) ELSE n_ws END AS units,
-             CASE WHEN 100 * n_cjk < 30 * length(t2)
-                       AND ({_CJK_STOPS_SQL}) >= 1
-                  THEN 1 ELSE 0 END AS stop_ok
+             CASE WHEN 100 * n_cjk >= 30 * length(t2)
+                  THEN CASE WHEN ({_CJK_PARTICLES_SQL}) >= 1 THEN 1 ELSE 0 END
+                  ELSE CASE WHEN ({_CJK_STOPS_SQL}) >= 1 THEN 1 ELSE 0 END
+             END AS stop_ok
       FROM r
     )
     SELECT source, script,
@@ -1166,10 +1175,14 @@ def q_gopher_quality_cjk_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_units`). The report keeps ``n_ws_tokens`` alongside
     ``n_units`` to make the documented failure mode visible: whitespace
     tokenization collapses an unbroken CJK doc to ~1 'word'.
-    DOCUMENTED SEMANTICS: the English stop-word rule is script-specific
-    and reports 0 for the CJK route (``n_stop_ok`` counts latin docs
-    with >= 1 distinct Gopher stop word); length bounds apply to the
-    routed unit. Pure column algebra, one keyed aggregation."""
+    ROUTED STOP RULE (round 13 closes the documented r12 gap): the
+    stop-word gate is script-ROUTED — latin docs count distinct Gopher
+    stop WORDS (whitespace tokens), CJK docs count distinct standard
+    Chinese particles (`text_clean.CJK_STOP_CHARS`) by SUBSTRING
+    containment (no word boundaries in CJK); ``n_stop_ok`` counts docs
+    passing their own route's rule, so the gate is meaningful on both
+    routes. Length bounds apply to the routed unit. Pure column
+    algebra, one keyed aggregation."""
     d = _t(spark, sf_dir, "documents")
     cjk_txt = F.replace(
         F.translate(F.lower(F.col("text")), _ASCII_LC, CJK_TRANSLATE_TO),
@@ -1190,9 +1203,13 @@ def q_gopher_quality_cjk_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         script_route(F.col("t2")).alias("script"),
         ws_words.alias("n_ws"),
         text_units(F.col("t2")).alias("units"),
-        (
-            (script_route(F.col("t2")) == "latin") & (stop_hits >= 1)
-        ).cast("int").alias("stop_ok"),
+        F.when(
+            script_route(F.col("t2")) == "cjk",
+            (cjk_stop_hits(F.col("t2")) >= 1),
+        )
+        .otherwise(stop_hits >= 1)
+        .cast("int")
+        .alias("stop_ok"),
     )
     return staged.groupBy("source", "script").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

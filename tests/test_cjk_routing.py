@@ -5,8 +5,10 @@ counter."""
 from pyspark.sql import functions as F
 
 from azure_medicine_data_engineering_spark.operators.text_clean import (
+    CJK_STOP_CHARS,
     CJK_TRANSLATE_TO,
     cjk_char_count,
+    cjk_stop_hits,
     gopher_ok_all,
     script_route,
     text_units,
@@ -64,5 +66,21 @@ def test_routed_query_reports_collapse_and_units(spark):
     # latin route: units ARE the whitespace tokens
     lat = by_script["latin"]
     assert lat[1] == lat[2]
-    # CJK stop rule documented as 0
-    assert all(r.n_stop_ok == 0 for r in rows if r.script == "cjk")
+    # round 13: the ROUTED stop rule is meaningful on the CJK route too —
+    # the fixture transliteration maps a/n/o/u onto the genuine particles
+    # BELOW, so essentially every CJK doc passes
+    assert all(r.n_stop_ok > 0 for r in rows if r.script == "cjk")
+    assert any(r.n_stop_ok > 0 for r in rows if r.script == "latin")
+
+
+def test_cjk_stop_hits_particles(spark):
+    """Distinct-particle substring counting: the full fixture alphabet
+    contains exactly the four in-range particles; a doc built only from
+    non-particle ideographs scores zero; real particles outside the
+    transliteration range count too."""
+    assert _one(spark, CJK_DOC, cjk_stop_hits(F.col("t"))) == 4  # 一不与且
+    no_particles = "".join(CJK_TRANSLATE_TO[i] for i in (1, 2, 3, 5)) * 10
+    assert _one(spark, no_particles, cjk_stop_hits(F.col("t"))) == 0
+    real = "这本书是我的了" * 5  # contains 的/了/是
+    assert _one(spark, real, cjk_stop_hits(F.col("t"))) >= 3
+    assert set("一不与且") <= set(CJK_STOP_CHARS) and len(CJK_STOP_CHARS) == 10

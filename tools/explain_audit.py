@@ -106,18 +106,15 @@ _TREE_LINE = re.compile(
 )
 
 
-def sp_exchange_license(plan: str) -> tuple[int, int]:
-    """STRUCTURAL licensing of single-partition exchanges: an SP exchange
-    is benign iff its nearest non-wrapper PARENT in the physical tree is a
-    global aggregate (``Keys: []`` — it then moves one partial-agg row per
-    upstream partition, not data). Returns ``(n_sp, n_licensed)``.
+def _plan_structures(plan: str):
+    """Shared structural parse of a formatted explain: per-node detail
+    blocks, parent sets, and child sets.
 
-    Parses the tree section by indentation (each level is 3 chars; the
-    codegen ``* `` adds 2, never enough to jump a level) and the detail
-    section by node id — counting ``Keys: []`` lines globally would also
-    license a DATA-sized SP exchange (e.g. an unpartitioned window) any
-    time a global agg appears elsewhere in the same plan."""
-    # node id -> detail block (header line .. next header)
+    Tree sections are parsed by indentation (each level is 3 chars; the
+    codegen ``* `` adds 2, never enough to jump a level); detail blocks by
+    node id. A plan can print several trees (AQE initial/final,
+    subqueries) — parent/child resolutions are collected across all of
+    them (sets; a merge can only make licensing MORE conservative)."""
     details: dict[int, str] = {}
     for m in re.finditer(
         r"^\((\d+)\) ([A-Za-z][\w .]*?)(?: \[codegen[^\]]*\])?$"
@@ -126,42 +123,88 @@ def sp_exchange_license(plan: str) -> tuple[int, int]:
         re.M | re.S,
     ):
         details[int(m.group(1))] = m.group(2) + "\n" + m.group(3)
-    sp_ids = {
-        i for i, blk in details.items()
-        if blk.split("\n", 1)[0].endswith("Exchange") and "SinglePartition" in blk
-    }
-    global_agg_ids = {
-        i for i, blk in details.items()
-        if "Aggregate" in blk.split("\n", 1)[0] and re.search(r"^Keys: \[\]", blk, re.M)
-    }
-    # tree walk: nearest preceding tree line with a smaller name-start
-    # position is the parent; a plan can print several trees (AQE
-    # initial/final, subqueries) — collect every parent resolution per id.
-    # Tree sections run from '== Physical Plan ==' / 'Subquery:' headers
-    # until the first '(N) Node' detail header.
     parents: dict[int, set[int]] = {}
+    children: dict[int, set[int]] = {}
     stack: list[tuple[int, int]] = []  # (name_pos, node_id)
     in_tree = False
+    # An InMemoryRelation's cached AdaptiveSparkPlan prints EMBEDDED
+    # "== Final Plan ==" / "== Initial Plan ==" blocks whose indentation
+    # RESTARTS at the header's column — feeding those lines to the stack
+    # walk corrupts parentage for everything after them (observed: the
+    # drift panel's scalar-broadcast build sides lost their parents, and
+    # pure geometry cannot separate the block's last lines from the
+    # resuming sibling). The reliable separator is ID ORDER: formatted
+    # explain assigns ids depth-first, so every node of the cached fill
+    # plan has id <= the cached AdaptiveSparkPlan's id, while the outer
+    # tree resumes with a LATER id (the fill block and its ASP were
+    # numbered before any following sibling). Skip embedded lines by that
+    # threshold.
+    cached_asp: int | None = None  # ASP id of the IMR whose fill prints next
+    embed_skip: int | None = None  # active skip threshold
     for line in plan.splitlines():
         if line.startswith("== Physical Plan ==") or line.startswith("Subquery:"):
             in_tree = True
             stack = []
+            cached_asp = embed_skip = None
             continue
         if re.match(r"^\(\d+\) ", line):
             in_tree = False
             continue
         if not in_tree:
             continue
+        eh = re.search(r"== (?:Final|Initial) Plan ==", line)
+        if eh:
+            # TOP-LEVEL AQE headers (directly under the root
+            # AdaptiveSparkPlan) are harmless; an EMBEDDED header prints
+            # SHALLOWER than its InMemoryRelation context — that
+            # indentation restart is the corruption signature.
+            if stack and stack[-1][0] > eh.start() and cached_asp is not None:
+                embed_skip = cached_asp
+            continue
         m = _TREE_LINE.match(line)
         if not m:
             continue
         pos = m.start("name")
         nid = int(m.group("id"))
+        if embed_skip is not None:
+            if nid <= embed_skip:
+                continue  # inside the embedded cache-fill block
+            embed_skip = None
         while stack and stack[-1][0] >= pos:
             stack.pop()
         if stack:
             parents.setdefault(nid, set()).add(stack[-1][1])
+            children.setdefault(stack[-1][1], set()).add(nid)
+            if m.group("name").startswith("AdaptiveSparkPlan") and details.get(
+                stack[-1][1], ""
+            ).split("\n", 1)[0].startswith("InMemoryRelation"):
+                cached_asp = nid
         stack.append((pos, nid))
+    return details, parents, children
+
+
+def _global_agg_ids(details: dict[int, str]) -> set[int]:
+    return {
+        i for i, blk in details.items()
+        if "Aggregate" in blk.split("\n", 1)[0] and re.search(r"^Keys: \[\]", blk, re.M)
+    }
+
+
+def sp_exchange_license(plan: str) -> tuple[int, int]:
+    """STRUCTURAL licensing of single-partition exchanges: an SP exchange
+    is benign iff its nearest non-wrapper PARENT in the physical tree is a
+    global aggregate (``Keys: []`` — it then moves one partial-agg row per
+    upstream partition, not data). Returns ``(n_sp, n_licensed)``.
+
+    Counting ``Keys: []`` lines globally would also license a DATA-sized
+    SP exchange (e.g. an unpartitioned window) any time a global agg
+    appears elsewhere in the same plan — hence the per-node tree walk."""
+    details, parents, _children = _plan_structures(plan)
+    sp_ids = {
+        i for i, blk in details.items()
+        if blk.split("\n", 1)[0].endswith("Exchange") and "SinglePartition" in blk
+    }
+    global_agg_ids = _global_agg_ids(details)
 
     def semantic_parent(nid: int, seen: frozenset = frozenset()) -> set[int]:
         out: set[int] = set()
@@ -181,6 +224,45 @@ def sp_exchange_license(plan: str) -> tuple[int, int]:
         if sem and sem <= global_agg_ids:
             licensed += 1
     return len(sp_ids), licensed
+
+
+def nlj_scalar_license(plan: str) -> tuple[int, int]:
+    """Round-13 scalar-broadcast license tier for nested-loop joins: a
+    ``BroadcastNestedLoopJoin``/``CartesianProduct`` is benign iff one of
+    its input subtrees PROVABLY produces at most one row — a path of
+    unary, non-row-expanding nodes (no ``Generate``/``Expand``) down to a
+    global aggregate (``Keys: []``). That is exactly the
+    ``crossJoin(broadcast(df.agg(...)))`` scalar-bounds/totals idiom
+    (``functions/rankstats.py``); a genuine data×data cartesian has no
+    1-row side and still flags ``??``. Returns ``(n_nlj, n_licensed)``."""
+    details, _parents, children = _plan_structures(plan)
+    global_agg_ids = _global_agg_ids(details)
+    nlj_ids = {
+        i for i, blk in details.items()
+        if blk.split("\n", 1)[0].startswith(
+            ("BroadcastNestedLoopJoin", "CartesianProduct")
+        )
+    }
+
+    def proves_scalar(nid: int, depth: int = 0) -> bool:
+        if depth > 64:
+            return False
+        if nid in global_agg_ids:
+            return True
+        name = details.get(nid, "").split("\n", 1)[0]
+        if name.startswith(("Generate", "Expand")):
+            return False
+        kids = children.get(nid, set())
+        if len(kids) != 1:
+            return False
+        return proves_scalar(next(iter(kids)), depth + 1)
+
+    licensed = sum(
+        1
+        for j in nlj_ids
+        if any(proves_scalar(k) for k in children.get(j, set()))
+    )
+    return len(nlj_ids), licensed
 
 
 #: Queries whose NON-aggregate single-partition exchanges are DOCUMENTED
@@ -343,6 +425,18 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "corpus_data_card": (2, "1024-row pooled-CDF bucket offset window (embedded KS-vs-rest component)"),
 }
 
+#: Nested-loop joins whose broadcast side is NOT provably 1-row (the
+#: structural scalar tier in nlj_scalar_license) but is DOCUMENTED bounded
+#: by a config-like cardinality — today only the group-vs-rest grid
+#: construction, which cross-joins the pooled distinct-value frame with the
+#: |groups| frame (functions/rankstats.py:_group_vs_rest_grid; groups are a
+#: slicing dimension, never data-grain). Everything else must prove scalar
+#: or it flags ``??``. Counts are per printed AQE section (final+initial),
+#: matching how the audit counts nested_loop ids.
+BOUNDED_NESTED_LOOP: dict[str, tuple[int, str]] = {
+    "drift_panel_by_source": (2, "groups-frame grid fan-out (|groups| rows)"),
+}
+
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
 #: a data table, not a fixed bucket/day/bin count). These print
 #: ``?? data-grain`` — a warning, never ``ok`` — so the zero-unbounded
@@ -400,7 +494,15 @@ def main() -> None:
                     f"!! {unlicensed} unlicensed single-partition exchange"
                 )
         if info["nested_loop"]:
-            flags.append(f"?? {info['nested_loop']} nested-loop/cartesian")
+            n_nlj, n_scalar = nlj_scalar_license(plan)
+            nb, nb_why = BOUNDED_NESTED_LOOP.get(name, (0, ""))
+            if n_scalar:
+                flags.append(f"ok {n_scalar} scalar-broadcast nlj")
+            rest = n_nlj - n_scalar
+            if rest > 0 and rest <= nb:
+                flags.append(f"ok {rest} bounded nested-loop ({nb_why})")
+            elif rest > 0:
+                flags.append(f"?? {rest} nested-loop/cartesian")
         print(f"{name}: {info} {' '.join(flags)}")
     spark.stop()
 
