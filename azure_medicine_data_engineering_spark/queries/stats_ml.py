@@ -13,6 +13,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from azure_medicine_data_engineering_spark.session import ensure_parallelism  # noqa: E402
 from azure_medicine_data_engineering_spark.queries.registry import (
     events_table,
     register,
@@ -574,7 +575,7 @@ def q_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_fake_payload(docs, "doc_id", "text")
     return decode_media(media)
 
@@ -612,7 +613,7 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         real_decode,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_png_payload(docs, "doc_id", "text")
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
@@ -655,7 +656,7 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         real_decode,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_jpeg_payload(docs, "doc_id", "text")
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
@@ -703,7 +704,7 @@ def q_multimodal_decode_jpeg_progressive(
         real_decode,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_jpeg_payload(docs, "doc_id", "text", progressive=True)
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
@@ -755,7 +756,7 @@ def q_multimodal_jpeg_quality_gates(spark: SparkSession, sf_dir: str) -> DataFra
         image_quality_flags,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_jpeg_payload(docs, "doc_id", "text")
     return image_quality_flags(media)
 
@@ -795,7 +796,7 @@ def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_media,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_png_payload(docs, "doc_id", "text")
     small = resize_media(media, 8, 6)
     return decode_media(small, decode_fn=real_decode).select(
@@ -838,7 +839,7 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_audio,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_wav_payload(docs, "doc_id", "text")
     return decode_audio(media)
 
@@ -881,7 +882,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_video_payload(docs, "doc_id", "text")
     return frame_sample(media, every_k=2)
 
@@ -1010,7 +1011,7 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_ingest_records,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_warc_payload(docs, "doc_id", "text", gzip_members=True)
     return warc_ingest_records(media)
 
@@ -1058,7 +1059,7 @@ def q_html_extract_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_text_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_html_payload(docs, "doc_id", "text")
     return extract_text_stats(media)
 
@@ -1625,7 +1626,7 @@ def q_multimodal_image_quality_flags(spark: SparkSession, sf_dir: str) -> DataFr
         image_quality_flags,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_png_payload(docs, "doc_id", "text")
     return image_quality_flags(media)
 
@@ -1670,7 +1671,7 @@ def q_multimodal_audio_quality_flags(spark: SparkSession, sf_dir: str) -> DataFr
         audio_quality_flags,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_wav_payload(docs, "doc_id", "text")
     return audio_quality_flags(media)
 
@@ -1713,7 +1714,7 @@ def q_multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_motion_report,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_video_payload(docs, "doc_id", "text")
     return video_motion_report(media)
 
@@ -2020,7 +2021,7 @@ def q_multimodal_decode_png_interlaced(
         real_decode,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_png_payload(docs, "doc_id", "text", interlace=True)
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
@@ -2064,7 +2065,7 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         real_decode,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_gif_payload(docs, "doc_id", "text")
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
@@ -2110,7 +2111,7 @@ def q_wds_shard_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         wds_ingest_members,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_wds_shard_payload(docs, "doc_id", "text")
     return wds_ingest_members(media)
 
@@ -2257,7 +2258,7 @@ def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         real_decode,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_bmp_payload(docs, "doc_id", "text")
     return decode_media(media, decode_fn=real_decode).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
@@ -2311,7 +2312,7 @@ def q_pdf_extract_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf_extract_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_pdf_payload(docs, "doc_id", "text", 80, 4)
     return pdf_extract_stats(media)
 
@@ -2353,7 +2354,7 @@ def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_flac_audio,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_flac_payload(docs, "doc_id", "text")
     return decode_flac_audio(media)
 
@@ -2402,7 +2403,7 @@ def q_multimodal_flac_quality_gates(spark: SparkSession, sf_dir: str) -> DataFra
         audio_quality_flags,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_flac_payload(docs, "doc_id", "text")
     return audio_quality_flags(media, decode_samples=flac_decode_samples)
 
@@ -2448,7 +2449,7 @@ def q_pdf_ingest_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf_extract_e2e,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_pdf_payload(docs, "doc_id", "text", 80, 4)
     return pdf_extract_e2e(media)
 
@@ -2555,7 +2556,7 @@ def q_multimodal_decode_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFra
         decode_flac_stereo,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_flac_stereo_payload(docs, "doc_id", "text")
     return decode_flac_stereo(media)
 
@@ -2603,6 +2604,6 @@ def q_sitemap_ingest_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         sitemap_ingest_urls,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_sitemap_payload(docs, "doc_id", "text")
     return sitemap_ingest_urls(media)

@@ -257,3 +257,80 @@ def test_rfm_quintile_joins_are_keyed_not_broadcast_corpus(spark, queries):
     # join back by value key; the segment output stays tiny
     df = queries["rfm_segments_purchases"](spark, SF)
     assert df.count() <= 125
+
+
+# ---------------------------------------------------------------------------
+# Round 13: scalar-broadcast nested-loop license tier.
+# ---------------------------------------------------------------------------
+
+
+def _audit_mod():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "explain_audit.py")
+    spec = importlib.util.spec_from_file_location("explain_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_scalar_broadcast_nlj_is_licensed(spark):
+    """crossJoin(broadcast(df.agg(...))) — the rankstats scalar-bounds
+    idiom — must be structurally licensed: the broadcast side provably
+    produces one row (global aggregate)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    ea = _audit_mod()
+    data = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    tot = data.agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    out = data.crossJoin(F.broadcast(tot)).select("id", "v", "s", "n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    n, lic = ea.nlj_scalar_license(buf.getvalue())
+    assert n >= 1 and lic == n
+
+
+def test_genuine_cartesian_still_flags(spark):
+    """A data x data cross join has no provably-1-row side — the license
+    tier must refuse it, so ?? still means danger."""
+    import io
+    from contextlib import redirect_stdout
+
+    ea = _audit_mod()
+    a = spark.range(1000).selectExpr("id AS a")
+    b = spark.range(1000).selectExpr("id AS b")
+    out = a.crossJoin(b)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    n, lic = ea.nlj_scalar_license(buf.getvalue())
+    assert n >= 1 and lic == 0
+
+
+def test_cached_scalar_broadcast_is_licensed(spark):
+    """The persisted-1-row-aggregate variant: the fill plan lives inside
+    an InMemoryRelation's embedded AQE sections, which the parser must
+    walk (not skip) to find the global agg."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    ea = _audit_mod()
+    data = spark.range(2000).select((F.col("id") % 13).alias("v"))
+    tot = data.agg(F.sum("v").alias("s")).persist()
+    tot.count()  # materialize so the plan prints the cached subtree
+    out = data.crossJoin(F.broadcast(tot))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    tot.unpersist()
+    n, lic = ea.nlj_scalar_license(buf.getvalue())
+    assert n >= 1 and lic == n

@@ -140,12 +140,13 @@ def _plan_structures(plan: str):
     # numbered before any following sibling). Skip embedded lines by that
     # threshold.
     cached_asp: int | None = None  # ASP id of the IMR whose fill prints next
-    embed_skip: int | None = None  # active skip threshold
+    embed_thr: int | None = None  # active embedded-block id threshold
+    estack: list[tuple[int, int]] = []  # embedded block's own stack
     for line in plan.splitlines():
         if line.startswith("== Physical Plan ==") or line.startswith("Subquery:"):
             in_tree = True
             stack = []
-            cached_asp = embed_skip = None
+            cached_asp = embed_thr = None
             continue
         if re.match(r"^\(\d+\) ", line):
             in_tree = False
@@ -157,19 +158,31 @@ def _plan_structures(plan: str):
             # TOP-LEVEL AQE headers (directly under the root
             # AdaptiveSparkPlan) are harmless; an EMBEDDED header prints
             # SHALLOWER than its InMemoryRelation context — that
-            # indentation restart is the corruption signature.
+            # indentation restart is the corruption signature. The block
+            # is parsed as its OWN subtree rooted at the cached ASP (its
+            # fill-plan exchanges/aggs need licensing structure too).
             if stack and stack[-1][0] > eh.start() and cached_asp is not None:
-                embed_skip = cached_asp
+                embed_thr = cached_asp
+                estack = [(eh.start() - 1, cached_asp)]
             continue
         m = _TREE_LINE.match(line)
         if not m:
             continue
         pos = m.start("name")
         nid = int(m.group("id"))
-        if embed_skip is not None:
-            if nid <= embed_skip:
-                continue  # inside the embedded cache-fill block
-            embed_skip = None
+        if embed_thr is not None:
+            if nid <= embed_thr:
+                # inside the embedded cache-fill block: ids are assigned
+                # depth-first, so every fill node's id <= the ASP's id
+                # while the outer tree resumes with a later id
+                while estack and estack[-1][0] >= pos:
+                    estack.pop()
+                if estack:
+                    parents.setdefault(nid, set()).add(estack[-1][1])
+                    children.setdefault(estack[-1][1], set()).add(nid)
+                estack.append((pos, nid))
+                continue
+            embed_thr = None
         while stack and stack[-1][0] >= pos:
             stack.pop()
         if stack:
@@ -253,6 +266,11 @@ def nlj_scalar_license(plan: str) -> tuple[int, int]:
         if name.startswith(("Generate", "Expand")):
             return False
         kids = children.get(nid, set())
+        if name.startswith("AdaptiveSparkPlan"):
+            # its "children" are the printed Final/Initial section roots —
+            # alternative renderings of ONE plan, so any section proving
+            # scalar proves the node (never a real binary operator)
+            return any(proves_scalar(k, depth + 1) for k in kids)
         if len(kids) != 1:
             return False
         return proves_scalar(next(iter(kids)), depth + 1)
@@ -434,7 +452,47 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
 #: or it flags ``??``. Counts are per printed AQE section (final+initial),
 #: matching how the audit counts nested_loop ids.
 BOUNDED_NESTED_LOOP: dict[str, tuple[int, str]] = {
+    # group-vs-rest grid construction: pooled distinct-value frame ×
+    # |groups| frame (functions/rankstats.py:_group_vs_rest_grid)
     "drift_panel_by_source": (2, "groups-frame grid fan-out (|groups| rows)"),
+    "ks_drift_by_source": (1, "groups-frame grid fan-out (|groups| rows)"),
+    "corpus_data_card": (1, "groups-frame grid fan-out (embedded KS-vs-rest)"),
+    "distribution_drift_panel_events": (1, "event-type-frame grid fan-out"),
+    # day-frame pair statistics: calendar-bounded day aggregate crossed
+    # with itself / its own summary (the documented all-pairs-on-days
+    # designs: Kendall/Theil-Sen/Mann-Kendall/runs/segmentation)
+    "mann_kendall_daily_revenue": (1, "day-frame pair cross (calendar-bounded)"),
+    "mann_kendall_revenue_trend": (1, "day-frame pair cross (calendar-bounded)"),
+    "kendall_tau_daily_orders": (1, "day-frame pair cross (calendar-bounded)"),
+    "gk_gamma_daily_orders": (1, "day-frame pair cross (calendar-bounded)"),
+    "theil_sen_daily_trend": (1, "day-frame pair cross (calendar-bounded)"),
+    "runs_test_daily_revenue": (1, "day-frame vs day-summary cross"),
+    "binary_segmentation_revenue": (4, "day-frame segment crosses (calendar-bounded)"),
+    # keyed bounded-dimension frames crossed for pairwise/contingency
+    # composition (|groups|^2-class, groups are slicing dimensions)
+    "tukey_hsd_price_by_priority": (1, "priority-group frame pair cross"),
+    "dunn_posthoc_value_by_type": (1, "event-type-group frame pair cross"),
+    "mood_median_value_by_type": (1, "pooled-median (cached scalar) broadcast"),
+    "source_centroid_similarity": (1, "per-source centroid frame pair cross"),
+    "t_closeness_customers": (1, "attribute-class distribution frame cross"),
+    "logrank_error_vs_clean": (1, "two-group day-frame survival cross"),
+    "chi_square_type_dow": (1, "type x dow marginal frames cross (35 cells)"),
+    "cramers_v_type_dow": (1, "type x dow marginal frames cross (35 cells)"),
+    "als_block_recommender_events": (1, "fixed-rank factor block cross"),
+    "als_implicit_block_recommender_events": (1, "fixed-rank factor block cross"),
+    # similarity/retrieval: a FILTERED benchmark/query set (fixture
+    # predicate, tens of rows) broadcast against the corpus — the
+    # documented brute-force baseline / eval-panel shape; the scale path
+    # is the IVF/LSH bucketed variant
+    "embedding_knn_topk": (1, "query-set broadcast brute-force baseline"),
+    "embedding_sq8_topk": (1, "query-set broadcast (SQ8 rerank baseline)"),
+    "embedding_ivf_nprobe2": (1, "query-set x cached centroid table"),
+    "ann_recall_ivf_vs_exact": (2, "query-set broadcast (exact baseline arm)"),
+    "retrieval_mrr_ndcg_ivf": (2, "query-set broadcast (exact baseline arm)"),
+    "retrieval_rbo_ivf": (1, "query-set broadcast (exact baseline arm)"),
+    "mmr_diversified_top3": (1, "query-set broadcast (MMR candidate pool)"),
+    "contrastive_pairs_panel": (1, "eval-panel broadcast vs corpus"),
+    "semantic_contamination_flags": (1, "benchmark-panel broadcast vs corpus"),
 }
 
 #: Single-partition licenses whose bound SCALES WITH A TABLE GRAIN (rows of
