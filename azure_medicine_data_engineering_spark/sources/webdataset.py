@@ -257,6 +257,11 @@ ALIGN_STATS_SCHEMA = StructType(
         StructField("dot", LongType()),
         StructField("na", LongType()),
         StructField("nb", LongType()),
+        # recovered image content fingerprint + extracted caption (round-13
+        # funnel: downstream stages gate on the WIRE-extracted values, not
+        # a recomputation from the source table)
+        StructField("fp_img", StringType()),
+        StructField("caption", StringType()),
     ]
 )
 
@@ -299,7 +304,12 @@ def image_text_alignment_stats(df: DataFrame) -> DataFrame:
                 dot = sum(a * b for a, b in zip(ei, et))
                 na = sum(a * a for a in ei)
                 nb = sum(b * b for b in et)
-                rows.append((int(mid), dot, na, nb))
-            yield pd.DataFrame(rows, columns=["media_id", "dot", "na", "nb"])
+                rows.append(
+                    (int(mid), dot, na, nb, fp_img, txt.decode("utf-8"))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "dot", "na", "nb", "fp_img", "caption"],
+            )
 
     return df.select("media_id", "payload").mapInPandas(run, ALIGN_STATS_SCHEMA)
