@@ -122,6 +122,20 @@ HEADLINE4 = [
 ]
 
 
+#: Fifth frozen group (round 13): the LSH cap/representatives modes, the
+#: cross-modal alignment gate, MP4 demux, the multimodal curation funnel,
+#: and the streaming image-dedup twin. Reported separately
+#: (headline5/value5); frozen from round 13 on.
+HEADLINE5 = [
+    "minhash_lsh_dedup_capped",
+    "lsh_bucket_representatives",
+    "image_text_alignment_gate",
+    "multimodal_video_demux_mp4",
+    "multimodal_e2e_curation",
+    "streaming_image_dedup",
+]
+
+
 #: Per-query repeat count; the headline time is the best of N runs, which
 #: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
 #: discrepancy on categorized_summary was exactly this: single-shot timing
@@ -266,6 +280,7 @@ def main() -> None:
     timings2, medians2 = timed_group("g2", HEADLINE2)
     timings3, medians3 = timed_group("g3", HEADLINE3)
     timings4, medians4 = timed_group("g4", HEADLINE4)
+    timings5, medians5 = timed_group("g5", HEADLINE5)
     load_after = tuple(round(x, 2) for x in os.getloadavg())
 
     total = round(sum(timings.values()), 3)
@@ -282,6 +297,8 @@ def main() -> None:
                 "queries3_median": medians3,
                 "queries4": timings4,
                 "queries4_median": medians4,
+                "queries5": timings5,
+                "queries5_median": medians5,
             }
         )
     )
@@ -305,6 +322,11 @@ def main() -> None:
                 # byte BPE, KN router, crawl funnel, CJK routing
                 "value4": round(sum(timings4.values()), 3),
                 "value4_median": round(sum(medians4.values()), 3),
+                # fifth frozen group (round 13+): LSH cap/representatives,
+                # alignment gate, MP4 demux, multimodal funnel, streaming
+                # image dedup
+                "value5": round(sum(timings5.values()), 3),
+                "value5_median": round(sum(medians5.values()), 3),
                 "unit": "sec",
                 "flagship": "categorized_summary_fast",
                 "sf": sf,
