@@ -100,7 +100,7 @@ def _hand_mp4(
         stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
         minf = _box(
             b"minf",
-            _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)) + _box(b"stbl_", b"") * 0 + stbl,
+            _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)) + stbl,
         )
         hdlr = _full_box(
             b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"h\x00"
@@ -135,9 +135,10 @@ def _hand_mp4(
         return ftyp + junk + mdat + moov
 
     if moov_first:
-        # two-pass: moov size is layout-independent of offsets' VALUES
-        # (fixed-width fields), so build once with zeros to learn the size.
-        probe = build_moov([0] * len(stsc_entries and _chunks(stsc_entries, n)))
+        # two-pass: moov size is independent of the offsets' VALUES
+        # (fixed-width fields), so build once with zeros to learn the size
+        n_chunks = len(_chunk_offsets(samples, stsc_entries, 0))
+        probe = build_moov([0] * n_chunks)
         base = len(ftyp) + len(junk) + len(probe) + 8
         offsets = _chunk_offsets(samples, stsc_entries, base)
         moov = build_moov(offsets)
@@ -146,19 +147,6 @@ def _hand_mp4(
     offsets = _chunk_offsets(samples, stsc_entries, base)
     moov = build_moov(offsets)
     return ftyp + junk + mdat + moov
-
-
-def _chunks(stsc_entries, n):
-    """Number of chunks implied by the stsc table for n samples."""
-    total, chunks = 0, 0
-    for k, (first, spc, _d) in enumerate(stsc_entries):
-        nxt = stsc_entries[k + 1][0] if k + 1 < len(stsc_entries) else None
-        ch = first
-        while total < n and (nxt is None or ch < nxt):
-            total += spc
-            chunks += 1
-            ch += 1
-    return list(range(chunks))
 
 
 def _chunk_offsets(samples, stsc_entries, base):
