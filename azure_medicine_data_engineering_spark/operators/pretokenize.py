@@ -1,0 +1,112 @@
+"""GPT-2 regex pretokenization (round 13) — the split every byte-level BPE
+pipeline runs BEFORE merging:
+
+    's|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+
+
+The published pattern needs a NEGATIVE LOOKAHEAD (`\\s+(?!\\S)`: a
+whitespace run donates its last space to the following word), which RE2 —
+DuckDB's engine — does not support (CLAUDE.md convention). This module
+implements the EXACTLY-EQUAL lookahead-free two-pass form, pure column
+algebra on both engines:
+
+Pass 1 merges the two whitespace branches into one greedy ``\\s+`` (the
+other five branches are lookahead-free and keep their order — both Java
+regex and RE2 use leftmost-FIRST alternation, so the ordered alternation
+behaves identically).
+
+Pass 2 (an index transform over the match array) restores the lookahead
+semantics locally: a whitespace run FOLLOWED BY another token splits into
+``run[:-1]`` plus its last character, which re-attaches to the next token
+iff it is exactly a space U+0020 (the `` ?`` in the letter/number/punct
+branches matches only a literal space — a trailing tab stays its own
+token); a trailing whitespace run stays whole. Equality with the true
+pattern is pinned against a character-exact Python reference (real
+lookahead semantics, unicodedata categories) in
+`tests/test_pretokenize.py`.
+
+Note ``\\s`` here is the ASCII class ``[ \\t\\n\\x0B\\f\\r]`` on BOTH
+engines (Java default and RE2 agree); ``\\p{L}``/``\\p{N}`` are full
+Unicode categories on both.
+
+No counterpart in the reference (training-data scale extension; the
+tokenizer-family sibling of `operators/byte_bpe.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: pass-1 pattern: contractions, space?-letters, space?-numbers,
+#: space?-punct, one greedy whitespace branch (lookahead-free)
+GPT2_MERGED_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+_WS_RUN = r"^\s+$"
+
+
+def gpt2_pretokens(text: Column) -> Column:
+    """GPT-2 pretokens of ``text`` as ``array<string>`` — JVM-side column
+    algebra only (regexp_extract_all + one index transform), no UDF."""
+    tk = F.regexp_extract_all(text, F.lit(GPT2_MERGED_PATTERN), 0)
+    n = F.size(tk)
+
+    def piece(i: Column) -> Column:  # i is 0-based (F.get semantics)
+        cur = F.get(tk, i)
+        nxt = F.get(tk, i + 1)
+        prev = F.get(tk, i - 1)
+        cur_ws = cur.rlike(_WS_RUN)
+        head = cur.substr(F.lit(1), F.length(cur) - 1)
+        last = cur.substr(F.length(cur), F.lit(1))
+        prev_donates = (
+            prev.isNotNull() & prev.rlike(_WS_RUN) & prev.endswith(" ")
+        )
+        return F.when(
+            cur_ws & nxt.isNotNull(),
+            # split the run: everything but the last char, plus the last
+            # char as its own token unless it is the space that re-attaches
+            F.filter(
+                F.array(
+                    head, F.when(last != " ", last).otherwise(F.lit(None))
+                ),
+                lambda x: x.isNotNull() & (x != ""),
+            ),
+        ).otherwise(
+            F.array(
+                F.when(prev_donates, F.concat(F.lit(" "), cur)).otherwise(cur)
+            )
+        )
+
+    out = F.flatten(F.transform(F.sequence(F.lit(0), n - 1), piece))
+    # sequence(0, -1) would count DOWN — guard the empty-match case
+    return F.when(n > 0, out).otherwise(F.array().cast("array<string>"))
+
+
+def gpt2_matches_sql(expr: str) -> str:
+    """DuckDB pass 1 over the SQL expression ``expr`` (stage the result in
+    a CTE column — the fix-up references it many times)."""
+    pat = GPT2_MERGED_PATTERN.replace("'", "''")
+    return f"regexp_extract_all({expr}, '{pat}')"
+
+
+def gpt2_fixup_sql(tk: str) -> str:
+    """DuckDB pass 2 (the lookahead restoration) over a COLUMN NAME ``tk``
+    holding the pass-1 match list — mirror of the index transform in
+    :func:`gpt2_pretokens`."""
+    return (
+        f"list_filter(flatten(list_transform(range(1, len({tk}) + 1), i -> "
+        f"CASE WHEN regexp_matches({tk}[i], '^\\s+$') AND i < len({tk}) "
+        f"THEN list_filter("
+        f"[substr({tk}[i], 1, length({tk}[i]) - 1), "
+        f"CASE WHEN substr({tk}[i], length({tk}[i]), 1) <> ' ' "
+        f"THEN substr({tk}[i], length({tk}[i]), 1) END], "
+        f"x -> x IS NOT NULL AND x <> '') "
+        f"ELSE [CASE WHEN i > 1 AND regexp_matches({tk}[i-1], '^\\s+$') "
+        f"AND substr({tk}[i-1], length({tk}[i-1]), 1) = ' ' "
+        f"THEN ' ' || {tk}[i] ELSE {tk}[i] END] END)), x -> x <> '')"
+    )

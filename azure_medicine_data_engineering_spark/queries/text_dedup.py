@@ -2904,3 +2904,52 @@ def q_byte_bpe_tokenize_stats_docs(spark: SparkSession, sf_dir: str) -> DataFram
         for r in trained.orderBy("merge_idx").collect()
     ]
     return byte_bpe_tokenize_stats(d, merges)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 regex pretokenization (round 13 — the split byte-level BPE runs
+# before merging; lookahead-free two-pass form, operators/pretokenize.py).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.pretokenize import (  # noqa: E402
+    gpt2_fixup_sql,
+    gpt2_matches_sql,
+    gpt2_pretokens,
+)
+
+#: deterministic enrichment suffix — the corpus text is single-spaced
+#: lowercase ASCII, so this makes every doc exercise the contraction,
+#: digit, punctuation, tab, multi-space, Unicode-letter and trailing-
+#: whitespace branches (the byte-BPE enrichment precedent)
+_GPT2_SUFFIX = " it's no3 42 a.b  x\t日本 end  "
+_GPT2_SUFFIX_SQL = "' it''s no3 42 a.b  x' || chr(9) || '日本 end  '"
+
+
+@register(
+    "gpt2_pretokenize_docs",
+    f"""
+    WITH t AS (SELECT doc_id, text || {_GPT2_SUFFIX_SQL} AS t2 FROM documents),
+    m AS MATERIALIZED (
+      SELECT doc_id, {gpt2_matches_sql('t2')} AS tk FROM t
+    ),
+    p AS (SELECT doc_id, {gpt2_fixup_sql('tk')} AS toks FROM m)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_pretokens,
+           md5(array_to_string(toks, chr(31))) AS pretokens_md5
+    FROM p
+    """,
+)
+def q_gpt2_pretokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2 regex pretokenization over the (branch-enriched) corpus:
+    per-doc pretoken count + md5 of the unit-separator-joined pretoken
+    sequence — the md5 makes every split decision load-bearing. The
+    lookahead-free two-pass form is pinned EXACTLY EQUAL to the published
+    pattern (true lookahead) in tests/test_pretokenize.py. Pure column
+    algebra, map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = gpt2_pretokens(F.concat(F.col("text"), F.lit(_GPT2_SUFFIX)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_pretokens"),
+        F.md5(F.array_join(toks, "\x1f")).alias("pretokens_md5"),
+    )

@@ -1,0 +1,115 @@
+"""GPT-2 pretokenizer pins: the lookahead-free two-pass form must be
+EXACTLY EQUAL to the published pattern (true negative lookahead), with the
+`regex` module as the independent authority, plus a hypothesis sweep and
+the DuckDB mirror equality."""
+
+import duckdb
+import pytest
+import regex as regex_mod
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from azure_medicine_data_engineering_spark.operators.pretokenize import (
+    GPT2_MERGED_PATTERN,
+    gpt2_fixup_sql,
+    gpt2_matches_sql,
+    gpt2_pretokens,
+)
+
+# The PUBLISHED pattern (true lookahead) with \s pinned to the ASCII class
+# the JVM/RE2 sides use: scoped (?a:\s) outside character classes, the
+# explicit ASCII whitespace set inside the negated class (a global
+# regex.ASCII flag would ALSO ASCII-fy \p{L} — measured: it split v日x —
+# while \p{L}/\p{N} must stay Unicode like Java regex and RE2).
+_TRUE = regex_mod.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+"
+    r"|(?a:\s)+(?!(?a:\S))|(?a:\s)+"
+)
+
+
+def true_split(s: str) -> list[str]:
+    return _TRUE.findall(s)
+
+
+CASES = [
+    "hello world",
+    "it's a don't won're",
+    "a  b",
+    "a   b",
+    "a \tb",
+    "ab12cd 3.14",
+    "x!!y, z",
+    "end  ",
+    "  start",
+    "tabs\t\tx",
+    "日本語 test v日x",
+    "a ' b '' c",
+    "",
+    " ",
+    "   ",
+    "mixed \t  \t end\t",
+    "CAPS Mixed 'LL 'll",
+    "\n\nnewlines\n",
+    "1'2's",
+    "f(x) = y?",
+    "nbsp \u00a0\u00a0x",
+]
+
+
+def _duck(s: str) -> list[str]:
+    con = duckdb.connect()
+    sql = (
+        f"WITH t AS (SELECT ? AS s), "
+        f"m AS (SELECT {gpt2_matches_sql('s')} AS tk FROM t) "
+        f"SELECT {gpt2_fixup_sql('tk')} FROM m"
+    )
+    return con.execute(sql, [s]).fetchone()[0]
+
+
+def test_hand_cases_spark_equals_true_pattern(spark):
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CASES)], ["i", "t"]
+    )
+    got = {
+        r.i: r.p
+        for r in df.select("i", gpt2_pretokens(F.col("t")).alias("p")).collect()
+    }
+    for i, c in enumerate(CASES):
+        assert got[i] == true_split(c), f"case {c!r}"
+
+
+def test_hand_cases_duckdb_mirror_equals_true_pattern():
+    for c in CASES:
+        assert _duck(c) == true_split(c), f"case {c!r}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=" \t\nabzZ09!.'s日ä(\u00a0",
+        max_size=24,
+    )
+)
+def test_duckdb_mirror_property(s):
+    """Property sweep of the DuckDB mirror vs the true pattern (the mirror
+    and the Spark column share the algorithm verbatim; the Spark side is
+    covered by the hand cases + the oracle gate)."""
+    assert _duck(s) == true_split(s)
+
+
+def test_lossless_and_space_attachment(spark):
+    """Pretokens always concatenate back to the input, and every interior
+    single space attaches to the FOLLOWING token — the property byte-BPE
+    training relies on."""
+    s = "the quick brown fox it's 42 jumps"
+    [row] = (
+        spark.createDataFrame([(s,)], ["t"])
+        .select(gpt2_pretokens(F.col("t")).alias("p"))
+        .collect()
+    )
+    assert "".join(row.p) == s
+    assert row.p == [
+        "the", " quick", " brown", " fox", " it", "'s", " 42", " jumps"
+    ]
