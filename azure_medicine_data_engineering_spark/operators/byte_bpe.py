@@ -79,6 +79,7 @@ def byte_bpe_merge_train(
     df: DataFrame,
     n_merges: int = 12,
     text_col: str = "text",
+    words_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Byte-level BPE merge-loop training. Words are the lowercased
     ``^[a-z]+$`` whitespace tokens (the repo's oracle-aligned word gate),
@@ -89,6 +90,12 @@ def byte_bpe_merge_train(
     the char-level trainer's deterministic tie-break."""
     from azure_medicine_data_engineering_spark.operators.text import tokens
 
+    if words_freq is not None:
+        # pre-derived (w, f) unit table — e.g. GPT-2 pretokens (round 13);
+        # no lowercase gate, no enrichment: the caller owns the unit rule
+        enriched = words_freq.select(F.col("w"), F.col("f"))
+        words = enriched.select(byte_symbol_string(F.col("w")).alias("s"), "f")
+        return _merge_loop(words, n_merges)
     base = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
         .where(F.col("_w").rlike("^[a-z]+$"))
@@ -108,6 +115,12 @@ def byte_bpe_merge_train(
         "f",
     )
     words = enriched.select(byte_symbol_string(F.col("w")).alias("s"), "f")
+    return _merge_loop(words, n_merges)
+
+
+def _merge_loop(words: DataFrame, n_merges: int) -> DataFrame:
+    """The shared eager-checkpoint merge loop over a byte-symbolized
+    ``(s, f)`` frame (factored in round 13 for the pretokenized variant)."""
     dd = DELIM + DELIM
     merges: list[DataFrame] = []
     # per-round eager checkpoints, not a persist chain: with persists each

@@ -2953,3 +2953,59 @@ def q_gpt2_pretokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("int").alias("n_pretokens"),
         F.md5(F.array_join(toks, "\x1f")).alias("pretokens_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE over GPT-2 pretokens (round 13) — the ACTUAL GPT-2
+# training unit: pretokens keep their leading space, which byte-maps to
+# the famous 'Ġ' symbol, so merges learn space-prefixed word pieces.
+# ---------------------------------------------------------------------------
+
+_BBG_MERGES = 12
+
+
+@register(
+    "byte_bpe_gpt2_merges",
+    f"""
+    WITH ut AS (SELECT {_BB_U} AS U),
+    gtk AS MATERIALIZED (
+      SELECT {gpt2_matches_sql(f"text || {_GPT2_SUFFIX_SQL}")} AS tk
+      FROM documents
+    ),
+    gw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest({gpt2_fixup_sql('tk')}) AS w FROM gtk) t
+      GROUP BY w
+    ),
+    bw0 AS MATERIALIZED (
+      SELECT '{_BB_D}' || array_to_string(list_transform(
+               regexp_extract_all(hex(w), '..'),
+               c -> U[('0x' || c)::INT + 1]), '{_BB_DD}') || '{_BB_D}' AS s, f
+      FROM gw, ut
+    ),
+    """
+    + ",".join(_byte_bpe_round_sql(i) for i in range(1, _BBG_MERGES + 1))
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_idx, a AS left_sym, b AS right_sym, "
+        f"cnt AS pair_count FROM bm{i}"
+        for i in range(1, _BBG_MERGES + 1)
+    ),
+)
+def q_byte_bpe_gpt2_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE trained on GPT-2 PRETOKENS (the published pipeline's
+    actual unit, vs the whitespace-word variant `byte_bpe_vocab_merges`):
+    pretokens keep their leading space (byte 0x20 -> 'Ġ' through the
+    public table), so learned merges include space-prefixed pieces. The
+    oracle replays the two-pass pretokenization and unrolls every merge
+    round CTE-for-CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = gpt2_pretokens(F.concat(F.col("text"), F.lit(_GPT2_SUFFIX)))
+    wf = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return byte_bpe_merge_train(
+        docs, n_merges=_BBG_MERGES, words_freq=wf
+    )

@@ -113,3 +113,26 @@ def test_lossless_and_space_attachment(spark):
     assert row.p == [
         "the", " quick", " brown", " fox", " it", "'s", " 42", " jumps"
     ]
+
+
+def test_byte_bpe_gpt2_learns_space_prefixed_pieces(spark):
+    """The point of pretokenized byte-BPE: the leading space byte-maps to
+    'Ġ' and participates in merges — the whitespace-word variant can never
+    learn a space-prefixed piece."""
+    from azure_medicine_data_engineering_spark.operators.byte_bpe import (
+        byte_bpe_merge_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(30)], ["doc_id", "text"]
+    )
+    toks = gpt2_pretokens(F.col("text"))
+    wf = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    merges = byte_bpe_merge_train(docs, n_merges=4, words_freq=wf).collect()
+    assert any(
+        "Ġ" in (r.left_sym + r.right_sym) for r in merges
+    ), merges
