@@ -124,7 +124,7 @@ def test_byte_bpe_gpt2_learns_space_prefixed_pieces(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, "the cat sat on the mat") for i in range(30)], ["doc_id", "text"]
+        [(i, "xy xy xy xy") for i in range(10)], ["doc_id", "text"]
     )
     toks = gpt2_pretokens(F.col("text"))
     wf = (
@@ -132,7 +132,8 @@ def test_byte_bpe_gpt2_learns_space_prefixed_pieces(spark):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    merges = byte_bpe_merge_train(docs, n_merges=4, words_freq=wf).collect()
-    assert any(
-        "Ġ" in (r.left_sym + r.right_sym) for r in merges
-    ), merges
+    merges = byte_bpe_merge_train(docs, n_merges=2, words_freq=wf).collect()
+    got = [(r.merge_idx, r.left_sym, r.right_sym) for r in merges]
+    # merge 1: x+y inside every pretoken (4/doc); merge 2: Ġ+xy — the
+    # space-prefixed piece (3/doc)
+    assert got == [(1, "x", "y"), (2, "Ġ", "xy")], got
