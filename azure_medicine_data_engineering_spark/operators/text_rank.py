@@ -1331,3 +1331,172 @@ def ccnet_router_model_delta(
     )
     out._stage_caches = list(getattr(kn_doc, "_stage_caches", [])) + cut_caches
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney 5-GRAM LM (round 13) — the order production CCNet actually
+# ships (Wenzek et al. 2020 trains KenLM 5-grams; the trigram above is the
+# two-rung teaching ladder). Same architecture, two more recursion levels.
+# ---------------------------------------------------------------------------
+
+#: Interpolated absolute-discount KN at order 5 (d = 0.75 at every level),
+#: ONE shared expression string (identical IEEE op sequence both engines).
+#: Inputs (all exact integers; suffix-table recursion — level-k counts are
+#: row counts of the distinct suffix-(k)-gram table, Chen & Goodman):
+#:   c5    = c(a b c d e)
+#:   cabcd = sum_e' c(a b c d e')           nabcd = N1+(a b c d .)
+#:   m4 = N1+(. b c d e)    w4 = N1+(. b c d .)    l4 = |{e: N1+(. b c d e)>0}|
+#:   m3 = N1+(. c d e)*     w3 = N1+(. c d .)*     l3 = analogous   (* over d4)
+#:   m2 = N1+(. d e)*       w2 = N1+(. d .)*       l2 = analogous   (* over d3)
+#:   n1e = N1+(. e)         nal = N1+(. .)         (over d2)
+KN5_LP_EXPR = (
+    "ln((greatest(c5 - 7.5e-1, 0e0) + 7.5e-1 * nabcd * "
+    "((greatest(m4 - 7.5e-1, 0e0) + 7.5e-1 * l4 * "
+    "((greatest(m3 - 7.5e-1, 0e0) + 7.5e-1 * l3 * "
+    "((greatest(m2 - 7.5e-1, 0e0) + 7.5e-1 * l2 * (n1e * 1e0 / nal)) / w2))"
+    " / w3)) / w4)) / cabcd)"
+)
+KN5_LPU_EXPR = f"CAST(ROUND(({KN5_LP_EXPR}) * 1e6) AS BIGINT)"
+
+
+def kn_5gram_doc_nll(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DOC-grain Kneser-Ney 5-gram NLL frame ``(id, g, n_5grams, slpu,
+    nll)`` — the order-5 sibling of :func:`kn_trigram_doc_nll` (same
+    distinct-ngram model-table architecture: ONE persisted 5-gram table,
+    every KN quantity a keyed groupBy of it or of its suffix tables —
+    at 100 TB the model table is what a production run materializes).
+    Docs under 5 tokens contribute nothing (document-interior positions,
+    no padding)."""
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    pen = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg"),
+    )
+
+    def part(i: int) -> F.Column:
+        if i == 1:
+            return F.substring_index("pg", " ", 1)
+        if i == 5:
+            return F.substring_index("pg", " ", -1)
+        return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
+
+    g5 = (
+        pen.groupBy("pg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c5"))
+        .select(
+            "pg", "c5",
+            part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
+            part(4).alias("d"), part(5).alias("e"),
+        )
+        .persist()
+    )
+    # disjoint key names per derived frame (self-lineage join rule)
+    abcd = g5.groupBy(
+        F.col("a").alias("a1"), F.col("b").alias("b1"),
+        F.col("c").alias("c1"), F.col("d").alias("d1"),
+    ).agg(
+        F.sum("c5").cast("long").alias("cabcd"),
+        F.count(F.lit(1)).cast("long").alias("nabcd"),
+    )
+    # d4 = distinct suffix 4-grams with their left-extension counts
+    bcde = g5.groupBy(
+        F.col("b").alias("b2"), F.col("c").alias("c2"),
+        F.col("d").alias("d2"), F.col("e").alias("e2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("m4"))
+    bcd = g5.groupBy(
+        F.col("b").alias("b3"), F.col("c").alias("c3k"), F.col("d").alias("d3")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w4"),
+        F.count_distinct("e").cast("long").alias("l4"),
+    )
+    cde = bcde.groupBy(
+        F.col("c2").alias("c4"), F.col("d2").alias("d4"), F.col("e2").alias("e4")
+    ).agg(F.count(F.lit(1)).cast("long").alias("m3"))
+    cd = bcde.groupBy(F.col("c2").alias("c5k"), F.col("d2").alias("d5")).agg(
+        F.count(F.lit(1)).cast("long").alias("w3"),
+        F.count_distinct("e2").cast("long").alias("l3"),
+    )
+    de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
+        F.count(F.lit(1)).cast("long").alias("m2")
+    )
+    dk = cde.groupBy(F.col("d4").alias("d7")).agg(
+        F.count(F.lit(1)).cast("long").alias("w2"),
+        F.count_distinct("e4").cast("long").alias("l2"),
+    )
+    ek = de.groupBy(F.col("e6").alias("e8")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1e")
+    )
+    nal = de.agg(F.count(F.lit(1)).cast("long").alias("nal"))
+    lpu = (
+        g5.join(
+            abcd,
+            (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1"))
+            & (F.col("c") == F.col("c1")) & (F.col("d") == F.col("d1")),
+        )
+        .join(
+            bcde,
+            (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2"))
+            & (F.col("d") == F.col("d2")) & (F.col("e") == F.col("e2")),
+        )
+        .join(
+            bcd,
+            (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3k"))
+            & (F.col("d") == F.col("d3")),
+        )
+        .join(
+            cde,
+            (F.col("c") == F.col("c4")) & (F.col("d") == F.col("d4"))
+            & (F.col("e") == F.col("e4")),
+        )
+        .join(cd, (F.col("c") == F.col("c5k")) & (F.col("d") == F.col("d5")))
+        .join(de, (F.col("d") == F.col("d6")) & (F.col("e") == F.col("e6")))
+        .join(dk, F.col("d") == F.col("d7"))
+        .join(ek, F.col("e") == F.col("e8"))
+        .crossJoin(F.broadcast(nal))
+        .selectExpr("pg AS pg_k", f"{KN5_LPU_EXPR} AS lpu")
+    )
+    out = (
+        pen.join(lpu, pen.pg == lpu.pg_k)
+        .groupBy(id_col, "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_5grams"),
+            F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu"),
+        )
+        .selectExpr(
+            id_col, "g", "n_5grams", "slpu", "(-slpu) div n_5grams AS nll"
+        )
+    )
+    out._stage_caches = [g5]
+    return out
+
+
+def kn_5gram_logprob_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice corpus-self perplexity under the interpolated KN 5-GRAM
+    (the order production CCNet ships). Returns
+    ``(g, n_docs, n_5grams, nll_micro)`` on the exact micro grid."""
+    doc = kn_5gram_doc_nll(df, group_col, text_col, id_col)
+    out = (
+        doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_5grams").cast("long").alias("n_5grams"),
+            F.sum("slpu").alias("slpu"),
+        )
+        .selectExpr("g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro")
+    )
+    out._stage_caches = list(getattr(doc, "_stage_caches", []))
+    return out

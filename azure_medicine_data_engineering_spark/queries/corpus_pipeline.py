@@ -2064,3 +2064,94 @@ def q_ccnet_router_model_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ccnet_router_model_delta(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney 5-gram (round 13) — the order production CCNet ships.
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    KN5_LPU_EXPR as _KN5_LPU,
+)
+
+
+@register(
+    "kn_5gram_perplexity_by_source",
+    f"""
+    WITH tk5 AS MATERIALIZED (
+      SELECT doc_id, source AS g, {_TOKS.format(t='text')} AS w FROM documents
+    ),
+    pen AS MATERIALIZED (
+      SELECT doc_id, g,
+             t.w[r.i] || ' ' || t.w[r.i + 1] || ' ' || t.w[r.i + 2] || ' ' ||
+             t.w[r.i + 3] || ' ' || t.w[r.i + 4] AS pg
+      FROM tk5 t, LATERAL (SELECT unnest(range(1, len(t.w) - 3)) AS i) r
+    ),
+    g5 AS MATERIALIZED (
+      SELECT pg, CAST(COUNT(*) AS BIGINT) AS c5,
+             string_split(pg, ' ')[1] AS a, string_split(pg, ' ')[2] AS b,
+             string_split(pg, ' ')[3] AS c, string_split(pg, ' ')[4] AS d,
+             string_split(pg, ' ')[5] AS e
+      FROM pen GROUP BY pg
+    ),
+    abcd AS MATERIALIZED (
+      SELECT a, b, c, d, CAST(SUM(c5) AS BIGINT) AS cabcd,
+             CAST(COUNT(*) AS BIGINT) AS nabcd
+      FROM g5 GROUP BY a, b, c, d
+    ),
+    bcde AS MATERIALIZED (
+      SELECT b, c, d, e, CAST(COUNT(*) AS BIGINT) AS m4 FROM g5 GROUP BY b, c, d, e
+    ),
+    bcd AS MATERIALIZED (
+      SELECT b, c, d, CAST(COUNT(*) AS BIGINT) AS w4,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l4
+      FROM g5 GROUP BY b, c, d
+    ),
+    cde AS MATERIALIZED (
+      SELECT c, d, e, CAST(COUNT(*) AS BIGINT) AS m3 FROM bcde GROUP BY c, d, e
+    ),
+    cd AS MATERIALIZED (
+      SELECT c, d, CAST(COUNT(*) AS BIGINT) AS w3,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l3
+      FROM bcde GROUP BY c, d
+    ),
+    de AS MATERIALIZED (
+      SELECT d, e, CAST(COUNT(*) AS BIGINT) AS m2 FROM cde GROUP BY d, e
+    ),
+    dk AS MATERIALIZED (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS w2,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l2
+      FROM cde GROUP BY d
+    ),
+    ek AS MATERIALIZED (
+      SELECT e, CAST(COUNT(*) AS BIGINT) AS n1e FROM de GROUP BY e
+    ),
+    na5 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nal FROM de),
+    lpu AS MATERIALIZED (
+      SELECT g5.pg AS pg_k, {_KN5_LPU} AS lpu
+      FROM g5 JOIN abcd USING (a, b, c, d) JOIN bcde USING (b, c, d, e)
+              JOIN bcd USING (b, c, d) JOIN cde USING (c, d, e)
+              JOIN cd USING (c, d) JOIN de USING (d, e)
+              JOIN dk USING (d) JOIN ek USING (e), na5
+    )
+    SELECT g,
+           CAST(COUNT(DISTINCT pen.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_5grams,
+           CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nll_micro
+    FROM pen JOIN lpu l ON pen.pg = l.pg_k
+    GROUP BY g
+    """,
+)
+def q_kn_5gram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney 5-GRAM perplexity per source slice
+    (``operators/text_rank.py:kn_5gram_logprob_by_group``) — the model
+    ORDER production CCNet ships (Wenzek et al. 2020 trains KenLM
+    5-grams; the round-12 trigram is the teaching rung below). Suffix-
+    table recursion: every level-k quantity is a keyed groupBy of the
+    distinct 5-gram model table or its suffix tables — never a corpus
+    re-scan; the KN log-prob is ONE shared expression interpolated
+    verbatim here; micro-grid sums in DECIMAL(38,0)/HUGEINT."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        kn_5gram_logprob_by_group,
+    )
+
+    return kn_5gram_logprob_by_group(_t(spark, sf_dir, "documents"))
