@@ -133,6 +133,9 @@ HEADLINE5 = [
     "multimodal_video_demux_mp4",
     "multimodal_e2e_curation",
     "streaming_image_dedup",
+    "gpt2_pretokenize_docs",
+    "byte_bpe_gpt2_merges",
+    "kn_5gram_perplexity_by_source",
 ]
 
 
