@@ -142,6 +142,11 @@ def main() -> int:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            # partial replicas (make_replica --only=documents) carry only
+            # the fact tables a sweep needs — skip the rest; a query that
+            # touches a missing table fails loudly at run time
+            continue
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     results = {}
