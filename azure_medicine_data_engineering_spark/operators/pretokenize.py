@@ -52,14 +52,25 @@ _WS_RUN = r"^\s+$"
 
 def gpt2_pretokens(text: Column) -> Column:
     """GPT-2 pretokens of ``text`` as ``array<string>`` — JVM-side column
-    algebra only (regexp_extract_all + one index transform), no UDF."""
+    algebra only (regexp_extract_all + one zipped transform), no UDF.
+
+    The neighbour context (prev/next match) is materialized as ROW-level
+    shifted arrays zipped with the matches — an index transform with
+    ``F.get(tk, i±1)`` captures the whole regexp_extract_all expression
+    in the lambda and re-runs the regex PER ELEMENT REFERENCE (CLAUDE.md
+    nested-array rule; measured 18 s for 5k docs at sf0.1, ~0.9 s after
+    the zip rewrite)."""
     tk = F.regexp_extract_all(text, F.lit(GPT2_MERGED_PATTERN), 0)
     n = F.size(tk)
+    null_s = F.array(F.lit(None).cast("string"))
+    nxt_arr = F.concat(F.slice(tk, 2, F.greatest(n - 1, F.lit(0))), null_s)
+    prev_arr = F.concat(null_s, F.slice(tk, 1, F.greatest(n - 1, F.lit(0))))
+    zipped = F.arrays_zip(
+        tk.alias("cur"), nxt_arr.alias("nxt"), prev_arr.alias("prev")
+    )
 
-    def piece(i: Column) -> Column:  # i is 0-based (F.get semantics)
-        cur = F.get(tk, i)
-        nxt = F.get(tk, i + 1)
-        prev = F.get(tk, i - 1)
+    def piece(z: Column) -> Column:
+        cur, nxt, prev = z["cur"], z["nxt"], z["prev"]
         cur_ws = cur.rlike(_WS_RUN)
         head = cur.substr(F.lit(1), F.length(cur) - 1)
         last = cur.substr(F.length(cur), F.lit(1))
@@ -82,8 +93,7 @@ def gpt2_pretokens(text: Column) -> Column:
             )
         )
 
-    out = F.flatten(F.transform(F.sequence(F.lit(0), n - 1), piece))
-    # sequence(0, -1) would count DOWN — guard the empty-match case
+    out = F.flatten(F.transform(zipped, piece))
     return F.when(n > 0, out).otherwise(F.array().cast("array<string>"))
 
 

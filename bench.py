@@ -270,13 +270,21 @@ def main() -> None:
     group_contended: dict[str, bool] = {}
 
     def timed_group(tag: str, names: list[str]):
+        # Self-load vs external contention are indistinguishable from one
+        # getloadavg() sample: the bench's OWN mapInPandas worker pools
+        # push the 1-min average past 14 on the Python-heavy groups (the
+        # first run of this rule false-positived g4 exactly that way).
+        # The discriminator is DECAY: our load vanishes the moment we
+        # pause, a contending neighbour's does not — so settle up to 45 s
+        # and flag only what remains.
+        threshold = float(CPUS) / 3
+        deadline = time.time() + 45
         l0 = os.getloadavg()[0]
+        while l0 >= threshold and time.time() < deadline:
+            time.sleep(5)
+            l0 = os.getloadavg()[0]
         group_loads[tag] = round(l0, 2)
-        # self-load from the PREVIOUS group hasn't decayed out of the
-        # 1-min average; only flag a group when the box is loaded well
-        # beyond what our own 32 threads explain (r12's 13.4 peak would
-        # have tripped this).
-        group_contended[tag] = l0 >= float(CPUS) / 3
+        group_contended[tag] = l0 >= threshold
         return run_group(names)
 
     timings, medians = timed_group("g1", HEADLINE)
