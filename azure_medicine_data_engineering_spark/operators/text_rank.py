@@ -1500,3 +1500,199 @@ def kn_5gram_logprob_by_group(
     )
     out._stage_caches = list(getattr(doc, "_stage_caches", []))
     return out
+
+
+# ---------------------------------------------------------------------------
+# MODIFIED Kneser-Ney 5-gram (round 13) — the estimator KenLM (and hence
+# the shipped CCNet models) actually uses: order-specific discounts
+# D1/D2/D3+ estimated from each order's count-of-counts (Chen & Goodman
+# 1999 eq. 26), instead of the single d = 0.75.
+# ---------------------------------------------------------------------------
+
+
+def _mkn_discount(n1: str, n2: str, n3: str, n4: str, which: int) -> str:
+    """Discount D_<which> from count-of-count scalars, with the
+    deterministic fixed-0.75 fallback when ANY nk is zero (exact-replica
+    corpora multiply every count by k, emptying the 1..4 buckets — KenLM
+    aborts there; the fallback keeps the statistic total and mirrored)."""
+    guard = f"({n1} > 0 AND {n2} > 0 AND {n3} > 0 AND {n4} > 0)"
+    y = f"({n1} * 1e0 / ({n1} + 2e0 * {n2}))"
+    d = {
+        1: f"(1e0 - 2e0 * {y} * {n2} / {n1})",
+        2: f"(2e0 - 3e0 * {y} * {n3} / {n2})",
+        3: f"(3e0 - 4e0 * {y} * {n4} / {n3})",
+    }[which]
+    return f"(CASE WHEN {guard} THEN {d} ELSE 7.5e-1 END)"
+
+
+def _mkn_level(
+    c: str, den: str, k1: str, k2: str, k3: str,
+    d1: str, d2: str, d3: str, lower: str,
+) -> str:
+    """One mKN recursion level: discounted count + estimated backoff mass
+    times the lower-order probability, over the context total. Discounts
+    are clamped into the count via greatest(...) so a pathological D3 > c
+    cannot go negative (C&G assume in-range discounts; the clamp is
+    mirrored on both engines)."""
+    dd = f"(CASE WHEN {c} = 1 THEN {d1} WHEN {c} = 2 THEN {d2} ELSE {d3} END)"
+    gamma = f"({d1} * {k1} + {d2} * {k2} + {d3} * {k3})"
+    return f"((greatest({c} - {dd}, 0e0) + {gamma} * ({lower})) / {den})"
+
+
+def _mkn5_lp_expr() -> str:
+    """The full modified-KN 5-gram log-prob as ONE shared expression over
+    integer inputs (gram counts, context totals, per-context count-bucket
+    tallies, global count-of-count scalars s{L}{k}) — interpolated
+    verbatim into the DuckDB oracle."""
+    levels = {
+        5: tuple(_mkn_discount("s51", "s52", "s53", "s54", w) for w in (1, 2, 3)),
+        4: tuple(_mkn_discount("s41", "s42", "s43", "s44", w) for w in (1, 2, 3)),
+        3: tuple(_mkn_discount("s31", "s32", "s33", "s34", w) for w in (1, 2, 3)),
+        2: tuple(_mkn_discount("s21", "s22", "s23", "s24", w) for w in (1, 2, 3)),
+    }
+    p1 = "(n1e * 1e0 / nal)"
+    p2 = _mkn_level("m2", "w2", "kd1", "kd2", "kd3", *levels[2], p1)
+    p3 = _mkn_level("m3", "w3", "kc1", "kc2", "kc3", *levels[3], p2)
+    p4 = _mkn_level("m4", "w4", "kb1", "kb2", "kb3", *levels[4], p3)
+    p5 = _mkn_level("c5", "cabcd", "ka1", "ka2", "ka3", *levels[5], p4)
+    return f"ln({p5})"
+
+
+MKN5_LP_EXPR = _mkn5_lp_expr()
+MKN5_LPU_EXPR = f"CAST(ROUND(({MKN5_LP_EXPR}) * 1e6) AS BIGINT)"
+
+
+def mkn_5gram_logprob_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice corpus-self perplexity under MODIFIED Kneser-Ney at
+    order 5 — KenLM's estimator. Same model-table architecture as
+    :func:`kn_5gram_doc_nll`, plus per-context count-bucket tallies
+    (N1/N2/N3+ extensions) and four 1-row count-of-count scalar frames
+    (one per order, broadcast — provably-scalar crossJoins). Returns
+    ``(g, n_docs, n_5grams, nll_micro)``."""
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    pen = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg"),
+    )
+
+    def part(i: int) -> F.Column:
+        if i == 1:
+            return F.substring_index("pg", " ", 1)
+        if i == 5:
+            return F.substring_index("pg", " ", -1)
+        return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
+
+    g5 = (
+        pen.groupBy("pg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c5"))
+        .select(
+            "pg", "c5",
+            part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
+            part(4).alias("d"), part(5).alias("e"),
+        )
+        .persist()
+    )
+
+    def buckets(cnt: str, p: str) -> list:
+        return [
+            F.sum((F.col(cnt) == 1).cast("long")).cast("long").alias(f"{p}1"),
+            F.sum((F.col(cnt) == 2).cast("long")).cast("long").alias(f"{p}2"),
+            F.sum((F.col(cnt) >= 3).cast("long")).cast("long").alias(f"{p}3"),
+        ]
+
+    def ccounts(frame: DataFrame, cnt: str, p: str) -> DataFrame:
+        return frame.agg(
+            *[
+                F.sum((F.col(cnt) == k).cast("long")).cast("long").alias(f"{p}{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    abcd = g5.groupBy(
+        F.col("a").alias("a1"), F.col("b").alias("b1"),
+        F.col("c").alias("c1"), F.col("d").alias("d1"),
+    ).agg(
+        F.sum("c5").cast("long").alias("cabcd"),
+        *buckets("c5", "ka"),
+    )
+    bcde = g5.groupBy(
+        F.col("b").alias("b2"), F.col("c").alias("c2"),
+        F.col("d").alias("d2"), F.col("e").alias("e2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("m4"))
+    bcd = bcde.groupBy(
+        F.col("b2").alias("b3"), F.col("c2").alias("c3k"), F.col("d2").alias("d3")
+    ).agg(F.sum("m4").cast("long").alias("w4"), *buckets("m4", "kb"))
+    cde = bcde.groupBy(
+        F.col("c2").alias("c4"), F.col("d2").alias("d4"), F.col("e2").alias("e4")
+    ).agg(F.count(F.lit(1)).cast("long").alias("m3"))
+    cd = cde.groupBy(F.col("c4").alias("c5k"), F.col("d4").alias("d5")).agg(
+        F.sum("m3").cast("long").alias("w3"), *buckets("m3", "kc")
+    )
+    de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
+        F.count(F.lit(1)).cast("long").alias("m2")
+    )
+    dk = de.groupBy(F.col("d6").alias("d7")).agg(
+        F.sum("m2").cast("long").alias("w2"), *buckets("m2", "kd")
+    )
+    ek = de.groupBy(F.col("e6").alias("e8")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1e")
+    )
+    nal = de.agg(F.count(F.lit(1)).cast("long").alias("nal"))
+    cc5 = ccounts(g5, "c5", "s5")
+    cc4 = ccounts(bcde, "m4", "s4")
+    cc3 = ccounts(cde, "m3", "s3")
+    cc2 = ccounts(de, "m2", "s2")
+
+    lpu = (
+        g5.join(
+            abcd,
+            (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1"))
+            & (F.col("c") == F.col("c1")) & (F.col("d") == F.col("d1")),
+        )
+        .join(
+            bcde,
+            (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2"))
+            & (F.col("d") == F.col("d2")) & (F.col("e") == F.col("e2")),
+        )
+        .join(
+            bcd,
+            (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3k"))
+            & (F.col("d") == F.col("d3")),
+        )
+        .join(
+            cde,
+            (F.col("c") == F.col("c4")) & (F.col("d") == F.col("d4"))
+            & (F.col("e") == F.col("e4")),
+        )
+        .join(cd, (F.col("c") == F.col("c5k")) & (F.col("d") == F.col("d5")))
+        .join(de, (F.col("d") == F.col("d6")) & (F.col("e") == F.col("e6")))
+        .join(dk, F.col("d") == F.col("d7"))
+        .join(ek, F.col("e") == F.col("e8"))
+        .crossJoin(F.broadcast(nal))
+        .crossJoin(F.broadcast(cc5))
+        .crossJoin(F.broadcast(cc4))
+        .crossJoin(F.broadcast(cc3))
+        .crossJoin(F.broadcast(cc2))
+        .selectExpr("pg AS pg_k", f"{MKN5_LPU_EXPR} AS lpu")
+    )
+    out = (
+        pen.join(lpu, pen.pg == lpu.pg_k)
+        .groupBy("g")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_5grams"),
+            F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu"),
+        )
+        .selectExpr("g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro")
+    )
+    out._stage_caches = [g5]
+    return out

@@ -2155,3 +2155,131 @@ def q_kn_5gram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     return kn_5gram_logprob_by_group(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MODIFIED Kneser-Ney 5-gram (round 13) — KenLM's estimator.
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    MKN5_LPU_EXPR as _MKN5_LPU,
+)
+
+
+@register(
+    "mkn_5gram_perplexity_by_source",
+    f"""
+    WITH tkm AS MATERIALIZED (
+      SELECT doc_id, source AS g, {_TOKS.format(t='text')} AS w FROM documents
+    ),
+    pen AS MATERIALIZED (
+      SELECT doc_id, g,
+             t.w[r.i] || ' ' || t.w[r.i + 1] || ' ' || t.w[r.i + 2] || ' ' ||
+             t.w[r.i + 3] || ' ' || t.w[r.i + 4] AS pg
+      FROM tkm t, LATERAL (SELECT unnest(range(1, len(t.w) - 3)) AS i) r
+    ),
+    g5 AS MATERIALIZED (
+      SELECT pg, CAST(COUNT(*) AS BIGINT) AS c5,
+             string_split(pg, ' ')[1] AS a, string_split(pg, ' ')[2] AS b,
+             string_split(pg, ' ')[3] AS c, string_split(pg, ' ')[4] AS d,
+             string_split(pg, ' ')[5] AS e
+      FROM pen GROUP BY pg
+    ),
+    abcd AS MATERIALIZED (
+      SELECT a, b, c, d, CAST(SUM(c5) AS BIGINT) AS cabcd,
+             CAST(SUM(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ka1,
+             CAST(SUM(CASE WHEN c5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ka2,
+             CAST(SUM(CASE WHEN c5 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ka3
+      FROM g5 GROUP BY a, b, c, d
+    ),
+    bcde AS MATERIALIZED (
+      SELECT b, c, d, e, CAST(COUNT(*) AS BIGINT) AS m4 FROM g5 GROUP BY b, c, d, e
+    ),
+    bcd AS MATERIALIZED (
+      SELECT b, c, d, CAST(SUM(m4) AS BIGINT) AS w4,
+             CAST(SUM(CASE WHEN m4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kb1,
+             CAST(SUM(CASE WHEN m4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS kb2,
+             CAST(SUM(CASE WHEN m4 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS kb3
+      FROM bcde GROUP BY b, c, d
+    ),
+    cde AS MATERIALIZED (
+      SELECT c, d, e, CAST(COUNT(*) AS BIGINT) AS m3 FROM bcde GROUP BY c, d, e
+    ),
+    cd AS MATERIALIZED (
+      SELECT c, d, CAST(SUM(m3) AS BIGINT) AS w3,
+             CAST(SUM(CASE WHEN m3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kc1,
+             CAST(SUM(CASE WHEN m3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS kc2,
+             CAST(SUM(CASE WHEN m3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS kc3
+      FROM cde GROUP BY c, d
+    ),
+    de AS MATERIALIZED (
+      SELECT d, e, CAST(COUNT(*) AS BIGINT) AS m2 FROM cde GROUP BY d, e
+    ),
+    dk AS MATERIALIZED (
+      SELECT d, CAST(SUM(m2) AS BIGINT) AS w2,
+             CAST(SUM(CASE WHEN m2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kd1,
+             CAST(SUM(CASE WHEN m2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS kd2,
+             CAST(SUM(CASE WHEN m2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS kd3
+      FROM de GROUP BY d
+    ),
+    ek AS MATERIALIZED (
+      SELECT e, CAST(COUNT(*) AS BIGINT) AS n1e FROM de GROUP BY e
+    ),
+    na5 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nal FROM de),
+    cc5 AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s51,
+             CAST(SUM(CASE WHEN c5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s52,
+             CAST(SUM(CASE WHEN c5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS s53,
+             CAST(SUM(CASE WHEN c5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS s54
+      FROM g5
+    ),
+    cc4 AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN m4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s41,
+             CAST(SUM(CASE WHEN m4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s42,
+             CAST(SUM(CASE WHEN m4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS s43,
+             CAST(SUM(CASE WHEN m4 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS s44
+      FROM bcde
+    ),
+    cc3 AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN m3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s31,
+             CAST(SUM(CASE WHEN m3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s32,
+             CAST(SUM(CASE WHEN m3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS s33,
+             CAST(SUM(CASE WHEN m3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS s34
+      FROM cde
+    ),
+    cc2 AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN m2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s21,
+             CAST(SUM(CASE WHEN m2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s22,
+             CAST(SUM(CASE WHEN m2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS s23,
+             CAST(SUM(CASE WHEN m2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS s24
+      FROM de
+    ),
+    lpu AS MATERIALIZED (
+      SELECT g5.pg AS pg_k, {_MKN5_LPU} AS lpu
+      FROM g5 JOIN abcd USING (a, b, c, d) JOIN bcde USING (b, c, d, e)
+              JOIN bcd USING (b, c, d) JOIN cde USING (c, d, e)
+              JOIN cd USING (c, d) JOIN de USING (d, e)
+              JOIN dk USING (d) JOIN ek USING (e),
+           na5, cc5, cc4, cc3, cc2
+    )
+    SELECT g,
+           CAST(COUNT(DISTINCT pen.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_5grams,
+           CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nll_micro
+    FROM pen JOIN lpu l ON pen.pg = l.pg_k
+    GROUP BY g
+    """,
+)
+def q_mkn_5gram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIFIED Kneser-Ney 5-gram perplexity per source — KenLM's
+    estimator (Chen & Goodman 1999 eq. 26): order-specific discounts
+    D1/D2/D3+ from each order's count-of-counts (four 1-row broadcast
+    scalar frames), per-context N1/N2/N3+ extension tallies for the
+    estimated backoff mass, deterministic fixed-0.75 fallback when an
+    order's 1..4 count buckets are degenerate (exact-replica corpora).
+    One shared 3.8 KB log-prob expression, identical IEEE op sequence on
+    both engines; micro-grid sums in DECIMAL(38,0)/HUGEINT."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        mkn_5gram_logprob_by_group,
+    )
+
+    return mkn_5gram_logprob_by_group(_t(spark, sf_dir, "documents"))

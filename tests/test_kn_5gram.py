@@ -135,3 +135,150 @@ def test_5gram_flags_trigram_consistent_chimera(spark):
     # cross-ratio: the 5-gram's relative penalty strictly exceeds the
     # trigram's (novel 5-grams at the seam vs zero novel trigrams)
     assert g5["mix"] * g3["nat"] > g3["mix"] * g5["nat"]
+
+
+# ---------------------------------------------------------------------------
+# Modified KN (KenLM's estimator): naive reference + per-level fallback.
+# ---------------------------------------------------------------------------
+
+
+def _mkn_discounts(counts):
+    """(D1, D2, D3+) from a count multiset per Chen & Goodman eq. 26,
+    with the deterministic 0.75 fallback on degenerate buckets."""
+    n = {k: sum(1 for c in counts if c == k) for k in (1, 2, 3, 4)}
+    if not all(n[k] > 0 for k in (1, 2, 3, 4)):
+        return 0.75, 0.75, 0.75
+    y = n[1] / (n[1] + 2.0 * n[2])
+    return (
+        1.0 - 2.0 * y * n[2] / n[1],
+        2.0 - 3.0 * y * n[3] / n[2],
+        3.0 - 4.0 * y * n[4] / n[3],
+    )
+
+
+def _naive_mkn5_by_group(rows):
+    pens = []
+    for g, text in rows:
+        w = text.split()
+        for i in range(len(w) - 4):
+            pens.append((g, tuple(w[i : i + 5])))
+    c5: dict = {}
+    for _, p in pens:
+        c5[p] = c5.get(p, 0) + 1
+    m4: dict = {}
+    for (a, b, c, d, e) in c5:
+        m4[(b, c, d, e)] = m4.get((b, c, d, e), 0) + 1
+    m3: dict = {}
+    for (b, c, d, e) in m4:
+        m3[(c, d, e)] = m3.get((c, d, e), 0) + 1
+    m2: dict = {}
+    for (c, d, e) in m3:
+        m2[(d, e)] = m2.get((d, e), 0) + 1
+    n1e: dict = {}
+    for (d, e) in m2:
+        n1e[e] = n1e.get(e, 0) + 1
+    nal = len(m2)
+    D5 = _mkn_discounts(c5.values())
+    D4 = _mkn_discounts(m4.values())
+    D3v = _mkn_discounts(m3.values())
+    D2v = _mkn_discounts(m2.values())
+
+    def ctx_stats(table, keyfn):
+        tot: dict = {}
+        buck: dict = {}
+        for k, cnt in table.items():
+            ctx = keyfn(k)
+            tot[ctx] = tot.get(ctx, 0) + cnt
+            b = buck.setdefault(ctx, [0, 0, 0])
+            b[0 if cnt == 1 else 1 if cnt == 2 else 2] += 1
+        return tot, buck
+
+    cab, ka = ctx_stats(c5, lambda k: k[:4])
+    w4d, kb = ctx_stats(m4, lambda k: k[:3])
+    w3d, kc = ctx_stats(m3, lambda k: k[:2])
+    w2d, kd = ctx_stats(m2, lambda k: k[:1])
+
+    def level(cnt, den, bucket, D, lower):
+        d1, d2, d3 = D
+        dd = d1 if cnt == 1 else d2 if cnt == 2 else d3
+        gamma = d1 * bucket[0] + d2 * bucket[1] + d3 * bucket[2]
+        return (max(cnt - dd, 0.0) + gamma * lower) / den
+
+    out: dict = {}
+    for g, p in pens:
+        (a, b, c, d, e) = p
+        p1 = n1e[e] * 1.0 / nal
+        p2 = level(m2[(d, e)], w2d[(d,)], kd[(d,)], D2v, p1)
+        p3 = level(m3[(c, d, e)], w3d[(c, d)], kc[(c, d)], D3v, p2)
+        p4 = level(m4[(b, c, d, e)], w4d[(b, c, d)], kb[(b, c, d)], D4, p3)
+        p5 = level(c5[p], cab[p[:4]], ka[p[:4]], D5, p4)
+        lpu = _half_away_micro(math.log(p5))
+        s = out.setdefault(g, [0, 0])
+        s[0] += lpu
+        s[1] += 1
+    docs: dict = {}
+    for gi, (g, text) in enumerate(rows):
+        if len(text.split()) >= 5:
+            docs.setdefault(g, set()).add(gi)
+    return {g: (len(docs[g]), n, (-slpu) // n) for g, (slpu, n) in out.items()}
+
+
+def test_mkn_matches_naive_reference(spark):
+    """Corpus engineered so EVERY order has populated 1..4 count buckets
+    (real estimated discounts at all levels) — the naive first-principles
+    reference must agree exactly."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        mkn_5gram_logprob_by_group,
+    )
+
+    base = [
+        "u v w x y z p q",
+        "a b c d e f g h",
+        "a b c d e q r s",
+        "m b c d e f t u",
+        "m n c d e f g v",
+        "k n c d e h g w",
+    ]
+    rows = []
+    did = 0
+    for rep, s in zip([1, 2, 3, 4, 1, 2], base):
+        for _ in range(rep):
+            rows.append(("x" if did % 2 else "y", s))
+            did += 1
+    df = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    out = mkn_5gram_logprob_by_group(df)
+    got = {r.g: (r.n_docs, r.n_5grams, r.nll_micro) for r in out.collect()}
+    for c in getattr(out, "_stage_caches", []):
+        c.unpersist()
+    assert got == _naive_mkn5_by_group(rows)
+
+
+def test_mkn_degenerate_buckets_fall_back(spark):
+    """An exact-replica corpus multiplies every raw 5-gram count by the
+    clone factor, emptying the top order's 1..4 buckets — that level must
+    take the deterministic 0.75 fallback while the continuation-count
+    levels (unchanged by cloning) keep their estimated discounts; the
+    naive reference implements the same rule, so equality pins it."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        mkn_5gram_logprob_by_group,
+    )
+
+    base = [
+        "a b c d e f g h",
+        "a b c d e q r s",
+        "m b c d e f t u",
+        "m n c d e f g v",
+    ]
+    rows = [("s", t) for t in base for _ in range(10)]  # every count x10
+    df = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    out = mkn_5gram_logprob_by_group(df)
+    got = {r.g: (r.n_docs, r.n_5grams, r.nll_micro) for r in out.collect()}
+    for c in getattr(out, "_stage_caches", []):
+        c.unpersist()
+    assert got == _naive_mkn5_by_group(rows)
