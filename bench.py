@@ -136,6 +136,7 @@ HEADLINE5 = [
     "gpt2_pretokenize_docs",
     "byte_bpe_gpt2_merges",
     "kn_5gram_perplexity_by_source",
+    "mkn_5gram_perplexity_by_source",
 ]
 
 
