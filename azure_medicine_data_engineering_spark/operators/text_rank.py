@@ -1696,3 +1696,74 @@ def mkn_5gram_logprob_by_group(
     )
     out._stage_caches = [g5]
     return out
+
+
+def ccnet_router_order_delta(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Routing-decision delta for the ORDER upgrade trigram -> 5-gram
+    (round 13 completes the router ladder: unigram -> KN3 was the
+    round-12 delta; KN3 -> KN5 is the upgrade a production CCNet
+    deployment actually evaluates). Both models score the SAME population
+    (docs with >= 5 tokens — the 5-gram-scoreable set, a subset of the
+    KN3 set, enforced by the inner doc join), exact per-slice terciles
+    each via ONE stacked rank pass, and the report counts kept vs moved
+    buckets per slice split by direction (``n_5g_stricter`` = the 5-gram
+    routes the doc to a WORSE bucket — trigram-consistent chimeras move
+    exactly this way). Returns
+    ``(g, n_docs, n_same, n_5g_stricter, n_5g_looser)``."""
+    d5 = kn_5gram_doc_nll(df, group_col, text_col, id_col)
+    d3 = kn_trigram_doc_nll(df, group_col, text_col, id_col)
+    pop = (
+        d5.select(id_col, "g", F.col("nll").alias("n5"))
+        .join(d3.select(id_col, F.col("nll").alias("n3")), id_col)
+        .localCheckpoint(eager=True)
+    )
+    stacked = pop.selectExpr("concat('f|', g) AS g", "n5 AS v").unionByName(
+        pop.selectExpr("concat('t|', g) AS g", "n3 AS v")
+    )
+    cuts0 = _exact_tercile_cuts(stacked.select("g", F.col("v")), "v")
+    cut_caches = list(getattr(cuts0, "_stage_caches", []))
+    cuts = cuts0.localCheckpoint(eager=True)
+
+    def rank(val: str, t1: str, t2: str):
+        return (
+            F.when(F.col(val) <= F.col(t1), F.lit(0))
+            .when(F.col(val) <= F.col(t2), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    c5 = cuts.where(F.col("g").startswith("f|")).select(
+        F.expr("substring(g, 3)").alias("gf"),
+        F.col("t1").alias("f1"),
+        F.col("t2").alias("f2"),
+    )
+    c3 = cuts.where(F.col("g").startswith("t|")).select(
+        F.expr("substring(g, 3)").alias("gt"),
+        F.col("t1").alias("t1k"),
+        F.col("t2").alias("t2k"),
+    )
+    staged = (
+        pop.join(F.broadcast(c5), pop.g == c5.gf)
+        .join(F.broadcast(c3), pop.g == c3.gt)
+        .select(
+            "g",
+            rank("n5", "f1", "f2").alias("r5"),
+            rank("n3", "t1k", "t2k").alias("r3"),
+        )
+    )
+    out = staged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("r5") == F.col("r3")).cast("long")).cast("long").alias("n_same"),
+        F.sum((F.col("r5") > F.col("r3")).cast("long")).cast("long").alias("n_5g_stricter"),
+        F.sum((F.col("r5") < F.col("r3")).cast("long")).cast("long").alias("n_5g_looser"),
+    )
+    out._stage_caches = (
+        list(getattr(d5, "_stage_caches", []))
+        + list(getattr(d3, "_stage_caches", []))
+        + cut_caches
+    )
+    return out

@@ -2283,3 +2283,157 @@ def q_mkn_5gram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     return mkn_5gram_logprob_by_group(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ccnet_router_order_delta",
+    f"""
+    WITH tko AS MATERIALIZED (
+      SELECT doc_id, source AS g, {_TOKS.format(t='text')} AS w FROM documents
+    ),
+    tri AS MATERIALIZED (
+      SELECT doc_id, g, t.w[r.i] || ' ' || t.w[r.i + 1] || ' ' || t.w[r.i + 2] AS tg
+      FROM tko t, LATERAL (SELECT unnest(range(1, len(t.w) - 1)) AS i) r
+    ),
+    t3 AS MATERIALIZED (
+      SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3,
+             string_split(tg, ' ')[1] AS a,
+             string_split(tg, ' ')[2] AS b,
+             string_split(tg, ' ')[3] AS c
+      FROM tri GROUP BY tg
+    ),
+    ab AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(c3) AS BIGINT) AS cab, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM t3 GROUP BY a, b
+    ),
+    bc AS MATERIALIZED (
+      SELECT b, c, CAST(COUNT(*) AS BIGINT) AS nbc FROM t3 GROUP BY b, c
+    ),
+    bb AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS nbb,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nbl
+      FROM t3 GROUP BY b
+    ),
+    c1 AS MATERIALIZED (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n1c FROM bc GROUP BY c
+    ),
+    na3 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nal FROM bc),
+    lpu3 AS MATERIALIZED (
+      SELECT t3.tg AS tg_k, {_KN_LPU} AS lpu
+      FROM t3 JOIN ab USING (a, b) JOIN bc USING (b, c)
+              JOIN bb USING (b) JOIN c1 USING (c), na3
+    ),
+    kdoc3 AS MATERIALIZED (
+      SELECT tri.doc_id, tri.g,
+             CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS n3
+      FROM tri JOIN lpu3 l ON tri.tg = l.tg_k GROUP BY tri.doc_id, tri.g
+    ),
+    pen AS MATERIALIZED (
+      SELECT doc_id, g,
+             t.w[r.i] || ' ' || t.w[r.i + 1] || ' ' || t.w[r.i + 2] || ' ' ||
+             t.w[r.i + 3] || ' ' || t.w[r.i + 4] AS pg
+      FROM tko t, LATERAL (SELECT unnest(range(1, len(t.w) - 3)) AS i) r
+    ),
+    g5 AS MATERIALIZED (
+      SELECT pg, CAST(COUNT(*) AS BIGINT) AS c5,
+             string_split(pg, ' ')[1] AS a, string_split(pg, ' ')[2] AS b,
+             string_split(pg, ' ')[3] AS c, string_split(pg, ' ')[4] AS d,
+             string_split(pg, ' ')[5] AS e
+      FROM pen GROUP BY pg
+    ),
+    abcd AS MATERIALIZED (
+      SELECT a, b, c, d, CAST(SUM(c5) AS BIGINT) AS cabcd,
+             CAST(COUNT(*) AS BIGINT) AS nabcd
+      FROM g5 GROUP BY a, b, c, d
+    ),
+    bcde AS MATERIALIZED (
+      SELECT b, c, d, e, CAST(COUNT(*) AS BIGINT) AS m4 FROM g5 GROUP BY b, c, d, e
+    ),
+    bcd AS MATERIALIZED (
+      SELECT b, c, d, CAST(COUNT(*) AS BIGINT) AS w4,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l4
+      FROM g5 GROUP BY b, c, d
+    ),
+    cde AS MATERIALIZED (
+      SELECT c, d, e, CAST(COUNT(*) AS BIGINT) AS m3 FROM bcde GROUP BY c, d, e
+    ),
+    cd AS MATERIALIZED (
+      SELECT c, d, CAST(COUNT(*) AS BIGINT) AS w3,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l3
+      FROM bcde GROUP BY c, d
+    ),
+    de AS MATERIALIZED (
+      SELECT d, e, CAST(COUNT(*) AS BIGINT) AS m2 FROM cde GROUP BY d, e
+    ),
+    dk AS MATERIALIZED (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS w2,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l2
+      FROM cde GROUP BY d
+    ),
+    ek AS MATERIALIZED (
+      SELECT e, CAST(COUNT(*) AS BIGINT) AS n1e FROM de GROUP BY e
+    ),
+    na5 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nal FROM de),
+    lpu5 AS MATERIALIZED (
+      SELECT g5.pg AS pg_k, {_KN5_LPU} AS lpu
+      FROM g5 JOIN abcd USING (a, b, c, d) JOIN bcde USING (b, c, d, e)
+              JOIN bcd USING (b, c, d) JOIN cde USING (c, d, e)
+              JOIN cd USING (c, d) JOIN de USING (d, e)
+              JOIN dk USING (d) JOIN ek USING (e), na5
+    ),
+    kdoc5 AS MATERIALIZED (
+      SELECT pen.doc_id, pen.g,
+             CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS n5
+      FROM pen JOIN lpu5 l ON pen.pg = l.pg_k GROUP BY pen.doc_id, pen.g
+    ),
+    pop AS MATERIALIZED (
+      SELECT kdoc5.doc_id, kdoc5.g, n5, n3
+      FROM kdoc5 JOIN kdoc3 ON kdoc5.doc_id = kdoc3.doc_id
+    ),
+    cut5 AS MATERIALIZED (
+      SELECT g,
+        MIN(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS f1,
+        MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS f2
+      FROM (
+        SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM (SELECT g, n5 AS v, COUNT(*) AS c FROM pop GROUP BY g, n5)
+      ) GROUP BY g
+    ),
+    cut3 AS MATERIALIZED (
+      SELECT g,
+        MIN(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS t1,
+        MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS t2
+      FROM (
+        SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM (SELECT g, n3 AS v, COUNT(*) AS c FROM pop GROUP BY g, n3)
+      ) GROUP BY g
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r5 = r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN r5 > r3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_5g_stricter,
+           CAST(SUM(CASE WHEN r5 < r3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_5g_looser
+    FROM (
+      SELECT pop.g,
+        CASE WHEN n5 <= f1 THEN 0 WHEN n5 <= f2 THEN 1 ELSE 2 END AS r5,
+        CASE WHEN n3 <= t1 THEN 0 WHEN n3 <= t2 THEN 1 ELSE 2 END AS r3
+      FROM pop JOIN cut5 USING (g) JOIN cut3 USING (g)
+    ) GROUP BY g
+    """,
+)
+def q_ccnet_router_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-decision delta for the ORDER upgrade KN trigram -> KN
+    5-gram (``operators/text_rank.py:ccnet_router_order_delta``) —
+    completes the router ladder the round-12 unigram->KN3 delta started:
+    both orders score the 5-gram-scoreable population, exact per-slice
+    terciles each (one stacked rank pass), kept vs moved buckets per
+    slice split by direction. Trigram-consistent chimeras (every window
+    seen, seams only at order 5) move strictly to n_5g_stricter."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        ccnet_router_order_delta,
+    )
+
+    return ccnet_router_order_delta(_t(spark, sf_dir, "documents"))

@@ -282,3 +282,29 @@ def test_mkn_degenerate_buckets_fall_back(spark):
     for c in getattr(out, "_stage_caches", []):
         c.unpersist()
     assert got == _naive_mkn5_by_group(rows)
+
+
+def test_order_delta_flags_chimera_as_5g_stricter(spark):
+    """The trigram-consistent chimera keeps its trigram bucket (zero novel
+    trigrams) but the 5-gram routes it to a worse tercile — it shows up
+    in n_5g_stricter."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        ccnet_router_order_delta,
+    )
+
+    A = "p q r s t u v w"
+    B = "x y r s t m n o"
+    C = "p q r s t m n o"
+    rows = (
+        [(i, "s", A) for i in range(8)]
+        + [(20 + i, "s", B) for i in range(8)]
+        + [(100, "s", C)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = ccnet_router_order_delta(df)
+    [r] = out.collect()
+    for c in getattr(out, "_stage_caches", []):
+        c.unpersist()
+    assert r.n_docs == 17
+    assert r.n_5g_stricter >= 1
+    assert r.n_same + r.n_5g_stricter + r.n_5g_looser == r.n_docs
