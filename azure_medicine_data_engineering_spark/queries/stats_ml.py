@@ -2607,3 +2607,43 @@ def q_sitemap_ingest_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = attach_sitemap_payload(docs, "doc_id", "text")
     return sitemap_ingest_urls(media)
+
+
+@register(
+    "wds_multisample_shards",
+    """
+    WITH m AS (
+      SELECT doc_id // 8 AS shard_id, doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS txt_bytes
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(COUNT(*) AS BIGINT) AS n_complete,
+           CAST(SUM(txt_bytes) + COUNT(*) AS BIGINT) AS sum_sizes
+    FROM m GROUP BY shard_id
+    """,
+)
+def q_wds_multisample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realistic-granularity WebDataset shards (round 13): 8 samples per
+    tar (`sources/webdataset.py:attach_wds_multisample_payload` — a keyed
+    shuffle assembles each shard in one Arrow group pass, the actual
+    shard-writer shape), then the member explode + SAMPLE REASSEMBLY the
+    training loader runs (`wds_sample_assembly_report`): per shard,
+    members / samples / complete samples (both .txt and .cls present) /
+    total member bytes. The oracle recomputes every count from the doc
+    grouping closed-form — the 512-byte ustar walk across a multi-member
+    archive must slice every member exactly to match byte totals."""
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_multisample_payload,
+        wds_ingest_members,
+        wds_sample_assembly_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    shards = attach_wds_multisample_payload(docs, "doc_id", "text")
+    members = wds_ingest_members(
+        shards.select(F.col("shard_id").alias("media_id"), "payload")
+    )
+    return wds_sample_assembly_report(members)

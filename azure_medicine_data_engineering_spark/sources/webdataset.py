@@ -313,3 +313,84 @@ def image_text_alignment_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, ALIGN_STATS_SCHEMA)
+
+
+def attach_wds_multisample_payload(
+    df: DataFrame, id_col: str, text_col: str, samples_per_shard: int = 8
+) -> DataFrame:
+    """Deterministic MULTI-sample WebDataset shards — the realistic shard
+    granularity (production shards hold thousands of samples; the
+    one-sample fixture above isolates per-sample logic): documents group
+    into shard ``id div samples_per_shard``, each shard is ONE tar whose
+    members are the group's ``<key>.txt`` + ``<key>.cls`` pairs in
+    ascending id order (deterministic bytes). The assembly is a keyed
+    shuffle (groupBy shard) + one Arrow pass per shard group — the actual
+    shard-writer shape (one shard = one work unit downstream)."""
+    from pyspark.sql.types import (
+        BinaryType as _B,
+        IntegerType as _I,
+        LongType as _L,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+    )
+
+    out_schema = _T(
+        [
+            _F("shard_id", _L()),
+            _F("n_docs", _I()),
+            _F("payload", _B()),
+        ]
+    )
+
+    def build(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        members = []
+        for i, t in zip(pdf[id_col], pdf[text_col]):
+            text = str(t)
+            h = hashlib.md5(text.encode("utf-8")).digest()
+            k = f"{int(i):09d}"
+            members.append((f"{k}.txt", text.encode("utf-8")))
+            members.append((f"{k}.cls", str(h[0] % 10).encode()))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "n_docs": [len(pdf)],
+                "payload": [tar_write_members(members)],
+            }
+        )
+
+    staged = df.select(
+        (F.col(id_col).cast("long") / samples_per_shard).cast("long").alias("_shard"),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col),
+    )
+    return staged.groupBy("_shard").applyInPandas(build, out_schema)
+
+
+def wds_sample_assembly_report(members_df: DataFrame) -> DataFrame:
+    """Reassemble exploded member rows into SAMPLES (the loader's
+    grouping): per shard, count members, distinct sample keys, COMPLETE
+    samples (both .txt and .cls present), and total member bytes. Keyed
+    aggregations only."""
+    per_sample = members_df.groupBy("media_id", "sample_key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members_s"),
+        F.max((F.col("ext") == "txt").cast("int")).alias("has_txt"),
+        F.max((F.col("ext") == "cls").cast("int")).alias("has_cls"),
+        F.sum("size").cast("long").alias("bytes_s"),
+    )
+    return (
+        per_sample.groupBy(F.col("media_id").alias("shard_id"))
+        .agg(
+            F.sum("n_members_s").cast("long").alias("n_members"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum(
+                ((F.col("has_txt") == 1) & (F.col("has_cls") == 1)).cast("long")
+            )
+            .cast("long")
+            .alias("n_complete"),
+            F.sum("bytes_s").cast("long").alias("sum_sizes"),
+        )
+    )

@@ -70,3 +70,42 @@ def test_spark_ingest_stage(spark):
     assert cls["content_md5"] == hashlib.md5(str(d).encode()).hexdigest()
     # both members of a shard share the sample key (the grouping contract)
     assert rows[(8, 0)]["sample_key"] == rows[(8, 1)]["sample_key"]
+
+
+# ---------------------------------------------------------------------------
+# Round 13: multi-sample shards.
+# ---------------------------------------------------------------------------
+
+
+def test_multisample_shard_groups_and_reassembles(spark):
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_multisample_payload,
+        tar_read_members,
+        wds_ingest_members,
+        wds_sample_assembly_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    shards = attach_wds_multisample_payload(docs, "doc_id", "text")
+    rows = {r.shard_id: r for r in shards.collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0].n_docs == 8 and rows[2].n_docs == 4
+    # samples appear in ascending id order (two adjacent members each;
+    # within a sample the writer emits .txt before .cls)
+    names = [n for n, _ in tar_read_members(bytes(rows[0].payload))]
+    keys = [n.split(".")[0] for n in names]
+    assert keys == sorted(keys)
+    assert [n.split(".")[1] for n in names] == ["txt", "cls"] * 8
+    assert len(names) == 16
+    rep = wds_sample_assembly_report(
+        wds_ingest_members(
+            shards.select(F.col("shard_id").alias("media_id"), "payload")
+        )
+    )
+    got = {r.shard_id: r for r in rep.collect()}
+    assert got[2].n_samples == 4 and got[2].n_complete == 4
+    assert got[0].n_members == 16
