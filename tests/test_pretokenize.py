@@ -59,6 +59,24 @@ CASES = [
     "1'2's",
     "f(x) = y?",
     "nbsp \u00a0\u00a0x",
+    # donated-space-before-contraction (round-14 ADVICE): the true pattern
+    # takes punct " '" then a GREEDY letter run \u2014 never " 's"
+    "a  's",
+    "a  't",
+    "a  're",
+    "a  've",
+    "a  'm",
+    "a  'll",
+    "a  'd",
+    "a  'rex",
+    "a  'llama",
+    "a   'veX",
+    "a  't5",
+    "a  's's",
+    "a  'd'd",
+    "a \t's",
+    "a  ''s",
+    "x  're more",
 ]
 
 
@@ -89,10 +107,12 @@ def test_hand_cases_duckdb_mirror_equals_true_pattern():
         assert _duck(c) == true_split(c), f"case {c!r}"
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=600, deadline=None)
 @given(
     st.text(
-        alphabet=" \t\nabzZ09!.'s日ä(\u00a0",
+        # every contraction letter (s t r e v m l d) so the donated-
+        # space-before-contraction paths get hammered
+        alphabet=" \t\nabzZ09!.'strvmld日ä(\u00a0",
         max_size=24,
     )
 )
