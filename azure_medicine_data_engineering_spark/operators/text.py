@@ -49,7 +49,10 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def avg_token_length(text: Column) -> Column:
     t = tokens(text)
-    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    # long seed: an INT fold wraps for a single document over ~2^31 chars
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
     return total / F.nullif(F.size(t), F.lit(0))
 
 

@@ -236,7 +236,9 @@ def gopher_quality_report(
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     n_words = F.size(words)
     total_chars = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
+        # long seed: an INT fold wraps for a single document over ~2^31
+        # chars — these filters are meant for 100 TB funnels
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     n_hash = F.length(F.col(text_col)) - F.length(

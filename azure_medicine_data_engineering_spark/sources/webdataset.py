@@ -363,7 +363,11 @@ def attach_wds_multisample_payload(
         )
 
     staged = df.select(
-        (F.col(id_col).cast("long") / samples_per_shard).cast("long").alias("_shard"),
+        # integer div, never double-/ (CLAUDE.md: double division
+        # truncates toward zero and misrounds above 2^53)
+        F.expr(
+            f"cast({id_col} as long) div {int(samples_per_shard)}"
+        ).alias("_shard"),
         F.col(id_col).cast("long").alias(id_col),
         F.col(text_col),
     )

@@ -419,6 +419,7 @@ def streaming_image_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame
     image's verdict depends only on the static corpus, so the union over
     any micro-batch split is the batch report. Shares the batch oracle."""
     import os
+    import shutil
     import tempfile
 
     from azure_medicine_data_engineering_spark.operators.image_hash import (
@@ -456,4 +457,9 @@ def streaming_image_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame
         for d in sorted(os.listdir(state_root))
         if d.startswith("v")
     ]
-    return spark.read.parquet(*parts)
+    # materialize before deleting the scratch root (the lazy parquet read
+    # references the files) — repeated invocations otherwise leak one
+    # output tree per run under /tmp
+    out = spark.read.parquet(*parts).localCheckpoint(eager=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
