@@ -398,3 +398,206 @@ def wds_sample_assembly_report(members_df: DataFrame) -> DataFrame:
             F.sum("bytes_s").cast("long").alias("sum_sizes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: curated-shard EGRESS — the funnel's survivors written back out
+# as WebDataset shards (the production handoff: curation ends by shipping
+# N-sample tars + a manifest, not a parquet of ids). Shard assignment is
+# the SPARSE content key ``media_id div samples_per_shard`` — stable under
+# arbitrary micro-batching and replay (no global coordination, no dense
+# rank), the property the exactly-once streaming twin depends on; dense
+# compaction is a separate batch step if a loader needs gap-free shards.
+# ---------------------------------------------------------------------------
+
+CURATED_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("png", BinaryType()),
+        StructField("txt", BinaryType()),
+    ]
+)
+
+
+def extract_curated_samples(
+    media_df: DataFrame, survivor_ids: DataFrame
+) -> DataFrame:
+    """Pull the PNG + caption member BYTES out of the one-sample WDS tars
+    for the surviving ids (keyed semi-join, then one Arrow parse pass) —
+    the curated egress repackages the bytes that crossed the wire, never a
+    recomputation from the source table."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                png = txt = None
+                for name, content in tar_read_members(bytes(p)):
+                    _, ext = wds_sample_key(name)
+                    if ext == "png":
+                        png = content
+                    elif ext == "txt":
+                        txt = content
+                if png is None or txt is None:
+                    raise ValueError(f"sample {mid}: missing png/txt member")
+                rows.append((int(mid), png, txt))
+            yield pd.DataFrame(rows, columns=["media_id", "png", "txt"])
+
+    kept = media_df.join(survivor_ids.select("media_id"), "media_id", "semi")
+    return kept.select("media_id", "payload").mapInPandas(
+        run, CURATED_SAMPLE_SCHEMA
+    )
+
+
+CURATED_WRITE_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+
+def write_curated_wds_shards(
+    samples_df: DataFrame, out_dir: str, samples_per_shard: int = 8
+) -> DataFrame:
+    """Assemble curated samples into WDS shard tars and WRITE them under
+    ``out_dir`` as ``shard-<id 09d>.tar`` (tmp-write + atomic rename per
+    shard, so a killed task never leaves a torn tar). One keyed shuffle
+    (groupBy sparse shard key) + one Arrow pass per shard; each task
+    writes its own shard — the distributed shard-writer shape (production
+    points ``out_dir`` at shared storage). Returns the per-shard write
+    report; the frame is lazy — count() it to force the writes."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(key, pdf):
+        import os as _os
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("media_id")
+        _os.makedirs(out_dir, exist_ok=True)  # executor-side (shared FS)
+        members = []
+        for i, p, t in zip(pdf["media_id"], pdf["png"], pdf["txt"]):
+            k = f"{int(i):09d}"
+            members.append((f"{k}.png", bytes(p)))
+            members.append((f"{k}.txt", bytes(t)))
+        payload = tar_write_members(members)
+        sid = int(key[0])
+        path = _os.path.join(out_dir, f"shard-{sid:09d}.tar")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        _os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "n_samples": [len(pdf)],
+                "byte_len": [len(payload)],
+            }
+        )
+
+    staged = samples_df.select(
+        F.expr(f"cast(media_id as long) div {int(samples_per_shard)}").alias(
+            "_shard"
+        ),
+        "media_id",
+        "png",
+        "txt",
+    )
+    return staged.groupBy("_shard").applyInPandas(build, CURATED_WRITE_SCHEMA)
+
+
+CURATED_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("media_id", LongType()),
+        StructField("caption_bytes", LongType()),
+        StructField("caption_ck", LongType()),
+        StructField("fp_ck", LongType()),
+    ]
+)
+
+
+def curated_manifest_members(spark, root: str) -> DataFrame:
+    """Per-sample manifest rows recomputed FROM THE LANDED SHARD BYTES:
+    read every ``*.tar`` under ``root`` (recursive — the streaming egress
+    lands per-batch dirs), parse the tar, md5 the caption member, DECODE
+    the PNG member and recover the content fingerprint from the pixels
+    (fails loudly if the landed image bytes are corrupt). Checksums are
+    48-bit md5 prefixes as BIGINT so the oracle can replay them in SQL.
+    Aggregate by shard_id for the manifest."""
+
+    def run(batches: Iterator) -> Iterator:
+        import os as _os
+
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.multimodal import (
+            png_decode_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(str(path))
+                sid = int(base[len("shard-") : -len(".tar")])
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, member in tar_read_members(bytes(content)):
+                    key, ext = wds_sample_key(name)
+                    samples.setdefault(key, {})[ext] = member
+                for key, d in samples.items():
+                    if "png" not in d or "txt" not in d:
+                        raise ValueError(
+                            f"{base}: sample {key} missing png/txt member"
+                        )
+                    _, _, _, pixels = png_decode_pixels(d["png"])
+                    fp = bytes(pixels[:16]).hex()
+                    cap_md5 = hashlib.md5(d["txt"]).hexdigest()
+                    rows.append(
+                        (
+                            sid,
+                            int(key),
+                            len(d["txt"]),
+                            int(cap_md5[:12], 16),
+                            int(fp[:12], 16),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id", "media_id", "caption_bytes", "caption_ck",
+                    "fp_ck",
+                ],
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    return bf.select("path", "content").mapInPandas(
+        run, CURATED_MANIFEST_SCHEMA
+    )
+
+
+def curated_wds_manifest(spark, root: str) -> DataFrame:
+    """The curated-shard MANIFEST from landed bytes: per shard, sample
+    count, id checksum, caption byte/md5 checksums, and the
+    decoded-pixel fingerprint checksum."""
+    return (
+        curated_manifest_members(spark, root)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("media_id").cast("long").alias("sum_ids"),
+            F.sum("caption_bytes").cast("long").alias("caption_bytes"),
+            F.sum("caption_ck").cast("long").alias("caption_ck"),
+            F.sum("fp_ck").cast("long").alias("fp_ck"),
+        )
+    )

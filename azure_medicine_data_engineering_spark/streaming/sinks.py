@@ -203,3 +203,85 @@ def run_shard_egress(
         )
         q.awaitTermination()
     return egress
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once CURATED WDS shard egress (round 14): the multimodal funnel's
+# survivors shipped back out as WebDataset tars, continuously.
+# ---------------------------------------------------------------------------
+
+
+class WdsCuratedEgress:
+    """Replay-safe ``foreachBatch`` sink for curated image+caption samples:
+    every micro-batch's samples are assembled into WDS shard tars
+    (``sources/webdataset.py:write_curated_wds_shards`` — sparse
+    ``media_id div samples_per_shard`` keys, tmp-write + atomic rename per
+    tar) under ``<root>/b<batch_id>/``, then the batch-id high-water mark
+    (``_HWM``, rename-committed MARKER-LAST) makes the whole pipeline
+    exactly-once under the Structured Streaming replay contract — the same
+    discipline as :class:`ShardEgress`, with tar shards instead of parquet:
+
+    - replay of a COMMITTED batch: skipped, landed tar bytes untouched;
+    - replay of an UNCOMMITTED batch (crash between tar writes and
+      marker): the deterministic assembly (ascending-id members, pinned
+      tar metadata, integer shard keys) rewrites byte-identical tars.
+
+    A shard key whose samples span micro-batches lands one partial tar per
+    batch dir (the established ShardEgress layout); the manifest and any
+    loader aggregate by shard across batch dirs."""
+
+    def __init__(self, root: str, samples_per_shard: int = 8) -> None:
+        self.root = root
+        self.samples_per_shard = samples_per_shard
+        os.makedirs(root, exist_ok=True)
+
+    def high_water_mark(self) -> int:
+        try:
+            with open(os.path.join(self.root, "_HWM")) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _advance_hwm(self, batch_id: int) -> None:
+        tmp = os.path.join(self.root, "_HWM.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(self.root, "_HWM"))
+
+    def commit_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """True iff this call wrote (False = replay of a committed batch)."""
+        if batch_id <= self.high_water_mark():
+            return False
+        from azure_medicine_data_engineering_spark.sources.webdataset import (
+            write_curated_wds_shards,
+        )
+
+        report = write_curated_wds_shards(
+            batch_df,
+            os.path.join(self.root, f"b{batch_id}"),
+            samples_per_shard=self.samples_per_shard,
+        )
+        report.count()  # force the distributed tar writes
+        self._advance_hwm(batch_id)  # marker LAST: tars already durable
+        return True
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.commit_batch(batch_df, batch_id)
+
+
+def run_wds_curated_egress(
+    stream_df: DataFrame, root: str, samples_per_shard: int = 8
+) -> WdsCuratedEgress:
+    """Drain a bounded curated-sample stream (availableNow) through
+    :class:`WdsCuratedEgress`."""
+    egress = WdsCuratedEgress(root, samples_per_shard)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(egress)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    return egress

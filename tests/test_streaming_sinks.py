@@ -241,3 +241,121 @@ def test_streaming_image_dedup_kill_replay(spark, tmp_path):
     want = sorted(tuple(r) for r in expect.collect())
     assert got == want
     assert len(got) == new.count()  # no replay duplicates
+
+
+# ---------------------------------------------------------------------------
+# Round 14: curated WDS shard egress — kill/replay byte-identity.
+# ---------------------------------------------------------------------------
+
+
+def _curated_samples_df(spark, n=24):
+    import hashlib
+
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_encode_gray,
+    )
+
+    rows = []
+    for i in range(n):
+        text = f"sample text number {i} with the usual words and that"
+        h = hashlib.md5(text.encode()).digest()
+        w, ht = 4 + h[0] % 5, 4 + h[1] % 5
+        px = (h * (w * ht // 16 + 1))[: w * ht]
+        rows.append((i, png_encode_gray(w, ht, px), text.encode()))
+    return spark.createDataFrame(rows, "media_id long, png binary, txt binary")
+
+
+def _tar_md5s(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".tar"):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+    return out
+
+
+def test_wds_curated_egress_exactly_once_replay(spark, tmp_path):
+    import tempfile
+
+    from azure_medicine_data_engineering_spark.streaming.sinks import (
+        WdsCuratedEgress,
+    )
+
+    src = _curated_samples_df(spark)
+    stage = str(tmp_path / "stage")
+    src.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    root = str(tmp_path / "curated")
+    delivered: dict[int, list] = {}
+    egress = WdsCuratedEgress(root, samples_per_shard=8)
+
+    def recording_sink(batch_df, batch_id):
+        delivered[batch_id] = batch_df.collect()
+        egress(batch_df, batch_id)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(recording_sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    baseline = (_tar_md5s(root), egress.high_water_mark())
+    assert len(delivered) >= 2  # genuinely multi-batch
+    last_bid = max(delivered)
+
+    # every sample landed exactly once across all batch-dir tars
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        curated_manifest_members,
+    )
+
+    landed_ids = sorted(
+        r.media_id for r in curated_manifest_members(spark, root).collect()
+    )
+    assert landed_ids == list(range(24))
+
+    # (1) replay of a COMMITTED batch: skipped, tar bytes untouched
+    replay0 = spark.createDataFrame(delivered[0], src.schema)
+    assert egress.commit_batch(replay0, 0) is False
+    assert (_tar_md5s(root), egress.high_water_mark()) == baseline
+
+    # (2) crash between tar writes and marker: rewind hwm and replay —
+    # the deterministic assembly rewrites byte-identical tars
+    egress._advance_hwm(last_bid - 1)
+    replay_last = spark.createDataFrame(delivered[last_bid], src.schema)
+    assert egress.commit_batch(replay_last, last_bid) is True
+    assert (_tar_md5s(root), egress.high_water_mark()) == baseline
+
+
+def test_wds_curated_shard_split_across_batches(spark, tmp_path):
+    """A shard whose samples span micro-batches lands one partial tar per
+    batch dir; the manifest aggregation across dirs reassembles the full
+    shard (the ShardEgress layout contract)."""
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        curated_wds_manifest,
+    )
+    from azure_medicine_data_engineering_spark.streaming.sinks import (
+        WdsCuratedEgress,
+    )
+
+    src = _curated_samples_df(spark, n=8)  # all ids in shard 0
+    root = str(tmp_path / "split")
+    egress = WdsCuratedEgress(root, samples_per_shard=8)
+    assert egress.commit_batch(src.where("media_id < 5"), 0) is True
+    assert egress.commit_batch(src.where("media_id >= 5"), 1) is True
+    [m] = curated_wds_manifest(spark, root).collect()
+    assert (m.shard_id, m.n_samples, m.sum_ids) == (0, 8, sum(range(8)))
