@@ -1767,3 +1767,258 @@ def ccnet_router_order_delta(
         + cut_caches
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 14: KN model PRUNING + QUANTIZED SERVING — KenLM's production step
+# (`--prune` count thresholds, `-q` probability quantization): at 100 TB
+# the 5-gram table is itself a big-data object, and what ships is a
+# reduced, quantized artifact, not the raw counts.
+# ---------------------------------------------------------------------------
+
+#: Interpolated KN at order 5 evaluated against a REDUCED model table:
+#: every level falls back to the next-lower continuation distribution when
+#: its context is absent from the pruned model (guarded CASE per level —
+#: on an unpruned model every guard is true and the arithmetic reduces to
+#: KN5_LP_EXPR exactly). Stats suffixed `p` are the PRUNED model's,
+#: coalesced to 0 on join miss; `nalp > 0` is a documented precondition
+#: (an empty pruned model serves nothing). The unseen-token floor is
+#: 0.5/nalp (half one continuation-type's mass).
+_KN5P_P1 = "(CASE WHEN n1ep > 0 THEN n1ep * 1e0 / nalp ELSE 5e-1 / nalp END)"
+_KN5P_P2 = (
+    "(CASE WHEN w2p > 0 THEN (greatest(m2p - 7.5e-1, 0e0) + 7.5e-1 * l2p * "
+    f"{_KN5P_P1}) / w2p ELSE {_KN5P_P1} END)"
+)
+_KN5P_P3 = (
+    "(CASE WHEN w3p > 0 THEN (greatest(m3p - 7.5e-1, 0e0) + 7.5e-1 * l3p * "
+    f"{_KN5P_P2}) / w3p ELSE {_KN5P_P2} END)"
+)
+_KN5P_P4 = (
+    "(CASE WHEN w4p > 0 THEN (greatest(m4p - 7.5e-1, 0e0) + 7.5e-1 * l4p * "
+    f"{_KN5P_P3}) / w4p ELSE {_KN5P_P3} END)"
+)
+KN5_PRUNED_LP_EXPR = (
+    "ln(CASE WHEN cabcdp > 0 THEN (greatest(c5p - 7.5e-1, 0e0) + "
+    f"7.5e-1 * nabcdp * {_KN5P_P4}) / cabcdp ELSE {_KN5P_P4} END)"
+)
+KN5_PRUNED_LPU_EXPR = f"CAST(ROUND(({KN5_PRUNED_LP_EXPR}) * 1e6) AS BIGINT)"
+
+#: 8-bit quantized serving cache: per-gram log-prob micros snapped to 255
+#: uniform bins over [minu, maxu] — integer round-half-up encode + decode
+#: (positive shifted operands, so Spark `div` == DuckDB `//`); span 0
+#: degenerates to minu. Shared verbatim by both engines.
+KN5_QUANT_BINS = 255
+#: template — floor division is spelled `div` in Spark SQL and `//` in
+#: DuckDB ({d} placeholder); all operands are nonnegative integers, so the
+#: quotients are exact on both engines (no float surface at all)
+KN5_QUANT_EXPR_TPL = (
+    "CAST(CASE WHEN maxu > minu THEN minu + "
+    f"((2 * ((2 * (lpu_p - minu) * {KN5_QUANT_BINS} + (maxu - minu)) "
+    f"{{d}} (2 * (maxu - minu))) * (maxu - minu) + {KN5_QUANT_BINS}) "
+    f"{{d}} (2 * {KN5_QUANT_BINS})) "
+    "ELSE minu END AS BIGINT)"
+)
+KN5_QUANT_EXPR = KN5_QUANT_EXPR_TPL.format(d="div")
+
+
+def kn_5gram_pruned_delta_by_group(
+    df: DataFrame,
+    min_count: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice perplexity decision table FULL vs PRUNED vs
+    PRUNED+QUANTIZED — the report that says what shipping the reduced
+    artifact costs: ``(g, n_docs, n_5grams, nll_full, nll_pruned,
+    nll_pruned_q8, n_model_full, n_model_pruned)`` on the exact micro
+    grid.
+
+    Pruning semantics (documented, self-consistent): the served model
+    keeps 5-grams with ``c5 >= min_count`` and REBUILDS every suffix
+    table from the pruned top level (so backoff mass genuinely moves —
+    the naive pin exercises exactly that); scoring falls back level by
+    level via the guarded shared expression `KN5_PRUNED_LP_EXPR`.
+    Quantization snaps the served per-gram score table to 255 uniform
+    integer bins (`KN5_QUANT_EXPR`) — the 8-bit cache KenLM's ``-q 8``
+    ships.
+
+    Architecture: ONE persisted distinct-5-gram table; full and pruned
+    chains are both keyed groupBys of it; the score build is model-grain
+    keyed joins (never a corpus re-scan); the only single-row frames are
+    the three licensed scalar broadcasts (nal, nalp, min/max)."""
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    pen = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg"),
+    )
+
+    def part(i: int) -> F.Column:
+        if i == 1:
+            return F.substring_index("pg", " ", 1)
+        if i == 5:
+            return F.substring_index("pg", " ", -1)
+        return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
+
+    g5 = (
+        pen.groupBy("pg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c5"))
+        .select(
+            "pg", "c5",
+            part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
+            part(4).alias("d"), part(5).alias("e"),
+        )
+        .persist()
+    )
+
+    def suffix_chain(base: DataFrame, tag: str) -> dict[str, DataFrame]:
+        """The five suffix tables + scalar nal for a model table `base`
+        (full or pruned) with disjoint column names per frame."""
+        cnt = "c5"
+        abcd = base.groupBy(
+            F.col("a").alias(f"a1{tag}"), F.col("b").alias(f"b1{tag}"),
+            F.col("c").alias(f"c1{tag}"), F.col("d").alias(f"d1{tag}"),
+        ).agg(
+            F.sum(cnt).cast("long").alias(f"cabcd{tag}"),
+            F.count(F.lit(1)).cast("long").alias(f"nabcd{tag}"),
+        )
+        bcde = base.groupBy(
+            F.col("b").alias(f"b2{tag}"), F.col("c").alias(f"c2{tag}"),
+            F.col("d").alias(f"d2{tag}"), F.col("e").alias(f"e2{tag}"),
+        ).agg(F.count(F.lit(1)).cast("long").alias(f"m4{tag}"))
+        bcd = base.groupBy(
+            F.col("b").alias(f"b3{tag}"), F.col("c").alias(f"c3{tag}"),
+            F.col("d").alias(f"d3{tag}"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias(f"w4{tag}"),
+            F.count_distinct("e").cast("long").alias(f"l4{tag}"),
+        )
+        cde = bcde.groupBy(
+            F.col(f"c2{tag}").alias(f"c4{tag}"),
+            F.col(f"d2{tag}").alias(f"d4{tag}"),
+            F.col(f"e2{tag}").alias(f"e4{tag}"),
+        ).agg(F.count(F.lit(1)).cast("long").alias(f"m3{tag}"))
+        cd = bcde.groupBy(
+            F.col(f"c2{tag}").alias(f"c5{tag}k"),
+            F.col(f"d2{tag}").alias(f"d5{tag}"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias(f"w3{tag}"),
+            F.count_distinct(f"e2{tag}").cast("long").alias(f"l3{tag}"),
+        )
+        de = cde.groupBy(
+            F.col(f"d4{tag}").alias(f"d6{tag}"),
+            F.col(f"e4{tag}").alias(f"e6{tag}"),
+        ).agg(F.count(F.lit(1)).cast("long").alias(f"m2{tag}"))
+        dk = cde.groupBy(F.col(f"d4{tag}").alias(f"d7{tag}")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"w2{tag}"),
+            F.count_distinct(f"e4{tag}").cast("long").alias(f"l2{tag}"),
+        )
+        ek = de.groupBy(F.col(f"e6{tag}").alias(f"e8{tag}")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n1e{tag}")
+        )
+        nal = de.agg(F.count(F.lit(1)).cast("long").alias(f"nal{tag}"))
+        return {
+            "abcd": abcd, "bcde": bcde, "bcd": bcd, "cde": cde, "cd": cd,
+            "de": de, "dk": dk, "ek": ek, "nal": nal,
+        }
+
+    full = suffix_chain(g5, "")
+    g5p = g5.where(F.col("c5") >= min_count)
+    pruned = suffix_chain(
+        g5p.select("pg", "c5", "a", "b", "c", "d", "e"), "p"
+    )
+
+    def j(left: DataFrame, right: DataFrame, pairs, how="inner") -> DataFrame:
+        cond = None
+        for lc, rc in pairs:
+            this = F.col(lc) == F.col(rc)
+            cond = this if cond is None else (cond & this)
+        return left.join(right, cond, how)
+
+    score = g5
+    score = j(score, full["abcd"], [("a", "a1"), ("b", "b1"), ("c", "c1"), ("d", "d1")])
+    score = j(score, full["bcde"], [("b", "b2"), ("c", "c2"), ("d", "d2"), ("e", "e2")])
+    score = j(score, full["bcd"], [("b", "b3"), ("c", "c3"), ("d", "d3")])
+    score = j(score, full["cde"], [("c", "c4"), ("d", "d4"), ("e", "e4")])
+    score = j(score, full["cd"], [("c", "c5k"), ("d", "d5")])
+    score = j(score, full["de"], [("d", "d6"), ("e", "e6")])
+    score = j(score, full["dk"], [("d", "d7")])
+    score = j(score, full["ek"], [("e", "e8")])
+    score = score.crossJoin(F.broadcast(full["nal"]))
+    # pruned chain: LEFT joins (a corpus gram or its contexts may be gone)
+    score = j(
+        score,
+        g5p.select(F.col("pg").alias("pgp"), F.col("c5").alias("c5p_raw")),
+        [("pg", "pgp")],
+        "left",
+    )
+    score = j(score, pruned["abcd"], [("a", "a1p"), ("b", "b1p"), ("c", "c1p"), ("d", "d1p")], "left")
+    score = j(score, pruned["bcde"], [("b", "b2p"), ("c", "c2p"), ("d", "d2p"), ("e", "e2p")], "left")
+    score = j(score, pruned["bcd"], [("b", "b3p"), ("c", "c3p"), ("d", "d3p")], "left")
+    score = j(score, pruned["cde"], [("c", "c4p"), ("d", "d4p"), ("e", "e4p")], "left")
+    score = j(score, pruned["cd"], [("c", "c5pk"), ("d", "d5p")], "left")
+    score = j(score, pruned["de"], [("d", "d6p"), ("e", "e6p")], "left")
+    score = j(score, pruned["dk"], [("d", "d7p")], "left")
+    score = j(score, pruned["ek"], [("e", "e8p")], "left")
+    score = score.crossJoin(F.broadcast(pruned["nal"]))
+
+    zero = [
+        "c5p_raw", "cabcdp", "nabcdp", "m4p", "w4p", "l4p", "m3p", "w3p",
+        "l3p", "m2p", "w2p", "l2p", "n1ep",
+    ]
+    coalesced = score.select(
+        F.col("pg").alias("pg_k"),
+        F.expr(KN5_LPU_EXPR).alias("lpu_f"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(
+                "c5p" if c == "c5p_raw" else c
+            )
+            for c in zero
+        ],
+        "nalp",
+    ).selectExpr("pg_k", "lpu_f", f"{KN5_PRUNED_LPU_EXPR} AS lpu_p")
+    coalesced = coalesced.persist()
+
+    minmax = coalesced.agg(
+        F.min("lpu_p").cast("long").alias("minu"),
+        F.max("lpu_p").cast("long").alias("maxu"),
+    )
+    served = coalesced.crossJoin(F.broadcast(minmax)).selectExpr(
+        "pg_k", "lpu_f", "lpu_p", f"{KN5_QUANT_EXPR} AS lpu_q"
+    )
+
+    sizes = (
+        g5.agg(F.count(F.lit(1)).cast("long").alias("n_model_full"))
+        .crossJoin(
+            F.broadcast(
+                g5p.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_model_pruned")
+                )
+            )
+        )
+    )
+    out = (
+        pen.join(served, pen.pg == served.pg_k)
+        .groupBy("g")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_5grams"),
+            F.sum(F.col("lpu_f").cast("decimal(38,0)")).alias("slf"),
+            F.sum(F.col("lpu_p").cast("decimal(38,0)")).alias("slp"),
+            F.sum(F.col("lpu_q").cast("decimal(38,0)")).alias("slq"),
+        )
+        .crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "g", "n_docs", "n_5grams",
+            "(-slf) div n_5grams AS nll_full",
+            "(-slp) div n_5grams AS nll_pruned",
+            "(-slq) div n_5grams AS nll_pruned_q8",
+            "n_model_full", "n_model_pruned",
+        )
+    )
+    out._stage_caches = [g5, coalesced]
+    return out

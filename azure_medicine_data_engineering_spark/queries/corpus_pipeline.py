@@ -2437,3 +2437,182 @@ def q_ccnet_router_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ccnet_router_order_delta(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 14: KN model pruning + quantized serving (KenLM --prune / -q 8).
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.operators.text_rank import (  # noqa: E402
+    KN5_PRUNED_LPU_EXPR as _KN5P_LPU,
+    KN5_QUANT_EXPR_TPL as _KN5Q_TPL,
+)
+
+_KN5_PRUNE_MIN_COUNT = 2
+
+
+@register(
+    "kn_5gram_pruned_delta",
+    f"""
+    WITH tk5 AS MATERIALIZED (
+      SELECT doc_id, source AS g, {_TOKS.format(t='text')} AS w FROM documents
+    ),
+    pen AS MATERIALIZED (
+      SELECT doc_id, g,
+             t.w[r.i] || ' ' || t.w[r.i + 1] || ' ' || t.w[r.i + 2] || ' ' ||
+             t.w[r.i + 3] || ' ' || t.w[r.i + 4] AS pg
+      FROM tk5 t, LATERAL (SELECT unnest(range(1, len(t.w) - 3)) AS i) r
+    ),
+    g5 AS MATERIALIZED (
+      SELECT pg, CAST(COUNT(*) AS BIGINT) AS c5,
+             string_split(pg, ' ')[1] AS a, string_split(pg, ' ')[2] AS b,
+             string_split(pg, ' ')[3] AS c, string_split(pg, ' ')[4] AS d,
+             string_split(pg, ' ')[5] AS e
+      FROM pen GROUP BY pg
+    ),
+    abcd AS MATERIALIZED (
+      SELECT a, b, c, d, CAST(SUM(c5) AS BIGINT) AS cabcd,
+             CAST(COUNT(*) AS BIGINT) AS nabcd
+      FROM g5 GROUP BY a, b, c, d
+    ),
+    bcde AS MATERIALIZED (
+      SELECT b, c, d, e, CAST(COUNT(*) AS BIGINT) AS m4 FROM g5 GROUP BY b, c, d, e
+    ),
+    bcd AS MATERIALIZED (
+      SELECT b, c, d, CAST(COUNT(*) AS BIGINT) AS w4,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l4
+      FROM g5 GROUP BY b, c, d
+    ),
+    cde AS MATERIALIZED (
+      SELECT c, d, e, CAST(COUNT(*) AS BIGINT) AS m3 FROM bcde GROUP BY c, d, e
+    ),
+    cd AS MATERIALIZED (
+      SELECT c, d, CAST(COUNT(*) AS BIGINT) AS w3,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l3
+      FROM bcde GROUP BY c, d
+    ),
+    de AS MATERIALIZED (
+      SELECT d, e, CAST(COUNT(*) AS BIGINT) AS m2 FROM cde GROUP BY d, e
+    ),
+    dk AS MATERIALIZED (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS w2,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l2
+      FROM cde GROUP BY d
+    ),
+    ek AS MATERIALIZED (
+      SELECT e, CAST(COUNT(*) AS BIGINT) AS n1e FROM de GROUP BY e
+    ),
+    na5 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nal FROM de),
+    g5p AS MATERIALIZED (
+      SELECT * FROM g5 WHERE c5 >= {_KN5_PRUNE_MIN_COUNT}
+    ),
+    abcdp AS MATERIALIZED (
+      SELECT a, b, c, d, CAST(SUM(c5) AS BIGINT) AS cabcdp,
+             CAST(COUNT(*) AS BIGINT) AS nabcdp
+      FROM g5p GROUP BY a, b, c, d
+    ),
+    bcdep AS MATERIALIZED (
+      SELECT b, c, d, e, CAST(COUNT(*) AS BIGINT) AS m4p FROM g5p GROUP BY b, c, d, e
+    ),
+    bcdp AS MATERIALIZED (
+      SELECT b, c, d, CAST(COUNT(*) AS BIGINT) AS w4p,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l4p
+      FROM g5p GROUP BY b, c, d
+    ),
+    cdep AS MATERIALIZED (
+      SELECT c, d, e, CAST(COUNT(*) AS BIGINT) AS m3p FROM bcdep GROUP BY c, d, e
+    ),
+    cdp AS MATERIALIZED (
+      SELECT c, d, CAST(COUNT(*) AS BIGINT) AS w3p,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l3p
+      FROM bcdep GROUP BY c, d
+    ),
+    dep AS MATERIALIZED (
+      SELECT d, e, CAST(COUNT(*) AS BIGINT) AS m2p FROM cdep GROUP BY d, e
+    ),
+    dkp AS MATERIALIZED (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS w2p,
+             CAST(COUNT(DISTINCT e) AS BIGINT) AS l2p
+      FROM cdep GROUP BY d
+    ),
+    ekp AS MATERIALIZED (
+      SELECT e, CAST(COUNT(*) AS BIGINT) AS n1ep FROM dep GROUP BY e
+    ),
+    nap AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nalp FROM dep),
+    sc0 AS MATERIALIZED (
+      SELECT g5.pg, g5.c5, abcd.cabcd, abcd.nabcd, bcde.m4, bcd.w4, bcd.l4,
+             cde.m3, cd.w3, cd.l3, de.m2, dk.w2, dk.l2, ek.n1e, na5.nal,
+             COALESCE(p5.c5, 0) AS c5p,
+             COALESCE(abcdp.cabcdp, 0) AS cabcdp,
+             COALESCE(abcdp.nabcdp, 0) AS nabcdp,
+             COALESCE(bcdep.m4p, 0) AS m4p,
+             COALESCE(bcdp.w4p, 0) AS w4p, COALESCE(bcdp.l4p, 0) AS l4p,
+             COALESCE(cdep.m3p, 0) AS m3p,
+             COALESCE(cdp.w3p, 0) AS w3p, COALESCE(cdp.l3p, 0) AS l3p,
+             COALESCE(dep.m2p, 0) AS m2p,
+             COALESCE(dkp.w2p, 0) AS w2p, COALESCE(dkp.l2p, 0) AS l2p,
+             COALESCE(ekp.n1ep, 0) AS n1ep, nap.nalp
+      FROM g5
+      JOIN abcd ON g5.a = abcd.a AND g5.b = abcd.b AND g5.c = abcd.c AND g5.d = abcd.d
+      JOIN bcde ON g5.b = bcde.b AND g5.c = bcde.c AND g5.d = bcde.d AND g5.e = bcde.e
+      JOIN bcd ON g5.b = bcd.b AND g5.c = bcd.c AND g5.d = bcd.d
+      JOIN cde ON g5.c = cde.c AND g5.d = cde.d AND g5.e = cde.e
+      JOIN cd ON g5.c = cd.c AND g5.d = cd.d
+      JOIN de ON g5.d = de.d AND g5.e = de.e
+      JOIN dk ON g5.d = dk.d
+      JOIN ek ON g5.e = ek.e
+      CROSS JOIN na5 CROSS JOIN nap
+      LEFT JOIN g5p p5 ON g5.pg = p5.pg
+      LEFT JOIN abcdp ON g5.a = abcdp.a AND g5.b = abcdp.b AND g5.c = abcdp.c AND g5.d = abcdp.d
+      LEFT JOIN bcdep ON g5.b = bcdep.b AND g5.c = bcdep.c AND g5.d = bcdep.d AND g5.e = bcdep.e
+      LEFT JOIN bcdp ON g5.b = bcdp.b AND g5.c = bcdp.c AND g5.d = bcdp.d
+      LEFT JOIN cdep ON g5.c = cdep.c AND g5.d = cdep.d AND g5.e = cdep.e
+      LEFT JOIN cdp ON g5.c = cdp.c AND g5.d = cdp.d
+      LEFT JOIN dep ON g5.d = dep.d AND g5.e = dep.e
+      LEFT JOIN dkp ON g5.d = dkp.d
+      LEFT JOIN ekp ON g5.e = ekp.e
+    ),
+    scored AS MATERIALIZED (
+      SELECT pg AS pg_k, {_KN5_LPU} AS lpu_f, {_KN5P_LPU} AS lpu_p
+      FROM sc0
+    ),
+    mm AS MATERIALIZED (
+      SELECT CAST(MIN(lpu_p) AS BIGINT) AS minu,
+             CAST(MAX(lpu_p) AS BIGINT) AS maxu
+      FROM scored
+    ),
+    served AS MATERIALIZED (
+      SELECT pg_k, lpu_f, lpu_p, {_KN5Q_TPL.format(d='//')} AS lpu_q
+      FROM scored CROSS JOIN mm
+    ),
+    sizes AS MATERIALIZED (
+      SELECT CAST((SELECT COUNT(*) FROM g5) AS BIGINT) AS n_model_full,
+             CAST((SELECT COUNT(*) FROM g5p) AS BIGINT) AS n_model_pruned
+    )
+    SELECT g,
+           CAST(COUNT(DISTINCT pen.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_5grams,
+           CAST((-SUM(s.lpu_f)) // COUNT(*) AS BIGINT) AS nll_full,
+           CAST((-SUM(s.lpu_p)) // COUNT(*) AS BIGINT) AS nll_pruned,
+           CAST((-SUM(s.lpu_q)) // COUNT(*) AS BIGINT) AS nll_pruned_q8,
+           n_model_full, n_model_pruned
+    FROM pen JOIN served s ON pen.pg = s.pg_k CROSS JOIN sizes
+    GROUP BY g, n_model_full, n_model_pruned
+    """,
+)
+def q_kn_5gram_pruned_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KN 5-gram serving-artifact decision table: per-slice perplexity
+    under the FULL model, the PRUNED model (5-grams with count >=
+    {min_count}, every suffix table rebuilt from the pruned top — backoff
+    mass genuinely moves), and the pruned model's 8-bit QUANTIZED score
+    cache (`operators/text_rank.py:kn_5gram_pruned_delta_by_group`) —
+    KenLM's --prune/-q production step, where at 100 TB the model table
+    is itself the big-data object. Scoring falls back level by level via
+    ONE guarded shared expression; quantization is pure integer
+    round-half-up on the micro grid (zero float surface)."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        kn_5gram_pruned_delta_by_group,
+    )
+
+    return kn_5gram_pruned_delta_by_group(
+        _t(spark, sf_dir, "documents"), min_count=_KN5_PRUNE_MIN_COUNT
+    )

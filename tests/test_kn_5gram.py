@@ -308,3 +308,182 @@ def test_order_delta_flags_chimera_as_5g_stricter(spark):
     assert r.n_docs == 17
     assert r.n_5g_stricter >= 1
     assert r.n_same + r.n_5g_stricter + r.n_5g_looser == r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# Round 14: pruned + quantized serving — naive reference from first
+# principles, on a corpus where pruning PROVABLY moves backoff mass
+# (singleton 5-grams vanish, one sentence's vocabulary disappears from the
+# pruned model entirely, so the unseen-token floor is exercised too).
+# ---------------------------------------------------------------------------
+
+
+def _naive_kn5_pruned(rows, min_count=2, bins=255):
+    pens = []
+    for g, text in rows:
+        w = text.split()
+        for i in range(len(w) - 4):
+            pens.append((g, tuple(w[i : i + 5])))
+    c5: dict = {}
+    for _, p in pens:
+        c5[p] = c5.get(p, 0) + 1
+
+    def chain(counts):
+        # same grains as the model tables: w4/l4 count DISTINCT 5-GRAMS
+        # per (b,c,d); m3/w3/l3 are over the distinct-suffix-4-gram table;
+        # m2/w2/l2 over distinct suffix 3-grams; n1e/nal over distinct
+        # suffix bigrams (Chen & Goodman suffix-table recursion)
+        cab, nab, m4, w4, l4 = {}, {}, {}, {}, {}
+        for (a, b, c, d, e), n in counts.items():
+            cab[(a, b, c, d)] = cab.get((a, b, c, d), 0) + n
+            nab[(a, b, c, d)] = nab.get((a, b, c, d), 0) + 1
+            m4[(b, c, d, e)] = m4.get((b, c, d, e), 0) + 1
+            w4[(b, c, d)] = w4.get((b, c, d), 0) + 1
+            l4.setdefault((b, c, d), set()).add(e)
+        m3, w3, l3 = {}, {}, {}
+        for (b, c, d, e) in set(m4):
+            m3[(c, d, e)] = m3.get((c, d, e), 0) + 1
+            w3[(c, d)] = w3.get((c, d), 0) + 1
+            l3.setdefault((c, d), set()).add(e)
+        m2, w2, l2 = {}, {}, {}
+        for (c, d, e) in set(m3):
+            m2[(d, e)] = m2.get((d, e), 0) + 1
+            w2[d] = w2.get(d, 0) + 1
+            l2.setdefault(d, set()).add(e)
+        n1e = {}
+        for (d, e) in set(m2):
+            n1e[e] = n1e.get(e, 0) + 1
+        return cab, nab, m4, w4, l4, m3, w3, l3, m2, w2, l2, n1e, len(m2)
+
+    cab, nab, m4, w4, l4, m3, w3, l3, m2, w2, l2, n1e, nal = chain(c5)
+    c5p = {p: n for p, n in c5.items() if n >= min_count}
+    (cabp, nabp, m4p, w4p, l4p, m3p, w3p, l3p, m2p, w2p, l2p, n1ep,
+     nalp) = chain(c5p)
+
+    def full_lp(p):
+        a, b, c, d, e = p
+        p1 = n1e[e] * 1.0 / nal
+        p2 = (max(m2[(d, e)] - D, 0.0) + D * len(l2[d]) * p1) / w2[d]
+        p3 = (max(m3[(c, d, e)] - D, 0.0) + D * len(l3[(c, d)]) * p2) / w3[
+            (c, d)
+        ]
+        p4 = (
+            max(m4[(b, c, d, e)] - D, 0.0) + D * len(l4[(b, c, d)]) * p3
+        ) / w4[(b, c, d)]
+        return math.log(
+            (max(c5[p] - D, 0.0) + D * nab[(a, b, c, d)] * p4)
+            / cab[(a, b, c, d)]
+        )
+
+    def pruned_lp(p):
+        a, b, c, d, e = p
+        p1 = (
+            n1ep[e] * 1.0 / nalp if n1ep.get(e, 0) > 0 else 0.5 / nalp
+        )
+        p2 = (
+            (max(m2p.get((d, e), 0) - D, 0.0) + D * len(l2p[d]) * p1)
+            / w2p[d]
+            if w2p.get(d, 0) > 0
+            else p1
+        )
+        p3 = (
+            (
+                max(m3p.get((c, d, e), 0) - D, 0.0)
+                + D * len(l3p[(c, d)]) * p2
+            )
+            / w3p[(c, d)]
+            if w3p.get((c, d), 0) > 0
+            else p2
+        )
+        p4 = (
+            (
+                max(m4p.get((b, c, d, e), 0) - D, 0.0)
+                + D * len(l4p[(b, c, d)]) * p3
+            )
+            / w4p[(b, c, d)]
+            if w4p.get((b, c, d), 0) > 0
+            else p3
+        )
+        if cabp.get((a, b, c, d), 0) > 0:
+            return math.log(
+                (max(c5p.get(p, 0) - D, 0.0) + D * nabp[(a, b, c, d)] * p4)
+                / cabp[(a, b, c, d)]
+            )
+        return math.log(p4)
+
+    lpu_f = {p: _half_away_micro(full_lp(p)) for p in c5}
+    lpu_p = {p: _half_away_micro(pruned_lp(p)) for p in c5}
+    minu, maxu = min(lpu_p.values()), max(lpu_p.values())
+    span = maxu - minu
+
+    def quant(v):
+        if span == 0:
+            return minu
+        b = (2 * (v - minu) * 255 + span) // (2 * span)
+        return minu + (2 * b * span + 255) // (2 * 255)
+
+    lpu_q = {p: quant(v) for p, v in lpu_p.items()}
+    out: dict = {}
+    for g, p in pens:
+        s = out.setdefault(g, [0, 0, 0, 0, set()])
+        s[0] += lpu_f[p]
+        s[1] += lpu_p[p]
+        s[2] += lpu_q[p]
+        s[3] += 1
+    docs: dict = {}
+    for gi, (g, text) in enumerate(rows):
+        if len(text.split()) >= 5:
+            docs.setdefault(g, set()).add(gi)
+    return {
+        g: (
+            len(docs[g]),
+            n,
+            (-sf) // n,
+            (-sp) // n,
+            (-sq) // n,
+            len(c5),
+            len(c5p),
+        )
+        for g, (sf, sp, sq, n, _) in out.items()
+    }
+
+
+def test_pruned_delta_matches_naive_reference(spark):
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        kn_5gram_pruned_delta_by_group,
+    )
+
+    base = "the cat sat on the mat by the door"
+    rows = [
+        ("a", base),
+        ("a", base),  # repeats: these 5-grams survive min_count=2
+        ("a", "the cat ate the food on the mat"),
+        ("a", "the cat ate the food on the mat"),
+        ("b", base),
+        ("b", "zulu yankee xray whiskey victor uniform tango"),  # all
+        # singleton grams AND unique vocabulary: pruned away entirely,
+        # so scoring hits the unseen-token floor at the unigram level
+        ("b", "a dog sat on the mat by the door"),  # singleton grams over
+        # SHARED vocabulary: mid-level backoff fallbacks
+    ]
+    naive = _naive_kn5_pruned(rows)
+    df = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    out = kn_5gram_pruned_delta_by_group(df, min_count=2)
+    got = {
+        r.g: (
+            r.n_docs, r.n_5grams, r.nll_full, r.nll_pruned,
+            r.nll_pruned_q8, r.n_model_full, r.n_model_pruned,
+        )
+        for r in out.collect()
+    }
+    for c in getattr(out, "_stage_caches", []):
+        c.unpersist()
+    assert got == naive
+    # pruning provably moved backoff mass: model shrank and the pruned
+    # perplexity differs from full on both slices
+    for g in got:
+        assert got[g][6] < got[g][5]
+        assert got[g][3] != got[g][2]
