@@ -2123,11 +2123,13 @@ def q_wds_shard_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared finalization expressions (identical strings interpolated into the
 #: Spark plan AND the DuckDB oracle — zero float drift; integer state first,
 #: one scalar expression last; scientific literals per CLAUDE.md)
-_ALIGN_COS = "CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))"
-_ALIGN_KEEP = (
-    "floor(CAST(n_kept AS DOUBLE) / CAST(n_samples AS DOUBLE) * 1e4 + 5e-1) / 1e4"
+# canonical home: sources/webdataset.py (importable without registry
+# side effects — the streaming twin's foreachBatch kernel needs them)
+from azure_medicine_data_engineering_spark.sources.webdataset import (  # noqa: E402
+    ALIGN_COS_EXPR as _ALIGN_COS,
+    ALIGN_KEEP_EXPR as _ALIGN_KEEP,
+    ALIGN_THRESHOLD as _ALIGN_THRESHOLD,
 )
-_ALIGN_THRESHOLD = "6e-1"
 
 
 def _align_tower_sql(fp: str, prefix: str) -> str:
@@ -2647,3 +2649,30 @@ def q_wds_multisample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards.select(F.col("shard_id").alias("media_id"), "payload")
     )
     return wds_sample_assembly_report(members)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: streaming twin of the alignment gate (the multimodal funnel's
+# first stage as a continuous ingest filter).
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.queries.registry import (  # noqa: E402
+    ORACLES as _OR14,
+)
+
+
+@register("streaming_alignment_gate", _OR14["image_text_alignment_gate"])
+def q_streaming_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `image_text_alignment_gate` (round 14): the
+    documents feed is micro-batched (4-file staging, one file per
+    trigger), every batch runs the SAME tar-parse + PNG-decode +
+    integer-cosine kernel via foreachBatch and lands idempotent
+    batch-id-versioned per-source PARTIAL integer counts; the report sums
+    partials and finalizes keep_rate with the shared expression. The gate
+    is per-sample map-only, so any micro-batch split sums to the batch
+    aggregate exactly — the batch oracle is shared verbatim. Kill/replay
+    pinned in tests/test_streaming_sinks.py."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_alignment_gate_report,
+    )
+
+    return streaming_alignment_gate_report(spark, sf_dir)

@@ -178,6 +178,16 @@ def wds_ingest_members(df: DataFrame) -> DataFrame:
 #: separates aligned (~0.995) from mismatched pairs with wide margin.
 ALIGN_DIM = 32
 
+#: shared-expression strings for the alignment gate (canonical home —
+#: importable without the query-registry side effects): exact integer
+#: cosine state finalized by ONE double expression, keep-rate snapped
+#: half-up on the 1e-4 grid, threshold as a scientific literal
+ALIGN_COS_EXPR = "CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))"
+ALIGN_KEEP_EXPR = (
+    "floor(CAST(n_kept AS DOUBLE) / CAST(n_samples AS DOUBLE) * 1e4 + 5e-1) / 1e4"
+)
+ALIGN_THRESHOLD = "6e-1"
+
 
 def _grid_embedding(fp_hex: str, modality_prefix: str) -> list[int]:
     """Deterministic integer-grid "CLIP tower": base vector from the

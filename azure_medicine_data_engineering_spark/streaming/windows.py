@@ -463,3 +463,130 @@ def streaming_image_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame
     out = spark.read.parquet(*parts).localCheckpoint(eager=True)
     shutil.rmtree(state_root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 14: streaming twin of the image-text ALIGNMENT GATE — the
+# multimodal funnel's first stage as a continuous ingest filter.
+# ---------------------------------------------------------------------------
+
+
+def alignment_gate_process_batch(
+    batch_df: DataFrame, state_root: str, batch_id: int
+) -> None:
+    """One foreachBatch step of the streaming alignment gate: run the
+    SAME per-sample kernel chain as the batch query (WDS fixture tar ->
+    tar parse + PNG decode + decoded-pixel fingerprint -> integer-grid
+    two-tower cosine) on the batch's documents and write the batch's
+    per-source PARTIAL integer counts (n_samples / n_planted / n_kept) to
+    the batch-id-versioned slot ``v{batch_id}`` with mode=overwrite — a
+    replayed batch overwrites its own slot with identical rows
+    (idempotent under kill/replay). The gate is per-sample map-only (no
+    cross-sample state), so summing partials over ANY micro-batch split
+    equals the batch aggregate exactly."""
+    import os
+
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        ALIGN_COS_EXPR as _ALIGN_COS,
+        ALIGN_THRESHOLD as _ALIGN_THRESHOLD,
+    )
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_image_caption_payload,
+        image_text_alignment_stats,
+    )
+
+    # a one-file micro-batch arrives as 1 partition: widen BEFORE the
+    # Python-heavy encode/decode chain (CLAUDE.md ensure_parallelism rule)
+    batch_df = ensure_parallelism(batch_df)
+    media = attach_wds_image_caption_payload(batch_df, "doc_id", "text")
+    stats = image_text_alignment_stats(media)
+    meta = batch_df.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(conv(substr(md5(text), 5, 2), 16, 10) AS INT) % 4 = 0"
+        ).alias("planted"),
+    )
+    joined = stats.join(meta, stats.media_id == meta.doc_id).withColumn(
+        "cos", F.expr(_ALIGN_COS)
+    )
+    partial = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col("planted").cast("long")).cast("long").alias("n_planted"),
+        F.sum(F.expr(f"CAST(cos >= {_ALIGN_THRESHOLD} AS LONG)"))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    partial.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"v{batch_id}")
+    )
+
+
+def streaming_alignment_gate_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``image_text_alignment_gate``: the documents
+    table is staged as a 4-file directory and streamed one file per
+    micro-batch; every batch runs the alignment kernel via foreachBatch
+    and lands idempotent batch-id-versioned per-source partials; the
+    final report sums the partials and finalizes keep_rate with the SAME
+    shared expression as the batch twin — exact integer state, so the
+    union over any micro-batch split equals the batch report and the
+    batch oracle is shared verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        ALIGN_KEEP_EXPR as _ALIGN_KEEP,
+    )
+
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="amde_align_stage_")
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    state_root = tempfile.mkdtemp(prefix="amde_align_stream_")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: alignment_gate_process_batch(
+                    bdf, state_root, bid
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    parts = [
+        os.path.join(state_root, d)
+        for d in sorted(os.listdir(state_root))
+        if d.startswith("v")
+    ]
+    out = (
+        spark.read.parquet(*parts)
+        .groupBy("source")
+        .agg(
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.sum("n_planted").cast("long").alias("n_planted"),
+            F.sum("n_kept").cast("long").alias("n_kept"),
+        )
+        .select(
+            "source", "n_samples", "n_planted", "n_kept",
+            F.expr(_ALIGN_KEEP).alias("keep_rate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(state_root, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out

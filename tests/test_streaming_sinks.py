@@ -359,3 +359,70 @@ def test_wds_curated_shard_split_across_batches(spark, tmp_path):
     assert egress.commit_batch(src.where("media_id >= 5"), 1) is True
     [m] = curated_wds_manifest(spark, root).collect()
     assert (m.shard_id, m.n_samples, m.sum_ids) == (0, 8, sum(range(8)))
+
+
+# ---------------------------------------------------------------------------
+# Round 14: streaming alignment gate — kill/replay idempotence + split
+# equality.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_alignment_gate_kill_replay(spark, tmp_path):
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        alignment_gate_process_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"s{i % 2}",
+                f"document {i} body with the usual words and that content",
+            )
+            for i in range(12)
+        ],
+        "doc_id long, source string, text string",
+    )
+    root = str(tmp_path / "align_state")
+
+    def snap():
+        import os
+
+        out = {}
+        for d in sorted(os.listdir(root)):
+            rows = sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{root}/{d}").collect()
+            )
+            out[d] = rows
+        return out
+
+    b0, b1 = docs.where("doc_id < 7"), docs.where("doc_id >= 7")
+    alignment_gate_process_batch(b0, root, 0)
+    alignment_gate_process_batch(b1, root, 1)
+    baseline = snap()
+
+    # replay (crash between write and checkpoint commit): the batch
+    # overwrites its own slot with identical rows
+    alignment_gate_process_batch(b1, root, 1)
+    assert snap() == baseline
+
+    # ANY split sums to the whole-input aggregate (map-only gate)
+    import os
+    import shutil
+
+    root2 = str(tmp_path / "align_whole")
+    alignment_gate_process_batch(docs, root2, 0)
+    whole = {
+        (r.source): (r.n_samples, r.n_planted, r.n_kept)
+        for r in spark.read.parquet(f"{root2}/v0").collect()
+    }
+    summed: dict = {}
+    for d in os.listdir(root):
+        for r in spark.read.parquet(f"{root}/{d}").collect():
+            s = summed.setdefault(r.source, [0, 0, 0])
+            s[0] += r.n_samples
+            s[1] += r.n_planted
+            s[2] += r.n_kept
+    assert {g: tuple(v) for g, v in summed.items()} == whole
+    shutil.rmtree(root2, ignore_errors=True)
