@@ -300,3 +300,126 @@ def q_crawl_e2e_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._stage_caches = [frontier, gated, fetched, ext, s4, s5]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 14: politeness budget allocation over the allowed frontier — the
+# max-min fair per-host fetch scheduler every crawler runs between robots
+# and fetch (waterfill reused verbatim from sampling.token_budget_waterfill,
+# whose closed form is already oracle-proven on token mixtures).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "frontier_host_budget",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS hex,
+             1 + CAST(('0x' || substr(md5(text), 5, 1)) AS INT) % 4 AS n_urls
+      FROM documents
+    ),
+    urls AS MATERIALIZED (
+      SELECT doc_id, CAST(k AS INT) AS pos,
+             CASE WHEN CAST(('0x' || substr(hex, k + 2, 1)) AS INT) % 3 <> 2
+                  THEN '/p' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+                  ELSE '/q' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+             END
+             || CASE CAST(('0x' || substr(hex, k + 3, 1)) AS INT) % 3
+                  WHEN 0 THEN '' WHEN 1 THEN '/open' ELSE '/deep' END
+             || '/page' || substr(hex, k + 4, 1) AS path
+      FROM m, range(0, 4) t(k) WHERE k < n_urls
+    ),
+    gated AS MATERIALIZED (
+      SELECT doc_id, pos,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR))
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR)) ELSE -1 END AS s1,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open')
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open') ELSE -1 END AS s2,
+             CASE WHEN starts_with(path, '/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep')
+                  THEN length('/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep') ELSE -1 END AS s3
+      FROM urls
+    ),
+    per_host AS MATERIALIZED (
+      SELECT CAST(doc_id % 7 AS VARCHAR) AS src,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM gated
+      WHERE GREATEST(s1, s2, s3) = -1 OR s2 = GREATEST(s1, s2, s3)
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) * 3 // 5 AS b, COUNT(*) AS S FROM per_host),
+    ranked AS (
+      SELECT src, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, src) AS i,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, src
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
+      FROM per_host
+    ),
+    star AS (
+      SELECT MIN(i) AS istar, MIN_BY(prefix, i) AS pstar
+      FROM ranked, tot WHERE prefix + n_tokens * (S - i + 1) >= b
+    )
+    SELECT CAST(src AS INT) AS host_idx,
+           n_tokens AS n_allowed,
+           CAST(CASE WHEN istar IS NULL OR i < istar THEN n_tokens
+                ELSE (b - pstar) // (S - istar + 1)
+                     + CAST((i - istar) < (b - pstar) % (S - istar + 1) AS BIGINT)
+                END AS BIGINT) AS fetch_budget,
+           CASE WHEN istar IS NULL OR i < istar THEN FALSE
+                ELSE (b - pstar) // (S - istar + 1)
+                     + CAST((i - istar) < (b - pstar) % (S - istar + 1) AS BIGINT)
+                     < n_tokens END AS capped
+    FROM ranked, tot, star
+    """,
+)
+def q_frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-budget allocation over the ALLOWED frontier (round
+    14): sitemap frontier -> REP gate (the funnel's front half, same real
+    kernels) -> per-host allowed-URL counts -> max-min fair waterfill at
+    60% of the total (`operators/sampling.py:token_budget_waterfill`
+    applied with one whitespace-free URL path = one unit) — the
+    politeness scheduler between robots and fetch: small hosts keep their
+    whole frontier, big hosts cap at the unique level that exhausts the
+    budget exactly. One corpus fan-out collapses to a 7-row host frame;
+    everything after is hosts-sized (the licensed sources-grain window)."""
+    from azure_medicine_data_engineering_spark.operators.robots import (
+        robots_gate_urls,
+    )
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.sitemap import (
+        attach_frontier_sitemap_payload,
+        sitemap_ingest_urls,
+    )
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    media = attach_frontier_sitemap_payload(docs, "doc_id", "text")
+    frontier = sitemap_ingest_urls(media).select(
+        "media_id",
+        "pos",
+        F.regexp_extract("loc", r"^https://h(\d+)\.example\.com", 1)
+        .cast("int")
+        .alias("host_idx"),
+        F.regexp_extract("loc", r"example\.com(/.*)$", 1).alias("path"),
+    )
+    allowed = (
+        robots_gate_urls(frontier)
+        .where("allowed")
+        .select(F.col("host_idx").cast("string").alias("host"), "path")
+        .persist()
+    )
+    total = allowed.count()
+    wf = token_budget_waterfill(
+        allowed, budget=total * 3 // 5, group_col="host", text_col="path"
+    )
+    out = wf.select(
+        F.col("host").cast("int").alias("host_idx"),
+        F.col("n_tokens").alias("n_allowed"),
+        F.col("alloc_tokens").alias("fetch_budget"),
+        "capped",
+    )
+    out._stage_caches = [allowed]
+    return out

@@ -497,3 +497,82 @@ def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_image_dedup_matches(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: image-embedding SemDeDup — the semantic rung above pHash,
+# completing the image ladder exact (fingerprint) -> perceptual (pHash) ->
+# semantic (learned-tower embedding clusters).
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.queries.text_dedup import (  # noqa: E402
+    _COS_AB as _IC_COS,
+    _kmeans_round_sql as _ikm,
+)
+
+_IMG_TOWER = (
+    "list_transform(range(32), j -> CAST("
+    "(CAST(('0x' || substr(md5(fpi || ':' || j), 1, 8)) AS BIGINT) % 2001 - 1000)"
+    " + (CAST(('0x' || substr(md5('i:' || fpi || ':' || j), 1, 8)) AS BIGINT) % 101 - 50)"
+    " AS DOUBLE))"
+)
+
+
+@register(
+    "image_semantic_dedup_flags",
+    f"""
+    WITH m AS (SELECT doc_id, md5(text) AS fpi FROM documents),
+    e AS (SELECT doc_id AS vec_id, {_IMG_TOWER} AS v FROM m),
+    cent0 AS (
+      SELECT vec_id % 8 AS cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
+      FROM e, (SELECT unnest(range(32)) AS i) t(i)
+      GROUP BY 1, 2
+    ),
+    carr0 AS (SELECT cluster, list(c ORDER BY dim) AS centroid
+              FROM cent0 GROUP BY cluster),
+    {{r1}},
+    {{r2}},
+    near AS (
+      SELECT y.vec_id AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_near_lower
+      FROM a2 x JOIN a2 y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE ROUND(CAST({_IC_COS.format(a='x.v', b='y.v')} AS DOUBLE), 4) >= 0.55
+      GROUP BY y.vec_id
+    )
+    SELECT a.vec_id AS media_id, a.cluster,
+           COALESCE(n.n_near_lower, 0) AS n_near_lower,
+           (n.hi IS NULL) AS keep
+    FROM a2 a LEFT JOIN near n ON a.vec_id = n.hi
+    """.format(
+        r1=_ikm("e", "carr0", "a1", "cent1", "carr1", dim=32),
+        r2=_ikm("e", "carr1", "a2", "cent2", "carr2", dim=32),
+    ),
+)
+def q_image_semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the IMAGE modality (round 14): per-sample image-tower
+    embeddings recovered from the WDS samples' DECODED PIXELS
+    (`sources/webdataset.py:image_grid_embeddings`), k=8 trained Lloyd
+    clusters, within-cluster rounded cosine >= 0.55 marks a lower-id
+    semantic near-neighbor, one representative survives — the semantic
+    rung above exact-fingerprint and banded-pHash image dedup (Abbas et
+    al. 2023 applied to images, where the original SemDeDup work targets
+    LAION). The oracle replays the embedding md5 chain, the full Lloyd
+    fit (shared `_kmeans_round_sql` fragments at dim=32), and every
+    within-cluster pair. The pHash-distant-but-semantically-near ladder
+    pin lives in tests/test_image_semdedup.py (semantic similarity is a
+    property of the learned tower, not the pixels — exactly why this
+    rung exists)."""
+    from azure_medicine_data_engineering_spark.operators import dedup
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_image_caption_payload,
+        image_grid_embeddings,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    media = attach_wds_image_caption_payload(docs, "doc_id", "text")
+    emb = image_grid_embeddings(media)
+    return dedup.semantic_dedup_flags(
+        emb, k=8, iterations=2, threshold=0.55,
+        id_col="media_id", vec_col="embedding",
+    )

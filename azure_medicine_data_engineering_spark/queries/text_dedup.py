@@ -960,10 +960,15 @@ def q_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_round_sql(src: str, carr: str, a_out: str, cent_out: str, carr_out: str) -> str:
+def _kmeans_round_sql(
+    src: str, carr: str, a_out: str, cent_out: str, carr_out: str,
+    dim: int = 64,
+) -> str:
     """One unrolled Lloyd round: assign `src` rows to nearest `carr`
     centroid (rounded cosine, tie-break lower cluster), recompute rounded
-    means. Mirrors operators/similarity.py kmeans_fit exactly."""
+    means. Mirrors operators/similarity.py kmeans_fit exactly. ``dim``
+    is the embedding dimension (64 = the embeddings table; 32 = the
+    image grid tower)."""
     cos = _COS_AB.format(a=f"{src}.v", b="c.centroid")
     return f"""
     {a_out} AS (
@@ -977,7 +982,7 @@ def _kmeans_round_sql(src: str, carr: str, a_out: str, cent_out: str, carr_out: 
     ),
     {cent_out} AS (
       SELECT cluster, t.i AS dim, ROUND(AVG(v[t.i + 1]), 6) AS c
-      FROM {a_out}, (SELECT unnest(range(64)) AS i) t(i)
+      FROM {a_out}, (SELECT unnest(range({dim})) AS i) t(i)
       GROUP BY 1, 2
     ),
     {carr_out} AS (SELECT cluster, list(c ORDER BY dim) AS centroid

@@ -25,7 +25,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -610,4 +612,49 @@ def curated_wds_manifest(spark, root: str) -> DataFrame:
             F.sum("caption_ck").cast("long").alias("caption_ck"),
             F.sum("fp_ck").cast("long").alias("fp_ck"),
         )
+    )
+
+
+IMAGE_EMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def image_grid_embeddings(media_df: DataFrame) -> DataFrame:
+    """Per-sample IMAGE-TOWER embeddings recovered from the WDS samples'
+    DECODED PIXELS (round 14 — the SemDeDup input): tar parse + PNG decode
+    + content fingerprint from the pixel bytes, then the deterministic
+    integer-grid tower (:func:`_grid_embedding`, modality prefix ``i``)
+    as ``array<double>`` (every slot an exact small integer, so the cast
+    is lossless and any engine can replay it from md5 chains). One Arrow
+    pass, map-only — the image sibling of the text embedding table."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.multimodal import (
+            png_decode_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                png = None
+                for name, content in tar_read_members(bytes(p)):
+                    _, ext = wds_sample_key(name)
+                    if ext == "png":
+                        png = content
+                if png is None:
+                    raise ValueError(f"sample {mid}: missing png member")
+                _, _, _, pixels = png_decode_pixels(png)
+                fp = bytes(pixels[:16]).hex()
+                emb = [float(x) for x in _grid_embedding(fp, "i")]
+                rows.append((int(mid), emb))
+            yield pd.DataFrame(rows, columns=["media_id", "embedding"])
+
+    return media_df.select("media_id", "payload").mapInPandas(
+        run, IMAGE_EMB_SCHEMA
     )

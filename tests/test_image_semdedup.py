@@ -1,0 +1,85 @@
+"""Image-embedding SemDeDup pins (round 14): the semantic rung must catch
+near-duplicates the perceptual rung provably misses — semantic similarity
+is a property of the (stubbed deterministic) learned tower, not of pixel
+statistics, which is exactly why the ladder has three rungs."""
+
+from azure_medicine_data_engineering_spark.operators import dedup
+from azure_medicine_data_engineering_spark.operators.image_hash import (
+    hamming_near_pairs,
+    image_perceptual_hashes,
+)
+
+
+def test_semantic_catches_what_phash_misses(spark):
+    # four pixel-DISTINCT images: one id per FAMILY (family_div=1), so the
+    # value-noise fixture gives every image genuinely different low-freq
+    # content -> perceptually far on both hashes
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        attach_family_png_payload,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "media_id long")
+    media = attach_family_png_payload(
+        docs, "media_id", 36, 32, family_div=1
+    )
+
+    # perceptual rung: md5-noise images share no low-frequency structure;
+    # no pair is within Hamming 3 on either hash
+    hashes = image_perceptual_hashes(media)
+    ph_pairs = hamming_near_pairs(
+        hashes, "phash_hi", "phash_lo", max_hamming=3
+    ).collect()
+    dh_pairs = hamming_near_pairs(
+        hashes, "dhash_hi", "dhash_lo", max_hamming=3
+    ).collect()
+    assert ph_pairs == [] and dh_pairs == []
+
+    # semantic rung: the planted tower (stand-in for a learned CLIP image
+    # tower) embeds samples 0 and 1 as near-identical vectors, 2 and 3 far
+    base = [float(100 + 10 * j % 37) for j in range(32)]
+    bumped = [v + (1.0 if j == 0 else 0.0) for j, v in enumerate(base)]
+    far1 = [float((-1) ** j * (50 + j)) for j in range(32)]
+    far2 = [float((-1) ** (j + 1) * (80 + 3 * j)) for j in range(32)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, bumped), (2, far1), (3, far2)],
+        "media_id long, embedding array<double>",
+    )
+    flags = dedup.semantic_dedup_flags(
+        emb, k=2, iterations=2, threshold=0.9,
+        id_col="media_id", vec_col="embedding",
+    )
+    got = {r.media_id: (r.keep, r.n_near_lower) for r in flags.collect()}
+    assert got[0] == (True, 0)       # lowest id of the chain survives
+    assert got[1] == (False, 1)      # semantic near-dup of 0: dropped
+    assert got[2][0] and got[3][0]   # unrelated images survive
+
+
+def test_image_grid_embeddings_recovered_from_pixels(spark):
+    """The embedding table is derived from DECODED pixels: a corrupt
+    payload fails loudly rather than silently embedding garbage, and the
+    vector equals the md5-chain replay from the content fingerprint."""
+    import hashlib
+
+    import pytest
+
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        _grid_embedding,
+        attach_wds_image_caption_payload,
+        image_grid_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "some caption text for the embedding pin")],
+        "doc_id long, text string",
+    )
+    media = attach_wds_image_caption_payload(docs, "doc_id", "text")
+    [row] = image_grid_embeddings(media).collect()
+    fp = hashlib.md5(b"some caption text for the embedding pin").hexdigest()
+    assert row.media_id == 7
+    assert row.embedding == [float(x) for x in _grid_embedding(fp, "i")]
+
+    bad = spark.createDataFrame(
+        [(8, bytearray(b"not a tar"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="tar|png|missing"):
+        image_grid_embeddings(bad).collect()
