@@ -1991,15 +1991,11 @@ def kn_5gram_pruned_delta_by_group(
         "pg_k", "lpu_f", "lpu_p", f"{KN5_QUANT_EXPR} AS lpu_q"
     )
 
-    sizes = (
-        g5.agg(F.count(F.lit(1)).cast("long").alias("n_model_full"))
-        .crossJoin(
-            F.broadcast(
-                g5p.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_model_pruned")
-                )
-            )
-        )
+    sizes = g5.agg(
+        F.count(F.lit(1)).cast("long").alias("n_model_full"),
+        F.sum((F.col("c5") >= min_count).cast("long"))
+        .cast("long")
+        .alias("n_model_pruned"),
     )
     out = (
         pen.join(served, pen.pg == served.pg_k)

@@ -139,6 +139,17 @@ HEADLINE5 = [
     "mkn_5gram_perplexity_by_source",
 ]
 
+#: sixth frozen group (round 14+): curated-shard egress, KN pruned
+#: serving, streaming alignment gate, image SemDeDup, frontier budget
+HEADLINE6 = [
+    "wds_curated_shards",
+    "wds_curated_shard_egress",
+    "kn_5gram_pruned_delta",
+    "streaming_alignment_gate",
+    "image_semantic_dedup_flags",
+    "frontier_host_budget",
+]
+
 
 #: Per-query repeat count; the headline time is the best of N runs, which
 #: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
@@ -320,6 +331,7 @@ def main() -> None:
     timings3, medians3 = timed_group("g3", HEADLINE3)
     timings4, medians4 = timed_group("g4", HEADLINE4)
     timings5, medians5 = timed_group("g5", HEADLINE5)
+    timings6, medians6 = timed_group("g6", HEADLINE6)
     load_after = tuple(round(x, 2) for x in os.getloadavg())
 
     total = round(sum(timings.values()), 3)
@@ -338,6 +350,8 @@ def main() -> None:
                 "queries4_median": medians4,
                 "queries5": timings5,
                 "queries5_median": medians5,
+                "queries6": timings6,
+                "queries6_median": medians6,
             }
         )
     )
@@ -366,6 +380,11 @@ def main() -> None:
                 # image dedup
                 "value5": round(sum(timings5.values()), 3),
                 "value5_median": round(sum(medians5.values()), 3),
+                # sixth frozen group (round 14+): curated egress, KN
+                # pruned serving, streaming alignment, image SemDeDup,
+                # frontier budget
+                "value6": round(sum(timings6.values()), 3),
+                "value6_median": round(sum(medians6.values()), 3),
                 "unit": "sec",
                 "flagship": "categorized_summary_fast",
                 "sf": sf,

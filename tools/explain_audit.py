@@ -318,6 +318,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # ordered windows over the ~|sources|-row per-source frame (rank +
     # prefix sum; sampling.py:token_budget_waterfill docstring)
     "token_budget_waterfill": (2, "sources-frame waterfill windows"),
+    # round 14: same waterfill closed form over the 7-row host frame
+    # (queries/crawl_funnel.py:q_frontier_host_budget docstring)
+    "frontier_host_budget": (2, "host-frame waterfill windows"),
     # calendar-bounded day-frame rolling window (same class as
     # rolling_7day_revenue)
     "daily_revenue_anomalies": (1, "day-frame rolling window"),
