@@ -423,3 +423,177 @@ def q_frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._stage_caches = [allowed]
     return out
+
+
+@register(
+    "crawl_budgeted_funnel",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS hex,
+             1 + CAST(('0x' || substr(md5(text), 5, 1)) AS INT) % 4 AS n_urls
+      FROM documents
+    ),
+    urls AS MATERIALIZED (
+      SELECT doc_id, CAST(k AS INT) AS pos,
+             CASE WHEN CAST(('0x' || substr(hex, k + 2, 1)) AS INT) % 3 <> 2
+                  THEN '/p' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+                  ELSE '/q' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+             END
+             || CASE CAST(('0x' || substr(hex, k + 3, 1)) AS INT) % 3
+                  WHEN 0 THEN '' WHEN 1 THEN '/open' ELSE '/deep' END
+             || '/page' || substr(hex, k + 4, 1) AS path
+      FROM m, range(0, 4) t(k) WHERE k < n_urls
+    ),
+    gated AS MATERIALIZED (
+      SELECT doc_id, pos,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR))
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR)) ELSE -1 END AS s1,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open')
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open') ELSE -1 END AS s2,
+             CASE WHEN starts_with(path, '/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep')
+                  THEN length('/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep') ELSE -1 END AS s3
+      FROM urls
+    ),
+    ok_urls AS MATERIALIZED (
+      SELECT doc_id, pos, doc_id % 7 AS host FROM gated
+      WHERE GREATEST(s1, s2, s3) = -1 OR s2 = GREATEST(s1, s2, s3)
+    ),
+    per_host AS MATERIALIZED (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM ok_urls GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) * 3 // 5 AS b, COUNT(*) AS S FROM per_host),
+    ranked AS (
+      SELECT host, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, host) AS i,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, host
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
+      FROM per_host
+    ),
+    star AS (
+      SELECT MIN(i) AS istar, MIN_BY(prefix, i) AS pstar
+      FROM ranked, tot WHERE prefix + n_tokens * (S - i + 1) >= b
+    ),
+    alloc AS MATERIALIZED (
+      SELECT host,
+             CAST(CASE WHEN istar IS NULL OR i < istar THEN n_tokens
+                  ELSE (b - pstar) // (S - istar + 1)
+                       + CAST((i - istar) < (b - pstar) % (S - istar + 1) AS BIGINT)
+                  END AS BIGINT) AS fetch_budget
+      FROM ranked, tot, star
+    ),
+    kept AS MATERIALIZED (
+      SELECT doc_id, pos FROM (
+        SELECT o.doc_id, o.pos, a.fetch_budget,
+               ROW_NUMBER() OVER (PARTITION BY o.host
+                                  ORDER BY o.doc_id, o.pos) AS rn
+        FROM ok_urls o JOIN alloc a USING (host)
+      ) WHERE rn <= fetch_budget
+    ),
+    fetched AS MATERIALIZED (SELECT DISTINCT doc_id FROM kept),
+    funnel AS (
+      SELECT 0 AS stage_id, 'frontier_urls' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_out,
+             CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids FROM urls
+      UNION ALL
+      SELECT 1, 'robots_allowed', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM ok_urls
+      UNION ALL
+      SELECT 2, 'budget_kept', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kept
+      UNION ALL
+      SELECT 3, 'fetched_docs', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM fetched
+    )
+    SELECT CAST(stage_id AS INT) AS stage_id, stage, n_out,
+           CAST(COALESCE(LAG(n_out) OVER (ORDER BY stage_id) - n_out, 0) AS BIGINT)
+             AS n_dropped,
+           sum_ids
+    FROM funnel
+    """,
+)
+def q_crawl_budgeted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness budget ENFORCED as a funnel stage (round 14):
+    frontier -> robots gate -> per-host waterfill cap APPLIED (allowed
+    URLs ranked deterministically within each host by (doc_id, pos);
+    only the host's fetch_budget survive) -> fetch set, with per-stage
+    counts / drops / id checksums. The enforcement join is a broadcast
+    of the 7-row budget frame + one host-KEYED rank window (no global
+    ordering anywhere); at 100 TB this is exactly the scheduler shape —
+    the per-host crawl queue is the keyed partition."""
+    from azure_medicine_data_engineering_spark.operators.robots import (
+        robots_gate_urls,
+    )
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.sitemap import (
+        attach_frontier_sitemap_payload,
+        sitemap_ingest_urls,
+    )
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    media = attach_frontier_sitemap_payload(docs, "doc_id", "text")
+    frontier = sitemap_ingest_urls(media).select(
+        "media_id",
+        "pos",
+        F.regexp_extract("loc", r"^https://h(\d+)\.example\.com", 1)
+        .cast("int")
+        .alias("host_idx"),
+        F.regexp_extract("loc", r"example\.com(/.*)$", 1).alias("path"),
+    ).persist()
+    allowed = (
+        robots_gate_urls(frontier)
+        .where("allowed")
+        .select(
+            "media_id", "pos",
+            F.col("host_idx").cast("string").alias("host"),
+            "path",
+        )
+        .persist()
+    )
+    total = allowed.count()
+    alloc = token_budget_waterfill(
+        allowed, budget=total * 3 // 5, group_col="host", text_col="path"
+    ).select("host", F.col("alloc_tokens").alias("fetch_budget"))
+    w_host = Window.partitionBy("host").orderBy("media_id", "pos")
+    kept = (
+        allowed.withColumn("rn", F.row_number().over(w_host))
+        .join(F.broadcast(alloc), "host")
+        .where(F.col("rn") <= F.col("fetch_budget"))
+        .select("media_id", "pos")
+        .persist()
+    )
+    fetched = kept.select("media_id").distinct()
+
+    def row(df: DataFrame, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.coalesce(F.sum("media_id"), F.lit(0)).cast("long").alias("sum_ids"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_out",
+            "sum_ids",
+        )
+
+    funnel = (
+        row(frontier, 0, "frontier_urls")
+        .unionByName(row(allowed, 1, "robots_allowed"))
+        .unionByName(row(kept, 2, "budget_kept"))
+        .unionByName(row(fetched, 3, "fetched_docs"))
+    )
+    w = Window.orderBy("stage_id")
+    out = funnel.select(
+        "stage_id",
+        "stage",
+        "n_out",
+        F.coalesce(F.lag("n_out").over(w) - F.col("n_out"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+        "sum_ids",
+    )
+    out._stage_caches = [frontier, allowed, kept]
+    return out
