@@ -388,3 +388,92 @@ def q_wds_curated_shard_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, root, samples_per_shard=_EGRESS_SAMPLES_PER_SHARD
     )
     return curated_wds_manifest(spark, root)
+
+
+@register(
+    "wds_shard_compaction",
+    f"""
+    WITH {_SURVIVOR_CTE},
+    rk AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM s3
+    )
+    SELECT CAST((rn - 1) // {_EGRESS_SAMPLES_PER_SHARD} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM rk GROUP BY 1
+    """,
+)
+def q_wds_shard_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-pack COMPACTION plan for the curated shards (round 14 — the
+    batch step the sparse-keyed egress defers): survivors densely
+    renumbered via the two-phase BUCKETED prefix sum (bucket = id div
+    1024 -> per-bucket counts -> bucket-frame offset window -> in-bucket
+    keyed row_number; never a global sort of the data), then packed into
+    gap-free 8-sample shards. The oracle's flat ROW_NUMBER proves the
+    distributed decomposition equals the global rank exactly. Output is
+    the compaction plan (shard -> members/id-range/checksum) a rewriter
+    executes."""
+    from azure_medicine_data_engineering_spark.operators.text_clean import (
+        gopher_ok_all,
+    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_image_caption_payload,
+        image_text_alignment_stats,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    media = attach_wds_image_caption_payload(docs, "doc_id", "text")
+    stats = image_text_alignment_stats(media)
+    s1 = (
+        stats.withColumn("cos", F.expr(_ALIGN_COS))
+        .where(F.expr(f"cos >= {_ALIGN_THRESHOLD}"))
+        .select("media_id", "fp_img", "caption")
+    )
+    s2 = s1.where(
+        gopher_ok_all(
+            F.col("caption"), min_words=_MIN_WORDS, min_stop_hits=_MIN_STOPS
+        )
+    )
+    w_dup = Window.partitionBy("fp_img").orderBy("media_id")
+    ids = (
+        s2.withColumn("rn", F.row_number().over(w_dup))
+        .where(F.col("rn") == 1)
+        .select("media_id")
+    )
+    # two-phase dense rank: keyed in-bucket row_number + bucket-frame
+    # offset window (the rankstats bucketed-prefix-sum decomposition)
+    bucketed = ids.withColumn("_b", F.expr("media_id div 1024"))
+    per_b = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_b.select(
+        "_b", (F.sum("_n").over(w_off) - F.col("_n")).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("media_id")
+    ranked = (
+        bucketed.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_b")
+        .select(
+            "media_id",
+            (F.col("_off") + F.col("_rn")).alias("rank"),
+        )
+    )
+    return (
+        ranked.groupBy(
+            F.expr(f"(rank - 1) div {_EGRESS_SAMPLES_PER_SHARD}").alias(
+                "shard_id"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.min("media_id").cast("long").alias("min_id"),
+            F.max("media_id").cast("long").alias("max_id"),
+            F.sum("media_id").cast("long").alias("sum_ids"),
+        )
+    )

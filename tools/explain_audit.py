@@ -305,6 +305,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # prefix-sum offsets over the bucket-summary frame (n_keys/bucket_width
     # rows — the two-phase decomposition's whole point)
     "packed_token_sequences": (1, "bucket-summary offset window"),
+    # round 14: same bucket-summary offset window over the id-div-1024
+    # bucket frame (queries/multimodal_funnel.py:q_wds_shard_compaction)
+    "wds_shard_compaction": (1, "bucket-summary offset window"),
     # prefix-sum offsets over the 256-row md5-range bucket summary
     # (sampling.py:epoch_shuffle docstring)
     "epoch_shuffle_documents": (1, "256-row bucket offset window"),
