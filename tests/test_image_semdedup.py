@@ -83,3 +83,33 @@ def test_image_grid_embeddings_recovered_from_pixels(spark):
     )
     with pytest.raises(Exception, match="tar|png|missing"):
         image_grid_embeddings(bad).collect()
+
+
+def test_compaction_two_phase_rank_equals_flat_rank(spark):
+    """The bucketed prefix-sum dense rank (wds_shard_compaction's
+    decomposition) must equal the flat global rank on an id set with
+    GAPS spanning bucket boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ids = [3, 7, 1024, 1030, 2048, 2049, 5000, 9999, 10240]
+    df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+    bucketed = df.withColumn("_b", F.expr("media_id div 1024"))
+    per_b = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_b.select(
+        "_b", (F.sum("_n").over(w_off) - F.col("_n")).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("media_id")
+    got = {
+        r.media_id: r.rank
+        for r in bucketed.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_b")
+        .select("media_id", (F.col("_off") + F.col("_rn")).alias("rank"))
+        .collect()
+    }
+    assert got == {v: i + 1 for i, v in enumerate(sorted(ids))}

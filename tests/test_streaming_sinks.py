@@ -426,3 +426,22 @@ def test_streaming_alignment_gate_kill_replay(spark, tmp_path):
             s[2] += r.n_kept
     assert {g: tuple(v) for g, v in summed.items()} == whole
     shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_budgeted_funnel_allocations_exhaust_budget(spark):
+    """Waterfill invariant at the funnel stage: kept-URL count equals
+    min(budget, total allowed) exactly — the max-min fair allocation
+    leaves nothing unassigned (property the oracle also enforces via the
+    closed form)."""
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+
+    rows = [(f"h{i % 5}", f"/u{i}") for i in range(37)]
+    df = spark.createDataFrame(rows, "host string, path string")
+    for budget in (5, 22, 36, 37, 500):
+        wf = token_budget_waterfill(
+            df, budget=budget, group_col="host", text_col="path"
+        )
+        total = sum(r.alloc_tokens for r in wf.collect())
+        assert total == min(budget, 37), (budget, total)
