@@ -324,6 +324,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # round 14: same waterfill closed form over the 7-row host frame
     # (queries/crawl_funnel.py:q_frontier_host_budget docstring)
     "frontier_host_budget": (2, "host-frame waterfill windows"),
+    # round 14: waterfill windows over the host frame + the 4-row funnel
+    # lag window (queries/crawl_funnel.py:q_crawl_budgeted_funnel)
+    "crawl_budgeted_funnel": (3, "host-frame waterfill + funnel lag windows"),
     # calendar-bounded day-frame rolling window (same class as
     # rolling_7day_revenue)
     "daily_revenue_anomalies": (1, "day-frame rolling window"),
