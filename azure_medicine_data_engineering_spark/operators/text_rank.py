@@ -1562,18 +1562,17 @@ MKN5_LP_EXPR = _mkn5_lp_expr()
 MKN5_LPU_EXPR = f"CAST(ROUND(({MKN5_LP_EXPR}) * 1e6) AS BIGINT)"
 
 
-def mkn_5gram_logprob_by_group(
+def _mkn5_score_parts(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-slice corpus-self perplexity under MODIFIED Kneser-Ney at
-    order 5 — KenLM's estimator. Same model-table architecture as
-    :func:`kn_5gram_doc_nll`, plus per-context count-bucket tallies
-    (N1/N2/N3+ extensions) and four 1-row count-of-count scalar frames
-    (one per order, broadcast — provably-scalar crossJoins). Returns
-    ``(g, n_docs, n_5grams, nll_micro)``."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared mKN-5 build: returns ``(pen, g5, lpu)`` — the exploded
+    corpus, the persisted distinct-5-gram model table, and the per-gram
+    score table ``(pg_k, lpu)`` under KenLM's estimator (order-specific
+    D1/D2/D3+ from count-of-counts, per-context N1/N2/N3+ tallies, four
+    1-row broadcast scalar frames)."""
     from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
     from azure_medicine_data_engineering_spark.operators.text import tokens
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
@@ -1684,6 +1683,22 @@ def mkn_5gram_logprob_by_group(
         .crossJoin(F.broadcast(cc2))
         .selectExpr("pg AS pg_k", f"{MKN5_LPU_EXPR} AS lpu")
     )
+    return pen, g5, lpu
+
+
+def mkn_5gram_logprob_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice corpus-self perplexity under MODIFIED Kneser-Ney at
+    order 5 — KenLM's estimator. Same model-table architecture as
+    :func:`kn_5gram_doc_nll`, plus per-context count-bucket tallies
+    (N1/N2/N3+ extensions) and four 1-row count-of-count scalar frames
+    (one per order, broadcast — provably-scalar crossJoins). Returns
+    ``(g, n_docs, n_5grams, nll_micro)``."""
+    pen, g5, lpu = _mkn5_score_parts(df, group_col, text_col, id_col)
     out = (
         pen.join(lpu, pen.pg == lpu.pg_k)
         .groupBy("g")
@@ -1695,6 +1710,50 @@ def mkn_5gram_logprob_by_group(
         .selectExpr("g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro")
     )
     out._stage_caches = [g5]
+    return out
+
+
+def mkn_5gram_quantized_delta_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantized-serving delta for the PRODUCTION estimator (round 14 —
+    KenLM's ``-q 8`` on the modified-KN model): the per-gram mKN score
+    table snapped to the 255-bin integer cache (`KN5_QUANT_EXPR_TPL`,
+    zero float surface), reported per slice beside the full-precision
+    scores: ``(g, n_docs, n_5grams, nll_mkn, nll_mkn_q8, n_model)``.
+    The score table is persisted across its two consumers (min/max
+    scalar + the corpus join)."""
+    pen, g5, lpu = _mkn5_score_parts(df, group_col, text_col, id_col)
+    scored = lpu.selectExpr("pg_k", "lpu AS lpu_p").persist()
+    mm = scored.agg(
+        F.min("lpu_p").cast("long").alias("minu"),
+        F.max("lpu_p").cast("long").alias("maxu"),
+    )
+    served = scored.crossJoin(F.broadcast(mm)).selectExpr(
+        "pg_k", "lpu_p", f"{KN5_QUANT_EXPR} AS lpu_q"
+    )
+    n_model = g5.agg(F.count(F.lit(1)).cast("long").alias("n_model"))
+    out = (
+        pen.join(served, pen.pg == served.pg_k)
+        .groupBy("g")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_5grams"),
+            F.sum(F.col("lpu_p").cast("decimal(38,0)")).alias("slp"),
+            F.sum(F.col("lpu_q").cast("decimal(38,0)")).alias("slq"),
+        )
+        .crossJoin(F.broadcast(n_model))
+        .selectExpr(
+            "g", "n_docs", "n_5grams",
+            "(-slp) div n_5grams AS nll_mkn",
+            "(-slq) div n_5grams AS nll_mkn_q8",
+            "n_model",
+        )
+    )
+    out._stage_caches = [g5, scored]
     return out
 
 

@@ -2616,3 +2616,58 @@ def q_kn_5gram_pruned_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_5gram_pruned_delta_by_group(
         _t(spark, sf_dir, "documents"), min_count=_KN5_PRUNE_MIN_COUNT
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: quantized serving delta for the mKN production estimator.
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.queries.registry import (  # noqa: E402
+    ORACLES as _OR14B,
+)
+
+_MKN_BASE = _OR14B["mkn_5gram_perplexity_by_source"]
+_MKN_FINAL = """
+    SELECT g,
+           CAST(COUNT(DISTINCT pen.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_5grams,
+           CAST((-SUM(l.lpu)) // COUNT(*) AS BIGINT) AS nll_micro
+    FROM pen JOIN lpu l ON pen.pg = l.pg_k
+    GROUP BY g
+    """
+assert _MKN_BASE.endswith(_MKN_FINAL), "mkn oracle tail drifted"
+_MKN_QUANT_SQL = _MKN_BASE[: -len(_MKN_FINAL)] + f""",
+    mm AS MATERIALIZED (
+      SELECT CAST(MIN(lpu) AS BIGINT) AS minu,
+             CAST(MAX(lpu) AS BIGINT) AS maxu
+      FROM lpu
+    ),
+    served AS MATERIALIZED (
+      SELECT pg_k, lpu AS lpu_p, {_KN5Q_TPL.format(d='//')} AS lpu_q
+      FROM lpu CROSS JOIN mm
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_model FROM g5)
+    SELECT g,
+           CAST(COUNT(DISTINCT pen.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_5grams,
+           CAST((-SUM(s.lpu_p)) // COUNT(*) AS BIGINT) AS nll_mkn,
+           CAST((-SUM(s.lpu_q)) // COUNT(*) AS BIGINT) AS nll_mkn_q8,
+           n_model
+    FROM pen JOIN served s ON pen.pg = s.pg_k CROSS JOIN nm
+    GROUP BY g, n_model
+    """
+
+
+@register("mkn_5gram_quantized_delta", _MKN_QUANT_SQL)
+def q_mkn_5gram_quantized_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit quantized serving cache for the PRODUCTION estimator
+    (`operators/text_rank.py:mkn_5gram_quantized_delta_by_group`) —
+    KenLM's -q step on the modified-KN model, completing the serving
+    ladder KN-pruned / KN-quant / mKN-quant: per-slice perplexity at
+    full precision vs the 255-bin integer cache. The oracle is the
+    registered mKN chain extended with the shared quantization template
+    (`//` spelling) — single-sourced, so estimator drift is impossible."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        mkn_5gram_quantized_delta_by_group,
+    )
+
+    return mkn_5gram_quantized_delta_by_group(_t(spark, sf_dir, "documents"))

@@ -487,3 +487,39 @@ def test_pruned_delta_matches_naive_reference(spark):
     for g in got:
         assert got[g][6] < got[g][5]
         assert got[g][3] != got[g][2]
+
+
+def test_mkn_quantized_error_bounded_by_bin_width(spark):
+    """The 255-bin integer cache can move a score by at most half a bin
+    (encode) plus half a bin (decode rounding) — pin |q - p| <= span/255
+    + 1 micro per distinct gram, and that the per-slice quantized NLL
+    stays within one bin width of full precision."""
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        _mkn5_score_parts,
+        mkn_5gram_quantized_delta_by_group,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "the cat sat on the mat by the door"),
+        ("a", "the cat ate the food on the mat"),
+        ("b", "a dog sat on the mat by the door"),
+        ("b", "the cat sat on the mat by the door"),
+    ]
+    df = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    pen, g5, lpu = _mkn5_score_parts(df)
+    scores = [r.lpu for r in lpu.collect()]
+    g5.unpersist()
+    span = max(scores) - min(scores)
+    bin_w = span / 255 if span else 0.0
+
+    out = mkn_5gram_quantized_delta_by_group(df)
+    got = {r.g: (r.nll_mkn, r.nll_mkn_q8, r.n_model) for r in out.collect()}
+    for c in getattr(out, "_stage_caches", []):
+        c.unpersist()
+    assert got["a"][2] == got["b"][2] == len(scores)
+    for g in got:
+        assert abs(got[g][0] - got[g][1]) <= bin_w + 1, (g, got[g], bin_w)
