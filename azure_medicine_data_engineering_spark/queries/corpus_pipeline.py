@@ -2602,7 +2602,7 @@ _KN5_PRUNE_MIN_COUNT = 2
 def q_kn_5gram_pruned_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KN 5-gram serving-artifact decision table: per-slice perplexity
     under the FULL model, the PRUNED model (5-grams with count >=
-    {min_count}, every suffix table rebuilt from the pruned top — backoff
+    2, every suffix table rebuilt from the pruned top — backoff
     mass genuinely moves), and the pruned model's 8-bit QUANTIZED score
     cache (`operators/text_rank.py:kn_5gram_pruned_delta_by_group`) —
     KenLM's --prune/-q production step, where at 100 TB the model table
