@@ -82,9 +82,12 @@ def simhash60(text: Column) -> Column:
     # getbit/pow(2,b) instead of shift functions: Spark's shiftleft/shiftright
     # only accept literal ints for the shift amount, not Columns. 2^b is exact
     # in double for b <= 59, so the cast back to long is lossless.
+    # Long fold state (repo convention after the gopher/token_stats fixes):
+    # per-bit votes are bounded by tokens-per-doc, but all-long keeps every
+    # F.aggregate seed on one rule instead of a per-site bound argument.
     votes = F.aggregate(
         hs,
-        F.array(*[F.lit(0)] * 60).cast("array<int>"),
+        F.array(*[F.lit(0)] * 60).cast("array<bigint>"),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(

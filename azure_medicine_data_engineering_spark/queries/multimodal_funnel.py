@@ -339,8 +339,13 @@ def q_wds_curated_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_curated_wds_shards,
     )
 
+    # Per-run unique root (Spark app id): two concurrent sessions on the
+    # same sf dir (bench + checker) must not race rmtree against the
+    # other's manifest binaryFile read. Same-session re-runs reuse and
+    # reset the dir, so bench repeats don't accumulate tars.
     tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(_FIXTURE_ROOT, f"wds_curated_{tag}")
+    app = spark.sparkContext.applicationId
+    root = os.path.join(_FIXTURE_ROOT, f"wds_curated_{tag}_{app}")
     shutil.rmtree(root, ignore_errors=True)
     samples = _funnel_survivor_samples(spark, sf_dir)
     report = write_curated_wds_shards(
@@ -348,7 +353,9 @@ def q_wds_curated_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     report.count()  # force the distributed tar writes
     samples._media_cache.unpersist()
-    return curated_wds_manifest(spark, root)
+    manifest = curated_wds_manifest(spark, root).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)  # manifest rows are landed
+    return manifest
 
 
 @register("wds_curated_shard_egress", _EGRESS_MANIFEST_SQL)
@@ -372,9 +379,11 @@ def q_wds_curated_shard_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_wds_curated_egress,
     )
 
+    # Per-run unique roots (Spark app id) — see q_wds_curated_shards.
     tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = os.path.join(_FIXTURE_ROOT, f"wds_curated_stage_{tag}")
-    root = os.path.join(_FIXTURE_ROOT, f"wds_curated_egress_{tag}")
+    app = spark.sparkContext.applicationId
+    stage = os.path.join(_FIXTURE_ROOT, f"wds_curated_stage_{tag}_{app}")
+    root = os.path.join(_FIXTURE_ROOT, f"wds_curated_egress_{tag}_{app}")
     shutil.rmtree(root, ignore_errors=True)
     samples = _funnel_survivor_samples(spark, sf_dir)
     samples.repartition(4).write.mode("overwrite").parquet(stage)
@@ -387,7 +396,12 @@ def q_wds_curated_shard_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_wds_curated_egress(
         stream, root, samples_per_shard=_EGRESS_SAMPLES_PER_SHARD
     )
-    return curated_wds_manifest(spark, root)
+    manifest = curated_wds_manifest(spark, root).localCheckpoint(eager=True)
+    # Eager checkpoint landed the manifest rows, so both scratch trees can
+    # go now instead of leaking one per app id.
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return manifest
 
 
 @register(

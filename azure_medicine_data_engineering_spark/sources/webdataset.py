@@ -501,7 +501,19 @@ def write_curated_wds_shards(
         payload = tar_write_members(members)
         sid = int(key[0])
         path = _os.path.join(out_dir, f"shard-{sid:09d}.tar")
-        tmp = path + ".tmp"
+        # Attempt-unique tmp name: under task retry / speculative execution
+        # two attempts of the same shard must never interleave writes to a
+        # shared tmp inode (a torn tar could then be published by replace).
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            attempt = str(ctx.taskAttemptId())
+        else:  # driver-side unit-test path
+            import uuid
+
+            attempt = uuid.uuid4().hex
+        tmp = f"{path}.{attempt}.tmp"
         with open(tmp, "wb") as fh:
             fh.write(payload)
         _os.replace(tmp, path)

@@ -17,9 +17,9 @@ from pyspark.sql import DataFrame
 
 def _delta_available(df: DataFrame) -> bool:
     # Delta/Avro jar re-probe ritual: still absent in this runtime
-    # (re-probed 2026-08-16, rounds 12, 13 AND 14 — delta Py4JJavaError, avro
-    # AnalysisException); the env-gated tests flip on the round the
-    # jars appear.
+    # (re-probed 2026-08-16, rounds 12-15 — delta Py4JJavaError, avro
+    # AnalysisException, no delta jars on any classpath glob, no delta-spark
+    # pip pkg); the env-gated tests flip on the round the jars appear.
     # Class.forName, not attribute probing: py4j returns a lazy JavaPackage
     # for any dotted path, so `_jvm.io.delta...` never raises on its own.
     try:
