@@ -32,6 +32,7 @@ from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     image_dedup,
     ingress,
     medstats,
+    multimodal_av_funnel,
     multimodal_funnel,
     quality,
     relational,

@@ -90,14 +90,17 @@ def family_audio_samples(
     family_div: int = 4,
     variant_mod: int = 4,
     variant_amp: int = 50,
+    scale: int = 200,
 ) -> list[int]:
     """Planted-near-dup PCM fixture (the audio twin of
     ``image_hash.family_fixture_pixels``): docs sharing
     ``id // family_div`` share a 16-point md5 lattice, 1-D integer
-    bilinear value noise scaled to ~±25k PCM, and the doc's variant adds
-    ``variant * variant_amp`` to the first 8 samples (inside frame 0
-    only, so same-family fingerprints differ in a few transition bits).
-    Constant family size -> planted-pair volume linear under replicas."""
+    bilinear value noise scaled to ~±25k PCM (``scale`` per lattice unit;
+    the multimodal funnel's planted QUIET clips pass a small scale, bump
+    unscaled), and the doc's variant adds ``variant * variant_amp`` to
+    the first 8 samples (inside frame 0 only, so same-family fingerprints
+    differ in a few transition bits). Constant family size -> planted-pair
+    volume linear under replicas."""
     lat = hashlib.md5(str(doc_id // family_div).encode()).digest()
     bump = (doc_id % variant_mod) * variant_amp
     out = []
@@ -106,7 +109,7 @@ def family_audio_samples(
         u0, du = divmod(fu, 256)
         u1 = min(u0 + 1, 15)
         v = ((256 - du) * lat[u0] + du * lat[u1]) // 256
-        s = (v - 128) * 200
+        s = (v - 128) * scale
         if k < 8:
             s += bump
         out.append(s)

@@ -40,14 +40,22 @@ _N = MIN_SAMPLES
 _SCALE = _N - 1  # lattice interpolation span
 
 
-def _fp_hv_ctes() -> str:
+def _fp_hv_ctes(
+    id_expr: str = "doc_id", scale_sql: str = "200", prefix: str = ""
+) -> str:
     """CTEs ``lat``/``pcm``/``ee``/``hv``: per-doc PCM closed form, band
-    magnitudes, H-K difference bits as (hi, lo)."""
+    magnitudes, H-K difference bits as (hi, lo). Parameterized (round 15,
+    for the multimodal funnel): ``id_expr`` is the audio CONTENT id (pass
+    it pre-parenthesized), ``scale_sql`` the per-doc amplitude expression
+    mirroring ``family_audio_samples(scale=...)``, ``prefix`` renames the
+    CTEs so audio/video chains compose in one WITH. Defaults reproduce
+    the round-12 SQL byte-identically."""
+    p = prefix
     fu = f"(k * {15 * 256} // {_SCALE})"
     s_expr = (
         f"(((256 - {fu} % 256) * B[{fu} // 256 + 1]"
         f" + ({fu} % 256) * B[LEAST({fu} // 256 + 1, 15) + 1]) // 256 - 128)"
-        f" * 200 + CASE WHEN k < 8 THEN (doc_id % 4) * 50 ELSE 0 END"
+        f" * {scale_sql} + CASE WHEN k < 8 THEN ({id_expr} % 4) * 50 ELSE 0 END"
     )
     bit = (
         f"CASE WHEN (ee[(@I@ // 8 + 1) * {N_BANDS} + @I@ % 8 + 1]"
@@ -56,27 +64,27 @@ def _fp_hv_ctes() -> str:
         f" - ee[(@I@ // 8) * {N_BANDS} + @I@ % 8 + 2]) > 0 THEN 1 ELSE 0 END"
     )
     return f"""
-    lat AS MATERIALIZED (
+    {p}lat AS MATERIALIZED (
       SELECT doc_id, list_transform(range(16), j ->
-               CAST(('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)),
+               CAST(('0x' || substr(md5(CAST({id_expr} // 4 AS VARCHAR)),
                                     j * 2 + 1, 2)) AS INT)) AS B
       FROM documents
     ),
-    pcm AS MATERIALIZED (
+    {p}pcm AS MATERIALIZED (
       SELECT doc_id, list_transform(range({_N}), k -> {s_expr}) AS s
-      FROM lat
+      FROM {p}lat
     ),
-    ct AS (SELECT {_ACT} AS CT),
-    ee AS MATERIALIZED (
+    {p}ct AS (SELECT {_ACT} AS CT),
+    {p}ee AS MATERIALIZED (
       SELECT doc_id, list_transform(range({N_FRAMES * N_BANDS}), q ->
         abs(list_sum(list_transform(range({FRAME}), k ->
           s[(q // {N_BANDS}) * 16 + k + 1]
           * CT[(q % {N_BANDS}) * {FRAME} + k + 1])))) AS ee
-      FROM pcm, ct
+      FROM {p}pcm, {p}ct
     ),
-    hv AS MATERIALIZED (
+    {p}hv AS MATERIALIZED (
       SELECT doc_id, {_bits_to_halves(bit)}
-      FROM ee
+      FROM {p}ee
     )"""
 
 

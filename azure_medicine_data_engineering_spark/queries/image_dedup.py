@@ -77,27 +77,32 @@ def _bilerp_tables(w: int, h: int) -> tuple[list[int], ...]:
     return i00, i10, i01, i11, w00, w10, w01, w11
 
 
-def _family_px_ctes(w: int, h: int) -> str:
+def _family_px_ctes(
+    w: int, h: int, id_expr: str = "doc_id", prefix: str = ""
+) -> str:
     """CTEs ``fam``/``lat``/``wt``/``px``: base (bump-free) pixels per
     FAMILY — the per-doc variant is applied downstream as a hash-space
-    delta, never as a pixel rebuild."""
+    delta, never as a pixel rebuild. ``id_expr``/``prefix`` (round 15)
+    let the multimodal funnel re-key the content id and avoid CTE-name
+    collisions; defaults reproduce the round-12 SQL byte-identically."""
+    p = prefix
     i00, i10, i01, i11, w00, w10, w01, w11 = _bilerp_tables(w, h)
     return f"""
-    fam AS MATERIALIZED (SELECT DISTINCT doc_id // 4 AS f FROM documents),
-    lat AS MATERIALIZED (
+    {p}fam AS MATERIALIZED (SELECT DISTINCT {id_expr} // 4 AS f FROM documents),
+    {p}lat AS MATERIALIZED (
       SELECT f, list_transform(range(16), k ->
                CAST(('0x' || substr(md5(CAST(f AS VARCHAR)),
                                     k * 2 + 1, 2)) AS INT) * 15 // 16) AS B
-      FROM fam
+      FROM {p}fam
     ),
-    wt AS (SELECT {i00} AS I00, {i10} AS I10, {i01} AS I01, {i11} AS I11,
+    {p}wt AS (SELECT {i00} AS I00, {i10} AS I10, {i01} AS I01, {i11} AS I11,
                   {w00} AS W00, {w10} AS W10, {w01} AS W01, {w11} AS W11),
-    px AS MATERIALIZED (
+    {p}px AS MATERIALIZED (
       SELECT f, list_transform(range({w * h}), p ->
         (W00[p + 1] * B[I00[p + 1] + 1] + W10[p + 1] * B[I10[p + 1] + 1]
          + W01[p + 1] * B[I01[p + 1] + 1] + W11[p + 1] * B[I11[p + 1] + 1])
         // {FIXTURE_Q * FIXTURE_Q}) AS g
-      FROM lat, wt
+      FROM {p}lat, {p}wt
     )"""
 
 

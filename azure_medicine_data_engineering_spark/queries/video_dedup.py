@@ -51,7 +51,11 @@ def _frame_patch_counts() -> list[int]:
     return out
 
 
-def _sig_hv_ctes() -> str:
+def _sig_hv_ctes(id_expr: str = "d.doc_id", prefix: str = "") -> str:
+    """``id_expr``/``prefix`` (round 15): re-key the video content id /
+    rename the CTEs for the multimodal funnel (the px CTE is expected at
+    ``{prefix}px``); defaults reproduce the round-12 SQL byte-identically."""
+    p = prefix
     pbf = _frame_patch_counts()
     n_q = VID_FRAMES * 72
     bit = (
@@ -63,21 +67,21 @@ def _sig_hv_ctes() -> str:
         f" THEN 1 ELSE 0 END)) > {VID_FRAMES} THEN 1 ELSE 0 END"
     )
     return f"""
-    fs AS MATERIALIZED (
+    {p}fs AS MATERIALIZED (
       SELECT f, list_transform(range({n_q}), q ->
         list_sum(list_transform(range(16), t ->
           g[((q % 72) // 9 * 4 + t // 4) * {FIELD_W}
             + (q // 72) + (q % 72) % 9 * 4 + t % 4 + 1]))) AS fs
-      FROM px
+      FROM {p}px
     ),
-    pbf AS (SELECT {pbf} AS PBF),
-    dbs AS MATERIALIZED (
-      SELECT d.doc_id, fs, (d.doc_id % 4) * {FIXTURE_AMP} AS bump
-      FROM documents d, fs WHERE fs.f = d.doc_id // 4
+    {p}pbf AS (SELECT {pbf} AS PBF),
+    {p}dbs AS MATERIALIZED (
+      SELECT d.doc_id, fs, ({id_expr} % 4) * {FIXTURE_AMP} AS bump
+      FROM documents d, {p}fs WHERE {p}fs.f = {id_expr} // 4
     ),
-    hv AS MATERIALIZED (
+    {p}hv AS MATERIALIZED (
       SELECT doc_id, {_bits_to_halves(bit)}
-      FROM dbs, pbf
+      FROM {p}dbs, {p}pbf
     )"""
 
 

@@ -472,6 +472,30 @@ CURATED_WRITE_SCHEMA = StructType(
 )
 
 
+def _land_shard_tar(out_dir: str, sid: int, payload: bytes) -> str:
+    """Atomically land one shard tar as ``shard-<id 09d>.tar``. The tmp
+    name is ATTEMPT-unique: under task retry / speculative execution two
+    attempts of the same shard must never interleave writes to a shared
+    tmp inode (a torn tar could then be published by the rename)."""
+    import os as _os
+
+    path = _os.path.join(out_dir, f"shard-{sid:09d}.tar")
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None:
+        attempt = str(ctx.taskAttemptId())
+    else:  # driver-side unit-test path
+        import uuid
+
+        attempt = uuid.uuid4().hex
+    tmp = f"{path}.{attempt}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    _os.replace(tmp, path)
+    return path
+
+
 def write_curated_wds_shards(
     samples_df: DataFrame, out_dir: str, samples_per_shard: int = 8
 ) -> DataFrame:
@@ -500,23 +524,7 @@ def write_curated_wds_shards(
             members.append((f"{k}.txt", bytes(t)))
         payload = tar_write_members(members)
         sid = int(key[0])
-        path = _os.path.join(out_dir, f"shard-{sid:09d}.tar")
-        # Attempt-unique tmp name: under task retry / speculative execution
-        # two attempts of the same shard must never interleave writes to a
-        # shared tmp inode (a torn tar could then be published by replace).
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        if ctx is not None:
-            attempt = str(ctx.taskAttemptId())
-        else:  # driver-side unit-test path
-            import uuid
-
-            attempt = uuid.uuid4().hex
-        tmp = f"{path}.{attempt}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(payload)
-        _os.replace(tmp, path)
+        _land_shard_tar(out_dir, sid, payload)
         return pd.DataFrame(
             {
                 "shard_id": [sid],
@@ -669,4 +677,415 @@ def image_grid_embeddings(media_df: DataFrame) -> DataFrame:
 
     return media_df.select("media_id", "payload").mapInPandas(
         run, IMAGE_EMB_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 15: MULTIMODAL WDS samples — image + caption + FLAC audio + video
+# clip in ONE tar per sample (the LAION-AV shape). The round-14 curated
+# egress was image+caption only while the FLAC/VID codecs, perceptual
+# hashes, and five-modality dedup card already existed; this section
+# composes them into the funnel + curated egress. Content keys are
+# modality-specific (audio pairs share `id div 2 * 2`, video triples share
+# `id div 3 * 3`) so each dedup gate has planted drops, and two per-doc
+# md5-keyed plants (QUIET audio, STATIC video) exercise the per-modality
+# quality gates. Scale-extension composition class — no single reference
+# counterpart (reference ingest: utils.scala:20-120 table scans).
+# ---------------------------------------------------------------------------
+
+#: audio / video CONTENT-id rules (shared with the SQL oracles)
+MM_AUDIO_DIV = 2
+MM_VIDEO_DIV = 3
+#: planted QUIET clips: md5(doc_id) byte 0 % 8 == 0 -> PCM scale 12 (too
+#: quiet for the energy gate, provably: max |sum| = 160*128*12 + bumps
+#: < the 500k threshold); loud scale is the fixture default 200
+MM_QUIET_MOD = 8
+MM_QUIET_SCALE = 12
+MM_LOUD_SCALE = 200
+#: planted STATIC clips: md5(doc_id) byte 1 % 8 == 0 -> all 8 frames are
+#: frame 0 (motion == 0 by byte identity)
+MM_STATIC_MOD = 8
+#: audio energy gate: sum(|pcm|) over the 160-sample window. Loud clips
+#: sit near 64*200*160 ~ 2.0M; quiet clips are bounded above by
+#: 160*128*12 + 8*150 = 246,960 — the gate separates them with margin.
+MM_AUDIO_MIN_ABS = 500_000
+
+
+def mm_doc_plants(doc_id: int) -> tuple[bool, bool]:
+    """(quiet, static) plant flags for one document id."""
+    dh = hashlib.md5(str(doc_id).encode()).digest()
+    return dh[0] % MM_QUIET_MOD == 0, dh[1] % MM_STATIC_MOD == 0
+
+
+def attach_wds_multimodal_payload(
+    df: DataFrame, id_col: str, text_col: str, misalign_denom: int = 4
+) -> DataFrame:
+    """Deterministic MULTIMODAL WDS fixture: each document becomes a
+    one-sample tar with FOUR members —
+
+    - ``<key>.png``: real grayscale PNG, pixels = md5(text) tiled (same
+      rule as :func:`attach_wds_image_caption_payload`),
+    - ``<key>.txt``: caption, with the planted 1/``misalign_denom``
+      mismatch slice (md5(text) byte 2),
+    - ``<key>.flac``: real FLAC (fixed-order-2 predictor) of the planted
+      near-dup PCM (``audio_hash.family_audio_samples``) keyed by the
+      AUDIO content id ``doc_id div 2 * 2`` (exact-duplicate pairs), with
+      the QUIET plant scaling amplitude to 12,
+    - ``<key>.vid``: VID0 clip of the pan frames
+      (``video_hash.family_video_frames``) keyed by the VIDEO content id
+      ``doc_id div 3 * 3`` (exact-duplicate triples), with the STATIC
+      plant repeating frame 0.
+
+    Arrow map-only; ensure_parallelism is the caller's job (the funnel
+    wraps the docs scan once)."""
+    from azure_medicine_data_engineering_spark.operators.audio_hash import (
+        family_audio_samples,
+    )
+    from azure_medicine_data_engineering_spark.operators.flac import (
+        flac_encode_pcm16,
+    )
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        vid_encode_gray,
+    )
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_encode_gray,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        VID_H,
+        VID_W,
+        family_video_frames,
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                i = int(i)
+                text = str(t)
+                h = hashlib.md5(text.encode("utf-8")).digest()
+                w = 4 + h[0] % 13
+                ht = 4 + h[1] % 11
+                n = w * ht
+                pixels = (h * (n // 16 + 1))[:n]
+                caption = (
+                    ("mismatch " + text) if h[2] % misalign_denom == 0 else text
+                )
+                quiet, static = mm_doc_plants(i)
+                aid = (i // MM_AUDIO_DIV) * MM_AUDIO_DIV
+                pcm = family_audio_samples(
+                    aid, scale=MM_QUIET_SCALE if quiet else MM_LOUD_SCALE
+                )
+                vid_id = (i // MM_VIDEO_DIV) * MM_VIDEO_DIV
+                frames = family_video_frames(vid_id)
+                if static:
+                    frames = [frames[0]] * len(frames)
+                key = f"{i:09d}"
+                members = [
+                    (f"{key}.flac", flac_encode_pcm16(8000, pcm, subframe="fixed2")),
+                    (f"{key}.png", png_encode_gray(w, ht, pixels)),
+                    (f"{key}.txt", caption.encode("utf-8")),
+                    (f"{key}.vid", vid_encode_gray(VID_W, VID_H, frames)),
+                ]
+                ids.append(i)
+                payloads.append(tar_write_members(members))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "wds_mm", "payload": payloads}
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    made = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, out_schema)
+    return made.withColumn("byte_len", F.length("payload").cast("int"))
+
+
+MM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        # image <-> caption alignment state (shared integer grid)
+        StructField("dot", LongType()),
+        StructField("na", LongType()),
+        StructField("nb", LongType()),
+        StructField("fp_img", StringType()),
+        StructField("caption", StringType()),
+        # audio: energy gate state + 64-bit perceptual fingerprint halves
+        StructField("audio_abs", LongType()),
+        StructField("afp_hi", LongType()),
+        StructField("afp_lo", LongType()),
+        # video: moving-frame count (vs frame 0 dHash) + signature halves
+        StructField("motion", IntegerType()),
+        StructField("vsig_hi", LongType()),
+        StructField("vsig_lo", LongType()),
+    ]
+)
+
+
+def multimodal_sample_stats(df: DataFrame) -> DataFrame:
+    """Per-sample gate statistics for ALL FOUR modalities in ONE Arrow
+    pass over the tar bytes (parse once, decode every member once):
+
+    - image/caption: decoded-pixel fingerprint, wire-extracted caption,
+      integer cosine state (as :func:`image_text_alignment_stats`),
+    - audio: FLAC decode -> sum(|pcm|) energy + Haitsma-Kalker
+      fingerprint halves (``audio_hash.audio_fingerprint64``),
+    - video: VID0 demux -> per-frame dHash; ``motion`` = how many of
+      frames 1..n-1 hash differently from frame 0 (byte-identical frames
+      provably hash equal, so the STATIC plant lands motion 0); plus the
+      strict-majority clip signature halves.
+
+    Map-only, no shuffle; the funnel's gates are then pure column
+    predicates over this frame."""
+    from azure_medicine_data_engineering_spark.operators.audio_hash import (
+        audio_fingerprint64,
+    )
+    from azure_medicine_data_engineering_spark.operators.flac import (
+        flac_decode_samples,
+    )
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        dhash64,
+    )
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        vid_decode_frames,
+    )
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        video_signature64,
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                by_ext: dict[str, bytes] = {}
+                for name, content in tar_read_members(bytes(p)):
+                    _, ext = wds_sample_key(name)
+                    by_ext[ext] = content
+                missing = {"png", "txt", "flac", "vid"} - set(by_ext)
+                if missing:
+                    raise ValueError(f"sample {mid}: missing {sorted(missing)}")
+                _, _, _, pixels = png_decode_pixels(by_ext["png"])
+                fp_img = bytes(pixels[:16]).hex()
+                fp_txt = hashlib.md5(by_ext["txt"]).hexdigest()
+                ei = _grid_embedding(fp_img, "i")
+                et = _grid_embedding(fp_txt, "t")
+                dot = sum(a * b for a, b in zip(ei, et))
+                na = sum(a * a for a in ei)
+                nb = sum(b * b for b in et)
+                _, pcm = flac_decode_samples(by_ext["flac"])
+                audio_abs = sum(abs(s) for s in pcm)
+                afp = audio_fingerprint64(pcm)
+                w, h, frames = vid_decode_frames(by_ext["vid"])
+                hashes = [dhash64(w, h, fr) for fr in frames]
+                motion = sum(1 for fh in hashes[1:] if fh != hashes[0])
+                vsig = video_signature64(w, h, frames)
+                rows.append(
+                    (
+                        int(mid), dot, na, nb, fp_img,
+                        by_ext["txt"].decode("utf-8"),
+                        audio_abs, afp >> 32, afp & 0xFFFFFFFF,
+                        motion, vsig >> 32, vsig & 0xFFFFFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM_STATS_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, MM_STATS_SCHEMA)
+
+
+MM_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("flac", BinaryType()),
+        StructField("png", BinaryType()),
+        StructField("txt", BinaryType()),
+        StructField("vid", BinaryType()),
+    ]
+)
+
+
+def extract_curated_mm_samples(
+    media_df: DataFrame, survivor_ids: DataFrame
+) -> DataFrame:
+    """Member BYTES of the surviving multimodal samples (keyed semi-join
+    + one Arrow parse pass) — the egress repackages what crossed the
+    wire, never a recomputation from the source table."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                by_ext: dict[str, bytes] = {}
+                for name, content in tar_read_members(bytes(p)):
+                    _, ext = wds_sample_key(name)
+                    by_ext[ext] = content
+                rows.append(
+                    (
+                        int(mid), by_ext["flac"], by_ext["png"],
+                        by_ext["txt"], by_ext["vid"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM_SAMPLE_SCHEMA.fields]
+            )
+
+    kept = media_df.join(survivor_ids.select("media_id"), "media_id", "semi")
+    return kept.select("media_id", "payload").mapInPandas(
+        run, MM_SAMPLE_SCHEMA
+    )
+
+
+def write_curated_mm_shards(
+    samples_df: DataFrame, out_dir: str, samples_per_shard: int = 8
+) -> DataFrame:
+    """Multimodal twin of :func:`write_curated_wds_shards`: each shard tar
+    carries the survivors' ``.flac/.png/.txt/.vid`` members (sparse
+    ``media_id div N`` keys, per-task atomic tmp+rename landing)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    exts = ["flac", "png", "txt", "vid"]
+
+    def build(key, pdf):
+        import os as _os
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("media_id")
+        _os.makedirs(out_dir, exist_ok=True)  # executor-side (shared FS)
+        members = []
+        for _, row in pdf.iterrows():
+            k = f"{int(row['media_id']):09d}"
+            for ext in exts:
+                members.append((f"{k}.{ext}", bytes(row[ext])))
+        payload = tar_write_members(members)
+        sid = int(key[0])
+        _land_shard_tar(out_dir, sid, payload)
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "n_samples": [len(pdf)],
+                "byte_len": [len(payload)],
+            }
+        )
+
+    staged = samples_df.select(
+        F.expr(f"cast(media_id as long) div {int(samples_per_shard)}").alias(
+            "_shard"
+        ),
+        "media_id",
+        *exts,
+    )
+    return staged.groupBy("_shard").applyInPandas(build, CURATED_WRITE_SCHEMA)
+
+
+MM_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("media_id", LongType()),
+        StructField("caption_bytes", LongType()),
+        StructField("caption_ck", LongType()),
+        StructField("fp_ck", LongType()),
+        StructField("afp_hi", LongType()),
+        StructField("afp_lo", LongType()),
+        StructField("vsig_hi", LongType()),
+        StructField("vsig_lo", LongType()),
+    ]
+)
+
+
+def curated_mm_manifest(spark, root: str) -> DataFrame:
+    """Multimodal curated-shard MANIFEST recomputed FROM THE LANDED
+    BYTES: parse every landed tar, re-decode each member (PNG pixels ->
+    content fingerprint, FLAC -> PCM -> audio fingerprint, VID0 -> frames
+    -> clip signature, caption md5 prefix) and aggregate per shard — a
+    corruption anywhere in assemble/land/re-ingest breaks the hash
+    match. Per-modality checksums are BIGINT sums of 48-bit md5 prefixes
+    / 32-bit hash halves, so the oracle replays them exactly."""
+    from azure_medicine_data_engineering_spark.operators.audio_hash import (
+        audio_fingerprint64,
+    )
+    from azure_medicine_data_engineering_spark.operators.flac import (
+        flac_decode_samples,
+    )
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        vid_decode_frames,
+    )
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        video_signature64,
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(str(path))
+                sid = int(base[len("shard-") : -len(".tar")])
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, member in tar_read_members(bytes(content)):
+                    key, ext = wds_sample_key(name)
+                    samples.setdefault(key, {})[ext] = member
+                for key, d in samples.items():
+                    missing = {"png", "txt", "flac", "vid"} - set(d)
+                    if missing:
+                        raise ValueError(
+                            f"{base}: sample {key} missing {sorted(missing)}"
+                        )
+                    _, _, _, pixels = png_decode_pixels(d["png"])
+                    fp = bytes(pixels[:16]).hex()
+                    cap_md5 = hashlib.md5(d["txt"]).hexdigest()
+                    _, pcm = flac_decode_samples(d["flac"])
+                    afp = audio_fingerprint64(pcm)
+                    w, h, frames = vid_decode_frames(d["vid"])
+                    vsig = video_signature64(w, h, frames)
+                    rows.append(
+                        (
+                            sid, int(key), len(d["txt"]),
+                            int(cap_md5[:12], 16), int(fp[:12], 16),
+                            afp >> 32, afp & 0xFFFFFFFF,
+                            vsig >> 32, vsig & 0xFFFFFFFF,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM_MANIFEST_SCHEMA.fields]
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    members = bf.select("path", "content").mapInPandas(run, MM_MANIFEST_SCHEMA)
+    return members.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("media_id").cast("long").alias("sum_ids"),
+        F.sum("caption_bytes").cast("long").alias("caption_bytes"),
+        F.sum("caption_ck").cast("long").alias("caption_ck"),
+        F.sum("fp_ck").cast("long").alias("fp_ck"),
+        F.sum("afp_hi").cast("long").alias("afp_hi"),
+        F.sum("afp_lo").cast("long").alias("afp_lo"),
+        F.sum("vsig_hi").cast("long").alias("vsig_hi"),
+        F.sum("vsig_lo").cast("long").alias("vsig_lo"),
     )
