@@ -31,6 +31,7 @@ from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     events,
     image_dedup,
     ingress,
+    kn_arpa,
     medstats,
     multimodal_av_funnel,
     multimodal_funnel,
