@@ -289,13 +289,24 @@ def token_budget_waterfill(
     Per source: ``(group, n_tokens, alloc_tokens, capped)``; allocations
     sum EXACTLY to min(budget, total). Scale: one corpus scan collapses to
     the |sources|-row frame; every window after that is sources-sized."""
-    from pyspark.sql.window import Window
-
     from azure_medicine_data_engineering_spark.operators.text import token_count
 
     per_src = df.groupBy(F.col(group_col).alias("src")).agg(
         F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens")
     )
+    return waterfill_from_counts(per_src, budget, group_col=group_col)
+
+
+def waterfill_from_counts(
+    per_src: DataFrame, budget: int, group_col: str = "source"
+) -> DataFrame:
+    """The waterfill solve on a PRE-AGGREGATED ``(src, n_tokens)`` frame
+    (round 15 — the streaming frontier budget re-runs the solve per
+    trigger on accumulated per-host count partials, so the count pass
+    and the solve must be separable). Same closed form and output as
+    :func:`token_budget_waterfill`."""
+    from pyspark.sql.window import Window
+
     w = Window.orderBy("n_tokens", "src")
     wall = Window.partitionBy()
     ranked = per_src.select(

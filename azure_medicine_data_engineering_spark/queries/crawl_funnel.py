@@ -597,3 +597,29 @@ def q_crawl_budgeted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._stage_caches = [frontier, allowed, kept]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 15: streaming twin of the frontier politeness budget — oracle
+# shared VERBATIM with the batch query (the accumulated host frame at the
+# final trigger IS the full frontier, so the latest allocation slot must
+# equal the one-shot solve).
+# ---------------------------------------------------------------------------
+from azure_medicine_data_engineering_spark.queries.registry import (  # noqa: E402
+    ORACLES as _OR15,
+)
+
+
+@register("streaming_frontier_budget", _OR15["frontier_host_budget"])
+def q_streaming_frontier_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frontier budget (`streaming/windows.py:
+    frontier_budget_process_batch`): documents staged as a 4-file dir,
+    streamed one file per trigger; each trigger lands per-host count
+    partials + the waterfill over everything accumulated, batch-id
+    versioned. Report = the latest allocation slot; kill/replay pinned
+    in tests/test_streaming_sinks.py."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_frontier_budget_report,
+    )
+
+    return streaming_frontier_budget_report(spark, sf_dir)

@@ -590,3 +590,146 @@ def streaming_alignment_gate_report(
     shutil.rmtree(state_root, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 15: streaming FRONTIER BUDGET — the politeness waterfill
+# (`queries/crawl_funnel.py:q_frontier_host_budget`) as a continuous
+# scheduler: a crawler's frontier grows per micro-batch, and each trigger
+# must re-allocate the per-host fetch budget over EVERYTHING discovered
+# so far. The alignment-gate discipline applied: per-batch integer COUNT
+# partials are the only state; the waterfill re-runs per trigger on the
+# accumulated host frame (hosts-sized — the licensed bounded tier); the
+# allocation lands batch-id-versioned, so the latest slot after any
+# micro-batch split / kill / replay equals the one-shot batch solve.
+# ---------------------------------------------------------------------------
+
+
+def frontier_budget_process_batch(
+    batch_df: DataFrame, state_root: str, batch_id: int
+) -> None:
+    """One trigger of the streaming frontier budget. Two idempotent,
+    batch-id-versioned writes:
+
+    1. ``v{batch_id}/counts``: the batch's per-host ALLOWED-url count
+       partial (sitemap fan-out -> REP gate -> keyed count; the same real
+       kernels as the batch query). Map-only + keyed agg, so partials sum
+       over any micro-batch split to the batch counts.
+    2. ``v{batch_id}/alloc``: the max-min fair waterfill at 60% of the
+       ACCUMULATED total, solved on the host frame summed from count
+       partials v0..v{batch_id}. A replayed batch rereads the same
+       earlier partials and overwrites its own slots with identical rows
+       (kill/replay pinned in tests/test_streaming_sinks.py).
+    """
+    import os
+
+    from azure_medicine_data_engineering_spark.operators.robots import (
+        robots_gate_urls,
+    )
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        waterfill_from_counts,
+    )
+    from azure_medicine_data_engineering_spark.session import (
+        ensure_parallelism,
+    )
+    from azure_medicine_data_engineering_spark.sources.sitemap import (
+        attach_frontier_sitemap_payload,
+        sitemap_ingest_urls,
+    )
+
+    spark = batch_df.sparkSession
+    batch_df = ensure_parallelism(batch_df)
+    media = attach_frontier_sitemap_payload(batch_df, "doc_id", "text")
+    frontier = sitemap_ingest_urls(media).select(
+        "media_id",
+        "pos",
+        F.regexp_extract("loc", r"^https://h(\d+)\.example\.com", 1)
+        .cast("int")
+        .alias("host_idx"),
+        F.regexp_extract("loc", r"example\.com(/.*)$", 1).alias("path"),
+    )
+    counts = (
+        robots_gate_urls(frontier)
+        .where("allowed")
+        .groupBy(F.col("host_idx").cast("string").alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    slot = os.path.join(state_root, f"v{batch_id}")
+    counts.write.mode("overwrite").parquet(os.path.join(slot, "counts"))
+
+    parts = [
+        os.path.join(state_root, d, "counts")
+        for d in sorted(os.listdir(state_root))
+        if d.startswith("v") and int(d[1:]) <= batch_id
+    ]
+    acc = (
+        spark.read.parquet(*parts)
+        .groupBy("host")
+        .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
+        .persist()
+    )
+    total = acc.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    alloc = waterfill_from_counts(
+        acc.select(F.col("host").alias("src"), "n_tokens"),
+        budget=int(total) * 3 // 5,
+        group_col="host",
+    ).select(
+        F.col("host").cast("int").alias("host_idx"),
+        F.col("n_tokens").alias("n_allowed"),
+        F.col("alloc_tokens").alias("fetch_budget"),
+        "capped",
+    )
+    alloc.write.mode("overwrite").parquet(os.path.join(slot, "alloc"))
+    acc.unpersist()
+
+
+def streaming_frontier_budget_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``frontier_host_budget``: the documents table is
+    staged as a 4-file directory and streamed one file per micro-batch;
+    each trigger lands count partials + the accumulated-frontier
+    allocation. The report is the LATEST allocation slot — equal to the
+    one-shot batch solve because the final trigger's accumulated host
+    frame IS the full frontier's."""
+    import os
+    import shutil
+
+    from azure_medicine_data_engineering_spark.session import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="amde_frontier_stage_")
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    state_root = tempfile.mkdtemp(prefix="amde_frontier_stream_")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: frontier_budget_process_batch(
+                    bdf, state_root, bid
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    last = max(
+        int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
+    )
+    out = spark.read.parquet(
+        os.path.join(state_root, f"v{last}", "alloc")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out

@@ -445,3 +445,70 @@ def test_budgeted_funnel_allocations_exhaust_budget(spark):
         )
         total = sum(r.alloc_tokens for r in wf.collect())
         assert total == min(budget, 37), (budget, total)
+
+
+def test_streaming_frontier_budget_kill_replay(spark, tmp_path):
+    """Round 15: the frontier-budget trigger is idempotent under replay —
+    (1) re-running a committed batch overwrites its slots with identical
+    rows; (2) a kill between the counts write and the alloc write is
+    healed by replay (the alloc is recomputed from the landed count
+    partials alone)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        frontier_budget_process_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"frontier doc {i} body with words " * 3) for i in range(24)],
+        ["doc_id", "text"],
+    )
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    batches = [docs.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    for bid, bdf in enumerate(batches):
+        frontier_budget_process_batch(bdf, state, bid)
+
+    def snap(bid):
+        alloc = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{state}/v{bid}/alloc").collect(),
+            )
+        )
+        counts = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{state}/v{bid}/counts").collect(),
+            )
+        )
+        return counts, alloc
+
+    baseline = [snap(b) for b in range(3)]
+
+    # (1) full replay of the middle batch: identical slots
+    frontier_budget_process_batch(batches[1], state, 1)
+    assert snap(1) == baseline[1]
+    assert snap(2) == baseline[2]  # later slots untouched
+
+    # (2) kill between counts and alloc on the LAST batch: drop the
+    # alloc, replay, and the recomputed allocation is identical (it only
+    # depends on landed count partials v0..v2)
+    shutil.rmtree(f"{state}/v2/alloc")
+    frontier_budget_process_batch(batches[2], state, 2)
+    assert snap(2) == baseline[2]
+
+    # the final allocation equals the one-shot batch solve on all docs
+    frontier_budget_process_batch(docs, str(tmp_path / "oneshot"), 0)
+    oneshot = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                str(tmp_path / "oneshot/v0/alloc")
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, spark.read.parquet(f"{state}/v2/alloc").collect())) == oneshot
