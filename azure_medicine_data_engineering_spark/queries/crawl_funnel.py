@@ -623,3 +623,293 @@ def q_streaming_frontier_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_frontier_budget_report(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 15: frontier RECRAWL scheduling — the budget allocates a single
+# snapshot; a real crawler schedules REVISITS from last-crawl timestamps
+# and observed change rates. The events table is the crawl log (each
+# event = one fetch of a URL in the sitemap grammar, md5(event_id)-keyed;
+# ~1/3 of fetches observe changed content); the schedule is computed
+# AS-OF the log's high-water mark via `operators/asof.py:asof_join`.
+# ---------------------------------------------------------------------------
+
+_RECRAWL_HORIZON_S = 7 * 24 * 3600  # fetches older than this = cold URL
+
+#: the crawl-log URL grammar — the SAME closed form as the sitemap
+#: fixture's paths (k = 0 slice of the md5 hex), so log entries land on
+#: real frontier URLs. Engine-agnostic template: ``{dN}`` = int value of
+#: hex digit N, ``{p4}`` = hex digit 4 as text, ``{s}`` = string type
+#: name (hex-digit access differs: DuckDB casts '0x…', Spark uses conv).
+_LOG_PATH_TPL = (
+    "CASE WHEN {d2} % 3 <> 2"
+    " THEN '/p' || CAST({d1} % 4 AS {s})"
+    " ELSE '/q' || CAST({d1} % 4 AS {s})"
+    " END"
+    " || CASE {d3} % 3"
+    " WHEN 0 THEN '' WHEN 1 THEN '/open' ELSE '/deep' END"
+    " || '/page' || {p4}"
+)
+
+
+def _log_path_sql(hx: str, duck: bool) -> str:
+    if duck:
+        dig = lambda n: f"CAST(('0x' || substr({hx}, {n}, 1)) AS INT)"  # noqa: E731
+        p4, s = f"substr({hx}, 4, 1)", "VARCHAR"
+    else:
+        dig = lambda n: f"CAST(conv(substring({hx}, {n}, 1), 16, 10) AS INT)"  # noqa: E731
+        p4, s = f"substring({hx}, 4, 1)", "STRING"
+    return _LOG_PATH_TPL.format(d1=dig(1), d2=dig(2), d3=dig(3), p4=p4, s=s)
+
+
+@register(
+    "frontier_recrawl_schedule",
+    f"""
+    WITH m AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS hex,
+             1 + CAST(('0x' || substr(md5(text), 5, 1)) AS INT) % 4 AS n_urls
+      FROM documents
+    ),
+    urls AS MATERIALIZED (
+      SELECT doc_id, CAST(k AS INT) AS pos,
+             CASE WHEN CAST(('0x' || substr(hex, k + 2, 1)) AS INT) % 3 <> 2
+                  THEN '/p' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+                  ELSE '/q' || CAST(CAST(('0x' || substr(hex, k + 1, 1)) AS INT) % 4 AS VARCHAR)
+             END
+             || CASE CAST(('0x' || substr(hex, k + 3, 1)) AS INT) % 3
+                  WHEN 0 THEN '' WHEN 1 THEN '/open' ELSE '/deep' END
+             || '/page' || substr(hex, k + 4, 1) AS path
+      FROM m, range(0, 4) t(k) WHERE k < n_urls
+    ),
+    gatedp AS MATERIALIZED (
+      SELECT doc_id, pos, path,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR))
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR)) ELSE -1 END AS s1,
+             CASE WHEN starts_with(path, '/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open')
+                  THEN length('/p' || CAST((doc_id % 7) % 4 AS VARCHAR) || '/open') ELSE -1 END AS s2,
+             CASE WHEN starts_with(path, '/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep')
+                  THEN length('/q' || CAST((doc_id % 7 + 1) % 4 AS VARCHAR) || '/deep') ELSE -1 END AS s3
+      FROM urls
+    ),
+    ok AS MATERIALIZED (
+      SELECT CAST(doc_id % 7 AS VARCHAR) AS src, path
+      FROM gatedp
+      WHERE GREATEST(s1, s2, s3) = -1 OR s2 = GREATEST(s1, s2, s3)
+    ),
+    per_host AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM ok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) * 3 // 5 AS b, COUNT(*) AS S FROM per_host),
+    ranked AS (
+      SELECT src, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, src) AS i,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, src
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
+      FROM per_host
+    ),
+    star AS (
+      SELECT MIN(i) AS istar, MIN_BY(prefix, i) AS pstar
+      FROM ranked, tot WHERE prefix + n_tokens * (S - i + 1) >= b
+    ),
+    budget AS (
+      SELECT CAST(src AS INT) AS host_idx,
+             CAST(CASE WHEN istar IS NULL OR i < istar THEN n_tokens
+                  ELSE (b - pstar) // (S - istar + 1)
+                       + CAST((i - istar) < (b - pstar) % (S - istar + 1) AS BIGINT)
+                  END AS BIGINT) AS fetch_budget
+      FROM ranked, tot, star
+    ),
+    uurl AS MATERIALIZED (
+      SELECT DISTINCT CAST(src AS INT) AS host_idx,
+             'h' || src || path AS url
+      FROM ok
+    ),
+    clog AS MATERIALIZED (
+      SELECT 'h' || CAST(user_id % 7 AS VARCHAR)
+             || {_log_path_sql("md5(CAST(event_id AS VARCHAR))", duck=True)} AS url,
+             ts, event_id,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 6, 1)) AS INT) % 3 = 0
+               AS changed
+      FROM events
+    ),
+    t0 AS (SELECT MAX(ts) AS t0 FROM events),
+    inwin AS MATERIALIZED (
+      SELECT l.url, l.ts, l.event_id, l.changed
+      FROM clog l, t0
+      WHERE l.ts <= t0.t0
+        AND l.ts >= t0.t0 - INTERVAL {_RECRAWL_HORIZON_S} SECONDS
+    ),
+    hist AS MATERIALIZED (
+      SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             CAST(SUM(CAST(changed AS INT)) AS BIGINT) AS n_changed
+      FROM inwin GROUP BY url
+    ),
+    lastf AS MATERIALIZED (
+      SELECT url, ts FROM (
+        SELECT url, ts,
+               ROW_NUMBER() OVER (PARTITION BY url
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM inwin
+      ) WHERE rn = 1
+    ),
+    scored AS MATERIALIZED (
+      SELECT u.host_idx, u.url,
+             COALESCE(h.n_fetches, 0) AS n_fetches,
+             COALESCE(h.n_changed, 0) AS n_changed,
+             CAST(CASE WHEN l.ts IS NULL THEN {_RECRAWL_HORIZON_S}
+                  ELSE (epoch_us(t0.t0) - epoch_us(l.ts)) // 1000000
+                  END AS BIGINT) AS stale_sec
+      FROM uurl u
+      LEFT JOIN hist h ON u.url = h.url
+      LEFT JOIN lastf l ON u.url = l.url
+      CROSS JOIN t0
+    ),
+    rk AS (
+      SELECT *, stale_sec * (2 * n_changed + 1) AS score,
+             ROW_NUMBER() OVER (PARTITION BY host_idx
+               ORDER BY stale_sec * (2 * n_changed + 1) DESC, url) AS rk
+      FROM scored
+    )
+    SELECT r.host_idx, r.url, r.n_fetches, r.n_changed, r.stale_sec,
+           CAST(r.score AS BIGINT) AS score, CAST(r.rk AS BIGINT) AS rk
+    FROM rk r JOIN budget b ON r.host_idx = b.host_idx
+    WHERE r.rk <= b.fetch_budget
+    """,
+)
+def q_frontier_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl priority queue (round 15): allowed frontier URLs x the
+    events crawl log -> last fetch AS-OF the log high-water mark
+    (`asof_join`, url-keyed rank, event-id tiebreak), per-URL change
+    rate over the 7-day horizon, integer priority
+    ``stale_sec * (2 * n_changed + 1)`` (change-prone URLs outrank cold
+    ones; never-crawled URLs enter at horizon staleness), then the
+    per-host TOP-K under the politeness waterfill budget (deterministic
+    score-desc/url tiebreak). Shapes: keyed joins at url grain, the
+    host-partitioned rank window, and three licensed scalars (total,
+    t0, budget rows)."""
+    from azure_medicine_data_engineering_spark.operators.asof import asof_join
+    from azure_medicine_data_engineering_spark.operators.robots import (
+        robots_gate_urls,
+    )
+    from azure_medicine_data_engineering_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+    from azure_medicine_data_engineering_spark.queries.registry import (
+        events_table,
+    )
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+    from azure_medicine_data_engineering_spark.sources.sitemap import (
+        attach_frontier_sitemap_payload,
+        sitemap_ingest_urls,
+    )
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    media = attach_frontier_sitemap_payload(docs, "doc_id", "text")
+    frontier = sitemap_ingest_urls(media).select(
+        "media_id",
+        "pos",
+        F.regexp_extract("loc", r"^https://h(\d+)\.example\.com", 1)
+        .cast("int")
+        .alias("host_idx"),
+        F.regexp_extract("loc", r"example\.com(/.*)$", 1).alias("path"),
+    )
+    allowed = (
+        robots_gate_urls(frontier)
+        .where("allowed")
+        .select(F.col("host_idx").cast("string").alias("host"), "path")
+        .persist()
+    )
+    total = allowed.count()
+    budget = token_budget_waterfill(
+        allowed, budget=total * 3 // 5, group_col="host", text_col="path"
+    ).select(
+        F.col("host").cast("int").alias("b_host"),
+        F.col("alloc_tokens").alias("fetch_budget"),
+    )
+    urls = allowed.select(
+        F.col("host").cast("int").alias("host_idx"),
+        F.concat(F.lit("h"), F.col("host"), F.col("path")).alias("url"),
+    ).distinct()
+
+    ev = events_table(spark, sf_dir)
+    hx = F.md5(F.col("event_id").cast("string"))
+    log = ev.select(
+        F.concat(
+            F.lit("h"),
+            (F.col("user_id") % 7).cast("string"),
+            F.expr(
+                _log_path_sql("md5(CAST(event_id AS STRING))", duck=False)
+            ),
+        ).alias("url"),
+        "ts",
+        "event_id",
+        (
+            F.conv(F.substring(hx, 6, 1), 16, 10).cast("int") % 3 == 0
+        ).alias("changed"),
+    )
+    t0 = ev.agg(F.max("ts").alias("t0")).collect()[0]["t0"]
+    t0_lit = F.lit(t0).cast("timestamp")
+    inwin = log.where(
+        (F.col("ts") <= t0_lit)
+        & (
+            F.col("ts")
+            >= t0_lit - F.expr(f"INTERVAL {_RECRAWL_HORIZON_S} SECONDS")
+        )
+    ).persist()
+    hist = inwin.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(F.col("changed").cast("long")).cast("long").alias("n_changed"),
+    )
+    last = asof_join(
+        urls.withColumn("ts0", t0_lit),
+        inwin.select("url", "ts", "event_id"),
+        on="url",
+        left_ts="ts0",
+        right_ts="ts",
+        window_seconds=_RECRAWL_HORIZON_S,
+        left_id="url",
+        tiebreak="event_id",
+    ).select("url", F.col("ts_r").alias("last_ts"))
+
+    scored = (
+        urls.join(hist, "url", "left")
+        .join(last, "url", "left")
+        .select(
+            "host_idx",
+            "url",
+            F.coalesce("n_fetches", F.lit(0)).cast("long").alias("n_fetches"),
+            F.coalesce("n_changed", F.lit(0)).cast("long").alias("n_changed"),
+            F.when(
+                F.col("last_ts").isNull(),
+                F.lit(_RECRAWL_HORIZON_S),
+            )
+            .otherwise(
+                F.expr(
+                    f"(unix_micros(TIMESTAMP '{t0}') - unix_micros(last_ts))"
+                    " div 1000000"
+                )
+            )
+            .cast("long")
+            .alias("stale_sec"),
+        )
+        .withColumn(
+            "score",
+            (F.col("stale_sec") * (2 * F.col("n_changed") + 1)).cast("long"),
+        )
+    )
+    w = Window.partitionBy("host_idx").orderBy(
+        F.col("score").desc(), F.col("url")
+    )
+    out = (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(budget), F.col("host_idx") == F.col("b_host"))
+        .where(F.col("rk") <= F.col("fetch_budget"))
+        .select(
+            "host_idx", "url", "n_fetches", "n_changed", "stale_sec",
+            "score", "rk",
+        )
+    )
+    out._stage_caches = [allowed, inwin]
+    return out

@@ -514,9 +514,14 @@ from azure_medicine_data_engineering_spark.queries.text_dedup import (  # noqa: 
     _kmeans_round_sql as _ikm,
 )
 
+#: round 15: SEM_BASE_SCALE x per-family base (media_id div
+#: SEM_FAMILY_DIV) + the fp-derived noise — planted cluster structure so
+#: keep-rates mean something (sources/webdataset.py:image_grid_embeddings)
 _IMG_TOWER = (
     "list_transform(range(32), j -> CAST("
-    "(CAST(('0x' || substr(md5(fpi || ':' || j), 1, 8)) AS BIGINT) % 2001 - 1000)"
+    "(CAST(('0x' || substr(md5('sem:' || CAST(doc_id // 16 AS VARCHAR)"
+    " || ':' || j), 1, 8)) AS BIGINT) % 2001 - 1000) * 4"
+    " + (CAST(('0x' || substr(md5(fpi || ':' || j), 1, 8)) AS BIGINT) % 2001 - 1000)"
     " + (CAST(('0x' || substr(md5('i:' || fpi || ':' || j), 1, 8)) AS BIGINT) % 101 - 50)"
     " AS DOUBLE))"
 )

@@ -643,14 +643,37 @@ IMAGE_EMB_SCHEMA = StructType(
 )
 
 
+#: SemDeDup fixture cluster structure (round 15 — the round-14 verdict's
+#: fixture-realism fix): samples sharing ``media_id div SEM_FAMILY_DIV``
+#: share a semantic FAMILY whose md5-derived base vector dominates the
+#: embedding at SEM_BASE_SCALE x the per-sample noise (same-family cosine
+#: ~0.94, cross-family ~0 +- 0.1 — both far from the 0.55 threshold), so
+#: keep/drop rates are assertable. Constant family size keeps planted
+#: near-dup volume linear under replicas (the pHash fixture rule).
+SEM_FAMILY_DIV = 16
+SEM_BASE_SCALE = 4
+
+
+def _sem_family_base(fam: int) -> list[int]:
+    """Per-family semantic base vector (md5 chain, exact integers)."""
+    return [
+        int(hashlib.md5(f"sem:{fam}:{j}".encode()).hexdigest()[:8], 16)
+        % 2001
+        - 1000
+        for j in range(ALIGN_DIM)
+    ]
+
+
 def image_grid_embeddings(media_df: DataFrame) -> DataFrame:
     """Per-sample IMAGE-TOWER embeddings recovered from the WDS samples'
-    DECODED PIXELS (round 14 — the SemDeDup input): tar parse + PNG decode
-    + content fingerprint from the pixel bytes, then the deterministic
-    integer-grid tower (:func:`_grid_embedding`, modality prefix ``i``)
-    as ``array<double>`` (every slot an exact small integer, so the cast
-    is lossless and any engine can replay it from md5 chains). One Arrow
-    pass, map-only — the image sibling of the text embedding table."""
+    DECODED PIXELS (round 14 — the SemDeDup input; round 15 adds PLANTED
+    CLUSTER STRUCTURE): tar parse + PNG decode + content fingerprint from
+    the pixel bytes, then embedding = ``SEM_BASE_SCALE x`` the sample's
+    FAMILY base vector (``media_id div SEM_FAMILY_DIV``) plus the
+    fp-derived integer-grid noise (:func:`_grid_embedding`, prefix ``i``
+    — the decode chain still gates exactness). Every slot an exact small
+    integer, so any engine replays it from md5 chains. One Arrow pass,
+    map-only — the image sibling of the text embedding table."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -671,7 +694,12 @@ def image_grid_embeddings(media_df: DataFrame) -> DataFrame:
                     raise ValueError(f"sample {mid}: missing png member")
                 _, _, _, pixels = png_decode_pixels(png)
                 fp = bytes(pixels[:16]).hex()
-                emb = [float(x) for x in _grid_embedding(fp, "i")]
+                base = _sem_family_base(int(mid) // SEM_FAMILY_DIV)
+                noise = _grid_embedding(fp, "i")
+                emb = [
+                    float(SEM_BASE_SCALE * b + n)
+                    for b, n in zip(base, noise)
+                ]
                 rows.append((int(mid), emb))
             yield pd.DataFrame(rows, columns=["media_id", "embedding"])
 

@@ -63,7 +63,10 @@ def test_image_grid_embeddings_recovered_from_pixels(spark):
     import pytest
 
     from azure_medicine_data_engineering_spark.sources.webdataset import (
+        SEM_BASE_SCALE,
+        SEM_FAMILY_DIV,
         _grid_embedding,
+        _sem_family_base,
         attach_wds_image_caption_payload,
         image_grid_embeddings,
     )
@@ -76,7 +79,11 @@ def test_image_grid_embeddings_recovered_from_pixels(spark):
     [row] = image_grid_embeddings(media).collect()
     fp = hashlib.md5(b"some caption text for the embedding pin").hexdigest()
     assert row.media_id == 7
-    assert row.embedding == [float(x) for x in _grid_embedding(fp, "i")]
+    base = _sem_family_base(7 // SEM_FAMILY_DIV)
+    noise = _grid_embedding(fp, "i")
+    assert row.embedding == [
+        float(SEM_BASE_SCALE * b + n) for b, n in zip(base, noise)
+    ]
 
     bad = spark.createDataFrame(
         [(8, bytearray(b"not a tar"))], "media_id long, payload binary"
@@ -113,3 +120,53 @@ def test_compaction_two_phase_rank_equals_flat_rank(spark):
         .collect()
     }
     assert got == {v: i + 1 for i, v in enumerate(sorted(ids))}
+
+
+def test_planted_family_keep_rate_is_assertable(spark):
+    """Round 15 fixture-realism fix: the embeddings carry genuine planted
+    cluster structure (per-family base >> fp noise), so keep/drop rates
+    MEAN something: same-family cosine lands ~0.94 (>= the 0.55
+    threshold -> dropped), cross-family ~0 (kept), and the survivor count
+    sits near the family count instead of a random-geometry artifact."""
+    from azure_medicine_data_engineering_spark.operators import dedup
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        SEM_FAMILY_DIV,
+        attach_wds_image_caption_payload,
+        image_grid_embeddings,
+    )
+
+    n = 8 * SEM_FAMILY_DIV  # 8 full families
+    docs = spark.createDataFrame(
+        [(i, f"caption body for sample number {i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    media = attach_wds_image_caption_payload(docs, "doc_id", "text")
+    emb = image_grid_embeddings(media)
+
+    # direct cosine sanity on the planted geometry
+    import math
+
+    rows = {r.media_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    same = cos(rows[0], rows[1])
+    cross = cos(rows[0], rows[SEM_FAMILY_DIV])
+    assert same >= 0.85
+    assert abs(cross) <= 0.45
+
+    flags = dedup.semantic_dedup_flags(
+        emb, k=8, iterations=2, threshold=0.55,
+        id_col="media_id", vec_col="embedding",
+    )
+    kept = [r.media_id for r in flags.collect() if r.keep]
+    # every family's min id survives (no lower same-cluster neighbor can
+    # out-rank it within its family; cross-family cosine is sub-threshold)
+    assert set(range(0, n, SEM_FAMILY_DIV)) <= set(kept)
+    # and the dedup genuinely collapses families: survivors well under
+    # half the corpus, at least one per family
+    assert 8 <= len(kept) <= n // 2

@@ -327,6 +327,12 @@ BOUNDED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     # round 14: waterfill windows over the host frame + the 4-row funnel
     # lag window (queries/crawl_funnel.py:q_crawl_budgeted_funnel)
     "crawl_budgeted_funnel": (3, "host-frame waterfill + funnel lag windows"),
+    # round 15: same waterfill windows over the 7-row host frame feeding
+    # the per-host top-k (queries/crawl_funnel.py:q_frontier_recrawl_schedule)
+    "frontier_recrawl_schedule": (2, "host-frame waterfill windows"),
+    # round 15: the 8-row stacked funnel lag window (stage indicators are
+    # one global agg, structurally licensed)
+    "multimodal_av_curation_funnel": (1, "8-row funnel lag window"),
     # calendar-bounded day-frame rolling window (same class as
     # rolling_7day_revenue)
     "daily_revenue_anomalies": (1, "day-frame rolling window"),
