@@ -437,3 +437,52 @@ def q_multimodal_av_curation_funnel(
     )
     out._media_cache = media  # keep the persist handle alive
     return out
+
+
+@register("wds_multimodal_shard_egress", _MM_MANIFEST_SQL)
+def q_wds_multimodal_shard_egress(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multimodal curated-shard egress, STREAMING twin: the four-member
+    survivor samples are staged as a 4-file parquet directory, streamed
+    one file per micro-batch, and every batch lands its shard tars
+    through the exactly-once `WdsCuratedEgress` (per-batch dirs, `_HWM`
+    marker-last) with the MULTIMODAL writer. The manifest is recomputed
+    from the LANDED tar bytes across all batch dirs with the same oracle
+    as the batch twin — arbitrary micro-batching + the replay contract
+    must reproduce the one-shot shard set for all four modalities."""
+    import os
+    import shutil
+
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        curated_mm_manifest,
+        extract_curated_mm_samples,
+        write_curated_mm_shards,
+    )
+    from azure_medicine_data_engineering_spark.streaming.sinks import (
+        run_wds_curated_egress,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    stage = os.path.join("/tmp/amde_fixtures", f"wds_mm_stage_{tag}_{app}")
+    root = os.path.join("/tmp/amde_fixtures", f"wds_mm_egress_{tag}_{app}")
+    shutil.rmtree(root, ignore_errors=True)
+    media, g = _mm_gated(spark, sf_dir)
+    survivors = g.where("p7").select("media_id")
+    samples = extract_curated_mm_samples(media, survivors)
+    samples.repartition(4).write.mode("overwrite").parquet(stage)
+    media.unpersist()
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    run_wds_curated_egress(
+        stream, root, samples_per_shard=_MM_SHARD_N,
+        writer=write_curated_mm_shards,
+    )
+    manifest = curated_mm_manifest(spark, root).localCheckpoint(eager=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return manifest

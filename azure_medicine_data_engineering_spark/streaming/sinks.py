@@ -230,9 +230,18 @@ class WdsCuratedEgress:
     batch dir (the established ShardEgress layout); the manifest and any
     loader aggregate by shard across batch dirs."""
 
-    def __init__(self, root: str, samples_per_shard: int = 8) -> None:
+    def __init__(
+        self, root: str, samples_per_shard: int = 8, writer=None
+    ) -> None:
+        """``writer`` (round 15): the shard-assembly function
+        ``(samples_df, out_dir, samples_per_shard) -> report`` — defaults
+        to the image+caption ``write_curated_wds_shards``; the multimodal
+        egress passes ``write_curated_mm_shards``. Both land tars via the
+        same attempt-unique tmp + atomic rename, so the replay contract
+        is writer-independent."""
         self.root = root
         self.samples_per_shard = samples_per_shard
+        self._writer = writer
         os.makedirs(root, exist_ok=True)
 
     def high_water_mark(self) -> int:
@@ -256,7 +265,8 @@ class WdsCuratedEgress:
             write_curated_wds_shards,
         )
 
-        report = write_curated_wds_shards(
+        writer = self._writer or write_curated_wds_shards
+        report = writer(
             batch_df,
             os.path.join(self.root, f"b{batch_id}"),
             samples_per_shard=self.samples_per_shard,
@@ -270,11 +280,12 @@ class WdsCuratedEgress:
 
 
 def run_wds_curated_egress(
-    stream_df: DataFrame, root: str, samples_per_shard: int = 8
+    stream_df: DataFrame, root: str, samples_per_shard: int = 8, writer=None
 ) -> WdsCuratedEgress:
     """Drain a bounded curated-sample stream (availableNow) through
-    :class:`WdsCuratedEgress`."""
-    egress = WdsCuratedEgress(root, samples_per_shard)
+    :class:`WdsCuratedEgress` (``writer`` selects the shard assembly —
+    image+caption default or the multimodal four-member form)."""
+    egress = WdsCuratedEgress(root, samples_per_shard, writer=writer)
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             stream_df.writeStream.outputMode("append")

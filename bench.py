@@ -150,6 +150,16 @@ HEADLINE6 = [
     "frontier_host_budget",
 ]
 
+#: seventh frozen group (round 15+): multimodal AV funnel + egress, ARPA
+#: round trip, streaming frontier budget, recrawl scheduling
+HEADLINE7 = [
+    "wds_multimodal_curated_shards",
+    "multimodal_av_curation_funnel",
+    "kn_arpa_roundtrip",
+    "streaming_frontier_budget",
+    "frontier_recrawl_schedule",
+]
+
 
 #: Per-query repeat count; the headline time is the best of N runs, which
 #: removes one-off JIT/page-cache noise (the r1→SCALE.md 7.7s-vs-5.3s
@@ -332,6 +342,7 @@ def main() -> None:
     timings4, medians4 = timed_group("g4", HEADLINE4)
     timings5, medians5 = timed_group("g5", HEADLINE5)
     timings6, medians6 = timed_group("g6", HEADLINE6)
+    timings7, medians7 = timed_group("g7", HEADLINE7)
     load_after = tuple(round(x, 2) for x in os.getloadavg())
 
     total = round(sum(timings.values()), 3)
@@ -352,6 +363,8 @@ def main() -> None:
                 "queries5_median": medians5,
                 "queries6": timings6,
                 "queries6_median": medians6,
+                "queries7": timings7,
+                "queries7_median": medians7,
             }
         )
     )
@@ -385,6 +398,11 @@ def main() -> None:
                 # frontier budget
                 "value6": round(sum(timings6.values()), 3),
                 "value6_median": round(sum(medians6.values()), 3),
+                # seventh frozen group (round 15+): multimodal AV
+                # funnel/egress, ARPA round trip, streaming frontier
+                # budget, recrawl scheduling
+                "value7": round(sum(timings7.values()), 3),
+                "value7_median": round(sum(medians7.values()), 3),
                 "unit": "sec",
                 "flagship": "categorized_summary_fast",
                 "sf": sf,

@@ -512,3 +512,41 @@ def test_streaming_frontier_budget_kill_replay(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, spark.read.parquet(f"{state}/v2/alloc").collect())) == oneshot
+
+
+def test_mm_egress_writer_replay_byte_identity(spark, tmp_path):
+    """Round 15: the WdsCuratedEgress replay contract holds with the
+    MULTIMODAL writer plugged in — a replayed committed batch is skipped
+    and an uncommitted replay rewrites byte-identical four-member tars."""
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        attach_wds_multimodal_payload,
+        extract_curated_mm_samples,
+        write_curated_mm_shards,
+    )
+    from azure_medicine_data_engineering_spark.streaming.sinks import (
+        WdsCuratedEgress,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"mm egress doc {i} body") for i in range(16)],
+        ["doc_id", "text"],
+    )
+    media = attach_wds_multimodal_payload(docs, "doc_id", "text")
+    ids = spark.createDataFrame([(i,) for i in range(16)], ["media_id"])
+    samples = extract_curated_mm_samples(media, ids).persist()
+    b0 = samples.where("media_id < 8")
+    b1 = samples.where("media_id >= 8")
+
+    root = str(tmp_path / "mm")
+    egress = WdsCuratedEgress(root, 8, writer=write_curated_mm_shards)
+    assert egress.commit_batch(b0, 0) is True
+    assert egress.commit_batch(b1, 1) is True
+    baseline = (_tar_md5s(root), egress.high_water_mark())
+
+    assert egress.commit_batch(b0, 0) is False  # committed: skipped
+    assert (_tar_md5s(root), egress.high_water_mark()) == baseline
+
+    egress._advance_hwm(0)  # crash between tars and marker
+    assert egress.commit_batch(b1, 1) is True
+    assert (_tar_md5s(root), egress.high_water_mark()) == baseline
+    samples.unpersist()
