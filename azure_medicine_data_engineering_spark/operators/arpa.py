@@ -206,6 +206,7 @@ def kn_pruned_level_tables(
             F.col("e").alias("w5"), F.col("c5").cast("long").alias("c5p"),
         ),
     }
+    levels[1]._stage_caches = [g5p, bcdep, cdep, dep]  # for the exporter
     return levels, nalp
 
 
@@ -274,9 +275,18 @@ def export_kn_pruned_arpa(
     for lvl, frame in levels.items():
         rep = _write_section(frame, lvl, out_dir, shards_per_level)
         reports = rep if reports is None else reports.unionByName(rep)
-    report = reports.persist()
+    # NEVER persist this frame: its mapInPandas stages carry the file
+    # writes as side effects, and a persisted plan is CACHE-SUBSTITUTED
+    # on a later identical invocation (bench repeats) — the collect then
+    # returns repeat-0's rows without re-executing the writes the caller
+    # just rmtree'd (found by the round-15 bench: repeat 1 parsed an
+    # empty dir). collect() on the unpersisted union forces every write
+    # on every invocation; the landing is atomic + attempt-unique, so
+    # re-execution is idempotent.
+    report = reports
+    rows = report.collect()  # bounded: levels x shards rows
     counts = {lvl: 0 for lvl in levels}
-    for r in report.collect():  # bounded: levels x shards rows
+    for r in rows:
         counts[r["level"]] += r["n_lines"]
     nalp_val = nalp.collect()[0]["nalp"]
     header = os.path.join(out_dir, "model.arpa")
@@ -288,6 +298,8 @@ def export_kn_pruned_arpa(
         fh.write(f"nalp {nalp_val}\n")
         fh.write("\\end\\\n")
     os.replace(tmp, header)
+    for frame in getattr(levels[1], "_stage_caches", []):
+        frame.unpersist()  # bench repeats must not accumulate cache
     return report
 
 
