@@ -42,6 +42,7 @@ from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
     sql_surface,
     stats_ml,
     text_dedup,
+    tokenizer_artifacts,
     video_dedup,
 )
 
