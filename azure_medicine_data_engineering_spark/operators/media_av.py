@@ -422,6 +422,77 @@ def video_motion_report(df: DataFrame, static_threshold_milli: int = 0) -> DataF
     )
 
 
+def scene_cut_report(df: DataFrame, tau_milli: int = 11000) -> DataFrame:
+    """Shot-boundary (scene-cut) detection for video corpora: a cut at
+    frame ``i`` iff the exact integer sum of |pixel delta| against frame
+    ``i - 1`` exceeds ``tau_milli`` per-pixel milli-levels — the
+    fixed-threshold frame-difference detector (ffmpeg's ``scdet`` class)
+    a video pipeline runs to segment clips before per-shot sampling,
+    captioning, and dedup.
+
+    Shape: the Arrow kernel fans each clip into per-PAIR rows (one per
+    consecutive frame pair, carrying the exact integer delta sum), and
+    ALL detection logic — threshold, cut list, milli metrics — is JVM
+    column algebra over those rows, so the threshold is replayable by the
+    SQL oracle and tunable without touching Python. One shuffle on
+    media_id. Emits ``(media_id, n_frames, n_cuts, cut_idxs,
+    max_diff_milli, mean_diff_milli)``; ``cut_idxs`` is the
+    comma-joined sorted list of cut frame indices (the LATER frame of
+    each cutting pair). Single-frame clips have no pairs and are not
+    emitted (nothing to segment). Integer state end-to-end; the milli
+    metrics are floor divisions on positive operands (`div` / `//`
+    cross-engine identity)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, frames = vid_decode_frames(bytes(payload))
+                for i in range(1, len(frames)):
+                    prev, cur = frames[i - 1], frames[i]
+                    d = 0
+                    for x, y in zip(prev, cur):  # sequential exact int sum
+                        d += (x - y) if x >= y else (y - x)
+                    rows.append((mid, i, len(frames), w * h, d))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "pair_idx", "n_frames", "area", "d"],
+            )
+
+    pairs = df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, pair_idx int, n_frames int, area int, d long",
+    )
+    is_cut = (F.col("d") * 1000) > (F.lit(tau_milli) * F.col("area"))
+    return (
+        pairs.groupBy("media_id")
+        .agg(
+            F.first("n_frames").alias("n_frames"),
+            F.sum(is_cut.cast("long")).cast("long").alias("n_cuts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(is_cut, F.col("pair_idx"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("cut_idxs"),
+            F.max(F.expr("d * 1000 div area")).cast("long").alias(
+                "max_diff_milli"
+            ),
+            F.expr("sum(d) * 1000 div (count(1) * first(area))")
+            .cast("long")
+            .alias("mean_diff_milli"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Real video container (round 10): MJPEG-in-AVI demux. The RIFF chunk walk
 # is the same machinery as the WAV reader above; the per-frame payloads are

@@ -283,3 +283,362 @@ def q_multimodal_dedup_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._stage_caches = caches
     return out
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection (round 15): shot-boundary segmentation over planted
+# mid-clip camera jumps — see `operators/media_av.py:scene_cut_report` and
+# the fixture spec in `operators/video_hash.py:scene_video_frames`.
+# Oracle strategy: the clip is two pans over the SAME family field, so every
+# frame-pair delta is one of two FAMILY-grain closed forms — A[p] (adjacent
+# pans p -> p+1) and B[p] (the jump pair p -> p+13) — and the per-doc row
+# assembles 9 deltas from those lists by cut position c = 3 + doc_id % 5.
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.video_hash import (  # noqa: E402
+    SC_FIELD_W,
+    SC_FRAMES,
+    SC_JUMP,
+    SC_STEP,
+)
+
+_SC_AREA = VID_W * VID_H  # 1152
+_SC_TAU_MILLI = 11000  # provable gap: adjacent <= 8000, cut pair >= 17000
+_SC_PAIRS = SC_FRAMES - 1  # 9
+_SC_CUT = f"ds[i] * 1000 > {_SC_TAU_MILLI} * {_SC_AREA}"
+
+
+@register(
+    "video_scene_cuts",
+    f"""WITH {_family_px_ctes(SC_FIELD_W, VID_H)},
+    hx AS MATERIALIZED (
+      SELECT f, list_transform(g, x -> x // 2) AS h FROM px
+    ),
+    sca AS MATERIALIZED (
+      SELECT f, list_transform(range({SC_FRAMES - 1 + SC_JUMP}), p ->
+        list_sum(list_transform(range({_SC_AREA}), t ->
+          abs(h[(t // {VID_W}) * {SC_FIELD_W} + p + t % {VID_W} + 2]
+            - h[(t // {VID_W}) * {SC_FIELD_W} + p + t % {VID_W} + 1]))))
+        AS a
+      FROM hx
+    ),
+    scw AS (
+      SELECT f, list_transform(range({SC_JUMP + 8}), p ->
+        list_sum(list_transform(range({_SC_AREA}), t ->
+          h[(t // {VID_W}) * {SC_FIELD_W} + p + t % {VID_W} + 1]))) AS s
+      FROM hx
+    ),
+    -- the cut pair's delta is LINEAR: every pixel of the stepped scene-2
+    -- frame exceeds the scene-1 frame (136 - 119 >= 17 > 0), so
+    -- sum|.| = STEP*area + windowsum(p + JUMP + 1) - windowsum(p)
+    scb AS MATERIALIZED (
+      SELECT f, list_transform(range(7), p ->
+        {SC_STEP} * {_SC_AREA} + s[p + {SC_JUMP + 2}] - s[p + 1]) AS b
+      FROM scw
+    ),
+    dv AS (
+      SELECT d.doc_id, 3 + d.doc_id % 5 AS c, a, b
+      FROM documents d
+      JOIN sca ON sca.f = d.doc_id // 4
+      JOIN scb ON scb.f = d.doc_id // 4
+    ),
+    dd AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(range(1, {SC_FRAMES}), i ->
+          CASE WHEN i = c THEN b[c]
+               ELSE a[i + CASE WHEN i - 1 >= c THEN {SC_JUMP} ELSE 0 END]
+          END) AS ds
+      FROM dv
+    )
+    SELECT doc_id AS media_id,
+      CAST({SC_FRAMES} AS INT) AS n_frames,
+      CAST(len(list_filter(range(1, {SC_FRAMES}), i -> {_SC_CUT}))
+           AS BIGINT) AS n_cuts,
+      COALESCE(array_to_string(list_filter(range(1, {SC_FRAMES}),
+                                           i -> {_SC_CUT}), ','),
+               '') AS cut_idxs,
+      CAST(list_max(list_transform(ds, x -> x * 1000 // {_SC_AREA}))
+           AS BIGINT) AS max_diff_milli,
+      CAST(list_sum(ds) * 1000 // ({_SC_PAIRS} * {_SC_AREA})
+           AS BIGINT) AS mean_diff_milli
+    FROM dd
+    """,
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection through the full VID0 wire (container
+    encode -> demux -> exact per-pair pixel deltas -> fixed milli
+    threshold): every planted mid-clip camera jump must be found at its
+    exact frame index — and nothing else flagged — with the per-clip
+    max/mean diff metrics on the integer milli grid. Pair deltas fan out
+    of one Arrow pass; all detection logic is JVM column algebra
+    (`media_av.scene_cut_report`)."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        scene_cut_report,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        attach_scene_vid_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return scene_cut_report(
+        attach_scene_vid_payload(docs, "doc_id"), tau_milli=_SC_TAU_MILLI
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shot keyframes + shot-level dedup (round 15): the scene-cut detector's
+# output COMPOSES downstream — keyframe = frame 0 + first frame of each
+# detected shot, pHashed and fed to the ONE shared banded pair search
+# (pHash, not dHash: the smooth halved field makes dHash bits correlated
+# and its 16-bit chunks mega-bucket at 100x — see
+# `video_hash.shot_keyframe_hashes`). Oracle strategy: keyframes are
+# windows over the halved family field, hashed EXACTLY as stored —
+# shot-1 pans carry the +SC_STEP brightness, folded into the 32x32 block
+# sums as the exact constant `SC_STEP * cell_width` (sums are linear in a
+# constant shift; no approximation) — so per-family windowed pHash at the
+# 6 reachable pans serves every doc; the per-doc keyframe is (pan 0,
+# shot 0) and (pan 15 + doc_id % 5, shot 1).
+# ---------------------------------------------------------------------------
+
+from azure_medicine_data_engineering_spark.operators.image_hash import (  # noqa: E402
+    _block_ranges,
+)
+from azure_medicine_data_engineering_spark.queries.image_dedup import (  # noqa: E402
+    _CT_LITERAL,
+)
+
+_SC_HX = """
+    hx AS MATERIALIZED (
+      SELECT f, list_transform(g, x -> x // 2) AS h FROM px
+    )"""
+
+_SC_KF_BIT = "CASE WHEN 2 * c_arr[@I@ + 1] > s[32] + s[33] THEN 1 ELSE 0 END"
+
+_SC_KF_PANS = "[0, 15, 16, 17, 18, 19]"
+
+
+def _sc_kph_ctes() -> str:
+    """Windowed fixed-point pHash per (family, pan): 32x32 block means of
+    the halved-field window (+SC_STEP on shot-1 pans — hashed exactly as
+    the stored frame bytes), separable Q15 DCT, sorted coefficients for
+    the median threshold. Mirrors `image_dedup._phash_hv_ctes` with the
+    window offset in the column slice and no bump."""
+    cols = _block_ranges(VID_W, 32)
+    co_off = [c0 for c0, _ in cols]
+    cw = [c1 - c0 for c0, c1 in cols]
+    return f"""{_SC_HX},
+    vt AS (SELECT {co_off} AS CO, {cw} AS CW),
+    ct AS (SELECT {_CT_LITERAL} AS CT),
+    kvp AS MATERIALIZED (
+      SELECT f, pan, list_transform(range(1024), p ->
+        256 * (list_sum(h[(p // 32) * {SC_FIELD_W} + pan + CO[p % 32 + 1] + 1 :
+                          (p // 32) * {SC_FIELD_W} + pan + CO[p % 32 + 1]
+                            + CW[p % 32 + 1]])
+               + CASE WHEN pan >= 15 THEN {SC_STEP} * CW[p % 32 + 1]
+                      ELSE 0 END)
+          // CW[p % 32 + 1]) AS v
+      FROM hx, vt, (SELECT unnest({_SC_KF_PANS}) AS pan) pp
+    ),
+    ktt AS MATERIALIZED (
+      SELECT f, pan, list_transform(range(256), q ->
+        list_sum(list_transform(range(32), x ->
+          v[x * 32 + q % 32 + 1] * CT[(q // 32) * 32 + x + 1]))) AS t
+      FROM kvp, ct
+    ),
+    kco AS MATERIALIZED (
+      SELECT f, pan, list_transform(range(64), uv ->
+        list_sum(list_transform(range(32), y ->
+          t[(uv // 8) * 32 + y + 1] * CT[(uv % 8) * 32 + y + 1]))) AS c_arr
+      FROM ktt, ct
+    ),
+    kth AS MATERIALIZED (
+      SELECT f, pan, c_arr, list_sort(c_arr) AS s FROM kco
+    )"""
+
+
+_SC_SCBS = _sc_kph_ctes()
+
+
+def _sc_kf_doc_ctes(prefix: str = "", where: str = "") -> str:
+    """Per-doc keyframe + hash CTEs over an optionally FILTERED documents
+    slice (the incremental/streaming twins split new vs corpus); expects
+    ``kth`` in scope."""
+    p = prefix
+    return f"""
+    {p}kf AS (
+      SELECT d.doc_id * 16 + sh.shot AS kf_id, d.doc_id,
+             sh.shot AS shot_idx,
+             CASE WHEN sh.shot = 0 THEN 0 ELSE 3 + d.doc_id % 5 END AS fidx,
+             CASE WHEN sh.shot = 0 THEN 0 ELSE 15 + d.doc_id % 5 END AS pan
+      FROM documents d
+      CROSS JOIN (SELECT unnest([0, 1]) AS shot) sh
+      {where}
+    ),
+    {p}kfh AS MATERIALIZED (
+      SELECT kf_id, doc_id, shot_idx, fidx, {_bits_to_halves(_SC_KF_BIT)}
+      FROM {p}kf kfx
+      JOIN kth ON kth.f = kfx.doc_id // 4 AND kth.pan = kfx.pan
+    )"""
+
+
+_SC_KF_CTES = _SC_SCBS + "," + _sc_kf_doc_ctes()
+
+
+@register(
+    "video_shot_keyframes",
+    f"""WITH {_family_px_ctes(SC_FIELD_W, VID_H)},{_SC_KF_CTES}
+    SELECT kf_id, doc_id AS media_id,
+           CAST(shot_idx AS BIGINT) AS shot_idx,
+           CAST(fidx AS BIGINT) AS frame_idx,
+           printf('%08x%08x', hi, lo) AS sig_hex
+    FROM kfh
+    """,
+)
+def q_video_shot_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shot keyframe pHashes through the composed wire: encode ->
+    demux -> scene-cut detection -> keyframe extraction at the DETECTED
+    indices -> fixed-point DCT pHash (balanced chunks — the measured
+    dHash mega-bucket skew is documented on the operator). Pins the
+    exact hash bits AND (via frame_idx) the detector's cut positions in
+    one query (`video_hash.shot_keyframe_hashes`)."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        scene_cut_report,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        attach_scene_vid_payload,
+        shot_keyframe_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_scene_vid_payload(docs, "doc_id").persist()
+    cuts = scene_cut_report(media, tau_milli=_SC_TAU_MILLI)
+    out = shot_keyframe_hashes(media, cuts).select(
+        "kf_id", "media_id", "shot_idx", "frame_idx", "sig_hex"
+    )
+    out._stage_caches = [media]
+    return out
+
+
+@register(
+    "video_shot_keyframe_pairs",
+    f"""WITH {_family_px_ctes(SC_FIELD_W, VID_H)},{_SC_KF_CTES},
+    hv AS MATERIALIZED (SELECT kf_id AS doc_id, hi, lo FROM kfh),
+    {_PAIRS_TAIL}
+    """,
+)
+def q_video_shot_keyframe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-level near-duplicate pairs at Hamming <= 3 over the composed
+    keyframes: same-family scene-1 keyframes are planted EXACT duplicates
+    (the halved field at pan 0, bump-free — Hamming 0 guaranteed), and
+    same-family scene-2 keyframes (1-4 pan columns apart) contribute a
+    measured tail (~7.5% of adjacent pans land <= 3 under pHash — the
+    balanced hash trades that recall for a bucket distribution that
+    survives 100x; see the operator docstring). One more consumer of the
+    shared banded pigeonhole search (`image_hash.hamming_near_pairs`)."""
+    from azure_medicine_data_engineering_spark.operators.image_hash import (
+        hamming_near_pairs,
+    )
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        scene_cut_report,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        attach_scene_vid_payload,
+        shot_keyframe_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_scene_vid_payload(docs, "doc_id").persist()
+    cuts = scene_cut_report(media, tau_milli=_SC_TAU_MILLI)
+    kfs = shot_keyframe_hashes(media, cuts)
+    out = hamming_near_pairs(kfs, "sig_hi", "sig_lo", "kf_id", 3)
+    out._stage_caches = [media]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental + streaming shot-level dedup (round 15): a new slice's
+# keyframes probe the existing corpus keyframe table — the ingestion-time
+# shape (corpus never self-joins), batch and streaming sharing one oracle.
+# ---------------------------------------------------------------------------
+
+_SC_BANDS_TPL = """
+    {p}bands AS MATERIALIZED (
+      SELECT kf_id, hi, lo,
+             unnest([hi // 65536, hi % 65536, lo // 65536, lo % 65536]) AS chunk,
+             unnest([0, 1, 2, 3]) AS band
+      FROM {p}kfh
+    )"""
+
+_INCR_SHOT_ORACLE = (
+    f"""WITH {_family_px_ctes(SC_FIELD_W, VID_H)},{_SC_SCBS},
+    {_sc_kf_doc_ctes("c", "WHERE d.doc_id % 10 <> 0")},
+    {_sc_kf_doc_ctes("n", "WHERE d.doc_id % 10 = 0")},"""
+    + _SC_BANDS_TPL.format(p="c")
+    + ","
+    + _SC_BANDS_TPL.format(p="n")
+    + """,
+    m AS (
+      SELECT DISTINCT l.kf_id AS nid, r.kf_id AS cid,
+             bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS hamming
+      FROM nbands l JOIN cbands r
+        ON l.band = r.band AND l.chunk = r.chunk
+      WHERE bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) <= 3
+    ),
+    ag AS (
+      SELECT nid, CAST(COUNT(*) AS BIGINT) AS nm,
+             CAST(MIN(hamming) AS INT) AS mh
+      FROM m GROUP BY nid
+    )
+    SELECT k.kf_id AS new_kf_id, k.doc_id AS media_id,
+           CAST(k.shot_idx AS BIGINT) AS shot_idx,
+           CAST(COALESCE(ag.nm, 0) AS BIGINT) AS n_corpus_matches,
+           CAST(COALESCE(ag.mh, -1) AS INT) AS min_hamming,
+           ag.nm IS NOT NULL AS is_near_dup
+    FROM nkfh k LEFT JOIN ag ON k.kf_id = ag.nid
+    """
+)
+
+
+@register("incremental_shot_dedup_batch", _INCR_SHOT_ORACLE)
+def q_incremental_shot_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time SHOT dedup of a new clip slice (doc_id%10==0
+    stands in for the arriving batch) against the existing corpus's
+    keyframe table: both slices run the composed scene-cut -> keyframe
+    chain, then keyframe bands are probed NEW x CORPUS only
+    (`video_hash.shot_corpus_match_report`). Every new keyframe reports
+    its corpus match count, closest Hamming distance (-1 = clean), and
+    the near-dup flag — the per-shot verdict the WDS egress gates on at
+    ingest."""
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        scene_shot_keyframes,
+        shot_corpus_match_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kf_corp, media_c = scene_shot_keyframes(
+        docs.where(F.col("doc_id") % 10 != 0).select("doc_id")
+    )
+    kf_new, media_n = scene_shot_keyframes(
+        docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    )
+    out = shot_corpus_match_report(kf_new, kf_corp)
+    out._stage_caches = [media_c, media_n]
+    return out
+
+
+@register("streaming_shot_dedup", _INCR_SHOT_ORACLE)
+def q_streaming_shot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `incremental_shot_dedup_batch`: the documents
+    stream's new slice probes the eagerly-checkpointed corpus keyframe
+    table per micro-batch via foreachBatch, writing idempotent
+    batch-id-versioned outputs (kill/replay-safe — pinned in
+    tests/test_streaming_sinks.py). Shares the batch oracle: a new
+    keyframe's verdict depends only on the static corpus, so any
+    micro-batch split unions to the batch report."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_shot_dedup_matches,
+    )
+
+    return streaming_shot_dedup_matches(spark, sf_dir)

@@ -733,3 +733,86 @@ def streaming_frontier_budget_report(
     shutil.rmtree(state_root, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 15: streaming twin of the shot-level video dedup — scene-cut
+# detection + keyframe extraction + banded corpus probe per micro-batch.
+# ---------------------------------------------------------------------------
+
+
+def shot_dedup_process_batch(
+    batch_df: DataFrame, kf_corp: DataFrame, state_root: str, batch_id: int
+) -> None:
+    """One foreachBatch step of the streaming shot dedup: run the SAME
+    slice->keyframes->probe chain as the batch query
+    (`video_hash.scene_shot_keyframes` + `shot_corpus_match_report`)
+    against the eagerly-checkpointed corpus keyframe table, and write the
+    report to the batch-id-versioned slot ``v{batch_id}`` with
+    mode=overwrite — a replayed batch overwrites its own slot with
+    identical rows (idempotent under kill/replay)."""
+    import os
+
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        scene_shot_keyframes,
+        shot_corpus_match_report,
+    )
+
+    kf_new, media = scene_shot_keyframes(batch_df.select("doc_id"))
+    report = shot_corpus_match_report(kf_new, kf_corp)
+    report.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"v{batch_id}")
+    )
+    media.unpersist()
+
+
+def streaming_shot_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``incremental_shot_dedup_batch``: the corpus
+    (doc_id%10!=0) is clipped, cut-detected, keyframed and hashed ONCE
+    and eagerly localCheckpointed (per-micro-batch probes replay a
+    checkpoint scan, never the Python decode chain — the streaming
+    static-side rule), then each micro-batch of the new slice
+    (doc_id%10==0) runs the identical per-batch report via foreachBatch
+    into batch-id-versioned parquet slots. Equal to the batch twin on
+    bounded input BY CONSTRUCTION: a new keyframe's verdict depends only
+    on the static corpus, so any micro-batch split unions to the batch
+    report. Shares the batch oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        scene_shot_keyframes,
+    )
+
+    corp_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+    )
+    kf_c, media_c = scene_shot_keyframes(corp_docs)
+    kf_corp = kf_c.localCheckpoint(eager=True)
+    media_c.unpersist()
+
+    state_root = tempfile.mkdtemp(prefix="amde_shot_stream_")
+    stream = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: shot_dedup_process_batch(
+                    bdf, kf_corp, state_root, bid
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    parts = [
+        os.path.join(state_root, d)
+        for d in sorted(os.listdir(state_root))
+        if d.startswith("v")
+    ]
+    out = spark.read.parquet(*parts).localCheckpoint(eager=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out

@@ -151,13 +151,17 @@ HEADLINE6 = [
 ]
 
 #: seventh frozen group (round 15+): multimodal AV funnel + egress, ARPA
-#: round trip, streaming frontier budget, recrawl scheduling
+#: round trip, streaming frontier budget, recrawl scheduling, tokenizer
+#: artifact round trip, scene-cut detection + shot-keyframe dedup
 HEADLINE7 = [
     "wds_multimodal_curated_shards",
     "multimodal_av_curation_funnel",
     "kn_arpa_roundtrip",
     "streaming_frontier_budget",
     "frontier_recrawl_schedule",
+    "gpt2_tokenizer_roundtrip",
+    "video_scene_cuts",
+    "video_shot_keyframe_pairs",
 ]
 
 

@@ -550,3 +550,55 @@ def test_mm_egress_writer_replay_byte_identity(spark, tmp_path):
     assert egress.commit_batch(b1, 1) is True
     assert (_tar_md5s(root), egress.high_water_mark()) == baseline
     samples.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Round 15: streaming shot-level dedup — kill/replay idempotence.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_shot_dedup_kill_replay(spark, tmp_path):
+    """A replayed shot-dedup micro-batch overwrites its own versioned
+    slot with identical rows; the drained union equals the batch twin's
+    keyframe report (two keyframes per clip) with no duplicates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        scene_shot_keyframes,
+        shot_corpus_match_report,
+    )
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        shot_dedup_process_batch,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    corp = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    kf_c, media_c = scene_shot_keyframes(corp)
+    kf_corp = kf_c.localCheckpoint(eager=True)
+    media_c.unpersist()
+
+    state_root = str(tmp_path / "state")
+    batch0 = new.where(F.col("doc_id") < 20)
+    batch1 = new.where(F.col("doc_id") >= 20)
+    shot_dedup_process_batch(batch0, kf_corp, state_root, 0)
+    # simulated crash AFTER the write, BEFORE the checkpoint commit
+    shot_dedup_process_batch(batch0, kf_corp, state_root, 0)
+    shot_dedup_process_batch(batch1, kf_corp, state_root, 1)
+
+    drained = spark.read.parquet(
+        *[os.path.join(state_root, d) for d in sorted(os.listdir(state_root))]
+    )
+    kf_new, media_n = scene_shot_keyframes(new)
+    expect = shot_corpus_match_report(kf_new, kf_corp)
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in expect.collect())
+    media_n.unpersist()
+    assert got == want
+    assert len(got) == 2 * new.count()  # two keyframes per clip, no dups
+    # planted structure: every new clip's scene-1 keyframe has exact
+    # corpus duplicates (bump-free pan 0 shared within the id//4 family)
+    shot0 = [r for r in got if r[2] == 0]
+    assert shot0 and all(r[3] >= 1 and r[4] == 0 for r in shot0)
