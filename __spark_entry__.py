@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from azure_medicine_data_engineering_spark.queries import registry  # noqa: E402
 from azure_medicine_data_engineering_spark.queries import (  # noqa: E402,F401
+    ann_index,
     audio_dedup,
     corpus_clean,
     corpus_pipeline,

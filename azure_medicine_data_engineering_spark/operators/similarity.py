@@ -987,13 +987,37 @@ def sq8_knn_topk(
     Scale: the range table is one corpus aggregate of 2·d values
     (broadcast back); encoding is a map pass; the scan is the brute-force
     baseline's (queries broadcast, salted two-stage top-k)."""
-    from pyspark.sql.window import Window
+    ranges = sq8_ranges(df, id_col, vec_col)
+    coded = sq8_encode(df, ranges, id_col, vec_col)
+    q = coded.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("_c").alias("_qc")
+    )
+    return sq8_scan_topk(coded, q, k, id_col)
 
+
+def sq8_ranges(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension corpus ``(dim, lo, hi)`` range table — the trained
+    state of the SQ8 quantizer (2·d doubles)."""
     v = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
     dims = v.select(F.col(id_col), F.posexplode("_v").alias("dim", "x"))
-    ranges = dims.groupBy("dim").agg(
+    return dims.groupBy("dim").agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
     )
+
+
+def sq8_encode(
+    df: DataFrame,
+    ranges: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Byte-code the corpus against a (possibly re-ingested) range table:
+    ``(id, _c array<long>)`` with the single shared floor expression —
+    identical range DOUBLES give identical codes, which is why the index
+    artifact stores ranges as hexfloats."""
+    v = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
     rarr = F.broadcast(
         ranges.groupBy().agg(
             F.transform(
@@ -1016,19 +1040,24 @@ def sq8_knn_topk(
             ),
         ).otherwise(F.lit(0)).cast("long"),
     )
-    coded = v.crossJoin(rarr).select(F.col(id_col), code.alias("_c"))
-    q = F.broadcast(
-        coded.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col("_c").alias("_qc")
-        )
-    )
+    return v.crossJoin(rarr).select(F.col(id_col), code.alias("_c"))
+
+
+def sq8_scan_topk(
+    coded: DataFrame, q: DataFrame, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """The SQ8 integer scan over a coded frame against a coded query
+    frame ``(query_id, _qc)`` — broadcast queries, exact integer
+    squared-code distances, salted two-stage top-k."""
+    from pyspark.sql.window import Window
+
     dist = F.aggregate(
         F.zip_with(F.col("_c"), F.col("_qc"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     scored = (
-        coded.crossJoin(q)
+        coded.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
