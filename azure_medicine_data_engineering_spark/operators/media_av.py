@@ -724,3 +724,132 @@ def video_demux_mjpeg(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+SIL_WIN = 64  # silence-analysis window, samples
+SIL_WINDOWS = 48  # fixture clip length in windows (3072 samples @ 8 kHz)
+
+
+def speech_gap_layout(doc_id: int) -> list[tuple[int, int]]:
+    """The planted pause plan for one clip: ``1 + doc_id % 3`` gaps, gap
+    ``g`` covering windows ``[6 + 14g + doc_id % 4, +2 + (doc_id+g) % 3)``
+    — gaps provably separated by >= 7 active windows and bounded inside
+    the 48-window clip, so a clip always splits into ``n_gaps + 1``
+    speech segments."""
+    n_gaps = 1 + doc_id % 3
+    out = []
+    for g in range(n_gaps):
+        gs = 6 + 14 * g + doc_id % 4
+        gl = 2 + (doc_id + g) % 3
+        out.append((gs, gs + gl))
+    return out
+
+
+def speech_wav_samples(doc_id: int) -> list[int]:
+    """Speech-with-pauses fixture samples: window ``w`` is silent (all
+    zeros) inside a planted gap, else a square wave at amplitude
+    ``a + w % 7`` with base ``a = 100 + md5(doc_id)[0] % 100`` — every
+    window's |amplitude| sum is the exact integer
+    ``SIL_WIN * (a + w % 7)``, the closed form the SQL oracle replays."""
+    h = hashlib.md5(str(doc_id).encode()).digest()
+    a = 100 + h[0] % 100
+    gaps = speech_gap_layout(doc_id)
+    samples: list[int] = []
+    for w in range(SIL_WINDOWS):
+        if any(gs <= w < ge for gs, ge in gaps):
+            samples.extend([0] * SIL_WIN)
+        else:
+            amp = a + w % 7
+            for j in range(SIL_WIN):
+                i = w * SIL_WIN + j
+                samples.append(amp if (i // 8) % 2 == 0 else -amp)
+    return samples
+
+
+def attach_speech_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Speech-with-pauses clips as genuine WAV containers — the
+    segmentation kernel decodes the full RIFF, so an oracle match
+    certifies encode -> decode -> window energies -> run detection end to
+    end."""
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        attach_media_payload,
+    )
+
+    return attach_media_payload(
+        df,
+        id_col,
+        "audio",
+        lambda i: wav_encode_pcm16(8000, speech_wav_samples(i)),
+    )
+
+
+def silence_segments_report(
+    df: DataFrame, silence_milli: int = 500, win: int = SIL_WIN
+) -> DataFrame:
+    """Silence-run segmentation for audio corpora — the VAD-style
+    splitting an ASR/captioning pipeline runs before transcription: fixed
+    ``win``-sample windows get exact integer |amplitude| sums out of one
+    Arrow pass, a window is silent iff its mean |amplitude| in
+    milli-units is below ``silence_milli``, and maximal ACTIVE runs
+    become speech segments. All run detection is keyed window algebra
+    (lag + running sum over ``(media_id, win_idx)``) — replayable by the
+    SQL oracle, no Python state. Emits one row per segment:
+    ``(media_id, seg_idx, start_win, end_win, n_windows,
+    mean_abs_milli)``; all-silent clips emit nothing (nothing to
+    transcribe). The trailing partial window is analyzed at its true
+    sample count."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                _, samples = wav_decode_samples(bytes(payload))
+                for wi in range(0, (len(samples) + win - 1) // win):
+                    seg = samples[wi * win : (wi + 1) * win]
+                    e = 0
+                    for s in seg:  # sequential exact integer sum
+                        e += s if s >= 0 else -s
+                    rows.append((mid, wi, len(seg), e))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win_idx", "n_samples", "esum"]
+            )
+
+    wins = df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, win_idx int, n_samples int, esum long"
+    )
+    active = (F.col("esum") * 1000) >= (F.lit(silence_milli) * F.col("n_samples"))
+    w = Window.partitionBy("media_id").orderBy("win_idx")
+    flagged = wins.select(
+        "media_id", "win_idx", "n_samples", "esum", active.alias("_a")
+    ).withColumn(
+        "_start",
+        F.col("_a")
+        & F.coalesce(~F.lag("_a").over(w), F.lit(True)),
+    )
+    segged = flagged.withColumn(
+        "_seg", F.sum(F.col("_start").cast("long")).over(w)
+    ).where(F.col("_a"))
+    return (
+        segged.groupBy("media_id", "_seg")
+        .agg(
+            F.min("win_idx").cast("int").alias("start_win"),
+            F.max("win_idx").cast("int").alias("end_win"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.expr("sum(esum) * 1000 div sum(n_samples)")
+            .cast("long")
+            .alias("mean_abs_milli"),
+        )
+        .select(
+            "media_id",
+            F.col("_seg").cast("int").alias("seg_idx"),
+            "start_win",
+            "end_win",
+            "n_windows",
+            "mean_abs_milli",
+        )
+    )

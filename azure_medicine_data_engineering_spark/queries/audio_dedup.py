@@ -132,3 +132,75 @@ def q_audio_fingerprint_near_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     docs = _t(spark, sf_dir, "documents")
     fps = audio_fingerprints(attach_family_wav_payload(docs, "doc_id"))
     return hamming_near_pairs(fps, "fp_hi", "fp_lo", "media_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Silence-run segmentation (round 15): VAD-style splitting before ASR /
+# captioning — see `operators/media_av.py:silence_segments_report` and the
+# speech-with-pauses fixture spec in `speech_wav_samples`. The oracle
+# replays the per-window closed form (esum = 64*(a + w%7) outside planted
+# gaps, 0 inside) and the SAME lag + running-sum run detection.
+# ---------------------------------------------------------------------------
+
+_SIL_GAP_HIT = (
+    "list_sum(list_transform(range(1 + media_id % 3), g -> CASE WHEN "
+    "win_idx >= 6 + 14 * g + media_id % 4 AND "
+    "win_idx < 6 + 14 * g + media_id % 4 + 2 + (media_id + g) % 3 "
+    "THEN 1 ELSE 0 END)) > 0"
+)
+
+
+@register(
+    "audio_silence_segments",
+    f"""
+    WITH wins AS MATERIALIZED (
+      SELECT d.doc_id AS media_id, t.w AS win_idx,
+             100 + ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))::INT
+               % 100 AS a
+      FROM documents d, (SELECT unnest(range(48)) AS w) t(w)
+    ),
+    flg AS (
+      SELECT media_id, win_idx,
+             CASE WHEN {_SIL_GAP_HIT} THEN 0
+                  ELSE 64 * (a + win_idx % 7) END AS esum,
+             NOT ({_SIL_GAP_HIT}) AS a_flag
+      FROM wins
+    ),
+    st AS (
+      SELECT media_id, win_idx, esum, a_flag,
+             CASE WHEN a_flag AND NOT COALESCE(
+                    LAG(a_flag) OVER (PARTITION BY media_id ORDER BY win_idx),
+                    FALSE)
+                  THEN 1 ELSE 0 END AS s_flag
+      FROM flg
+    ),
+    sg AS (
+      SELECT media_id, win_idx, esum, a_flag,
+             SUM(s_flag) OVER (PARTITION BY media_id ORDER BY win_idx) AS seg
+      FROM st
+      QUALIFY a_flag
+    )
+    SELECT media_id, CAST(seg AS INT) AS seg_idx,
+           CAST(MIN(win_idx) AS INT) AS start_win,
+           CAST(MAX(win_idx) AS INT) AS end_win,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(esum) * 1000 // (64 * COUNT(*)) AS BIGINT)
+             AS mean_abs_milli
+    FROM sg GROUP BY 1, 2
+    """,
+)
+def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run segmentation through the full WAV wire (RIFF encode ->
+    chunk-walk decode -> exact per-window |amplitude| sums -> keyed
+    lag/running-sum run detection): every planted pause must split the
+    clip at its exact window boundaries, with per-segment integer milli
+    amplitudes. The gap flag in the fixture is provable — silent windows
+    are true zeros, active windows have mean amplitude >= 100 against the
+    500-milli threshold."""
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_speech_wav_payload,
+        silence_segments_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return silence_segments_report(attach_speech_wav_payload(docs, "doc_id"))

@@ -162,6 +162,8 @@ HEADLINE7 = [
     "gpt2_tokenizer_roundtrip",
     "video_scene_cuts",
     "video_shot_keyframe_pairs",
+    "sq8_index_roundtrip",
+    "audio_silence_segments",
 ]
 
 
