@@ -31,6 +31,7 @@ from azure_medicine_data_engineering_spark.queries.image_dedup import (
     _bits_to_halves,
 )
 from azure_medicine_data_engineering_spark.queries.registry import (
+    ORACLES,
     register,
     table as _t,
 )
@@ -204,3 +205,18 @@ def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return silence_segments_report(attach_speech_wav_payload(docs, "doc_id"))
+
+
+@register("streaming_silence_segments", ORACLES["audio_silence_segments"])
+def q_streaming_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `audio_silence_segments`
+    (`streaming/windows.py:streaming_silence_segments`): per-micro-batch
+    identical segmentation into idempotent batch-id-versioned slots
+    (kill/replay pinned in tests/test_streaming_sinks.py). The verdict is
+    per-clip — any batch split unions to the batch report — so the batch
+    oracle is shared verbatim."""
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        streaming_silence_segments,
+    )
+
+    return streaming_silence_segments(spark, sf_dir)

@@ -816,3 +816,65 @@ def streaming_shot_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(*parts).localCheckpoint(eager=True)
     shutil.rmtree(state_root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 15: streaming twin of the audio silence segmentation — per-clip
+# VAD splitting as a continuous ingest stage.
+# ---------------------------------------------------------------------------
+
+
+def silence_process_batch(
+    batch_df: DataFrame, state_root: str, batch_id: int
+) -> None:
+    """One foreachBatch step of the streaming silence segmentation: run
+    the SAME attach -> decode -> window-energy -> run-detection chain as
+    the batch query on the batch's clips and land the per-segment rows in
+    the batch-id-versioned slot ``v{batch_id}`` with mode=overwrite
+    (idempotent under kill/replay). The verdict is per-clip, so the union
+    over ANY micro-batch split equals the batch report exactly."""
+    import os
+
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_speech_wav_payload,
+        silence_segments_report,
+    )
+
+    report = silence_segments_report(
+        attach_speech_wav_payload(batch_df.select("doc_id"), "doc_id")
+    )
+    report.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"v{batch_id}")
+    )
+
+
+def streaming_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `audio_silence_segments`: the documents stream's
+    clips are segmented per micro-batch via foreachBatch into
+    batch-id-versioned parquet slots; no cross-clip state exists, so the
+    drained union equals the batch query on bounded input BY
+    CONSTRUCTION. Shares the batch oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    state_root = tempfile.mkdtemp(prefix="amde_sil_stream_")
+    stream = read_documents_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: silence_process_batch(bdf, state_root, bid)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    parts = [
+        os.path.join(state_root, d)
+        for d in sorted(os.listdir(state_root))
+        if d.startswith("v")
+    ]
+    out = spark.read.parquet(*parts).localCheckpoint(eager=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out

@@ -602,3 +602,47 @@ def test_streaming_shot_dedup_kill_replay(spark, tmp_path):
     # corpus duplicates (bump-free pan 0 shared within the id//4 family)
     shot0 = [r for r in got if r[2] == 0]
     assert shot0 and all(r[3] >= 1 and r[4] == 0 for r in shot0)
+
+
+# ---------------------------------------------------------------------------
+# Round 15: streaming silence segmentation — kill/replay idempotence.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_silence_kill_replay(spark, tmp_path):
+    """A replayed silence-segmentation micro-batch overwrites its own
+    versioned slot; the drained union equals the batch twin's per-segment
+    report with no duplicates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        attach_speech_wav_payload,
+        silence_segments_report,
+        speech_gap_layout,
+    )
+    from azure_medicine_data_engineering_spark.streaming.windows import (
+        silence_process_batch,
+    )
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    state_root = str(tmp_path / "state")
+    batch0 = docs.where(F.col("doc_id") < 12)
+    batch1 = docs.where(F.col("doc_id") >= 12)
+    silence_process_batch(batch0, state_root, 0)
+    # simulated crash AFTER the write, BEFORE the checkpoint commit
+    silence_process_batch(batch0, state_root, 0)
+    silence_process_batch(batch1, state_root, 1)
+
+    drained = spark.read.parquet(
+        *[os.path.join(state_root, d) for d in sorted(os.listdir(state_root))]
+    )
+    expect = silence_segments_report(
+        attach_speech_wav_payload(docs, "doc_id")
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in expect.collect())
+    assert got == want
+    exp_n = sum(len(speech_gap_layout(i)) + 1 for i in range(24))
+    assert len(got) == exp_n  # one row per planted segment, no dups
