@@ -642,3 +642,88 @@ def q_streaming_shot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_shot_dedup_matches(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Deduped keyframe PNG shard egress (round 15): the curated-preview
+# artifact of the video pipeline — unique shot keyframes (exact pHash
+# collapse, deterministic kf_id representative) leave the engine as
+# lossless PNGs in WDS shard tars, and the manifest is recomputed FROM
+# THE LANDED BYTES (tar parse -> PNG decode -> position-weighted pixel
+# fingerprint), certifying frame extraction, PNG encode, tar framing,
+# atomic landing, and decode in one integer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wds_keyframe_shard_egress",
+    f"""WITH {_family_px_ctes(SC_FIELD_W, VID_H)},{_SC_KF_CTES},
+    surv AS (
+      SELECT kf_id, doc_id,
+             CASE WHEN shot_idx = 0 THEN 0 ELSE 15 + doc_id % 5 END AS pan
+      FROM (SELECT kfh.*, ROW_NUMBER() OVER (PARTITION BY hi, lo
+                                             ORDER BY kf_id) AS r
+            FROM kfh)
+      WHERE r = 1
+    ),
+    kfp AS MATERIALIZED (
+      SELECT f, pan, list_sum(list_transform(range({VID_W * VID_H}), t ->
+        (h[(t // {VID_W}) * {SC_FIELD_W} + pan + t % {VID_W} + 1]
+         + CASE WHEN pan >= 15 THEN {SC_STEP} ELSE 0 END) * (t + 1))) AS fpx
+      FROM hx, (SELECT unnest({_SC_KF_PANS}) AS pan) pp
+    )
+    SELECT CAST(s.kf_id // 8 AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(s.kf_id) AS BIGINT) AS sum_kf_id,
+           CAST(SUM(k.fpx) AS BIGINT) AS sum_px_fp
+    FROM surv s JOIN kfp k ON k.f = s.doc_id // 4 AND k.pan = s.pan
+    GROUP BY 1
+    """,
+)
+def q_wds_keyframe_shard_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated keyframe egress through the full wire: scene-cut detection
+    -> keyframe pHashes -> EXACT-dup collapse (rank-1 kf_id per hash, the
+    deterministic representative) -> surviving frames losslessly
+    PNG-encoded into shard tars (shared attempt-unique atomic landing) ->
+    manifest recomputed from the LANDED bytes
+    (`sources/webdataset.py:write_keyframe_png_shards` /
+    `keyframe_shard_manifest`). The oracle computes each survivor's
+    position-weighted pixel fingerprint from the halved-field closed form
+    — encode/land/parse/decode must be lossless to match."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        scene_shot_keyframes,
+    )
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        keyframe_shard_manifest,
+        write_keyframe_png_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kfs, media = scene_shot_keyframes(docs.select("doc_id"))
+    w = Window.partitionBy("sig_hi", "sig_lo").orderBy("kf_id")
+    surv = (
+        kfs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("kf_id", "media_id", "frame_idx")
+    )
+    joined = surv.join(media.select("media_id", "payload"), "media_id").select(
+        "kf_id", "frame_idx", "payload"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join("/tmp/amde_fixtures", f"kf_shards_{tag}_{app}")
+    shutil.rmtree(root, ignore_errors=True)
+    # force every shard write on every invocation (the report is NEVER
+    # persisted — side-effecting lineage, round-15 pitfall); landing is
+    # atomic + attempt-unique so re-execution is idempotent
+    write_keyframe_png_shards(joined, root).collect()
+    out = keyframe_shard_manifest(spark, root).localCheckpoint(eager=True)
+    media.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return out

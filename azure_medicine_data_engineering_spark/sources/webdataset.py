@@ -1117,3 +1117,121 @@ def curated_mm_manifest(spark, root: str) -> DataFrame:
         F.sum("vsig_hi").cast("long").alias("vsig_hi"),
         F.sum("vsig_lo").cast("long").alias("vsig_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 15: deduped shot-keyframe PNG shard egress — the video corpus's
+# curated-preview artifact (one lossless PNG per unique shot keyframe),
+# shard tars via the shared atomic landing, manifest from LANDED bytes.
+# ---------------------------------------------------------------------------
+
+_KF_SHARD_REPORT = "shard_id long, n_members long"
+
+
+def write_keyframe_png_shards(
+    kf_frames: DataFrame, out_dir: str, per_shard: int = 8
+) -> DataFrame:
+    """Write one PNG per surviving keyframe into WDS shard tars:
+    ``kf_frames`` is ``(kf_id, frame_idx, payload)`` (the clip's VID0
+    container joined to the survivor list); each grouped task decodes its
+    clips' frames, losslessly PNG-encodes them, and lands
+    ``shard-<kf_id div per_shard>.tar`` with members ``<kf_id 012d>.png``
+    via the shared attempt-unique atomic landing (`_land_shard_tar`).
+    Returns the lazy per-shard write report — the caller forces it with
+    collect() and must NEVER persist it (the round-15 side-effect
+    cache-substitution pitfall)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(key, pdf):
+        import os as _os
+
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.media_av import (
+            vid_decode_frames,
+        )
+        from azure_medicine_data_engineering_spark.operators.multimodal import (
+            png_encode_gray,
+        )
+
+        _os.makedirs(out_dir, exist_ok=True)
+        pdf = pdf.sort_values("kf_id")
+        members = []
+        for kf_id, fidx, payload in zip(
+            pdf["kf_id"], pdf["frame_idx"], pdf["payload"]
+        ):
+            w, h, frames = vid_decode_frames(bytes(payload))
+            png = png_encode_gray(w, h, frames[int(fidx)])
+            members.append((f"{int(kf_id):012d}.png", png))
+        sid = int(key[0])
+        _land_shard_tar(out_dir, sid, tar_write_members(members))
+        return pd.DataFrame(
+            {"shard_id": [sid], "n_members": [len(members)]}
+        )
+
+    staged = kf_frames.withColumn(
+        "_shard", F.expr(f"kf_id div {per_shard}")
+    )
+    return staged.groupBy("_shard").applyInPandas(build, _KF_SHARD_REPORT)
+
+
+def keyframe_shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Re-ingest the landed keyframe shards and recompute the manifest
+    FROM THE BYTES THAT CROSSED THE CONTAINER: parse each tar, decode
+    each PNG to raw pixels, and emit per-shard
+    ``(shard_id, n_members, sum_kf_id, sum_px_fp)`` where ``px_fp`` is
+    the exact integer position-weighted pixel sum — any defect in frame
+    extraction, PNG encoding, tar framing, landing, or decode breaks an
+    integer."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("shard_id", LongType()),
+            StructField("n_members", LongType()),
+            StructField("sum_kf_id", LongType()),
+            StructField("sum_px_fp", LongType()),
+        ]
+    )
+
+    def parse(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from azure_medicine_data_engineering_spark.operators.multimodal import (
+            png_decode_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                sid = int(
+                    _os.path.basename(path).split("-")[1].split(".")[0]
+                )
+                n = 0
+                s_id = 0
+                s_fp = 0
+                for name, body in tar_read_members(bytes(content)):
+                    kf_id = int(name.split(".")[0])
+                    w, h, _, px = png_decode_pixels(body)
+                    fp = 0
+                    for i, v in enumerate(px):  # sequential exact int sum
+                        fp += v * (i + 1)
+                    n += 1
+                    s_id += kf_id
+                    s_fp += fp
+                rows.append((sid, n, s_id, s_fp))
+            yield pd.DataFrame(
+                rows,
+                columns=["shard_id", "n_members", "sum_kf_id", "sum_px_fp"],
+            )
+
+    import os
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(out_dir, "shard-*.tar")
+    )
+    return files.select("path", "content").mapInPandas(parse, schema)

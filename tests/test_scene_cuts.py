@@ -177,3 +177,66 @@ def test_shot_keyframe_planted_family_duplicates(spark):
         for a in range(base, base + 4):
             for b in range(a + 1, base + 4):
                 assert (a * 16, b * 16) in got
+
+
+def test_keyframe_egress_collapses_family_dups(spark, tmp_path):
+    # family 0's four clips share the scene-1 keyframe exactly: the
+    # landed shards must carry ONE shot-0 member for the family, and
+    # every landed PNG must decode back to the exact source frame
+    import os
+
+    from azure_medicine_data_engineering_spark.operators.media_av import (
+        vid_decode_frames,
+    )
+    from azure_medicine_data_engineering_spark.operators.multimodal import (
+        png_decode_pixels,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        scene_cut_frame,
+        scene_video_frames,
+    )
+    from azure_medicine_data_engineering_spark.sources.webdataset import (
+        tar_read_members,
+        write_keyframe_png_shards,
+    )
+    from azure_medicine_data_engineering_spark.operators.video_hash import (
+        scene_shot_keyframes,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    kfs, media = scene_shot_keyframes(docs)
+    w = Window.partitionBy("sig_hi", "sig_lo").orderBy("kf_id")
+    surv = (
+        kfs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("kf_id", "media_id", "frame_idx")
+    )
+    joined = surv.join(media.select("media_id", "payload"), "media_id").select(
+        "kf_id", "frame_idx", "payload"
+    )
+    root = str(tmp_path / "kfsh")
+    write_keyframe_png_shards(joined, root).collect()
+    media.unpersist()
+
+    members = []
+    for sh in sorted(os.listdir(root)):
+        assert not sh.endswith(".tmp")
+        for name, body in tar_read_members(
+            open(os.path.join(root, sh), "rb").read()
+        ):
+            members.append((name, body))
+    names = sorted(n for n, _ in members)
+    # 4 clips x 2 shots = 8 keyframes; shot-0 collapses 4 -> 1
+    assert len(names) == 5
+    shot0 = [n for n in names if int(n.split(".")[0]) % 16 == 0]
+    assert len(shot0) == 1 and shot0[0] == f"{0:012d}.png"
+    # lossless: each landed PNG decodes to the exact source frame
+    for name, body in members:
+        kf_id = int(name.split(".")[0])
+        doc, shot = kf_id // 16, kf_id % 16
+        frames = scene_video_frames(doc)
+        fi = 0 if shot == 0 else scene_cut_frame(doc)
+        w_, h_, _, px = png_decode_pixels(body)
+        assert (w_, h_) == (36, 32) and bytes(px) == frames[fi]
