@@ -357,22 +357,17 @@ def kn_arpa_rescore(
     per mid level: continuation key and context key — ARPA's backoff
     walk as a star join); join-miss coalesces to 0, which the stored
     union-key entries made equivalent to a stored zero."""
-    from azure_medicine_data_engineering_spark.operators.repetition import (
-        word_ngrams,
-    )
-    from azure_medicine_data_engineering_spark.operators.text import tokens
     from azure_medicine_data_engineering_spark.operators.text_rank import (
         KN5_PRUNED_LPU_EXPR,
-    )
-    from azure_medicine_data_engineering_spark.session import (
-        ensure_parallelism,
+        _kn5_group_counts,
     )
 
-    pen = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.col(group_col).alias("g"),
-        F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg"),
-    )
+    # Round-15 shape: ONE tokenize+explode pass into the persisted
+    # per-(g, pg) count frame; the distinct-gram frame and the final
+    # per-group sums both derive from it (guide §8 — the score join
+    # attaches to counts, not corpus positions; exactly equal because
+    # sum(cgp * lpu) == sum-over-positions(lpu) on the integer grid).
+    gpg, ndocs = _kn5_group_counts(docs, group_col, text_col, id_col)
 
     def part(i: int) -> F.Column:
         if i == 1:
@@ -381,7 +376,7 @@ def kn_arpa_rescore(
             return F.substring_index("pg", " ", -1)
         return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
 
-    grams = pen.groupBy("pg").agg(F.count(F.lit(1)).alias("_n")).select(
+    grams = gpg.groupBy("pg").agg(F.count(F.lit(1)).alias("_n")).select(
         "pg",
         part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
         part(4).alias("d"), part(5).alias("e"),
@@ -434,15 +429,20 @@ def kn_arpa_rescore(
         F.lit(int(nalp)).cast("long").alias("nalp"),
     ).selectExpr("pg_k", f"{KN5_PRUNED_LPU_EXPR} AS lpu_p")
 
-    return (
-        pen.join(scored, pen.pg == scored.pg_k)
+    out = (
+        gpg.join(scored, gpg.pg == scored.pg_k)
         .groupBy("g")
         .agg(
-            F.count_distinct(id_col).cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_5grams"),
-            F.sum(F.col("lpu_p").cast("decimal(38,0)")).alias("slp"),
+            F.sum("cgp").cast("long").alias("n_5grams"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu_p").cast("decimal(38,0)")
+            ).alias("slp"),
         )
+        .join(F.broadcast(ndocs), "g")
         .selectExpr(
             "g", "n_docs", "n_5grams", "(-slp) div n_5grams AS nll_pruned"
         )
     )
+    out._stage_caches = [gpg]
+    return out

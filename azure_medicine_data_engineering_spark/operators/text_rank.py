@@ -1359,6 +1359,77 @@ KN5_LP_EXPR = (
 KN5_LPU_EXPR = f"CAST(ROUND(({KN5_LP_EXPR}) * 1e6) AS BIGINT)"
 
 
+def _kn5_score_table(g5: DataFrame) -> DataFrame:
+    """The per-gram KN-5 score table ``(pg_k, lpu)`` from the persisted
+    distinct-5-gram model table: five suffix-table groupBys of ``g5``
+    (disjoint key names per derived frame — self-lineage join rule) star-
+    joined back, plus the licensed 1-row ``nal`` scalar broadcast."""
+    abcd = g5.groupBy(
+        F.col("a").alias("a1"), F.col("b").alias("b1"),
+        F.col("c").alias("c1"), F.col("d").alias("d1"),
+    ).agg(
+        F.sum("c5").cast("long").alias("cabcd"),
+        F.count(F.lit(1)).cast("long").alias("nabcd"),
+    )
+    # d4 = distinct suffix 4-grams with their left-extension counts
+    bcde = g5.groupBy(
+        F.col("b").alias("b2"), F.col("c").alias("c2"),
+        F.col("d").alias("d2"), F.col("e").alias("e2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("m4"))
+    bcd = g5.groupBy(
+        F.col("b").alias("b3"), F.col("c").alias("c3k"), F.col("d").alias("d3")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w4"),
+        F.count_distinct("e").cast("long").alias("l4"),
+    )
+    cde = bcde.groupBy(
+        F.col("c2").alias("c4"), F.col("d2").alias("d4"), F.col("e2").alias("e4")
+    ).agg(F.count(F.lit(1)).cast("long").alias("m3"))
+    cd = bcde.groupBy(F.col("c2").alias("c5k"), F.col("d2").alias("d5")).agg(
+        F.count(F.lit(1)).cast("long").alias("w3"),
+        F.count_distinct("e2").cast("long").alias("l3"),
+    )
+    de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
+        F.count(F.lit(1)).cast("long").alias("m2")
+    )
+    dk = cde.groupBy(F.col("d4").alias("d7")).agg(
+        F.count(F.lit(1)).cast("long").alias("w2"),
+        F.count_distinct("e4").cast("long").alias("l2"),
+    )
+    ek = de.groupBy(F.col("e6").alias("e8")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1e")
+    )
+    nal = de.agg(F.count(F.lit(1)).cast("long").alias("nal"))
+    return (
+        g5.join(
+            abcd,
+            (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1"))
+            & (F.col("c") == F.col("c1")) & (F.col("d") == F.col("d1")),
+        )
+        .join(
+            bcde,
+            (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2"))
+            & (F.col("d") == F.col("d2")) & (F.col("e") == F.col("e2")),
+        )
+        .join(
+            bcd,
+            (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3k"))
+            & (F.col("d") == F.col("d3")),
+        )
+        .join(
+            cde,
+            (F.col("c") == F.col("c4")) & (F.col("d") == F.col("d4"))
+            & (F.col("e") == F.col("e4")),
+        )
+        .join(cd, (F.col("c") == F.col("c5k")) & (F.col("d") == F.col("d5")))
+        .join(de, (F.col("d") == F.col("d6")) & (F.col("e") == F.col("e6")))
+        .join(dk, F.col("d") == F.col("d7"))
+        .join(ek, F.col("e") == F.col("e8"))
+        .crossJoin(F.broadcast(nal))
+        .selectExpr("pg AS pg_k", f"{KN5_LPU_EXPR} AS lpu")
+    )
+
+
 def kn_5gram_doc_nll(
     df: DataFrame,
     group_col: str = "source",
@@ -1399,71 +1470,7 @@ def kn_5gram_doc_nll(
         )
         .persist()
     )
-    # disjoint key names per derived frame (self-lineage join rule)
-    abcd = g5.groupBy(
-        F.col("a").alias("a1"), F.col("b").alias("b1"),
-        F.col("c").alias("c1"), F.col("d").alias("d1"),
-    ).agg(
-        F.sum("c5").cast("long").alias("cabcd"),
-        F.count(F.lit(1)).cast("long").alias("nabcd"),
-    )
-    # d4 = distinct suffix 4-grams with their left-extension counts
-    bcde = g5.groupBy(
-        F.col("b").alias("b2"), F.col("c").alias("c2"),
-        F.col("d").alias("d2"), F.col("e").alias("e2"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("m4"))
-    bcd = g5.groupBy(
-        F.col("b").alias("b3"), F.col("c").alias("c3k"), F.col("d").alias("d3")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("w4"),
-        F.count_distinct("e").cast("long").alias("l4"),
-    )
-    cde = bcde.groupBy(
-        F.col("c2").alias("c4"), F.col("d2").alias("d4"), F.col("e2").alias("e4")
-    ).agg(F.count(F.lit(1)).cast("long").alias("m3"))
-    cd = bcde.groupBy(F.col("c2").alias("c5k"), F.col("d2").alias("d5")).agg(
-        F.count(F.lit(1)).cast("long").alias("w3"),
-        F.count_distinct("e2").cast("long").alias("l3"),
-    )
-    de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
-        F.count(F.lit(1)).cast("long").alias("m2")
-    )
-    dk = cde.groupBy(F.col("d4").alias("d7")).agg(
-        F.count(F.lit(1)).cast("long").alias("w2"),
-        F.count_distinct("e4").cast("long").alias("l2"),
-    )
-    ek = de.groupBy(F.col("e6").alias("e8")).agg(
-        F.count(F.lit(1)).cast("long").alias("n1e")
-    )
-    nal = de.agg(F.count(F.lit(1)).cast("long").alias("nal"))
-    lpu = (
-        g5.join(
-            abcd,
-            (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1"))
-            & (F.col("c") == F.col("c1")) & (F.col("d") == F.col("d1")),
-        )
-        .join(
-            bcde,
-            (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2"))
-            & (F.col("d") == F.col("d2")) & (F.col("e") == F.col("e2")),
-        )
-        .join(
-            bcd,
-            (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3k"))
-            & (F.col("d") == F.col("d3")),
-        )
-        .join(
-            cde,
-            (F.col("c") == F.col("c4")) & (F.col("d") == F.col("d4"))
-            & (F.col("e") == F.col("e4")),
-        )
-        .join(cd, (F.col("c") == F.col("c5k")) & (F.col("d") == F.col("d5")))
-        .join(de, (F.col("d") == F.col("d6")) & (F.col("e") == F.col("e6")))
-        .join(dk, F.col("d") == F.col("d7"))
-        .join(ek, F.col("e") == F.col("e8"))
-        .crossJoin(F.broadcast(nal))
-        .selectExpr("pg AS pg_k", f"{KN5_LPU_EXPR} AS lpu")
-    )
+    lpu = _kn5_score_table(g5)
     out = (
         pen.join(lpu, pen.pg == lpu.pg_k)
         .groupBy(id_col, "g")
@@ -1479,6 +1486,79 @@ def kn_5gram_doc_nll(
     return out
 
 
+def _kn5_group_counts(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared corpus-side state for the BY-GROUP 5-gram queries
+    (optimization round 15 — guide §8 "decide with small rows"): instead
+    of joining the score table to every 5-gram POSITION (a corpus-grain
+    shuffle, and a second tokenize+explode pass via lineage replay of the
+    unpersisted ``pen``), collapse the corpus ONCE to
+
+    - ``gpg``: per-``(g, pg)`` occurrence counts (persisted — one
+      tokenize+explode pass total; model-x-group grain), and
+    - ``ndocs``: per-group count of docs contributing >= 1 5-gram,
+      computed from a light no-explode scan (a doc contributes iff it
+      has >= 5 tokens).
+
+    Per-group sums then attach at MODEL grain:
+    ``sum(cgp * lpu) == sum over positions of lpu`` exactly (integer
+    arithmetic on the micro grid, order-independent)."""
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    gpg = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg"),
+        )
+        .groupBy("g", "pg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cgp"))
+        .persist()
+    )
+    ndocs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("g"),
+            F.size(tokens(F.col(text_col))).alias("ntok"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum((F.col("ntok") >= 5).cast("long")).cast("long").alias("n_docs")
+        )
+    )
+    return gpg, ndocs
+
+
+def _kn5_model_table(gpg: DataFrame) -> DataFrame:
+    """The persisted distinct-5-gram model table derived from the
+    per-(g, pg) count frame by a second-level aggregation (two-level agg:
+    the corpus is scanned once, by :func:`_kn5_group_counts`)."""
+
+    def part(i: int) -> F.Column:
+        if i == 1:
+            return F.substring_index("pg", " ", 1)
+        if i == 5:
+            return F.substring_index("pg", " ", -1)
+        return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
+
+    return (
+        gpg.groupBy("pg")
+        .agg(F.sum("cgp").cast("long").alias("c5"))
+        .select(
+            "pg", "c5",
+            part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
+            part(4).alias("d"), part(5).alias("e"),
+        )
+        .persist()
+    )
+
+
 def kn_5gram_logprob_by_group(
     df: DataFrame,
     group_col: str = "source",
@@ -1487,18 +1567,30 @@ def kn_5gram_logprob_by_group(
 ) -> DataFrame:
     """Per-slice corpus-self perplexity under the interpolated KN 5-GRAM
     (the order production CCNet ships). Returns
-    ``(g, n_docs, n_5grams, nll_micro)`` on the exact micro grid."""
-    doc = kn_5gram_doc_nll(df, group_col, text_col, id_col)
+    ``(g, n_docs, n_5grams, nll_micro)`` on the exact micro grid.
+
+    Round-15 shape: the score table attaches to per-(g, pg) COUNTS, not
+    positions (see :func:`_kn5_group_counts`) — exactly equal because
+    every quantity is integer micro-grid state."""
+    gpg, ndocs = _kn5_group_counts(df, group_col, text_col, id_col)
+    g5 = _kn5_model_table(gpg)
+    lpu = _kn5_score_table(g5)
     out = (
-        doc.groupBy("g")
+        gpg.join(lpu, gpg.pg == lpu.pg_k)
+        .groupBy("g")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_5grams").cast("long").alias("n_5grams"),
-            F.sum("slpu").alias("slpu"),
+            F.sum("cgp").cast("long").alias("n_5grams"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu").cast("decimal(38,0)")
+            ).alias("slpu"),
         )
-        .selectExpr("g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro")
+        .join(F.broadcast(ndocs), "g")
+        .selectExpr(
+            "g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro"
+        )
     )
-    out._stage_caches = list(getattr(doc, "_stage_caches", []))
+    out._stage_caches = [gpg, g5]
     return out
 
 
@@ -1567,39 +1659,16 @@ def _mkn5_score_parts(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared mKN-5 build: returns ``(pen, g5, lpu)`` — the exploded
-    corpus, the persisted distinct-5-gram model table, and the per-gram
-    score table ``(pg_k, lpu)`` under KenLM's estimator (order-specific
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared mKN-5 build: returns ``(gpg, ndocs, g5, lpu)`` — the
+    persisted per-(g, pg) corpus count frame + per-group doc counts
+    (round-15 shape, :func:`_kn5_group_counts`), the persisted
+    distinct-5-gram model table derived from it, and the per-gram score
+    table ``(pg_k, lpu)`` under KenLM's estimator (order-specific
     D1/D2/D3+ from count-of-counts, per-context N1/N2/N3+ tallies, four
     1-row broadcast scalar frames)."""
-    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
-    from azure_medicine_data_engineering_spark.operators.text import tokens
-    from azure_medicine_data_engineering_spark.session import ensure_parallelism
-
-    pen = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.col(group_col).alias("g"),
-        F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg"),
-    )
-
-    def part(i: int) -> F.Column:
-        if i == 1:
-            return F.substring_index("pg", " ", 1)
-        if i == 5:
-            return F.substring_index("pg", " ", -1)
-        return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
-
-    g5 = (
-        pen.groupBy("pg")
-        .agg(F.count(F.lit(1)).cast("long").alias("c5"))
-        .select(
-            "pg", "c5",
-            part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
-            part(4).alias("d"), part(5).alias("e"),
-        )
-        .persist()
-    )
+    gpg, ndocs = _kn5_group_counts(df, group_col, text_col, id_col)
+    g5 = _kn5_model_table(gpg)
 
     def buckets(cnt: str, p: str) -> list:
         return [
@@ -1683,7 +1752,7 @@ def _mkn5_score_parts(
         .crossJoin(F.broadcast(cc2))
         .selectExpr("pg AS pg_k", f"{MKN5_LPU_EXPR} AS lpu")
     )
-    return pen, g5, lpu
+    return gpg, ndocs, g5, lpu
 
 
 def mkn_5gram_logprob_by_group(
@@ -1697,19 +1766,23 @@ def mkn_5gram_logprob_by_group(
     :func:`kn_5gram_doc_nll`, plus per-context count-bucket tallies
     (N1/N2/N3+ extensions) and four 1-row count-of-count scalar frames
     (one per order, broadcast — provably-scalar crossJoins). Returns
-    ``(g, n_docs, n_5grams, nll_micro)``."""
-    pen, g5, lpu = _mkn5_score_parts(df, group_col, text_col, id_col)
+    ``(g, n_docs, n_5grams, nll_micro)``. Round-15 shape: score table
+    attaches at (g, pg)-count grain (:func:`_kn5_group_counts`)."""
+    gpg, ndocs, g5, lpu = _mkn5_score_parts(df, group_col, text_col, id_col)
     out = (
-        pen.join(lpu, pen.pg == lpu.pg_k)
+        gpg.join(lpu, gpg.pg == lpu.pg_k)
         .groupBy("g")
         .agg(
-            F.count_distinct(id_col).cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_5grams"),
-            F.sum(F.col("lpu").cast("decimal(38,0)")).alias("slpu"),
+            F.sum("cgp").cast("long").alias("n_5grams"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu").cast("decimal(38,0)")
+            ).alias("slpu"),
         )
+        .join(F.broadcast(ndocs), "g")
         .selectExpr("g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro")
     )
-    out._stage_caches = [g5]
+    out._stage_caches = [gpg, g5]
     return out
 
 
@@ -1725,8 +1798,8 @@ def mkn_5gram_quantized_delta_by_group(
     zero float surface), reported per slice beside the full-precision
     scores: ``(g, n_docs, n_5grams, nll_mkn, nll_mkn_q8, n_model)``.
     The score table is persisted across its two consumers (min/max
-    scalar + the corpus join)."""
-    pen, g5, lpu = _mkn5_score_parts(df, group_col, text_col, id_col)
+    scalar + the count-grain join)."""
+    gpg, ndocs, g5, lpu = _mkn5_score_parts(df, group_col, text_col, id_col)
     scored = lpu.selectExpr("pg_k", "lpu AS lpu_p").persist()
     mm = scored.agg(
         F.min("lpu_p").cast("long").alias("minu"),
@@ -1737,14 +1810,20 @@ def mkn_5gram_quantized_delta_by_group(
     )
     n_model = g5.agg(F.count(F.lit(1)).cast("long").alias("n_model"))
     out = (
-        pen.join(served, pen.pg == served.pg_k)
+        gpg.join(served, gpg.pg == served.pg_k)
         .groupBy("g")
         .agg(
-            F.count_distinct(id_col).cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_5grams"),
-            F.sum(F.col("lpu_p").cast("decimal(38,0)")).alias("slp"),
-            F.sum(F.col("lpu_q").cast("decimal(38,0)")).alias("slq"),
+            F.sum("cgp").cast("long").alias("n_5grams"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu_p").cast("decimal(38,0)")
+            ).alias("slp"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu_q").cast("decimal(38,0)")
+            ).alias("slq"),
         )
+        .join(F.broadcast(ndocs), "g")
         .crossJoin(F.broadcast(n_model))
         .selectExpr(
             "g", "n_docs", "n_5grams",
@@ -1753,7 +1832,7 @@ def mkn_5gram_quantized_delta_by_group(
             "n_model",
         )
     )
-    out._stage_caches = [g5, scored]
+    out._stage_caches = [gpg, g5, scored]
     return out
 
 
@@ -1905,34 +1984,11 @@ def kn_5gram_pruned_delta_by_group(
     Architecture: ONE persisted distinct-5-gram table; full and pruned
     chains are both keyed groupBys of it; the score build is model-grain
     keyed joins (never a corpus re-scan); the only single-row frames are
-    the three licensed scalar broadcasts (nal, nalp, min/max)."""
-    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
-    from azure_medicine_data_engineering_spark.operators.text import tokens
-    from azure_medicine_data_engineering_spark.session import ensure_parallelism
-
-    pen = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.col(group_col).alias("g"),
-        F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg"),
-    )
-
-    def part(i: int) -> F.Column:
-        if i == 1:
-            return F.substring_index("pg", " ", 1)
-        if i == 5:
-            return F.substring_index("pg", " ", -1)
-        return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
-
-    g5 = (
-        pen.groupBy("pg")
-        .agg(F.count(F.lit(1)).cast("long").alias("c5"))
-        .select(
-            "pg", "c5",
-            part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
-            part(4).alias("d"), part(5).alias("e"),
-        )
-        .persist()
-    )
+    the three licensed scalar broadcasts (nal, nalp, min/max). Round-15
+    shape: score table attaches at (g, pg)-count grain
+    (:func:`_kn5_group_counts`) instead of per corpus position."""
+    gpg, ndocs = _kn5_group_counts(df, group_col, text_col, id_col)
+    g5 = _kn5_model_table(gpg)
 
     def suffix_chain(base: DataFrame, tag: str) -> dict[str, DataFrame]:
         """The five suffix tables + scalar nal for a model table `base`
@@ -2057,15 +2113,24 @@ def kn_5gram_pruned_delta_by_group(
         .alias("n_model_pruned"),
     )
     out = (
-        pen.join(served, pen.pg == served.pg_k)
+        gpg.join(served, gpg.pg == served.pg_k)
         .groupBy("g")
         .agg(
-            F.count_distinct(id_col).cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_5grams"),
-            F.sum(F.col("lpu_f").cast("decimal(38,0)")).alias("slf"),
-            F.sum(F.col("lpu_p").cast("decimal(38,0)")).alias("slp"),
-            F.sum(F.col("lpu_q").cast("decimal(38,0)")).alias("slq"),
+            F.sum("cgp").cast("long").alias("n_5grams"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu_f").cast("decimal(38,0)")
+            ).alias("slf"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu_p").cast("decimal(38,0)")
+            ).alias("slp"),
+            F.sum(
+                F.col("cgp").cast("decimal(38,0)")
+                * F.col("lpu_q").cast("decimal(38,0)")
+            ).alias("slq"),
         )
+        .join(F.broadcast(ndocs), "g")
         .crossJoin(F.broadcast(sizes))
         .selectExpr(
             "g", "n_docs", "n_5grams",
@@ -2075,5 +2140,5 @@ def kn_5gram_pruned_delta_by_group(
             "n_model_full", "n_model_pruned",
         )
     )
-    out._stage_caches = [g5, coalesced]
+    out._stage_caches = [gpg, g5, coalesced]
     return out

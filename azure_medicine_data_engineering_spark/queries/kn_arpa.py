@@ -72,6 +72,11 @@ def q_kn_arpa_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     export_kn_pruned_arpa(docs, root, min_count=_KN5_PRUNE_MIN_COUNT)
     levels, nalp = parse_arpa_pruned(spark, root)
-    out = kn_arpa_rescore(docs, levels, nalp).localCheckpoint(eager=True)
+    scored = kn_arpa_rescore(docs, levels, nalp)
+    out = scored.localCheckpoint(eager=True)
+    # the checkpoint materialized the scores: release the rescorer's
+    # per-(g, pg) count cache now instead of leaking it per invocation
+    for c in getattr(scored, "_stage_caches", None) or []:
+        c.unpersist()
     shutil.rmtree(root, ignore_errors=True)  # scores are landed
     return out

@@ -22,6 +22,17 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast joins for dimension tables (region/nation/supplier-sized).
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Optimization round 15 (guide §3.1/§9): allow shuffled-hash joins when
+    # the planner's size conditions hold (per-partition build side fits in
+    # memory) instead of always sort-merge — the KN/model star joins are
+    # many keyed joins of model-grain tables where the two sorts per join
+    # are pure overhead. At 100 TB the size conditions fail for fact-scale
+    # sides and the planner falls back to sort-merge on its own, so this is
+    # scale-adaptive, not a local[32] tune; AQE can additionally rewrite a
+    # planned SMJ to SHJ at runtime when every post-shuffle partition is
+    # under the threshold below.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.shuffle.partitions": "32",

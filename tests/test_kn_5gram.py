@@ -510,8 +510,9 @@ def test_mkn_quantized_error_bounded_by_bin_width(spark):
         [(i, g, t) for i, (g, t) in enumerate(rows)],
         "doc_id long, source string, text string",
     )
-    pen, g5, lpu = _mkn5_score_parts(df)
+    gpg, ndocs, g5, lpu = _mkn5_score_parts(df)
     scores = [r.lpu for r in lpu.collect()]
+    gpg.unpersist()
     g5.unpersist()
     span = max(scores) - min(scores)
     bin_w = span / 255 if span else 0.0
