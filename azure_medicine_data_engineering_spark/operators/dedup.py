@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azure_medicine_data_engineering_spark.operators.repetition import bind_once
 from azure_medicine_data_engineering_spark.operators.text import normalized_text, tokens
 
 #: 60-bit hash from md5 hex (15 nibbles) — fits a signed 64-bit long and can
@@ -45,13 +46,42 @@ _MINHASH_AB = [
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-token shingles of the normalized text; empty array when the document
-    has fewer than ``n`` tokens."""
-    t = tokens(normalized_text(text))
-    make = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    has fewer than ``n`` tokens.
+
+    The token array is bound once (:func:`bind_once`): the previous direct
+    form re-evaluated ``tokens(normalized_text(text))`` — two regex passes
+    over the full document — per shingle position inside the transform
+    lambda (the lambda-capture pitfall; optimization round 15)."""
+    return bind_once(
+        tokens(normalized_text(text)),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def _explode_bands(bands: int, rows: int) -> Column:
+    """``explode`` input for LSH banding with the signature column bound
+    once: a captured ``col("sig")`` inside the transform lambda gets the
+    full signature expression INLINED per band once the optimizer collapses
+    the adjacent projections — k md5+permutation evaluations per band
+    instead of per row (optimization round 15)."""
+    return F.explode(
+        bind_once(
+            F.col("sig"),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(s, b * rows + 1, rows).alias("bucket"),
+                ),
+            ),
+        )
+    )
 
 
 def _permuted_min(hashes: Column, j: int):
@@ -71,8 +101,13 @@ def minhash_signature(text: Column, k: int = 8, shingle_n: int = 3) -> Column:
     when no shingles."""
     if k > len(_MINHASH_AB):
         raise ValueError(f"k up to {len(_MINHASH_AB)} supported")
-    hashes = F.transform(word_shingles(text, shingle_n), _hash32)
-    return F.array(*[_permuted_min(hashes, j) for j in range(k)])
+    # bind the shingle-hash array once: each of the k _permuted_min slots
+    # captures `hashes`, so the direct form re-evaluated the whole
+    # shingle+md5 chain k times per row (optimization round 15)
+    return bind_once(
+        F.transform(word_shingles(text, shingle_n), _hash32),
+        lambda h: F.array(*[_permuted_min(h, j) for j in range(k)]),
+    )
 
 
 def simhash60(text: Column) -> Column:
@@ -159,15 +194,7 @@ def lsh_candidate_pairs(
     df = ensure_parallelism(df)
     banded = df.select(F.col(id_col), sig.alias("sig")).select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        _explode_bands(bands, rows).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -236,19 +263,16 @@ def minhash_dedup_pairs(
         sh = sh.persist()
     sig = sh.select(
         F.col(id_col),
-        F.array(*[_permuted_min(F.col("hashes"), j) for j in range(k)]).alias("sig"),
+        # bind once: with cache=False the projections collapse and the
+        # hash chain would re-inline per permutation slot (round 15)
+        bind_once(
+            F.col("hashes"),
+            lambda h: F.array(*[_permuted_min(h, j) for j in range(k)]),
+        ).alias("sig"),
     )
     banded = sig.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        _explode_bands(bands, rows).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     if max_pairs_per_bucket is None:
         pairs = (
@@ -359,15 +383,7 @@ def lsh_bucket_representatives(
         )
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
+            _explode_bands(bands, rows).alias("bb"),
         )
         .select(id_col, "bb.band", "bb.bucket")
     )
@@ -737,22 +753,18 @@ def incremental_dedup_flags(
         return sh.persist() if cache else sh
 
     def banded(sh: DataFrame) -> DataFrame:
-        hashes = F.transform(F.col("shingles"), _hash32)
+        # bind once: the md5 transform over shingles would re-evaluate
+        # per permutation slot when captured directly (round 15)
         sig = sh.select(
             F.col(id_col),
-            F.array(*[_permuted_min(hashes, j) for j in range(k)]).alias("sig"),
+            bind_once(
+                F.transform(F.col("shingles"), _hash32),
+                lambda h: F.array(*[_permuted_min(h, j) for j in range(k)]),
+            ).alias("sig"),
         )
         return sig.select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.slice(F.col("sig"), b * rows + 1, rows).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
+            _explode_bands(bands, rows).alias("bb"),
         ).select(id_col, "bb.band", "bb.bucket")
 
     sh_new, sh_corp = shingled(new), shingled(corpus)

@@ -199,18 +199,29 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the whole subtree per array element / per reference
     # (normalized_text would be regex-evaluated once per gram) — cache the
     # hash array so windowing runs over a computed column
-    nt_col = F.col("nt")
-    base = docs.select("doc_id", normalized_text(F.col("text")).alias("nt"))
-    hs = F.when(
-        F.length(nt_col) >= _GRAM,
-        F.transform(
-            F.sequence(F.lit(0), F.length(nt_col) - _GRAM),
-            lambda i: F.conv(
-                F.substring(F.md5(nt_col.substr(i + 1, F.lit(_GRAM))), 1, 8), 16, 10
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    grams = base.select("doc_id", hs.alias("hs")).persist()
+    from azure_medicine_data_engineering_spark.operators.repetition import (
+        bind_once,
+    )
+
+    # bind the normalized text ONCE (round 15): a staged `nt` column is
+    # collapsed back into the lambda by the optimizer, re-running the
+    # normalization regexes per gram position; the bound lambda variable
+    # is a true evaluation barrier
+    hs = bind_once(
+        normalized_text(F.col("text")),
+        lambda nt: F.when(
+            F.length(nt) >= _GRAM,
+            F.transform(
+                F.sequence(F.lit(0), F.length(nt) - _GRAM),
+                lambda i: F.conv(
+                    F.substring(F.md5(nt.substr(i + 1, F.lit(_GRAM))), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    grams = docs.select("doc_id", hs.alias("hs")).persist()
     hs_col = F.col("hs")
     fp = F.when(
         F.size(hs_col) >= _WIN,
