@@ -1984,118 +1984,125 @@ def kn_5gram_pruned_delta_by_group(
     Architecture: ONE persisted distinct-5-gram table; full and pruned
     chains are both keyed groupBys of it; the score build is model-grain
     keyed joins (never a corpus re-scan); the only single-row frames are
-    the three licensed scalar broadcasts (nal, nalp, min/max). Round-15
-    shape: score table attaches at (g, pg)-count grain
-    (:func:`_kn5_group_counts`) instead of per corpus position."""
+    the licensed scalar broadcasts (nal+nalp, min/max). Round-15 shape:
+    score table attaches at (g, pg)-count grain
+    (:func:`_kn5_group_counts`) instead of per corpus position.
+
+    Optimization round 15 (guide §2.4 — two aggregations keyed the same
+    way share one exchange): the pruned suffix chain is FUSED into the
+    full chain as conditional aggregates. Every pruned table was a keyed
+    groupBy over ``g5p = g5 WHERE c5 >= min_count`` (or over the previous
+    pruned level, itself a filtered subset of the full level's input), so
+    each pruned stat is exactly the full groupBy's aggregate restricted
+    to the surviving rows — ``count(when(cond, 1))`` /
+    ``count_distinct(when(cond, e))`` / ``sum(when(cond, c5))`` in the
+    SAME groupBy. A context absent from the pruned model then carries
+    stat 0 instead of being a join miss, which the scorer already defined
+    as equivalent (the COALESCE(...,0) + ``> 0`` level guards in
+    `KN5_PRUNED_LP_EXPR`). Plan effect: 18 groupBys + 17 joins + 2 scalar
+    crossJoins collapse to 9 groupBys + 8 joins + 1 scalar crossJoin, and
+    the per-gram pruned count needs no join at all
+    (``when(c5 >= min_count, c5) else 0``)."""
     gpg, ndocs = _kn5_group_counts(df, group_col, text_col, id_col)
     g5 = _kn5_model_table(gpg)
 
-    def suffix_chain(base: DataFrame, tag: str) -> dict[str, DataFrame]:
-        """The five suffix tables + scalar nal for a model table `base`
-        (full or pruned) with disjoint column names per frame."""
-        cnt = "c5"
-        abcd = base.groupBy(
-            F.col("a").alias(f"a1{tag}"), F.col("b").alias(f"b1{tag}"),
-            F.col("c").alias(f"c1{tag}"), F.col("d").alias(f"d1{tag}"),
-        ).agg(
-            F.sum(cnt).cast("long").alias(f"cabcd{tag}"),
-            F.count(F.lit(1)).cast("long").alias(f"nabcd{tag}"),
-        )
-        bcde = base.groupBy(
-            F.col("b").alias(f"b2{tag}"), F.col("c").alias(f"c2{tag}"),
-            F.col("d").alias(f"d2{tag}"), F.col("e").alias(f"e2{tag}"),
-        ).agg(F.count(F.lit(1)).cast("long").alias(f"m4{tag}"))
-        bcd = base.groupBy(
-            F.col("b").alias(f"b3{tag}"), F.col("c").alias(f"c3{tag}"),
-            F.col("d").alias(f"d3{tag}"),
-        ).agg(
-            F.count(F.lit(1)).cast("long").alias(f"w4{tag}"),
-            F.count_distinct("e").cast("long").alias(f"l4{tag}"),
-        )
-        cde = bcde.groupBy(
-            F.col(f"c2{tag}").alias(f"c4{tag}"),
-            F.col(f"d2{tag}").alias(f"d4{tag}"),
-            F.col(f"e2{tag}").alias(f"e4{tag}"),
-        ).agg(F.count(F.lit(1)).cast("long").alias(f"m3{tag}"))
-        cd = bcde.groupBy(
-            F.col(f"c2{tag}").alias(f"c5{tag}k"),
-            F.col(f"d2{tag}").alias(f"d5{tag}"),
-        ).agg(
-            F.count(F.lit(1)).cast("long").alias(f"w3{tag}"),
-            F.count_distinct(f"e2{tag}").cast("long").alias(f"l3{tag}"),
-        )
-        de = cde.groupBy(
-            F.col(f"d4{tag}").alias(f"d6{tag}"),
-            F.col(f"e4{tag}").alias(f"e6{tag}"),
-        ).agg(F.count(F.lit(1)).cast("long").alias(f"m2{tag}"))
-        dk = cde.groupBy(F.col(f"d4{tag}").alias(f"d7{tag}")).agg(
-            F.count(F.lit(1)).cast("long").alias(f"w2{tag}"),
-            F.count_distinct(f"e4{tag}").cast("long").alias(f"l2{tag}"),
-        )
-        ek = de.groupBy(F.col(f"e6{tag}").alias(f"e8{tag}")).agg(
-            F.count(F.lit(1)).cast("long").alias(f"n1e{tag}")
-        )
-        nal = de.agg(F.count(F.lit(1)).cast("long").alias(f"nal{tag}"))
-        return {
-            "abcd": abcd, "bcde": bcde, "bcd": bcd, "cde": cde, "cd": cd,
-            "de": de, "dk": dk, "ek": ek, "nal": nal,
-        }
+    mc = int(min_count)
+    kept = F.col("c5") >= mc  # the gram survives pruning
 
-    full = suffix_chain(g5, "")
-    g5p = g5.where(F.col("c5") >= min_count)
-    pruned = suffix_chain(
-        g5p.select("pg", "c5", "a", "b", "c", "d", "e"), "p"
+    def cnt_if(cond, alias: str) -> F.Column:
+        return F.count(F.when(cond, F.lit(1))).cast("long").alias(alias)
+
+    def cntd_if(cond, col: str, alias: str) -> F.Column:
+        return (
+            F.count_distinct(F.when(cond, F.col(col))).cast("long").alias(alias)
+        )
+
+    # one dual-stat suffix chain: full stats + pruned stats per key
+    abcd = g5.groupBy(
+        F.col("a").alias("a1"), F.col("b").alias("b1"),
+        F.col("c").alias("c1"), F.col("d").alias("d1"),
+    ).agg(
+        F.sum("c5").cast("long").alias("cabcd"),
+        F.count(F.lit(1)).cast("long").alias("nabcd"),
+        F.sum(F.when(kept, F.col("c5")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cabcdp"),
+        cnt_if(kept, "nabcdp"),
+    )
+    bcde = g5.groupBy(
+        F.col("b").alias("b2"), F.col("c").alias("c2"),
+        F.col("d").alias("d2"), F.col("e").alias("e2"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("m4"),
+        cnt_if(kept, "m4p"),
+    )
+    bcd = g5.groupBy(
+        F.col("b").alias("b3"), F.col("c").alias("c3"), F.col("d").alias("d3")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w4"),
+        F.count_distinct("e").cast("long").alias("l4"),
+        cnt_if(kept, "w4p"),
+        cntd_if(kept, "e", "l4p"),
+    )
+    in_p4 = F.col("m4p") > 0  # the 4-gram suffix survives in the pruned model
+    cde = bcde.groupBy(
+        F.col("c2").alias("c4"), F.col("d2").alias("d4"), F.col("e2").alias("e4")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("m3"),
+        cnt_if(in_p4, "m3p"),
+    )
+    cd = bcde.groupBy(F.col("c2").alias("c5k"), F.col("d2").alias("d5")).agg(
+        F.count(F.lit(1)).cast("long").alias("w3"),
+        F.count_distinct("e2").cast("long").alias("l3"),
+        cnt_if(in_p4, "w3p"),
+        cntd_if(in_p4, "e2", "l3p"),
+    )
+    in_p3 = F.col("m3p") > 0
+    de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        cnt_if(in_p3, "m2p"),
+    )
+    dk = cde.groupBy(F.col("d4").alias("d7")).agg(
+        F.count(F.lit(1)).cast("long").alias("w2"),
+        F.count_distinct("e4").cast("long").alias("l2"),
+        cnt_if(in_p3, "w2p"),
+        cntd_if(in_p3, "e4", "l2p"),
+    )
+    in_p2 = F.col("m2p") > 0
+    ek = de.groupBy(F.col("e6").alias("e8")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1e"),
+        cnt_if(in_p2, "n1ep"),
+    )
+    nals = de.agg(
+        F.count(F.lit(1)).cast("long").alias("nal"),
+        cnt_if(in_p2, "nalp"),
     )
 
-    def j(left: DataFrame, right: DataFrame, pairs, how="inner") -> DataFrame:
+    def j(left: DataFrame, right: DataFrame, pairs) -> DataFrame:
         cond = None
         for lc, rc in pairs:
             this = F.col(lc) == F.col(rc)
             cond = this if cond is None else (cond & this)
-        return left.join(right, cond, how)
+        return left.join(right, cond)
 
-    score = g5
-    score = j(score, full["abcd"], [("a", "a1"), ("b", "b1"), ("c", "c1"), ("d", "d1")])
-    score = j(score, full["bcde"], [("b", "b2"), ("c", "c2"), ("d", "d2"), ("e", "e2")])
-    score = j(score, full["bcd"], [("b", "b3"), ("c", "c3"), ("d", "d3")])
-    score = j(score, full["cde"], [("c", "c4"), ("d", "d4"), ("e", "e4")])
-    score = j(score, full["cd"], [("c", "c5k"), ("d", "d5")])
-    score = j(score, full["de"], [("d", "d6"), ("e", "e6")])
-    score = j(score, full["dk"], [("d", "d7")])
-    score = j(score, full["ek"], [("e", "e8")])
-    score = score.crossJoin(F.broadcast(full["nal"]))
-    # pruned chain: LEFT joins (a corpus gram or its contexts may be gone)
-    score = j(
-        score,
-        g5p.select(F.col("pg").alias("pgp"), F.col("c5").alias("c5p_raw")),
-        [("pg", "pgp")],
-        "left",
+    score = g5.withColumn(
+        "c5p", F.when(kept, F.col("c5")).otherwise(F.lit(0)).cast("long")
     )
-    score = j(score, pruned["abcd"], [("a", "a1p"), ("b", "b1p"), ("c", "c1p"), ("d", "d1p")], "left")
-    score = j(score, pruned["bcde"], [("b", "b2p"), ("c", "c2p"), ("d", "d2p"), ("e", "e2p")], "left")
-    score = j(score, pruned["bcd"], [("b", "b3p"), ("c", "c3p"), ("d", "d3p")], "left")
-    score = j(score, pruned["cde"], [("c", "c4p"), ("d", "d4p"), ("e", "e4p")], "left")
-    score = j(score, pruned["cd"], [("c", "c5pk"), ("d", "d5p")], "left")
-    score = j(score, pruned["de"], [("d", "d6p"), ("e", "e6p")], "left")
-    score = j(score, pruned["dk"], [("d", "d7p")], "left")
-    score = j(score, pruned["ek"], [("e", "e8p")], "left")
-    score = score.crossJoin(F.broadcast(pruned["nal"]))
+    score = j(score, abcd, [("a", "a1"), ("b", "b1"), ("c", "c1"), ("d", "d1")])
+    score = j(score, bcde, [("b", "b2"), ("c", "c2"), ("d", "d2"), ("e", "e2")])
+    score = j(score, bcd, [("b", "b3"), ("c", "c3"), ("d", "d3")])
+    score = j(score, cde, [("c", "c4"), ("d", "d4"), ("e", "e4")])
+    score = j(score, cd, [("c", "c5k"), ("d", "d5")])
+    score = j(score, de, [("d", "d6"), ("e", "e6")])
+    score = j(score, dk, [("d", "d7")])
+    score = j(score, ek, [("e", "e8")])
+    score = score.crossJoin(F.broadcast(nals))
 
-    zero = [
-        "c5p_raw", "cabcdp", "nabcdp", "m4p", "w4p", "l4p", "m3p", "w3p",
-        "l3p", "m2p", "w2p", "l2p", "n1ep",
-    ]
-    coalesced = score.select(
-        F.col("pg").alias("pg_k"),
-        F.expr(KN5_LPU_EXPR).alias("lpu_f"),
-        *[
-            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(
-                "c5p" if c == "c5p_raw" else c
-            )
-            for c in zero
-        ],
-        "nalp",
-    ).selectExpr("pg_k", "lpu_f", f"{KN5_PRUNED_LPU_EXPR} AS lpu_p")
+    coalesced = score.selectExpr(
+        "pg AS pg_k",
+        f"{KN5_LPU_EXPR} AS lpu_f",
+        f"{KN5_PRUNED_LPU_EXPR} AS lpu_p",
+    )
     coalesced = coalesced.persist()
 
     minmax = coalesced.agg(
