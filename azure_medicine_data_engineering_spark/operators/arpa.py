@@ -77,6 +77,7 @@ def kn_pruned_level_tables(
     df: DataFrame,
     min_count: int = 2,
     text_col: str = "text",
+    gram_counts: DataFrame | None = None,
 ) -> tuple[dict[int, DataFrame], DataFrame]:
     """The pruned KN 5-gram model as per-level ARPA entry tables.
 
@@ -87,7 +88,14 @@ def kn_pruned_level_tables(
     ``({level: entries}, nalp_1row)`` where each level's entries are the
     UNION of its continuation keys and context keys with both stat sets
     (0 where absent). All model-grain keyed groupBys of one distinct
-    table — never a corpus re-scan."""
+    table — never a corpus re-scan.
+
+    ``gram_counts`` (optimization round 15): a pre-computed distinct
+    ``(pg, c5)`` total-count frame — when the caller already holds the
+    corpus collapsed to counts (the ARPA round trip shares the rescorer's
+    per-(g, pg) frame), passing it here removes this function's own
+    tokenize+explode corpus pass; the derived model is identical because
+    ``c5 == sum over groups of cgp`` exactly."""
     from azure_medicine_data_engineering_spark.operators.repetition import (
         word_ngrams,
     )
@@ -96,9 +104,11 @@ def kn_pruned_level_tables(
         ensure_parallelism,
     )
 
-    pen = ensure_parallelism(df).select(
-        F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg")
-    )
+    pen = None
+    if gram_counts is None:
+        pen = ensure_parallelism(df).select(
+            F.explode(word_ngrams(tokens(F.col(text_col)), 5)).alias("pg")
+        )
 
     def part(i: int) -> F.Column:
         if i == 1:
@@ -107,10 +117,13 @@ def kn_pruned_level_tables(
             return F.substring_index("pg", " ", -1)
         return F.substring_index(F.substring_index("pg", " ", i), " ", -1)
 
+    counts = (
+        gram_counts
+        if gram_counts is not None
+        else pen.groupBy("pg").agg(F.count(F.lit(1)).cast("long").alias("c5"))
+    )
     g5p = (
-        pen.groupBy("pg")
-        .agg(F.count(F.lit(1)).cast("long").alias("c5"))
-        .where(F.col("c5") >= min_count)
+        counts.where(F.col("c5") >= min_count)
         .select(
             part(1).alias("a"), part(2).alias("b"), part(3).alias("c"),
             part(4).alias("d"), part(5).alias("e"), "c5",
@@ -262,6 +275,7 @@ def export_kn_pruned_arpa(
     min_count: int = 2,
     text_col: str = "text",
     shards_per_level: int = 4,
+    gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Export the pruned KN 5-gram model under ``out_dir``: five sorted
     shard-file sections plus a driver-written ``model.arpa`` header
@@ -270,7 +284,9 @@ def export_kn_pruned_arpa(
     marker, same discipline as the streaming ``_HWM``. Returns the
     per-shard write report (already forced)."""
     os.makedirs(out_dir, exist_ok=True)
-    levels, nalp = kn_pruned_level_tables(df, min_count, text_col)
+    levels, nalp = kn_pruned_level_tables(
+        df, min_count, text_col, gram_counts=gram_counts
+    )
     reports = None
     for lvl, frame in levels.items():
         rep = _write_section(frame, lvl, out_dir, shards_per_level)
@@ -346,6 +362,7 @@ def kn_arpa_rescore(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Score the corpus against a re-ingested pruned model and report
     per-slice ``(g, n_docs, n_5grams, nll_pruned)`` on the exact micro
@@ -356,7 +373,13 @@ def kn_arpa_rescore(
     model lookup is a keyed LEFT join against a level table (two joins
     per mid level: continuation key and context key — ARPA's backoff
     walk as a star join); join-miss coalesces to 0, which the stored
-    union-key entries made equivalent to a stored zero."""
+    union-key entries made equivalent to a stored zero.
+
+    ``counts`` (optimization round 15): a pre-computed
+    ``(gpg, ndocs)`` pair from `text_rank._kn5_group_counts` — the ARPA
+    round trip shares one persisted count frame between the export's
+    model build and this rescore instead of tokenizing the corpus
+    twice."""
     from azure_medicine_data_engineering_spark.operators.text_rank import (
         KN5_PRUNED_LPU_EXPR,
         _kn5_group_counts,
@@ -367,7 +390,10 @@ def kn_arpa_rescore(
     # per-group sums both derive from it (guide §8 — the score join
     # attaches to counts, not corpus positions; exactly equal because
     # sum(cgp * lpu) == sum-over-positions(lpu) on the integer grid).
-    gpg, ndocs = _kn5_group_counts(docs, group_col, text_col, id_col)
+    if counts is not None:
+        gpg, ndocs = counts
+    else:
+        gpg, ndocs = _kn5_group_counts(docs, group_col, text_col, id_col)
 
     def part(i: int) -> F.Column:
         if i == 1:

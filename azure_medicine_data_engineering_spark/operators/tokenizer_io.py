@@ -132,28 +132,17 @@ def parse_gpt2_tokenizer(
     return merges, vocab
 
 
-def gpt2_encode_ids_stats(
-    units: DataFrame,
+def _gpt2_word_piece_stats(
+    words: DataFrame,
     merges: list[tuple[str, str]],
     vocab: dict[str, int],
     spark: SparkSession,
-    group_col: str = "g",
-    id_col: str = "doc_id",
-    word_col: str = "w",
 ) -> DataFrame:
-    """Serve a re-ingested tokenizer over an exploded pretoken frame
-    ``(id_col, group_col, word_col)`` and report per-group
-    ``(g, n_docs, n_pretokens, n_pieces, sum_ids, n_oov)``.
-
-    Distributed shape: the corpus collapses to the DISTINCT-pretoken
-    table; each distinct pretoken's byte-symbol string gets the merges in
-    training order as boundary-safe JVM literal replaces, pieces map to
-    ids through one broadcast join against the (vocab-sized) id table,
-    and the per-word stats re-join the exploded corpus. ``sum_ids`` makes
-    every id assignment load-bearing; ``n_oov`` must be 0 — byte-level
-    pieces are base symbols or merge results, all in the vocab by
-    construction — so a parse defect that drops a vocab entry surfaces as
-    a nonzero count, not a silent skip."""
+    """Per-DISTINCT-pretoken piece stats ``(wd, _np, _sid, _nov)``: each
+    word's byte-symbol string gets the merges in training order as
+    boundary-safe JVM literal replaces, pieces map to ids through one
+    broadcast join against the (vocab-sized) id table. ``words`` must be
+    a distinct single-column ``(wd)`` frame."""
     dd = DELIM + DELIM
     enc = byte_symbol_string(F.col("wd"))
     for a, b in merges:
@@ -166,18 +155,13 @@ def gpt2_encode_ids_stats(
         [(t, i) for t, i in vocab.items()],
         "piece_tok string, piece_id long",
     )
-    pieces = (
-        units.select(F.col(word_col).alias("wd"))
-        .distinct()
-        .select("wd", enc.alias("_enc"))
-        .select(
-            "wd",
-            F.explode(
-                F.split(F.expr("substring(_enc, 2, length(_enc) - 2)"), dd)
-            ).alias("piece"),
-        )
+    pieces = words.select("wd", enc.alias("_enc")).select(
+        "wd",
+        F.explode(
+            F.split(F.expr("substring(_enc, 2, length(_enc) - 2)"), dd)
+        ).alias("piece"),
     )
-    wstats = (
+    return (
         pieces.join(
             F.broadcast(vocab_df),
             pieces.piece == vocab_df.piece_tok,
@@ -196,6 +180,34 @@ def gpt2_encode_ids_stats(
             .alias("_nov"),
         )
     )
+
+
+def gpt2_encode_ids_stats(
+    units: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    spark: SparkSession,
+    group_col: str = "g",
+    id_col: str = "doc_id",
+    word_col: str = "w",
+) -> DataFrame:
+    """Serve a re-ingested tokenizer over an exploded pretoken frame
+    ``(id_col, group_col, word_col)`` and report per-group
+    ``(g, n_docs, n_pretokens, n_pieces, sum_ids, n_oov)``.
+
+    Distributed shape: the corpus collapses to the DISTINCT-pretoken
+    table (:func:`_gpt2_word_piece_stats`), and the per-word stats
+    re-join the exploded corpus. ``sum_ids`` makes every id assignment
+    load-bearing; ``n_oov`` must be 0 — byte-level pieces are base
+    symbols or merge results, all in the vocab by construction — so a
+    parse defect that drops a vocab entry surfaces as a nonzero count,
+    not a silent skip."""
+    wstats = _gpt2_word_piece_stats(
+        units.select(F.col(word_col).alias("wd")).distinct(),
+        merges,
+        vocab,
+        spark,
+    )
     return (
         units.join(wstats, units[word_col] == wstats.wd)
         .groupBy(group_col)
@@ -205,5 +217,41 @@ def gpt2_encode_ids_stats(
             F.sum("_np").cast("long").alias("n_pieces"),
             F.sum("_sid").cast("long").alias("sum_ids"),
             F.sum("_nov").cast("long").alias("n_oov"),
+        )
+    )
+
+
+def gpt2_encode_ids_stats_from_counts(
+    gw: DataFrame,
+    ndocs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    spark: SparkSession,
+) -> DataFrame:
+    """Count-grain twin of :func:`gpt2_encode_ids_stats` (optimization
+    round 15 — guide §8 "decide with small rows, move big rows once"):
+    the corpus arrives already collapsed to per-``(g, w)`` occurrence
+    counts ``gw(g, w, c)`` plus a per-group doc-count frame
+    ``ndocs(g, n_docs)``, so the heavy join attaches per-word piece stats
+    at (group x distinct-pretoken) grain instead of pretoken-POSITION
+    grain. Exactly equal to the position-grain form: every reported
+    quantity is an integer sum over positions, and
+    ``sum(c * stat) == sum over positions of stat`` (integer arithmetic,
+    order-independent); ``n_pretokens == sum(c)``."""
+    wstats = _gpt2_word_piece_stats(
+        gw.select(F.col("w").alias("wd")).distinct(), merges, vocab, spark
+    )
+    return (
+        gw.join(wstats, gw.w == wstats.wd)
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_pretokens"),
+            F.sum(F.col("c") * F.col("_np")).cast("long").alias("n_pieces"),
+            F.sum(F.col("c") * F.col("_sid")).cast("long").alias("sum_ids"),
+            F.sum(F.col("c") * F.col("_nov")).cast("long").alias("n_oov"),
+        )
+        .join(F.broadcast(ndocs), "g")
+        .select(
+            "g", "n_docs", "n_pretokens", "n_pieces", "sum_ids", "n_oov"
         )
     )

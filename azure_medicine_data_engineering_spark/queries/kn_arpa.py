@@ -59,10 +59,15 @@ def q_kn_arpa_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from pyspark.sql import functions as F
+
     from azure_medicine_data_engineering_spark.operators.arpa import (
         export_kn_pruned_arpa,
         kn_arpa_rescore,
         parse_arpa_pruned,
+    )
+    from azure_medicine_data_engineering_spark.operators.text_rank import (
+        _kn5_group_counts,
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -70,9 +75,19 @@ def q_kn_arpa_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join("/tmp/amde_fixtures", f"kn_arpa_{tag}_{app}")
     shutil.rmtree(root, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents")
-    export_kn_pruned_arpa(docs, root, min_count=_KN5_PRUNE_MIN_COUNT)
+    # Optimization round 15: ONE tokenize+explode corpus pass total — the
+    # persisted per-(g, pg) count frame feeds BOTH the export's model
+    # build (its distinct (pg, c5) totals are the per-group counts summed
+    # out) and the re-ingested rescore.
+    gpg, ndocs = _kn5_group_counts(docs)
+    g5_counts = gpg.groupBy("pg").agg(
+        F.sum("cgp").cast("long").alias("c5")
+    )
+    export_kn_pruned_arpa(
+        docs, root, min_count=_KN5_PRUNE_MIN_COUNT, gram_counts=g5_counts
+    )
     levels, nalp = parse_arpa_pruned(spark, root)
-    scored = kn_arpa_rescore(docs, levels, nalp)
+    scored = kn_arpa_rescore(docs, levels, nalp, counts=(gpg, ndocs))
     out = scored.localCheckpoint(eager=True)
     # the checkpoint materialized the scores: release the rescorer's
     # per-(g, pg) count cache now instead of leaking it per invocation

@@ -128,7 +128,18 @@ def q_gpt2_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast id join, per-slice integer stats. ``n_oov`` must be 0:
     byte-level pieces are base symbols or merge results, all in the vocab
     by construction, so a dropped or mis-parsed vocab entry surfaces as a
-    nonzero count."""
+    nonzero count.
+
+    Optimization round 15 (guide §8/§2.3): the pretokenize+explode pass
+    runs ONCE into a persisted per-``(g, w)`` count frame; the trainer's
+    word frequencies derive from it by a second-level aggregation, and
+    the serving stats attach at count grain
+    (`tokenizer_io.gpt2_encode_ids_stats_from_counts`) instead of
+    replaying the regex chain three times at position grain. Per-group
+    doc counts come from a light no-explode scan: the GPT-2 pattern's
+    alternation covers every character class, so a doc contributes >= 1
+    pretoken iff ``text IS NOT NULL`` (the appended suffix literal is
+    non-empty)."""
     import os
     import shutil
 
@@ -137,16 +148,28 @@ def q_gpt2_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from azure_medicine_data_engineering_spark.operators.tokenizer_io import (
         export_gpt2_tokenizer,
-        gpt2_encode_ids_stats,
+        gpt2_encode_ids_stats_from_counts,
         parse_gpt2_tokenizer,
+    )
+    from azure_medicine_data_engineering_spark.session import (
+        ensure_parallelism,
     )
 
     docs = _t(spark, sf_dir, "documents")
     toks = gpt2_pretokens(F.concat(F.col("text"), F.lit(_GPT2_SUFFIX)))
-    units = docs.select(
-        "doc_id", F.col("source").alias("g"), F.explode(toks).alias("w")
+    gw = (
+        ensure_parallelism(docs)
+        .select(F.col("source").alias("g"), F.explode(toks).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
-    wf = units.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    wf = gw.groupBy("w").agg(F.sum("c").cast("long").alias("f"))
+    ndocs = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy(F.col("source").alias("g"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    )
     trained = byte_bpe_merge_train(docs, n_merges=_BBG_MERGES, words_freq=wf)
     merges = [
         (r.left_sym, r.right_sym)
@@ -159,9 +182,12 @@ def q_gpt2_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     export_gpt2_tokenizer(merges, root)
     merges_rt, vocab_rt = parse_gpt2_tokenizer(root)
-    out = gpt2_encode_ids_stats(units, merges_rt, vocab_rt, spark)
+    out = gpt2_encode_ids_stats_from_counts(
+        gw, ndocs, merges_rt, vocab_rt, spark
+    )
     # nothing in `out`'s lineage reads the landed files lazily (merges and
     # vocab are re-ingested driver-side at vocab grain), so the tree can
     # go as soon as the frame is built
     shutil.rmtree(root, ignore_errors=True)
+    out._stage_caches = [gw] + list(getattr(trained, "_stage_caches", []))
     return out
