@@ -268,9 +268,10 @@ def epoch_shuffle(
 
 def token_budget_waterfill(
     df: DataFrame,
-    budget: int,
+    budget: int = 0,
     group_col: str = "source",
     text_col: str = "text",
+    budget_total_frac: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Mixture planning by waterfilling: split a total token ``budget``
     across sources so every source keeps min(its tokens, L) for the unique
@@ -294,18 +295,39 @@ def token_budget_waterfill(
     per_src = df.groupBy(F.col(group_col).alias("src")).agg(
         F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens")
     )
-    return waterfill_from_counts(per_src, budget, group_col=group_col)
+    return waterfill_from_counts(
+        per_src, budget, group_col=group_col,
+        budget_total_frac=budget_total_frac,
+    )
 
 
 def waterfill_from_counts(
-    per_src: DataFrame, budget: int, group_col: str = "source"
+    per_src: DataFrame,
+    budget: int = 0,
+    group_col: str = "source",
+    budget_total_frac: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The waterfill solve on a PRE-AGGREGATED ``(src, n_tokens)`` frame
     (round 15 — the streaming frontier budget re-runs the solve per
     trigger on accumulated per-host count partials, so the count pass
     and the solve must be separable). Same closed form and output as
-    :func:`token_budget_waterfill`."""
+    :func:`token_budget_waterfill`.
+
+    ``budget_total_frac`` (optimization round 15 — guide §5 "the driver
+    should do almost no data work"): when set to ``(num, den)``, the
+    budget scalar is ``(total_tokens * num) div den`` computed IN-PLAN
+    from the solve's own ``_total`` window instead of a literal the
+    caller obtained via a driver-side ``count()``/``collect()`` round
+    trip — one fewer Spark job per solve, bit-identical because the
+    caller's Python ``int(total) * num // den`` on a non-negative total
+    is the same floor division."""
     from pyspark.sql.window import Window
+
+    if budget_total_frac is not None:
+        num, den = budget_total_frac
+        b_expr = f"((_total * {int(num)}) div {int(den)})"
+    else:
+        b_expr = str(int(budget))
 
     w = Window.orderBy("n_tokens", "src")
     wall = Window.partitionBy()
@@ -319,8 +341,11 @@ def waterfill_from_counts(
         F.count(F.lit(1)).over(wall).alias("_S"),
         F.sum("n_tokens").over(wall).alias("_total"),
     )
-    b = F.lit(int(budget))
-    feasible = F.col("_prefix") + F.col("n_tokens") * (F.col("_S") - F.col("_i") + 1) >= b
+    feasible = (
+        F.col("_prefix")
+        + F.col("n_tokens") * (F.col("_S") - F.col("_i") + 1)
+        >= F.expr(b_expr)
+    )
     istar = ranked.where(feasible).agg(
         F.min("_i").alias("_istar"),
         F.min_by("_prefix", "_i").alias("_pstar"),
@@ -335,10 +360,10 @@ def waterfill_from_counts(
                 F.col("n_tokens"),
             )
             .otherwise(
-                F.expr(f"({budget} - _pstar) div (_S - _istar + 1)")
+                F.expr(f"({b_expr} - _pstar) div (_S - _istar + 1)")
                 + (
                     (F.col("_i") - F.col("_istar"))
-                    < F.expr(f"({budget} - _pstar) % (_S - _istar + 1)")
+                    < F.expr(f"({b_expr} - _pstar) % (_S - _istar + 1)")
                 ).cast("long")
             )
             .cast("long")

@@ -1244,13 +1244,13 @@ def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_medicine_data_engineering_spark.operators.sampling import (
         token_budget_waterfill,
     )
-    from azure_medicine_data_engineering_spark.operators.text import token_count
 
+    # 60% budget computed IN-PLAN from the solve's own total window
+    # (optimization round 15, guide §5): the old driver collect() cost a
+    # SECOND full-corpus tokenize pass before the solve's own; _total ==
+    # the old sum(token_count) exactly, so (b) is the same floor division.
     docs = _t(spark, sf_dir, "documents")
-    total = docs.agg(
-        F.sum(token_count(F.col("text")).cast("long")).alias("t")
-    ).collect()[0].t
-    return token_budget_waterfill(docs, budget=total * 3 // 5)
+    return token_budget_waterfill(docs, budget_total_frac=(3, 5))
 
 
 # ---------------------------------------------------------------------------

@@ -411,9 +411,13 @@ def q_frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("host_idx").cast("string").alias("host"), "path")
         .persist()
     )
-    total = allowed.count()
+    # budget = 60% of the allowed total, computed IN-PLAN from the solve's
+    # own total window (optimization round 15, guide §5) — the count()
+    # driver round trip is gone; exact because one whitespace-free path =
+    # one token, so sum(n_tokens) == the old row count (and the oracle's b
+    # is SUM(n_tokens) * 3 // 5 verbatim).
     wf = token_budget_waterfill(
-        allowed, budget=total * 3 // 5, group_col="host", text_col="path"
+        allowed, group_col="host", text_col="path", budget_total_frac=(3, 5)
     )
     out = wf.select(
         F.col("host").cast("int").alias("host_idx"),
@@ -554,9 +558,9 @@ def q_crawl_budgeted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    total = allowed.count()
+    # in-plan 60% budget (see q_frontier_host_budget) — no count() job
     alloc = token_budget_waterfill(
-        allowed, budget=total * 3 // 5, group_col="host", text_col="path"
+        allowed, group_col="host", text_col="path", budget_total_frac=(3, 5)
     ).select("host", F.col("alloc_tokens").alias("fetch_budget"))
     w_host = Window.partitionBy("host").orderBy("media_id", "pos")
     kept = (
@@ -821,9 +825,9 @@ def q_frontier_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("host_idx").cast("string").alias("host"), "path")
         .persist()
     )
-    total = allowed.count()
+    # in-plan 60% budget (see q_frontier_host_budget) — no count() job
     budget = token_budget_waterfill(
-        allowed, budget=total * 3 // 5, group_col="host", text_col="path"
+        allowed, group_col="host", text_col="path", budget_total_frac=(3, 5)
     ).select(
         F.col("host").cast("int").alias("b_host"),
         F.col("alloc_tokens").alias("fetch_budget"),

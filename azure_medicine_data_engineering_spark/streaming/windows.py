@@ -668,11 +668,13 @@ def frontier_budget_process_batch(
         .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
         .persist()
     )
-    total = acc.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    # 60% of the accumulated total computed IN-PLAN from the solve's own
+    # total window (optimization round 15, guide §5): one fewer Spark job
+    # per trigger than the collect()-a-scalar form, same floor division.
     alloc = waterfill_from_counts(
         acc.select(F.col("host").alias("src"), "n_tokens"),
-        budget=int(total) * 3 // 5,
         group_col="host",
+        budget_total_frac=(3, 5),
     ).select(
         F.col("host").cast("int").alias("host_idx"),
         F.col("n_tokens").alias("n_allowed"),
