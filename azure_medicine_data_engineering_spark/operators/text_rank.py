@@ -1082,6 +1082,41 @@ KN_LP_EXPR = (
 KN_LPU_EXPR = f"CAST(ROUND(({KN_LP_EXPR}) * 1e6) AS BIGINT)"
 
 
+def _kn3_score_table(t3: DataFrame) -> DataFrame:
+    """The KN trigram score star ``(tri_k, lpu)`` from the persisted
+    distinct-trigram model table (factored out in optimization round 15 —
+    the doc-grain and by-group paths share one build). Every suffix table
+    is a keyed groupBy of ``t3``; the single scalar broadcasts."""
+    # disjoint key names per derived frame: every frame below shares t3's
+    # lineage, and same-name attr reuse in self-lineage joins is the
+    # analysis-time ambiguity CLAUDE.md warns about
+    ab = t3.groupBy(
+        F.col("a").alias("a1"), F.col("b").alias("b1")
+    ).agg(
+        F.sum("c3").cast("long").alias("cab"),
+        F.count(F.lit(1)).cast("long").alias("nab"),
+    )
+    bc = t3.groupBy(F.col("b").alias("b2"), F.col("c").alias("c2")).agg(
+        F.count(F.lit(1)).cast("long").alias("nbc")
+    )
+    bb = t3.groupBy(F.col("b").alias("b3")).agg(
+        F.count(F.lit(1)).cast("long").alias("nbb"),
+        F.count_distinct("c").cast("long").alias("nbl"),
+    )
+    c1 = bc.groupBy(F.col("c2").alias("c4")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1c")
+    )
+    nal = bc.agg(F.count(F.lit(1)).cast("long").alias("nal"))
+    return (
+        t3.join(ab, (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1")))
+        .join(bc, (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")))
+        .join(bb, F.col("b") == F.col("b3"))
+        .join(c1, F.col("c") == F.col("c4"))
+        .crossJoin(F.broadcast(nal))
+        .selectExpr("tri AS tri_k", f"{KN_LPU_EXPR} AS lpu")
+    )
+
+
 def kn_trigram_doc_nll(
     df: DataFrame,
     group_col: str = "source",
@@ -1089,11 +1124,10 @@ def kn_trigram_doc_nll(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """DOC-grain Kneser-Ney trigram NLL frame ``(id, g, n_trigrams, slpu,
-    nll)`` — the shared core of :func:`kn_trigram_logprob_by_group` and
-    the router-delta comparison (``slpu`` stays DECIMAL(38,0) so group
-    re-aggregation sums the exact integers, not per-doc means). See the
-    by-group function for the model/exactness/scale story; the persisted
-    distinct-trigram model table rides ``_stage_caches``."""
+    nll)`` — the shared core of the router-delta comparison (``slpu``
+    stays DECIMAL(38,0) so group re-aggregation sums the exact integers,
+    not per-doc means). The persisted distinct-trigram model table rides
+    ``_stage_caches``."""
     from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
     from azure_medicine_data_engineering_spark.operators.text import tokens
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
@@ -1116,34 +1150,7 @@ def kn_trigram_doc_nll(
         )
         .persist()
     )
-    # disjoint key names per derived frame: every frame below shares t3's
-    # lineage, and same-name attr reuse in self-lineage joins is the
-    # analysis-time ambiguity CLAUDE.md warns about
-    ab = t3.groupBy(
-        F.col("a").alias("a1"), F.col("b").alias("b1")
-    ).agg(
-        F.sum("c3").cast("long").alias("cab"),
-        F.count(F.lit(1)).cast("long").alias("nab"),
-    )
-    bc = t3.groupBy(F.col("b").alias("b2"), F.col("c").alias("c2")).agg(
-        F.count(F.lit(1)).cast("long").alias("nbc")
-    )
-    bb = t3.groupBy(F.col("b").alias("b3")).agg(
-        F.count(F.lit(1)).cast("long").alias("nbb"),
-        F.count_distinct("c").cast("long").alias("nbl"),
-    )
-    c1 = bc.groupBy(F.col("c2").alias("c4")).agg(
-        F.count(F.lit(1)).cast("long").alias("n1c")
-    )
-    nal = bc.agg(F.count(F.lit(1)).cast("long").alias("nal"))
-    lpu = (
-        t3.join(ab, (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1")))
-        .join(bc, (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")))
-        .join(bb, F.col("b") == F.col("b3"))
-        .join(c1, F.col("c") == F.col("c4"))
-        .crossJoin(F.broadcast(nal))
-        .selectExpr("tri AS tri_k", f"{KN_LPU_EXPR} AS lpu")
-    )
+    lpu = _kn3_score_table(t3)
     out = (
         tri.join(lpu, tri.tri == lpu.tri_k)
         .groupBy(id_col, "g")
@@ -1175,23 +1182,68 @@ def kn_trigram_logprob_by_group(
     mean on the 1e-6 integer grid (micro-grid sum in DECIMAL(38,0),
     integer division — the repo's order-free, engine-exact mean).
 
-    Scale: one trigram explode feeds (a) the DISTINCT-TRIGRAM model table
-    — the only persisted frame, the LM's count table (at 100 TB this is
-    the frame a production run would materialize to parquet; every count
-    CTE derives from it, never from a raw re-scan) — and (b) the scoring
-    join. All KN quantities (context sums, continuation counts) are keyed
-    groupBys of that table; the single scalar (``nal``) broadcasts. The
-    per-token cost is exactly one token-grain join into the
-    trigram-keyed lpu table, the same honest cost class as
-    ``ccnet_perplexity_buckets``."""
-    doc = kn_trigram_doc_nll(df, group_col, text_col, id_col)
-    out = (
-        doc.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_trigrams").cast("long").alias("n_trigrams"),
-            F.sum("slpu").alias("slpu"),
+    Scale: the DISTINCT-TRIGRAM model table is the LM's count table (at
+    100 TB this is the frame a production run would materialize to
+    parquet; every count CTE derives from it, never from a raw re-scan).
+    All KN quantities (context sums, continuation counts) are keyed
+    groupBys of that table; the single scalar (``nal``) broadcasts.
+
+    Round-15 shape (mirrors the 5-gram family's ``_kn5_group_counts``):
+    the score table attaches to per-``(g, tri)`` COUNTS, not positions —
+    ``sum(cgt * lpu)`` equals the positional ``sum(lpu)`` exactly
+    (integer micro-grid arithmetic, order-independent) — and ``n_docs``
+    comes from a light no-explode scan (a doc contributes iff it has
+    >= 3 tokens), so the corpus is tokenized ONCE instead of twice and
+    the heavy join input shrinks from positions to model-x-group grain."""
+    from azure_medicine_data_engineering_spark.operators.repetition import word_ngrams
+    from azure_medicine_data_engineering_spark.operators.text import tokens
+    from azure_medicine_data_engineering_spark.session import ensure_parallelism
+
+    gpt = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(word_ngrams(tokens(F.col(text_col)), 3)).alias("tri"),
         )
+        .groupBy("g", "tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("cgt"))
+        .persist()
+    )
+    ndocs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("g"),
+            F.size(tokens(F.col(text_col))).alias("ntok"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum((F.col("ntok") >= 3).cast("long")).cast("long").alias("n_docs")
+        )
+    )
+    t3 = (
+        gpt.groupBy(F.col("tri").alias("tri0"))
+        .agg(F.sum("cgt").cast("long").alias("c3"))
+        .select(
+            F.col("tri0").alias("tri"),
+            "c3",
+            F.substring_index("tri0", " ", 1).alias("a"),
+            F.substring_index(F.substring_index("tri0", " ", 2), " ", -1).alias("b"),
+            F.substring_index("tri0", " ", -1).alias("c"),
+        )
+        .persist()
+    )
+    lpu = _kn3_score_table(t3)
+    out = (
+        gpt.join(lpu, gpt.tri == lpu.tri_k)
+        .groupBy("g")
+        .agg(
+            F.sum("cgt").cast("long").alias("n_trigrams"),
+            F.sum(
+                F.col("cgt").cast("decimal(38,0)")
+                * F.col("lpu").cast("decimal(38,0)")
+            ).alias("slpu"),
+        )
+        .join(F.broadcast(ndocs), "g")
         .selectExpr(
             "g",
             "n_docs",
@@ -1199,7 +1251,7 @@ def kn_trigram_logprob_by_group(
             "(-slpu) div n_trigrams AS nll_micro",
         )
     )
-    out._stage_caches = list(getattr(doc, "_stage_caches", []))
+    out._stage_caches = [gpt, t3]
     return out
 
 
