@@ -122,11 +122,14 @@ def _merge_loop(words: DataFrame, n_merges: int) -> DataFrame:
     """The shared eager-checkpoint merge loop over a byte-symbolized
     ``(s, f)`` frame (factored in round 13 for the pretokenized variant)."""
     dd = DELIM + DELIM
-    merges: list[DataFrame] = []
-    # per-round eager checkpoints, not a persist chain: with persists each
-    # later round's plan carries the whole earlier chain and per-round
-    # wall-clock grows (measured on the char-level trainer, round 12)
+    # Optimization round 15 (guide §5/§1.2): driver-collected 1-row argmax
+    # + lazy literal replaces over the ONE checkpointed word frame — one
+    # Spark job per round instead of two full materializations, linear
+    # plan growth, bit-identical results (see bpe_merge_train, same
+    # rationale).
+    spark = words.sparkSession
     cur = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
     for i in range(1, n_merges + 1):
         toks = cur.select(
             F.split(F.expr("substring(s, 2, length(s) - 2)"), dd).alias("l"),
@@ -141,42 +144,29 @@ def _merge_loop(words: DataFrame, n_merges: int) -> DataFrame:
             ).alias("p"),
             "f",
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "f")
-        # eager localCheckpoint on the 1-row argmax — the 2^n analysis
-        # blowup cure (see bpe_merge_train / CLAUDE.md iterative-trainer
-        # convention)
         top = (
             pairs.groupBy("a", "b")
             .agg(F.sum("f").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        merges.append(
-            top.select(
-                F.lit(i).cast("int").alias("merge_idx"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
-            )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((i, a, b, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{DELIM}{a}{dd}{b}{DELIM}"),
+                F.lit(f"{DELIM}{a}{b}{DELIM}"),
+            ).alias("s"),
+            "f",
         )
-        cur = (
-            cur.crossJoin(F.broadcast(top))
-            .select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit(DELIM), F.col("a"), F.lit(dd), F.col("b"), F.lit(DELIM)
-                    ),
-                    F.concat(F.lit(DELIM), F.col("a"), F.col("b"), F.lit(DELIM)),
-                ).alias("s"),
-                "f",
-            )
-            .localCheckpoint(eager=True)
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, left_sym string, right_sym string, pair_count long",
+    )
 
 
 def byte_bpe_tokenize_stats(

@@ -370,15 +370,20 @@ def bpe_merge_train(
             .agg(F.count(F.lit(1)).cast("long").alias("f"))
             .select(F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f")
         )
-    caches: list[DataFrame] = []
-    merges: list[DataFrame] = []
-    # round 12: the WORD frame is eagerly checkpointed per round (not
-    # persisted) — with a persist chain each later round's plan carries
-    # the whole earlier chain through analysis and the final 12-way merge
-    # union, and per-round wall-clock GROWS (measured 0.6 s -> 1.8 s by
-    # round 12 at sf0.1); checkpoint leaves keep every round flat
-    # (~0.4 s) and the batched path already did exactly this
+    # Optimization round 15 (guide §5/§1.2): the 1-row argmax is COLLECTED
+    # (bounded — vocab grain, the same class as the caller's own merges
+    # collect), so the rewrite becomes a LAZY literal replace stacked on
+    # the one eagerly-checkpointed word frame: ONE Spark job per round
+    # instead of two full word-frame materializations (the old per-round
+    # top + cur checkpoints). The 2^n analysis blowup the checkpoints
+    # cured cannot recur: the argmax no longer feeds two plan branches —
+    # it is driver state — and the plan grows by one replace per round
+    # (linear). Results are bit-identical (same aggregation, same
+    # deterministic tie-break, same replace semantics with the collected
+    # values inlined as literals).
+    spark = words.sparkSession
     cur = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
     for i in range(1, n_merges + 1):
         toks = cur.select(
             F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|").alias("l"),
@@ -396,44 +401,28 @@ def bpe_merge_train(
             )
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "f")
         )
-        # 1-row argmax is localCheckpoint-ed EAGERLY (clusters.py precedent):
-        # it feeds two branches (merge output + rewrite), and without the
-        # lineage cut every round's plan embeds the previous round TWICE —
-        # 2^n_merges analysis blowup. The checkpoint makes each round's
-        # plan a leaf, so analysis and execution both stay linear.
         top = (
             pairs.groupBy("a", "b")
             .agg(F.sum("f").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        merges.append(
-            top.select(
-                F.lit(i).cast("int").alias("merge_idx"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
-            )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((i, a, b, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("s"),
+            "f",
         )
-        cur = (
-            cur.crossJoin(F.broadcast(top))
-            .select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
-                    ),
-                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
-                ).alias("s"),
-                "f",
-            )
-            .localCheckpoint(eager=True)
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    out._stage_caches = caches
+    out = spark.createDataFrame(
+        merges,
+        "merge_idx int, left_sym string, right_sym string, pair_count long",
+    )
+    out._stage_caches = []
     return out
 
 
