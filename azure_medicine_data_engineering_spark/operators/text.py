@@ -622,10 +622,16 @@ def bpe_merge_train_by_group(
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
         .select("g", F.regexp_replace("_w", "(.)", r"|$1|").alias("s"), "f")
     )
-    caches: list[DataFrame] = []
-    merges: list[DataFrame] = []
-    cur = words.persist()
-    caches.append(cur)
+    # Optimization round 15 (guide §5/§1.2 — the Change-8 pattern at group
+    # grain): the per-round argmax is |groups| rows (bounded), so it is
+    # COLLECTED and the rewrite becomes a lazy per-group literal
+    # when-chain stacked on the ONE checkpointed word frame — one Spark
+    # job per round instead of a checkpoint + a persist-chain link whose
+    # analysis cost grew per round. A group absent from the round's argmax
+    # (no pairs left) is filtered out exactly like the old inner join.
+    spark = words.sparkSession
+    cur = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, int, str, str, int]] = []
     w_rank = Window.partitionBy("g").orderBy(F.desc("cnt"), "a", "b")
     for i in range(1, n_merges + 1):
         toks = cur.select(
@@ -652,38 +658,36 @@ def bpe_merge_train_by_group(
             .withColumn("_rn", F.row_number().over(w_rank))
             .where(F.col("_rn") == 1)
             .drop("_rn")
-            .localCheckpoint(eager=True)  # |groups|-row; cuts the 2^n lineage
+            .collect()  # |groups|-row bounded collect
         )
-        merges.append(
-            top.select(
-                "g",
-                F.lit(i).cast("int").alias("merge_idx"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
+        if not top:
+            break
+        for r in sorted(top, key=lambda r: r["g"]):
+            merges.append(
+                (r["g"], i, r["a"], r["b"], int(r["cnt"]))
             )
-        )
-        nxt = (
-            cur.join(top.select("g", "a", "b"), "g")
-            .select(
-                "g",
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
-                    ),
-                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
-                ).alias("s"),
-                "f",
+        rewrite = None
+        for r in top:
+            branch = F.replace(
+                F.col("s"),
+                F.lit(f"|{r['a']}||{r['b']}|"),
+                F.lit(f"|{r['a']}{r['b']}|"),
             )
-            .persist()
-        )
-        caches.append(nxt)
-        cur = nxt
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    out._stage_caches = caches
+            cond = F.col("g") == F.lit(r["g"])
+            rewrite = (
+                F.when(cond, branch)
+                if rewrite is None
+                else rewrite.when(cond, branch)
+            )
+        cur = cur.where(
+            F.col("g").isin([r["g"] for r in top])
+        ).select("g", rewrite.alias("s"), "f")
+    out = spark.createDataFrame(
+        merges,
+        "g string, merge_idx int, left_sym string, right_sym string,"
+        " pair_count long",
+    )
+    out._stage_caches = []
     return out
 
 
