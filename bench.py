@@ -252,7 +252,11 @@ def main() -> None:
             # 128 MiB cluster default would scan on 1-3 cores; smaller splits
             # restore parallelism without changing cluster defaults.
             "spark.sql.files.maxPartitionBytes": "8m",
-            "spark.sql.files.openCostInBytes": "1m",
+            # optimization round 15 (guide §6): pack landed small files
+            # (shard tars, state partials) into shared scan tasks — the
+            # old 1m forced ~7 files/task on manifest re-ingests; matches
+            # the session default (session.py) at bench split sizing.
+            "spark.sql.files.openCostInBytes": "65536",
         },
     )
     # JVM/codegen warm-up so the first timed query isn't charged for JIT
