@@ -210,11 +210,12 @@ def q_crawl_e2e_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("host_idx"),
         F.regexp_extract("loc", r"example\.com(/.*)$", 1).alias("path"),
-    ).persist()
-    gated = robots_gate_urls(frontier).persist()
-    fetched = (
-        gated.where("allowed").select("media_id").distinct().persist()
     )
+    # optimization round 15: ONE persisted url-grain frame (two consumers:
+    # the stage-0..2 fate aggregate and the fetched-docs join) instead of
+    # three chained persists; stages 0-2 collapse to one aggregate below.
+    gated = robots_gate_urls(frontier).persist()
+    fetched = gated.where("allowed").select("media_id").distinct()
     fdocs = docs.join(
         fetched, docs.doc_id == fetched.media_id
     ).select("doc_id", "text")
@@ -247,46 +248,98 @@ def q_crawl_e2e_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf_ext = pdf_extract_e2e(
         attach_pdf_payload(pdf_docs, "doc_id", "text", 80, 4), with_text=True
     ).select("media_id", "extracted")
-    ext = (
-        html_ext.unionByName(pdf_ext)
-        .where(F.length("extracted") > 0)
-        .persist()
-    )
-    c4 = c4_line_filter(ext, text_col="extracted", id_col="media_id")
-    s4 = c4.where(F.col("n_kept") >= 1).select("media_id", "clean_text").persist()
+    ext = html_ext.unionByName(pdf_ext).where(F.length("extracted") > 0)
+    # optimization round 15 (the AV funnel's explode-one-row-into-fates
+    # pattern): stages 3-6 derive as FLAGS on ONE doc-grain frame (c4
+    # keeps every input doc with n_kept + clean_text), so the extraction
+    # kernels run once into a single aggregate instead of filling three
+    # persisted stage caches read by four 1-row agg branches. The dedup
+    # stage's row_number()==1 becomes the conditional cumulative count
+    # (first p5 row per md5(clean_text) has cum==1 — non-p5 rows add 0).
     # thresholds tuned to the synthetic corpus profile (~54-word docs, a
     # vocabulary that carries 'the' but few other Gopher stop words) so the
     # stage separates instead of annihilating; the OPERATOR defaults stay
     # the Gopher-paper values
-    s5 = s4.where(
-        gopher_ok_all(F.col("clean_text"), min_words=30, min_stop_hits=1)
-    ).persist()
-    w_dup = Window.partitionBy(F.md5("clean_text")).orderBy("media_id")
-    s6 = (
-        s5.withColumn("rn", F.row_number().over(w_dup))
-        .where(F.col("rn") == 1)
-        .select("media_id")
+    c4 = c4_line_filter(ext, text_col="extracted", id_col="media_id")
+    w_dup = (
+        Window.partitionBy(F.md5("clean_text"))
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flags = (
+        c4.select(
+            "media_id",
+            "clean_text",
+            (F.col("n_kept") >= 1).alias("p4"),
+        )
+        .withColumn(
+            "p5",
+            F.col("p4")
+            & gopher_ok_all(
+                F.col("clean_text"), min_words=30, min_stop_hits=1
+            ),
+        )
+        .withColumn(
+            "p6",
+            F.col("p5")
+            & (F.sum(F.col("p5").cast("int")).over(w_dup) == 1),
+        )
     )
 
-    def row(df: DataFrame, idc: str, sid: int, name: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_out"),
-            F.coalesce(F.sum(idc), F.lit(0)).cast("long").alias("sum_ids"),
-        ).select(
-            F.lit(sid).cast("int").alias("stage_id"),
-            F.lit(name).alias("stage"),
-            "n_out",
-            "sum_ids",
-        )
+    def cnt(flag: str):
+        return F.coalesce(
+            F.sum(F.col(flag).cast("long")), F.lit(0)
+        ).cast("long")
 
-    funnel = (
-        row(frontier, "media_id", 0, "frontier_urls")
-        .unionByName(row(gated.where("allowed"), "media_id", 1, "robots_allowed"))
-        .unionByName(row(fetched, "media_id", 2, "fetched_docs"))
-        .unionByName(row(ext, "media_id", 3, "extracted_docs"))
-        .unionByName(row(s4, "media_id", 4, "c4_line_clean"))
-        .unionByName(row(s5, "media_id", 5, "gopher_pass"))
-        .unionByName(row(s6, "media_id", 6, "exact_dedup"))
+    def ids(flag: str):
+        return F.coalesce(
+            F.sum(F.when(F.col(flag), F.col("media_id"))), F.lit(0)
+        ).cast("long")
+
+    # stages 0-2 in ONE url-grain aggregate: allowed rows are stage 1;
+    # stage 2 is the DISTINCT allowed doc set (count/sum over distinct
+    # media_id — exactly the old fetched frame's count and id sum)
+    u = gated.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.coalesce(F.sum("media_id"), F.lit(0)).cast("long").alias("i0"),
+        cnt("allowed").alias("n1"),
+        ids("allowed").alias("i1"),
+        F.count_distinct(F.when(F.col("allowed"), F.col("media_id")))
+        .cast("long")
+        .alias("n2"),
+        F.coalesce(
+            F.sum_distinct(F.when(F.col("allowed"), F.col("media_id"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("i2"),
+    )
+    d = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n3"),
+        F.coalesce(F.sum("media_id"), F.lit(0)).cast("long").alias("i3"),
+        cnt("p4").alias("n4"),
+        ids("p4").alias("i4"),
+        cnt("p5").alias("n5"),
+        ids("p5").alias("i5"),
+        cnt("p6").alias("n6"),
+        ids("p6").alias("i6"),
+    )
+    names = [
+        "frontier_urls", "robots_allowed", "fetched_docs", "extracted_docs",
+        "c4_line_clean", "gopher_pass", "exact_dedup",
+    ]
+    stack_args = ", ".join(
+        f"{k}, '{names[k]}', n{k}, i{k}" for k in range(7)
+    )
+    funnel = u.crossJoin(d).select(
+        F.expr(
+            f"stack(7, {stack_args}) AS (stage_id, stage, n_out, sum_ids)"
+        )
+    ).select(
+        F.col("stage_id").cast("int").alias("stage_id"),
+        "stage",
+        F.col("n_out").cast("long").alias("n_out"),
+        F.col("sum_ids").cast("long").alias("sum_ids"),
     )
     w = Window.orderBy("stage_id")
     out = funnel.select(
@@ -298,7 +351,7 @@ def q_crawl_e2e_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         "sum_ids",
     )
-    out._stage_caches = [frontier, gated, fetched, ext, s4, s5]
+    out._stage_caches = [gated]
     return out
 
 
