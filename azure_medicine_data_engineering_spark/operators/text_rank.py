@@ -1209,16 +1209,14 @@ def kn_trigram_logprob_by_group(
         .agg(F.count(F.lit(1)).cast("long").alias("cgt"))
         .persist()
     )
+    # early-exit regex for ntok >= 3 (see _kn5_group_counts)
     ndocs = (
-        ensure_parallelism(df)
-        .select(
+        df.select(
             F.col(group_col).alias("g"),
-            F.size(tokens(F.col(text_col))).alias("ntok"),
+            F.col(text_col).rlike(r"\S+(\s+\S+){2}").alias("ok"),
         )
         .groupBy("g")
-        .agg(
-            F.sum((F.col("ntok") >= 3).cast("long")).cast("long").alias("n_docs")
-        )
+        .agg(F.sum(F.col("ok").cast("long")).cast("long").alias("n_docs"))
     )
     t3 = (
         gpt.groupBy(F.col("tri").alias("tri0"))
@@ -1573,16 +1571,18 @@ def _kn5_group_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("cgp"))
         .persist()
     )
+    # ntok >= 5 as an EARLY-EXIT regex instead of a full split+filter+size
+    # tokenize pass (optimization round 15, guide §1.2): a doc has >= 5
+    # whitespace tokens iff it contains 5 maximal \S runs — the rlike
+    # stops at the first match (~the first five words) while the old
+    # size(tokens(...)) materialized the whole token array per doc.
     ndocs = (
-        ensure_parallelism(df)
-        .select(
+        df.select(
             F.col(group_col).alias("g"),
-            F.size(tokens(F.col(text_col))).alias("ntok"),
+            F.col(text_col).rlike(r"\S+(\s+\S+){4}").alias("ok"),
         )
         .groupBy("g")
-        .agg(
-            F.sum((F.col("ntok") >= 5).cast("long")).cast("long").alias("n_docs")
-        )
+        .agg(F.sum(F.col("ok").cast("long")).cast("long").alias("n_docs"))
     )
     return gpg, ndocs
 
