@@ -257,6 +257,15 @@ def main() -> None:
             # old 1m forced ~7 files/task on manifest re-ingests; matches
             # the session default (session.py) at bench split sizing.
             "spark.sql.files.openCostInBytes": "65536",
+            # optimization round 15 (guide §5): the bench JVM previously
+            # ran at the 1 GiB default heap on a 128 GiB box — persisted
+            # model tables and broadcast builds spilled/GC-thrashed.
+            # Alternating fresh-JVM A/B at sf0.1 (steal-stamped, quiet
+            # samples): kn_5gram 9.9 -> 8.2 s, wds_curated_shards
+            # 6.1 -> 4.3 s at 12g. Env-parameterised per repo convention.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "12g"
+            ),
         },
     )
     # JVM/codegen warm-up so the first timed query isn't charged for JIT
