@@ -435,7 +435,10 @@ def q_multimodal_av_curation_funnel(
         .alias("n_dropped"),
         "sum_ids",
     )
-    out._media_cache = media  # keep the persist handle alive
+    # ride _stage_caches so repeat runners (bench) unpersist the payload-
+    # sized media cache between invocations — the bare handle leaked one
+    # ~payload-sized cached frame per run (optimization round 15)
+    out._stage_caches = [media]
     return out
 
 

@@ -257,14 +257,18 @@ def main() -> None:
             # old 1m forced ~7 files/task on manifest re-ingests; matches
             # the session default (session.py) at bench split sizing.
             "spark.sql.files.openCostInBytes": "65536",
-            # optimization round 15 (guide §5): the bench JVM previously
-            # ran at the 1 GiB default heap on a 128 GiB box — persisted
-            # model tables and broadcast builds spilled/GC-thrashed.
-            # Alternating fresh-JVM A/B at sf0.1 (steal-stamped, quiet
-            # samples): kn_5gram 9.9 -> 8.2 s, wds_curated_shards
-            # 6.1 -> 4.3 s at 12g. Env-parameterised per repo convention.
-            "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM", "12g"
+            # driver heap stays at the Spark default unless the repo's
+            # env knob is set: a 12g default was TRIED this round and
+            # REVERTED — once the leaked persists were fixed (clearCache
+            # below), steal-stamped quiet A/Bs showed the big heap 2-3x
+            # SLOWER on payload-heavy Arrow queries (multimodal funnel
+            # 3.5 -> 11-18 s) and no longer faster on the model-table
+            # queries; the initial "12g wins" was an interaction with the
+            # leaked caches, not a real memory shortfall.
+            **(
+                {"spark.driver.memory": os.environ["SPARK_GRAFT_DRIVER_MEM"]}
+                if os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+                else {}
             ),
         },
     )
@@ -295,6 +299,15 @@ def main() -> None:
                     c.unpersist()
             timings[name] = round(min(runs), 3)
             medians[name] = round(statistics.median(runs), 3)
+            # optimization round 15 (guide §5): drop EVERY cached frame
+            # between queries — a handful of queries persist frames that
+            # never rode _stage_caches, and those leaks accumulated
+            # across the ~80-query session (GC churn growing with heap
+            # size). Cross-query cache reuse would be result-gaming
+            # anyway (the no-precomputation rule), so clearing between
+            # queries also enforces that every timed run computes from
+            # the parquet inputs.
+            spark.catalog.clearCache()
         return timings, medians
 
     quiet = _wait_for_quiet()
