@@ -192,7 +192,7 @@ def q_quota_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
     ).persist()  # counted twice: per-lang and total
     total = kept.agg(F.count(F.lit(1)).alias("_total"))
-    return (
+    _out = (
         kept.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .crossJoin(F.broadcast(total))
@@ -204,6 +204,8 @@ def q_quota_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    _out._stage_caches = [kept]  # r15 leak fix
+    return _out
 
 
 # ---------------------------------------------------------------------------
@@ -431,7 +433,7 @@ def q_corpus_e2e_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def row(df: DataFrame, sid: int, name: str) -> DataFrame:
-        return df.agg(
+        _out = df.agg(
             F.count(F.lit(1)).cast("long").alias("n_out"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sum_ids"),
         ).select(
@@ -440,6 +442,7 @@ def q_corpus_e2e_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_out",
             "sum_ids",
         )
+        return _out
 
     funnel = (
         row(docs, 0, "input")
@@ -450,7 +453,7 @@ def q_corpus_e2e_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(s5, 5, "quota_sample"))
     )
     w = Window.orderBy("stage_id")
-    return funnel.select(
+    out = funnel.select(
         "stage_id",
         "stage",
         "n_out",
@@ -459,6 +462,8 @@ def q_corpus_e2e_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         "sum_ids",
     )
+    out._stage_caches = [s1, s2, s3, s4]  # r15 leak fix
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -695,7 +700,7 @@ def q_temperature_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("rate"),
     )
-    return (
+    _out = (
         out.join(rates, "lang")
         .crossJoin(F.broadcast(total_out))
         .select(
@@ -708,6 +713,8 @@ def q_temperature_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFra
             "rate",
         )
     )
+    _out._stage_caches = [out]  # r15 leak fix
+    return _out
 
 
 @register(
@@ -1484,7 +1491,7 @@ def q_corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").cast("long").alias("n_langs"),
         F.count_distinct("fp").cast("long").alias("n_unique_docs"),
     )
-    return per.join(top, "source").select(
+    _out = per.join(top, "source").select(
         "source",
         "n_docs",
         "n_tokens",
@@ -1496,6 +1503,8 @@ def q_corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+    _out._stage_caches = [base]  # r15 leak fix
+    return _out
 
 
 @register(

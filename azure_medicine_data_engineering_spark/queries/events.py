@@ -1012,7 +1012,7 @@ def q_funnel_stepdown_significance(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("pp.n_users").alias("n2"),
         )
     )
-    return steps.select(
+    _out = steps.select(
         "step_idx",
         F.col("n1").alias("n_prev"),
         F.col("x1").alias("n_reached"),
@@ -1020,6 +1020,8 @@ def q_funnel_stepdown_significance(spark: SparkSession, sf_dir: str) -> DataFram
         (F.expr("x2 * 1000000 div n2") / 1e6).alias("prev_conv_rate"),
         F.expr(PROP_Z_EXPR).alias("z"),
     )
+    _out._stage_caches = [totals]  # r15 leak fix
+    return _out
 
 
 from azure_medicine_data_engineering_spark.operators.scd2 import (  # noqa: E402

@@ -232,12 +232,14 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array_distinct(hs_col))
-    return grams.select("doc_id", fp.alias("fp")).select(
+    out = grams.select("doc_id", fp.alias("fp")).select(
         "doc_id",
         F.size("fp").cast("int").alias("n_fingerprints"),
         F.array_min("fp").alias("min_fp"),
         F.array_max("fp").alias("max_fp"),
     )
+    out._stage_caches = [grams]  # repeat runners unpersist (r15 leak fix)
+    return out
 
 
 @register(
@@ -993,7 +995,7 @@ def q_important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     thr = pv.agg((F.lit(0.002) * F.sum("val_u").cast("double")).alias("thr"))
-    return (
+    out = (
         pv.crossJoin(F.broadcast(thr))
         .where(F.col("val_u").cast("double") > F.col("thr"))
         .select(
@@ -1001,6 +1003,8 @@ def q_important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("val_u").cast("double") / 10000, 4).alias("part_value"),
         )
     )
+    out._stage_caches = [pv]  # repeat runners unpersist (r15 leak fix)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1093,7 +1097,7 @@ def q_big_basket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("big_key"))
         .persist()
     )
-    return (
+    out = (
         li.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_key"), "left_semi")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -1107,6 +1111,8 @@ def q_big_basket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+    out._stage_caches = [big]  # repeat runners unpersist (r15 leak fix)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1166,11 +1172,13 @@ def q_waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.l_orderkey") == F.col("o3_key")) & (F.col("a.l_suppkey") != F.col("s3_key")),
         "left_anti",
     )
-    return (
+    out = (
         sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+    out._stage_caches = [late]  # repeat runners unpersist (r15 leak fix)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1278,7 +1286,7 @@ def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     mx = rev.agg(F.max("rev_u").alias("max_rev_u"))
-    return (
+    out = (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("rev_u") == F.col("max_rev_u"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1288,6 +1296,8 @@ def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev_u").cast("double") / 10000, 4).alias("total_rev"),
         )
     )
+    out._stage_caches = [rev]  # repeat runners unpersist (r15 leak fix)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1369,7 +1379,7 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     thr = pq.agg((F.lit(1.5) * F.avg("qty")).alias("thr"))
-    return (
+    out = (
         pq.crossJoin(F.broadcast(thr))
         .where(F.col("qty") > F.col("thr"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1380,6 +1390,8 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").cast("long").alias("promo_qty"),
         )
     )
+    out._stage_caches = [pq]  # repeat runners unpersist (r15 leak fix)
+    return out
 
 
 @register(
@@ -1760,7 +1772,7 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
+    out = (
         spine.join(daily, ["priority", "day"], "left")
         .select(
             "priority",
@@ -1771,6 +1783,8 @@ def q_timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("day_str", "day")
     )
+    out._stage_caches = [daily]  # repeat runners unpersist (r15 leak fix)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1939,8 +1953,10 @@ def q_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("n_pair * n * 1000000 div (n_a * n_b)") / 1e6).alias("lift"),
         )
     )
-    return (
+    out = (
         scored.orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(20)
         .select("brand_a", "brand_b", "n_pair", "n_a", "n_b", "lift")
     )
+    out._stage_caches = [ob]  # repeat runners unpersist (r15 leak fix)
+    return out

@@ -105,7 +105,9 @@ def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = exact.orderBy(F.col("n_exact").desc(), F.col("token")).limit(25)
     sketch = sketches.cms_table(tok, "token")
     est = sketches.cms_estimate(sketch, top.select("token"), "token")
-    return top.join(est, "token").select("token", "n_exact", "cms_estimate")
+    _out = top.join(est, "token").select("token", "n_exact", "cms_estimate")
+    _out._stage_caches = [tok]  # r15 leak fix
+    return _out
 
 
 @register(
@@ -290,12 +292,14 @@ def q_hll_union_customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_union = o2.agg(
         F.count_distinct("o_custkey").cast("long").alias("n_exact")
     ).select(F.lit("F|O").alias("o_orderstatus"), "n_exact")
-    return (
+    _out = (
         est.join(exact.unionByName(exact_union), "o_orderstatus")
         .select(
             F.col("o_orderstatus").alias("subset"), "n_exact", "hll_estimate"
         )
     )
+    _out._stage_caches = [r0]  # r15 leak fix
+    return _out
 
 
 @register(
@@ -396,7 +400,7 @@ def q_hll_intersect_customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("k") == 2)
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
-    return (
+    _out = (
         piv.crossJoin(F.broadcast(exact))
         .select(
             "est_f", "est_o", "est_union",
@@ -404,3 +408,5 @@ def q_hll_intersect_customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_exact",
         )
     )
+    _out._stage_caches = [r0]  # r15 leak fix
+    return _out
