@@ -860,6 +860,20 @@ def semantic_dedup_flags(
     )
     # assigned is persisted by kmeans_fit — both self-join sides and the
     # final left join read it. Alias + qualify: same-lineage self-join.
+    #
+    # Optimization round 16 (guide §2.5 / r15 VERDICT #9): SALT the
+    # within-cluster self-join. With few clusters (k=8 here) the
+    # cluster-keyed join runs on <= k tasks regardless of core count and
+    # one task holds a whole cluster's candidate mass (the 8-core bench
+    # spilled exactly there). Salting by the HI side's deterministic
+    # bucket splits each cluster's pair space into S slices — the LO side
+    # is replicated S ways so every (lo, hi) pair still meets EXACTLY
+    # once (hi's bucket is a function of hi alone), so the result set is
+    # identical; per-task build state shrinks S-fold and parallelism
+    # rises to k*S. S adapts to the session (paper-scale k already gives
+    # enough keys -> S collapses to 1; perf-only, never semantic).
+    sess = df.sparkSession
+    salt_n = max(1, (sess.sparkContext.defaultParallelism * 2) // max(k, 1))
     x, y = assigned.alias("_sx"), assigned.alias("_sy")
     cos = F.round(
         similarity.cosine(
@@ -868,10 +882,18 @@ def semantic_dedup_flags(
         ).cast("double"),
         round_digits,
     )
+    x_salted = x.withColumn(
+        "_salt_x",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_n)])),
+    )
+    salt_y = F.pmod(F.xxhash64(F.col(f"_sy.{id_col}")), F.lit(salt_n)).cast(
+        "int"
+    )
     near = (
-        x.join(
+        x_salted.join(
             y,
             (F.col("_sx.cluster") == F.col("_sy.cluster"))
+            & (F.col("_salt_x") == salt_y)
             & (F.col(f"_sx.{id_col}") < F.col(f"_sy.{id_col}")),
         )
         .select(F.col(f"_sy.{id_col}").alias("_hi"), cos.alias("_cos"))

@@ -119,6 +119,62 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
     return match_decision(rules, path)[1]
 
 
+def _compiled_rules(
+    rules: list[tuple[bool, str]],
+) -> list[tuple[int, bool, str, object]]:
+    """Precompile a parsed rule list for vectorized matching
+    (optimization round 16, guide §4.2): ``(rule_len, is_allow, kind,
+    matcher)`` per rule, where kind is ``pre`` (plain prefix — the
+    wildcard-free common case, a C-speed ``str.startswith``), ``eq``
+    (anchored wildcard-free — exact equality) or ``rx`` (a compiled
+    regex, built ONCE instead of re-built per (rule, path) call the way
+    ``_pattern_matches`` does). Empty patterns match nothing and are
+    dropped (same as ``_pattern_matches('')``)."""
+    comp: list[tuple[int, bool, str, object]] = []
+    for al, pat in rules:
+        if pat == "":
+            continue
+        rule_len = len(pat.rstrip("$"))
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        if "*" not in core:
+            comp.append((rule_len, al, "eq" if anchored else "pre", core))
+        else:
+            rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in core)
+            rx = "^" + rx + ("$" if anchored else "")
+            comp.append((rule_len, al, "rx", re.compile(rx)))
+    return comp
+
+
+def _vector_decisions(comp, paths):
+    """Vectorized :func:`match_decision` over a pandas Series of paths:
+    returns ``(rule_len int64[n], allowed bool[n])``. Exactly the
+    sequential fold of the lexicographic max over matching
+    ``(rule_len, is_allow)`` candidates, seeded with the no-match
+    sentinel ``(-1, True)`` (every real rule_len >= 0, so any match
+    replaces the sentinel — identical to ``max(cands)`` / empty-cands
+    semantics)."""
+    import numpy as np
+
+    n = len(paths)
+    best_len = np.full(n, -1, dtype=np.int64)
+    best_allow = np.ones(n, dtype=bool)
+    for rule_len, al, kind, m in comp:
+        if kind == "pre":
+            mask = paths.str.startswith(m).to_numpy()
+        elif kind == "eq":
+            mask = (paths == m).to_numpy()
+        else:
+            mask = paths.str.match(m).to_numpy()
+        upd = mask & (
+            (rule_len > best_len)
+            | ((rule_len == best_len) & al & ~best_allow)
+        )
+        best_len = np.where(upd, rule_len, best_len)
+        best_allow = np.where(upd, al, best_allow)
+    return best_len, best_allow
+
+
 # ---------------------------------------------------------------------------
 # Deterministic fixture + Spark plumbing
 # ---------------------------------------------------------------------------
@@ -175,22 +231,49 @@ def robots_gate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ``rule_len`` is the winning pattern length (-1 = no rule matched)."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        rules_cache = {
-            k: parse_robots(host_rules_text(k)) for k in range(N_HOSTS)
+        # vectorized decisions (optimization round 16, guide §4.2 — see
+        # robots_gate_urls); the md5 path derivation stays a per-row loop
+        # (hashlib has no vector form) but the rule matching is C-speed
+        comp_cache = {
+            k: _compiled_rules(parse_robots(host_rules_text(k)))
+            for k in range(N_HOSTS)
         }
         for pdf in batches:
-            rows = []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                did = int(i)
-                hexd = hashlib.md5(str(t).encode("utf-8")).hexdigest()
-                k = did % N_HOSTS
-                path = doc_path(hexd)
-                ln, allowed = match_decision(rules_cache[k], path)
-                rows.append((did, "h%d.example.com" % k, path, allowed, ln))
+            dids = pdf[id_col].to_numpy()
+            paths = pd.Series(
+                [
+                    doc_path(
+                        hashlib.md5(str(t).encode("utf-8")).hexdigest()
+                    )
+                    for t in pdf[text_col]
+                ]
+            )
+            ks = (dids % N_HOSTS).astype(np.int64)
+            n = len(pdf)
+            lens = np.full(n, -1, dtype=np.int64)
+            allowed = np.ones(n, dtype=bool)
+            for k in range(N_HOSTS):
+                sel = ks == k
+                if not sel.any():
+                    continue
+                ln_k, al_k = _vector_decisions(
+                    comp_cache[k], paths[sel]
+                )
+                lens[sel] = ln_k
+                allowed[sel] = al_k
             yield pd.DataFrame(
-                rows, columns=["doc_id", "host", "path", "allowed", "rule_len"]
+                {
+                    "doc_id": dids.astype(np.int64),
+                    "host": np.array(
+                        ["h%d.example.com" % k for k in ks], dtype=object
+                    ),
+                    "path": paths.to_numpy(),
+                    "allowed": allowed,
+                    "rule_len": lens.astype("int32"),
+                }
             )
 
     from azure_medicine_data_engineering_spark.session import ensure_parallelism
@@ -221,25 +304,43 @@ def robots_gate_urls(df: DataFrame) -> DataFrame:
     host-rules table is a broadcast dimension. Map-only."""
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import numpy as np
 
-        rules_cache = {
-            k: parse_robots(host_rules_text(k)) for k in range(N_HOSTS)
+        # Optimization round 16 (guide §4.2): the decision loop is now
+        # VECTORIZED — rules compile once per task, each batch is sliced
+        # per host (<= N_HOSTS groups) and matched with C-speed
+        # startswith/equality/compiled-regex over the whole slice,
+        # replacing the per-URL Python match_decision calls (which
+        # re-built a regex string per (rule, path)). Bit-identical
+        # semantics: tests/test_robots.py pins _vector_decisions ==
+        # match_decision on wildcard/anchor/tie/empty rule sets.
+        comp_cache = {
+            k: _compiled_rules(parse_robots(host_rules_text(k)))
+            for k in range(N_HOSTS)
         }
         for pdf in batches:
-            rows = []
-            for mid, pos, k, path in zip(
-                pdf["media_id"], pdf["pos"], pdf["host_idx"], pdf["path"]
-            ):
-                ln, allowed = match_decision(rules_cache[int(k)], path)
-                rows.append((int(mid), int(pos), int(k), path, allowed, ln))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "pos", "host_idx", "path", "allowed",
-                    "rule_len",
-                ],
-            )
+            n = len(pdf)
+            lens = np.full(n, -1, dtype=np.int64)
+            allowed = np.ones(n, dtype=bool)
+            hosts = pdf["host_idx"].to_numpy()
+            # round-12 advice: bad host_idx must RAISE, never wrap or
+            # fall through to the no-match sentinel
+            if n and ((hosts < 0) | (hosts >= N_HOSTS)).any():
+                bad = hosts[(hosts < 0) | (hosts >= N_HOSTS)][0]
+                raise KeyError(int(bad))
+            for k in range(N_HOSTS):
+                sel = hosts == k
+                if not sel.any():
+                    continue
+                ln_k, al_k = _vector_decisions(
+                    comp_cache[k], pdf.loc[sel, "path"]
+                )
+                lens[sel] = ln_k
+                allowed[sel] = al_k
+            out = pdf[["media_id", "pos", "host_idx", "path"]].copy()
+            out["allowed"] = allowed
+            out["rule_len"] = lens.astype("int32")
+            yield out
 
     return df.select("media_id", "pos", "host_idx", "path").mapInPandas(
         run, URL_GATE_SCHEMA

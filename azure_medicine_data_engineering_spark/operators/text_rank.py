@@ -1090,24 +1090,33 @@ def _kn3_score_table(t3: DataFrame) -> DataFrame:
     # disjoint key names per derived frame: every frame below shares t3's
     # lineage, and same-name attr reuse in self-lineage joins is the
     # analysis-time ambiguity CLAUDE.md warns about
+    # Optimization round 16 (guide §2.4 / CLAUDE.md replay rule): ``bc``
+    # feeds FOUR consumers (bb, c1, nal, the star join) and nothing
+    # persisted sat between them, so its exchange+agg re-executed inside
+    # every broadcast build. Persist the (model-grain, tiny) level once.
+    # ``bb`` additionally derives from ``bc`` instead of re-scanning t3:
+    # nbb = |{(a,c)}| per b = SUM over c of nbc; nbl = |{c}| per b =
+    # COUNT of bc rows — exact integer identities on distinct-key grain.
     ab = t3.groupBy(
         F.col("a").alias("a1"), F.col("b").alias("b1")
     ).agg(
         F.sum("c3").cast("long").alias("cab"),
         F.count(F.lit(1)).cast("long").alias("nab"),
     )
-    bc = t3.groupBy(F.col("b").alias("b2"), F.col("c").alias("c2")).agg(
-        F.count(F.lit(1)).cast("long").alias("nbc")
+    bc = (
+        t3.groupBy(F.col("b").alias("b2"), F.col("c").alias("c2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nbc"))
+        .persist()
     )
-    bb = t3.groupBy(F.col("b").alias("b3")).agg(
-        F.count(F.lit(1)).cast("long").alias("nbb"),
-        F.count_distinct("c").cast("long").alias("nbl"),
+    bb = bc.groupBy(F.col("b2").alias("b3")).agg(
+        F.sum("nbc").cast("long").alias("nbb"),
+        F.count(F.lit(1)).cast("long").alias("nbl"),
     )
     c1 = bc.groupBy(F.col("c2").alias("c4")).agg(
         F.count(F.lit(1)).cast("long").alias("n1c")
     )
     nal = bc.agg(F.count(F.lit(1)).cast("long").alias("nal"))
-    return (
+    out = (
         t3.join(ab, (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1")))
         .join(bc, (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")))
         .join(bb, F.col("b") == F.col("b3"))
@@ -1115,6 +1124,8 @@ def _kn3_score_table(t3: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(nal))
         .selectExpr("tri AS tri_k", f"{KN_LPU_EXPR} AS lpu")
     )
+    out._stage_caches = [bc]
+    return out
 
 
 def kn_trigram_doc_nll(
@@ -1162,7 +1173,7 @@ def kn_trigram_doc_nll(
             id_col, "g", "n_trigrams", "slpu", "(-slpu) div n_trigrams AS nll"
         )
     )
-    out._stage_caches = [t3]
+    out._stage_caches = [t3, *getattr(lpu, "_stage_caches", [])]
     return out
 
 
@@ -1249,7 +1260,7 @@ def kn_trigram_logprob_by_group(
             "(-slpu) div n_trigrams AS nll_micro",
         )
     )
-    out._stage_caches = [gpt, t3]
+    out._stage_caches = [gpt, t3, *getattr(lpu, "_stage_caches", [])]
     return out
 
 
@@ -1414,6 +1425,20 @@ def _kn5_score_table(g5: DataFrame) -> DataFrame:
     distinct-5-gram model table: five suffix-table groupBys of ``g5``
     (disjoint key names per derived frame — self-lineage join rule) star-
     joined back, plus the licensed 1-row ``nal`` scalar broadcast."""
+    # Optimization round 16 (guide §2.4 / CLAUDE.md replay rule): the
+    # suffix levels feed 3-5 consumers each (the next level(s) down AND
+    # the star join), and with nothing persisted between them each deeper
+    # broadcast build re-executed every parent level's exchange+agg
+    # (bcde ran ~6x, cde ~4x, de ~3x per query — visible as the repeated
+    # Exchange/HashAggregate chains in plans/r15/*_after3.txt). Persist
+    # each level once, and derive every level from the one ABOVE it —
+    # exact integer identities on distinct-key grain:
+    #   bcd.w4 = |g5 rows per (b,c,d)|           = SUM(m4)  over bcde
+    #   bcd.l4 = |{e}| per (b,c,d) over g5       = COUNT(1) over bcde
+    #   cd.w3  = |bcde rows per (c,d)|           = SUM(m3)  over cde
+    #   cd.l3  = |{e}| per (c,d) over bcde       = COUNT(1) over cde
+    #   dk.w2  = |cde rows per d|                = SUM(m2)  over de
+    #   dk.l2  = |{e}| per d over cde            = COUNT(1) over de
     abcd = g5.groupBy(
         F.col("a").alias("a1"), F.col("b").alias("b1"),
         F.col("c").alias("c1"), F.col("d").alias("d1"),
@@ -1425,32 +1450,33 @@ def _kn5_score_table(g5: DataFrame) -> DataFrame:
     bcde = g5.groupBy(
         F.col("b").alias("b2"), F.col("c").alias("c2"),
         F.col("d").alias("d2"), F.col("e").alias("e2"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("m4"))
-    bcd = g5.groupBy(
-        F.col("b").alias("b3"), F.col("c").alias("c3k"), F.col("d").alias("d3")
+    ).agg(F.count(F.lit(1)).cast("long").alias("m4")).persist()
+    bcd = bcde.groupBy(
+        F.col("b2").alias("b3"), F.col("c2").alias("c3k"),
+        F.col("d2").alias("d3"),
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("w4"),
-        F.count_distinct("e").cast("long").alias("l4"),
+        F.sum("m4").cast("long").alias("w4"),
+        F.count(F.lit(1)).cast("long").alias("l4"),
     )
     cde = bcde.groupBy(
         F.col("c2").alias("c4"), F.col("d2").alias("d4"), F.col("e2").alias("e4")
-    ).agg(F.count(F.lit(1)).cast("long").alias("m3"))
-    cd = bcde.groupBy(F.col("c2").alias("c5k"), F.col("d2").alias("d5")).agg(
-        F.count(F.lit(1)).cast("long").alias("w3"),
-        F.count_distinct("e2").cast("long").alias("l3"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("m3")).persist()
+    cd = cde.groupBy(F.col("c4").alias("c5k"), F.col("d4").alias("d5")).agg(
+        F.sum("m3").cast("long").alias("w3"),
+        F.count(F.lit(1)).cast("long").alias("l3"),
     )
     de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
         F.count(F.lit(1)).cast("long").alias("m2")
-    )
-    dk = cde.groupBy(F.col("d4").alias("d7")).agg(
-        F.count(F.lit(1)).cast("long").alias("w2"),
-        F.count_distinct("e4").cast("long").alias("l2"),
+    ).persist()
+    dk = de.groupBy(F.col("d6").alias("d7")).agg(
+        F.sum("m2").cast("long").alias("w2"),
+        F.count(F.lit(1)).cast("long").alias("l2"),
     )
     ek = de.groupBy(F.col("e6").alias("e8")).agg(
         F.count(F.lit(1)).cast("long").alias("n1e")
     )
     nal = de.agg(F.count(F.lit(1)).cast("long").alias("nal"))
-    return (
+    out = (
         g5.join(
             abcd,
             (F.col("a") == F.col("a1")) & (F.col("b") == F.col("b1"))
@@ -1478,6 +1504,8 @@ def _kn5_score_table(g5: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(nal))
         .selectExpr("pg AS pg_k", f"{KN5_LPU_EXPR} AS lpu")
     )
+    out._stage_caches = [bcde, cde, de]
+    return out
 
 
 def kn_5gram_doc_nll(
@@ -1532,7 +1560,7 @@ def kn_5gram_doc_nll(
             id_col, "g", "n_5grams", "slpu", "(-slpu) div n_5grams AS nll"
         )
     )
-    out._stage_caches = [g5]
+    out._stage_caches = [g5, *getattr(lpu, "_stage_caches", [])]
     return out
 
 
@@ -1642,7 +1670,7 @@ def kn_5gram_logprob_by_group(
             "g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro"
         )
     )
-    out._stage_caches = [gpg, g5]
+    out._stage_caches = [gpg, g5, *getattr(lpu, "_stage_caches", [])]
     return out
 
 
@@ -1744,22 +1772,25 @@ def _mkn5_score_parts(
         F.sum("c5").cast("long").alias("cabcd"),
         *buckets("c5", "ka"),
     )
+    # Optimization round 16: persist each suffix level — they feed 3-5
+    # consumers each (next level(s), the count-of-count scalar, the star
+    # join) and otherwise re-execute per consumer (see _kn5_score_table).
     bcde = g5.groupBy(
         F.col("b").alias("b2"), F.col("c").alias("c2"),
         F.col("d").alias("d2"), F.col("e").alias("e2"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("m4"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("m4")).persist()
     bcd = bcde.groupBy(
         F.col("b2").alias("b3"), F.col("c2").alias("c3k"), F.col("d2").alias("d3")
     ).agg(F.sum("m4").cast("long").alias("w4"), *buckets("m4", "kb"))
     cde = bcde.groupBy(
         F.col("c2").alias("c4"), F.col("d2").alias("d4"), F.col("e2").alias("e4")
-    ).agg(F.count(F.lit(1)).cast("long").alias("m3"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("m3")).persist()
     cd = cde.groupBy(F.col("c4").alias("c5k"), F.col("d4").alias("d5")).agg(
         F.sum("m3").cast("long").alias("w3"), *buckets("m3", "kc")
     )
     de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
         F.count(F.lit(1)).cast("long").alias("m2")
-    )
+    ).persist()
     dk = de.groupBy(F.col("d6").alias("d7")).agg(
         F.sum("m2").cast("long").alias("w2"), *buckets("m2", "kd")
     )
@@ -1804,6 +1835,7 @@ def _mkn5_score_parts(
         .crossJoin(F.broadcast(cc2))
         .selectExpr("pg AS pg_k", f"{MKN5_LPU_EXPR} AS lpu")
     )
+    lpu._stage_caches = [bcde, cde, de]
     return gpg, ndocs, g5, lpu
 
 
@@ -1834,7 +1866,7 @@ def mkn_5gram_logprob_by_group(
         .join(F.broadcast(ndocs), "g")
         .selectExpr("g", "n_docs", "n_5grams", "(-slpu) div n_5grams AS nll_micro")
     )
-    out._stage_caches = [gpg, g5]
+    out._stage_caches = [gpg, g5, *getattr(lpu, "_stage_caches", [])]
     return out
 
 
@@ -1884,7 +1916,7 @@ def mkn_5gram_quantized_delta_by_group(
             "n_model",
         )
     )
-    out._stage_caches = [gpg, g5, scored]
+    out._stage_caches = [gpg, g5, scored, *getattr(lpu, "_stage_caches", [])]
     return out
 
 
@@ -2064,12 +2096,27 @@ def kn_5gram_pruned_delta_by_group(
     def cnt_if(cond, alias: str) -> F.Column:
         return F.count(F.when(cond, F.lit(1))).cast("long").alias(alias)
 
-    def cntd_if(cond, col: str, alias: str) -> F.Column:
-        return (
-            F.count_distinct(F.when(cond, F.col(col))).cast("long").alias(alias)
-        )
+    def sum_if(col: str, alias: str) -> F.Column:
+        return F.sum(F.col(col)).cast("long").alias(alias)
 
-    # one dual-stat suffix chain: full stats + pruned stats per key
+    def cnt_pos(col: str, alias: str) -> F.Column:
+        # |rows with col > 0| — the one-level-down image of cntd_if: a
+        # distinct suffix key survives in the pruned chain iff its child
+        # level carries >= 1 surviving row, and the child level's p-stat
+        # IS that row count, so "distinct keys with a surviving row"
+        # becomes "child rows with p-stat > 0" (exact, distinct grain).
+        return F.count(F.when(F.col(col) > 0, F.lit(1))).cast("long").alias(alias)
+
+    # one dual-stat suffix chain: full stats + pruned stats per key.
+    # Optimization round 16 (same change as _kn5_score_table): persist
+    # each level; bcd/cd/dk derive from the PERSISTED level above instead
+    # of re-aggregating g5/bcde/cde per consumer —
+    #   w4  = SUM(m4),  l4 = COUNT(1), w4p = SUM(m4p), l4p = |m4p>0| over bcde
+    #   w3  = SUM(m3),  l3 = COUNT(1), w3p = SUM(m3p), l3p = |m3p>0| over cde
+    #   w2  = SUM(m2),  l2 = COUNT(1), w2p = SUM(m2p), l2p = |m2p>0| over de
+    # (each a restatement of the old g5/bcde/cde-grain aggregate at the
+    # distinct-key grain one level down; cnt_if(kept) == SUM of child
+    # kept-counts, cntd_if(kept, key) == COUNT of child keys with > 0.)
     abcd = g5.groupBy(
         F.col("a").alias("a1"), F.col("b").alias("b1"),
         F.col("c").alias("c1"), F.col("d").alias("d1"),
@@ -2087,14 +2134,15 @@ def kn_5gram_pruned_delta_by_group(
     ).agg(
         F.count(F.lit(1)).cast("long").alias("m4"),
         cnt_if(kept, "m4p"),
-    )
-    bcd = g5.groupBy(
-        F.col("b").alias("b3"), F.col("c").alias("c3"), F.col("d").alias("d3")
+    ).persist()
+    bcd = bcde.groupBy(
+        F.col("b2").alias("b3"), F.col("c2").alias("c3"),
+        F.col("d2").alias("d3"),
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("w4"),
-        F.count_distinct("e").cast("long").alias("l4"),
-        cnt_if(kept, "w4p"),
-        cntd_if(kept, "e", "l4p"),
+        sum_if("m4", "w4"),
+        F.count(F.lit(1)).cast("long").alias("l4"),
+        sum_if("m4p", "w4p"),
+        cnt_pos("m4p", "l4p"),
     )
     in_p4 = F.col("m4p") > 0  # the 4-gram suffix survives in the pruned model
     cde = bcde.groupBy(
@@ -2102,23 +2150,23 @@ def kn_5gram_pruned_delta_by_group(
     ).agg(
         F.count(F.lit(1)).cast("long").alias("m3"),
         cnt_if(in_p4, "m3p"),
-    )
-    cd = bcde.groupBy(F.col("c2").alias("c5k"), F.col("d2").alias("d5")).agg(
-        F.count(F.lit(1)).cast("long").alias("w3"),
-        F.count_distinct("e2").cast("long").alias("l3"),
-        cnt_if(in_p4, "w3p"),
-        cntd_if(in_p4, "e2", "l3p"),
+    ).persist()
+    cd = cde.groupBy(F.col("c4").alias("c5k"), F.col("d4").alias("d5")).agg(
+        sum_if("m3", "w3"),
+        F.count(F.lit(1)).cast("long").alias("l3"),
+        sum_if("m3p", "w3p"),
+        cnt_pos("m3p", "l3p"),
     )
     in_p3 = F.col("m3p") > 0
     de = cde.groupBy(F.col("d4").alias("d6"), F.col("e4").alias("e6")).agg(
         F.count(F.lit(1)).cast("long").alias("m2"),
         cnt_if(in_p3, "m2p"),
-    )
-    dk = cde.groupBy(F.col("d4").alias("d7")).agg(
-        F.count(F.lit(1)).cast("long").alias("w2"),
-        F.count_distinct("e4").cast("long").alias("l2"),
-        cnt_if(in_p3, "w2p"),
-        cntd_if(in_p3, "e4", "l2p"),
+    ).persist()
+    dk = de.groupBy(F.col("d6").alias("d7")).agg(
+        sum_if("m2", "w2"),
+        F.count(F.lit(1)).cast("long").alias("l2"),
+        sum_if("m2p", "w2p"),
+        cnt_pos("m2p", "l2p"),
     )
     in_p2 = F.col("m2p") > 0
     ek = de.groupBy(F.col("e6").alias("e8")).agg(
@@ -2199,5 +2247,5 @@ def kn_5gram_pruned_delta_by_group(
             "n_model_full", "n_model_pruned",
         )
     )
-    out._stage_caches = [gpg, g5, coalesced]
+    out._stage_caches = [gpg, g5, coalesced, bcde, cde, de]
     return out

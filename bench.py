@@ -341,7 +341,7 @@ def main() -> None:
         except (OSError, IndexError, ValueError):
             return None
 
-    def timed_group(tag: str, names: list[str]):
+    def _timed_group_once(tag: str, names: list[str]):
         # Self-load vs external contention are indistinguishable from one
         # getloadavg() sample: the bench's OWN mapInPandas worker pools
         # push the 1-min average past 14 on the Python-heavy groups (the
@@ -367,6 +367,34 @@ def main() -> None:
             steal_pct is not None and steal_pct >= STEAL_PCT_FLAG
         )
         return out
+
+    def timed_group(tag: str, names: list[str]):
+        # Optimization round 16 (VERDICT r15 #2): a steal-flagged group is
+        # automatically RE-RUN once after the decay pause, and the quieter
+        # attempt wins (per-query best across attempts; a co-tenant can only
+        # inflate wall-clock, never deflate it, so min is contention-robust).
+        # The round-15 driver bench lost its whole per-query comparison
+        # (`PERF_r15.per_query: {}`) because three groups ran under 5-10%
+        # hypervisor steal with no retry. The stamps keep BOTH attempts'
+        # steal so the ledger can see the retry happened (`g4~retry` keys).
+        out = _timed_group_once(tag, names)
+        if not group_contended[tag]:
+            return out
+        first = {
+            "load": group_loads[tag],
+            "steal": group_steal_pct[tag],
+        }
+        out2 = _timed_group_once(tag, names)
+        group_loads[f"{tag}~retry"] = first["load"]
+        group_steal_pct[f"{tag}~retry"] = first["steal"]
+        group_contended[f"{tag}~retry"] = True
+        # pick per-query best across the two attempts; group stamps keep the
+        # retry attempt's (quieter, or at least equally informative) values
+        t1, m1 = out
+        t2, m2 = out2
+        timings = {n: min(t1[n], t2[n]) for n in t1}
+        medians = {n: min(m1[n], m2[n]) for n in m1}
+        return timings, medians
 
     timings, medians = timed_group("g1", HEADLINE)
     timings2, medians2 = timed_group("g2", HEADLINE2)
@@ -452,9 +480,14 @@ def main() -> None:
                 # True when load_before >= threshold after the bounded wait:
                 # per SCALE.md the numbers are then untrustworthy for
                 # round-over-round adjudication.
+                # `~retry` keys record a flagged FIRST attempt that was
+                # re-run; only the surviving attempt (plain tag) decides
+                # run-level contention.
                 "contended": not quiet
                 or load_before[0] >= LOAD_QUIET
-                or any(group_contended.values()),
+                or any(
+                    v for k, v in group_contended.items() if "~" not in k
+                ),
             }
         )
     )

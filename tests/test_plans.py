@@ -334,3 +334,28 @@ def test_cached_scalar_broadcast_is_licensed(spark):
     tot.unpersist()
     n, lic = ea.nlj_scalar_license(buf.getvalue())
     assert n >= 1 and lic == n
+
+
+def test_shj_conf_is_scale_adaptive(spark):
+    """Optimization round 16 (r15 VERDICT #4): `preferSortMergeJoin=false`
+    is a session-wide conf; pin that it stays SCALE-ADAPTIVE. The planner
+    may only pick ShuffledHashJoin when its size conditions hold
+    (build side < autoBroadcastJoinThreshold x shuffle partitions AND 3x
+    smaller than the probe side); a fact-scale build side must fall back
+    to SortMergeJoin, never plan SHJ (one mis-build at 100 TB is an
+    executor OOM). `spark.range(n)` reports exact n*8-byte statistics, so
+    the planner's decision is testable without executing anything."""
+    big1 = spark.range(2_000_000_000).selectExpr("id AS k", "id AS v1")
+    big2 = spark.range(2_000_000_000).selectExpr("id AS k", "id AS v2")
+    plan = plan_of(big1.join(big2, "k"))
+    # fact x fact: both sides ~16 GB >> 64m x 4 partitions -> SMJ only
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" not in plan
+
+    mid = spark.range(16_000_000).selectExpr("id AS k", "id AS v3")
+    plan2 = plan_of(big1.join(mid, "k"))
+    # fact x mid (~128 MB: over the 64m broadcast threshold, under the
+    # 64m x 4 local-map cap, 3x smaller than probe): the conf is ACTIVE,
+    # so the planner picks SHJ with the SMALL side as build
+    assert "ShuffledHashJoin" in plan2
+    assert "BuildRight" in plan2

@@ -87,3 +87,39 @@ def test_fixture_contract_matches_sql_shapes():
     assert any("/open" in p for p in paths)
     assert any("/deep" in p for p in paths)
     assert any(p.startswith("/q") for p in paths)
+
+
+def test_vector_decisions_match_scalar_decision():
+    """Optimization round 16: the vectorized REP decision
+    (_compiled_rules + _vector_decisions) must equal match_decision on
+    every rule class — plain prefix, anchored, wildcard, anchored
+    wildcard, empty Disallow, allow-wins-length-ties — including the
+    no-match sentinel (-1, True)."""
+    import pandas as pd
+
+    from azure_medicine_data_engineering_spark.operators.robots import (
+        _compiled_rules,
+        _vector_decisions,
+        match_decision,
+    )
+
+    rules = [
+        (False, "/private"),          # prefix disallow
+        (True, "/private/ok"),        # longer allow overrides
+        (False, "/exact$"),           # anchored
+        (False, "/w*card"),           # wildcard
+        (True, "/w*card$"),           # anchored wildcard, same core len
+        (False, ""),                  # empty disallow: matches nothing
+        (True, "/tie"),               # length tie vs next
+        (False, "/tie"),              # allow must win the tie
+    ]
+    paths = [
+        "/private/x", "/private/ok/y", "/public", "/exact", "/exactly",
+        "/wXcard", "/wXcardY", "/w_longer_card", "/tie", "/tiebreak",
+        "", "/", "/exact$", "/w*card",
+    ]
+    comp = _compiled_rules(rules)
+    lens, allowed = _vector_decisions(comp, pd.Series(paths))
+    for i, p in enumerate(paths):
+        ln, al = match_decision(rules, p)
+        assert (int(lens[i]), bool(allowed[i])) == (ln, al), p

@@ -1,5 +1,5 @@
 """Per-query optimization profiler (round 15): for each named query, dump
-`.explain("formatted")` to plans/r15/<name>_<tag>.txt and time the noop-sink
+`.explain("formatted")` to plans/r16/<name>_<tag>.txt and time the noop-sink
 execution (guide §1.1/§1.4), with the job labelled (§1.5).
 
 Usage: python tools/profile_query.py [--tag before|after] [--repeat N] q [q...]
@@ -50,9 +50,9 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15"), exist_ok=True)
+        os.path.abspath(__file__))), "plans", "r16"), exist_ok=True)
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", "r16")
 
     results = {}
     for name in names:
