@@ -256,11 +256,24 @@ def _write_section(
             if fh is None:
                 _os.makedirs(out_dir, exist_ok=True)
                 fh = open(tmp, "w", encoding="utf-8")
-            for row in pdf.itertuples(index=False):
-                words = " ".join(getattr(row, k) for k in keys)
-                vals = " ".join(str(getattr(row, s)) for s in stats)
-                fh.write(f"{words}\t{vals}\n")
-                n += 1
+            # vectorized line assembly (optimization round 16, guide
+            # §4.2): pandas str.cat instead of a per-row Python loop;
+            # astype(str) on int64 stats equals str(int) byte-for-byte
+            words = pdf[keys[0]].astype(str)
+            if len(keys) > 1:
+                words = words.str.cat(
+                    [pdf[k].astype(str) for k in keys[1:]], sep=" "
+                )
+            vals = pdf[stats[0]].astype(str)
+            if len(stats) > 1:
+                vals = vals.str.cat(
+                    [pdf[s].astype(str) for s in stats[1:]], sep=" "
+                )
+            lines = words.str.cat(vals, sep="\t")
+            if len(lines):
+                fh.write("\n".join(lines.tolist()))
+                fh.write("\n")
+            n += len(pdf)
         if fh is not None:
             fh.close()
             _os.replace(tmp, path)
@@ -274,7 +287,7 @@ def export_kn_pruned_arpa(
     out_dir: str,
     min_count: int = 2,
     text_col: str = "text",
-    shards_per_level: int = 4,
+    shards_per_level: int | None = None,
     gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Export the pruned KN 5-gram model under ``out_dir``: five sorted
@@ -282,8 +295,20 @@ def export_kn_pruned_arpa(
     (``\\data\\`` + exact per-order entry counts + the ``nalp``
     normalizer + ``\\end\\``), written LAST — the header is the commit
     marker, same discipline as the streaming ``_HWM``. Returns the
-    per-shard write report (already forced)."""
+    per-shard write report (already forced).
+
+    ``shards_per_level`` defaults to the session's default parallelism
+    (optimization round 16, r15 VERDICT #6): the old fixed 4 capped every
+    level's range-partition + sort + format + write at 4 tasks no matter
+    the core count or model size, which is why the ARPA round trip
+    showed a <=1 scaling ratio at 8-vs-32 cores. pid-ordered shard
+    concatenation is the sorted section at ANY shard count, and the
+    re-ingest packs small shards into shared scan tasks, so the landed
+    artifact contract is unchanged. Production sizes this by target
+    shard bytes instead — pass it explicitly there."""
     os.makedirs(out_dir, exist_ok=True)
+    if shards_per_level is None:
+        shards_per_level = max(4, df.sparkSession.sparkContext.defaultParallelism)
     levels, nalp = kn_pruned_level_tables(
         df, min_count, text_col, gram_counts=gram_counts
     )

@@ -28,6 +28,8 @@ def mark(label: str) -> None:
 
 
 def get_session():
+    import __spark_entry__  # noqa: F401 — registry import order
+
     from azure_medicine_data_engineering_spark.session import get_spark
 
     spark = get_spark(
